@@ -1,0 +1,119 @@
+"""
+lhotse_tpu: a TPU-native audio data-preparation and feature-extraction
+framework with the capabilities of Lhotse (see SURVEY.md for the blueprint).
+"""
+from lhotse_tpu.array import Array, TemporalArray, deserialize_array, pad_array
+from lhotse_tpu.audio import (
+    AudioSource,
+    Recording,
+    RecordingSet,
+    audio_backend,
+    available_audio_backends,
+    get_current_audio_backend,
+    set_current_audio_backend,
+    set_audio_duration_mismatch_tolerance,
+)
+from lhotse_tpu.caching import is_caching_enabled, set_caching_enabled
+from lhotse_tpu.features import (
+    Fbank,
+    FbankConfig,
+    FeatureExtractor,
+    Features,
+    FeatureSet,
+    FeatureSetBuilder,
+    LilcomChunkyWriter,
+    LilcomFilesWriter,
+    LilcomHdf5Writer,
+    ChunkedLilcomHdf5Writer,
+    LogSpectrogram,
+    LogSpectrogramConfig,
+    Mfcc,
+    MfccConfig,
+    NumpyFilesWriter,
+    NumpyHdf5Writer,
+    Spectrogram,
+    SpectrogramConfig,
+)
+from lhotse_tpu.image import Image
+from lhotse_tpu.lazy import dill_enabled, is_dill_enabled, set_dill_enabled
+from lhotse_tpu.serialization import (
+    load_manifest,
+    load_manifest_lazy,
+    store_manifest,
+)
+from lhotse_tpu.supervision import AlignmentItem, SupervisionSegment, SupervisionSet
+from lhotse_tpu.utils import (
+    Seconds,
+    add_durations,
+    compute_num_frames,
+    compute_num_samples,
+    fastcopy,
+    fix_random_seed,
+)
+
+# Cut layer (imported after the base manifests it builds upon).
+from lhotse_tpu.cut import CutSet, MonoCut, MultiCut, PaddingCut, MixedCut  # noqa: E402
+from lhotse_tpu.manipulation import combine, split_parallelize_combine, to_manifest  # noqa: E402
+from lhotse_tpu.qa import fix_manifests, validate  # noqa: E402
+
+from lhotse_tpu.tools.env import default_tools_cachedir  # noqa: E402
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AlignmentItem",
+    "Array",
+    "AudioSource",
+    "ChunkedLilcomHdf5Writer",
+    "CutSet",
+    "Fbank",
+    "FbankConfig",
+    "FeatureExtractor",
+    "FeatureSet",
+    "FeatureSetBuilder",
+    "Features",
+    "Image",
+    "LilcomChunkyWriter",
+    "LilcomFilesWriter",
+    "LilcomHdf5Writer",
+    "LogSpectrogram",
+    "LogSpectrogramConfig",
+    "Mfcc",
+    "MfccConfig",
+    "MixedCut",
+    "MonoCut",
+    "MultiCut",
+    "NumpyFilesWriter",
+    "NumpyHdf5Writer",
+    "PaddingCut",
+    "Recording",
+    "RecordingSet",
+    "Seconds",
+    "Spectrogram",
+    "SpectrogramConfig",
+    "SupervisionSegment",
+    "SupervisionSet",
+    "TemporalArray",
+    "add_durations",
+    "audio_backend",
+    "available_audio_backends",
+    "combine",
+    "compute_num_frames",
+    "compute_num_samples",
+    "deserialize_array",
+    "dill_enabled",
+    "fastcopy",
+    "fix_manifests",
+    "fix_random_seed",
+    "is_caching_enabled",
+    "is_dill_enabled",
+    "load_manifest",
+    "load_manifest_lazy",
+    "pad_array",
+    "set_caching_enabled",
+    "set_dill_enabled",
+    "split_parallelize_combine",
+    "store_manifest",
+    "to_manifest",
+    "validate",
+]

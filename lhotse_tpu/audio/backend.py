@@ -1,0 +1,614 @@
+"""
+Pluggable audio decode/encode backends.
+
+Mirrors the reference registry design (`/root/reference/lhotse/audio/backend.py`:
+``AudioBackend`` base at :196, composite fallback at :683, module-level
+``read_audio``/``info``/``save_audio`` at :1646-1690, env override
+``LHOTSE_AUDIO_BACKEND``), with a different default stack because this
+framework ships its own native WAV codec and does not depend on
+torch/torchaudio:
+
+- ``InternalWavBackend`` — in-repo pure-numpy RIFF codec (header-only probes,
+  partial reads); the default for .wav.
+- ``SoundfileBackend`` — optional, used when the ``soundfile`` package is
+  installed (flac/ogg/opus/mp3 coverage).
+- ``FfmpegSubprocessBackend`` — optional, any format via the ``ffmpeg`` binary;
+  also implements forced-sampling-rate OPUS decode like the reference's
+  ``read_opus_ffmpeg`` (backend.py:1494).
+- ``Sph2pipeSubprocessBackend`` — optional, SPHERE via the ``sph2pipe`` binary.
+"""
+from __future__ import annotations
+
+import io
+import os
+import shutil
+import struct
+import subprocess
+from io import BytesIO
+from pathlib import Path
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple, Type, Union
+
+import numpy as np
+
+from lhotse_tpu.audio.utils import AudioLoadingError, VideoInfo, verbose_audio_loading_exceptions
+from lhotse_tpu.audio.wavio import info_wav, read_wav, write_wav
+from lhotse_tpu.utils import Pathlike, Seconds, compute_num_samples, is_module_available
+
+FileObject = Any
+
+CURRENT_AUDIO_BACKEND: Optional["AudioBackend"] = None
+
+
+class LibsndfileCompatibleAudioInfo(NamedTuple):
+    channels: int
+    frames: int
+    samplerate: int
+    duration: float
+    video: Optional[VideoInfo] = None
+
+
+class AudioBackend:
+    """
+    An AudioBackend defines methods for reading audio and two filters that
+    determine whether it should be used (reference: audio/backend.py:196).
+
+    ``handles_special_case`` = backend should be used exclusively for the input.
+    ``is_applicable`` = backend can likely handle the input (may still fail).
+    """
+
+    KNOWN_BACKENDS: Dict[str, Type["AudioBackend"]] = {}
+
+    def __init_subclass__(cls, **kwargs):
+        if cls.__name__ not in AudioBackend.KNOWN_BACKENDS:
+            AudioBackend.KNOWN_BACKENDS[cls.__name__] = cls
+        super().__init_subclass__(**kwargs)
+
+    @classmethod
+    def new(cls, name: str) -> "AudioBackend":
+        if name not in cls.KNOWN_BACKENDS:
+            raise RuntimeError(f"Unknown audio backend name: {name}")
+        return cls.KNOWN_BACKENDS[name]()
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return True
+
+    def read_audio(
+        self,
+        path_or_fd: Union[Pathlike, FileObject],
+        offset: Seconds = 0.0,
+        duration: Optional[Seconds] = None,
+        force_opus_sampling_rate: Optional[int] = None,
+    ) -> Tuple[np.ndarray, int]:
+        raise NotImplementedError()
+
+    def info(
+        self,
+        path_or_fd: Union[Pathlike, FileObject],
+        force_opus_sampling_rate: Optional[int] = None,
+    ) -> LibsndfileCompatibleAudioInfo:
+        raise NotImplementedError()
+
+    def handles_special_case(self, path_or_fd: Union[Pathlike, FileObject]) -> bool:
+        return False
+
+    def is_applicable(self, path_or_fd: Union[Pathlike, FileObject]) -> bool:
+        return True
+
+    def supports_save(self) -> bool:
+        return False
+
+    def supports_info(self) -> bool:
+        return False
+
+    def save_audio(
+        self,
+        dest: Union[str, Path, BytesIO],
+        src: np.ndarray,
+        sampling_rate: int,
+        format: Optional[str] = None,
+        encoding: Optional[str] = None,
+    ) -> None:
+        raise NotImplementedError()
+
+
+def _suffix_of(path_or_fd) -> Optional[str]:
+    if isinstance(path_or_fd, (str, Path)):
+        return Path(path_or_fd).suffix.lower()
+    return None
+
+
+def _peek_bytes(fd, n: int = 8) -> bytes:
+    pos = fd.tell()
+    data = fd.read(n)
+    fd.seek(pos)
+    return data
+
+
+class InternalWavBackend(AudioBackend):
+    """Default backend for RIFF/WAVE using the in-repo numpy codec
+    (:mod:`lhotse_tpu.audio.wavio`)."""
+
+    def read_audio(
+        self,
+        path_or_fd,
+        offset: Seconds = 0.0,
+        duration: Optional[Seconds] = None,
+        force_opus_sampling_rate: Optional[int] = None,
+    ) -> Tuple[np.ndarray, int]:
+        # Probe header first to translate seconds -> frames.
+        if isinstance(path_or_fd, (str, Path)):
+            hdr = info_wav(path_or_fd)
+            f = open(path_or_fd, "rb")
+            close = True
+        else:
+            hdr = info_wav(path_or_fd)
+            f = path_or_fd
+            close = False
+        try:
+            frame_offset = compute_num_samples(offset, hdr.sampling_rate) if offset else 0
+            num_frames = (
+                compute_num_samples(duration, hdr.sampling_rate)
+                if duration is not None
+                else None
+            )
+            samples, sr = read_wav(f, frame_offset=frame_offset, num_frames=num_frames)
+            return samples, sr
+        finally:
+            if close:
+                f.close()
+
+    def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
+        hdr = info_wav(path_or_fd)
+        return LibsndfileCompatibleAudioInfo(
+            channels=hdr.num_channels,
+            frames=hdr.num_frames,
+            samplerate=hdr.sampling_rate,
+            duration=hdr.num_frames / hdr.sampling_rate,
+        )
+
+    def is_applicable(self, path_or_fd) -> bool:
+        sfx = _suffix_of(path_or_fd)
+        if sfx is not None:
+            return sfx in (".wav", ".wave", ".rf64", ".bw64")
+        try:
+            magic = _peek_bytes(path_or_fd, 4)
+            return magic in (b"RIFF", b"RF64")
+        except Exception:
+            return False
+
+    def supports_info(self) -> bool:
+        return True
+
+    def supports_save(self) -> bool:
+        return True
+
+    def save_audio(
+        self, dest, src, sampling_rate: int, format=None, encoding=None
+    ) -> None:
+        subtype = {
+            None: "pcm16",
+            "PCM_16": "pcm16",
+            "PCM_24": "pcm24",
+            "PCM_32": "pcm32",
+            "FLOAT": "float32",
+            "DOUBLE": "float64",
+        }.get(encoding, encoding or "pcm16")
+        write_wav(dest, np.asarray(src), sampling_rate, subtype=subtype)
+
+
+class FlacBackend(AudioBackend):
+    """FLAC decode/encode via the in-repo pure-Python/numpy codec
+    (:mod:`lhotse_tpu.audio.flacio`)."""
+
+    def read_audio(
+        self,
+        path_or_fd,
+        offset: Seconds = 0.0,
+        duration: Optional[Seconds] = None,
+        force_opus_sampling_rate: Optional[int] = None,
+    ) -> Tuple[np.ndarray, int]:
+        from lhotse_tpu.audio.flacio import read_flac
+
+        samples, sr = read_flac(path_or_fd)
+        if offset or duration is not None:
+            lo = compute_num_samples(offset, sr) if offset else 0
+            hi = lo + compute_num_samples(duration, sr) if duration is not None else None
+            samples = samples[:, lo:hi]
+        return samples, sr
+
+    def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
+        from lhotse_tpu.audio.flacio import info_flac
+
+        hdr = info_flac(path_or_fd)
+        return LibsndfileCompatibleAudioInfo(
+            channels=hdr.num_channels,
+            frames=hdr.num_frames,
+            samplerate=hdr.sampling_rate,
+            duration=hdr.num_frames / hdr.sampling_rate,
+        )
+
+    def is_applicable(self, path_or_fd) -> bool:
+        sfx = _suffix_of(path_or_fd)
+        if sfx is not None:
+            return sfx == ".flac"
+        try:
+            return _peek_bytes(path_or_fd, 4) == b"fLaC"
+        except Exception:
+            return False
+
+    def supports_info(self) -> bool:
+        return True
+
+    def supports_save(self) -> bool:
+        return True
+
+    def save_audio(self, dest, src, sampling_rate: int, format=None, encoding=None) -> None:
+        from lhotse_tpu.audio.flacio import write_flac
+
+        write_flac(dest, np.asarray(src), sampling_rate)
+
+
+class SoundfileBackend(AudioBackend):
+    """Optional libsndfile coverage when the ``soundfile`` package is present
+    (reference default backend, audio/backend.py:515)."""
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return is_module_available("soundfile")
+
+    def read_audio(
+        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None
+    ) -> Tuple[np.ndarray, int]:
+        import soundfile as sf
+
+        with sf.SoundFile(path_or_fd) as sf_desc:
+            sampling_rate = sf_desc.samplerate
+            if offset:
+                sf_desc.seek(compute_num_samples(offset, sampling_rate))
+            frame_duration = (
+                compute_num_samples(duration, sampling_rate) if duration is not None else -1
+            )
+            samples = sf_desc.read(frames=frame_duration, dtype=np.float32, always_2d=True).T
+        return samples, sampling_rate
+
+    def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
+        import soundfile as sf
+
+        i = sf.info(path_or_fd)
+        return LibsndfileCompatibleAudioInfo(
+            channels=i.channels, frames=i.frames, samplerate=i.samplerate, duration=i.duration
+        )
+
+    def supports_info(self) -> bool:
+        return True
+
+    def supports_save(self) -> bool:
+        return True
+
+    def save_audio(self, dest, src, sampling_rate: int, format=None, encoding=None) -> None:
+        import soundfile as sf
+
+        src = np.asarray(src)
+        if src.ndim == 2 and src.shape[0] <= src.shape[1]:
+            src = src.T
+        sf.write(dest, src, sampling_rate, format=format, subtype=encoding)
+
+
+class FfmpegSubprocessBackend(AudioBackend):
+    """
+    Decode any format via an ``ffmpeg`` subprocess emitting float32 PCM on
+    stdout. Implements the reference's forced-sampling-rate OPUS semantics
+    (audio/backend.py:1494): OPUS is always decoded at 48 kHz by ffmpeg, and
+    ``force_opus_sampling_rate`` inserts a resample.
+    """
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return shutil.which("ffmpeg") is not None
+
+    def read_audio(
+        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None
+    ) -> Tuple[np.ndarray, int]:
+        is_opus = False
+        if isinstance(path_or_fd, (str, Path)):
+            src_arg = str(path_or_fd)
+            stdin = None
+            is_opus = str(path_or_fd).lower().endswith(".opus")
+        else:
+            src_arg = "pipe:0"
+            data = path_or_fd.read()
+            stdin = data
+            is_opus = b"OpusHead" in data[:1024]
+        probe = self._probe(src_arg, stdin)
+        sampling_rate = probe["sample_rate"]
+        channels = probe["channels"]
+        if is_opus and force_opus_sampling_rate is not None:
+            sampling_rate = force_opus_sampling_rate
+        cmd = ["ffmpeg", "-v", "error"]
+        if offset:
+            cmd += ["-ss", str(offset)]
+        cmd += ["-i", src_arg]
+        if duration is not None:
+            cmd += ["-t", str(duration)]
+        cmd += ["-ar", str(sampling_rate), "-f", "f32le", "-acodec", "pcm_f32le", "pipe:1"]
+        proc = subprocess.run(cmd, input=stdin, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        if proc.returncode != 0:
+            raise AudioLoadingError(f"ffmpeg failed: {proc.stderr.decode(errors='replace')}")
+        samples = np.frombuffer(proc.stdout, dtype="<f4")
+        n_frames = len(samples) // channels
+        samples = samples[: n_frames * channels].reshape(n_frames, channels).T
+        return np.ascontiguousarray(samples), sampling_rate
+
+    def _probe(self, src_arg: str, stdin: Optional[bytes]) -> dict:
+        cmd = [
+            "ffprobe", "-v", "error", "-select_streams", "a:0",
+            "-show_entries", "stream=sample_rate,channels,duration",
+            "-of", "default=noprint_wrappers=1", src_arg,
+        ]
+        proc = subprocess.run(cmd, input=stdin, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        if proc.returncode != 0:
+            raise AudioLoadingError(f"ffprobe failed: {proc.stderr.decode(errors='replace')}")
+        out = {}
+        for line in proc.stdout.decode().splitlines():
+            if "=" in line:
+                k, v = line.split("=", 1)
+                out[k] = v
+        return {
+            "sample_rate": int(out.get("sample_rate", 0) or 0),
+            "channels": int(out.get("channels", 1) or 1),
+            "duration": float(out["duration"]) if out.get("duration", "N/A") not in ("N/A", "") else None,
+        }
+
+    def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
+        if isinstance(path_or_fd, (str, Path)):
+            probe = self._probe(str(path_or_fd), None)
+        else:
+            pos = path_or_fd.tell()
+            data = path_or_fd.read()
+            path_or_fd.seek(pos)
+            probe = self._probe("pipe:0", data)
+        duration = probe["duration"] or 0.0
+        frames = int(round(duration * probe["sample_rate"]))
+        return LibsndfileCompatibleAudioInfo(
+            channels=probe["channels"],
+            frames=frames,
+            samplerate=probe["sample_rate"],
+            duration=duration,
+        )
+
+    def supports_info(self) -> bool:
+        return True
+
+
+class Sph2pipeSubprocessBackend(AudioBackend):
+    """SPHERE (incl. shorten-compressed) decode via the ``sph2pipe`` binary
+    (reference: audio/backend.py:297)."""
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return shutil.which("sph2pipe") is not None
+
+    def handles_special_case(self, path_or_fd) -> bool:
+        sfx = _suffix_of(path_or_fd)
+        if sfx is not None:
+            return sfx in (".sph", ".wv1", ".wv2")
+        try:
+            return _peek_bytes(path_or_fd, 7) == b"NIST_1A"
+        except Exception:
+            return False
+
+    is_applicable = handles_special_case
+
+    def read_audio(
+        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None
+    ) -> Tuple[np.ndarray, int]:
+        assert isinstance(
+            path_or_fd, (str, Path)
+        ), "sph2pipe backend supports only file paths"
+        cmd = ["sph2pipe", "-f", "wav", "-p", str(path_or_fd)]
+        proc = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        if proc.returncode != 0:
+            raise AudioLoadingError(
+                f"sph2pipe failed: {proc.stderr.decode(errors='replace')}"
+            )
+        return InternalWavBackend().read_audio(
+            BytesIO(proc.stdout), offset=offset, duration=duration
+        )
+
+    def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
+        samples, sr = self.read_audio(path_or_fd)
+        return LibsndfileCompatibleAudioInfo(
+            channels=samples.shape[0],
+            frames=samples.shape[1],
+            samplerate=sr,
+            duration=samples.shape[1] / sr,
+        )
+
+    def supports_info(self) -> bool:
+        return True
+
+
+class CompositeAudioBackend(AudioBackend):
+    """
+    Composite trying each child backend: first those claiming a special case,
+    then all applicable ones, collecting exceptions (reference:
+    audio/backend.py:683).
+    """
+
+    def __init__(self, backends: List[AudioBackend]):
+        self.backends = backends
+
+    def _run(self, method: str, path_or_fd, **kwargs):
+        candidates = [b for b in self.backends if b.handles_special_case(path_or_fd)]
+        assert len(candidates) < 2, (
+            f"CompositeAudioBackend has more than one sub-backend claiming "
+            f"a special case for input: {path_or_fd}"
+        )
+        if candidates:
+            return getattr(candidates[0], method)(path_or_fd, **kwargs)
+        exceptions = []
+        for b in self.backends:
+            if not b.is_applicable(path_or_fd):
+                continue
+            if method == "info" and not b.supports_info():
+                continue
+            try:
+                return getattr(b, method)(path_or_fd, **kwargs)
+            except Exception as e:
+                if verbose_audio_loading_exceptions():
+                    import traceback
+
+                    exceptions.append(f"{type(b).__name__}: {traceback.format_exc()}")
+                else:
+                    exceptions.append(f"{type(b).__name__}: {type(e).__name__}: {e}")
+        npath = path_or_fd if isinstance(path_or_fd, (str, Path)) else "<file-like-object>"
+        detail = "\n".join(exceptions) if exceptions else "(no applicable backend found)"
+        raise AudioLoadingError(f"Reading audio from '{npath}' failed. Details:\n{detail}")
+
+    def read_audio(
+        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None
+    ) -> Tuple[np.ndarray, int]:
+        return self._run(
+            "read_audio",
+            path_or_fd,
+            offset=offset,
+            duration=duration,
+            force_opus_sampling_rate=force_opus_sampling_rate,
+        )
+
+    def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
+        return self._run(
+            "info", path_or_fd, force_opus_sampling_rate=force_opus_sampling_rate
+        )
+
+    def supports_info(self) -> bool:
+        return True
+
+    def supports_save(self) -> bool:
+        return any(b.supports_save() for b in self.backends)
+
+    def save_audio(self, dest, src, sampling_rate: int, format=None, encoding=None) -> None:
+        fmt = format
+        if fmt is None and isinstance(dest, (str, Path)):
+            fmt = Path(dest).suffix.lstrip(".").lower() or None
+        if fmt in (None, "wav", "wave"):
+            return InternalWavBackend().save_audio(
+                dest, src, sampling_rate, format=fmt, encoding=encoding
+            )
+        if fmt == "flac":
+            return FlacBackend().save_audio(dest, src, sampling_rate)
+        for b in self.backends:
+            if b.supports_save() and not isinstance(b, (InternalWavBackend, FlacBackend)):
+                return b.save_audio(dest, src, sampling_rate, format=fmt, encoding=encoding)
+        raise AudioLoadingError(f"No backend available to save format: {fmt}")
+
+
+def available_audio_backends() -> List[str]:
+    """List the names of all available audio backends."""
+    return sorted(
+        name for name, b in AudioBackend.KNOWN_BACKENDS.items() if b.is_available()
+    )
+
+
+def set_current_audio_backend(backend: Union[str, AudioBackend]) -> AudioBackend:
+    """Force a specific audio backend for all read/info/save operations."""
+    global CURRENT_AUDIO_BACKEND
+    if backend == "default":
+        backend = get_default_audio_backend()
+    elif isinstance(backend, str):
+        backend = AudioBackend.new(backend)
+    else:
+        assert isinstance(backend, AudioBackend)
+    CURRENT_AUDIO_BACKEND = backend
+    return CURRENT_AUDIO_BACKEND
+
+
+def get_current_audio_backend() -> AudioBackend:
+    global CURRENT_AUDIO_BACKEND
+    if CURRENT_AUDIO_BACKEND is not None:
+        return CURRENT_AUDIO_BACKEND
+    env = os.environ.get("LHOTSE_TPU_AUDIO_BACKEND") or os.environ.get(
+        "LHOTSE_AUDIO_BACKEND"
+    )
+    if env:
+        return set_current_audio_backend(env)
+    return get_default_audio_backend()
+
+
+def get_default_audio_backend() -> AudioBackend:
+    """Composite over every available backend, internal codecs first."""
+    backends: List[AudioBackend] = [Sph2pipeSubprocessBackend()] if Sph2pipeSubprocessBackend.is_available() else []
+    backends += [InternalWavBackend(), FlacBackend()]
+    if SoundfileBackend.is_available():
+        backends.append(SoundfileBackend())
+    if FfmpegSubprocessBackend.is_available():
+        backends.append(FfmpegSubprocessBackend())
+    return CompositeAudioBackend(backends)
+
+
+class audio_backend:
+    """Context manager that temporarily overrides the audio backend."""
+
+    def __init__(self, backend: Union[str, AudioBackend]):
+        self.backend = backend
+        self.prev = None
+
+    def __enter__(self):
+        global CURRENT_AUDIO_BACKEND
+        self.prev = CURRENT_AUDIO_BACKEND
+        set_current_audio_backend(self.backend)
+        return self
+
+    def __exit__(self, *exc):
+        global CURRENT_AUDIO_BACKEND
+        CURRENT_AUDIO_BACKEND = self.prev
+
+
+def read_audio(
+    path_or_fd: Union[Pathlike, FileObject],
+    offset: Seconds = 0.0,
+    duration: Optional[Seconds] = None,
+    force_opus_sampling_rate: Optional[int] = None,
+) -> Tuple[np.ndarray, int]:
+    """Read audio returning ``(samples(channels, frames) float32, sampling_rate)``
+    (reference: audio/backend.py:1662)."""
+    return get_current_audio_backend().read_audio(
+        path_or_fd,
+        offset=offset,
+        duration=duration,
+        force_opus_sampling_rate=force_opus_sampling_rate,
+    )
+
+
+def info(
+    path_or_fd: Union[Pathlike, FileObject],
+    force_opus_sampling_rate: Optional[int] = None,
+    force_read_audio: bool = False,
+) -> LibsndfileCompatibleAudioInfo:
+    """Probe audio metadata, preferring header-only reads (reference: audio/backend.py:1676)."""
+    backend = get_current_audio_backend()
+    if force_read_audio:
+        samples, sr = backend.read_audio(
+            path_or_fd, force_opus_sampling_rate=force_opus_sampling_rate
+        )
+        return LibsndfileCompatibleAudioInfo(
+            channels=samples.shape[0],
+            frames=samples.shape[1],
+            samplerate=sr,
+            duration=samples.shape[1] / sr,
+        )
+    return backend.info(path_or_fd, force_opus_sampling_rate=force_opus_sampling_rate)
+
+
+def save_audio(
+    dest: Union[str, Path, BytesIO],
+    src: np.ndarray,
+    sampling_rate: int,
+    format: Optional[str] = None,
+    encoding: Optional[str] = None,
+) -> None:
+    """Save audio samples (reference: audio/backend.py:1646)."""
+    return get_current_audio_backend().save_audio(
+        dest, src, sampling_rate, format=format, encoding=encoding
+    )

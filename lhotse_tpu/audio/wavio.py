@@ -1,0 +1,349 @@
+"""
+Self-contained RIFF/WAVE codec in pure numpy (no libsndfile dependency).
+
+Replaces the role of the reference's libsndfile/soundfile default backend
+(`/root/reference/lhotse/audio/backend.py:515-592`) for WAV files: header-only
+``info()`` probes and partial reads (frame offset + count) used by
+``Recording.load_audio``. Sample scaling matches libsndfile's float conversion
+(int16/32768, int32/2^31, 24-bit/2^23, uint8 offset-binary) so decoded float32
+samples are identical with what the reference returns for PCM WAV.
+
+Supported: PCM 8/16/24/32-bit, IEEE float32/64, WAVE_FORMAT_EXTENSIBLE,
+RF64 (BW64) large files, non-seekable streams (pipes).
+"""
+from __future__ import annotations
+
+import io
+import struct
+from dataclasses import dataclass
+from typing import BinaryIO, Optional, Tuple, Union
+
+import numpy as np
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_ALAW = 0x0006
+WAVE_FORMAT_MULAW = 0x0007
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+class WavFormatError(Exception):
+    pass
+
+
+@dataclass
+class WavHeader:
+    sampling_rate: int
+    num_channels: int
+    num_frames: int
+    bits_per_sample: int
+    format_tag: int
+    data_offset: int
+    data_size: int
+
+    @property
+    def bytes_per_frame(self) -> int:
+        return self.num_channels * self.bits_per_sample // 8
+
+    @property
+    def duration(self) -> float:
+        return self.num_frames / self.sampling_rate
+
+
+def _read_exact(f: BinaryIO, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = f.read(n - len(buf))
+        if not chunk:
+            break
+        buf += chunk
+    return buf
+
+
+def parse_wav_header(f: BinaryIO) -> WavHeader:
+    """
+    Parse the RIFF/RF64 header up to (and including) locating the 'data' chunk.
+    Leaves the stream positioned at the start of the audio data.
+    """
+    riff = _read_exact(f, 12)
+    if len(riff) < 12 or riff[:4] not in (b"RIFF", b"RF64") or riff[8:12] != b"WAVE":
+        raise WavFormatError("Not a RIFF/WAVE file")
+    is_rf64 = riff[:4] == b"RF64"
+    rf64_data_size = None
+
+    fmt = None
+    data_offset = None
+    data_size = None
+    pos = 12
+    while True:
+        hdr = _read_exact(f, 8)
+        if len(hdr) < 8:
+            break
+        chunk_id, chunk_size = struct.unpack("<4sI", hdr)
+        pos += 8
+        if chunk_id == b"ds64":
+            body = _read_exact(f, chunk_size)
+            # ds64: riff_size(8) data_size(8) sample_count(8) ...
+            rf64_data_size = struct.unpack("<Q", body[8:16])[0]
+            pos += chunk_size
+        elif chunk_id == b"fmt ":
+            body = _read_exact(f, chunk_size)
+            pos += chunk_size
+            (format_tag, num_channels, sampling_rate, _byte_rate, _block_align, bits) = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if format_tag == WAVE_FORMAT_EXTENSIBLE and chunk_size >= 40:
+                # true format is the first 2 bytes of the SubFormat GUID
+                format_tag = struct.unpack("<H", body[24:26])[0]
+            fmt = (format_tag, num_channels, sampling_rate, bits)
+        elif chunk_id == b"data":
+            data_offset = pos
+            data_size = chunk_size
+            if is_rf64 and chunk_size == 0xFFFFFFFF and rf64_data_size is not None:
+                data_size = rf64_data_size
+            break
+        else:
+            # skip unknown chunk (word-aligned)
+            skip = chunk_size + (chunk_size & 1)
+            try:
+                f.seek(skip, io.SEEK_CUR)
+            except (OSError, io.UnsupportedOperation):
+                _read_exact(f, skip)
+            pos += skip
+    if fmt is None or data_offset is None:
+        raise WavFormatError("Missing fmt or data chunk in WAVE file")
+    format_tag, num_channels, sampling_rate, bits = fmt
+    bytes_per_frame = num_channels * bits // 8
+    if bytes_per_frame == 0:
+        raise WavFormatError("Invalid WAVE header (zero frame size)")
+    num_frames = data_size // bytes_per_frame
+    return WavHeader(
+        sampling_rate=sampling_rate,
+        num_channels=num_channels,
+        num_frames=num_frames,
+        bits_per_sample=bits,
+        format_tag=format_tag,
+        data_offset=data_offset,
+        data_size=data_size,
+    )
+
+
+# mu-law / A-law decode tables (ITU-T G.711), computed once.
+def _make_mulaw_table() -> np.ndarray:
+    u = np.arange(256, dtype=np.int64)
+    u = ~u & 0xFF
+    sign = u & 0x80
+    exponent = (u >> 4) & 0x07
+    mantissa = u & 0x0F
+    magnitude = ((mantissa << 3) + 0x84) << exponent
+    magnitude = magnitude - 0x84
+    out = np.where(sign != 0, -magnitude, magnitude)
+    return (out.astype(np.float32)) / 32768.0
+
+
+def _make_alaw_table() -> np.ndarray:
+    a = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = a & 0x80
+    exponent = (a >> 4) & 0x07
+    mantissa = a & 0x0F
+    magnitude = np.where(
+        exponent > 0,
+        ((mantissa << 4) + 0x108) << (exponent - 1),
+        (mantissa << 4) + 8,
+    )
+    out = np.where(sign != 0, -magnitude, magnitude)
+    return (out.astype(np.float32)) / 32768.0
+
+
+_MULAW_TABLE: Optional[np.ndarray] = None
+_ALAW_TABLE: Optional[np.ndarray] = None
+
+
+def _decode_frames(raw: bytes, header: WavHeader) -> np.ndarray:
+    """Decode raw interleaved frames to float32 (num_channels, num_frames)."""
+    global _MULAW_TABLE, _ALAW_TABLE
+    bits = header.bits_per_sample
+    tag = header.format_tag
+    C = header.num_channels
+    n_frames = len(raw) // header.bytes_per_frame
+    raw = raw[: n_frames * header.bytes_per_frame]
+    if tag == WAVE_FORMAT_PCM:
+        if bits == 16:
+            x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:
+            x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 24:
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            x = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float32) / float(1 << 23)
+        else:
+            raise WavFormatError(f"Unsupported PCM bit depth: {bits}")
+    elif tag == WAVE_FORMAT_IEEE_FLOAT:
+        if bits == 32:
+            x = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif bits == 64:
+            x = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        else:
+            raise WavFormatError(f"Unsupported float bit depth: {bits}")
+    elif tag == WAVE_FORMAT_MULAW:
+        if _MULAW_TABLE is None:
+            _MULAW_TABLE = _make_mulaw_table()
+        x = _MULAW_TABLE[np.frombuffer(raw, dtype=np.uint8)]
+    elif tag == WAVE_FORMAT_ALAW:
+        if _ALAW_TABLE is None:
+            _ALAW_TABLE = _make_alaw_table()
+        x = _ALAW_TABLE[np.frombuffer(raw, dtype=np.uint8)]
+    else:
+        raise WavFormatError(f"Unsupported WAVE format tag: 0x{tag:04x}")
+    return np.ascontiguousarray(x.reshape(n_frames, C).T)
+
+
+def read_wav(
+    source: Union[str, BinaryIO],
+    frame_offset: int = 0,
+    num_frames: Optional[int] = None,
+) -> Tuple[np.ndarray, int]:
+    """
+    Read a WAV file (or file-like object) returning
+    ``(samples(channels, frames) float32, sampling_rate)``.
+    Partial reads seek directly to the requested frame range when the
+    underlying stream is seekable; otherwise the preceding bytes are consumed.
+    """
+    close = False
+    if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
+        f = open(source, "rb")
+        close = True
+    else:
+        f = source
+    try:
+        header = parse_wav_header(f)
+        start_byte = frame_offset * header.bytes_per_frame
+        if num_frames is None:
+            count = header.num_frames - frame_offset
+        else:
+            count = min(num_frames, max(header.num_frames - frame_offset, 0))
+        count = max(count, 0)
+        try:
+            f.seek(header.data_offset + start_byte)
+        except (OSError, io.UnsupportedOperation):
+            _read_exact(f, start_byte)
+        raw = _read_exact(f, count * header.bytes_per_frame)
+        return _decode_frames(raw, header), header.sampling_rate
+    finally:
+        if close:
+            f.close()
+
+
+def info_wav(source: Union[str, BinaryIO]) -> WavHeader:
+    close = False
+    if isinstance(source, (str, bytes)) or hasattr(source, "__fspath__"):
+        f = open(source, "rb")
+        close = True
+    else:
+        f = source
+    try:
+        pos = None
+        if f.seekable():
+            pos = f.tell()
+        header = parse_wav_header(f)
+        if pos is not None:
+            f.seek(pos)
+        return header
+    finally:
+        if close:
+            f.close()
+
+
+def write_wav(
+    dest: Union[str, BinaryIO],
+    samples: np.ndarray,
+    sampling_rate: int,
+    subtype: str = "pcm16",
+) -> None:
+    """
+    Write samples to a WAV file. ``samples`` may be (frames,), (channels,
+    frames), or (frames, channels) — 2-D inputs with fewer rows than columns
+    are treated as channel-major, matching this library's convention.
+
+    :param subtype: "pcm16", "pcm24", "pcm32", "float32", or "float64".
+    """
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        frames = samples[:, None]
+    elif samples.shape[0] <= samples.shape[1]:
+        frames = samples.T  # (channels, frames) -> (frames, channels)
+    else:
+        frames = samples
+    num_frames, num_channels = frames.shape
+
+    if subtype == "pcm16":
+        data = (
+            np.clip(np.rint(frames.astype(np.float64) * 32768.0), -32768, 32767)
+            .astype("<i2")
+            .tobytes()
+        )
+        bits, tag = 16, WAVE_FORMAT_PCM
+    elif subtype == "pcm32":
+        data = (
+            np.clip(
+                np.rint(frames.astype(np.float64) * 2147483648.0),
+                -2147483648,
+                2147483647,
+            )
+            .astype("<i4")
+            .tobytes()
+        )
+        bits, tag = 32, WAVE_FORMAT_PCM
+    elif subtype == "pcm24":
+        x = np.clip(
+            np.rint(frames.astype(np.float64) * float(1 << 23)),
+            -(1 << 23),
+            (1 << 23) - 1,
+        ).astype(np.int32)
+        b = np.empty((x.size, 3), dtype=np.uint8)
+        flat = x.reshape(-1)
+        b[:, 0] = flat & 0xFF
+        b[:, 1] = (flat >> 8) & 0xFF
+        b[:, 2] = (flat >> 16) & 0xFF
+        data = b.tobytes()
+        bits, tag = 24, WAVE_FORMAT_PCM
+    elif subtype == "float32":
+        data = frames.astype("<f4").tobytes()
+        bits, tag = 32, WAVE_FORMAT_IEEE_FLOAT
+    elif subtype == "float64":
+        data = frames.astype("<f8").tobytes()
+        bits, tag = 64, WAVE_FORMAT_IEEE_FLOAT
+    else:
+        raise ValueError(f"Unsupported WAV subtype: {subtype}")
+
+    byte_rate = sampling_rate * num_channels * bits // 8
+    block_align = num_channels * bits // 8
+    fmt_chunk = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, tag, num_channels, sampling_rate, byte_rate, block_align, bits
+    )
+    data_hdr = struct.pack("<4sI", b"data", len(data))
+    riff_size = 4 + len(fmt_chunk) + len(data_hdr) + len(data)
+    header = struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE")
+
+    close = False
+    if isinstance(dest, (str, bytes)) or hasattr(dest, "__fspath__"):
+        f = open(dest, "wb")
+        close = True
+    else:
+        f = dest
+    try:
+        f.write(header)
+        f.write(fmt_chunk)
+        f.write(data_hdr)
+        f.write(data)
+        if len(data) & 1:
+            f.write(b"\x00")
+    finally:
+        if close:
+            f.close()

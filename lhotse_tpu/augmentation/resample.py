@@ -1,0 +1,145 @@
+"""
+Bandlimited sinc-interpolation resampler in pure numpy (host path).
+
+Implements the standard polyphase windowed-sinc resampling algorithm — the
+same math as the reference's pure-tensor resampler
+(`/root/reference/lhotse/augmentation/resample.py:186-315`, itself the
+torchaudio algorithm) so that speed-perturbed / resampled audio matches the
+reference numerically:
+
+- frequencies reduced by their gcd; one FIR filter per output phase
+  (``new_freq`` phases), each of width ``2*ceil(W*orig/base) + orig`` taps;
+- anti-aliasing cutoff ``base_freq = min(orig, new) * rolloff`` (rolloff 0.99);
+- hann-squared window ``cos(t*pi/W/2)**2`` with W = lowpass_filter_width = 6;
+- kernel computed in float64, cached as float32;
+- output phase j at block i reads input samples ``i*orig - width + k``;
+  output trimmed to ``ceil(new * len / orig)``.
+
+The batched on-device variant (same kernel, ``jax.lax.conv_general_dilated``)
+lives in :mod:`lhotse_tpu.ops.resample`.
+"""
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _sinc_resample_kernel(
+    orig_freq: int,
+    new_freq: int,
+    lowpass_filter_width: int = 6,
+    rolloff: float = 0.99,
+    beta: Optional[float] = None,
+    resampling_method: str = "sinc_interp_hann",
+) -> Tuple[np.ndarray, int]:
+    """Build the polyphase kernel (new_freq, 2*width + orig_freq) and width."""
+    assert int(orig_freq) == orig_freq and int(new_freq) == new_freq
+    gcd = math.gcd(int(orig_freq), int(new_freq))
+    orig_freq = int(orig_freq) // gcd
+    new_freq = int(new_freq) // gcd
+
+    base_freq = min(orig_freq, new_freq) * rolloff
+    width = math.ceil(lowpass_filter_width * orig_freq / base_freq)
+
+    idx = np.arange(-width, width + orig_freq, dtype=np.float64)[None, :] / orig_freq
+    t = np.arange(0, -new_freq, -1, dtype=np.float64)[:, None] / new_freq + idx
+    t *= base_freq
+    t = np.clip(t, -lowpass_filter_width, lowpass_filter_width)
+
+    if resampling_method == "sinc_interp_hann":
+        window = np.cos(t * math.pi / lowpass_filter_width / 2) ** 2
+    elif resampling_method == "sinc_interp_kaiser":
+        if beta is None:
+            beta = 14.769656459379492
+        window = np.i0(
+            beta * np.sqrt(np.maximum(1 - (t / lowpass_filter_width) ** 2, 0.0))
+        ) / np.i0(beta)
+    else:
+        raise ValueError(f"Invalid resampling method: {resampling_method}")
+
+    t *= math.pi
+    scale = base_freq / orig_freq
+    kernels = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t))
+    kernels *= window * scale
+    return kernels.astype(np.float32), width
+
+
+_KERNEL_CACHE: Dict[Tuple[int, int, int, float], Tuple[np.ndarray, int]] = {}
+
+
+def get_sinc_resample_kernel(
+    orig_freq: int, new_freq: int, lowpass_filter_width: int = 6, rolloff: float = 0.99
+) -> Tuple[np.ndarray, int]:
+    key = (int(orig_freq), int(new_freq), lowpass_filter_width, rolloff)
+    if key not in _KERNEL_CACHE:
+        _KERNEL_CACHE[key] = _sinc_resample_kernel(
+            orig_freq, new_freq, lowpass_filter_width, rolloff
+        )
+    return _KERNEL_CACHE[key]
+
+
+def resample_array(
+    waveform: np.ndarray,
+    orig_freq: int,
+    new_freq: int,
+    lowpass_filter_width: int = 6,
+    rolloff: float = 0.99,
+) -> np.ndarray:
+    """
+    Resample ``waveform`` of shape (..., time) from ``orig_freq`` to
+    ``new_freq`` with the cached polyphase sinc kernel.
+    """
+    if orig_freq == new_freq:
+        return waveform
+    gcd = math.gcd(int(orig_freq), int(new_freq))
+    o = int(orig_freq) // gcd
+    n = int(new_freq) // gcd
+    kernel, width = get_sinc_resample_kernel(
+        orig_freq, new_freq, lowpass_filter_width, rolloff
+    )
+
+    shape = waveform.shape
+    x = waveform.reshape(-1, shape[-1]).astype(np.float32, copy=False)
+    num_wavs, length = x.shape
+    x = np.pad(x, ((0, 0), (width, width + o)))
+    # Strided view: frames of size kernel_width with hop = o.
+    K = kernel.shape[1]
+    num_blocks = (x.shape[1] - K) // o + 1
+    frames = np.lib.stride_tricks.as_strided(
+        x,
+        shape=(num_wavs, num_blocks, K),
+        strides=(x.strides[0], o * x.strides[1], x.strides[1]),
+    )
+    # (B, T_blocks, K) @ (K, n_phases) -> (B, T_blocks, n_phases)
+    out = frames @ kernel.T
+    out = out.reshape(num_wavs, -1)
+    target_length = int(math.ceil(n * length / o))
+    out = out[:, :target_length]
+    return out.reshape(shape[:-1] + (target_length,))
+
+
+class SincResampler:
+    """Object API over :func:`resample_array` with a precomputed kernel,
+    mirroring the reference's cached-module pattern
+    (`augmentation/torchaudio.py:74` get_or_create_resampler)."""
+
+    def __init__(self, orig_freq: int, new_freq: int):
+        self.orig_freq = int(orig_freq)
+        self.new_freq = int(new_freq)
+        if self.orig_freq != self.new_freq:
+            get_sinc_resample_kernel(self.orig_freq, self.new_freq)
+
+    def __call__(self, waveform: np.ndarray) -> np.ndarray:
+        return resample_array(waveform, self.orig_freq, self.new_freq)
+
+
+_RESAMPLERS: Dict[Tuple[int, int], SincResampler] = {}
+
+
+def get_or_create_resampler(orig_freq: int, new_freq: int) -> SincResampler:
+    key = (int(orig_freq), int(new_freq))
+    if key not in _RESAMPLERS:
+        _RESAMPLERS[key] = SincResampler(*key)
+    return _RESAMPLERS[key]

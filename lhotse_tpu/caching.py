@@ -1,0 +1,107 @@
+"""
+Global caching toggles and an in-memory LRU cache for encoded audio bytes.
+
+Reference behavior: `/root/reference/lhotse/caching.py` — a global switch
+(`set_caching_enabled`, caching.py:15) controlling `dynamic_lru_cache`
+(caching.py:34), and `AudioCache` (caching.py:80), a ~500 MB thread-safe LRU
+of *encoded* audio keyed by URL/command string, used to avoid repeated
+downloads/subprocess decodes of the same source.
+"""
+from __future__ import annotations
+
+import threading
+from collections import OrderedDict
+from functools import lru_cache, wraps
+from typing import Any, Callable, Dict, Optional
+
+LHOTSE_CACHING_ENABLED = False
+
+# Registry of all dynamic caches, so we can clear them when caching is disabled.
+LHOTSE_DYNAMIC_CACHES: Dict[str, Any] = {}
+
+
+def set_caching_enabled(enabled: bool) -> None:
+    global LHOTSE_CACHING_ENABLED
+    assert isinstance(enabled, bool)
+    LHOTSE_CACHING_ENABLED = enabled
+    if not enabled:
+        for cache in LHOTSE_DYNAMIC_CACHES.values():
+            cache.cache_clear()
+        AudioCache.clear()
+
+
+def is_caching_enabled() -> bool:
+    return LHOTSE_CACHING_ENABLED
+
+
+def dynamic_lru_cache(method: Callable) -> Callable:
+    """
+    Least-recently-used cache decorator that is dynamically enabled/disabled
+    via the global caching switch (reference: caching.py:34).
+    """
+    name = f"{method.__module__}.{method.__qualname__}"
+    cached = lru_cache(maxsize=512)(method)
+    LHOTSE_DYNAMIC_CACHES[name] = cached
+
+    @wraps(method)
+    def wrapper(*args, **kwargs):
+        if is_caching_enabled():
+            return cached(*args, **kwargs)
+        return method(*args, **kwargs)
+
+    wrapper.cache_clear = cached.cache_clear  # type: ignore[attr-defined]
+    return wrapper
+
+
+class AudioCache:
+    """
+    In-memory LRU cache for encoded audio bytes, keyed by the source identifier
+    (URL or shell command). Capped at ``AudioCache.max_cache_memory`` bytes;
+    inserting beyond the cap evicts least-recently-used entries
+    (reference: caching.py:80-178). Thread-safe.
+    """
+
+    max_cache_memory: int = 500 * 1024 * 1024
+    __cache_dict: "OrderedDict[str, bytes]" = OrderedDict()
+    __cache_memory: int = 0
+    __lock = threading.Lock()
+
+    @classmethod
+    def enabled(cls) -> bool:
+        return is_caching_enabled()
+
+    @classmethod
+    def try_cache(cls, key: str) -> Optional[bytes]:
+        if not cls.enabled():
+            return None
+        with cls.__lock:
+            if key in cls.__cache_dict:
+                cls.__cache_dict.move_to_end(key)
+                return cls.__cache_dict[key]
+            return None
+
+    @classmethod
+    def add_to_cache(cls, key: str, value: bytes) -> None:
+        if not cls.enabled():
+            return
+        if len(value) > cls.max_cache_memory:
+            return
+        with cls.__lock:
+            if key in cls.__cache_dict:
+                cls.__cache_dict.move_to_end(key)
+                return
+            while cls.__cache_memory + len(value) > cls.max_cache_memory and cls.__cache_dict:
+                _, evicted = cls.__cache_dict.popitem(last=False)
+                cls.__cache_memory -= len(evicted)
+            cls.__cache_dict[key] = value
+            cls.__cache_memory += len(value)
+
+    @classmethod
+    def clear(cls) -> None:
+        with cls.__lock:
+            cls.__cache_dict.clear()
+            cls.__cache_memory = 0
+
+    @classmethod
+    def memory_used(cls) -> int:
+        return cls.__cache_memory

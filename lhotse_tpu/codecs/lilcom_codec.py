@@ -1,0 +1,122 @@
+"""
+Lossy float-array compression codec (the role lilcom plays in the reference).
+
+The reference stores precomputed features with the external C `lilcom` codec
+(`/root/reference/lhotse/features/io.py:253-267`, tick_power=-5 ⇒ quantization
+to integer multiples of 2^-5). That package is not available here, so this
+module provides a self-contained codec with the same API surface
+(``compress(array, tick_power=...) -> bytes`` / ``decompress(bytes) -> array``)
+and the same quantization semantics.
+
+Bitstream ("LTC1"):
+  magic  4 bytes  b"LTC1"
+  method 1 byte   0 = zlib-compressed zigzag-delta ticks
+  tickp  1 byte   int8 tick_power
+  ndim   1 byte
+  itemsz 1 byte   width of stored integers (1, 2, or 4 bytes)
+  shape  ndim * uint32 LE
+  payload: zlib(deflate) of the little-endian integer array
+           (time-axis delta coded, zigzag mapped).
+
+Round-trip error is bounded by 2^(tick_power-1), identical to lilcom's
+quantization error bound. When the real ``lilcom`` package is installed,
+``decompress`` transparently falls back to it for non-LTC1 payloads
+(so reference-produced archives remain readable), and ``compress`` can be
+pinned to it via ``LHOTSE_TPU_USE_PIP_LILCOM=1``.
+
+A C++ implementation of the same bitstream lives in ``native/lilcom``
+(built optionally; this numpy implementation is the reference).
+"""
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from typing import Optional
+
+import numpy as np
+
+from lhotse_tpu.utils import is_module_available
+
+_MAGIC = b"LTC1"
+
+
+def _use_pip_lilcom() -> bool:
+    return os.environ.get("LHOTSE_TPU_USE_PIP_LILCOM") == "1" and is_module_available(
+        "lilcom"
+    )
+
+
+def compress(data: np.ndarray, tick_power: int = -5, do_regression: bool = True) -> bytes:
+    """
+    Lossily compress a floating-point numpy array, quantizing values to
+    integer multiples of ``2^tick_power``.
+    """
+    if _use_pip_lilcom():
+        import lilcom
+
+        return lilcom.compress(data, tick_power=tick_power)
+
+    data = np.asarray(data)
+    assert np.issubdtype(data.dtype, np.floating), (
+        "This codec supports only floating-point arrays."
+    )
+    scale = float(2.0 ** (-tick_power))
+    ticks = np.rint(data.astype(np.float64) * scale)
+    np.clip(ticks, -(2**31) + 1, 2**31 - 1, out=ticks)
+    ticks = ticks.astype(np.int64)
+
+    # Delta-code along the time axis (axis 0) — features are smooth in time,
+    # so residuals are small and compress well.
+    if do_regression and data.ndim >= 1 and data.shape[0] > 1:
+        resid = np.diff(ticks, axis=0, prepend=ticks[:1] * 0)
+        resid[0] = ticks[0]
+    else:
+        resid = ticks
+    # Zigzag map to unsigned so small negatives stay small.
+    zz = (resid << 1) ^ (resid >> 63)
+    maxv = int(zz.max()) if zz.size else 0
+    if maxv < 1 << 8:
+        itemsize, dtype = 1, "<u1"
+    elif maxv < 1 << 16:
+        itemsize, dtype = 2, "<u2"
+    else:
+        itemsize, dtype = 4, "<u4"
+    payload = zlib.compress(zz.astype(dtype).tobytes(), 4)
+
+    header = _MAGIC + struct.pack(
+        "<Bbbb", 0, np.int8(tick_power), data.ndim, itemsize
+    )
+    header += struct.pack(f"<{data.ndim}I", *data.shape)
+    return header + payload
+
+
+def decompress(data: bytes, dtype: Optional[np.dtype] = None) -> np.ndarray:
+    """
+    Decompress bytes produced by :func:`compress` (or, when the optional pip
+    ``lilcom`` package is installed, by the original C lilcom).
+    """
+    if data[:4] != _MAGIC:
+        if is_module_available("lilcom"):
+            import lilcom
+
+            out = lilcom.decompress(data)
+            return out.astype(dtype) if dtype is not None else out
+        raise ValueError(
+            "Unrecognized compressed payload: not an LTC1 stream, and the "
+            "'lilcom' package is not installed to try decoding legacy data."
+        )
+    method, tick_power, ndim, itemsize = struct.unpack("<Bbbb", data[4:8])
+    if method != 0:
+        raise ValueError(f"Unsupported LTC1 method: {method}")
+    shape = struct.unpack(f"<{ndim}I", data[8 : 8 + 4 * ndim])
+    payload = zlib.decompress(data[8 + 4 * ndim :])
+    dt = {1: "<u1", 2: "<u2", 4: "<u4"}[itemsize]
+    zz = np.frombuffer(payload, dtype=dt).astype(np.int64).reshape(shape)
+    resid = (zz >> 1) ^ -(zz & 1)
+    if ndim >= 1 and shape[0] > 1:
+        ticks = np.cumsum(resid, axis=0)
+    else:
+        ticks = resid
+    out = ticks.astype(np.float64) * (2.0**tick_power)
+    return out.astype(dtype if dtype is not None else np.float32)

@@ -1,0 +1,1007 @@
+"""
+Feature/array storage backends keyed by ``storage_type`` strings.
+
+Reference behavior: `/root/reference/lhotse/features/io.py` — registry
+(:288-338), ``FeaturesWriter.store_array`` (:75), ``FileIO`` helper (:340),
+backends: ``lilcom_files``, ``numpy_files``, ``numpy_hdf5``, ``lilcom_hdf5``,
+``chunked_lilcom_hdf5``, ``lilcom_chunky`` (flat binary ``.lca`` with
+comma-separated chunk offsets as the key and partial reads per chunk,
+io.py:914-1060), ``lilcom_url``, ``kaldiio`` (optional), in-memory
+``memory_lilcom``/``memory_raw``/``memory_npy``, and shar readers
+(``SharPtrArrayReader`` io.py:1403, ``DummySharReader`` :1436). Env override:
+``LHOTSE_FEATURES_STORAGE_BACKEND``.
+
+The compression codec is the in-repo LTC1 codec (:mod:`lhotse_tpu.codecs`),
+with transparent read fallback to the pip ``lilcom`` package when present.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+from abc import ABCMeta, abstractmethod
+from contextlib import contextmanager
+from functools import lru_cache
+from io import BytesIO
+from itertools import pairwise
+from math import ceil, floor
+from pathlib import Path
+from typing import Dict, Generator, List, NamedTuple, Optional, Type, Union
+
+import numpy as np
+
+from lhotse_tpu.array import Array, TemporalArray
+from lhotse_tpu.caching import dynamic_lru_cache
+from lhotse_tpu.codecs import compress as ltc_compress
+from lhotse_tpu.codecs import decompress as ltc_decompress
+from lhotse_tpu.serialization import open_best
+from lhotse_tpu.utils import Pathlike, Seconds, is_module_available, is_valid_url
+
+
+class FeaturesWriter(metaclass=ABCMeta):
+    """
+    Interface for storing numpy arrays in a storage backend (files, archives,
+    memory, object stores). Subclasses define ``name``, ``storage_path``, and
+    ``write(key, value) -> storage_key``. Usable as a context manager.
+    """
+
+    @property
+    @abstractmethod
+    def name(self) -> str:
+        ...
+
+    @property
+    @abstractmethod
+    def storage_path(self) -> str:
+        ...
+
+    @abstractmethod
+    def write(self, key: str, value: np.ndarray) -> str:
+        ...
+
+    def store_array(
+        self,
+        key: str,
+        value: np.ndarray,
+        frame_shift: Optional[Seconds] = None,
+        temporal_dim: Optional[int] = None,
+        start: Seconds = 0,
+    ) -> Union[Array, TemporalArray]:
+        """
+        Store a numpy array and return an :class:`Array` (or
+        :class:`TemporalArray` when frame_shift/temporal_dim are given)
+        manifest describing how to retrieve it.
+        """
+        is_temporal = frame_shift is not None and temporal_dim is not None
+        if not is_temporal:
+            assert all(arg is None for arg in [frame_shift, temporal_dim]), (
+                "frame_shift and temporal_dim have to be both None or both set "
+                f"(got frame_shift={frame_shift}, temporal_dim={temporal_dim})."
+            )
+        storage_key = self.write(key, value)
+        array = Array(
+            storage_type=self.name,
+            storage_path=self.storage_path,
+            storage_key=storage_key,
+            shape=list(value.shape),
+        )
+        if not is_temporal:
+            return array
+        return TemporalArray(
+            array=array, temporal_dim=temporal_dim, frame_shift=frame_shift, start=start
+        )
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args, **kwargs):
+        ...
+
+
+class FeaturesReader(metaclass=ABCMeta):
+    """
+    Interface for loading numpy arrays from a storage backend: ``read(key,
+    left_offset_frames, right_offset_frames)`` with the time dim first.
+    """
+
+    @property
+    @abstractmethod
+    def name(self) -> str:
+        ...
+
+    @abstractmethod
+    def read(
+        self,
+        key: str,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        ...
+
+
+READER_BACKENDS: Dict[str, Type[FeaturesReader]] = {}
+WRITER_BACKENDS: Dict[str, Type[FeaturesWriter]] = {}
+
+HDF5_STORAGE_BACKENDS = {"chunked_lilcom_hdf5", "lilcom_hdf5", "numpy_hdf5"}
+KALDI_NATIVE_IO_STORAGE_BACKENDS = {"kaldiio"}
+
+
+class StorageBackendInfo(NamedTuple):
+    name: str
+    available: bool
+    install_hint: Optional[str] = None
+
+
+def _missing_packages_for_storage_backend(backend: str) -> List[str]:
+    missing = []
+    if backend in HDF5_STORAGE_BACKENDS and not is_module_available("h5py"):
+        missing.append("h5py")
+    if backend in KALDI_NATIVE_IO_STORAGE_BACKENDS and not is_module_available(
+        "kaldi_native_io"
+    ):
+        missing.append("kaldi_native_io")
+    return missing
+
+
+def available_storage_backends() -> List[str]:
+    return [
+        backend
+        for backend in sorted(set(READER_BACKENDS).intersection(WRITER_BACKENDS))
+        if not _missing_packages_for_storage_backend(backend)
+    ]
+
+
+def storage_backend_statuses() -> List[StorageBackendInfo]:
+    backends = sorted(set(READER_BACKENDS).intersection(WRITER_BACKENDS))
+    out = []
+    for backend in backends:
+        missing = _missing_packages_for_storage_backend(backend)
+        out.append(
+            StorageBackendInfo(
+                name=backend,
+                available=not missing,
+                install_hint=None if not missing else f"pip install {' '.join(missing)}",
+            )
+        )
+    return out
+
+
+def default_features_storage_backend_name() -> str:
+    maybe_backend = os.environ.get(
+        "LHOTSE_TPU_FEATURES_STORAGE_BACKEND"
+    ) or os.environ.get("LHOTSE_FEATURES_STORAGE_BACKEND")
+    if maybe_backend is not None:
+        available = available_storage_backends()
+        assert maybe_backend in available, (
+            f"The requested default feature storage backend {maybe_backend!r} is "
+            f"unavailable. Available choices: {available}"
+        )
+        return maybe_backend
+    return "lilcom_chunky"
+
+
+def default_features_storage_backend() -> Type["FeaturesWriter"]:
+    writer = get_writer(default_features_storage_backend_name())
+    assert writer is not None
+    return writer
+
+
+def register_reader(cls):
+    READER_BACKENDS[cls.name] = cls
+    return cls
+
+
+def register_writer(cls):
+    WRITER_BACKENDS[cls.name] = cls
+    return cls
+
+
+def get_reader(name: str) -> Type[FeaturesReader]:
+    if name not in READER_BACKENDS:
+        raise KeyError(
+            f"Unknown feature storage backend: '{name}'. "
+            f"Available readers: {sorted(READER_BACKENDS)}"
+        )
+    return READER_BACKENDS[name]
+
+
+def get_writer(name: str) -> Type[FeaturesWriter]:
+    if name not in WRITER_BACKENDS:
+        raise KeyError(
+            f"Unknown feature storage backend: '{name}'. "
+            f"Available writers: {sorted(WRITER_BACKENDS)}"
+        )
+    return WRITER_BACKENDS[name]
+
+
+def is_in_memory(storage_type: str) -> bool:
+    return "memory" in storage_type
+
+
+def get_memory_writer(name: str):
+    assert "memory" in name
+    return get_writer(name)
+
+
+class FileIO:
+    """
+    Open per-key file objects in a directory on local disk or under a URL
+    prefix (reference: io.py:340). With ``add_subdir=True``, local writes go
+    into a 3-letter-prefix subdirectory to avoid giant flat directories.
+    """
+
+    def __init__(self, storage_path: Pathlike):
+        self.storage_path = str(storage_path)
+        self.is_url = is_valid_url(storage_path)
+        if self.is_url and self.storage_path.endswith("/"):
+            self.storage_path = self.storage_path[:-1]
+
+    @contextmanager
+    def open_fileobj(
+        self, key: str, mode: str, add_subdir: bool = False
+    ) -> Generator[tuple, None, None]:
+        assert not ("r" in mode and "w" in mode)
+        if "r" in mode:
+            if key.startswith("/") and len(self.storage_path) > 0:
+                key = key[1:]
+            input_path = f"{self.storage_path}/{key}"
+            with open_best(input_path, "rb") as f:
+                yield f, input_path
+        elif "w" in mode:
+            if self.is_url:
+                if key.startswith("/"):
+                    key = key[1:]
+                output_path = f"{self.storage_path}/{key}"
+            else:
+                p = Path(self.storage_path)
+                p.mkdir(exist_ok=True, parents=True)
+                if add_subdir:
+                    subdir = p / key[:3]
+                    subdir.mkdir(exist_ok=True)
+                    output_path = subdir / key
+                else:
+                    output_path = p / key
+            with open_best(output_path, "wb") as f:
+                yield f, output_path
+        else:
+            raise ValueError(f"Unsupported file mode (missing r or w): '{mode}'")
+
+
+#################################################
+# Compressed per-file storage
+#################################################
+
+
+@register_reader
+class LilcomFilesReader(FeaturesReader):
+    """Reads compressed ``.llc`` files from a directory or object store."""
+
+    name = "lilcom_files"
+
+    def __init__(self, storage_path: Pathlike, *args, **kwargs):
+        self.io = FileIO(storage_path)
+
+    @dynamic_lru_cache
+    def read(
+        self,
+        key: str,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        with self.io.open_fileobj(key, mode="r") as (f, _):
+            arr = ltc_decompress(f.read())
+        return arr[left_offset_frames:right_offset_frames]
+
+
+@register_writer
+class LilcomFilesWriter(FeaturesWriter):
+    """Writes compressed ``.llc`` files into a directory or object store."""
+
+    name = "lilcom_files"
+
+    def __init__(self, storage_path: Pathlike, tick_power: int = -5, *args, **kwargs):
+        self.io = FileIO(storage_path)
+        self.tick_power = tick_power
+
+    @property
+    def storage_path(self) -> str:
+        return self.io.storage_path
+
+    def write(self, key: str, value: np.ndarray) -> str:
+        if not key.endswith(".llc"):
+            key = key + ".llc"
+        serialized = ltc_compress(value, tick_power=self.tick_power)
+        with self.io.open_fileobj(key, "w", add_subdir=True) as (f, output_path):
+            f.write(serialized)
+            if not self.io.is_url:
+                key = "/".join(Path(output_path).parts[-2:])
+        return key
+
+
+#################################################
+# Non-compressed per-file numpy storage
+#################################################
+
+
+@register_reader
+class NumpyFilesReader(FeaturesReader):
+    """Reads plain ``.npy`` files from a directory or object store."""
+
+    name = "numpy_files"
+
+    def __init__(self, storage_path: Pathlike, *args, **kwargs):
+        self.io = FileIO(storage_path)
+
+    @dynamic_lru_cache
+    def read(
+        self,
+        key: str,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        with self.io.open_fileobj(key, mode="r") as (f, _):
+            arr = np.load(f, allow_pickle=False)
+        return arr[left_offset_frames:right_offset_frames]
+
+
+@register_writer
+class NumpyFilesWriter(FeaturesWriter):
+    """Writes plain ``.npy`` files into a directory or object store."""
+
+    name = "numpy_files"
+
+    def __init__(self, storage_path: Pathlike, *args, **kwargs):
+        self.io = FileIO(storage_path)
+
+    @property
+    def storage_path(self) -> str:
+        return self.io.storage_path
+
+    def write(self, key: str, value: np.ndarray) -> str:
+        if not key.endswith(".npy"):
+            key = key + ".npy"
+        with self.io.open_fileobj(key, "w", add_subdir=True) as (f, output_path):
+            np.save(f, value, allow_pickle=False)
+            if not self.io.is_url:
+                key = "/".join(Path(output_path).parts[-2:])
+        return key
+
+
+#################################################
+# HDF5 storage
+#################################################
+
+
+def check_h5py_installed():
+    if not is_module_available("h5py"):
+        raise ValueError(
+            "To read and write HDF5 file formats, please 'pip install h5py' first."
+        )
+
+
+@lru_cache(maxsize=None)
+def lookup_cache_or_open(storage_path: str):
+    """Global cache of open HDF5 read handles (freed via
+    :func:`close_cached_file_handles`)."""
+    check_h5py_installed()
+    import h5py
+
+    return h5py.File(storage_path, "r")
+
+
+def close_cached_file_handles() -> None:
+    lookup_cache_or_open.cache_clear()
+
+
+@register_reader
+class NumpyHdf5Reader(FeaturesReader):
+    """Reads numpy arrays from a flat-layout HDF5 file (one dataset per key)."""
+
+    name = "numpy_hdf5"
+
+    def __init__(self, storage_path: Pathlike, *args, **kwargs):
+        self.hdf = lookup_cache_or_open(str(storage_path))
+
+    def read(
+        self,
+        key: str,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        return self.hdf[key][left_offset_frames:right_offset_frames]
+
+
+@register_writer
+class NumpyHdf5Writer(FeaturesWriter):
+    """Writes numpy arrays to a flat-layout HDF5 file (one dataset per key)."""
+
+    name = "numpy_hdf5"
+
+    def __init__(self, storage_path: Pathlike, mode: str = "w", *args, **kwargs):
+        check_h5py_installed()
+        import h5py
+
+        p = Path(storage_path)
+        self.storage_path_ = p if p.suffix == ".h5" else p.with_suffix(p.suffix + ".h5")
+        self.hdf = h5py.File(self.storage_path, mode=mode)
+
+    @property
+    def storage_path(self) -> str:
+        return str(self.storage_path_)
+
+    def write(self, key: str, value: np.ndarray) -> str:
+        self.hdf.create_dataset(key, data=value)
+        return key
+
+    def close(self) -> None:
+        return self.hdf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.close()
+
+
+@register_reader
+class LilcomHdf5Reader(FeaturesReader):
+    """Reads whole-matrix compressed blobs from an HDF5 file."""
+
+    name = "lilcom_hdf5"
+
+    def __init__(self, storage_path: Pathlike, *args, **kwargs):
+        self.hdf = lookup_cache_or_open(str(storage_path))
+
+    @dynamic_lru_cache
+    def read(
+        self,
+        key: str,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        arr = ltc_decompress(self.hdf[key][()].tobytes())
+        return arr[left_offset_frames:right_offset_frames]
+
+
+@register_writer
+class LilcomHdf5Writer(FeaturesWriter):
+    """Writes whole-matrix compressed blobs to an HDF5 file."""
+
+    name = "lilcom_hdf5"
+
+    def __init__(
+        self, storage_path: Pathlike, tick_power: int = -5, mode: str = "w", *args, **kwargs
+    ):
+        check_h5py_installed()
+        import h5py
+
+        p = Path(storage_path)
+        self.storage_path_ = p if p.suffix == ".h5" else p.with_suffix(p.suffix + ".h5")
+        self.hdf = h5py.File(self.storage_path, mode=mode)
+        self.tick_power = tick_power
+
+    @property
+    def storage_path(self) -> str:
+        return str(self.storage_path_)
+
+    def write(self, key: str, value: np.ndarray) -> str:
+        serialized = ltc_compress(value, tick_power=self.tick_power)
+        self.hdf.create_dataset(key, data=np.void(serialized))
+        return key
+
+    def close(self) -> None:
+        return self.hdf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.close()
+
+
+CHUNK_SIZE_KEY = "lhotse-chunk-size"
+HDF5_CHUNK_SIZE = 100
+
+
+@register_reader
+class ChunkedLilcomHdf5Reader(FeaturesReader):
+    """
+    Reads compressed chunks from an HDF5 file where each key maps to a group
+    of per-chunk blobs; only the chunks covering the requested frame range are
+    decoded (reference: io.py chunked_lilcom_hdf5).
+    """
+
+    name = "chunked_lilcom_hdf5"
+    CHUNK_SIZE = HDF5_CHUNK_SIZE
+
+    def __init__(self, storage_path: Pathlike, *args, **kwargs):
+        self.hdf = lookup_cache_or_open(str(storage_path))
+
+    @dynamic_lru_cache
+    def read(
+        self,
+        key: str,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        left_chunk_idx = floor(left_offset_frames / self.CHUNK_SIZE)
+        if right_offset_frames is not None:
+            right_chunk_idx = ceil(right_offset_frames / self.CHUNK_SIZE)
+        else:
+            right_chunk_idx = None
+        group = self.hdf[key]
+        num_chunks = len(group)
+        sel = range(num_chunks)[left_chunk_idx:right_chunk_idx]
+        decoded = [ltc_decompress(group[str(i)][()].tobytes()) for i in sel]
+        arr = np.concatenate(decoded, axis=0) if decoded else np.array([])
+        shift = self.CHUNK_SIZE * left_chunk_idx
+        right = right_offset_frames - shift if right_offset_frames is not None else None
+        return arr[left_offset_frames - shift : right]
+
+
+@register_writer
+class ChunkedLilcomHdf5Writer(FeaturesWriter):
+    """Writes per-chunk compressed blobs to an HDF5 file."""
+
+    name = "chunked_lilcom_hdf5"
+    CHUNK_SIZE = HDF5_CHUNK_SIZE
+
+    def __init__(
+        self, storage_path: Pathlike, tick_power: int = -5, mode: str = "w", *args, **kwargs
+    ):
+        check_h5py_installed()
+        import h5py
+
+        p = Path(storage_path)
+        self.storage_path_ = p if p.suffix == ".h5" else p.with_suffix(p.suffix + ".h5")
+        self.hdf = h5py.File(self.storage_path, mode=mode)
+        self.hdf.create_dataset(CHUNK_SIZE_KEY, data=self.CHUNK_SIZE)
+        self.tick_power = tick_power
+
+    @property
+    def storage_path(self) -> str:
+        return str(self.storage_path_)
+
+    def write(self, key: str, value: np.ndarray) -> str:
+        from lhotse_tpu.features.compression import lilcom_compress_chunked
+
+        chunks = lilcom_compress_chunked(
+            value, tick_power=self.tick_power, chunk_size=self.CHUNK_SIZE
+        )
+        group = self.hdf.create_group(key)
+        for i, chunk in enumerate(chunks):
+            group.create_dataset(str(i), data=np.void(chunk))
+        return key
+
+    def close(self) -> None:
+        return self.hdf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.close()
+
+
+#################################################
+# Flat-binary chunky storage (".lca" — the primary format)
+#################################################
+
+CHUNKY_FORMAT_CHUNK_SIZE = 500
+
+
+@register_reader
+class LilcomChunkyReader(FeaturesReader):
+    """
+    Reads compressed chunks from a flat binary ``.lca`` file. The key is a
+    comma-separated offsets list: the first number is the absolute offset of
+    the array, the rest are per-chunk sizes (relative offsets). Only the
+    chunks covering the requested frame range are read and decoded
+    (reference: io.py:914-980).
+    """
+
+    name = "lilcom_chunky"
+    CHUNK_SIZE = CHUNKY_FORMAT_CHUNK_SIZE
+
+    def __init__(self, storage_path: Pathlike, *args, **kwargs):
+        self.storage_path = storage_path
+
+    @dynamic_lru_cache
+    def read(
+        self,
+        key: str,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        left_chunk_idx = floor(left_offset_frames / self.CHUNK_SIZE)
+        if right_offset_frames is not None:
+            # +1 to include the end of the last chunk.
+            right_chunk_idx = ceil(right_offset_frames / self.CHUNK_SIZE) + 1
+        else:
+            right_chunk_idx = None
+
+        chunk_offsets = np.cumsum(list(map(int, key.split(","))))
+        chunk_offsets = chunk_offsets[left_chunk_idx:right_chunk_idx]
+
+        chunk_data = []
+        with open(self.storage_path, "rb") as file:
+            for offset, end in pairwise(chunk_offsets):
+                file.seek(offset)
+                chunk_data.append(file.read(end - offset))
+
+        decompressed = [ltc_decompress(data) for data in chunk_data]
+        arr = np.concatenate(decompressed, axis=0) if decompressed else np.array([])
+
+        shift = self.CHUNK_SIZE * left_chunk_idx
+        right = right_offset_frames - shift if right_offset_frames is not None else None
+        return arr[left_offset_frames - shift : right]
+
+
+@register_writer
+class LilcomChunkyWriter(FeaturesWriter):
+    """
+    Writes compressed chunks to a flat binary ``.lca`` ("chunky archive")
+    file, appending sequentially; keys encode absolute + relative offsets
+    (reference: io.py:982-1060).
+    """
+
+    name = "lilcom_chunky"
+    CHUNK_SIZE = CHUNKY_FORMAT_CHUNK_SIZE
+
+    def __init__(
+        self,
+        storage_path: Pathlike,
+        tick_power: int = -5,
+        mode: str = "wb",
+        *args,
+        **kwargs,
+    ):
+        if "b" not in mode:
+            mode = mode + "b"
+        assert mode in ("wb", "ab")
+        p = Path(storage_path)
+        self.storage_path_ = p.with_suffix(
+            p.suffix + ".lca" if p.suffix != ".lca" else ".lca"
+        )
+        self.tick_power = tick_power
+        self.file = open(self.storage_path, mode=mode)
+        self.curr_offset = self.file.tell()
+
+    @property
+    def storage_path(self) -> str:
+        return str(self.storage_path_)
+
+    def write(self, key: str, value: np.ndarray) -> str:
+        from lhotse_tpu.features.compression import lilcom_compress_chunked
+
+        serialized_feats = lilcom_compress_chunked(
+            value, tick_power=self.tick_power, chunk_size=self.CHUNK_SIZE
+        )
+        offsets = [self.curr_offset]
+        for feat in serialized_feats:
+            nbytes = self.file.write(feat)
+            offsets.append(nbytes)
+            self.curr_offset += nbytes
+        return ",".join(map(str, offsets))
+
+    def close(self) -> None:
+        self.file.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.close()
+
+
+#################################################
+# URL storage
+#################################################
+
+
+@register_reader
+class LilcomURLReader(FeaturesReader):
+    """Downloads compressed files from a URL root (requires smart_open)."""
+
+    name = "lilcom_url"
+
+    def __init__(self, *args, **kwargs):
+        self._inner = LilcomFilesReader(*args, **kwargs)
+
+    @dynamic_lru_cache
+    def read(
+        self,
+        key: str,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        return self._inner.read(key, left_offset_frames, right_offset_frames)
+
+
+@register_writer
+class LilcomURLWriter(FeaturesWriter):
+    """Uploads compressed files to a URL root (requires smart_open)."""
+
+    name = "lilcom_url"
+
+    def __init__(self, *args, **kwargs):
+        self._inner = LilcomFilesWriter(*args, **kwargs)
+
+    @property
+    def storage_path(self) -> str:
+        return self._inner.storage_path
+
+    def write(self, key: str, value: np.ndarray) -> str:
+        return self._inner.write(key, value)
+
+
+#################################################
+# Kaldi scp/ark storage (optional)
+#################################################
+
+
+def check_kaldi_native_io_installed():
+    if not is_module_available("kaldi_native_io"):
+        raise ValueError(
+            "To read Kaldi feats.scp, please 'pip install kaldi_native_io' first."
+        )
+
+
+@lru_cache(maxsize=None)
+def lookup_reader_cache_or_open(storage_path: str):
+    check_kaldi_native_io_installed()
+    import kaldi_native_io
+
+    return kaldi_native_io.RandomAccessFloatMatrixReader(f"scp:{storage_path}")
+
+
+@register_reader
+class KaldiReader(FeaturesReader):
+    """Reads Kaldi's feats.scp via kaldi_native_io (optional dependency)."""
+
+    name = "kaldiio"
+
+    def __init__(self, storage_path: Pathlike, *args, **kwargs):
+        check_kaldi_native_io_installed()
+        self.storage_path = storage_path
+        self.storage = lookup_reader_cache_or_open(str(storage_path))
+
+    def read(
+        self,
+        key: str,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        arr = np.copy(self.storage[key])
+        return arr[left_offset_frames:right_offset_frames]
+
+
+@register_writer
+class KaldiWriter(FeaturesWriter):
+    """Writes Kaldi scp/ark pairs via kaldi_native_io (optional dependency)."""
+
+    name = "kaldiio"
+
+    def __init__(
+        self, storage_path: Pathlike, compression_method: int = 1, *args, **kwargs
+    ):
+        check_kaldi_native_io_installed()
+        import kaldi_native_io
+
+        self.storage_dir = Path(storage_path)
+        self.storage_dir.mkdir(parents=True, exist_ok=True)
+        self.storage_path_ = str(self.storage_dir / "feats.scp")
+        self.writer = kaldi_native_io.CompressedMatrixWriter(
+            f"ark,scp:{self.storage_dir}/feats.ark,{self.storage_dir}/feats.scp"
+        )
+        self.compression_method = kaldi_native_io.CompressionMethod(compression_method)
+
+    @property
+    def storage_path(self) -> str:
+        return self.storage_path_
+
+    def write(self, key: str, value: np.ndarray) -> str:
+        self.writer.write(key, value, self.compression_method)
+        return key
+
+    def close(self) -> None:
+        self.writer.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.close()
+
+
+#################################################
+# In-memory storage
+#################################################
+
+
+@register_reader
+class MemoryLilcomReader(FeaturesReader):
+    """Decompresses a compressed blob attached to the manifest."""
+
+    name = "memory_lilcom"
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    @dynamic_lru_cache
+    def read(
+        self,
+        raw_data: bytes,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        arr = ltc_decompress(raw_data)
+        return arr[left_offset_frames:right_offset_frames]
+
+
+@register_writer
+class MemoryLilcomWriter(FeaturesWriter):
+    """Compresses arrays into blobs attached to the manifest."""
+
+    name = "memory_lilcom"
+
+    def __init__(self, *args, lilcom_tick_power: int = -5, **kwargs) -> None:
+        self.lilcom_tick_power = lilcom_tick_power
+
+    @property
+    def storage_path(self) -> None:
+        return None
+
+    def write(self, key: str, value: np.ndarray) -> bytes:
+        assert np.issubdtype(value.dtype, np.floating), (
+            "Lossy compression supports only floating-point arrays."
+        )
+        return ltc_compress(value, tick_power=self.lilcom_tick_power)
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        pass
+
+
+@register_reader
+class MemoryRawReader(FeaturesReader):
+    """Unpickles an array blob attached to the manifest."""
+
+    name = "memory_raw"
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    @dynamic_lru_cache
+    def read(
+        self,
+        raw_data: bytes,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        arr = pickle.loads(raw_data)
+        return arr[left_offset_frames:right_offset_frames]
+
+
+@register_writer
+class MemoryRawWriter(FeaturesWriter):
+    """Pickles arrays into blobs attached to the manifest."""
+
+    name = "memory_raw"
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    @property
+    def storage_path(self) -> None:
+        return None
+
+    def write(self, key: str, value: np.ndarray) -> bytes:
+        return pickle.dumps(value)
+
+    def close(self) -> None:
+        pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        pass
+
+
+@register_reader
+class MemoryNpyReader(FeaturesReader):
+    """Reads NPY-format bytes attached to the manifest."""
+
+    name = "memory_npy"
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    @dynamic_lru_cache
+    def read(
+        self,
+        raw_data: bytes,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        arr = np.load(BytesIO(raw_data))
+        return arr[left_offset_frames:right_offset_frames]
+
+
+@register_writer
+class MemoryNpyWriter(FeaturesWriter):
+    """Writes NPY-format bytes attached to the manifest."""
+
+    name = "memory_npy"
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    @property
+    def storage_path(self) -> None:
+        return None
+
+    def write(self, key: str, value: np.ndarray) -> bytes:
+        stream = BytesIO()
+        np.save(stream, value, allow_pickle=False)
+        return stream.getvalue()
+
+    def close(self) -> None:
+        pass
+
+
+#################################################
+# Shar pointer readers
+#################################################
+
+
+@register_reader
+class SharPtrArrayReader(FeaturesReader):
+    """
+    Reads Array/Features payloads referenced via a Shar lazy pointer
+    (``<tar_path>?o=<offset>&e=<end_offset>``); the format (NPY vs compressed)
+    is dispatched from the payload's magic bytes (reference: io.py:1403).
+    """
+
+    name = "shar_ptr_array"
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    @dynamic_lru_cache
+    def read(
+        self,
+        key: str,
+        left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None,
+    ) -> np.ndarray:
+        from lhotse_tpu.shar.lazy_pointer import read_payload
+
+        payload = read_payload(key)
+        if payload[:6] == b"\x93NUMPY":
+            arr = np.load(BytesIO(payload), allow_pickle=False)
+        else:
+            arr = ltc_decompress(payload)
+        return arr[left_offset_frames:right_offset_frames]
+
+
+@register_reader
+class DummySharReader(FeaturesReader):
+    """Placeholder reader for 'shar' storage type: always raises, pointing the
+    user at the missing Shar attachment step (reference: io.py:1436)."""
+
+    name = "shar"
+
+    def __init__(self, *args, **kwargs):
+        pass
+
+    def read(self, *args, **kwargs):
+        raise RuntimeError(
+            "Inconsistent state: found a Shar placeholder manifest that was not "
+            "filled with actual data during deserialization."
+        )

@@ -1,0 +1,717 @@
+"""
+Manifest (de)serialization and pluggable I/O backends.
+
+Mirrors the behavior of the reference serialization layer
+(`/root/reference/lhotse/serialization.py`): JSON/JSONL/YAML with optional
+gzip, extension-based type resolution, ``Serializable`` mixin, item-level
+polymorphic decode (`deserialize_item`, serialization.py:656), and a pluggable
+``IOBackend`` registry (serialization.py:759) with env-var override.
+
+Manifest JSONL lines are written with ``json.dumps(..., ensure_ascii=False)``
+and dataclass-field key order, which makes the output bitwise-identical with
+reference-produced manifests for the same data.
+"""
+from __future__ import annotations
+
+import gzip
+import io
+import itertools
+import json
+import os
+import sys
+import warnings
+from pathlib import Path
+from typing import Any, Callable, Dict, Generator, Iterable, List, Optional, Type, Union
+
+from lhotse_tpu.utils import Pathlike, Pipe, SmartOpen, is_module_available, is_valid_url
+
+# Manifest is a union of all Set types; kept as Any to avoid import cycles.
+Manifest = Any
+
+decode_json_line = json.loads
+
+
+#################################################
+# Pluggable I/O backends ("open_best")
+#################################################
+
+
+class IOBackend:
+    """
+    Base class for pluggable strategies of opening files/streams for reading
+    and writing (reference: serialization.py:759). Subclasses register
+    themselves by name; ``get_default_io_backend()`` builds a composite
+    fallback chain, overridable via env var ``LHOTSE_TPU_IO_BACKEND``
+    (``LHOTSE_IO_BACKEND`` is honored for compatibility).
+    """
+
+    KNOWN_BACKENDS: Dict[str, Type["IOBackend"]] = {}
+
+    def __init_subclass__(cls, **kwargs):
+        if cls.__name__ not in IOBackend.KNOWN_BACKENDS:
+            IOBackend.KNOWN_BACKENDS[cls.__name__] = cls
+        super().__init_subclass__(**kwargs)
+
+    def open(self, identifier: str, mode: str):
+        raise NotImplementedError()
+
+    def is_applicable(self, identifier: str) -> bool:
+        return True
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return True
+
+    @classmethod
+    def new(cls, name: str) -> "IOBackend":
+        return cls.KNOWN_BACKENDS[name]()
+
+
+class RedirectIOBackend(IOBackend):
+    """Maps path '-' to stdin/stdout (reference: serialization.py:820)."""
+
+    def open(self, identifier: str, mode: str):
+        if mode.startswith("r"):
+            stream = sys.stdin if "b" not in mode else sys.stdin.buffer
+        else:
+            stream = sys.stdout if "b" not in mode else sys.stdout.buffer
+        return StdStreamWrapper(stream)
+
+    def is_applicable(self, identifier: str) -> bool:
+        return str(identifier) == "-"
+
+
+class PipeIOBackend(IOBackend):
+    """Open 'pipe:<cmd>' identifiers as subprocess pipes (reference: serialization.py:838)."""
+
+    def open(self, identifier: str, mode: str):
+        return Pipe(str(identifier)[5:], mode=mode, shell=True)
+
+    def is_applicable(self, identifier: str) -> bool:
+        return str(identifier).startswith("pipe:")
+
+
+class GzipIOBackend(IOBackend):
+    """Open .gz files with transparent (de)compression (reference: serialization.py:855)."""
+
+    def open(self, identifier: str, mode: str):
+        if "t" not in mode and "b" not in mode:
+            # Default to text mode for gzip like the reference does.
+            mode = mode + "t"
+        # compresslevel chosen to match gzip CLI default used by the reference tools.
+        if mode.startswith("w") or mode.startswith("a"):
+            return gzip.open(identifier, mode, compresslevel=6, encoding=None if "b" in mode else "utf-8")
+        return gzip.open(identifier, mode, encoding=None if "b" in mode else "utf-8")
+
+    def is_applicable(self, identifier: str) -> bool:
+        return str(identifier).endswith(".gz")
+
+
+class BuiltinIOBackend(IOBackend):
+    """Plain builtin ``open``."""
+
+    def open(self, identifier: str, mode: str):
+        return open(identifier, mode)
+
+    def is_applicable(self, identifier: str) -> bool:
+        return not is_valid_url(str(identifier))
+
+
+class SmartOpenIOBackend(IOBackend):
+    """URLs/S3/GCS via the optional ``smart_open`` package (reference: serialization.py:887)."""
+
+    def open(self, identifier: str, mode: str):
+        return SmartOpen.open(identifier, mode)
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return is_module_available("smart_open")
+
+    def is_applicable(self, identifier: str) -> bool:
+        return is_valid_url(str(identifier))
+
+
+class CompositeIOBackend(IOBackend):
+    """
+    Composite backend trying its children in order for the first applicable one
+    (reference: serialization.py:1093).
+    """
+
+    def __init__(self, backends: List[IOBackend]):
+        self.backends = backends
+
+    def open(self, identifier: str, mode: str):
+        for b in self.backends:
+            if b.is_applicable(identifier):
+                return b.open(identifier, mode)
+        raise RuntimeError(f"Couldn't find any applicable IOBackend for: {identifier}")
+
+    def is_applicable(self, identifier: str) -> bool:
+        return any(b.is_applicable(identifier) for b in self.backends)
+
+
+CURRENT_IO_BACKEND: Optional[IOBackend] = None
+
+
+def available_io_backends() -> List[str]:
+    return sorted(
+        name for name, b in IOBackend.KNOWN_BACKENDS.items() if b.is_available()
+    )
+
+
+def set_current_io_backend(backend: Union[str, IOBackend]) -> None:
+    global CURRENT_IO_BACKEND
+    if isinstance(backend, str):
+        backend = IOBackend.new(backend)
+    CURRENT_IO_BACKEND = backend
+
+
+def get_current_io_backend() -> IOBackend:
+    if CURRENT_IO_BACKEND is not None:
+        return CURRENT_IO_BACKEND
+    env = os.environ.get("LHOTSE_TPU_IO_BACKEND") or os.environ.get("LHOTSE_IO_BACKEND")
+    if env:
+        return IOBackend.new(env)
+    return get_default_io_backend()
+
+
+def get_default_io_backend() -> IOBackend:
+    """Composite fallback chain (reference: serialization.py:1157)."""
+    backends = [
+        RedirectIOBackend(),
+        PipeIOBackend(),
+    ]
+    if SmartOpenIOBackend.is_available():
+        backends.append(SmartOpenIOBackend())
+    backends += [
+        GzipIOBackend(),
+        BuiltinIOBackend(),
+    ]
+    return CompositeIOBackend(backends)
+
+
+class io_backend:
+    """Context manager temporarily overriding the current I/O backend."""
+
+    def __init__(self, backend: Union[str, IOBackend]):
+        self.backend = backend
+        self.prev = None
+
+    def __enter__(self):
+        global CURRENT_IO_BACKEND
+        self.prev = CURRENT_IO_BACKEND
+        set_current_io_backend(self.backend)
+        return self
+
+    def __exit__(self, *exc):
+        global CURRENT_IO_BACKEND
+        CURRENT_IO_BACKEND = self.prev
+
+
+def open_best(path: Pathlike, mode: str = "r"):
+    """
+    Open a path/identifier with the most appropriate strategy
+    (reference: serialization.py:31): stdin/stdout redirects, subprocess pipes,
+    URLs (via smart_open when installed), gzip, and plain files.
+    """
+    return get_current_io_backend().open(str(path), mode)
+
+
+class StdStreamWrapper:
+    def __init__(self, stream):
+        self.stream = stream
+
+    def close(self):
+        pass
+
+    def __enter__(self):
+        return self.stream
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        pass
+
+    def __getattr__(self, item: str):
+        if item == "close":
+            return self.close
+        return getattr(self.stream, item)
+
+
+#################################################
+# JSON / JSONL / YAML
+#################################################
+
+
+def save_to_json(data: Any, path: Pathlike) -> None:
+    """Save data to a JSON file; gzip-compressed when path ends with ``.gz``."""
+    with open_best(path, "w") as f:
+        json.dump(data, f, indent=2, ensure_ascii=False)
+
+
+def load_json(path: Pathlike) -> Union[dict, list]:
+    with open_best(path, "r") as f:
+        return json.load(f)
+
+
+def save_to_jsonl(data: Iterable[Dict[str, Any]], path: Pathlike) -> None:
+    with open_best(path, "w") as f:
+        for item in data:
+            print(json.dumps(item, ensure_ascii=False), file=f)
+
+
+def load_jsonl(path: Pathlike) -> Generator[Dict[str, Any], None, None]:
+    with open_best(path, "r") as f:
+        for line in f:
+            if not line.strip():
+                continue
+            yield decode_json_line(line)
+
+
+def save_to_yaml(data: Any, path: Pathlike) -> None:
+    import yaml
+
+    with open_best(path, "w") as f:
+        try:
+            yaml.safe_dump(data, stream=f, sort_keys=False)
+        except TypeError:
+            yaml.safe_dump(data, stream=f)
+
+
+def load_yaml(path: Pathlike) -> dict:
+    import yaml
+
+    with open_best(path, "r") as f:
+        return yaml.safe_load(f)
+
+
+def grouper(n, iterable):
+    it = iter(iterable)
+    while True:
+        chunk = tuple(itertools.islice(it, n))
+        if not chunk:
+            return
+        yield chunk
+
+
+def extension_contains(ext: str, path: Pathlike) -> bool:
+    return any(ext == sfx for sfx in Path(path).suffixes)
+
+
+#################################################
+# Sequential writers
+#################################################
+
+
+class SequentialJsonlWriter:
+    """
+    Store manifests one by one without keeping the whole set in memory
+    (reference: serialization.py:158). Supports resume-skip: when
+    ``overwrite=False`` and the file exists, previously-written IDs are scanned
+    and silently skipped on subsequent writes (queryable via ``__contains__``).
+    """
+
+    def __init__(self, path: Pathlike, overwrite: bool = True) -> None:
+        self.path = path
+        self.file = None
+        self.mode = "w"
+        self.ignore_ids = set()
+        if Path(self.path).is_file() and not overwrite:
+            self.mode = "a"
+            with open_best(self.path, "r") as f:
+                self.ignore_ids = {
+                    data["id"]
+                    for data in (decode_json_line(line) for line in f if line.strip())
+                    if "id" in data
+                }
+
+    def __enter__(self) -> "SequentialJsonlWriter":
+        self._maybe_open()
+        return self
+
+    def __exit__(self, *args, **kwargs) -> None:
+        self.close()
+
+    def __contains__(self, item: Union[str, Any]) -> bool:
+        if isinstance(item, str):
+            return item in self.ignore_ids
+        try:
+            return item.id in self.ignore_ids
+        except AttributeError:
+            return False
+
+    def _maybe_open(self):
+        if self.file is None:
+            self.file = open_best(self.path, self.mode)
+
+    def close(self):
+        if self.file is not None:
+            self.file.close()
+            self.file = None
+
+    def contains(self, item: Union[str, Any]) -> bool:
+        return item in self
+
+    def write(self, manifest: Any, flush: bool = False) -> None:
+        try:
+            if manifest.id in self.ignore_ids:
+                return
+        except AttributeError:
+            pass
+        self._maybe_open()
+        if not isinstance(manifest, dict):
+            manifest = manifest.to_dict()
+        print(json.dumps(manifest, ensure_ascii=False), file=self.file)
+        if flush:
+            self.file.flush()
+
+    def open_manifest(self) -> Optional[Manifest]:
+        if not Path(self.path).exists():
+            return None
+        if self.file is not None and not self.file.closed:
+            self.file.flush()
+        return load_manifest_lazy(self.path)
+
+
+class InvalidPathExtension(ValueError):
+    pass
+
+
+class InMemoryWriter:
+    """
+    Mimics :class:`SequentialJsonlWriter` API without performing I/O
+    (reference: serialization.py:276). Used to create manifest sets in memory.
+    """
+
+    def __init__(self):
+        self.items = []
+        # for compatibility with SequentialJsonlWriter
+        self.ignore_ids = frozenset()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *args, **kwargs):
+        pass
+
+    def __contains__(self, item) -> bool:
+        return False
+
+    def contains(self, item: Union[str, Any]) -> bool:
+        return item in self
+
+    def write(self, manifest, flush: bool = False) -> None:
+        self.items.append(manifest)
+
+    def open_manifest(self) -> Optional[Manifest]:
+        if not self.items:
+            return None
+        cls = resolve_manifest_set_class(self.items[0])
+        return cls.from_items(self.items)
+
+
+#################################################
+# Mixins composing Serializable
+#################################################
+
+
+class JsonMixin:
+    def to_json(self, path: Pathlike) -> None:
+        save_to_json([item.to_dict() for item in self], path)
+
+    @classmethod
+    def from_json(cls, path: Pathlike) -> Manifest:
+        data = load_json(path)
+        return cls.from_dicts(data)
+
+
+class YamlMixin:
+    def to_yaml(self, path: Pathlike) -> None:
+        save_to_yaml([item.to_dict() for item in self], path)
+
+    @classmethod
+    def from_yaml(cls, path: Pathlike) -> Manifest:
+        data = load_yaml(path)
+        return cls.from_dicts(data)
+
+
+class JsonlMixin:
+    def to_jsonl(self, path: Pathlike) -> None:
+        save_to_jsonl((item.to_dict() for item in self), path)
+
+    @classmethod
+    def from_jsonl(cls, path: Pathlike) -> Manifest:
+        data = load_jsonl(path)
+        return cls.from_dicts(data)
+
+    @classmethod
+    def open_writer(
+        cls, path: Union[Pathlike, None], overwrite: bool = True
+    ) -> Union[SequentialJsonlWriter, InMemoryWriter]:
+        """
+        Open a sequential writer that allows to store the manifests one by one,
+        without the necessity of storing the whole manifest set in-memory.
+        When ``path`` is None, an in-memory writer is returned instead.
+        """
+        if path is None:
+            return InMemoryWriter()
+        return SequentialJsonlWriter(path, overwrite=overwrite)
+
+
+class LazyMixin:
+    def from_items(self, data: Iterable):
+        """Create a manifest set from items (alias for constructor)."""
+        return type(self)(data)
+
+    @property
+    def data(self) -> Union[Dict[str, Any], Iterable[Any]]:
+        """Alias property for ``self.items``."""
+        return self.items
+
+    @property
+    def is_lazy(self) -> bool:
+        """Indicates whether this manifest was opened in lazy (read-on-the-fly) mode or not."""
+        return not isinstance(self.data, (dict, list, tuple))
+
+    def to_eager(self):
+        """
+        Evaluates all lazy operations on this manifest and returns an eager
+        variant holding all items in memory.
+        """
+        cls = type(self)
+        if not self.is_lazy and isinstance(self.data, (dict, list)):
+            return self
+        return cls.from_items(list(self))
+
+    @classmethod
+    def from_jsonl_lazy(cls, path: Pathlike) -> Manifest:
+        """
+        Read a JSONL manifest in a lazy manner: the underlying file is opened
+        per iteration and items are deserialized on the fly.
+        """
+        from lhotse_tpu.lazy import LazyManifestIterator
+
+        return cls(LazyManifestIterator(path))
+
+
+def load_manifest(path: Pathlike, manifest_cls: Optional[Type] = None) -> Manifest:
+    """Generic utility for reading an arbitrary manifest (reference: serialization.py:450)."""
+    from lhotse_tpu import CutSet, FeatureSet, RecordingSet, SupervisionSet
+
+    if extension_contains(".jsonl", path):
+        raw_data = load_jsonl(path)
+        if manifest_cls is None:
+            raw_data = list(raw_data)
+    elif extension_contains(".json", path):
+        raw_data = load_json(path)
+    elif extension_contains(".yaml", path):
+        raw_data = load_yaml(path)
+    else:
+        raise ValueError(f"Not a valid manifest (does the path exist?): {path}")
+    data_set = None
+    if manifest_cls is not None:
+        candidates = [manifest_cls]
+    else:
+        candidates = [RecordingSet, SupervisionSet, FeatureSet, CutSet]
+    for manifest_type in candidates:
+        try:
+            data_set = manifest_type.from_dicts(raw_data)
+            if len(data_set) == 0:
+                raise RuntimeError()
+            break
+        except Exception:
+            data_set = None
+    if data_set is None:
+        raise ValueError(f"Unknown type of manifest: {path}")
+    return data_set
+
+
+def load_manifest_lazy(
+    path: Pathlike,
+    indexed: Optional[bool] = None,
+    shuffle: bool = False,
+    seed: int = 0,
+    index_path: Optional[Pathlike] = None,
+) -> Optional[Manifest]:
+    """
+    Generic utility for reading an arbitrary manifest from a JSONL file lazily
+    (reference: serialization.py:490). Returns None when the manifest is empty.
+    """
+    assert extension_contains(".jsonl", path) or str(path) == "-"
+    raw_data = iter(load_jsonl(path))
+    try:
+        first = next(raw_data)
+    except StopIteration:
+        return None
+    item = deserialize_item(first)
+    cls = resolve_manifest_set_class(item)
+
+    if shuffle or indexed:
+        from lhotse_tpu.lazy import LazyIndexedManifestIterator
+
+        return cls(
+            LazyIndexedManifestIterator(
+                path, shuffle=shuffle, seed=seed, index_path=index_path
+            )
+        )
+    if indexed is None:
+        from lhotse_tpu.indexing import default_index_path
+
+        idx = Path(index_path) if index_path is not None else default_index_path(path)
+        if idx.is_file():
+            from lhotse_tpu.lazy import LazyIndexedManifestIterator
+
+            return cls(LazyIndexedManifestIterator(path, index_path=index_path))
+    from lhotse_tpu.lazy import LazyManifestIterator
+
+    return cls(LazyManifestIterator(path))
+
+
+def load_manifest_lazy_or_eager(
+    path: Pathlike,
+    manifest_cls=None,
+    indexed: Optional[bool] = None,
+    shuffle: bool = False,
+    seed: int = 0,
+    index_path: Optional[Pathlike] = None,
+) -> Optional[Manifest]:
+    """
+    Generic utility for reading an arbitrary manifest: JSONL opens lazily,
+    other formats open eagerly.
+    """
+    if extension_contains(".jsonl", path) or str(path) == "-":
+        out = load_manifest_lazy(
+            path, indexed=indexed, shuffle=shuffle, seed=seed, index_path=index_path
+        )
+        if manifest_cls is not None and out is not None:
+            assert isinstance(
+                out, manifest_cls
+            ), f"Expected {manifest_cls} but got {type(out)} from {path}"
+        return out
+    return load_manifest(path, manifest_cls=manifest_cls)
+
+
+def resolve_manifest_set_class(item):
+    """Returns the Set class corresponding to the provided manifest item type
+    (reference: serialization.py:570)."""
+    from lhotse_tpu import (
+        Features,
+        FeatureSet,
+        Recording,
+        RecordingSet,
+        SupervisionSegment,
+        SupervisionSet,
+    )
+    from lhotse_tpu.cut import Cut, CutSet
+
+    if isinstance(item, Recording):
+        return RecordingSet
+    if isinstance(item, SupervisionSegment):
+        return SupervisionSet
+    if isinstance(item, Cut):
+        return CutSet
+    if isinstance(item, Features):
+        return FeatureSet
+    raise NotALhotseManifest(
+        f"No corresponding 'Set' class is known for item of type: {type(item)}"
+    )
+
+
+class NotALhotseManifest(Exception):
+    pass
+
+
+def store_manifest(manifest: Manifest, path: Pathlike) -> None:
+    if extension_contains(".jsonl", path) or str(path) == "-":
+        manifest.to_jsonl(path)
+    elif extension_contains(".json", path):
+        manifest.to_json(path)
+    elif extension_contains(".yaml", path):
+        manifest.to_yaml(path)
+    else:
+        raise ValueError(f"Unknown serialization format for: {path}")
+
+
+class Serializable(JsonMixin, JsonlMixin, LazyMixin, YamlMixin):
+    @classmethod
+    def from_file(
+        cls,
+        path: Pathlike,
+        indexed: Optional[bool] = None,
+        shuffle: bool = False,
+        seed: int = 0,
+        index_path: Optional[Pathlike] = None,
+    ) -> Manifest:
+        """Read a manifest from a file (JSONL lazy; JSON/YAML eager)."""
+        return load_manifest_lazy_or_eager(
+            path,
+            manifest_cls=cls,
+            indexed=indexed,
+            shuffle=shuffle,
+            seed=seed,
+            index_path=index_path,
+        )
+
+    def to_file(self, path: Pathlike) -> None:
+        store_manifest(self, path)
+
+
+def deserialize_item(data: dict) -> Any:
+    """
+    Figure out what type of manifest is being decoded with heuristics on the
+    present keys, and return a typed manifest object (reference:
+    serialization.py:656).
+    """
+    from lhotse_tpu import Features, Recording, SupervisionSegment
+    from lhotse_tpu.array import deserialize_array
+    from lhotse_tpu.cut import MixedCut, MonoCut, MultiCut
+    from lhotse_tpu.image import Image
+
+    if "width" in data:
+        return Image.from_dict(data)
+    if "shape" in data or "array" in data:
+        return deserialize_array(data)
+    if "sources" in data:
+        return Recording.from_dict(data)
+    if "num_features" in data:
+        return Features.from_dict(data)
+    if "type" not in data:
+        return SupervisionSegment.from_dict(data)
+    cut_type = data.pop("type")
+    if cut_type == "MonoCut":
+        return MonoCut.from_dict(data)
+    if cut_type == "MultiCut":
+        return MultiCut.from_dict(data)
+    if cut_type == "Cut":
+        warnings.warn(
+            "Manifest uses legacy cut type name 'Cut'; interpreting as MonoCut."
+        )
+        return MonoCut.from_dict(data)
+    if cut_type == "MixedCut":
+        return MixedCut.from_dict(data)
+    raise ValueError(f"Unexpected cut type during deserialization: '{cut_type}'")
+
+
+def deserialize_custom_field(data: Optional[dict]) -> Optional[dict]:
+    """
+    Deserialize manifests inside a ``custom`` field dict in-place
+    (reference: serialization.py:703). Dict values that look like Recording /
+    Image / Array manifests are converted; everything else is left as-is.
+    """
+    if data is None:
+        return None
+    from lhotse_tpu import Recording
+    from lhotse_tpu.array import deserialize_array
+    from lhotse_tpu.image import Image
+
+    for key, value in data.items():
+        if isinstance(value, dict):
+            if all(k in value for k in ("id", "sources", "sampling_rate")):
+                data[key] = Recording.from_dict(value)
+                continue
+            if "width" in value:
+                data[key] = Image.from_dict(value)
+                continue
+            try:
+                data[key] = deserialize_array(value)
+            except Exception:
+                pass
+    return data

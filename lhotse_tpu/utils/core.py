@@ -1,0 +1,687 @@
+"""
+Foundation utilities: time/sample/frame arithmetic, dataclass helpers, seeding.
+
+Behavioral contract mirrors the reference implementation's foundation layer
+(`/root/reference/lhotse/utils.py`): identical rounding semantics for
+``compute_num_frames`` (utils.py:410), ``compute_num_samples`` (utils.py:657),
+``perturb_num_samples`` (utils.py:649) and ``add_durations`` (utils.py:672),
+since those functions define the manifest arithmetic that must stay
+bitwise-stable across frameworks.
+"""
+from __future__ import annotations
+
+import gzip
+import math
+import os
+import random
+import re
+import secrets
+import sys
+import uuid
+from contextlib import contextmanager
+from dataclasses import dataclass, fields
+from decimal import ROUND_DOWN, ROUND_HALF_DOWN, ROUND_HALF_UP, Decimal
+from math import ceil, isclose
+from pathlib import Path
+from typing import (
+    Any,
+    Callable,
+    Dict,
+    Iterable,
+    List,
+    Optional,
+    Tuple,
+    TypeVar,
+    Union,
+)
+
+import numpy as np
+
+Pathlike = Union[Path, str]
+T = TypeVar("T")
+
+Seconds = float
+Decibels = float
+Channels = Union[int, List[int]]
+
+INT16MAX = 32768
+EPSILON = 1e-10
+LOG_EPSILON = math.log(EPSILON)
+DEFAULT_PADDING_VALUE = 0  # used for custom attrs
+
+# Deterministic uuid generator, installed by fix_random_seed().
+_lhotse_uuid: Optional[Callable] = None
+
+
+def fix_random_seed(random_seed: int):
+    """
+    Set the same random seed for all the libraries this framework interacts with:
+    the ``random`` module, numpy, and the ``uuid4()`` function defined here.
+
+    Unlike the reference (utils.py:141), torch is seeded only if it is already
+    imported: the compute path here is JAX, which uses explicit PRNG keys instead
+    of global seeding.
+    """
+    global _lhotse_uuid
+    random.seed(random_seed)
+    np.random.seed(random_seed)
+    if "torch" in sys.modules:
+        sys.modules["torch"].random.manual_seed(random_seed)
+    rd = random.Random()
+    rd.seed(random_seed)
+    _lhotse_uuid = lambda: uuid.UUID(int=rd.getrandbits(128))
+
+
+def uuid4():
+    """
+    Generates uuid4's exactly like Python's uuid.uuid4() function.
+    When ``fix_random_seed()`` is called, it will instead generate deterministic IDs.
+    """
+    if _lhotse_uuid is not None:
+        return _lhotse_uuid()
+    return uuid.uuid4()
+
+
+def asdict_nonull(dclass) -> Dict[str, Any]:
+    """
+    Recursively convert a dataclass into a dict, removing all fields whose value
+    is None (reference: utils.py:167). Keeps key order = dataclass field order,
+    which is part of the bitwise-stable manifest contract.
+    """
+
+    def non_null_dict_factory(collection):
+        d = dict(collection)
+        for key in [k for k, v in d.items() if v is None]:
+            del d[key]
+        return d
+
+    from dataclasses import asdict
+
+    return asdict(dclass, dict_factory=non_null_dict_factory)
+
+
+def fastcopy(dataclass_obj: T, **kwargs) -> T:
+    """
+    Returns a new dataclass instance with the same member values,
+    selected members overwritten with kwargs (reference: utils.py:274).
+    """
+    init_values = {
+        field.name: getattr(dataclass_obj, field.name)
+        for field in fields(dataclass_obj)
+        if field.init
+    }
+    return type(dataclass_obj)(**{**init_values, **kwargs})
+
+
+def ifnone(item: Optional[T], alt_item: T) -> T:
+    """Return ``item`` if it is not None, otherwise ``alt_item``."""
+    return alt_item if item is None else item
+
+
+def exactly_one_not_null(*args) -> bool:
+    not_null = [arg is not None for arg in args]
+    return sum(not_null) == 1
+
+
+def split_sequence(
+    seq: Iterable[Any],
+    num_splits: int,
+    shuffle: bool = False,
+    drop_last: bool = False,
+) -> List[List[Any]]:
+    """
+    Split an iterable into ``num_splits`` even chunks; with ``drop_last=False``
+    the remainder is distributed one-per-chunk from the front
+    (reference: utils.py:340-408 index-shift scheme).
+    """
+    seq = list(seq)
+    num_items = len(seq)
+    if num_splits > num_items:
+        raise ValueError(
+            f"Cannot split iterable into more chunks ({num_splits}) than its number of items {num_items}"
+        )
+    if shuffle:
+        random.shuffle(seq)
+    chunk_size = num_items // num_splits
+    num_shifts = num_items % num_splits
+    if drop_last:
+        end_shifts = [0] * num_splits
+        begin_shifts = [0] * num_splits
+    else:
+        end_shifts = list(range(1, num_shifts + 1)) + [num_shifts] * (
+            num_splits - num_shifts
+        )
+        begin_shifts = [0] + end_shifts[:-1]
+    splits = [
+        seq[i * chunk_size + b : (i + 1) * chunk_size + e]
+        for i, b, e in zip(range(num_splits), begin_shifts, end_shifts)
+    ]
+    return splits
+
+
+def compute_num_frames(
+    duration: Seconds,
+    frame_shift: Seconds,
+    sampling_rate: int,
+) -> int:
+    """
+    Compute the number of frames from duration and frame_shift in a safe way,
+    matching the reference rounding exactly (utils.py:410-421): num_samples and
+    window_hop are rounded first, then ``(num_samples + hop//2) // hop``.
+    """
+    num_samples = round(duration * sampling_rate)
+    window_hop = round(frame_shift * sampling_rate)
+    num_frames = int((num_samples + window_hop // 2) // window_hop)
+    return num_frames
+
+
+def compute_num_frames_from_samples(
+    num_samples: int,
+    frame_shift: Seconds,
+    sampling_rate: int,
+) -> int:
+    """Reference: utils.py:424-434."""
+    window_hop = round(frame_shift * sampling_rate)
+    num_frames = int((num_samples + window_hop // 2) // window_hop)
+    return num_frames
+
+
+def compute_num_samples(
+    duration: Seconds, sampling_rate: Union[int, float], rounding=ROUND_HALF_UP
+) -> int:
+    """
+    Convert a time quantity to the number of samples given a specific sampling rate.
+    Performs consistent rounding up or down (not banker's rounding), matching
+    reference utils.py:657-668 exactly (round to 8 decimal digits first, then
+    Decimal-quantize with the requested rounding mode).
+    """
+    return int(
+        Decimal(round(duration * sampling_rate, ndigits=8)).quantize(
+            0, rounding=rounding
+        )
+    )
+
+
+def perturb_num_samples(num_samples: int, factor: float) -> int:
+    """Mimics the behavior of speed perturbation on the number of samples
+    (reference: utils.py:649-654)."""
+    rounding = ROUND_HALF_UP if factor >= 1.0 else ROUND_HALF_DOWN
+    return int(
+        Decimal(round(num_samples / factor, ndigits=8)).quantize(0, rounding=rounding)
+    )
+
+
+def add_durations(*durs: Seconds, sampling_rate: int) -> Seconds:
+    """
+    Adds durations in a way that avoids floating point precision issues
+    (reference: utils.py:672-681): convert to sample counts, add, convert back.
+    """
+    tot_num_samples = sum(
+        compute_num_samples(d, sampling_rate=sampling_rate) for d in durs
+    )
+    return tot_num_samples / sampling_rate
+
+
+def compute_num_windows(sig_len: Seconds, win_len: Seconds, hop: Seconds) -> int:
+    """
+    Return the number of windows obtained from a signal of length ``sig_len``
+    with windows of ``win_len`` and shift ``hop`` (reference: utils.py:437-466).
+    """
+    n = ceil(max(sig_len - win_len, 0) / hop)
+    b = (sig_len - n * hop) > 0
+    return (sig_len > 0) * (n + int(b))
+
+
+def compute_start_duration_for_extended_cut(
+    start: Seconds,
+    duration: Seconds,
+    new_duration: Seconds,
+    direction: str = "center",
+) -> Tuple[Seconds, Seconds]:
+    """
+    Compute new "start" for an interval extended to ``new_duration`` towards
+    ``direction`` in ("center", "left", "right", "random");
+    reference: utils.py:684-723.
+    """
+    if new_duration <= duration:
+        return start, duration
+    if direction == "center":
+        new_start = start - (new_duration - duration) / 2
+    elif direction == "left":
+        new_start = start - (new_duration - duration)
+    elif direction == "right":
+        new_start = start
+    elif direction == "random":
+        new_start = random.uniform(start - (new_duration - duration), start)
+    else:
+        raise ValueError(f"Unexpected direction: {direction}")
+    if new_start < 0:
+        new_duration = round(new_duration + new_start, ndigits=15)
+        new_start = 0
+    return round(new_start, ndigits=15), new_duration
+
+
+def duration_to_num_samples_check(
+    duration: Seconds, num_samples: int, sampling_rate: int
+) -> bool:
+    return compute_num_samples(duration, sampling_rate) == num_samples
+
+
+@dataclass(unsafe_hash=True)
+class TimeSpan:
+    """A simple beginning/end time span (reference: utils.py:300)."""
+
+    start: Seconds
+    end: Seconds
+
+    @property
+    def duration(self) -> Seconds:
+        return self.end - self.start
+
+
+def overlaps(lhs: Any, rhs: Any) -> bool:
+    """Indicates whether two time-spans/segments are overlapping or not
+    (reference: utils.py:309)."""
+    return (
+        lhs.start < rhs.end
+        and rhs.start < lhs.end
+        and not isclose(lhs.start, rhs.end)
+        and not isclose(rhs.start, lhs.end)
+    )
+
+
+def overspans(spanning: Any, spanned: Any) -> bool:
+    """Indicates whether the left-hand-side time-span covers the whole
+    right-hand-side time-span (reference: utils.py:319)."""
+    return (
+        spanning.start <= spanned.start <= spanned.end <= spanning.end
+        or isclose(spanning.start, spanned.start)
+        and (
+            spanned.end <= spanning.end or isclose(spanned.end, spanning.end)
+        )
+    )
+
+
+def index_by_id_and_check(manifests: Iterable[T]) -> Dict[str, T]:
+    id2man = {}
+    for m in manifests:
+        assert m.id not in id2man, f"Duplicated manifest ID: {m.id}"
+        id2man[m.id] = m
+    return id2man
+
+
+def is_module_available(*modules: str) -> bool:
+    """Check whether the given modules can be imported, without importing them."""
+    import importlib.util
+
+    return all(importlib.util.find_spec(m) is not None for m in modules)
+
+
+def measure_overlap_frac(lhs: Any, rhs: Any) -> float:
+    """Fraction of ``lhs`` covered by overlap with ``rhs``."""
+    if not overlaps(lhs, rhs):
+        return 0.0
+    dur = min(lhs.end, rhs.end) - max(lhs.start, rhs.start)
+    return dur / (lhs.end - lhs.start) if lhs.end > lhs.start else 0.0
+
+
+class SmartOpen:
+    """Deferred import wrapper around ``smart_open`` (optional dependency)."""
+
+    @classmethod
+    def open(cls, uri, mode="rb", **kwargs):
+        if not is_module_available("smart_open"):
+            raise ImportError(
+                "The 'smart_open' package is required to open URLs; "
+                "pip install smart_open (not bundled in this environment)."
+            )
+        import smart_open
+
+        return smart_open.open(uri, mode, **kwargs)
+
+
+def is_valid_url(value: str) -> bool:
+    from urllib.parse import urlparse
+
+    try:
+        result = urlparse(value)
+        return bool(result.scheme) and bool(result.netloc)
+    except AttributeError:
+        return False
+
+
+class Pipe:
+    """
+    A wrapper class for subprocess.Pipe used by the ``pipe:`` I/O backend
+    (reference: utils.py:996). Starts a subprocess for the given command and
+    exposes a file-like API over its stdout (read) or stdin (write), raising
+    on nonzero exit status from the wrapped command.
+    """
+
+    def __init__(
+        self,
+        cmd: str,
+        mode: str = "rb",
+        shell: bool = True,
+        timeout: Optional[float] = None,
+        ignore_status: Optional[List[int]] = None,
+    ):
+        import subprocess
+
+        self.cmd = cmd
+        self.mode = mode
+        self.timeout = timeout
+        self.ignore_status = [0] + (ignore_status or [])
+        if mode[0] == "r":
+            self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, shell=shell)
+            self.stream = self.proc.stdout
+        elif mode[0] == "w":
+            self.proc = subprocess.Popen(cmd, stdin=subprocess.PIPE, shell=shell)
+            self.stream = self.proc.stdin
+        else:
+            raise ValueError(f"Invalid mode for Pipe: {mode}")
+        if self.stream is None:
+            raise RuntimeError(f"Subprocess pipe stream is unavailable for: {cmd}")
+        self.status: Optional[int] = None
+
+    def check_status(self):
+        self.wait_for_child()
+
+    def wait_for_child(self):
+        if self.status is not None:
+            return
+        self.status = self.proc.wait(timeout=self.timeout)
+        if self.status not in self.ignore_status:
+            raise RuntimeError(
+                f"Command '{self.cmd}' exited with status {self.status}"
+            )
+
+    def read(self, *args, **kwargs):
+        result = self.stream.read(*args, **kwargs)
+        if not result:
+            self.wait_for_child()
+        return result
+
+    def readline(self, *args, **kwargs):
+        result = self.stream.readline(*args, **kwargs)
+        if not result:
+            self.wait_for_child()
+        return result
+
+    def write(self, *args, **kwargs):
+        return self.stream.write(*args, **kwargs)
+
+    def flush(self):
+        return self.stream.flush()
+
+    def close(self):
+        try:
+            self.stream.close()
+        finally:
+            self.wait_for_child()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __getattr__(self, item):
+        return getattr(self.stream, item)
+
+
+@contextmanager
+def suppress_and_warn(*exceptions, enabled: bool = True):
+    """Context manager that suppresses the given exception types and emits a warning."""
+    import warnings
+
+    if not enabled:
+        yield
+        return
+    try:
+        yield
+    except exceptions as e:
+        warnings.warn(f"Suppressed exception: {type(e).__name__}: {e}")
+
+
+def rich_exception_info(fn: Callable) -> Callable:
+    """
+    Decorator that appends the function arguments repr to raised exceptions
+    (reference: utils.py:855) to help debug which manifest caused an error.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:
+            raise type(e)(
+                f"{e}\n[extra info] When calling: {fn.__name__}(args={args} kwargs={kwargs})"
+            ) from e
+
+    return wrapper
+
+
+def during_docs_build() -> bool:
+    return bool(os.environ.get("READTHEDOCS"))
+
+
+def to_list(item: Union[Any, List[Any]]) -> List[Any]:
+    """Convert ``item`` to a list if it is not already a list."""
+    return item if isinstance(item, list) else [item]
+
+
+def to_hashable(item: Any) -> Any:
+    """Convert a list to a tuple for hashability; pass through other types."""
+    return tuple(item) if isinstance(item, list) else item
+
+
+def streaming_shuffle(
+    data: Iterable[T],
+    bufsize: int = 10000,
+    rng: Optional[random.Random] = None,
+):
+    """
+    Shuffle the data in the stream using a fixed-size reservoir buffer
+    (reference: utils.py:940): fill a buffer of ``bufsize`` items, then for each
+    incoming item, emit a random buffered item and replace it.
+    """
+    if rng is None:
+        rng = random.Random()
+    buf: List[T] = []
+    for sample in data:
+        if len(buf) < bufsize:
+            buf.append(sample)
+            continue
+        idx = rng.randint(0, len(buf) - 1)
+        buf[idx], sample = sample, buf[idx]
+        yield sample
+    rng.shuffle(buf)
+    yield from buf
+
+
+def safe_extract(archive, path: Pathlike = ".", members=None, *, numeric_owner=False):
+    """tar extraction guarding against path traversal (reference: utils.py:585)."""
+
+    def _is_within_directory(directory, target):
+        abs_directory = os.path.abspath(directory)
+        abs_target = os.path.abspath(target)
+        prefix = os.path.commonprefix([abs_directory, abs_target])
+        return prefix == abs_directory
+
+    for member in archive.getmembers():
+        member_path = os.path.join(path, member.name)
+        if not _is_within_directory(path, member_path):
+            raise Exception("Attempted Path Traversal in Tar File")
+    archive.extractall(path, members, numeric_owner=numeric_owner)
+
+
+def resumable_download(
+    url: str,
+    filename: Pathlike,
+    force_download: bool = False,
+    completed_file_size: Optional[int] = None,
+    missing_ok: bool = False,
+) -> None:
+    """
+    Download a file with support for resuming partial downloads via HTTP Range
+    requests (reference: utils.py:471). Uses urllib; no external dependencies.
+    """
+    import urllib.request
+
+    filename = Path(filename)
+    if filename.exists():
+        if completed_file_size is not None and filename.stat().st_size == completed_file_size:
+            return
+        if not force_download and completed_file_size is None:
+            return
+    filename.parent.mkdir(parents=True, exist_ok=True)
+    partial = filename.stat().st_size if filename.exists() and not force_download else 0
+    req = urllib.request.Request(url)
+    if partial:
+        req.add_header("Range", f"bytes={partial}-")
+    mode = "ab" if partial else "wb"
+    try:
+        with urllib.request.urlopen(req) as resp, open(filename, mode) as f:
+            while True:
+                chunk = resp.read(1 << 20)
+                if not chunk:
+                    break
+                f.write(chunk)
+    except Exception:
+        if missing_ok:
+            return
+        raise
+
+
+@contextmanager
+def recursion_limit(stack_size: int):
+    old_size = sys.getrecursionlimit()
+    sys.setrecursionlimit(stack_size)
+    try:
+        yield
+    finally:
+        sys.setrecursionlimit(old_size)
+
+
+def merge_items_with_delimiter(
+    values: Iterable[str],
+    prefix: str = "cat",
+    delimiter: str = "#",
+    return_first: bool = False,
+) -> Optional[str]:
+    """Merge a sequence of strings into one with a delimiter
+    (reference: utils.py:726), used when merging supervision fields."""
+    values = list(dict.fromkeys(values))  # unique, order-preserving
+    if len(values) == 0:
+        return None
+    if len(values) == 1 or return_first:
+        return values[0]
+    return delimiter.join([prefix] + values)
+
+
+def supervision_to_frames(
+    supervision,
+    frame_shift: Seconds,
+    sampling_rate: int,
+    max_frames: Optional[int] = None,
+) -> Tuple[int, int]:
+    """
+    Convert a supervision's time span into a (start_frame, num_frames) tuple
+    (reference: utils.py:743).
+    """
+    start_frame = compute_num_frames(
+        supervision.start, frame_shift=frame_shift, sampling_rate=sampling_rate
+    )
+    num_frames = compute_num_frames(
+        supervision.duration, frame_shift=frame_shift, sampling_rate=sampling_rate
+    )
+    if max_frames:
+        diff = start_frame + num_frames - max_frames
+        if diff > 0:
+            num_frames -= diff
+    return start_frame, num_frames
+
+
+def supervision_to_samples(
+    supervision, sampling_rate: int, max_samples: Optional[int] = None
+) -> Tuple[int, int]:
+    """Convert a supervision's time span into (start_sample, num_samples)
+    (reference: utils.py:765)."""
+    start_sample = compute_num_samples(supervision.start, sampling_rate)
+    num_samples = compute_num_samples(supervision.duration, sampling_rate)
+    if max_samples:
+        diff = start_sample + num_samples - max_samples
+        if diff > 0:
+            num_samples -= diff
+    return start_sample, num_samples
+
+
+def is_equal_or_contains(value: Union[Any, List[Any]], other: Union[Any, List[Any]]) -> bool:
+    value = to_list(value)
+    other = to_list(other)
+    return set(other).issubset(set(value))
+
+
+def hash_str_to_int(s: str, max_value: Optional[int] = None) -> int:
+    """Hash a string to a stable integer (used for deterministic per-item RNG seeds)."""
+    import hashlib
+
+    h = int(hashlib.blake2b(s.encode("utf-8"), digest_size=8).hexdigest(), 16)
+    return h % max_value if max_value is not None else h
+
+
+def split_manifest_lazy(
+    it: Iterable[Any],
+    output_dir: Pathlike,
+    chunk_size: int,
+    prefix: str = "",
+    num_digits: int = 8,
+    start_idx: int = 0,
+) -> List:
+    """
+    Split a manifest into chunks of ``chunk_size`` items, saving each chunk to
+    ``{output_dir}/{prefix}.{split_idx}.jsonl.gz`` as the input is consumed
+    (reference: utils.py:295). Returns the list of lazily re-opened chunks.
+    """
+    from lhotse_tpu.serialization import SequentialJsonlWriter, load_manifest_lazy
+
+    in_progress = True
+    items = iter(it)
+    split_idx = start_idx
+    splits = []
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    while in_progress:
+        try:
+            item = next(items)
+        except StopIteration:
+            break
+        idx = f"{split_idx:0{num_digits}d}"
+        if prefix:
+            path = output_dir / f"{prefix}.{idx}.jsonl.gz"
+        else:
+            path = output_dir / f"{idx}.jsonl.gz"
+        with SequentialJsonlWriter(path) as writer:
+            writer.write(item)
+            for _ in range(chunk_size - 1):
+                try:
+                    writer.write(next(items))
+                except StopIteration:
+                    in_progress = False
+                    break
+        splits.append(load_manifest_lazy(path))
+        split_idx += 1
+    return splits
+
+
+class nullcontext:
+    def __init__(self, enter_result=None, *args, **kwargs):
+        self.enter_result = enter_result
+
+    def __enter__(self):
+        return self.enter_result
+
+    def __exit__(self, *excinfo):
+        pass
