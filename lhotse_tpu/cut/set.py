@@ -1,0 +1,2603 @@
+"""
+CutSet: the central user API — an eager or lazy collection of cuts.
+
+Reference behavior: `/root/reference/lhotse/cut/set.py` — constructors
+``from_manifests`` (:378, via ``create_cut_set_eager/lazy`` :3408,3518),
+``from_files``/``from_shar``; transforms mirrored over all cuts with
+``LazyMapper`` + module-level picklable helpers (:3794-3880); lazy noise
+mixing ``mix()`` (:1889, ``LazyCutMixer`` :3967);
+``compute_and_store_features[_batch]`` (:1981,2197); ``save_audios`` (:2410);
+``compute_global_feature_stats`` (:2533); ``describe`` (:883); ``to_shar``
+(:694); ``copy_data``/``copy_feats`` (:2596,2685); checkpointing
+``state_dict/load_state_dict`` (:2953); background ``prefetch`` (:2779).
+
+TPU-first deviations: ``prefetch`` uses an in-repo background thread (no
+torch DataLoader); ``compute_and_store_features_batch`` feeds padded,
+shape-bucketed batches to the jitted JAX extractors directly.
+"""
+from __future__ import annotations
+
+import hashlib
+import itertools
+import logging
+import pickle
+import random
+import warnings
+from collections import defaultdict
+from concurrent.futures import Executor, ProcessPoolExecutor, as_completed
+from functools import partial, reduce
+from itertools import chain, islice
+from pathlib import Path
+from typing import (
+    Any,
+    Callable,
+    Dict,
+    FrozenSet,
+    Iterable,
+    List,
+    Optional,
+    Sequence,
+    Set,
+    Tuple,
+    Type,
+    TypeVar,
+    Union,
+)
+
+import numpy as np
+
+from lhotse_tpu.audio import RecordingSet, null_result_on_audio_loading_error
+from lhotse_tpu.cut.base import Cut
+from lhotse_tpu.cut.data import DataCut
+from lhotse_tpu.cut.mixed import MixedCut, MixTrack, _ensure_explicit_snr_reference
+from lhotse_tpu.cut.mono import MonoCut
+from lhotse_tpu.cut.multi import MultiCut
+from lhotse_tpu.cut.padding import PaddingCut
+from lhotse_tpu.features.base import (
+    FeatureExtractor,
+    Features,
+    FeatureSet,
+    StatsAccumulator,
+    compute_global_stats,
+)
+from lhotse_tpu.features.io import FeaturesWriter, LilcomChunkyWriter
+from lhotse_tpu.features.io import default_features_storage_backend
+from lhotse_tpu.lazy import (
+    AlgorithmMixin,
+    IteratorNode,
+    LazyFlattener,
+    LazyIteratorChain,
+    LazyManifestIterator,
+    LazyMapper,
+    LazySlicer,
+    _try_collect_child_state,
+    _try_restore_child_state,
+    attach_graph_origin,
+    get_graph_origin,
+    normalize_graph_token,
+    resolve_iterator_source,
+    supports_graph_restore,
+)
+from lhotse_tpu.serialization import Serializable
+from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
+from lhotse_tpu.utils import (
+    LOG_EPSILON,
+    Decibels,
+    Pathlike,
+    Seconds,
+    compute_num_frames,
+    compute_num_samples,
+    exactly_one_not_null,
+    fastcopy,
+    ifnone,
+    split_manifest_lazy,
+    split_sequence,
+    uuid4,
+)
+
+T = TypeVar("T")
+FW = TypeVar("FW", bound=FeaturesWriter)
+
+
+def is_cut(example) -> bool:
+    return isinstance(example, (MonoCut, MultiCut, MixedCut, PaddingCut))
+
+
+class CutSet(Serializable, AlgorithmMixin):
+    """
+    A collection of cuts (eager list or lazy iterator graph), with the full
+    data-prep algebra: windowing, trimming, padding, mixing, augmentation,
+    feature extraction/storage, Shar export, and exact checkpointing.
+    """
+
+    def __init__(self, cuts: Optional[Iterable[Cut]] = None) -> None:
+        self.cuts = ifnone(cuts, [])
+
+    def __eq__(self, other: "CutSet") -> bool:
+        return self.cuts == other.cuts
+
+    @property
+    def data(self) -> Iterable[Cut]:
+        return self.cuts
+
+    @property
+    def mixed_cuts(self) -> "CutSet":
+        return CutSet.from_cuts(cut for cut in self.cuts if isinstance(cut, MixedCut))
+
+    @property
+    def simple_cuts(self) -> "CutSet":
+        return CutSet.from_cuts(cut for cut in self.cuts if isinstance(cut, MonoCut))
+
+    @property
+    def multi_cuts(self) -> "CutSet":
+        return CutSet.from_cuts(cut for cut in self.cuts if isinstance(cut, MultiCut))
+
+    @property
+    def ids(self) -> Iterable[str]:
+        return (c.id for c in self.cuts)
+
+    @property
+    def speakers(self) -> FrozenSet[str]:
+        return frozenset(
+            supervision.speaker for cut in self for supervision in cut.supervisions
+        )
+
+    @staticmethod
+    def from_files(
+        paths: List[Pathlike],
+        shuffle_iters: bool = True,
+        seed: Optional[int] = None,
+        indexed: Optional[bool] = None,
+        index_path: Optional[List[Pathlike]] = None,
+    ) -> "CutSet":
+        """
+        One lazy CutSet over many manifest files. With ``shuffle_iters`` the
+        file order is re-randomized every iteration; when every file is
+        indexed, shuffling upgrades to item-level via the Feistel permutation.
+        """
+        from lhotse_tpu.indexing import index_exists
+        from lhotse_tpu.lazy import LazyIndexedManifestIterator
+        from lhotse_tpu.serialization import extension_contains
+
+        if index_path is not None and len(index_path) != len(paths):
+            raise ValueError(
+                f"index_path has {len(index_path)} entries but paths has "
+                f"{len(paths)} entries — they must match."
+            )
+
+        def _make_iter(i, p):
+            ip = index_path[i] if index_path is not None else None
+            if indexed is True or (indexed is None and ip is not None):
+                return LazyIndexedManifestIterator(p, index_path=ip)
+            elif indexed is None:
+                use_idx = not extension_contains(".gz", p) and index_exists(p)
+                if use_idx:
+                    return LazyIndexedManifestIterator(p)
+            return LazyManifestIterator(p)
+
+        return CutSet(
+            LazyIteratorChain(
+                *(_make_iter(i, p) for i, p in enumerate(paths)),
+                shuffle_iters=shuffle_iters,
+                seed=seed,
+            )
+        )
+
+    @staticmethod
+    def from_cuts(cuts: Iterable[Cut]) -> "CutSet":
+        return CutSet(list(cuts))
+
+    from_items = from_cuts
+
+    @staticmethod
+    def from_manifests(
+        recordings: Optional[RecordingSet] = None,
+        supervisions: Optional[SupervisionSet] = None,
+        features: Optional[FeatureSet] = None,
+        output_path: Optional[Pathlike] = None,
+        random_ids: bool = False,
+        tolerance: Seconds = 0.001,
+        lazy: bool = False,
+    ) -> "CutSet":
+        """
+        Create a CutSet from any combination of recording/supervision/feature
+        manifests (at least one of recordings/features required). Cut
+        boundaries follow features when available, else recordings.
+        """
+        if lazy:
+            return create_cut_set_lazy(
+                recordings=recordings,
+                supervisions=supervisions,
+                features=features,
+                output_path=output_path,
+                random_ids=random_ids,
+                tolerance=tolerance,
+            )
+        return create_cut_set_eager(
+            recordings=recordings,
+            supervisions=supervisions,
+            features=features,
+            output_path=output_path,
+            random_ids=random_ids,
+            tolerance=tolerance,
+        )
+
+    @staticmethod
+    def from_dicts(data: Iterable[dict]) -> "CutSet":
+        return CutSet.from_cuts(deserialize_cut(cut) for cut in data)
+
+    @staticmethod
+    def from_webdataset(path, **wds_kwargs) -> "CutSet":
+        """Lazy CutSet over WebDataset tarball(s)."""
+        from lhotse_tpu.dataset.webdataset import LazyWebdatasetIterator
+
+        return CutSet(cuts=LazyWebdatasetIterator(path, **wds_kwargs))
+
+    @staticmethod
+    def from_shar(
+        fields: Optional[Dict[str, Sequence[Pathlike]]] = None,
+        in_dir: Optional[Pathlike] = None,
+        split_for_dataloading: bool = False,
+        shuffle_shards: bool = False,
+        stateful_shuffle: bool = True,
+        seed: Union[int, str] = 42,
+        cut_map_fns: Optional[Sequence[Callable[[Cut], Cut]]] = None,
+        slice_length: Optional[int] = None,
+        indexed: Optional[bool] = None,
+        index_path=None,
+    ) -> "CutSet":
+        """
+        Read cuts + data from Shar shards (one jsonl manifest + one tar per
+        field per shard): streaming (LazySharIterator) or O(1) random-access
+        (LazyIndexedSharIterator) when .idx files exist.
+        """
+        from lhotse_tpu.shar.readers.indexed import LazyIndexedSharIterator
+        from lhotse_tpu.shar.readers.lazy import LazySharIterator
+
+        use_indexed = indexed
+        if index_path is not None and indexed is False:
+            raise ValueError(
+                "index_path is set but indexed=False — contradictory arguments."
+            )
+        if use_indexed is None:
+            use_indexed = LazyIndexedSharIterator.supports_configuration(
+                fields=fields, in_dir=in_dir, index_path=index_path
+            )
+        if use_indexed:
+            if cut_map_fns:
+                raise ValueError("'cut_map_fns' is not supported with indexed=True.")
+            if slice_length is not None:
+                raise ValueError("'slice_length' is not supported with indexed=True.")
+            return CutSet(
+                cuts=LazyIndexedSharIterator(
+                    fields=fields,
+                    in_dir=in_dir,
+                    shuffle=shuffle_shards,
+                    seed=seed,
+                    split_for_dataloading=split_for_dataloading,
+                    index_path=index_path,
+                )
+            )
+        return CutSet(
+            cuts=LazySharIterator(
+                fields=fields,
+                in_dir=in_dir,
+                split_for_dataloading=split_for_dataloading,
+                shuffle_shards=shuffle_shards,
+                stateful_shuffle=stateful_shuffle,
+                seed=seed,
+                cut_map_fns=cut_map_fns,
+                slice_length=slice_length,
+            )
+        )
+
+    def to_shar(
+        self,
+        output_dir: Pathlike,
+        fields: Dict[str, str],
+        shard_size: Optional[int] = 1000,
+        shard_offset: int = 0,
+        warn_unused_fields: bool = True,
+        include_cuts: bool = True,
+        num_jobs: int = 1,
+        fault_tolerant: bool = False,
+        verbose: bool = False,
+        compress_jsonl: bool = True,
+        create_index: bool = True,
+    ) -> Dict[str, List[str]]:
+        """
+        Export cuts + selected data fields into Shar shards. ``fields`` maps
+        field names to formats (e.g. {"recording": "wav", "features":
+        "lilcom"}). Returns {field: [shard paths]}.
+        """
+        assert num_jobs > 0 and isinstance(num_jobs, int)
+        if num_jobs == 1:
+            return _export_to_shar_single(
+                cuts=self,
+                output_dir=output_dir,
+                shard_size=shard_size,
+                shard_offset=shard_offset,
+                fields=fields,
+                warn_unused_fields=warn_unused_fields,
+                include_cuts=include_cuts,
+                shard_suffix=None,
+                fault_tolerant=fault_tolerant,
+                verbose=verbose,
+                compress_jsonl=compress_jsonl,
+                create_index=create_index,
+            )
+
+        from tqdm.auto import tqdm
+
+        progbar = partial(tqdm, desc="Shard progress") if verbose else (lambda x: x)
+        shards = self.split_lazy(
+            output_dir=output_dir,
+            chunk_size=shard_size,
+            prefix="cuts",
+            num_digits=6,
+            start_idx=shard_offset,
+        )
+        with ProcessPoolExecutor(num_jobs) as ex:
+            futures = []
+            output_paths = defaultdict(list)
+            for idx, shard in enumerate(shards):
+                futures.append(
+                    ex.submit(
+                        _export_to_shar_single,
+                        cuts=shard,
+                        output_dir=output_dir,
+                        shard_size=None,
+                        shard_offset=shard_offset,
+                        fields=fields,
+                        warn_unused_fields=warn_unused_fields,
+                        include_cuts=True,
+                        shard_suffix=f".{idx:06d}",
+                        fault_tolerant=fault_tolerant,
+                        verbose=False,
+                        preload=True,
+                        compress_jsonl=compress_jsonl,
+                        create_index=create_index,
+                    )
+                )
+            for f in progbar(as_completed(futures)):
+                partial_paths = f.result()
+                for k, v in partial_paths.items():
+                    output_paths[k].extend(v)
+        for k in output_paths:
+            output_paths[k] = sorted(output_paths[k])
+        return dict(output_paths)
+
+    def to_dicts(self) -> Iterable[dict]:
+        return (cut.to_dict() for cut in self)
+
+    def decompose(
+        self, output_dir: Optional[Pathlike] = None, verbose: bool = False
+    ) -> Tuple[Optional[RecordingSet], Optional[SupervisionSet], Optional[FeatureSet]]:
+        """Extract the unique (recordings, supervisions, features) manifests
+        found in this CutSet (MixedCuts iterated over their tracks)."""
+        if output_dir is not None:
+            output_dir = Path(output_dir)
+            output_dir.mkdir(parents=True, exist_ok=True)
+        stored_rids = set()
+        stored_sids = set()
+        with RecordingSet.open_writer(
+            output_dir / "recordings.jsonl.gz" if output_dir is not None else None
+        ) as rw, SupervisionSet.open_writer(
+            output_dir / "supervisions.jsonl.gz" if output_dir is not None else None
+        ) as sw, FeatureSet.open_writer(
+            output_dir / "features.jsonl.gz" if output_dir is not None else None
+        ) as fw:
+
+            def save(cut: DataCut):
+                if cut.has_recording and cut.recording_id not in stored_rids:
+                    rw.write(cut.recording)
+                    stored_rids.add(cut.recording_id)
+                if cut.has_features:
+                    fw.write(cut.features)
+                for sup in cut.supervisions:
+                    if sup.id not in stored_sids:
+                        # Supervisions in cuts are relative to cut start.
+                        sw.write(sup.with_offset(cut.start))
+                        stored_sids.add(sup.id)
+
+            it = self
+            if verbose:
+                from tqdm.auto import tqdm
+
+                it = tqdm(it, desc="Decomposing cuts")
+            for cut in it:
+                if isinstance(cut, DataCut):
+                    save(cut)
+                elif isinstance(cut, MixedCut):
+                    for track in cut.tracks:
+                        if isinstance(track.cut, DataCut):
+                            save(track.cut)
+        return rw.open_manifest(), sw.open_manifest(), fw.open_manifest()
+
+    def describe(self, full: bool = False) -> None:
+        """Print cut count / duration / speech statistics."""
+        from lhotse_tpu.cut.describe import CutSetStatistics
+
+        stats = CutSetStatistics(full=full)
+        stats.accumulate(self).describe()
+
+    def split(
+        self, num_splits: int, shuffle: bool = False, drop_last: bool = False
+    ) -> List["CutSet"]:
+        """Split into ``num_splits`` pieces of (near-)equal size."""
+        return [
+            CutSet(subset)
+            for subset in split_sequence(
+                self, num_splits=num_splits, shuffle=shuffle, drop_last=drop_last
+            )
+        ]
+
+    def split_lazy(
+        self,
+        output_dir: Pathlike,
+        chunk_size: int,
+        prefix: str = "",
+        num_digits: int = 8,
+        start_idx: int = 0,
+    ) -> List["CutSet"]:
+        """Split into fixed-size chunks saved to disk as the input is consumed."""
+        return split_manifest_lazy(
+            self,
+            output_dir=output_dir,
+            chunk_size=chunk_size,
+            prefix=prefix,
+            num_digits=num_digits,
+            start_idx=start_idx,
+        )
+
+    def subset(
+        self,
+        *,
+        supervision_ids: Optional[Iterable[str]] = None,
+        cut_ids: Optional[Iterable[str]] = None,
+        first: Optional[int] = None,
+        last: Optional[int] = None,
+    ) -> "CutSet":
+        """Select a subset by first/last N, cut IDs (order-preserving), or
+        supervision IDs (drops cuts without matches)."""
+        assert exactly_one_not_null(
+            supervision_ids, cut_ids, first, last
+        ), "subset() can handle only one non-None arg."
+        if first is not None:
+            assert first > 0
+            return CutSet.from_cuts(islice(self, first))
+        if last is not None:
+            assert last > 0
+            N = len(self)
+            if last > N:
+                return self
+            return CutSet.from_cuts(islice(self, N - last, N))
+        if supervision_ids is not None:
+            supervision_ids = set(supervision_ids)
+            return CutSet.from_cuts(
+                cut.filter_supervisions(lambda s: s.id in supervision_ids)
+                for cut in self
+                if any(s.id in supervision_ids for s in cut.supervisions)
+            )
+        if cut_ids is not None:
+            cut_ids = list(cut_ids)
+            id_set = frozenset(cut_ids)
+            cuts = CutSet([cut for cut in self if cut.id in id_set])
+            if len(cuts) < len(cut_ids):
+                logging.warning(
+                    f"In CutSet.subset(cut_ids=...): expected {len(cut_ids)} cuts "
+                    f"but got {len(cuts)}."
+                )
+            return cuts.sort_like(cut_ids)
+
+    def map(
+        self,
+        transform_fn: Callable[[T], T],
+        apply_fn: Optional[Callable[[T], bool]] = is_cut,
+    ) -> "CutSet":
+        ans = CutSet(LazyMapper(self.data, fn=transform_fn, apply_fn=apply_fn))
+        if self.is_lazy:
+            return ans
+        return ans.to_eager()
+
+    def filter_supervisions(
+        self, predicate: Callable[[SupervisionSegment], bool]
+    ) -> "CutSet":
+        """Keep only supervisions satisfying ``predicate`` (cuts without
+        supervisions are preserved)."""
+        return self.map(partial(_filter_supervisions, predicate=predicate))
+
+    def merge_supervisions(
+        self,
+        merge_policy: str = "delimiter",
+        custom_merge_fn: Optional[Callable[[str, Iterable[Any]], Any]] = None,
+    ) -> "CutSet":
+        """Merge each cut's supervisions into a single spanning segment."""
+        return self.map(
+            partial(
+                _merge_supervisions,
+                merge_policy=merge_policy,
+                custom_merge_fn=custom_merge_fn,
+            )
+        )
+
+    def trim_to_supervisions(
+        self,
+        keep_overlapping: bool = True,
+        min_duration: Optional[Seconds] = None,
+        context_direction: str = "center",
+        keep_all_channels: bool = False,
+        num_jobs: int = 1,
+    ) -> "CutSet":
+        """One cut per supervision, with identical spans (optionally extended
+        to min_duration with acoustic context)."""
+        if num_jobs == 1:
+            return CutSet(
+                LazyFlattener(
+                    LazyMapper(
+                        self.data,
+                        partial(
+                            _trim_to_supervisions_single,
+                            keep_overlapping=keep_overlapping,
+                            min_duration=min_duration,
+                            context_direction=context_direction,
+                            keep_all_channels=keep_all_channels,
+                        ),
+                    )
+                )
+            )
+        from lhotse_tpu.manipulation import split_parallelize_combine
+
+        return split_parallelize_combine(
+            num_jobs,
+            self,
+            _trim_to_supervisions_single,
+            keep_overlapping=keep_overlapping,
+            min_duration=min_duration,
+            context_direction=context_direction,
+            keep_all_channels=keep_all_channels,
+        )
+
+    def trim_to_alignments(
+        self,
+        type: str,
+        max_pause: Seconds = 0.0,
+        max_segment_duration: Optional[Seconds] = None,
+        delimiter: str = " ",
+        keep_all_channels: bool = False,
+        num_jobs: int = 1,
+    ) -> "CutSet":
+        """One cut per (merged) alignment item of the given type."""
+        if num_jobs == 1:
+            return CutSet(
+                LazyFlattener(
+                    LazyMapper(
+                        self.data,
+                        partial(
+                            _trim_to_alignments_single,
+                            type=type,
+                            max_pause=max_pause,
+                            max_segment_duration=max_segment_duration,
+                            delimiter=delimiter,
+                            keep_all_channels=keep_all_channels,
+                        ),
+                    )
+                )
+            )
+        from lhotse_tpu.manipulation import split_parallelize_combine
+
+        return split_parallelize_combine(
+            num_jobs,
+            self,
+            _trim_to_alignments_single,
+            type=type,
+            max_pause=max_pause,
+            max_segment_duration=max_segment_duration,
+            delimiter=delimiter,
+            keep_all_channels=keep_all_channels,
+        )
+
+    def trim_to_unsupervised_segments(self) -> "CutSet":
+        """Cuts made from segments with no supervisions (likely silence/noise)."""
+        from lhotse_tpu.cut.describe import find_segments_with_speaker_count
+
+        cuts = []
+        for cut in self:
+            segments = find_segments_with_speaker_count(
+                cut, min_speakers=0, max_speakers=0
+            )
+            for span in segments:
+                cuts.append(cut.truncate(offset=span.start, duration=span.duration))
+        return CutSet(cuts)
+
+    def trim_to_supervision_groups(
+        self, max_pause: Optional[Seconds] = None, num_jobs: int = 1
+    ) -> "CutSet":
+        """One cut per supervision group (runs with gaps <= max_pause)."""
+        if max_pause is None:
+            max_pause = 0.0
+        if num_jobs == 1:
+            return CutSet(
+                LazyFlattener(
+                    LazyMapper(
+                        self.data,
+                        partial(_trim_to_supervision_groups_single, max_pause=max_pause),
+                    )
+                )
+            )
+        from lhotse_tpu.manipulation import split_parallelize_combine
+
+        return split_parallelize_combine(
+            num_jobs, self, _trim_to_supervision_groups_single, max_pause=max_pause
+        )
+
+    def combine_same_recording_channels(self) -> "CutSet":
+        """Combine per-channel cuts of the same recording span into MultiCuts."""
+        if self.mixed_cuts or self.multi_cuts:
+            raise ValueError(
+                "This operation is not applicable to CutSets containing "
+                "MixedCuts or MultiCuts."
+            )
+        groups = defaultdict(list)
+        for cut in self:
+            groups[(cut.recording.id, cut.start, cut.end)].append(cut)
+        return CutSet.from_cuts(MultiCut.from_mono(*cuts) for cuts in groups.values())
+
+    def sort_by_recording_id(self, ascending: bool = True) -> "CutSet":
+        """Sort alphabetically by recording_id (helps caching in save_audios)."""
+        return CutSet(
+            sorted(self, key=(lambda cut: cut.recording.id), reverse=not ascending)
+        )
+
+    def sort_by_duration(self, ascending: bool = False) -> "CutSet":
+        """Sort by cut duration (descending by default)."""
+        return CutSet(
+            sorted(self, key=(lambda cut: cut.duration), reverse=not ascending)
+        )
+
+    def sort_like(self, other: Union["CutSet", Sequence[str]]) -> "CutSet":
+        """Reorder to match the cut ID order of ``other``."""
+        other_ids = list(other.ids if isinstance(other, CutSet) else other)
+        assert set(self.ids) == set(
+            other_ids
+        ), "sort_like() expects both CutSets to have identical cut IDs."
+        index_map: Dict[str, int] = {v: index for index, v in enumerate(other_ids)}
+        ans: List[Cut] = [None] * len(other_ids)
+        for cut in self:
+            ans[index_map[cut.id]] = cut
+        return CutSet(ans)
+
+    def index_supervisions(
+        self, index_mixed_tracks: bool = False, keep_ids: Optional[Set[str]] = None
+    ):
+        """Two-level index {cut_id: interval index of supervisions}."""
+        indexed = {}
+        for cut in self:
+            indexed.update(
+                cut.index_supervisions(
+                    index_mixed_tracks=index_mixed_tracks, keep_ids=keep_ids
+                )
+            )
+        return indexed
+
+    def pad(
+        self,
+        duration: Seconds = None,
+        num_frames: int = None,
+        num_samples: int = None,
+        pad_feat_value: float = LOG_EPSILON,
+        direction: str = "right",
+        preserve_id: bool = False,
+        pad_value_dict: Optional[Dict[str, Union[int, float]]] = None,
+    ) -> "CutSet":
+        """
+        Pad every cut to duration/num_frames/num_samples (default: the longest
+        cut, in frames if features exist, else samples, else seconds).
+        """
+        if all(arg is None for arg in (duration, num_frames, num_samples)):
+            if all(c.has_features for c in self):
+                num_frames = max(c.num_frames for c in self)
+            elif all(c.has_recording for c in self):
+                num_samples = max(c.num_samples for c in self)
+            else:
+                duration = max(cut.duration for cut in self)
+        return self.map(
+            partial(
+                _pad,
+                duration=duration,
+                num_frames=num_frames,
+                num_samples=num_samples,
+                pad_feat_value=pad_feat_value,
+                direction=direction,
+                preserve_id=preserve_id,
+                pad_value_dict=pad_value_dict,
+            )
+        )
+
+    def truncate(
+        self,
+        max_duration: Seconds,
+        offset_type: str,
+        keep_excessive_supervisions: bool = True,
+        preserve_id: bool = False,
+        rng: Optional[random.Random] = None,
+    ) -> "CutSet":
+        """Truncate cuts to at most ``max_duration``, from 'start'/'end'/'random'."""
+        assert offset_type in ("start", "end", "random"), (
+            f"Unknown offset type: '{offset_type}'"
+        )
+        return self.map(
+            partial(
+                _truncate_single,
+                max_duration=max_duration,
+                offset_type=offset_type,
+                keep_excessive_supervisions=keep_excessive_supervisions,
+                preserve_id=preserve_id,
+                rng=rng,
+            )
+        )
+
+    def extend_by(
+        self,
+        duration: Seconds,
+        direction: str = "both",
+        preserve_id: bool = False,
+        pad_silence: bool = True,
+    ) -> "CutSet":
+        """Extend cuts by ``duration`` with real recording context."""
+        return self.map(
+            partial(
+                _extend_by,
+                duration=duration,
+                direction=direction,
+                preserve_id=preserve_id,
+                pad_silence=pad_silence,
+            )
+        )
+
+    def cut_into_windows(
+        self,
+        duration: Seconds,
+        hop: Optional[Seconds] = None,
+        keep_excessive_supervisions: bool = True,
+        num_jobs: int = 1,
+    ) -> "CutSet":
+        """Traverse each cut in ``duration``-second windows every ``hop`` seconds."""
+        if not hop:
+            hop = duration
+        if num_jobs == 1:
+            return CutSet(
+                LazyFlattener(
+                    LazyMapper(
+                        self.data,
+                        partial(
+                            _cut_into_windows_single,
+                            duration=duration,
+                            hop=hop,
+                            keep_excessive_supervisions=keep_excessive_supervisions,
+                        ),
+                    )
+                )
+            )
+        from lhotse_tpu.manipulation import split_parallelize_combine
+
+        return split_parallelize_combine(
+            num_jobs,
+            self,
+            _cut_into_windows_single,
+            duration=duration,
+            hop=hop,
+            keep_excessive_supervisions=keep_excessive_supervisions,
+        )
+
+    def cut_into_windows_balanced(
+        self,
+        min_duration: Seconds,
+        max_duration: Seconds,
+        overlap: Seconds = 0.0,
+        keep_excessive_supervisions: bool = True,
+        num_jobs: int = 1,
+    ) -> "CutSet":
+        """Split cuts into windows sized within [min, max] to minimize padding."""
+        if num_jobs == 1:
+            return CutSet(
+                LazyFlattener(
+                    LazyMapper(
+                        self.data,
+                        partial(
+                            _cut_into_windows_balanced_single,
+                            min_duration=min_duration,
+                            max_duration=max_duration,
+                            overlap=overlap,
+                            keep_excessive_supervisions=keep_excessive_supervisions,
+                        ),
+                    )
+                )
+            )
+        from lhotse_tpu.manipulation import split_parallelize_combine
+
+        return split_parallelize_combine(
+            num_jobs,
+            self,
+            _cut_into_windows_balanced_single,
+            min_duration=min_duration,
+            max_duration=max_duration,
+            overlap=overlap,
+            keep_excessive_supervisions=keep_excessive_supervisions,
+        )
+
+    def load_audio(
+        self, collate: bool = False, limit: int = 1024
+    ) -> Union[List[np.ndarray], Tuple[np.ndarray, np.ndarray]]:
+        """Read all cuts' audio into memory (mini-batch use)."""
+        assert not self.is_lazy, "Cannot load audio of cuts in a lazy CutSet."
+        assert len(self) < limit, (
+            f"Cannot load audio of a CutSet with len={len(self)} (limit={limit}); "
+            f"increase the limit if intended."
+        )
+        if collate:
+            from lhotse_tpu.dataset.collation import collate_audio
+
+            audios, audio_lens = collate_audio(self)
+            return np.asarray(audios), np.asarray(audio_lens)
+        return [cut.load_audio() for cut in self]
+
+    def sample(self, n_cuts: int = 1) -> Union[Cut, "CutSet"]:
+        """Randomly sample ``n_cuts`` cuts (a single Cut when n_cuts == 1)."""
+        assert n_cuts > 0
+        cut_indices = random.sample(range(len(self)), min(n_cuts, len(self)))
+        cuts = [self[idx] for idx in cut_indices]
+        if n_cuts == 1:
+            return cuts[0]
+        return CutSet(cuts)
+
+    def resample(
+        self,
+        sampling_rate: int,
+        affix_id: bool = False,
+        recording_field: Optional[str] = None,
+    ) -> "CutSet":
+        """Lazily resample all cuts (drops attached feature manifests)."""
+        return self.map(
+            partial(
+                _resample,
+                sampling_rate=sampling_rate,
+                affix_id=affix_id,
+                recording_field=recording_field,
+            )
+        )
+
+    def perturb_speed(self, factor: float, affix_id: bool = True) -> "CutSet":
+        """Lazy speed perturbation over all cuts (supervisions follow)."""
+        return self.map(partial(_perturb_speed, factor=factor, affix_id=affix_id))
+
+    def perturb_tempo(self, factor: float, affix_id: bool = True) -> "CutSet":
+        """Lazy tempo (pitch-preserving) perturbation over all cuts."""
+        return self.map(partial(_perturb_tempo, factor=factor, affix_id=affix_id))
+
+    def perturb_volume(self, factor: float, affix_id: bool = True) -> "CutSet":
+        """Lazy volume perturbation over all cuts."""
+        return self.map(partial(_perturb_volume, factor=factor, affix_id=affix_id))
+
+    def narrowband(
+        self, codec: str, restore_orig_sr: bool = True, affix_id: bool = True
+    ) -> "CutSet":
+        """Lazy narrowband effect over all cuts."""
+        return self.map(
+            partial(
+                _narrowband,
+                codec=codec,
+                restore_orig_sr=restore_orig_sr,
+                affix_id=affix_id,
+            )
+        )
+
+    def normalize_loudness(
+        self, target: float, mix_first: bool = True, affix_id: bool = True
+    ) -> "CutSet":
+        """Lazy loudness normalization to ``target`` LUFS over all cuts."""
+        return self.map(
+            partial(
+                _normalize_loudness,
+                target=target,
+                mix_first=mix_first,
+                affix_id=affix_id,
+            )
+        )
+
+    def dereverb_wpe(self, affix_id: bool = True) -> "CutSet":
+        """Lazy WPE dereverberation over all cuts."""
+        return self.map(partial(_dereverb_wpe, affix_id=affix_id))
+
+    def reverb_rir(
+        self,
+        rir_recordings: Optional["RecordingSet"] = None,
+        normalize_output: bool = True,
+        early_only: bool = False,
+        affix_id: bool = True,
+        rir_channels: List[int] = [0],
+    ) -> "CutSet":
+        """Lazy reverberation with randomly chosen (or synthetic) RIRs."""
+        rir_recordings = list(rir_recordings) if rir_recordings else None
+        return self.map(
+            partial(
+                _reverb_rir,
+                rir_recording=random.choice(rir_recordings) if rir_recordings else None,
+                normalize_output=normalize_output,
+                early_only=early_only,
+                affix_id=affix_id,
+                rir_channels=rir_channels,
+            )
+        )
+
+    def mix(
+        self,
+        cuts: "CutSet",
+        duration: Optional[Seconds] = None,
+        allow_padding: bool = False,
+        snr: Optional[Union[Decibels, Sequence[Decibels]]] = 20,
+        preserve_id: Optional[str] = None,
+        mix_prob: float = 1.0,
+        seed: Union[int, str, random.Random] = 42,
+        random_mix_offset: bool = False,
+        tag: Optional[str] = None,
+    ) -> "CutSet":
+        """Lazily mix randomly-sampled cuts from ``cuts`` into this CutSet
+        (noise/music/babble augmentation)."""
+        return CutSet(
+            LazyCutMixer(
+                cuts=self,
+                mix_in_cuts=cuts,
+                duration=duration,
+                allow_padding=allow_padding,
+                snr=snr,
+                preserve_id=preserve_id,
+                mix_prob=mix_prob,
+                seed=seed,
+                random_mix_offset=random_mix_offset,
+                tag=tag,
+            )
+        )
+
+    def drop_features(self) -> "CutSet":
+        return self.map(_drop_features)
+
+    def drop_recordings(self) -> "CutSet":
+        return self.map(_drop_recordings)
+
+    def drop_supervisions(self) -> "CutSet":
+        return self.map(_drop_supervisions)
+
+    def drop_alignments(self) -> "CutSet":
+        return self.map(_drop_alignments)
+
+    def drop_in_memory_data(self) -> "CutSet":
+        return self.map(_drop_in_memory_data)
+
+    def compute_and_store_features(
+        self,
+        extractor: FeatureExtractor,
+        storage_path: Pathlike,
+        num_jobs: Optional[int] = None,
+        augment_fn=None,
+        storage_type: Optional[Type[FW]] = None,
+        executor: Optional[Executor] = None,
+        mix_eagerly: bool = True,
+        progress_bar: bool = True,
+    ) -> "CutSet":
+        """
+        Extract + store features for every cut, optionally fanning out over
+        ``num_jobs`` processes (work split via LazySlicer; per-job sub-storage
+        merged with combine()).
+        """
+        from lhotse_tpu.manipulation import combine as combine_manifests
+
+        progress = lambda x: x
+        if num_jobs is None:
+            num_jobs = 1
+        storage_type = ifnone(storage_type, default_features_storage_backend())
+        if num_jobs == 1 and executor is not None:
+            logging.warning(
+                "Executor argument was passed but num_jobs set to 1: ignoring "
+                "the executor and using non-parallel execution."
+            )
+            executor = None
+
+        if executor is None and num_jobs == 1:
+            if progress_bar:
+                from tqdm.auto import tqdm
+
+                progress = partial(
+                    tqdm, desc="Extracting and storing features", total=len(self)
+                )
+            with storage_type(storage_path) as storage:
+                return CutSet.from_cuts(
+                    maybe_cut
+                    for maybe_cut in progress(
+                        null_result_on_audio_loading_error(
+                            cut.compute_and_store_features
+                        )(
+                            extractor=extractor,
+                            storage=storage,
+                            augment_fn=augment_fn,
+                            mix_eagerly=mix_eagerly,
+                        )
+                        for cut in self
+                    )
+                    if maybe_cut is not None
+                )
+
+        if "://" in str(storage_path):
+
+            def sub_storage_path(idx: int) -> str:
+                return f"{storage_path}/feats-{idx}"
+
+        else:
+            storage_path = Path(storage_path)
+            storage_path.mkdir(parents=True, exist_ok=True)
+
+            def sub_storage_path(idx: int) -> str:
+                return storage_path / f"feats-{idx}"
+
+        # Work split: every i-th cut of n goes to job i.
+        cut_sets = [
+            CutSet(LazySlicer(self.data, k=i, n=num_jobs)) for i in range(num_jobs)
+        ]
+        if executor is None:
+            import multiprocessing
+
+            executor = ProcessPoolExecutor(
+                num_jobs, mp_context=multiprocessing.get_context("spawn")
+            )
+        futures = [
+            executor.submit(
+                CutSet.compute_and_store_features,
+                cs,
+                extractor=extractor,
+                storage_path=sub_storage_path(i),
+                augment_fn=augment_fn,
+                storage_type=storage_type,
+                mix_eagerly=mix_eagerly,
+                progress_bar=False,
+            )
+            for i, cs in enumerate(cut_sets)
+        ]
+        if progress_bar:
+            from tqdm.auto import tqdm
+
+            progress = partial(
+                tqdm,
+                desc="Extracting and storing features (chunks progress)",
+                total=len(futures),
+            )
+        cuts_with_feats = combine_manifests(progress(f.result() for f in futures))
+        return cuts_with_feats
+
+    def compute_and_store_features_batch(
+        self,
+        extractor: FeatureExtractor,
+        storage_path: Pathlike,
+        manifest_path: Optional[Pathlike] = None,
+        batch_duration: Seconds = 600.0,
+        num_workers: int = 4,
+        collate: bool = True,
+        augment_fn=None,
+        storage_type: Optional[Type[FW]] = None,
+        overwrite: bool = False,
+    ) -> "CutSet":
+        """
+        Batched extraction for extractors with an accelerated
+        ``extract_batch`` (the JAX/Pallas path): audio is read with a thread
+        pool, collated into padded shape-bucketed batches, extracted in a
+        single device call, and saved by a background writer thread. Resumes
+        previously-interrupted runs when ``manifest_path`` exists.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from lhotse_tpu.qa import validate_features
+
+        storage_type = ifnone(storage_type, default_features_storage_backend())
+        frame_shift = extractor.frame_shift
+
+        cuts_writer = CutSet.open_writer(manifest_path, overwrite=overwrite)
+
+        def batches():
+            """Greedy duration-based batching over cuts not yet processed."""
+            batch, batch_dur = [], 0.0
+            for cut in self:
+                if cut.id in cuts_writer.ignore_ids:
+                    continue
+                if batch and batch_dur + cut.duration > batch_duration:
+                    yield batch
+                    batch, batch_dur = [], 0.0
+                batch.append(cut)
+                batch_dur += cut.duration
+            if batch:
+                yield batch
+
+        def read_audio_safe(cut):
+            return null_result_on_audio_loading_error(cut.load_audio)()
+
+        def _save_worker(cuts: List[Cut], features: List[np.ndarray]) -> None:
+            for cut, feat_mat in zip(cuts, features):
+                if isinstance(cut, PaddingCut):
+                    cuts_writer.write(
+                        fastcopy(
+                            cut,
+                            num_frames=feat_mat.shape[0],
+                            num_features=feat_mat.shape[1],
+                            frame_shift=frame_shift,
+                        )
+                    )
+                    continue
+                storage_key = feats_writer.write(cut.id, np.asarray(feat_mat))
+                feat_manifest = Features(
+                    start=cut.start,
+                    duration=cut.duration,
+                    type=extractor.name,
+                    num_frames=feat_mat.shape[0],
+                    num_features=feat_mat.shape[1],
+                    frame_shift=frame_shift,
+                    sampling_rate=cut.sampling_rate,
+                    channels=cut.channel,
+                    storage_type=feats_writer.name,
+                    storage_path=str(feats_writer.storage_path),
+                    storage_key=storage_key,
+                )
+                validate_features(feat_manifest, feats_data=np.asarray(feat_mat))
+                if isinstance(cut, DataCut):
+                    feat_manifest.recording_id = cut.recording_id
+                    cut = fastcopy(cut, features=feat_manifest)
+                if isinstance(cut, MixedCut):
+                    # Mixed cuts are flattened into mono feature-only cuts.
+                    feat_manifest.recording_id = cut.id
+                    cut = MonoCut(
+                        id=cut.id,
+                        start=0,
+                        duration=cut.duration,
+                        channel=0,
+                        supervisions=[
+                            fastcopy(s, recording_id=cut.id, channel=0)
+                            for s in cut.supervisions
+                        ],
+                        features=feat_manifest,
+                        recording=None,
+                    )
+                cuts_writer.write(cut, flush=True)
+
+        from tqdm.auto import tqdm
+
+        futures = []
+        with cuts_writer, storage_type(
+            storage_path, mode="w" if overwrite else "a"
+        ) as feats_writer, tqdm(
+            desc="Computing features in batches"
+        ) as progress, ThreadPoolExecutor(max_workers=max(num_workers, 1)) as read_pool, ThreadPoolExecutor(
+            # One background writer so serialization order is deterministic.
+            max_workers=1
+        ) as save_pool:
+            for batch in batches():
+                waves = list(read_pool.map(read_audio_safe, batch))
+                cuts = [c for c, w in zip(batch, waves) if w is not None]
+                waves = [w for w in waves if w is not None]
+                if len(cuts) == 0:
+                    continue
+                assert all(c.sampling_rate == cuts[0].sampling_rate for c in cuts)
+                if augment_fn is not None:
+                    waves = [augment_fn(w, c.sampling_rate) for c, w in zip(cuts, waves)]
+                flat = [w.reshape(-1) if w.ndim > 1 and w.shape[0] == 1 else w for w in waves]
+                features = extractor.extract_batch(
+                    flat, sampling_rate=cuts[0].sampling_rate
+                )
+                if not isinstance(features, list):
+                    features = [features[i] for i in range(len(cuts))] if features.ndim == 3 else [features]
+                futures.append(save_pool.submit(_save_worker, cuts, features))
+                progress.update(len(cuts))
+            for future in futures:
+                future.result()
+
+        return cuts_writer.open_manifest()
+
+    def save_audios(
+        self,
+        storage_path: Pathlike,
+        format: str = "wav",
+        encoding: Optional[str] = None,
+        num_jobs: Optional[int] = None,
+        executor: Optional[Executor] = None,
+        augment_fn=None,
+        progress_bar: bool = True,
+        shuffle_on_split: bool = True,
+        **kwargs,
+    ) -> "CutSet":
+        """Store each cut's waveform to disk under
+        ``{storage_path}/{id[:3]}/{id}.{format}``."""
+        from lhotse_tpu.manipulation import combine as combine_manifests
+
+        progress = lambda x: x
+        if num_jobs is None:
+            num_jobs = 1
+        if num_jobs == 1 and executor is not None:
+            logging.warning(
+                "Executor argument was passed but num_jobs set to 1: ignoring it."
+            )
+            executor = None
+
+        def file_storage_path(cut: Cut, storage_path: Pathlike) -> Path:
+            # 3-char-prefix subdirs avoid one giant flat directory.
+            subdir = Path(storage_path) / cut.id[:3]
+            subdir.mkdir(exist_ok=True, parents=True)
+            return subdir / (cut.id + "." + format)
+
+        if executor is None and num_jobs == 1:
+            if progress_bar:
+                from tqdm.auto import tqdm
+
+                progress = partial(tqdm, desc="Storing audio recordings")
+            return CutSet(
+                progress(
+                    cut.save_audio(
+                        storage_path=file_storage_path(cut, storage_path),
+                        format=format,
+                        encoding=encoding,
+                        augment_fn=augment_fn,
+                    )
+                    for cut in self
+                )
+            ).to_eager()
+
+        cut_sets = self.split(num_jobs, shuffle=shuffle_on_split)
+        if executor is None:
+            import multiprocessing
+
+            executor = ProcessPoolExecutor(
+                max_workers=num_jobs, mp_context=multiprocessing.get_context("spawn")
+            )
+        futures = [
+            executor.submit(
+                CutSet.save_audios,
+                cs,
+                storage_path=storage_path,
+                format=format,
+                encoding=encoding,
+                augment_fn=augment_fn,
+                progress_bar=False,
+            )
+            for i, cs in enumerate(cut_sets)
+        ]
+        if progress_bar:
+            from tqdm.auto import tqdm
+
+            progress = partial(
+                tqdm, desc="Storing audio recordings (chunks progress)", total=len(futures)
+            )
+        cuts = combine_manifests(progress(f.result() for f in futures))
+        return cuts
+
+    def compute_global_feature_stats(
+        self,
+        storage_path: Optional[Pathlike] = None,
+        max_cuts: Optional[int] = None,
+        extractor: Optional[FeatureExtractor] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Global per-bin mean/std via the streaming Chan–Golub–LeVeque update."""
+        if extractor is not None:
+            cuts = self
+            if max_cuts is not None:
+                cuts = islice(cuts, max_cuts)
+            cuts = iter(cuts)
+            first = next(cuts)
+            stats = StatsAccumulator(feature_dim=extractor.feature_dim(first.sampling_rate))
+            for cut in chain([first], cuts):
+                arr = cut.compute_features(extractor)
+                stats.update(arr)
+            mvn = stats.get()
+            if storage_path is not None:
+                with open(storage_path, "wb") as f:
+                    pickle.dump(mvn, f)
+            return mvn
+
+        have_features = [cut.has_features for cut in self]
+        if not any(have_features):
+            raise ValueError(
+                "Could not find any features in this CutSet; did you forget to "
+                "extract them?"
+            )
+        if not all(have_features):
+            logging.warning(
+                f"Computing global stats: only {sum(have_features)}/"
+                f"{len(have_features)} cuts have features."
+            )
+        return compute_global_stats(
+            feature_manifests=islice(
+                (cut.features for cut in self if cut.has_features),
+                max_cuts if max_cuts is not None else len(self),
+            ),
+            storage_path=storage_path,
+        )
+
+    def with_features_path_prefix(self, path: Pathlike) -> "CutSet":
+        return self.map(partial(_add_features_path_prefix_single, path=path))
+
+    def with_recording_path_prefix(self, path: Pathlike) -> "CutSet":
+        return self.map(partial(_add_recording_path_prefix_single, path=path))
+
+    def copy_data(self, output_dir: Pathlike, verbose: bool = True) -> "CutSet":
+        """Copy every referenced data item (audio/features/custom arrays)
+        into ``output_dir`` and return a manifest pointing at the copies."""
+        from lhotse_tpu.array import Array, TemporalArray
+        from lhotse_tpu.features.io import NumpyHdf5Writer
+
+        output_dir = Path(output_dir)
+        audio_dir = output_dir / "audio"
+        audio_dir.mkdir(exist_ok=True, parents=True)
+        feature_writer_type = default_features_storage_backend()
+        if feature_writer_type is LilcomChunkyWriter:
+            feature_storage = output_dir / "features.lca"
+        else:
+            feature_storage = output_dir / "features"
+            feature_storage.mkdir(exist_ok=True, parents=True)
+        custom_dir = output_dir / "custom"
+        custom_dir.mkdir(exist_ok=True, parents=True)
+        custom_writers = {}
+
+        if verbose:
+            from tqdm.auto import tqdm
+
+            progbar = partial(tqdm, desc="Copying CutSet data")
+        else:
+            progbar = lambda x: x
+
+        with CutSet.open_writer(
+            output_dir / "cuts.jsonl.gz"
+        ) as manifest_writer, feature_writer_type(feature_storage) as feature_writer:
+
+            def _copy_single(cut):
+                cut = fastcopy(cut)
+                if cut.has_features:
+                    cut.features = cut.features.copy_feats(writer=feature_writer)
+                if cut.has_recording:
+                    cut = cut.save_audio(
+                        (audio_dir / cut.recording_id).with_suffix(".wav")
+                    )
+                if cut.custom is not None:
+                    for k, v in cut.custom.items():
+                        if isinstance(v, (Array, TemporalArray)):
+                            if k not in custom_writers:
+                                p = custom_dir / k
+                                p.mkdir(exist_ok=True, parents=True)
+                                custom_writers[k] = NumpyHdf5Writer(p / "data")
+                            custom_writers[k].write(cut.id, v.load())
+                return cut
+
+            for item in progbar(self):
+                if isinstance(item, PaddingCut):
+                    manifest_writer.write(item)
+                    continue
+                if isinstance(item, MixedCut):
+                    cpy = fastcopy(item)
+                    for t in cpy.tracks:
+                        if isinstance(t.cut, DataCut):
+                            _copy_single(t.cut)
+                    manifest_writer.write(cpy)
+                elif isinstance(item, DataCut):
+                    cpy = _copy_single(item)
+                    manifest_writer.write(cpy)
+                else:
+                    raise RuntimeError(f"Unexpected manifest type: {type(item)}")
+
+        for w in custom_writers.values():
+            w.close()
+        return manifest_writer.open_manifest()
+
+    def copy_feats(
+        self, writer: FeaturesWriter, output_path: Optional[Pathlike] = None
+    ) -> "CutSet":
+        """Re-store every feature matrix with ``writer``; returns an updated manifest."""
+        with CutSet.open_writer(output_path) as manifest_writer:
+            for item in self:
+                if not item.has_features or isinstance(item, PaddingCut):
+                    manifest_writer.write(item)
+                    continue
+                if isinstance(item, MixedCut):
+                    cpy = fastcopy(item)
+                    for t in cpy.tracks:
+                        if isinstance(t.cut, DataCut):
+                            t.cut.features = t.cut.features.copy_feats(writer=writer)
+                    manifest_writer.write(cpy)
+                elif isinstance(item, DataCut):
+                    cpy = fastcopy(item)
+                    cpy.features = cpy.features.copy_feats(writer=writer)
+                    manifest_writer.write(cpy)
+                else:
+                    manifest_writer.write(item)
+        return manifest_writer.open_manifest()
+
+    def modify_ids(self, transform_fn: Callable[[str], str]) -> "CutSet":
+        """Transform every cut's ID with ``transform_fn``."""
+        return self.map(partial(_with_id, transform_fn=transform_fn))
+
+    def fill_supervisions(self, add_empty: bool = True, shrink_ok: bool = False) -> "CutSet":
+        """Make each cut's single supervision span its entire duration."""
+        return self.map(partial(_fill_supervision, add_empty=add_empty, shrink_ok=shrink_ok))
+
+    def map_supervisions(
+        self, transform_fn: Callable[[SupervisionSegment], SupervisionSegment]
+    ) -> "CutSet":
+        return self.map(partial(_map_supervisions, transform_fn=transform_fn))
+
+    def transform_text(self, transform_fn: Callable[[str], str]) -> "CutSet":
+        """Transform every supervision's text."""
+        return self.map_supervisions(partial(_transform_text, transform_fn=transform_fn))
+
+    def prefetch(self, buffer_size: int = 10) -> "CutSet":
+        """
+        Pre-fetch cuts in a background thread with a bounded buffer — enables
+        concurrent read/process/write in ETL-style jobs (torch-free
+        replacement for the reference's DataLoader-based prefetch).
+        """
+        return CutSet(_BackgroundPrefetchIterator(self.data, buffer_size=buffer_size))
+
+    def to_huggingface_dataset(self):
+        """Convert to a HuggingFace Dataset (requires `datasets`)."""
+        from lhotse_tpu.hf import export_cuts_to_hf
+
+        return export_cuts_to_hf(self)
+
+    @staticmethod
+    def from_huggingface_dataset(*args, **kwargs) -> "CutSet":
+        """Stream a HuggingFace dataset as cuts (requires `datasets`)."""
+        from lhotse_tpu.hf import LazyHFDatasetIterator
+
+        return CutSet(LazyHFDatasetIterator(*args, **kwargs))
+
+    @property
+    def is_indexed(self) -> bool:
+        return getattr(self.data, "is_indexed", False)
+
+    @property
+    def has_constant_time_access(self) -> bool:
+        return getattr(self.data, "has_constant_time_access", False)
+
+    def state_dict(self) -> dict:
+        """Collect the checkpoint state of the underlying lazy iterator graph."""
+        if not self.is_lazy:
+            raise RuntimeError(
+                "state_dict() is only supported for lazy CutSets."
+            )
+        from lhotse_tpu.checkpoint import collect_state_dict
+
+        return collect_state_dict(self.data)
+
+    def load_state_dict(self, sd: dict) -> None:
+        """Restore the checkpoint state into the underlying lazy iterator graph."""
+        if not self.is_lazy:
+            raise RuntimeError(
+                "load_state_dict() is only supported for lazy CutSets."
+            )
+        from lhotse_tpu.checkpoint import restore_state_dict
+
+        restore_state_dict(self.data, sd)
+
+    def __repr__(self) -> str:
+        try:
+            len_val = len(self)
+        except Exception:
+            len_val = "<unknown>"
+        return f"CutSet(len={len_val}) [underlying data type: {type(self.data)}]"
+
+    def __contains__(self, other: Union[str, Cut]) -> bool:
+        if isinstance(other, str):
+            return any(other == item.id for item in self)
+        return any(other.id == item.id for item in self)
+
+    def __getitem__(self, index_or_id: Union[int, str]) -> Cut:
+        try:
+            return self.cuts[index_or_id]
+        except TypeError:
+            if self.is_lazy:
+                return next(item for idx, item in enumerate(self) if idx == index_or_id)
+            return next(item for item in self if item.id == index_or_id)
+
+    def __len__(self) -> int:
+        return len(self.cuts)
+
+    def __iter__(self) -> Iterable[Cut]:
+        yield from self.cuts
+
+
+class _BackgroundPrefetchIterator:
+    """Iterate the source in a daemon thread, buffering up to ``buffer_size``
+    items in a queue."""
+
+    def __init__(self, source: Iterable, buffer_size: int = 10):
+        self.source = source
+        self.buffer_size = buffer_size
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.buffer_size)
+        _DONE = object()
+        errors = []
+
+        def worker():
+            try:
+                for item in self.source:
+                    q.put(item)
+            except BaseException as e:  # noqa
+                errors.append(e)
+            finally:
+                q.put(_DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _DONE:
+                break
+            yield item
+        if errors:
+            raise errors[0]
+        t.join()
+
+
+def mix(
+    reference_cut: Cut,
+    mixed_in_cut: Cut,
+    offset: Seconds = 0,
+    allow_padding: bool = False,
+    snr: Optional[Decibels] = None,
+    preserve_id: Optional[str] = None,
+    tag: Optional[str] = None,
+) -> MixedCut:
+    """
+    Overlay two cuts into a MixedCut: the mixed-in cut is shifted by
+    ``offset`` and SNR-scaled relative to the reference; actual mixing
+    happens lazily on load (reference: cut/set.py:3022).
+    """
+    if (
+        any(isinstance(cut, PaddingCut) for cut in (reference_cut, mixed_in_cut))
+        and snr is not None
+    ):
+        warnings.warn(
+            "You are mixing cuts to a padding cut with a specified SNR — "
+            "setting snr to None to retain the original signal energies."
+        )
+        snr = None
+
+    if reference_cut.num_features is not None and mixed_in_cut.num_features is not None:
+        assert (
+            reference_cut.num_features == mixed_in_cut.num_features
+        ), "Cannot mix cuts with different feature dimensions."
+    assert offset <= reference_cut.duration or allow_padding, (
+        f"Cannot mix cut '{mixed_in_cut.id}' with offset {offset}, which is "
+        f"greater than cut {reference_cut.id}'s duration of "
+        f"{reference_cut.duration}. Set `allow_padding=True` to allow padding."
+    )
+    assert reference_cut.sampling_rate == mixed_in_cut.sampling_rate, (
+        f"Cannot mix cuts with different sampling rates "
+        f"({reference_cut.sampling_rate} vs. {mixed_in_cut.sampling_rate}). "
+        f"Please resample the recordings first."
+    )
+
+    # MultiCut channel-consistency checks.
+    if isinstance(reference_cut, MultiCut) or isinstance(mixed_in_cut, MultiCut):
+        if isinstance(reference_cut, MultiCut) and isinstance(mixed_in_cut, MultiCut):
+            assert (
+                reference_cut.channel == mixed_in_cut.channel
+            ), "Cannot mix MultiCuts with different channel ids."
+        if isinstance(reference_cut, MixedCut) or isinstance(mixed_in_cut, MixedCut):
+            if isinstance(reference_cut, MixedCut):
+                mixed_cut = reference_cut
+                multi_cut = mixed_in_cut
+            else:
+                mixed_cut = mixed_in_cut
+                multi_cut = reference_cut
+            assert all(
+                track.type != "MultiCut" or track.cut.channel == multi_cut.channel
+                for track in mixed_cut.tracks
+            ), (
+                "Cannot mix a MultiCut with a MixedCut containing MultiCuts "
+                "with different channel ids."
+            )
+
+    if preserve_id is None:
+        mixed_cut_id = str(uuid4())
+    elif preserve_id == "left":
+        mixed_cut_id = reference_cut.id
+    elif preserve_id == "right":
+        mixed_cut_id = mixed_in_cut.id
+    else:
+        raise ValueError(
+            "Unexpected value for 'preserve_id' argument: "
+            f"got '{preserve_id}', expected one of (None, 'left', 'right')."
+        )
+
+    if offset > reference_cut.duration:
+        reference_cut = reference_cut.pad(duration=offset)
+
+    # Reuse the reference MixedCut's tracks when it has no transforms/mutes.
+    if (
+        isinstance(reference_cut, MixedCut)
+        and len(ifnone(reference_cut.transforms, [])) == 0
+        and not any(track.mute for track in reference_cut.tracks)
+    ):
+        old_tracks = _ensure_explicit_snr_reference(reference_cut.tracks.copy())
+    elif isinstance(reference_cut, (DataCut, PaddingCut, MixedCut)):
+        old_tracks = [
+            MixTrack(
+                cut=reference_cut,
+                is_snr_reference=not isinstance(reference_cut, PaddingCut),
+            )
+        ]
+    else:
+        raise ValueError(f"Unsupported type of cut in mix(): {type(reference_cut)}")
+
+    if isinstance(mixed_in_cut, MixedCut):
+        if len(ifnone(mixed_in_cut.transforms, [])) > 0 or any(
+            track.mute for track in mixed_in_cut.tracks
+        ):
+            new_tracks = [MixTrack(cut=mixed_in_cut, offset=offset, snr=snr, tag=tag)]
+        else:
+            new_tracks = [
+                MixTrack(
+                    cut=track.cut,
+                    offset=round(track.offset + offset, ndigits=8),
+                    snr=(
+                        # No new SNR -> keep the track's; new SNR + no old -> new;
+                        # both -> sum (SNRs are relative to the first track).
+                        track.snr
+                        if snr is None
+                        else snr
+                        if track.snr is None
+                        else track.snr + snr
+                    ),
+                    tag=track.tag if track.tag is not None else tag,
+                    is_snr_reference=False,
+                    mute=track.mute,
+                )
+                for track in mixed_in_cut.tracks
+            ]
+    elif isinstance(mixed_in_cut, (DataCut, PaddingCut)):
+        new_tracks = [MixTrack(cut=mixed_in_cut, offset=offset, snr=snr, tag=tag)]
+    else:
+        raise ValueError(f"Unsupported type of cut in mix(): {type(mixed_in_cut)}")
+
+    return MixedCut(id=mixed_cut_id, tracks=old_tracks + new_tracks)
+
+
+def pad(
+    cut: Cut,
+    duration: Seconds = None,
+    num_frames: int = None,
+    num_samples: int = None,
+    pad_feat_value: float = LOG_EPSILON,
+    direction: str = "right",
+    preserve_id: bool = False,
+    pad_value_dict: Optional[Dict[str, Union[int, float]]] = None,
+) -> Cut:
+    """
+    Pad a cut with a PaddingCut to a target duration / frame count / sample
+    count (mutually exclusive); returns the cut unchanged when already long
+    enough (reference: cut/set.py:3174).
+    """
+    from lhotse_tpu.utils import DEFAULT_PADDING_VALUE
+
+    assert exactly_one_not_null(duration, num_frames, num_samples), (
+        f"Expected only one of (duration, num_frames, num_samples) to be set: "
+        f"got ({duration}, {num_frames}, {num_samples})"
+    )
+    if hasattr(cut, "custom") and isinstance(cut.custom, dict):
+        from lhotse_tpu.array import TemporalArray
+
+        arr_keys = [k for k, v in cut.custom.items() if isinstance(v, TemporalArray)]
+        if len(arr_keys) > 0:
+            padding_values_specified = pad_value_dict is not None and all(
+                k in pad_value_dict for k in arr_keys
+            )
+            if not padding_values_specified:
+                warnings.warn(
+                    f"Cut being padded has custom TemporalArray attributes: "
+                    f"{arr_keys}. Expected a 'pad_value_dict' argument with "
+                    f"padding values for them; using the default "
+                    f"(={DEFAULT_PADDING_VALUE})."
+                )
+
+    if duration is not None:
+        if duration <= cut.duration:
+            return cut
+        total_num_frames = (
+            compute_num_frames(
+                duration=duration,
+                frame_shift=cut.frame_shift,
+                sampling_rate=cut.sampling_rate,
+            )
+            if cut.has_features
+            else None
+        )
+        total_num_samples = (
+            compute_num_samples(duration=duration, sampling_rate=cut.sampling_rate)
+            if cut.has_recording
+            else None
+        )
+
+    if num_frames is not None:
+        assert cut.has_features, (
+            "Cannot pad a cut using num_frames when it is missing pre-computed "
+            "features (run cut.compute_and_store_features(...) first)."
+        )
+        total_num_frames = num_frames
+        duration = total_num_frames * cut.frame_shift
+        total_num_samples = (
+            compute_num_samples(duration=duration, sampling_rate=cut.sampling_rate)
+            if cut.has_recording
+            else None
+        )
+        if (
+            total_num_frames <= cut.num_frames
+            and duration <= cut.duration
+            and (total_num_samples is None or total_num_samples <= cut.num_samples)
+        ):
+            return cut
+
+    if num_samples is not None:
+        assert cut.has_recording, (
+            "Cannot pad a cut using num_samples when it is missing a Recording."
+        )
+        if num_samples <= cut.num_samples:
+            return cut
+        total_num_samples = num_samples
+        duration = total_num_samples / cut.sampling_rate
+        total_num_frames = (
+            compute_num_frames(
+                duration=duration,
+                frame_shift=cut.frame_shift,
+                sampling_rate=cut.sampling_rate,
+            )
+            if cut.has_features
+            else None
+        )
+
+    padding_duration = round(duration - cut.duration, ndigits=8)
+
+    video = None
+    if cut.has_video:
+        video = cut.video
+        video = video.copy_with(num_frames=compute_num_samples(padding_duration, video.fps))
+
+    padding_cut = PaddingCut(
+        id=str(uuid4()),
+        duration=padding_duration,
+        feat_value=pad_feat_value,
+        num_features=cut.num_features,
+        num_frames=(total_num_frames - cut.num_frames if cut.has_features else None),
+        num_samples=(total_num_samples - cut.num_samples if cut.has_recording else None),
+        frame_shift=cut.frame_shift,
+        sampling_rate=cut.sampling_rate,
+        video=video,
+        custom=pad_value_dict,
+    )
+
+    if direction == "right":
+        padded = cut.append(padding_cut, preserve_id="left" if preserve_id else None)
+    elif direction == "left":
+        padded = padding_cut.append(cut, preserve_id="right" if preserve_id else None)
+    elif direction == "both":
+        padded = (
+            padding_cut.truncate(duration=padding_cut.duration / 2)
+            .append(cut, preserve_id="right" if preserve_id else None)
+            .append(
+                padding_cut.truncate(duration=padding_cut.duration / 2),
+                preserve_id="left" if preserve_id else None,
+            )
+        )
+    else:
+        raise ValueError(f"Unknown type of padding: {direction}")
+    return padded
+
+
+def append(
+    left_cut: Cut,
+    right_cut: Cut,
+    snr: Optional[Decibels] = None,
+    preserve_id: Optional[str] = None,
+) -> MixedCut:
+    """Functional-style append of two cuts."""
+    return left_cut.append(right_cut, snr=snr, preserve_id=preserve_id)
+
+
+def mix_cuts(cuts: Iterable[Cut]) -> MixedCut:
+    """Fold the cuts into one MixedCut by successive mixing."""
+    return reduce(mix, cuts)
+
+
+def append_cuts(cuts: Iterable[Cut]) -> Cut:
+    """Fold the cuts into one MixedCut by successive appending."""
+    return reduce(append, cuts)
+
+
+def compute_supervisions_frame_mask(
+    cut: Cut,
+    frame_shift: Optional[Seconds] = None,
+    use_alignment_if_exists: Optional[str] = None,
+):
+    """1-D 0/1 mask over frames covered by at least one supervision
+    (reference: cut/set.py:3353)."""
+    assert cut.has_features or frame_shift is not None, (
+        "No features available; either pre-compute features or provide frame_shift."
+    )
+    if cut.has_features:
+        frame_shift = cut.frame_shift
+        num_frames = cut.num_frames
+    else:
+        num_frames = compute_num_frames(
+            duration=cut.duration, frame_shift=frame_shift, sampling_rate=cut.sampling_rate
+        )
+    mask = np.zeros(num_frames, dtype=np.float32)
+    for supervision in cut.supervisions:
+        if (
+            use_alignment_if_exists
+            and supervision.alignment
+            and use_alignment_if_exists in supervision.alignment
+        ):
+            for ali in supervision.alignment[use_alignment_if_exists]:
+                st = round(ali.start / frame_shift) if ali.start > 0 else 0
+                et = round(ali.end / frame_shift) if ali.end < cut.duration else num_frames
+                mask[st:et] = 1.0
+        else:
+            st = round(supervision.start / frame_shift) if supervision.start > 0 else 0
+            et = (
+                round(supervision.end / frame_shift)
+                if supervision.end < cut.duration
+                else num_frames
+            )
+            mask[st:et] = 1.0
+    return mask
+
+
+def create_cut_set_eager(
+    recordings: Optional[RecordingSet] = None,
+    supervisions: Optional[SupervisionSet] = None,
+    features: Optional[FeatureSet] = None,
+    output_path: Optional[Pathlike] = None,
+    random_ids: bool = False,
+    tolerance: Seconds = 0.001,
+) -> CutSet:
+    """
+    Build cuts eagerly from manifests: boundaries from features when given,
+    else from recordings; matching supervisions attached with adjusted
+    offsets (reference: cut/set.py:3408).
+    """
+    assert (
+        features is not None or recordings is not None
+    ), "At least one of 'features' or 'recordings' has to be provided."
+    sup_ok, feat_ok, rec_ok = (
+        supervisions is not None,
+        features is not None,
+        recordings is not None,
+    )
+    if sup_ok:
+        supervisions = supervisions.to_eager()  # .find() requires eager
+    if feat_ok:
+        if rec_ok:
+            recordings = recordings.to_eager()
+        cuts = []
+        for idx, feats in enumerate(features):
+            is_mono = (
+                feats.channels is None
+                or isinstance(feats.channels, int)
+                or len(feats.channels) == 1
+            )
+            if is_mono:
+                cls = MonoCut
+                channel = feats.channels if feats.channels is not None else 0
+            else:
+                cls = MultiCut
+                channel = list(feats.channels)
+            cuts.append(
+                cls(
+                    id=str(uuid4()) if random_ids else f"{feats.recording_id}-{idx}",
+                    start=feats.start,
+                    duration=feats.duration,
+                    channel=channel,
+                    features=feats,
+                    recording=recordings[feats.recording_id] if rec_ok else None,
+                    supervisions=list(
+                        supervisions.find(
+                            recording_id=feats.recording_id,
+                            channel=channel,
+                            start_after=feats.start,
+                            end_before=feats.end,
+                            adjust_offset=True,
+                            tolerance=tolerance,
+                        )
+                    )
+                    if sup_ok
+                    else [],
+                )
+            )
+    else:
+        cuts = []
+        for ridx, recording in enumerate(recordings):
+            if recording.num_channels == 1:
+                cls = MonoCut
+                channel = recording.channel_ids[0]
+            else:
+                cls = MultiCut
+                channel = recording.channel_ids
+            cuts.append(
+                cls(
+                    id=str(uuid4()) if random_ids else f"{recording.id}-{ridx}",
+                    start=0,
+                    duration=recording.duration,
+                    channel=channel,
+                    recording=recording,
+                    supervisions=list(supervisions.find(recording_id=recording.id))
+                    if sup_ok
+                    else [],
+                )
+            )
+    cuts = CutSet(cuts)
+    if output_path is not None:
+        cuts.to_file(output_path)
+    return cuts
+
+
+def create_cut_set_lazy(
+    output_path: Pathlike,
+    recordings: Optional[RecordingSet] = None,
+    supervisions: Optional[SupervisionSet] = None,
+    features: Optional[FeatureSet] = None,
+    random_ids: bool = False,
+    tolerance: Seconds = 0.001,
+) -> CutSet:
+    """
+    Memory-efficient streaming variant of :func:`create_cut_set_eager`:
+    requires an output path and recording_id-sorted inputs
+    (reference: cut/set.py:3518).
+    """
+    assert output_path is not None, (
+        "You must provide the 'output_path' argument to create a CutSet lazily."
+    )
+    assert (
+        features is not None or recordings is not None
+    ), "At least one of 'features' or 'recordings' has to be provided."
+    sup_ok, feat_ok, rec_ok = (
+        supervisions is not None,
+        features is not None,
+        recordings is not None,
+    )
+    for mtype, m in [
+        ("recordings", recordings),
+        ("supervisions", supervisions),
+        ("features", features),
+    ]:
+        if m is not None and not m.is_lazy:
+            logging.info(
+                f"Manifest passed in argument '{mtype}' is not opened lazily; "
+                f"open it with {type(m).__name__}.from_jsonl_lazy() to reduce memory usage."
+            )
+    if feat_ok:
+        recordings = iter(recordings) if rec_ok else itertools.repeat(None)
+        supervisions = iter(supervisions) if sup_ok else itertools.repeat(None)
+        with CutSet.open_writer(output_path) as writer:
+            for idx, feats in enumerate(features):
+                rec = next(recordings)
+                assert rec is None or rec.id == feats.recording_id, (
+                    f"Mismatched recording_id: Features.recording_id == "
+                    f"{feats.recording_id} but Recording.id == '{rec.id}'"
+                )
+                sups, supervisions = _takewhile(
+                    supervisions, lambda s: s.recording_id == feats.recording_id
+                )
+                sups = SupervisionSet.from_segments(sups)
+                is_mono = (
+                    feats.channels is None
+                    or isinstance(feats.channels, int)
+                    or len(feats.channels) == 1
+                )
+                if is_mono:
+                    cls = MonoCut
+                    channel = feats.channels if feats.channels is not None else 0
+                else:
+                    cls = MultiCut
+                    channel = list(feats.channels)
+                cut = cls(
+                    id=str(uuid4()) if random_ids else f"{feats.recording_id}-{idx}",
+                    start=feats.start,
+                    duration=feats.duration,
+                    channel=channel,
+                    features=feats,
+                    recording=rec,
+                    supervisions=list(
+                        sups.find(
+                            recording_id=feats.recording_id,
+                            channel=channel,
+                            start_after=feats.start,
+                            end_before=feats.end,
+                            adjust_offset=True,
+                            tolerance=tolerance,
+                        )
+                    )
+                    if sup_ok
+                    else [],
+                )
+                writer.write(cut)
+        return CutSet.from_jsonl_lazy(output_path)
+
+    supervisions = iter(supervisions) if sup_ok else itertools.repeat(None)
+    with CutSet.open_writer(output_path) as writer:
+        for ridx, recording in enumerate(recordings):
+            sups, supervisions = _takewhile(
+                supervisions, lambda s: s.recording_id == recording.id
+            )
+            sups = SupervisionSet.from_segments(sups)
+            if recording.num_channels == 1:
+                cls = MonoCut
+                channel = recording.channel_ids[0]
+            else:
+                cls = MultiCut
+                channel = recording.channel_ids
+            cut = cls(
+                id=str(uuid4()) if random_ids else f"{recording.id}-{ridx}",
+                start=0,
+                duration=recording.duration,
+                channel=channel,
+                recording=recording,
+                supervisions=list(sups.find(recording_id=recording.id)) if sup_ok else [],
+            )
+            writer.write(cut)
+    return CutSet.from_jsonl_lazy(output_path)
+
+
+def _takewhile(
+    iterable: Iterable[T], predicate: Callable[[T], bool]
+) -> Tuple[List[T], Iterable[T]]:
+    """Like itertools.takewhile, but returns the remaining iterable including
+    the first non-matching item."""
+    collected = []
+    try:
+        while True:
+            item = next(iterable)
+            if predicate(item):
+                collected.append(item)
+            else:
+                iterable = chain([item], iterable)
+                break
+    except StopIteration:
+        pass
+    return collected, iterable
+
+
+def deserialize_cut(raw_cut: dict) -> Cut:
+    """Dispatch on the 'type' field (reference: cut/set.py:3705)."""
+    cut_type = raw_cut.pop("type")
+    if cut_type == "MonoCut":
+        return MonoCut.from_dict(raw_cut)
+    if cut_type == "MultiCut":
+        return MultiCut.from_dict(raw_cut)
+    if cut_type == "PaddingCut":
+        return PaddingCut.from_dict(raw_cut)
+    if cut_type == "Cut":
+        warnings.warn(
+            "Your manifest uses the legacy cut type name 'Cut'; interpreting as MonoCut."
+        )
+        return MonoCut.from_dict(raw_cut)
+    if cut_type == "MixedCut":
+        return MixedCut.from_dict(raw_cut)
+    raise ValueError(f"Unexpected cut type during deserialization: '{cut_type}'")
+
+
+# Module-level picklable helpers so that CutSet.map-based ops survive
+# multiprocessing without dill (reference: cut/set.py:3794-3880).
+
+
+def _cut_into_windows_single(cuts_or_cut, duration, hop, keep_excessive_supervisions):
+    if isinstance(cuts_or_cut, CutSet):
+        return cuts_or_cut.cut_into_windows(
+            duration=duration,
+            hop=hop,
+            keep_excessive_supervisions=keep_excessive_supervisions,
+        ).to_eager()
+    return cuts_or_cut.cut_into_windows(
+        duration=duration, hop=hop, keep_excessive_supervisions=keep_excessive_supervisions
+    )
+
+
+def _cut_into_windows_balanced_single(
+    cuts_or_cut, min_duration, max_duration, overlap, keep_excessive_supervisions
+):
+    if isinstance(cuts_or_cut, CutSet):
+        return cuts_or_cut.cut_into_windows_balanced(
+            min_duration=min_duration,
+            max_duration=max_duration,
+            overlap=overlap,
+            keep_excessive_supervisions=keep_excessive_supervisions,
+        ).to_eager()
+    return cuts_or_cut.cut_into_windows_balanced(
+        min_duration=min_duration,
+        max_duration=max_duration,
+        overlap=overlap,
+        keep_excessive_supervisions=keep_excessive_supervisions,
+    )
+
+
+def _trim_to_supervisions_single(
+    cuts_or_cut, keep_overlapping, min_duration, context_direction, keep_all_channels
+):
+    if isinstance(cuts_or_cut, CutSet):
+        return cuts_or_cut.trim_to_supervisions(
+            keep_overlapping=keep_overlapping,
+            min_duration=min_duration,
+            context_direction=context_direction,
+            keep_all_channels=keep_all_channels,
+        ).to_eager()
+    return cuts_or_cut.trim_to_supervisions(
+        keep_overlapping=keep_overlapping,
+        min_duration=min_duration,
+        context_direction=context_direction,
+        keep_all_channels=keep_all_channels,
+    )
+
+
+def _trim_to_alignments_single(
+    cuts_or_cut, type, max_pause, max_segment_duration, delimiter, keep_all_channels
+):
+    if isinstance(cuts_or_cut, CutSet):
+        return cuts_or_cut.trim_to_alignments(
+            type=type,
+            max_pause=max_pause,
+            max_segment_duration=max_segment_duration,
+            delimiter=delimiter,
+            keep_all_channels=keep_all_channels,
+        ).to_eager()
+    return cuts_or_cut.trim_to_alignments(
+        type=type,
+        max_pause=max_pause,
+        max_segment_duration=max_segment_duration,
+        delimiter=delimiter,
+        keep_all_channels=keep_all_channels,
+    )
+
+
+def _trim_to_supervision_groups_single(cuts_or_cut, max_pause):
+    if isinstance(cuts_or_cut, CutSet):
+        return cuts_or_cut.trim_to_supervision_groups(max_pause=max_pause).to_eager()
+    return cuts_or_cut.trim_to_supervision_groups(max_pause=max_pause)
+
+
+def _add_recording_path_prefix_single(cut, path):
+    return cut.with_recording_path_prefix(path)
+
+
+def _add_features_path_prefix_single(cut, path):
+    return cut.with_features_path_prefix(path)
+
+
+def _with_id(cut, transform_fn):
+    return cut.with_id(transform_fn(cut.id))
+
+
+def _fill_supervision(cut, add_empty, shrink_ok):
+    return cut.fill_supervision(add_empty=add_empty, shrink_ok=shrink_ok)
+
+
+def _map_supervisions(cut, transform_fn):
+    return cut.map_supervisions(transform_fn)
+
+
+def _transform_text(sup, transform_fn):
+    return sup.transform_text(transform_fn)
+
+
+def _filter_supervisions(cut, predicate):
+    return cut.filter_supervisions(predicate)
+
+
+def _merge_supervisions(cut, merge_policy, custom_merge_fn):
+    return cut.merge_supervisions(merge_policy=merge_policy, custom_merge_fn=custom_merge_fn)
+
+
+def _pad(cut, *args, **kwargs):
+    return cut.pad(*args, **kwargs)
+
+
+def _extend_by(cut, *args, **kwargs):
+    return cut.extend_by(*args, **kwargs)
+
+
+def _resample(cut, *args, **kwargs):
+    return cut.resample(*args, **kwargs)
+
+
+def _perturb_speed(cut, *args, **kwargs):
+    return cut.perturb_speed(*args, **kwargs)
+
+
+def _perturb_tempo(cut, *args, **kwargs):
+    return cut.perturb_tempo(*args, **kwargs)
+
+
+def _perturb_volume(cut, *args, **kwargs):
+    return cut.perturb_volume(*args, **kwargs)
+
+
+def _narrowband(cut, *args, **kwargs):
+    return cut.narrowband(*args, **kwargs)
+
+
+def _reverb_rir(cut, *args, **kwargs):
+    return cut.reverb_rir(*args, **kwargs)
+
+
+def _normalize_loudness(cut, *args, **kwargs):
+    return cut.normalize_loudness(*args, **kwargs)
+
+
+def _dereverb_wpe(cut, *args, **kwargs):
+    return cut.dereverb_wpe(*args, **kwargs)
+
+
+def _drop_features(cut, *args, **kwargs):
+    return cut.drop_features(*args, **kwargs)
+
+
+def _drop_recordings(cut, *args, **kwargs):
+    return cut.drop_recording(*args, **kwargs)
+
+
+def _drop_alignments(cut, *args, **kwargs):
+    return cut.drop_alignments(*args, **kwargs)
+
+
+def _drop_supervisions(cut, *args, **kwargs):
+    return cut.drop_supervisions(*args, **kwargs)
+
+
+def _drop_in_memory_data(cut, *args, **kwargs):
+    return cut.drop_in_memory_data(*args, **kwargs)
+
+
+def _truncate_single(
+    cut: Cut,
+    max_duration: Seconds,
+    offset_type: str,
+    keep_excessive_supervisions: bool = True,
+    preserve_id: bool = False,
+    rng: Optional[random.Random] = None,
+) -> Cut:
+    if cut.duration <= max_duration:
+        return cut
+
+    def compute_offset():
+        if offset_type == "start":
+            return 0.0
+        last_offset = cut.duration - max_duration
+        if offset_type == "end":
+            return last_offset
+        if offset_type == "random":
+            if rng is None:
+                return random.uniform(0.0, last_offset)
+            return rng.uniform(0.0, last_offset)
+        raise ValueError(f"Unknown 'offset_type' option: {offset_type}")
+
+    return cut.truncate(
+        offset=compute_offset(),
+        duration=max_duration,
+        keep_excessive_supervisions=keep_excessive_supervisions,
+        preserve_id=preserve_id,
+    )
+
+
+def _export_to_shar_single(
+    cuts: CutSet,
+    output_dir: Pathlike,
+    shard_size: Optional[int],
+    shard_offset: int,
+    fields: Dict[str, str],
+    warn_unused_fields: bool,
+    include_cuts: bool,
+    shard_suffix: Optional[str],
+    verbose: bool,
+    fault_tolerant: bool,
+    preload: bool = False,
+    compress_jsonl: bool = True,
+    create_index: bool = True,
+) -> Dict[str, List[str]]:
+    from tqdm.auto import tqdm
+
+    from lhotse_tpu.shar import SharWriter
+
+    pbar = tqdm(desc="Exporting to SHAR", disable=not verbose)
+    if preload:
+        cuts = cuts.to_eager()
+    with SharWriter(
+        output_dir=output_dir,
+        fields=fields,
+        shard_size=shard_size,
+        shard_offset=shard_offset,
+        warn_unused_fields=warn_unused_fields,
+        include_cuts=include_cuts,
+        shard_suffix=shard_suffix,
+        compress_jsonl=compress_jsonl,
+        create_index=create_index,
+    ) as writer:
+        for cut in cuts:
+            try:
+                writer.write(cut)
+            except Exception as e:
+                if fault_tolerant:
+                    logging.warning(
+                        f"Skipping: failed to load cut '{cut.id}'. Error message: {e}."
+                    )
+                else:
+                    raise
+            pbar.update()
+    return writer.output_paths
+
+
+class LazyCutMixer(IteratorNode):
+    """
+    Iterate over ``cuts`` while mixing randomly-sampled ``mix_in_cuts`` into
+    them (noise/music/babble augmentation). With indexed noise + indexed
+    sources, each output cut's mix is a pure function of
+    (iteration seed, source graph token), enabling O(1) checkpoint restore
+    (reference: cut/set.py:3967-4288).
+    """
+
+    def __init__(
+        self,
+        cuts: "CutSet",
+        mix_in_cuts: "CutSet",
+        duration: Optional[Seconds] = None,
+        allow_padding: bool = False,
+        snr: Optional[Union[Decibels, Sequence[Decibels]]] = 20,
+        preserve_id: Optional[str] = None,
+        mix_prob: float = 1.0,
+        seed: Union[int, str, random.Random] = 42,
+        random_mix_offset: bool = False,
+        stateful: bool = True,
+        tag: Optional[str] = None,
+    ) -> None:
+        self.source = resolve_iterator_source(cuts)
+        self._source_len_ref = cuts
+        self.mix_in_cuts = mix_in_cuts
+        self._mix_in_source = resolve_iterator_source(mix_in_cuts)
+        self.duration = duration
+        self.allow_padding = allow_padding
+        self.snr = snr
+        self.preserve_id = preserve_id
+        self.mix_prob = mix_prob
+        self.seed = seed
+        self.random_mix_offset = random_mix_offset
+        self.stateful = stateful
+        self.tag = tag
+        self.num_times_iterated = 0
+        self._restored = False
+        self._rng_state = None
+        self._rng = None
+        self._iteration_seed = None
+        self._mix_in_iter = None
+
+        assert 0.0 <= self.mix_prob <= 1.0
+        assert self.duration is None or self.duration > 0
+        if isinstance(self.snr, (tuple, list)):
+            assert len(self.snr) == 2, (
+                f"SNR range must be a list or tuple with exactly two values (got: {snr})"
+            )
+        else:
+            assert isinstance(self.snr, (type(None), int, float))
+
+    @property
+    def is_checkpointable(self) -> bool:
+        return (
+            self.stateful
+            and self._noise_is_indexed()
+            and isinstance(self.source, IteratorNode)
+            and self.source.is_checkpointable
+        )
+
+    @property
+    def is_indexed(self) -> bool:
+        return getattr(self.source, "is_indexed", False) and getattr(
+            self._mix_in_source, "is_indexed", False
+        )
+
+    @property
+    def has_constant_time_access(self) -> bool:
+        return (
+            not isinstance(self.seed, random.Random)
+            and supports_graph_restore(self.source)
+            and self._noise_is_indexed()
+        )
+
+    def __iter__(self):
+        from lhotse_tpu.dataset.dataloading import resolve_seed
+
+        restored = self._restored
+        self._restored = False
+
+        if self.has_constant_time_access:
+            if restored:
+                iteration_seed = self._iteration_seed
+                if iteration_seed is None:
+                    iteration_seed = self._resolve_iteration_seed(self.num_times_iterated)
+            else:
+                iteration_seed = self._resolve_iteration_seed(self.num_times_iterated)
+                self._iteration_seed = iteration_seed
+
+        if self.has_constant_time_access:
+            rng = None
+        elif restored and self._rng_state is not None:
+            rng = random.Random()
+            rng.setstate(self._rng_state)
+        elif isinstance(self.seed, random.Random):
+            rng = self.seed
+        else:
+            rng = random.Random(resolve_seed(self.seed) + self.num_times_iterated)
+        self._rng = rng
+
+        if self.stateful and not restored:
+            self.num_times_iterated += 1
+
+        if not self._noise_is_indexed():
+            if self.mix_in_cuts.is_lazy:
+
+                def noise_gen():
+                    yield from self.mix_in_cuts.repeat().shuffle(rng=rng, buffer_size=2000)
+
+            else:
+
+                def noise_gen():
+                    while True:
+                        yield from self.mix_in_cuts.shuffle(rng=rng)
+
+            self._mix_in_iter = iter(noise_gen())
+
+        for cut in self.source:
+            if self.has_constant_time_access:
+                source_token = get_graph_origin(cut)
+                if source_token is None:
+                    raise RuntimeError(
+                        "LazyCutMixer requires '_graph_origin' on indexed source "
+                        "items to support constant-time reconstruction."
+                    )
+                item_rng = self._make_item_rng(source_token, iteration_seed)
+                cut = attach_graph_origin(self._mix_one(cut, item_rng), source_token)
+            else:
+                cut = self._mix_one(cut, rng)
+            yield cut
+
+    def _noise_is_indexed(self) -> bool:
+        return getattr(self._mix_in_source, "is_indexed", False) and supports_graph_restore(
+            self._mix_in_source, require_length=True
+        )
+
+    def _next_mix_in_cut(self, rng: random.Random) -> Cut:
+        if self._noise_is_indexed():
+            idx = rng.randrange(len(self._mix_in_source))
+            return self._mix_in_source[idx]
+        return next(self._mix_in_iter)
+
+    def _resolve_iteration_seed(self, iteration_idx: int) -> int:
+        from lhotse_tpu.dataset.dataloading import resolve_seed
+
+        if isinstance(self.seed, random.Random):
+            raise RuntimeError(
+                "LazyCutMixer with seed=random.Random does not support "
+                "constant-time restore."
+            )
+        return resolve_seed(self.seed) + iteration_idx
+
+    @staticmethod
+    def _combine_seed(iteration_seed: int, source_token: Any) -> int:
+        token_bytes = pickle.dumps(normalize_graph_token(source_token), protocol=4)
+        token_seed = int.from_bytes(
+            hashlib.blake2b(token_bytes, digest_size=8).digest(), byteorder="little"
+        )
+        return ((iteration_seed * 0x9E3779B97F4A7C15) + token_seed) & 0xFFFFFFFFFFFFFFFF
+
+    def _make_item_rng(self, source_token: Any, iteration_seed: int) -> random.Random:
+        return random.Random(self._combine_seed(iteration_seed, source_token))
+
+    def _mix_one(self, cut: Cut, rng: random.Random) -> Cut:
+        if not is_cut(cut) or rng.uniform(0.0, 1.0) > self.mix_prob:
+            return cut
+        cut_snr = rng.uniform(*self.snr) if isinstance(self.snr, (list, tuple)) else self.snr
+        # Subtract 50 ms to avoid mixing in a noise cut with 0 feature frames.
+        target_mixed_duration = round(
+            self.duration if self.duration is not None else cut.duration - 0.05,
+            ndigits=8,
+        )
+        to_mix = self._next_mix_in_cut(rng)
+        to_mix = self._maybe_truncate_cut(to_mix, target_mixed_duration, rng)
+        mixed = cut.mix(other=to_mix, snr=cut_snr, preserve_id=self.preserve_id, tag=self.tag)
+        mixed_in_duration = to_mix.duration
+        while mixed_in_duration < target_mixed_duration - 0.05:
+            to_mix = self._next_mix_in_cut(rng)
+            to_mix = self._maybe_truncate_cut(
+                to_mix, target_mixed_duration - mixed_in_duration, rng
+            )
+            mixed = mixed.mix(
+                other=to_mix,
+                snr=cut_snr,
+                offset_other_by=mixed_in_duration,
+                allow_padding=self.allow_padding,
+                preserve_id=self.preserve_id,
+                tag=self.tag,
+            )
+            mixed_in_duration = round(mixed_in_duration + to_mix.duration, ndigits=8)
+        return mixed.truncate(
+            duration=self.duration if self.duration is not None else cut.duration,
+            preserve_id=self.preserve_id is not None,
+        )
+
+    def __getitem__(self, idx: Any) -> Cut:
+        if not self.has_constant_time_access:
+            raise TypeError(
+                "LazyCutMixer only supports __getitem__ when both the source and "
+                "mix-in cuts provide constant-time indexed access."
+            )
+        graph_token = normalize_graph_token(idx)
+        iteration_seed = (
+            self._iteration_seed
+            if self._iteration_seed is not None
+            else self._resolve_iteration_seed(0)
+        )
+        cut = self.source[graph_token]
+        return attach_graph_origin(
+            self._mix_one(cut, self._make_item_rng(graph_token, iteration_seed)),
+            graph_token,
+        )
+
+    def state_dict(self) -> dict:
+        if not self.is_checkpointable:
+            raise NotImplementedError(
+                "LazyCutMixer checkpointing requires indexed mix_in_cuts."
+            )
+        from lhotse_tpu.checkpoint import _rng_state_to_json
+
+        rng_state = self._rng.getstate() if self._rng is not None else self._rng_state
+        sd = {
+            "num_times_iterated": self.num_times_iterated,
+            "rng_state": _rng_state_to_json(rng_state) if rng_state is not None else None,
+            "iteration_seed": self._iteration_seed,
+        }
+        source_state = _try_collect_child_state(self.source)
+        if source_state is not None:
+            sd["source"] = source_state
+        return sd
+
+    def load_state_dict(self, sd: dict) -> None:
+        if not self.is_checkpointable:
+            raise NotImplementedError(
+                "LazyCutMixer checkpointing requires indexed mix_in_cuts."
+            )
+        from lhotse_tpu.checkpoint import _rng_state_from_json
+
+        self.num_times_iterated = sd["num_times_iterated"]
+        if sd.get("rng_state") is not None:
+            self._rng_state = _rng_state_from_json(sd["rng_state"])
+        else:
+            self._rng_state = None
+        self._iteration_seed = sd.get("iteration_seed")
+        _try_restore_child_state(self.source, sd.get("source"))
+        self._restored = True
+
+    def _maybe_truncate_cut(
+        self, cut: Cut, target_duration: Seconds, rng: random.Random
+    ) -> Cut:
+        if self.random_mix_offset and cut.duration > target_duration:
+            cut = cut.truncate(
+                offset=rng.uniform(0, cut.duration - target_duration),
+                duration=target_duration,
+            )
+        return cut
+
+    def __len__(self) -> int:
+        return len(self._source_len_ref)
+
+    def __add__(self, other) -> "LazyIteratorChain":
+        return LazyIteratorChain(self, other)

@@ -317,6 +317,17 @@ def is_module_available(*modules: str) -> bool:
     return all(importlib.util.find_spec(m) is not None for m in modules)
 
 
+def measure_overlap(lhs: Any, rhs: Any) -> float:
+    """Given two objects with start/end attributes, return the % of their
+    overlapped time relative to the shorter of the two (reference: utils.py:809)."""
+    lhs, rhs = sorted([lhs, rhs], key=lambda item: item.start)
+    overlapped_area = lhs.end - rhs.start
+    if overlapped_area <= 0:
+        return 0.0
+    dur = min(lhs.end - lhs.start, rhs.end - rhs.start)
+    return overlapped_area / dur
+
+
 def measure_overlap_frac(lhs: Any, rhs: Any) -> float:
     """Fraction of ``lhs`` covered by overlap with ``rhs``."""
     if not overlaps(lhs, rhs):
