@@ -1,0 +1,157 @@
+"""
+SimpleCutSampler: dynamic-batch-size sampling from a single CutSet.
+
+Reference behavior: `/root/reference/lhotse/dataset/sampling/simple.py`
+(SimpleCutSampler :9-226): constraint-driven batch collection with take-back
+of the overflowing cut, drop_last override when close_to_exceeding, and O(N)
+fast-forward restore keyed on the diagnostics' per-epoch cut count.
+"""
+import warnings
+from typing import Any, Dict, Optional
+
+from lhotse_tpu.cut import CutSet
+from lhotse_tpu.dataset.sampling.base import CutSampler, TimeConstraint
+from lhotse_tpu.dataset.sampling.data_source import DataSource
+from lhotse_tpu.utils import Seconds
+
+
+class SimpleCutSampler(CutSampler):
+    """
+    Samples cuts to satisfy a :class:`TimeConstraint`; yields CutSet batches
+    of dynamic size. Exactly zero or one of ``max_duration``/``max_cuts`` may
+    bound the batch; padding cost is modeled by the constraint itself.
+
+    Example::
+
+        >>> sampler = SimpleCutSampler(cuts, max_duration=200.0, shuffle=True)
+        >>> for epoch in range(n_epochs):
+        ...     sampler.set_epoch(epoch)
+        ...     for batch in sampler: ...
+    """
+
+    def __init__(
+        self,
+        cuts: CutSet,
+        max_duration: Seconds = None,
+        max_cuts: Optional[int] = None,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        concatenate_cuts: bool = False,
+        quadratic_duration: Optional[Seconds] = None,
+        world_size: Optional[int] = None,
+        rank: Optional[int] = None,
+        seed: int = 0,
+    ):
+        super().__init__(
+            drop_last=drop_last,
+            shuffle=shuffle,
+            world_size=world_size,
+            rank=rank,
+            seed=seed,
+        )
+        assert any(v is not None for v in (max_duration, max_cuts)), (
+            "At least one of max_duration or max_cuts has to be set."
+        )
+        self.cuts = [cuts]  # enables CutSampler source-state capture
+        self.data_source = DataSource(cuts)
+        self.time_constraint = TimeConstraint(
+            max_duration=max_duration,
+            max_cuts=max_cuts,
+            concatenate_cuts=concatenate_cuts,
+            quadratic_duration=quadratic_duration,
+        )
+
+    @property
+    def remaining_duration(self) -> Optional[float]:
+        """Remaining duration (None for lazy CutSets)."""
+        return self.data_source.remaining_duration
+
+    @property
+    def remaining_cuts(self) -> Optional[int]:
+        """Remaining cut count (None for lazy CutSets)."""
+        return self.data_source.remaining_cuts
+
+    @property
+    def num_cuts(self) -> Optional[int]:
+        """Total cut count (None for lazy CutSets)."""
+        if self.data_source.is_lazy:
+            return None
+        return len(self.data_source)
+
+    def state_dict(self) -> Dict[str, Any]:
+        state_dict = super().state_dict()
+        state_dict.update({"time_constraint": self.time_constraint.state_dict()})
+        return state_dict
+
+    def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
+        """
+        Restore sampler progress. The sampler must be constructed with the
+        same CutSet. The input dict is consumed (keys popped).
+        """
+        time_constraint = TimeConstraint(**state_dict.pop("time_constraint"))
+        if self.time_constraint != time_constraint:
+            warnings.warn(
+                "SimpleCutSampler.load_state_dict(): Inconsistent time_constraint:\n"
+                f"expected {self.time_constraint}\n"
+                f"received {time_constraint}\n"
+                "We will overwrite the settings with the received state_dict."
+            )
+        self.time_constraint = time_constraint
+        super().load_state_dict(state_dict)
+        # Replay-based restore: reshuffle to the right epoch order and skip
+        # the cuts already consumed this epoch.
+        if hasattr(self.data_source, "set_epoch"):
+            self.data_source.set_epoch(self.epoch)
+        if self.shuffle:
+            self.data_source.shuffle(self.seed + self.epoch)
+        self.data_source.fast_forward(self.diagnostics.current_epoch_stats.total_cuts)
+
+    def __iter__(self) -> "SimpleCutSampler":
+        if self._just_restored_state:
+            return self
+        # Re-iterating the same epoch must reset its stats, otherwise a later
+        # checkpoint would record more steps than the epoch contains.
+        self.diagnostics.reset_current_epoch()
+        if self.shuffle:
+            self.data_source.shuffle(self.seed + self.epoch)
+        iter(self.data_source)
+        return self
+
+    def _next_batch(self) -> CutSet:
+        # Collect cuts until the constraint trips; metadata only — no audio IO.
+        self.time_constraint.reset()
+        cuts = []
+        while True:
+            try:
+                next_cut = next(self.data_source)
+            except StopIteration:
+                if cuts and (
+                    not self.drop_last or self.time_constraint.close_to_exceeding()
+                ):
+                    return CutSet.from_cuts(cuts)
+                else:
+                    self.diagnostics.discard(cuts)
+                    raise StopIteration()
+
+            if not self._filter_fn(next_cut):
+                self.diagnostics.discard_single(next_cut)
+                continue
+
+            self.time_constraint.add(next_cut)
+            if not self.time_constraint.exceeded():
+                cuts.append(next_cut)
+            else:
+                if cuts:
+                    # Keep the overflowing cut for the next batch.
+                    self.data_source.take_back(next_cut)
+                    break
+                else:
+                    warnings.warn(
+                        "The first cut drawn in batch collection violates "
+                        "the max_duration, or max_cuts constraints - "
+                        "we'll return it anyway. "
+                        "Consider increasing max_duration/max_cuts."
+                    )
+                    cuts.append(next_cut)
+
+        return CutSet.from_cuts(cuts)

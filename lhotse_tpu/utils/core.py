@@ -310,6 +310,11 @@ def index_by_id_and_check(manifests: Iterable[T]) -> Dict[str, T]:
     return id2man
 
 
+def is_none_or_gt(value, threshold) -> bool:
+    """True when value is None or greater than threshold."""
+    return value is None or value > threshold
+
+
 def is_module_available(*modules: str) -> bool:
     """Check whether the given modules can be imported, without importing them."""
     import importlib.util
