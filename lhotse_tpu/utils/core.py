@@ -315,6 +315,25 @@ def is_none_or_gt(value, threshold) -> bool:
     return value is None or value > threshold
 
 
+def save_rng_state(rng: Optional[random.Random]) -> dict:
+    """JSON-serializable snapshot of a ``random.Random`` state."""
+    if rng is None:
+        rng = random.Random()
+    version, internal, gauss_next = rng.getstate()
+    return {"version": version, "state": list(internal), "gauss_next": gauss_next}
+
+
+def load_rng_state(
+    state: dict, rng: Optional[random.Random] = None
+) -> random.Random:
+    """Restore a ``random.Random`` from :func:`save_rng_state` output
+    (into ``rng`` if given, else a fresh instance)."""
+    if rng is None:
+        rng = random.Random()
+    rng.setstate((state["version"], tuple(state["state"]), state["gauss_next"]))
+    return rng
+
+
 def is_module_available(*modules: str) -> bool:
     """Check whether the given modules can be imported, without importing them."""
     import importlib.util
