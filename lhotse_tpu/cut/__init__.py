@@ -18,6 +18,13 @@ from lhotse_tpu.cut.set import (
 )
 from lhotse_tpu.cut.text import TextExample, TextPairExample
 
+# Register Cut/CutSet with the validator registry now that the classes exist
+# (deferred in qa.py to avoid an import cycle).
+from lhotse_tpu.qa import _register_cut_validators as _rcv
+
+_rcv()
+del _rcv
+
 __all__ = [
     "Cut",
     "CutSet",

@@ -77,6 +77,9 @@ class SupervisionIntervalIndex:
     def __len__(self):
         return len(self._items)
 
+    def __iter__(self):
+        return (item for _, _, item in self._items)
+
 
 class Cut:
     """

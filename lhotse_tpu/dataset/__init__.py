@@ -29,8 +29,33 @@ from lhotse_tpu.dataset.input_strategies import (
     OnTheFlyFeatures,
     PrecomputedFeatures,
 )
+from lhotse_tpu.dataset.audio_tagging import AudioTaggingDataset
+from lhotse_tpu.dataset.diarization import DiarizationDataset
+from lhotse_tpu.dataset.iterable_dataset import IdentityDataset, IterableDatasetWrapper
 from lhotse_tpu.dataset.sampling import *  # noqa: F401,F403
 from lhotse_tpu.dataset.sampling import __all__ as _sampling_all
+from lhotse_tpu.dataset.source_separation import (
+    DynamicallyMixedSourceSeparationDataset,
+    PreMixedSourceSeparationDataset,
+    SourceSeparationDataset,
+)
+from lhotse_tpu.dataset.speech_recognition import (
+    K2SpeechRecognitionDataset,
+    validate_for_asr,
+)
+from lhotse_tpu.dataset.speech_synthesis import SpeechSynthesisDataset
+from lhotse_tpu.dataset.speech_translation import K2Speech2TextTranslationDataset
+from lhotse_tpu.dataset.surt import K2SurtDataset
+from lhotse_tpu.dataset.unsupervised import (
+    DynamicUnsupervisedDataset,
+    RecordingChunkIterableDataset,
+    UnsupervisedDataset,
+    UnsupervisedWaveformDataset,
+    audio_chunk_collate,
+    audio_chunk_worker_init_fn,
+)
+from lhotse_tpu.dataset.vad import VadDataset
+from lhotse_tpu.dataset.video import UnsupervisedAudioVideoDataset
 from lhotse_tpu.dataset.signal_transforms import (
     DereverbWPE,
     GlobalMVN,
@@ -41,7 +66,27 @@ from lhotse_tpu.dataset.signal_transforms import (
 __all__ = (
     [
         "AudioSamples",
+        "AudioTaggingDataset",
         "BatchIO",
+        "DiarizationDataset",
+        "DynamicUnsupervisedDataset",
+        "DynamicallyMixedSourceSeparationDataset",
+        "IdentityDataset",
+        "IterableDatasetWrapper",
+        "K2Speech2TextTranslationDataset",
+        "K2SpeechRecognitionDataset",
+        "K2SurtDataset",
+        "PreMixedSourceSeparationDataset",
+        "RecordingChunkIterableDataset",
+        "SourceSeparationDataset",
+        "SpeechSynthesisDataset",
+        "UnsupervisedAudioVideoDataset",
+        "UnsupervisedDataset",
+        "UnsupervisedWaveformDataset",
+        "VadDataset",
+        "audio_chunk_collate",
+        "audio_chunk_worker_init_fn",
+        "validate_for_asr",
         "DereverbWPE",
         "GlobalMVN",
         "OnTheFlyFeatures",

@@ -1,0 +1,127 @@
+"""
+Iterable-style wrapper combining a map-style dataset and a sampler.
+
+Reference behavior: `/root/reference/lhotse/dataset/iterable_dataset.py`
+(IdentityDataset :10-28, IterableDatasetWrapper :31-177).
+Torch-free: plain Python iterator classes that a dataloader (or a training
+loop) can iterate directly; implements the Stateful protocol
+(state_dict/load_state_dict) for checkpointable dataloading.
+"""
+import warnings
+
+from lhotse_tpu.cut import CutSet
+from lhotse_tpu.dataset.dataloading import get_rank, get_world_size
+from lhotse_tpu.dataset.sampling.base import CutSampler
+
+
+class IdentityDataset:
+    """
+    Pass-through dataset: ``__getitem__`` returns the sampled CutSet
+    mini-batch unchanged. Useful when only the sampler's batching is needed.
+    """
+
+    def __getitem__(self, item):
+        return item
+
+
+class IterableDatasetWrapper:
+    """
+    Makes an iterable-style dataset out of a map-style dataset + sampler —
+    the pattern for tar/shar-backed data, where the sampler replica lives in
+    the dataloading worker subprocess and dedup happens via shard splitting
+    rather than sampler rank/world_size.
+
+    Example::
+
+        >>> cuts = CutSet.from_shar(in_dir="data/shar", shuffle_shards=True)
+        >>> dataset = K2SpeechRecognitionDataset()
+        >>> sampler = DynamicCutSampler(cuts, max_duration=200, shuffle=True)
+        >>> iter_dset = IterableDatasetWrapper(dataset, sampler)
+        >>> for epoch in range(10):
+        ...     iter_dset.set_epoch(epoch)
+        ...     for batch in iter_dset: ...
+    """
+
+    def __init__(
+        self,
+        dataset,
+        sampler: CutSampler,
+        auto_increment_epoch: bool = False,
+        reset_on_iter: bool = False,
+    ) -> None:
+        self.dataset = dataset
+        self.sampler = sampler
+        self.auto_increment_epoch = auto_increment_epoch
+        self.reset_on_iter = reset_on_iter
+        self.epoch = 0
+        self._sampler_iter = None
+
+        rank = self.sampler.rank
+        ws = self.sampler.world_size
+        if rank != 0 or ws != 1:
+            warnings.warn(
+                f"We detected you're trying to use a CutSampler with rank {rank} "
+                f"and world_size {ws} inside an IterableDatasetWrapper. Setting "
+                f"rank != 0 and world_size != 1 in a CutSampler is intended for "
+                f"map-style datasets, when the sampler exists in the main "
+                f"training loop. Make sure these settings are intentional or "
+                f"pass rank=0 and world_size=1 to the sampler's constructor.\n"
+            )
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        self.sampler.set_epoch(epoch)
+
+        # Propagate to shard-shuffling iterators (shar/tar-backed CutSets).
+        if hasattr(self.sampler, "cuts") and isinstance(self.sampler.cuts, tuple):
+            for cs in self.sampler.cuts:
+                if hasattr(cs, "data") and hasattr(cs.data, "set_epoch"):
+                    cs.data.set_epoch(epoch)
+
+    def __iter__(self):
+        if (
+            self._sampler_iter is None
+            or self.reset_on_iter
+            or getattr(self, "_needs_sampler_reiter", False)
+        ):
+            self._needs_sampler_reiter = False
+            self._sampler_iter = iter(self.sampler)
+        return self
+
+    def __next__(self) -> dict:
+        # A stateful dataloader may call load_state_dict after iter(dataset):
+        # honor the deferred re-iteration flag here too.
+        if getattr(self, "_needs_sampler_reiter", False):
+            self._needs_sampler_reiter = False
+            self._sampler_iter = iter(self.sampler)
+        try:
+            sampled = next(self._sampler_iter)
+            self._update_dataloading_info(sampled)
+            return self.dataset[sampled]
+        except StopIteration:
+            if self.auto_increment_epoch:
+                self.set_epoch(self.epoch + 1)
+            self._sampler_iter = None
+            raise
+
+    def state_dict(self) -> dict:
+        """Stateful-protocol checkpoint of the wrapper + sampler."""
+        return {
+            "epoch": self.epoch,
+            "sampler_state": self.sampler.state_dict(),
+        }
+
+    def load_state_dict(self, sd: dict) -> None:
+        """Restore; sampler re-iteration is deferred to stay picklable."""
+        self.epoch = sd["epoch"]
+        self.sampler.load_state_dict(sd["sampler_state"])
+        self._needs_sampler_reiter = True
+
+    def _update_dataloading_info(self, cuts: CutSet) -> None:
+        # With iterable datasets the sampler acts as rank=0/world_size=1;
+        # stamp the true distributed coordinates here.
+        rank = get_rank()
+        world_size = get_world_size()
+        for c in cuts:
+            c.dataloading_info["rank"] = rank
+            c.dataloading_info["world_size"] = world_size
