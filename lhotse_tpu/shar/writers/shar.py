@@ -1,0 +1,287 @@
+"""
+SharWriter: export cuts + binary data into the Shar sharded format.
+
+Reference behavior: `/root/reference/lhotse/shar/writers/shar.py`
+(SharWriter :20-283, resolve_writer :286-301). Shar keeps each data type in
+its own tar archive next to a jsonl cut manifest per shard — sequential-read
+friendly, field-extensible, and (with ``compress_jsonl=False`` +
+``create_index=True``) fully indexable for O(1) random access and exact
+checkpoint restore.
+"""
+import warnings
+from functools import partial
+from typing import Dict, List, Optional, Tuple, Type, Union
+
+from lhotse_tpu.array import Array, TemporalArray
+from lhotse_tpu.audio import Recording
+from lhotse_tpu.cut import Cut
+from lhotse_tpu.shar.utils import to_shar_placeholder
+from lhotse_tpu.shar.writers.array import ArrayTarWriter
+from lhotse_tpu.shar.writers.audio import AudioTarWriter
+from lhotse_tpu.shar.writers.cut import JsonlShardWriter
+from lhotse_tpu.utils import Pathlike, fastcopy, ifnone
+
+FieldWriterInstance = Union[AudioTarWriter, ArrayTarWriter]
+FieldWriter = Type[FieldWriterInstance]
+
+
+class SharWriter:
+    """
+    Writes cuts and their data into numbered shards: one jsonl manifest +
+    one tar per data field per shard.
+
+    Example::
+
+        >>> with SharWriter("some_dir", shard_size=100,
+        ...                 fields={"recording": "wav", "features": "lilcom"}) as w:
+        ...     for cut in cuts:
+        ...         w.write(cut)
+
+    creates ``some_dir/cuts.000000.jsonl.gz``, ``some_dir/recording.000000.tar``,
+    ``some_dir/features.000000.tar``, etc. Use ``compress_jsonl=False`` for
+    indexable cut shards; ``shard_size=None`` disables sharding;
+    ``include_cuts=False`` writes only the field archives (useful when
+    extending an existing dataset with new fields).
+    """
+
+    def __init__(
+        self,
+        output_dir: Pathlike,
+        fields: Dict[str, str],
+        shard_size: Optional[int] = 1000,
+        warn_unused_fields: bool = True,
+        include_cuts: bool = True,
+        shard_suffix: Optional[str] = None,
+        shard_offset: int = 0,
+        compress_jsonl: bool = True,
+        create_index: bool = True,
+    ) -> None:
+        self.output_dir = str(output_dir)
+        if not _is_non_local_output(self.output_dir):
+            from pathlib import Path
+
+            Path(self.output_dir).mkdir(parents=True, exist_ok=True)
+        self.shard_size = shard_size
+        self.fields = fields
+        self.warn_unused_fields = warn_unused_fields
+        self.include_cuts = include_cuts
+        self.compress_jsonl = compress_jsonl
+        self.create_index = create_index
+        if self.create_index and _is_non_local_output(self.output_dir):
+            raise ValueError(
+                "create_index=True is only supported for local output paths. "
+                f"Got output_dir='{self.output_dir}'. "
+                "Set create_index=False for pipe/URL/cloud outputs."
+            )
+        if self.create_index and self.compress_jsonl:
+            warnings.warn(
+                "create_index=True with compress_jsonl=True creates only a "
+                "partially indexed Shar: compressed cuts.*.jsonl.gz shards "
+                "cannot be indexed. Use compress_jsonl=False to enable exact "
+                "indexed Shar restore.",
+                stacklevel=2,
+            )
+        if self.sharding_enabled:
+            assert shard_suffix is None, (
+                f"shard_suffix must be None when shard_size is specified "
+                f"(got: '{shard_suffix}')."
+            )
+            self.shard_suffix = ".%06d"
+        else:
+            self.shard_suffix = ifnone(shard_suffix, "")
+        self.initial_shard_offset = shard_offset
+
+        callback = self._index_shard if self.create_index else None
+
+        self.writers = {}
+        if include_cuts:
+            self.writers["cuts"] = JsonlShardWriter(
+                pattern=_create_cuts_output_url(
+                    self.output_dir, self.shard_suffix, compress=self.compress_jsonl
+                ),
+                shard_size=self.shard_size,
+                shard_offset=self.initial_shard_offset,
+                on_shard_complete=callback,
+            )
+        for field, writer_type in self.fields.items():
+            make_writer_fn, ext = resolve_writer(
+                writer_type, compress_jsonl=self.compress_jsonl
+            )
+            self.writers[field] = make_writer_fn(
+                pattern=f"{self.output_dir}/{field}{self.shard_suffix}{ext}",
+                shard_size=self.shard_size,
+                shard_offset=self.initial_shard_offset,
+                on_shard_complete=callback,
+            )
+
+    @property
+    def sharding_enabled(self) -> bool:
+        return self.shard_size is not None and self.shard_size > 0
+
+    @property
+    def output_paths(self) -> Dict[str, List[str]]:
+        return {k: w.output_paths for k, w in self.writers.items()}
+
+    def __enter__(self):
+        for w in self.writers.values():
+            w.__enter__()
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        self.close()
+
+    def close(self):
+        for w in self.writers.values():
+            w.close()
+
+    def _index_shard(self, path_str: str) -> None:
+        """Index a completed shard (per-shard on_shard_complete callback)."""
+        from lhotse_tpu.indexing import create_jsonl_index, create_tar_index
+
+        path_str = str(path_str)
+        if path_str.startswith("pipe:"):
+            return  # pipes are not seekable
+        if path_str.startswith(("http://", "https://", "s3://", "gs://")):
+            raise ValueError(
+                "create_index=True is only supported for local output paths. "
+                f"Got remote shard path '{path_str}'. "
+                "Set create_index=False for pipe/URL/cloud outputs."
+            )
+        if path_str.endswith(".jsonl"):
+            try:
+                create_jsonl_index(path_str)
+            except (RuntimeError, OSError):
+                pass
+        elif path_str.endswith(".tar"):
+            try:
+                create_tar_index(path_str)
+            except (RuntimeError, OSError):
+                pass
+
+    def write(self, cut: Cut) -> None:
+        # Audio.
+        if "recording" in self.fields:
+            if cut.has_recording:
+                data = cut.load_audio()
+                recording = to_shar_placeholder(cut.recording, cut)
+                cut_channels = _aslist(cut.channel)
+                if recording.channel_ids != cut_channels:
+                    # The cut may reference a channel subset of the recording.
+                    recording.sources[0].channels = cut_channels
+                    recording.channel_ids = cut_channels
+                self.writers["recording"].write(
+                    cut.id,
+                    data,
+                    cut.sampling_rate,
+                    manifest=recording,
+                    original_format=cut.recording.source_format,
+                )
+                cut = fastcopy(cut, recording=recording)
+            else:
+                self.writers["recording"].write_placeholder(cut.id)
+        elif cut.has_recording and self.warn_unused_fields:
+            warnings.warn(
+                "Found cut with 'recording' field that is not specified for Shar writing."
+            )
+
+        # Features.
+        if "features" in self.fields:
+            if cut.has_features:
+                data = cut.load_features()
+                features = to_shar_placeholder(cut.features, cut)
+                self.writers["features"].write(cut.id, data, manifest=features)
+                cut = fastcopy(cut, features=features)
+            else:
+                self.writers["features"].write_placeholder(cut.id)
+        elif cut.has_features and self.warn_unused_fields:
+            warnings.warn(
+                "Found cut with 'features' field that is not specified for Shar writing."
+            )
+
+        # Custom fields.
+        for key in self.fields:
+            if key in ("recording", "features"):
+                continue
+
+            if cut.has_custom(key):
+                val = getattr(cut, key)
+                if not isinstance(val, (Array, TemporalArray, Recording)):
+                    assert isinstance(self.writers[key], JsonlShardWriter), (
+                        f"Expected writer type 'jsonl' (got '{self.fields[key]}') "
+                        f"for non-data field '{key}'."
+                    )
+                    self.writers[key].write({"cut_id": cut.id, key: val})
+                else:
+                    data = cut.load_custom(key)
+                    placeholder_obj = to_shar_placeholder(val, cut)
+                    channel_selector_key = f"{key}_channel_selector"
+                    kwargs = {}
+                    if isinstance(val, Recording):
+                        kwargs["sampling_rate"] = val.sampling_rate
+                        if cut.has_custom(channel_selector_key):
+                            # The audio was loaded through the cut's channel
+                            # selector — reflect that in the stored manifest.
+                            placeholder_obj.sources[0].channels = cut.custom[
+                                channel_selector_key
+                            ]
+                            placeholder_obj.channel_ids = cut.custom[
+                                channel_selector_key
+                            ]
+                    self.writers[key].write(cut.id, data, manifest=placeholder_obj, **kwargs)
+                    cut = fastcopy(cut, custom=cut.custom.copy())
+                    cut.custom.pop(channel_selector_key, None)
+                    setattr(cut, key, placeholder_obj)
+            else:
+                self.writers[key].write_placeholder(cut.id)
+
+        # Warn about attached data not requested for saving.
+        for key, val in ifnone(cut.custom, {}).items():
+            if not isinstance(val, (Array, TemporalArray, Recording)):
+                continue
+            if key not in self.fields and self.warn_unused_fields:
+                warnings.warn(
+                    f"Found cut with '{key}' field that is not specified for Shar writing."
+                )
+
+        # Data was stored for exactly the cut span: reset the offset.
+        cut = fastcopy(cut, start=0)
+
+        if "cuts" in self.writers:
+            self.writers["cuts"].write(cut)
+
+
+def resolve_writer(name: str, compress_jsonl: bool = True) -> Tuple[FieldWriter, str]:
+    jsonl_ext = ".jsonl.gz" if compress_jsonl else ".jsonl"
+    opts = {
+        "wav": (partial(AudioTarWriter, format="wav"), ".tar"),
+        "flac": (partial(AudioTarWriter, format="flac"), ".tar"),
+        "mp3": (partial(AudioTarWriter, format="mp3"), ".tar"),
+        "opus": (partial(AudioTarWriter, format="opus"), ".tar"),
+        "original": (partial(AudioTarWriter, format="original"), ".tar"),
+        "lilcom": (partial(ArrayTarWriter, compression="lilcom"), ".tar"),
+        "numpy": (partial(ArrayTarWriter, compression="numpy"), ".tar"),
+        "jsonl": (JsonlShardWriter, jsonl_ext),
+    }
+    assert name in opts, (
+        f"Unknown field type (got: '{name}', we support only: {', '.join(opts)}"
+    )
+    return opts[name]
+
+
+def _create_cuts_output_url(
+    base_output_url: str, shard_suffix: str, compress: bool = True
+) -> str:
+    ext = ".jsonl.gz" if compress else ".jsonl"
+    if base_output_url.startswith("pipe:") and compress:
+        base_output_url = base_output_url.replace("pipe:", "pipe:gzip -c | ")
+    return f"{base_output_url}/cuts{shard_suffix}{ext}"
+
+
+def _is_non_local_output(path: str) -> bool:
+    return path.startswith("pipe:") or "://" in path
+
+
+def _aslist(x):
+    if isinstance(x, list):
+        return x
+    return [x]
