@@ -17,6 +17,8 @@ from lhotse_tpu.caching import is_caching_enabled, set_caching_enabled
 from lhotse_tpu.features import (
     Fbank,
     FbankConfig,
+    available_storage_backends,
+    create_default_feature_extractor,
     FeatureExtractor,
     Features,
     FeatureSet,
@@ -37,8 +39,10 @@ from lhotse_tpu.features import (
 from lhotse_tpu.image import Image
 from lhotse_tpu.lazy import dill_enabled, is_dill_enabled, set_dill_enabled
 from lhotse_tpu.serialization import (
+    available_io_backends,
     load_manifest,
     load_manifest_lazy,
+    load_manifest_lazy_or_eager,
     store_manifest,
 )
 from lhotse_tpu.supervision import AlignmentItem, SupervisionSegment, SupervisionSet
@@ -54,7 +58,11 @@ from lhotse_tpu.utils import (
 # Cut layer (imported after the base manifests it builds upon).
 from lhotse_tpu.cut import CutSet, MonoCut, MultiCut, PaddingCut, MixedCut  # noqa: E402
 from lhotse_tpu.manipulation import combine, split_parallelize_combine, to_manifest  # noqa: E402
-from lhotse_tpu.qa import fix_manifests, validate  # noqa: E402
+from lhotse_tpu.qa import (  # noqa: E402
+    fix_manifests,
+    validate,
+    validate_recordings_and_supervisions,
+)
 
 from lhotse_tpu.tools.env import default_tools_cachedir  # noqa: E402
 
@@ -97,7 +105,12 @@ __all__ = [
     "add_durations",
     "audio_backend",
     "available_audio_backends",
+    "available_io_backends",
+    "available_storage_backends",
     "combine",
+    "create_default_feature_extractor",
+    "load_manifest_lazy_or_eager",
+    "validate_recordings_and_supervisions",
     "compute_num_frames",
     "compute_num_samples",
     "deserialize_array",

