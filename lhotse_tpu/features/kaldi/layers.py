@@ -339,8 +339,12 @@ class Wav2Spec(Wav2FFT):
     def _forward_strided(self, x_strided, log_e):
         import jax.numpy as jnp
 
-        X = jnp.fft.rfft(x_strided, axis=-1)
-        pow_spec = jnp.abs(X) if self.use_fft_mag else jnp.abs(X) ** 2
+        # DFT-as-GEMM (MXU path): frames are already preprocessed + padded to
+        # fft_length, so the plain cos/sin matrices apply.
+        C, S = ops.raw_dft_matrices(self.fft_length, self.fft_length)
+        pow_spec = ops.power_spectrum_gemm(
+            x_strided, jnp.asarray(C), jnp.asarray(S), use_fft_mag=self.use_fft_mag
+        )
         if self.use_energy and log_e is not None:
             pow_spec = pow_spec.at[:, :, 0].set(log_e)
         return pow_spec
@@ -352,8 +356,10 @@ class Wav2LogSpec(Wav2Spec):
     def _forward_strided(self, x_strided, log_e):
         import jax.numpy as jnp
 
-        X = jnp.fft.rfft(x_strided, axis=-1)
-        pow_spec = jnp.abs(X) if self.use_fft_mag else jnp.abs(X) ** 2
+        C, S = ops.raw_dft_matrices(self.fft_length, self.fft_length)
+        pow_spec = ops.power_spectrum_gemm(
+            x_strided, jnp.asarray(C), jnp.asarray(S), use_fft_mag=self.use_fft_mag
+        )
         pow_spec = jnp.log(pow_spec + 1e-15)
         if self.use_energy and log_e is not None:
             pow_spec = pow_spec.at[:, :, 0].set(log_e)
@@ -453,13 +459,9 @@ class Wav2LogFilterBank(_MelBase):
     def _forward_strided(self, x_strided, log_e):
         import jax.numpy as jnp
 
-        pow_spec = ops.power_spectrum_rfft(
-            x_strided,
-            self.fft_length,
-            window=jnp.ones((), dtype=jnp.float32),  # preprocessing already applied
-            remove_dc_offset=False,
-            preemph_coeff=0.0,
-            use_fft_mag=self.use_fft_mag,
+        C, S = ops.raw_dft_matrices(self.fft_length, self.fft_length)
+        pow_spec = ops.power_spectrum_gemm(
+            x_strided, jnp.asarray(C), jnp.asarray(S), use_fft_mag=self.use_fft_mag
         )
         pow_spec = ops.mel_fbank_from_power(pow_spec, jnp.asarray(self._fb))
         if self.use_energy and log_e is not None:
@@ -540,13 +542,9 @@ class Wav2MFCC(_MelBase):
     def _forward_strided(self, x_strided, log_e):
         import jax.numpy as jnp
 
-        pow_spec = ops.power_spectrum_rfft(
-            x_strided,
-            self.fft_length,
-            window=jnp.ones((), dtype=jnp.float32),
-            remove_dc_offset=False,
-            preemph_coeff=0.0,
-            use_fft_mag=self.use_fft_mag,
+        C, S = ops.raw_dft_matrices(self.fft_length, self.fft_length)
+        pow_spec = ops.power_spectrum_gemm(
+            x_strided, jnp.asarray(C), jnp.asarray(S), use_fft_mag=self.use_fft_mag
         )
         logmel = ops.mel_fbank_from_power(pow_spec, jnp.asarray(self._fb))
         mfcc = ops.mfcc_from_logmel(

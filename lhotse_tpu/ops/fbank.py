@@ -230,6 +230,26 @@ def dft_analysis_matrices(
     return Mc, Ms
 
 
+@lru_cache(maxsize=None)
+def raw_dft_matrices(
+    frame_samples: int, fft_length: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """
+    Plain real-DFT analysis matrices (no preprocessing folded), for frames
+    that were already DC-removed/pre-emphasized/windowed (and possibly
+    zero-padded) on the host or in an earlier op:
+    ``X_re = F @ C``, ``X_im = F @ S`` with shapes
+    (frame_samples, fft_length//2 + 1). On TPU this GEMM formulation of the
+    DFT runs on the MXU and is several times faster than ``jnp.fft.rfft``.
+    """
+    n = np.arange(frame_samples, dtype=np.float64)[:, None]
+    k = np.arange(fft_length // 2 + 1, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / fft_length
+    C = np.cos(ang).astype(np.float32)
+    S = (-np.sin(ang)).astype(np.float32)
+    return C, S
+
+
 def compute_num_frames_snip(num_samples: int, length: int, shift: int) -> int:
     if num_samples < length:
         return 0
