@@ -80,9 +80,20 @@ def validate_indexed_access(
         )
 
 
-def index_file_path(data_path: Pathlike) -> Path:
-    """Conventional sidecar location: ``<data_path>.idx``."""
-    return Path(_path_str(data_path) + ".idx")
+def index_file_path(
+    data_path: Pathlike, indexes_root: Optional[Pathlike] = None
+) -> Path:
+    """
+    Conventional sidecar location: ``<data_path>.idx`` — or, when
+    ``indexes_root`` is given, the same path mirrored under that root
+    (URL schemes are stripped so remote paths can nest locally).
+    """
+    if indexes_root is None:
+        return Path(_path_str(data_path) + ".idx")
+    s = _path_str(data_path)
+    if "://" in s:
+        s = s.split("://", 1)[1]
+    return Path(indexes_root) / (s.lstrip("/") + ".idx")
 
 
 # Alias used by the serialization layer.
