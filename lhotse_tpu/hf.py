@@ -1,0 +1,257 @@
+"""
+Export/Import CutSet ↔ HuggingFace Dataset.
+
+Reference behavior: `/root/reference/lhotse/hf.py`
+(convert_cuts_info_to_hf :27-50, convert_supervisions_info_to_hf :53-176,
+export_cuts_to_hf :186-306, LazyHFDatasetIterator :309-389). All operations
+are gated on the optional ``datasets`` package.
+"""
+from hashlib import md5
+from typing import Any, Dict, List, Optional, Set, Tuple, Union
+
+from lhotse_tpu import Image, Recording, SupervisionSegment
+from lhotse_tpu.cut import CutSet, MonoCut
+from lhotse_tpu.lazy import IteratorNode
+from lhotse_tpu.utils import is_module_available
+
+
+def contains_only_mono_cuts(cutset: CutSet) -> bool:
+    return all(isinstance(cut, MonoCut) for cut in cutset)
+
+
+def has_one_supervision_per_cut(cutset: CutSet) -> bool:
+    return all(len(cut.supervisions) == 1 for cut in cutset)
+
+
+def has_one_audio_source(cutset: CutSet) -> bool:
+    return all(len(cut.recording.sources) == 1 for cut in cutset)
+
+
+def convert_cuts_info_to_hf(cutset: CutSet) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """Cut attributes + the matching HF feature-type description."""
+    from datasets import Audio, Value
+
+    cut_info = {
+        "id": [cut.id for cut in cutset],
+        "audio": [cut.recording.sources[0].source for cut in cutset],
+        "duration": [cut.duration for cut in cutset],
+        "num_channels": [len(cut.recording.channel_ids) for cut in cutset],
+    }
+    cut_info_description = {
+        "id": Value("string"),
+        "audio": Audio(num_channels=None),
+        "duration": Value("float"),
+        "num_channels": Value("uint16"),
+    }
+    return cut_info, cut_info_description
+
+
+def convert_supervisions_info_to_hf(
+    cutset: CutSet,
+    exclude_attributes: Optional[Union[List[str], Set[str]]] = None,
+) -> Tuple[List[List[Dict[str, Any]]], Dict[str, Any]]:
+    """Per-cut supervision dicts + the matching HF feature description."""
+    from datasets import Features, Sequence, Value
+
+    has_speaker = any(
+        (hasattr(cut.supervisions[0], "speaker") and cut.supervisions[0].speaker is not None)
+        for cut in cutset
+    )
+    has_language = any(
+        (hasattr(cut.supervisions[0], "language") and cut.supervisions[0].language is not None)
+        for cut in cutset
+    )
+    alignment_types = [
+        s.alignment.keys() for c in cutset for s in c.supervisions if s.alignment is not None
+    ]
+    alignment_types = set([item for sublist in alignment_types for item in sublist])
+
+    sup_dicts = []
+    for c in cutset:
+        cut_sup_dicts = []
+        for s in c.supervisions:
+            sup_dict = {"text": s.text}
+
+            if exclude_attributes is None or "start" not in exclude_attributes:
+                sup_dict["start"] = s.start
+            if exclude_attributes is None or "end" not in exclude_attributes:
+                sup_dict["end"] = s.end
+            if exclude_attributes is None or "channel" not in exclude_attributes:
+                if isinstance(s.channel, list):
+                    sup_dict["channel"] = ",".join(map(str, s.channel))
+                else:
+                    sup_dict["channel"] = str(s.channel)
+            if has_speaker and (
+                exclude_attributes is None or "speaker" not in exclude_attributes
+            ):
+                sup_dict["speaker"] = str(s.speaker)
+            if has_language and (
+                exclude_attributes is None or "language" not in exclude_attributes
+            ):
+                sup_dict["language"] = str(s.language)
+            if alignment_types and (
+                exclude_attributes is None or "alignments" not in exclude_attributes
+            ):
+                alignments = {}
+                for alignment_type in alignment_types:
+                    alignments[alignment_type + "_alignment"] = [
+                        {"symbol": item.symbol, "start": item.start, "end": item.end}
+                        for item in s.alignment[alignment_type]
+                    ]
+                sup_dict = {**sup_dict, **alignments}
+
+            cut_sup_dicts.append(sup_dict)
+        sup_dicts.append(cut_sup_dicts)
+
+    sup_dicts_info = {"text": Value("string")}
+
+    if exclude_attributes is None or "start" not in exclude_attributes:
+        sup_dicts_info["start"] = Value("float")
+    if exclude_attributes is None or "end" not in exclude_attributes:
+        sup_dicts_info["end"] = Value("float")
+    if exclude_attributes is None or "channel" not in exclude_attributes:
+        sup_dicts_info["channel"] = Value("string")
+    if has_speaker and (exclude_attributes is None or "speaker" not in exclude_attributes):
+        sup_dicts_info["speaker"] = Value("string")
+    if has_language and (
+        exclude_attributes is None or "language" not in exclude_attributes
+    ):
+        sup_dicts_info["language"] = Value("string")
+    if alignment_types and (
+        exclude_attributes is None or "alignments" not in exclude_attributes
+    ):
+        alignment_info = {
+            "symbol": Value("string"),
+            "start": Value("float"),
+            "end": Value("float"),
+        }
+        for alignment_type in alignment_types:
+            sup_dicts_info[alignment_type + "_alignment"] = Sequence(
+                Features(**alignment_info)
+            )
+
+    return sup_dicts, sup_dicts_info
+
+
+def lod_to_dol(lod: List[Dict[str, Any]]) -> Dict[str, List]:
+    """List of dicts → dict of lists."""
+    return {k: [d[k] for d in lod] for k in lod[0].keys()}
+
+
+def export_cuts_to_hf(cutset: CutSet):
+    """
+    Convert a CutSet into a HuggingFace Dataset (MonoCuts with one audio
+    source): single-supervision cuts flatten the supervision fields into the
+    row; multi-supervision cuts store them under a 'segments' sequence.
+    """
+    assert has_one_audio_source(cutset), (
+        "Only CutSets with one audio source per cut are supported. "
+        "MultiSource cuts coming soon."
+    )
+
+    if not is_module_available("datasets"):
+        raise ImportError("Please install the 'datasets' package (pip install datasets).")
+    from datasets import Dataset, Features, Sequence
+
+    # start/end/channel are redundant with one supervision per cut.
+    cut_info, cut_info_description = convert_cuts_info_to_hf(cutset)
+    sup_dicts, sup_dicts_info = convert_supervisions_info_to_hf(
+        cutset,
+        exclude_attributes={"start", "end", "channel"}
+        if has_one_supervision_per_cut(cutset)
+        else None,
+    )
+
+    if has_one_supervision_per_cut(cutset):
+        dataset_dict = {**cut_info, **lod_to_dol([x[0] for x in sup_dicts])}
+        dataset_info = Features(**cut_info_description, **sup_dicts_info)
+    else:
+        dataset_dict = {**cut_info, "segments": sup_dicts}
+        dataset_info = Features(
+            segments=Sequence(Features(**sup_dicts_info)), **cut_info_description
+        )
+
+    return Dataset.from_dict(dataset_dict, features=dataset_info)
+
+
+class LazyHFDatasetIterator(IteratorNode):
+    """
+    Stream a HuggingFace dataset as Cuts: pass an existing HF dataset object
+    or args/kwargs for ``datasets.load_dataset()``. ``audio_key``,
+    ``text_key``, ``lang_key``, ``gender_key`` name the example fields; the
+    remaining keys land in ``cut.custom``.
+
+    Example::
+
+        >>> cuts_it = LazyHFDatasetIterator(
+        ...     "mozilla-foundation/common_voice_11_0", "hi", split="test")
+        >>> for cut in cuts_it: ...
+    """
+
+    def __init__(
+        self,
+        *dataset_args,
+        audio_key: str = "audio",
+        text_key: str = "sentence",
+        lang_key: str = "language",
+        gender_key: str = "gender",
+        **dataset_kwargs,
+    ):
+        assert is_module_available("datasets"), (
+            "LazyHFDatasetIterator requires the 'datasets' package "
+            "(pip install datasets)."
+        )
+        self.audio_key = audio_key
+        self.text_key = text_key
+        self.lang_key = lang_key
+        self.gender_key = gender_key
+        self.dataset_args = dataset_args
+        self.dataset_kwargs = dataset_kwargs
+
+    def __iter__(self):
+        from datasets import (
+            Audio,
+            Dataset,
+            DatasetDict,
+            IterableDataset,
+            IterableDatasetDict,
+            load_dataset,
+        )
+
+        if len(self.dataset_args) == 1 and isinstance(
+            self.dataset_args[0],
+            (Dataset, IterableDataset, DatasetDict, IterableDatasetDict),
+        ):
+            dataset = self.dataset_args[0]
+        else:
+            dataset = load_dataset(*self.dataset_args, **self.dataset_kwargs)
+        dataset = dataset.cast_column(self.audio_key, Audio(decode=False))
+        for item in dataset:
+            audio_data = item.pop(self.audio_key)
+            recording = Recording.from_bytes(
+                audio_data["bytes"], recording_id=md5(audio_data["bytes"]).hexdigest()
+            )
+            supervision = SupervisionSegment(
+                id=recording.id,
+                recording_id=recording.id,
+                start=0.0,
+                duration=recording.duration,
+                text=item.pop(self.text_key, None),
+                language=item.pop(self.lang_key, None),
+                gender=item.pop(self.gender_key, None),
+            )
+            cut = recording.to_cut()
+            cut.supervisions = [supervision]
+            maybe_resolve_images(item)
+            cut.custom = item
+            yield cut
+
+
+def maybe_resolve_images(item: dict) -> None:
+    if not is_module_available("PIL"):
+        return
+    import PIL.Image
+
+    for k, v in item.items():
+        if isinstance(v, PIL.Image.Image):
+            item[k] = Image.from_pillow(v)
