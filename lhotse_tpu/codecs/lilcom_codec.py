@@ -47,6 +47,59 @@ def _use_pip_lilcom() -> bool:
     )
 
 
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native_lib():
+    """The C LTC1 codec (same bitstream), or None when unavailable."""
+    global _NATIVE, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE
+    _NATIVE_TRIED = True
+    try:
+        import ctypes
+
+        from lhotse_tpu.native_build import build_native, native_disabled
+
+        if native_disabled():
+            return None
+        lib = build_native("lilcom", "ltc1.c", extra_link=["-lz"])
+        sig = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_size_t,
+        ]
+        lib.ltc1_compress.restype = ctypes.c_longlong
+        lib.ltc1_compress.argtypes = sig
+        lib.ltc1_compress_rowpack.restype = ctypes.c_longlong
+        lib.ltc1_compress_rowpack.argtypes = sig
+        lib.ltc1_compress_bound.restype = ctypes.c_longlong
+        lib.ltc1_compress_bound.argtypes = [ctypes.POINTER(ctypes.c_uint32), ctypes.c_int]
+        lib.ltc1_parse_header.restype = ctypes.c_int
+        lib.ltc1_parse_header.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.ltc1_decompress.restype = ctypes.c_longlong
+        lib.ltc1_decompress.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_longlong,
+        ]
+        _NATIVE = lib
+    except Exception:
+        _NATIVE = None
+    return _NATIVE
+
+
 def compress(data: np.ndarray, tick_power: int = -5, do_regression: bool = True) -> bytes:
     """
     Lossily compress a floating-point numpy array, quantizing values to
@@ -61,6 +114,36 @@ def compress(data: np.ndarray, tick_power: int = -5, do_regression: bool = True)
     assert np.issubdtype(data.dtype, np.floating), (
         "This codec supports only floating-point arrays."
     )
+
+    native = _native_lib()
+    # float64 inputs keep the numpy path: its quantization runs in f64 and a
+    # pre-cast to f32 could change ticks at the rounding boundary.
+    if (
+        native is not None
+        and data.ndim >= 1
+        and data.size > 0
+        and data.dtype == np.float32
+    ):
+        import ctypes
+
+        arr = np.ascontiguousarray(data, dtype=np.float32)
+        shape = np.array(arr.shape, dtype=np.uint32)
+        shape_p = shape.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+        cap = int(native.ltc1_compress_bound(shape_p, arr.ndim))
+        out = np.empty(cap, dtype=np.uint8)
+        # Method 1 (per-row bit-packing): ~15x faster than deflate at a
+        # comparable ratio on smooth feature matrices.
+        n = native.ltc1_compress_rowpack(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            shape_p,
+            arr.ndim,
+            int(tick_power),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            cap,
+        )
+        if n > 0:
+            return out[:n].tobytes()
+        # On any native failure, fall through to the numpy path.
     scale = float(2.0 ** (-tick_power))
     ticks = np.rint(data.astype(np.float64) * scale)
     np.clip(ticks, -(2**31) + 1, 2**31 - 1, out=ticks)
@@ -91,6 +174,26 @@ def compress(data: np.ndarray, tick_power: int = -5, do_regression: bool = True)
     return header + payload
 
 
+def _rowpack_decode_numpy(data: bytes, pos: int, shape) -> np.ndarray:
+    """Pure-numpy decoder for method 1 (per-row LSB-first bit packing)."""
+    rows = shape[0] if len(shape) else 0
+    inner = int(np.prod(shape[1:])) if len(shape) > 1 else 1
+    resid = np.zeros((rows, inner), dtype=np.int64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    for r in range(rows):
+        w = int(buf[pos])
+        pos += 1
+        if w == 0:
+            continue
+        packed = (inner * w + 7) // 8
+        bits = np.unpackbits(buf[pos : pos + packed], bitorder="little")
+        pos += packed
+        vals = bits[: inner * w].reshape(inner, w).astype(np.int64)
+        u = (vals << np.arange(w, dtype=np.int64)).sum(axis=1)
+        resid[r] = (u >> 1) ^ -(u & 1)
+    return resid.reshape(shape)
+
+
 def decompress(data: bytes, dtype: Optional[np.dtype] = None) -> np.ndarray:
     """
     Decompress bytes produced by :func:`compress` (or, when the optional pip
@@ -107,13 +210,45 @@ def decompress(data: bytes, dtype: Optional[np.dtype] = None) -> np.ndarray:
             "'lilcom' package is not installed to try decoding legacy data."
         )
     method, tick_power, ndim, itemsize = struct.unpack("<Bbbb", data[4:8])
-    if method != 0:
+    if method not in (0, 1):
         raise ValueError(f"Unsupported LTC1 method: {method}")
+
+    native = _native_lib()
+    if native is not None:
+        import ctypes
+
+        shape_arr = np.zeros(8, dtype=np.uint32)
+        nd = ctypes.c_int()
+        tp = ctypes.c_int()
+        rc = native.ltc1_parse_header(
+            data,
+            len(data),
+            shape_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.byref(nd),
+            ctypes.byref(tp),
+        )
+        if rc == 0:
+            shape = tuple(int(s) for s in shape_arr[: nd.value])
+            elems = int(np.prod(shape)) if shape else 0
+            out = np.empty(elems, dtype=np.float32)
+            n = native.ltc1_decompress(
+                data,
+                len(data),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                elems,
+            )
+            if n == elems:
+                result = out.reshape(shape)
+                return result.astype(dtype) if dtype is not None else result
+        # Fall through to the numpy path on any native failure.
     shape = struct.unpack(f"<{ndim}I", data[8 : 8 + 4 * ndim])
-    payload = zlib.decompress(data[8 + 4 * ndim :])
-    dt = {1: "<u1", 2: "<u2", 4: "<u4"}[itemsize]
-    zz = np.frombuffer(payload, dtype=dt).astype(np.int64).reshape(shape)
-    resid = (zz >> 1) ^ -(zz & 1)
+    if method == 1:
+        resid = _rowpack_decode_numpy(data, 8 + 4 * ndim, shape)
+    else:
+        payload = zlib.decompress(data[8 + 4 * ndim :])
+        dt = {1: "<u1", 2: "<u2", 4: "<u4"}[itemsize]
+        zz = np.frombuffer(payload, dtype=dt).astype(np.int64).reshape(shape)
+        resid = (zz >> 1) ^ -(zz & 1)
     if ndim >= 1 and shape[0] > 1:
         ticks = np.cumsum(resid, axis=0)
     else:
