@@ -9,7 +9,11 @@ from lhotse_tpu.audio import (
     RecordingSet,
     audio_backend,
     available_audio_backends,
+    available_resampling_backends,
     get_current_audio_backend,
+    get_current_resampling_backend,
+    resampling_backend,
+    set_current_resampling_backend,
     set_current_audio_backend,
     set_audio_duration_mismatch_tolerance,
 )
@@ -31,6 +35,8 @@ from lhotse_tpu.features import (
     LogSpectrogramConfig,
     Mfcc,
     MfccConfig,
+    WhisperFbank,
+    WhisperFbankConfig,
     NumpyFilesWriter,
     NumpyHdf5Writer,
     Spectrogram,

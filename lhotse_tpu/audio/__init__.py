@@ -13,6 +13,12 @@ from lhotse_tpu.audio.mixer import AudioMixer, VideoMixer, audio_energy
 from lhotse_tpu.audio.recording import Recording
 from lhotse_tpu.audio.recording_set import RecordingSet
 from lhotse_tpu.audio.source import AudioSource
+from lhotse_tpu.audio.resampling_backend import (
+    available_resampling_backends,
+    get_current_resampling_backend,
+    resampling_backend,
+    set_current_resampling_backend,
+)
 from lhotse_tpu.audio.utils import (
     AudioLoadingError,
     DurationMismatchError,
@@ -37,6 +43,10 @@ __all__ = [
     "audio_backend",
     "audio_energy",
     "available_audio_backends",
+    "available_resampling_backends",
+    "get_current_resampling_backend",
+    "resampling_backend",
+    "set_current_resampling_backend",
     "get_audio_duration_mismatch_tolerance",
     "get_current_audio_backend",
     "get_default_audio_backend",

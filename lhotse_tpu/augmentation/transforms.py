@@ -72,6 +72,19 @@ class Resample(AudioTransform):
     def __call__(self, samples: np.ndarray, *args, **kwargs) -> np.ndarray:
         if self.source_sampling_rate == self.target_sampling_rate:
             return samples
+        # Backend dispatch mirrors the reference's selector
+        # (augmentation/torchaudio.py:102-118): "sox" routes through the sox
+        # rate effect, "default" through the built-in polyphase sinc kernel.
+        from lhotse_tpu.audio.resampling_backend import (
+            get_current_resampling_backend,
+        )
+
+        if get_current_resampling_backend() == "sox":
+            from lhotse_tpu.tools.libsox import libsox_rate
+
+            return libsox_rate(
+                samples, self.source_sampling_rate, self.target_sampling_rate
+            )
         resampler = get_or_create_resampler(
             self.source_sampling_rate, self.target_sampling_rate
         )
