@@ -33,8 +33,24 @@ from lhotse_tpu.features import (
     ChunkedLilcomHdf5Writer,
     LogSpectrogram,
     LogSpectrogramConfig,
+    KaldifeatFbank,
+    KaldifeatFbankConfig,
+    KaldifeatMfcc,
+    KaldifeatMfccConfig,
+    LibrosaFbank,
+    LibrosaFbankConfig,
     Mfcc,
     MfccConfig,
+    OpenSmileConfig,
+    OpenSmileExtractor,
+    S3PRLSSL,
+    S3PRLSSLConfig,
+    TorchaudioFbank,
+    TorchaudioFbankConfig,
+    TorchaudioMfcc,
+    TorchaudioMfccConfig,
+    TorchaudioSpectrogram,
+    TorchaudioSpectrogramConfig,
     WhisperFbank,
     WhisperFbankConfig,
     NumpyFilesWriter,

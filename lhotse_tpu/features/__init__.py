@@ -35,6 +35,14 @@ from lhotse_tpu.features.io import (
     get_reader,
     get_writer,
 )
+from lhotse_tpu.features.compliance import (
+    TorchaudioFbank,
+    TorchaudioFbankConfig,
+    TorchaudioMfcc,
+    TorchaudioMfccConfig,
+    TorchaudioSpectrogram,
+    TorchaudioSpectrogramConfig,
+)
 from lhotse_tpu.features.kaldi.extractors import (
     Fbank,
     FbankConfig,
@@ -45,5 +53,16 @@ from lhotse_tpu.features.kaldi.extractors import (
     Spectrogram,
     SpectrogramConfig,
 )
+from lhotse_tpu.features.kaldifeat import (
+    KaldifeatFbank,
+    KaldifeatFbankConfig,
+    KaldifeatFrameOptions,
+    KaldifeatMelOptions,
+    KaldifeatMfcc,
+    KaldifeatMfccConfig,
+)
+from lhotse_tpu.features.librosa_fbank import LibrosaFbank, LibrosaFbankConfig
 from lhotse_tpu.features.mixer import FeatureMixer
+from lhotse_tpu.features.opensmile import OpenSmileConfig, OpenSmileExtractor
+from lhotse_tpu.features.ssl import S3PRLSSL, S3PRLSSLConfig
 from lhotse_tpu.features.whisper import WhisperFbank, WhisperFbankConfig

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import lru_cache
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import numpy as np
 
@@ -61,15 +61,21 @@ def _mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def slaney_mel_filters(
-    sampling_rate: int, n_fft: int, n_mels: int
+    sampling_rate: int,
+    n_fft: int,
+    n_mels: int,
+    fmin: float = 0.0,
+    fmax: Optional[float] = None,
 ) -> np.ndarray:
     """
     Triangular mel filterbank matching ``librosa.filters.mel`` defaults
-    (fmin=0, fmax=sr/2, htk=False, norm="slaney"); shape (n_mels, n_fft//2+1).
+    (htk=False, norm="slaney"); shape (n_mels, n_fft//2+1).
     """
+    if fmax is None:
+        fmax = sampling_rate / 2.0
     fftfreqs = np.linspace(0.0, sampling_rate / 2.0, 1 + n_fft // 2)
     mel_pts = np.linspace(
-        _hz_to_mel_slaney(0.0), _hz_to_mel_slaney(sampling_rate / 2.0), n_mels + 2
+        _hz_to_mel_slaney(float(fmin)), _hz_to_mel_slaney(float(fmax)), n_mels + 2
     )
     mel_f = _mel_to_hz_slaney(mel_pts)
     fdiff = np.diff(mel_f)
