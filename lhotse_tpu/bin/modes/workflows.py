@@ -150,13 +150,121 @@ def activity_detection(
     sups.to_file(output_supervisions)
 
 
-@workflows.command()
+@workflows.command(context_settings=dict(show_default=True))
+@click.argument("out_cuts", type=click.Path(allow_dash=True))
+@click.option(
+    "-m",
+    "--recordings-manifest",
+    type=click.Path(exists=True, dir_okay=False),
+    help="RecordingSet manifest to annotate.",
+)
+@click.option(
+    "-c",
+    "--cuts-manifest",
+    type=click.Path(exists=True, dir_okay=False),
+    help="CutSet manifest to annotate (supervisions are overwritten).",
+)
+@click.option("-n", "--model-name", default="base", help="Whisper variant or checkpoint.")
+@click.option("-l", "--language", default=None, help="Language hint (else auto-detect).")
+@click.option("-d", "--device", default="cpu")
+@click.option(
+    "--force-nonoverlapping/--keep-overlapping",
+    default=False,
+    help="Truncate each segment at the next one's start.",
+)
+def annotate_with_whisper(
+    out_cuts, recordings_manifest, cuts_manifest, model_name, language, device,
+    force_nonoverlapping,
+):
+    """
+    Transcribe and segment audio with a Whisper model, writing annotated cuts
+    to OUT_CUTS (requires 'openai-whisper' or 'transformers' with the model
+    weights available).
+    """
+    from lhotse_tpu.audio import RecordingSet
+    from lhotse_tpu.cut import CutSet
+    from lhotse_tpu.serialization import load_manifest
+    from lhotse_tpu.workflows import annotate_with_whisper as annotate
+
+    assert (recordings_manifest is None) != (cuts_manifest is None), (
+        "Provide exactly one of --recordings-manifest / --cuts-manifest."
+    )
+    manifest = load_manifest(recordings_manifest or cuts_manifest)
+    opts = {"language": language} if language else {}
+    with CutSet.open_writer(out_cuts) as writer:
+        for cut in annotate(
+            manifest,
+            model_name=model_name,
+            device=device,
+            force_nonoverlapping=force_nonoverlapping,
+            **opts,
+        ):
+            writer.write(cut, flush=True)
+
+
+@workflows.command(context_settings=dict(show_default=True))
+@click.argument("in_cuts", type=click.Path(exists=True, dir_okay=False))
+@click.argument("out_cuts", type=click.Path(allow_dash=True))
+@click.option(
+    "-n",
+    "--model-name",
+    default="facebook/wav2vec2-base-960h",
+    help="Transformers CTC checkpoint (or reference torchaudio bundle name).",
+)
+@click.option("-d", "--device", default="cpu")
+@click.option("-j", "--num-jobs", type=int, default=1)
+@click.option(
+    "--normalize-text/--dont-normalize-text",
+    default=True,
+    help="Uppercase + num2words + drop out-of-vocabulary symbols.",
+)
+def align_with_torchaudio(in_cuts, out_cuts, model_name, device, num_jobs, normalize_text):
+    """
+    Word-level forced alignment of IN_CUTS supervisions with a CTC model
+    (named after the reference command; runs on transformers checkpoints).
+    """
+    from lhotse_tpu.cut import CutSet
+    from lhotse_tpu.workflows import align_supervisions
+    from lhotse_tpu.workflows.forced_alignment.workflow import _BUNDLE_TO_CHECKPOINT
+
+    model_name = _BUNDLE_TO_CHECKPOINT.get(model_name, model_name)
+    cuts = CutSet.from_file(in_cuts)
+    with CutSet.open_writer(out_cuts) as writer:
+        for cut in align_supervisions(
+            cuts,
+            model_name=model_name,
+            device=device,
+            num_jobs=num_jobs,
+            normalize_text=normalize_text,
+        ):
+            writer.write(cut, flush=True)
+
+
+@workflows.command(context_settings=dict(show_default=True))
 @click.argument("out_cuts", type=click.Path(allow_dash=True))
 @click.option("-m", "--recordings-manifest", type=click.Path(exists=True, dir_okay=False))
-@click.option("-n", "--model-name", default="base")
-def annotate_with_whisper(out_cuts, recordings_manifest, model_name):
-    """Transcribe recordings with a Whisper model (requires 'openai-whisper')."""
-    raise click.ClickException(
-        "annotate-with-whisper requires the 'openai-whisper' package, which is "
-        "not installed in this environment."
+@click.option("-c", "--cuts-manifest", type=click.Path(exists=True, dir_okay=False))
+@click.option("-p", "--is-personalized-mos", is_flag=True, default=False)
+@click.option("--download-root", default=None)
+def annotate_dnsmos(
+    out_cuts, recordings_manifest, cuts_manifest, is_personalized_mos, download_root
+):
+    """
+    Predict DNSMOS P.835 SIG/BAK/OVRL speech-quality scores (requires
+    'onnxruntime' and the Microsoft DNSMOS models).
+    """
+    from lhotse_tpu.cut import CutSet
+    from lhotse_tpu.serialization import load_manifest
+    from lhotse_tpu.workflows import annotate_dnsmos as annotate
+
+    assert (recordings_manifest is None) != (cuts_manifest is None), (
+        "Provide exactly one of --recordings-manifest / --cuts-manifest."
     )
+    manifest = load_manifest(recordings_manifest or cuts_manifest)
+    with CutSet.open_writer(out_cuts) as writer:
+        for cut in annotate(
+            manifest,
+            is_personalized_mos=is_personalized_mos,
+            download_root=download_root,
+        ):
+            writer.write(cut, flush=True)

@@ -115,7 +115,7 @@ class ParallelExecutor:
         self.verbose = verbose
         self.description = description
 
-    def _process(self, item):
+    def _process(self, item, **kwargs):
         cls = type(self)
         if self.threads:
             runner = getattr(cls._local, "runner", None)
@@ -126,11 +126,13 @@ class ParallelExecutor:
             if cls._process_runner is None:
                 cls._process_runner = self.init_fn()
             runner = cls._process_runner
-        return runner(item)
+        return runner(item, **kwargs)
 
-    def __call__(self, items: Iterable) -> Generator:
+    def __call__(self, items: Iterable, **kwargs) -> Generator:
+        # Extra kwargs are forwarded to every runner call (reference:
+        # parallel.py's ParallelExecutor.__call__ does the same).
         gen = parallel_map(
-            self._process,
+            partial(self._process, **kwargs) if kwargs else self._process,
             items,
             num_jobs=self.num_jobs,
             queue_size=self.queue_size,

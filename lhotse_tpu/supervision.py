@@ -125,9 +125,8 @@ class SupervisionSegment(CustomFieldMixin):
         return round(self.start + self.duration, ndigits=8)
 
     def with_alignment(self, kind: str, alignment: List[AlignmentItem]) -> "SupervisionSegment":
-        alis = self.alignment
-        if alis is None:
-            alis = {}
+        # Copy the dict so the original segment's alignment is not mutated.
+        alis = dict(self.alignment) if self.alignment is not None else {}
         alis[kind] = alignment
         return fastcopy(self, alignment=alis)
 
