@@ -245,6 +245,7 @@ class CutSet(Serializable, AlgorithmMixin):
         slice_length: Optional[int] = None,
         indexed: Optional[bool] = None,
         index_path=None,
+        lazy: bool = False,
     ) -> "CutSet":
         """
         Read cuts + data from Shar shards (one jsonl manifest + one tar per
@@ -276,6 +277,7 @@ class CutSet(Serializable, AlgorithmMixin):
                     seed=seed,
                     split_for_dataloading=split_for_dataloading,
                     index_path=index_path,
+                    lazy=lazy,
                 )
             )
         return CutSet(
