@@ -380,7 +380,9 @@ def validate_recording_set(recordings: RecordingSet, read_data: bool = False) ->
         logging.warning(
             f"RecordingSet contains recordings with different sampling rates ({rates})."
         )
-    assert ids.most_common(1)[0][1] <= 1, "RecordingSet has recordings with duplicated IDs."
+    assert not ids or ids.most_common(1)[0][1] <= 1, (
+        "RecordingSet has recordings with duplicated IDs."
+    )
 
 
 @register_validator
@@ -389,7 +391,7 @@ def validate_supervision_set(supervisions: SupervisionSet, **kwargs) -> None:
     for s in supervisions:
         validate_supervision(s)
         ids[s.id] += 1
-    assert ids.most_common(1)[0][1] <= 1, (
+    assert not ids or ids.most_common(1)[0][1] <= 1, (
         "SupervisionSet has supervisions with duplicated IDs."
     )
     supervisions._index_by_recording_id_and_cache()

@@ -1,9 +1,31 @@
+from lhotse_tpu.recipes.aishell import download_aishell, prepare_aishell
 from lhotse_tpu.recipes.librispeech import download_librispeech, prepare_librispeech
+from lhotse_tpu.recipes.libritts import (
+    download_libritts,
+    download_librittsr,
+    prepare_libritts,
+    prepare_librittsr,
+)
+from lhotse_tpu.recipes.musan import download_musan, prepare_musan
+from lhotse_tpu.recipes.tedlium import download_tedlium, prepare_tedlium
 from lhotse_tpu.recipes.utils import manifests_exist, read_manifests_if_cached
+from lhotse_tpu.recipes.yesno import download_yesno, prepare_yesno
 
 __all__ = [
+    "download_aishell",
     "download_librispeech",
+    "download_libritts",
+    "download_librittsr",
+    "download_musan",
+    "download_tedlium",
+    "download_yesno",
     "manifests_exist",
+    "prepare_aishell",
     "prepare_librispeech",
+    "prepare_libritts",
+    "prepare_librittsr",
+    "prepare_musan",
+    "prepare_tedlium",
+    "prepare_yesno",
     "read_manifests_if_cached",
 ]

@@ -1,0 +1,133 @@
+"""Recipe prepare_* functions on synthesized corpus trees."""
+import numpy as np
+import pytest
+
+from lhotse_tpu.audio.wavio import write_wav
+from lhotse_tpu.recipes import (
+    prepare_aishell,
+    prepare_libritts,
+    prepare_musan,
+    prepare_yesno,
+)
+from lhotse_tpu.recipes.tedlium import _parse_stm_file, normalize_text_tedlium
+
+
+def _wav(path, seconds=1.0, sr=16000, seed=0):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    write_wav(path, (rng.randn(1, int(seconds * sr)) * 0.1).astype(np.float32), sr)
+
+
+def test_prepare_yesno(tmp_path):
+    flags = ["0_0_1_0_1_0_1_1", "1_1_0_1_0_1_0_0"]
+    for i, name in enumerate(flags):
+        _wav(tmp_path / f"{name}.wav", sr=8000, seed=i)
+    manifests = prepare_yesno(tmp_path, output_dir=tmp_path / "out")
+    # only 2 files -> both land in "train" (first 30 sorted).
+    assert set(manifests) == {"train"}
+    sups = manifests["train"]["supervisions"]
+    assert len(sups) == 2
+    by_id = {s.id: s for s in sups}
+    assert by_id["0_0_1_0_1_0_1_1"].text == "NO NO YES NO YES NO YES YES"
+    assert (tmp_path / "out" / "yesno_recordings_train.jsonl.gz").is_file()
+
+
+def test_prepare_musan(tmp_path):
+    root = tmp_path / "musan"
+    _wav(root / "music" / "fma" / "music-fma-0000.wav", seed=1)
+    _wav(root / "noise" / "free-sound" / "noise-free-sound-0000.wav", seed=2)
+    _wav(root / "speech" / "us-gov" / "speech-us-gov-0000.wav", seed=3)
+    ann = root / "music" / "fma" / "ANNOTATIONS"
+    ann.write_text("music-fma-0000 rock,pop Y artist1\n")
+    manifests = prepare_musan(root, output_dir=tmp_path / "out")
+    assert set(manifests) == {"music", "speech", "noise"}
+    music_sups = manifests["music"]["supervisions"]
+    (seg,) = list(music_sups)
+    assert seg.custom["genres"] == ["rock", "pop"] and seg.custom["vocals"]
+    assert seg.speaker == "artist1"
+    # no vocals filter drops the only (vocal) segment
+    novocals = prepare_musan(root, parts=("music",), use_vocals=False)
+    assert len(novocals["music"]["supervisions"]) == 0
+    assert "supervisions" not in manifests["noise"]
+
+
+def test_prepare_aishell(tmp_path):
+    root = tmp_path / "aishell"
+    data = root / "data_aishell"
+    trans = data / "transcript"
+    trans.mkdir(parents=True)
+    (trans / "aishell_transcript_v0.8.txt").write_text(
+        "BAC009S0002W0122 中 文 ｔｅｓｔ\n"
+        "BAC009S0002W0123 你 好\n"
+        "BAC009S0003W0001 早 上 好\n"
+    )
+    _wav(data / "wav" / "train" / "S0002" / "BAC009S0002W0122.wav", seed=4)
+    # An untranscribed wav in the same split must be skipped with a warning.
+    _wav(data / "wav" / "train" / "S0002" / "BAC009S0002W9999.wav", seed=9)
+    _wav(data / "wav" / "dev" / "S0002" / "BAC009S0002W0123.wav", seed=5)
+    _wav(data / "wav" / "test" / "S0003" / "BAC009S0003W0001.wav", seed=6)
+    manifests = prepare_aishell(root, output_dir=tmp_path / "out")
+    (train_seg,) = list(manifests["train"]["supervisions"])
+    # Only ａｂｃｋｔ are mapped to ASCII (the reference's exact sed set);
+    # other fullwidth letters just get uppercased. Spaces removed.
+    assert train_seg.text == "中文TＥＳT"
+    assert train_seg.speaker == "S0002"
+    assert len(manifests["train"]["recordings"]) == 1  # untranscribed dropped
+    assert len(manifests["test"]["supervisions"]) == 1
+
+
+def test_prepare_libritts(tmp_path):
+    root = tmp_path / "LibriTTS"
+    part = root / "dev-clean"
+    chapter = part / "84" / "121123"
+    _wav(chapter / "84_121123_000007_000001.wav", sr=24000, seed=7)
+    _wav(chapter / "84_121123_000008_000000.wav", sr=24000, seed=8)
+    (chapter / "84_121123.trans.tsv").write_text(
+        "84_121123_000007_000001\tMaximilian!\tMaximilian.\n"
+        "84_121123_000008_000000\tVillefort rose.\tVillefort rose.\n"
+    )
+    (chapter / "84_121123.book.tsv").write_text(
+        "84_121123_000007_000001 x x 12.5\n84_121123_000008_000000 x x 7.25\n"
+    )
+    (root / "SPEAKERS.txt").write_text(";ID |SEX| SUBSET\n84 | F | dev-clean\n")
+    manifests = prepare_libritts(
+        root, dataset_parts="dev-clean", output_dir=tmp_path / "out",
+        link_previous_utt=True,
+    )
+    sups = {s.id: s for s in manifests["dev-clean"]["supervisions"]}
+    s1 = sups["84_121123_000007_000001"]
+    assert s1.text == "Maximilian." and s1.custom["orig_text"] == "Maximilian!"
+    assert s1.custom["snr"] == 12.5 and s1.gender == "F" and s1.speaker == "84"
+    assert s1.custom["prev_utt"] is None
+    assert sups["84_121123_000008_000000"].custom["prev_utt"] == (
+        "84_121123_000007_000001"
+    )
+
+
+def test_tedlium_stm_parsing(tmp_path):
+    stm = tmp_path / "TalkA.stm"
+    stm.write_text(
+        "TalkA 1 spk 0.00 2.50 <o,f0,male> hello {NOISE} world\n"
+        "TalkA 1 spk 2.50 3.00 <o,f0,male> ignore_time_segment_in_scoring\n"
+        "TalkA 1 spk 3.00 4.25 <o,f0,male> they 're here\n"
+    )
+    segs = _parse_stm_file(stm, normalize_text="none")
+    assert len(segs) == 2
+    assert segs[0].text == "hello [NOISE] world"
+    assert segs[0].start == 0.0 and segs[0].duration == 2.5
+    assert segs[1].recording_id == "TalkA"
+    assert normalize_text_tedlium("they 're [NOISE] here", "kaldi") == "they're  here"
+    assert normalize_text_tedlium("abc", "upper") == "ABC"
+
+
+def test_recipes_cli_registered():
+    from click.testing import CliRunner
+
+    from lhotse_tpu.bin.lhotse_tpu import cli
+
+    runner = CliRunner()
+    for group in ("download", "prepare"):
+        result = runner.invoke(cli, [group, "--help"])
+        assert result.exit_code == 0
+        for name in ("yesno", "musan", "aishell", "tedlium", "libritts"):
+            assert name in result.output, (group, name)
