@@ -131,6 +131,121 @@ class SmartOpenIOBackend(IOBackend):
         return is_valid_url(str(identifier))
 
 
+class AIStoreIOBackend(IOBackend):
+    """AIStore client reads/writes for url identifiers (gated on the
+    ``aistore`` SDK + ``AIS_ENDPOINT`` env; reference: serialization.py:894)."""
+
+    def open(self, identifier: str, mode: str):
+        import os as _os
+
+        from aistore import Client
+
+        client = Client(_os.environ["AIS_ENDPOINT"])
+        obj = client.fetch_object_by_url(identifier)
+        if "r" in mode:
+            fileobj = obj.get_reader().as_file()
+            if str(identifier).endswith(".gz"):
+                from lhotse_tpu.workarounds import gzip_open_robust
+
+                fileobj = gzip_open_robust(fileobj)
+            return fileobj
+        if "w" in mode:
+            return obj.get_writer().as_file()
+        raise ValueError(f"Unsupported mode for AIStore: {mode}")
+
+    @classmethod
+    def is_available(cls) -> bool:
+        import os as _os
+
+        return (
+            is_module_available("aistore")
+            and "AIS_ENDPOINT" in _os.environ
+            and is_valid_url(_os.environ["AIS_ENDPOINT"])
+        )
+
+    def is_applicable(self, identifier: str) -> bool:
+        return str(identifier).startswith("ais://") or is_valid_url(str(identifier))
+
+
+class MSCIOBackend(IOBackend):
+    """NVIDIA Multi-Storage-Client for ``msc://`` URLs (gated; protocol/
+    profile overrides via LHOTSE_MSC_OVERRIDE_PROTOCOLS / LHOTSE_MSC_PROFILE /
+    LHOTSE_MSC_BACKEND_FORCED envs; reference: serialization.py:962)."""
+
+    PREFIX = "msc://"
+
+    def open(self, identifier: str, mode: str):
+        import os as _os
+
+        import multistorageclient as msc
+
+        identifier = str(identifier)
+        if not identifier.startswith(self.PREFIX):
+            overrides = _os.environ.get("LHOTSE_MSC_OVERRIDE_PROTOCOLS")
+            if overrides:
+                for proto in overrides.split(","):
+                    if identifier.startswith(proto):
+                        identifier = identifier.replace(proto, "msc", 1)
+                        break
+            profile = _os.environ.get("LHOTSE_MSC_PROFILE")
+            if profile and identifier.startswith(self.PREFIX):
+                rest = identifier[len(self.PREFIX) :].split("/", 1)
+                tail = rest[1] if len(rest) > 1 else ""
+                identifier = f"{self.PREFIX}{profile}/{tail}"
+        return msc.open(identifier, mode)
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return is_module_available("multistorageclient")
+
+    def is_applicable(self, identifier: str) -> bool:
+        import os as _os
+
+        forced = _os.environ.get("LHOTSE_MSC_BACKEND_FORCED", "").lower() == "true"
+        return str(identifier).startswith(self.PREFIX) or (
+            forced and is_valid_url(str(identifier))
+        )
+
+
+class TarAsDirBackend(IOBackend):
+    """Read files inside tar archives addressed as
+    ``/path/archive.tar/member/path`` (reference: serialization.py:1187)."""
+
+    TAR_EXTS = (".tar", ".tar.gz", ".tar.bz2", ".tar.xz")
+
+    @classmethod
+    def _split(cls, identifier: str):
+        for ext in cls.TAR_EXTS:
+            token = ext + "/"
+            if token in identifier:
+                tar_path, internal = identifier.split(token, 1)
+                return tar_path + ext, internal
+        return None
+
+    def open(self, identifier: str, mode: str = "r"):
+        import tarfile
+
+        split = self._split(str(identifier))
+        if split is None:
+            return open(identifier, mode)
+        tar_path, internal = split
+        if not os.path.exists(tar_path):
+            raise FileNotFoundError(f"Tar file '{tar_path}' not found")
+        try:
+            tar = tarfile.open(tar_path, "r")
+            member = tar.extractfile(internal)
+            if member is None:
+                raise KeyError(internal)
+            return member
+        except (tarfile.TarError, KeyError) as e:
+            raise FileNotFoundError(
+                f"File '{internal}' not found in '{tar_path}': {e}"
+            )
+
+    def is_applicable(self, identifier: str) -> bool:
+        return self._split(str(identifier)) is not None
+
+
 class CompositeIOBackend(IOBackend):
     """
     Composite backend trying its children in order for the first applicable one
@@ -180,7 +295,12 @@ def get_default_io_backend() -> IOBackend:
     backends = [
         RedirectIOBackend(),
         PipeIOBackend(),
+        TarAsDirBackend(),
     ]
+    if MSCIOBackend.is_available():
+        backends.append(MSCIOBackend())
+    if AIStoreIOBackend.is_available():
+        backends.append(AIStoreIOBackend())
     if SmartOpenIOBackend.is_available():
         backends.append(SmartOpenIOBackend())
     backends += [
