@@ -295,6 +295,71 @@ class SoundfileBackend(AudioBackend):
         sf.write(dest, src, sampling_rate, format=format, subtype=encoding)
 
 
+class AudioreadBackend(AudioBackend):
+    """Last-resort decode through the optional ``audioread`` package
+    (reference: audio/backend.py:658 — used for formats nothing else decodes;
+    no info()/save() support)."""
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return is_module_available("audioread")
+
+    def read_audio(
+        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None
+    ) -> Tuple[np.ndarray, int]:
+        import audioread
+
+        with audioread.audio_open(str(path_or_fd)) as f:
+            sampling_rate = f.samplerate
+            channels = f.channels
+            chunks = [
+                np.frombuffer(buf, dtype=np.int16).reshape(-1, channels)
+                for buf in f
+            ]
+        samples = (
+            np.concatenate(chunks, axis=0).T.astype(np.float32) / 32768.0
+            if chunks
+            else np.zeros((channels, 0), dtype=np.float32)
+        )
+        start = compute_num_samples(offset, sampling_rate) if offset else 0
+        end = (
+            start + compute_num_samples(duration, sampling_rate)
+            if duration is not None
+            else samples.shape[1]
+        )
+        return samples[:, start:end], sampling_rate
+
+    def is_applicable(self, path_or_fd) -> bool:
+        # Only usable with real paths (audioread opens by filename).
+        return self.is_available() and isinstance(path_or_fd, (str, Path))
+
+
+class TorchcodecBackend(AudioBackend):
+    """FFmpeg-based torch-native decoder via the optional ``torchcodec``
+    package (reference: audio/backend.py:593)."""
+
+    @classmethod
+    def is_available(cls) -> bool:
+        return is_module_available("torchcodec")
+
+    def read_audio(
+        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None
+    ) -> Tuple[np.ndarray, int]:
+        from torchcodec.decoders import AudioDecoder
+
+        source = str(path_or_fd) if isinstance(path_or_fd, Path) else path_or_fd
+        decoder = AudioDecoder(source)
+        sampling_rate = int(decoder.metadata.sample_rate)
+        if offset or duration is not None:
+            stop = (offset + duration) if duration is not None else None
+            samples = decoder.get_samples_played_in_range(
+                start_seconds=float(offset), stop_seconds=stop
+            ).data
+        else:
+            samples = decoder.get_all_samples().data
+        return samples.numpy().astype(np.float32), sampling_rate
+
+
 class FfmpegSubprocessBackend(AudioBackend):
     """
     Decode any format via an ``ffmpeg`` subprocess emitting float32 PCM on

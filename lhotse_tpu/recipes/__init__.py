@@ -1,4 +1,6 @@
 from lhotse_tpu.recipes.aishell import download_aishell, prepare_aishell
+from lhotse_tpu.recipes.commonvoice import download_commonvoice, prepare_commonvoice
+from lhotse_tpu.recipes.gigaspeech import download_gigaspeech, prepare_gigaspeech
 from lhotse_tpu.recipes.librispeech import download_librispeech, prepare_librispeech
 from lhotse_tpu.recipes.libritts import (
     download_libritts,
@@ -6,6 +8,7 @@ from lhotse_tpu.recipes.libritts import (
     prepare_libritts,
     prepare_librittsr,
 )
+from lhotse_tpu.recipes.mls import prepare_mls
 from lhotse_tpu.recipes.musan import download_musan, prepare_musan
 from lhotse_tpu.recipes.tedlium import download_tedlium, prepare_tedlium
 from lhotse_tpu.recipes.utils import manifests_exist, read_manifests_if_cached
@@ -13,6 +16,8 @@ from lhotse_tpu.recipes.yesno import download_yesno, prepare_yesno
 
 __all__ = [
     "download_aishell",
+    "download_commonvoice",
+    "download_gigaspeech",
     "download_librispeech",
     "download_libritts",
     "download_librittsr",
@@ -21,6 +26,9 @@ __all__ = [
     "download_yesno",
     "manifests_exist",
     "prepare_aishell",
+    "prepare_commonvoice",
+    "prepare_gigaspeech",
+    "prepare_mls",
     "prepare_librispeech",
     "prepare_libritts",
     "prepare_librittsr",

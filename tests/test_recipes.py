@@ -131,3 +131,78 @@ def test_recipes_cli_registered():
         assert result.exit_code == 0
         for name in ("yesno", "musan", "aishell", "tedlium", "libritts"):
             assert name in result.output, (group, name)
+
+
+def test_prepare_mls(tmp_path):
+    from lhotse_tpu.audio.flacio import write_flac
+    from lhotse_tpu.recipes import prepare_mls
+
+    root = tmp_path / "mls"
+    lang_dir = root / "mls_polish"
+    (lang_dir).mkdir(parents=True)
+    (lang_dir / "metainfo.txt").write_text("1234 | F | train | 10.5\n")
+    for split in ("train", "dev", "test"):
+        split_dir = lang_dir / split / "audio" / "1234" / "5678"
+        split_dir.mkdir(parents=True)
+        rng = np.random.RandomState(1)
+        audio = (rng.randn(16000) * 0.1).astype(np.float32)
+        write_flac(split_dir / f"1234_5678_{split}.flac", audio[None, :], 16000)
+        (lang_dir / split / "transcripts.txt").write_text(
+            f"1234_5678_{split}\tdzien dobry\n"
+        )
+    manifests = prepare_mls(root, output_dir=tmp_path / "out", opus=False)
+    assert set(manifests) == {"polish"}
+    assert set(manifests["polish"]) == {"train", "dev", "test"}
+    (seg,) = list(manifests["polish"]["train"]["supervisions"])
+    assert seg.text == "dzien dobry"
+    assert seg.speaker == "1234" and seg.gender == "F" and seg.language == "polish"
+
+
+def test_prepare_commonvoice(tmp_path):
+    from lhotse_tpu.recipes import prepare_commonvoice
+
+    root = tmp_path / "cv-corpus"
+    lang = root / "pl"
+    clips = lang / "clips"
+    clips.mkdir(parents=True)
+    _wav(clips / "sample-000.wav", seed=11)
+    header = "client_id\tpath\tsentence\tup_votes\tdown_votes\tage\tgender\taccents\tvariant\tlocale\tsegment\n"
+    (lang / "train.tsv").write_text(
+        header + "spk1\tsample-000.wav\tCzesc swiecie\t2\t0\ttwenties\tfemale\t\t\tpl\t\n"
+    )
+    (lang / "dev.tsv").write_text(header)
+    (lang / "test.tsv").write_text(header)
+    manifests = prepare_commonvoice(
+        root, output_dir=tmp_path / "out", languages="pl", splits=("train",)
+    )
+    (seg,) = list(manifests["pl"]["train"]["supervisions"])
+    assert seg.text == "Czesc swiecie"
+    assert seg.speaker == "spk1" and seg.gender == "female"
+    assert seg.custom["age"] == "twenties"
+    assert (tmp_path / "out" / "cv_recordings_pl_train.jsonl.gz").is_file()
+
+
+def test_gigaspeech_parse_utterance():
+    from lhotse_tpu.recipes.gigaspeech import parse_utterance
+
+    audio = {
+        "aid": "AUD0001",
+        "path": "audio/AUD0001.opus",
+        "sample_rate": 16000,
+        "channels": 1,
+        "duration": 10.0,
+        "segments": [
+            {
+                "sid": "SEG0001",
+                "begin_time": 0.5,
+                "end_time": 3.25,
+                "speaker": "spk-1",
+                "text_tn": "HELLO WORLD",
+            }
+        ],
+    }
+    rec, segs = parse_utterance(audio, "/corpus")
+    assert rec.id == "AUD0001" and rec.duration == 10.0
+    assert rec.sources[0].source == "/corpus/audio/AUD0001.opus"
+    assert segs[0].start == 0.5 and segs[0].duration == 2.75
+    assert segs[0].text == "HELLO WORLD"
