@@ -18,6 +18,13 @@ from lhotse_tpu.audio import (
     set_audio_duration_mismatch_tolerance,
 )
 from lhotse_tpu.caching import is_caching_enabled, set_caching_enabled
+from lhotse_tpu.tracing import (
+    format_tracing_report,
+    is_tracing_enabled,
+    set_tracing_enabled,
+    trace_span,
+    tracing_report,
+)
 from lhotse_tpu.features import (
     Fbank,
     FbankConfig,

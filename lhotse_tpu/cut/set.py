@@ -1178,19 +1178,31 @@ class CutSet(Serializable, AlgorithmMixin):
             # One background writer so serialization order is deterministic.
             max_workers=1
         ) as save_pool:
+            from lhotse_tpu.tracing import add_work, trace_span
+
             for batch in batches():
-                waves = list(read_pool.map(read_audio_safe, batch))
-                cuts = [c for c, w in zip(batch, waves) if w is not None]
-                waves = [w for w in waves if w is not None]
-                if len(cuts) == 0:
-                    continue
-                assert all(c.sampling_rate == cuts[0].sampling_rate for c in cuts)
-                if augment_fn is not None:
-                    waves = [augment_fn(w, c.sampling_rate) for c, w in zip(cuts, waves)]
-                flat = [w.reshape(-1) if w.ndim > 1 and w.shape[0] == 1 else w for w in waves]
-                features = extractor.extract_batch(
-                    flat, sampling_rate=cuts[0].sampling_rate
-                )
+                with trace_span("CutSet.compute_and_store_features_batch"):
+                    waves = list(read_pool.map(read_audio_safe, batch))
+                    cuts = [c for c, w in zip(batch, waves) if w is not None]
+                    waves = [w for w in waves if w is not None]
+                    if len(cuts) == 0:
+                        continue
+                    assert all(
+                        c.sampling_rate == cuts[0].sampling_rate for c in cuts
+                    )
+                    if augment_fn is not None:
+                        waves = [
+                            augment_fn(w, c.sampling_rate)
+                            for c, w in zip(cuts, waves)
+                        ]
+                    flat = [
+                        w.reshape(-1) if w.ndim > 1 and w.shape[0] == 1 else w
+                        for w in waves
+                    ]
+                    add_work(sum(c.duration for c in cuts))
+                    features = extractor.extract_batch(
+                        flat, sampling_rate=cuts[0].sampling_rate
+                    )
                 if not isinstance(features, list):
                     features = [features[i] for i in range(len(cuts))] if features.ndim == 3 else [features]
                 futures.append(save_pool.submit(_save_worker, cuts, features))

@@ -231,6 +231,17 @@ class _KaldiExtractorBase(FeatureExtractor):
             else:
                 items = [np.asarray(samples, dtype=np.float32).reshape(-1)]
             item_lengths = [len(s) for s in items]
+        from lhotse_tpu.tracing import add_work, is_tracing_enabled, trace_span
+
+        if is_tracing_enabled():
+            with trace_span(f"{type(self).__name__}.extract_batch"):
+                add_work(sum(item_lengths) / sampling_rate)
+                return self._extract_batch_impl(
+                    items, item_lengths, input_is_list, sampling_rate
+                )
+        return self._extract_batch_impl(items, item_lengths, input_is_list, sampling_rate)
+
+    def _extract_batch_impl(self, items, item_lengths, input_is_list, sampling_rate):
         prepared = [self._prepare_item(s) for s in items]
         max_len = max(p.shape[-1] for p in prepared)
         padded_len = _round_up(
