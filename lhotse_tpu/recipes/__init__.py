@@ -1,3 +1,4 @@
+from lhotse_tpu.recipes.ami import download_ami, prepare_ami
 from lhotse_tpu.recipes.aishell import download_aishell, prepare_aishell
 from lhotse_tpu.recipes.commonvoice import download_commonvoice, prepare_commonvoice
 from lhotse_tpu.recipes.gigaspeech import download_gigaspeech, prepare_gigaspeech
@@ -16,6 +17,7 @@ from lhotse_tpu.recipes.yesno import download_yesno, prepare_yesno
 
 __all__ = [
     "download_aishell",
+    "download_ami",
     "download_commonvoice",
     "download_gigaspeech",
     "download_librispeech",
@@ -26,6 +28,7 @@ __all__ = [
     "download_yesno",
     "manifests_exist",
     "prepare_aishell",
+    "prepare_ami",
     "prepare_commonvoice",
     "prepare_gigaspeech",
     "prepare_mls",

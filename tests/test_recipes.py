@@ -206,3 +206,99 @@ def test_gigaspeech_parse_utterance():
     assert rec.sources[0].source == "/corpus/audio/AUD0001.opus"
     assert segs[0].start == 0.5 and segs[0].duration == 2.75
     assert segs[0].text == "HELLO WORLD"
+
+
+def _ami_tree(tmp_path):
+    """Mini AMI corpus: one meeting per partition (train/dev/test), two
+    headsets each, NXT annotations."""
+    root = tmp_path / "ami"
+    # full-corpus partition: ES2002a -> train, ES2011a -> dev, ES2004a -> test
+    meetings = ["ES2002a", "ES2011a", "ES2004a"]
+    ann = root / "ami_public_manual_1.6.2"
+    (ann / "corpusResources").mkdir(parents=True)
+    (ann / "segments").mkdir()
+    (ann / "words").mkdir()
+    meetings_xml = ['<?xml version="1.0"?>', "<meetings>"]
+    for mi, meet in enumerate(meetings):
+        audio_dir = root / "wav_db" / meet / "audio"
+        for ch in (0, 1):
+            _wav(audio_dir / f"{meet}.Headset-{ch}.wav", seconds=10.0, seed=20 + 2 * mi + ch)
+        meetings_xml += [
+            f'  <meeting observation="{meet}">',
+            f'    <speaker nxt_agent="A" global_name="MEE00{mi}" channel="0"/>',
+            f'    <speaker nxt_agent="B" global_name="FEE10{mi}" channel="1"/>',
+            "  </meeting>",
+        ]
+        (ann / "segments" / f"{meet}.A.segments.xml").write_text(
+            '<?xml version="1.0"?>\n<segmentation>\n'
+            '  <segment transcriber_start="1.0" transcriber_end="4.0"/>\n'
+            "</segmentation>"
+        )
+        (ann / "segments" / f"{meet}.B.segments.xml").write_text(
+            '<?xml version="1.0"?>\n<segmentation>\n'
+            '  <segment transcriber_start="5.0" transcriber_end="8.0"/>\n'
+            "</segmentation>"
+        )
+        (ann / "words" / f"{meet}.A.words.xml").write_text(
+            '<?xml version="1.0"?>\n<words>\n'
+            '  <w starttime="1.1" endtime="1.5">hello</w>\n'
+            '  <w starttime="1.6" endtime="2.2">there</w>\n'
+            '  <w starttime="2.2" endtime="2.2" punc="true">.</w>\n'
+            '  <w starttime="2.5" endtime="3.5">okay</w>\n'
+            "</words>"
+        )
+        (ann / "words" / f"{meet}.B.words.xml").write_text(
+            '<?xml version="1.0"?>\n<words>\n'
+            '  <w starttime="5.2" endtime="6.0">mm</w>\n'
+            '  <w starttime="6.1" endtime="7.0">hmm</w>\n'
+            "</words>"
+        )
+    meetings_xml.append("</meetings>")
+    (ann / "corpusResources" / "meetings.xml").write_text("\n".join(meetings_xml))
+    return root
+
+
+def test_prepare_ami_ihm(tmp_path):
+    from lhotse_tpu.recipes import prepare_ami
+
+    root = _ami_tree(tmp_path)
+    manifests = prepare_ami(
+        root, output_dir=tmp_path / "out", mic="ihm", partition="full-corpus",
+        normalize_text="kaldi",
+    )
+    # ES2002a is in the full-corpus train partition.
+    recs = manifests["train"]["recordings"]
+    sups = list(manifests["train"]["supervisions"])
+    assert len(recs) == 1 and recs["ES2002a"].num_channels == 2
+    # Speaker A: segment split at the full stop -> 2 segments; B -> 1.
+    a_sups = [s for s in sups if s.speaker == "MEE000"]
+    b_sups = [s for s in sups if s.speaker == "FEE100"]
+    assert len(a_sups) == 2 and len(b_sups) == 1
+    assert a_sups[0].text == "HELLO THERE"
+    assert a_sups[0].channel == 0 and b_sups[0].channel == 1
+    # Per-word normalization means the dash rule doesn't fire on the join...
+    assert b_sups[0].text == "MM HMM"
+    # ...but does when normalizing a full phrase:
+    from lhotse_tpu.recipes.ami import normalize_text_ami
+
+    assert normalize_text_ami("mm hmm", "kaldi") == "MM-HMM"
+    ali = a_sups[0].alignment["word"]
+    assert [w.symbol for w in ali] == ["HELLO", "THERE"]
+    assert a_sups[0].gender == "M" and b_sups[0].gender == "F"
+
+
+def test_ami_split_segment():
+    from lhotse_tpu.recipes.ami import split_segment
+
+    words = [
+        (0.0, 0.5, "one"), (0.6, 1.0, "two"), (1.0, 1.0, "."),
+        (1.2, 1.5, "three"), (1.6, 2.0, "four"), (2.1, 2.5, "five"),
+        (2.5, 2.5, ","), (2.6, 3.0, "six"),
+    ]
+    segs = split_segment(words)
+    # The full-stop split keeps the comma token inside the second chunk.
+    assert [len(s) for s in segs] == [2, 5]
+    segs = split_segment(words, max_words_per_segment=3)
+    assert [[w[2] for w in s] for s in segs] == [
+        ["one", "two"], ["three", "four", "five"], ["six"],
+    ]
