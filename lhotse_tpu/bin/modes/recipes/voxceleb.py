@@ -1,0 +1,48 @@
+"""Reference behavior: `/root/reference/lhotse/bin/modes/recipes/voxceleb.py`."""
+from typing import Optional
+
+import click
+
+from lhotse_tpu.bin.modes.cli_base import download, prepare
+from lhotse_tpu.recipes.voxceleb import (
+    download_voxceleb1,
+    download_voxceleb2,
+    prepare_voxceleb,
+)
+from lhotse_tpu.utils import Pathlike
+
+__all__ = ["voxceleb"]
+
+
+@prepare.command(context_settings=dict(show_default=True))
+@click.argument("output_dir", type=click.Path())
+@click.option("--v1", "voxceleb1_root", type=click.Path(exists=True), default=None)
+@click.option("--v2", "voxceleb2_root", type=click.Path(exists=True), default=None)
+@click.option("-j", "--num-jobs", type=int, default=1)
+def voxceleb(
+    output_dir: Pathlike,
+    voxceleb1_root: Optional[Pathlike],
+    voxceleb2_root: Optional[Pathlike],
+    num_jobs: int,
+):
+    """VoxCeleb 1+2 speaker verification data preparation."""
+    prepare_voxceleb(
+        voxceleb1_root=voxceleb1_root,
+        voxceleb2_root=voxceleb2_root,
+        output_dir=output_dir,
+        num_jobs=num_jobs,
+    )
+
+
+@download.command(context_settings=dict(show_default=True))
+@click.argument("target_dir", type=click.Path())
+def voxceleb1(target_dir: Pathlike):
+    """VoxCeleb1 download."""
+    download_voxceleb1(target_dir)
+
+
+@download.command(context_settings=dict(show_default=True))
+@click.argument("target_dir", type=click.Path())
+def voxceleb2(target_dir: Pathlike):
+    """VoxCeleb2 download."""
+    download_voxceleb2(target_dir)

@@ -12,7 +12,13 @@ from lhotse_tpu.recipes.libritts import (
 from lhotse_tpu.recipes.mls import prepare_mls
 from lhotse_tpu.recipes.musan import download_musan, prepare_musan
 from lhotse_tpu.recipes.tedlium import download_tedlium, prepare_tedlium
+from lhotse_tpu.recipes.timit import download_timit, prepare_timit
 from lhotse_tpu.recipes.utils import manifests_exist, read_manifests_if_cached
+from lhotse_tpu.recipes.voxceleb import (
+    download_voxceleb1,
+    download_voxceleb2,
+    prepare_voxceleb,
+)
 from lhotse_tpu.recipes.yesno import download_yesno, prepare_yesno
 
 __all__ = [
@@ -25,6 +31,9 @@ __all__ = [
     "download_librittsr",
     "download_musan",
     "download_tedlium",
+    "download_timit",
+    "download_voxceleb1",
+    "download_voxceleb2",
     "download_yesno",
     "manifests_exist",
     "prepare_aishell",
@@ -37,6 +46,8 @@ __all__ = [
     "prepare_librittsr",
     "prepare_musan",
     "prepare_tedlium",
+    "prepare_timit",
+    "prepare_voxceleb",
     "prepare_yesno",
     "read_manifests_if_cached",
 ]

@@ -302,3 +302,68 @@ def test_ami_split_segment():
     assert [[w[2] for w in s] for s in segs] == [
         ["one", "two"], ["three", "four", "five"], ["six"],
     ]
+
+
+def test_prepare_timit(tmp_path):
+    from lhotse_tpu.recipes import prepare_timit
+    from lhotse_tpu.recipes.timit import get_phonemes
+
+    root = tmp_path / "timit"
+
+    def utt(part, spk, name, seed):
+        d = root / "data" / part / "DR1" / spk
+        _wav(d / f"{name}.WAV", seed=seed)
+        (d / f"{name}.TXT").write_text("0 16000 she had your dark suit\n")
+        (d / f"{name}.WRD").write_text("0 8000 she\n8000 16000 had\n")
+        (d / f"{name}.PHN").write_text(
+            "0 4000 h#\n4000 8000 sh\n8000 12000 ix\n12000 16000 axr\n"
+        )
+
+    utt("TRAIN", "mabc0", "SI1", 30)
+    utt("TEST", "fadg0", "SI2", 31)  # dev speaker
+    utt("TEST", "fdhc0", "SI3", 32)  # test speaker
+    manifests = prepare_timit(root, output_dir=tmp_path / "out", num_phones=48)
+    assert {len(manifests[p]["recordings"]) for p in ("TRAIN", "DEV", "TEST")} == {1}
+    (sup,) = list(manifests["TRAIN"]["supervisions"])
+    assert sup.text == "she had your dark suit"
+    assert [a.symbol for a in sup.alignment["word"]] == ["she", "had"]
+    # 48-fold: h# -> sil, ix stays, axr -> er
+    assert [a.symbol for a in sup.alignment["phone"]] == ["sil", "sh", "ix", "er"]
+    assert sup.gender == "male"
+    (dev_sup,) = list(manifests["DEV"]["supervisions"])
+    assert dev_sup.speaker == "fadg0" and dev_sup.gender == "female"
+    # 39-fold check via the table
+    assert get_phonemes(39)["ix"] == "ih" and get_phonemes(39)["zh"] == "sh"
+
+
+def test_prepare_voxceleb1_with_trials(tmp_path):
+    from lhotse_tpu.recipes import prepare_voxceleb
+
+    root = tmp_path / "vox1"
+    wav = root / "wav"
+    # Two dev speakers, one test speaker, two utts each.
+    speakers = {"id10001": "dev", "id10002": "dev", "id10270": "test"}
+    meta = ["VoxCeleb1 ID\tVGGFace1 ID\tGender\tNationality\tSet"]
+    for i, (spk, split) in enumerate(speakers.items()):
+        meta.append(f"{spk}\tName_{spk}\t{'m' if i % 2 == 0 else 'f'}\tUSA\t{split}")
+        for j in range(2):
+            _wav(wav / spk / "sessA" / f"{j:05d}.wav", seed=40 + 2 * i + j)
+    (root / "vox1_meta.csv").write_text("\n".join(meta) + "\n")
+    trials = tmp_path / "trials.txt"
+    trials.write_text(
+        "1 id10270/sessA/00000.wav id10270/sessA/00001.wav\n"
+        "0 id10270/sessA/00000.wav id10001/sessA/00000.wav\n"
+    )
+    manifests = prepare_voxceleb(
+        voxceleb1_root=root, output_dir=tmp_path / "out", trials_path=trials
+    )
+    assert len(manifests["train"]["recordings"]) == 4
+    assert len(manifests["test"]["recordings"]) == 2
+    pos1, pos2 = manifests["pos_trials"]
+    assert len(pos1) == len(pos2) == 1
+    assert pos1[0].id == pos2[0].id  # CutPairsSampler contract: same ids
+    neg1, neg2 = manifests["neg_trials"]
+    # The negative trial references a train-split recording -> skipped.
+    assert len(neg1) == 0
+    (sup,) = list(manifests["test"]["supervisions"].find(recording_id="id10270-sessA-00000"))
+    assert sup.custom["nationality"] == "USA"
