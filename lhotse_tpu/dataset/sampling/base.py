@@ -267,6 +267,11 @@ class CutSampler(Dillable):
                 if self.world_size == 1 or self.drop_last:
                     raise
 
+        def _num_cuts(b):
+            return len(b[0]) if isinstance(b, tuple) else len(b)
+
+        self.diagnostics.consumed(sum(_num_cuts(b) for b in batches))
+
         if len(batches) == 0:
             raise StopIteration()
         elif len(batches) != self.world_size:
@@ -527,10 +532,26 @@ class EpochDiagnostics:
     discarded_cuts: int = 0
     kept_batches: int = 0
     discarded_batches: int = 0
+    # Cuts actually drawn from the data source into sampled batches this
+    # epoch. With world_size > 1 this exceeds kept_cuts (each step samples
+    # world_size batches but keeps one), and it is the correct replay
+    # fast-forward amount. The reference fast-forwards by kept+discarded
+    # (sampling/simple.py load_state_dict), which under-skips in DDP
+    # map-style resume; we track the real consumption instead.
+    source_cuts: int = 0
 
     @property
     def total_cuts(self) -> int:
         return self.kept_cuts + self.discarded_cuts
+
+    @property
+    def consumed_cuts(self) -> int:
+        """Cuts drawn from the data source this epoch (batched + filtered
+        out) — the replay fast-forward amount. Falls back to kept+discarded
+        for states recorded before source_cuts existed."""
+        if self.source_cuts == 0 and self.kept_cuts > 0:
+            return self.total_cuts
+        return self.source_cuts + self.discarded_cuts
 
     @property
     def total_batches(self) -> int:
@@ -560,6 +581,7 @@ class EpochDiagnostics:
         self.discarded_batches = state_dict.pop("discarded_batches")
         self.kept_cuts = state_dict.pop("kept_cuts")
         self.discarded_cuts = state_dict.pop("discarded_cuts")
+        self.source_cuts = state_dict.pop("source_cuts", 0)
         assert len(state_dict) == 0, (
             "Error in EpochDiagnostics.load_state_dict(): Unexpected keys:\n- "
             + "\n- ".join(state_dict.keys())
@@ -574,6 +596,7 @@ class EpochDiagnostics:
             kept_batches=self.kept_batches + other.kept_batches,
             discarded_cuts=self.discarded_cuts + other.discarded_cuts,
             discarded_batches=self.discarded_batches + other.discarded_batches,
+            source_cuts=self.source_cuts + other.source_cuts,
         )
 
 
@@ -612,6 +635,11 @@ class SamplingDiagnostics:
         if not cntr:
             warnings.warn("Found and accepted batch with zero cuts. This could be an error.")
         self.current_epoch_stats.kept_batches += 1
+
+    def consumed(self, num_cuts: int) -> None:
+        """Record cuts drawn from the data source into sampled batches
+        (including the batches other DDP ranks keep)."""
+        self.current_epoch_stats.source_cuts += num_cuts
 
     def discard(self, cuts: Iterable[Cut]) -> None:
         cntr = 0

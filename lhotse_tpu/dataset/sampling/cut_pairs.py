@@ -103,8 +103,9 @@ class CutPairsSampler(CutSampler):
         if self.shuffle:
             self.source_cuts.shuffle(self.seed + self.epoch)
             self.target_cuts.shuffle(self.seed + self.epoch)
-        self.source_cuts.fast_forward(self.diagnostics.current_epoch_stats.total_cuts)
-        self.target_cuts.fast_forward(self.diagnostics.current_epoch_stats.total_cuts)
+        n = self.diagnostics.current_epoch_stats.consumed_cuts
+        self.source_cuts.fast_forward(n)
+        self.target_cuts.fast_forward(n)
 
     def __iter__(self) -> "CutPairsSampler":
         if self._just_restored_state:

@@ -104,7 +104,7 @@ class SimpleCutSampler(CutSampler):
             self.data_source.set_epoch(self.epoch)
         if self.shuffle:
             self.data_source.shuffle(self.seed + self.epoch)
-        self.data_source.fast_forward(self.diagnostics.current_epoch_stats.total_cuts)
+        self.data_source.fast_forward(self.diagnostics.current_epoch_stats.consumed_cuts)
 
     def __iter__(self) -> "SimpleCutSampler":
         if self._just_restored_state:
