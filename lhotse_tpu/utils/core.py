@@ -338,7 +338,15 @@ def is_module_available(*modules: str) -> bool:
     """Check whether the given modules can be imported, without importing them."""
     import importlib.util
 
-    return all(importlib.util.find_spec(m) is not None for m in modules)
+    def _available(m: str) -> bool:
+        try:
+            return importlib.util.find_spec(m) is not None
+        except (ImportError, ValueError):
+            # find_spec raises for dotted names whose parent package is
+            # missing (e.g. "s3prl.hub" without s3prl installed).
+            return False
+
+    return all(_available(m) for m in modules)
 
 
 def measure_overlap(lhs: Any, rhs: Any) -> float:
