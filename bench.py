@@ -11,6 +11,10 @@ not reliably synchronize, so we chain K pipeline iterations inside one
 collapse) and time dispatch→scalar-fetch of the accumulated mean. A warmup
 call with the same K absorbs compilation.
 
+Batch-size study on chip: B=64 -> 100.0k, B=128 -> 194.5k, B=256 ->
+212.9k, B=512 -> 226.8k audio-sec/sec (MXU utilization grows with batch
+rows; diminishing past ~256).
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline target is 10,000 audio-sec/sec/chip (BASELINE.md).
 """
@@ -27,7 +31,7 @@ def main():
 
     from lhotse_tpu.features.kaldi.layers import Wav2LogFilterBank
 
-    BATCH = 64
+    BATCH = 512
     CLIP_SECONDS = 30
     SR = 16000
     NUM_SAMPLES = SR * CLIP_SECONDS

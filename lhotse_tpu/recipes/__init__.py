@@ -3,6 +3,7 @@ from lhotse_tpu.recipes.aishell import download_aishell, prepare_aishell
 from lhotse_tpu.recipes.commonvoice import download_commonvoice, prepare_commonvoice
 from lhotse_tpu.recipes.gigaspeech import download_gigaspeech, prepare_gigaspeech
 from lhotse_tpu.recipes.librispeech import download_librispeech, prepare_librispeech
+from lhotse_tpu.recipes.ljspeech import download_ljspeech, prepare_ljspeech
 from lhotse_tpu.recipes.libritts import (
     download_libritts,
     download_librittsr,
@@ -14,6 +15,7 @@ from lhotse_tpu.recipes.musan import download_musan, prepare_musan
 from lhotse_tpu.recipes.tedlium import download_tedlium, prepare_tedlium
 from lhotse_tpu.recipes.timit import download_timit, prepare_timit
 from lhotse_tpu.recipes.utils import manifests_exist, read_manifests_if_cached
+from lhotse_tpu.recipes.vctk import download_vctk, prepare_vctk
 from lhotse_tpu.recipes.voxceleb import (
     download_voxceleb1,
     download_voxceleb2,
@@ -27,11 +29,13 @@ __all__ = [
     "download_commonvoice",
     "download_gigaspeech",
     "download_librispeech",
+    "download_ljspeech",
     "download_libritts",
     "download_librittsr",
     "download_musan",
     "download_tedlium",
     "download_timit",
+    "download_vctk",
     "download_voxceleb1",
     "download_voxceleb2",
     "download_yesno",
@@ -42,11 +46,13 @@ __all__ = [
     "prepare_gigaspeech",
     "prepare_mls",
     "prepare_librispeech",
+    "prepare_ljspeech",
     "prepare_libritts",
     "prepare_librittsr",
     "prepare_musan",
     "prepare_tedlium",
     "prepare_timit",
+    "prepare_vctk",
     "prepare_voxceleb",
     "prepare_yesno",
     "read_manifests_if_cached",

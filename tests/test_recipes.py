@@ -367,3 +367,44 @@ def test_prepare_voxceleb1_with_trials(tmp_path):
     assert len(neg1) == 0
     (sup,) = list(manifests["test"]["supervisions"].find(recording_id="id10270-sessA-00000"))
     assert sup.custom["nationality"] == "USA"
+
+
+def test_prepare_ljspeech(tmp_path):
+    from lhotse_tpu.recipes import prepare_ljspeech
+    from lhotse_tpu.recipes.ljspeech import text_normalizer
+
+    root = tmp_path / "LJSpeech-1.1"
+    (root / "wavs").mkdir(parents=True)
+    _wav(root / "wavs" / "LJ001-0001.wav", sr=22050, seed=50)
+    (root / "metadata.csv").write_text(
+        "LJ001-0001|Printing, in the only sense|printing in the only sense\n"
+        "LJ001-0002|missing audio|missing audio\n"
+    )
+    manifests = prepare_ljspeech(root, output_dir=tmp_path / "out")
+    (sup,) = list(manifests["supervisions"])
+    assert sup.text == "Printing, in the only sense"
+    assert sup.custom["normalized_text"] == "printing in the only sense"
+    assert sup.gender == "female"
+    norm = text_normalizer(sup)
+    assert norm.text == "PRINTING IN THE ONLY SENSE"
+
+
+def test_prepare_vctk(tmp_path):
+    from lhotse_tpu.recipes import prepare_vctk
+
+    root = tmp_path / "VCTK-Corpus"
+    root.mkdir(parents=True)
+    (root / "speaker-info.txt").write_text(
+        "ID  AGE  GENDER  ACCENTS  REGION\n"
+        "225  23  F  English  Southern England\n"
+    )
+    (root / "txt" / "p225").mkdir(parents=True)
+    (root / "txt" / "p225" / "p225_001.txt").write_text("Please call Stella.\n")
+    (root / "wav48" / "p225").mkdir(parents=True)
+    _wav(root / "wav48" / "p225" / "p225_001.wav", sr=48000, seed=51)
+    manifests = prepare_vctk(root, output_dir=tmp_path / "out")
+    (sup,) = list(manifests["supervisions"])
+    assert sup.text == "Please call Stella."
+    assert sup.speaker == "p225" and sup.gender == "F"
+    assert sup.custom["accent"] == "English"
+    assert sup.custom["region"] == "Southern England"
