@@ -1,7 +1,12 @@
 from lhotse_tpu.recipes.ami import download_ami, prepare_ami
+from lhotse_tpu.recipes.aidatatang_200zh import (
+    download_aidatatang_200zh,
+    prepare_aidatatang_200zh,
+)
 from lhotse_tpu.recipes.aishell import download_aishell, prepare_aishell
 from lhotse_tpu.recipes.commonvoice import download_commonvoice, prepare_commonvoice
 from lhotse_tpu.recipes.gigaspeech import download_gigaspeech, prepare_gigaspeech
+from lhotse_tpu.recipes.magicdata import download_magicdata, prepare_magicdata
 from lhotse_tpu.recipes.librispeech import download_librispeech, prepare_librispeech
 from lhotse_tpu.recipes.ljspeech import download_ljspeech, prepare_ljspeech
 from lhotse_tpu.recipes.libritts import (
@@ -12,7 +17,10 @@ from lhotse_tpu.recipes.libritts import (
 )
 from lhotse_tpu.recipes.mls import prepare_mls
 from lhotse_tpu.recipes.musan import download_musan, prepare_musan
+from lhotse_tpu.recipes.primewords import download_primewords, prepare_primewords
+from lhotse_tpu.recipes.stcmds import download_stcmds, prepare_stcmds
 from lhotse_tpu.recipes.tedlium import download_tedlium, prepare_tedlium
+from lhotse_tpu.recipes.thchs_30 import download_thchs_30, prepare_thchs_30
 from lhotse_tpu.recipes.timit import download_timit, prepare_timit
 from lhotse_tpu.recipes.utils import manifests_exist, read_manifests_if_cached
 from lhotse_tpu.recipes.vctk import download_vctk, prepare_vctk
@@ -25,6 +33,11 @@ from lhotse_tpu.recipes.yesno import download_yesno, prepare_yesno
 
 __all__ = [
     "download_aishell",
+    "download_aidatatang_200zh",
+    "download_magicdata",
+    "download_primewords",
+    "download_stcmds",
+    "download_thchs_30",
     "download_ami",
     "download_commonvoice",
     "download_gigaspeech",
@@ -41,6 +54,11 @@ __all__ = [
     "download_yesno",
     "manifests_exist",
     "prepare_aishell",
+    "prepare_aidatatang_200zh",
+    "prepare_magicdata",
+    "prepare_primewords",
+    "prepare_stcmds",
+    "prepare_thchs_30",
     "prepare_ami",
     "prepare_commonvoice",
     "prepare_gigaspeech",

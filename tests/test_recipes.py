@@ -408,3 +408,79 @@ def test_prepare_vctk(tmp_path):
     assert sup.speaker == "p225" and sup.gender == "F"
     assert sup.custom["accent"] == "English"
     assert sup.custom["region"] == "Southern England"
+
+
+def test_prepare_chinese_openslr_family(tmp_path):
+    from lhotse_tpu.recipes import (
+        prepare_aidatatang_200zh,
+        prepare_magicdata,
+        prepare_primewords,
+        prepare_stcmds,
+        prepare_thchs_30,
+    )
+
+    # --- stcmds: .txt next to each .wav ---
+    st = tmp_path / "stcmds" / "ST-CMDS-20170001_1-OS"
+    st.mkdir(parents=True)
+    _wav(st / "20170001P00001A0001.wav", seed=60)
+    (st / "20170001P00001A0001.txt").write_text("你好，世界\n")
+    m = prepare_stcmds(tmp_path / "stcmds")
+    (sup,) = list(m["train"]["supervisions"])
+    assert sup.text == "你好世界"  # fullwidth comma stripped
+    assert sup.speaker == "P00001A"
+
+    # --- thchs-30: .wav.trn with 3 lines; splits are symlink dirs ---
+    th = tmp_path / "thchs" / "data_thchs30"
+    (th / "data").mkdir(parents=True)
+    for part, utt in (("train", "A11_0"), ("dev", "A11_1"), ("test", "A11_2")):
+        (th / part).mkdir()
+        _wav(th / part / f"{utt}.wav", seed=61)
+        (th / "data" / f"{utt}.wav.trn").write_text("绿 是 阳春\nlv4 shi4\nl v4\n")
+    m = prepare_thchs_30(tmp_path / "thchs")
+    (sup,) = list(m["train"]["supervisions"])
+    assert sup.text == "绿 是 阳春" and sup.speaker == "A11"
+
+    # --- magicdata: TRANS.txt table ---
+    mg = tmp_path / "magic"
+    for part, utt in (("train", "utt_001"), ("dev", "utt_002"), ("test", "utt_003")):
+        (mg / part / "SPK01").mkdir(parents=True)
+        _wav(mg / part / "SPK01" / f"{utt}.wav", seed=62)
+        (mg / part / "TRANS.txt").write_text(
+            "UtteranceID\tSpeakerID\tTranscription\n"
+            f"{utt}.wav\tSPK01\t你好！世界[FIL]\n"
+        )
+    m = prepare_magicdata(mg)
+    (sup,) = list(m["train"]["supervisions"])
+    assert sup.text == "你好世界" and sup.speaker == "SPK01"
+
+    # --- primewords: JSON transcript table ---
+    pw = tmp_path / "pw" / "primewords_md_2018_set1"
+    (pw / "audio_files" / "0" / "00").mkdir(parents=True)
+    _wav(pw / "audio_files" / "0" / "00" / "abc123.wav", seed=63)
+    import json as _json
+
+    (pw / "set1_transcript.json").write_text(
+        _json.dumps([{"file": "abc123.wav", "text": "早上好", "user_id": 42}])
+    )
+    m = prepare_primewords(tmp_path / "pw")
+    (sup,) = list(m["train"]["supervisions"])
+    assert sup.text == "早上好" and sup.speaker == "42"
+
+    # --- aidatatang_200zh: shared transcript + corpus/<split>/<spk>/ ---
+    ad = tmp_path / "adt" / "aidatatang_200zh"
+    (ad / "transcript").mkdir(parents=True)
+    (ad / "transcript" / "aidatatang_200_zh_transcript.txt").write_text(
+        "T0055G0001S0001 ｔｅＡ 早上 好\n"
+        "T0055G0001S0002 下午 好\n"
+        "T0055G0001S0003 晚上 好\n"
+    )
+    for part, utt in (("train", "S0001"), ("dev", "S0002"), ("test", "S0003")):
+        d = ad / "corpus" / part / "G0001"
+        d.mkdir(parents=True)
+        _wav(d / f"T0055G0001{utt}.wav", seed=64)
+    m = prepare_aidatatang_200zh(tmp_path / "adt")
+    (sup,) = list(m["train"]["supervisions"])
+    # Ａ mapped to ASCII, then everything uppercased (incl. fullwidth).
+    assert sup.text == "ＴＥA 早上 好"
+    assert sup.speaker == "G0001"
+    assert set(m) == {"train", "dev", "test"}
