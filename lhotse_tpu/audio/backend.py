@@ -169,10 +169,16 @@ class InternalWavBackend(AudioBackend):
 
     def is_applicable(self, path_or_fd) -> bool:
         sfx = _suffix_of(path_or_fd)
-        if sfx is not None:
-            return sfx in (".wav", ".wave", ".rf64", ".bw64")
+        if sfx in (".wav", ".wave", ".rf64", ".bw64"):
+            return True
+        # Unrecognized suffix: sniff the magic bytes (handles mislabeled
+        # files, e.g. RIFF data behind a .sph name).
         try:
-            magic = _peek_bytes(path_or_fd, 4)
+            if isinstance(path_or_fd, (str, Path)):
+                with open(path_or_fd, "rb") as f:
+                    magic = f.read(4)
+            else:
+                magic = _peek_bytes(path_or_fd, 4)
             return magic in (b"RIFF", b"RF64")
         except Exception:
             return False
@@ -230,10 +236,15 @@ class FlacBackend(AudioBackend):
 
     def is_applicable(self, path_or_fd) -> bool:
         sfx = _suffix_of(path_or_fd)
-        if sfx is not None:
-            return sfx == ".flac"
+        if sfx == ".flac":
+            return True
         try:
-            return _peek_bytes(path_or_fd, 4) == b"fLaC"
+            if isinstance(path_or_fd, (str, Path)):
+                with open(path_or_fd, "rb") as f:
+                    magic = f.read(4)
+            else:
+                magic = _peek_bytes(path_or_fd, 4)
+            return magic == b"fLaC"
         except Exception:
             return False
 

@@ -4,6 +4,7 @@ from lhotse_tpu.recipes.aidatatang_200zh import (
     prepare_aidatatang_200zh,
 )
 from lhotse_tpu.recipes.aishell import download_aishell, prepare_aishell
+from lhotse_tpu.recipes.eval2000 import prepare_eval2000
 from lhotse_tpu.recipes.commonvoice import download_commonvoice, prepare_commonvoice
 from lhotse_tpu.recipes.gigaspeech import download_gigaspeech, prepare_gigaspeech
 from lhotse_tpu.recipes.magicdata import download_magicdata, prepare_magicdata
@@ -19,6 +20,7 @@ from lhotse_tpu.recipes.mls import prepare_mls
 from lhotse_tpu.recipes.musan import download_musan, prepare_musan
 from lhotse_tpu.recipes.primewords import download_primewords, prepare_primewords
 from lhotse_tpu.recipes.stcmds import download_stcmds, prepare_stcmds
+from lhotse_tpu.recipes.switchboard import download_and_untar, prepare_switchboard
 from lhotse_tpu.recipes.tedlium import download_tedlium, prepare_tedlium
 from lhotse_tpu.recipes.thchs_30 import download_thchs_30, prepare_thchs_30
 from lhotse_tpu.recipes.timit import download_timit, prepare_timit
@@ -61,6 +63,7 @@ __all__ = [
     "prepare_thchs_30",
     "prepare_ami",
     "prepare_commonvoice",
+    "prepare_eval2000",
     "prepare_gigaspeech",
     "prepare_mls",
     "prepare_librispeech",
@@ -68,6 +71,7 @@ __all__ = [
     "prepare_libritts",
     "prepare_librittsr",
     "prepare_musan",
+    "prepare_switchboard",
     "prepare_tedlium",
     "prepare_timit",
     "prepare_vctk",

@@ -544,6 +544,19 @@ def streaming_shuffle(
     yield from buf
 
 
+def check_and_rglob(path, pattern: str, strict: bool = True) -> list:
+    """Assert ``path`` is a directory, recursively glob ``pattern`` inside,
+    and (with strict=True) assert at least one match (reference: utils.py)."""
+    path = Path(path)
+    assert path.is_dir(), f"No such directory: {path}"
+    matches = sorted(path.rglob(pattern))
+    if strict:
+        assert len(matches) > 0, (
+            f"No files matching pattern '{pattern}' in directory: {path}"
+        )
+    return matches
+
+
 def safe_extract(archive, path: Pathlike = ".", members=None, *, numeric_owner=False):
     """tar extraction guarding against path traversal (reference: utils.py:585)."""
 

@@ -484,3 +484,68 @@ def test_prepare_chinese_openslr_family(tmp_path):
     assert sup.text == "ＴＥA 早上 好"
     assert sup.speaker == "G0001"
     assert set(m) == {"train", "dev", "test"}
+
+
+def test_prepare_switchboard(tmp_path):
+    from lhotse_tpu.recipes import prepare_switchboard
+
+    audio = tmp_path / "LDC97S62"
+    audio.mkdir()
+    # Stereo conversation (RIFF content behind .sph: backends sniff magic).
+    rng = np.random.RandomState(70)
+    from lhotse_tpu.audio.wavio import write_wav
+
+    write_wav(audio / "sw02001.sph", (rng.randn(2, 16000) * 0.1).astype(np.float32), 8000)
+    trans = tmp_path / "swb_ms98_transcriptions" / "20" / "2001"
+    trans.mkdir(parents=True)
+    (trans / "sw2001A-ms98-a-trans.text").write_text(
+        "sw2001A-ms98-a-0001 0.00 1.00 [silence]\n"
+        "sw2001A-ms98-a-0002 1.00 1.90 hello there\n"
+    )
+    (trans / "sw2001B-ms98-a-trans.text").write_text(
+        "sw2001B-ms98-a-0001 0.50 1.80 hi yourself\n"
+    )
+    m = prepare_switchboard(
+        audio,
+        transcripts_dir=tmp_path / "swb_ms98_transcriptions",
+        output_dir=tmp_path / "out",
+        absolute_paths=True,
+    )
+    sups = sorted(m["supervisions"], key=lambda s: s.id)
+    assert len(sups) == 2  # [silence] omitted
+    assert sups[0].text == "hello there" and sups[0].channel == 0
+    assert sups[1].text == "hi yourself" and sups[1].channel == 1
+    assert sups[0].speaker.endswith("A") and sups[1].speaker.endswith("B")
+    # Retaining silence keeps all three.
+    m2 = prepare_switchboard(
+        audio,
+        transcripts_dir=tmp_path / "swb_ms98_transcriptions",
+        omit_silence=False,
+        absolute_paths=True,
+    )
+    assert len(m2["supervisions"]) == 3
+
+
+def test_prepare_eval2000(tmp_path):
+    from lhotse_tpu.recipes import prepare_eval2000
+
+    root = tmp_path
+    audio = root / "LDC2002S09" / "hub5e_00" / "english"
+    audio.mkdir(parents=True)
+    rng = np.random.RandomState(71)
+    from lhotse_tpu.audio.wavio import write_wav
+
+    write_wav(audio / "en_4156.sph", (rng.randn(2, 16000) * 0.1).astype(np.float32), 8000)
+    trans = root / "LDC2002T43" / "reference" / "english"
+    trans.mkdir(parents=True)
+    (trans / "en_4156.txt").write_text(
+        "# header line\n"
+        "\n"
+        "0.00 1.10 A: yeah right\n"
+        "1.10 1.95 B: uh huh\n"
+    )
+    m = prepare_eval2000(root, output_dir=root / "out", absolute_paths=True)
+    sups = sorted(m["supervisions"], key=lambda s: s.id)
+    assert len(sups) == 2
+    assert sups[0].text == "yeah right" and sups[0].channel == 0
+    assert sups[1].channel == 1 and sups[1].speaker == "en_4156-B"
