@@ -37,9 +37,13 @@ def convert_cuts_info_to_hf(cutset: CutSet) -> Tuple[Dict[str, Any], Dict[str, A
         "duration": [cut.duration for cut in cutset],
         "num_channels": [len(cut.recording.channel_ids) for cut in cutset],
     }
+    # The audio column is declared as a plain string path at creation time
+    # and cast to the Audio feature afterwards: HF datasets >= 5.0 requires
+    # torchcodec inside Audio.encode_example even for path inputs, while the
+    # arrow-level string->Audio cast is codec-free.
     cut_info_description = {
         "id": Value("string"),
-        "audio": Audio(num_channels=None),
+        "audio": Value("string"),
         "duration": Value("float"),
         "num_channels": Value("uint16"),
     }
@@ -171,7 +175,10 @@ def export_cuts_to_hf(cutset: CutSet):
             segments=Sequence(Features(**sup_dicts_info)), **cut_info_description
         )
 
-    return Dataset.from_dict(dataset_dict, features=dataset_info)
+    from datasets import Audio
+
+    dataset = Dataset.from_dict(dataset_dict, features=dataset_info)
+    return dataset.cast_column("audio", Audio(num_channels=None))
 
 
 class LazyHFDatasetIterator(IteratorNode):
@@ -228,9 +235,14 @@ class LazyHFDatasetIterator(IteratorNode):
         dataset = dataset.cast_column(self.audio_key, Audio(decode=False))
         for item in dataset:
             audio_data = item.pop(self.audio_key)
-            recording = Recording.from_bytes(
-                audio_data["bytes"], recording_id=md5(audio_data["bytes"]).hexdigest()
-            )
+            if audio_data.get("bytes") is not None:
+                recording = Recording.from_bytes(
+                    audio_data["bytes"],
+                    recording_id=md5(audio_data["bytes"]).hexdigest(),
+                )
+            else:
+                # Audio stored by reference: the example carries only a path.
+                recording = Recording.from_file(audio_data["path"])
             supervision = SupervisionSegment(
                 id=recording.id,
                 recording_id=recording.id,
