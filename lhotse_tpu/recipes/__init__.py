@@ -6,6 +6,7 @@ from lhotse_tpu.recipes.aidatatang_200zh import (
 from lhotse_tpu.recipes.aishell import download_aishell, prepare_aishell
 from lhotse_tpu.recipes.eval2000 import prepare_eval2000
 from lhotse_tpu.recipes.commonvoice import download_commonvoice, prepare_commonvoice
+from lhotse_tpu.recipes.fleurs import download_fleurs, prepare_fleurs
 from lhotse_tpu.recipes.gigaspeech import download_gigaspeech, prepare_gigaspeech
 from lhotse_tpu.recipes.magicdata import download_magicdata, prepare_magicdata
 from lhotse_tpu.recipes.librispeech import download_librispeech, prepare_librispeech
@@ -42,6 +43,7 @@ __all__ = [
     "download_thchs_30",
     "download_ami",
     "download_commonvoice",
+    "download_fleurs",
     "download_gigaspeech",
     "download_librispeech",
     "download_ljspeech",
@@ -64,6 +66,7 @@ __all__ = [
     "prepare_ami",
     "prepare_commonvoice",
     "prepare_eval2000",
+    "prepare_fleurs",
     "prepare_gigaspeech",
     "prepare_mls",
     "prepare_librispeech",

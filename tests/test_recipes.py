@@ -549,3 +549,32 @@ def test_prepare_eval2000(tmp_path):
     assert len(sups) == 2
     assert sups[0].text == "yeah right" and sups[0].channel == 0
     assert sups[1].channel == 1 and sups[1].speaker == "en_4156-B"
+
+
+def test_prepare_fleurs(tmp_path):
+    from lhotse_tpu.recipes import prepare_fleurs
+
+    root = tmp_path / "fleurs"
+    lang = "en_us"
+    meta = root / "metadata" / lang
+    meta.mkdir(parents=True)
+    for dset, utts in (("train", 2), ("dev", 1), ("test", 1)):
+        d = root / lang / dset
+        d.mkdir(parents=True)
+        rows = []
+        for i in range(utts):
+            fname = f"{dset}_utt{i}.wav"
+            _wav(d / fname, seed=80 + i)
+            rows.append(
+                f"100{i}\t{fname}\tRaw text {i}.\traw text {i}\t"
+                f"r a w |\t16000\tFEMALE"
+            )
+        (meta / f"{dset}.tsv").write_text("\n".join(rows) + "\n")
+    manifests = prepare_fleurs(root, output_dir=tmp_path / "out", languages=lang)
+    assert set(manifests[lang]) == {"train", "dev", "test"}
+    sups = sorted(manifests[lang]["train"]["supervisions"], key=lambda s: s.id)
+    assert len(sups) == 2
+    assert sups[0].text == "raw text 0"
+    assert sups[0].custom["raw_text"] == "Raw text 0."
+    assert sups[0].gender == "FEMALE" and sups[0].language == lang
+    assert (tmp_path / "out" / lang / f"fleurs-{lang}_recordings_train.jsonl.gz").is_file()
