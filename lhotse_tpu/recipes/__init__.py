@@ -6,6 +6,7 @@ from lhotse_tpu.recipes.aidatatang_200zh import (
 from lhotse_tpu.recipes.aishell import download_aishell, prepare_aishell
 from lhotse_tpu.recipes.eval2000 import prepare_eval2000
 from lhotse_tpu.recipes.commonvoice import download_commonvoice, prepare_commonvoice
+from lhotse_tpu.recipes.earnings22 import download_earnings22, prepare_earnings22
 from lhotse_tpu.recipes.fleurs import download_fleurs, prepare_fleurs
 from lhotse_tpu.recipes.gigaspeech import download_gigaspeech, prepare_gigaspeech
 from lhotse_tpu.recipes.magicdata import download_magicdata, prepare_magicdata
@@ -20,6 +21,7 @@ from lhotse_tpu.recipes.libritts import (
 from lhotse_tpu.recipes.mls import prepare_mls
 from lhotse_tpu.recipes.musan import download_musan, prepare_musan
 from lhotse_tpu.recipes.primewords import download_primewords, prepare_primewords
+from lhotse_tpu.recipes.spgispeech import download_spgispeech, prepare_spgispeech
 from lhotse_tpu.recipes.stcmds import download_stcmds, prepare_stcmds
 from lhotse_tpu.recipes.switchboard import download_and_untar, prepare_switchboard
 from lhotse_tpu.recipes.tedlium import download_tedlium, prepare_tedlium
@@ -39,10 +41,12 @@ __all__ = [
     "download_aidatatang_200zh",
     "download_magicdata",
     "download_primewords",
+    "download_spgispeech",
     "download_stcmds",
     "download_thchs_30",
     "download_ami",
     "download_commonvoice",
+    "download_earnings22",
     "download_fleurs",
     "download_gigaspeech",
     "download_librispeech",
@@ -61,11 +65,13 @@ __all__ = [
     "prepare_aidatatang_200zh",
     "prepare_magicdata",
     "prepare_primewords",
+    "prepare_spgispeech",
     "prepare_stcmds",
     "prepare_thchs_30",
     "prepare_ami",
     "prepare_commonvoice",
     "prepare_eval2000",
+    "prepare_earnings22",
     "prepare_fleurs",
     "prepare_gigaspeech",
     "prepare_mls",

@@ -578,3 +578,48 @@ def test_prepare_fleurs(tmp_path):
     assert sups[0].custom["raw_text"] == "Raw text 0."
     assert sups[0].gender == "FEMALE" and sups[0].language == lang
     assert (tmp_path / "out" / lang / f"fleurs-{lang}_recordings_train.jsonl.gz").is_file()
+
+
+def test_prepare_spgispeech(tmp_path):
+    from lhotse_tpu.recipes import prepare_spgispeech
+
+    root = tmp_path / "spgi"
+    for part in ("train", "val"):
+        d = root / part / "07a785e9"
+        d.mkdir(parents=True)
+        _wav(d / "1.wav", seed=90)
+        (root / f"{part}.csv").write_text(
+            "wav_filename|wav_filesize|transcript\n"
+            "07a785e9/1.wav|32044|Hello, World!\n"
+            "07a785e9/2.wav|32044|missing audio\n"
+        )
+    m = prepare_spgispeech(root, output_dir=tmp_path / "out")
+    sups = list(m["train"]["supervisions"])
+    assert len(sups) == 1
+    assert sups[0].text == "hello world"  # normalized
+    assert sups[0].speaker == "07a785e9"
+    assert sups[0].id == "07a785e9_1"
+
+
+def test_earnings22_parsers(tmp_path):
+    from lhotse_tpu.recipes.earnings22 import (
+        normalize,
+        parse_nlp_file,
+        read_metadata,
+    )
+
+    nlp = tmp_path / "4320211.nlp"
+    nlp.write_text(
+        "token|speaker|ts|endTs|punct|case|tags|wer_tags\n"
+        "Hello|1|0.0|0.5|||[]|[]\n"
+        "world.|1|0.5|0.9|||[]|[]\n"
+    )
+    assert parse_nlp_file(nlp) == ["Hello", "world."]
+    meta = tmp_path / "metadata.csv"
+    meta.write_text(
+        "file,source,ticker,date,sector,lang_region,other,x\n"
+        "4320211,rev,ABC,2022,tech,en-US,misc,1\n"
+    )
+    md = read_metadata(meta)
+    assert md["4320211"][4] == "en-US"
+    assert normalize("Hello, World!") == "hello world"
