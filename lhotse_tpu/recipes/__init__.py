@@ -29,6 +29,7 @@ from lhotse_tpu.recipes.thchs_30 import download_thchs_30, prepare_thchs_30
 from lhotse_tpu.recipes.timit import download_timit, prepare_timit
 from lhotse_tpu.recipes.utils import manifests_exist, read_manifests_if_cached
 from lhotse_tpu.recipes.vctk import download_vctk, prepare_vctk
+from lhotse_tpu.recipes.wenet_speech import prepare_wenet_speech
 from lhotse_tpu.recipes.voxceleb import (
     download_voxceleb1,
     download_voxceleb2,
@@ -85,6 +86,7 @@ __all__ = [
     "prepare_timit",
     "prepare_vctk",
     "prepare_voxceleb",
+    "prepare_wenet_speech",
     "prepare_yesno",
     "read_manifests_if_cached",
 ]

@@ -623,3 +623,47 @@ def test_earnings22_parsers(tmp_path):
     md = read_metadata(meta)
     assert md["4320211"][4] == "en-US"
     assert normalize("Hello, World!") == "hello world"
+
+
+def test_prepare_wenet_speech(tmp_path):
+    import json as _json
+
+    from lhotse_tpu.recipes import prepare_wenet_speech
+
+    root = tmp_path / "wenet"
+    (root / "audio").mkdir(parents=True)
+    _wav(root / "audio" / "X0001.wav", seconds=10.0, seed=95)
+    meta = {
+        "audios": [
+            {
+                "aid": "X0001",
+                "path": "audio/X0001.wav",
+                "duration": 10.0,
+                "segments": [
+                    {
+                        "sid": "X0001_S0001",
+                        "begin_time": 0.5,
+                        "end_time": 3.0,
+                        "text": " 大家好 ",
+                        "subsets": ["L", "M", "DEV"],
+                    },
+                    {
+                        "sid": "X0001_S0002",
+                        "begin_time": 4.0,
+                        "end_time": 6.5,
+                        "text": "再见",
+                        "subsets": ["L"],
+                    },
+                ],
+            }
+        ]
+    }
+    (root / "WenetSpeech.json").write_text(_json.dumps(meta))
+    m = prepare_wenet_speech(root, dataset_parts=["L", "DEV"], output_dir=tmp_path / "out")
+    assert len(m["L"]["supervisions"]) == 2
+    assert len(m["DEV"]["supervisions"]) == 1
+    (dev_sup,) = list(m["DEV"]["supervisions"])
+    assert dev_sup.text == "大家好"
+    assert dev_sup.start == 0.5 and dev_sup.duration == 2.5
+    with pytest.raises(ValueError):
+        prepare_wenet_speech(root, dataset_parts=["XL"])
