@@ -137,3 +137,19 @@ def test_align_with_torchaudio_compat_errors():
         next(align_with_torchaudio([], bundle_name="MMS_FA"))
     with pytest.raises(ValueError):
         next(align_with_torchaudio([], bundle_name="NOT_A_BUNDLE"))
+
+
+def test_whisper_postprocess_timestamps():
+    from lhotse_tpu.supervision import SupervisionSegment
+    from lhotse_tpu.workflows.whisper import _postprocess_timestamps
+
+    sups = [
+        SupervisionSegment(id="b", recording_id="r", start=2.0, duration=3.0),
+        SupervisionSegment(id="a", recording_id="r", start=0.0, duration=2.5),
+    ]
+    out = _postprocess_timestamps(sups)
+    assert [s.id for s in out] == ["a", "b"]
+    # 'a' overshoots into 'b': truncated at b.start.
+    assert out[0].end == pytest.approx(2.0)
+    assert out[1].end == pytest.approx(5.0)
+    assert _postprocess_timestamps(sups[:1]) == sups[:1]
