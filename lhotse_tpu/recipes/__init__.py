@@ -20,6 +20,7 @@ from lhotse_tpu.recipes.libritts import (
 )
 from lhotse_tpu.recipes.mls import prepare_mls
 from lhotse_tpu.recipes.musan import download_musan, prepare_musan
+from lhotse_tpu.recipes.peoples_speech import prepare_peoples_speech
 from lhotse_tpu.recipes.primewords import download_primewords, prepare_primewords
 from lhotse_tpu.recipes.spgispeech import download_spgispeech, prepare_spgispeech
 from lhotse_tpu.recipes.stcmds import download_stcmds, prepare_stcmds
@@ -65,6 +66,7 @@ __all__ = [
     "prepare_aishell",
     "prepare_aidatatang_200zh",
     "prepare_magicdata",
+    "prepare_peoples_speech",
     "prepare_primewords",
     "prepare_spgispeech",
     "prepare_stcmds",

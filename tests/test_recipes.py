@@ -667,3 +667,28 @@ def test_prepare_wenet_speech(tmp_path):
     assert dev_sup.start == 0.5 and dev_sup.duration == 2.5
     with pytest.raises(ValueError):
         prepare_wenet_speech(root, dataset_parts=["XL"])
+
+
+def test_prepare_peoples_speech(tmp_path):
+    import json as _json
+
+    from lhotse_tpu.recipes import prepare_peoples_speech
+
+    root = tmp_path / "ps"
+    audio_dir = root / "train" / "clean" / "some" / "session"
+    audio_dir.mkdir(parents=True)
+    _wav(audio_dir / "utt0.wav", seed=96)
+    manifest = {
+        "identifier": "session-xyz",
+        "training_data": {
+            "name": ["utt0"],
+            "label": ["hello people"],
+            "audio_document_id": ["some/session/utt0.wav"],
+        },
+    }
+    (root / "train" / "clean.json").write_text(_json.dumps(manifest) + "\n")
+    m = prepare_peoples_speech(root, output_dir=tmp_path / "out")
+    assert set(m) == {"train/clean"}
+    (sup,) = list(m["train/clean"]["supervisions"])
+    assert sup.text == "hello people"
+    assert sup.custom["session_id"] == "session-xyz"
