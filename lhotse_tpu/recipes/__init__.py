@@ -10,6 +10,7 @@ from lhotse_tpu.recipes.earnings22 import download_earnings22, prepare_earnings2
 from lhotse_tpu.recipes.fleurs import download_fleurs, prepare_fleurs
 from lhotse_tpu.recipes.gigaspeech import download_gigaspeech, prepare_gigaspeech
 from lhotse_tpu.recipes.magicdata import download_magicdata, prepare_magicdata
+from lhotse_tpu.recipes.icsi import download_icsi, prepare_icsi
 from lhotse_tpu.recipes.librispeech import download_librispeech, prepare_librispeech
 from lhotse_tpu.recipes.ljspeech import download_ljspeech, prepare_ljspeech
 from lhotse_tpu.recipes.libritts import (
@@ -51,6 +52,7 @@ __all__ = [
     "download_earnings22",
     "download_fleurs",
     "download_gigaspeech",
+    "download_icsi",
     "download_librispeech",
     "download_ljspeech",
     "download_libritts",
@@ -78,6 +80,7 @@ __all__ = [
     "prepare_fleurs",
     "prepare_gigaspeech",
     "prepare_mls",
+    "prepare_icsi",
     "prepare_librispeech",
     "prepare_ljspeech",
     "prepare_libritts",

@@ -692,3 +692,73 @@ def test_prepare_peoples_speech(tmp_path):
     (sup,) = list(m["train/clean"]["supervisions"])
     assert sup.text == "hello people"
     assert sup.custom["session_id"] == "session-xyz"
+
+
+def test_prepare_icsi_ihm(tmp_path):
+    from lhotse_tpu.recipes import prepare_icsi
+
+    audio = tmp_path / "speech"
+    trans = tmp_path / "transcripts"
+    (trans / "Segments").mkdir(parents=True)
+    (trans / "Words").mkdir()
+    # One meeting per partition: Bdb001 (train), Bmr021 (dev), Bmr013 (test).
+    meetings = ["Bdb001", "Bmr021", "Bmr013"]
+    preambles = ['<?xml version="1.0"?>', "<Meetings>"]
+    for mi, meet in enumerate(meetings):
+        d = audio / meet
+        for ch in ("0", "1"):
+            _wav(d / f"chan{ch}.sph", seconds=10.0, seed=100 + 2 * mi + int(ch))
+        preambles += [
+            f'  <Meeting Session="{meet}">',
+            "    <Preamble>",
+            "      <Channels>",
+            '        <Channel Name="chan0"/>',
+            '        <Channel Name="chan1"/>',
+            "      </Channels>",
+            "      <Participants>",
+            f'        <Participant Name="me0{mi}" Channel="chan0"/>',
+            f'        <Participant Name="fe1{mi}" Channel="chan1"/>',
+            "      </Participants>",
+            "    </Preamble>",
+            "  </Meeting>",
+        ]
+        (trans / "Segments" / f"{meet}.A.segs.xml").write_text(
+            '<?xml version="1.0"?>\n<segments>\n'
+            f'  <segment participant="me0{mi}" starttime="1.0" endtime="4.0"/>\n'
+            "</segments>"
+        )
+        (trans / "Words" / f"{meet}.A.words.xml").write_text(
+            '<?xml version="1.0"?>\n<words>\n'
+            '  <w starttime="1.1" endtime="1.5">okay</w>\n'
+            '  <w starttime="1.6" endtime="2.2">let\'s</w>\n'
+            '  <w starttime="2.3" endtime="2.9">start</w>\n'
+            "</words>"
+        )
+        (trans / "Segments" / f"{meet}.B.segs.xml").write_text(
+            '<?xml version="1.0"?>\n<segments>\n'
+            f'  <segment participant="fe1{mi}" starttime="5.0" endtime="7.0"/>\n'
+            "</segments>"
+        )
+        (trans / "Words" / f"{meet}.B.words.xml").write_text(
+            '<?xml version="1.0"?>\n<words>\n'
+            '  <w starttime="5.2" endtime="6.0">yeah</w>\n'
+            "</words>"
+        )
+    preambles.append("</Meetings>")
+    (trans / "preambles.mrt").write_text("\n".join(preambles))
+
+    manifests = prepare_icsi(
+        audio, transcripts_dir=trans, output_dir=tmp_path / "out", mic="ihm"
+    )
+    recs = manifests["train"]["recordings"]
+    assert len(recs) == 1 and recs["Bdb001"].num_channels == 2
+    sups = sorted(manifests["train"]["supervisions"], key=lambda s: s.start)
+    assert len(sups) == 2
+    assert sups[0].text == "OKAY LET'S START" and sups[0].channel == 0
+    assert sups[0].speaker == "me00" and sups[0].gender == "m"
+    assert [w.symbol for w in sups[0].alignment["word"]] == [
+        "OKAY", "LET'S", "START",
+    ]
+    assert sups[1].channel == 1 and sups[1].text == "YEAH"
+    assert len(manifests["dev"]["supervisions"]) == 2
+    assert len(manifests["test"]["supervisions"]) == 2
