@@ -3,6 +3,19 @@ lhotse_tpu: a TPU-native audio data-preparation and feature-extraction
 framework with the capabilities of Lhotse (see SURVEY.md for the blueprint).
 """
 from lhotse_tpu.array import Array, TemporalArray, deserialize_array, pad_array
+from lhotse_tpu.audio.backend import (
+    get_default_audio_backend,
+    get_ffmpeg_torchaudio_info_enabled,
+    set_ffmpeg_torchaudio_info_enabled,
+)
+from lhotse_tpu.cut.set import create_cut_set_eager, create_cut_set_lazy
+from lhotse_tpu.kaldi import load_kaldi_data_dir
+from lhotse_tpu.serialization import (
+    get_current_io_backend,
+    get_default_io_backend,
+    io_backend,
+    set_current_io_backend,
+)
 from lhotse_tpu.audio import (
     AudioSource,
     Recording,
@@ -10,6 +23,7 @@ from lhotse_tpu.audio import (
     audio_backend,
     available_audio_backends,
     available_resampling_backends,
+    get_audio_duration_mismatch_tolerance,
     get_current_audio_backend,
     get_current_resampling_backend,
     resampling_backend,
@@ -18,6 +32,7 @@ from lhotse_tpu.audio import (
     set_audio_duration_mismatch_tolerance,
 )
 from lhotse_tpu.caching import is_caching_enabled, set_caching_enabled
+from lhotse_tpu.utils import Decibels, Seconds, measure_overlap, streaming_shuffle
 from lhotse_tpu.tracing import (
     format_tracing_report,
     is_tracing_enabled,
@@ -159,3 +174,7 @@ __all__ = [
     "to_manifest",
     "validate",
 ]
+
+# Subpackage access parity with the reference (`import lhotse; lhotse.recipes...`).
+# Imported last: these packages import names from this module.
+from lhotse_tpu import ais, dataset, recipes  # noqa: E402,F401

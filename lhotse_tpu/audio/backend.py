@@ -612,6 +612,21 @@ def get_current_audio_backend() -> AudioBackend:
     return get_default_audio_backend()
 
 
+_FFMPEG_TORCHAUDIO_INFO_ENABLED = False
+
+
+def set_ffmpeg_torchaudio_info_enabled(enabled: bool) -> None:
+    """Compatibility no-op: the reference toggles torchaudio's ffmpeg-based
+    info probing (audio/backend.py); this framework does not use torchaudio,
+    so the flag is stored but has no effect."""
+    global _FFMPEG_TORCHAUDIO_INFO_ENABLED
+    _FFMPEG_TORCHAUDIO_INFO_ENABLED = enabled
+
+
+def get_ffmpeg_torchaudio_info_enabled() -> bool:
+    return _FFMPEG_TORCHAUDIO_INFO_ENABLED
+
+
 def get_default_audio_backend() -> AudioBackend:
     """Composite over every available backend, internal codecs first."""
     backends: List[AudioBackend] = [Sph2pipeSubprocessBackend()] if Sph2pipeSubprocessBackend.is_available() else []
