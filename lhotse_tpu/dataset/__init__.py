@@ -33,6 +33,12 @@ from lhotse_tpu.dataset.audio_tagging import AudioTaggingDataset
 from lhotse_tpu.dataset.diarization import DiarizationDataset
 from lhotse_tpu.dataset.iterable_dataset import IdentityDataset, IterableDatasetWrapper
 from lhotse_tpu.dataset.loader import DataLoader, device_prefetch
+from lhotse_tpu.dataset.vis import plot_batch
+from lhotse_tpu.dataset.webdataset import (
+    LazyWebdatasetIterator,
+    WebdatasetWriter,
+    export_to_webdataset,
+)
 from lhotse_tpu.dataset.sampling import *  # noqa: F401,F403
 from lhotse_tpu.dataset.sampling import __all__ as _sampling_all
 from lhotse_tpu.dataset.source_separation import (
