@@ -13,6 +13,10 @@ from lhotse_tpu.audio.mixer import AudioMixer, VideoMixer, audio_energy
 from lhotse_tpu.audio.recording import Recording
 from lhotse_tpu.audio.recording_set import RecordingSet
 from lhotse_tpu.audio.source import AudioSource
+from lhotse_tpu.audio.backend import (
+    get_ffmpeg_torchaudio_info_enabled,
+    set_ffmpeg_torchaudio_info_enabled,
+)
 from lhotse_tpu.audio.resampling_backend import (
     available_resampling_backends,
     get_current_resampling_backend,

@@ -2,6 +2,7 @@ from lhotse_tpu.augmentation.clipping import Clipping
 from lhotse_tpu.augmentation.compress import Compress
 from lhotse_tpu.augmentation.loudness import LoudnessNormalization, normalize_loudness
 from lhotse_tpu.augmentation.narrowband import Narrowband
+from lhotse_tpu.augmentation.utils import AugmentFn
 from lhotse_tpu.augmentation.resample import (
     SincResampler,
     get_or_create_resampler,
@@ -17,7 +18,7 @@ from lhotse_tpu.augmentation.transforms import (
     wsola_time_stretch,
 )
 from lhotse_tpu.augmentation.utils import FastRandomRIRGenerator, convolve1d
-from lhotse_tpu.augmentation.wpe import DereverbWPE, dereverb_wpe_numpy
+from lhotse_tpu.augmentation.wpe import dereverb_wpe_torch, DereverbWPE, dereverb_wpe_numpy
 
 __all__ = [
     "AudioTransform",

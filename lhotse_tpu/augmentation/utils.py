@@ -9,7 +9,11 @@ This implementation is pure numpy/scipy.
 from __future__ import annotations
 
 from dataclasses import asdict, dataclass, field
-from typing import List, Optional
+from typing import Callable, List, Optional
+
+# Signature of a waveform-augmentation callable: (samples, sampling_rate) ->
+# augmented samples (reference: augmentation/utils.py).
+AugmentFn = Callable[..., np.ndarray]
 
 import numpy as np
 

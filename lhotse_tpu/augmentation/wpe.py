@@ -106,6 +106,32 @@ def dereverb_wpe_numpy(
     return out.astype(audio.dtype, copy=False)
 
 
+def dereverb_wpe_torch(
+    audio,
+    n_fft: int = 512,
+    hop_length: int = 128,
+    taps: int = 10,
+    delay: int = 3,
+    iterations: int = 3,
+    statistics_mode: str = "full",
+):
+    """Torch-tensor front-end over the numpy WPE implementation (the
+    reference keeps separate torch/numpy paths, wpe.py; here the math is
+    shared and only the tensor conversion differs)."""
+    import torch
+
+    out = dereverb_wpe_numpy(
+        audio.detach().cpu().numpy(),
+        n_fft=n_fft,
+        hop_length=hop_length,
+        taps=taps,
+        delay=delay,
+        iterations=iterations,
+        statistics_mode=statistics_mode,
+    )
+    return torch.from_numpy(out)
+
+
 @dataclass
 class DereverbWPE(AudioTransform):
     """Dereverberation with Weighted Prediction Error (WPE)."""

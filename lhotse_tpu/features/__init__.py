@@ -11,6 +11,12 @@ from lhotse_tpu.features.base import (
     store_feature_array,
 )
 from lhotse_tpu.features.io import (
+    ChunkedLilcomHdf5Reader,
+    LilcomHdf5Reader,
+    LilcomURLReader,
+    LilcomURLWriter,
+    StorageBackendInfo,
+    storage_backend_statuses,
     ChunkedLilcomHdf5Writer,
     FeaturesReader,
     FeaturesWriter,
