@@ -13,7 +13,7 @@ from typing import Callable, List, Optional
 
 # Signature of a waveform-augmentation callable: (samples, sampling_rate) ->
 # augmented samples (reference: augmentation/utils.py).
-AugmentFn = Callable[..., np.ndarray]
+AugmentFn = "Callable[..., np.ndarray]"  # REVIEW-TEMP
 
 import numpy as np
 
