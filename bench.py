@@ -19,24 +19,35 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline target is 10,000 audio-sec/sec/chip (BASELINE.md).
 """
 import json
+import os
 import time
 
 import numpy as np
 
+# LHOTSE_TPU_BENCH_SMOKE=1 shrinks all sizes so the pre-commit smoke gate can
+# run this end-to-end on CPU in a few seconds (numbers are meaningless there).
+SMOKE = bool(int(os.environ.get("LHOTSE_TPU_BENCH_SMOKE", "0")))
+
 
 def main():
     import jax
+
+    if SMOKE:
+        # Smoke mode runs on host CPU: the tunneled TPU's compile latency would
+        # dominate the pre-commit gate (the axon plugin ignores JAX_PLATFORMS
+        # env, so force it via config).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax import lax
 
     from lhotse_tpu.features.kaldi.layers import Wav2LogFilterBank
 
-    BATCH = 512
-    CLIP_SECONDS = 30
+    BATCH = 8 if SMOKE else 512
+    CLIP_SECONDS = 2 if SMOKE else 30
     SR = 16000
     NUM_SAMPLES = SR * CLIP_SECONDS
     AUDIO_SEC_PER_BATCH = BATCH * CLIP_SECONDS
-    K = 50  # pipeline iterations chained on device per measurement
+    K = 2 if SMOKE else 50  # pipeline iterations chained on device per measurement
 
     fbank = Wav2LogFilterBank(sampling_rate=SR)
     n_frames = (NUM_SAMPLES + 80) // 160

@@ -11,11 +11,11 @@ from __future__ import annotations
 from dataclasses import asdict, dataclass, field
 from typing import Callable, List, Optional
 
+import numpy as np
+
 # Signature of a waveform-augmentation callable: (samples, sampling_rate) ->
 # augmented samples (reference: augmentation/utils.py).
-AugmentFn = "Callable[..., np.ndarray]"  # REVIEW-TEMP
-
-import numpy as np
+AugmentFn = Callable[..., np.ndarray]
 
 _NEXT_FAST_LEN = {}
 
