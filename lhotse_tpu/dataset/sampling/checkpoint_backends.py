@@ -1,239 +1,179 @@
 """
-Checkpoint-restore backends for streaming samplers.
+Resume strategies for streaming samplers.
 
-Reference behavior: `/root/reference/lhotse/dataset/sampling/checkpoint_backends.py`.
-Two strategies:
+A sampler checkpoint can be brought back to life in one of two ways:
 
-- **IndexedCheckpointBackend** — O(1): when every source supports
-  constant-time access (indexed manifests, Feistel-shuffled ranges), restore
-  jumps straight to the saved iterator-graph positions. Strict: missing state
-  is a hard error, never a silent O(N) fallback.
-- **ReplayCheckpointBackend** — O(N): rebuild the epoch iterator and replay
-  ``num_steps`` batches. Correct for any source, costly for long epochs.
+* **seek** — when every cut source supports constant-time access (indexed
+  jsonl, Feistel-shuffled ranges, indexed shar), we jump the iterator graph
+  straight to the saved positions.  Cost: O(1) in epoch length.
+* **replay** — otherwise we rebuild the epoch iterator from scratch and pull
+  batches until we have consumed as many as the checkpoint recorded.
+  Cost: O(steps), always correct.
+
+``plan_resume`` inspects the sampler and returns the right plan; callers just
+``.run()`` it.  Seek plans are strict by design: if a seekable sampler is
+missing part of its saved state we raise instead of silently degrading to a
+replay, because an unnoticed O(N) fast-forward on a billion-cut corpus is a
+production incident, not a fallback.
+
+Functional parity target: lhotse's checkpoint backends
+(reference ``lhotse/dataset/sampling/checkpoint_backends.py``), re-structured
+around a single dispatch point and sampler-kind methods.
 """
+from __future__ import annotations
+
 import random
-from typing import Any, Callable, Optional
+from dataclasses import dataclass
+from typing import Any, Optional
 
 from lhotse_tpu.dataset.sampling.base import EpochDiagnostics
 
 
-def _all_sources_graph_restorable(sampler: Any) -> bool:
-    sources = getattr(sampler, "cuts", ())
-    return len(sources) > 0 and all(
-        getattr(cs, "has_constant_time_access", False) for cs in sources
-    )
+class ResumeStateError(RuntimeError):
+    """A seekable sampler's checkpoint lacked state required for O(1) resume."""
 
 
-def _has_cuts_state(cuts_state: Optional[list]) -> bool:
-    return cuts_state is not None and any(state is not None for state in cuts_state)
+def _sources_are_seekable(sampler: Any) -> bool:
+    srcs = getattr(sampler, "cuts", ())
+    if not len(srcs):
+        return False
+    return all(getattr(s, "has_constant_time_access", False) for s in srcs)
 
 
-def _indexed_restore_failure_message(prefix: str = "O(1) indexed restore failed") -> str:
-    return (
-        f"{prefix} for indexed datasets. This is a bug — indexed datasets should "
-        "never use O(N) fast-forward."
-    )
+def _saved_positions(sampler: Any) -> Optional[list]:
+    """The per-source iterator-graph states captured at checkpoint time, if any."""
+    positions = getattr(sampler, "_cuts_state", None)
+    if positions is None or all(p is None for p in positions):
+        return None
+    return positions
 
 
-def _indexed_missing_state_message(
-    sampler_name: str, *, num_batches_to_iter: int, **state_flags: Any
-) -> str:
-    flags = ", ".join(f"{key}={value}" for key, value in state_flags.items())
-    return (
-        f"O(1) indexed restore is missing required checkpoint state for "
-        f"{sampler_name}. This is a bug — indexed datasets should never use "
-        f"O(N) fast-forward. State flags: {flags}, "
-        f"num_batches_to_iter={num_batches_to_iter}."
-    )
+@dataclass
+class SeekResume:
+    """O(1) resume: jump indexed sources to their saved positions."""
 
+    sampler: Any
+    kind: str  # "dynamic" | "bucketing"
+    steps_done: int
 
-class IndexedCheckpointBackend:
-    """O(1) restore; strict — raises on missing state or restore failure."""
+    def run(self) -> None:
+        s = self.sampler
+        positions = _saved_positions(s)
+        if self.kind == "bucketing":
+            rng_state = getattr(s, "_rng_state", None)
+            bucket_state = getattr(s, "_bucketer_state", None)
+            if positions is not None and rng_state is not None and bucket_state is not None:
+                self._protected(self._seek_bucketing, positions, rng_state, bucket_state)
+            elif self.steps_done == 0:
+                # Checkpointed before any batch was emitted: a fresh epoch
+                # iterator is already the exact saved state.
+                self._protected(self._seek_fresh_epoch)
+            else:
+                raise ResumeStateError(self._describe_gap())
+        else:
+            if positions is None:
+                raise ResumeStateError(self._describe_gap())
+            self._protected(self._seek_dynamic, positions)
 
-    def __init__(
-        self,
-        *,
-        has_required_state: bool,
-        restore_fn: Callable[[], None],
-        missing_state_message: str,
-        failure_message: str,
-    ) -> None:
-        self.has_required_state = has_required_state
-        self.restore_fn = restore_fn
-        self.missing_state_message = missing_state_message
-        self.failure_message = failure_message
-
-    def restore(self) -> None:
-        if not self.has_required_state:
-            raise RuntimeError(self.missing_state_message)
+    def _protected(self, fn, *args) -> None:
         try:
-            self.restore_fn()
-        except Exception as e:
-            raise RuntimeError(f"{self.failure_message} Error: {e}") from e
+            fn(*args)
+        except ResumeStateError:
+            raise
+        except Exception as exc:
+            raise ResumeStateError(
+                f"Seek-based resume raised while restoring {type(self.sampler).__name__}: "
+                f"{exc!r}. Seekable samplers must restore in O(1); refusing to fall back "
+                f"to an O(N) replay."
+            ) from exc
 
+    def _clear_saved(self) -> None:
+        s = self.sampler
+        s._just_restored_state = False
+        s._cuts_state = None
+        for attr in ("_rng_state", "_bucketer_state"):
+            if hasattr(s, attr):
+                setattr(s, attr, None)
+        s._skip_diagnostics_reset_once = True
 
-class ReplayCheckpointBackend:
-    """O(N) restore: rebuild the iterator and replay ``num_steps`` batches."""
+    def _finish(self) -> None:
+        s = self.sampler
+        s._restore_transforms_state()
+        s._just_restored_state = True
 
-    def __init__(
-        self,
-        *,
-        num_steps: int,
-        reset_for_replay_fn: Callable[[], None],
-        initialize_iterator_fn: Callable[[], None],
-        replay_step_fn: Callable[[], None],
-        post_restore_fn: Optional[Callable[[], None]] = None,
-    ) -> None:
-        self.num_steps = num_steps
-        self.reset_for_replay_fn = reset_for_replay_fn
-        self.initialize_iterator_fn = initialize_iterator_fn
-        self.replay_step_fn = replay_step_fn
-        self.post_restore_fn = post_restore_fn
+    def _seek_dynamic(self, positions: list) -> None:
+        s = self.sampler
+        s._restore_cuts_state(positions)
+        self._clear_saved()
+        s._initialize_epoch_iterator(rebuild_sources=False)
+        self._finish()
 
-    def restore(self) -> None:
-        self.reset_for_replay_fn()
-        self.initialize_iterator_fn()
-        for _ in range(self.num_steps):
-            self.replay_step_fn()
-        if self.post_restore_fn is not None:
-            self.post_restore_fn()
+    def _seek_bucketing(self, positions, rng_state, bucket_state) -> None:
+        from lhotse_tpu.checkpoint import _rng_state_from_json
 
+        s = self.sampler
+        s.rng = random.Random()
+        s.rng.setstate(_rng_state_from_json(rng_state))
+        s._restore_cuts_state(positions)
+        self._clear_saved()
+        iter(s)
+        s._bucketer.set_state(bucket_state)
+        self._finish()
 
-def _build_replay_backend(
-    *, sampler: Any, current_epoch: int, num_batches_to_iter: int
-) -> ReplayCheckpointBackend:
-    def _reset_diagnostics_for_replay() -> None:
-        sampler.diagnostics.stats_per_epoch[current_epoch] = EpochDiagnostics(
-            epoch=current_epoch
+    def _seek_fresh_epoch(self) -> None:
+        self._clear_saved()
+        iter(self.sampler)
+        self._finish()
+
+    def _describe_gap(self) -> str:
+        s = self.sampler
+        present = {
+            "source_positions": _saved_positions(s) is not None,
+            "rng_state": getattr(s, "_rng_state", None) is not None,
+            "bucketer_state": getattr(s, "_bucketer_state", None) is not None,
+        }
+        return (
+            f"{type(s).__name__} reads from seekable (indexed) sources but its "
+            f"checkpoint is incomplete for O(1) resume after {self.steps_done} "
+            f"batch(es): {present}. This indicates a checkpoint produced by a "
+            f"mismatched sampler configuration or a bug in state capture."
         )
 
-    return ReplayCheckpointBackend(
-        num_steps=num_batches_to_iter,
-        reset_for_replay_fn=_reset_diagnostics_for_replay,
-        initialize_iterator_fn=sampler._initialize_replay_iterator,
-        replay_step_fn=sampler._replay_step,
-        post_restore_fn=lambda: setattr(sampler, "_just_restored_state", True),
-    )
+
+@dataclass
+class ReplayResume:
+    """O(steps) resume: rebuild the epoch iterator and consume saved batches."""
+
+    sampler: Any
+    epoch: int
+    steps_done: int
+
+    def run(self) -> None:
+        s = self.sampler
+        # The replayed batches would otherwise double-count in diagnostics.
+        s.diagnostics.stats_per_epoch[self.epoch] = EpochDiagnostics(epoch=self.epoch)
+        s._initialize_replay_iterator()
+        for _ in range(self.steps_done):
+            next(s)
+        s._just_restored_state = True
 
 
-def build_dynamic_cut_checkpoint_backend(
-    sampler: Any, *, current_epoch: int, num_batches_to_iter: int
-) -> Any:
-    cuts_state = getattr(sampler, "_cuts_state", None)
-    has_state = _has_cuts_state(cuts_state)
-    replay_backend = _build_replay_backend(
-        sampler=sampler,
-        current_epoch=current_epoch,
-        num_batches_to_iter=num_batches_to_iter,
-    )
+def plan_resume(sampler: Any, kind: str, *, epoch: int, steps_done: int):
+    """
+    Choose the resume strategy for ``sampler``.
 
-    if _all_sources_graph_restorable(sampler):
-        return IndexedCheckpointBackend(
-            has_required_state=has_state,
-            restore_fn=lambda: _restore_dynamic_cut_indexed(sampler, cuts_state),
-            missing_state_message=_indexed_missing_state_message(
-                "DynamicCutSampler",
-                has_cuts_state=has_state,
-                num_batches_to_iter=num_batches_to_iter,
-            ),
-            failure_message=_indexed_restore_failure_message(),
-        )
-
-    return replay_backend
+    :param kind: ``"dynamic"`` (DynamicCutSampler family) or ``"bucketing"``
+        (DynamicBucketingSampler) — selects which state payload a seek needs.
+    :param epoch: the epoch recorded in the checkpoint.
+    :param steps_done: how many batches the checkpoint had already emitted.
+    """
+    if _sources_are_seekable(sampler):
+        return SeekResume(sampler, kind, steps_done)
+    return ReplayResume(sampler, epoch, steps_done)
 
 
-def _restore_dynamic_cut_indexed(sampler: Any, cuts_state: list) -> None:
-    sampler._restore_cuts_state(cuts_state)
-    sampler._just_restored_state = False
-    sampler._cuts_state = None
-    sampler._skip_diagnostics_reset_once = True
-    sampler._initialize_epoch_iterator(rebuild_sources=False)
-    sampler._restore_transforms_state()
-    sampler._just_restored_state = True
-
-
-def build_dynamic_bucketing_checkpoint_backend(
-    sampler: Any, *, current_epoch: int, num_batches_to_iter: int
-) -> Any:
-    cuts_state = getattr(sampler, "_cuts_state", None)
-    rng_state = getattr(sampler, "_rng_state", None)
-    bucketer_state = getattr(sampler, "_bucketer_state", None)
-    has_cuts_state = _has_cuts_state(cuts_state)
-    has_full_state = (
-        has_cuts_state and rng_state is not None and bucketer_state is not None
-    )
-
-    replay_backend = _build_replay_backend(
-        sampler=sampler,
-        current_epoch=current_epoch,
-        num_batches_to_iter=num_batches_to_iter,
-    )
-
-    if _all_sources_graph_restorable(sampler):
-        if has_full_state:
-            return IndexedCheckpointBackend(
-                has_required_state=True,
-                restore_fn=lambda: _restore_dynamic_bucketing_full(
-                    sampler,
-                    cuts_state=cuts_state,
-                    rng_state=rng_state,
-                    bucketer_state=bucketer_state,
-                ),
-                missing_state_message="",
-                failure_message=_indexed_restore_failure_message(),
-            )
-        if num_batches_to_iter == 0:
-            # Checkpoint saved before the first batch was yielded: a fresh
-            # epoch iterator is exactly the right state.
-            return IndexedCheckpointBackend(
-                has_required_state=True,
-                restore_fn=lambda: _restore_dynamic_bucketing_pre_yield(sampler),
-                missing_state_message="",
-                failure_message=_indexed_restore_failure_message(
-                    "O(1) indexed restore (pre-yield) failed"
-                ),
-            )
-        return IndexedCheckpointBackend(
-            has_required_state=False,
-            restore_fn=lambda: None,
-            missing_state_message=_indexed_missing_state_message(
-                "DynamicBucketingSampler",
-                has_cuts_state=has_cuts_state,
-                has_rng_state=rng_state is not None,
-                has_bucketer_state=bucketer_state is not None,
-                num_batches_to_iter=num_batches_to_iter,
-            ),
-            failure_message="",
-        )
-
-    return replay_backend
-
-
-def _restore_dynamic_bucketing_full(
-    sampler: Any, *, cuts_state: list, rng_state: list, bucketer_state: dict
-) -> None:
-    from lhotse_tpu.checkpoint import _rng_state_from_json
-
-    sampler.rng = random.Random()
-    sampler.rng.setstate(_rng_state_from_json(rng_state))
-    sampler._restore_cuts_state(cuts_state)
-    sampler._just_restored_state = False
-    sampler._cuts_state = None
-    sampler._rng_state = None
-    sampler._bucketer_state = None
-    sampler._skip_diagnostics_reset_once = True
-    iter(sampler)
-    sampler._bucketer.set_state(bucketer_state)
-    sampler._restore_transforms_state()
-    sampler._just_restored_state = True
-
-
-def _restore_dynamic_bucketing_pre_yield(sampler: Any) -> None:
-    sampler._just_restored_state = False
-    sampler._cuts_state = None
-    sampler._rng_state = None
-    sampler._bucketer_state = None
-    sampler._skip_diagnostics_reset_once = True
-    iter(sampler)
-    sampler._restore_transforms_state()
-    sampler._just_restored_state = True
+# -- Backwards/parity-compatible names ---------------------------------------
+# The reference library exposes two backend classes; we keep the names as
+# aliases so code written against lhotse's API keeps importing successfully.
+IndexedCheckpointBackend = SeekResume
+ReplayCheckpointBackend = ReplayResume

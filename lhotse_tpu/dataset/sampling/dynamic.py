@@ -33,9 +33,7 @@ from lhotse_tpu.dataset.sampling.base import (
     capture_sources_state,
     restore_sources_state,
 )
-from lhotse_tpu.dataset.sampling.checkpoint_backends import (
-    build_dynamic_cut_checkpoint_backend,
-)
+from lhotse_tpu.dataset.sampling.checkpoint_backends import plan_resume
 from lhotse_tpu.lazy import LazyShuffler, resolve_iterator_source
 from lhotse_tpu.utils import Seconds, ifnone
 
@@ -121,12 +119,9 @@ class DynamicCutSampler(CutSampler):
         current_epoch = self.diagnostics.current_epoch
         num_batches_to_iter = self.diagnostics.current_epoch_stats.total_batches
         self.set_epoch(current_epoch)
-        backend = build_dynamic_cut_checkpoint_backend(
-            self,
-            current_epoch=current_epoch,
-            num_batches_to_iter=num_batches_to_iter,
-        )
-        backend.restore()
+        plan_resume(
+            self, "dynamic", epoch=current_epoch, steps_done=num_batches_to_iter
+        ).run()
 
     def _initialize_replay_iterator(self) -> None:
         self._cuts_state = None

@@ -48,9 +48,7 @@ from lhotse_tpu.dataset.sampling.base import (
     SamplingDiagnostics,
     TimeConstraint,
 )
-from lhotse_tpu.dataset.sampling.checkpoint_backends import (
-    build_dynamic_bucketing_checkpoint_backend,
-)
+from lhotse_tpu.dataset.sampling.checkpoint_backends import plan_resume
 from lhotse_tpu.dataset.sampling.dynamic import (
     DurationBatcher,
     Filter,
@@ -202,12 +200,9 @@ class DynamicBucketingSampler(CutSampler):
         current_epoch = self.diagnostics.current_epoch
         num_batches_to_iter = self.diagnostics.current_epoch_stats.total_batches
         self.set_epoch(current_epoch)
-        backend = build_dynamic_bucketing_checkpoint_backend(
-            self,
-            current_epoch=current_epoch,
-            num_batches_to_iter=num_batches_to_iter,
-        )
-        backend.restore()
+        plan_resume(
+            self, "bucketing", epoch=current_epoch, steps_done=num_batches_to_iter
+        ).run()
 
     def _initialize_replay_iterator(self) -> None:
         self._cuts_state = None
