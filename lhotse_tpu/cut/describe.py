@@ -1,11 +1,11 @@
 """
-CutSet statistics accumulation and the ``describe()`` report.
+Dataset overview statistics: ``CutSet.describe()`` and the speaker-count
+interval sweep used by ``trim_to_unsupervised_segments``.
 
-Reference behavior: `/root/reference/lhotse/cut/describe.py:13` — accumulates
-duration/supervision/speech stats (optionally per speaker count) across cut
-sets, combinable for parallel gathering; ``find_segments_with_speaker_count``
-(:265) sweeps supervision boundaries to find intervals with N active speakers.
-Falls back to plain-text tables when `tabulate` is not installed.
+Functional parity target: ``lhotse/cut/describe.py`` (accumulator combinable
+across parallel workers; speech/silence/overlap breakdown; per-speaker-count
+table with ``full=True``).  The interval sweep here is a vectorized
+numpy event-scan rather than a Python timestamp loop.
 """
 from __future__ import annotations
 
@@ -18,201 +18,198 @@ import numpy as np
 
 from lhotse_tpu.utils import Seconds, TimeSpan, ifnone, is_module_available
 
+_QUANTILE_ROWS: Tuple[Tuple[str, float], ...] = (
+    ("mean", -1.0),  # sentinel handled specially
+    ("std", -2.0),
+    ("min", 0.0),
+    ("25%", 25.0),
+    ("50%", 50.0),
+    ("75%", 75.0),
+    ("99%", 99.0),
+    ("99.5%", 99.5),
+    ("99.9%", 99.9),
+    ("max", 100.0),
+)
 
-def _tabulate(rows, headers=None, tablefmt="fancy_grid"):
+
+def _hms(seconds: Seconds) -> str:
+    """Render seconds as hh:mm:ss, rounding the seconds field up."""
+    h, rem = divmod(seconds, 3600)
+    m, s = divmod(rem, 60)
+    return f"{int(h):02d}:{int(m):02d}:{ceil(s):02d}"
+
+
+def _render_table(rows, headers=None, tablefmt="fancy_grid") -> str:
     if is_module_available("tabulate"):
         from tabulate import tabulate
 
         if headers == "firstrow":
             return tabulate(rows, headers="firstrow", tablefmt=tablefmt)
         return tabulate(rows, tablefmt=tablefmt)
-    # Plain fallback: pad columns to equal width.
-    all_rows = rows
-    widths = [
-        max(len(str(r[i])) for r in all_rows if len(r) > i)
-        for i in range(max(len(r) for r in all_rows))
-    ]
-    lines = []
-    for r in all_rows:
-        lines.append(" | ".join(str(v).ljust(w) for v, w in zip(r, widths)))
-    return "\n".join(lines)
+    # Minimal dependency-free rendering: left-justified columns.
+    ncol = max(len(r) for r in rows)
+    widths = [max(len(str(r[i])) for r in rows if len(r) > i) for i in range(ncol)]
+    return "\n".join(
+        " | ".join(str(v).ljust(w) for v, w in zip(r, widths)) for r in rows
+    )
 
 
 class CutSetStatistics:
     """
-    Accumulate an overview of a CutSet (cut/supervision counts, durations,
-    speech/silence/overlap breakdown); multiple instances can be combined
-    (e.g. gathered in parallel) before calling :meth:`describe`.
+    Streaming accumulator behind ``CutSet.describe()``.
+
+    Feed it cut sets with :meth:`accumulate` (possibly one instance per
+    parallel worker), merge instances with :meth:`combine`, then render with
+    :meth:`describe`.  With ``full=True`` it additionally tracks
+    single-speaker vs overlapped speech and a per-speaker-count breakdown
+    (overlap is resolved up to 4 concurrent speakers).
     """
 
     def __init__(self, full: bool = False):
         self.full = full
         self.counters = defaultdict(int)
         self.cut_custom, self.sup_custom = Counter(), Counter()
-        self.cut_durations = []
-        self.speaking_time_durations, self.speech_durations = [], []
-        if self.full:
+        self.cut_durations: List[float] = []
+        self.speaking_time_durations: List[float] = []
+        self.speech_durations: List[float] = []
+        if full:
             self.durations_by_num_speakers = defaultdict(list)
-            self.single_durations, self.overlapped_durations = [], []
+            self.single_durations: List[float] = []
+            self.overlapped_durations: List[float] = []
 
-    def combine(self, *other: "CutSetStatistics") -> "CutSetStatistics":
-        """Combine multiple statistics into a new object (self unmodified)."""
-        lhs = deepcopy(self)
-        for rhs in other:
-            assert lhs.full == rhs.full, (
-                "Cannot combine statistics gathered with full=True and full=False."
-            )
-            for attr in ("counters", "cut_custom", "sup_custom"):
-                for k in getattr(rhs, attr):
-                    getattr(lhs, attr)[k] += getattr(rhs, attr)[k]
-            for attr in (
-                "cut_durations",
-                "speaking_time_durations",
-                "speech_durations",
-            ) + (("single_durations", "overlapped_durations") if lhs.full else ()):
-                getattr(lhs, attr).extend(getattr(rhs, attr))
-            if lhs.full:
-                for k in rhs.durations_by_num_speakers:
-                    lhs.durations_by_num_speakers[k].extend(rhs.durations_by_num_speakers[k])
-        return lhs
+    # -- gathering -----------------------------------------------------------
 
     def accumulate(self, cuts) -> "CutSetStatistics":
-        """Gather statistics from a cut set."""
-
-        def total_duration_(segments: List[TimeSpan]) -> float:
-            return sum(segment.duration for segment in segments)
-
-        for c in cuts:
-            self.cut_durations.append(c.duration)
-            if hasattr(c, "custom"):
-                for key in ifnone(c.custom, ()):
-                    self.cut_custom[key] += 1
-            self.counters["recordings"] += int(c.has_recording)
-            self.counters["features"] += int(c.has_features)
-            for s in c.trimmed_supervisions:
-                self.speaking_time_durations.append(s.duration)
-                self.counters["supervisions"] += 1
-                for key in ifnone(s.custom, ()):
-                    self.sup_custom[key] += 1
-            self.speech_durations.append(
-                total_duration_(find_segments_with_speaker_count(c, min_speakers=1))
-            )
-            if self.full:
-                self.single_durations.append(
-                    total_duration_(
-                        find_segments_with_speaker_count(c, min_speakers=1, max_speakers=1)
-                    )
-                )
-                self.overlapped_durations.append(
-                    total_duration_(
-                        find_segments_with_speaker_count(c, min_speakers=2, max_speakers=None)
-                    )
-                )
-                self.durations_by_num_speakers[1].append(self.single_durations[-1])
-                # Overlaps between at most 4 speakers are assumed.
-                for num_spk in range(2, 5):
-                    self.durations_by_num_speakers[num_spk].append(
-                        total_duration_(
-                            find_segments_with_speaker_count(
-                                c, min_speakers=num_spk, max_speakers=num_spk
-                            )
-                        )
-                    )
+        """Fold the statistics of every cut in ``cuts`` into this accumulator."""
+        for cut in cuts:
+            self._take_cut(cut)
         return self
 
+    def _take_cut(self, cut) -> None:
+        self.cut_durations.append(cut.duration)
+        for key in ifnone(getattr(cut, "custom", None), ()):
+            self.cut_custom[key] += 1
+        self.counters["recordings"] += int(cut.has_recording)
+        self.counters["features"] += int(cut.has_features)
+        for sup in cut.trimmed_supervisions:
+            self.counters["supervisions"] += 1
+            self.speaking_time_durations.append(sup.duration)
+            for key in ifnone(sup.custom, ()):
+                self.sup_custom[key] += 1
+        self.speech_durations.append(_covered_duration(cut, 1, None))
+        if self.full:
+            solo = _covered_duration(cut, 1, 1)
+            self.single_durations.append(solo)
+            self.overlapped_durations.append(_covered_duration(cut, 2, None))
+            self.durations_by_num_speakers[1].append(solo)
+            for k in (2, 3, 4):
+                self.durations_by_num_speakers[k].append(_covered_duration(cut, k, k))
+
+    def combine(self, *others: "CutSetStatistics") -> "CutSetStatistics":
+        """Merge several accumulators into a new one; operands are unchanged."""
+        merged = deepcopy(self)
+        for o in others:
+            if merged.full != o.full:
+                raise ValueError(
+                    "Refusing to combine CutSetStatistics with mismatched "
+                    f"full= settings ({merged.full} vs {o.full})."
+                )
+            merged.counters = defaultdict(
+                int, Counter(merged.counters) + Counter(o.counters)
+            )
+            merged.cut_custom += o.cut_custom
+            merged.sup_custom += o.sup_custom
+            merged.cut_durations += o.cut_durations
+            merged.speaking_time_durations += o.speaking_time_durations
+            merged.speech_durations += o.speech_durations
+            if merged.full:
+                merged.single_durations += o.single_durations
+                merged.overlapped_durations += o.overlapped_durations
+                for k, v in o.durations_by_num_speakers.items():
+                    merged.durations_by_num_speakers[k].extend(v)
+        return merged
+
+    # -- rendering -----------------------------------------------------------
+
     def describe(self) -> None:
-        """Print the accumulated statistics."""
+        """Print the report to stdout."""
+        print(self.render())
 
-        def convert_(seconds: Seconds) -> Tuple[int, int, int]:
-            hours, seconds = divmod(seconds, 3600)
-            minutes, seconds = divmod(seconds, 60)
-            return int(hours), int(minutes), ceil(seconds)
-
-        def time_as_str_(seconds: Seconds) -> str:
-            h, m, s = convert_(seconds)
-            return f"{h:02d}:{m:02d}:{s:02d}"
-
-        cut_durations = self.cut_durations
-        total_sum = np.array(cut_durations).sum()
-
-        cut_stats = []
-        cut_stats.append(["Cuts count:", len(cut_durations)])
-        cut_stats.append(["Total duration (hh:mm:ss)", time_as_str_(total_sum)])
-        cut_stats.append(["mean", f"{np.mean(cut_durations):.1f}"])
-        cut_stats.append(["std", f"{np.std(cut_durations):.1f}"])
-        cut_stats.append(["min", f"{np.min(cut_durations):.1f}"])
-        cut_stats.append(["25%", f"{np.percentile(cut_durations, 25):.1f}"])
-        cut_stats.append(["50%", f"{np.median(cut_durations):.1f}"])
-        cut_stats.append(["75%", f"{np.percentile(cut_durations, 75):.1f}"])
-        cut_stats.append(["99%", f"{np.percentile(cut_durations, 99):.1f}"])
-        cut_stats.append(["99.5%", f"{np.percentile(cut_durations, 99.5):.1f}"])
-        cut_stats.append(["99.9%", f"{np.percentile(cut_durations, 99.9):.1f}"])
-        cut_stats.append(["max", f"{np.max(cut_durations):.1f}"])
-        for key, val in self.counters.items():
-            cut_stats.append([f"{key.title()} available:", val])
-        print("Cut statistics:")
-        print(_tabulate(cut_stats))
-
+    def render(self) -> str:
+        durs = np.asarray(self.cut_durations, dtype=np.float64)
+        total = float(durs.sum())
+        blocks = [self._cuts_block(durs, total)]
         if self.cut_custom:
-            print("CUT custom fields:")
-            for key, val in self.cut_custom.most_common():
-                print(f"- {key} (in {val} cuts)")
+            blocks.append(
+                "CUT custom fields:\n"
+                + "\n".join(f"- {k} (in {n} cuts)" for k, n in self.cut_custom.most_common())
+            )
         if self.sup_custom:
-            print("SUPERVISION custom fields:")
-            for key, val in self.sup_custom.most_common():
-                print(f"- {key} (in {val} cuts)")
+            blocks.append(
+                "SUPERVISION custom fields:\n"
+                + "\n".join(f"- {k} (in {n} cuts)" for k, n in self.sup_custom.most_common())
+            )
+        blocks.append(self._speech_block(total))
+        if self.full:
+            blocks.append(self._per_speaker_block())
+        return "\n".join(blocks)
 
-        total_speech = np.array(self.speech_durations).sum()
-        total_speaking_time = np.array(self.speaking_time_durations).sum()
-        total_silence = total_sum - total_speech
-        speech_stats = []
-        speech_stats.append(
-            [
-                "Total speech duration",
-                time_as_str_(total_speech),
-                f"{total_speech / total_sum:.2%} of recording",
-            ]
-        )
-        speech_stats.append(
+    def _cuts_block(self, durs: np.ndarray, total: float) -> str:
+        rows = [
+            ["Cuts count:", len(durs)],
+            ["Total duration (hh:mm:ss)", _hms(total)],
+        ]
+        for label, q in _QUANTILE_ROWS:
+            if q == -1.0:
+                val = durs.mean()
+            elif q == -2.0:
+                val = durs.std()
+            else:
+                val = np.percentile(durs, q)
+            rows.append([label, f"{val:.1f}"])
+        for name, count in self.counters.items():
+            rows.append([f"{name.title()} available:", count])
+        return "Cut statistics:\n" + _render_table(rows)
+
+    def _speech_block(self, total: float) -> str:
+        speech = float(np.sum(self.speech_durations))
+        speaking = float(np.sum(self.speaking_time_durations))
+        rows = [
+            ["Total speech duration", _hms(speech), f"{speech / total:.2%} of recording"],
             [
                 "Total speaking time duration",
-                time_as_str_(total_speaking_time),
-                f"{total_speaking_time / total_sum:.2%} of recording",
-            ]
-        )
-        speech_stats.append(
+                _hms(speaking),
+                f"{speaking / total:.2%} of recording",
+            ],
             [
                 "Total silence duration",
-                time_as_str_(total_silence),
-                f"{total_silence / total_sum:.2%} of recording",
-            ]
-        )
+                _hms(total - speech),
+                f"{(total - speech) / total:.2%} of recording",
+            ],
+        ]
         if self.full:
-            total_single = np.array(self.single_durations).sum()
-            total_overlap = np.array(self.overlapped_durations).sum()
-            speech_stats.append(
+            solo = float(np.sum(self.single_durations))
+            lap = float(np.sum(self.overlapped_durations))
+            rows.append(
                 [
                     "Single-speaker duration",
-                    time_as_str_(total_single),
-                    f"{total_single / total_sum:.2%} "
-                    f"({total_single / total_speech:.2%} of speech)",
+                    _hms(solo),
+                    f"{solo / total:.2%} ({solo / speech:.2%} of speech)",
                 ]
             )
-            speech_stats.append(
+            rows.append(
                 [
                     "Overlapped speech duration",
-                    time_as_str_(total_overlap),
-                    f"{total_overlap / total_sum:.2%} "
-                    f"({total_overlap / total_speech:.2%} of speech)",
+                    _hms(lap),
+                    f"{lap / total:.2%} ({lap / speech:.2%} of speech)",
                 ]
             )
-        print("Speech duration statistics:")
-        print(_tabulate(speech_stats))
+        return "Speech duration statistics:\n" + _render_table(rows)
 
-        if not self.full:
-            return
-
-        speaker_stats = [
+    def _per_speaker_block(self) -> str:
+        speech = float(np.sum(self.speech_durations))
+        speaking = float(np.sum(self.speaking_time_durations))
+        rows = [
             [
                 "Number of speakers",
                 "Duration (hh:mm:ss)",
@@ -221,77 +218,82 @@ class CutSetStatistics:
                 "% of speaking time",
             ]
         ]
-        for num_spk, durations in self.durations_by_num_speakers.items():
-            speaker_sum = np.array(durations).sum()
-            speaking_time = num_spk * speaker_sum
-            speaker_stats.append(
+        for nspk, dlist in self.durations_by_num_speakers.items():
+            block = float(np.sum(dlist))
+            rows.append(
                 [
-                    num_spk,
-                    time_as_str_(speaker_sum),
-                    time_as_str_(speaking_time),
-                    f"{speaker_sum / total_speech:.2%}",
-                    f"{speaking_time / total_speaking_time:.2%}",
+                    nspk,
+                    _hms(block),
+                    _hms(nspk * block),
+                    f"{block / speech:.2%}",
+                    f"{nspk * block / speaking:.2%}",
                 ]
             )
-        speaker_stats.append(
-            [
-                "Total",
-                time_as_str_(total_speech),
-                time_as_str_(total_speaking_time),
-                "100.00%",
-                "100.00%",
-            ]
+        rows.append(["Total", _hms(speech), _hms(speaking), "100.00%", "100.00%"])
+        return "Speech duration statistics by number of speakers:\n" + _render_table(
+            rows, headers="firstrow"
         )
-        print("Speech duration statistics by number of speakers:")
-        print(_tabulate(speaker_stats, headers="firstrow"))
+
+
+def _covered_duration(cut, min_speakers: int, max_speakers: Optional[int]) -> float:
+    return sum(
+        span.duration
+        for span in find_segments_with_speaker_count(cut, min_speakers, max_speakers)
+    )
 
 
 def find_segments_with_speaker_count(
     cut, min_speakers: int = 0, max_speakers: Optional[int] = None
 ) -> List[TimeSpan]:
     """
-    Sweep the supervision boundaries of a cut to find the intervals with a
-    speaker count within [min_speakers, max_speakers].
+    Return the maximal intervals of ``cut`` during which the number of
+    simultaneously active supervisions lies in ``[min_speakers, max_speakers]``.
+
+    Vectorized event-scan: supervision starts contribute +1 and ends -1 at
+    their (cut-clamped) timestamps; a prefix sum over the sorted unique event
+    times yields the concurrent-speaker count on each elementary interval.
     """
-    if max_speakers is None:
-        max_speakers = float("inf")
-    assert 0 <= min_speakers <= max_speakers, (
-        f"min_speakers={min_speakers} and max_speakers={max_speakers} are not valid."
-    )
-    if min_speakers == 0 and max_speakers == float("inf"):
+    hi = np.inf if max_speakers is None else max_speakers
+    if not 0 <= min_speakers <= hi:
+        raise ValueError(
+            f"Invalid speaker-count window: [{min_speakers}, {max_speakers}]."
+        )
+    if min_speakers == 0 and hi == np.inf:
         return [TimeSpan(0, cut.duration)]
-    if len(cut.supervisions) == 0:
-        return [] if min_speakers > 0 else [TimeSpan(0, cut.duration)]
+    if not cut.supervisions:
+        return [TimeSpan(0, cut.duration)] if min_speakers == 0 else []
 
-    # Timestamps: (time, is_speaker_start); None marks cut boundaries.
-    timestamps = [(0.0, None)]
-    for segment in cut.supervisions:
-        timestamps.append((segment.start, True))
-        timestamps.append((segment.end, False))
-    timestamps.append((cut.duration, None))
-    # Priority at equal time marks: None < False < True.
-    timestamps.sort(key=lambda x: (x[0], x[1] is not None, x[1] is True))
+    starts = np.fromiter((s.start for s in cut.supervisions), dtype=np.float64)
+    ends = np.fromiter((s.end for s in cut.supervisions), dtype=np.float64)
+    # Clamp to the cut span; anything fully outside contributes nothing.
+    starts = np.clip(starts, 0.0, cut.duration)
+    ends = np.clip(ends, 0.0, cut.duration)
 
-    cut_boundary_indices = [i for i, t in enumerate(timestamps) if t[1] is None]
-    cut_start_idx, cut_end_idx = cut_boundary_indices[0], cut_boundary_indices[-1]
-    timestamps = timestamps[cut_start_idx : cut_end_idx + 1]
+    times = np.concatenate([[0.0], starts, ends, [cut.duration]])
+    deltas = np.concatenate(
+        [[0], np.ones_like(starts, dtype=np.int64), -np.ones_like(ends, dtype=np.int64), [0]]
+    )
+    order = np.argsort(times, kind="stable")
+    times, deltas = times[order], deltas[order]
+    # Collapse events at identical timestamps so zero-length intervals never
+    # appear (start/end ties resolve within one timestamp).
+    uniq_times, first_idx = np.unique(times, return_index=True)
+    bucket_delta = np.add.reduceat(deltas, first_idx)
+    active = np.cumsum(bucket_delta)  # speakers active on [t_i, t_{i+1})
 
-    num_speakers = 0
-    seg_start = 0.0
-    intervals = []
-    for timestamp, is_start in timestamps[1:]:
-        if min_speakers <= num_speakers <= max_speakers:
-            intervals.append((seg_start, timestamp))
-        if is_start is not None:
-            num_speakers += 1 if is_start else -1
-        seg_start = timestamp
+    if len(uniq_times) < 2:
+        return []
+    keep = (active[:-1] >= min_speakers) & (active[:-1] <= hi)
 
-    merged_intervals = []
-    for start, end in intervals:
-        if start == end:
-            continue
-        if merged_intervals and merged_intervals[-1][1] == start:
-            merged_intervals[-1] = (merged_intervals[-1][0], end)
-        else:
-            merged_intervals.append((start, end))
-    return [TimeSpan(start, end) for start, end in merged_intervals]
+    # Merge adjacent kept elementary intervals into maximal spans.
+    spans: List[TimeSpan] = []
+    run_start = None
+    for i, flag in enumerate(keep):
+        if flag and run_start is None:
+            run_start = uniq_times[i]
+        elif not flag and run_start is not None:
+            spans.append(TimeSpan(run_start, uniq_times[i]))
+            run_start = None
+    if run_start is not None:
+        spans.append(TimeSpan(run_start, uniq_times[-1]))
+    return spans

@@ -1,20 +1,24 @@
 """
-Lazy manifest iteration backed by :mod:`lhotse_tpu.index_pack`.
+Streaming manifests out of an ``.idxpack`` (see :mod:`lhotse_tpu.index_pack`).
 
-Reference behavior: `/root/reference/lhotse/packed_lazy.py`
-(read_packed_range :32-49, LazyPackedManifestIterator :52-370,
-_PackedFileCache :373-462). One ``.idxpack`` replaces a chain of per-shard
-indexed readers: random access, worker partitioning, deterministic global
-(Feistel) shuffling, and checkpoint/resume — without eager shard-path
-expansion, one reader per shard, or one in-memory offset array per sidecar.
+A pack fuses the ``.idx`` sidecars of many jsonl shards into one mmap-able
+file, so a sharded manifest collection behaves like a single random-access
+sequence: O(1) ``[i]``, deterministic Feistel-shuffled iteration, per-worker
+partitioning, and cursor-based checkpointing — with exactly one small read
+per record (``os.pread`` through a bounded fd pool).
+
+Functional parity target: ``lhotse/packed_lazy.py`` (the reference's
+LazyPackedManifestIterator / _PackedFileCache), rebuilt around a module-global
+descriptor pool and an explicit iteration-cursor state object.
 """
 from __future__ import annotations
 
 import os
+import threading
 import warnings
-import weakref
 from collections import OrderedDict
 from collections.abc import Callable
+from dataclasses import asdict, dataclass, field
 from json import JSONDecodeError
 from typing import Any, Optional, Union
 
@@ -29,6 +33,76 @@ from lhotse_tpu.serialization import decode_json_line, deserialize_item
 from lhotse_tpu.utils import is_valid_url
 
 
+# ---------------------------------------------------------------------------
+# Descriptor pool
+# ---------------------------------------------------------------------------
+class _FdPool:
+    """
+    Process-wide LRU of O_RDONLY descriptors used for packed record reads.
+
+    One pool serves every IndexPack in the process (paths are distinct
+    anyway); it drops all descriptors when it notices a fork, because a
+    child must never reuse the parent's fds.
+    """
+
+    def __init__(self, capacity: int = 128):
+        self.capacity = capacity
+        self._lock = threading.Lock()
+        self._owner_pid = os.getpid()
+        self._open: "OrderedDict[str, int]" = OrderedDict()
+
+    def pread(self, path: str, start: int, end: int) -> bytes:
+        """Exact half-open byte range [start, end); raises EOFError if short."""
+        if is_valid_url(path):
+            raise ValueError(
+                f"Packed record reads need a local file (got URL {path!r}); "
+                "download or mount the shards first."
+            )
+        if not 0 <= start <= end:
+            raise ValueError(f"Invalid packed byte range: [{start}, {end})")
+        fd = self._checkout(path)
+        want = end - start
+        parts, at = [], start
+        while at < end:
+            piece = os.pread(fd, end - at, at)
+            if not piece:
+                raise EOFError(
+                    f"{path}: wanted {want} bytes at offset {start}, file ended "
+                    f"after {at - start}"
+                )
+            parts.append(piece)
+            at += len(piece)
+        return b"".join(parts)
+
+    def shrink(self, capacity: int) -> None:
+        if capacity < 1:
+            raise ValueError("fd pool capacity must be positive")
+        with self._lock:
+            self.capacity = min(self.capacity, capacity)
+            self._evict_locked()
+
+    def _checkout(self, path: str) -> int:
+        with self._lock:
+            if self._owner_pid != os.getpid():
+                # Post-fork: inherited descriptors are unsafe to share.
+                self._open.clear()
+                self._owner_pid = os.getpid()
+            fd = self._open.pop(path, None)
+            if fd is None:
+                fd = os.open(path, os.O_RDONLY)
+            self._open[path] = fd  # most-recently-used at the tail
+            self._evict_locked()
+            return fd
+
+    def _evict_locked(self) -> None:
+        while len(self._open) > self.capacity:
+            _, stale = self._open.popitem(last=False)
+            os.close(stale)
+
+
+_POOL = _FdPool()
+
+
 def read_packed_range(
     index_pack: IndexPack,
     path: str,
@@ -37,42 +111,65 @@ def read_packed_range(
     *,
     max_open_files: int = 32,
 ) -> bytes:
-    """
-    Read an exact local byte range through a pack-shared descriptor cache
-    (one LRU per IndexPack per process; ``os.pread`` so concurrent reads
-    never race on a shared file position).
-    """
-    cache = _file_cache_for_pack(index_pack, max_open_files)
-    return cache.read(path, start, end)
+    """Read one packed record's bytes through the shared descriptor pool."""
+    del index_pack  # pooling is global; kept in the signature for parity
+    _POOL.shrink(max(max_open_files, 1) if max_open_files else 1)
+    return _POOL.pread(path, start, end)
+
+
+# ---------------------------------------------------------------------------
+# Iterator
+# ---------------------------------------------------------------------------
+@dataclass
+class _Cursor:
+    """Where iteration stands; everything needed to resume exactly here."""
+
+    epoch: int = 0  # completed passes (salts the shuffle seed)
+    shard: int = 0  # sequential mode: shard being consumed
+    taken: int = 0  # sequential mode: records this worker consumed in shard
+    rank: int = 0  # shuffled mode: next position in the permutation
+    seed: Optional[int] = None  # shuffled mode: resolved base seed of this pass
+    part: Optional[tuple] = None  # (worker_id, num_workers) the cursor belongs to
+
+    def as_state(self) -> dict:
+        d = asdict(self)
+        d["part"] = list(self.part) if self.part is not None else None
+        return d
+
+    @classmethod
+    def from_state(cls, d: dict) -> "_Cursor":
+        part = d.get("part")
+        return cls(
+            epoch=d.get("epoch", 0),
+            shard=d.get("shard", 0),
+            taken=d.get("taken", 0),
+            rank=d.get("rank", 0),
+            seed=d.get("seed"),
+            part=tuple(part) if part is not None else None,
+        )
 
 
 class LazyPackedManifestIterator(IteratorNode):
     """
-    Lazily decode an ordered sharded manifest collection from an ``.idxpack``.
+    One virtual manifest sequence over all shards of a packed collection.
 
-    Presents all shards as one virtual sequence: the pack mmap resolves a
-    logical index to ``(path, start, end)`` and only that record is read via
-    ``pread()`` through a bounded descriptor cache.
+    Records are addressed by graph tokens: a plain ``int`` indexes the
+    concatenation of all shards; a ``(shard, local)`` pair addresses a record
+    inside one shard.  Both work with ``[]`` and both appear as graph-origin
+    tokens on yielded items, which is what makes buffered-downstream
+    checkpoints O(1).
 
-    Tokens: an integer addresses the virtual concatenation; a
-    ``(shard_index, local_index)`` tuple addresses one record in one shard
-    (both become graph-origin tokens for O(1) checkpoint restore). Sequential
-    iteration partitions records within each shard across dataloading
-    workers; ``shuffle_shards=True`` uses the deterministic Feistel
-    permutation across the entire collection. Both modes checkpoint.
+    Sequential iteration deals records of each shard round-robin to
+    dataloading workers; ``shuffle_shards=True`` instead walks a seekable
+    Feistel permutation of the whole collection (partitioned by position).
+    Both modes resume exactly via ``state_dict``/``load_state_dict``.
 
     Example::
 
-        from lhotse_tpu.index_pack import index_pack_collection_key
-
         key = index_pack_collection_key(
-            role="records", kind="json-lines",
-            source_spec="cuts-{000..127}.jsonl",
+            role="records", kind="json-lines", source_spec="cuts-{000..127}.jsonl"
         )
-        source = LazyPackedManifestIterator(
-            "dataset.idxpack", key, shuffle_shards=True, seed=42,
-        )
-        first_cut = next(iter(source))
+        cuts = CutSet(LazyPackedManifestIterator("data.idxpack", key))
     """
 
     is_checkpointable = True
@@ -88,314 +185,182 @@ class LazyPackedManifestIterator(IteratorNode):
         seed: int = 0,
         decode: Optional[Callable[[dict], Any]] = None,
         skip_decode_errors: bool = False,
-        decode_error_callback: Optional[Callable[[BaseException, int, str], None]] = None,
+        decode_error_callback: Optional[
+            Callable[[BaseException, int, str], None]
+        ] = None,
         max_open_files: int = 32,
     ):
+        if max_open_files < 1:
+            raise ValueError("max_open_files must be positive")
         self.index_pack = (
-            index_pack if isinstance(index_pack, IndexPack) else open_index_pack(index_pack)
+            index_pack
+            if isinstance(index_pack, IndexPack)
+            else open_index_pack(index_pack)
         )
         self.collection_key = collection_key
         self.collection = self.index_pack.collection(collection_key)
         self.shuffle_shards = shuffle_shards
         self.seed = seed
-        self._decode = decode if decode is not None else deserialize_item
         self.skip_decode_errors = skip_decode_errors
         self.decode_error_callback = decode_error_callback
-        if max_open_files < 1:
-            raise ValueError("max_open_files must be positive")
         self.max_open_files = max_open_files
+        self._decode = deserialize_item if decode is None else decode
+        self._cursor = _Cursor()
+        self._resume_pending = False
 
-        self.num_iters = 0
-        self._current_shard = 0
-        self._current_position = 0
-        self._global_position = 0
-        self._global_seed = None
-        self._shard_id = None
-        self._num_shards = None
-        self._restored = False
+    # -- random access --------------------------------------------------------
 
     def __len__(self) -> int:
         return len(self.collection)
 
     def __getitem__(self, token):
-        """Decode one record by global index or (shard, local_index) token."""
-        return self._decode_token(token)
-
-    def read_with_location(self, token):
-        """Decode one record together with its packed byte location."""
-        normalized_token, global_index, location = self._location_for_token(token)
-        raw = read_packed_range(
-            self.index_pack,
-            location.path,
-            location.start,
-            location.end,
-            max_open_files=self.max_open_files,
-        )
-        decoded_line = raw.decode("utf-8")
-        try:
-            item = self._decode(decode_json_line(decoded_line))
-        except JSONDecodeError as ex:
-            preview = decoded_line[:120].replace("\n", "\\n").replace("\r", "\\r")
-            msg = (
-                f"{ex.msg} while decoding packed JSONL record "
-                f"path={location.path!r} pack={str(self.index_pack.path)!r} "
-                f"idx={global_index} byte_range=[{location.start}, {location.end}) "
-                f"preview={preview!r}"
-            )
-            raise JSONDecodeError(msg, ex.doc, ex.pos) from ex
-        return attach_graph_origin(item, normalized_token), location
-
-    def __iter__(self):
-        if self.shuffle_shards:
-            return self._iter_globally_shuffled()
-        return self._iter_sequential()
-
-    def state_dict(self) -> dict:
-        # Keys intentionally match LazyIteratorChain where applicable.
-        return {
-            "current_iter_idx": self._current_shard,
-            "num_iters": self.num_iters,
-            "iter_order": None,
-            "global_position": self._global_position,
-            "global_seed": self._global_seed,
-            "global_shard_id": self._shard_id,
-            "global_num_shards": self._num_shards,
-            "packed_current_position": self._current_position,
-        }
-
-    def load_state_dict(self, state: dict) -> None:
-        """Restore; the worker partition is validated when iteration resumes."""
-        self._current_shard = state.get("current_iter_idx", 0)
-        self._current_position = state.get("packed_current_position", 0)
-        self.num_iters = state.get("num_iters", 0)
-        self._global_position = state.get("global_position", 0)
-        self._global_seed = state.get("global_seed")
-        self._shard_id = state.get("global_shard_id")
-        self._num_shards = state.get("global_num_shards")
-        self._restored = True
-
-    def close(self) -> None:
-        """No-op: pack mappings/descriptors are shared and GC-reclaimed."""
-        return
-
-    def _location_for_token(self, token):
-        normalized_token = normalize_graph_token(token)
-        if isinstance(normalized_token, tuple) and len(normalized_token) == 2:
-            shard_index, local_index = normalized_token
-            location = self.collection.locate_in_shard(shard_index, local_index)
-            previous_end = (
-                self.index_pack._sequence(
-                    self.collection.sequence_start + location.shard_index - 1
-                )[1]
-                if location.shard_index
-                else 0
-            )
-            return normalized_token, previous_end + location.local_index, location
-        if not isinstance(normalized_token, int):
-            raise TypeError(
-                f"Unsupported packed manifest graph token: {normalized_token!r}"
-            )
-        global_index = normalized_token
-        if global_index < 0:
-            global_index += len(self.collection)
-        return normalized_token, global_index, self.collection.locate(global_index)
-
-    def _decode_token(self, token):
         item, _ = self.read_with_location(token)
         return item
 
-    def _decode_or_skip(self, token):
+    def read_with_location(self, token):
+        """Decode a record and also return its (path, byte-range) location."""
+        token = normalize_graph_token(token)
+        flat, where = self._resolve(token)
+        raw = read_packed_range(
+            self.index_pack,
+            where.path,
+            where.start,
+            where.end,
+            max_open_files=self.max_open_files,
+        ).decode("utf-8")
         try:
-            return self._decode_token(token)
+            item = self._decode(decode_json_line(raw))
+        except JSONDecodeError as ex:
+            head = raw[:120].replace("\n", "\\n").replace("\r", "\\r")
+            raise JSONDecodeError(
+                f"{ex.msg} — record #{flat} of packed collection "
+                f"(pack={str(self.index_pack.path)!r}, shard file={where.path!r}, "
+                f"bytes [{where.start}, {where.end})), starts with: {head!r}",
+                ex.doc,
+                ex.pos,
+            ) from ex
+        return attach_graph_origin(item, token), where
+
+    def _resolve(self, token):
+        """Token -> (flat_index, PackedIndexLocation)."""
+        if isinstance(token, tuple) and len(token) == 2:
+            shard, local = token
+            where = self.collection.locate_in_shard(shard, local)
+            flat = (
+                sum(
+                    self.collection.shard_length(s)
+                    for s in range(where.shard_index)
+                )
+                + where.local_index
+            )
+            return flat, where
+        if not isinstance(token, int):
+            raise TypeError(
+                f"Packed manifest tokens are int or (shard, local); got {token!r}"
+            )
+        flat = token if token >= 0 else token + len(self.collection)
+        return flat, self.collection.locate(flat)
+
+    # -- iteration -------------------------------------------------------------
+
+    def __iter__(self):
+        worker, nworkers = self._current_partition()
+        cur = self._take_cursor(worker, nworkers)
+        if self.shuffle_shards:
+            return self._walk_permuted(cur, worker, nworkers)
+        return self._walk_in_order(cur, worker, nworkers)
+
+    def _current_partition(self):
+        from lhotse_tpu.dataset.dataloading import get_worker_partition
+
+        return get_worker_partition()
+
+    def _take_cursor(self, worker: int, nworkers: int) -> _Cursor:
+        """Consume a pending resume cursor, or mint a fresh one."""
+        if self._resume_pending:
+            self._resume_pending = False
+            cur = self._cursor
+            if cur.part is not None and tuple(cur.part) != (worker, nworkers):
+                raise ValueError(
+                    "Cannot resume a packed manifest checkpoint under a different "
+                    f"dataloading layout: checkpoint was worker {cur.part[0]} of "
+                    f"{cur.part[1]}, this process is worker {worker} of {nworkers}."
+                )
+        else:
+            cur = _Cursor(epoch=self._cursor.epoch)
+        cur.part = (worker, nworkers)
+        self._cursor = cur
+        return cur
+
+    def _walk_permuted(self, cur: _Cursor, worker: int, nworkers: int):
+        from lhotse_tpu.indexing import LazyShuffledRange
+
+        if cur.seed is None:
+            cur.seed = resolve_iteration_seed(self.seed)
+        perm = LazyShuffledRange(
+            len(self),
+            seed=cur.seed + cur.epoch,
+            shard_id=worker,
+            num_shards=nworkers,
+        )
+        while cur.rank < len(perm):
+            token = perm[cur.rank]
+            cur.rank += 1
+            item = self._try_decode(token)
+            if item is not None:
+                yield item
+        cur.epoch += 1
+        cur.rank = 0
+        cur.seed = None
+
+    def _walk_in_order(self, cur: _Cursor, worker: int, nworkers: int):
+        nshards = self.collection.sequence_count
+        while cur.shard < nshards:
+            size = self.collection.shard_length(cur.shard)
+            # This worker owns locals worker, worker+nworkers, ...
+            local = worker + cur.taken * nworkers
+            while local < size:
+                cur.taken += 1
+                item = self._try_decode((cur.shard, local))
+                if item is not None:
+                    yield item
+                local = worker + cur.taken * nworkers
+            cur.shard += 1
+            cur.taken = 0
+        cur.epoch += 1
+        cur.shard = 0
+
+    def _try_decode(self, token):
+        try:
+            return self[token]
         except (JSONDecodeError, UnicodeDecodeError) as ex:
             if not self.skip_decode_errors:
                 raise
-            _, global_index, location = self._location_for_token(token)
+            flat, where = self._resolve(normalize_graph_token(token))
             if self.decode_error_callback is not None:
-                self.decode_error_callback(ex, global_index, location.path)
+                self.decode_error_callback(ex, flat, where.path)
             else:
                 warnings.warn(
-                    f"Skipping malformed packed manifest record "
-                    f"{global_index} in {location.path}: {ex}",
+                    f"Dropping undecodable packed record #{flat} "
+                    f"({where.path}): {ex}",
                     stacklevel=2,
                 )
             return None
 
-    def _iter_globally_shuffled(self):
-        from lhotse_tpu.dataset.dataloading import get_worker_partition
-        from lhotse_tpu.indexing import LazyShuffledRange
+    # -- checkpointing ----------------------------------------------------------
 
-        shard_id, num_shards = get_worker_partition()
-        if self._restored:
-            self._restored = False
-            start = self._global_position
-            base_seed = self._global_seed
-            if base_seed is None:
-                base_seed = resolve_iteration_seed(self.seed)
-            if self._num_shards is not None and (
-                self._shard_id != shard_id or self._num_shards != num_shards
-            ):
-                raise ValueError(
-                    "LazyPackedManifestIterator partition mismatch on resume: "
-                    f"saved (shard_id={self._shard_id}, num_shards={self._num_shards}), "
-                    f"current (shard_id={shard_id}, num_shards={num_shards})."
-                )
-        else:
-            start = 0
-            self._global_position = 0
-            base_seed = resolve_iteration_seed(self.seed)
-            self._global_seed = base_seed
-        self._shard_id = shard_id
-        self._num_shards = num_shards
+    def state_dict(self) -> dict:
+        return {"packed_cursor": self._cursor.as_state(), "shuffled": self.shuffle_shards}
 
-        shuffled = LazyShuffledRange(
-            len(self),
-            seed=base_seed + self.num_iters,
-            shard_id=shard_id,
-            num_shards=num_shards,
-        )
-        for position in range(start, len(shuffled)):
-            self._global_position = position + 1
-            token = shuffled[position]
-            item = self._decode_or_skip(token)
-            if item is not None:
-                yield item
-        self.num_iters += 1
-
-    def _iter_sequential(self):
-        from lhotse_tpu.dataset.dataloading import get_worker_partition
-
-        shard_id, num_shards = get_worker_partition()
-        if self._restored:
-            self._restored = False
-            start_shard = self._current_shard
-            start_position = self._current_position
-            if self._num_shards is not None and (
-                self._shard_id != shard_id or self._num_shards != num_shards
-            ):
-                raise ValueError(
-                    "LazyPackedManifestIterator partition mismatch on resume: "
-                    f"saved (shard_id={self._shard_id}, num_shards={self._num_shards}), "
-                    f"current (shard_id={shard_id}, num_shards={num_shards})."
-                )
-        else:
-            start_shard = 0
-            start_position = 0
-        self._shard_id = shard_id
-        self._num_shards = num_shards
-
-        for shard_index in range(start_shard, self.collection.sequence_count):
-            shard_length = self.collection.shard_length(shard_index)
-            local_count = (
-                (shard_length - shard_id + num_shards - 1) // num_shards
-                if shard_length > shard_id
-                else 0
-            )
-            first_position = start_position if shard_index == start_shard else 0
-            for position in range(first_position, local_count):
-                self._current_shard = shard_index
-                self._current_position = position + 1
-                token = (shard_index, shard_id + position * num_shards)
-                item = self._decode_or_skip(token)
-                if item is not None:
-                    yield item
-            self._current_shard = shard_index + 1
-            self._current_position = 0
-
-
-class _PackedFileCache:
-    """
-    Process-local LRU of read-only file descriptors, pread-based; discards
-    fork-inherited descriptors and is pickle-safe for dataloading workers.
-    """
-
-    def __init__(self, max_open_files: int = 32):
-        if max_open_files < 1:
-            raise ValueError("max_open_files must be positive")
-        self.max_open_files = max_open_files
-        self._pid = os.getpid()
-        self._fds: "OrderedDict[str, int]" = OrderedDict()
-
-    def read(self, path: str, start: int, end: int) -> bytes:
-        """Read the exact half-open byte range [start, end) from ``path``."""
-        if is_valid_url(path):
-            raise ValueError(
-                "Packed lazy reads require local source files; "
-                f"cannot use os.pread() with {path!r}"
-            )
-        if start < 0 or end < start:
-            raise ValueError(f"Invalid packed byte range: [{start}, {end})")
-        self._ensure_process()
-        fd = self._fds.pop(path, None)
-        if fd is None:
-            fd = os.open(path, os.O_RDONLY)
-        self._fds[path] = fd
-        while len(self._fds) > self.max_open_files:
-            _, evicted = self._fds.popitem(last=False)
-            os.close(evicted)
-        chunks = []
-        position = start
-        while position < end:
-            chunk = os.pread(fd, end - position, position)
-            if not chunk:
-                received = position - start
-                raise EOFError(
-                    f"Short indexed read from {path}: requested [{start}, {end}), "
-                    f"received {received} bytes"
-                )
-            chunks.append(chunk)
-            position += len(chunk)
-        return b"".join(chunks)
-
-    def limit_to(self, max_open_files: int) -> None:
-        """Tighten this shared cache's descriptor bound."""
-        if max_open_files < 1:
-            raise ValueError("max_open_files must be positive")
-        self.max_open_files = min(self.max_open_files, max_open_files)
-        while len(self._fds) > self.max_open_files:
-            _, evicted = self._fds.popitem(last=False)
-            os.close(evicted)
+    def load_state_dict(self, state: dict) -> None:
+        self._cursor = _Cursor.from_state(state.get("packed_cursor", {}))
+        self._resume_pending = True
 
     def close(self) -> None:
-        for fd in self._fds.values():
-            os.close(fd)
-        self._fds.clear()
+        """Nothing to do: descriptors live in the shared process pool."""
+        return
 
-    def __getstate__(self):
-        return {"max_open_files": self.max_open_files}
-
-    def __setstate__(self, state):
-        self.max_open_files = state["max_open_files"]
-        self._pid = os.getpid()
-        self._fds = OrderedDict()
-
-    def __del__(self):
-        if hasattr(self, "_fds"):
-            self.close()
-
-    def _ensure_process(self) -> None:
-        if self._pid != os.getpid():
-            # Inherited fds share seek state with the parent; drop them.
-            self._fds.clear()
-            self._pid = os.getpid()
-
-
-def _file_cache_for_pack(index_pack: IndexPack, max_open_files: int) -> _PackedFileCache:
-    global _PACKED_FILE_CACHE_PID
-    pid = os.getpid()
-    if pid != _PACKED_FILE_CACHE_PID:
-        _PACKED_FILE_CACHES.clear()
-        _PACKED_FILE_CACHE_PID = pid
-    cache = _PACKED_FILE_CACHES.get(index_pack)
-    if cache is None:
-        cache = _PackedFileCache(max_open_files)
-        _PACKED_FILE_CACHES[index_pack] = cache
-    else:
-        cache.limit_to(max_open_files)
-    return cache
-
-
-_PACKED_FILE_CACHES: "weakref.WeakKeyDictionary[IndexPack, _PackedFileCache]" = (
-    weakref.WeakKeyDictionary()
-)
-_PACKED_FILE_CACHE_PID = os.getpid()
+    # The epoch counter doubles as the reference's `num_iters` attribute.
+    @property
+    def num_iters(self) -> int:
+        return self._cursor.epoch

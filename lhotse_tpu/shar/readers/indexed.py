@@ -1,11 +1,21 @@
 """
-Indexed random-access Shar reader.
+Random-access Shar reading.
 
-Reference behavior: `/root/reference/lhotse/shar/readers/indexed.py`
-(LazyIndexedSharIterator :25-453, _index_path_from_indexes_root :456-473).
-O(1) access to any cut across all shards via binary ``.idx`` sidecars;
-partitioning + Feistel shuffling via
-:class:`~lhotse_tpu.dataset.dataloading.PartitionedIndexedIterator`.
+Where the streaming reader (:class:`~lhotse_tpu.shar.readers.lazy.LazySharIterator`)
+walks tars front to back, this module treats a whole Shar dump as one indexed
+sequence: binary ``.idx`` sidecars give byte offsets for every jsonl record
+and tar member, so any cut — in any shard — is a couple of ``pread`` calls
+away.  That unlocks true global shuffling (seekable Feistel permutation),
+topology-aware worker partitioning, and O(1) checkpoint restore.
+
+Layout of this module:
+
+* :class:`ShardCatalog` — discovers/validates the per-field shard files and
+  their indexes, owns the flat-index arithmetic and the per-shard readers.
+* :class:`LazyIndexedSharIterator` — the IteratorNode that composes a catalog
+  with a :class:`~lhotse_tpu.dataset.dataloading.PartitionedIndexedIterator`.
+
+Functional parity target: ``lhotse/shar/readers/indexed.py``.
 """
 import bisect
 from pathlib import Path
@@ -31,26 +41,227 @@ from lhotse_tpu.shar.readers.lazy import _discover_fields
 from lhotse_tpu.utils import Pathlike, exactly_one_not_null, is_valid_url
 
 
+def _suffixed_index_path(index_dir: Pathlike, data_path: Pathlike) -> Pathlike:
+    """``<index_dir>/<basename of data_path>.idx`` (URL-aware join)."""
+    name = Path(str(data_path)).name + ".idx"
+    if isinstance(index_dir, Path):
+        return index_dir / name
+    index_dir = str(index_dir)
+    if is_valid_url(index_dir):
+        return f"{index_dir.rstrip('/')}/{name}"
+    return Path(index_dir) / name
+
+
+def _mirror_under_root(
+    streams: Dict[str, Sequence[Pathlike]], indexes_root: Pathlike
+) -> Dict[str, List[Pathlike]]:
+    """Map every shard data path to ``<root>/<path-without-scheme>.idx``."""
+    root = Path(indexes_root)
+    mirrored: Dict[str, List[Pathlike]] = {}
+    for field, shard_paths in streams.items():
+        entries = []
+        for p in shard_paths:
+            text = str(p)
+            if "://" in text:
+                text = text.split("://", 1)[1]
+            entries.append(root / (text.lstrip("/") + ".idx"))
+        mirrored[field] = entries
+    return mirrored
+
+
+# Kept as a module-level name for parity with earlier revisions.
+_index_path_from_indexes_root = _mirror_under_root
+
+
+class ShardCatalog:
+    """
+    The static description of an indexed Shar dump: which files hold which
+    field of which shard, where their ``.idx`` files live, how long each
+    shard is — plus lazily-constructed per-shard readers.
+    """
+
+    def __init__(
+        self,
+        *,
+        fields: Optional[Dict[str, Sequence[Pathlike]]] = None,
+        in_dir: Optional[Pathlike] = None,
+        index_path: Optional[Union[Pathlike, Dict[str, Sequence[Pathlike]]]] = None,
+        indexes_root: Optional[Pathlike] = None,
+        create_missing_indexes: bool = True,
+    ) -> None:
+        if index_path is not None and indexes_root is not None:
+            raise ValueError(
+                "ShardCatalog accepts 'index_path' (explicit locations) or "
+                "'indexes_root' (a mirroring root), but not both at once."
+            )
+        if not exactly_one_not_null(fields, in_dir):
+            raise AssertionError(
+                "To read the Shar format, provide either 'in_dir' or 'fields' argument."
+            )
+
+        if in_dir is not None:
+            _, self.streams = _discover_fields(Path(in_dir))
+        else:
+            if "cuts" not in fields:
+                raise AssertionError(
+                    "To initialize the Shar reader, please provide the value "
+                    "for key 'cuts' in 'fields'."
+                )
+            self.streams = fields
+        self.data_fields = set(self.streams) - {"cuts"}
+
+        self.num_shards = len(self.streams["cuts"])
+        for f in self.data_fields:
+            if len(self.streams[f]) != self.num_shards:
+                raise AssertionError(
+                    f"Field '{f}' has {len(self.streams[f])} shard files but the "
+                    f"cuts manifest has {self.num_shards}: {self.streams[f]}"
+                )
+
+        if indexes_root is not None:
+            index_path = _mirror_under_root(self.streams, indexes_root)
+        self.index_streams = self._locate_indexes(index_path, from_dir=in_dir is not None)
+        self._check_and_index(create_missing_indexes)
+
+        from lhotse_tpu.indexing import IndexedJsonlReader
+
+        self._cut_readers = [
+            IndexedJsonlReader(p, index_path=self.index_for("cuts", i))
+            for i, p in enumerate(self.streams["cuts"])
+        ]
+        lengths = [len(r) for r in self._cut_readers]
+        self._first_flat: List[int] = []
+        acc = 0
+        for n in lengths:
+            self._first_flat.append(acc)
+            acc += n
+        self.total = acc
+        self._field_readers: Dict[int, dict] = {}
+
+    # -- index bookkeeping -----------------------------------------------------
+
+    def _locate_indexes(self, index_path, *, from_dir: bool):
+        if index_path is None:
+            return None
+        if from_dir:
+            # A single directory: every shard's index is <dir>/<file>.idx.
+            return {
+                f: [_suffixed_index_path(index_path, p) for p in paths]
+                for f, paths in self.streams.items()
+            }
+        if not isinstance(index_path, dict):
+            raise TypeError(
+                "With 'fields', 'index_path' must map field names to lists of "
+                f".idx paths; got {type(index_path)}."
+            )
+        for f, idx_paths in index_path.items():
+            if f not in self.streams:
+                raise ValueError(
+                    f"index_path names unknown field '{f}'; known fields: "
+                    f"{set(self.streams)}"
+                )
+            if len(idx_paths) != len(self.streams[f]):
+                raise ValueError(
+                    f"index_path['{f}'] lists {len(idx_paths)} indexes for "
+                    f"{len(self.streams[f])} data shards."
+                )
+        return {f: list(v) for f, v in index_path.items()}
+
+    def index_for(self, field: str, shard: int) -> Optional[Pathlike]:
+        if self.index_streams is None or field not in self.index_streams:
+            return None
+        return self.index_streams[field][shard]
+
+    def _check_and_index(self, create_missing: bool) -> None:
+        for field, shard_paths in self.streams.items():
+            want_kind = "jsonl" if field == "cuts" else None
+            for shard, path in enumerate(shard_paths):
+                where = f"Shar field '{field}' shard {shard}"
+                kind = validate_indexed_access(path, kind=want_kind, context=where)
+                idx = self.index_for(field, shard)
+                if index_exists(path, index_path=idx):
+                    continue
+                if not create_missing:
+                    raise FileNotFoundError(
+                        f"{where} has no index file "
+                        f"(looked at {idx if idx is not None else str(path) + '.idx'})."
+                    )
+                (create_jsonl_index if kind == "jsonl" else create_tar_index)(
+                    path, output_path=idx
+                )
+
+    # -- addressing -------------------------------------------------------------
+
+    def split_flat(self, flat: int) -> Tuple[int, int]:
+        """Flat cut index -> (shard, position inside shard)."""
+        if flat < 0:
+            flat += self.total
+        if not 0 <= flat < self.total:
+            raise IndexError(
+                f"Cut index {flat} outside the catalog's {self.total} cuts."
+            )
+        shard = bisect.bisect_right(self._first_flat, flat) - 1
+        return shard, flat - self._first_flat[shard]
+
+    def cuts_path(self, shard: int) -> Pathlike:
+        return self.streams["cuts"][shard]
+
+    def read_cut_record(self, shard: int, pos: int) -> dict:
+        return self._cut_readers[shard][pos]
+
+    def field_readers(self, shard: int) -> dict:
+        """Per-field indexed readers for one shard, built on first use."""
+        got = self._field_readers.get(shard)
+        if got is not None:
+            return got
+        from lhotse_tpu.indexing import IndexedJsonlReader, IndexedTarReader
+
+        made = {}
+        for f in self.data_fields:
+            path = self.streams[f][shard]
+            cls = IndexedTarReader if extension_contains(".tar", path) else IndexedJsonlReader
+            made[f] = cls(path, index_path=self.index_for(f, shard))
+        self._field_readers[shard] = made
+        return made
+
+    # -- pickling: readers hold open files; rebuild them on the other side -------
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_cut_readers"] = None
+        d["_field_readers"] = {}
+        return d
+
+    def __setstate__(self, d):
+        self.__dict__ = d
+        from lhotse_tpu.indexing import IndexedJsonlReader
+
+        self._cut_readers = [
+            IndexedJsonlReader(p, index_path=self.index_for("cuts", i))
+            for i, p in enumerate(self.streams["cuts"])
+        ]
+
+
 class LazyIndexedSharIterator(IteratorNode):
     """
-    Random-access Shar reader: unlike the streaming
-    :class:`~lhotse_tpu.shar.readers.lazy.LazySharIterator`, it uses binary
-    ``.idx`` indexes for O(1) ``__getitem__`` by global cut index, enabling
-    true global shuffling (Feistel permutation), topology-aware worker
-    partitioning, and exact O(1) checkpoint restore.
+    O(1)-addressable Shar reader.
 
-    Requires uncompressed, seekable JSONL/tar shards (local or remote with
-    ranged reads); missing indexes are auto-created.
+    Compared to the streaming reader it requires uncompressed, seekable
+    jsonl/tar shards (auto-creating any missing ``.idx``), and in exchange
+    offers ``reader[i]`` across shard boundaries, a seeded global Feistel
+    shuffle, per-(rank, worker) partitioned iteration, and exact O(1) resume.
 
-    :param fields/in_dir: same as :class:`LazySharIterator`.
-    :param shuffle: iterate via a seeded Feistel permutation.
-    :param split_for_dataloading: each node+worker iterates a unique slice
-        (handled by PartitionedIndexedIterator; topology-checked on resume).
-    :param index_path: .idx location override — a directory (with in_dir) or
-        a dict of per-field lists (with fields).
-    :param indexes_root: alternatively, a root mirroring the data layout.
-    :param lazy: emit shar_ptr lazy pointers instead of reading tar payloads
-        at iteration time (zero tar reads until load_audio/load_features).
+    :param fields / in_dir: the Shar dump, exactly as for LazySharIterator.
+    :param shuffle: iterate a seeded permutation instead of storage order.
+    :param seed: permutation seed (int, or "randomized"/"trng" specs).
+    :param split_for_dataloading: give each (node, worker) a disjoint slice;
+        topology is recorded in checkpoints and validated on resume.
+    :param index_path: where the ``.idx`` files live — a directory (with
+        ``in_dir``) or a per-field dict of path lists (with ``fields``).
+    :param indexes_root: alternative to ``index_path``: a root mirroring the
+        data paths.
+    :param lazy: attach ``shar_ptr`` byte-range pointers instead of reading
+        tar payloads during iteration (payloads load on first use).
     """
 
     is_checkpointable = True
@@ -67,171 +278,39 @@ class LazyIndexedSharIterator(IteratorNode):
         indexes_root: Optional[Pathlike] = None,
         lazy: bool = False,
     ) -> None:
-        if index_path is not None and indexes_root is not None:
-            raise ValueError(
-                "Pass either 'index_path' (explicit per-shard paths or directory) "
-                "or 'indexes_root' (a root that mirrors data layout), not both."
-            )
         self.in_dir = Path(in_dir) if in_dir is not None else None
-        self.fields, self.streams = self._resolve_streams(fields=fields, in_dir=in_dir)
-
-        self.num_shards = len(self.streams["cuts"])
-        for field in self.fields:
-            assert len(self.streams[field]) == self.num_shards, (
-                f"Expected {self.num_shards} shards available for field "
-                f"'{field}' but found {len(self.streams[field])}: "
-                f"{self.streams[field]}"
-            )
-
-        self.shards = [
-            {field: self.streams[field][shard_idx] for field in self.streams}
-            for shard_idx in range(self.num_shards)
-        ]
-
-        if indexes_root is not None:
-            index_path = _index_path_from_indexes_root(self.streams, indexes_root)
-        self._raw_index_path = index_path  # kept for pickling
-        self._index_streams = self._resolve_index_streams(
-            streams=self.streams, index_path=index_path, in_dir=in_dir
+        self.catalog = ShardCatalog(
+            fields=fields,
+            in_dir=in_dir,
+            index_path=index_path,
+            indexes_root=indexes_root,
         )
-        self._validate_indexed_streams(
-            streams=self.streams,
-            index_streams=self._index_streams,
-            auto_create_index=True,
-        )
-
         self.shuffle = shuffle
         self.seed = seed
-        # Partitioning by (rank, world_size, worker) is delegated to
-        # PartitionedIndexedIterator, which tracks topology in its
-        # state_dict (per-cut stride splitting would silently diverge on
-        # resume under a different world_size/num_workers).
         self.split_for_dataloading = split_for_dataloading
         self._lazy = lazy
         self.epoch = 0
+        # Partition/permutation order and its checkpoint state live in the
+        # PartitionedIndexedIterator (it refuses resume under a different
+        # world_size/num_workers, where stride-split would silently diverge).
         self._iter_state = PartitionedIndexedIterator(
-            shuffle=self.shuffle,
-            seed=resolve_seed(self.seed) if isinstance(self.seed, int) else 0,
+            shuffle=shuffle,
+            seed=resolve_seed(seed) if isinstance(seed, int) else 0,
         )
 
-        from lhotse_tpu.indexing import IndexedJsonlReader
+    # -- compat accessors used elsewhere in the package -------------------------
 
-        cuts_idx_paths = self._index_streams.get("cuts") if self._index_streams else None
-        self._cuts_readers: List[IndexedJsonlReader] = [
-            IndexedJsonlReader(
-                p, index_path=cuts_idx_paths[i] if cuts_idx_paths else None
-            )
-            for i, p in enumerate(self.streams["cuts"])
-        ]
-        self._shard_lens = [len(r) for r in self._cuts_readers]
+    @property
+    def fields(self) -> set:
+        return self.catalog.data_fields
 
-        # Cumulative lengths for global -> (shard, local) mapping.
-        self._cum_lens: List[int] = []
-        total = 0
-        for sl in self._shard_lens:
-            self._cum_lens.append(total)
-            total += sl
-        self._total_len = total
+    @property
+    def streams(self) -> Dict[str, Sequence[Pathlike]]:
+        return self.catalog.streams
 
-        self._indexed_readers: Optional[Dict[int, dict]] = None
-
-    @staticmethod
-    def _join_index_dir(index_dir: Pathlike, filename: str) -> Pathlike:
-        if isinstance(index_dir, Path):
-            return index_dir / filename
-        index_dir = str(index_dir)
-        if is_valid_url(index_dir):
-            return f"{index_dir.rstrip('/')}/{filename}"
-        return Path(index_dir) / filename
-
-    @classmethod
-    def _resolve_streams(
-        cls,
-        *,
-        fields: Optional[Dict[str, Sequence[Pathlike]]],
-        in_dir: Optional[Pathlike],
-    ) -> Tuple[set, Dict[str, Sequence[Pathlike]]]:
-        assert exactly_one_not_null(fields, in_dir), (
-            "To read the Shar format, provide either 'in_dir' or 'fields' argument."
-        )
-        if in_dir is not None:
-            _, streams = _discover_fields(Path(in_dir))
-            field_names = set(streams.keys())
-            field_names.remove("cuts")
-            return field_names, streams
-        assert "cuts" in fields, (
-            "To initialize the Shar reader, please provide the value for key "
-            "'cuts' in 'fields'."
-        )
-        field_names = set(fields.keys())
-        field_names.remove("cuts")
-        return field_names, fields
-
-    @classmethod
-    def _resolve_index_streams(
-        cls,
-        *,
-        streams: Dict[str, Sequence[Pathlike]],
-        index_path: Optional[Union[Pathlike, Dict[str, Sequence[Pathlike]]]],
-        in_dir: Optional[Pathlike],
-    ) -> Optional[Dict[str, List[Optional[Pathlike]]]]:
-        if index_path is None:
-            return None
-        if in_dir is not None:
-            index_streams = {}
-            for field_name, shard_paths in streams.items():
-                index_streams[field_name] = [
-                    cls._join_index_dir(index_path, Path(str(data_p)).name + ".idx")
-                    for data_p in shard_paths
-                ]
-            return index_streams
-        if not isinstance(index_path, dict):
-            raise TypeError(
-                "When using 'fields' mode, 'index_path' must be a dict "
-                f"mapping field names to lists of .idx paths, got {type(index_path)}."
-            )
-        for key, idx_paths in index_path.items():
-            if key not in streams:
-                raise ValueError(
-                    f"index_path key '{key}' does not match any field. "
-                    f"Expected keys from: {set(streams.keys())}"
-                )
-            if len(idx_paths) != len(streams[key]):
-                raise ValueError(
-                    f"index_path['{key}'] has {len(idx_paths)} entries but "
-                    f"there are {len(streams[key])} data shards."
-                )
-        return {k: list(v) for k, v in index_path.items()}
-
-    @classmethod
-    def _validate_indexed_streams(
-        cls,
-        *,
-        streams: Dict[str, Sequence[Pathlike]],
-        index_streams: Optional[Dict[str, List[Optional[Pathlike]]]],
-        auto_create_index: bool,
-    ) -> None:
-        for field_name, shard_paths in streams.items():
-            expected_kind = "jsonl" if field_name == "cuts" else None
-            for shard_idx, path in enumerate(shard_paths):
-                context = (
-                    f"LazyIndexedSharIterator field '{field_name}' shard {shard_idx}"
-                )
-                kind = validate_indexed_access(path, kind=expected_kind, context=context)
-                idx_path = None
-                if index_streams is not None and field_name in index_streams:
-                    idx_path = index_streams[field_name][shard_idx]
-                if index_exists(path, index_path=idx_path):
-                    continue
-                if not auto_create_index:
-                    raise FileNotFoundError(
-                        f"{context} is missing an index file. Expected it at "
-                        f"{idx_path if idx_path is not None else str(path) + '.idx'}."
-                    )
-                if kind == "jsonl":
-                    create_jsonl_index(path, output_path=idx_path)
-                else:
-                    create_tar_index(path, output_path=idx_path)
+    @property
+    def num_shards(self) -> int:
+        return self.catalog.num_shards
 
     @classmethod
     def supports_configuration(
@@ -242,20 +321,14 @@ class LazyIndexedSharIterator(IteratorNode):
         index_path: Optional[Union[Pathlike, Dict[str, Sequence[Pathlike]]]] = None,
         indexes_root: Optional[Pathlike] = None,
     ) -> bool:
-        """True when every shard is seekable and already indexed."""
-        if index_path is not None and indexes_root is not None:
-            return False
+        """True when every shard is seekable and already has its index."""
         try:
-            _, streams = cls._resolve_streams(fields=fields, in_dir=in_dir)
-            if indexes_root is not None:
-                index_path = _index_path_from_indexes_root(streams, indexes_root)
-            index_streams = cls._resolve_index_streams(
-                streams=streams, index_path=index_path, in_dir=in_dir
-            )
-            cls._validate_indexed_streams(
-                streams=streams,
-                index_streams=index_streams,
-                auto_create_index=False,
+            ShardCatalog(
+                fields=fields,
+                in_dir=in_dir,
+                index_path=index_path,
+                indexes_root=indexes_root,
+                create_missing_indexes=False,
             )
             return True
         except (AssertionError, TypeError, ValueError, FileNotFoundError, RuntimeError):
@@ -270,118 +343,75 @@ class LazyIndexedSharIterator(IteratorNode):
         return True
 
     def __len__(self) -> int:
-        return self._total_len
+        return self.catalog.total
 
-    def _resolve_index(self, idx: int) -> Tuple[int, int]:
-        """Global index → (shard_idx, position_within_shard)."""
-        if idx < 0:
-            idx += self._total_len
-        if idx < 0 or idx >= self._total_len:
-            raise IndexError(
-                f"index {idx} out of range for LazyIndexedSharIterator "
-                f"with {self._total_len} cuts"
-            )
-        shard_idx = bisect.bisect_right(self._cum_lens, idx) - 1
-        return shard_idx, idx - self._cum_lens[shard_idx]
+    # -- record assembly ----------------------------------------------------------
 
-    def _ensure_indexed_readers(self, shard_idx: int) -> dict:
-        from lhotse_tpu.indexing import IndexedJsonlReader, IndexedTarReader
-
-        if self._indexed_readers is None:
-            self._indexed_readers = {}
-        if shard_idx in self._indexed_readers:
-            return self._indexed_readers[shard_idx]
-
-        shard = self.shards[shard_idx]
-        readers = {}
-        for field in self.fields:
-            path = shard[field]
-            ip = (
-                self._index_streams[field][shard_idx]
-                if self._index_streams and field in self._index_streams
-                else None
-            )
-            if extension_contains(".tar", path):
-                readers[field] = IndexedTarReader(path, index_path=ip)
-            else:
-                readers[field] = IndexedJsonlReader(path, index_path=ip)
-
-        self._indexed_readers[shard_idx] = readers
-        return readers
-
-    def __getitem__(self, idx: Any) -> Cut:
-        """O(1) random access by global index (or (index, epoch) token)."""
-        idx = normalize_graph_token(idx)
-        item_epoch = self.epoch
-        if isinstance(idx, tuple):
-            if len(idx) != 2:
+    def __getitem__(self, token: Any) -> Cut:
+        """Fetch one fully-assembled cut by flat index or (index, epoch) token."""
+        token = normalize_graph_token(token)
+        epoch_tag = self.epoch
+        if isinstance(token, tuple):
+            if len(token) != 2:
                 raise TypeError(
-                    "LazyIndexedSharIterator expects graph restore tokens "
-                    "shaped like (global_index, shar_epoch)."
+                    f"Expected an int or (flat_index, shar_epoch) token, got {token!r}"
                 )
-            idx, item_epoch = idx
-
-        shard_idx, pos = self._resolve_index(idx)
-
-        cut = deserialize_item(self._cuts_readers[shard_idx][pos])
-
-        if self.fields:
-            from lhotse_tpu.indexing import IndexedTarReader
-
-            readers = self._ensure_indexed_readers(shard_idx)
-            for field in self.fields:
-                reader = readers[field]
-                if isinstance(reader, IndexedTarReader):
-                    if self._lazy:
-                        # Emit a shar_ptr from the .idx payload range — zero
-                        # tar payload reads at iteration time.
-                        offset, end_offset = reader.member_byte_range(pos)
-                        if end_offset <= offset:
-                            continue  # placeholder member (.nodata)
-                        from lhotse_tpu.shar.utils import fill_shar_placeholder_lazy
-
-                        fill_shar_placeholder_lazy(
-                            cut,
-                            field=field,
-                            tar_path=str(reader.path),
-                            offset=offset,
-                            end_offset=end_offset,
-                        )
-                    else:
-                        maybe_manifest, data_path = reader[pos]
-                        if maybe_manifest is not None:
-                            assert str(data_path.parent / data_path.stem) == cut.id, (
-                                f"Mismatched IDs: cut ID is '{cut.id}' but found "
-                                f"data with name '{data_path}' for field {field}"
-                            )
-                            setattr(cut, field, maybe_manifest)
-                else:
-                    item = reader[pos]
-                    if field in item:
-                        setattr(cut, field, item[field])
-
-        cut.shard_origin = self.shards[shard_idx]["cuts"]
-        cut.shar_epoch = item_epoch
-        global_idx = idx if idx >= 0 else idx + self._total_len
-        attach_graph_origin(cut, (global_idx, item_epoch))
+            token, epoch_tag = token
+        shard, pos = self.catalog.split_flat(token)
+        cut = deserialize_item(self.catalog.read_cut_record(shard, pos))
+        for field, reader in self.catalog.field_readers(shard).items():
+            self._attach_field(cut, field, reader, pos)
+        cut.shard_origin = self.catalog.cuts_path(shard)
+        cut.shar_epoch = epoch_tag
+        flat = token if token >= 0 else token + self.catalog.total
+        attach_graph_origin(cut, (flat, epoch_tag))
         return cut
 
+    def _attach_field(self, cut: Cut, field: str, reader, pos: int) -> None:
+        from lhotse_tpu.indexing import IndexedTarReader
+
+        if not isinstance(reader, IndexedTarReader):
+            record = reader[pos]
+            if field in record:
+                setattr(cut, field, record[field])
+            return
+        if self._lazy:
+            # Don't touch tar payload bytes now; leave a shar_ptr that
+            # resolves via pread on first load_audio()/load_features().
+            lo, hi = reader.member_byte_range(pos)
+            if hi <= lo:
+                return  # zero-length placeholder member
+            from lhotse_tpu.shar.utils import fill_shar_placeholder_lazy
+
+            fill_shar_placeholder_lazy(
+                cut, field=field, tar_path=str(reader.path), offset=lo, end_offset=hi
+            )
+            return
+        manifest, member_path = reader[pos]
+        if manifest is None:
+            return
+        member_id = str(member_path.parent / member_path.stem)
+        if member_id != cut.id:
+            raise AssertionError(
+                f"Shar shard misalignment: cut '{cut.id}' was paired with tar "
+                f"member '{member_path}' of field '{field}'."
+            )
+        setattr(cut, field, manifest)
+
+    # -- iteration / state ----------------------------------------------------------
+
     def __iter__(self):
-        for global_idx in self._iter_state.iterate(self._total_len):
-            yield self[global_idx]
+        for flat in self._iter_state.iterate(self.catalog.total):
+            yield self[flat]
         self.epoch += 1
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
     def state_dict(self) -> dict:
-        return {
-            **self._iter_state.state_dict(),
-            "epoch": self.epoch,
-            "shuffle": self.shuffle,
-            "seed": self.seed,
-            "lazy": self._lazy,
-        }
+        sd = dict(self._iter_state.state_dict())
+        sd.update(epoch=self.epoch, shuffle=self.shuffle, seed=self.seed, lazy=self._lazy)
+        return sd
 
     def load_state_dict(self, sd: dict) -> None:
         self._iter_state.load_state_dict(sd)
@@ -389,12 +419,8 @@ class LazyIndexedSharIterator(IteratorNode):
         if "lazy" in sd:
             self._lazy = bool(sd["lazy"])
 
-    # Pickling: drop non-picklable open-file caches.
-
     def __getstate__(self):
         d = self.__dict__.copy()
-        d.pop("_indexed_readers", None)
-        d.pop("_cuts_readers", None)
         if is_dill_enabled():
             import dill
 
@@ -407,35 +433,6 @@ class LazyIndexedSharIterator(IteratorNode):
 
             state = dill.loads(state)
         self.__dict__ = state
-        self._indexed_readers = None
-        from lhotse_tpu.indexing import IndexedJsonlReader
-
-        cuts_idx_paths = self._index_streams.get("cuts") if self._index_streams else None
-        self._cuts_readers = [
-            IndexedJsonlReader(
-                p, index_path=cuts_idx_paths[i] if cuts_idx_paths else None
-            )
-            for i, p in enumerate(self.streams["cuts"])
-        ]
 
     def __add__(self, other) -> "LazyIteratorChain":
         return LazyIteratorChain(self, other)
-
-
-def _index_path_from_indexes_root(
-    streams: Dict[str, Sequence[Pathlike]], indexes_root: Pathlike
-) -> Dict[str, List[Pathlike]]:
-    """Mirror each shard's data path under ``indexes_root`` to build the
-    per-field per-shard index_path dict."""
-    root = Path(indexes_root)
-    out: Dict[str, List[Pathlike]] = {}
-    for field, shard_paths in streams.items():
-        paths = []
-        for p in shard_paths:
-            s = str(p)
-            # Strip URL scheme so the path can nest under a local root.
-            if "://" in s:
-                s = s.split("://", 1)[1]
-            paths.append(root / (s.lstrip("/") + ".idx"))
-        out[field] = paths
-    return out
