@@ -1,13 +1,16 @@
 """
-LibriSpeech / Mini LibriSpeech recipe — the pattern recipe for this
-framework (download → prepare → RecordingSet + SupervisionSet manifests).
+LibriSpeech and Mini LibriSpeech corpus preparation.
 
-Reference behavior: `/root/reference/lhotse/recipes/librispeech.py`
-(download_librispeech :34-109, prepare_librispeech :112-236,
-parse_utterance :239-269, parse_alignments :272-284).
+The corpus layout is ``<split>/<speaker>/<chapter>/``, where each chapter
+directory holds FLAC utterances plus a ``<spk>-<chap>.trans.txt`` file with
+one ``<utterance-id> <TRANSCRIPT>`` line per utterance.  Optionally, word
+alignments from the LibriSpeech-Alignments release are attached.
+
+Functional parity target: ``lhotse/recipes/librispeech.py`` (same splits,
+manifest naming scheme ``librispeech_{recordings,supervisions}_<part>``, and
+prepare/download entry points).
 """
 import logging
-import re
 import shutil
 import tarfile
 import zipfile
@@ -26,20 +29,32 @@ from lhotse_tpu.utils import (
     safe_extract,
 )
 
-LIBRISPEECH = (
-    "dev-clean",
-    "dev-other",
-    "test-clean",
-    "test-other",
-    "train-clean-100",
-    "train-clean-360",
-    "train-other-500",
-)
-MINI_LIBRISPEECH = ("dev-clean-2", "train-clean-5")
+# Split name -> OpenSLR resource number it ships in.
+_FULL_SPLITS = {
+    "dev-clean": 12,
+    "dev-other": 12,
+    "test-clean": 12,
+    "test-other": 12,
+    "train-clean-100": 12,
+    "train-clean-360": 12,
+    "train-other-500": 12,
+}
+_MINI_SPLITS = {"dev-clean-2": 31, "train-clean-5": 31}
+
+LIBRISPEECH = tuple(_FULL_SPLITS)
+MINI_LIBRISPEECH = tuple(_MINI_SPLITS)
 
 LIBRISPEECH_ALIGNMENTS_URL = (
     "https://drive.google.com/uc?id=1WYfgr31T-PPwMcxuAq09XZfHQO5Mw8fE"
 )
+
+
+def _requested_splits(spec: Union[str, Sequence[str]]) -> Sequence[str]:
+    if spec == "librispeech":
+        return LIBRISPEECH
+    if spec == "mini_librispeech":
+        return MINI_LIBRISPEECH
+    return [spec] if isinstance(spec, str) else spec
 
 
 def download_librispeech(
@@ -51,64 +66,59 @@ def download_librispeech(
     alignments_url: str = LIBRISPEECH_ALIGNMENTS_URL,
 ) -> Path:
     """
-    Download and untar LibriSpeech or Mini LibriSpeech.
+    Fetch + extract (Mini) LibriSpeech tarballs from OpenSLR.
 
-    :param dataset_parts: "librispeech", "mini_librispeech", or a list of
-        split names (e.g. "dev-clean").
-    :param alignments: also fetch the word alignments (requires gdown).
-    :return: the extracted corpus directory.
+    Each extracted split gets a ``.completed`` marker so re-runs skip it.
+
+    :param dataset_parts: "librispeech", "mini_librispeech", or split name(s).
+    :param alignments: additionally fetch the word-alignments zip (gdown).
+    :return: the ``LibriSpeech`` corpus directory under ``target_dir``.
     """
     target_dir = Path(target_dir)
-    corpus_dir = target_dir / "LibriSpeech"
     target_dir.mkdir(parents=True, exist_ok=True)
+    corpus_dir = target_dir / "LibriSpeech"
 
-    if dataset_parts == "librispeech":
-        dataset_parts = LIBRISPEECH
-    elif dataset_parts == "mini_librispeech":
-        dataset_parts = MINI_LIBRISPEECH
-    elif isinstance(dataset_parts, str):
-        dataset_parts = [dataset_parts]
-
-    for part in dataset_parts:
-        logging.info(f"Processing split: {part}")
-        if part in LIBRISPEECH:
-            url = f"{base_url}/12"
-        elif part in MINI_LIBRISPEECH:
-            url = f"{base_url}/31"
-        else:
-            logging.warning(f"Invalid dataset part name: {part}")
+    for split in _requested_splits(dataset_parts):
+        slr_no = _FULL_SPLITS.get(split) or _MINI_SPLITS.get(split)
+        if slr_no is None:
+            logging.warning(f"Invalid dataset part name: {split}")
             continue
-        part_dir = corpus_dir / part
-        completed_detector = part_dir / ".completed"
-        if completed_detector.is_file():
-            logging.info(f"Skipping {part} because {completed_detector} exists.")
+        logging.info(f"Processing split: {split}")
+        marker = corpus_dir / split / ".completed"
+        if marker.is_file():
+            logging.info(f"Skipping {split} because {marker} exists.")
             continue
-        tar_name = f"{part}.tar.gz"
-        tar_path = target_dir / tar_name
+        archive = target_dir / f"{split}.tar.gz"
         resumable_download(
-            f"{url}/{tar_name}", filename=tar_path, force_download=force_download
+            f"{base_url}/{slr_no}/{archive.name}",
+            filename=archive,
+            force_download=force_download,
         )
-        shutil.rmtree(part_dir, ignore_errors=True)
-        with tarfile.open(tar_path) as tar:
+        shutil.rmtree(corpus_dir / split, ignore_errors=True)
+        with tarfile.open(archive) as tar:
             safe_extract(tar, path=target_dir)
-        completed_detector.touch()
+        marker.touch()
 
     if alignments:
-        completed_detector = target_dir / ".ali_completed"
-        if completed_detector.is_file() and not force_download:
-            return corpus_dir
-        assert is_module_available("gdown"), (
+        _download_alignments(target_dir, alignments_url, force_download)
+    return corpus_dir
+
+
+def _download_alignments(target_dir: Path, url: str, force: bool) -> None:
+    marker = target_dir / ".ali_completed"
+    if marker.is_file() and not force:
+        return
+    if not is_module_available("gdown"):
+        raise AssertionError(
             'To download LibriSpeech alignments, please install "pip install gdown"'
         )
-        import gdown
+    import gdown
 
-        ali_zip_path = str(target_dir / "LibriSpeech-Alignments.zip")
-        gdown.download(alignments_url, output=ali_zip_path)
-        with zipfile.ZipFile(ali_zip_path) as f:
-            f.extractall(path=target_dir)
-            completed_detector.touch()
-
-    return corpus_dir
+    zip_path = str(target_dir / "LibriSpeech-Alignments.zip")
+    gdown.download(url, output=zip_path)
+    with zipfile.ZipFile(zip_path) as z:
+        z.extractall(path=target_dir)
+    marker.touch()
 
 
 def prepare_librispeech(
@@ -120,105 +130,90 @@ def prepare_librispeech(
     num_jobs: int = 1,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
-    Prepare RecordingSet + SupervisionSet manifests per dataset part; cached
-    manifests in ``output_dir`` are reused.
+    Build per-split RecordingSet/SupervisionSet manifests.
 
-    :param dataset_parts: part names, "mini_librispeech", or "auto" to infer
-        from the corpus directory contents.
-    :param normalize_text: "none" or "lower".
-    :return: {part: {"recordings": ..., "supervisions": ...}}.
+    Cached manifests found in ``output_dir`` are returned as-is instead of
+    re-scanning audio headers.
+
+    :param dataset_parts: explicit names, "mini_librispeech", or "auto"
+        (whatever known splits exist under ``corpus_dir``).
+    :param normalize_text: "none" keeps transcripts verbatim; "lower"
+        lowercases them.
+    :return: ``{split: {"recordings": ..., "supervisions": ...}}``.
     """
     corpus_dir = Path(corpus_dir)
-    alignments_dir = Path(alignments_dir) if alignments_dir is not None else corpus_dir
-    assert corpus_dir.is_dir(), f"No such directory: {corpus_dir}"
+    if not corpus_dir.is_dir():
+        raise AssertionError(f"No such directory: {corpus_dir}")
+    ali_root = Path(alignments_dir) if alignments_dir is not None else corpus_dir
 
-    if dataset_parts == "mini_librispeech":
-        dataset_parts = set(MINI_LIBRISPEECH).intersection(
-            path.name for path in corpus_dir.glob("*")
-        )
-    elif dataset_parts == "auto":
-        dataset_parts = (
-            set(LIBRISPEECH)
-            .union(MINI_LIBRISPEECH)
-            .intersection(path.name for path in corpus_dir.glob("*"))
-        )
-        if not dataset_parts:
+    present = {p.name for p in corpus_dir.glob("*")}
+    if dataset_parts == "auto":
+        splits = (set(_FULL_SPLITS) | set(_MINI_SPLITS)) & present
+        if not splits:
             raise ValueError(
                 f"Could not find any of librispeech or mini_librispeech splits "
                 f"in: {corpus_dir}"
             )
-    elif isinstance(dataset_parts, str):
-        dataset_parts = [dataset_parts]
+    elif dataset_parts == "mini_librispeech":
+        splits = set(_MINI_SPLITS) & present
+    else:
+        splits = _requested_splits(dataset_parts)
 
-    manifests = {}
-
+    manifests: Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]] = {}
     if output_dir is not None:
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         manifests = read_manifests_if_cached(
-            dataset_parts=dataset_parts, output_dir=output_dir, prefix="librispeech"
+            dataset_parts=splits, output_dir=output_dir, prefix="librispeech"
         )
 
-    with ThreadPoolExecutor(num_jobs) as ex:
-        for part in dataset_parts:
-            logging.info(f"Processing LibriSpeech subset: {part}")
-            if manifests_exist(part=part, output_dir=output_dir, prefix="librispeech"):
-                logging.info(f"LibriSpeech subset: {part} already prepared - skipping.")
+    with ThreadPoolExecutor(num_jobs) as pool:
+        for split in splits:
+            logging.info(f"Processing LibriSpeech subset: {split}")
+            if manifests_exist(part=split, output_dir=output_dir, prefix="librispeech"):
+                logging.info(f"LibriSpeech subset: {split} already prepared - skipping.")
                 continue
-            recordings = []
-            supervisions = []
-            part_path = corpus_dir / part
-            futures = []
-            # Every *.trans.txt holds "<utt-id> <TRANSCRIPT>" lines; one
-            # Recording + SupervisionSegment is created per line.
-            for trans_path in sorted(part_path.rglob("*.trans.txt")):
-                alignments = {}
-                ali_path = (
-                    alignments_dir
-                    / trans_path.parent.relative_to(corpus_dir)
-                    / (trans_path.stem.split(".")[0] + ".alignment.txt")
-                )
-                if ali_path.exists():
-                    alignments = parse_alignments(ali_path)
-                with open(trans_path) as f:
-                    for line in f:
-                        futures.append(
-                            ex.submit(parse_utterance, part_path, line, alignments)
-                        )
-
-            for future in futures:
-                result = future.result()
-                if result is None:
-                    continue
-                recording, segment = result
-                recordings.append(recording)
-                supervisions.append(segment)
-
-            recording_set = RecordingSet.from_recordings(recordings)
-            supervision_set = SupervisionSet.from_segments(supervisions)
-
+            recs, sups = _scan_split(corpus_dir, split, ali_root, pool)
             if normalize_text == "lower":
-                supervision_set = SupervisionSet.from_segments(
-                    [s.transform_text(str.lower) for s in supervision_set]
+                sups = SupervisionSet.from_segments(
+                    s.transform_text(str.lower) for s in sups
                 )
-
-            recording_set, supervision_set = fix_manifests(recording_set, supervision_set)
-            validate_recordings_and_supervisions(recording_set, supervision_set)
-
+            recs, sups = fix_manifests(recs, sups)
+            validate_recordings_and_supervisions(recs, sups)
             if output_dir is not None:
-                supervision_set.to_file(
-                    output_dir / f"librispeech_supervisions_{part}.jsonl.gz"
-                )
-                recording_set.to_file(
-                    output_dir / f"librispeech_recordings_{part}.jsonl.gz"
-                )
-
-            manifests[part] = {
-                "recordings": recording_set,
-                "supervisions": supervision_set,
-            }
+                sups.to_file(output_dir / f"librispeech_supervisions_{split}.jsonl.gz")
+                recs.to_file(output_dir / f"librispeech_recordings_{split}.jsonl.gz")
+            manifests[split] = {"recordings": recs, "supervisions": sups}
 
     return manifests
+
+
+def _scan_split(
+    corpus_dir: Path, split: str, ali_root: Path, pool: ThreadPoolExecutor
+) -> Tuple[RecordingSet, SupervisionSet]:
+    """Parse every utterance of one split (header reads run on the pool)."""
+    split_dir = corpus_dir / split
+    jobs = []
+    for trans in sorted(split_dir.rglob("*.trans.txt")):
+        chapter_ali = (
+            ali_root
+            / trans.parent.relative_to(corpus_dir)
+            / (trans.stem.split(".")[0] + ".alignment.txt")
+        )
+        word_ali = parse_alignments(chapter_ali) if chapter_ali.exists() else {}
+        for line in trans.read_text().splitlines():
+            if line.strip():
+                jobs.append(pool.submit(parse_utterance, split_dir, line, word_ali))
+    recordings, segments = [], []
+    for job in jobs:
+        parsed = job.result()
+        if parsed is not None:
+            recordings.append(parsed[0])
+            segments.append(parsed[1])
+    return (
+        RecordingSet.from_recordings(recordings),
+        SupervisionSet.from_segments(segments),
+    )
 
 
 def parse_utterance(
@@ -226,40 +221,48 @@ def parse_utterance(
     line: str,
     alignments: Dict[str, List[AlignmentItem]],
 ) -> Optional[Tuple[Recording, SupervisionSegment]]:
-    recording_id, text = line.strip().split(maxsplit=1)
-    audio_path = (
-        dataset_split_path
-        / Path(recording_id.replace("-", "/")).parent
-        / f"{recording_id}.flac"
-    )
-    if not audio_path.is_file():
-        logging.warning(f"No such file: {audio_path}")
+    """One "<utt-id> <TRANSCRIPT>" line -> (Recording, SupervisionSegment)."""
+    utt_id, transcript = line.strip().split(maxsplit=1)
+    speaker, chapter, _ = utt_id.split("-", maxsplit=2)
+    flac = dataset_split_path / speaker / chapter / f"{utt_id}.flac"
+    if not flac.is_file():
+        logging.warning(f"No such file: {flac}")
         return None
-    recording = Recording.from_file(audio_path, recording_id=recording_id)
+    recording = Recording.from_file(flac, recording_id=utt_id)
+    word_ali = alignments.get(utt_id)
     segment = SupervisionSegment(
-        id=recording_id,
-        recording_id=recording_id,
+        id=utt_id,
+        recording_id=utt_id,
         start=0.0,
         duration=recording.duration,
         channel=0,
         language="English",
-        speaker=re.sub(r"-.*", r"", recording.id),
-        text=text.strip(),
-        alignment={"word": alignments[recording_id]}
-        if recording_id in alignments
-        else None,
+        speaker=speaker,
+        text=transcript.strip(),
+        alignment={"word": word_ali} if word_ali is not None else None,
     )
     return recording, segment
 
 
 def parse_alignments(ali_path: Pathlike) -> Dict[str, List[AlignmentItem]]:
-    alignments = {}
-    for line in Path(ali_path).read_text().splitlines():
-        utt_id, words, timestamps = line.split()
-        words = words.replace('"', "").split(",")
-        timestamps = [0.0] + list(map(float, timestamps.replace('"', "").split(",")))
-        alignments[utt_id] = [
-            AlignmentItem(symbol=word, start=start, duration=round(end - start, ndigits=8))
-            for word, start, end in zip(words, timestamps, timestamps[1:])
-        ]
-    return alignments
+    """
+    Read one ``*.alignment.txt``: each line is
+    ``<utt-id> "<w1>,<w2>,..." "<t1>,<t2>,..."`` where t_i is the END time of
+    word i; word i therefore spans [t_{i-1}, t_i) with t_0 = 0.
+    """
+    by_utt: Dict[str, List[AlignmentItem]] = {}
+    for raw in Path(ali_path).read_text().splitlines():
+        if not raw.strip():
+            continue
+        utt_id, words_field, times_field = raw.split()
+        tokens = words_field.strip('"').split(",")
+        ends = [float(t) for t in times_field.strip('"').split(",")]
+        items = []
+        prev = 0.0
+        for tok, end in zip(tokens, ends):
+            items.append(
+                AlignmentItem(symbol=tok, start=prev, duration=round(end - prev, 8))
+            )
+            prev = end
+        by_utt[utt_id] = items
+    return by_utt
