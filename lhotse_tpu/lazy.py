@@ -1,21 +1,23 @@
 """
-The lazy iterator runtime: a checkpointable graph of streaming combinators.
+The streaming-iterator runtime every manifest Set is built on.
 
-Reference behavior: `/root/reference/lhotse/lazy.py` — every node implements
-``IteratorNode`` (lazy.py:62): an iterable with ``is_checkpointable`` /
-``is_indexed`` / ``has_constant_time_access`` flags, ``state_dict()`` /
-``load_state_dict()``, ``__getitem__(token)`` for O(1) restore, and child
-traversal via ``source``/``sources``. Items can carry a **graph-origin
-token** (lazy.py:185-232) identifying the leaf position that produced them,
-enabling O(1) checkpoint of buffered items (shuffle buffers, bucket queues).
+A lazy manifest is a graph of :class:`IteratorNode` objects — jsonl leaves at
+the bottom, combinators (filter/map/shuffle/mux/chain/repeat/slice) stacked
+above.  Three capabilities thread through the whole graph:
 
-Node inventory mirrors the reference: ``Dillable`` (:27), ``AlgorithmMixin``
-(:235), ``LazyTxtIterator`` (:435), ``LazyJsonlIterator`` (:467),
-``LazyManifestIterator`` (:510), ``LazyIndexedManifestIterator`` (:549),
-``LazyIteratorChain`` (:652), ``LazyIteratorMultiplexer`` (:881),
-``LazyInfiniteApproximateMultiplexer`` (:1044), ``LazyShuffler`` (:1149),
-``LazyFilter``/``LazyMapper``/``LazyFlattener``/``LazyRepeater``/``LazySlicer``
-(:1293-1688).
+1. **Checkpointing** — nodes expose ``state_dict``/``load_state_dict``; a
+   graph walk (:mod:`lhotse_tpu.checkpoint`) snapshots and restores an entire
+   pipeline mid-epoch.
+2. **Graph-origin tokens** — indexed leaves stamp every item they emit with a
+   token addressing its exact position; combinators wrap tokens with their
+   own coordinates.  Anything holding buffered items (shuffle buffers, bucket
+   queues) checkpoints tokens instead of items and refetches them in O(1).
+3. **Constant-time access** — ``node[token]`` resolves a token back to the
+   item whenever every underlying leaf is indexed.
+
+Functional parity target: ``lhotse/lazy.py`` (same node inventory and Set
+combinator surface), reorganized around a shared :class:`_Transform` base for
+single-source combinators.
 """
 from __future__ import annotations
 
@@ -39,16 +41,38 @@ from lhotse_tpu.utils import Pathlike, fastcopy, is_module_available
 
 T = TypeVar("T")
 
+_TRUE_STRINGS = frozenset(("1", "True", "true", "yes"))
 
-#################################################
-# Dill-backed pickling mixin
-#################################################
+
+# ===========================================================================
+# dill-aware pickling
+# ===========================================================================
+def is_dill_enabled() -> bool:
+    return (
+        is_module_available("dill")
+        and os.environ.get("LHOTSE_DILL_ENABLED", "0") in _TRUE_STRINGS
+    )
+
+
+def set_dill_enabled(value: bool) -> None:
+    if not is_module_available("dill"):
+        raise AssertionError("Cannot enable dill because dill is not installed.")
+    os.environ["LHOTSE_DILL_ENABLED"] = "1" if value else "0"
+
+
+@contextmanager
+def dill_enabled(value: bool):
+    saved = is_dill_enabled()
+    set_dill_enabled(value)
+    yield
+    set_dill_enabled(saved)
 
 
 class Dillable:
     """
-    Mix-in using ``dill`` instead of ``pickle`` when enabled via the
-    ``LHOTSE_DILL_ENABLED`` env var — lets lambdas cross process boundaries.
+    Serializes ``__dict__`` through dill instead of pickle when the
+    ``LHOTSE_DILL_ENABLED`` env var is on — the way to ship lambdas/closures
+    into dataloading worker subprocesses.
     """
 
     def __getstate__(self):
@@ -62,136 +86,51 @@ class Dillable:
         if is_dill_enabled():
             import dill
 
-            self.__dict__ = dill.loads(state)
-        else:
-            self.__dict__ = state
+            state = dill.loads(state)
+        self.__dict__ = state
 
 
-def is_dill_enabled(_ENABLED_VALUES=frozenset(("1", "True", "true", "yes"))) -> bool:
-    return (
-        is_module_available("dill")
-        and os.environ.get("LHOTSE_DILL_ENABLED", "0") in _ENABLED_VALUES
-    )
-
-
-def set_dill_enabled(value: bool) -> None:
-    assert is_module_available("dill"), (
-        "Cannot enable dill because dill is not installed."
-    )
-    os.environ["LHOTSE_DILL_ENABLED"] = "1" if value else "0"
-
-
-@contextmanager
-def dill_enabled(value: bool):
-    previous = is_dill_enabled()
-    set_dill_enabled(value)
-    yield
-    set_dill_enabled(previous)
-
-
-#################################################
-# Iterator node protocol + graph-origin tokens
-#################################################
-
-
-class IteratorNode(Dillable, Iterable):
-    """
-    Base protocol for nodes in the lazy iterator graph. Child-reference
-    conventions: ``self.source`` (single child) / ``self.sources`` (list).
-    Checkpointable nodes set ``is_checkpointable = True`` and implement
-    ``state_dict``/``load_state_dict``. Instances are not thread-safe.
-    """
-
-    is_checkpointable = False
-    is_indexed = False
-    has_constant_time_access = False
-
-    def state_dict(self) -> dict:
-        raise NotImplementedError(
-            f"{type(self).__name__} is not checkpointable and does not implement state_dict()."
+def _warn_if_lambda(fn: Callable, owner: str) -> None:
+    if (
+        isinstance(fn, types.LambdaType)
+        and fn.__name__ == "<lambda>"
+        and not is_dill_enabled()
+    ):
+        warnings.warn(
+            f"A lambda was passed to {owner}: it may prevent forking this "
+            f"process. Pass a regular function for multi-worker dataloading "
+            f"(or enable dill via LHOTSE_DILL_ENABLED=1)."
         )
 
-    def load_state_dict(self, sd: dict) -> None:
-        raise NotImplementedError(
-            f"{type(self).__name__} is not checkpointable and does not implement load_state_dict()."
-        )
 
-    def iter_children(self):
-        if hasattr(self, "source"):
-            yield getattr(self, "source")
-        if hasattr(self, "sources"):
-            yield from getattr(self, "sources")
-
-
-def resolve_iterator_source(obj: Iterable) -> Iterable:
-    """Unwrap manifest Set wrappers (e.g. CutSet) to their underlying iterator."""
-    try:
-        from lhotse_tpu.cut import CutSet
-    except Exception:
-        return obj
-    return obj.data if isinstance(obj, CutSet) else obj
-
-
-def _try_collect_child_state(obj: Any) -> Optional[dict]:
-    if isinstance(obj, IteratorNode):
-        if type(obj).state_dict is IteratorNode.state_dict:
-            if any(True for _ in obj.iter_children()):
-                raise NotImplementedError(
-                    f"{type(obj).__name__} does not support checkpointing."
-                )
-            return None
-        return obj.state_dict()
-    if hasattr(obj, "state_dict") and callable(getattr(obj, "state_dict")):
-        try:
-            return obj.state_dict()
-        except Exception:
-            return None
-    return None
-
-
-def _try_restore_child_state(obj: Any, state: Optional[dict]) -> None:
-    if state is None:
-        return
-    if isinstance(obj, IteratorNode):
-        if type(obj).load_state_dict is IteratorNode.load_state_dict:
-            raise NotImplementedError(
-                f"{type(obj).__name__} does not support checkpoint restoration."
-            )
-        obj.load_state_dict(state)
-        return
-    if hasattr(obj, "load_state_dict") and callable(getattr(obj, "load_state_dict")):
-        obj.load_state_dict(state)
-
-
+# ===========================================================================
+# Graph-origin tokens
+# ===========================================================================
 class GraphOriginDict(dict):
-    """dict subclass that can carry a ``_graph_origin`` attribute (plain dicts
-    can't have attributes, so attach_graph_origin silently no-ops on them)."""
+    """A dict that accepts a ``_graph_origin`` attribute (plain dicts don't)."""
 
     __slots__ = ("_graph_origin",)
 
 
-def _attach_runtime_metadata(item: Any, name: str, value: Any) -> Any:
-    # Cut-like objects redirect unknown attributes into the serialized
-    # `custom` dict via CustomFieldMixin.__setattr__; graph tokens must stay
-    # process-local, so bypass __setattr__ when possible.
-    try:
-        object.__setattr__(item, name, value)
-    except Exception:
-        try:
-            setattr(item, name, value)
-        except Exception:
-            pass
-    return item
-
-
 def normalize_graph_token(token: Any) -> Any:
+    """Lists arriving from JSON checkpoints become the canonical tuples."""
     if isinstance(token, (list, tuple)):
-        return tuple(normalize_graph_token(part) for part in token)
+        return tuple(normalize_graph_token(t) for t in token)
     return token
 
 
 def attach_graph_origin(item: Any, token: Any) -> Any:
-    return _attach_runtime_metadata(item, "_graph_origin", token)
+    # Cut-like objects divert unknown attributes into their serialized
+    # `custom` dict; tokens are process-local runtime metadata, so write the
+    # slot directly and tolerate objects that cannot carry attributes at all.
+    try:
+        object.__setattr__(item, "_graph_origin", token)
+    except Exception:
+        try:
+            setattr(item, "_graph_origin", token)
+        except Exception:
+            pass
+    return item
 
 
 def get_graph_origin(item: Any) -> Any:
@@ -199,128 +138,150 @@ def get_graph_origin(item: Any) -> Any:
 
 
 def maybe_attach_graph_origin(item: Any, token: Any) -> Any:
-    if token is None:
-        return item
-    return attach_graph_origin(item, token)
+    return item if token is None else attach_graph_origin(item, token)
 
 
 def require_graph_origin(item: Any, owner: str, what: str = "items") -> Any:
     token = get_graph_origin(item)
-    if token is None:
-        raise RuntimeError(
-            f"{owner} requires '_graph_origin' on {what} from graph-restorable sources."
-        )
-    return token
+    if token is not None:
+        return token
+    raise RuntimeError(
+        f"{owner} needs a '_graph_origin' token on {what}, but this item came "
+        f"from a source that does not stamp them (not graph-restorable)."
+    )
 
 
 def supports_graph_restore(source: Any, *, require_length: bool = False) -> bool:
-    if not getattr(source, "has_constant_time_access", False):
-        return False
-    if not hasattr(source, "__getitem__"):
-        return False
-    return not require_length or hasattr(source, "__len__")
+    """Can ``source[token]`` refetch items in constant time (optionally with len)?"""
+    return (
+        getattr(source, "has_constant_time_access", False)
+        and hasattr(source, "__getitem__")
+        and (not require_length or hasattr(source, "__len__"))
+    )
 
 
 def resolve_iteration_seed(seed: Optional[Union[int, str]]) -> int:
     from lhotse_tpu.dataset.dataloading import resolve_seed
 
-    if seed is None:
-        return random.getrandbits(31)
-    return resolve_seed(seed)
+    return random.getrandbits(31) if seed is None else resolve_seed(seed)
 
 
-#################################################
-# AlgorithmMixin — user-facing combinators on Sets
-#################################################
+# ===========================================================================
+# Node protocol
+# ===========================================================================
+class IteratorNode(Dillable, Iterable):
+    """
+    One vertex of a lazy pipeline.  Children live on ``self.source`` (single)
+    or ``self.sources`` (many) so generic graph walks can traverse any
+    pipeline.  Checkpointable nodes flip ``is_checkpointable`` and implement
+    the state protocol.  Instances are not thread-safe.
+    """
 
+    is_checkpointable = False
+    is_indexed = False
+    has_constant_time_access = False
 
-class AlgorithmMixin(LazyMixin, Iterable):
-    """Combinators (filter/map/mux/shuffle/repeat/+) shared by all Set classes."""
-
-    def filter(self, predicate: Callable[[T], bool]):
-        """Keep only items satisfying ``predicate`` (lazily when self is lazy)."""
-        cls = type(self)
-        if self.is_lazy:
-            return cls(LazyFilter(resolve_iterator_source(self), predicate=predicate))
-        return cls.from_items(item for item in self if predicate(item))
-
-    def map(self, transform_fn: Callable[[T], T]):
-        """Apply ``transform_fn`` to each item (lazily when self is lazy)."""
-        cls = type(self)
-        ans = cls(LazyMapper(resolve_iterator_source(self), fn=transform_fn))
-        if self.is_lazy:
-            return ans
-        return ans.to_eager()
-
-    @classmethod
-    def mux(
-        cls,
-        *manifests,
-        stop_early: bool = False,
-        weights: Optional[List[Union[int, float]]] = None,
-        seed: Union[int, str] = 0,
-    ):
-        """Weighted random interleave of multiple manifests (always lazy)."""
-        manifests = [resolve_iterator_source(m) for m in manifests]
-        return cls(
-            LazyIteratorMultiplexer(
-                *manifests, stop_early=stop_early, weights=weights, seed=seed
-            )
+    def _no_state_support(self, op: str):
+        raise NotImplementedError(
+            f"{type(self).__name__} is not checkpointable and does not implement {op}()."
         )
 
-    @classmethod
-    def infinite_mux(
-        cls,
-        *manifests,
-        weights: Optional[List[Union[int, float]]] = None,
-        seed: Union[int, str] = 0,
-        max_open_streams: Optional[int] = None,
-    ):
-        """Infinite sample-with-replacement multiplexing over a shard pool with
-        bounded open streams."""
-        manifests = [resolve_iterator_source(m) for m in manifests]
-        return cls(
-            LazyInfiniteApproximateMultiplexer(
-                *manifests, weights=weights, seed=seed, max_open_streams=max_open_streams
+    def state_dict(self) -> dict:
+        self._no_state_support("state_dict")
+
+    def load_state_dict(self, sd: dict) -> None:
+        self._no_state_support("load_state_dict")
+
+    def iter_children(self):
+        if hasattr(self, "source"):
+            yield self.source
+        if hasattr(self, "sources"):
+            yield from self.sources
+
+
+def resolve_iterator_source(obj: Iterable) -> Iterable:
+    """Peel manifest Set wrappers (CutSet & co.) down to their iterator graph."""
+    try:
+        from lhotse_tpu.cut import CutSet
+    except Exception:
+        return obj
+    return obj.data if isinstance(obj, CutSet) else obj
+
+
+def _try_collect_child_state(child: Any) -> Optional[dict]:
+    """A child's state_dict, or None when it is genuinely stateless."""
+    if isinstance(child, IteratorNode):
+        if type(child).state_dict is IteratorNode.state_dict:
+            # No own state — fine for a leaf, a wiring error for a composite.
+            if any(True for _ in child.iter_children()):
+                raise NotImplementedError(
+                    f"{type(child).__name__} does not support checkpointing."
+                )
+            return None
+        return child.state_dict()
+    getter = getattr(child, "state_dict", None)
+    if callable(getter):
+        try:
+            return getter()
+        except Exception:
+            return None
+    return None
+
+
+def _try_restore_child_state(child: Any, state: Optional[dict]) -> None:
+    if state is None:
+        return
+    if isinstance(child, IteratorNode):
+        if type(child).load_state_dict is IteratorNode.load_state_dict:
+            raise NotImplementedError(
+                f"{type(child).__name__} does not support checkpoint restoration."
             )
-        )
-
-    def shuffle(self, rng: Optional[random.Random] = None, buffer_size: int = 10000):
-        """Shuffle items (streaming buffer shuffle when lazy)."""
-        cls = type(self)
-        if rng is None:
-            rng = random
-        if self.is_lazy:
-            return cls(
-                LazyShuffler(resolve_iterator_source(self), buffer_size=buffer_size, rng=rng)
-            )
-        new: List = self.data.copy()
-        rng.shuffle(new)
-        return cls(new)
-
-    def repeat(self, times: Optional[int] = None, preserve_id: bool = False):
-        """Iterate the original items ``times`` times (infinite by default)."""
-        cls = type(self)
-        return cls(
-            LazyRepeater(resolve_iterator_source(self), times=times, preserve_id=preserve_id)
-        )
-
-    def __add__(self, other):
-        cls = type(self)
-        return cls(
-            LazyIteratorChain(
-                resolve_iterator_source(self), resolve_iterator_source(other)
-            )
-        )
+        child.load_state_dict(state)
+        return
+    setter = getattr(child, "load_state_dict", None)
+    if callable(setter):
+        setter(state)
 
 
-#################################################
-# Leaf iterators
-#################################################
+class _Transform(IteratorNode):
+    """
+    Shared base for combinators wrapping exactly one source: index/restore
+    capability, chaining, and state handling all delegate downward.
+    Subclasses override what differs.
+    """
+
+    is_checkpointable = True
+
+    def __init__(self, iterator: Iterable) -> None:
+        self.source = resolve_iterator_source(iterator)
+
+    @property
+    def is_indexed(self) -> bool:
+        return getattr(self.source, "is_indexed", False)
+
+    @property
+    def has_constant_time_access(self) -> bool:
+        return supports_graph_restore(self.source)
+
+    def __len__(self) -> int:
+        return len(self.source)
+
+    def __add__(self, other) -> "LazyIteratorChain":
+        return LazyIteratorChain(self, other)
+
+    def state_dict(self) -> dict:
+        inner = _try_collect_child_state(self.source)
+        return {} if inner is None else {"source": inner}
+
+    def load_state_dict(self, sd: dict) -> None:
+        _try_restore_child_state(self.source, sd.get("source"))
 
 
+# ===========================================================================
+# Leaves
+# ===========================================================================
 class LazyTxtIterator(IteratorNode):
-    """Iterate lines of a (possibly compressed) text file as TextExamples."""
+    """Lines of a (possibly gzipped) text file, wrapped as TextExamples."""
 
     def __init__(self, path: Pathlike, as_text_example: bool = True) -> None:
         self.path = path
@@ -330,16 +291,13 @@ class LazyTxtIterator(IteratorNode):
     def __iter__(self):
         from lhotse_tpu.cut.text import TextExample
 
-        tot = 0
+        n = 0
         with open_best(self.path, "r") as f:
-            for line in f:
-                line = line.strip()
-                if self.as_text_example:
-                    line = TextExample(line)
-                yield line
-                tot += 1
-        if self._len is None:
-            self._len = tot
+            for raw in f:
+                text = raw.strip()
+                n += 1
+                yield TextExample(text) if self.as_text_example else text
+        self._len = self._len or n
 
     def __len__(self) -> int:
         if self._len is None:
@@ -348,29 +306,28 @@ class LazyTxtIterator(IteratorNode):
 
 
 class LazyJsonlIterator(IteratorNode):
-    """Stream raw dicts from a JSONL file with a resumable position counter."""
+    """Raw dict stream over a JSONL file, resumable by line position."""
 
     def __init__(self, path: Pathlike) -> None:
         self.path = path
         self._len = None
         self._position = 0
-        self._restored = False
+        self._resume = False
 
     def __iter__(self):
-        start = self._position if self._restored else 0
-        self._restored = False
-        self._position = start
-        tot = 0
+        skip = self._position if self._resume else 0
+        self._resume = False
+        self._position = skip
+        lineno = 0
         with open_best(self.path, "r") as f:
-            for line in f:
-                tot += 1
-                if tot <= start:
+            for raw in f:
+                lineno += 1
+                if lineno <= skip:
                     continue
-                data = decode_json_line(line)
-                self._position = tot
-                yield data
-        if self._len is None:
-            self._len = tot
+                record = decode_json_line(raw)
+                self._position = lineno
+                yield record
+        self._len = self._len or lineno
 
     def __len__(self) -> int:
         if self._len is None:
@@ -382,26 +339,21 @@ class LazyJsonlIterator(IteratorNode):
 
     def load_state_dict(self, sd: dict) -> None:
         self._position = sd["position"]
-        self._restored = True
+        self._resume = True
 
 
 class LazyManifestIterator(IteratorNode):
-    """
-    Stream typed manifests from a JSONL file via ``deserialize_item``;
-    checkpointable through the inner :class:`LazyJsonlIterator`.
-    """
+    """Typed manifests off a JSONL file (LazyJsonlIterator + deserialize_item)."""
 
     is_checkpointable = True
 
     def __init__(self, path: Pathlike) -> None:
         self.source = LazyJsonlIterator(path)
 
-    @property
-    def path(self) -> Pathlike:
-        return self.source.path
+    path = property(lambda self: self.source.path)
 
     def __iter__(self):
-        yield from map(deserialize_item, self.source)
+        return map(deserialize_item, self.source)
 
     def __len__(self) -> int:
         return len(self.source)
@@ -416,19 +368,18 @@ class LazyManifestIterator(IteratorNode):
         self.source.load_state_dict(sd["source"])
 
 
-class LazyIndexedManifestIterator(IteratorNode):
+class LazyIndexedManifestIterator(IteratorNode):  # noqa: D101 — doc below
     """
-    ``.idx``-backed manifest iterator: O(1) ``__getitem__``, partitioned and
-    optionally Feistel-shuffled iteration, checkpointable by position.
+    Manifest leaf with an ``.idx`` sidecar: O(1) ``[i]``, worker-partitioned
+    and optionally Feistel-shuffled iteration, position-based checkpoints.
     """
 
     is_checkpointable = True
+    is_indexed = True
+    has_constant_time_access = True
 
     def __init__(
-        self,
-        path: Pathlike,
-        shuffle: bool = False,
-        seed: int = 0,
+        self, path: Pathlike, shuffle: bool = False, seed: int = 0,
         index_path: Optional[Pathlike] = None,
         decode: Optional[Callable[[dict], Any]] = None,
         skip_decode_errors: bool = False,
@@ -443,37 +394,26 @@ class LazyIndexedManifestIterator(IteratorNode):
         self.index_path = index_path
         self.skip_decode_errors = skip_decode_errors
         self.decode_error_callback = decode_error_callback
-        self._decode = decode if decode is not None else deserialize_item
+        self._decode = deserialize_item if decode is None else decode
         self._reader = IndexedJsonlReader(path, index_path=index_path)
         self._iter_state = PartitionedIndexedIterator(shuffle=shuffle, seed=seed)
 
-    @property
-    def is_indexed(self) -> bool:
-        return True
-
-    @property
-    def has_constant_time_access(self) -> bool:
-        return True
-
     def __getitem__(self, idx: int) -> Any:
-        return self._decode_index(idx)
-
-    def _decode_index(self, idx: int) -> Any:
         return attach_graph_origin(self._decode(self._reader[idx]), idx)
 
     def __iter__(self):
-        for phys_idx in self._iter_state.iterate(len(self._reader)):
+        for pos in self._iter_state.iterate(len(self._reader)):
             try:
-                yield self._decode_index(phys_idx)
+                yield self[pos]
             except (JSONDecodeError, UnicodeDecodeError) as ex:
                 if not self.skip_decode_errors:
                     raise
                 if self.decode_error_callback is not None:
-                    self.decode_error_callback(ex, phys_idx, self.path)
+                    self.decode_error_callback(ex, pos, self.path)
                 else:
                     warnings.warn(
                         f"Skipping malformed indexed JSONL record path={self.path!r} "
-                        f"idx={phys_idx}: {type(ex).__name__}: {ex}"
+                        f"idx={pos}: {type(ex).__name__}: {ex}"
                     )
 
     def __len__(self) -> int:
@@ -483,11 +423,9 @@ class LazyIndexedManifestIterator(IteratorNode):
         return LazyIteratorChain(self, other)
 
     def state_dict(self) -> dict:
-        return {
-            **self._iter_state.state_dict(),
-            "shuffle": self.shuffle,
-            "seed": self.seed,
-        }
+        sd = dict(self._iter_state.state_dict())
+        sd.update(shuffle=self.shuffle, seed=self.seed)
+        return sd
 
     def load_state_dict(self, sd: dict) -> None:
         if self.shuffle and "range" not in sd:
@@ -499,17 +437,15 @@ class LazyIndexedManifestIterator(IteratorNode):
         self._restored = True
 
 
-#################################################
-# Composite iterators
-#################################################
-
-
+# ===========================================================================
+# Multi-source composites
+# ===========================================================================
 class LazyIteratorChain(IteratorNode):
     """
-    Sequential concatenation of multiple iterables. ``shuffle_iters=True``
-    shuffles the sub-iterator order per epoch (shard-level), or — when every
-    source is indexed — switches to a Feistel-permuted *item-level* global
-    shuffle with O(1) random access. Checkpointable.
+    Back-to-back concatenation.  ``shuffle_iters=True`` permutes sub-iterator
+    order each pass, or — when every source is indexed — upgrades to a
+    Feistel-permuted item-level shuffle over the whole concatenation with
+    seekable (O(1)-resumable) positions.
     """
 
     is_checkpointable = True
@@ -520,22 +456,20 @@ class LazyIteratorChain(IteratorNode):
         shuffle_iters: bool = False,
         seed: Optional[Union[int, str]] = None,
     ) -> None:
-        self.sources = []
         self.shuffle_iters = shuffle_iters
         self.seed = seed
         self.num_iters = 0
+        self.sources = []
         for it in iterators:
             it = resolve_iterator_source(it)
-            if isinstance(it, LazyIteratorChain):
-                self.sources.extend(it.sources)
-            else:
-                self.sources.append(it)
-        self._current_iter_idx = 0
-        self._iter_order: Optional[list] = None
-        self._restored = False
-        self._global_position = 0
-        self._global_seed = None
-        self._cum_lens = None
+            # Inline nested chains so the graph stays flat.
+            self.sources.extend(it.sources if isinstance(it, LazyIteratorChain) else [it])
+        self._at_source = 0
+        self._pass_order: Optional[list] = None
+        self._resume = False
+        self._flat_pos = 0
+        self._flat_seed = None
+        self._prefix_lens = None
 
     @property
     def is_indexed(self) -> bool:
@@ -547,160 +481,146 @@ class LazyIteratorChain(IteratorNode):
             return False
         return all(supports_graph_restore(s, require_length=True) for s in self.sources)
 
+    def _offsets(self) -> list:
+        """Exclusive prefix sums of source lengths (cached)."""
+        if self._prefix_lens is None:
+            acc, out = 0, []
+            for s in self.sources:
+                out.append(acc)
+                acc += len(s)
+            out.append(acc)
+            self._prefix_lens = out
+        return self._prefix_lens
+
     def __getitem__(self, idx: Any) -> Any:
         idx = normalize_graph_token(idx)
         if isinstance(idx, tuple) and len(idx) == 2:
-            src_idx, source_token = idx
-            return attach_graph_origin(self.sources[src_idx][source_token], idx)
+            which, inner = idx
+            return attach_graph_origin(self.sources[which][inner], idx)
         from bisect import bisect_right
 
-        cum = self._cumulative_lengths()
-        total = cum[-1]
+        offsets = self._offsets()
+        total = offsets[-1]
         if idx < 0:
             idx += total
-        if idx < 0 or idx >= total:
+        if not 0 <= idx < total:
             raise IndexError("index out of range for LazyIteratorChain")
-        src_idx = bisect_right(cum, idx)
-        offset = idx - cum[src_idx - 1] if src_idx > 0 else idx
-        return attach_graph_origin(self.sources[src_idx][offset], idx)
-
-    def _cumulative_lengths(self) -> list:
-        if self._cum_lens is None:
-            self._cum_lens = []
-            total = 0
-            for s in self.sources:
-                total += len(s)
-                self._cum_lens.append(total)
-        return self._cum_lens
+        which = bisect_right(offsets, idx) - 1
+        return attach_graph_origin(self.sources[which][idx - offsets[which]], idx)
 
     def __iter__(self):
         if self.shuffle_iters and self.is_indexed:
-            return self._iter_globally_shuffled()
-        return self._iter_sequential()
+            return self._iter_item_shuffled()
+        return self._iter_by_source()
 
-    def _iter_sequential(self):
+    def _iter_by_source(self):
         from lhotse_tpu.dataset.dataloading import resolve_seed
 
-        if self._restored:
-            self._restored = False
-            start_idx = self._current_iter_idx
-            order = self._iter_order
+        if self._resume:
+            self._resume = False
+            first = self._at_source
+            order = self._pass_order
             if order is None or len(order) != len(self.sources):
                 order = list(range(len(self.sources)))
         else:
-            start_idx = 0
+            first = 0
             order = list(range(len(self.sources)))
             if self.shuffle_iters:
-                if self.seed is None:
-                    rng = random
-                else:
-                    rng = random.Random(resolve_seed(self.seed) + self.num_iters)
+                rng = (
+                    random
+                    if self.seed is None
+                    else random.Random(resolve_seed(self.seed) + self.num_iters)
+                )
                 rng.shuffle(order)
                 self.num_iters += 1
-            self._iter_order = order
-            self._current_iter_idx = 0
-        self._iter_order = order
-        attach_tokens = self.has_constant_time_access and not self.shuffle_iters
-        for idx in range(start_idx, len(order)):
-            src_idx = order[idx]
-            it = self.sources[src_idx]
-            self._current_iter_idx = idx
-            if isinstance(it, dict):
-                it = it.values()
-            for item in it:
-                if attach_tokens:
-                    maybe_attach_graph_origin(item, (src_idx, get_graph_origin(item)))
+            self._at_source = 0
+        self._pass_order = order
+        stamp = self.has_constant_time_access and not self.shuffle_iters
+        for k in range(first, len(order)):
+            self._at_source = k
+            src = self.sources[order[k]]
+            if isinstance(src, dict):
+                src = src.values()
+            for item in src:
+                if stamp:
+                    maybe_attach_graph_origin(item, (order[k], get_graph_origin(item)))
                 yield item
 
-    def _iter_globally_shuffled(self):
+    def _iter_item_shuffled(self):
         from lhotse_tpu.dataset.dataloading import get_worker_partition
         from lhotse_tpu.indexing import LazyShuffledRange
 
-        total = len(self)
-        shard_id, num_shards = get_worker_partition()
-
-        if self._restored:
-            self._restored = False
-            start = self._global_position
-            base_seed = self._global_seed
-            if base_seed is None:
-                base_seed = resolve_iteration_seed(self.seed)
-            saved_shard_id = getattr(self, "_global_shard_id", None)
-            saved_num_shards = getattr(self, "_global_num_shards", None)
-            if saved_num_shards is not None and (
-                saved_shard_id != shard_id or saved_num_shards != num_shards
-            ):
+        worker, nworkers = get_worker_partition()
+        if self._resume:
+            self._resume = False
+            begin = self._flat_pos
+            seed0 = self._flat_seed
+            if seed0 is None:
+                seed0 = resolve_iteration_seed(self.seed)
+            saved = (getattr(self, "_part_worker", None), getattr(self, "_part_n", None))
+            if saved[1] is not None and saved != (worker, nworkers):
                 raise ValueError(
                     f"LazyIteratorChain global-shuffle partition mismatch on resume: "
-                    f"saved (shard_id={saved_shard_id}, num_shards={saved_num_shards}), "
-                    f"current (shard_id={shard_id}, num_shards={num_shards})."
+                    f"saved (shard_id={saved[0]}, num_shards={saved[1]}), "
+                    f"current (shard_id={worker}, num_shards={nworkers})."
                 )
         else:
-            start = 0
-            self._global_position = 0
-            base_seed = resolve_iteration_seed(self.seed)
-            self._global_seed = base_seed
-        self._global_shard_id = shard_id
-        self._global_num_shards = num_shards
+            begin, self._flat_pos = 0, 0
+            seed0 = resolve_iteration_seed(self.seed)
+            self._flat_seed = seed0
+        self._part_worker, self._part_n = worker, nworkers
 
-        shuffled = LazyShuffledRange(
-            total,
-            seed=base_seed + self.num_iters,
-            shard_id=shard_id,
-            num_shards=num_shards,
+        perm = LazyShuffledRange(
+            len(self), seed=seed0 + self.num_iters, shard_id=worker, num_shards=nworkers
         )
-        for i in range(start, len(shuffled)):
-            self._global_position = i + 1
-            yield self[shuffled[i]]
+        for i in range(begin, len(perm)):
+            self._flat_pos = i + 1
+            yield self[perm[i]]
         self.num_iters += 1
 
     def __len__(self) -> int:
-        return sum(len(it) for it in self.sources)
+        return sum(len(s) for s in self.sources)
 
     def __add__(self, other) -> "LazyIteratorChain":
         return LazyIteratorChain(self, other)
 
     def state_dict(self) -> dict:
         return {
-            "current_iter_idx": self._current_iter_idx,
+            "current_iter_idx": self._at_source,
             "num_iters": self.num_iters,
-            "iter_order": self._iter_order,
-            "global_position": self._global_position,
-            "global_seed": getattr(self, "_global_seed", None),
-            "global_shard_id": getattr(self, "_global_shard_id", None),
-            "global_num_shards": getattr(self, "_global_num_shards", None),
+            "iter_order": self._pass_order,
+            "global_position": self._flat_pos,
+            "global_seed": self._flat_seed,
+            "global_shard_id": getattr(self, "_part_worker", None),
+            "global_num_shards": getattr(self, "_part_n", None),
             "inner_states": [_try_collect_child_state(s) for s in self.sources],
         }
 
     def load_state_dict(self, sd: dict) -> None:
-        self._current_iter_idx = sd["current_iter_idx"]
+        self._at_source = sd["current_iter_idx"]
         self.num_iters = sd["num_iters"]
-        self._iter_order = sd.get("iter_order")
-        self._global_position = sd.get("global_position", 0)
-        self._global_seed = sd.get("global_seed")
-        self._global_shard_id = sd.get("global_shard_id")
-        self._global_num_shards = sd.get("global_num_shards")
+        self._pass_order = sd.get("iter_order")
+        self._flat_pos = sd.get("global_position", 0)
+        self._flat_seed = sd.get("global_seed")
+        self._part_worker = sd.get("global_shard_id")
+        self._part_n = sd.get("global_num_shards")
+        self._resume = True
         if self.shuffle_iters and self.is_indexed:
-            self._restored = True
-            return
-        order = (
-            self._iter_order
-            if self._iter_order is not None
-            else list(range(len(self.sources)))
-        )
-        active = set(order[self._current_iter_idx :])
-        for i, (s, inner_sd) in enumerate(zip(self.sources, sd.get("inner_states", []))):
-            if i not in active or inner_sd is None:
-                continue
-            _try_restore_child_state(s, inner_sd)
-        self._restored = True
+            return  # item-level mode: position alone restores everything
+        order = self._pass_order or list(range(len(self.sources)))
+        # Sources already fully consumed this pass must not be rewound.
+        pending = set(order[self._at_source :])
+        for i, (src, inner) in enumerate(zip(self.sources, sd.get("inner_states", []))):
+            if i in pending and inner is not None:
+                _try_restore_child_state(src, inner)
 
 
 class LazyIteratorMultiplexer(IteratorNode):
     """
-    Weighted random interleave of multiple iterables with a per-iteration RNG;
-    exhausted sources drop out unless ``stop_early``. Checkpointable (RNG
-    state + exhaustion mask + child states).
+    Weighted random interleave.  Each step draws one source (per-iteration
+    RNG); a drained source leaves the draw pool unless ``stop_early`` ends
+    the whole stream at the first exhaustion.  Checkpoints = RNG state +
+    exhaustion mask + child states.
     """
 
     is_checkpointable = True
@@ -713,14 +633,18 @@ class LazyIteratorMultiplexer(IteratorNode):
         seed: Union[int, str] = 0,
     ) -> None:
         self.sources = [resolve_iterator_source(it) for it in iterators]
+        if len(self.sources) < 2:
+            raise AssertionError("There have to be at least two iterables to multiplex.")
         self.stop_early = stop_early
         self.seed = seed
-        assert len(self.sources) > 1, "There have to be at least two iterables to multiplex."
-        self.weights = weights if weights is not None else [1] * len(self.sources)
-        assert len(self.sources) == len(self.weights)
+        self.weights = [1] * len(self.sources) if weights is None else weights
+        if len(self.weights) != len(self.sources):
+            raise AssertionError(
+                f"Got {len(self.sources)} sources but {len(self.weights)} weights."
+            )
         self._rng_state = None
-        self._exhausted: Optional[list] = None
-        self._restored = False
+        self._drained: Optional[list] = None
+        self._resume = False
 
     @property
     def is_indexed(self) -> bool:
@@ -737,65 +661,47 @@ class LazyIteratorMultiplexer(IteratorNode):
                 "LazyIteratorMultiplexer expects graph tokens shaped like "
                 "(source_index, source_token)."
             )
-        source_idx, source_token = token
-        return attach_graph_origin(self.sources[source_idx][source_token], token)
+        which, inner = token
+        return attach_graph_origin(self.sources[which][inner], token)
 
     def __iter__(self):
         from lhotse_tpu.dataset.dataloading import get_worker_partition, resolve_seed
 
-        _, num_shards = get_worker_partition()
-        if num_shards > 1 and self.seed == "randomized" and self.is_indexed:
+        _, nworkers = get_worker_partition()
+        if nworkers > 1 and self.seed == "randomized" and self.is_indexed:
             raise ValueError(
                 "LazyIteratorMultiplexer cannot use seed='randomized' under "
                 "multi-shard iteration with indexed sources: the weighted source "
                 "distribution would drift across ranks. Use a fixed integer seed."
             )
-
         rng = random.Random(resolve_seed(self.seed))
-        iters = [iter(it) for it in self.sources]
-        if self._restored:
-            self._restored = False
-            exhausted = (
-                list(self._exhausted)
-                if self._exhausted is not None
-                else [False] * len(iters)
-            )
+        streams = [iter(s) for s in self.sources]
+        if self._resume:
+            self._resume = False
+            drained = list(self._drained) if self._drained else [False] * len(streams)
             if self._rng_state is not None:
                 rng.setstate(self._rng_state)
         else:
-            exhausted = [False] * len(iters)
-        self._exhausted = exhausted
+            drained = [False] * len(streams)
+        self._drained = drained
+        stamp = self.has_constant_time_access
 
-        def should_continue():
-            return not any(exhausted) if self.stop_early else not all(exhausted)
-
-        while should_continue():
-            active_indexes, active_weights = zip(
-                *[
-                    (i, w)
-                    for i, (done, w) in enumerate(zip(exhausted, self.weights))
-                    if not done
-                ]
-            )
-            idx = rng.choices(active_indexes, weights=active_weights, k=1)[0]
+        while (not any(drained)) if self.stop_early else (not all(drained)):
+            pool = [i for i, dead in enumerate(drained) if not dead]
+            pick = rng.choices(pool, weights=[self.weights[i] for i in pool], k=1)[0]
             self._rng_state = rng.getstate()
             try:
-                item = next(iters[idx])
-                graph_token = None
-                if self.has_constant_time_access:
-                    graph_token = require_graph_origin(
-                        item, "LazyIteratorMultiplexer", "items"
-                    )
-                maybe_attach_graph_origin(
-                    item, None if graph_token is None else (idx, graph_token)
-                )
-                yield item
+                item = next(streams[pick])
             except StopIteration:
-                exhausted[idx] = True
+                drained[pick] = True
                 continue
+            if stamp:
+                inner = require_graph_origin(item, "LazyIteratorMultiplexer", "items")
+                attach_graph_origin(item, (pick, inner))
+            yield item
 
     def __len__(self) -> int:
-        return sum(len(it) for it in self.sources)
+        return sum(len(s) for s in self.sources)
 
     def __add__(self, other) -> "LazyIteratorChain":
         return LazyIteratorChain(self, other)
@@ -803,7 +709,7 @@ class LazyIteratorMultiplexer(IteratorNode):
     def state_dict(self) -> dict:
         return {
             "rng_state": self._rng_state,
-            "exhausted": list(self._exhausted) if self._exhausted is not None else None,
+            "exhausted": list(self._drained) if self._drained is not None else None,
             "inner_states": [_try_collect_child_state(s) for s in self.sources],
         }
 
@@ -814,22 +720,23 @@ class LazyIteratorMultiplexer(IteratorNode):
 
             rng_state = _rng_state_from_json(rng_state)
         self._rng_state = rng_state
-        self._exhausted = sd["exhausted"]
-        active = None
-        if self._exhausted is not None:
-            active = {i for i, done in enumerate(self._exhausted) if not done}
-        for i, (s, inner_sd) in enumerate(zip(self.sources, sd.get("inner_states", []))):
-            if active is not None and i not in active:
-                continue
-            _try_restore_child_state(s, inner_sd)
-        self._restored = True
+        self._drained = sd["exhausted"]
+        live = (
+            None
+            if self._drained is None
+            else {i for i, dead in enumerate(self._drained) if not dead}
+        )
+        for i, (src, inner) in enumerate(zip(self.sources, sd.get("inner_states", []))):
+            if live is None or i in live:
+                _try_restore_child_state(src, inner)
+        self._resume = True
 
 
 class LazyInfiniteApproximateMultiplexer(IteratorNode):
     """
-    Infinite sample-with-replacement multiplexing over a pool of (typically
-    sharded) sources, holding at most ``max_open_streams`` open iterators.
-    Not checkpointable (approximate/infinite by design).
+    Endless sample-with-replacement over a (typically sharded) source pool,
+    keeping at most ``max_open_streams`` iterators alive.  Approximate and
+    infinite by design, hence not checkpointable.
     """
 
     def __init__(
@@ -841,52 +748,54 @@ class LazyInfiniteApproximateMultiplexer(IteratorNode):
         max_open_streams: Optional[int] = None,
     ) -> None:
         self.sources = [resolve_iterator_source(it) for it in iterators]
+        if not self.sources:
+            raise AssertionError("infinite_mux needs at least one source.")
         self.stop_early = stop_early
         self.seed = seed
-        self.max_open_streams = max_open_streams
+        self.weights = [1] * len(self.sources) if weights is None else weights
+        if len(self.weights) != len(self.sources):
+            raise AssertionError(
+                f"Got {len(self.sources)} sources but {len(self.weights)} weights."
+            )
         if max_open_streams is None or max_open_streams > len(self.sources):
-            self.max_open_streams = len(self.sources)
-        assert len(self.sources) > 0
-        self.weights = weights if weights is not None else [1] * len(self.sources)
-        assert len(self.sources) == len(self.weights)
-        assert self.max_open_streams >= 1
+            max_open_streams = len(self.sources)
+        if max_open_streams < 1:
+            raise AssertionError("max_open_streams must be at least 1.")
+        self.max_open_streams = max_open_streams
 
     def __iter__(self):
         from lhotse_tpu.dataset.dataloading import resolve_seed
 
         rng = random.Random(resolve_seed(self.seed))
-        indexes = list(range(len(self.sources)))
+        all_ids = range(len(self.sources))
 
-        def sample_stream():
-            selected = rng.choices(indexes, self.weights, k=1)[0]
-            return iter(self.sources[selected]), self.weights[selected]
+        def open_one():
+            chosen = rng.choices(all_ids, self.weights, k=1)[0]
+            return iter(self.sources[chosen]), self.weights[chosen]
 
-        active_streams = []
-        active_weights = []
-        for _ in range(self.max_open_streams):
-            s, w = sample_stream()
-            active_streams.append(s)
-            active_weights.append(w)
-        stream_indexes = list(range(self.max_open_streams))
-
+        slots = [open_one() for _ in range(self.max_open_streams)]
+        slot_ids = list(range(self.max_open_streams))
         while True:
+            live_weights = [w for _, w in slots]
             pos = rng.choices(
-                stream_indexes,
-                weights=active_weights if sum(active_weights) > 0 else None,
-                k=1,
+                slot_ids, weights=live_weights if sum(live_weights) > 0 else None, k=1
             )[0]
             try:
-                yield next(active_streams[pos])
+                yield next(slots[pos][0])
             except StopIteration:
-                active_streams[pos], active_weights[pos] = sample_stream()
-                yield next(active_streams[pos])
+                slots[pos] = open_one()
+                yield next(slots[pos][0])
 
 
-class LazyShuffler(IteratorNode):
+# ===========================================================================
+# Single-source combinators
+# ===========================================================================
+class LazyShuffler(_Transform):
     """
-    Fixed-size reservoir streaming shuffle. With graph-restorable indexed
-    sources, the shuffle buffer is checkpointed as graph-origin tokens and
-    re-fetched on restore (O(buffer) token saves instead of item copies).
+    Bounded-buffer streaming shuffle: each arriving item trades places with a
+    random resident of the buffer.  When the source is graph-restorable, the
+    buffer checkpoints as a list of origin tokens (O(buffer) small ints) and
+    is refetched item-by-item on restore.
     """
 
     def __init__(
@@ -895,24 +804,16 @@ class LazyShuffler(IteratorNode):
         buffer_size: int = 10000,
         rng: Optional[random.Random] = None,
     ) -> None:
-        self.source = resolve_iterator_source(iterator)
+        super().__init__(iterator)
         self.buffer_size = buffer_size
         self.rng = rng if rng is not None else random.Random(random.getrandbits(64))
-        self._buffer = deque()
-        self._startup = True
-        self._source_exhausted = False
-        self._restored = False
+        self._pool = deque()
+        self._warming_up = True
+        self._drained = False
+        self._resume = False
 
     @property
     def is_checkpointable(self) -> bool:
-        return supports_graph_restore(self.source)
-
-    @property
-    def is_indexed(self) -> bool:
-        return getattr(self.source, "is_indexed", False)
-
-    @property
-    def has_constant_time_access(self) -> bool:
         return supports_graph_restore(self.source)
 
     def __getitem__(self, token: Any) -> Any:
@@ -920,62 +821,47 @@ class LazyShuffler(IteratorNode):
         return attach_graph_origin(self.source[token], token)
 
     def __iter__(self):
-        source_iter = iter(self.source)
-        if self._restored:
-            self._restored = False
+        upstream = iter(self.source)
+        if self._resume:
+            self._resume = False
         else:
-            self._buffer.clear()
-            self._startup = True
-            self._source_exhausted = False
+            self._pool.clear()
+            self._warming_up = True
+            self._drained = False
 
-        def next_item():
+        def pull():
             try:
-                return next(source_iter)
+                return next(upstream)
             except StopIteration:
-                self._source_exhausted = True
+                self._drained = True
                 return None
 
-        def top_up():
-            if len(self._buffer) < self.buffer_size:
-                item = next_item()
-                if item is not None:
-                    self._buffer.append(item)
+        def trade(incoming):
+            """Swap the newcomer with a random buffered item (keeps size)."""
+            if not self._pool:
+                return incoming
+            k = self.rng.randint(0, len(self._pool) - 1)
+            incoming, self._pool[k] = self._pool[k], incoming
+            return incoming
 
-        def swap(sample):
-            if not self._buffer:
-                return sample
-            i = self.rng.randint(0, len(self._buffer) - 1)
-            sample, self._buffer[i] = self._buffer[i], sample
-            return sample
-
-        # Startup: fill the buffer before yielding steadily.
-        while self._startup and not self._source_exhausted:
-            sample = next_item()
-            if sample is None:
+        while not self._drained:
+            item = pull()
+            if item is None:
                 break
-            top_up()
-            sample = swap(sample)
-            if len(self._buffer) < self.buffer_size:
-                self._buffer.append(sample)
+            # Opportunistically grow the buffer toward its target size.
+            if len(self._pool) < self.buffer_size:
+                extra = pull()
+                if extra is not None:
+                    self._pool.append(extra)
+            item = trade(item)
+            if self._warming_up and len(self._pool) < self.buffer_size:
+                # Not at capacity yet: park the item instead of emitting.
+                self._pool.append(item)
                 continue
-            self._startup = False
-            yield sample
-        # Steady state: one in, one out.
-        while not self._source_exhausted:
-            sample = next_item()
-            if sample is None:
-                break
-            top_up()
-            yield swap(sample)
-        # Drain.
-        while self._buffer:
-            yield self._buffer.popleft()
-
-    def __len__(self) -> int:
-        return len(self.source)
-
-    def __add__(self, other) -> "LazyIteratorChain":
-        return LazyIteratorChain(self, other)
+            self._warming_up = False
+            yield item
+        while self._pool:
+            yield self._pool.popleft()
 
     def state_dict(self) -> dict:
         if not self.is_checkpointable:
@@ -986,11 +872,11 @@ class LazyShuffler(IteratorNode):
 
         return {
             "buffer": [
-                require_graph_origin(item, "LazyShuffler", "buffered items")
-                for item in self._buffer
+                require_graph_origin(x, "LazyShuffler", "buffered items")
+                for x in self._pool
             ],
-            "startup": self._startup,
-            "source_exhausted": self._source_exhausted,
+            "startup": self._warming_up,
+            "source_exhausted": self._drained,
             "rng_state": _rng_state_to_json(self.rng.getstate()),
             "source": _try_collect_child_state(self.source),
         }
@@ -1003,48 +889,26 @@ class LazyShuffler(IteratorNode):
         from lhotse_tpu.checkpoint import _rng_state_from_json
 
         _try_restore_child_state(self.source, sd.get("source"))
-        self._buffer = deque(
-            self.source[normalize_graph_token(token)] for token in sd.get("buffer", [])
+        self._pool = deque(
+            self.source[normalize_graph_token(t)] for t in sd.get("buffer", [])
         )
-        self._startup = sd.get("startup", True)
-        self._source_exhausted = sd.get("source_exhausted", False)
+        self._warming_up = sd.get("startup", True)
+        self._drained = sd.get("source_exhausted", False)
         self.rng.setstate(_rng_state_from_json(sd["rng_state"]))
-        self._restored = True
+        self._resume = True
 
 
-#################################################
-# Stateless combinators
-#################################################
-
-
-class LazyFilter(IteratorNode):
-    """Lazy ``filter``; checkpointing delegates to the source."""
-
-    is_checkpointable = True
+class LazyFilter(_Transform):
+    """Streaming ``filter``; state lives entirely in the source."""
 
     def __init__(self, iterator: Iterable, predicate: Callable[[Any], bool]) -> None:
-        self.source = resolve_iterator_source(iterator)
-        self.predicate = predicate
-        assert callable(self.predicate), (
-            f"LazyFilter: 'predicate' arg must be callable (got {predicate})."
-        )
-        if (
-            isinstance(self.predicate, types.LambdaType)
-            and self.predicate.__name__ == "<lambda>"
-            and not is_module_available("dill")
-        ):
-            warnings.warn(
-                "A lambda was passed to LazyFilter: it may prevent forking this "
-                "process. Pass a regular function for multi-worker dataloading."
+        super().__init__(iterator)
+        if not callable(predicate):
+            raise AssertionError(
+                f"LazyFilter: 'predicate' arg must be callable (got {predicate})."
             )
-
-    @property
-    def is_indexed(self) -> bool:
-        return getattr(self.source, "is_indexed", False)
-
-    @property
-    def has_constant_time_access(self) -> bool:
-        return supports_graph_restore(self.source)
+        self.predicate = predicate
+        _warn_if_lambda(predicate, "LazyFilter")
 
     def __getitem__(self, token: Any) -> Any:
         token = normalize_graph_token(token)
@@ -1059,31 +923,15 @@ class LazyFilter(IteratorNode):
     def __iter__(self):
         return filter(self.predicate, self.source)
 
-    def __add__(self, other) -> "LazyIteratorChain":
-        return LazyIteratorChain(self, other)
-
     def __len__(self) -> int:
         raise TypeError(
             "LazyFilter does not support __len__: it would require consuming "
             "the whole stream. Use .to_eager() first if you need the length."
         )
 
-    def state_dict(self) -> dict:
-        sd = {}
-        source_state = _try_collect_child_state(self.source)
-        if source_state is not None:
-            sd["source"] = source_state
-        return sd
 
-    def load_state_dict(self, sd: dict) -> None:
-        _try_restore_child_state(self.source, sd.get("source"))
-
-
-class LazyMapper(IteratorNode):
-    """Lazy ``map`` with an optional ``apply_fn`` gate; checkpointing delegates
-    to the source."""
-
-    is_checkpointable = True
+class LazyMapper(_Transform):
+    """Streaming ``map``, optionally gated by ``apply_fn(item) -> bool``."""
 
     def __init__(
         self,
@@ -1091,108 +939,45 @@ class LazyMapper(IteratorNode):
         fn: Callable[[Any], Any],
         apply_fn: Optional[Callable[[Any], bool]] = None,
     ) -> None:
-        self.source = resolve_iterator_source(iterator)
+        super().__init__(iterator)
+        if not callable(fn):
+            raise AssertionError(f"LazyMapper: 'fn' arg must be callable (got {fn}).")
+        if apply_fn is not None and not callable(apply_fn):
+            raise AssertionError("LazyMapper: 'apply_fn' must be callable when given.")
         self.fn = fn
         self.apply_fn = apply_fn
-        assert callable(self.fn), f"LazyMapper: 'fn' arg must be callable (got {fn})."
-        if self.apply_fn is not None:
-            assert callable(self.apply_fn)
-        if (
-            isinstance(self.fn, types.LambdaType)
-            and self.fn.__name__ == "<lambda>"
-            and not is_dill_enabled()
-        ):
-            warnings.warn(
-                "A lambda was passed to LazyMapper: it may prevent forking this "
-                "process. Pass a regular function for multi-worker dataloading."
-            )
+        _warn_if_lambda(fn, "LazyMapper")
 
-    @property
-    def is_indexed(self) -> bool:
-        return getattr(self.source, "is_indexed", False)
-
-    @property
-    def has_constant_time_access(self) -> bool:
-        return supports_graph_restore(self.source)
+    def _transform(self, item: Any) -> Any:
+        if self.apply_fn is None or self.apply_fn(item):
+            return self.fn(item)
+        return item
 
     def __getitem__(self, idx: Any) -> Any:
-        graph_token = normalize_graph_token(idx)
-        item = self.source[graph_token]
-        if self.apply_fn is None or self.apply_fn(item):
-            item = self.fn(item)
-        return attach_graph_origin(item, graph_token)
+        token = normalize_graph_token(idx)
+        return attach_graph_origin(self._transform(self.source[token]), token)
 
     def __iter__(self):
         for item in self.source:
-            graph_idx = get_graph_origin(item)
-            if self.apply_fn is None or self.apply_fn(item):
-                item = self.fn(item)
-            yield maybe_attach_graph_origin(item, graph_idx)
-
-    def __len__(self) -> int:
-        return len(self.source)
-
-    def __add__(self, other) -> "LazyIteratorChain":
-        return LazyIteratorChain(self, other)
-
-    def state_dict(self) -> dict:
-        sd = {}
-        source_state = _try_collect_child_state(self.source)
-        if source_state is not None:
-            sd["source"] = source_state
-        return sd
-
-    def load_state_dict(self, sd: dict) -> None:
-        _try_restore_child_state(self.source, sd.get("source"))
+            token = get_graph_origin(item)
+            yield maybe_attach_graph_origin(self._transform(item), token)
 
 
-class LazyFlattener(IteratorNode):
+class LazyFlattener(_Transform):
     """
-    Flattens an iterable of collections into an iterable of items. With
-    graph-restorable outer sources, checkpoints (outer token, inner offset).
+    Un-nests an iterable of collections.  Checkpoints as (outer token, inner
+    offset) when the outer source is graph-restorable.
     """
 
     def __init__(self, iterator: Iterable) -> None:
-        self.source = resolve_iterator_source(iterator)
-        self._active_outer_token = None
-        self._inner_position = 0
-        self._restored = False
+        super().__init__(iterator)
+        self._outer_token = None
+        self._inner_pos = 0
+        self._resume = False
 
     @property
     def is_checkpointable(self) -> bool:
         return supports_graph_restore(self.source)
-
-    @property
-    def is_indexed(self) -> bool:
-        return getattr(self.source, "is_indexed", False)
-
-    @property
-    def has_constant_time_access(self) -> bool:
-        return supports_graph_restore(self.source)
-
-    def _inner_token(self, item: Any, inner_idx: int) -> Any:
-        token = get_graph_origin(item)
-        return inner_idx if token is None else token
-
-    def _restore_inner_item(self, collection: Any, token: Any) -> Any:
-        collection = resolve_iterator_source(collection)
-        token = normalize_graph_token(token)
-        if isinstance(token, int):
-            if hasattr(collection, "__getitem__"):
-                return collection[token]
-            for idx, item in enumerate(collection):
-                if idx == token:
-                    return item
-            raise IndexError(
-                f"LazyFlattener inner index {token} out of range for "
-                f"{type(collection).__name__}."
-            )
-        if supports_graph_restore(collection):
-            return collection[token]
-        raise RuntimeError(
-            "LazyFlattener received a non-integer inner graph token for a "
-            "collection that does not support graph restoration."
-        )
 
     def __getitem__(self, idx: Any) -> Any:
         token = normalize_graph_token(idx)
@@ -1200,42 +985,59 @@ class LazyFlattener(IteratorNode):
             raise TypeError(
                 "LazyFlattener expects graph tokens shaped like (outer, inner)."
             )
-        outer_token, inner_token = token
-        collection = self.source[outer_token]
-        item = self._restore_inner_item(collection, inner_token)
+        outer, inner = token
+        item = self._fetch_inner(self.source[outer], inner)
         return attach_graph_origin(item, token)
 
-    def _iter_collection(self, collection, outer_token, start_inner: int = 0):
+    @staticmethod
+    def _fetch_inner(collection: Any, inner: Any) -> Any:
         collection = resolve_iterator_source(collection)
-        for inner_idx, item in enumerate(collection):
-            if inner_idx < start_inner:
+        inner = normalize_graph_token(inner)
+        if isinstance(inner, int):
+            if hasattr(collection, "__getitem__"):
+                return collection[inner]
+            for k, item in enumerate(collection):
+                if k == inner:
+                    return item
+            raise IndexError(
+                f"LazyFlattener inner index {inner} out of range for "
+                f"{type(collection).__name__}."
+            )
+        if supports_graph_restore(collection):
+            return collection[inner]
+        raise RuntimeError(
+            "LazyFlattener received a non-integer inner graph token for a "
+            "collection that does not support graph restoration."
+        )
+
+    def _walk(self, collection, outer_token, skip: int = 0):
+        collection = resolve_iterator_source(collection)
+        for k, item in enumerate(collection):
+            if k < skip:
                 continue
-            self._active_outer_token = outer_token
-            self._inner_position = inner_idx + 1
-            token = None
+            self._outer_token = outer_token
+            self._inner_pos = k + 1
             if outer_token is not None:
-                token = (outer_token, self._inner_token(item, inner_idx))
-            yield maybe_attach_graph_origin(item, token)
-        self._active_outer_token = None
-        self._inner_position = 0
+                inner = get_graph_origin(item)
+                attach_graph_origin(item, (outer_token, k if inner is None else inner))
+            yield item
+        self._outer_token = None
+        self._inner_pos = 0
 
     def __iter__(self):
-        if self._restored and self._active_outer_token is not None:
-            collection = self.source[self._active_outer_token]
-            yield from self._iter_collection(
-                collection, self._active_outer_token, start_inner=self._inner_position
+        if self._resume and self._outer_token is not None:
+            yield from self._walk(
+                self.source[self._outer_token], self._outer_token, skip=self._inner_pos
             )
-        self._restored = False
-        for cuts in self.source:
-            outer_token = (
-                require_graph_origin(cuts, "LazyFlattener", "outer collections")
-                if self.is_checkpointable
+        self._resume = False
+        trackable = self.is_checkpointable
+        for group in self.source:
+            outer = (
+                require_graph_origin(group, "LazyFlattener", "outer collections")
+                if trackable
                 else None
             )
-            yield from self._iter_collection(cuts, outer_token)
-
-    def __add__(self, other) -> "LazyIteratorChain":
-        return LazyIteratorChain(self, other)
+            yield from self._walk(group, outer)
 
     def __len__(self) -> int:
         raise TypeError(
@@ -1250,8 +1052,8 @@ class LazyFlattener(IteratorNode):
                 "outer sources."
             )
         return {
-            "active_outer_token": self._active_outer_token,
-            "inner_position": self._inner_position,
+            "active_outer_token": self._outer_token,
+            "inner_position": self._inner_pos,
             "source": _try_collect_child_state(self.source),
         }
 
@@ -1261,70 +1063,58 @@ class LazyFlattener(IteratorNode):
                 "LazyFlattener supports checkpointing only with graph-restorable "
                 "outer sources."
             )
-        self._active_outer_token = normalize_graph_token(sd.get("active_outer_token"))
-        self._inner_position = sd.get("inner_position", 0)
+        self._outer_token = normalize_graph_token(sd.get("active_outer_token"))
+        self._inner_pos = sd.get("inner_position", 0)
         _try_restore_child_state(self.source, sd.get("source"))
-        self._restored = True
+        self._resume = True
 
 
-class LazyRepeater(IteratorNode):
-    """Repeat the source N times or infinitely; checkpoints (epoch, source state)."""
-
-    is_checkpointable = True
+class LazyRepeater(_Transform):
+    """N (or infinite) passes over the source; checkpoints (pass, source state)."""
 
     def __init__(
         self, iterator: Iterable, times: Optional[int] = None, preserve_id: bool = False
     ) -> None:
-        self.source = resolve_iterator_source(iterator)
+        super().__init__(iterator)
+        if times is not None and times <= 0:
+            raise AssertionError(f"LazyRepeater times must be positive, got {times}.")
         self.times = times
         self.preserve_id = preserve_id
-        assert self.times is None or self.times > 0
-        self._current_epoch = 0
-        self._restored = False
-
-    @property
-    def is_indexed(self) -> bool:
-        return getattr(self.source, "is_indexed", False)
-
-    @property
-    def has_constant_time_access(self) -> bool:
-        return supports_graph_restore(self.source)
+        self._pass_no = 0
+        self._resume = False
 
     def __getitem__(self, idx: Any) -> Any:
-        graph_token = normalize_graph_token(idx)
-        if isinstance(graph_token, tuple) and len(graph_token) == 2:
-            repeat_idx, source_token = graph_token
-            item = self.source[source_token]
+        token = normalize_graph_token(idx)
+        if isinstance(token, tuple) and len(token) == 2:
+            pass_no, inner = token
+            item = self.source[inner]
         else:
             n = len(self.source)
-            repeat_idx = graph_token // n
-            item = self.source[graph_token % n]
-        if self.preserve_id:
-            return attach_graph_origin(item, graph_token)
-        return attach_graph_origin(attach_repeat_idx_to_id(item, repeat_idx), graph_token)
+            pass_no, item = token // n, self.source[token % n]
+        if not self.preserve_id:
+            item = attach_repeat_idx_to_id(item, pass_no)
+        return attach_graph_origin(item, token)
 
     def __iter__(self):
-        restored = self._restored
-        epoch = self._current_epoch if restored else 0
-        self._restored = False
-        while self.times is None or epoch < self.times:
-            self._current_epoch = epoch
+        resumed = self._resume
+        pass_no = self._pass_no if resumed else 0
+        self._resume = False
+        while self.times is None or pass_no < self.times:
+            self._pass_no = pass_no
             if self.preserve_id:
-                iterator = self.source
+                stream = self.source
             else:
-                iterator = LazyMapper(self.source, partial(attach_repeat_idx_to_id, idx=epoch))
-            at_least_once = False
-            for item in iterator:
-                at_least_once = True
-                source_idx = get_graph_origin(item)
-                maybe_attach_graph_origin(
-                    item, None if source_idx is None else (epoch, source_idx)
-                )
+                stream = LazyMapper(self.source, partial(attach_repeat_idx_to_id, idx=pass_no))
+            emitted = False
+            for item in stream:
+                emitted = True
+                inner = get_graph_origin(item)
+                maybe_attach_graph_origin(item, None if inner is None else (pass_no, inner))
                 yield item
-            if not at_least_once and not restored:
-                return  # avoid hanging on empty iterables
-            restored = False
-            epoch += 1
+            if not emitted and not resumed:
+                return  # an empty source would loop forever otherwise
+            resumed = False
+            pass_no += 1
 
     def __len__(self) -> int:
         if self.times is None:
@@ -1333,73 +1123,55 @@ class LazyRepeater(IteratorNode):
             )
         return len(self.source) * self.times
 
-    def __add__(self, other) -> "LazyIteratorChain":
-        return LazyIteratorChain(self, other)
-
     def state_dict(self) -> dict:
-        sd = {"current_epoch": self._current_epoch}
-        source_state = _try_collect_child_state(self.source)
-        if source_state is not None:
-            sd["source"] = source_state
+        sd = {"current_epoch": self._pass_no}
+        inner = _try_collect_child_state(self.source)
+        if inner is not None:
+            sd["source"] = inner
         return sd
 
     def load_state_dict(self, sd: dict) -> None:
-        self._current_epoch = sd["current_epoch"]
+        self._pass_no = sd["current_epoch"]
         _try_restore_child_state(self.source, sd.get("source"))
-        self._restored = True
+        self._resume = True
 
 
-class LazySlicer(IteratorNode):
-    """Select every n-th item starting at k — the primitive for splitting work
-    across processes. Checkpoints the source offset."""
-
-    is_checkpointable = True
+class LazySlicer(_Transform):
+    """
+    Every n-th item starting at k — the primitive for striping one stream
+    across processes.  Checkpoints how far into the source it got.
+    """
 
     def __init__(self, iterator: Iterable, k: int, n: int) -> None:
-        self.source = resolve_iterator_source(iterator)
-        assert k < n, (
-            f"When selecting k-th element every n elements, k must be less than n "
-            f"(got k={k} n={n})."
-        )
+        super().__init__(iterator)
+        if k >= n:
+            raise AssertionError(
+                f"When selecting k-th element every n elements, k must be less "
+                f"than n (got k={k} n={n})."
+            )
         self.k = k
         self.n = n
-        self._source_offset = 0
-        self._restored = False
-
-    @property
-    def is_indexed(self) -> bool:
-        return getattr(self.source, "is_indexed", False)
-
-    @property
-    def has_constant_time_access(self) -> bool:
-        return supports_graph_restore(self.source)
+        self._consumed = 0
+        self._resume = False
 
     def __getitem__(self, idx: Any) -> Any:
-        graph_token = normalize_graph_token(idx)
-        if (
-            isinstance(graph_token, tuple)
-            and len(graph_token) == 2
-            and graph_token[0] == "source"
-        ):
-            return attach_graph_origin(self.source[graph_token[1]], graph_token)
-        if isinstance(graph_token, int):
-            return attach_graph_origin(self.source[graph_token * self.n + self.k], idx)
-        return attach_graph_origin(self.source[graph_token], graph_token)
+        token = normalize_graph_token(idx)
+        if isinstance(token, tuple) and len(token) == 2 and token[0] == "source":
+            return attach_graph_origin(self.source[token[1]], token)
+        if isinstance(token, int):
+            return attach_graph_origin(self.source[token * self.n + self.k], idx)
+        return attach_graph_origin(self.source[token], token)
 
     def __iter__(self):
-        start = self._source_offset if self._restored else 0
-        self._restored = False
-        for idx, item in enumerate(self.source, start=start):
-            self._source_offset = idx + 1
-            if idx % self.n == self.k:
-                source_idx = get_graph_origin(item)
-                maybe_attach_graph_origin(
-                    item, None if source_idx is None else ("source", source_idx)
-                )
-                yield item
-
-    def __add__(self, other) -> "LazyIteratorChain":
-        return LazyIteratorChain(self, other)
+        offset = self._consumed if self._resume else 0
+        self._resume = False
+        for pos, item in enumerate(self.source, start=offset):
+            self._consumed = pos + 1
+            if pos % self.n != self.k:
+                continue
+            inner = get_graph_origin(item)
+            maybe_attach_graph_origin(item, None if inner is None else ("source", inner))
+            yield item
 
     def __len__(self) -> int:
         raise TypeError(
@@ -1408,18 +1180,104 @@ class LazySlicer(IteratorNode):
         )
 
     def state_dict(self) -> dict:
-        sd = {"source_offset": self._source_offset}
-        source_state = _try_collect_child_state(self.source)
-        if source_state is not None:
-            sd["source"] = source_state
+        sd = {"source_offset": self._consumed}
+        inner = _try_collect_child_state(self.source)
+        if inner is not None:
+            sd["source"] = inner
         return sd
 
     def load_state_dict(self, sd: dict) -> None:
-        self._source_offset = sd.get("source_offset", 0)
+        self._consumed = sd.get("source_offset", 0)
         _try_restore_child_state(self.source, sd.get("source"))
-        self._restored = True
+        self._resume = True
 
 
+# ===========================================================================
+# Set-level combinator surface
+# ===========================================================================
+class AlgorithmMixin(LazyMixin, Iterable):
+    """filter/map/mux/shuffle/repeat/+ — shared by every manifest Set class."""
+
+    def filter(self, predicate: Callable[[T], bool]):
+        """Keep items satisfying ``predicate`` (stays lazy when self is lazy)."""
+        cls = type(self)
+        if self.is_lazy:
+            return cls(LazyFilter(resolve_iterator_source(self), predicate=predicate))
+        return cls.from_items(item for item in self if predicate(item))
+
+    def map(self, transform_fn: Callable[[T], T]):
+        """Apply ``transform_fn`` per item (stays lazy when self is lazy)."""
+        cls = type(self)
+        mapped = cls(LazyMapper(resolve_iterator_source(self), fn=transform_fn))
+        return mapped if self.is_lazy else mapped.to_eager()
+
+    @classmethod
+    def mux(
+        cls,
+        *manifests,
+        stop_early: bool = False,
+        weights: Optional[List[Union[int, float]]] = None,
+        seed: Union[int, str] = 0,
+    ):
+        """Weighted random interleave of several manifests (always lazy)."""
+        return cls(
+            LazyIteratorMultiplexer(
+                *(resolve_iterator_source(m) for m in manifests),
+                stop_early=stop_early,
+                weights=weights,
+                seed=seed,
+            )
+        )
+
+    @classmethod
+    def infinite_mux(
+        cls,
+        *manifests,
+        weights: Optional[List[Union[int, float]]] = None,
+        seed: Union[int, str] = 0,
+        max_open_streams: Optional[int] = None,
+    ):
+        """Endless sample-with-replacement mux over a shard pool."""
+        return cls(
+            LazyInfiniteApproximateMultiplexer(
+                *(resolve_iterator_source(m) for m in manifests),
+                weights=weights,
+                seed=seed,
+                max_open_streams=max_open_streams,
+            )
+        )
+
+    def shuffle(self, rng: Optional[random.Random] = None, buffer_size: int = 10000):
+        """Shuffle items (streaming buffer shuffle when lazy)."""
+        cls = type(self)
+        rng = random if rng is None else rng
+        if self.is_lazy:
+            return cls(
+                LazyShuffler(
+                    resolve_iterator_source(self), buffer_size=buffer_size, rng=rng
+                )
+            )
+        eager: List = self.data.copy()
+        rng.shuffle(eager)
+        return cls(eager)
+
+    def repeat(self, times: Optional[int] = None, preserve_id: bool = False):
+        """Iterate the whole set ``times`` times (forever when None)."""
+        node = LazyRepeater(
+            resolve_iterator_source(self), times=times, preserve_id=preserve_id
+        )
+        return type(self)(node)
+
+    def __add__(self, other):
+        joined = LazyIteratorChain(
+            resolve_iterator_source(self), resolve_iterator_source(other)
+        )
+        return type(self)(joined)
+
+
+# ===========================================================================
+# Small helpers
+# ===========================================================================
 def attach_repeat_idx_to_id(item: Any, idx: int) -> Any:
     if not hasattr(item, "id"):
         return item
@@ -1427,15 +1285,12 @@ def attach_repeat_idx_to_id(item: Any, idx: int) -> Any:
 
 
 def count_newlines_fast(path: Pathlike):
-    """Count newlines with buffered chunk reads."""
-
-    def _chunks(reader):
-        b = reader(1 << 16)
-        while b:
-            yield b
-            b = reader(1 << 16)
-
-    read_mode = "rb" if not str(path) == "-" else "r"
-    with open_best(path, read_mode) as f:
-        count = sum(buf.count(b"\n") for buf in _chunks(f.read))
-    return count
+    """Newline count via 64 KiB block reads (no line splitting)."""
+    total = 0
+    mode = "r" if str(path) == "-" else "rb"
+    with open_best(path, mode) as f:
+        while True:
+            block = f.read(1 << 16)
+            if not block:
+                return total
+            total += block.count(b"\n")
