@@ -1,20 +1,21 @@
 """
-CutSampler base: mini-batch sampling with distributed dedup + checkpointing.
+Sampler foundations: the CutSampler protocol, batch-size constraints, and
+sampling diagnostics.
 
-Reference behavior: `/root/reference/lhotse/dataset/sampling/base.py` —
-map-style DDP handling: sample ``world_size`` batches and return
-``batches[rank]`` with deterministic end-of-data redistribution/duplication
-(:396-451); rank/world_size resolution order explicit args → env →
-distributed runtime → (1, 0) (:143); ``.filter``/``.map`` hooks (:188,207);
-checkpointing incl. source graph state + transform RNG states (:215-316);
-``SamplingConstraint``/``TimeConstraint``/``TokenConstraint`` (:490-780);
-sampling diagnostics (:783-970).
+A sampler turns a stream of cuts into mini-batch CutSets without touching
+audio bytes.  Distributed semantics follow the map-style DDP convention:
+every ``next()`` samples ``world_size`` batches and this rank keeps
+``batches[rank]``; at end-of-data the stragglers are redistributed
+deterministically (duplicating a few examples) so all ranks step the same
+number of times.
 
-TPU-native notes: the sampler is a plain iterable (no torch Sampler base);
-rank discovery uses env vars then ``jax.process_index`` (via
-:mod:`lhotse_tpu.dataset.dataloading`). ``TimeConstraint`` doubles as the
-**static-shape contract**: its padded-batch cost model (num_cuts × longest
-seen) is exactly the padded tensor size XLA will compile for.
+TPU-first notes: rank discovery goes env vars -> ``jax.process_index`` (see
+:mod:`lhotse_tpu.dataset.dataloading`); there is no torch Sampler base.
+``TimeConstraint``'s padded-batch cost model (num_cuts x longest-seen) is
+literally the padded tensor size XLA compiles, making it the static-shape
+contract for downstream collation.
+
+Functional parity target: ``lhotse/dataset/sampling/base.py``.
 """
 from __future__ import annotations
 
@@ -25,7 +26,7 @@ from bisect import bisect_left
 from copy import deepcopy
 from dataclasses import asdict, dataclass
 from math import isclose
-from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple, Union
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple, Union
 
 from lhotse_tpu.cut import Cut, CutSet
 from lhotse_tpu.cut.text import TextExample
@@ -33,6 +34,9 @@ from lhotse_tpu.lazy import Dillable, IteratorNode
 from lhotse_tpu.utils import Seconds, exactly_one_not_null, ifnone, is_none_or_gt
 
 
+# ---------------------------------------------------------------------------
+# Source-graph state capture (shared by the concrete samplers)
+# ---------------------------------------------------------------------------
 def _capture_source_state(src) -> Optional[dict]:
     from lhotse_tpu.checkpoint import collect_state_dict
 
@@ -44,26 +48,22 @@ def _capture_source_state(src) -> Optional[dict]:
 
 
 def capture_sources_state(sources) -> Optional[list]:
+    """Per-source iterator-graph states; None when nothing is capturable."""
     if not isinstance(sources, (list, tuple)):
         return None
     states = []
-    has_any_state = False
     for src in sources:
         try:
-            state = _capture_source_state(src)
+            states.append(_capture_source_state(src))
         except Exception:
-            state = None
-        states.append(state)
-        has_any_state = has_any_state or state is not None
-    return states if has_any_state else None
+            states.append(None)
+    return states if any(st is not None for st in states) else None
 
 
 def restore_sources_state(sources, cuts_state: Optional[list]) -> None:
     from lhotse_tpu.checkpoint import restore_state_dict
 
-    if cuts_state is None:
-        return
-    for src, state in zip(sources, cuts_state):
+    for src, state in zip(sources, cuts_state or ()):
         if state is None:
             continue
         if isinstance(src, CutSet):
@@ -72,13 +72,56 @@ def restore_sources_state(sources, cuts_state: Optional[list]) -> None:
             restore_state_dict(src, state)
 
 
+# ---------------------------------------------------------------------------
+# The sampler protocol
+# ---------------------------------------------------------------------------
+class _accept_everything:
+    """Default cut filter; its type marks 'no user filter installed yet'."""
+
+    def __call__(self, cut: Cut) -> bool:
+        return True
+
+
+# Parity alias: the reference names this sentinel _filter_nothing.
+_filter_nothing = _accept_everything
+
+
+def _both(first: Callable[[Cut], bool], second: Callable[[Cut], bool]):
+    def conjunction(cut: Cut) -> bool:
+        return first(cut) and second(cut)
+
+    return conjunction
+
+
+_and = _both
+
+
+def mark_as_duplicate(iteration: int) -> Callable[[str], str]:
+    def inner(cut_id: str) -> str:
+        return f"{cut_id}_dup{iteration}"
+
+    return inner
+
+
+def attach_dataloading_info(cuts: CutSet, rank: int, world_size: int) -> None:
+    """Stamp each cut with its {rank, world_size, worker_id} provenance."""
+    from lhotse_tpu.dataset.dataloading import get_worker_info
+
+    wi = get_worker_info()
+    stamp = {
+        "rank": rank,
+        "world_size": world_size,
+        "worker_id": None if wi is None else wi.id,
+    }
+    for cut in cuts:
+        cut.dataloading_info = stamp
+
+
 class CutSampler(Dillable):
     """
-    Collects batches of cuts given constraints; metadata-only (no I/O).
-    Distributed handling mirrors PyTorch DistributedSampler semantics but with
-    dynamic batch sizes: every step samples ``world_size`` batches and keeps
-    ``batches[rank]``. With ``shuffle=True``, call ``set_epoch(epoch)`` for a
-    new ordering each epoch.
+    Base of all samplers: assembles batches of cut *metadata* under pluggable
+    constraints; no audio or feature I/O happens here.  Subclasses implement
+    ``__iter__`` (epoch setup) and ``_next_batch`` (one batch).
     """
 
     def __init__(
@@ -89,65 +132,69 @@ class CutSampler(Dillable):
         rank: Optional[int] = None,
         seed: Union[int, str] = 0,
     ) -> None:
-        self.drop_last = drop_last
         self.shuffle = shuffle
+        self.drop_last = drop_last
         self.seed = seed
         self.epoch = 0
         self._diagnostics = SamplingDiagnostics()
-        # Set after load_state_dict so the next iter() doesn't reset state.
+        # Flipped by load_state_dict so the next iter() resumes, not resets.
         self._just_restored_state = False
-        self._maybe_init_distributed(world_size=world_size, rank=rank)
-        self._filter_fn: Callable[[Cut], bool] = _filter_nothing()
+        self._resolve_topology(world_size, rank)
+        self._filter_fn: Callable[[Cut], bool] = _accept_everything()
         self._transforms = []
 
     @property
     def diagnostics(self):
-        """Counts of kept/discarded cuts and batches per epoch."""
+        """Kept/discarded cut and batch counters, per epoch."""
         return self._diagnostics
 
-    def _maybe_init_distributed(self, world_size: Optional[int], rank: Optional[int]):
+    def _resolve_topology(self, world_size: Optional[int], rank: Optional[int]):
         from lhotse_tpu.dataset.dataloading import get_rank, get_world_size
 
-        if world_size is not None:
-            assert world_size >= 1
-        if rank is not None:
-            assert rank >= 0
         # Precedence: explicit args > env vars > JAX process runtime > (1, 0).
         self.world_size = ifnone(world_size, get_world_size())
         self.rank = ifnone(rank, get_rank())
-        assert self.rank < self.world_size
+        if self.world_size < 1 or not 0 <= self.rank < self.world_size:
+            raise AssertionError(
+                f"Bad sampler topology: rank={self.rank}, world_size={self.world_size}"
+            )
+
+    # Kept for parity with earlier revisions / reference naming.
+    _maybe_init_distributed = _resolve_topology
 
     def set_epoch(self, epoch: int) -> None:
-        """Set the epoch (changes the shuffling order when shuffle=True)."""
+        """Change the epoch (and with it the shuffle order when shuffling)."""
         if self._just_restored_state or getattr(self, "_needs_fast_forward", False):
-            # Don't clobber just-restored iteration state.
-            return
+            return  # don't clobber freshly-restored iteration state
         if self.epoch != epoch:
             self.allow_iter_to_reset_state()
         self.epoch = epoch
         self.diagnostics.set_epoch(epoch)
 
     def filter(self, predicate: Callable[[Cut], bool]) -> "CutSampler":
-        """Add a per-cut constraint that must be satisfied to consider a cut."""
-        if isinstance(self._filter_fn, _filter_nothing):
+        """Only consider cuts satisfying ``predicate`` (AND-composes)."""
+        if isinstance(self._filter_fn, _accept_everything):
             self._filter_fn = predicate
         else:
-            self._filter_fn = _and(self._filter_fn, predicate)
+            self._filter_fn = _both(self._filter_fn, predicate)
         return self
 
     def map(self, fn: Callable[[CutSet], CutSet]) -> "CutSampler":
-        """Apply ``fn`` to each mini-batch CutSet before yielding it."""
-        assert callable(fn), (
-            f"Expected a callable accepting and returning a CutSet, received: '{fn}'"
-        )
+        """Post-process each emitted mini-batch CutSet with ``fn``."""
+        if not callable(fn):
+            raise AssertionError(
+                f"Expected a callable accepting and returning a CutSet, received: '{fn}'"
+            )
         self._transforms.append(fn)
         return self
 
+    # -- checkpointing -------------------------------------------------------------
+
     def state_dict(self) -> Dict[str, Any]:
         """
-        Sampler state for exact resume: epoch/topology/diagnostics, the
-        source iterator graph state (when available — enables O(1) restore),
-        and stateful transform RNG states.
+        Everything needed for exact resume: epoch + topology + diagnostics,
+        the source graph state when capturable (enables O(1) restore), and
+        RNG states of stateful batch transforms.
         """
         sd = {
             "epoch": self.epoch,
@@ -158,17 +205,14 @@ class CutSampler(Dillable):
             "shuffle": self.shuffle,
             "diagnostics": self.diagnostics.state_dict(),
         }
-        cuts_state = self._capture_cuts_state()
-        if cuts_state is not None:
-            sd["cuts_state"] = cuts_state
+        source_state = self._capture_cuts_state()
+        if source_state is not None:
+            sd["cuts_state"] = source_state
         if self._transforms:
-            transforms_state = []
-            for tfn in self._transforms:
-                if hasattr(tfn, "state_dict"):
-                    transforms_state.append(tfn.state_dict())
-                else:
-                    transforms_state.append(None)
-            sd["transforms_state"] = transforms_state
+            sd["transforms_state"] = [
+                t.state_dict() if hasattr(t, "state_dict") else None
+                for t in self._transforms
+            ]
         return sd
 
     def _capture_cuts_state(self) -> Optional[list]:
@@ -179,38 +223,66 @@ class CutSampler(Dillable):
 
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
         """
-        Restore sampler state (mutates/consumes the input dict). The sampler
-        must be constructed with the same CutSets, world_size, rank, and seed.
+        Consume a checkpoint (pops keys from the dict).  The sampler must be
+        constructed over the same CutSets with the same topology and seed.
         """
         self.drop_last = state_dict.pop("drop_last")
-        world_size = state_dict.pop("world_size")
-        assert self.world_size == world_size, (
-            f"Cannot restore sampler with a different world_size (current "
-            f"{self.world_size}, checkpoint {world_size})."
-        )
+        saved_world = state_dict.pop("world_size")
+        if saved_world != self.world_size:
+            raise AssertionError(
+                f"Cannot restore sampler with a different world_size (current "
+                f"{self.world_size}, checkpoint {saved_world})."
+            )
         saved_rank = state_dict.pop("rank")
         if saved_rank != self.rank:
             raise RuntimeError(
                 f"CutSampler.load_state_dict: state was saved on rank={saved_rank} "
                 f"but is being loaded on rank={self.rank}."
             )
-        assert self.seed == state_dict.pop("seed")
-        shuffle = state_dict.pop("shuffle")
-        if self.shuffle != shuffle:
+        saved_seed = state_dict.pop("seed")
+        if saved_seed != self.seed:
+            raise AssertionError(
+                f"Seed mismatch on sampler restore: {self.seed} vs checkpoint {saved_seed}"
+            )
+        saved_shuffle = state_dict.pop("shuffle")
+        if self.shuffle != saved_shuffle:
             warnings.warn(
                 "Overriding the shuffle value in CutSampler based on state_dict "
-                f"(initialized to {self.shuffle}; restored to {shuffle})."
+                f"(initialized to {self.shuffle}; restored to {saved_shuffle})."
             )
-        self.shuffle = shuffle
+        self.shuffle = saved_shuffle
         self.epoch = state_dict.pop("epoch")
         self.diagnostics.load_state_dict(state_dict.pop("diagnostics"))
         self._cuts_state = state_dict.pop("cuts_state", None)
         self._transforms_state = state_dict.pop("transforms_state", None)
-        assert len(state_dict) == 0, (
-            "Error in CutSampler.load_state_dict(): Unexpected keys:\n- "
-            + "\n- ".join(state_dict.keys())
-        )
+        if state_dict:
+            raise AssertionError(
+                "Error in CutSampler.load_state_dict(): Unexpected keys:\n- "
+                + "\n- ".join(state_dict.keys())
+            )
         self._just_restored_state = True
+
+    def _restore_transforms_state(self) -> None:
+        """Put back stateful transform RNGs (O(1) restore path only; the O(N)
+        replay path advances them naturally)."""
+        saved = getattr(self, "_transforms_state", None)
+        if saved is None:
+            return
+        for t, ts in zip(self._transforms, saved):
+            if ts is not None and hasattr(t, "load_state_dict"):
+                t.load_state_dict(ts)
+        self._transforms_state = None
+
+    def allow_iter_to_reset_state(self):
+        """Forget restored in-epoch progress; next iter() starts the epoch over."""
+        self._just_restored_state = False
+        if hasattr(self, "_needs_fast_forward"):
+            self._needs_fast_forward = False
+        for attr in ("_cuts_state", "_transforms_state", "_rng_state", "_bucketer_state"):
+            if hasattr(self, attr):
+                setattr(self, attr, None)
+
+    # -- abstract surface -------------------------------------------------------------
 
     def __iter__(self):
         raise NotImplementedError("Sub-classes of CutSampler must implement __iter__()")
@@ -232,66 +304,51 @@ class CutSampler(Dillable):
     def num_cuts(self) -> Optional[int]:
         raise NotImplementedError
 
-    def _restore_transforms_state(self) -> None:
-        """Restore stateful transform RNGs (O(1) indexed restore path only;
-        the O(N) replay path advances them naturally)."""
-        transforms_state = getattr(self, "_transforms_state", None)
-        if transforms_state is None:
-            return
-        for tfn, ts in zip(self._transforms, transforms_state):
-            if ts is not None and hasattr(tfn, "load_state_dict"):
-                tfn.load_state_dict(ts)
-        self._transforms_state = None
-
-    def allow_iter_to_reset_state(self):
-        """Discard restored in-epoch progress; the next iter() restarts the epoch."""
-        self._just_restored_state = False
-        if hasattr(self, "_needs_fast_forward"):
-            self._needs_fast_forward = False
-        for attr in ("_cuts_state", "_transforms_state", "_rng_state", "_bucketer_state"):
-            if hasattr(self, attr):
-                setattr(self, attr, None)
+    # -- stepping --------------------------------------------------------------------
 
     def __next__(self):
         self._just_restored_state = False
-        # Sample world_size batches, keep batches[rank]; at end-of-data either
-        # redistribute+duplicate (drop_last=False) or stop early (True).
-        from lhotse_tpu.manipulation import combine
+        batches = self._draw_for_all_ranks()
+        if not batches:
+            raise StopIteration()
+        if len(batches) != self.world_size:
+            batches = self._rebalance_tail(batches)
+        mine = batches[self.rank]
+        self._log_diagnostics(mine)
+        for t in self._transforms:
+            mine = t(mine)
+        attach_dataloading_info(mine, rank=self.rank, world_size=self.world_size)
+        return mine
 
-        batches = []
+    def _draw_for_all_ranks(self) -> list:
+        """One batch per rank; may come up short at end-of-data."""
+        drawn = []
         for _ in range(self.world_size):
             try:
-                batch = self._next_batch()
-                batches.append(batch)
+                drawn.append(self._next_batch())
             except StopIteration:
                 if self.world_size == 1 or self.drop_last:
                     raise
+        self.diagnostics.consumed(
+            sum(len(b[0]) if isinstance(b, tuple) else len(b) for b in drawn)
+        )
+        return drawn
 
-        def _num_cuts(b):
-            return len(b[0]) if isinstance(b, tuple) else len(b)
+    def _rebalance_tail(self, batches: list) -> list:
+        """
+        End-of-data with fewer batches than ranks: pool what's left, pad by
+        duplicating the first few cuts (with marked ids), split evenly.
+        Deterministic, so every rank computes the identical split.
+        """
+        from lhotse_tpu.manipulation import combine
 
-        self.diagnostics.consumed(sum(_num_cuts(b) for b in batches))
-
-        if len(batches) == 0:
-            raise StopIteration()
-        elif len(batches) != self.world_size:
-            # End of data with some ranks empty: deterministically redistribute
-            # (duplicating examples if fewer than world_size remain).
-            combined = combine([b for b in batches if b is not None])
-            chunk = 0
-            while (diff := self.world_size - len(combined)) > 0:
-                combined = combined + combined.subset(first=diff).modify_ids(
-                    mark_as_duplicate(chunk)
-                )
-                chunk += 1
-            batches = combined.split(self.world_size)
-
-        selected = batches[self.rank]
-        self._log_diagnostics(selected)
-        for tfn in self._transforms:
-            selected = tfn(selected)
-        attach_dataloading_info(selected, rank=self.rank, world_size=self.world_size)
-        return selected
+        pooled = combine([b for b in batches if b is not None])
+        round_no = 0
+        while (short := self.world_size - len(pooled)) > 0:
+            clones = pooled.subset(first=short).modify_ids(mark_as_duplicate(round_no))
+            pooled = pooled + clones
+            round_no += 1
+        return pooled.split(self.world_size)
 
     def _log_diagnostics(self, batch: Union[CutSet, Tuple[CutSet, ...]]) -> None:
         if isinstance(batch, CutSet):
@@ -302,31 +359,15 @@ class CutSampler(Dillable):
             raise ValueError(f"Object with unexpected type: {batch}")
 
     def get_report(self) -> str:
-        """A string describing the sampling statistics so far."""
+        """Human-readable sampling statistics so far."""
         return self.diagnostics.get_report()
 
 
-def mark_as_duplicate(iteration: int) -> Callable[[str], str]:
-    def inner(cut_id: str) -> str:
-        return f"{cut_id}_dup{iteration}"
-
-    return inner
-
-
-def attach_dataloading_info(cuts: CutSet, rank: int, world_size: int) -> None:
-    """Stamp each cut with {rank, world_size, worker_id} under
-    ``dataloading_info``."""
-    from lhotse_tpu.dataset.dataloading import get_worker_info
-
-    wi = get_worker_info()
-    worker_id = wi.id if wi is not None else None
-    info = {"rank": rank, "world_size": world_size, "worker_id": worker_id}
-    for cut in cuts:
-        cut.dataloading_info = info
-
-
+# ---------------------------------------------------------------------------
+# Constraints
+# ---------------------------------------------------------------------------
 class SamplingConstraint(metaclass=ABCMeta):
-    """Tracks sampled examples and tells the sampler when to yield a batch."""
+    """Accumulates sampled examples and says when a batch is full."""
 
     @abstractmethod
     def add(self, example: Any) -> None:
@@ -348,12 +389,15 @@ class SamplingConstraint(metaclass=ABCMeta):
     def measure_length(self, example: Any) -> float:
         ...
 
-    def select_bucket(self, buckets: Any, example: Any = None, example_len: Any = None) -> int:
-        """Index of the first bucket boundary larger than the example length."""
-        assert exactly_one_not_null(example, example_len), (
-            f"select_bucket requires either example= or example_len= "
-            f"(received {example=} and {example_len=})."
-        )
+    def select_bucket(
+        self, buckets: Any, example: Any = None, example_len: Any = None
+    ) -> int:
+        """Index of the first bucket whose boundary exceeds the example length."""
+        if not exactly_one_not_null(example, example_len):
+            raise AssertionError(
+                f"select_bucket requires either example= or example_len= "
+                f"(received {example=} and {example_len=})."
+            )
         if example_len is None:
             example_len = self.measure_length(example)
         return bisect_left(buckets, example_len)
@@ -365,11 +409,13 @@ class SamplingConstraint(metaclass=ABCMeta):
 @dataclass
 class TimeConstraint(SamplingConstraint):
     """
-    Max total batch duration and/or cut count. The duration criterion models a
-    *padded* batch: cost = num_cuts × longest seen duration — which on TPU is
-    literally the compiled tensor size. ``quadratic_duration`` penalizes long
-    cuts for O(T^2) models: ``d + d^2/q``. ``concatenate_cuts`` switches to a
-    plain duration sum (for gap-concatenated batches).
+    Bounds the batch by padded duration and/or cut count.
+
+    The duration criterion prices the batch as *padded*: cost = num_cuts x
+    longest-seen duration — on TPU that product IS the compiled tensor size.
+    ``quadratic_duration=q`` re-prices each cut as ``d + d^2/q`` to tame
+    O(T^2) attention costs; ``concatenate_cuts`` switches to a plain sum of
+    durations (for gap-concatenated batches with no padding waste).
     """
 
     max_duration: Optional[Seconds] = None
@@ -381,45 +427,42 @@ class TimeConstraint(SamplingConstraint):
     concatenate_cuts: bool = False
 
     def __post_init__(self) -> None:
-        assert is_none_or_gt(self.max_duration, 0)
-        assert is_none_or_gt(self.max_cuts, 0)
-        assert is_none_or_gt(self.quadratic_duration, 0)
+        for name in ("max_duration", "max_cuts", "quadratic_duration"):
+            if not is_none_or_gt(getattr(self, name), 0):
+                raise AssertionError(f"TimeConstraint.{name} must be None or > 0")
 
     def is_active(self) -> bool:
         return self.max_duration is not None or self.max_cuts is not None
 
-    def add(self, example: Cut) -> None:
-        if self.max_duration is not None:
-            duration = self._maybe_apply_quadratic_correction(example.duration)
-            self.current += duration
-            self.longest_seen = max(self.longest_seen, duration)
-        self.num_cuts += 1
-
-    def _maybe_apply_quadratic_correction(self, duration: Seconds) -> Seconds:
+    def _priced(self, duration: Seconds) -> Seconds:
         if self.quadratic_duration is None:
             return duration
-        return duration + (duration**2) / self.quadratic_duration
+        return duration + duration**2 / self.quadratic_duration
+
+    def add(self, example: Cut) -> None:
+        if self.max_duration is not None:
+            cost = self._priced(example.duration)
+            self.current += cost
+            self.longest_seen = max(self.longest_seen, cost)
+        self.num_cuts += 1
+
+    def _duration_budget_blown(self, hypothetical_cuts: int) -> bool:
+        if self.max_duration is None:
+            return False
+        if self.concatenate_cuts:
+            return self.current > self.max_duration
+        return hypothetical_cuts * self.longest_seen > self.max_duration
 
     def exceeded(self) -> bool:
         if self.max_cuts is not None and self.num_cuts > self.max_cuts:
             return True
-        if self.max_duration is None:
-            return False
-        if self.concatenate_cuts is True:
-            return self.current > self.max_duration
-        effective_duration = self.num_cuts * self.longest_seen
-        return effective_duration > self.max_duration
+        return self._duration_budget_blown(self.num_cuts)
 
     def close_to_exceeding(self) -> bool:
-        """Would adding one more longest-seen-sized cut exceed the constraint?"""
+        """Would one more longest-seen-sized cut blow the budget?"""
         if self.max_cuts is not None and self.num_cuts >= self.max_cuts:
             return True
-        if self.max_duration is not None and self.concatenate_cuts is True:
-            return self.current > self.max_duration
-        if self.max_duration is not None:
-            effective_duration = (self.num_cuts + 1) * self.longest_seen
-            return effective_duration > self.max_duration
-        return False
+        return self._duration_budget_blown(self.num_cuts + 1)
 
     def reset(self) -> None:
         self.current = 0
@@ -432,31 +475,37 @@ class TimeConstraint(SamplingConstraint):
     def state_dict(self) -> Dict[str, Any]:
         return asdict(self)
 
+    _STATE_FIELDS = (
+        ("max_duration", ...), ("max_cuts", ...), ("current", ...),
+        ("num_cuts", ...), ("longest_seen", 0), ("quadratic_duration", None),
+        ("concatenate_cuts", None),
+    )
+
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
-        self.max_duration = state_dict.pop("max_duration")
-        self.max_cuts = state_dict.pop("max_cuts")
-        self.current = state_dict.pop("current")
-        self.num_cuts = state_dict.pop("num_cuts")
-        self.longest_seen = state_dict.pop("longest_seen", 0)
-        self.quadratic_duration = state_dict.pop("quadratic_duration", None)
-        self.concatenate_cuts = state_dict.pop("concatenate_cuts", None)
-        assert len(state_dict) == 0, (
-            "Error in TimeConstraint.load_state_dict(): Unexpected keys:\n- "
-            + "\n- ".join(state_dict.keys())
-        )
+        for name, default in self._STATE_FIELDS:
+            if default is ...:
+                setattr(self, name, state_dict.pop(name))
+            else:
+                setattr(self, name, state_dict.pop(name, default))
+        if state_dict:
+            raise AssertionError(
+                "Error in TimeConstraint.load_state_dict(): Unexpected keys:\n- "
+                + "\n- ".join(state_dict.keys())
+            )
 
     def __add__(self, other: "TimeConstraint") -> "TimeConstraint":
         for key in ("max_duration", "max_cuts", "quadratic_duration"):
-            self_attr = getattr(self, key)
-            other_attr = getattr(other, key)
-            is_none = self_attr is None and other_attr is None
-            assert is_none or isclose(self_attr, other_attr), (
-                f"To add two TimeConstraint objects they must represent the same "
-                f"constraint (self.{key}={self_attr} != other.{key}={other_attr})."
+            mine, theirs = getattr(self, key), getattr(other, key)
+            same = (mine is None and theirs is None) or (
+                mine is not None and theirs is not None and isclose(mine, theirs)
             )
+            if not same:
+                raise AssertionError(
+                    f"To add two TimeConstraint objects they must represent the "
+                    f"same constraint (self.{key}={mine} != other.{key}={theirs})."
+                )
         return TimeConstraint(
-            max_duration=self.max_duration,
-            max_cuts=self.max_cuts,
+            max_duration=self.max_duration, max_cuts=self.max_cuts,
             current=self.current + other.current,
             num_cuts=self.num_cuts + other.num_cuts,
             longest_seen=max(self.longest_seen, other.longest_seen),
@@ -464,17 +513,19 @@ class TimeConstraint(SamplingConstraint):
         )
 
     def __eq__(self, other: "TimeConstraint") -> bool:
-        return (
-            self.max_duration == other.max_duration
-            and self.max_cuts == other.max_cuts
-            and self.quadratic_duration == other.quadratic_duration
+        return all(
+            getattr(self, k) == getattr(other, k)
+            for k in ("max_duration", "max_cuts", "quadratic_duration")
         )
 
 
 @dataclass
 class TokenConstraint(SamplingConstraint):
-    """Max total tokens / examples per batch for text sampling, with an
-    optional quadratic token penalty."""
+    """
+    Token-count analog of :class:`TimeConstraint` for text sampling: bounds
+    the padded token total and/or example count, with an optional quadratic
+    length penalty.
+    """
 
     max_tokens: int = None
     max_examples: int = None
@@ -484,37 +535,35 @@ class TokenConstraint(SamplingConstraint):
     quadratic_length: Optional[int] = None
 
     def __post_init__(self) -> None:
-        assert is_none_or_gt(self.max_tokens, 0)
-        assert is_none_or_gt(self.max_examples, 0)
-        assert is_none_or_gt(self.quadratic_length, 0)
+        for name in ("max_tokens", "max_examples", "quadratic_length"):
+            if not is_none_or_gt(getattr(self, name), 0):
+                raise AssertionError(f"TokenConstraint.{name} must be None or > 0")
+
+    def _priced(self, size: int) -> float:
+        if self.quadratic_length is None:
+            return size
+        return size + size**2 / self.quadratic_length
 
     def add(self, example: TextExample) -> None:
         if self.max_tokens is not None:
-            size = self._maybe_apply_quadratic_correction(self.measure_length(example))
-            self.current += size
-            self.longest_seen = max(self.longest_seen, size)
+            cost = self._priced(self.measure_length(example))
+            self.current += cost
+            self.longest_seen = max(self.longest_seen, cost)
         self.num_examples += 1
-
-    def _maybe_apply_quadratic_correction(self, size: int) -> int:
-        if self.quadratic_length is None:
-            return size
-        return size + (size**2) / self.quadratic_length
 
     def exceeded(self) -> bool:
         if self.max_examples is not None and self.num_examples > self.max_examples:
             return True
         if self.max_tokens is None:
             return False
-        effective_size = self.num_examples * self.longest_seen
-        return effective_size > self.max_tokens
+        return self.num_examples * self.longest_seen > self.max_tokens
 
     def close_to_exceeding(self) -> bool:
         if self.max_examples is not None and self.num_examples >= self.max_examples:
             return True
-        if self.max_tokens is not None:
-            effective_size = (self.num_examples + 1) * self.longest_seen
-            return effective_size > self.max_tokens
-        return False
+        if self.max_tokens is None:
+            return False
+        return (self.num_examples + 1) * self.longest_seen > self.max_tokens
 
     def reset(self) -> None:
         self.current = 0
@@ -525,6 +574,25 @@ class TokenConstraint(SamplingConstraint):
         return example.num_tokens
 
 
+# ---------------------------------------------------------------------------
+# Diagnostics
+# ---------------------------------------------------------------------------
+def _report_row(label: str, kept_c, total_c, disc_c, kept_b, total_b, disc_b) -> str:
+    return (
+        f"| {label} | cuts kept {kept_c:d}/{total_c:d} "
+        f"({kept_c / total_c:.2%}) "
+        f"| cuts discarded {disc_c:d} "
+        f"| batches kept {kept_b:d}/{total_b:d} "
+        f"({kept_b / total_b:.2%})"
+        f"| batches discarded {disc_b:d} |"
+    )
+
+
+_EMPTY_REPORT = (
+    "Sampling statistics unavailable: EpochDiagnostics received no cuts or batches."
+)
+
+
 @dataclass
 class EpochDiagnostics:
     epoch: int = 0
@@ -532,12 +600,11 @@ class EpochDiagnostics:
     discarded_cuts: int = 0
     kept_batches: int = 0
     discarded_batches: int = 0
-    # Cuts actually drawn from the data source into sampled batches this
-    # epoch. With world_size > 1 this exceeds kept_cuts (each step samples
-    # world_size batches but keeps one), and it is the correct replay
-    # fast-forward amount. The reference fast-forwards by kept+discarded
-    # (sampling/simple.py load_state_dict), which under-skips in DDP
-    # map-style resume; we track the real consumption instead.
+    # Cuts drawn from the data source into sampled batches this epoch.  With
+    # world_size > 1 this exceeds kept_cuts (each step samples world_size
+    # batches and keeps one) and is the correct replay fast-forward amount.
+    # (The reference fast-forwards by kept+discarded, which under-skips in
+    # DDP map-style resume; we count real consumption.)
     source_cuts: int = 0
 
     @property
@@ -546,9 +613,9 @@ class EpochDiagnostics:
 
     @property
     def consumed_cuts(self) -> int:
-        """Cuts drawn from the data source this epoch (batched + filtered
-        out) — the replay fast-forward amount. Falls back to kept+discarded
-        for states recorded before source_cuts existed."""
+        """Cuts pulled from the source this epoch (batched + filtered out) —
+        the replay fast-forward amount.  Pre-source_cuts states fall back to
+        kept + discarded."""
         if self.source_cuts == 0 and self.kept_cuts > 0:
             return self.total_cuts
         return self.source_cuts + self.discarded_cuts
@@ -559,17 +626,11 @@ class EpochDiagnostics:
 
     def get_report(self) -> str:
         if self.total_batches == 0 or self.total_cuts == 0:
-            return (
-                "Sampling statistics unavailable: EpochDiagnostics received no "
-                "cuts or batches."
-            )
-        return (
-            f"| ep {self.epoch:>3d} | cuts kept {self.kept_cuts:d}/{self.total_cuts:d} "
-            f"({self.kept_cuts / self.total_cuts:.2%}) "
-            f"| cuts discarded {self.discarded_cuts:d} "
-            f"| batches kept {self.kept_batches:d}/{self.total_batches:d} "
-            f"({self.kept_batches / self.total_batches:.2%})"
-            f"| batches discarded {self.discarded_batches:d} |"
+            return _EMPTY_REPORT
+        return _report_row(
+            f"ep {self.epoch:>3d}",
+            self.kept_cuts, self.total_cuts, self.discarded_cuts,
+            self.kept_batches, self.total_batches, self.discarded_batches,
         )
 
     def state_dict(self) -> Dict[str, Any]:
@@ -582,14 +643,18 @@ class EpochDiagnostics:
         self.kept_cuts = state_dict.pop("kept_cuts")
         self.discarded_cuts = state_dict.pop("discarded_cuts")
         self.source_cuts = state_dict.pop("source_cuts", 0)
-        assert len(state_dict) == 0, (
-            "Error in EpochDiagnostics.load_state_dict(): Unexpected keys:\n- "
-            + "\n- ".join(state_dict.keys())
-        )
+        if state_dict:
+            raise AssertionError(
+                "Error in EpochDiagnostics.load_state_dict(): Unexpected keys:\n- "
+                + "\n- ".join(state_dict.keys())
+            )
         return self
 
     def __add__(self, other: "EpochDiagnostics") -> "EpochDiagnostics":
-        assert self.epoch == other.epoch
+        if self.epoch != other.epoch:
+            raise AssertionError(
+                f"Cannot merge EpochDiagnostics of epochs {self.epoch} != {other.epoch}"
+            )
         return EpochDiagnostics(
             epoch=self.epoch,
             kept_cuts=self.kept_cuts + other.kept_cuts,
@@ -602,23 +667,21 @@ class EpochDiagnostics:
 
 @dataclass
 class SamplingDiagnostics:
-    """Kept/discarded cut and batch counts per epoch."""
+    """Per-epoch EpochDiagnostics plus whole-run aggregates."""
 
     current_epoch: int = 0
     stats_per_epoch: Dict[int, EpochDiagnostics] = None
 
     def __post_init__(self):
         if self.stats_per_epoch is None:
-            self.stats_per_epoch = {}
-            self.set_epoch(self.current_epoch)
+            self.stats_per_epoch = {self.current_epoch: EpochDiagnostics(self.current_epoch)}
 
     def reset_current_epoch(self) -> None:
         self.stats_per_epoch[self.current_epoch] = EpochDiagnostics(self.current_epoch)
 
     def set_epoch(self, epoch: int) -> None:
         self.current_epoch = epoch
-        if epoch not in self.stats_per_epoch:
-            self.stats_per_epoch[epoch] = EpochDiagnostics(epoch=epoch)
+        self.stats_per_epoch.setdefault(epoch, EpochDiagnostics(epoch=epoch))
 
     def advance_epoch(self) -> None:
         self.set_epoch(self.current_epoch + 1)
@@ -628,53 +691,39 @@ class SamplingDiagnostics:
         return self.stats_per_epoch[self.current_epoch]
 
     def keep(self, cuts: Iterable[Cut]) -> None:
-        cntr = 0
-        for cut in cuts:
-            self.current_epoch_stats.kept_cuts += 1
-            cntr += 1
-        if not cntr:
-            warnings.warn("Found and accepted batch with zero cuts. This could be an error.")
-        self.current_epoch_stats.kept_batches += 1
+        stats = self.current_epoch_stats
+        n = sum(1 for _ in cuts)
+        stats.kept_cuts += n
+        if n == 0:
+            warnings.warn(
+                "Found and accepted batch with zero cuts. This could be an error."
+            )
+        stats.kept_batches += 1
 
     def consumed(self, num_cuts: int) -> None:
-        """Record cuts drawn from the data source into sampled batches
-        (including the batches other DDP ranks keep)."""
+        """Cuts drawn from the source into sampled batches (including the
+        batches other DDP ranks keep)."""
         self.current_epoch_stats.source_cuts += num_cuts
 
     def discard(self, cuts: Iterable[Cut]) -> None:
-        cntr = 0
-        for cut in cuts:
-            self.current_epoch_stats.discarded_cuts += 1
-            cntr += 1
-        if cntr:
-            self.current_epoch_stats.discarded_batches += 1
+        stats = self.current_epoch_stats
+        n = sum(1 for _ in cuts)
+        stats.discarded_cuts += n
+        if n:
+            stats.discarded_batches += 1
 
     def discard_single(self, cut: Cut) -> None:
         self.current_epoch_stats.discarded_cuts += 1
 
-    @property
-    def kept_cuts(self) -> int:
-        return sum(s.kept_cuts for s in self.stats_per_epoch.values())
+    def _sum(self, field: str) -> int:
+        return sum(getattr(s, field) for s in self.stats_per_epoch.values())
 
-    @property
-    def discarded_cuts(self) -> int:
-        return sum(s.discarded_cuts for s in self.stats_per_epoch.values())
-
-    @property
-    def kept_batches(self) -> int:
-        return sum(s.kept_batches for s in self.stats_per_epoch.values())
-
-    @property
-    def discarded_batches(self) -> int:
-        return sum(s.discarded_batches for s in self.stats_per_epoch.values())
-
-    @property
-    def total_cuts(self) -> int:
-        return sum(s.total_cuts for s in self.stats_per_epoch.values())
-
-    @property
-    def total_batches(self) -> int:
-        return sum(s.total_batches for s in self.stats_per_epoch.values())
+    kept_cuts = property(lambda self: self._sum("kept_cuts"))
+    discarded_cuts = property(lambda self: self._sum("discarded_cuts"))
+    kept_batches = property(lambda self: self._sum("kept_batches"))
+    discarded_batches = property(lambda self: self._sum("discarded_batches"))
+    total_cuts = property(lambda self: self._sum("total_cuts"))
+    total_batches = property(lambda self: self._sum("total_batches"))
 
     def get_report(self, per_epoch: bool = False) -> str:
         if self.total_batches == 0 or self.total_cuts == 0:
@@ -682,19 +731,17 @@ class SamplingDiagnostics:
                 "Sampling statistics unavailable: the SamplerDiagnostics received "
                 "no cuts or batches."
             )
-        ret = []
+        lines = []
         if per_epoch:
-            for epoch in sorted(self.stats_per_epoch):
-                ret.append(self.stats_per_epoch[epoch].get_report())
-        ret.append(
-            f"|  total  | cuts kept {self.kept_cuts:d}/{self.total_cuts:d} "
-            f"({self.kept_cuts / self.total_cuts:.2%}) "
-            f"| cuts discarded {self.discarded_cuts:d} "
-            f"| batches kept {self.kept_batches:d}/{self.total_batches:d} "
-            f"({self.kept_batches / self.total_batches:.2%})"
-            f"| batches discarded {self.discarded_batches:d} |"
+            lines += [self.stats_per_epoch[e].get_report() for e in sorted(self.stats_per_epoch)]
+        lines.append(
+            _report_row(
+                " total ",
+                self.kept_cuts, self.total_cuts, self.discarded_cuts,
+                self.kept_batches, self.total_batches, self.discarded_batches,
+            )
         )
-        return "\n".join(ret)
+        return "\n".join(lines)
 
     def state_dict(self) -> Dict[str, Any]:
         return asdict(self)
@@ -708,24 +755,9 @@ class SamplingDiagnostics:
         return self
 
     def __add__(self, other: "SamplingDiagnostics") -> "SamplingDiagnostics":
-        stats_per_epoch = deepcopy(self.stats_per_epoch)
+        merged = deepcopy(self.stats_per_epoch)
         for epoch, stats in other.stats_per_epoch.items():
-            if epoch in stats_per_epoch:
-                stats_per_epoch[epoch] = stats_per_epoch[epoch] + stats
-            else:
-                stats_per_epoch[epoch] = stats
+            merged[epoch] = merged[epoch] + stats if epoch in merged else stats
         return SamplingDiagnostics(
-            current_epoch=self.current_epoch, stats_per_epoch=stats_per_epoch
+            current_epoch=self.current_epoch, stats_per_epoch=merged
         )
-
-
-class _filter_nothing:
-    def __call__(self, cut: Cut) -> bool:
-        return True
-
-
-def _and(fn1: Callable[[Cut], bool], fn2: Callable[[Cut], bool]) -> Callable[[Cut], bool]:
-    def _and_wrapper(cut: Cut) -> bool:
-        return fn1(cut) and fn2(cut)
-
-    return _and_wrapper
