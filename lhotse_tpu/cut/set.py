@@ -99,6 +99,15 @@ T = TypeVar("T")
 FW = TypeVar("FW", bound=FeaturesWriter)
 
 
+def _progressbar(enabled: bool, **tqdm_kwargs):
+    """A tqdm wrapper factory, or identity when progress is disabled."""
+    if not enabled:
+        return lambda x: x
+    from tqdm.auto import tqdm
+
+    return partial(tqdm, **tqdm_kwargs)
+
+
 def is_cut(example) -> bool:
     return isinstance(example, (MonoCut, MultiCut, MixedCut, PaddingCut))
 
@@ -116,31 +125,19 @@ class CutSet(Serializable, AlgorithmMixin):
     def __eq__(self, other: "CutSet") -> bool:
         return self.cuts == other.cuts
 
-    @property
-    def data(self) -> Iterable[Cut]:
-        return self.cuts
+    data = property(lambda self: self.cuts)
+    ids = property(lambda self: (c.id for c in self.cuts))
 
-    @property
-    def mixed_cuts(self) -> "CutSet":
-        return CutSet.from_cuts(cut for cut in self.cuts if isinstance(cut, MixedCut))
+    def _only(self, cut_type) -> "CutSet":
+        return CutSet([c for c in self.cuts if isinstance(c, cut_type)])
 
-    @property
-    def simple_cuts(self) -> "CutSet":
-        return CutSet.from_cuts(cut for cut in self.cuts if isinstance(cut, MonoCut))
-
-    @property
-    def multi_cuts(self) -> "CutSet":
-        return CutSet.from_cuts(cut for cut in self.cuts if isinstance(cut, MultiCut))
-
-    @property
-    def ids(self) -> Iterable[str]:
-        return (c.id for c in self.cuts)
+    mixed_cuts = property(lambda self: self._only(MixedCut))
+    simple_cuts = property(lambda self: self._only(MonoCut))
+    multi_cuts = property(lambda self: self._only(MultiCut))
 
     @property
     def speakers(self) -> FrozenSet[str]:
-        return frozenset(
-            supervision.speaker for cut in self for supervision in cut.supervisions
-        )
+        return frozenset(s.speaker for cut in self for s in cut.supervisions)
 
     @staticmethod
     def from_files(
@@ -164,20 +161,21 @@ class CutSet(Serializable, AlgorithmMixin):
                 f"index_path has {len(index_path)} entries but paths has "
                 f"{len(paths)} entries — they must match."
             )
+        sidecars = index_path if index_path is not None else [None] * len(paths)
 
-        def _make_iter(i, p):
-            ip = index_path[i] if index_path is not None else None
-            if indexed is True or (indexed is None and ip is not None):
-                return LazyIndexedManifestIterator(p, index_path=ip)
-            elif indexed is None:
-                use_idx = not extension_contains(".gz", p) and index_exists(p)
-                if use_idx:
-                    return LazyIndexedManifestIterator(p)
-            return LazyManifestIterator(p)
+        def leaf_for(path, sidecar):
+            want_indexed = indexed is True or (indexed is None and sidecar is not None)
+            if not want_indexed and indexed is None:
+                # Auto-detect: uncompressed jsonl with an existing .idx.
+                want_indexed = not extension_contains(".gz", path) and index_exists(path)
+                sidecar = None
+            if want_indexed:
+                return LazyIndexedManifestIterator(path, index_path=sidecar)
+            return LazyManifestIterator(path)
 
         return CutSet(
             LazyIteratorChain(
-                *(_make_iter(i, p) for i, p in enumerate(paths)),
+                *(leaf_for(p, sc) for p, sc in zip(paths, sidecars)),
                 shuffle_iters=shuffle_iters,
                 seed=seed,
             )
@@ -271,25 +269,17 @@ class CutSet(Serializable, AlgorithmMixin):
                 raise ValueError("'slice_length' is not supported with indexed=True.")
             return CutSet(
                 cuts=LazyIndexedSharIterator(
-                    fields=fields,
-                    in_dir=in_dir,
-                    shuffle=shuffle_shards,
-                    seed=seed,
-                    split_for_dataloading=split_for_dataloading,
-                    index_path=index_path,
-                    lazy=lazy,
+                    fields=fields, in_dir=in_dir, shuffle=shuffle_shards,
+                    seed=seed, split_for_dataloading=split_for_dataloading,
+                    index_path=index_path, lazy=lazy,
                 )
             )
         return CutSet(
             cuts=LazySharIterator(
-                fields=fields,
-                in_dir=in_dir,
+                fields=fields, in_dir=in_dir,
                 split_for_dataloading=split_for_dataloading,
-                shuffle_shards=shuffle_shards,
-                stateful_shuffle=stateful_shuffle,
-                seed=seed,
-                cut_map_fns=cut_map_fns,
-                slice_length=slice_length,
+                shuffle_shards=shuffle_shards, stateful_shuffle=stateful_shuffle,
+                seed=seed, cut_map_fns=cut_map_fns, slice_length=slice_length,
             )
         )
 
@@ -304,34 +294,37 @@ class CutSet(Serializable, AlgorithmMixin):
         num_jobs: int = 1,
         fault_tolerant: bool = False,
         verbose: bool = False,
-        compress_jsonl: bool = True,
-        create_index: bool = True,
+        compress_jsonl: bool = True, create_index: bool = True,
     ) -> Dict[str, List[str]]:
         """
         Export cuts + selected data fields into Shar shards. ``fields`` maps
         field names to formats (e.g. {"recording": "wav", "features":
         "lilcom"}). Returns {field: [shard paths]}.
         """
-        assert num_jobs > 0 and isinstance(num_jobs, int)
+        if not (isinstance(num_jobs, int) and num_jobs > 0):
+            raise AssertionError(f"num_jobs must be a positive int, got {num_jobs}")
+        shared = dict(
+            output_dir=output_dir,
+            shard_offset=shard_offset,
+            fields=fields,
+            warn_unused_fields=warn_unused_fields,
+            fault_tolerant=fault_tolerant,
+            compress_jsonl=compress_jsonl,
+            create_index=create_index,
+        )
         if num_jobs == 1:
             return _export_to_shar_single(
                 cuts=self,
-                output_dir=output_dir,
                 shard_size=shard_size,
-                shard_offset=shard_offset,
-                fields=fields,
-                warn_unused_fields=warn_unused_fields,
                 include_cuts=include_cuts,
                 shard_suffix=None,
-                fault_tolerant=fault_tolerant,
                 verbose=verbose,
-                compress_jsonl=compress_jsonl,
-                create_index=create_index,
+                **shared,
             )
 
-        from tqdm.auto import tqdm
-
-        progbar = partial(tqdm, desc="Shard progress") if verbose else (lambda x: x)
+        track = _progressbar(verbose, desc="Shard progress")
+        # Pre-split to shard-sized jsonl chunks on disk, then one worker
+        # process per shard writes the tars.
         shards = self.split_lazy(
             output_dir=output_dir,
             chunk_size=shard_size,
@@ -339,35 +332,25 @@ class CutSet(Serializable, AlgorithmMixin):
             num_digits=6,
             start_idx=shard_offset,
         )
-        with ProcessPoolExecutor(num_jobs) as ex:
-            futures = []
-            output_paths = defaultdict(list)
-            for idx, shard in enumerate(shards):
-                futures.append(
-                    ex.submit(
-                        _export_to_shar_single,
-                        cuts=shard,
-                        output_dir=output_dir,
-                        shard_size=None,
-                        shard_offset=shard_offset,
-                        fields=fields,
-                        warn_unused_fields=warn_unused_fields,
-                        include_cuts=True,
-                        shard_suffix=f".{idx:06d}",
-                        fault_tolerant=fault_tolerant,
-                        verbose=False,
-                        preload=True,
-                        compress_jsonl=compress_jsonl,
-                        create_index=create_index,
-                    )
+        collected = defaultdict(list)
+        with ProcessPoolExecutor(num_jobs) as pool:
+            jobs = [
+                pool.submit(
+                    _export_to_shar_single,
+                    cuts=shard,
+                    shard_size=None,
+                    include_cuts=True,
+                    shard_suffix=f".{idx:06d}",
+                    verbose=False,
+                    preload=True,
+                    **shared,
                 )
-            for f in progbar(as_completed(futures)):
-                partial_paths = f.result()
-                for k, v in partial_paths.items():
-                    output_paths[k].extend(v)
-        for k in output_paths:
-            output_paths[k] = sorted(output_paths[k])
-        return dict(output_paths)
+                for idx, shard in enumerate(shards)
+            ]
+            for job in track(as_completed(jobs)):
+                for field, paths in job.result().items():
+                    collected[field].extend(paths)
+        return {field: sorted(paths) for field, paths in collected.items()}
 
     def to_dicts(self) -> Iterable[dict]:
         return (cut.to_dict() for cut in self)
@@ -380,40 +363,35 @@ class CutSet(Serializable, AlgorithmMixin):
         if output_dir is not None:
             output_dir = Path(output_dir)
             output_dir.mkdir(parents=True, exist_ok=True)
-        stored_rids = set()
-        stored_sids = set()
-        with RecordingSet.open_writer(
-            output_dir / "recordings.jsonl.gz" if output_dir is not None else None
-        ) as rw, SupervisionSet.open_writer(
-            output_dir / "supervisions.jsonl.gz" if output_dir is not None else None
-        ) as sw, FeatureSet.open_writer(
-            output_dir / "features.jsonl.gz" if output_dir is not None else None
-        ) as fw:
 
-            def save(cut: DataCut):
-                if cut.has_recording and cut.recording_id not in stored_rids:
+        def sink(name):
+            return output_dir / name if output_dir is not None else None
+
+        seen_recordings, seen_sups = set(), set()
+        with RecordingSet.open_writer(sink("recordings.jsonl.gz")) as rw, \
+                SupervisionSet.open_writer(sink("supervisions.jsonl.gz")) as sw, \
+                FeatureSet.open_writer(sink("features.jsonl.gz")) as fw:
+
+            def harvest(cut: DataCut):
+                if cut.has_recording and cut.recording_id not in seen_recordings:
+                    seen_recordings.add(cut.recording_id)
                     rw.write(cut.recording)
-                    stored_rids.add(cut.recording_id)
                 if cut.has_features:
                     fw.write(cut.features)
                 for sup in cut.supervisions:
-                    if sup.id not in stored_sids:
-                        # Supervisions in cuts are relative to cut start.
+                    if sup.id not in seen_sups:
+                        seen_sups.add(sup.id)
+                        # Cut supervisions are cut-relative; undo the offset.
                         sw.write(sup.with_offset(cut.start))
-                        stored_sids.add(sup.id)
 
-            it = self
-            if verbose:
-                from tqdm.auto import tqdm
-
-                it = tqdm(it, desc="Decomposing cuts")
-            for cut in it:
+            track = _progressbar(verbose, desc="Decomposing cuts")
+            for cut in track(self):
                 if isinstance(cut, DataCut):
-                    save(cut)
+                    harvest(cut)
                 elif isinstance(cut, MixedCut):
-                    for track in cut.tracks:
-                        if isinstance(track.cut, DataCut):
-                            save(track.cut)
+                    for t in cut.tracks:
+                        if isinstance(t.cut, DataCut):
+                            harvest(t.cut)
         return rw.open_manifest(), sw.open_manifest(), fw.open_manifest()
 
     def describe(self, full: bool = False) -> None:
@@ -444,12 +422,8 @@ class CutSet(Serializable, AlgorithmMixin):
     ) -> List["CutSet"]:
         """Split into fixed-size chunks saved to disk as the input is consumed."""
         return split_manifest_lazy(
-            self,
-            output_dir=output_dir,
-            chunk_size=chunk_size,
-            prefix=prefix,
-            num_digits=num_digits,
-            start_idx=start_idx,
+            self, output_dir=output_dir, chunk_size=chunk_size, prefix=prefix,
+            num_digits=num_digits, start_idx=start_idx,
         )
 
     def subset(
@@ -462,35 +436,36 @@ class CutSet(Serializable, AlgorithmMixin):
     ) -> "CutSet":
         """Select a subset by first/last N, cut IDs (order-preserving), or
         supervision IDs (drops cuts without matches)."""
-        assert exactly_one_not_null(
-            supervision_ids, cut_ids, first, last
-        ), "subset() can handle only one non-None arg."
+        if not exactly_one_not_null(supervision_ids, cut_ids, first, last):
+            raise AssertionError("subset() can handle only one non-None arg.")
         if first is not None:
-            assert first > 0
-            return CutSet.from_cuts(islice(self, first))
+            if first <= 0:
+                raise AssertionError("subset(first=...) must be positive")
+            return CutSet(list(islice(self, first)))
         if last is not None:
-            assert last > 0
-            N = len(self)
-            if last > N:
+            if last <= 0:
+                raise AssertionError("subset(last=...) must be positive")
+            total = len(self)
+            if last > total:
                 return self
-            return CutSet.from_cuts(islice(self, N - last, N))
+            return CutSet(list(islice(self, total - last, total)))
         if supervision_ids is not None:
-            supervision_ids = set(supervision_ids)
-            return CutSet.from_cuts(
-                cut.filter_supervisions(lambda s: s.id in supervision_ids)
+            wanted = set(supervision_ids)
+            kept = [
+                cut.filter_supervisions(lambda s: s.id in wanted)
                 for cut in self
-                if any(s.id in supervision_ids for s in cut.supervisions)
+                if any(s.id in wanted for s in cut.supervisions)
+            ]
+            return CutSet(kept)
+        requested = list(cut_ids)
+        id_set = frozenset(requested)
+        found = CutSet([cut for cut in self if cut.id in id_set])
+        if len(found) < len(requested):
+            logging.warning(
+                f"In CutSet.subset(cut_ids=...): expected {len(requested)} cuts "
+                f"but got {len(found)}."
             )
-        if cut_ids is not None:
-            cut_ids = list(cut_ids)
-            id_set = frozenset(cut_ids)
-            cuts = CutSet([cut for cut in self if cut.id in id_set])
-            if len(cuts) < len(cut_ids):
-                logging.warning(
-                    f"In CutSet.subset(cut_ids=...): expected {len(cut_ids)} cuts "
-                    f"but got {len(cuts)}."
-                )
-            return cuts.sort_like(cut_ids)
+        return found.sort_like(requested)
 
     def map(
         self,
@@ -507,7 +482,7 @@ class CutSet(Serializable, AlgorithmMixin):
     ) -> "CutSet":
         """Keep only supervisions satisfying ``predicate`` (cuts without
         supervisions are preserved)."""
-        return self.map(partial(_filter_supervisions, predicate=predicate))
+        return self.map(_CutOp("filter_supervisions", predicate))
 
     def merge_supervisions(
         self,
@@ -516,12 +491,21 @@ class CutSet(Serializable, AlgorithmMixin):
     ) -> "CutSet":
         """Merge each cut's supervisions into a single spanning segment."""
         return self.map(
-            partial(
-                _merge_supervisions,
+            _CutOp(
+                "merge_supervisions",
                 merge_policy=merge_policy,
                 custom_merge_fn=custom_merge_fn,
             )
         )
+
+    def _one_to_many(self, op: "_SetOrCutOp", num_jobs: int) -> "CutSet":
+        """Run a cut -> many-cuts method lazily (flattened) or fanned out over
+        ``num_jobs`` worker processes."""
+        if num_jobs == 1:
+            return CutSet(LazyFlattener(LazyMapper(self.data, op)))
+        from lhotse_tpu.manipulation import split_parallelize_combine
+
+        return split_parallelize_combine(num_jobs, self, op)
 
     def trim_to_supervisions(
         self,
@@ -533,31 +517,15 @@ class CutSet(Serializable, AlgorithmMixin):
     ) -> "CutSet":
         """One cut per supervision, with identical spans (optionally extended
         to min_duration with acoustic context)."""
-        if num_jobs == 1:
-            return CutSet(
-                LazyFlattener(
-                    LazyMapper(
-                        self.data,
-                        partial(
-                            _trim_to_supervisions_single,
-                            keep_overlapping=keep_overlapping,
-                            min_duration=min_duration,
-                            context_direction=context_direction,
-                            keep_all_channels=keep_all_channels,
-                        ),
-                    )
-                )
-            )
-        from lhotse_tpu.manipulation import split_parallelize_combine
-
-        return split_parallelize_combine(
+        return self._one_to_many(
+            _SetOrCutOp(
+                "trim_to_supervisions",
+                keep_overlapping=keep_overlapping,
+                min_duration=min_duration,
+                context_direction=context_direction,
+                keep_all_channels=keep_all_channels,
+            ),
             num_jobs,
-            self,
-            _trim_to_supervisions_single,
-            keep_overlapping=keep_overlapping,
-            min_duration=min_duration,
-            context_direction=context_direction,
-            keep_all_channels=keep_all_channels,
         )
 
     def trim_to_alignments(
@@ -570,33 +538,16 @@ class CutSet(Serializable, AlgorithmMixin):
         num_jobs: int = 1,
     ) -> "CutSet":
         """One cut per (merged) alignment item of the given type."""
-        if num_jobs == 1:
-            return CutSet(
-                LazyFlattener(
-                    LazyMapper(
-                        self.data,
-                        partial(
-                            _trim_to_alignments_single,
-                            type=type,
-                            max_pause=max_pause,
-                            max_segment_duration=max_segment_duration,
-                            delimiter=delimiter,
-                            keep_all_channels=keep_all_channels,
-                        ),
-                    )
-                )
-            )
-        from lhotse_tpu.manipulation import split_parallelize_combine
-
-        return split_parallelize_combine(
+        return self._one_to_many(
+            _SetOrCutOp(
+                "trim_to_alignments",
+                type=type,
+                max_pause=max_pause,
+                max_segment_duration=max_segment_duration,
+                delimiter=delimiter,
+                keep_all_channels=keep_all_channels,
+            ),
             num_jobs,
-            self,
-            _trim_to_alignments_single,
-            type=type,
-            max_pause=max_pause,
-            max_segment_duration=max_segment_duration,
-            delimiter=delimiter,
-            keep_all_channels=keep_all_channels,
         )
 
     def trim_to_unsupervised_segments(self) -> "CutSet":
@@ -618,19 +569,8 @@ class CutSet(Serializable, AlgorithmMixin):
         """One cut per supervision group (runs with gaps <= max_pause)."""
         if max_pause is None:
             max_pause = 0.0
-        if num_jobs == 1:
-            return CutSet(
-                LazyFlattener(
-                    LazyMapper(
-                        self.data,
-                        partial(_trim_to_supervision_groups_single, max_pause=max_pause),
-                    )
-                )
-            )
-        from lhotse_tpu.manipulation import split_parallelize_combine
-
-        return split_parallelize_combine(
-            num_jobs, self, _trim_to_supervision_groups_single, max_pause=max_pause
+        return self._one_to_many(
+            _SetOrCutOp("trim_to_supervision_groups", max_pause=max_pause), num_jobs
         )
 
     def combine_same_recording_channels(self) -> "CutSet":
@@ -673,14 +613,13 @@ class CutSet(Serializable, AlgorithmMixin):
         self, index_mixed_tracks: bool = False, keep_ids: Optional[Set[str]] = None
     ):
         """Two-level index {cut_id: interval index of supervisions}."""
-        indexed = {}
+        out = {}
         for cut in self:
-            indexed.update(
-                cut.index_supervisions(
-                    index_mixed_tracks=index_mixed_tracks, keep_ids=keep_ids
-                )
+            per_cut = cut.index_supervisions(
+                index_mixed_tracks=index_mixed_tracks, keep_ids=keep_ids
             )
-        return indexed
+            out.update(per_cut)
+        return out
 
     def pad(
         self,
@@ -704,15 +643,11 @@ class CutSet(Serializable, AlgorithmMixin):
             else:
                 duration = max(cut.duration for cut in self)
         return self.map(
-            partial(
-                _pad,
-                duration=duration,
-                num_frames=num_frames,
-                num_samples=num_samples,
-                pad_feat_value=pad_feat_value,
-                direction=direction,
-                preserve_id=preserve_id,
-                pad_value_dict=pad_value_dict,
+            _CutOp(
+                "pad",
+                duration=duration, num_frames=num_frames, num_samples=num_samples,
+                pad_feat_value=pad_feat_value, direction=direction,
+                preserve_id=preserve_id, pad_value_dict=pad_value_dict,
             )
         )
 
@@ -731,11 +666,9 @@ class CutSet(Serializable, AlgorithmMixin):
         return self.map(
             partial(
                 _truncate_single,
-                max_duration=max_duration,
-                offset_type=offset_type,
+                max_duration=max_duration, offset_type=offset_type,
                 keep_excessive_supervisions=keep_excessive_supervisions,
-                preserve_id=preserve_id,
-                rng=rng,
+                preserve_id=preserve_id, rng=rng,
             )
         )
 
@@ -748,12 +681,10 @@ class CutSet(Serializable, AlgorithmMixin):
     ) -> "CutSet":
         """Extend cuts by ``duration`` with real recording context."""
         return self.map(
-            partial(
-                _extend_by,
-                duration=duration,
-                direction=direction,
-                preserve_id=preserve_id,
-                pad_silence=pad_silence,
+            _CutOp(
+                "extend_by",
+                duration=duration, direction=direction,
+                preserve_id=preserve_id, pad_silence=pad_silence,
             )
         )
 
@@ -767,29 +698,14 @@ class CutSet(Serializable, AlgorithmMixin):
         """Traverse each cut in ``duration``-second windows every ``hop`` seconds."""
         if not hop:
             hop = duration
-        if num_jobs == 1:
-            return CutSet(
-                LazyFlattener(
-                    LazyMapper(
-                        self.data,
-                        partial(
-                            _cut_into_windows_single,
-                            duration=duration,
-                            hop=hop,
-                            keep_excessive_supervisions=keep_excessive_supervisions,
-                        ),
-                    )
-                )
-            )
-        from lhotse_tpu.manipulation import split_parallelize_combine
-
-        return split_parallelize_combine(
+        return self._one_to_many(
+            _SetOrCutOp(
+                "cut_into_windows",
+                duration=duration,
+                hop=hop,
+                keep_excessive_supervisions=keep_excessive_supervisions,
+            ),
             num_jobs,
-            self,
-            _cut_into_windows_single,
-            duration=duration,
-            hop=hop,
-            keep_excessive_supervisions=keep_excessive_supervisions,
         )
 
     def cut_into_windows_balanced(
@@ -801,31 +717,15 @@ class CutSet(Serializable, AlgorithmMixin):
         num_jobs: int = 1,
     ) -> "CutSet":
         """Split cuts into windows sized within [min, max] to minimize padding."""
-        if num_jobs == 1:
-            return CutSet(
-                LazyFlattener(
-                    LazyMapper(
-                        self.data,
-                        partial(
-                            _cut_into_windows_balanced_single,
-                            min_duration=min_duration,
-                            max_duration=max_duration,
-                            overlap=overlap,
-                            keep_excessive_supervisions=keep_excessive_supervisions,
-                        ),
-                    )
-                )
-            )
-        from lhotse_tpu.manipulation import split_parallelize_combine
-
-        return split_parallelize_combine(
+        return self._one_to_many(
+            _SetOrCutOp(
+                "cut_into_windows_balanced",
+                min_duration=min_duration,
+                max_duration=max_duration,
+                overlap=overlap,
+                keep_excessive_supervisions=keep_excessive_supervisions,
+            ),
             num_jobs,
-            self,
-            _cut_into_windows_balanced_single,
-            min_duration=min_duration,
-            max_duration=max_duration,
-            overlap=overlap,
-            keep_excessive_supervisions=keep_excessive_supervisions,
         )
 
     def load_audio(
@@ -861,36 +761,33 @@ class CutSet(Serializable, AlgorithmMixin):
     ) -> "CutSet":
         """Lazily resample all cuts (drops attached feature manifests)."""
         return self.map(
-            partial(
-                _resample,
-                sampling_rate=sampling_rate,
-                affix_id=affix_id,
+            _CutOp(
+                "resample",
+                sampling_rate=sampling_rate, affix_id=affix_id,
                 recording_field=recording_field,
             )
         )
 
     def perturb_speed(self, factor: float, affix_id: bool = True) -> "CutSet":
         """Lazy speed perturbation over all cuts (supervisions follow)."""
-        return self.map(partial(_perturb_speed, factor=factor, affix_id=affix_id))
+        return self.map(_CutOp("perturb_speed", factor=factor, affix_id=affix_id))
 
     def perturb_tempo(self, factor: float, affix_id: bool = True) -> "CutSet":
         """Lazy tempo (pitch-preserving) perturbation over all cuts."""
-        return self.map(partial(_perturb_tempo, factor=factor, affix_id=affix_id))
+        return self.map(_CutOp("perturb_tempo", factor=factor, affix_id=affix_id))
 
     def perturb_volume(self, factor: float, affix_id: bool = True) -> "CutSet":
         """Lazy volume perturbation over all cuts."""
-        return self.map(partial(_perturb_volume, factor=factor, affix_id=affix_id))
+        return self.map(_CutOp("perturb_volume", factor=factor, affix_id=affix_id))
 
     def narrowband(
         self, codec: str, restore_orig_sr: bool = True, affix_id: bool = True
     ) -> "CutSet":
         """Lazy narrowband effect over all cuts."""
         return self.map(
-            partial(
-                _narrowband,
-                codec=codec,
-                restore_orig_sr=restore_orig_sr,
-                affix_id=affix_id,
+            _CutOp(
+                "narrowband",
+                codec=codec, restore_orig_sr=restore_orig_sr, affix_id=affix_id,
             )
         )
 
@@ -899,17 +796,15 @@ class CutSet(Serializable, AlgorithmMixin):
     ) -> "CutSet":
         """Lazy loudness normalization to ``target`` LUFS over all cuts."""
         return self.map(
-            partial(
-                _normalize_loudness,
-                target=target,
-                mix_first=mix_first,
-                affix_id=affix_id,
+            _CutOp(
+                "normalize_loudness",
+                target=target, mix_first=mix_first, affix_id=affix_id,
             )
         )
 
     def dereverb_wpe(self, affix_id: bool = True) -> "CutSet":
         """Lazy WPE dereverberation over all cuts."""
-        return self.map(partial(_dereverb_wpe, affix_id=affix_id))
+        return self.map(_CutOp("dereverb_wpe", affix_id=affix_id))
 
     def reverb_rir(
         self,
@@ -922,13 +817,11 @@ class CutSet(Serializable, AlgorithmMixin):
         """Lazy reverberation with randomly chosen (or synthetic) RIRs."""
         rir_recordings = list(rir_recordings) if rir_recordings else None
         return self.map(
-            partial(
-                _reverb_rir,
+            _CutOp(
+                "reverb_rir",
                 rir_recording=random.choice(rir_recordings) if rir_recordings else None,
-                normalize_output=normalize_output,
-                early_only=early_only,
-                affix_id=affix_id,
-                rir_channels=rir_channels,
+                normalize_output=normalize_output, early_only=early_only,
+                affix_id=affix_id, rir_channels=rir_channels,
             )
         )
 
@@ -946,35 +839,28 @@ class CutSet(Serializable, AlgorithmMixin):
     ) -> "CutSet":
         """Lazily mix randomly-sampled cuts from ``cuts`` into this CutSet
         (noise/music/babble augmentation)."""
-        return CutSet(
-            LazyCutMixer(
-                cuts=self,
-                mix_in_cuts=cuts,
-                duration=duration,
-                allow_padding=allow_padding,
-                snr=snr,
-                preserve_id=preserve_id,
-                mix_prob=mix_prob,
-                seed=seed,
-                random_mix_offset=random_mix_offset,
-                tag=tag,
-            )
+        mixer = LazyCutMixer(
+            cuts=self, mix_in_cuts=cuts, duration=duration,
+            allow_padding=allow_padding, snr=snr, preserve_id=preserve_id,
+            mix_prob=mix_prob, seed=seed, random_mix_offset=random_mix_offset,
+            tag=tag,
         )
+        return CutSet(mixer)
 
     def drop_features(self) -> "CutSet":
-        return self.map(_drop_features)
+        return self.map(_CutOp("drop_features"))
 
     def drop_recordings(self) -> "CutSet":
-        return self.map(_drop_recordings)
+        return self.map(_CutOp("drop_recording"))
 
     def drop_supervisions(self) -> "CutSet":
-        return self.map(_drop_supervisions)
+        return self.map(_CutOp("drop_supervisions"))
 
     def drop_alignments(self) -> "CutSet":
-        return self.map(_drop_alignments)
+        return self.map(_CutOp("drop_alignments"))
 
     def drop_in_memory_data(self) -> "CutSet":
-        return self.map(_drop_in_memory_data)
+        return self.map(_CutOp("drop_in_memory_data"))
 
     def compute_and_store_features(
         self,
@@ -992,11 +878,7 @@ class CutSet(Serializable, AlgorithmMixin):
         ``num_jobs`` processes (work split via LazySlicer; per-job sub-storage
         merged with combine()).
         """
-        from lhotse_tpu.manipulation import combine as combine_manifests
-
-        progress = lambda x: x
-        if num_jobs is None:
-            num_jobs = 1
+        num_jobs = ifnone(num_jobs, 1)
         storage_type = ifnone(storage_type, default_features_storage_backend())
         if num_jobs == 1 and executor is not None:
             logging.warning(
@@ -1006,74 +888,77 @@ class CutSet(Serializable, AlgorithmMixin):
             executor = None
 
         if executor is None and num_jobs == 1:
-            if progress_bar:
-                from tqdm.auto import tqdm
+            return self._extract_features_single_process(
+                extractor, storage_type, storage_path, augment_fn, mix_eagerly,
+                progress_bar,
+            )
+        return self._extract_features_fanout(
+            extractor, storage_type, storage_path, augment_fn, mix_eagerly,
+            progress_bar, num_jobs, executor,
+        )
 
-                progress = partial(
-                    tqdm, desc="Extracting and storing features", total=len(self)
+    def _extract_features_single_process(
+        self, extractor, storage_type, storage_path, augment_fn, mix_eagerly,
+        progress_bar,
+    ) -> "CutSet":
+        track = _progressbar(
+            progress_bar, desc="Extracting and storing features", total=len(self)
+        )
+        done = []
+        with storage_type(storage_path) as storage:
+            for cut in track(self):
+                safe_extract = null_result_on_audio_loading_error(
+                    cut.compute_and_store_features
                 )
-            with storage_type(storage_path) as storage:
-                return CutSet.from_cuts(
-                    maybe_cut
-                    for maybe_cut in progress(
-                        null_result_on_audio_loading_error(
-                            cut.compute_and_store_features
-                        )(
-                            extractor=extractor,
-                            storage=storage,
-                            augment_fn=augment_fn,
-                            mix_eagerly=mix_eagerly,
-                        )
-                        for cut in self
-                    )
-                    if maybe_cut is not None
+                out = safe_extract(
+                    extractor=extractor,
+                    storage=storage,
+                    augment_fn=augment_fn,
+                    mix_eagerly=mix_eagerly,
                 )
+                if out is not None:
+                    done.append(out)
+        return CutSet(done)
+
+    def _extract_features_fanout(
+        self, extractor, storage_type, storage_path, augment_fn, mix_eagerly,
+        progress_bar, num_jobs, executor,
+    ) -> "CutSet":
+        from lhotse_tpu.manipulation import combine as combine_manifests
 
         if "://" in str(storage_path):
-
-            def sub_storage_path(idx: int) -> str:
-                return f"{storage_path}/feats-{idx}"
-
+            job_storage = [f"{storage_path}/feats-{i}" for i in range(num_jobs)]
         else:
             storage_path = Path(storage_path)
             storage_path.mkdir(parents=True, exist_ok=True)
+            job_storage = [storage_path / f"feats-{i}" for i in range(num_jobs)]
 
-            def sub_storage_path(idx: int) -> str:
-                return storage_path / f"feats-{idx}"
-
-        # Work split: every i-th cut of n goes to job i.
-        cut_sets = [
-            CutSet(LazySlicer(self.data, k=i, n=num_jobs)) for i in range(num_jobs)
-        ]
         if executor is None:
             import multiprocessing
 
             executor = ProcessPoolExecutor(
                 num_jobs, mp_context=multiprocessing.get_context("spawn")
             )
+        # Stripe the work: job i processes every num_jobs-th cut starting at i.
         futures = [
             executor.submit(
                 CutSet.compute_and_store_features,
-                cs,
+                CutSet(LazySlicer(self.data, k=i, n=num_jobs)),
                 extractor=extractor,
-                storage_path=sub_storage_path(i),
+                storage_path=job_storage[i],
                 augment_fn=augment_fn,
                 storage_type=storage_type,
                 mix_eagerly=mix_eagerly,
                 progress_bar=False,
             )
-            for i, cs in enumerate(cut_sets)
+            for i in range(num_jobs)
         ]
-        if progress_bar:
-            from tqdm.auto import tqdm
-
-            progress = partial(
-                tqdm,
-                desc="Extracting and storing features (chunks progress)",
-                total=len(futures),
-            )
-        cuts_with_feats = combine_manifests(progress(f.result() for f in futures))
-        return cuts_with_feats
+        track = _progressbar(
+            progress_bar,
+            desc="Extracting and storing features (chunks progress)",
+            total=len(futures),
+        )
+        return combine_manifests(track(f.result() for f in futures))
 
     def compute_and_store_features_batch(
         self,
@@ -1150,20 +1035,16 @@ class CutSet(Serializable, AlgorithmMixin):
                 if isinstance(cut, DataCut):
                     feat_manifest.recording_id = cut.recording_id
                     cut = fastcopy(cut, features=feat_manifest)
-                if isinstance(cut, MixedCut):
-                    # Mixed cuts are flattened into mono feature-only cuts.
+                elif isinstance(cut, MixedCut):
+                    # A mixed cut flattens into a mono feature-only cut.
                     feat_manifest.recording_id = cut.id
                     cut = MonoCut(
-                        id=cut.id,
-                        start=0,
-                        duration=cut.duration,
-                        channel=0,
+                        id=cut.id, start=0, duration=cut.duration, channel=0,
                         supervisions=[
                             fastcopy(s, recording_id=cut.id, channel=0)
                             for s in cut.supervisions
                         ],
-                        features=feat_manifest,
-                        recording=None,
+                        features=feat_manifest, recording=None,
                     )
                 cuts_writer.write(cut, flush=True)
 
@@ -1228,30 +1109,25 @@ class CutSet(Serializable, AlgorithmMixin):
         ``{storage_path}/{id[:3]}/{id}.{format}``."""
         from lhotse_tpu.manipulation import combine as combine_manifests
 
-        progress = lambda x: x
-        if num_jobs is None:
-            num_jobs = 1
+        num_jobs = ifnone(num_jobs, 1)
         if num_jobs == 1 and executor is not None:
             logging.warning(
                 "Executor argument was passed but num_jobs set to 1: ignoring it."
             )
             executor = None
 
-        def file_storage_path(cut: Cut, storage_path: Pathlike) -> Path:
-            # 3-char-prefix subdirs avoid one giant flat directory.
-            subdir = Path(storage_path) / cut.id[:3]
-            subdir.mkdir(exist_ok=True, parents=True)
-            return subdir / (cut.id + "." + format)
+        def target_file(cut: Cut) -> Path:
+            # Bucket files into 3-char-prefix subdirs to keep dirs small.
+            bucket = Path(storage_path) / cut.id[:3]
+            bucket.mkdir(exist_ok=True, parents=True)
+            return bucket / f"{cut.id}.{format}"
 
         if executor is None and num_jobs == 1:
-            if progress_bar:
-                from tqdm.auto import tqdm
-
-                progress = partial(tqdm, desc="Storing audio recordings")
+            track = _progressbar(progress_bar, desc="Storing audio recordings")
             return CutSet(
-                progress(
+                track(
                     cut.save_audio(
-                        storage_path=file_storage_path(cut, storage_path),
+                        storage_path=target_file(cut),
                         format=format,
                         encoding=encoding,
                         augment_fn=augment_fn,
@@ -1260,7 +1136,6 @@ class CutSet(Serializable, AlgorithmMixin):
                 )
             ).to_eager()
 
-        cut_sets = self.split(num_jobs, shuffle=shuffle_on_split)
         if executor is None:
             import multiprocessing
 
@@ -1270,23 +1145,21 @@ class CutSet(Serializable, AlgorithmMixin):
         futures = [
             executor.submit(
                 CutSet.save_audios,
-                cs,
+                piece,
                 storage_path=storage_path,
                 format=format,
                 encoding=encoding,
                 augment_fn=augment_fn,
                 progress_bar=False,
             )
-            for i, cs in enumerate(cut_sets)
+            for piece in self.split(num_jobs, shuffle=shuffle_on_split)
         ]
-        if progress_bar:
-            from tqdm.auto import tqdm
-
-            progress = partial(
-                tqdm, desc="Storing audio recordings (chunks progress)", total=len(futures)
-            )
-        cuts = combine_manifests(progress(f.result() for f in futures))
-        return cuts
+        track = _progressbar(
+            progress_bar,
+            desc="Storing audio recordings (chunks progress)",
+            total=len(futures),
+        )
+        return combine_manifests(track(f.result() for f in futures))
 
     def compute_global_feature_stats(
         self,
@@ -1331,10 +1204,10 @@ class CutSet(Serializable, AlgorithmMixin):
         )
 
     def with_features_path_prefix(self, path: Pathlike) -> "CutSet":
-        return self.map(partial(_add_features_path_prefix_single, path=path))
+        return self.map(_CutOp("with_features_path_prefix", path))
 
     def with_recording_path_prefix(self, path: Pathlike) -> "CutSet":
-        return self.map(partial(_add_recording_path_prefix_single, path=path))
+        return self.map(_CutOp("with_recording_path_prefix", path))
 
     def copy_data(self, output_dir: Pathlike, verbose: bool = True) -> "CutSet":
         """Copy every referenced data item (audio/features/custom arrays)
@@ -1366,7 +1239,14 @@ class CutSet(Serializable, AlgorithmMixin):
             output_dir / "cuts.jsonl.gz"
         ) as manifest_writer, feature_writer_type(feature_storage) as feature_writer:
 
-            def _copy_single(cut):
+            def custom_writer_for(key):
+                if key not in custom_writers:
+                    d = custom_dir / key
+                    d.mkdir(exist_ok=True, parents=True)
+                    custom_writers[key] = NumpyHdf5Writer(d / "data")
+                return custom_writers[key]
+
+            def relocate(cut):
                 cut = fastcopy(cut)
                 if cut.has_features:
                     cut.features = cut.features.copy_feats(writer=feature_writer)
@@ -1374,29 +1254,22 @@ class CutSet(Serializable, AlgorithmMixin):
                     cut = cut.save_audio(
                         (audio_dir / cut.recording_id).with_suffix(".wav")
                     )
-                if cut.custom is not None:
-                    for k, v in cut.custom.items():
-                        if isinstance(v, (Array, TemporalArray)):
-                            if k not in custom_writers:
-                                p = custom_dir / k
-                                p.mkdir(exist_ok=True, parents=True)
-                                custom_writers[k] = NumpyHdf5Writer(p / "data")
-                            custom_writers[k].write(cut.id, v.load())
+                for k, v in (cut.custom or {}).items():
+                    if isinstance(v, (Array, TemporalArray)):
+                        custom_writer_for(k).write(cut.id, v.load())
                 return cut
 
             for item in progbar(self):
                 if isinstance(item, PaddingCut):
                     manifest_writer.write(item)
-                    continue
-                if isinstance(item, MixedCut):
-                    cpy = fastcopy(item)
-                    for t in cpy.tracks:
+                elif isinstance(item, MixedCut):
+                    copy = fastcopy(item)
+                    for t in copy.tracks:
                         if isinstance(t.cut, DataCut):
-                            _copy_single(t.cut)
-                    manifest_writer.write(cpy)
+                            relocate(t.cut)
+                    manifest_writer.write(copy)
                 elif isinstance(item, DataCut):
-                    cpy = _copy_single(item)
-                    manifest_writer.write(cpy)
+                    manifest_writer.write(relocate(item))
                 else:
                     raise RuntimeError(f"Unexpected manifest type: {type(item)}")
 
@@ -1410,35 +1283,32 @@ class CutSet(Serializable, AlgorithmMixin):
         """Re-store every feature matrix with ``writer``; returns an updated manifest."""
         with CutSet.open_writer(output_path) as manifest_writer:
             for item in self:
-                if not item.has_features or isinstance(item, PaddingCut):
-                    manifest_writer.write(item)
-                    continue
-                if isinstance(item, MixedCut):
-                    cpy = fastcopy(item)
-                    for t in cpy.tracks:
-                        if isinstance(t.cut, DataCut):
-                            t.cut.features = t.cut.features.copy_feats(writer=writer)
-                    manifest_writer.write(cpy)
-                elif isinstance(item, DataCut):
-                    cpy = fastcopy(item)
-                    cpy.features = cpy.features.copy_feats(writer=writer)
-                    manifest_writer.write(cpy)
-                else:
-                    manifest_writer.write(item)
+                out = item
+                if item.has_features and not isinstance(item, PaddingCut):
+                    if isinstance(item, MixedCut):
+                        out = fastcopy(item)
+                        for t in out.tracks:
+                            if isinstance(t.cut, DataCut):
+                                t.cut.features = t.cut.features.copy_feats(writer=writer)
+                    elif isinstance(item, DataCut):
+                        out = fastcopy(
+                            item, features=item.features.copy_feats(writer=writer)
+                        )
+                manifest_writer.write(out)
         return manifest_writer.open_manifest()
 
     def modify_ids(self, transform_fn: Callable[[str], str]) -> "CutSet":
         """Transform every cut's ID with ``transform_fn``."""
-        return self.map(partial(_with_id, transform_fn=transform_fn))
+        return self.map(_RenameCut(transform_fn))
 
     def fill_supervisions(self, add_empty: bool = True, shrink_ok: bool = False) -> "CutSet":
         """Make each cut's single supervision span its entire duration."""
-        return self.map(partial(_fill_supervision, add_empty=add_empty, shrink_ok=shrink_ok))
+        return self.map(_CutOp("fill_supervision", add_empty=add_empty, shrink_ok=shrink_ok))
 
     def map_supervisions(
         self, transform_fn: Callable[[SupervisionSegment], SupervisionSegment]
     ) -> "CutSet":
-        return self.map(partial(_map_supervisions, transform_fn=transform_fn))
+        return self.map(_CutOp("map_supervisions", transform_fn))
 
     def transform_text(self, transform_fn: Callable[[str], str]) -> "CutSet":
         """Transform every supervision's text."""
@@ -1567,119 +1437,122 @@ def mix(
     tag: Optional[str] = None,
 ) -> MixedCut:
     """
-    Overlay two cuts into a MixedCut: the mixed-in cut is shifted by
-    ``offset`` and SNR-scaled relative to the reference; actual mixing
-    happens lazily on load (reference: cut/set.py:3022).
+    Overlay two cuts: ``mixed_in_cut`` enters at ``offset`` seconds, scaled to
+    ``snr`` dB below the reference.  The result is a MixedCut — summation only
+    happens when it is loaded.
     """
-    if (
-        any(isinstance(cut, PaddingCut) for cut in (reference_cut, mixed_in_cut))
-        and snr is not None
-    ):
+    snr = _sanitize_mix_snr(reference_cut, mixed_in_cut, snr)
+    _check_mixable(reference_cut, mixed_in_cut, offset, allow_padding)
+    out_id = _pick_mixed_id(reference_cut, mixed_in_cut, preserve_id)
+    if offset > reference_cut.duration:
+        reference_cut = reference_cut.pad(duration=offset)
+    tracks = _tracks_of_reference(reference_cut) + _tracks_of_mixed_in(
+        mixed_in_cut, offset, snr, tag
+    )
+    return MixedCut(id=out_id, tracks=tracks)
+
+
+def _sanitize_mix_snr(a: Cut, b: Cut, snr) -> Optional[Decibels]:
+    if snr is not None and any(isinstance(c, PaddingCut) for c in (a, b)):
         warnings.warn(
             "You are mixing cuts to a padding cut with a specified SNR — "
             "setting snr to None to retain the original signal energies."
         )
-        snr = None
+        return None
+    return snr
 
-    if reference_cut.num_features is not None and mixed_in_cut.num_features is not None:
-        assert (
-            reference_cut.num_features == mixed_in_cut.num_features
-        ), "Cannot mix cuts with different feature dimensions."
-    assert offset <= reference_cut.duration or allow_padding, (
-        f"Cannot mix cut '{mixed_in_cut.id}' with offset {offset}, which is "
-        f"greater than cut {reference_cut.id}'s duration of "
-        f"{reference_cut.duration}. Set `allow_padding=True` to allow padding."
-    )
-    assert reference_cut.sampling_rate == mixed_in_cut.sampling_rate, (
-        f"Cannot mix cuts with different sampling rates "
-        f"({reference_cut.sampling_rate} vs. {mixed_in_cut.sampling_rate}). "
-        f"Please resample the recordings first."
-    )
 
-    # MultiCut channel-consistency checks.
-    if isinstance(reference_cut, MultiCut) or isinstance(mixed_in_cut, MultiCut):
-        if isinstance(reference_cut, MultiCut) and isinstance(mixed_in_cut, MultiCut):
-            assert (
-                reference_cut.channel == mixed_in_cut.channel
-            ), "Cannot mix MultiCuts with different channel ids."
-        if isinstance(reference_cut, MixedCut) or isinstance(mixed_in_cut, MixedCut):
-            if isinstance(reference_cut, MixedCut):
-                mixed_cut = reference_cut
-                multi_cut = mixed_in_cut
-            else:
-                mixed_cut = mixed_in_cut
-                multi_cut = reference_cut
-            assert all(
-                track.type != "MultiCut" or track.cut.channel == multi_cut.channel
-                for track in mixed_cut.tracks
-            ), (
+def _check_mixable(ref: Cut, other: Cut, offset: Seconds, allow_padding: bool) -> None:
+    if (
+        ref.num_features is not None
+        and other.num_features is not None
+        and ref.num_features != other.num_features
+    ):
+        raise AssertionError("Cannot mix cuts with different feature dimensions.")
+    if offset > ref.duration and not allow_padding:
+        raise AssertionError(
+            f"Cannot mix cut '{other.id}' with offset {offset}, which is "
+            f"greater than cut {ref.id}'s duration of {ref.duration}. "
+            f"Set `allow_padding=True` to allow padding."
+        )
+    if ref.sampling_rate != other.sampling_rate:
+        raise AssertionError(
+            f"Cannot mix cuts with different sampling rates "
+            f"({ref.sampling_rate} vs. {other.sampling_rate}). "
+            f"Please resample the recordings first."
+        )
+    # Channel layouts must line up when MultiCuts are involved.
+    if isinstance(ref, MultiCut) and isinstance(other, MultiCut):
+        if ref.channel != other.channel:
+            raise AssertionError("Cannot mix MultiCuts with different channel ids.")
+    if isinstance(ref, MultiCut) or isinstance(other, MultiCut):
+        mixed, multi = (ref, other) if isinstance(ref, MixedCut) else (other, ref)
+        if isinstance(mixed, MixedCut) and not all(
+            t.type != "MultiCut" or t.cut.channel == multi.channel
+            for t in mixed.tracks
+        ):
+            raise AssertionError(
                 "Cannot mix a MultiCut with a MixedCut containing MultiCuts "
                 "with different channel ids."
             )
 
+
+def _pick_mixed_id(ref: Cut, other: Cut, preserve_id: Optional[str]) -> str:
     if preserve_id is None:
-        mixed_cut_id = str(uuid4())
-    elif preserve_id == "left":
-        mixed_cut_id = reference_cut.id
-    elif preserve_id == "right":
-        mixed_cut_id = mixed_in_cut.id
-    else:
-        raise ValueError(
-            "Unexpected value for 'preserve_id' argument: "
-            f"got '{preserve_id}', expected one of (None, 'left', 'right')."
-        )
+        return str(uuid4())
+    if preserve_id == "left":
+        return ref.id
+    if preserve_id == "right":
+        return other.id
+    raise ValueError(
+        "Unexpected value for 'preserve_id' argument: "
+        f"got '{preserve_id}', expected one of (None, 'left', 'right')."
+    )
 
-    if offset > reference_cut.duration:
-        reference_cut = reference_cut.pad(duration=offset)
 
-    # Reuse the reference MixedCut's tracks when it has no transforms/mutes.
+def _tracks_of_reference(ref: Cut) -> List[MixTrack]:
+    # A clean MixedCut (no transforms/mutes) contributes its tracks directly;
+    # anything else becomes a single opaque track.
     if (
-        isinstance(reference_cut, MixedCut)
-        and len(ifnone(reference_cut.transforms, [])) == 0
-        and not any(track.mute for track in reference_cut.tracks)
+        isinstance(ref, MixedCut)
+        and not ifnone(ref.transforms, [])
+        and not any(t.mute for t in ref.tracks)
     ):
-        old_tracks = _ensure_explicit_snr_reference(reference_cut.tracks.copy())
-    elif isinstance(reference_cut, (DataCut, PaddingCut, MixedCut)):
-        old_tracks = [
-            MixTrack(
-                cut=reference_cut,
-                is_snr_reference=not isinstance(reference_cut, PaddingCut),
-            )
-        ]
-    else:
-        raise ValueError(f"Unsupported type of cut in mix(): {type(reference_cut)}")
+        return _ensure_explicit_snr_reference(list(ref.tracks))
+    if isinstance(ref, (DataCut, PaddingCut, MixedCut)):
+        return [MixTrack(cut=ref, is_snr_reference=not isinstance(ref, PaddingCut))]
+    raise ValueError(f"Unsupported type of cut in mix(): {type(ref)}")
 
-    if isinstance(mixed_in_cut, MixedCut):
-        if len(ifnone(mixed_in_cut.transforms, [])) > 0 or any(
-            track.mute for track in mixed_in_cut.tracks
-        ):
-            new_tracks = [MixTrack(cut=mixed_in_cut, offset=offset, snr=snr, tag=tag)]
-        else:
-            new_tracks = [
-                MixTrack(
-                    cut=track.cut,
-                    offset=round(track.offset + offset, ndigits=8),
-                    snr=(
-                        # No new SNR -> keep the track's; new SNR + no old -> new;
-                        # both -> sum (SNRs are relative to the first track).
-                        track.snr
-                        if snr is None
-                        else snr
-                        if track.snr is None
-                        else track.snr + snr
-                    ),
-                    tag=track.tag if track.tag is not None else tag,
-                    is_snr_reference=False,
-                    mute=track.mute,
-                )
-                for track in mixed_in_cut.tracks
-            ]
-    elif isinstance(mixed_in_cut, (DataCut, PaddingCut)):
-        new_tracks = [MixTrack(cut=mixed_in_cut, offset=offset, snr=snr, tag=tag)]
-    else:
-        raise ValueError(f"Unsupported type of cut in mix(): {type(mixed_in_cut)}")
 
-    return MixedCut(id=mixed_cut_id, tracks=old_tracks + new_tracks)
+def _tracks_of_mixed_in(other: Cut, offset, snr, tag) -> List[MixTrack]:
+    if isinstance(other, (DataCut, PaddingCut)):
+        return [MixTrack(cut=other, offset=offset, snr=snr, tag=tag)]
+    if not isinstance(other, MixedCut):
+        raise ValueError(f"Unsupported type of cut in mix(): {type(other)}")
+    if ifnone(other.transforms, []) or any(t.mute for t in other.tracks):
+        # Transforms/mutes must apply to the sub-mix as a whole: keep opaque.
+        return [MixTrack(cut=other, offset=offset, snr=snr, tag=tag)]
+
+    def combined_snr(track_snr):
+        # No new SNR keeps the track's own; both present add up (SNRs are
+        # relative to the first track of the mix).
+        if snr is None:
+            return track_snr
+        if track_snr is None:
+            return snr
+        return track_snr + snr
+
+    return [
+        MixTrack(
+            cut=t.cut,
+            offset=round(t.offset + offset, ndigits=8),
+            snr=combined_snr(t.snr),
+            tag=t.tag if t.tag is not None else tag,
+            is_snr_reference=False,
+            mute=t.mute,
+        )
+        for t in other.tracks
+    ]
 
 
 def pad(
@@ -1693,101 +1566,39 @@ def pad(
     pad_value_dict: Optional[Dict[str, Union[int, float]]] = None,
 ) -> Cut:
     """
-    Pad a cut with a PaddingCut to a target duration / frame count / sample
-    count (mutually exclusive); returns the cut unchanged when already long
-    enough (reference: cut/set.py:3174).
+    Grow a cut to a target duration / frame count / sample count (exactly one
+    may be given) by appending a PaddingCut; returns the input unchanged when
+    it already reaches the target.
     """
     from lhotse_tpu.utils import DEFAULT_PADDING_VALUE
 
-    assert exactly_one_not_null(duration, num_frames, num_samples), (
-        f"Expected only one of (duration, num_frames, num_samples) to be set: "
-        f"got ({duration}, {num_frames}, {num_samples})"
-    )
-    if hasattr(cut, "custom") and isinstance(cut.custom, dict):
-        from lhotse_tpu.array import TemporalArray
-
-        arr_keys = [k for k, v in cut.custom.items() if isinstance(v, TemporalArray)]
-        if len(arr_keys) > 0:
-            padding_values_specified = pad_value_dict is not None and all(
-                k in pad_value_dict for k in arr_keys
-            )
-            if not padding_values_specified:
-                warnings.warn(
-                    f"Cut being padded has custom TemporalArray attributes: "
-                    f"{arr_keys}. Expected a 'pad_value_dict' argument with "
-                    f"padding values for them; using the default "
-                    f"(={DEFAULT_PADDING_VALUE})."
-                )
-
-    if duration is not None:
-        if duration <= cut.duration:
-            return cut
-        total_num_frames = (
-            compute_num_frames(
-                duration=duration,
-                frame_shift=cut.frame_shift,
-                sampling_rate=cut.sampling_rate,
-            )
-            if cut.has_features
-            else None
+    if not exactly_one_not_null(duration, num_frames, num_samples):
+        raise AssertionError(
+            f"Expected only one of (duration, num_frames, num_samples) to be "
+            f"set: got ({duration}, {num_frames}, {num_samples})"
         )
-        total_num_samples = (
-            compute_num_samples(duration=duration, sampling_rate=cut.sampling_rate)
-            if cut.has_recording
-            else None
-        )
+    _warn_about_unpadded_temporal_arrays(cut, pad_value_dict, DEFAULT_PADDING_VALUE)
 
-    if num_frames is not None:
-        assert cut.has_features, (
-            "Cannot pad a cut using num_frames when it is missing pre-computed "
-            "features (run cut.compute_and_store_features(...) first)."
-        )
-        total_num_frames = num_frames
-        duration = total_num_frames * cut.frame_shift
-        total_num_samples = (
-            compute_num_samples(duration=duration, sampling_rate=cut.sampling_rate)
-            if cut.has_recording
-            else None
-        )
-        if (
-            total_num_frames <= cut.num_frames
-            and duration <= cut.duration
-            and (total_num_samples is None or total_num_samples <= cut.num_samples)
-        ):
-            return cut
+    target = _pad_geometry(cut, duration, num_frames, num_samples)
+    if target is None:
+        return cut
+    duration, total_num_frames, total_num_samples = target
 
-    if num_samples is not None:
-        assert cut.has_recording, (
-            "Cannot pad a cut using num_samples when it is missing a Recording."
-        )
-        if num_samples <= cut.num_samples:
-            return cut
-        total_num_samples = num_samples
-        duration = total_num_samples / cut.sampling_rate
-        total_num_frames = (
-            compute_num_frames(
-                duration=duration,
-                frame_shift=cut.frame_shift,
-                sampling_rate=cut.sampling_rate,
-            )
-            if cut.has_features
-            else None
-        )
-
-    padding_duration = round(duration - cut.duration, ndigits=8)
-
+    pad_span = round(duration - cut.duration, ndigits=8)
     video = None
     if cut.has_video:
-        video = cut.video
-        video = video.copy_with(num_frames=compute_num_samples(padding_duration, video.fps))
-
-    padding_cut = PaddingCut(
+        video = cut.video.copy_with(
+            num_frames=compute_num_samples(pad_span, cut.video.fps)
+        )
+    filler = PaddingCut(
         id=str(uuid4()),
-        duration=padding_duration,
+        duration=pad_span,
         feat_value=pad_feat_value,
         num_features=cut.num_features,
         num_frames=(total_num_frames - cut.num_frames if cut.has_features else None),
-        num_samples=(total_num_samples - cut.num_samples if cut.has_recording else None),
+        num_samples=(
+            total_num_samples - cut.num_samples if cut.has_recording else None
+        ),
         frame_shift=cut.frame_shift,
         sampling_rate=cut.sampling_rate,
         video=video,
@@ -1795,21 +1606,79 @@ def pad(
     )
 
     if direction == "right":
-        padded = cut.append(padding_cut, preserve_id="left" if preserve_id else None)
-    elif direction == "left":
-        padded = padding_cut.append(cut, preserve_id="right" if preserve_id else None)
-    elif direction == "both":
-        padded = (
-            padding_cut.truncate(duration=padding_cut.duration / 2)
-            .append(cut, preserve_id="right" if preserve_id else None)
-            .append(
-                padding_cut.truncate(duration=padding_cut.duration / 2),
-                preserve_id="left" if preserve_id else None,
-            )
+        return cut.append(filler, preserve_id="left" if preserve_id else None)
+    if direction == "left":
+        return filler.append(cut, preserve_id="right" if preserve_id else None)
+    if direction == "both":
+        half = filler.truncate(duration=filler.duration / 2)
+        return half.append(cut, preserve_id="right" if preserve_id else None).append(
+            half, preserve_id="left" if preserve_id else None
         )
-    else:
-        raise ValueError(f"Unknown type of padding: {direction}")
-    return padded
+    raise ValueError(f"Unknown type of padding: {direction}")
+
+
+def _warn_about_unpadded_temporal_arrays(cut, pad_value_dict, default_value) -> None:
+    from lhotse_tpu.array import TemporalArray
+
+    custom = getattr(cut, "custom", None)
+    if not isinstance(custom, dict):
+        return
+    arr_keys = [k for k, v in custom.items() if isinstance(v, TemporalArray)]
+    missing = pad_value_dict is None or any(k not in pad_value_dict for k in arr_keys)
+    if arr_keys and missing:
+        warnings.warn(
+            f"Cut being padded has custom TemporalArray attributes: {arr_keys}. "
+            f"Expected a 'pad_value_dict' argument with padding values for "
+            f"them; using the default (={default_value})."
+        )
+
+
+def _pad_geometry(cut, duration, num_frames, num_samples):
+    """Resolve the pad target to (duration, frames, samples); None = no-op."""
+
+    def frames_for(dur):
+        if not cut.has_features:
+            return None
+        return compute_num_frames(
+            duration=dur, frame_shift=cut.frame_shift, sampling_rate=cut.sampling_rate
+        )
+
+    def samples_for(dur):
+        if not cut.has_recording:
+            return None
+        return compute_num_samples(duration=dur, sampling_rate=cut.sampling_rate)
+
+    if duration is not None:
+        if duration <= cut.duration:
+            return None
+        return duration, frames_for(duration), samples_for(duration)
+
+    if num_frames is not None:
+        if not cut.has_features:
+            raise AssertionError(
+                "Cannot pad a cut using num_frames when it is missing "
+                "pre-computed features (run cut.compute_and_store_features(...) "
+                "first)."
+            )
+        duration = num_frames * cut.frame_shift
+        total_samples = samples_for(duration)
+        already_there = (
+            num_frames <= cut.num_frames
+            and duration <= cut.duration
+            and (total_samples is None or total_samples <= cut.num_samples)
+        )
+        if already_there:
+            return None
+        return duration, num_frames, total_samples
+
+    if not cut.has_recording:
+        raise AssertionError(
+            "Cannot pad a cut using num_samples when it is missing a Recording."
+        )
+    if num_samples <= cut.num_samples:
+        return None
+    duration = num_samples / cut.sampling_rate
+    return duration, frames_for(duration), num_samples
 
 
 def append(
@@ -1871,6 +1740,65 @@ def compute_supervisions_frame_mask(
     return mask
 
 
+def _cut_cls_and_channel_from_features(feats):
+    mono = (
+        feats.channels is None
+        or isinstance(feats.channels, int)
+        or len(feats.channels) == 1
+    )
+    if mono:
+        return MonoCut, feats.channels if feats.channels is not None else 0
+    return MultiCut, list(feats.channels)
+
+
+def _cut_cls_and_channel_from_recording(recording):
+    if recording.num_channels == 1:
+        return MonoCut, recording.channel_ids[0]
+    return MultiCut, recording.channel_ids
+
+
+def _cut_from_features(
+    idx, feats, recording, sup_source, random_ids, tolerance
+) -> Cut:
+    cls, channel = _cut_cls_and_channel_from_features(feats)
+    sups = []
+    if sup_source is not None:
+        sups = list(
+            sup_source.find(
+                recording_id=feats.recording_id,
+                channel=channel,
+                start_after=feats.start,
+                end_before=feats.end,
+                adjust_offset=True,
+                tolerance=tolerance,
+            )
+        )
+    return cls(
+        id=str(uuid4()) if random_ids else f"{feats.recording_id}-{idx}",
+        start=feats.start,
+        duration=feats.duration,
+        channel=channel,
+        features=feats,
+        recording=recording,
+        supervisions=sups,
+    )
+
+
+def _cut_from_recording(idx, recording, sup_source, random_ids) -> Cut:
+    cls, channel = _cut_cls_and_channel_from_recording(recording)
+    sups = []
+    if sup_source is not None:
+        sups = list(sup_source.find(recording_id=recording.id))
+    return cls(
+        id=str(uuid4()) if random_ids else f"{recording.id}-{idx}",
+        start=0,
+        duration=recording.duration,
+        channel=channel,
+        recording=recording,
+        supervisions=sups,
+    )
+
+
 def create_cut_set_eager(
     recordings: Optional[RecordingSet] = None,
     supervisions: Optional[SupervisionSet] = None,
@@ -1880,80 +1808,40 @@ def create_cut_set_eager(
     tolerance: Seconds = 0.001,
 ) -> CutSet:
     """
-    Build cuts eagerly from manifests: boundaries from features when given,
-    else from recordings; matching supervisions attached with adjusted
-    offsets (reference: cut/set.py:3408).
+    Materialize cuts from manifests: when features are given they set the cut
+    boundaries (recordings optionally attached); otherwise each recording
+    becomes one whole-recording cut.  Matching supervisions are attached with
+    offsets made cut-relative.
     """
-    assert (
-        features is not None or recordings is not None
-    ), "At least one of 'features' or 'recordings' has to be provided."
-    sup_ok, feat_ok, rec_ok = (
-        supervisions is not None,
-        features is not None,
-        recordings is not None,
-    )
-    if sup_ok:
-        supervisions = supervisions.to_eager()  # .find() requires eager
-    if feat_ok:
-        if rec_ok:
+    if features is None and recordings is None:
+        raise AssertionError(
+            "At least one of 'features' or 'recordings' has to be provided."
+        )
+    if supervisions is not None:
+        supervisions = supervisions.to_eager()  # .find() needs random access
+    if features is not None:
+        if recordings is not None:
             recordings = recordings.to_eager()
-        cuts = []
-        for idx, feats in enumerate(features):
-            is_mono = (
-                feats.channels is None
-                or isinstance(feats.channels, int)
-                or len(feats.channels) == 1
-            )
-            if is_mono:
-                cls = MonoCut
-                channel = feats.channels if feats.channels is not None else 0
-            else:
-                cls = MultiCut
-                channel = list(feats.channels)
-            cuts.append(
-                cls(
-                    id=str(uuid4()) if random_ids else f"{feats.recording_id}-{idx}",
-                    start=feats.start,
-                    duration=feats.duration,
-                    channel=channel,
-                    features=feats,
-                    recording=recordings[feats.recording_id] if rec_ok else None,
-                    supervisions=list(
-                        supervisions.find(
-                            recording_id=feats.recording_id,
-                            channel=channel,
-                            start_after=feats.start,
-                            end_before=feats.end,
-                            adjust_offset=True,
-                            tolerance=tolerance,
-                        )
-                    )
-                    if sup_ok
-                    else [],
+        cuts = CutSet(
+            [
+                _cut_from_features(
+                    idx,
+                    feats,
+                    recordings[feats.recording_id] if recordings is not None else None,
+                    supervisions,
+                    random_ids,
+                    tolerance,
                 )
-            )
+                for idx, feats in enumerate(features)
+            ]
+        )
     else:
-        cuts = []
-        for ridx, recording in enumerate(recordings):
-            if recording.num_channels == 1:
-                cls = MonoCut
-                channel = recording.channel_ids[0]
-            else:
-                cls = MultiCut
-                channel = recording.channel_ids
-            cuts.append(
-                cls(
-                    id=str(uuid4()) if random_ids else f"{recording.id}-{ridx}",
-                    start=0,
-                    duration=recording.duration,
-                    channel=channel,
-                    recording=recording,
-                    supervisions=list(supervisions.find(recording_id=recording.id))
-                    if sup_ok
-                    else [],
-                )
-            )
-    cuts = CutSet(cuts)
+        cuts = CutSet(
+            [
+                _cut_from_recording(ridx, recording, supervisions, random_ids)
+                for ridx, recording in enumerate(recordings)
+            ]
+        )
     if output_path is not None:
         cuts.to_file(output_path)
     return cuts
@@ -1968,101 +1856,66 @@ def create_cut_set_lazy(
     tolerance: Seconds = 0.001,
 ) -> CutSet:
     """
-    Memory-efficient streaming variant of :func:`create_cut_set_eager`:
-    requires an output path and recording_id-sorted inputs
-    (reference: cut/set.py:3518).
+    Streaming variant of :func:`create_cut_set_eager`: writes cuts to
+    ``output_path`` while consuming the inputs once.  Inputs must be sorted
+    by recording id (supervisions are matched with a single forward scan).
     """
-    assert output_path is not None, (
-        "You must provide the 'output_path' argument to create a CutSet lazily."
-    )
-    assert (
-        features is not None or recordings is not None
-    ), "At least one of 'features' or 'recordings' has to be provided."
-    sup_ok, feat_ok, rec_ok = (
-        supervisions is not None,
-        features is not None,
-        recordings is not None,
-    )
-    for mtype, m in [
+    if output_path is None:
+        raise AssertionError(
+            "You must provide the 'output_path' argument to create a CutSet lazily."
+        )
+    if features is None and recordings is None:
+        raise AssertionError(
+            "At least one of 'features' or 'recordings' has to be provided."
+        )
+    for name, m in (
         ("recordings", recordings),
         ("supervisions", supervisions),
         ("features", features),
-    ]:
+    ):
         if m is not None and not m.is_lazy:
             logging.info(
-                f"Manifest passed in argument '{mtype}' is not opened lazily; "
-                f"open it with {type(m).__name__}.from_jsonl_lazy() to reduce memory usage."
+                f"Manifest passed in argument '{name}' is not opened lazily; "
+                f"open it with {type(m).__name__}.from_jsonl_lazy() to reduce "
+                f"memory usage."
             )
-    if feat_ok:
-        recordings = iter(recordings) if rec_ok else itertools.repeat(None)
-        supervisions = iter(supervisions) if sup_ok else itertools.repeat(None)
-        with CutSet.open_writer(output_path) as writer:
-            for idx, feats in enumerate(features):
-                rec = next(recordings)
-                assert rec is None or rec.id == feats.recording_id, (
-                    f"Mismatched recording_id: Features.recording_id == "
-                    f"{feats.recording_id} but Recording.id == '{rec.id}'"
-                )
-                sups, supervisions = _takewhile(
-                    supervisions, lambda s: s.recording_id == feats.recording_id
-                )
-                sups = SupervisionSet.from_segments(sups)
-                is_mono = (
-                    feats.channels is None
-                    or isinstance(feats.channels, int)
-                    or len(feats.channels) == 1
-                )
-                if is_mono:
-                    cls = MonoCut
-                    channel = feats.channels if feats.channels is not None else 0
-                else:
-                    cls = MultiCut
-                    channel = list(feats.channels)
-                cut = cls(
-                    id=str(uuid4()) if random_ids else f"{feats.recording_id}-{idx}",
-                    start=feats.start,
-                    duration=feats.duration,
-                    channel=channel,
-                    features=feats,
-                    recording=rec,
-                    supervisions=list(
-                        sups.find(
-                            recording_id=feats.recording_id,
-                            channel=channel,
-                            start_after=feats.start,
-                            end_before=feats.end,
-                            adjust_offset=True,
-                            tolerance=tolerance,
-                        )
-                    )
-                    if sup_ok
-                    else [],
-                )
-                writer.write(cut)
-        return CutSet.from_jsonl_lazy(output_path)
 
-    supervisions = iter(supervisions) if sup_ok else itertools.repeat(None)
+    sup_stream = iter(supervisions) if supervisions is not None else None
+
+    def sups_for(recording_id):
+        nonlocal sup_stream
+        if sup_stream is None:
+            return None
+        matched, sup_stream = _takewhile(
+            sup_stream, lambda s: s.recording_id == recording_id
+        )
+        return SupervisionSet.from_segments(matched)
+
     with CutSet.open_writer(output_path) as writer:
-        for ridx, recording in enumerate(recordings):
-            sups, supervisions = _takewhile(
-                supervisions, lambda s: s.recording_id == recording.id
+        if features is not None:
+            rec_stream = (
+                iter(recordings) if recordings is not None else itertools.repeat(None)
             )
-            sups = SupervisionSet.from_segments(sups)
-            if recording.num_channels == 1:
-                cls = MonoCut
-                channel = recording.channel_ids[0]
-            else:
-                cls = MultiCut
-                channel = recording.channel_ids
-            cut = cls(
-                id=str(uuid4()) if random_ids else f"{recording.id}-{ridx}",
-                start=0,
-                duration=recording.duration,
-                channel=channel,
-                recording=recording,
-                supervisions=list(sups.find(recording_id=recording.id)) if sup_ok else [],
-            )
-            writer.write(cut)
+            for idx, feats in enumerate(features):
+                rec = next(rec_stream)
+                if rec is not None and rec.id != feats.recording_id:
+                    raise AssertionError(
+                        f"Mismatched recording_id: Features.recording_id == "
+                        f"{feats.recording_id} but Recording.id == '{rec.id}'"
+                    )
+                writer.write(
+                    _cut_from_features(
+                        idx, feats, rec, sups_for(feats.recording_id),
+                        random_ids, tolerance,
+                    )
+                )
+        else:
+            for ridx, recording in enumerate(recordings):
+                writer.write(
+                    _cut_from_recording(
+                        ridx, recording, sups_for(recording.id), random_ids
+                    )
+                )
     return CutSet.from_jsonl_lazy(output_path)
 
 
@@ -2104,174 +1957,47 @@ def deserialize_cut(raw_cut: dict) -> Cut:
     raise ValueError(f"Unexpected cut type during deserialization: '{cut_type}'")
 
 
-# Module-level picklable helpers so that CutSet.map-based ops survive
-# multiprocessing without dill (reference: cut/set.py:3794-3880).
+# CutSet.map must survive pickling into worker subprocesses without dill,
+# so per-cut operations are expressed as instances of these two callable
+# classes instead of lambdas/closures (reference keeps a zoo of module-level
+# functions for the same purpose).
 
 
-def _cut_into_windows_single(cuts_or_cut, duration, hop, keep_excessive_supervisions):
-    if isinstance(cuts_or_cut, CutSet):
-        return cuts_or_cut.cut_into_windows(
-            duration=duration,
-            hop=hop,
-            keep_excessive_supervisions=keep_excessive_supervisions,
-        ).to_eager()
-    return cuts_or_cut.cut_into_windows(
-        duration=duration, hop=hop, keep_excessive_supervisions=keep_excessive_supervisions
-    )
+class _CutOp:
+    """Picklable ``cut -> cut.<method>(*args, **kwargs)``."""
+
+    def __init__(self, method: str, *args, **kwargs):
+        self.method = method
+        self.args = args
+        self.kwargs = kwargs
+
+    def __call__(self, cut):
+        return getattr(cut, self.method)(*self.args, **self.kwargs)
 
 
-def _cut_into_windows_balanced_single(
-    cuts_or_cut, min_duration, max_duration, overlap, keep_excessive_supervisions
-):
-    if isinstance(cuts_or_cut, CutSet):
-        return cuts_or_cut.cut_into_windows_balanced(
-            min_duration=min_duration,
-            max_duration=max_duration,
-            overlap=overlap,
-            keep_excessive_supervisions=keep_excessive_supervisions,
-        ).to_eager()
-    return cuts_or_cut.cut_into_windows_balanced(
-        min_duration=min_duration,
-        max_duration=max_duration,
-        overlap=overlap,
-        keep_excessive_supervisions=keep_excessive_supervisions,
-    )
+class _RenameCut:
+    """Picklable ``cut -> cut.with_id(fn(cut.id))``."""
+
+    def __init__(self, transform_fn):
+        self.transform_fn = transform_fn
+
+    def __call__(self, cut):
+        return cut.with_id(self.transform_fn(cut.id))
 
 
-def _trim_to_supervisions_single(
-    cuts_or_cut, keep_overlapping, min_duration, context_direction, keep_all_channels
-):
-    if isinstance(cuts_or_cut, CutSet):
-        return cuts_or_cut.trim_to_supervisions(
-            keep_overlapping=keep_overlapping,
-            min_duration=min_duration,
-            context_direction=context_direction,
-            keep_all_channels=keep_all_channels,
-        ).to_eager()
-    return cuts_or_cut.trim_to_supervisions(
-        keep_overlapping=keep_overlapping,
-        min_duration=min_duration,
-        context_direction=context_direction,
-        keep_all_channels=keep_all_channels,
-    )
+class _SetOrCutOp(_CutOp):
+    """Like _CutOp, but when handed a whole CutSet (the parallel fan-out path)
+    it applies the method to the set and materializes the result."""
 
-
-def _trim_to_alignments_single(
-    cuts_or_cut, type, max_pause, max_segment_duration, delimiter, keep_all_channels
-):
-    if isinstance(cuts_or_cut, CutSet):
-        return cuts_or_cut.trim_to_alignments(
-            type=type,
-            max_pause=max_pause,
-            max_segment_duration=max_segment_duration,
-            delimiter=delimiter,
-            keep_all_channels=keep_all_channels,
-        ).to_eager()
-    return cuts_or_cut.trim_to_alignments(
-        type=type,
-        max_pause=max_pause,
-        max_segment_duration=max_segment_duration,
-        delimiter=delimiter,
-        keep_all_channels=keep_all_channels,
-    )
-
-
-def _trim_to_supervision_groups_single(cuts_or_cut, max_pause):
-    if isinstance(cuts_or_cut, CutSet):
-        return cuts_or_cut.trim_to_supervision_groups(max_pause=max_pause).to_eager()
-    return cuts_or_cut.trim_to_supervision_groups(max_pause=max_pause)
-
-
-def _add_recording_path_prefix_single(cut, path):
-    return cut.with_recording_path_prefix(path)
-
-
-def _add_features_path_prefix_single(cut, path):
-    return cut.with_features_path_prefix(path)
-
-
-def _with_id(cut, transform_fn):
-    return cut.with_id(transform_fn(cut.id))
-
-
-def _fill_supervision(cut, add_empty, shrink_ok):
-    return cut.fill_supervision(add_empty=add_empty, shrink_ok=shrink_ok)
-
-
-def _map_supervisions(cut, transform_fn):
-    return cut.map_supervisions(transform_fn)
+    def __call__(self, cuts_or_cut):
+        result = getattr(cuts_or_cut, self.method)(*self.args, **self.kwargs)
+        if isinstance(cuts_or_cut, CutSet):
+            return result.to_eager()
+        return result
 
 
 def _transform_text(sup, transform_fn):
     return sup.transform_text(transform_fn)
-
-
-def _filter_supervisions(cut, predicate):
-    return cut.filter_supervisions(predicate)
-
-
-def _merge_supervisions(cut, merge_policy, custom_merge_fn):
-    return cut.merge_supervisions(merge_policy=merge_policy, custom_merge_fn=custom_merge_fn)
-
-
-def _pad(cut, *args, **kwargs):
-    return cut.pad(*args, **kwargs)
-
-
-def _extend_by(cut, *args, **kwargs):
-    return cut.extend_by(*args, **kwargs)
-
-
-def _resample(cut, *args, **kwargs):
-    return cut.resample(*args, **kwargs)
-
-
-def _perturb_speed(cut, *args, **kwargs):
-    return cut.perturb_speed(*args, **kwargs)
-
-
-def _perturb_tempo(cut, *args, **kwargs):
-    return cut.perturb_tempo(*args, **kwargs)
-
-
-def _perturb_volume(cut, *args, **kwargs):
-    return cut.perturb_volume(*args, **kwargs)
-
-
-def _narrowband(cut, *args, **kwargs):
-    return cut.narrowband(*args, **kwargs)
-
-
-def _reverb_rir(cut, *args, **kwargs):
-    return cut.reverb_rir(*args, **kwargs)
-
-
-def _normalize_loudness(cut, *args, **kwargs):
-    return cut.normalize_loudness(*args, **kwargs)
-
-
-def _dereverb_wpe(cut, *args, **kwargs):
-    return cut.dereverb_wpe(*args, **kwargs)
-
-
-def _drop_features(cut, *args, **kwargs):
-    return cut.drop_features(*args, **kwargs)
-
-
-def _drop_recordings(cut, *args, **kwargs):
-    return cut.drop_recording(*args, **kwargs)
-
-
-def _drop_alignments(cut, *args, **kwargs):
-    return cut.drop_alignments(*args, **kwargs)
-
-
-def _drop_supervisions(cut, *args, **kwargs):
-    return cut.drop_supervisions(*args, **kwargs)
-
-
-def _drop_in_memory_data(cut, *args, **kwargs):
-    return cut.drop_in_memory_data(*args, **kwargs)
 
 
 def _truncate_single(
@@ -2284,24 +2010,18 @@ def _truncate_single(
 ) -> Cut:
     if cut.duration <= max_duration:
         return cut
-
-    def compute_offset():
-        if offset_type == "start":
-            return 0.0
-        last_offset = cut.duration - max_duration
-        if offset_type == "end":
-            return last_offset
-        if offset_type == "random":
-            if rng is None:
-                return random.uniform(0.0, last_offset)
-            return rng.uniform(0.0, last_offset)
+    slack = cut.duration - max_duration
+    if offset_type == "start":
+        begin = 0.0
+    elif offset_type == "end":
+        begin = slack
+    elif offset_type == "random":
+        begin = (rng or random).uniform(0.0, slack)
+    else:
         raise ValueError(f"Unknown 'offset_type' option: {offset_type}")
-
     return cut.truncate(
-        offset=compute_offset(),
-        duration=max_duration,
+        offset=begin, duration=max_duration, preserve_id=preserve_id,
         keep_excessive_supervisions=keep_excessive_supervisions,
-        preserve_id=preserve_id,
     )
 
 
@@ -2317,38 +2037,32 @@ def _export_to_shar_single(
     verbose: bool,
     fault_tolerant: bool,
     preload: bool = False,
-    compress_jsonl: bool = True,
-    create_index: bool = True,
+    compress_jsonl: bool = True, create_index: bool = True,
 ) -> Dict[str, List[str]]:
     from tqdm.auto import tqdm
 
     from lhotse_tpu.shar import SharWriter
 
-    pbar = tqdm(desc="Exporting to SHAR", disable=not verbose)
+    progress = tqdm(desc="Exporting to SHAR", disable=not verbose)
     if preload:
         cuts = cuts.to_eager()
-    with SharWriter(
-        output_dir=output_dir,
-        fields=fields,
-        shard_size=shard_size,
-        shard_offset=shard_offset,
-        warn_unused_fields=warn_unused_fields,
-        include_cuts=include_cuts,
-        shard_suffix=shard_suffix,
-        compress_jsonl=compress_jsonl,
-        create_index=create_index,
-    ) as writer:
+    shar = SharWriter(
+        output_dir=output_dir, fields=fields, shard_size=shard_size,
+        shard_offset=shard_offset, warn_unused_fields=warn_unused_fields,
+        include_cuts=include_cuts, shard_suffix=shard_suffix,
+        compress_jsonl=compress_jsonl, create_index=create_index,
+    )
+    with shar as writer:
         for cut in cuts:
             try:
                 writer.write(cut)
             except Exception as e:
-                if fault_tolerant:
-                    logging.warning(
-                        f"Skipping: failed to load cut '{cut.id}'. Error message: {e}."
-                    )
-                else:
+                if not fault_tolerant:
                     raise
-            pbar.update()
+                logging.warning(
+                    f"Skipping: failed to load cut '{cut.id}'. Error message: {e}."
+                )
+            progress.update()
     return writer.output_paths
 
 
@@ -2375,114 +2089,107 @@ class LazyCutMixer(IteratorNode):
         stateful: bool = True,
         tag: Optional[str] = None,
     ) -> None:
+        if not 0.0 <= mix_prob <= 1.0:
+            raise AssertionError(f"mix_prob must be in [0, 1], got {mix_prob}")
+        if duration is not None and duration <= 0:
+            raise AssertionError(f"duration must be positive, got {duration}")
+        if isinstance(snr, (tuple, list)):
+            if len(snr) != 2:
+                raise AssertionError(
+                    f"SNR range must be a list or tuple with exactly two values "
+                    f"(got: {snr})"
+                )
+        elif not isinstance(snr, (type(None), int, float)):
+            raise AssertionError(f"Unsupported snr value: {snr!r}")
         self.source = resolve_iterator_source(cuts)
         self._source_len_ref = cuts
         self.mix_in_cuts = mix_in_cuts
         self._mix_in_source = resolve_iterator_source(mix_in_cuts)
-        self.duration = duration
-        self.allow_padding = allow_padding
-        self.snr = snr
-        self.preserve_id = preserve_id
-        self.mix_prob = mix_prob
-        self.seed = seed
-        self.random_mix_offset = random_mix_offset
-        self.stateful = stateful
-        self.tag = tag
+        self.duration, self.allow_padding, self.snr = duration, allow_padding, snr
+        self.preserve_id, self.mix_prob, self.seed = preserve_id, mix_prob, seed
+        self.random_mix_offset, self.stateful, self.tag = random_mix_offset, stateful, tag
         self.num_times_iterated = 0
         self._restored = False
-        self._rng_state = None
-        self._rng = None
-        self._iteration_seed = None
-        self._mix_in_iter = None
-
-        assert 0.0 <= self.mix_prob <= 1.0
-        assert self.duration is None or self.duration > 0
-        if isinstance(self.snr, (tuple, list)):
-            assert len(self.snr) == 2, (
-                f"SNR range must be a list or tuple with exactly two values (got: {snr})"
-            )
-        else:
-            assert isinstance(self.snr, (type(None), int, float))
+        self._rng = self._rng_state = self._iteration_seed = self._mix_in_iter = None
 
     @property
     def is_checkpointable(self) -> bool:
         return (
             self.stateful
-            and self._noise_is_indexed()
             and isinstance(self.source, IteratorNode)
             and self.source.is_checkpointable
+            and self._noise_is_indexed()
         )
 
-    @property
-    def is_indexed(self) -> bool:
-        return getattr(self.source, "is_indexed", False) and getattr(
-            self._mix_in_source, "is_indexed", False
-        )
+    is_indexed = property(
+        lambda self: getattr(self.source, "is_indexed", False)
+        and getattr(self._mix_in_source, "is_indexed", False)
+    )
 
     @property
     def has_constant_time_access(self) -> bool:
-        return (
-            not isinstance(self.seed, random.Random)
-            and supports_graph_restore(self.source)
-            and self._noise_is_indexed()
-        )
+        if isinstance(self.seed, random.Random):
+            return False  # an opaque RNG cannot be replayed per item
+        return supports_graph_restore(self.source) and self._noise_is_indexed()
 
     def __iter__(self):
-        from lhotse_tpu.dataset.dataloading import resolve_seed
+        restored, self._restored = self._restored, False
+        deterministic = self.has_constant_time_access
 
-        restored = self._restored
-        self._restored = False
-
-        if self.has_constant_time_access:
-            if restored:
+        iteration_seed = None
+        if deterministic:
+            # In the indexed regime the per-item RNG derives from
+            # (iteration seed, source token) — no sequential RNG state at all.
+            if restored and self._iteration_seed is not None:
                 iteration_seed = self._iteration_seed
-                if iteration_seed is None:
-                    iteration_seed = self._resolve_iteration_seed(self.num_times_iterated)
             else:
                 iteration_seed = self._resolve_iteration_seed(self.num_times_iterated)
-                self._iteration_seed = iteration_seed
-
-        if self.has_constant_time_access:
+                if not restored:
+                    self._iteration_seed = iteration_seed
             rng = None
-        elif restored and self._rng_state is not None:
-            rng = random.Random()
-            rng.setstate(self._rng_state)
-        elif isinstance(self.seed, random.Random):
-            rng = self.seed
         else:
-            rng = random.Random(resolve_seed(self.seed) + self.num_times_iterated)
+            rng = self._sequential_rng(restored)
         self._rng = rng
 
         if self.stateful and not restored:
             self.num_times_iterated += 1
-
         if not self._noise_is_indexed():
-            if self.mix_in_cuts.is_lazy:
-
-                def noise_gen():
-                    yield from self.mix_in_cuts.repeat().shuffle(rng=rng, buffer_size=2000)
-
-            else:
-
-                def noise_gen():
-                    while True:
-                        yield from self.mix_in_cuts.shuffle(rng=rng)
-
-            self._mix_in_iter = iter(noise_gen())
+            self._mix_in_iter = self._endless_noise(rng)
 
         for cut in self.source:
-            if self.has_constant_time_access:
-                source_token = get_graph_origin(cut)
-                if source_token is None:
+            if deterministic:
+                token = get_graph_origin(cut)
+                if token is None:
                     raise RuntimeError(
                         "LazyCutMixer requires '_graph_origin' on indexed source "
                         "items to support constant-time reconstruction."
                     )
-                item_rng = self._make_item_rng(source_token, iteration_seed)
-                cut = attach_graph_origin(self._mix_one(cut, item_rng), source_token)
+                item_rng = self._make_item_rng(token, iteration_seed)
+                yield attach_graph_origin(self._mix_one(cut, item_rng), token)
             else:
-                cut = self._mix_one(cut, rng)
-            yield cut
+                yield self._mix_one(cut, rng)
+
+    def _sequential_rng(self, restored: bool) -> random.Random:
+        from lhotse_tpu.dataset.dataloading import resolve_seed
+
+        if restored and self._rng_state is not None:
+            rng = random.Random()
+            rng.setstate(self._rng_state)
+            return rng
+        if isinstance(self.seed, random.Random):
+            return self.seed
+        return random.Random(resolve_seed(self.seed) + self.num_times_iterated)
+
+    def _endless_noise(self, rng):
+        """An infinite shuffled stream over the mix-in cuts."""
+        if self.mix_in_cuts.is_lazy:
+            return iter(self.mix_in_cuts.repeat().shuffle(rng=rng, buffer_size=2000))
+
+        def cycle():
+            while True:
+                yield from self.mix_in_cuts.shuffle(rng=rng)
+
+        return cycle()
 
     def _noise_is_indexed(self) -> bool:
         return getattr(self._mix_in_source, "is_indexed", False) and supports_graph_restore(
@@ -2519,30 +2226,30 @@ class LazyCutMixer(IteratorNode):
     def _mix_one(self, cut: Cut, rng: random.Random) -> Cut:
         if not is_cut(cut) or rng.uniform(0.0, 1.0) > self.mix_prob:
             return cut
-        cut_snr = rng.uniform(*self.snr) if isinstance(self.snr, (list, tuple)) else self.snr
-        # Subtract 50 ms to avoid mixing in a noise cut with 0 feature frames.
-        target_mixed_duration = round(
+        snr = rng.uniform(*self.snr) if isinstance(self.snr, (list, tuple)) else self.snr
+        # Target 50 ms short of the cut so the last noise chunk never collapses
+        # to 0 feature frames.
+        goal = round(
             self.duration if self.duration is not None else cut.duration - 0.05,
             ndigits=8,
         )
-        to_mix = self._next_mix_in_cut(rng)
-        to_mix = self._maybe_truncate_cut(to_mix, target_mixed_duration, rng)
-        mixed = cut.mix(other=to_mix, snr=cut_snr, preserve_id=self.preserve_id, tag=self.tag)
-        mixed_in_duration = to_mix.duration
-        while mixed_in_duration < target_mixed_duration - 0.05:
-            to_mix = self._next_mix_in_cut(rng)
-            to_mix = self._maybe_truncate_cut(
-                to_mix, target_mixed_duration - mixed_in_duration, rng
+        covered = 0.0
+        mixed = cut
+        while True:
+            chunk = self._maybe_truncate_cut(
+                self._next_mix_in_cut(rng), goal - covered, rng
             )
             mixed = mixed.mix(
-                other=to_mix,
-                snr=cut_snr,
-                offset_other_by=mixed_in_duration,
-                allow_padding=self.allow_padding,
+                other=chunk,
+                snr=snr,
+                offset_other_by=covered if covered > 0 else 0,
+                allow_padding=self.allow_padding if covered > 0 else False,
                 preserve_id=self.preserve_id,
                 tag=self.tag,
             )
-            mixed_in_duration = round(mixed_in_duration + to_mix.duration, ndigits=8)
+            covered = round(covered + chunk.duration, ndigits=8)
+            if covered >= goal - 0.05:
+                break
         return mixed.truncate(
             duration=self.duration if self.duration is not None else cut.duration,
             preserve_id=self.preserve_id is not None,
@@ -2554,17 +2261,12 @@ class LazyCutMixer(IteratorNode):
                 "LazyCutMixer only supports __getitem__ when both the source and "
                 "mix-in cuts provide constant-time indexed access."
             )
-        graph_token = normalize_graph_token(idx)
-        iteration_seed = (
-            self._iteration_seed
-            if self._iteration_seed is not None
-            else self._resolve_iteration_seed(0)
-        )
-        cut = self.source[graph_token]
-        return attach_graph_origin(
-            self._mix_one(cut, self._make_item_rng(graph_token, iteration_seed)),
-            graph_token,
-        )
+        token = normalize_graph_token(idx)
+        seed0 = self._iteration_seed
+        if seed0 is None:
+            seed0 = self._resolve_iteration_seed(0)
+        remixed = self._mix_one(self.source[token], self._make_item_rng(token, seed0))
+        return attach_graph_origin(remixed, token)
 
     def state_dict(self) -> dict:
         if not self.is_checkpointable:
@@ -2592,10 +2294,8 @@ class LazyCutMixer(IteratorNode):
         from lhotse_tpu.checkpoint import _rng_state_from_json
 
         self.num_times_iterated = sd["num_times_iterated"]
-        if sd.get("rng_state") is not None:
-            self._rng_state = _rng_state_from_json(sd["rng_state"])
-        else:
-            self._rng_state = None
+        saved_rng = sd.get("rng_state")
+        self._rng_state = None if saved_rng is None else _rng_state_from_json(saved_rng)
         self._iteration_seed = sd.get("iteration_seed")
         _try_restore_child_state(self.source, sd.get("source"))
         self._restored = True
@@ -2603,12 +2303,10 @@ class LazyCutMixer(IteratorNode):
     def _maybe_truncate_cut(
         self, cut: Cut, target_duration: Seconds, rng: random.Random
     ) -> Cut:
-        if self.random_mix_offset and cut.duration > target_duration:
-            cut = cut.truncate(
-                offset=rng.uniform(0, cut.duration - target_duration),
-                duration=target_duration,
-            )
-        return cut
+        if not self.random_mix_offset or cut.duration <= target_duration:
+            return cut
+        slack = cut.duration - target_duration
+        return cut.truncate(offset=rng.uniform(0, slack), duration=target_duration)
 
     def __len__(self) -> int:
         return len(self._source_len_ref)
