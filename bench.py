@@ -1,42 +1,40 @@
 """
-Headline benchmark: 80-dim fbank extract+augment throughput on one chip.
+Headline benchmark. Two measurements, one JSON line:
 
-Pipeline under test (single fused jit program):
-  gain perturb (augment) -> GEMM-NDFT fbank (80 mel) -> time/freq masking
-  (SpecAugment-style augment), over a fixed-shape batch of 16 kHz audio.
+1. **Device throughput** (primary metric, ``value``): the fused
+   augment -> GEMM-NDFT fbank -> mask pipeline over fixed-shape batches on
+   one chip, audio-sec/sec.  This is the north-star 80-dim fbank
+   extract+augment number (target: 10k audio-sec/sec/chip, BASELINE.md).
+2. **Host pipeline** (extra keys): a realistic end-to-end ETL loop over
+   freshly synthesized FLAC recordings — decode -> speed perturb -> noise mix
+   (MUSAN-style) -> OnTheFlyFeatures(Fbank) -> DynamicBucketingSampler ->
+   multiprocess DataLoader — reporting audio-sec/sec and batches/sec.  This
+   quantifies the input-pipeline bound that the device number alone hides.
 
-Methodology note: on the remote-tunneled chip, ``block_until_ready`` does
-not reliably synchronize, so we chain K pipeline iterations inside one
-``lax.fori_loop`` (each iteration depends on the loop counter, preventing
-collapse) and time dispatch→scalar-fetch of the accumulated mean. A warmup
-call with the same K absorbs compilation.
+Methodology note (device): on the remote-tunneled chip, ``block_until_ready``
+does not reliably synchronize, so K pipeline iterations are chained inside a
+``lax.fori_loop`` (each iteration depends on the counter, preventing
+collapse) and we time dispatch -> scalar-fetch of the accumulated mean.
 
-Batch-size study on chip: B=64 -> 100.0k, B=128 -> 194.5k, B=256 ->
-212.9k, B=512 -> 226.8k audio-sec/sec (MXU utilization grows with batch
-rows; diminishing past ~256).
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
-baseline target is 10,000 audio-sec/sec/chip (BASELINE.md).
+LHOTSE_TPU_BENCH_SMOKE=1 shrinks all sizes so the pre-commit smoke gate can
+run this end-to-end on CPU in seconds (numbers are then meaningless).
 """
 import json
 import os
+import tempfile
 import time
+from pathlib import Path
 
 import numpy as np
 
-# LHOTSE_TPU_BENCH_SMOKE=1 shrinks all sizes so the pre-commit smoke gate can
-# run this end-to-end on CPU in a few seconds (numbers are meaningless there).
 SMOKE = bool(int(os.environ.get("LHOTSE_TPU_BENCH_SMOKE", "0")))
 
 
-def main():
+# ---------------------------------------------------------------------------
+# 1) Device compute benchmark
+# ---------------------------------------------------------------------------
+def bench_device() -> float:
     import jax
-
-    if SMOKE:
-        # Smoke mode runs on host CPU: the tunneled TPU's compile latency would
-        # dominate the pre-commit gate (the axon plugin ignores JAX_PLATFORMS
-        # env, so force it via config).
-        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax import lax
 
@@ -47,33 +45,31 @@ def main():
     SR = 16000
     NUM_SAMPLES = SR * CLIP_SECONDS
     AUDIO_SEC_PER_BATCH = BATCH * CLIP_SECONDS
-    K = 2 if SMOKE else 50  # pipeline iterations chained on device per measurement
+    K = 2 if SMOKE else 50  # chained pipeline iterations per measurement
 
     fbank = Wav2LogFilterBank(sampling_rate=SR)
     n_frames = (NUM_SAMPLES + 80) // 160
 
     def pipeline(audio, gains, time_mask, freq_mask):
-        # Augment 1: per-clip gain perturbation.
-        audio = audio * gains[:, None]
-        # Extract: 80-dim log-mel fbank (frame GEMM + mel GEMM -> MXU).
-        feats = fbank(audio)
-        # Augment 2: SpecAugment-style masked fill with the batch mean.
+        audio = audio * gains[:, None]  # augment 1: per-clip gain
+        feats = fbank(audio)  # frame GEMM + mel GEMM -> MXU
         mean = feats.mean()
-        return jnp.where(
+        return jnp.where(  # augment 2: SpecAugment-style masking
             time_mask[:, : feats.shape[1], None] | freq_mask[:, None, :], mean, feats
         )
 
     def many(audio, gains, time_mask, freq_mask):
         def body(i, acc):
-            # Tie each iteration to the loop counter so XLA cannot collapse
-            # the loop into a single pipeline execution.
-            out = pipeline(audio + i.astype(jnp.float32) * 1e-9, gains, time_mask, freq_mask)
+            # Tie each iteration to the counter so XLA cannot collapse the
+            # loop into a single pipeline execution.
+            out = pipeline(
+                audio + i.astype(jnp.float32) * 1e-9, gains, time_mask, freq_mask
+            )
             return acc + out.mean()
 
         return lax.fori_loop(0, K, body, jnp.zeros((), jnp.float32))
 
     fn = jax.jit(many)
-
     rng = np.random.RandomState(0)
     audio = jnp.asarray(rng.randn(BATCH, NUM_SAMPLES).astype(np.float32) * 0.1)
     gains = jnp.asarray(rng.uniform(0.8, 1.2, BATCH).astype(np.float32))
@@ -84,30 +80,254 @@ def main():
         tm[i, s : s + rng.randint(0, 100)] = True
         s = rng.randint(0, 53)
         fm[i, s : s + rng.randint(0, 27)] = True
-    time_mask = jnp.asarray(tm)
-    freq_mask = jnp.asarray(fm)
+    time_mask, freq_mask = jnp.asarray(tm), jnp.asarray(fm)
 
-    # Warmup (compile) — fetch the scalar to force completion.
-    float(fn(audio, gains, time_mask, freq_mask))
-
-    # Best of 3 measurements (scalar fetch = full synchronization).
+    float(fn(audio, gains, time_mask, freq_mask))  # warmup/compile
     best = float("inf")
     for _ in range(3):
-        start = time.perf_counter()
+        t0 = time.perf_counter()
         float(fn(audio, gains, time_mask, freq_mask))
-        best = min(best, time.perf_counter() - start)
+        best = min(best, time.perf_counter() - t0)
+    return AUDIO_SEC_PER_BATCH * K / best
 
-    audio_sec_per_sec = AUDIO_SEC_PER_BATCH * K / best
-    print(
-        json.dumps(
-            {
-                "metric": "fbank_extract_augment_throughput",
-                "value": round(audio_sec_per_sec, 1),
-                "unit": "audio_sec_per_sec",
-                "vs_baseline": round(audio_sec_per_sec / 10000.0, 3),
-            }
+
+# ---------------------------------------------------------------------------
+# 2) Host end-to-end pipeline benchmark
+# ---------------------------------------------------------------------------
+def _synthesize_corpus(root: Path, n_recordings: int, n_noise: int):
+    """FLAC speech-like recordings + a small noise pool, with manifests."""
+    from lhotse_tpu import CutSet, Recording, SupervisionSegment
+    from lhotse_tpu.audio.flacio import write_flac
+
+    rng = np.random.RandomState(1234)
+    sr = 16000
+
+    def tone_burst(duration):
+        n = int(sr * duration)
+        t = np.arange(n) / sr
+        f0 = rng.uniform(80, 220)
+        wave = sum(
+            np.sin(2 * np.pi * f0 * (h + 1) * t) / (h + 1) for h in range(4)
+        ) * 0.2
+        wave += rng.randn(n) * 0.01
+        return wave.astype(np.float32)
+
+    def record(path, duration):
+        write_flac(str(path), tone_burst(duration), sr)
+        return Recording.from_file(path)
+
+    cuts = []
+    for i in range(n_recordings):
+        duration = float(rng.uniform(4.0, 14.0))
+        cut = record(root / f"utt{i:04d}.flac", duration).to_cut()
+        cut.supervisions.append(
+            SupervisionSegment(
+                id=f"sup{i:04d}",
+                recording_id=cut.recording_id,
+                start=0.0,
+                duration=cut.duration,
+                text="synthetic",
+            )
         )
-    )
+        cuts.append(cut)
+    cuts_path = root / "cuts.jsonl"
+    CutSet.from_cuts(cuts).to_file(cuts_path)
+
+    noise = [record(root / f"noise{i:02d}.flac", 10.0).to_cut() for i in range(n_noise)]
+    noise_path = root / "noise.jsonl"
+    CutSet.from_cuts(noise).to_file(noise_path)
+    return cuts_path, noise_path
+
+
+def bench_host_pipeline() -> dict:
+    from lhotse_tpu import CutSet, Fbank
+    from lhotse_tpu.dataset.input_strategies import OnTheFlyFeatures
+    from lhotse_tpu.dataset.loader import DataLoader
+    from lhotse_tpu.dataset.sampling.dynamic_bucketing import DynamicBucketingSampler
+    from lhotse_tpu.dataset.speech_recognition import K2SpeechRecognitionDataset
+
+    n_rec = 12 if SMOKE else 300
+    max_duration = 30.0 if SMOKE else 120.0
+    num_workers = 2 if SMOKE else min(8, max((os.cpu_count() or 4) - 2, 2))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = Path(tmp)
+        cuts_path, noise_path = _synthesize_corpus(root, n_rec, n_noise=4)
+
+        def build_loader():
+            # Augmentation chain per BASELINE config #3: speed perturb +
+            # noise (MUSAN-style) mixing; fbank is computed on the fly.
+            cuts = (
+                CutSet.from_jsonl_lazy(cuts_path)
+                .perturb_speed(1.1)
+                .mix(
+                    CutSet.from_file(noise_path),
+                    snr=(10, 20),
+                    mix_prob=0.5,
+                    seed=7,
+                )
+            )
+            sampler = DynamicBucketingSampler(
+                cuts,
+                max_duration=max_duration,
+                num_buckets=4,
+                buffer_size=max(n_rec, 16),
+                shuffle=True,
+                seed=0,
+                world_size=1,
+                rank=0,
+            )
+            dataset = K2SpeechRecognitionDataset(
+                input_strategy=OnTheFlyFeatures(Fbank())
+            )
+            return DataLoader(
+                sampler, dataset, num_workers=num_workers, prefetch_batches=2
+            )
+
+        # Warm pass compiles the per-bucket fbank programs inside the workers.
+        audio_seconds = 0.0
+        n_batches = 0
+        t0 = time.perf_counter()
+        for batch in build_loader():
+            n_batches += 1
+            # 100 fps fbank: frames / 100 = audio seconds actually processed.
+            sup = batch["supervisions"]
+            audio_seconds += float(np.sum(sup["num_frames"])) / 100.0
+        elapsed = time.perf_counter() - t0
+
+    return {
+        "host_pipeline_audio_sec_per_sec": round(audio_seconds / elapsed, 1),
+        "host_pipeline_batches_per_sec": round(n_batches / elapsed, 3),
+        "host_pipeline_num_batches": n_batches,
+        "host_pipeline_workers": num_workers,
+    }
+
+
+# ---------------------------------------------------------------------------
+# 3) End-to-end TPU-first pipeline: host decodes/mixes/collates raw audio,
+#    the chip runs augment+fbank — the architecture this framework is built
+#    around (shape-bucketed batches -> one compiled program per bucket).
+# ---------------------------------------------------------------------------
+def bench_e2e_tpu() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from lhotse_tpu import CutSet
+    from lhotse_tpu.dataset.input_strategies import AudioSamples
+    from lhotse_tpu.dataset.loader import DataLoader, device_prefetch
+    from lhotse_tpu.dataset.sampling.dynamic_bucketing import DynamicBucketingSampler
+    from lhotse_tpu.dataset.speech_recognition import K2SpeechRecognitionDataset
+    from lhotse_tpu.features.kaldi.layers import Wav2LogFilterBank
+
+    n_rec = 12 if SMOKE else 300
+    max_duration = 30.0 if SMOKE else 240.0
+    SR = 16000
+
+    # The static shape vocabulary: bucket upper bounds (seconds) and the
+    # fixed batch size each bucket pads to. Exactly len(BUCKETS) compiled
+    # programs serve the entire run.
+    if SMOKE:
+        BUCKETS = [(2.0, 8), (4.0, 8)]
+    else:
+        BUCKETS = [(6.0, 40), (9.0, 27), (12.0, 20), (14.0, 18)]
+    bin_edges = [ub for ub, _ in BUCKETS[:-1]]
+
+    fbank = Wav2LogFilterBank(sampling_rate=SR)
+
+    @jax.jit
+    def device_stage(audio_i16, gains):
+        # int16 -> f32 on chip: halves the host->device transfer volume.
+        audio = audio_i16.astype(jnp.float32) * (1.0 / 32768.0)
+        feats = fbank(audio * gains[:, None])
+        return feats.mean()  # tiny readback forces completion
+
+    def bucket_shape(num_samples: int):
+        for ub, bsz in BUCKETS:
+            if num_samples <= int(ub * SR):
+                return int(ub * SR), bsz
+        return int(BUCKETS[-1][0] * SR), BUCKETS[-1][1]
+
+    def fix_shapes(batch):
+        """Host-side: quantize to int16 and pad (B, T) to the bucket shape."""
+        x = np.asarray(batch["inputs"])
+        T, B = bucket_shape(x.shape[1])
+        out = np.zeros((B, T), dtype=np.int16)
+        bsz = min(x.shape[0], B)
+        out[:bsz, : x.shape[1]] = np.clip(x[:bsz] * 32768.0, -32768, 32767)
+        batch["inputs"] = out
+        return batch
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = Path(tmp)
+        cuts_path, noise_path = _synthesize_corpus(root, n_rec, n_noise=4)
+        cuts = CutSet.from_jsonl_lazy(cuts_path).mix(
+            CutSet.from_file(noise_path), snr=(10, 20), mix_prob=0.5, seed=7
+        )
+        sampler = DynamicBucketingSampler(
+            cuts,
+            max_duration=max_duration,
+            duration_bins=bin_edges,
+            buffer_size=max(n_rec, 16),
+            shuffle=True,
+            seed=0,
+            world_size=1,
+            rank=0,
+        )
+        dataset = K2SpeechRecognitionDataset(input_strategy=AudioSamples())
+        loader = DataLoader(
+            sampler, dataset, prefetch_batches=2, apply_fn=fix_shapes
+        )
+
+        # Pre-compile every bucket shape outside the timed region (standard
+        # practice; on the tunneled chip each compile costs tens of seconds).
+        for ub, bsz in BUCKETS:
+            d = jnp.zeros((bsz, int(ub * SR)), jnp.int16)
+            g = jnp.ones((bsz,), jnp.float32)
+            float(device_stage(d, g))
+
+        audio_seconds = 0.0
+        n_batches = 0
+        rng = np.random.RandomState(0)
+        pending = []
+        t0 = time.perf_counter()
+        for batch in device_prefetch(loader, size=2):
+            x = batch["inputs"]
+            gains = jnp.asarray(rng.uniform(0.8, 1.2, x.shape[0]).astype(np.float32))
+            # Asynchronous dispatch: keep the wire and the chip busy; the
+            # scalars are all fetched once at the end.
+            pending.append(device_stage(x, gains))
+            n_batches += 1
+            audio_seconds += float(np.sum(batch["supervisions"]["num_samples"])) / SR
+        checksum = sum(float(r) for r in pending)
+        assert np.isfinite(checksum)
+        elapsed = time.perf_counter() - t0
+
+    return {
+        "e2e_tpu_audio_sec_per_sec": round(audio_seconds / elapsed, 1),
+        "e2e_tpu_batches_per_sec": round(n_batches / elapsed, 3),
+    }
+
+
+def main():
+    import jax
+
+    if SMOKE:
+        # The tunneled TPU's compile latency would dominate the smoke gate.
+        jax.config.update("jax_platforms", "cpu")
+
+    device_throughput = bench_device()
+    host_stats = bench_host_pipeline()
+    e2e_stats = bench_e2e_tpu()
+
+    report = {
+        "metric": "fbank_extract_augment_throughput",
+        "value": round(device_throughput, 1),
+        "unit": "audio_sec_per_sec",
+        "vs_baseline": round(device_throughput / 10000.0, 3),
+    }
+    report.update(host_stats)
+    report.update(e2e_stats)
+    print(json.dumps(report))
 
 
 if __name__ == "__main__":

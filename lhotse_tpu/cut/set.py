@@ -64,6 +64,7 @@ from lhotse_tpu.features.io import FeaturesWriter, LilcomChunkyWriter
 from lhotse_tpu.features.io import default_features_storage_backend
 from lhotse_tpu.lazy import (
     AlgorithmMixin,
+    is_dill_enabled,
     IteratorNode,
     LazyFlattener,
     LazyIteratorChain,
@@ -2313,3 +2314,14 @@ class LazyCutMixer(IteratorNode):
 
     def __add__(self, other) -> "LazyIteratorChain":
         return LazyIteratorChain(self, other)
+
+    # The live noise stream is a generator — transient iteration state that
+    # must not (and cannot) cross process boundaries.
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_mix_in_iter"] = None
+        if is_dill_enabled():
+            import dill
+
+            return dill.dumps(state)
+        return state

@@ -5,37 +5,122 @@ The reference relies on ``torch.utils.data.DataLoader`` for worker
 parallelism and prefetching; this framework owns that loop (SURVEY.md §7
 design stance: "No torch DataLoader"):
 
-- :class:`DataLoader` — drives ``sampler -> dataset[cuts] -> batch dict`` on
-  a background thread with a bounded prefetch queue, so host-side batch
-  assembly (audio decode, feature extraction, collation) overlaps device
-  compute. Checkpointing delegates to the sampler's ``state_dict``
-  (save *before* consuming prefetched batches resumes exactly: the queue
-  holds batches whose sampler positions were already accounted).
+- :class:`DataLoader` — drives ``sampler -> dataset[cuts] -> batch dict``.
+  With ``num_workers=0`` a background thread prefetches batches; with
+  ``num_workers>=1`` batch *assembly* (audio decode, DSP, collation — the
+  GIL-bound hot path) fans out to spawned worker processes.  Two dedup modes:
+
+  * ``worker_dedup="batch"`` (default): every worker runs the identical
+    sampler (cheap — samplers only touch metadata) and materializes only the
+    batches whose index is congruent to its worker id.  Batches come back in
+    exactly the single-process order, so results are deterministic and
+    checkpointing semantics are unchanged.
+  * ``worker_dedup="partition"``: each worker claims a disjoint slice of the
+    data source via the per-(rank, worker) partition contract
+    (:func:`~lhotse_tpu.dataset.dataloading.get_worker_partition`) — the
+    right mode for sharded/indexed sources (Shar, .idx manifests, packs),
+    where it avoids even the metadata duplication.
+
 - :func:`device_prefetch` — the host→device double-buffer: ``device_put``\\ s
   each numpy leaf of the batch (optionally with a
   :class:`~jax.sharding.NamedSharding` per leaf) and keeps ``size`` batches
   in flight on device, hiding the PCIe transfer behind the current step.
 
-Both stay framework-neutral on the host side: batches are pytrees of numpy
-arrays; only :func:`device_prefetch` touches jax.
+Host-side batches are pytrees of numpy arrays; only :func:`device_prefetch`
+touches jax.
 """
 from __future__ import annotations
 
 import queue
 import threading
+import traceback
 from typing import Any, Callable, Dict, Iterable, Iterator, Optional
 
 _SENTINEL = object()
 
 
+def _pin_worker_jax_platform(platform: str) -> None:
+    """
+    Keep assembly workers off the accelerator: batch assembly is host work,
+    and N worker processes grabbing the TPU would serialize on the device
+    (and pay its compile latency N times).  The TPU plugin ignores the
+    JAX_PLATFORMS env var, so we also force the config after import.
+    """
+    import os
+
+    os.environ["JAX_PLATFORMS"] = platform
+    os.environ.pop("_AXON_REGISTERED", None)
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    except Exception:
+        pass
+
+
+def _worker_entrypoint(
+    worker_id: int,
+    num_workers: int,
+    rank: int,
+    world_size: int,
+    seed: int,
+    dedup: str,
+    jax_platform,
+    sampler,
+    dataset,
+    apply_fn,
+    out_q,
+) -> None:
+    """Body of one spawned assembly worker (module-level for picklability)."""
+    from lhotse_tpu.dataset.dataloading import (
+        WorkerInfo,
+        set_worker_info,
+        worker_init_fn,
+    )
+
+    if jax_platform is not None:
+        _pin_worker_jax_platform(jax_platform)
+
+    set_worker_info(WorkerInfo(id=worker_id, num_workers=num_workers, seed=seed))
+    worker_init_fn(
+        worker_id,
+        rank=rank if dedup == "partition" else None,
+        world_size=world_size if dedup == "partition" else None,
+        seed=seed,
+    )
+    try:
+        for batch_idx, cuts in enumerate(sampler):
+            if dedup == "batch" and batch_idx % num_workers != worker_id:
+                continue
+            batch = dataset[cuts]
+            if apply_fn is not None:
+                batch = apply_fn(batch)
+            out_q.put(("item", batch))
+    except Exception as exc:  # noqa: BLE001 — forwarded to the consumer
+        out_q.put(("error", f"{type(exc).__name__}: {exc}\n{traceback.format_exc()}"))
+    finally:
+        out_q.put(("done", None))
+
+
 class DataLoader:
     """
-    Iterates a sampler, maps each sampled ``CutSet`` through ``dataset``
-    (map-style: ``dataset[cuts] -> batch``), prefetching up to
-    ``prefetch_batches`` results on a background thread.
+    Turns ``(sampler, dataset)`` into an iterator of assembled batches.
 
-    One epoch per ``iter()``; call ``sampler.set_epoch`` between epochs as
-    usual. Exceptions raised in the worker are re-raised in the consumer.
+    :param sampler: an iterable of CutSet mini-batches (any CutSampler).
+    :param dataset: map-style: ``dataset[cuts] -> batch`` (pytree of numpy).
+    :param num_workers: 0 = single background thread; N >= 1 = N spawned
+        processes assembling batches in parallel.
+    :param prefetch_batches: bound on in-flight assembled batches (per worker
+        when ``num_workers >= 1``).
+    :param apply_fn: optional post-processing applied where assembly runs.
+    :param worker_dedup: "batch" (stride batches across workers; exact
+        single-process order — requires a deterministic sampler seed) or
+        "partition" (per-worker source partition via the rank/worker
+        contract; use with sharded/indexed sources).
+    :param seed: base seed for per-worker RNG derivation.
+    :param worker_jax_platform: jax platform pinned inside workers ("cpu" by
+        default so assembly never competes for the accelerator); None leaves
+        worker jax configuration alone.
     """
 
     def __init__(
@@ -44,17 +129,31 @@ class DataLoader:
         dataset: Any,
         prefetch_batches: int = 2,
         apply_fn: Optional[Callable[[Any], Any]] = None,
+        num_workers: int = 0,
+        worker_dedup: str = "batch",
+        seed: int = 42,
+        worker_jax_platform: str = "cpu",
     ):
+        if worker_dedup not in ("batch", "partition"):
+            raise ValueError(
+                f"worker_dedup must be 'batch' or 'partition', got {worker_dedup!r}"
+            )
         self.sampler = sampler
         self.dataset = dataset
         self.prefetch_batches = max(int(prefetch_batches), 0)
         self.apply_fn = apply_fn
+        self.num_workers = max(int(num_workers), 0)
+        self.worker_dedup = worker_dedup
+        self.seed = seed
+        self.worker_jax_platform = worker_jax_platform
 
     def state_dict(self) -> Dict[str, Any]:
         return {"sampler": self.sampler.state_dict()}
 
     def load_state_dict(self, state: Dict[str, Any]) -> None:
         self.sampler.load_state_dict(state["sampler"])
+
+    # -- single-process (threaded prefetch) ------------------------------------
 
     def _produce(self, q: "queue.Queue") -> None:
         try:
@@ -68,7 +167,7 @@ class DataLoader:
             return
         q.put(_SENTINEL)
 
-    def __iter__(self) -> Iterator:
+    def _iter_threaded(self) -> Iterator:
         if self.prefetch_batches == 0:
             for cuts in self.sampler:
                 batch = self.dataset[cuts]
@@ -85,6 +184,98 @@ class DataLoader:
                 raise item
             yield item
         worker.join()
+
+    # -- multi-process assembly --------------------------------------------------
+
+    def _iter_multiprocess(self) -> Iterator:
+        import multiprocessing as mp
+
+        from lhotse_tpu.dataset.dataloading import get_rank, get_world_size
+
+        ctx = mp.get_context("spawn")
+        rank, world = get_rank(), get_world_size()
+        queues = [
+            ctx.Queue(maxsize=max(self.prefetch_batches, 1))
+            for _ in range(self.num_workers)
+        ]
+        procs = [
+            ctx.Process(
+                target=_worker_entrypoint,
+                args=(
+                    w, self.num_workers, rank, world, self.seed,
+                    self.worker_dedup, self.worker_jax_platform,
+                    self.sampler, self.dataset, self.apply_fn, queues[w],
+                ),
+                daemon=True,
+            )
+            for w in range(self.num_workers)
+        ]
+        for p in procs:
+            p.start()
+
+        try:
+            if self.worker_dedup == "batch":
+                # Workers hold interleaved batch indices: strict round-robin
+                # reconstruction yields the single-process order exactly.
+                yield from self._drain_round_robin(queues)
+            else:
+                yield from self._drain_any_order(queues)
+        finally:
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+
+    @staticmethod
+    def _take(q) -> tuple:
+        kind, payload = q.get()
+        if kind == "error":
+            raise RuntimeError(f"DataLoader worker failed:\n{payload}")
+        return kind, payload
+
+    def _drain_round_robin(self, queues) -> Iterator:
+        # Batch i lives on worker i % N, and the k-th poll of a worker in the
+        # rotation retrieves its k-th batch — so polling the owner of each
+        # successive index reconstructs the exact single-process order.
+        dead = set()
+        idx = 0
+        while len(dead) < self.num_workers:
+            w = idx % self.num_workers
+            idx += 1
+            if w in dead:
+                continue
+            kind, payload = self._take(queues[w])
+            if kind == "done":
+                dead.add(w)
+                continue
+            yield payload
+
+    def _drain_any_order(self, queues) -> Iterator:
+        import queue as q_mod
+
+        live = set(range(self.num_workers))
+        while live:
+            advanced = False
+            for w in list(live):
+                try:
+                    kind, payload = queues[w].get(timeout=0.005)
+                except q_mod.Empty:
+                    continue
+                if kind == "error":
+                    raise RuntimeError(f"DataLoader worker failed:\n{payload}")
+                if kind == "done":
+                    live.discard(w)
+                    continue
+                advanced = True
+                yield payload
+            if not advanced and live:
+                continue
+
+    def __iter__(self) -> Iterator:
+        if self.num_workers >= 1:
+            return self._iter_multiprocess()
+        return self._iter_threaded()
 
 
 def _tree_device_put(batch, sharding=None):
