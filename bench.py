@@ -227,7 +227,7 @@ def bench_e2e_tpu() -> dict:
     # fixed batch size each bucket pads to. Exactly len(BUCKETS) compiled
     # programs serve the entire run.
     if SMOKE:
-        BUCKETS = [(2.0, 8), (4.0, 8)]
+        BUCKETS = [(8.0, 4), (14.0, 4)]
     else:
         BUCKETS = [(6.0, 40), (9.0, 27), (12.0, 20), (14.0, 18)]
     bin_edges = [ub for ub, _ in BUCKETS[:-1]]
@@ -252,8 +252,8 @@ def bench_e2e_tpu() -> dict:
         x = np.asarray(batch["inputs"])
         T, B = bucket_shape(x.shape[1])
         out = np.zeros((B, T), dtype=np.int16)
-        bsz = min(x.shape[0], B)
-        out[:bsz, : x.shape[1]] = np.clip(x[:bsz] * 32768.0, -32768, 32767)
+        bsz, span = min(x.shape[0], B), min(x.shape[1], T)
+        out[:bsz, :span] = np.clip(x[:bsz, :span] * 32768.0, -32768, 32767)
         batch["inputs"] = out
         return batch
 
