@@ -1,0 +1,214 @@
+"""
+Parity against reference-produced artifacts (requires /root/reference).
+
+These tests pin the interchange contract: manifests written by the reference
+implementation load here and serialize back byte-for-byte (modulo JSON
+canonicalization), and the reference's fixture WAV decodes identically.
+
+Storage-codec deviation (documented in README "LTC1 vs lilcom"): precomputed
+feature payloads written by the reference use the lilcom bitstream, whose
+implementation is not available in this environment (no pip package, no
+vendored source, zero egress); this framework stores features with its own
+LTC1 codec under the same quantization bound (2^-6). The tests here pin
+everything AROUND that deviation: manifest byte-stability, pre-storage
+extractor parity (see test_kaldi_features.py + test_fbank_float64_floor
+below), and LTC1's round-trip bound (test_native_codec.py).
+"""
+import gzip
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+FIXTURES = REF / "test" / "fixtures"
+
+pytestmark = pytest.mark.skipif(
+    not FIXTURES.is_dir(), reason="reference fixtures not mounted"
+)
+
+
+def _canon(obj) -> bytes:
+    return json.dumps(obj, sort_keys=True, ensure_ascii=False).encode()
+
+
+# Derivable defaults our serializer writes explicitly, which very old
+# reference fixtures omitted. Values must still match exactly when compared.
+_DERIVABLE = {"channel_ids"}
+
+
+def _assert_same_record(theirs: dict, mine: dict, where: str) -> None:
+    extra = set(mine) - set(theirs)
+    assert extra <= _DERIVABLE, f"{where}: unexpected extra keys {extra}"
+    projected = {k: v for k, v in mine.items() if k in theirs}
+    assert _canon(theirs) == _canon(projected), where
+
+
+def _round_trip_jsonl(path, set_cls):
+    """Reference jsonl(.gz) -> our manifest objects -> dicts, plus originals."""
+    opener = gzip.open if str(path).endswith(".gz") else open
+    with opener(path, "rt") as f:
+        originals = [json.loads(line) for line in f if line.strip()]
+    ours = set_cls.from_file(path)
+    return originals, [item.to_dict() for item in ours]
+
+
+def test_reference_recordings_roundtrip_bytes():
+    from lhotse_tpu import RecordingSet
+
+    path = FIXTURES / "mini_librispeech" / "lhotse" / "recordings.jsonl.gz"
+    originals, ours = _round_trip_jsonl(path, RecordingSet)
+    assert len(ours) == len(originals) > 0
+    for theirs, mine in zip(originals, ours):
+        _assert_same_record(theirs, mine, theirs["id"])
+
+
+def test_reference_supervisions_roundtrip_bytes():
+    from lhotse_tpu import SupervisionSet
+
+    path = FIXTURES / "mini_librispeech" / "lhotse" / "supervisions.jsonl.gz"
+    originals, ours = _round_trip_jsonl(path, SupervisionSet)
+    assert len(ours) == len(originals) > 0
+    for theirs, mine in zip(originals, ours):
+        _assert_same_record(theirs, mine, theirs["id"])
+
+
+def test_our_serialization_is_reference_schema_stable():
+    """Writing our own manifests re-reads into identical dicts (full cycle)."""
+    import tempfile
+
+    from lhotse_tpu import RecordingSet
+
+    path = FIXTURES / "mini_librispeech" / "lhotse" / "recordings.jsonl.gz"
+    ours = RecordingSet.from_file(path)
+    with tempfile.TemporaryDirectory() as d:
+        out = Path(d) / "copy.jsonl.gz"
+        ours.to_file(out)
+        again = RecordingSet.from_file(out)
+        for a, b in zip(ours, again):
+            assert _canon(a.to_dict()) == _canon(b.to_dict())
+
+
+def _strip_derivable(record):
+    if isinstance(record, dict):
+        return {
+            k: _strip_derivable(v)
+            for k, v in record.items()
+            if k not in _DERIVABLE
+        }
+    if isinstance(record, list):
+        return [_strip_derivable(v) for v in record]
+    return record
+
+
+def test_reference_cuts_json_roundtrip():
+    """The libri cuts fixture: Mono + feature manifests survive a round trip."""
+    from lhotse_tpu import CutSet
+
+    cuts = CutSet.from_file(FIXTURES / "libri" / "cuts.json")
+    originals = json.loads((FIXTURES / "libri" / "cuts.json").read_text())
+    assert len(cuts) == len(originals)
+    for theirs, mine in zip(originals, cuts.to_dicts()):
+        assert _canon(theirs) == _canon(_strip_derivable(mine)), theirs.get("id")
+
+
+def test_reference_wav_decodes_identically():
+    """Our WAV decoder matches a direct int16 parse of the reference fixture."""
+    import wave
+
+    from lhotse_tpu import Recording
+
+    path = FIXTURES / "mono_c0.wav"
+    rec = Recording.from_file(path)
+    ours = rec.load_audio()
+
+    with wave.open(str(path), "rb") as w:
+        raw = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        sr = w.getframerate()
+    theirs = (raw.astype(np.float32) / 32768.0)[None, :]
+
+    assert rec.sampling_rate == sr
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_reference_stereo_wav_channels():
+    import wave
+
+    from lhotse_tpu import Recording
+
+    path = FIXTURES / "stereo.wav"
+    rec = Recording.from_file(path)
+    assert rec.num_channels == 2
+    ours = rec.load_audio()
+
+    with wave.open(str(path), "rb") as w:
+        raw = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        frames = raw.reshape(-1, 2).T
+    theirs = frames.astype(np.float32) / 32768.0
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_reference_ctm_alignment_import():
+    from lhotse_tpu import SupervisionSegment, SupervisionSet
+
+    base = SupervisionSet.from_segments(
+        [
+            SupervisionSegment(
+                id="sup0001-1", recording_id="rec0001", start=0.0, duration=10.0
+            ),
+            SupervisionSegment(
+                id="sup0002-2", recording_id="rec0001", start=10.0, duration=10.0
+            ),
+        ]
+    )
+    with_ali = base.with_alignment_from_ctm(FIXTURES / "supervision.ctm")
+    assert any(s.alignment for s in with_ali)
+
+
+def test_fbank_float64_floor():
+    """
+    Demonstrate (not just assert) that the fbank golden tolerance is the
+    float32 noise floor: an independent float64 numpy implementation of the
+    Kaldi fbank math agrees with the float32 JAX path to ~1e-4 in the log
+    domain, i.e. our atol=5e-4 goldens are not hiding algorithmic drift.
+    """
+    from lhotse_tpu.features.kaldi.layers import (
+        Wav2LogFilterBank,
+        create_frame_window,
+        get_mel_banks,
+    )
+
+    sr, frame_len, frame_shift, nfft, nmels = 16000, 400, 160, 512, 80
+    rng = np.random.RandomState(42)
+    wave = (rng.randn(sr) * 0.1).astype(np.float32)
+
+    # float64 ground truth, mirroring the Kaldi contract step by step
+    x = wave.astype(np.float64)
+    num_frames = (len(x) + frame_shift // 2) // frame_shift
+    pad = (frame_len - frame_shift) // 2
+    padded = np.concatenate([x[1 : pad + 1][::-1], x, x[-2 : -2 - pad : -1]])
+    frames = np.stack(
+        [padded[i * frame_shift : i * frame_shift + frame_len] for i in range(num_frames)]
+    )
+    frames = frames - frames.mean(axis=1, keepdims=True)  # remove DC
+    pre = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
+    frames = frames - 0.97 * pre  # preemphasis, replicate-padded
+    window = np.asarray(create_frame_window(frame_len), dtype=np.float64)
+    frames = frames * window
+    spec = np.abs(np.fft.rfft(frames, n=nfft)) ** 2
+    mel = np.asarray(get_mel_banks(nmels, nfft, sr, 20.0, -400.0)[0], dtype=np.float64)
+    # Kaldi mel banks cover fft bins [0, nfft//2) — the Nyquist bin is unused.
+    ground_truth = np.log(
+        np.maximum(spec[:, : mel.shape[1]] @ mel.T, np.finfo(np.float32).eps)
+    )
+
+    ours = np.asarray(Wav2LogFilterBank(sampling_rate=sr)(wave[None, :]))[0]
+    assert ours.shape == ground_truth.shape
+    # First/last frame depend on the reflect-padding convention at the edges
+    # (pinned separately by the reference goldens); the noise-floor claim is
+    # about the interior frames, where only float32 rounding can differ.
+    interior = np.abs(ours - ground_truth)[1:-1].max()
+    assert interior < 5e-4, (
+        f"float32 fbank deviates from float64 ground truth by {interior}"
+    )
