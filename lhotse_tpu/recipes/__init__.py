@@ -95,3 +95,40 @@ __all__ = [
     "prepare_yesno",
     "read_manifests_if_cached",
 ]
+
+# --- round 2 recipe tranche ---
+from lhotse_tpu.recipes.adept import download_adept, prepare_adept
+from lhotse_tpu.recipes.aishell2 import prepare_aishell2
+from lhotse_tpu.recipes.aishell3 import download_aishell3, prepare_aishell3
+from lhotse_tpu.recipes.aishell4 import download_aishell4, prepare_aishell4
+from lhotse_tpu.recipes.ali_meeting import download_ali_meeting, prepare_ali_meeting
+from lhotse_tpu.recipes.audio_mnist import download_audio_mnist, prepare_audio_mnist
+from lhotse_tpu.recipes.babel import prepare_single_babel_language
+from lhotse_tpu.recipes.chime6 import prepare_chime6
+from lhotse_tpu.recipes.cmu_arctic import download_cmu_arctic, prepare_cmu_arctic
+from lhotse_tpu.recipes.cmu_kids import prepare_cmu_kids
+from lhotse_tpu.recipes.daily_talk import download_daily_talk, prepare_daily_talk
+from lhotse_tpu.recipes.dihard3 import prepare_dihard3
+from lhotse_tpu.recipes.dipco import download_dipco, prepare_dipco
+from lhotse_tpu.recipes.ears import download_ears, prepare_ears
+from lhotse_tpu.recipes.earnings21 import download_earnings21, prepare_earnings21
+from lhotse_tpu.recipes.fisher_english import prepare_fisher_english
+from lhotse_tpu.recipes.heroico import download_heroico, prepare_heroico
+from lhotse_tpu.recipes.hifitts import download_hifitts, prepare_hifitts
+from lhotse_tpu.recipes.l2_arctic import prepare_l2_arctic
+from lhotse_tpu.recipes.libricss import download_libricss, prepare_libricss
+from lhotse_tpu.recipes.librilight import prepare_librilight
+from lhotse_tpu.recipes.mdcc import download_mdcc, prepare_mdcc
+from lhotse_tpu.recipes.mobvoihotwords import (
+    download_mobvoihotwords,
+    prepare_mobvoihotwords,
+)
+from lhotse_tpu.recipes.rir_noise import download_rir_noise, prepare_rir_noise
+from lhotse_tpu.recipes.speechcommands import (
+    download_speechcommands,
+    prepare_speechcommands,
+)
+from lhotse_tpu.recipes.tedlium2 import download_tedlium2, prepare_tedlium2
+from lhotse_tpu.recipes.voxconverse import download_voxconverse, prepare_voxconverse
+from lhotse_tpu.recipes.voxpopuli import download_voxpopuli, prepare_voxpopuli
+from lhotse_tpu.recipes.wham import download_wham, prepare_wham

@@ -1,0 +1,225 @@
+"""
+LibriCSS: 10 hours of concatenated-and-replayed LibriSpeech utterances,
+recorded with a 7-mic circular array in a meeting room, at six overlap
+conditions (0L, 0S, OV10..OV40), 10 one-hour sessions each.
+
+Layout (functional parity target: ``lhotse/recipes/libricss.py``)::
+
+    for_release/
+      <ov>/<overlap_ratio_..._sessionN_actualX>/
+        record/raw_recording.wav      # 7-channel far-field
+        clean/mix.wav                 # mixed close-talk
+        clean/each_spk.wav            # 8-channel, one speaker per channel
+        transcription/meeting_info.txt  # TSV: start end speaker utt_id text
+      all_res.json                    # 1-minute evaluation segments
+
+Mic settings mirror AMI/ICSI: mdm (7ch array), sdm (array channel 0),
+ihm-mix (clean mix), ihm (per-speaker clean channels, using the
+speaker->channel table below, courtesy of the original authors).
+"""
+import json
+import logging
+import subprocess
+import zipfile
+from collections import defaultdict
+from pathlib import Path
+from typing import Dict, Union
+
+from lhotse_tpu.audio import Recording, RecordingSet
+from lhotse_tpu.cut import CutSet
+from lhotse_tpu.qa import fix_manifests, validate_recordings_and_supervisions
+from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
+from lhotse_tpu.utils import Pathlike, fastcopy
+
+OVERLAP_RATIOS = ("0L", "0S", "OV10", "OV20", "OV30", "OV40")
+
+# fmt: off
+# Speaker -> clean channel index per session (corpus metadata; not part of
+# the official release, provided by the LibriCSS authors).
+SPK_TO_CHANNEL_MAP = {
+    "overlap_ratio_0.0_sil0.1_0.5_session0_actual0.0": {"1089": 5, "1320": 3, "1580": 0, "4077": 6, "4992": 1, "6829": 2, "6930": 7, "7176": 4},
+    "overlap_ratio_0.0_sil0.1_0.5_session1_actual0.0": {"1089": 4, "121": 3, "2961": 0, "3575": 2, "5105": 6, "6829": 5, "8463": 7, "8555": 1},
+    "overlap_ratio_0.0_sil0.1_0.5_session2_actual0.0": {"2961": 3, "4970": 0, "5105": 7, "5639": 5, "61": 2, "7176": 6, "7729": 4, "8224": 1},
+    "overlap_ratio_0.0_sil0.1_0.5_session3_actual0.0": {"1089": 5, "1320": 4, "260": 3, "5105": 7, "61": 2, "672": 1, "6829": 6, "908": 0},
+    "overlap_ratio_0.0_sil0.1_0.5_session4_actual0.0": {"1188": 2, "1221": 6, "1995": 1, "2961": 5, "4507": 7, "4970": 0, "5683": 3, "672": 4},
+    "overlap_ratio_0.0_sil0.1_0.5_session5_actual0.0": {"121": 5, "1221": 4, "2300": 2, "237": 3, "4507": 6, "4970": 0, "7021": 1, "8463": 7},
+    "overlap_ratio_0.0_sil0.1_0.5_session6_actual0.0": {"260": 5, "3575": 4, "3729": 2, "4507": 6, "4970": 0, "5683": 1, "6829": 7, "7729": 3},
+    "overlap_ratio_0.0_sil0.1_0.5_session7_actual0.0": {"121": 4, "2300": 1, "260": 3, "3729": 2, "4077": 5, "8224": 0, "8230": 6, "8463": 7},
+    "overlap_ratio_0.0_sil0.1_0.5_session8_actual0.0": {"1188": 2, "1995": 1, "237": 5, "3570": 0, "5639": 6, "5683": 3, "61": 4, "7127": 7},
+    "overlap_ratio_0.0_sil0.1_0.5_session9_actual0.0": {"61": 2, "672": 3, "6930": 1, "7021": 0, "7127": 5, "7729": 4, "8230": 6, "8463": 7},
+    "overlap_ratio_0.0_sil2.9_3.0_session0_actual0.0": {"121": 7, "260": 5, "3575": 0, "5105": 2, "5683": 1, "6930": 6, "8224": 4, "8230": 3},
+    "overlap_ratio_0.0_sil2.9_3.0_session1_actual0.0": {"1284": 6, "1580": 5, "237": 7, "2961": 3, "3575": 0, "4446": 1, "4507": 4, "7127": 2},
+    "overlap_ratio_0.0_sil2.9_3.0_session2_actual0.0": {"1188": 4, "121": 6, "1995": 7, "4446": 1, "7021": 5, "7729": 0, "8463": 3, "8555": 2},
+    "overlap_ratio_0.0_sil2.9_3.0_session3_actual0.0": {"1995": 7, "2094": 3, "2830": 4, "2961": 2, "3729": 6, "4992": 1, "5105": 0, "7021": 5},
+    "overlap_ratio_0.0_sil2.9_3.0_session4_actual0.0": {"1089": 6, "1188": 5, "2961": 2, "7021": 7, "7729": 0, "8230": 1, "8463": 4, "8555": 3},
+    "overlap_ratio_0.0_sil2.9_3.0_session5_actual0.0": {"1580": 3, "2094": 2, "260": 6, "3729": 5, "4992": 0, "672": 1, "7021": 4, "8455": 7},
+    "overlap_ratio_0.0_sil2.9_3.0_session6_actual0.0": {"1188": 4, "1320": 7, "1995": 6, "2300": 0, "3729": 5, "4507": 2, "7127": 1, "8455": 3},
+    "overlap_ratio_0.0_sil2.9_3.0_session7_actual0.0": {"1089": 5, "1320": 7, "2830": 4, "4077": 3, "4992": 2, "7127": 1, "8230": 0, "908": 6},
+    "overlap_ratio_0.0_sil2.9_3.0_session8_actual0.0": {"2961": 2, "4992": 1, "5142": 7, "672": 0, "6930": 6, "7176": 5, "8463": 3, "908": 4},
+    "overlap_ratio_0.0_sil2.9_3.0_session9_actual0.0": {"1089": 5, "1188": 4, "2300": 0, "260": 7, "4077": 3, "672": 1, "8555": 2, "908": 6},
+    "overlap_ratio_10.0_sil0.1_1.0_session0_actual10.1": {"1320": 6, "1995": 1, "260": 7, "4992": 0, "672": 4, "6930": 5, "8455": 2, "8463": 3},
+    "overlap_ratio_10.0_sil0.1_1.0_session1_actual10.2": {"1188": 7, "1580": 1, "2094": 5, "3570": 3, "8224": 6, "8463": 4, "8555": 0, "908": 2},
+    "overlap_ratio_10.0_sil0.1_1.0_session2_actual10.0": {"1188": 7, "3570": 3, "3729": 1, "5683": 4, "61": 6, "7127": 0, "7729": 5, "8463": 2},
+    "overlap_ratio_10.0_sil0.1_1.0_session3_actual10.1": {"1580": 2, "1995": 3, "2300": 1, "3575": 7, "672": 4, "6829": 0, "7729": 6, "8224": 5},
+    "overlap_ratio_10.0_sil0.1_1.0_session4_actual10.0": {"1188": 7, "121": 6, "2300": 1, "260": 5, "672": 2, "6829": 0, "7021": 3, "8224": 4},
+    "overlap_ratio_10.0_sil0.1_1.0_session5_actual9.9": {"237": 0, "3575": 7, "3729": 3, "4507": 1, "4970": 6, "672": 4, "6930": 5, "8230": 2},
+    "overlap_ratio_10.0_sil0.1_1.0_session6_actual9.9": {"1089": 5, "121": 3, "1320": 6, "3575": 7, "4446": 4, "4992": 2, "6829": 0, "8555": 1},
+    "overlap_ratio_10.0_sil0.1_1.0_session7_actual10.1": {"121": 7, "1221": 5, "1995": 3, "4077": 0, "61": 1, "7729": 6, "8463": 4, "908": 2},
+    "overlap_ratio_10.0_sil0.1_1.0_session8_actual10.0": {"1320": 5, "1580": 1, "2300": 0, "4077": 7, "4446": 3, "672": 4, "7176": 2, "7729": 6},
+    "overlap_ratio_10.0_sil0.1_1.0_session9_actual10.0": {"1320": 5, "2830": 3, "3570": 7, "5639": 1, "6930": 4, "8224": 6, "8455": 2, "8555": 0},
+    "overlap_ratio_20.0_sil0.1_1.0_session0_actual20.8": {"1089": 2, "121": 1, "1284": 0, "4507": 4, "4970": 7, "6930": 5, "7127": 6, "8555": 3},
+    "overlap_ratio_20.0_sil0.1_1.0_session1_actual20.5": {"1089": 0, "1320": 6, "1580": 2, "260": 1, "4446": 4, "5105": 7, "5142": 3, "8224": 5},
+    "overlap_ratio_20.0_sil0.1_1.0_session2_actual21.1": {"1580": 2, "2830": 6, "2961": 5, "3570": 7, "4507": 4, "5639": 1, "6829": 3, "8230": 0},
+    "overlap_ratio_20.0_sil0.1_1.0_session3_actual20.0": {"1320": 5, "260": 1, "4992": 7, "5105": 6, "5142": 3, "7729": 2, "8455": 4, "908": 0},
+    "overlap_ratio_20.0_sil0.1_1.0_session4_actual20.0": {"1089": 1, "1580": 2, "2830": 3, "3570": 7, "3729": 5, "5105": 4, "7127": 6, "8230": 0},
+    "overlap_ratio_20.0_sil0.1_1.0_session5_actual19.6": {"1089": 1, "1188": 5, "1284": 0, "2961": 3, "3570": 7, "3575": 6, "61": 2, "8455": 4},
+    "overlap_ratio_20.0_sil0.1_1.0_session6_actual20.0": {"121": 0, "4446": 5, "4507": 4, "5105": 7, "6829": 2, "7176": 6, "8224": 3, "8463": 1},
+    "overlap_ratio_20.0_sil0.1_1.0_session7_actual20.1": {"2300": 0, "237": 5, "2830": 2, "2961": 1, "4970": 7, "4992": 6, "672": 4, "6930": 3},
+    "overlap_ratio_20.0_sil0.1_1.0_session8_actual19.8": {"1221": 2, "1995": 4, "2300": 1, "672": 6, "7127": 7, "8224": 5, "8230": 0, "908": 3},
+    "overlap_ratio_20.0_sil0.1_1.0_session9_actual20.7": {"1089": 2, "1284": 0, "4077": 3, "4446": 5, "5105": 7, "5639": 1, "7176": 6, "7729": 4},
+    "overlap_ratio_30.0_sil0.1_1.0_session0_actual29.7": {"1089": 1, "1995": 6, "237": 7, "2830": 0, "2961": 4, "3575": 2, "672": 3, "7021": 5},
+    "overlap_ratio_30.0_sil0.1_1.0_session1_actual30.4": {"1580": 6, "3575": 4, "4970": 2, "4992": 1, "5142": 5, "7729": 0, "8230": 7, "8455": 3},
+    "overlap_ratio_30.0_sil0.1_1.0_session2_actual29.6": {"1284": 6, "1995": 7, "3575": 4, "4507": 2, "5639": 3, "61": 5, "8224": 0, "8463": 1},
+    "overlap_ratio_30.0_sil0.1_1.0_session3_actual30.2": {"1320": 7, "2094": 3, "260": 4, "3575": 5, "4446": 6, "5105": 0, "6930": 1, "7729": 2},
+    "overlap_ratio_30.0_sil0.1_1.0_session4_actual29.8": {"121": 1, "1320": 7, "260": 6, "2830": 5, "5683": 4, "6829": 0, "8463": 3, "8555": 2},
+    "overlap_ratio_30.0_sil0.1_1.0_session5_actual29.7": {"1089": 5, "260": 4, "2830": 3, "3729": 2, "4077": 1, "4446": 6, "8224": 0, "908": 7},
+    "overlap_ratio_30.0_sil0.1_1.0_session6_actual30.1": {"2094": 2, "237": 6, "4992": 4, "5683": 3, "61": 5, "6829": 1, "8555": 0, "908": 7},
+    "overlap_ratio_30.0_sil0.1_1.0_session7_actual30.2": {"1089": 5, "1188": 1, "1284": 6, "2300": 4, "2830": 2, "3570": 0, "4446": 7, "4970": 3},
+    "overlap_ratio_30.0_sil0.1_1.0_session8_actual29.7": {"1188": 1, "1284": 4, "3570": 0, "3575": 3, "4970": 2, "7021": 5, "8230": 6, "908": 7},
+    "overlap_ratio_30.0_sil0.1_1.0_session9_actual29.8": {"1188": 2, "1320": 7, "61": 3, "6930": 1, "7021": 4, "7127": 5, "7176": 6, "7729": 0},
+    "overlap_ratio_40.0_sil0.1_1.0_session0_actual39.5": {"121": 0, "1284": 7, "1320": 1, "2830": 5, "3729": 6, "4446": 3, "7127": 2, "7729": 4},
+    "overlap_ratio_40.0_sil0.1_1.0_session1_actual39.7": {"121": 0, "1580": 2, "237": 3, "260": 1, "4446": 4, "7021": 7, "7729": 5, "8455": 6},
+    "overlap_ratio_40.0_sil0.1_1.0_session2_actual41.2": {"1188": 3, "1284": 7, "1320": 4, "260": 1, "4507": 0, "6930": 5, "8224": 6, "8230": 2},
+    "overlap_ratio_40.0_sil0.1_1.0_session3_actual40.2": {"1320": 4, "1580": 1, "3575": 2, "4077": 5, "4970": 0, "5105": 7, "7127": 6, "8463": 3},
+    "overlap_ratio_40.0_sil0.1_1.0_session4_actual39.0": {"1188": 1, "121": 0, "1995": 2, "3729": 7, "4077": 3, "7729": 5, "8555": 4, "908": 6},
+    "overlap_ratio_40.0_sil0.1_1.0_session5_actual42.0": {"1089": 4, "1284": 7, "237": 2, "2961": 6, "4077": 1, "4446": 3, "4507": 0, "8224": 5},
+    "overlap_ratio_40.0_sil0.1_1.0_session6_actual39.9": {"1188": 1, "2094": 4, "3575": 5, "4970": 0, "5105": 7, "672": 2, "7021": 6, "8230": 3},
+    "overlap_ratio_40.0_sil0.1_1.0_session7_actual40.5": {"1221": 2, "1580": 1, "2830": 6, "5142": 4, "7021": 7, "8230": 0, "8455": 5, "8463": 3},
+    "overlap_ratio_40.0_sil0.1_1.0_session8_actual40.5": {"1580": 4, "260": 3, "3729": 7, "4970": 2, "5639": 6, "61": 0, "6930": 5, "8230": 1},
+    "overlap_ratio_40.0_sil0.1_1.0_session9_actual39.9": {"1284": 7, "1995": 0, "2961": 6, "3575": 2, "4077": 4, "7176": 1, "8224": 5, "8463": 3}
+}
+# fmt: on
+
+
+def download_libricss(target_dir: Pathlike, force_download: bool = False) -> Path:
+    """Fetch the LibriCSS release zip from Google Drive and extract it."""
+    # The official release lives on Google Drive; this is the documented
+    # cookie dance from the LibriCSS data-prep scripts.
+    fetch = (
+        '''wget --load-cookies /tmp/cookies.txt "https://docs.google.com/uc?export=download&confirm=$(wget --quiet --save-cookies /tmp/cookies.txt --keep-session-cookies --no-check-certificate \'https://docs.google.com/uc?export=download&id=1Piioxd5G_85K9Bhcr8ebdhXx0CnaHy7l\' -O- | sed -rn \'s/.*confirm=([0-9A-Za-z_]+).*/\\1\\n/p\')&id=1Piioxd5G_85K9Bhcr8ebdhXx0CnaHy7l" -O for_release.zip && rm -rf /tmp/cookies.txt'''
+    )
+    target_dir = Path(target_dir)
+    target_dir.mkdir(parents=True, exist_ok=True)
+    corpus_zip = target_dir / "for_release.zip"
+    corpus_dir = target_dir / "for_release"
+    if force_download or not corpus_zip.exists():
+        subprocess.run(fetch, shell=True, cwd=target_dir)
+    else:
+        logging.info(f"{corpus_zip} already exists. Skipping download.")
+    if force_download or not corpus_dir.exists():
+        logging.info(f"Extracting {corpus_zip} to {target_dir}")
+        with zipfile.ZipFile(corpus_zip) as zf:
+            zf.extractall(target_dir)
+    return target_dir
+
+
+def _read_meeting_info(path: Path):
+    """TSV rows (minus header): (start, end, speaker, utt_id, text)."""
+    rows = []
+    for line in path.read_text().splitlines()[1:]:
+        start, end, speaker, utt_id, text = line.split("\t")
+        rows.append((float(start), float(end), speaker, utt_id, text))
+    return rows
+
+
+def _session_audio(session: Path, type: str) -> Path:
+    if type == "ihm-mix":
+        return session / "clean" / "mix.wav"
+    if type == "ihm":
+        return session / "clean" / "each_spk.wav"
+    return session / "record" / "raw_recording.wav"
+
+
+def prepare_libricss(
+    corpus_dir: Pathlike,
+    output_dir: Pathlike = None,
+    type: str = "mdm",
+    segmented_cuts: bool = False,
+) -> Dict[str, Union[RecordingSet, SupervisionSet, CutSet]]:
+    """
+    LibriCSS manifests for one mic setting.
+
+    :param type: "mdm" (all 7 array channels), "sdm" (array channel 0),
+        "ihm-mix" (clean mixture), or "ihm" (per-speaker clean channels).
+    :param segmented_cuts: additionally return the official 1-minute
+        evaluation segments as a CutSet under the "segments" key.
+    """
+    if type not in ("mdm", "sdm", "ihm-mix", "ihm"):
+        raise AssertionError(f"Unknown LibriCSS mic setting: {type!r}")
+    corpus_dir = Path(corpus_dir)
+    if corpus_dir.stem != "for_release":
+        corpus_dir = corpus_dir / "for_release"
+
+    recordings, segments = [], []
+    pretty_names = {}  # full session dir name -> "<ov>_<sessionN>"
+    for ov in OVERLAP_RATIOS:
+        for session in sorted((corpus_dir / ov).iterdir()):
+            name_parts = session.name.split("_")
+            rec_id = f"{ov}_{name_parts[5]}"
+            pretty_names[session.name] = rec_id
+            rec = Recording.from_file(_session_audio(session, type), recording_id=rec_id)
+            if type == "sdm":
+                rec = fastcopy(rec, channel_ids=[0])
+            recordings.append(rec)
+            rows = _read_meeting_info(session / "transcription" / "meeting_info.txt")
+            for idx, (start, end, speaker, _, text) in enumerate(rows):
+                if type in ("ihm-mix", "sdm"):
+                    channel = 0
+                elif type == "ihm":
+                    channel = SPK_TO_CHANNEL_MAP[session.name][speaker]
+                else:
+                    channel = list(range(7))
+                segments.append(
+                    SupervisionSegment(
+                        id=f"{rec_id}-{idx}",
+                        recording_id=rec_id,
+                        start=start,
+                        duration=end - start,
+                        text=text,
+                        language="English",
+                        speaker=speaker,
+                        channel=channel,
+                    )
+                )
+
+    recordings = RecordingSet.from_recordings(recordings)
+    supervisions = SupervisionSet.from_segments(segments)
+    recordings, supervisions = fix_manifests(recordings, supervisions)
+    validate_recordings_and_supervisions(recordings, supervisions)
+    result = {"recordings": recordings, "supervisions": supervisions}
+
+    if segmented_cuts:
+        windows = defaultdict(list)
+        for session, spans in json.loads((corpus_dir / "all_res.json").read_text()).items():
+            windows[pretty_names[session]].extend(spans)
+        full_cuts = CutSet.from_manifests(recordings=recordings, supervisions=supervisions)
+        minute_cuts = []
+        for cut in full_cuts:
+            for begin, finish in windows[cut.id]:
+                minute_cuts.append(
+                    cut.truncate(
+                        offset=float(begin),
+                        duration=float(finish) - float(begin),
+                        preserve_id=False,
+                    )
+                )
+        result["segments"] = CutSet.from_cuts(minute_cuts)
+
+    if output_dir is not None:
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        recordings.to_file(output_dir / f"libricss-{type}_recordings_all.jsonl.gz")
+        supervisions.to_file(output_dir / f"libricss-{type}_supervisions_all.jsonl.gz")
+        if segmented_cuts:
+            result["segments"].to_file(output_dir / f"libricss-{type}_segments_all.jsonl.gz")
+    return result

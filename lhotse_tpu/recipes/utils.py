@@ -80,3 +80,33 @@ def manifests_exist(
         if not path.is_file():
             return False
     return True
+
+
+def finalize_manifests(
+    recordings,
+    supervisions,
+    *,
+    output_dir: Optional[Pathlike] = None,
+    prefix: str = "",
+    part: str = "all",
+) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
+    """
+    The common recipe tail: fix + validate the pair, optionally persist it as
+    ``{prefix}_recordings_{part}.jsonl.gz`` (same for supervisions), and
+    return the ``{"recordings": ..., "supervisions": ...}`` dict.
+    """
+    from lhotse_tpu.qa import fix_manifests, validate_recordings_and_supervisions
+
+    if not isinstance(recordings, RecordingSet):
+        recordings = RecordingSet.from_recordings(recordings)
+    if not isinstance(supervisions, SupervisionSet):
+        supervisions = SupervisionSet.from_segments(supervisions)
+    recordings, supervisions = fix_manifests(recordings, supervisions)
+    validate_recordings_and_supervisions(recordings, supervisions)
+    if output_dir is not None:
+        output_dir = Path(output_dir)
+        output_dir.mkdir(parents=True, exist_ok=True)
+        tag = f"{prefix}_" if prefix and not prefix.endswith("_") else prefix
+        recordings.to_file(output_dir / f"{tag}recordings_{part}.jsonl.gz")
+        supervisions.to_file(output_dir / f"{tag}supervisions_{part}.jsonl.gz")
+    return {"recordings": recordings, "supervisions": supervisions}
