@@ -53,17 +53,7 @@ def _batch_bucket(b: int) -> int:
     return 1 << (b - 1).bit_length() if b > 1 else 1
 
 
-def use_pallas_default() -> bool:
-    if os.environ.get("LHOTSE_TPU_FBANK_PALLAS") == "1":
-        return True
-    if os.environ.get("LHOTSE_TPU_FBANK_PALLAS") == "0":
-        return False
-    try:
-        import jax
-
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+from lhotse_tpu.ops.fbank_pallas import use_pallas_default  # noqa: E402
 
 
 class _KaldiExtractorBase(FeatureExtractor):
@@ -117,12 +107,26 @@ class _KaldiExtractorBase(FeatureExtractor):
             preemph_coeff=self.config.preemph_coeff,
         )
 
+    def _pallas_matrices(self):
+        """
+        Subclass hook: return (Mc, Ms, mel_fb) when the fused Pallas TPU
+        kernel (:mod:`lhotse_tpu.ops.fbank_pallas`) covers this extractor's
+        configuration, else None (default).
+        """
+        return None
+
     def _forward_padded_batch(self, samples: np.ndarray):
         """
         One jitted forward over a padded (B, N) float32 batch; returns a jax
         array (B, T, F). The input is expected to already carry the
         snip_edges=False symmetric padding per item (see
         :meth:`_prepare_item`), so framing here is always snip-edges style.
+
+        On TPU backends (see :func:`use_pallas_default`), Fbank-style
+        configurations route through the fused Pallas kernel (~2x the XLA
+        GEMM path on-chip: the frames matrix never round-trips HBM); the
+        first call falls back to the XLA path if the kernel cannot lower on
+        the current toolchain.
         """
         import jax
 
@@ -147,6 +151,29 @@ class _KaldiExtractorBase(FeatureExtractor):
                 return self._postprocess(pow_spec, log_e, consts)
 
             fn = jax.jit(_run)
+            mats = self._pallas_matrices() if use_pallas_default() else None
+            if mats is not None:
+                from lhotse_tpu.ops.fbank_pallas import fbank_fused_padded
+
+                pMc, pMs, pfb = mats
+
+                def _run_pallas(x):
+                    # The batch already carries the per-item symmetric edge
+                    # padding -> snip-edges framing semantics.
+                    return fbank_fused_padded(x, pMc, pMs, pfb, snip_edges=True)
+
+                pal = jax.jit(_run_pallas)
+
+                def _with_fallback(x, _pal=pal, _xla=fn, _cache=self._jit_cache):
+                    try:
+                        out = _pal(x)
+                        _cache["fn"] = _pal
+                        return out
+                    except Exception:
+                        _cache["fn"] = _xla
+                        return _xla(x)
+
+                fn = _with_fallback
             self._jit_cache["fn"] = fn
         return fn(samples)
 
@@ -325,6 +352,22 @@ class Fbank(_KaldiExtractorBase):
 
     def _postprocess_constants(self):
         return (self.extractor._fb,)
+
+    def _pallas_matrices(self):
+        cfg = self.config
+        if (
+            self._frame_samples != 400
+            or self._shift_samples != 160
+            or self._fft_length != 512
+            or getattr(cfg, "use_energy", False)
+            or getattr(cfg, "use_fft_mag", False)
+        ):
+            return None
+        fb = np.asarray(self.extractor._fb, dtype=np.float32)
+        if fb.shape[0] != 257 or fb[256].any():
+            return None
+        Mc, Ms = self._analysis_matrices()
+        return Mc, Ms, fb
 
     def _postprocess(self, pow_spec, log_e, consts):
         import jax.numpy as jnp

@@ -468,6 +468,49 @@ class Wav2LogFilterBank(_MelBase):
             pow_spec = jnp.concatenate([log_e[..., None], pow_spec], axis=-1)
         return pow_spec
 
+    def _fused_matrices(self):
+        """(Mc, Ms, fb) for the fused Pallas TPU kernel when this layer's
+        configuration maps onto it, else None; cached after the first call."""
+        if not hasattr(self, "_fused_cache"):
+            mats = None
+            w = self.wav2win
+            fb = np.asarray(self._fb, dtype=np.float32)
+            if (
+                w._length == 400
+                and w._shift == 160
+                and self.fft_length == 512
+                and not self.use_energy
+                and not self.use_fft_mag
+                and fb.shape[0] == 257
+                and not fb[256].any()
+            ):
+                Mc, Ms = ops.dft_analysis_matrices(
+                    w._length,
+                    self.fft_length,
+                    window_type=w.window_type,
+                    remove_dc_offset=w.remove_dc_offset,
+                    preemph_coeff=w.preemph_coeff,
+                )
+                mats = (Mc, Ms, fb)
+            self._fused_cache = mats
+        return self._fused_cache
+
+    def forward(self, x):
+        from lhotse_tpu.ops.fbank_pallas import fbank_fused_padded, use_pallas_default
+
+        x = _as_jax_batch(x)
+        mats = self._fused_matrices() if use_pallas_default() else None
+        if mats is None:
+            return super().forward(x)
+        # Fused Pallas path: dithering applies to the raw waveform exactly as
+        # in Wav2Win.forward; DC-removal/pre-emphasis/window are folded into
+        # the analysis matrices (ops.frame_preprocessing_matrix).
+        x = self.wav2win._maybe_dither(x)
+        Mc, Ms, fb = mats
+        return fbank_fused_padded(x, Mc, Ms, fb, snip_edges=self.wav2win.snip_edges)
+
+    __call__ = forward
+
 
 class Wav2MFCC(_MelBase):
     """Mel-frequency cepstral coefficients: (batch, num_frames, num_ceps)."""

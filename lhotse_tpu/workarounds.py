@@ -17,16 +17,16 @@ class Hdf5MemoryIssueFix:
     """
 
     def __init__(self, reset_interval: int = 100) -> None:
-        self.counter = 0
         self.reset_interval = reset_interval
+        self.counter = 0
 
     def update(self) -> None:
-        from lhotse_tpu.features.io import close_cached_file_handles
-
-        if self.counter > 0 and self.counter % self.reset_interval == 0:
-            close_cached_file_handles()
-            self.counter = 0
         self.counter += 1
+        if self.counter > self.reset_interval:
+            from lhotse_tpu.features.io import close_cached_file_handles
+
+            close_cached_file_handles()
+            self.counter = 1
 
 
 class AltGzipFile(gzip.GzipFile):
@@ -36,27 +36,23 @@ class AltGzipFile(gzip.GzipFile):
     """
 
     def read(self, size=-1):
-        chunks = []
+        pieces = []
+        want_all = size < 0
         try:
-            if size < 0:
-                while True:
-                    chunk = self.read1()
-                    if not chunk:
-                        break
-                    chunks.append(chunk)
-            else:
-                while size > 0:
-                    chunk = self.read1(size)
-                    if not chunk:
-                        break
-                    size -= len(chunk)
-                    chunks.append(chunk)
-        except OSError as e:
-            if not chunks or not str(e).startswith("Not a gzipped file"):
+            while want_all or size > 0:
+                piece = self.read1() if want_all else self.read1(size)
+                if not piece:
+                    break
+                if not want_all:
+                    size -= len(piece)
+                pieces.append(piece)
+        except OSError as exc:
+            # The payload decompressed fine and only the trailing bytes are
+            # bogus: swallow the error. Anything else is a real failure.
+            garbage_only = pieces and str(exc).startswith("Not a gzipped file")
+            if not garbage_only:
                 raise
-            # Decompression succeeded; trailing garbage ignored.
-
-        return b"".join(chunks)
+        return b"".join(pieces)
 
 
 def gzip_open_robust(
@@ -72,26 +68,19 @@ def gzip_open_robust(
     trailing garbage). Accepts a path or an existing binary file object;
     text modes get a TextIOWrapper.
     """
-    if "t" in mode:
-        if "b" in mode:
-            raise ValueError("Invalid mode: %r" % (mode,))
-    else:
-        if encoding is not None:
-            raise ValueError("Argument 'encoding' not supported in binary mode")
-        if errors is not None:
-            raise ValueError("Argument 'errors' not supported in binary mode")
-        if newline is not None:
-            raise ValueError("Argument 'newline' not supported in binary mode")
+    text = "t" in mode
+    if text and "b" in mode:
+        raise ValueError(f"Invalid mode: {mode!r}")
+    if not text:
+        for arg, value in (("encoding", encoding), ("errors", errors), ("newline", newline)):
+            if value is not None:
+                raise ValueError(f"Argument {arg!r} not supported in binary mode")
 
-    gz_mode = mode.replace("t", "")
     if isinstance(filename, (str, bytes, os.PathLike)):
-        binary_file = AltGzipFile(filename, gz_mode, compresslevel)
+        stream = AltGzipFile(filename, mode.replace("t", ""), compresslevel)
     elif hasattr(filename, "read") or hasattr(filename, "write"):
-        binary_file = AltGzipFile(None, gz_mode, compresslevel, filename)
+        stream = AltGzipFile(None, mode.replace("t", ""), compresslevel, filename)
     else:
         raise TypeError("filename must be a str or bytes object, or a file")
 
-    if "t" in mode:
-        return io.TextIOWrapper(binary_file, encoding, errors, newline)
-    else:
-        return binary_file
+    return io.TextIOWrapper(stream, encoding, errors, newline) if text else stream

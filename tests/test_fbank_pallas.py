@@ -10,6 +10,7 @@ from lhotse_tpu.ops.fbank_pallas import (
     BLOCK_T,
     FRAME_LEN,
     HOP,
+    ROW,
     fbank_fused,
     fbank_pallas,
     reference_fbank,
@@ -28,7 +29,7 @@ def matrices():
 def test_interpret_parity(matrices):
     Mc, Ms, fb = matrices
     B, num_frames = 2, BLOCK_T * 2
-    N = (num_frames + 2) * HOP
+    N = num_frames * HOP + ROW
     rng = np.random.RandomState(0)
     audio = jnp.asarray(rng.randn(B, N).astype(np.float32) * 0.1)
     out_p = np.asarray(fbank_pallas(audio, Mc, Ms, fb, interpret=True))
@@ -36,17 +37,59 @@ def test_interpret_parity(matrices):
         reference_fbank(audio[:, : num_frames * HOP + (FRAME_LEN - HOP)], Mc, Ms, fb)
     )
     assert out_p.shape == (B, num_frames, 80)
-    # Split-K accumulation reorders sums; tolerance well inside the 5e-4
+    # Phase-shifted GEMMs reorder sums; tolerance well inside the 5e-4
     # feature parity budget.
     assert np.abs(out_p - out_r[:, :num_frames]).max() < 5e-5
+
+
+def test_interpret_parity_zero_padded_tail(matrices):
+    # The extractor pads real audio with zeros up to the BLOCK_T bucket;
+    # frames covering real audio must be unaffected by the bucket padding.
+    Mc, Ms, fb = matrices
+    true_frames = 100
+    num_frames = BLOCK_T
+    rng = np.random.RandomState(2)
+    real = rng.randn(1, true_frames * HOP + FRAME_LEN - HOP).astype(np.float32) * 0.1
+    audio = np.zeros((1, num_frames * HOP + ROW), np.float32)
+    audio[:, : real.shape[1]] = real
+    out_p = np.asarray(fbank_pallas(jnp.asarray(audio), Mc, Ms, fb, interpret=True))
+    out_r = np.asarray(reference_fbank(jnp.asarray(real), Mc, Ms, fb))
+    assert np.abs(out_p[:, :true_frames] - out_r).max() < 5e-5
 
 
 def test_fused_fallback_runs(matrices):
     Mc, Ms, fb = matrices
     B, num_frames = 1, BLOCK_T
-    N = (num_frames + 2) * HOP
+    N = num_frames * HOP + ROW
     rng = np.random.RandomState(1)
     audio = jnp.asarray(rng.randn(B, N).astype(np.float32) * 0.1)
     out = np.asarray(fbank_fused(audio, Mc, Ms, fb))
-    assert out.shape[0] == 1 and out.shape[2] == 80
+    assert out.shape == (1, num_frames, 80)
     assert np.isfinite(out).all()
+
+
+def test_nyquist_row_must_be_zero(matrices):
+    Mc, Ms, fb = matrices
+    bad_fb = fb.copy()
+    bad_fb[256, 0] = 1.0
+    audio = jnp.zeros((1, BLOCK_T * HOP + ROW), jnp.float32)
+    with pytest.raises(ValueError, match="Nyquist"):
+        fbank_pallas(audio, Mc, Ms, bad_fb, interpret=True)
+
+
+def test_extractor_pallas_fallback_parity(monkeypatch):
+    # With the kernel force-enabled on a CPU backend, the lowering fails and
+    # the extractor must fall back to the XLA path with identical output.
+    from lhotse_tpu.features.kaldi.extractors import Fbank, FbankConfig
+
+    rng = np.random.RandomState(3)
+    samples = rng.randn(16000).astype(np.float32) * 0.1
+
+    monkeypatch.setenv("LHOTSE_TPU_FBANK_PALLAS", "0")
+    base = Fbank(FbankConfig()).extract(samples, 16000)
+
+    monkeypatch.setenv("LHOTSE_TPU_FBANK_PALLAS", "1")
+    forced = Fbank(FbankConfig()).extract(samples, 16000)
+
+    assert forced.shape == base.shape
+    np.testing.assert_array_equal(forced, base)

@@ -127,7 +127,36 @@ def check(repo_file: Path, ref_file: Path) -> tuple[float, list]:
     return inter / len(a), longest_runs(a, b)
 
 
+def sweep(threshold: float = 0.55, min_lines: int = 60):
+    """Auto-map every lhotse_tpu/**.py to lhotse/<same relative path> and
+    report files above the similarity threshold, worst first."""
+    rows = []
+    for rp in sorted((REPO / "lhotse_tpu").rglob("*.py")):
+        rel = rp.relative_to(REPO / "lhotse_tpu")
+        fp = REF / "lhotse" / rel
+        if not fp.exists():
+            continue
+        lines = normalized_lines(rp)
+        if len(lines) < min_lines:
+            continue
+        sim, runs = check(rp, fp)
+        rows.append((sim, str(rp.relative_to(REPO)), len(lines), len(runs)))
+    rows.sort(reverse=True)
+    for sim, rel, n, runs in rows:
+        if sim < threshold:
+            break
+        print(f"{sim:5.1%}  {rel}  ({n} lines, runs>=15: {runs})")
+    above = sum(1 for r in rows if r[0] >= threshold)
+    print(f"{above} files >= {threshold:.0%} (of {len(rows)} mapped files)")
+
+
 def main():
+    if len(sys.argv) == 2 and sys.argv[1] == "--sweep":
+        sweep()
+        return
+    if len(sys.argv) == 3 and sys.argv[1] == "--sweep":
+        sweep(threshold=float(sys.argv[2]))
+        return
     if len(sys.argv) == 3:
         sim, runs = check(Path(sys.argv[1]), Path(sys.argv[2]))
         print(f"{sim:.1%}  runs>=15: {runs}")
