@@ -19,6 +19,30 @@ import numpy as np
 
 from lhotse_tpu.utils import Pathlike, Seconds, fastcopy
 
+_MEMORY_TYPES = ("memory_lilcom", "memory_writer")
+
+
+def _open_storage(storage_type: str, storage_path):
+    from lhotse_tpu.features.io import get_reader
+
+    return get_reader(storage_type)(storage_path)
+
+
+def _memory_copy(arr: np.ndarray, lilcom: bool) -> "Array":
+    """Re-store a loaded ndarray into an in-memory writer; returns the new
+    Array manifest pointing at the serialized bytes."""
+    from lhotse_tpu.features.io import get_memory_writer
+
+    compress = lilcom and np.issubdtype(arr.dtype, np.floating)
+    writer = get_memory_writer("memory_lilcom" if compress else "memory_raw")()
+    blob = writer.write("", arr)
+    return Array(
+        storage_type=writer.name,
+        storage_path="",
+        storage_key=blob,
+        shape=list(arr.shape),
+    )
+
 
 @dataclass
 class Array:
@@ -52,15 +76,13 @@ class Array:
 
     @classmethod
     def from_dict(cls, data: dict) -> "Array":
-        if "storage_key" in data and "storage_type" in data and "storage_path" not in data:
+        # Tolerate manifests that never stored a path (pure in-memory blobs).
+        if "storage_path" not in data and {"storage_key", "storage_type"} <= set(data):
             data["storage_path"] = None
         return cls(**data)
 
     def load(self) -> np.ndarray:
-        from lhotse_tpu.features.io import get_reader
-
-        storage = get_reader(self.storage_type)(self.storage_path)
-        return storage.read(self.storage_key)
+        return _open_storage(self.storage_type, self.storage_path).read(self.storage_key)
 
     def with_path_prefix(self, path: Pathlike) -> "Array":
         return fastcopy(self, storage_path=str(Path(path) / self.storage_path))
@@ -69,29 +91,17 @@ class Array:
         return fastcopy(self, **kwargs)
 
     def move_to_memory(self, lilcom: bool = False) -> "Array":
-        from lhotse_tpu.features.io import get_memory_writer
-
-        if self.storage_type in ("memory_lilcom", "memory_writer"):
+        if self.storage_type in _MEMORY_TYPES:
             return self
-        arr = self.load()
-        if np.issubdtype(arr.dtype, np.floating) and lilcom:
-            writer = get_memory_writer("memory_lilcom")()
-        else:
-            writer = get_memory_writer("memory_raw")()
-        data = writer.write("", arr)
-        return Array(
-            storage_type=writer.name,
-            storage_key=data,
-            storage_path="",
-            shape=self.shape,
-        )
+        moved = _memory_copy(self.load(), lilcom)
+        return fastcopy(moved, shape=self.shape)
 
     def __repr__(self):
+        key = self.storage_key if isinstance(self.storage_key, str) else "<binary-data>"
         return (
             f"Array(storage_type='{self.storage_type}', "
             f"storage_path='{self.storage_path}', "
-            f"storage_key='{self.storage_key if isinstance(self.storage_key, str) else '<binary-data>'}', "
-            f"shape={self.shape})"
+            f"storage_key='{key}', shape={self.shape})"
         )
 
 
@@ -108,52 +118,28 @@ class TemporalArray:
     frame_shift: Seconds
     start: Seconds
 
-    @property
-    def is_in_memory(self) -> bool:
-        return self.array.is_in_memory
+    # Storage concerns delegate to the wrapped Array; temporal extent is
+    # derived from frame_shift x num_frames.
 
-    @property
-    def is_placeholder(self) -> bool:
-        return self.array.is_placeholder
-
-    @property
-    def shape(self) -> List[int]:
-        return self.array.shape
-
-    @property
-    def ndim(self) -> int:
-        return len(self.shape)
-
-    @property
-    def num_frames(self) -> int:
-        return self.shape[self.temporal_dim]
-
-    @property
-    def duration(self) -> Seconds:
-        return self.num_frames * self.frame_shift
-
-    @property
-    def end(self) -> Seconds:
-        return self.start + self.duration
+    shape = property(lambda self: self.array.shape)
+    ndim = property(lambda self: self.array.ndim)
+    is_in_memory = property(lambda self: self.array.is_in_memory)
+    is_placeholder = property(lambda self: self.array.is_placeholder)
+    num_frames = property(lambda self: self.shape[self.temporal_dim])
+    duration = property(lambda self: self.num_frames * self.frame_shift)
+    end = property(lambda self: self.start + self.duration)
 
     def to_dict(self) -> dict:
         return asdict(self)
 
     @classmethod
     def from_dict(cls, data: dict) -> "TemporalArray":
-        array = Array.from_dict(data.pop("array"))
-        return cls(array=array, **data)
+        fields = dict(data)
+        inner = Array.from_dict(fields.pop("array"))
+        return cls(array=inner, **fields)
 
-    def load(
-        self,
-        start: Optional[Seconds] = None,
-        duration: Optional[Seconds] = None,
-    ) -> np.ndarray:
-        """Load the array, optionally partially along ``temporal_dim``."""
-        from lhotse_tpu.features.io import get_reader
-
-        storage = get_reader(self.array.storage_type)(self.array.storage_path)
-        left_offset_frames, right_offset_frames = 0, None
+    def _frame_window(self, start: Optional[Seconds], duration: Optional[Seconds]):
+        """(left, right) frame offsets along temporal_dim for a partial read."""
         if start is None:
             start = self.start
         if start < self.start - 1e-5:
@@ -161,22 +147,33 @@ class TemporalArray:
                 f"Cannot load array starting from {start}s. "
                 f"The available range is ({self.start}, {self.end}) seconds."
             )
-        if not isclose(start, self.start):
-            left_offset_frames = seconds_to_frames(
-                start - self.start,
-                frame_shift=self.frame_shift,
-                max_index=self.shape[self.temporal_dim],
+        max_frames = self.num_frames
+        left = (
+            0
+            if isclose(start, self.start)
+            else seconds_to_frames(
+                start - self.start, frame_shift=self.frame_shift, max_index=max_frames
             )
+        )
+        right = None
         if duration is not None:
-            right_offset_frames = left_offset_frames + seconds_to_frames(
-                duration,
-                frame_shift=self.frame_shift,
-                max_index=self.shape[self.temporal_dim],
+            right = left + seconds_to_frames(
+                duration, frame_shift=self.frame_shift, max_index=max_frames
             )
+        return left, right
+
+    def load(
+        self,
+        start: Optional[Seconds] = None,
+        duration: Optional[Seconds] = None,
+    ) -> np.ndarray:
+        """Load the array, optionally partially along ``temporal_dim``."""
+        left, right = self._frame_window(start, duration)
+        storage = _open_storage(self.array.storage_type, self.array.storage_path)
         return storage.read(
             self.array.storage_key,
-            left_offset_frames=left_offset_frames,
-            right_offset_frames=right_offset_frames,
+            left_offset_frames=left,
+            right_offset_frames=right,
         )
 
     def with_path_prefix(self, path: Pathlike) -> "TemporalArray":
@@ -191,34 +188,21 @@ class TemporalArray:
         duration: Optional[Seconds] = None,
         lilcom: bool = False,
     ) -> "TemporalArray":
-        from lhotse_tpu.features.io import get_memory_writer
-
-        if self.array.storage_type in ("memory_lilcom", "memory_writer"):
+        if self.array.storage_type in _MEMORY_TYPES:
             return self
-        arr = self.load(start=start, duration=duration)
-        if np.issubdtype(arr.dtype, np.floating) and lilcom:
-            writer = get_memory_writer("memory_lilcom")()
-        else:
-            writer = get_memory_writer("memory_raw")()
-        data = writer.write("", arr)
-        out = TemporalArray(
-            array=Array(
-                storage_type=writer.name,
-                storage_key=data,
-                storage_path="",
-                shape=list(arr.shape),
-            ),
+        moved = TemporalArray(
+            array=_memory_copy(self.load(start=start, duration=duration), lilcom),
             temporal_dim=self.temporal_dim,
             frame_shift=self.frame_shift,
             # The manifest now describes the moved subset; it starts at 0.
             start=0.0,
         )
-        if out.shape == [0]:
+        if moved.shape == [0]:
             warnings.warn(
                 "A TemporalArray with shape [0] encountered. If unexpected with "
                 "long-recording data, make sure the 'start' attribute is set properly."
             )
-        return out
+        return moved
 
 
 def seconds_to_frames(
@@ -230,14 +214,9 @@ def seconds_to_frames(
     rounding then HALF_UP quantization).
     """
     assert duration >= 0
-    index = int(
-        decimal.Decimal(round(duration / frame_shift, ndigits=8)).quantize(
-            0, rounding=decimal.ROUND_HALF_UP
-        )
-    )
-    if max_index is not None:
-        return min(index, max_index)
-    return index
+    quotient = decimal.Decimal(round(duration / frame_shift, ndigits=8))
+    index = int(quotient.quantize(0, rounding=decimal.ROUND_HALF_UP))
+    return index if max_index is None else min(index, max_index)
 
 
 def deserialize_array(raw_data: dict) -> Union[Array, TemporalArray]:
@@ -261,25 +240,22 @@ def pad_array(
     Pad an array along its temporal dim, guided by durations: ``offset``
     seconds of padding in front, total ``padded_duration`` after padding.
     """
-    array_frames = array.shape[temporal_dim]
-    total_frames = seconds_to_frames(padded_duration, frame_shift=frame_shift)
-    total_padding_frames = total_frames - array_frames
-    assert total_padding_frames >= 0, (
+    have = array.shape[temporal_dim]
+    want = seconds_to_frames(padded_duration, frame_shift=frame_shift)
+    missing = want - have
+    assert missing >= 0, (
         f"Invalid argument values for pad_array: array with shape {array.shape} cannot be "
-        f"padded to padded_duration of {padded_duration} (total {total_frames} frames "
+        f"padded to padded_duration of {padded_duration} (total {want} frames "
         f"under frame_shift={frame_shift})."
     )
-    if total_padding_frames == 0:
+    if missing == 0:
         return array
-    left_pad_frames = seconds_to_frames(offset, frame_shift=frame_shift)
-    right_pad_frames = total_padding_frames - left_pad_frames
-    # Fix off-by-one frame edge cases from duration rounding.
-    if right_pad_frames == -1:
-        right_pad_frames = 0
-        left_pad_frames -= 1
-    assert right_pad_frames >= 0, "Something went wrong..."
-    pad_width = [
-        (left_pad_frames, right_pad_frames) if dim == temporal_dim else (0, 0)
-        for dim in range(array.ndim)
-    ]
-    return np.pad(array, pad_width=pad_width, mode="constant", constant_values=pad_value)
+    before = seconds_to_frames(offset, frame_shift=frame_shift)
+    after = missing - before
+    if after == -1:
+        # Off-by-one frame edge case from duration rounding.
+        before, after = before - 1, 0
+    assert after >= 0, "Something went wrong..."
+    widths = [(0, 0)] * array.ndim
+    widths[temporal_dim] = (before, after)
+    return np.pad(array, pad_width=widths, mode="constant", constant_values=pad_value)

@@ -3,7 +3,8 @@ Feature extraction commands.
 
 Reference behavior: `/root/reference/lhotse/bin/modes/features.py`
 (feat group :25-31, write_default_config :44-46, extract :85-125,
-extract_cuts :150-176, extract_cuts_batch :210-252).
+extract_cuts :150-176, extract_cuts_batch :210-252). The repeated
+extractor/storage options are factored into shared decorators here.
 """
 from pathlib import Path
 from typing import Optional
@@ -30,6 +31,33 @@ def feat():
     pass
 
 
+# Options shared by every extraction command.
+_extractor_config_opt = click.option(
+    "-f",
+    "--feature-manifest",
+    type=click.Path(exists=True, dir_okay=False),
+    help="YAML config overriding the default extractor settings.",
+)
+_storage_type_opt = click.option(
+    "--storage-type",
+    type=click.Choice(available_storage_backends()),
+    default=default_features_storage_backend_name(),
+    help="Backend used to store the feature matrices.",
+)
+
+
+def _load_extractor(config_path: Optional[Pathlike]) -> FeatureExtractor:
+    """The configured extractor, or the default kaldi-fbank one."""
+    if config_path is None:
+        return Fbank()
+    return FeatureExtractor.from_yaml(config_path)
+
+
+def _save_cuts(cuts: CutSet, path: Pathlike) -> None:
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    cuts.to_file(path)
+
+
 @feat.command(context_settings=dict(show_default=True))
 @click.argument("output_config", type=click.Path())
 @click.option(
@@ -37,7 +65,7 @@ def feat():
     "--feature-type",
     type=click.Choice(list(FEATURE_EXTRACTORS)),
     default="kaldi-fbank",
-    help="Which feature extractor type to use.",
+    help="Feature extractor family to configure.",
 )
 def write_default_config(output_config: Pathlike, feature_type: str):
     """Save a default feature extraction config to OUTPUT_CONFIG."""
@@ -47,33 +75,23 @@ def write_default_config(output_config: Pathlike, feature_type: str):
 @feat.command(context_settings=dict(show_default=True))
 @click.argument("recording_manifest", type=click.Path(exists=True, dir_okay=False))
 @click.argument("output_dir", type=click.Path())
-@click.option(
-    "-f",
-    "--feature-manifest",
-    type=click.Path(exists=True, dir_okay=False),
-    help="Optional manifest specifying feature extractor configuration.",
-)
-@click.option(
-    "--storage-type",
-    type=click.Choice(available_storage_backends()),
-    default=default_features_storage_backend_name(),
-    help="Storage backend for the feature matrices.",
-)
+@_extractor_config_opt
+@_storage_type_opt
 @click.option(
     "-t",
     "--lilcom-tick-power",
     type=int,
     default=-5,
-    help="Compression accuracy: inputs are quantized to multiples of 2^tick_power.",
+    help="LTC1 compression accuracy: values quantize to multiples of 2^tick_power.",
 )
 @click.option(
     "-r",
     "--root-dir",
     type=click.Path(exists=True, file_okay=False),
     default=None,
-    help="Root directory - all paths in the manifest will use this as prefix.",
+    help="Prefix prepended to every path in the manifest.",
 )
-@click.option("-j", "--num-jobs", type=int, default=1, help="Number of parallel processes.")
+@click.option("-j", "--num-jobs", type=int, default=1, help="Parallel worker processes.")
 def extract(
     recording_manifest: Pathlike,
     output_dir: Pathlike,
@@ -86,30 +104,22 @@ def extract(
     """
     Extract features for recordings in RECORDING_MANIFEST into OUTPUT_DIR.
     """
-    recordings: RecordingSet = RecordingSet.from_file(recording_manifest)
+    recordings = RecordingSet.from_file(recording_manifest)
     if root_dir is not None:
         recordings = recordings.with_path_prefix(root_dir)
 
-    feature_extractor = (
-        FeatureExtractor.from_yaml(feature_manifest)
-        if feature_manifest is not None
-        else Fbank()
-    )
-
-    output_dir = Path(output_dir)
-    output_dir.mkdir(exist_ok=True, parents=True)
-    storage_path = (
-        output_dir / "feats.h5" if "hdf5" in storage_type else output_dir / "storage"
-    )
+    out = Path(output_dir)
+    out.mkdir(exist_ok=True, parents=True)
+    storage_path = out / ("feats.h5" if "hdf5" in storage_type else "storage")
 
     with get_writer(storage_type)(storage_path, tick_power=lilcom_tick_power) as storage:
-        feature_set_builder = FeatureSetBuilder(
-            feature_extractor=feature_extractor,
+        builder = FeatureSetBuilder(
+            feature_extractor=_load_extractor(feature_manifest),
             storage=storage,
         )
-        feature_set_builder.process_and_store_recordings(
+        builder.process_and_store_recordings(
             recordings=recordings,
-            output_manifest=output_dir / "feature_manifest.json.gz",
+            output_manifest=out / "feature_manifest.json.gz",
             num_jobs=num_jobs,
         )
 
@@ -118,19 +128,9 @@ def extract(
 @click.argument("cutset", type=click.Path(exists=True, dir_okay=False))
 @click.argument("output_cutset", type=click.Path())
 @click.argument("storage_path", type=click.Path())
-@click.option(
-    "-f",
-    "--feature-manifest",
-    type=click.Path(exists=True, dir_okay=False),
-    help="Optional manifest specifying feature extractor configuration.",
-)
-@click.option(
-    "--storage-type",
-    type=click.Choice(available_storage_backends()),
-    default=default_features_storage_backend_name(),
-    help="Storage backend for the feature matrices.",
-)
-@click.option("-j", "--num-jobs", type=int, default=1, help="Number of parallel processes.")
+@_extractor_config_opt
+@_storage_type_opt
+@click.option("-j", "--num-jobs", type=int, default=1, help="Parallel worker processes.")
 def extract_cuts(
     cutset: Pathlike,
     output_cutset: Pathlike,
@@ -143,45 +143,28 @@ def extract_cuts(
     Extract features for cuts in CUTSET into STORAGE_PATH; the updated
     manifest is written to OUTPUT_CUTSET.
     """
-    cuts = CutSet.from_file(cutset)
-    feature_extractor = (
-        FeatureExtractor.from_yaml(feature_manifest)
-        if feature_manifest is not None
-        else Fbank()
-    )
-    cuts = cuts.compute_and_store_features(
-        extractor=feature_extractor,
+    cuts = CutSet.from_file(cutset).compute_and_store_features(
+        extractor=_load_extractor(feature_manifest),
         storage_path=storage_path,
         num_jobs=num_jobs,
         storage_type=get_writer(storage_type),
     )
-    Path(output_cutset).parent.mkdir(parents=True, exist_ok=True)
-    cuts.to_file(output_cutset)
+    _save_cuts(cuts, output_cutset)
 
 
 @feat.command(context_settings=dict(show_default=True))
 @click.argument("cutset", type=click.Path(exists=True, dir_okay=False, allow_dash=True))
 @click.argument("output_cutset", type=click.Path(allow_dash=True))
 @click.argument("storage_path", type=click.Path())
-@click.option(
-    "-f",
-    "--feature-manifest",
-    type=click.Path(exists=True, dir_okay=False),
-    help="Optional manifest specifying feature extractor configuration.",
-)
-@click.option(
-    "--storage-type",
-    type=click.Choice(available_storage_backends()),
-    default=default_features_storage_backend_name(),
-    help="Storage backend for the feature matrices.",
-)
-@click.option("-j", "--num-jobs", type=int, default=4, help="Number of read workers.")
+@_extractor_config_opt
+@_storage_type_opt
+@click.option("-j", "--num-jobs", type=int, default=4, help="Audio read workers feeding the device.")
 @click.option(
     "-b",
     "--batch-duration",
     type=float,
     default=600.0,
-    help="At most this many seconds of audio in each device batch.",
+    help="Upper bound on seconds of audio per device batch.",
 )
 def extract_cuts_batch(
     cutset: Pathlike,
@@ -197,18 +180,11 @@ def extract_cuts_batch(
     the recommended high-throughput path on TPU (bucketed batch shapes, one
     compiled program per bucket).
     """
-    cuts = CutSet.from_file(cutset)
-    feature_extractor = (
-        FeatureExtractor.from_yaml(feature_manifest)
-        if feature_manifest is not None
-        else Fbank()
-    )
-    cuts = cuts.compute_and_store_features_batch(
-        extractor=feature_extractor,
+    cuts = CutSet.from_file(cutset).compute_and_store_features_batch(
+        extractor=_load_extractor(feature_manifest),
         storage_path=storage_path,
         batch_duration=batch_duration,
         num_workers=num_jobs,
         storage_type=get_writer(storage_type),
     )
-    Path(output_cutset).parent.mkdir(parents=True, exist_ok=True)
-    cuts.to_file(output_cutset)
+    _save_cuts(cuts, output_cutset)

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import logging
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple, Union
+from typing import Any, Callable, Dict, Iterable, List, Optional, Union
 
 import numpy as np
 
@@ -51,79 +51,73 @@ class PaddingCut(Cut):
     # Padding values for custom array attributes
     custom: Optional[dict] = None
 
-    @property
-    def start(self) -> Seconds:
-        return 0
+    # Constant facts about synthetic silence.
+    start = property(lambda self: 0)
+    supervisions = property(lambda self: [])
+    channel = property(lambda self: 0)
+    num_channels = property(lambda self: 1)
+    is_in_memory = property(lambda self: False)
+    recording_id = property(lambda self: "PAD")
 
-    @property
-    def supervisions(self):
-        return []
-
-    @property
-    def channel(self) -> int:
-        return 0
-
-    @property
-    def has_features(self) -> bool:
-        return self.num_frames is not None
-
-    @property
-    def has_recording(self) -> bool:
-        return self.num_samples is not None
-
-    @property
-    def has_video(self) -> bool:
-        return self.has_recording and self.video is not None
-
-    @property
-    def num_channels(self) -> int:
-        return 1
-
-    @property
-    def is_in_memory(self) -> bool:
-        return False
+    has_features = property(lambda self: self.num_frames is not None)
+    has_recording = property(lambda self: self.num_samples is not None)
+    has_video = property(lambda self: self.has_recording and self.video is not None)
 
     def has(self, field: str) -> bool:
-        if field == "recording":
-            return self.has_recording
-        elif field == "features":
-            return self.has_features
-        elif field == "video":
-            return self.has_video
-        else:
-            return self.custom is not None and field in self.custom
-
-    @property
-    def recording_id(self) -> str:
-        return "PAD"
+        known = {
+            "recording": lambda: self.has_recording,
+            "features": lambda: self.has_features,
+            "video": lambda: self.has_video,
+        }
+        if field in known:
+            return known[field]()
+        return self.custom is not None and field in self.custom
 
     def iter_data(self) -> Iterable:
         return ()
 
+    # ---- materialization: the only place data is "loaded" ----
+
+    def _silence(self) -> np.ndarray:
+        n = compute_num_samples(self.duration, self.sampling_rate)
+        return np.zeros((1, n), np.float32)
+
     def load_features(self, *args, **kwargs) -> Optional[np.ndarray]:
-        if self.has_features:
-            return np.ones((self.num_frames, self.num_features), np.float32) * self.feat_value
-        return None
+        if not self.has_features:
+            return None
+        return np.full((self.num_frames, self.num_features), self.feat_value, np.float32)
 
     def load_audio(self, *args, **kwargs) -> Optional[np.ndarray]:
-        if self.has_recording:
-            return np.zeros(
-                (1, compute_num_samples(self.duration, self.sampling_rate)), np.float32
-            )
-        return None
+        return self._silence() if self.has_recording else None
 
     def load_video(self, with_audio: bool = True):
-        if self.has_video:
-            audio = None
-            if with_audio:
-                audio = np.zeros(
-                    (1, compute_num_samples(self.duration, self.sampling_rate)), np.float32
-                )
-            video = np.zeros(
-                (self.video.num_frames, 3, self.video.height, self.video.width), np.uint8
+        if not self.has_video:
+            return None
+        v = self.video
+        frames = np.zeros((v.num_frames, 3, v.height, v.width), np.uint8)
+        return frames, (self._silence() if with_audio else None)
+
+    # ---- metadata-only transformations ----
+
+    def _resized(self, new_duration: Seconds, preserve_id: bool) -> "PaddingCut":
+        """Copy with a new duration and rescaled frame/sample counts."""
+        assert new_duration > 0.0
+        frames = samples = None
+        if self.num_frames is not None:
+            frames = compute_num_frames(
+                duration=new_duration,
+                frame_shift=self.frame_shift,
+                sampling_rate=self.sampling_rate,
             )
-            return video, audio
-        return None
+        if self.num_samples is not None:
+            samples = compute_num_samples(new_duration, self.sampling_rate)
+        return fastcopy(
+            self,
+            id=self.id if preserve_id else str(uuid4()),
+            duration=new_duration,
+            num_frames=frames,
+            num_samples=samples,
+        )
 
     def truncate(
         self,
@@ -135,23 +129,7 @@ class PaddingCut(Cut):
         **kwargs,
     ) -> "PaddingCut":
         new_duration = self.duration - offset if duration is None else duration
-        assert new_duration > 0.0
-        return fastcopy(
-            self,
-            id=self.id if preserve_id else str(uuid4()),
-            duration=new_duration,
-            feat_value=self.feat_value,
-            num_frames=compute_num_frames(
-                duration=new_duration,
-                frame_shift=self.frame_shift,
-                sampling_rate=self.sampling_rate,
-            )
-            if self.num_frames is not None
-            else None,
-            num_samples=compute_num_samples(new_duration, self.sampling_rate)
-            if self.num_samples is not None
-            else None,
-        )
+        return self._resized(new_duration, preserve_id)
 
     def extend_by(
         self,
@@ -162,26 +140,8 @@ class PaddingCut(Cut):
         pad_silence: bool = True,
     ) -> "PaddingCut":
         """Extend by ``duration`` (on both sides when direction='both')."""
-        new_duration = self.duration + duration
-        if direction == "both":
-            new_duration += duration
-        assert new_duration > 0.0
-        return fastcopy(
-            self,
-            id=self.id if preserve_id else str(uuid4()),
-            duration=new_duration,
-            feat_value=self.feat_value,
-            num_frames=compute_num_frames(
-                duration=new_duration,
-                frame_shift=self.frame_shift,
-                sampling_rate=self.sampling_rate,
-            )
-            if self.num_frames is not None
-            else None,
-            num_samples=compute_num_samples(new_duration, self.sampling_rate)
-            if self.num_samples is not None
-            else None,
-        )
+        growth = duration * (2 if direction == "both" else 1)
+        return self._resized(self.duration + growth, preserve_id)
 
     def pad(
         self,
@@ -221,57 +181,30 @@ class PaddingCut(Cut):
             frame_shift=None,
         )
 
-    def perturb_speed(self, factor: float, affix_id: bool = True) -> "PaddingCut":
-        """Metadata-only speed perturb mimic."""
+    def _retimed(self, factor: float, tag: str, affix_id: bool) -> "PaddingCut":
+        """Shared speed/tempo mimic: rescale the sample count; feature dims
+        cannot survive a time-scale change and are detached."""
+        feat_dims = {}
         if self.has_features:
             logging.warning(
-                "Perturbing speed on a PaddingCut with feature metadata: the "
-                "feature dims will be detached."
+                f"Perturbing {tag == 'sp' and 'speed' or 'tempo'} on a PaddingCut "
+                "with feature metadata: the feature dims will be detached."
             )
-            new_num_frames = None
-            new_num_features = None
-            new_frame_shift = None
-        else:
-            new_num_frames = self.num_frames
-            new_num_features = self.num_features
-            new_frame_shift = self.frame_shift
-        new_num_samples = perturb_num_samples(self.num_samples, factor)
-        new_duration = new_num_samples / self.sampling_rate
+            feat_dims = dict(num_frames=None, num_features=None, frame_shift=None)
+        samples = perturb_num_samples(self.num_samples, factor)
         return fastcopy(
             self,
-            id=f"{self.id}_sp{factor}" if affix_id else self.id,
-            num_samples=new_num_samples,
-            duration=new_duration,
-            num_frames=new_num_frames,
-            num_features=new_num_features,
-            frame_shift=new_frame_shift,
+            id=f"{self.id}_{tag}{factor}" if affix_id else self.id,
+            num_samples=samples,
+            duration=samples / self.sampling_rate,
+            **feat_dims,
         )
 
+    def perturb_speed(self, factor: float, affix_id: bool = True) -> "PaddingCut":
+        return self._retimed(factor, "sp", affix_id)
+
     def perturb_tempo(self, factor: float, affix_id: bool = True) -> "PaddingCut":
-        """Metadata-only tempo perturb mimic."""
-        if self.has_features:
-            logging.warning(
-                "Perturbing tempo on a PaddingCut with feature metadata: the "
-                "feature dims will be detached."
-            )
-            new_num_frames = None
-            new_num_features = None
-            new_frame_shift = None
-        else:
-            new_num_frames = self.num_frames
-            new_num_features = self.num_features
-            new_frame_shift = self.frame_shift
-        new_num_samples = perturb_num_samples(self.num_samples, factor)
-        new_duration = new_num_samples / self.sampling_rate
-        return fastcopy(
-            self,
-            id=f"{self.id}_tp{factor}" if affix_id else self.id,
-            num_samples=new_num_samples,
-            duration=new_duration,
-            num_frames=new_num_frames,
-            num_features=new_num_features,
-            frame_shift=new_frame_shift,
-        )
+        return self._retimed(factor, "tp", affix_id)
 
     def perturb_volume(self, factor: float, affix_id: bool = True) -> "PaddingCut":
         """Volume has no effect on silence — only the ID changes."""
@@ -305,15 +238,6 @@ class PaddingCut(Cut):
         )
         return fastcopy(self, num_samples=None)
 
-    def drop_supervisions(self) -> "PaddingCut":
-        return self
-
-    def drop_alignments(self) -> "PaddingCut":
-        return self
-
-    def drop_in_memory_data(self) -> "PaddingCut":
-        return self
-
     def compute_and_store_features(self, extractor, *args, **kwargs) -> Cut:
         """Update feature-dim metadata per the extractor; no actual compute."""
         return fastcopy(
@@ -327,30 +251,23 @@ class PaddingCut(Cut):
             frame_shift=extractor.frame_shift,
         )
 
-    def fill_supervision(self, *args, **kwargs) -> "PaddingCut":
+    # Supervision/storage manipulations are all no-ops on synthetic silence.
+
+    def _pass_through(self, *args, **kwargs) -> "PaddingCut":
         return self
 
-    def move_to_memory(self, *args, **kwargs) -> "PaddingCut":
-        return self
-
-    def map_supervisions(self, transform_fn: Callable[[Any], Any]) -> "PaddingCut":
-        return self
-
-    def merge_supervisions(self, *args, **kwargs) -> "PaddingCut":
-        return self
-
-    def filter_supervisions(
-        self, predicate: Callable[[SupervisionSegment], bool]
-    ) -> "PaddingCut":
-        return self
+    drop_supervisions = _pass_through
+    drop_alignments = _pass_through
+    drop_in_memory_data = _pass_through
+    fill_supervision = _pass_through
+    move_to_memory = _pass_through
+    map_supervisions = _pass_through
+    merge_supervisions = _pass_through
+    filter_supervisions = _pass_through
+    with_features_path_prefix = _pass_through
+    with_recording_path_prefix = _pass_through
 
     @staticmethod
     def from_dict(data: dict) -> "PaddingCut":
         data.pop("type", None)
         return PaddingCut(**data)
-
-    def with_features_path_prefix(self, path: Pathlike) -> "PaddingCut":
-        return self
-
-    def with_recording_path_prefix(self, path: Pathlike) -> "PaddingCut":
-        return self

@@ -40,47 +40,39 @@ class CutMix:
             random sub-region instead of its beginning.
         :param tag: optional label attached to the mixed-in tracks.
         """
-        self.cuts = cuts
-        if len(self.cuts) == 0:
+        if len(cuts) == 0:
             warnings.warn(
                 "Empty CutSet in CutMix transform: it'll act as an identity transform."
             )
-        self.snr = snr
-        self.p = p
-        self.pad_to_longest = pad_to_longest
-        self.preserve_id = preserve_id
-        self.seed = seed
-        self.rng = None
-        self.random_mix_offset = random_mix_offset
-        self.tag = tag
+        self.cuts, self.snr, self.p = cuts, snr, p
+        self.pad_to_longest, self.preserve_id = pad_to_longest, preserve_id
+        self.random_mix_offset, self.tag = random_mix_offset, tag
+        self.seed, self.rng = seed, None
+
+    def _rng(self) -> random.Random:
+        if self.rng is None:
+            self.rng = (
+                self.seed
+                if isinstance(self.seed, random.Random)
+                else random.Random(resolve_seed(self.seed))
+            )
+        return self.rng
 
     def __call__(self, cuts: CutSet) -> CutSet:
-        if len(self.cuts) == 0:
+        if len(self.cuts) == 0:  # identity when there is nothing to mix in
             return cuts
-
-        self._lazy_rng_init()
-
-        maybe_max_duration = (
-            max(c.duration for c in cuts) if self.pad_to_longest else None
-        )
-        return cuts.mix(
+        pad_target = max(c.duration for c in cuts) if self.pad_to_longest else None
+        mixed = cuts.mix(
             cuts=self.cuts,
-            duration=maybe_max_duration,
+            duration=pad_target,
             snr=self.snr,
             mix_prob=self.p,
             preserve_id="left" if self.preserve_id else None,
-            seed=self.rng,
+            seed=self._rng(),
             random_mix_offset=self.random_mix_offset,
             tag=self.tag,
-        ).to_eager()
-
-    def _lazy_rng_init(self):
-        if self.rng is not None:
-            return
-        if isinstance(self.seed, random.Random):
-            self.rng = self.seed
-        else:
-            self.rng = random.Random(resolve_seed(self.seed))
+        )
+        return mixed.to_eager()
 
     def state_dict(self) -> dict:
         return {"rng_state": save_rng_state(self.rng)}

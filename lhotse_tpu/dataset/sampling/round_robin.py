@@ -15,6 +15,9 @@ import numpy as np
 from lhotse_tpu.cut import Cut, CutSet
 from lhotse_tpu.dataset.sampling.base import CutSampler, SamplingDiagnostics
 
+# Scalar scheduling state that round-trips through state_dict unchanged.
+_SCHED_KEYS = ("stop_early", "randomize", "_cur_sampler_idx", "_num_dl_workers")
+
 
 class RoundRobinSampler(CutSampler):
     """
@@ -46,37 +49,36 @@ class RoundRobinSampler(CutSampler):
         self.samplers = samplers
         self.stop_early = stop_early
         self.rng = None
-
-        self._nondepleted_samplers_indices = list(range(len(self.samplers)))
+        self._nondepleted_samplers_indices = list(range(len(samplers)))
         self._cur_sampler_idx = 0
         self._num_dl_workers = 1
-
-        if isinstance(randomize, list):
-            assert len(randomize) == len(self.samplers)
-        elif randomize is True:
-            randomize = [1.0 / len(self.samplers)] * len(self.samplers)
+        if randomize is True:
+            randomize = [1.0 / len(samplers)] * len(samplers)
+        elif isinstance(randomize, list) and len(randomize) != len(samplers):
+            raise AssertionError(
+                f"randomize got {len(randomize)} probabilities for "
+                f"{len(samplers)} samplers."
+            )
         self.randomize = randomize
+
+    def _sum_over(self, attr: str) -> Optional[Union[int, float]]:
+        """Sum of a sub-sampler attribute, or None when any is unknown (lazy)."""
+        values = [getattr(s, attr) for s in self.samplers]
+        if any(v is None for v in values):
+            return None
+        return sum(values)
 
     @property
     def remaining_duration(self) -> Optional[float]:
-        try:
-            return sum(s.remaining_duration for s in self.samplers)
-        except TypeError:
-            return None
+        return self._sum_over("remaining_duration")
 
     @property
     def remaining_cuts(self) -> Optional[int]:
-        try:
-            return sum(s.remaining_cuts for s in self.samplers)
-        except TypeError:
-            return None
+        return self._sum_over("remaining_cuts")
 
     @property
     def num_cuts(self) -> Optional[int]:
-        try:
-            return sum(s.num_cuts for s in self.samplers)
-        except TypeError:
-            return None
+        return self._sum_over("num_cuts")
 
     def allow_iter_to_reset_state(self):
         super().allow_iter_to_reset_state()
@@ -84,36 +86,29 @@ class RoundRobinSampler(CutSampler):
             s.allow_iter_to_reset_state()
 
     def state_dict(self) -> Dict[str, Any]:
-        state_dict = super().state_dict()
-        state_dict.update(
-            {
-                "samplers": [s.state_dict() for s in self.samplers],
-                "stop_early": self.stop_early,
-                "randomize": self.randomize,
-                "_cur_sampler_idx": self._cur_sampler_idx,
-                "_num_dl_workers": self._num_dl_workers,
-                # List copy allows in-process restore.
-                "_nondepleted_samplers_indices": list(self._nondepleted_samplers_indices),
-            }
-        )
-        return state_dict
+        sd = super().state_dict()
+        for key in _SCHED_KEYS:
+            sd[key] = getattr(self, key)
+        sd["samplers"] = [s.state_dict() for s in self.samplers]
+        # List copy allows in-process restore.
+        sd["_nondepleted_samplers_indices"] = list(self._nondepleted_samplers_indices)
+        return sd
 
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
-        self.stop_early = state_dict.pop("stop_early")
-        self.randomize = state_dict.pop("randomize")
-        self._cur_sampler_idx = state_dict.pop("_cur_sampler_idx")
-        self._num_dl_workers = state_dict.pop("_num_dl_workers")
+        for key in _SCHED_KEYS:
+            setattr(self, key, state_dict.pop(key))
         self._nondepleted_samplers_indices = state_dict.pop(
             "_nondepleted_samplers_indices"
         )
-        samplers_sd = state_dict.pop("samplers")
-        assert len(self.samplers) == len(samplers_sd), (
-            "Error in RoundRobinSampler.load_state_dict(): Inconsistent number "
-            f"of samplers: current RoundRobinSampler has {len(self.samplers)}, "
-            f"the state_dict has {len(samplers_sd)}."
-        )
-        for sampler, sampler_sd in zip(self.samplers, samplers_sd):
-            sampler.load_state_dict(sampler_sd)
+        per_sampler = state_dict.pop("samplers")
+        if len(per_sampler) != len(self.samplers):
+            raise AssertionError(
+                f"RoundRobinSampler checkpoint mismatch: this sampler rotates "
+                f"over {len(self.samplers)} sub-samplers but the state_dict "
+                f"was saved with {len(per_sampler)}."
+            )
+        for sampler, sub_sd in zip(self.samplers, per_sampler):
+            sampler.load_state_dict(sub_sd)
         super().load_state_dict(state_dict)
 
     def __iter__(self):
@@ -128,45 +123,42 @@ class RoundRobinSampler(CutSampler):
         # Inside a dataloading worker, offset the starting index per worker so
         # N workers don't all pick the same sub-sampler for N consecutive
         # mini-batches.
-        self._cur_sampler_idx = 0
-        self._num_dl_workers = 1
         worker_info = get_worker_info()
-        if worker_info is not None:
-            self._cur_sampler_idx = worker_info.id % len(
-                self._nondepleted_samplers_indices
-            )
+        if worker_info is None:
+            self._cur_sampler_idx, self._num_dl_workers = 0, 1
+        else:
+            self._cur_sampler_idx = worker_info.id % len(self.samplers)
             self._num_dl_workers = worker_info.num_workers
         return self
 
     def _next_batch(self) -> Union[CutSet, Tuple[CutSet]]:
-        if len(self._nondepleted_samplers_indices) == 0:
-            raise StopIteration()
-
-        sampler_idx = self._nondepleted_samplers_indices[self._cur_sampler_idx]
-        sampler = self.samplers[sampler_idx]
-
-        try:
-            batch = next(sampler)
-        except StopIteration:
-            self._nondepleted_samplers_indices.pop(self._cur_sampler_idx)
-            if self.stop_early or len(self._nondepleted_samplers_indices) == 0:
-                raise
+        while True:
+            alive = self._nondepleted_samplers_indices
+            if not alive:
+                raise StopIteration()
+            sampler = self.samplers[alive[self._cur_sampler_idx]]
+            try:
+                batch = next(sampler)
+            except StopIteration:
+                alive.pop(self._cur_sampler_idx)
+                if self.stop_early or not alive:
+                    raise
+                self._set_next_idx()
+                continue
             self._set_next_idx()
-            return self._next_batch()
-
-        self._set_next_idx()
-        return batch
+            return batch
 
     def _set_next_idx(self) -> None:
-        if self.randomize is not False and len(self._nondepleted_samplers_indices) > 1:
-            N = range(len(self._nondepleted_samplers_indices))
-            p = [self.randomize[i] for i in self._nondepleted_samplers_indices]
-            p = [x / sum(p) for x in p]
-            self._cur_sampler_idx = int(self.rng.choice(N, size=1, replace=False, p=p)[0])
+        alive = self._nondepleted_samplers_indices
+        if self.randomize is not False and len(alive) > 1:
+            weights = np.asarray([self.randomize[i] for i in alive], dtype=float)
+            weights /= weights.sum()
+            self._cur_sampler_idx = int(
+                self.rng.choice(len(alive), size=1, replace=False, p=weights)[0]
+            )
         else:
-            self._cur_sampler_idx = (
-                self._cur_sampler_idx + self._num_dl_workers
-            ) % max(1, len(self._nondepleted_samplers_indices))
+            step = self._cur_sampler_idx + self._num_dl_workers
+            self._cur_sampler_idx = step % max(1, len(alive))
 
     def set_epoch(self, epoch: int) -> None:
         for s in self.samplers:

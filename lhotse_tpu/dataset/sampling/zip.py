@@ -7,10 +7,26 @@ each sub-sampler per step; stops when any sub-sampler is depleted.
 """
 from functools import reduce
 from operator import add
-from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+from typing import Any, Callable, Dict, Optional, Tuple, Union
 
 from lhotse_tpu.cut import Cut, CutSet
 from lhotse_tpu.dataset.sampling.base import CutSampler, SamplingDiagnostics
+
+
+def _merge_batches(batches) -> Union[CutSet, Tuple[CutSet, ...]]:
+    """
+    Flatten one batch per sub-sampler into a single CutSet. Pair-samplers
+    yield tuples of CutSets; those are merged element-wise into a tuple.
+    """
+    if not batches:
+        return CutSet()
+    if isinstance(batches[-1], CutSet):
+        return CutSet.from_cuts(cut for batch in batches for cut in batch)
+    arity = len(batches[-1])
+    return tuple(
+        CutSet.from_cuts(cut for batch in batches for cut in batch[pos])
+        for pos in range(arity)
+    )
 
 
 class ZipSampler(CutSampler):
@@ -30,27 +46,24 @@ class ZipSampler(CutSampler):
         self.samplers = samplers
         self.merge_batches = merge_batches
 
+    def _min_over(self, attr: str) -> Optional[Union[int, float]]:
+        """Min of a sub-sampler attribute, or None when any is unknown (lazy)."""
+        values = [getattr(s, attr) for s in self.samplers]
+        if any(v is None for v in values):
+            return None
+        return min(values)
+
     @property
     def remaining_duration(self) -> Optional[float]:
-        """Minimum of the sub-samplers' remaining durations (None if lazy)."""
-        try:
-            return min(s.remaining_duration for s in self.samplers)
-        except TypeError:
-            return None
+        return self._min_over("remaining_duration")
 
     @property
     def remaining_cuts(self) -> Optional[int]:
-        try:
-            return min(s.remaining_cuts for s in self.samplers)
-        except TypeError:
-            return None
+        return self._min_over("remaining_cuts")
 
     @property
     def num_cuts(self) -> Optional[int]:
-        try:
-            return min(s.num_cuts for s in self.samplers)
-        except TypeError:
-            return None
+        return self._min_over("num_cuts")
 
     def allow_iter_to_reset_state(self):
         super().allow_iter_to_reset_state()
@@ -58,25 +71,22 @@ class ZipSampler(CutSampler):
             s.allow_iter_to_reset_state()
 
     def state_dict(self) -> Dict[str, Any]:
-        state_dict = super().state_dict()
-        state_dict.update(
-            {
-                "merge_batches": self.merge_batches,
-                "samplers": [s.state_dict() for s in self.samplers],
-            }
-        )
-        return state_dict
+        sd = super().state_dict()
+        sd["merge_batches"] = self.merge_batches
+        sd["samplers"] = [s.state_dict() for s in self.samplers]
+        return sd
 
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
         self.merge_batches = state_dict.pop("merge_batches")
-        samplers_sd = state_dict.pop("samplers")
-        assert len(self.samplers) == len(samplers_sd), (
-            "Error in ZipSampler.load_state_dict(): Inconsistent number of "
-            f"samplers: current ZipSampler has {len(self.samplers)}, the "
-            f"state_dict has {len(samplers_sd)}."
-        )
-        for sampler, sampler_sd in zip(self.samplers, samplers_sd):
-            sampler.load_state_dict(sampler_sd)
+        per_sampler = state_dict.pop("samplers")
+        if len(per_sampler) != len(self.samplers):
+            raise AssertionError(
+                f"ZipSampler checkpoint mismatch: this sampler zips "
+                f"{len(self.samplers)} sub-samplers but the state_dict was "
+                f"saved with {len(per_sampler)}."
+            )
+        for sampler, sub_sd in zip(self.samplers, per_sampler):
+            sampler.load_state_dict(sub_sd)
         super().load_state_dict(state_dict)
 
     def __iter__(self):
@@ -84,30 +94,12 @@ class ZipSampler(CutSampler):
             iter(sampler)
         return self
 
-    def _next_batch(self) -> Union[CutSet, Tuple[CutSet]]:
+    def _next_batch(self) -> Union[CutSet, Tuple[CutSet, ...]]:
         self.allow_iter_to_reset_state()
+        batches = [next(s) for s in self.samplers]
         if self.merge_batches:
-            # One batch from each sampler, flattened into a single CutSet
-            # (or, for pair-samplers, element-wise merged tuples of CutSets).
-            cuts: List[Union[CutSet, Tuple[CutSet]]] = []
-            for sampler in self.samplers:
-                batch = next(sampler)
-                cuts.append(batch)
-            if not cuts:
-                return CutSet()
-            if isinstance(batch, CutSet):
-                return CutSet.from_cuts(c for batch in cuts for c in batch)
-            else:
-                tuple_len = len(batch)
-                cut_sets = []
-                for i in range(tuple_len):
-                    cut_sets.append(CutSet.from_cuts(c for batch in cuts for c in batch[i]))
-                return tuple(cut_sets)
-        else:
-            cuts: List[CutSet] = []
-            for sampler in self.samplers:
-                cuts.append(next(sampler))
-            return tuple(cuts)
+            return _merge_batches(batches)
+        return tuple(batches)
 
     def set_epoch(self, epoch: int) -> None:
         for s in self.samplers:
