@@ -18,14 +18,37 @@ from typing import Callable, Optional
 
 from lhotse_tpu.utils import Seconds, fastcopy, suppress_and_warn
 
-_DEFAULT_LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE: Seconds = 0.5
-_LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE: Seconds = (
-    _DEFAULT_LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE
-)
+_TOLERANCE_DEFAULT: Seconds = 0.5
+_tolerance_override: Optional[Seconds] = None
 
 
 class NonPositiveEnergyError(ValueError):
     pass
+
+
+class AudioLoadingError(Exception):
+    pass
+
+
+class VideoLoadingError(Exception):
+    pass
+
+
+class AudioSavingError(Exception):
+    pass
+
+
+class DurationMismatchError(Exception):
+    pass
+
+
+# Error classes that fault-tolerant audio reads convert into warnings.
+_RECOVERABLE_AUDIO_ERRORS = (
+    AudioLoadingError,
+    DurationMismatchError,
+    NonPositiveEnergyError,
+    ConnectionResetError,
+)
 
 
 @dataclass
@@ -44,13 +67,8 @@ class VideoInfo:
     width: int
     """Width in pixels."""
 
-    @property
-    def duration(self) -> Seconds:
-        return self.num_frames / self.fps
-
-    @property
-    def frame_length(self) -> Seconds:
-        return 1.0 / self.fps
+    duration = property(lambda self: self.num_frames / self.fps)
+    frame_length = property(lambda self: 1.0 / self.fps)
 
     def copy_with(self, **kwargs) -> "VideoInfo":
         return fastcopy(self, **kwargs)
@@ -65,14 +83,10 @@ class VideoInfo:
 
 def get_audio_duration_mismatch_tolerance() -> Seconds:
     """Retrieve the current audio duration mismatch tolerance in seconds."""
-    if (
-        _LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE
-        != _DEFAULT_LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE
-    ):
-        return _LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE
-    if "LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE" in os.environ:
-        return float(os.environ["LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE"])
-    return _LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE
+    if _tolerance_override is not None:
+        return _tolerance_override
+    env = os.environ.get("LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE")
+    return _TOLERANCE_DEFAULT if env is None else float(env)
 
 
 def set_audio_duration_mismatch_tolerance(delta: Seconds) -> None:
@@ -82,58 +96,33 @@ def set_audio_duration_mismatch_tolerance(delta: Seconds) -> None:
     tolerance, the audio is trimmed or padded (replicated) to match the
     manifest (reference: audio/utils.py:70-106).
     """
-    global _LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE
+    global _tolerance_override
+    previous = get_audio_duration_mismatch_tolerance()
     logging.info(
         "Overriding tolerance for audio duration mismatch. "
-        f"Old threshold: {_LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE}s. New threshold: {delta}s."
+        f"Old threshold: {previous}s. New threshold: {delta}s."
     )
-    if delta < _DEFAULT_LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE:
+    if delta < _TOLERANCE_DEFAULT:
         warnings.warn(
-            "The audio duration mismatch tolerance was set lower than the default "
-            f"({_DEFAULT_LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE}s); this may break "
-            "some data augmentation transforms."
+            "The audio duration mismatch tolerance was set lower than the "
+            f"default ({_TOLERANCE_DEFAULT}s); this may break some data "
+            "augmentation transforms."
         )
-    _LHOTSE_AUDIO_DURATION_MISMATCH_TOLERANCE = delta
-
-
-class VideoLoadingError(Exception):
-    pass
-
-
-class AudioLoadingError(Exception):
-    pass
-
-
-class AudioSavingError(Exception):
-    pass
-
-
-class DurationMismatchError(Exception):
-    pass
+    _tolerance_override = delta
 
 
 @contextmanager
 def suppress_audio_loading_errors(enabled: bool = True):
     """Suppress errors related to audio loading; emits a warning instead."""
-    with suppress_and_warn(
-        AudioLoadingError,
-        DurationMismatchError,
-        NonPositiveEnergyError,
-        ConnectionResetError,
-        enabled=enabled,
-    ):
+    with suppress_and_warn(*_RECOVERABLE_AUDIO_ERRORS, enabled=enabled):
         yield
 
 
 @contextmanager
 def suppress_video_loading_errors(enabled: bool = True):
+    """Like :func:`suppress_audio_loading_errors`, plus video decode errors."""
     with suppress_and_warn(
-        VideoLoadingError,
-        AudioLoadingError,
-        DurationMismatchError,
-        NonPositiveEnergyError,
-        ConnectionResetError,
-        enabled=enabled,
+        VideoLoadingError, *_RECOVERABLE_AUDIO_ERRORS, enabled=enabled
     ):
         yield
 

@@ -18,6 +18,8 @@ from lhotse_tpu.augmentation.transform import AudioTransform
 from lhotse_tpu.augmentation.utils import FastRandomRIRGenerator, convolve1d
 from lhotse_tpu.utils import Seconds
 
+_EARLY_REFLECTIONS_SEC = 0.05
+
 
 @dataclass
 class ReverbWithImpulseResponse(AudioTransform):
@@ -38,10 +40,10 @@ class ReverbWithImpulseResponse(AudioTransform):
         if isinstance(self.rir, dict):
             from lhotse_tpu.serialization import deserialize_item
 
-            rir = self.rir.copy()
-            if "recording" in self.rir:
-                rir["recording"] = rir["recording"].copy()
-            self.rir = deserialize_item(rir)
+            payload = dict(self.rir)
+            if "recording" in payload:
+                payload["recording"] = dict(payload["recording"])
+            self.rir = deserialize_item(payload)
 
         assert (
             self.rir is not None or self.rir_generator is not None
@@ -52,74 +54,77 @@ class ReverbWithImpulseResponse(AudioTransform):
                 c < self.rir.num_channels for c in self.rir_channels
             ), "Invalid channel index in `rir_channels`"
 
-        if self.rir_generator is not None and isinstance(self.rir_generator, dict):
+        if isinstance(self.rir_generator, dict):
             self.rir_generator = FastRandomRIRGenerator(**self.rir_generator)
 
     def to_dict(self) -> dict:
         from lhotse_tpu import Recording
         from lhotse_tpu.cut import Cut
 
+        rir = self.rir
+        if isinstance(rir, (Recording, Cut)):
+            rir = rir.to_dict()
+        gen = self.rir_generator
+        if gen is not None and not isinstance(gen, dict):
+            gen = gen.to_dict()
         return {
             "name": type(self).__name__,
             "kwargs": {
-                "rir": self.rir.to_dict()
-                if isinstance(self.rir, (Recording, Cut))
-                else self.rir,
+                "rir": rir,
                 "normalize_output": self.normalize_output,
                 "early_only": self.early_only,
                 "rir_channels": list(self.rir_channels),
-                "rir_generator": self.rir_generator
-                if self.rir_generator is None or isinstance(self.rir_generator, dict)
-                else self.rir_generator.to_dict(),
+                "rir_generator": gen,
             },
         }
 
+    def _impulse_response(self) -> np.ndarray:
+        """The (channels, taps) RIR to convolve with — loaded or synthesized."""
+        if self.rir is None:
+            return self.rir_generator(nsource=1)
+        from lhotse_tpu import Recording
+
+        rir = self.rir.to_cut() if isinstance(self.rir, Recording) else self.rir
+        rir = rir.with_channels(self.rir_channels)
+        if self.early_only:
+            rir = rir.truncate(duration=_EARLY_REFLECTIONS_SEC)
+        return rir.load_audio()
+
     def __call__(self, samples: np.ndarray, sampling_rate: int) -> np.ndarray:
         D_in, N_in = samples.shape
-        input_is_mono = D_in == 1
+        mono_in = D_in == 1
 
-        if input_is_mono:
+        if mono_in:
             assert (
                 self.rir is not None or len(self.rir_channels) == 1
             ), "For mono input, either provide an RIR explicitly or set rir_channels to [0]."
         else:
-            assert len(self.rir_channels) == 1 or len(self.rir_channels) == D_in, (
+            assert len(self.rir_channels) in (1, D_in), (
                 "For multi-channel input, only mono RIRs or RIRs with the same "
                 "number of channels as the input are supported."
             )
 
-        if self.rir is None:
-            rir_ = self.rir_generator(nsource=1)
-        else:
-            from lhotse_tpu import Recording
+        rir = self._impulse_response()
+        D_out = rir.shape[0] if mono_in else D_in
+        if rir.shape[0] == 1:
+            rir = np.repeat(rir, D_out, axis=0)
 
-            rir = self.rir.to_cut() if isinstance(self.rir, Recording) else self.rir
-            rir = rir.with_channels(self.rir_channels)
-            if self.early_only:
-                rir = rir.truncate(duration=0.05)
-            rir_ = rir.load_audio()
-
-        D_rir, N_rir = rir_.shape
-        N_out = N_in  # shift-output: keep input length
-        D_out = D_rir if input_is_mono else D_in
-
-        rir_ = np.repeat(rir_, D_out, axis=0) if D_rir == 1 else rir_
-
-        augmented = np.zeros((D_out, N_out), dtype=samples.dtype)
+        out = np.zeros((D_out, N_in), dtype=samples.dtype)
         for d in range(D_out):
-            d_in = 0 if input_is_mono else d
-            augmented[d, :N_in] = samples[d_in]
-            power_before_reverb = np.sum(np.abs(samples[d_in]) ** 2) / N_in
-            rir_d = rir_[d, :] * self.RIR_SCALING_FACTOR
-            aug_d = convolve1d(samples[d_in], rir_d)
-            shift_index = int(np.argmax(rir_d))
-            piece = aug_d[shift_index : shift_index + N_out]
-            augmented[d, : len(piece)] = piece
+            dry = samples[0 if mono_in else d]
+            out[d, :N_in] = dry
+            taps = rir[d] * self.RIR_SCALING_FACTOR
+            wet = convolve1d(dry, taps)
+            # --shift-output semantics: align the RIR peak with t=0.
+            peak = int(np.argmax(taps))
+            wet = wet[peak : peak + N_in]
+            out[d, : len(wet)] = wet
             if self.normalize_output:
-                power_after_reverb = np.sum(np.abs(augmented[d, :]) ** 2) / N_out
-                if power_after_reverb > 0:
-                    augmented[d, :] *= np.sqrt(power_before_reverb / power_after_reverb)
-        return augmented
+                dry_power = np.sum(np.abs(dry) ** 2) / N_in
+                wet_power = np.sum(np.abs(out[d]) ** 2) / N_in
+                if wet_power > 0:
+                    out[d] *= np.sqrt(dry_power / wet_power)
+        return out
 
     def reverse_timestamps(
         self,

@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 from dataclasses import asdict, dataclass, field
 from pathlib import Path
-from typing import Any, Dict, List
+from typing import List
 
 from lhotse_tpu.utils import Pathlike
 
@@ -22,19 +22,32 @@ __all__ = [
     "DataloaderCheckpoint",
 ]
 
-_SINGLE_CHILD = "source"
-_MULTI_CHILDREN = "sources"
-
 
 def _rng_state_to_json(rng_state) -> list:
     """Convert a ``random.Random.getstate()`` tuple to JSON-safe lists."""
-    version, internalstate, gauss_next = rng_state
-    return [version, list(internalstate), gauss_next]
+    return [rng_state[0], list(rng_state[1]), rng_state[2]]
 
 
 def _rng_state_from_json(data) -> tuple:
-    version, internalstate, gauss_next = data
-    return (version, tuple(internalstate), gauss_next)
+    return (data[0], tuple(data[1]), data[2])
+
+
+def _children_of(node):
+    """The direct child iterators of a lazy-graph node, in traversal order.
+    Yields (state-dict key, child) — 'source' holds one child, 'sources' a
+    list of them."""
+    one = getattr(node, "source", None)
+    if one is not None:
+        yield "source", one
+    many = getattr(node, "sources", None)
+    if many is not None:
+        yield "sources", many
+
+
+def _is_checkpointable_node(node) -> bool:
+    from lhotse_tpu.lazy import IteratorNode
+
+    return isinstance(node, IteratorNode) and node.is_checkpointable
 
 
 def collect_state_dict(root) -> dict:
@@ -45,15 +58,14 @@ def collect_state_dict(root) -> dict:
     """
     from lhotse_tpu.lazy import IteratorNode
 
-    result: Dict[str, Any] = {"_type": type(root).__name__}
-    has_children = hasattr(root, _SINGLE_CHILD) or hasattr(root, _MULTI_CHILDREN)
-    is_node = isinstance(root, IteratorNode)
+    captured = {"_type": type(root).__name__}
+    if _is_checkpointable_node(root):
+        captured["_state"] = root.state_dict()
+        return captured
 
-    if is_node and root.is_checkpointable:
-        result["_state"] = root.state_dict()
-        return result
-    elif has_children:
-        if not is_node:
+    edges = list(_children_of(root))
+    if edges:
+        if not isinstance(root, IteratorNode):
             raise NotImplementedError(
                 f"{type(root).__name__} participates in iterator graph traversal "
                 f"(it has child iterators) but is not an IteratorNode."
@@ -62,14 +74,7 @@ def collect_state_dict(root) -> dict:
             f"{type(root).__name__} does not support checkpointing. Remove it "
             f"from the pipeline or implement state_dict/load_state_dict."
         )
-
-    if hasattr(root, _SINGLE_CHILD):
-        result[_SINGLE_CHILD] = collect_state_dict(getattr(root, _SINGLE_CHILD))
-    if hasattr(root, _MULTI_CHILDREN):
-        result[_MULTI_CHILDREN] = [
-            collect_state_dict(c) for c in getattr(root, _MULTI_CHILDREN)
-        ]
-    return result
+    return captured
 
 
 def restore_state_dict(root, state: dict) -> None:
@@ -78,32 +83,31 @@ def restore_state_dict(root, state: dict) -> None:
     checkpointable root restores its own children via ``load_state_dict``, so
     recursion happens only for non-checkpointable roots.
     """
-    from lhotse_tpu.lazy import IteratorNode
-
-    expected_type = state.get("_type")
-    actual_type = type(root).__name__
-    if expected_type is not None and actual_type != expected_type:
+    saved_type = state.get("_type")
+    if saved_type is not None and saved_type != type(root).__name__:
         raise TypeError(
             f"Type mismatch during state restoration: expected "
-            f"'{expected_type}', got '{actual_type}'."
+            f"'{saved_type}', got '{type(root).__name__}'."
         )
 
-    if isinstance(root, IteratorNode) and root.is_checkpointable and "_state" in state:
+    if "_state" in state and _is_checkpointable_node(root):
         root.load_state_dict(state["_state"])
         return
 
-    if _SINGLE_CHILD in state and hasattr(root, _SINGLE_CHILD):
-        restore_state_dict(getattr(root, _SINGLE_CHILD), state[_SINGLE_CHILD])
-    if _MULTI_CHILDREN in state and hasattr(root, _MULTI_CHILDREN):
-        children = getattr(root, _MULTI_CHILDREN)
-        child_states = state[_MULTI_CHILDREN]
-        if len(children) != len(child_states):
-            raise ValueError(
-                f"Number of children mismatch during state restoration: "
-                f"expected {len(child_states)}, got {len(children)}."
-            )
-        for child, child_state in zip(children, child_states):
-            restore_state_dict(child, child_state)
+    for key, child in _children_of(root):
+        if key not in state:
+            continue
+        if key == "source":
+            restore_state_dict(child, state[key])
+        else:
+            saved_children = state[key]
+            if len(child) != len(saved_children):
+                raise ValueError(
+                    f"Number of children mismatch during state restoration: "
+                    f"expected {len(saved_children)}, got {len(child)}."
+                )
+            for sub, sub_state in zip(child, saved_children):
+                restore_state_dict(sub, sub_state)
 
 
 @dataclass
@@ -121,32 +125,24 @@ class DataloaderCheckpoint:
     sampler_state: dict = field(default_factory=dict)
 
     def save(self, path: Pathlike) -> None:
-        path = Path(path)
-        with open(path, "w") as f:
-            json.dump(asdict(self), f, indent=2, default=_json_serializer)
+        payload = json.dumps(asdict(self), indent=2, default=_json_serializer)
+        Path(path).write_text(payload)
 
     @classmethod
     def load(cls, path: Pathlike) -> "DataloaderCheckpoint":
-        path = Path(path)
-        with open(path, "r") as f:
-            data = json.load(f)
-        return cls(**data)
+        return cls(**json.loads(Path(path).read_text()))
 
     def validate(self, num_workers: int, world_size: int, rank: int = 0) -> None:
-        if self.num_workers != num_workers:
-            raise ValueError(
-                f"Checkpoint num_workers={self.num_workers} does not match "
-                f"current num_workers={num_workers}."
-            )
-        if self.world_size != world_size:
-            raise ValueError(
-                f"Checkpoint world_size={self.world_size} does not match "
-                f"current world_size={world_size}."
-            )
-        if self.rank != rank:
-            raise ValueError(
-                f"Checkpoint rank={self.rank} does not match current rank={rank}."
-            )
+        for name, saved, current in (
+            ("num_workers", self.num_workers, num_workers),
+            ("world_size", self.world_size, world_size),
+            ("rank", self.rank, rank),
+        ):
+            if saved != current:
+                raise ValueError(
+                    f"Checkpoint {name}={saved} does not match current "
+                    f"{name}={current}."
+                )
 
 
 def _json_serializer(obj):

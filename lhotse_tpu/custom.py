@@ -28,45 +28,56 @@ class CustomFieldMixin:
 
     def __setattr__(self, key: str, value: Any) -> None:
         if key in self.__dataclass_fields__:
-            super().__setattr__(key, value)
+            return super().__setattr__(key, value)
+        # Everything else routes into the custom dict; assigning None removes.
+        store = ifnone(self.custom, {})
+        if value is not None:
+            store[key] = value
         else:
-            custom = ifnone(self.custom, {})
-            if value is None:
-                custom.pop(key, None)
-            else:
-                custom[key] = value
-            if custom:
-                self.custom = custom
+            store.pop(key, None)
+        if store:
+            self.custom = store
 
     def __getattr__(self, name: str) -> Any:
-        custom = self.custom
-        if custom is None:
-            raise AttributeError(f"No such attribute: {name}")
-        if name in custom:
-            return self.custom[name]
-        elif name.startswith("load_"):
-            return partial(self.load_custom, name[5:])
+        store = self.custom
+        if store is not None:
+            if name in store:
+                return store[name]
+            if name.startswith("load_"):
+                return partial(self.load_custom, name[len("load_"):])
         raise AttributeError(f"No such attribute: {name}")
 
     def __delattr__(self, key: str) -> None:
         if key in self.__dataclass_fields__:
             super().__delattr__(key)
-        if self.custom is None or key not in self.custom:
+        store = self.custom
+        if store is None or key not in store:
             raise AttributeError(f"No such member: '{key}'")
-        del self.custom[key]
+        del store[key]
 
     def to_dict(self) -> Dict[str, Any]:
         return asdict_nonull(self)
 
     def with_custom(self, name: str, value: Any):
         """Return a copy of this object with an extra custom field assigned."""
-        cpy = fastcopy(self, custom=self.custom.copy() if self.custom is not None else {})
-        cpy.custom[name] = value
-        return cpy
+        dup = fastcopy(self, custom=dict(ifnone(self.custom, {})))
+        dup.custom[name] = value
+        return dup
 
     def copy_with(self, **kwargs):
         """Copy with selected fields overwritten (fastcopy convenience)."""
         return fastcopy(self, **kwargs)
+
+    def _load_custom_recording(self, name: str, value, **kwargs) -> np.ndarray:
+        channels = self.custom.get(f"{name}_channel_selector")
+        if channels is None and "channel" in kwargs:
+            channels = kwargs.pop("channel")
+        if self.custom.get(f"{name}_unaligned", False):
+            # Opt-out marker: the recording is not time-aligned to this cut.
+            return value.load_audio(channels=channels, **kwargs)
+        window = dict(offset=self.start, duration=self.duration)
+        loader = value.load_video if value.has_video else value.load_audio
+        return loader(channels=channels, **window, **kwargs)
 
     def load_custom(self, name: str, **kwargs) -> np.ndarray:
         """
@@ -79,38 +90,22 @@ class CustomFieldMixin:
         from lhotse_tpu.image.image import Image
 
         value = self.custom.get(name)
-        if isinstance(value, Array):
-            return value.load(**kwargs)
-        elif isinstance(value, TemporalArray):
+        if isinstance(value, Recording):
+            return self._load_custom_recording(name, value, **kwargs)
+        if isinstance(value, TemporalArray):
             return value.load(start=self.start, duration=self.duration, **kwargs)
-        elif isinstance(value, Recording):
-            channels = self.custom.get(f"{name}_channel_selector")
-            if channels is None and "channel" in kwargs:
-                channels = kwargs.pop("channel")
-            if self.custom.get(f"{name}_unaligned", False):
-                return value.load_audio(channels=channels, **kwargs)
-            if value.has_video:
-                return value.load_video(
-                    channels=channels, offset=self.start, duration=self.duration, **kwargs
-                )
-            return value.load_audio(
-                channels=channels, offset=self.start, duration=self.duration, **kwargs
-            )
-        elif isinstance(value, Image):
+        if isinstance(value, (Array, Image)):
             return value.load(**kwargs)
-        else:
-            raise ValueError(
-                f"To load {name}, the object needs field {name} (or custom['{name}']) "
-                f"holding a manifest of type Array, TemporalArray, Recording, or Image."
-            )
+        raise ValueError(
+            f"To load {name}, the object needs field {name} (or custom['{name}']) "
+            f"holding a manifest of type Array, TemporalArray, Recording, or Image."
+        )
 
     def has_custom(self, name: str) -> bool:
-        if self.custom is None:
-            return False
-        return name in self.custom
+        return name in self.custom if self.custom is not None else False
 
     def drop_custom(self, name: str):
-        if self.custom is None or name not in self.custom:
+        if not self.has_custom(name):
             return None
         del self.custom[name]
         return self

@@ -40,7 +40,7 @@ class ExtraPadding:
             "For ExtraPadding, you have to specify exactly one of: frames, "
             "samples, or duration."
         )
-        assert direction in ["both", "left", "right"], (
+        assert direction in ("both", "left", "right"), (
             "Only three padding modes are supported"
         )
         self.extra_frames = extra_frames
@@ -51,51 +51,43 @@ class ExtraPadding:
         self.preserve_id = preserve_id
         self.direction = direction
 
-    def __call__(self, cuts: CutSet) -> CutSet:
+    def _amount(self):
+        """(pad kwarg name, cut attribute, sampled extra amount) per cut."""
         if self.extra_frames is not None:
-            return CutSet.from_cuts(
-                c.pad(
-                    num_frames=c.num_frames
-                    + maybe_sample_int(value=self.extra_frames, sample=self.randomized),
-                    pad_feat_value=self.pad_feat_value,
-                    direction=self.direction,
-                    preserve_id=self.preserve_id,
-                )
-                for c in cuts
-            )
+            extra = self.extra_frames
+            if self.randomized:
+                extra = random.randint(0, extra)
+            return "num_frames", extra
         if self.extra_samples is not None:
-            return CutSet.from_cuts(
-                c.pad(
-                    num_samples=c.num_samples
-                    + maybe_sample_int(value=self.extra_samples, sample=self.randomized),
+            extra = self.extra_samples
+            if self.randomized:
+                extra = random.randint(0, extra)
+            return "num_samples", extra
+        extra = self.extra_seconds
+        if self.randomized:
+            extra = random.uniform(0, extra)
+        return "duration", extra
+
+    def __call__(self, cuts: CutSet) -> CutSet:
+        padded = []
+        for cut in cuts:
+            unit, extra = self._amount()
+            kwargs = {unit: getattr(cut, unit) + extra}
+            if unit != "num_samples":
+                kwargs["pad_feat_value"] = self.pad_feat_value
+            padded.append(
+                cut.pad(
                     direction=self.direction,
                     preserve_id=self.preserve_id,
+                    **kwargs,
                 )
-                for c in cuts
             )
-        if self.extra_seconds is not None:
-            return CutSet.from_cuts(
-                c.pad(
-                    duration=c.duration
-                    + maybe_sample_float(
-                        value=self.extra_seconds, sample=self.randomized
-                    ),
-                    pad_feat_value=self.pad_feat_value,
-                    direction=self.direction,
-                    preserve_id=self.preserve_id,
-                )
-                for c in cuts
-            )
-        raise ValueError("Implementation error in ExtraPadding (please report this issue).")
+        return CutSet.from_cuts(padded)
 
 
 def maybe_sample_int(value: int, sample: bool) -> int:
-    if sample:
-        value = random.randint(0, value)
-    return value
+    return random.randint(0, value) if sample else value
 
 
 def maybe_sample_float(value: float, sample: bool) -> float:
-    if sample:
-        value = random.uniform(0, value)
-    return value
+    return random.uniform(0, value) if sample else value

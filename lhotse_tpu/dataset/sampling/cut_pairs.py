@@ -14,6 +14,11 @@ from lhotse_tpu.dataset.sampling.base import CutSampler, TimeConstraint
 from lhotse_tpu.dataset.sampling.data_source import DataSource
 from lhotse_tpu.utils import Seconds
 
+_PAIR_DESYNC = (
+    "Unexpected state: some cuts in source / target are missing their "
+    "counterparts..."
+)
+
 
 class CutPairsSampler(CutSampler):
     """
@@ -52,133 +57,104 @@ class CutPairsSampler(CutSampler):
             max_duration=max_target_duration, max_cuts=max_cuts
         )
 
-    @property
-    def remaining_duration(self) -> Optional[float]:
-        """Source-side remaining duration (None for lazy CutSets)."""
-        return self.source_cuts.remaining_duration
-
-    @property
-    def remaining_cuts(self) -> Optional[int]:
-        return self.source_cuts.remaining_cuts
-
-    @property
-    def num_cuts(self) -> Optional[int]:
-        if self.source_cuts.is_lazy:
-            return None
-        return len(self.source_cuts)
+    # Progress accounting follows the source stream (None for lazy CutSets).
+    remaining_duration = property(lambda self: self.source_cuts.remaining_duration)
+    remaining_cuts = property(lambda self: self.source_cuts.remaining_cuts)
+    num_cuts = property(
+        lambda self: None if self.source_cuts.is_lazy else len(self.source_cuts)
+    )
 
     def state_dict(self) -> Dict[str, Any]:
-        state_dict = super().state_dict()
-        state_dict.update(
-            {
-                "source_constraints": self.source_constraints.state_dict(),
-                "target_constraints": self.target_constraints.state_dict(),
-            }
-        )
-        return state_dict
+        sd = super().state_dict()
+        sd["source_constraints"] = self.source_constraints.state_dict()
+        sd["target_constraints"] = self.target_constraints.state_dict()
+        return sd
+
+    def _restore_constraint(self, side: str, state_dict: Dict[str, Any]) -> None:
+        attr = f"{side}_constraints"
+        incoming = TimeConstraint(**state_dict.pop(attr))
+        if getattr(self, attr) != incoming:
+            warnings.warn(
+                f"CutPairsSampler.load_state_dict(): Inconsistent {side}_constraint:\n"
+                f"expected {getattr(self, attr)}\n"
+                f"received {incoming}\n"
+                "We will overwrite the settings with the received state_dict."
+            )
+        setattr(self, attr, incoming)
 
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
-        source_constraints = TimeConstraint(**state_dict.pop("source_constraints"))
-        if self.source_constraints != source_constraints:
-            warnings.warn(
-                "CutPairsSampler.load_state_dict(): Inconsistent source_constraint:\n"
-                f"expected {self.source_constraints}\n"
-                f"received {source_constraints}\n"
-                "We will overwrite the settings with the received state_dict."
-            )
-        self.source_constraints = source_constraints
-
-        target_constraints = TimeConstraint(**state_dict.pop("target_constraints"))
-        if self.target_constraints != target_constraints:
-            warnings.warn(
-                "CutPairsSampler.load_state_dict(): Inconsistent target_constraint:\n"
-                f"expected {self.target_constraints}\n"
-                f"received {target_constraints}\n"
-                "We will overwrite the settings with the received state_dict."
-            )
-        self.target_constraints = target_constraints
-
+        self._restore_constraint("source", state_dict)
+        self._restore_constraint("target", state_dict)
         super().load_state_dict(state_dict)
+        self._reshuffle_streams()
+        consumed = self.diagnostics.current_epoch_stats.consumed_cuts
+        self.source_cuts.fast_forward(consumed)
+        self.target_cuts.fast_forward(consumed)
 
+    def _reshuffle_streams(self) -> None:
         if self.shuffle:
-            self.source_cuts.shuffle(self.seed + self.epoch)
-            self.target_cuts.shuffle(self.seed + self.epoch)
-        n = self.diagnostics.current_epoch_stats.consumed_cuts
-        self.source_cuts.fast_forward(n)
-        self.target_cuts.fast_forward(n)
+            for stream in (self.source_cuts, self.target_cuts):
+                stream.shuffle(self.seed + self.epoch)
 
     def __iter__(self) -> "CutPairsSampler":
         if self._just_restored_state:
             return self
         self.diagnostics.reset_current_epoch()
-        if self.shuffle:
-            self.source_cuts.shuffle(self.seed + self.epoch)
-            self.target_cuts.shuffle(self.seed + self.epoch)
+        self._reshuffle_streams()
         iter(self.source_cuts)
         iter(self.target_cuts)
         return self
+
+    def _emit(self, pairs) -> Tuple[CutSet, CutSet]:
+        src, tgt = zip(*pairs) if pairs else ((), ())
+        assert len(src) == len(tgt), _PAIR_DESYNC
+        return CutSet.from_cuts(src), CutSet.from_cuts(tgt)
 
     def _next_batch(self) -> Tuple[CutSet, CutSet]:
         # Metadata-only batch collection over both streams in lockstep.
         self.source_constraints.reset()
         self.target_constraints.reset()
-        source_cuts = []
-        target_cuts = []
+        pairs = []
         while True:
             try:
-                next_source_cut = next(self.source_cuts)
-                next_target_cut = next(self.target_cuts)
-                assert next_source_cut.id == next_target_cut.id, (
-                    "Sampled source and target cuts with differing IDs. "
-                    "Ensure that your source and target cuts have the same "
-                    "length, the same IDs, and the same order."
-                )
+                src = next(self.source_cuts)
+                tgt = next(self.target_cuts)
             except StopIteration:
-                if source_cuts and (
-                    not self.drop_last
-                    or self.source_constraints.close_to_exceeding()
+                nearly_full = (
+                    self.source_constraints.close_to_exceeding()
                     or self.target_constraints.close_to_exceeding()
-                ):
-                    assert len(source_cuts) == len(target_cuts), (
-                        "Unexpected state: some cuts in source / target are "
-                        "missing their counterparts..."
-                    )
-                    return CutSet.from_cuts(source_cuts), CutSet.from_cuts(target_cuts)
-                else:
-                    self.diagnostics.discard(source_cuts)
-                    raise StopIteration()
+                )
+                if pairs and (not self.drop_last or nearly_full):
+                    return self._emit(pairs)
+                self.diagnostics.discard([s for s, _ in pairs])
+                raise StopIteration()
 
-            if not self._filter_fn(next_source_cut) or not self._filter_fn(
-                next_target_cut
-            ):
-                self.diagnostics.discard_single(next_source_cut)
+            assert src.id == tgt.id, (
+                "Sampled source and target cuts with differing IDs. "
+                "Ensure that your source and target cuts have the same "
+                "length, the same IDs, and the same order."
+            )
+
+            if not (self._filter_fn(src) and self._filter_fn(tgt)):
+                self.diagnostics.discard_single(src)
                 continue
 
-            self.source_constraints.add(next_source_cut)
-            self.target_constraints.add(next_target_cut)
-
-            if (
-                not self.source_constraints.exceeded()
-                and not self.target_constraints.exceeded()
-            ):
-                source_cuts.append(next_source_cut)
-                target_cuts.append(next_target_cut)
+            self.source_constraints.add(src)
+            self.target_constraints.add(tgt)
+            overflow = (
+                self.source_constraints.exceeded() or self.target_constraints.exceeded()
+            )
+            if not overflow:
+                pairs.append((src, tgt))
+                continue
+            if not pairs:
+                warnings.warn(
+                    "The first cut drawn in batch collection violates one "
+                    "of the max_... constraints; we'll return it anyway. "
+                    "Consider increasing max_source_duration/max_cuts/etc."
+                )
+                pairs.append((src, tgt))
             else:
-                if source_cuts:
-                    self.source_cuts.take_back(next_source_cut)
-                    self.target_cuts.take_back(next_target_cut)
-                    break
-                else:
-                    warnings.warn(
-                        "The first cut drawn in batch collection violates one "
-                        "of the max_... constraints; we'll return it anyway. "
-                        "Consider increasing max_source_duration/max_cuts/etc."
-                    )
-                    source_cuts.append(next_source_cut)
-                    target_cuts.append(next_target_cut)
-
-        assert len(source_cuts) == len(target_cuts), (
-            "Unexpected state: some cuts in source / target are missing their "
-            "counterparts..."
-        )
-        return CutSet.from_cuts(source_cuts), CutSet.from_cuts(target_cuts)
+                self.source_cuts.take_back(src)
+                self.target_cuts.take_back(tgt)
+            return self._emit(pairs)

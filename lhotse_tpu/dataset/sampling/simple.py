@@ -61,27 +61,17 @@ class SimpleCutSampler(CutSampler):
             quadratic_duration=quadratic_duration,
         )
 
-    @property
-    def remaining_duration(self) -> Optional[float]:
-        """Remaining duration (None for lazy CutSets)."""
-        return self.data_source.remaining_duration
-
-    @property
-    def remaining_cuts(self) -> Optional[int]:
-        """Remaining cut count (None for lazy CutSets)."""
-        return self.data_source.remaining_cuts
-
-    @property
-    def num_cuts(self) -> Optional[int]:
-        """Total cut count (None for lazy CutSets)."""
-        if self.data_source.is_lazy:
-            return None
-        return len(self.data_source)
+    # Progress accounting (each is None for lazy CutSets).
+    remaining_duration = property(lambda self: self.data_source.remaining_duration)
+    remaining_cuts = property(lambda self: self.data_source.remaining_cuts)
+    num_cuts = property(
+        lambda self: None if self.data_source.is_lazy else len(self.data_source)
+    )
 
     def state_dict(self) -> Dict[str, Any]:
-        state_dict = super().state_dict()
-        state_dict.update({"time_constraint": self.time_constraint.state_dict()})
-        return state_dict
+        sd = super().state_dict()
+        sd["time_constraint"] = self.time_constraint.state_dict()
+        return sd
 
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
         """
@@ -117,41 +107,41 @@ class SimpleCutSampler(CutSampler):
         iter(self.data_source)
         return self
 
+    def _source_exhausted(self, collected) -> CutSet:
+        """End-of-source: emit the partial batch unless drop_last forbids it."""
+        keep_partial = not self.drop_last or self.time_constraint.close_to_exceeding()
+        if collected and keep_partial:
+            return CutSet.from_cuts(collected)
+        self.diagnostics.discard(collected)
+        raise StopIteration()
+
     def _next_batch(self) -> CutSet:
         # Collect cuts until the constraint trips; metadata only — no audio IO.
         self.time_constraint.reset()
-        cuts = []
+        collected = []
         while True:
             try:
-                next_cut = next(self.data_source)
+                cut = next(self.data_source)
             except StopIteration:
-                if cuts and (
-                    not self.drop_last or self.time_constraint.close_to_exceeding()
-                ):
-                    return CutSet.from_cuts(cuts)
-                else:
-                    self.diagnostics.discard(cuts)
-                    raise StopIteration()
+                return self._source_exhausted(collected)
 
-            if not self._filter_fn(next_cut):
-                self.diagnostics.discard_single(next_cut)
+            if not self._filter_fn(cut):
+                self.diagnostics.discard_single(cut)
                 continue
 
-            self.time_constraint.add(next_cut)
+            self.time_constraint.add(cut)
             if not self.time_constraint.exceeded():
-                cuts.append(next_cut)
+                collected.append(cut)
+                continue
+            if not collected:
+                warnings.warn(
+                    "The first cut drawn in batch collection violates "
+                    "the max_duration, or max_cuts constraints - "
+                    "we'll return it anyway. "
+                    "Consider increasing max_duration/max_cuts."
+                )
+                collected.append(cut)
             else:
-                if cuts:
-                    # Keep the overflowing cut for the next batch.
-                    self.data_source.take_back(next_cut)
-                    break
-                else:
-                    warnings.warn(
-                        "The first cut drawn in batch collection violates "
-                        "the max_duration, or max_cuts constraints - "
-                        "we'll return it anyway. "
-                        "Consider increasing max_duration/max_cuts."
-                    )
-                    cuts.append(next_cut)
-
-        return CutSet.from_cuts(cuts)
+                # Keep the overflowing cut for the next batch.
+                self.data_source.take_back(cut)
+            return CutSet.from_cuts(collected)

@@ -15,6 +15,22 @@ import numpy as np
 from lhotse_tpu.cut import CutSet
 from lhotse_tpu.dataset.sampling.base import CutSampler
 
+# criterion name -> batch "badness" measure (higher = more pessimistic).
+_CRITERIA = {
+    "single_longest_cut": lambda cuts: max(c.duration for c in cuts),
+    "single_longest_supervision": lambda cuts: max(
+        sum(s.duration for s in c.supervisions) for c in cuts
+    ),
+    "largest_batch_cuts_duration": lambda cuts: sum(c.duration for c in cuts),
+    "largest_batch_supervisions_duration": lambda cuts: sum(
+        s.duration for c in cuts for s in c.supervisions
+    ),
+    "max_num_cuts": len,
+    "max_num_supervisions": lambda cuts: sum(
+        1 for c in cuts for _ in c.supervisions
+    ),
+}
+
 
 def find_pessimistic_batches(
     sampler: CutSampler, batch_tuple_index: int = 0
@@ -25,40 +41,26 @@ def find_pessimistic_batches(
     supervision, largest total duration, max cut/supervision counts).
     Returns ``({criterion: CutSet}, {criterion: value})``.
     """
-    criteria = {
-        "single_longest_cut": lambda cuts: max(c.duration for c in cuts),
-        "single_longest_supervision": lambda cuts: max(
-            sum(s.duration for s in c.supervisions) for c in cuts
-        ),
-        "largest_batch_cuts_duration": lambda cuts: sum(c.duration for c in cuts),
-        "largest_batch_supervisions_duration": lambda cuts: sum(
-            s.duration for c in cuts for s in c.supervisions
-        ),
-        "max_num_cuts": len,
-        "max_num_supervisions": lambda cuts: sum(1 for c in cuts for _ in c.supervisions),
-    }
-    try:
-        sampler = iter(sampler)
-        first_batch = next(sampler)
-        if isinstance(first_batch, tuple):
-            first_batch = first_batch[batch_tuple_index]
-    except StopIteration:
-        warnings.warn("Empty sampler encountered in find_pessimistic_batches()")
-        return {}, {}
-
-    top_batches = {k: first_batch for k in criteria}
-    top_values = {k: fn(first_batch) for k, fn in criteria.items()}
-
-    for batch in sampler:
+    worst = {}  # criterion -> (value, batch)
+    for batch in iter(sampler):
         if isinstance(batch, tuple):
             batch = batch[batch_tuple_index]
-        for crit, fn in criteria.items():
-            val = fn(batch)
-            if val > top_values[crit]:
-                top_values[crit] = val
-                top_batches[crit] = batch
+        for crit, measure in _CRITERIA.items():
+            value = measure(batch)
+            if crit not in worst or value > worst[crit][0]:
+                worst[crit] = (value, batch)
+    if not worst:
+        warnings.warn("Empty sampler encountered in find_pessimistic_batches()")
+        return {}, {}
+    return (
+        {crit: batch for crit, (_, batch) in worst.items()},
+        {crit: value for crit, (value, _) in worst.items()},
+    )
 
-    return top_batches, top_values
+
+def _fmt(values) -> str:
+    """'<mean>s (std=<std>s)' over a list of durations."""
+    return f"{np.mean(values):.1f}s (std={np.std(values):.1f}s)"
 
 
 def report_padding_ratio_estimate(sampler: CutSampler, n_samples: int = 1000) -> str:
@@ -66,23 +68,16 @@ def report_padding_ratio_estimate(sampler: CutSampler, n_samples: int = 1000) ->
     Human-readable padding diagnostics over ``n_samples`` batches, assuming
     padding corresponds to segments without supervisions within cuts.
     """
-    supervised = []
-    total = []
-    gaps = []
-    batch_supervised = []
-    batch_total = []
-    batch_gaps = []
-    min_dur_diffs = []
-    mean_dur_diffs = []
-    max_dur_diffs = []
-    sampler = iter(sampler)
+    per_cut = {"sup": [], "tot": [], "gap": []}
+    per_batch = {"sup": [], "tot": [], "gap": []}
+    spread = {"min": [], "mean": [], "max": []}
 
+    stream = iter(sampler)
     for _ in range(n_samples):
         try:
-            batch = next(sampler)
+            batch = next(stream)
         except StopIteration:
             break
-
         if not isinstance(batch, CutSet):
             warnings.warn(
                 "The sampler returned a mini-batch with multiple CutSets: we "
@@ -91,49 +86,30 @@ def report_padding_ratio_estimate(sampler: CutSampler, n_samples: int = 1000) ->
             )
             batch = batch[0]
 
-        batch = batch.sort_by_duration(ascending=False)
-
-        if len(batch) > 1:
-            batch_list = list(batch)
-            min_dur_diffs.append(
-                (batch_list[0].duration - batch_list[1].duration) / batch_list[0].duration
-            )
-            max_dur_diffs.append(
-                (batch_list[0].duration - batch_list[-1].duration)
-                / batch_list[0].duration
-            )
-            mean_dur_diffs.append(
-                mean(
-                    batch_list[0].duration - batch_list[i].duration
-                    for i in range(1, len(batch_list))
-                )
-                / batch_list[0].duration
+        ordered = list(batch.sort_by_duration(ascending=False))
+        if len(ordered) > 1:
+            longest = ordered[0].duration
+            spread["min"].append((longest - ordered[1].duration) / longest)
+            spread["max"].append((longest - ordered[-1].duration) / longest)
+            spread["mean"].append(
+                mean(longest - c.duration for c in ordered[1:]) / longest
             )
 
-        batch = batch.pad()
-        batch_sup = 0
-        batch_tot = 0
-        batch_gap = 0
-        for cut in batch:
-            total.append(cut.duration)
-            supervised.append(sum(s.duration for s in cut.supervisions))
-            gaps.append(total[-1] - supervised[-1])
-            batch_sup += supervised[-1]
-            batch_tot += total[-1]
-            batch_gap += gaps[-1]
+        totals = supers = 0.0
+        for cut in batch.pad():
+            sup = sum(s.duration for s in cut.supervisions)
+            per_cut["tot"].append(cut.duration)
+            per_cut["sup"].append(sup)
+            per_cut["gap"].append(cut.duration - sup)
+            totals += cut.duration
+            supers += sup
+        per_batch["tot"].append(totals)
+        per_batch["sup"].append(supers)
+        per_batch["gap"].append(totals - supers)
 
-        batch_supervised.append(batch_sup)
-        batch_total.append(batch_tot)
-        batch_gaps.append(batch_gap)
-
-    m_supervised = np.mean(supervised)
-    m_total = np.mean(total)
-    m_gaps = np.mean(gaps)
-    m_batch_supervised = np.mean(batch_supervised)
-    m_batch_total = np.mean(batch_total)
-    m_batch_gaps = np.mean(batch_gaps)
-
-    return f"""An average CUT has {m_supervised:.1f}s (std={np.std(supervised):.1f}s) of supervisions vs. {m_total:.1f}s (std={np.std(total):.1f}s) of total duration. Average padding is {m_gaps:.1f}s (std={np.std(gaps):.1f}s), i.e. {m_gaps / m_total:.1%}.
-An average BATCH has {m_batch_supervised:.1f}s (std={np.std(batch_supervised):.1f}s) of combined supervised duration vs. {m_batch_total:.1f}s (std={np.std(batch_total):.1f}s) of combined total duration. Average padding is {m_batch_gaps:.1f}s (std={np.std(batch_gaps):.1f}s), i.e. {m_batch_gaps / m_batch_total:.1%}.
-Expected variability of cut durations within a single batch is +/-{np.mean(mean_dur_diffs):.1%} (two closest cuts: {np.mean(min_dur_diffs):.1%}, two most distant cuts: {np.mean(max_dur_diffs):.1%}).
+    cut_pad_pct = np.mean(per_cut["gap"]) / np.mean(per_cut["tot"])
+    batch_pad_pct = np.mean(per_batch["gap"]) / np.mean(per_batch["tot"])
+    return f"""An average CUT has {_fmt(per_cut['sup'])} of supervisions vs. {_fmt(per_cut['tot'])} of total duration. Average padding is {_fmt(per_cut['gap'])}, i.e. {cut_pad_pct:.1%}.
+An average BATCH has {_fmt(per_batch['sup'])} of combined supervised duration vs. {_fmt(per_batch['tot'])} of combined total duration. Average padding is {_fmt(per_batch['gap'])}, i.e. {batch_pad_pct:.1%}.
+Expected variability of cut durations within a single batch is +/-{np.mean(spread['mean']):.1%} (two closest cuts: {np.mean(spread['min']):.1%}, two most distant cuts: {np.mean(spread['max']):.1%}).
     """

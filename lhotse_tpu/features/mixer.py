@@ -32,20 +32,19 @@ class FeatureMixer:
         reference_energy: Optional[float] = None,
     ):
         self.feature_extractor = feature_extractor
-        self.tracks = [base_feats]
-        self.num_channels = 1 if base_feats.ndim == 2 else base_feats.shape[-1]
-        self.gains = []
         self.frame_shift = frame_shift
         self.padding_value = padding_value
-        self.dtype = self.tracks[0].dtype
-        if reference_energy is None:
-            self.reference_energy = feature_extractor.compute_energy(base_feats)
-        else:
-            self.reference_energy = reference_energy
+        self.tracks = [base_feats]
+        self.gains = []
+        self.num_channels = 1 if base_feats.ndim == 2 else base_feats.shape[-1]
+        self.dtype = base_feats.dtype
+        self.reference_energy = (
+            feature_extractor.compute_energy(base_feats)
+            if reference_energy is None
+            else reference_energy
+        )
 
-    @property
-    def num_features(self):
-        return self.tracks[0].shape[1]
+    num_features = property(lambda self: self.tracks[0].shape[1])
 
     @property
     def unmixed_feats(self) -> np.ndarray:
@@ -55,20 +54,27 @@ class FeatureMixer:
     @property
     def mixed_feats(self) -> np.ndarray:
         """(num_frames, num_features) mix of all tracks."""
-        result = self.tracks[0]
-        for feats_to_add, gain in zip(self.tracks[1:], self.gains):
-            result = self.feature_extractor.mix(
-                features_a=result, features_b=feats_to_add, energy_scaling_factor_b=gain
+        acc = self.tracks[0]
+        for extra, gain in zip(self.tracks[1:], self.gains):
+            acc = self.feature_extractor.mix(
+                features_a=acc, features_b=extra, energy_scaling_factor_b=gain
             )
-        return result
+        return acc
 
-    def _get_dummy_array(self, num_frames: int) -> np.ndarray:
-        shape = (
-            (num_frames, self.num_features)
-            if self.num_channels == 1
-            else (num_frames, self.num_features, self.num_channels)
-        )
-        return np.full(shape=shape, fill_value=self.padding_value, dtype=self.dtype)
+    def _filler(self, num_frames: int) -> np.ndarray:
+        """Padding block holding the low log-energy constant."""
+        shape = [num_frames, self.num_features]
+        if self.num_channels != 1:
+            shape.append(self.num_channels)
+        return np.full(tuple(shape), self.padding_value, dtype=self.dtype)
+
+    def _snr_gain(self, feats: np.ndarray, snr: Optional[Decibels]) -> float:
+        if snr is None or self.reference_energy <= 0.0:
+            return 1.0
+        incoming_energy = self.feature_extractor.compute_energy(feats)
+        if incoming_energy <= 0.0:
+            return 1.0
+        return self.reference_energy * (10.0 ** (-snr / 10)) / incoming_energy
 
     def add_to_mix(
         self,
@@ -83,38 +89,25 @@ class FeatureMixer:
         assert offset >= 0.0, "Negative offset in mixing is not supported."
         assert self.tracks[0].ndim == feats.ndim, "Feature dimensions mismatch in mixing"
 
-        reference_feats = self.tracks[0]
-        num_frames_offset = compute_num_frames(
+        lead_frames = compute_num_frames(
             duration=offset, frame_shift=self.frame_shift, sampling_rate=sampling_rate
         )
-        current_num_frames = reference_feats.shape[0]
-        incoming_num_frames = feats.shape[0] + num_frames_offset
-        mix_num_frames = max(current_num_frames, incoming_num_frames)
+        have_frames = self.tracks[0].shape[0]
+        new_track_frames = feats.shape[0] + lead_frames
+        mix_frames = max(have_frames, new_track_frames)
 
-        feats_to_add = feats
+        # Grow every existing track to the common mix length...
+        if have_frames < mix_frames:
+            tail = self._filler(mix_frames - have_frames)
+            self.tracks = [np.vstack([t, tail]) for t in self.tracks]
+        # ...and frame the incoming features with offset/tail padding.
+        parts = []
+        if lead_frames:
+            parts.append(self._filler(lead_frames))
+        parts.append(feats)
+        if new_track_frames < mix_frames:
+            parts.append(self._filler(mix_frames - new_track_frames))
+        incoming = np.vstack(parts) if len(parts) > 1 else parts[0]
 
-        if current_num_frames < mix_num_frames:
-            for idx in range(len(self.tracks)):
-                self.tracks[idx] = np.vstack(
-                    [
-                        self.tracks[idx],
-                        self._get_dummy_array(mix_num_frames - current_num_frames),
-                    ]
-                )
-        if offset > 0:
-            feats_to_add = np.vstack(
-                [self._get_dummy_array(num_frames_offset), feats_to_add]
-            )
-        if incoming_num_frames < mix_num_frames:
-            feats_to_add = np.vstack(
-                [feats_to_add, self._get_dummy_array(mix_num_frames - incoming_num_frames)]
-            )
-
-        gain = 1.0
-        if snr is not None and self.reference_energy > 0.0:
-            added_feats_energy = self.feature_extractor.compute_energy(feats)
-            if added_feats_energy > 0.0:
-                target_energy = self.reference_energy * (10.0 ** (-snr / 10))
-                gain = target_energy / added_feats_energy
-        self.tracks.append(feats_to_add)
-        self.gains.append(gain)
+        self.tracks.append(incoming)
+        self.gains.append(self._snr_gain(feats, snr))

@@ -16,96 +16,98 @@ from lhotse_tpu.utils import Pathlike, compute_num_samples, fastcopy
 
 Manifest = TypeVar("Manifest", Recording, Features, Array, TemporalArray)
 
+_BLANK_STORAGE = dict(storage_type="shar", storage_path="", storage_key="")
+
 
 def to_shar_placeholder(manifest: Manifest, cut: Optional[Cut] = None) -> Manifest:
     """Strip storage details, leaving a placeholder to be filled at read time."""
     if isinstance(manifest, Recording):
+        span = manifest.duration if cut is None else cut.duration
         return fastcopy(
             manifest,
             # Collapse possibly-multiple sources into one 'shar' source.
             sources=[AudioSource(type="shar", channels=manifest.channel_ids, source="")],
             # Transforms were already executed when the audio was materialized.
             transforms=None,
-            duration=cut.duration if cut is not None else manifest.duration,
-            num_samples=compute_num_samples(cut.duration, manifest.sampling_rate)
-            if cut is not None
-            else manifest.num_samples,
-        )
-    elif isinstance(manifest, Array):
-        return fastcopy(manifest, storage_type="shar", storage_path="", storage_key="")
-    elif isinstance(manifest, Features):
-        return fastcopy(
-            manifest,
-            start=0,
-            duration=cut.duration if cut is not None else manifest.duration,
-            storage_type="shar",
-            storage_path="",
-            storage_key="",
-        )
-    elif isinstance(manifest, TemporalArray):
-        return fastcopy(
-            manifest,
-            start=0,
-            array=fastcopy(
-                manifest.array, storage_type="shar", storage_path="", storage_key=""
+            duration=span,
+            num_samples=(
+                manifest.num_samples
+                if cut is None
+                else compute_num_samples(span, manifest.sampling_rate)
             ),
         )
-    else:
-        raise RuntimeError(f"Unexpected manifest type: {type(manifest)}")
+    if isinstance(manifest, Features):
+        span = manifest.duration if cut is None else cut.duration
+        return fastcopy(manifest, start=0, duration=span, **_BLANK_STORAGE)
+    if isinstance(manifest, TemporalArray):
+        return fastcopy(
+            manifest, start=0, array=fastcopy(manifest.array, **_BLANK_STORAGE)
+        )
+    if isinstance(manifest, Array):
+        return fastcopy(manifest, **_BLANK_STORAGE)
+    raise RuntimeError(f"Unexpected manifest type: {type(manifest)}")
 
 
+def _unwrap_cut(fn):
+    """Route Cut arguments to the named field's manifest before filling."""
+
+    def wrapper(manifest, **kwargs):
+        if isinstance(manifest, Cut):
+            field = kwargs.get("field")
+            assert field is not None, (
+                "'field' argument must be provided when filling a Shar "
+                "placeholder in a Cut."
+            )
+            manifest = getattr(manifest, field)
+        return fn(manifest, **kwargs)
+
+    return wrapper
+
+
+def _array_memory_type(path: Path) -> str:
+    if path.suffix == ".llc":
+        return "memory_lilcom"
+    if path.suffix == ".npy":
+        return "memory_npy"
+    raise RuntimeError(f"Unknown array/tensor format: {path}")
+
+
+def _sole_source(recording: Recording) -> AudioSource:
+    assert len(recording.sources) == 1, (
+        "We expected a single (possibly multi-channel) AudioSource in Shar format."
+    )
+    return recording.sources[0]
+
+
+@_unwrap_cut
 def fill_shar_placeholder(
     manifest: Union[Cut, Recording, Features, Array, TemporalArray],
-    data: bytes,
-    tarpath: Pathlike,
+    data: bytes = None,
+    tarpath: Pathlike = None,
     field: Optional[str] = None,
 ) -> None:
     """Attach in-memory ``data`` bytes to a shar placeholder manifest."""
-    if isinstance(manifest, Cut):
-        assert field is not None, (
-            "'field' argument must be provided when filling a Shar placeholder in a Cut."
-        )
-        manifest = getattr(manifest, field)
-        fill_shar_placeholder(manifest=manifest, field=field, data=data, tarpath=tarpath)
-        return
-
     tarpath = Path(tarpath)
-
     if isinstance(manifest, Recording):
-        assert len(manifest.sources) == 1, (
-            "We expected a single (possibly multi-channel) AudioSource in Shar format."
-        )
-        manifest.sources[0].type = "memory"
-        manifest.sources[0].source = data
-
+        src = _sole_source(manifest)
+        src.type, src.source = "memory", data
     elif isinstance(manifest, (Features, Array)):
+        manifest.storage_type = _array_memory_type(tarpath)
         manifest.storage_key = data
-        if tarpath.suffix == ".llc":
-            manifest.storage_type = "memory_lilcom"
-        elif tarpath.suffix == ".npy":
-            manifest.storage_type = "memory_npy"
-        else:
-            raise RuntimeError(f"Unknown array/tensor format: {tarpath}")
-
     elif isinstance(manifest, TemporalArray):
+        manifest.array.storage_type = _array_memory_type(tarpath)
         manifest.array.storage_key = data
-        if tarpath.suffix == ".llc":
-            manifest.array.storage_type = "memory_lilcom"
-        elif tarpath.suffix == ".npy":
-            manifest.array.storage_type = "memory_npy"
-        else:
-            raise RuntimeError(f"Unknown array/tensor format: {tarpath}")
-
     else:
         raise RuntimeError(f"Unknown manifest type: {type(manifest).__name__}")
 
 
+@_unwrap_cut
 def fill_shar_placeholder_lazy(
     manifest: Union[Cut, Recording, Features, Array, TemporalArray],
     *,
-    tar_path: Pathlike,
-    offset: int,
-    end_offset: int,
+    tar_path: Pathlike = None,
+    offset: int = None,
+    end_offset: int = None,
     field: Optional[str] = None,
 ) -> None:
     """
@@ -116,38 +118,17 @@ def fill_shar_placeholder_lazy(
     """
     from lhotse_tpu.shar.lazy_pointer import encode_pointer
 
-    if isinstance(manifest, Cut):
-        assert field is not None, (
-            "'field' argument must be provided when filling a Shar placeholder in a Cut."
-        )
-        inner = getattr(manifest, field)
-        fill_shar_placeholder_lazy(
-            manifest=inner,
-            tar_path=tar_path,
-            offset=offset,
-            end_offset=end_offset,
-            field=field,
-        )
-        return
-
     pointer = encode_pointer(str(tar_path), offset, end_offset)
-
     if isinstance(manifest, Recording):
-        assert len(manifest.sources) == 1, (
-            "We expected a single (possibly multi-channel) AudioSource in Shar format."
-        )
-        manifest.sources[0].type = "shar_ptr"
-        manifest.sources[0].source = pointer
-
+        src = _sole_source(manifest)
+        src.type, src.source = "shar_ptr", pointer
     elif isinstance(manifest, (Features, Array)):
         manifest.storage_type = "shar_ptr_array"
         manifest.storage_path = str(tar_path)
         manifest.storage_key = pointer
-
     elif isinstance(manifest, TemporalArray):
         manifest.array.storage_type = "shar_ptr_array"
         manifest.array.storage_path = str(tar_path)
         manifest.array.storage_key = pointer
-
     else:
         raise RuntimeError(f"Unknown manifest type: {type(manifest).__name__}")
