@@ -23,41 +23,82 @@ from lhotse_tpu.utils import Pathlike
 
 __all__ = ["split", "combine", "subset", "filter"]
 
+_MANIFEST_ARG = click.argument(
+    "manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True)
+)
+_OUTPUT_ARG = click.argument("output_manifest", type=click.Path(allow_dash=True))
+
 
 @cli.command()
 @click.argument(
     "input_manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True)
 )
-@click.argument("output_manifest", type=click.Path(allow_dash=True))
+@_OUTPUT_ARG
 def copy(input_manifest, output_manifest):
     """
     Load INPUT_MANIFEST and store it to OUTPUT_MANIFEST — converts between
     serialization formats (JSON/JSONL/YAML, with .gz compression).
     """
-    data = load_manifest_lazy_or_eager(input_manifest)
-    data.to_file(output_manifest)
+    load_manifest_lazy_or_eager(input_manifest).to_file(output_manifest)
+
+
+def _copy_cut_features_parallel(
+    cuts: CutSet, storage_path: str, storage_type: str, max_jobs: int, output_manifest
+) -> None:
+    """Group cuts by their underlying feature file and copy file-groups in
+    parallel worker processes."""
+    from lhotse_tpu.manipulation import combine as combine_manifests
+
+    by_file = [
+        CutSet.from_cuts(group)
+        for _, group in groupby(
+            sorted(cuts, key=lambda cut: cut.features.storage_path),
+            lambda cut: cut.features.storage_path,
+        )
+    ]
+    workers = len(by_file) if max_jobs <= 0 else min(len(by_file), max_jobs)
+
+    root = Path(storage_path)
+    if root.parent.is_dir():
+        root.mkdir(exist_ok=True)
+
+    with ProcessPoolExecutor(workers) as pool:
+        jobs = [
+            pool.submit(
+                copy_feats_worker,
+                group,
+                f"{storage_path}/feats-{i}",
+                storage_type,
+                f"{storage_path}/cuts-{i}.jsonl.gz",
+            )
+            for i, group in enumerate(by_file)
+        ]
+        merged = combine_manifests(job.result() for job in as_completed(jobs))
+
+    with CutSet.open_writer(output_manifest) as writer:
+        for cut in merged:
+            writer.write(cut)
 
 
 @cli.command()
 @click.argument(
     "input_manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True)
 )
-@click.argument("output_manifest", type=click.Path(allow_dash=True))
+@_OUTPUT_ARG
 @click.argument("storage_path", type=str)
 @click.option(
     "-t",
     "--storage-type",
     type=click.Choice(available_storage_backends()),
     default=default_features_storage_backend_name(),
-    help="Storage backend for writing the copied features.",
+    help="Backend used to write the copied features.",
 )
 @click.option(
     "-j",
     "--max-jobs",
     default=-1,
     type=int,
-    help="Maximum number of parallel copying processes (default: one per "
-    "existing feature file).",
+    help="Cap on parallel copy processes (default: one per existing feature file).",
 )
 def copy_feats(
     input_manifest: Pathlike,
@@ -70,46 +111,14 @@ def copy_feats(
     Read every feature matrix from INPUT_MANIFEST (FeatureSet or CutSet),
     save them in STORAGE_PATH, and write the updated OUTPUT_MANIFEST.
     """
-    from lhotse_tpu.manipulation import combine as combine_manifests
-
     manifests = load_manifest_lazy_or_eager(input_manifest)
-
     if isinstance(manifests, FeatureSet):
-        with get_writer(storage_type)(storage_path) as w:
-            manifests = manifests.copy_feats(writer=w)
-            manifests.to_file(output_manifest)
-
+        with get_writer(storage_type)(storage_path) as writer:
+            manifests.copy_feats(writer=writer).to_file(output_manifest)
     elif isinstance(manifests, CutSet):
-        # Group cuts by their underlying feature files for parallel copy.
-        manifests = sorted(manifests, key=lambda cut: cut.features.storage_path)
-        subsets = groupby(manifests, lambda cut: cut.features.storage_path)
-        unique_storage_paths, subsets = zip(
-            *[(k, CutSet.from_cuts(grp)) for k, grp in subsets]
+        _copy_cut_features_parallel(
+            manifests, storage_path, storage_type, max_jobs, output_manifest
         )
-
-        tot_items = len(unique_storage_paths)
-        new_storage_paths = [f"{storage_path}/feats-{i}" for i in range(tot_items)]
-        partial_manifest_paths = [
-            f"{storage_path}/cuts-{i}.jsonl.gz" for i in range(tot_items)
-        ]
-
-        num_jobs = len(unique_storage_paths)
-        if max_jobs > 0:
-            num_jobs = min(num_jobs, max_jobs)
-
-        if Path(storage_path).parent.is_dir():
-            Path(storage_path).mkdir(exist_ok=True)
-
-        with ProcessPoolExecutor(num_jobs) as ex:
-            futures = []
-            for cs, nsp, pmp in zip(subsets, new_storage_paths, partial_manifest_paths):
-                futures.append(ex.submit(copy_feats_worker, cs, nsp, storage_type, pmp))
-
-            all_cuts = combine_manifests((f.result() for f in as_completed(futures)))
-
-        with CutSet.open_writer(output_manifest) as w:
-            for c in all_cuts:
-                w.write(c)
     else:
         raise ValueError(
             f"Unsupported manifest type ({type(manifests)}) at: {input_manifest}"
@@ -125,7 +134,7 @@ def copy_feats_worker(
 
 @cli.command()
 @click.argument("num_splits", type=int)
-@click.argument("manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True))
+@_MANIFEST_ARG
 @click.argument("output_dir", type=click.Path())
 @click.option(
     "-s", "--shuffle", is_flag=True, help="Optionally shuffle the sequence before splitting."
@@ -150,20 +159,22 @@ def split(
     Split MANIFEST into NUM_SPLITS equal parts saved in OUTPUT_DIR.
     For very large manifests, prefer "lhotse-tpu split-lazy".
     """
-    output_dir = Path(output_dir)
     manifest = Path(manifest)
+    out = Path(output_dir)
+    out.mkdir(parents=True, exist_ok=True)
     suffix = "".join(manifest.suffixes)
-    any_set = load_manifest_lazy_or_eager(manifest)
-    parts = any_set.split(num_splits=num_splits, shuffle=shuffle)
-    output_dir.mkdir(parents=True, exist_ok=True)
-    num_digits = len(str(num_splits))
-    for idx, part in enumerate(parts, start=start_idx):
-        idx = f"{idx}".zfill(num_digits) if pad else str(idx)
-        part.to_file((output_dir / manifest.stem).with_suffix(f".{idx}{suffix}"))
+    width = len(str(num_splits))
+
+    whole = load_manifest_lazy_or_eager(manifest)
+    for idx, part in enumerate(
+        whole.split(num_splits=num_splits, shuffle=shuffle), start=start_idx
+    ):
+        tag = str(idx).zfill(width) if pad else str(idx)
+        part.to_file((out / manifest.stem).with_suffix(f".{tag}{suffix}"))
 
 
 @cli.command()
-@click.argument("manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True))
+@_MANIFEST_ARG
 @click.argument("output_dir", type=click.Path(allow_dash=True))
 @click.argument("chunk_size", type=int)
 @click.option(
@@ -174,20 +185,28 @@ def split_lazy(manifest: Pathlike, output_dir: Pathlike, chunk_size: int, start_
     Split MANIFEST lazily into parts of CHUNK_SIZE items saved as
     "{output_dir}/{manifest.stem}.{chunk_idx}.jsonl.gz".
     """
-    output_dir = Path(output_dir)
     manifest = Path(manifest)
-    any_set = load_manifest_lazy_or_eager(manifest)
-    any_set.split_lazy(
-        output_dir=output_dir,
+    load_manifest_lazy_or_eager(manifest).split_lazy(
+        output_dir=Path(output_dir),
         chunk_size=chunk_size,
         prefix=manifest.stem,
         start_idx=start_idx,
     )
 
 
+def _parse_cut_ids(cutids: Optional[str]):
+    """--cutids accepts inline JSON or a path to a JSON file."""
+    if cutids is None:
+        return None
+    if os.path.exists(cutids):
+        with open(cutids, "rt") as f:
+            return json.load(f)
+    return json.loads(cutids)
+
+
 @cli.command()
-@click.argument("manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True))
-@click.argument("output_manifest", type=click.Path(allow_dash=True))
+@_MANIFEST_ARG
+@_OUTPUT_ARG
 @click.option("--first", type=int)
 @click.option("--last", type=int)
 @click.option(
@@ -206,47 +225,37 @@ def subset(
     cutids: Optional[str],
 ):
     """Select the FIRST or LAST items of MANIFEST into OUTPUT_MANIFEST."""
-    output_manifest = Path(output_manifest)
-    manifest = Path(manifest)
-    any_set = load_manifest_lazy_or_eager(manifest)
+    whole = load_manifest_lazy_or_eager(Path(manifest))
+    cids = _parse_cut_ids(cutids)
 
-    cids = None
-    if cutids is not None:
-        if os.path.exists(cutids):
-            with open(cutids, "rt") as r:
-                cids = json.load(r)
-        else:
-            cids = json.loads(cutids)
-
-    if isinstance(any_set, CutSet):
-        a_subset = any_set.subset(first=first, last=last, cut_ids=cids)
+    if isinstance(whole, CutSet):
+        picked = whole.subset(first=first, last=last, cut_ids=cids)
+    elif cids is not None:
+        raise ValueError(
+            f"Expected a CutSet manifest with cut_ids argument; got {type(whole)}"
+        )
     else:
-        if cutids is not None:
-            raise ValueError(
-                f"Expected a CutSet manifest with cut_ids argument; got {type(any_set)}"
-            )
-        a_subset = any_set.subset(first=first, last=last)
-
-    a_subset.to_file(output_manifest)
+        picked = whole.subset(first=first, last=last)
+    picked.to_file(Path(output_manifest))
 
 
 @cli.command()
 @click.argument(
     "manifests", nargs=-1, type=click.Path(exists=True, dir_okay=False, allow_dash=True)
 )
-@click.argument("output_manifest", type=click.Path(allow_dash=True))
+@_OUTPUT_ARG
 def combine(manifests: Pathlike, output_manifest: Pathlike):
     """Combine MANIFESTS into a single one written to OUTPUT_MANIFEST."""
     from lhotse_tpu.manipulation import combine as combine_manifests
 
-    data_set = combine_manifests(*[load_manifest_lazy_or_eager(m) for m in manifests])
-    data_set.to_file(output_manifest)
+    merged = combine_manifests(*(load_manifest_lazy_or_eager(m) for m in manifests))
+    merged.to_file(output_manifest)
 
 
 @cli.command()
 @click.argument("predicate")
-@click.argument("manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True))
-@click.argument("output_manifest", type=click.Path(allow_dash=True))
+@_MANIFEST_ARG
+@_OUTPUT_ARG
 def filter(predicate: str, manifest: Pathlike, output_manifest: Pathlike):
     """
     Filter a MANIFEST by PREDICATE into OUTPUT_MANIFEST. Works with
@@ -263,18 +272,15 @@ def filter(predicate: str, manifest: Pathlike, output_manifest: Pathlike):
 
     from lhotse_tpu.manipulation import to_manifest
 
-    data_set = load_manifest_lazy_or_eager(manifest)
-
-    predicate_pattern = re.compile(
-        r"(?P<key>\w+)(?P<op>=|==|!=|>|<|>=|<=)(?P<value>[0-9.]+)"
+    match = re.fullmatch(
+        r"(?P<key>\w+)(?P<op>==?|!=|>=?|<=?)(?P<value>[0-9.]+)", predicate
     )
-    match = predicate_pattern.match(predicate)
     if match is None:
         raise ValueError(
             "Invalid predicate! Run with --help option to learn what "
             "predicates are allowed."
         )
-
+    key, op, raw = match.group("key", "op", "value")
     compare = {
         "<": operator.lt,
         ">": operator.gt,
@@ -283,28 +289,25 @@ def filter(predicate: str, manifest: Pathlike, output_manifest: Pathlike):
         "=": isclose,
         "==": isclose,
         "!=": lambda a, b: not isclose(a, b),
-    }[match.group("op")]
-    try:
-        value = int(match.group("value"))
-    except ValueError:
-        value = float(match.group("value"))
+    }[op]
+    threshold = float(raw) if "." in raw else int(raw)
 
-    retained_items = []
-    try:
-        for item in data_set:
-            attr = getattr(item, match.group("key"))
-            if compare(attr, value):
-                retained_items.append(item)
-    except AttributeError:
-        click.echo(
-            f'Invalid predicate! Items in "{manifest}" do not have the '
-            f'attribute "{match.group("key")}"',
-            err=True,
-        )
-        exit(1)
+    kept = []
+    for item in load_manifest_lazy_or_eager(manifest):
+        try:
+            attr = getattr(item, key)
+        except AttributeError:
+            click.echo(
+                f'Invalid predicate! Items in "{manifest}" do not have the '
+                f'attribute "{key}"',
+                err=True,
+            )
+            exit(1)
+        if compare(attr, threshold):
+            kept.append(item)
 
-    filtered_data_set = to_manifest(retained_items)
-    if filtered_data_set is None:
+    survivors = to_manifest(kept)
+    if survivors is None:
         click.echo("No items satisfying the predicate.", err=True)
         exit(0)
-    filtered_data_set.to_file(output_manifest)
+    survivors.to_file(output_manifest)

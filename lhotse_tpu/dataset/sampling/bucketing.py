@@ -14,8 +14,6 @@ from functools import reduce
 from operator import add
 from typing import Any, Callable, Dict, List, Optional, Tuple, Type, Union
 
-import numpy as np
-
 from lhotse_tpu.cut import Cut, CutSet
 from lhotse_tpu.dataset.sampling.base import CutSampler, SamplingDiagnostics
 from lhotse_tpu.dataset.sampling.simple import SimpleCutSampler
@@ -46,49 +44,44 @@ class BucketingSampler(CutSampler):
     ) -> None:
         # Distributed dedup is handled by the per-bucket sub-samplers, not here.
         super().__init__(drop_last=drop_last, world_size=1, rank=0, seed=seed)
-        self.num_buckets = num_buckets
-        self.sampler_type = sampler_type
-        self.sampler_kwargs = kwargs
-        self.cut_sets = cuts
-        if any(cs.is_lazy for cs in self.cut_sets):
+        if any(cs.is_lazy for cs in cuts):
             raise ValueError(
                 "BucketingSampler does not support working with lazy CutSet. "
                 "Please use lhotse_tpu.dataset.DynamicBucketingSampler instead."
             )
-
-        self.buckets = create_buckets_equal_duration(
-            *self.cut_sets, num_buckets=num_buckets
-        )
+        self.num_buckets = num_buckets
+        self.sampler_type = sampler_type
+        self.sampler_kwargs = kwargs
+        self.cut_sets = cuts
+        self.buckets = create_buckets_equal_duration(*cuts, num_buckets=num_buckets)
         self.bucket_samplers = [
-            self.sampler_type(*bucket_cut_sets, drop_last=drop_last, **self.sampler_kwargs)
-            for bucket_cut_sets in self.buckets
+            sampler_type(*bucket, drop_last=drop_last, **kwargs)
+            for bucket in self.buckets
         ]
         self.bucket_rng = random.Random(self.seed + self.epoch)
         self.depleted = [False] * num_buckets
 
-    @property
-    def remaining_duration(self) -> Optional[float]:
-        """Sum of remaining duration over non-depleted buckets (None if lazy)."""
-        try:
-            return sum(
-                s.remaining_duration for _, s in self._nondepleted_samplers_with_idxs
-            )
-        except TypeError:
-            return None
+    def _alive(self) -> List[Tuple[int, CutSampler]]:
+        """(index, sampler) pairs of buckets that still have data."""
+        return [
+            (i, s)
+            for i, s in enumerate(self.bucket_samplers)
+            if not self.depleted[i]
+        ]
 
-    @property
-    def remaining_cuts(self) -> Optional[int]:
-        try:
-            return sum(s.remaining_cuts for _, s in self._nondepleted_samplers_with_idxs)
-        except TypeError:
+    def _sum_over_alive(self, attr: str) -> Optional[float]:
+        values = [getattr(s, attr) for _, s in self._alive()]
+        if any(v is None for v in values):
             return None
+        return sum(values)
+
+    remaining_duration = property(lambda self: self._sum_over_alive("remaining_duration"))
+    remaining_cuts = property(lambda self: self._sum_over_alive("remaining_cuts"))
 
     @property
     def num_cuts(self) -> Optional[int]:
-        try:
-            return sum(s.num_cuts for s in self.bucket_samplers)
-        except TypeError:
-            return None
+        counts = [s.num_cuts for s in self.bucket_samplers]
+        return None if any(c is None for c in counts) else sum(counts)
 
     def set_epoch(self, epoch: int) -> None:
         for s in self.bucket_samplers:
@@ -105,25 +98,22 @@ class BucketingSampler(CutSampler):
             s.allow_iter_to_reset_state()
 
     def state_dict(self) -> Dict[str, Any]:
-        state_dict = super().state_dict()
-        state_dict.update(
-            {
-                "num_buckets": self.num_buckets,
-                "depleted": deepcopy(self.depleted),
-                "bucket_samplers": [s.state_dict() for s in self.bucket_samplers],
-                "sampler_kwargs": deepcopy(self.sampler_kwargs),
-                "bucket_rng_state": self.bucket_rng.getstate(),
-            }
-        )
-        return state_dict
+        sd = super().state_dict()
+        sd["num_buckets"] = self.num_buckets
+        sd["depleted"] = list(self.depleted)
+        sd["bucket_samplers"] = [s.state_dict() for s in self.bucket_samplers]
+        sd["sampler_kwargs"] = deepcopy(self.sampler_kwargs)
+        sd["bucket_rng_state"] = self.bucket_rng.getstate()
+        return sd
 
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
-        num_buckets = state_dict.pop("num_buckets")
-        assert self.num_buckets == num_buckets, (
-            "Error in BucketingSampler.load_state_dict(): Inconsistent number "
-            f"of buckets: current sampler has {self.num_buckets}, the "
-            f"state_dict has {num_buckets}."
-        )
+        saved_buckets = state_dict.pop("num_buckets")
+        if saved_buckets != self.num_buckets:
+            raise AssertionError(
+                f"BucketingSampler checkpoint mismatch: this sampler has "
+                f"{self.num_buckets} buckets, the state_dict was saved with "
+                f"{saved_buckets}."
+            )
         self.sampler_kwargs = state_dict.pop("sampler_kwargs")
         self.depleted = state_dict.pop("depleted")
         rng_state = state_dict.pop("bucket_rng_state")
@@ -132,15 +122,15 @@ class BucketingSampler(CutSampler):
             rng_state = (rng_state[0], tuple(rng_state[1]), rng_state[2])
         self.bucket_rng.setstate(rng_state)
 
-        samplers_sd = state_dict.pop("bucket_samplers")
-        assert len(self.bucket_samplers) == len(samplers_sd), (
-            "Error in BucketingSampler.load_state_dict(): Inconsistent number "
-            f"of samplers: current sampler has {len(self.bucket_samplers)}, "
-            f"the state_dict has {len(samplers_sd)}."
-        )
-        for sampler, sampler_sd in zip(self.bucket_samplers, samplers_sd):
-            sampler.load_state_dict(sampler_sd)
-
+        per_bucket = state_dict.pop("bucket_samplers")
+        if len(per_bucket) != len(self.bucket_samplers):
+            raise AssertionError(
+                f"BucketingSampler checkpoint mismatch: this sampler has "
+                f"{len(self.bucket_samplers)} sub-samplers, the state_dict "
+                f"was saved with {len(per_bucket)}."
+            )
+        for sampler, sub_sd in zip(self.bucket_samplers, per_bucket):
+            sampler.load_state_dict(sub_sd)
         super().load_state_dict(state_dict)
 
     def __iter__(self) -> "BucketingSampler":
@@ -153,33 +143,26 @@ class BucketingSampler(CutSampler):
         self.depleted = [False] * self.num_buckets
         return self
 
-    def _select_bucket_with_idx(self) -> Tuple[int, CutSampler]:
-        if self.cut_sets[0].is_lazy:
-            return self.bucket_rng.choice(self._nondepleted_samplers_with_idxs)
-        idx_sampler_pairs = self._nondepleted_samplers_with_idxs
-        if len(idx_sampler_pairs) == 1:
-            return idx_sampler_pairs[0]
+    def _pick_bucket(self) -> Tuple[int, CutSampler]:
+        candidates = self._alive()
+        if len(candidates) == 1:
+            return candidates[0]
         # Approximate proportional sampling: draw two candidate buckets and
         # prefer the one with more data left, so buckets deplete together.
-        idx1, sampler1 = self.bucket_rng.choice(idx_sampler_pairs)
-        idx2, sampler2 = self.bucket_rng.choice(idx_sampler_pairs)
-        try:
-            prob1 = sampler1.remaining_duration / (
-                sampler1.remaining_duration + sampler2.remaining_duration
-            )
-        except ZeroDivisionError:
+        first = self.bucket_rng.choice(candidates)
+        second = self.bucket_rng.choice(candidates)
+        left = first[1].remaining_duration
+        both = left + second[1].remaining_duration
+        if both == 0:
             # Both candidates are empty but not yet marked depleted (that only
             # happens when next() raises). Just pick one.
-            return idx1, sampler1
-        if self.bucket_rng.random() > prob1:
-            return idx2, sampler2
-        else:
-            return idx1, sampler1
+            return first
+        return second if self.bucket_rng.random() > left / both else first
 
     def _next_batch(self):
         self.allow_iter_to_reset_state()
         while not self.is_depleted:
-            idx, sampler = self._select_bucket_with_idx()
+            idx, sampler = self._pick_bucket()
             try:
                 return next(sampler)
             except StopIteration:
@@ -189,14 +172,6 @@ class BucketingSampler(CutSampler):
     @property
     def is_depleted(self) -> bool:
         return all(self.depleted)
-
-    @property
-    def _nondepleted_samplers_with_idxs(self):
-        return [
-            (idx, bs)
-            for idx, (bs, depleted) in enumerate(zip(self.bucket_samplers, self.depleted))
-            if not depleted
-        ]
 
     def _log_diagnostics(self, batch: Union[CutSet, Tuple[CutSet, ...]]) -> None:
         return  # sub-samplers log their own
@@ -217,64 +192,45 @@ def create_buckets_equal_duration(
     CutSet defines the bucketing; additional CutSets (paired by cut ID)
     follow its assignment.
     """
-    first_cut_set = cuts[0].sort_by_duration(ascending=True)
-    buckets_per_cutset = [
-        _create_buckets_equal_duration_single(first_cut_set, num_buckets=num_buckets)
-    ]
-    for cut_set in cuts[1:]:
-        buckets_per_cutset.append(
-            [
-                cut_set.subset(cut_ids=bucket.ids)
-                for bucket in buckets_per_cutset[0]
-            ]
+    lead = cuts[0].sort_by_duration(ascending=True)
+    lead_buckets = _equal_duration_buckets(lead, num_buckets=num_buckets)
+    per_cutset = [lead_buckets]
+    for follower in cuts[1:]:
+        per_cutset.append(
+            [follower.subset(cut_ids=bucket.ids) for bucket in lead_buckets]
         )
-    return list(zip(*buckets_per_cutset))
+    return list(zip(*per_cutset))
 
 
-def _create_buckets_equal_duration_single(
-    cuts: CutSet, num_buckets: int
-) -> List[CutSet]:
+def _equal_duration_buckets(cuts: CutSet, num_buckets: int) -> List[CutSet]:
     """
-    Fill buckets from both ends of the duration-sorted list toward the middle,
-    so overflow near the median is split between the two central buckets
-    instead of piling up in the last one.
+    Fill buckets from both ends of the duration-sorted list toward the middle
+    (shortest cuts stream into bucket 0 upward, longest into the last bucket
+    downward), so overflow near the median splits between the two central
+    buckets instead of piling up in the last one.
     """
-    total_duration = np.sum([c.duration for c in cuts])
-    bucket_duration = total_duration / num_buckets
-    order = list(range(0, len(cuts), 2)) + list(
-        range(len(cuts) - (1 + len(cuts) % 2), 0, -2)
-    )
-    order2idx = {o_idx: i for i, o_idx in enumerate(order)}
-    durations = [c.duration for c in cuts]
+    ordered = list(cuts)  # already duration-sorted ascending
+    target = sum(c.duration for c in ordered) / num_buckets
 
-    ordered_cut_durations = sorted(zip(order, durations), key=lambda x: x[0])
-    first_bucket = 0
-    last_bucket = num_buckets - 1
-    buckets_dict = {i: 0 for i in range(num_buckets)}
-    buckets_cut_dict = {i: [] for i in range(num_buckets)}
-    middle_bucket = None
-    idx_to_bucket_id = {}
-    for i, (order_idx, duration) in enumerate(ordered_cut_durations, 1):
-        if middle_bucket is None and first_bucket == last_bucket:
-            middle_bucket = first_bucket
-
-        if i % 2:  # fill from the left (short cuts)
-            if buckets_dict[first_bucket] + duration > bucket_duration:
-                if middle_bucket is not None and first_bucket == middle_bucket:
-                    first_bucket = max(0, min(middle_bucket - 1, num_buckets - 1))
-                else:
-                    first_bucket = min(first_bucket + 1, num_buckets - 1)
-            buckets_dict[first_bucket] += duration
-            idx_to_bucket_id[order2idx[order_idx]] = first_bucket
-        else:  # fill from the right (long cuts)
-            if buckets_dict[last_bucket] + duration > bucket_duration:
-                if middle_bucket is not None and last_bucket == middle_bucket:
-                    last_bucket = max(middle_bucket + 1, 0)
-                else:
-                    last_bucket = max(last_bucket - 1, 0)
-            buckets_dict[last_bucket] += duration
-            idx_to_bucket_id[order2idx[order_idx]] = last_bucket
-
-    for cut_idx, cut in enumerate(cuts):
-        buckets_cut_dict[idx_to_bucket_id[cut_idx]].append(cut)
-    return [CutSet.from_cuts(buckets_cut_dict[i]) for i in range(num_buckets)]
+    bins: List[List[Cut]] = [[] for _ in range(num_buckets)]
+    fill = [0.0] * num_buckets
+    lo_bucket, hi_bucket = 0, num_buckets - 1
+    lo, hi = 0, len(ordered) - 1
+    from_short_end = True
+    while lo <= hi:
+        if from_short_end:
+            cut = ordered[lo]
+            lo += 1
+            if fill[lo_bucket] + cut.duration > target:
+                lo_bucket = min(lo_bucket + 1, hi_bucket)
+            bins[lo_bucket].append(cut)
+            fill[lo_bucket] += cut.duration
+        else:
+            cut = ordered[hi]
+            hi -= 1
+            if fill[hi_bucket] + cut.duration > target:
+                hi_bucket = max(hi_bucket - 1, lo_bucket)
+            bins[hi_bucket].append(cut)
+            fill[hi_bucket] += cut.duration
+        from_short_end = not from_short_end
+    return [CutSet.from_cuts(b) for b in bins]

@@ -73,43 +73,41 @@ class DynamicCutSampler(CutSampler):
         super().__init__(
             drop_last=drop_last, world_size=world_size, rank=rank, seed=seed
         )
-        if not all(cs.is_lazy for cs in cuts if isinstance(cs, CutSet)):
+        eager_inputs = [
+            cs for cs in cuts if isinstance(cs, CutSet) and not cs.is_lazy
+        ]
+        if eager_inputs:
             warnings.warn(
                 "You are using DynamicCutSampler with an eagerly read CutSet. "
                 "You won't see any memory/speed benefits with that setup. "
                 "Use e.g. 'CutSet.from_jsonl_lazy' to read the CutSet lazily."
             )
-        self.cuts = cuts
-        self.max_duration = max_duration
-        self.max_cuts = max_cuts
-        self.constraint = constraint
-        self.shuffle = shuffle
+        self.cuts, self.constraint, self.shuffle = cuts, constraint, shuffle
+        self.max_duration, self.max_cuts = max_duration, max_cuts
         self.consistent_ids = consistent_ids
         self.shuffle_buffer_size = shuffle_buffer_size
         self.quadratic_duration = quadratic_duration
         self._active_cuts = None
 
+    _CONFIG_KEYS = (
+        "max_duration",
+        "max_cuts",
+        "consistent_ids",
+        "shuffle_buffer_size",
+        "quadratic_duration",
+    )
+
     def state_dict(self) -> Dict[str, Any]:
         # Custom constraint objects are reconstructed from config, not stored;
         # the iteration state (epoch/diagnostics/source-graph) drives resume.
         sd = super().state_dict()
-        sd.update(
-            {
-                "max_duration": self.max_duration,
-                "max_cuts": self.max_cuts,
-                "consistent_ids": self.consistent_ids,
-                "shuffle_buffer_size": self.shuffle_buffer_size,
-                "quadratic_duration": self.quadratic_duration,
-            }
-        )
+        for key in self._CONFIG_KEYS:
+            sd[key] = getattr(self, key)
         return sd
 
     def load_state_dict(self, sd: Dict[str, Any]) -> None:
-        self.max_duration = sd.pop("max_duration")
-        self.max_cuts = sd.pop("max_cuts")
-        self.consistent_ids = sd.pop("consistent_ids")
-        self.shuffle_buffer_size = sd.pop("shuffle_buffer_size")
-        self.quadratic_duration = sd.pop("quadratic_duration")
+        for key in self._CONFIG_KEYS:
+            setattr(self, key, sd.pop(key))
         super().load_state_dict(sd)
         # Defer the restore work to __iter__ so the sampler stays picklable
         # for multiprocess dataloading.
@@ -124,55 +122,53 @@ class DynamicCutSampler(CutSampler):
         ).run()
 
     def _initialize_replay_iterator(self) -> None:
-        self._cuts_state = None
+        self._cuts_state, self._active_cuts = None, None
         self._just_restored_state = False
-        self._active_cuts = None
         self._initialize_epoch_iterator(rebuild_sources=True)
 
     def _replay_step(self) -> None:
         next(self)
 
+    def _wrap_shuffled(self, src, rng_seed: int):
+        """One input stream -> buffered streaming shuffle for this epoch."""
+        mixed = LazyShuffler(
+            resolve_iterator_source(src),
+            buffer_size=self.shuffle_buffer_size,
+            rng=random.Random(rng_seed),
+        )
+        return CutSet(mixed) if isinstance(src, CutSet) else mixed
+
     def _make_epoch_sources(self):
         if not self.shuffle:
             return list(self.cuts)
-
-        seed = resolve_seed(self.seed)
-        epoch_sources = []
-        for src in self.cuts:
-            shuffler = LazyShuffler(
-                resolve_iterator_source(src),
-                buffer_size=self.shuffle_buffer_size,
-                rng=random.Random(seed + self.epoch),
-            )
-            if isinstance(src, CutSet):
-                epoch_sources.append(CutSet(shuffler))
-            else:
-                epoch_sources.append(shuffler)
-        return epoch_sources
+        rng_seed = resolve_seed(self.seed) + self.epoch
+        return [self._wrap_shuffled(src, rng_seed) for src in self.cuts]
 
     def _initialize_epoch_iterator(self, *, rebuild_sources: bool) -> None:
         if rebuild_sources or self._active_cuts is None:
             self._active_cuts = self._make_epoch_sources()
-        self.cuts_iter = [iter(resolve_iterator_source(cs)) for cs in self._active_cuts]
-        self.cuts_iter = Filter(
-            iterator=zip(*self.cuts_iter),
-            predicate=lambda tpl: all(self._filter_fn(c) for c in tpl),
+        streams = tuple(
+            iter(resolve_iterator_source(cs)) for cs in self._active_cuts
+        )
+        surviving = Filter(
+            iterator=zip(*streams),
+            predicate=lambda tpl: all(map(self._filter_fn, tpl)),
             diagnostics=self.diagnostics,
         )
-        self.cuts_iter = DurationBatcher(
-            self.cuts_iter,
-            max_duration=self.max_duration,
-            max_cuts=self.max_cuts,
-            constraint=self.constraint,
-            drop_last=self.drop_last,
-            quadratic_duration=self.quadratic_duration,
-            diagnostics=self.diagnostics,
+        self.cuts_iter = iter(
+            DurationBatcher(
+                surviving,
+                max_duration=self.max_duration,
+                max_cuts=self.max_cuts,
+                constraint=self.constraint,
+                drop_last=self.drop_last,
+                quadratic_duration=self.quadratic_duration,
+                diagnostics=self.diagnostics,
+            )
         )
-        self.cuts_iter = iter(self.cuts_iter)
 
     def _capture_cuts_state(self) -> Optional[list]:
-        sources = self._active_cuts if self._active_cuts is not None else self.cuts
-        return capture_sources_state(sources)
+        return capture_sources_state(ifnone(self._active_cuts, self.cuts))
 
     def _restore_cuts_state(self, cuts_state: list) -> None:
         self._active_cuts = self._make_epoch_sources()
@@ -186,38 +182,41 @@ class DynamicCutSampler(CutSampler):
         if self._just_restored_state:
             return self
         # Re-iterating the current epoch resets its stats (otherwise restore
-        # would replay more steps than the epoch contains).
-        if getattr(self, "_skip_diagnostics_reset_once", False):
-            self._skip_diagnostics_reset_once = False
-        else:
+        # would replay more steps than the epoch contains) — unless a restore
+        # path asked to keep them for exactly one re-iteration.
+        if not getattr(self, "_skip_diagnostics_reset_once", False):
             self.diagnostics.reset_current_epoch()
+        self._skip_diagnostics_reset_once = False
         self._initialize_epoch_iterator(rebuild_sources=True)
         return self
 
     def _next_batch(self) -> Union[CutSet, Tuple[CutSet]]:
         batch = next(self.cuts_iter)
         if self.consistent_ids and isinstance(batch, tuple):
-            for cuts in zip(*batch):
-                expected_id = cuts[0].id
-                assert all(c.id == expected_id for c in cuts[1:]), (
+            for group in zip(*batch):
+                ids = {c.id for c in group}
+                assert len(ids) == 1, (
                     f"The input CutSets are not sorted by cut ID in the same way. "
                     f"We sampled the following mismatched cut IDs: "
-                    f"{', '.join(c.id for c in cuts)}. If this is expected, pass "
+                    f"{', '.join(c.id for c in group)}. If this is expected, pass "
                     f"'consistent_ids=False'."
                 )
         return batch
 
-    @property
-    def remaining_duration(self) -> Optional[float]:
-        return None
+    # Streaming samplers cannot see ahead: progress totals are unknown.
+    remaining_duration = property(lambda self: None)
+    remaining_cuts = property(lambda self: None)
+    num_cuts = property(lambda self: None)
 
-    @property
-    def remaining_cuts(self) -> Optional[int]:
-        return None
 
-    @property
-    def num_cuts(self) -> Optional[int]:
-        return None
+def _regroup(items: List[Union[Cut, Tuple[Cut]]]) -> Union[CutSet, Tuple[CutSet]]:
+    """A list of cuts (or aligned cut-tuples) -> CutSet (or tuple thereof)."""
+    head = items[0]
+    if not isinstance(head, tuple):
+        return CutSet.from_cuts(items)
+    if len(head) == 1:
+        return CutSet.from_cuts(tpl[0] for tpl in items)
+    return tuple(CutSet.from_cuts(column) for column in zip(*items))
 
 
 class DurationBatcher:
@@ -233,19 +232,19 @@ class DurationBatcher:
         quadratic_duration: Optional[Seconds] = None,
         diagnostics: Optional[SamplingDiagnostics] = None,
     ) -> None:
-        self.datapipe = datapipe
+        self.datapipe, self.drop_last = datapipe, drop_last
         self.reuse_cuts_buffer = deque()
-        self.drop_last = drop_last
         self.diagnostics = ifnone(diagnostics, SamplingDiagnostics())
         check_constraint(constraint, max_duration, max_cuts)
-        if constraint is not None:
-            self.constraint = constraint
-        else:
-            self.constraint = TimeConstraint(
+        self.constraint = (
+            constraint
+            if constraint is not None
+            else TimeConstraint(
                 max_duration=max_duration,
                 max_cuts=max_cuts,
                 quadratic_duration=quadratic_duration,
             )
+        )
 
     def __iter__(self) -> Generator[Union[CutSet, Tuple[CutSet]], None, None]:
         self.cuts_iter = iter(self.datapipe)
@@ -256,49 +255,37 @@ class DurationBatcher:
             pass
         self.cuts_iter = None
 
-    def _collect_batch(self) -> Union[CutSet, Tuple[CutSet]]:
-        def detuplify(cuts: List[Union[Cut, Tuple[Cut]]]) -> Union[CutSet, Tuple[CutSet]]:
-            if isinstance(cuts[0], tuple):
-                if len(cuts[0]) == 1:
-                    return CutSet.from_cuts(cs[0] for cs in cuts)
-                tuple_of_cut_lists = list(zip(*cuts))
-                return tuple(CutSet.from_cuts(cs) for cs in tuple_of_cut_lists)
-            return CutSet.from_cuts(cuts)
+    def _end_of_stream(self, group: list):
+        if group and (not self.drop_last or self.constraint.close_to_exceeding()):
+            return _regroup(group)
+        try:
+            self.diagnostics.discard(group)
+        except AttributeError:  # group may hold tuples
+            self.diagnostics.discard(group[0])
+        raise StopIteration()
 
+    def _collect_batch(self) -> Union[CutSet, Tuple[CutSet]]:
         self.constraint.reset()
-        cuts = []
+        group = []
         while True:
             try:
-                next_cut_or_tpl = next(self.cuts_iter)
+                item = next(self.cuts_iter)
             except StopIteration:
-                if cuts and (not self.drop_last or self.constraint.close_to_exceeding()):
-                    return detuplify(cuts)
-                else:
-                    try:
-                        self.diagnostics.discard(cuts)
-                    except AttributeError:  # cuts may hold tuples
-                        self.diagnostics.discard(cuts[0])
-                    raise StopIteration()
+                return self._end_of_stream(group)
 
-            cuts.append(next_cut_or_tpl)
-            self.constraint.add(
-                next_cut_or_tpl[0]
-                if isinstance(next_cut_or_tpl, tuple)
-                else next_cut_or_tpl
-            )
-
-            if self.constraint.close_to_exceeding():
-                if self.constraint.exceeded() and len(cuts) == 1:
-                    warnings.warn(
-                        "We have exceeded the max_duration constraint during "
-                        "sampling but have only 1 cut. This is likely because "
-                        "max_duration was set to a very low value ~10s, or "
-                        "you're using a CutSet with very long cuts (e.g. 100s "
-                        "of seconds long)."
-                    )
-                break
-
-        return detuplify(cuts)
+            group.append(item)
+            self.constraint.add(item[0] if isinstance(item, tuple) else item)
+            if not self.constraint.close_to_exceeding():
+                continue
+            if len(group) == 1 and self.constraint.exceeded():
+                warnings.warn(
+                    "We have exceeded the max_duration constraint during "
+                    "sampling but have only 1 cut. This is likely because "
+                    "max_duration was set to a very low value ~10s, or "
+                    "you're using a CutSet with very long cuts (e.g. 100s "
+                    "of seconds long)."
+                )
+            return _regroup(group)
 
 
 class Filter(Iterable):
@@ -317,16 +304,16 @@ class Filter(Iterable):
             f"Filter: 'predicate' arg must be callable (got {predicate})."
         )
 
+    def _note_discarded(self, item) -> None:
+        for c in item if isinstance(item, tuple) else (item,):
+            self.diagnostics.discard_single(c)
+
     def __iter__(self) -> Iterable:
         for item in self.iterator:
             if self.predicate(item):
                 yield item
             else:
-                if isinstance(item, tuple):
-                    for c in item:
-                        self.diagnostics.discard_single(c)
-                else:
-                    self.diagnostics.discard_single(item)
+                self._note_discarded(item)
 
 
 def check_constraint(constraint, max_duration, max_cuts) -> None:

@@ -23,9 +23,8 @@ Manifest = TypeVar("Manifest")
 def combine(*manifests: Union[Manifest, Iterable[Manifest]]) -> Manifest:
     """Combine multiple manifests of the same type into one (accepts varargs
     or a single list/tuple)."""
-    if len(manifests) == 1 and isinstance(manifests, (tuple, list)):
-        manifests = manifests[0]
-    return reduce(add, manifests)
+    parts = manifests[0] if len(manifests) == 1 else manifests
+    return reduce(add, parts)
 
 
 def split_parallelize_combine(
@@ -35,34 +34,36 @@ def split_parallelize_combine(
     Split the manifest into ``num_jobs`` pieces, apply ``fn`` to each split in
     a process pool, and combine the results.
     """
-    splits = manifest.split(num_splits=num_jobs)
-    with ProcessPoolExecutor(num_jobs) as ex:
-        futures = [ex.submit(fn, subset, *args, **kwargs) for subset in splits]
-        result = combine([f.result() for f in futures])
-    return result
+    with ProcessPoolExecutor(num_jobs) as pool:
+        pending = [
+            pool.submit(fn, piece, *args, **kwargs)
+            for piece in manifest.split(num_splits=num_jobs)
+        ]
+        return combine([job.result() for job in pending])
 
 
 def to_manifest(items: Iterable[ManifestItem]) -> Optional[Manifest]:
     """Build the right Set type from an iterable of manifest items
     (None when empty)."""
-    items = iter(items)
-    try:
-        first_item = next(items)
-    except StopIteration:
+    stream = iter(items)
+    head = next(stream, None)
+    if head is None:
         return None
-    items = chain([first_item], items)
+    stream = chain([head], stream)
 
     from lhotse_tpu.cut import Cut, CutSet
 
-    if isinstance(first_item, Recording):
-        return RecordingSet.from_recordings(items)
-    if isinstance(first_item, SupervisionSegment):
-        return SupervisionSet.from_segments(items)
-    if isinstance(first_item, Cut):
-        return CutSet.from_cuts(items)
-    if isinstance(first_item, Features):
+    builders = (
+        (Recording, RecordingSet.from_recordings),
+        (SupervisionSegment, SupervisionSet.from_segments),
+        (Cut, CutSet.from_cuts),
+    )
+    for kind, build in builders:
+        if isinstance(head, kind):
+            return build(stream)
+    if isinstance(head, Features):
         raise ValueError(
             "FeatureSet generic construction from an iterable is not possible; "
             "call FeatureSet.from_features() directly instead."
         )
-    raise ValueError(f"Unknown type of manifest item: {first_item}")
+    raise ValueError(f"Unknown type of manifest item: {head}")
