@@ -766,3 +766,79 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         if not self.has_recording:
             return self
         return fastcopy(self, recording=self.recording.with_path_prefix(path))
+
+
+# -- supervision merging (shared by MonoCut / MultiCut) ------------------------------------------
+
+
+def make_supervision_mergers(merge_policy: str, custom_merge_fn):
+    """(field-joiner, custom-field joiner) for merge_supervisions()."""
+    from functools import partial
+
+    from lhotse_tpu.utils import merge_items_with_delimiter
+
+    join = partial(
+        merge_items_with_delimiter,
+        delimiter="#",
+        return_first=(merge_policy == "keep_first"),
+    )
+    if custom_merge_fn is not None:
+        return join, custom_merge_fn
+    return join, (lambda key, values: join(map(str, values)))
+
+
+def has_overlapping_texts(sups) -> bool:
+    """Any two start-adjacent supervisions overlap while texts exist?"""
+    from lhotse_tpu.utils import overlaps
+
+    touching = any(overlaps(a, b) for a, b in zip(sups, sups[1:]))
+    return touching and any(s.text is not None for s in sups)
+
+
+def merge_segment_group(
+    sups,
+    *,
+    sampling_rate: int,
+    channel,
+    join,
+    join_custom,
+    group_end=None,
+) -> SupervisionSegment:
+    """
+    Collapse a start-sorted supervision group into one spanning segment:
+    texts joined with whitespace, other string fields via ``join``,
+    alignments concatenated, customs merged per key via ``join_custom``.
+    """
+    from functools import reduce
+    from operator import add as _add
+
+    from lhotse_tpu.utils import add_durations
+
+    begin = sups[0].start
+    finish = group_end if group_end is not None else max(s.end for s in sups)
+    custom_keys = {k for s in sups if s.custom is not None for k in s.custom}
+    ali_keys = {k for s in sups if s.alignment is not None for k in s.alignment}
+    return SupervisionSegment(
+        id=join(s.id for s in sups),
+        recording_id=sups[0].recording_id,
+        start=begin,
+        duration=add_durations(finish, -begin, sampling_rate=sampling_rate),
+        channel=channel,
+        text=" ".join(s.text for s in sups if s.text),
+        speaker=join(s.speaker for s in sups if s.speaker),
+        language=join(s.language for s in sups if s.language),
+        gender=join(s.gender for s in sups if s.gender),
+        custom={
+            k: join_custom(
+                k, (s.custom[k] for s in sups if s.custom is not None and k in s.custom)
+            )
+            for k in custom_keys
+        },
+        alignment={
+            k: reduce(
+                _add,
+                (s.alignment[k] for s in sups if s.alignment is not None and k in s.alignment),
+            )
+            for k in ali_keys
+        },
+    )

@@ -11,9 +11,7 @@ from __future__ import annotations
 import logging
 import warnings
 from dataclasses import dataclass
-from functools import partial, reduce
-from operator import add
-from typing import Any, Callable, Iterable, List, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Iterable, List, Optional, Sequence, Union
 
 import numpy as np
 
@@ -22,12 +20,9 @@ from lhotse_tpu.cut.data import DataCut
 from lhotse_tpu.features.base import Features
 from lhotse_tpu.supervision import SupervisionSegment
 from lhotse_tpu.utils import (
-    add_durations,
     fastcopy,
     hash_str_to_int,
     is_equal_or_contains,
-    merge_items_with_delimiter,
-    overlaps,
     rich_exception_info,
     uuid4,
 )
@@ -43,77 +38,70 @@ class MonoCut(DataCut):
     def num_channels(self) -> int:
         return 1
 
+    def _span(self) -> dict:
+        return dict(channels=self.channel, offset=self.start, duration=self.duration)
+
     @rich_exception_info
     def load_features(self) -> Optional[np.ndarray]:
         """Load features trimmed to this cut's [start, start+duration] span,
         forgiving off-by-one frame count mismatches."""
-        if self.has_features:
-            feats = self.features.load(start=self.start, duration=self.duration)
-            if feats.shape[0] - self.num_frames == 1:
-                feats = feats[: self.num_frames, :]
-            elif feats.shape[0] - self.num_frames == -1:
-                feats = np.concatenate((feats, feats[-1:, :]), axis=0)
-            return feats
-        return None
+        if not self.has_features:
+            return None
+        feats = self.features.load(start=self.start, duration=self.duration)
+        drift = feats.shape[0] - self.num_frames
+        if drift == 1:
+            return feats[: self.num_frames]
+        if drift == -1:
+            return np.vstack([feats, feats[-1:]])
+        return feats
 
     @rich_exception_info
     def load_audio(self) -> Optional[np.ndarray]:
         """Load this cut's audio span: shape (1, num_samples)."""
-        if self.has_recording:
-            return self.recording.load_audio(
-                channels=self.channel,
-                offset=self.start,
-                duration=self.duration,
-            )
-        return None
+        if not self.has_recording:
+            return None
+        return self.recording.load_audio(**self._span())
 
     @rich_exception_info
     def load_video(self, with_audio: bool = True):
-        if self.has_video:
-            return self.recording.load_video(
-                channels=self.channel,
-                offset=self.start,
-                duration=self.duration,
-                with_audio=with_audio,
-            )
-        return None
+        if not self.has_video:
+            return None
+        return self.recording.load_video(with_audio=with_audio, **self._span())
+
+    def _shared_span_kwargs(self) -> dict:
+        return dict(
+            recording=self.recording,
+            start=self.start,
+            duration=self.duration,
+            custom=self.custom,
+        )
 
     def with_channels(self, channels: Union[List[int], int]) -> DataCut:
         """Select channels available in the underlying Recording; returns
         MonoCut for one channel, MultiCut otherwise."""
-        channel_is_int = isinstance(channels, int)
-        assert set([channels] if channel_is_int else channels).issubset(
-            set(self.recording.channel_ids)
-        ), f"Cannot select {channels=}: not a subset of {self.recording.channel_ids=}"
-        mono = channel_is_int or len(channels) == 1
-        if mono:
-            if not channel_is_int:
-                (channels,) = channels
+        wanted = [channels] if isinstance(channels, int) else list(channels)
+        assert set(wanted).issubset(set(self.recording.channel_ids)), (
+            f"Cannot select {channels=}: not a subset of {self.recording.channel_ids=}"
+        )
+        if len(wanted) == 1:
+            (one,) = wanted
+            keep = [
+                fastcopy(s, channel=one)
+                for s in self.supervisions
+                if is_equal_or_contains(s.channel, one)
+            ]
             return MonoCut(
-                id=f"{self.id}-{channels}",
-                recording=self.recording,
-                start=self.start,
-                duration=self.duration,
-                channel=channels,
-                supervisions=[
-                    fastcopy(s, channel=channels)
-                    for s in self.supervisions
-                    if is_equal_or_contains(s.channel, channels)
-                ],
-                custom=self.custom,
+                id=f"{self.id}-{one}", channel=one, supervisions=keep,
+                **self._shared_span_kwargs(),
             )
         from lhotse_tpu.cut.multi import MultiCut
 
+        keep = [
+            s for s in self.supervisions if is_equal_or_contains(wanted, s.channel)
+        ]
         return MultiCut(
-            id=f"{self.id}-{len(channels)}chan",
-            recording=self.recording,
-            start=self.start,
-            duration=self.duration,
-            channel=channels,
-            supervisions=[
-                s for s in self.supervisions if is_equal_or_contains(channels, s.channel)
-            ],
-            custom=self.custom,
+            id=f"{self.id}-{len(wanted)}chan", channel=wanted, supervisions=keep,
+            **self._shared_span_kwargs(),
         )
 
     def reverb_rir(
@@ -142,51 +130,45 @@ class MonoCut(DataCut):
         ), "Invalid channel index in `rir_channels`."
 
         if rir_recording is None:
+            # Synthetic FRA-RIR path: derive deterministic per-cut seeds.
             rir_channels = [0]
             if room_rng_seed is None:
                 room_rng_seed = hash_str_to_int(str(uuid4()) + self.id, max_value=2**31)
             if source_rng_seed is None:
                 source_rng_seed = room_rng_seed
 
+        recording_rvb = self.recording.reverb_rir(
+            rir_recording=rir_recording,
+            normalize_output=normalize_output,
+            early_only=early_only,
+            affix_id=affix_id,
+            rir_channels=rir_channels,
+            room_rng_seed=room_rng_seed,
+            source_rng_seed=source_rng_seed,
+        )
+
         if len(rir_channels) == 1:
-            recording_rvb = self.recording.reverb_rir(
-                rir_recording=rir_recording,
-                normalize_output=normalize_output,
-                early_only=early_only,
-                affix_id=affix_id,
-                rir_channels=rir_channels,
-                room_rng_seed=room_rng_seed,
-                source_rng_seed=source_rng_seed,
-            )
-            supervisions_rvb = [s.reverb_rir(affix_id=affix_id) for s in self.supervisions]
             return fastcopy(
                 self,
                 id=f"{self.id}_rvb" if affix_id else self.id,
                 recording=recording_rvb,
-                supervisions=supervisions_rvb,
+                supervisions=[
+                    s.reverb_rir(affix_id=affix_id) for s in self.supervisions
+                ],
             )
-        else:
-            from lhotse_tpu.cut.multi import MultiCut
+        # Multi-channel RIR: the result fans out into a MultiCut.
+        from lhotse_tpu.cut.multi import MultiCut
 
-            channels = list(range(len(rir_channels)))
-            recording_rvb = self.recording.reverb_rir(
-                rir_recording=rir_recording,
-                normalize_output=normalize_output,
-                early_only=early_only,
-                affix_id=affix_id,
-                rir_channels=rir_channels,
-                room_rng_seed=room_rng_seed,
-                source_rng_seed=source_rng_seed,
-            )
-            supervisions_rvb = [
-                s.reverb_rir(affix_id=affix_id, channel=channels) for s in self.supervisions
-            ]
-            return fastcopy(
-                MultiCut.from_mono(self),
-                recording=recording_rvb,
-                supervisions=supervisions_rvb,
-                channel=channels,
-            )
+        fanout = list(range(len(rir_channels)))
+        return fastcopy(
+            MultiCut.from_mono(self),
+            recording=recording_rvb,
+            supervisions=[
+                s.reverb_rir(affix_id=affix_id, channel=fanout)
+                for s in self.supervisions
+            ],
+            channel=fanout,
+        )
 
     def merge_supervisions(
         self,
@@ -198,62 +180,30 @@ class MonoCut(DataCut):
         whitespace, other string fields joined with "#" (or first kept, per
         ``merge_policy``); alignments concatenated.
         """
-        merge_func_ = partial(
-            merge_items_with_delimiter,
-            delimiter="#",
-            return_first=(merge_policy == "keep_first"),
+        from lhotse_tpu.cut.data import (
+            has_overlapping_texts,
+            make_supervision_mergers,
+            merge_segment_group,
         )
-        if custom_merge_fn is not None:
-            merge_custom = custom_merge_fn
-        else:
-            merge_custom = lambda k, vs: merge_func_(map(str, vs))
 
         sups = sorted(self.supervisions, key=lambda s: s.start)
         if len(sups) <= 1:
             return self
-
-        mstart = sups[0].start
-        mend = sups[-1].end
-        mduration = add_durations(mend, -mstart, sampling_rate=self.sampling_rate)
-
-        custom_keys = set(k for s in sups if s.custom is not None for k in s.custom.keys())
-        alignment_keys = set(
-            k for s in sups if s.alignment is not None for k in s.alignment.keys()
-        )
-
-        if any(overlaps(s1, s2) for s1, s2 in zip(sups, sups[1:])) and any(
-            s.text is not None for s in sups
-        ):
+        if has_overlapping_texts(sups):
             warnings.warn(
                 "You are merging overlapping supervisions with text transcripts; "
                 f"the result may be unusable for ASR training (cut id: {self.id})."
             )
-
-        msup = SupervisionSegment(
-            id=merge_func_(s.id for s in sups),
-            recording_id=sups[0].recording_id,
-            start=mstart,
-            duration=mduration,
+        join, join_custom = make_supervision_mergers(merge_policy, custom_merge_fn)
+        merged = merge_segment_group(
+            sups,
+            sampling_rate=self.sampling_rate,
             channel=sups[0].channel,
-            text=" ".join(s.text for s in sups if s.text),
-            speaker=merge_func_(s.speaker for s in sups if s.speaker),
-            language=merge_func_(s.language for s in sups if s.language),
-            gender=merge_func_(s.gender for s in sups if s.gender),
-            custom={
-                k: merge_custom(
-                    k, (s.custom[k] for s in sups if s.custom is not None and k in s.custom)
-                )
-                for k in custom_keys
-            },
-            alignment={
-                k: reduce(
-                    add,
-                    (s.alignment[k] for s in sups if s.alignment is not None and k in s.alignment),
-                )
-                for k in alignment_keys
-            },
+            join=join,
+            join_custom=join_custom,
+            group_end=sups[-1].end,
         )
-        return fastcopy(self, supervisions=[msup])
+        return fastcopy(self, supervisions=[merged])
 
     @staticmethod
     def from_dict(data: dict) -> "MonoCut":

@@ -11,9 +11,7 @@ from __future__ import annotations
 import logging
 import warnings
 from dataclasses import dataclass, field
-from functools import partial, reduce
 from itertools import groupby
-from operator import add
 from typing import Any, Callable, Iterable, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -23,12 +21,10 @@ from lhotse_tpu.cut.data import DataCut
 from lhotse_tpu.features.base import Features
 from lhotse_tpu.supervision import SupervisionSegment
 from lhotse_tpu.utils import (
-    add_durations,
     fastcopy,
     hash_str_to_int,
+    ifnone,
     is_equal_or_contains,
-    merge_items_with_delimiter,
-    overlaps,
     rich_exception_info,
     to_list,
     uuid4,
@@ -50,46 +46,42 @@ class MultiCut(DataCut):
     def num_channels(self) -> int:
         return len(to_list(self.channel))
 
+    def _span(self, channel=None) -> dict:
+        picked = self.channel if channel is None else channel
+        return dict(channels=picked, offset=self.start, duration=self.duration)
+
     @rich_exception_info
     def load_features(self, channel: Optional[Union[int, List[int]]] = None) -> Optional[np.ndarray]:
         """Load features for this cut's span (optionally a channel subset),
         forgiving off-by-one frame mismatches."""
-        if self.has_features:
-            feats = self.features.load(
-                start=self.start,
-                duration=self.duration,
-                channel_id=self.channel if channel is None else channel,
-            )
-            if feats.shape[0] - self.num_frames == 1:
-                feats = feats[: self.num_frames, ...]
-            elif feats.shape[0] - self.num_frames == -1:
-                feats = np.concatenate((feats, feats[-1:, ...]), axis=0)
-            return feats
-        return None
+        if not self.has_features:
+            return None
+        feats = self.features.load(
+            start=self.start,
+            duration=self.duration,
+            channel_id=self.channel if channel is None else channel,
+        )
+        drift = feats.shape[0] - self.num_frames
+        if drift == 1:
+            return feats[: self.num_frames]
+        if drift == -1:
+            return np.concatenate((feats, feats[-1:]), axis=0)
+        return feats
 
     @rich_exception_info
     def load_audio(self, channel: Optional[Union[int, List[int]]] = None) -> Optional[np.ndarray]:
         """Load audio: shape (C, N)."""
-        if self.has_recording:
-            return self.recording.load_audio(
-                channels=self.channel if channel is None else channel,
-                offset=self.start,
-                duration=self.duration,
-            )
-        return None
+        if not self.has_recording:
+            return None
+        return self.recording.load_audio(**self._span(channel))
 
     @rich_exception_info
     def load_video(
         self, channel: Optional[Union[int, List[int]]] = None, with_audio: bool = True
     ):
-        if self.has_video:
-            return self.recording.load_video(
-                channels=self.channel if channel is None else channel,
-                offset=self.start,
-                duration=self.duration,
-                with_audio=with_audio,
-            )
-        return None
+        if not self.has_video:
+            return None
+        return self.recording.load_video(with_audio=with_audio, **self._span(channel))
 
     def reverb_rir(
         self,
@@ -115,29 +107,26 @@ class MultiCut(DataCut):
                 "Reverberation simulation for multi-channel recordings is not "
                 "supported; provide an impulse response."
             )
+            # Synthetic FRA-RIR path: deterministic per-cut seeds.
             if room_rng_seed is None:
                 room_rng_seed = hash_str_to_int(str(uuid4()) + self.id, max_value=2**31)
-            if source_rng_seed is None:
-                source_rng_seed = room_rng_seed
+            source_rng_seed = ifnone(source_rng_seed, room_rng_seed)
         else:
-            assert all(
-                c < rir_recording.num_channels for c in rir_channels
-            ), "Invalid channel index in `rir_channels`."
-        recording_rvb = self.recording.reverb_rir(
-            rir_recording=rir_recording,
-            normalize_output=normalize_output,
-            early_only=early_only,
-            affix_id=affix_id,
-            rir_channels=rir_channels,
-            room_rng_seed=room_rng_seed,
-            source_rng_seed=source_rng_seed,
-        )
-        supervisions_rvb = [s.reverb_rir(affix_id=affix_id) for s in self.supervisions]
+            bad = [c for c in rir_channels if c >= rir_recording.num_channels]
+            assert not bad, "Invalid channel index in `rir_channels`."
         return fastcopy(
             self,
             id=f"{self.id}_rvb" if affix_id else self.id,
-            recording=recording_rvb,
-            supervisions=supervisions_rvb,
+            recording=self.recording.reverb_rir(
+                rir_recording=rir_recording,
+                normalize_output=normalize_output,
+                early_only=early_only,
+                affix_id=affix_id,
+                rir_channels=rir_channels,
+                room_rng_seed=room_rng_seed,
+                source_rng_seed=source_rng_seed,
+            ),
+            supervisions=[s.reverb_rir(affix_id=affix_id) for s in self.supervisions],
         )
 
     def merge_supervisions(
@@ -150,16 +139,13 @@ class MultiCut(DataCut):
         Merge supervisions into one segment (channel = union of channels), or
         one per channel group when ``merge_channels=False``.
         """
-        merge_func_ = partial(
-            merge_items_with_delimiter,
-            delimiter="#",
-            return_first=(merge_policy == "keep_first"),
+        from lhotse_tpu.cut.data import (
+            has_overlapping_texts,
+            make_supervision_mergers,
+            merge_segment_group,
         )
-        if custom_merge_fn is not None:
-            merge_custom = custom_merge_fn
-        else:
-            merge_custom = lambda k, vs: merge_func_(map(str, vs))
 
+        join, join_custom = make_supervision_mergers(merge_policy, custom_merge_fn)
         sups = sorted(self.supervisions, key=lambda s: s.start)
         if len(sups) <= 1:
             return self
@@ -179,84 +165,52 @@ class MultiCut(DataCut):
             }
 
         msups = []
-        text_overlap_warning = False
+        warned_already = False
         for channel, csups in sups_by_channel.items():
-            mstart = csups[0].start
-            mend = max(s.end for s in csups)
-            mduration = add_durations(mend, -mstart, sampling_rate=self.sampling_rate)
-            custom_keys = set(k for s in csups if s.custom is not None for k in s.custom.keys())
-            alignment_keys = set(
-                k for s in csups if s.alignment is not None for k in s.alignment.keys()
-            )
-            if (
-                any(overlaps(s1, s2) for s1, s2 in zip(csups, csups[1:]))
-                and any(s.text is not None for s in csups)
-                and not text_overlap_warning
-            ):
+            if not warned_already and has_overlapping_texts(csups):
                 warnings.warn(
                     "You are merging overlapping supervisions with text transcripts; "
                     f"the result may be unusable for ASR training (cut id: {self.id})."
                 )
-                text_overlap_warning = True
+                warned_already = True
             msups.append(
-                SupervisionSegment(
-                    id=merge_func_(s.id for s in csups),
-                    recording_id=csups[0].recording_id,
-                    start=mstart,
-                    duration=mduration,
+                merge_segment_group(
+                    csups,
+                    sampling_rate=self.sampling_rate,
                     channel=list(channel),
-                    text=" ".join(s.text for s in csups if s.text),
-                    speaker=merge_func_(s.speaker for s in csups if s.speaker),
-                    language=merge_func_(s.language for s in csups if s.language),
-                    gender=merge_func_(s.gender for s in csups if s.gender),
-                    custom={
-                        k: merge_custom(
-                            k,
-                            (s.custom[k] for s in csups if s.custom is not None and k in s.custom),
-                        )
-                        for k in custom_keys
-                    },
-                    alignment={
-                        k: reduce(
-                            add,
-                            (
-                                s.alignment[k]
-                                for s in csups
-                                if s.alignment is not None and k in s.alignment
-                            ),
-                        )
-                        for k in alignment_keys
-                    },
+                    join=join,
+                    join_custom=join_custom,
                 )
             )
         return fastcopy(self, supervisions=msups)
 
     def with_channels(self, channels: Union[List[int], int]) -> DataCut:
         """Select a subset of channels: MonoCut for one, MultiCut otherwise."""
-        channel_is_int = isinstance(channels, int)
-        assert set([channels] if channel_is_int else channels).issubset(
-            set(self.recording.channel_ids)
-        ), f"Cannot select {channels=}: not a subset of {self.recording.channel_ids=}"
-        mono = channel_is_int or len(channels) == 1
-        if mono:
-            from lhotse_tpu.cut.mono import MonoCut
+        wanted = [channels] if isinstance(channels, int) else list(channels)
+        assert set(wanted).issubset(set(self.recording.channel_ids)), (
+            f"Cannot select {channels=}: not a subset of {self.recording.channel_ids=}"
+        )
+        if len(wanted) == 1:
+            return self._extract_channel(wanted[0])
+        return fastcopy(self, channel=wanted)
 
-            if not channel_is_int:
-                (channels,) = channels
-            return MonoCut(
-                id=f"{self.id}-{channels}",
-                recording=self.recording,
-                start=self.start,
-                duration=self.duration,
-                channel=channels,
-                supervisions=[
-                    fastcopy(s, channel=channels)
-                    for s in self.supervisions
-                    if is_equal_or_contains(s.channel, channels)
-                ],
-                custom=self.custom,
-            )
-        return fastcopy(self, channel=channels)
+    def _extract_channel(self, channel: int):
+        """A MonoCut view of one channel, keeping only its supervisions."""
+        from lhotse_tpu.cut.mono import MonoCut
+
+        return MonoCut(
+            id=f"{self.id}-{channel}",
+            recording=self.recording,
+            start=self.start,
+            duration=self.duration,
+            channel=channel,
+            supervisions=[
+                fastcopy(s, channel=channel)
+                for s in self.supervisions
+                if is_equal_or_contains(s.channel, channel)
+            ],
+            custom=self.custom,
+        )
 
     @staticmethod
     def from_mono(*cuts: DataCut) -> "MultiCut":
@@ -289,29 +243,14 @@ class MultiCut(DataCut):
         """One MonoCut per channel, or a single downmixed cut when
         ``mono_downmix=True``."""
         from lhotse_tpu.cut.mixed import MixedCut, MixTrack
-        from lhotse_tpu.cut.mono import MonoCut
 
-        mono_cuts = [
-            MonoCut(
-                id=f"{self.id}-{channel}",
-                recording=self.recording,
-                start=self.start,
-                duration=self.duration,
-                channel=channel,
-                supervisions=[
-                    fastcopy(s, channel=channel)
-                    for s in self.supervisions
-                    if is_equal_or_contains(s.channel, channel)
-                ],
-                custom=self.custom,
-            )
-            for channel in to_list(self.channel)
-        ]
+        mono_cuts = [self._extract_channel(ch) for ch in to_list(self.channel)]
         if not mono_downmix:
             return mono_cuts
+        # Downmix: overlay every channel at offset 0 without level changes.
         mixed_cut = MixedCut(
             id=self.id,
-            tracks=[MixTrack(cut=mono_cut, offset=0.0, snr=None) for mono_cut in mono_cuts],
+            tracks=[MixTrack(cut=mc, offset=0.0, snr=None) for mc in mono_cuts],
         )
         return mixed_cut.to_mono()
 

@@ -20,21 +20,33 @@ from lhotse_tpu.custom import CustomFieldMixin
 from lhotse_tpu.lazy import AlgorithmMixin
 from lhotse_tpu.serialization import Serializable
 from lhotse_tpu.utils import (
-    Pathlike,
-    Seconds,
-    TimeSpan,
-    add_durations,
-    asdict_nonull,
-    compute_num_samples,
-    exactly_one_not_null,
-    fastcopy,
-    ifnone,
-    is_equal_or_contains,
-    overspans,
-    perturb_num_samples,
-    split_manifest_lazy,
-    split_sequence,
+    Pathlike, Seconds, TimeSpan, add_durations, asdict_nonull, compute_num_samples, exactly_one_not_null,
+    fastcopy, ifnone, is_equal_or_contains, overspans, perturb_num_samples, split_manifest_lazy, split_sequence,
 )
+
+
+# Alignment times are quantized against a 48 kHz grid: fine enough for any
+# supported audio rate while keeping add_durations() exact.
+_TIME_GRID_SR = 48000
+
+
+def _rescaled_span(start: Seconds, duration: Seconds, factor: float, sampling_rate: int):
+    """(start, duration) after speed/tempo scaling by ``factor`` (exact
+    sample-count arithmetic, like the audio itself)."""
+    begin = perturb_num_samples(compute_num_samples(start, sampling_rate), factor)
+    span = perturb_num_samples(compute_num_samples(duration, sampling_rate), factor)
+    return begin / sampling_rate, span / sampling_rate
+
+
+def _clamped_span(item, lo: Seconds, hi: Seconds):
+    """(start, duration) of ``item`` clamped into the [lo, hi] window."""
+    assert lo >= 0
+    head_loss = abs(min(0, item.start - lo))
+    tail_loss = max(0, item.end - hi)
+    clamped = add_durations(
+        item.duration, -tail_loss, -head_loss, sampling_rate=_TIME_GRID_SR
+    )
+    return max(lo, item.start), clamped
 
 
 class AlignmentItem(NamedTuple):
@@ -44,9 +56,13 @@ class AlignmentItem(NamedTuple):
     """
 
     symbol: str
+    """The aligned token (word/phone/...)."""
     start: Seconds
+    """Start time relative to the recording start."""
     duration: Seconds
+    """Token duration in seconds."""
     score: Optional[float] = None
+    """Optional aligner confidence."""
 
     @staticmethod
     def deserialize(data: Union[List, Dict]) -> "AlignmentItem":
@@ -63,41 +79,19 @@ class AlignmentItem(NamedTuple):
         return round(self.start + self.duration, ndigits=8)
 
     def with_offset(self, offset: Seconds) -> "AlignmentItem":
-        return AlignmentItem(
-            start=add_durations(self.start, offset, sampling_rate=48000),
-            duration=self.duration,
-            symbol=self.symbol,
-            score=self.score,
-        )
+        moved = add_durations(self.start, offset, sampling_rate=_TIME_GRID_SR)
+        return self._replace(start=moved)
 
     def perturb_speed(self, factor: float, sampling_rate: int) -> "AlignmentItem":
-        start_sample = compute_num_samples(self.start, sampling_rate)
-        num_samples = compute_num_samples(self.duration, sampling_rate)
-        new_start = perturb_num_samples(start_sample, factor) / sampling_rate
-        new_duration = perturb_num_samples(num_samples, factor) / sampling_rate
-        return AlignmentItem(
-            symbol=self.symbol, start=new_start, duration=new_duration, score=self.score
-        )
+        begin, span = _rescaled_span(self.start, self.duration, factor, sampling_rate)
+        return self._replace(start=begin, duration=span)
 
     def trim(self, end: Seconds, start: Seconds = 0) -> "AlignmentItem":
-        assert start >= 0
-        start_exceeds_by = abs(min(0, self.start - start))
-        end_exceeds_by = max(0, self.end - end)
-        return AlignmentItem(
-            symbol=self.symbol,
-            start=max(start, self.start),
-            duration=add_durations(
-                self.duration, -end_exceeds_by, -start_exceeds_by, sampling_rate=48000
-            ),
-        )
+        begin, span = _clamped_span(self, start, end)
+        return AlignmentItem(symbol=self.symbol, start=begin, duration=span)
 
     def transform(self, transform_fn: Callable[[str], str]) -> "AlignmentItem":
-        return AlignmentItem(
-            symbol=transform_fn(self.symbol),
-            start=self.start,
-            duration=self.duration,
-            score=self.score,
-        )
+        return self._replace(symbol=transform_fn(self.symbol))
 
 
 @dataclass
@@ -134,29 +128,31 @@ class SupervisionSegment(CustomFieldMixin):
         """Return an identical segment with ``offset`` added to ``start``."""
         return fastcopy(self, start=round(self.start + offset, ndigits=8))
 
+    def _affixed(self, suffix: str, affix_id: bool, **extra) -> "SupervisionSegment":
+        """Copy with '_<suffix>' appended to both ids (when affix_id)."""
+        if affix_id:
+            extra["id"] = f"{self.id}_{suffix}"
+            extra["recording_id"] = f"{self.recording_id}_{suffix}"
+        return fastcopy(self, **extra)
+
+    def _map_alignment(self, fn) -> Optional[Dict[str, List[AlignmentItem]]]:
+        if not self.alignment:
+            return None
+        return {kind: [fn(item) for item in ali] for kind, ali in self.alignment.items()}
+
     def perturb_speed(
         self, factor: float, sampling_rate: int, affix_id: bool = True
     ) -> "SupervisionSegment":
         """Match the time boundaries of a speed-perturbed recording/cut."""
-        start_sample = compute_num_samples(self.start, sampling_rate)
-        num_samples = compute_num_samples(self.duration, sampling_rate)
-        new_start = perturb_num_samples(start_sample, factor) / sampling_rate
-        new_duration = perturb_num_samples(num_samples, factor) / sampling_rate
-        return fastcopy(
-            self,
-            id=f"{self.id}_sp{factor}" if affix_id else self.id,
-            recording_id=f"{self.recording_id}_sp{factor}" if affix_id else self.recording_id,
-            start=new_start,
-            duration=new_duration,
-            alignment={
-                kind: [
-                    item.perturb_speed(factor=factor, sampling_rate=sampling_rate)
-                    for item in ali
-                ]
-                for kind, ali in self.alignment.items()
-            }
-            if self.alignment
-            else None,
+        begin, span = _rescaled_span(self.start, self.duration, factor, sampling_rate)
+        return self._affixed(
+            f"sp{factor}",
+            affix_id,
+            start=begin,
+            duration=span,
+            alignment=self._map_alignment(
+                lambda item: item.perturb_speed(factor=factor, sampling_rate=sampling_rate)
+            ),
         )
 
     def perturb_tempo(
@@ -164,34 +160,19 @@ class SupervisionSegment(CustomFieldMixin):
     ) -> "SupervisionSegment":
         # Speed and tempo perturbation have identical effect on supervisions.
         perturbed = self.perturb_speed(factor, sampling_rate, affix_id=False)
-        return fastcopy(
-            perturbed,
-            id=f"{self.id}_tp{factor}" if affix_id else self.id,
-            recording_id=f"{self.recording_id}_tp{factor}" if affix_id else self.recording_id,
-        )
+        return perturbed._affixed(f"tp{factor}", affix_id)
 
     def perturb_volume(self, factor: float, affix_id: bool = True) -> "SupervisionSegment":
-        return fastcopy(
-            self,
-            id=f"{self.id}_vp{factor}" if affix_id else self.id,
-            recording_id=f"{self.recording_id}_vp{factor}" if affix_id else self.recording_id,
-        )
+        return self._affixed(f"vp{factor}", affix_id)
 
     def narrowband(self, codec: str, affix_id: bool = True) -> "SupervisionSegment":
-        return fastcopy(
-            self,
-            id=f"{self.id}_nb_{codec}" if affix_id else self.id,
-            recording_id=f"{self.recording_id}_nb_{codec}" if affix_id else self.recording_id,
-        )
+        return self._affixed(f"nb_{codec}", affix_id)
 
     def reverb_rir(
         self, affix_id: bool = True, channel: Optional[Union[int, List[int]]] = None
     ) -> "SupervisionSegment":
-        return fastcopy(
-            self,
-            id=f"{self.id}_rvb" if affix_id else self.id,
-            recording_id=f"{self.recording_id}_rvb" if affix_id else self.recording_id,
-            channel=channel if channel is not None else self.channel,
+        return self._affixed(
+            "rvb", affix_id, channel=ifnone(channel, self.channel)
         )
 
     def trim(self, end: Seconds, start: Seconds = 0) -> "SupervisionSegment":
@@ -199,21 +180,12 @@ class SupervisionSegment(CustomFieldMixin):
         Clamp the segment to [start, end] (both relative to the same reference
         as ``self.start``); useful to keep supervisions within a cut's bounds.
         """
-        assert start >= 0
-        start_exceeds_by = abs(min(0, self.start - start))
-        end_exceeds_by = max(0, self.end - end)
+        begin, span = _clamped_span(self, start, end)
         return fastcopy(
             self,
-            start=max(start, self.start),
-            duration=add_durations(
-                self.duration, -end_exceeds_by, -start_exceeds_by, sampling_rate=48000
-            ),
-            alignment={
-                kind: [item.trim(end=end, start=start) for item in ali]
-                for kind, ali in self.alignment.items()
-            }
-            if self.alignment
-            else None,
+            start=begin,
+            duration=span,
+            alignment=self._map_alignment(lambda item: item.trim(end=end, start=start)),
         )
 
     def map(self, transform_fn: Callable[["SupervisionSegment"], "SupervisionSegment"]):
@@ -301,27 +273,28 @@ class SupervisionSet(Serializable, AlgorithmMixin):
     @staticmethod
     def from_rttm(path: Union[Pathlike, Iterable[Pathlike]]) -> "SupervisionSet":
         """Read RTTM file(s) — one SPEAKER turn per line — into supervisions."""
-        path = [path] if isinstance(path, (Path, str)) else path
-        segments = []
-        for file in path:
-            with open(file, "r") as f:
-                for idx, line in enumerate(f):
-                    parts = line.strip().split()
-                    assert len(parts) == 10, f"Invalid RTTM line in file {file}: {line}"
-                    recording_id = parts[1]
-                    if float(parts[4]) == 0:
-                        continue
-                    segments.append(
-                        SupervisionSegment(
-                            id=f"{recording_id}-{idx:06d}",
-                            recording_id=recording_id,
-                            channel=int(parts[2]),
-                            start=float(parts[3]),
-                            duration=float(parts[4]),
-                            speaker=parts[7],
-                        )
+        files = [path] if isinstance(path, (Path, str)) else path
+
+        def turns():
+            for file in files:
+                for idx, line in enumerate(Path(file).read_text().splitlines()):
+                    fields = line.split()
+                    assert len(fields) == 10, (
+                        f"Invalid RTTM line in file {file}: {line}\n"
                     )
-        return SupervisionSet.from_segments(segments)
+                    _, reco, ch, begin, span, _, _, spk, _, _ = fields
+                    if float(span) == 0:
+                        continue  # zero-length turns carry no information
+                    yield SupervisionSegment(
+                        id=f"{reco}-{idx:06d}",
+                        recording_id=reco,
+                        channel=int(ch),
+                        start=float(begin),
+                        duration=float(span),
+                        speaker=spk,
+                    )
+
+        return SupervisionSet.from_segments(turns())
 
     def with_alignment_from_ctm(
         self,
@@ -331,55 +304,46 @@ class SupervisionSet(Serializable, AlgorithmMixin):
         verbose: bool = False,
     ) -> "SupervisionSet":
         """Attach alignments read from a CTM file to matching segments."""
-        ctm_words = []
-        with open(ctm_file) as f:
-            if verbose:
-                from tqdm.auto import tqdm
-
-                f = tqdm(f, desc="Reading words from CTM file")
-            for line in f:
-                reco_id, channel, start, duration, symbol, *score = line.strip().split()
-                ctm_words.append(
-                    (
-                        reco_id,
-                        int(channel),
-                        float(start),
-                        float(duration),
-                        symbol,
-                        float(score[0]) if score else None,
-                    )
-                )
-        ctm_words = sorted(ctm_words, key=lambda x: (x[0], x[2]))
-        reco_to_ctm = defaultdict(
-            list, {k: list(v) for k, v in groupby(ctm_words, key=lambda x: x[0])}
-        )
-        segments = []
-        num_total = len(ctm_words)
-        num_overspanned = 0
-        recordings = set(s.recording_id for s in self)
-        if verbose:
+        def maybe_progress(iterable, desc):
+            if not verbose:
+                return iterable
             from tqdm.auto import tqdm
 
-            recordings = tqdm(recordings, desc="Adding alignments")
-        for reco_id in recordings:
-            if reco_id in reco_to_ctm:
-                for seg in self.find(recording_id=reco_id):
-                    alignment = [
-                        AlignmentItem(
-                            symbol=word[4], start=word[2], duration=word[3], score=word[5]
-                        )
-                        for word in reco_to_ctm[reco_id]
-                        if overspans(seg, TimeSpan(word[2], word[2] + word[3]))
-                        and (seg.channel == word[1] or not match_channel)
-                    ]
-                    num_overspanned += len(alignment)
-                    segments.append(fastcopy(seg, alignment={type: alignment}))
-            else:
-                segments.extend(
-                    fastcopy(s, alignment={type: []}) for s in self.find(recording_id=reco_id)
+            return tqdm(iterable, desc=desc)
+
+        # reco_id -> [(channel, AlignmentItem)], time-sorted.
+        per_reco: Dict[str, list] = defaultdict(list)
+        num_total = 0
+        with open(ctm_file) as f:
+            for line in maybe_progress(f, "Reading words from CTM file"):
+                reco_id, ch, begin, span, symbol, *score = line.strip().split()
+                item = AlignmentItem(
+                    symbol=symbol,
+                    start=float(begin),
+                    duration=float(span),
+                    score=float(score[0]) if score else None,
                 )
+                per_reco[reco_id].append((int(ch), item))
+                num_total += 1
+        for rows in per_reco.values():
+            rows.sort(key=lambda pair: pair[1].start)
+
+        segments = []
+        num_attached = 0
+        reco_ids = set(s.recording_id for s in self)
+        for reco_id in maybe_progress(reco_ids, "Adding alignments"):
+            words = per_reco.get(reco_id, [])
+            for seg in self.find(recording_id=reco_id):
+                alignment = [
+                    item
+                    for ch, item in words
+                    if overspans(seg, TimeSpan(item.start, item.start + item.duration))
+                    and (not match_channel or seg.channel == ch)
+                ]
+                num_attached += len(alignment)
+                segments.append(fastcopy(seg, alignment={type: alignment}))
         logging.info(
-            f"{num_overspanned} alignments added out of {num_total} total. "
+            f"{num_attached} alignments added out of {num_total} total. "
             "If many are missing, there may be a mismatch problem."
         )
         return SupervisionSet.from_segments(segments)
@@ -388,18 +352,17 @@ class SupervisionSet(Serializable, AlgorithmMixin):
         """Write alignments of the given type to a CTM file."""
         with open(ctm_file, "w") as f:
             for s in self:
-                if type in s.alignment:
-                    for ali in s.alignment[type]:
-                        c = s.channel[0] if isinstance(s.channel, list) else s.channel
-                        if ali.score is None:
-                            f.write(
-                                f"{s.recording_id} {c} {ali.start:.02f} {ali.duration:.02f} {ali.symbol}\n"
-                            )
-                        else:
-                            f.write(
-                                f"{s.recording_id} {c} {ali.start:.02f} {ali.duration:.02f} "
-                                f"{ali.symbol} {ali.score:.02f}\n"
-                            )
+                if type not in s.alignment:
+                    continue
+                ch = s.channel[0] if isinstance(s.channel, list) else s.channel
+                for ali in s.alignment[type]:
+                    fields = [
+                        s.recording_id, str(ch),
+                        f"{ali.start:.02f}", f"{ali.duration:.02f}", ali.symbol,
+                    ]
+                    if ali.score is not None:
+                        fields.append(f"{ali.score:.02f}")
+                    print(" ".join(fields), file=f)
 
     def to_dicts(self) -> Iterable[dict]:
         return (s.to_dict() for s in self)
