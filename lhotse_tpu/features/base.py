@@ -93,28 +93,17 @@ class FeatureExtractor(metaclass=ABCMeta):
     ) -> np.ndarray:
         """Feature-domain mix of two signals; the mixed-in signal's energy is
         scaled by ``energy_scaling_factor_b`` to reach a target SNR."""
-        raise ValueError(
-            'The feature extractor\'s "mix" operation is undefined. '
-            "It does not support feature-domain mix; compute the features "
-            "after, rather than before, mixing the cuts."
-        )
+        _undefined_op("mix", "feature-domain mix")
 
     @staticmethod
     def compute_energy(features: np.ndarray) -> float:
         """Total energy of a feature matrix (never zero when implemented)."""
-        raise ValueError(
-            'The feature extractor\'s "compute_energy" operation is undefined. '
-            "It does not support feature-domain mix; compute the features "
-            "after, rather than before, mixing the cuts."
-        )
+        _undefined_op("compute_energy", "feature-domain mix")
 
     @staticmethod
     def scale(features: np.ndarray, energy_scaling_factor: float) -> np.ndarray:
         """Scale a feature matrix by the provided energy factor."""
-        raise ValueError(
-            'The feature extractor\'s "scale" operation is undefined. '
-            "It does not support feature-domain scaling."
-        )
+        _undefined_op("scale", "feature-domain scaling")
 
     def extract_batch(
         self,
@@ -129,31 +118,28 @@ class FeatureExtractor(metaclass=ABCMeta):
         given, the input is assumed to be one padded 2-D batch and per-item
         feature lengths are sliced out afterwards.
         """
-        input_is_list = False
+        input_is_list = isinstance(samples, list)
         if lengths is not None:
-            feat_lens = [
-                compute_num_frames_from_samples(l, self.frame_shift, sampling_rate)
-                for l in lengths
+            assert getattr(samples, "ndim", 0) == 2, (
+                "If `lengths` is provided, `samples` must be a batched, "
+                "padded 2-D array."
+            )
+            # Padded rows produce garbage frames past each item's true length.
+            keep = [
+                compute_num_frames_from_samples(n, self.frame_shift, sampling_rate)
+                for n in lengths
             ]
-            assert (
-                getattr(samples, "ndim", 0) == 2
-            ), "If `lengths` is provided, `samples` must be a batched, padded 2-D array."
+            result = [
+                self.extract(row, sampling_rate=sampling_rate)[:t]
+                for row, t in zip(np.asarray(samples), keep)
+            ]
         else:
-            if isinstance(samples, list):
-                input_is_list = True
-            elif samples.ndim > 1:
-                samples = list(samples)
-            else:
-                samples = [samples.reshape(1, -1)]
-
-        result = []
-        if lengths is not None:
-            for i, item in enumerate(np.asarray(samples)):
-                res = self.extract(item, sampling_rate=sampling_rate)
-                result.append(res[: feat_lens[i]])
-        else:
-            for item in samples:
-                result.append(self.extract(np.asarray(item), sampling_rate=sampling_rate))
+            if not input_is_list:
+                samples = list(samples) if samples.ndim > 1 else [samples.reshape(1, -1)]
+            result = [
+                self.extract(np.asarray(item), sampling_rate=sampling_rate)
+                for item in samples
+            ]
 
         if len(result) == 1:
             return result if input_is_list else result[0]
@@ -174,28 +160,17 @@ class FeatureExtractor(metaclass=ABCMeta):
         Full pipeline over raw samples: optional augmentation → extract →
         store → return a ``Features`` manifest (without recording reference).
         """
-        from lhotse_tpu.qa import validate_features
-
         if augment_fn is not None:
             samples = augment_fn(samples, sampling_rate)
-        duration = round(samples.shape[1] / sampling_rate, ndigits=8)
         feats = self.extract(samples=samples, sampling_rate=sampling_rate)
-        storage_key = store_feature_array(feats, storage=storage)
-        manifest = Features(
-            start=offset,
-            duration=duration,
-            type=self.name,
-            num_frames=feats.shape[0],
-            num_features=feats.shape[1],
-            frame_shift=self.frame_shift,
+        return self._store_and_describe(
+            feats,
+            storage,
             sampling_rate=sampling_rate,
+            start=offset,
+            duration=round(samples.shape[1] / sampling_rate, ndigits=8),
             channels=channel,
-            storage_type=storage.name,
-            storage_path=str(storage.storage_path),
-            storage_key=storage_key,
         )
-        validate_features(manifest, feats_data=feats)
-        return manifest
 
     def extract_from_recording_and_store(
         self,
@@ -210,26 +185,36 @@ class FeatureExtractor(metaclass=ABCMeta):
         Full pipeline over a Recording: load audio → optional augmentation →
         extract → store → return a ``Features`` manifest.
         """
-        from lhotse_tpu.qa import validate_features
-
         samples = recording.load_audio(offset=offset, duration=duration, channels=channels)
         if augment_fn is not None:
             samples = augment_fn(samples, recording.sampling_rate)
         feats = self.extract(samples=samples, sampling_rate=recording.sampling_rate)
-        storage_key = store_feature_array(feats, storage=storage)
-        manifest = Features(
-            recording_id=recording.id,
-            channels=channels if channels is not None else recording.channel_ids,
+        return self._store_and_describe(
+            feats,
+            storage,
+            sampling_rate=recording.sampling_rate,
             start=offset,
             duration=recording.duration,
+            channels=channels if channels is not None else recording.channel_ids,
+            recording_id=recording.id,
+        )
+
+    def _store_and_describe(
+        self, feats: np.ndarray, storage: FeaturesWriter, **manifest_fields
+    ) -> "Features":
+        """Persist a feature matrix and build + validate its manifest."""
+        from lhotse_tpu.qa import validate_features
+
+        key = store_feature_array(feats, storage=storage)
+        manifest = Features(
             type=self.name,
             num_frames=feats.shape[0],
             num_features=feats.shape[1],
             frame_shift=self.frame_shift,
-            sampling_rate=recording.sampling_rate,
             storage_type=storage.name,
             storage_path=str(storage.storage_path),
-            storage_key=storage_key,
+            storage_key=key,
+            **manifest_fields,
         )
         validate_features(manifest, feats_data=feats)
         return manifest
@@ -254,6 +239,18 @@ class FeatureExtractor(metaclass=ABCMeta):
     def to_yaml(self, path: Pathlike):
         data = self.to_dict()
         save_to_yaml(data, path=path)
+
+
+def _undefined_op(name: str, capability: str):
+    hint = (
+        "compute the features after, rather than before, mixing the cuts."
+        if "mix" in capability
+        else "scaling is only available for extractors that define it."
+    )
+    raise ValueError(
+        f'The feature extractor\'s "{name}" operation is undefined. '
+        f"It does not support {capability}; {hint}"
+    )
 
 
 FEATURE_EXTRACTORS = {}
@@ -292,17 +289,25 @@ class Features:
     recording_id: Optional[str] = None
     channels: Optional[Union[int, List[int]]] = None
 
-    @property
-    def end(self) -> Seconds:
-        return self.start + self.duration
+    end = property(lambda self: self.start + self.duration)
+    is_in_memory = property(lambda self: is_in_memory(self.storage_type))
+    is_placeholder = property(lambda self: self.storage_type == "shar")
 
-    @property
-    def is_in_memory(self) -> bool:
-        return is_in_memory(self.storage_type)
-
-    @property
-    def is_placeholder(self) -> bool:
-        return self.storage_type == "shar"
+    def _frame_window(self, start: Optional[Seconds], duration: Optional[Seconds]):
+        """(left, right) frame offsets for a partial read."""
+        if start is None:
+            start = self.start
+        if start < self.start - 1e-3:
+            raise ValueError(
+                f"Cannot load features for recording {self.recording_id} starting from "
+                f"{start}s. The available range is ({self.start}, {self.end}) seconds."
+            )
+        to_frames = lambda secs: compute_num_frames(
+            secs, frame_shift=self.frame_shift, sampling_rate=self.sampling_rate
+        )
+        left = 0 if isclose(start, self.start) else to_frames(start - self.start)
+        right = None if duration is None else left + to_frames(duration)
+        return left, right
 
     def load(
         self,
@@ -312,29 +317,10 @@ class Features:
     ) -> np.ndarray:
         """Load the matrix, translating second offsets to frame offsets for a
         partial read (reference: features/base.py:488)."""
+        left, right = self._frame_window(start, duration)
         storage = get_reader(self.storage_type)(self.storage_path)
-        left_offset_frames, right_offset_frames = 0, None
-        if start is None:
-            start = self.start
-        if start < self.start - 1e-3:
-            raise ValueError(
-                f"Cannot load features for recording {self.recording_id} starting from "
-                f"{start}s. The available range is ({self.start}, {self.end}) seconds."
-            )
-        if not isclose(start, self.start):
-            left_offset_frames = compute_num_frames(
-                start - self.start,
-                frame_shift=self.frame_shift,
-                sampling_rate=self.sampling_rate,
-            )
-        if duration is not None:
-            right_offset_frames = left_offset_frames + compute_num_frames(
-                duration, frame_shift=self.frame_shift, sampling_rate=self.sampling_rate
-            )
         return storage.read(
-            self.storage_key,
-            left_offset_frames=left_offset_frames,
-            right_offset_frames=right_offset_frames,
+            self.storage_key, left_offset_frames=left, right_offset_frames=right
         )
 
     def move_to_memory(
@@ -348,18 +334,15 @@ class Features:
         if self.storage_type in ("memory_lilcom", "memory_writer"):
             return self
         arr = self.load(start=start, duration=duration)
-        if issubclass(arr.dtype.type, np.floating) and lilcom:
-            writer = get_memory_writer("memory_lilcom")()
-        else:
-            writer = get_memory_writer("memory_raw")()
-        data = writer.write("", arr)
+        compress = lilcom and issubclass(arr.dtype.type, np.floating)
+        writer = get_memory_writer("memory_lilcom" if compress else "memory_raw")()
         return fastcopy(
             self,
             start=0.0,
             duration=ifnone(duration, self.duration),
             num_frames=arr.shape[0],
             storage_type=writer.name,
-            storage_key=data,
+            storage_key=writer.write("", arr),
             storage_path="",
         )
 
@@ -391,8 +374,9 @@ class Features:
                 'The "frame_shift" field was not found in a feature manifest; '
                 "inferring it from duration/num_frames."
             )
-            data["frame_shift"] = round(data["duration"] / data["num_frames"], ndigits=3)
-        if "storage_key" in data and "storage_type" in data and "storage_path" not in data:
+            inferred = data["duration"] / data["num_frames"]
+            data["frame_shift"] = round(inferred, ndigits=3)
+        if "storage_path" not in data and {"storage_key", "storage_type"} <= set(data):
             data["storage_path"] = None
         return Features(**data)
 
@@ -564,8 +548,7 @@ class FeatureSetBuilder:
         storage: FeaturesWriter,
         augment_fn: Optional[AugmentFn] = None,
     ):
-        self.feature_extractor = feature_extractor
-        self.storage = storage
+        self.feature_extractor, self.storage = feature_extractor, storage
         self.augment_fn = augment_fn
 
     def process_and_store_recordings(
@@ -576,25 +559,23 @@ class FeatureSetBuilder:
     ) -> FeatureSet:
         from tqdm.auto import tqdm
 
+        job = self._process_and_store_recording
         if num_jobs == 1:
+            per_recording = map(job, recordings)
+            label = "Extracting and storing features"
             feature_set = FeatureSet.from_features(
-                tqdm(
-                    chain.from_iterable(map(self._process_and_store_recording, recordings)),
-                    total=len(recordings),
-                    desc="Extracting and storing features",
-                )
+                tqdm(chain.from_iterable(per_recording), total=len(recordings), desc=label)
             )
         else:
-            with ProcessPoolExecutor(
-                num_jobs, mp_context=multiprocessing.get_context("spawn")
-            ) as ex:
+            spawn = multiprocessing.get_context("spawn")
+            label = "Extracting and storing features in parallel"
+            with ProcessPoolExecutor(num_jobs, mp_context=spawn) as pool:
+                per_recording = pool.map(job, recordings)
                 feature_set = FeatureSet.from_features(
                     tqdm(
-                        chain.from_iterable(
-                            ex.map(self._process_and_store_recording, recordings)
-                        ),
+                        chain.from_iterable(per_recording),
                         total=len(recordings),
-                        desc="Extracting and storing features in parallel",
+                        desc=label,
                     )
                 )
         if output_manifest is not None:
@@ -602,17 +583,15 @@ class FeatureSetBuilder:
         return feature_set
 
     def _process_and_store_recording(self, recording: Recording) -> List[Features]:
-        results = []
-        for channel in recording.channel_ids:
-            results.append(
-                self.feature_extractor.extract_from_recording_and_store(
-                    recording=recording,
-                    storage=self.storage,
-                    channels=channel,
-                    augment_fn=self.augment_fn,
-                )
+        return [
+            self.feature_extractor.extract_from_recording_and_store(
+                recording=recording,
+                storage=self.storage,
+                channels=channel,
+                augment_fn=self.augment_fn,
             )
-        return results
+            for channel in recording.channel_ids
+        ]
 
 
 def store_feature_array(feats: np.ndarray, storage: FeaturesWriter) -> str:
@@ -629,53 +608,40 @@ def compute_global_stats(
     streaming variance update (reference: features/base.py:957).
     """
     feature_manifests = iter(feature_manifests)
-    first = next(feature_manifests)
-    stats = StatsAccumulator(feature_dim=first.num_features)
-    for features in chain([first], feature_manifests):
-        arr = features.load().astype(np.float64)
-        stats.update(arr)
+    head = next(feature_manifests)
+    stats = StatsAccumulator(feature_dim=head.num_features)
+    for features in chain([head], feature_manifests):
+        stats.update(features.load().astype(np.float64))
     mvn = stats.get()
     if storage_path is not None:
-        with open(storage_path, "wb") as f:
-            pickle.dump(mvn, f)
+        Path(storage_path).write_bytes(pickle.dumps(mvn))
     return mvn
 
 
 class StatsAccumulator:
+    """Streaming per-dimension mean/std over feature matrices, merged with
+    Chan's parallel-variance formula (numerically stable for long corpora)."""
+
     def __init__(self, feature_dim: int):
-        self.total_sum = np.zeros((feature_dim,), dtype=np.float64)
-        self.total_unnorm_var = np.zeros((feature_dim,), dtype=np.float64)
-        self.total_frames = 0
+        self.count = 0
+        self.mean = np.zeros((feature_dim,), dtype=np.float64)
+        self.m2 = np.zeros((feature_dim,), dtype=np.float64)
 
     def update(self, arr: np.ndarray) -> None:
-        with np.errstate(divide="ignore", invalid="ignore"):
-            arr = arr.astype(np.float64)
-            curr_sum = arr.sum(axis=0)
-            updated_total_sum = self.total_sum + curr_sum
-            curr_frames = arr.shape[0]
-            updated_total_frames = self.total_frames + curr_frames
-            total_over_curr_frames = self.total_frames / curr_frames
-            curr_unnorm_var = np.var(arr, axis=0) * curr_frames
-            if self.total_frames > 0:
-                self.total_unnorm_var = (
-                    self.total_unnorm_var
-                    + curr_unnorm_var
-                    + total_over_curr_frames
-                    / updated_total_frames
-                    * (self.total_sum / total_over_curr_frames - curr_sum) ** 2
-                )
-            else:
-                self.total_unnorm_var = curr_unnorm_var
-            self.total_sum = updated_total_sum
-            self.total_frames = updated_total_frames
+        arr = arr.astype(np.float64)
+        n = arr.shape[0]
+        if n == 0:
+            return
+        batch_mean = arr.mean(axis=0)
+        batch_m2 = arr.var(axis=0) * n
+        total = self.count + n
+        delta = batch_mean - self.mean
+        self.m2 = self.m2 + batch_m2 + delta**2 * (self.count * n / total)
+        self.mean = self.mean + delta * (n / total)
+        self.count = total
 
-    @property
-    def norm_means(self) -> np.ndarray:
-        return self.total_sum / self.total_frames
-
-    @property
-    def norm_stds(self) -> np.ndarray:
-        return np.sqrt(self.total_unnorm_var / self.total_frames)
+    norm_means = property(lambda self: self.mean.copy())
+    norm_stds = property(lambda self: np.sqrt(self.m2 / self.count))
 
     def get(self) -> Dict[str, np.ndarray]:
         return {"norm_means": self.norm_means, "norm_stds": self.norm_stds}

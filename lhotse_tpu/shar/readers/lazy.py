@@ -46,20 +46,18 @@ def _discover_fields(in_dir: Path) -> Tuple[set, dict]:
     *streams* maps each field (plus "cuts") to a sorted shard-path list.
     ``.idx`` sidecars are excluded.
     """
-    all_paths = [p for p in in_dir.glob("*") if p.suffix != ".idx"]
-    fields = set(p.stem.split(".")[0] for p in all_paths)
-    assert "cuts" in fields, f"No cuts JSONL shards found in {in_dir}"
-    fields.remove("cuts")
-
-    streams: Dict[str, list] = {
-        "cuts": sorted(
-            p
-            for p in all_paths
-            if p.name.split(".")[0] == "cuts" and extension_contains(".jsonl", p)
-        )
-    }
-    for field in fields:
-        streams[field] = sorted(p for p in all_paths if p.name.split(".")[0] == field)
+    streams: Dict[str, list] = {}
+    for p in in_dir.glob("*"):
+        if p.suffix == ".idx":
+            continue
+        field = p.name.split(".")[0]
+        if field == "cuts" and not extension_contains(".jsonl", p):
+            continue
+        streams.setdefault(field, []).append(p)
+    assert "cuts" in streams, f"No cuts JSONL shards found in {in_dir}"
+    for shard_list in streams.values():
+        shard_list.sort()
+    fields = set(streams) - {"cuts"}
     return fields, streams
 
 
@@ -118,13 +116,10 @@ class LazySharIterator(IteratorNode):
             )
 
         self.split_for_dataloading = split_for_dataloading
-        self.shuffle_shards = shuffle_shards
-        self.stateful_shuffle = stateful_shuffle
-        self.seed = seed
-        self.slice_length = slice_length
-        self.epoch = 0
+        self.shuffle_shards, self.stateful_shuffle = shuffle_shards, stateful_shuffle
+        self.seed, self.slice_length = seed, slice_length
+        self.epoch, self._len = 0, None
 
-        self._len = None
         if in_dir is not None:
             self.in_dir = Path(in_dir)
             self.fields, self.streams = _discover_fields(self.in_dir)
@@ -133,10 +128,10 @@ class LazySharIterator(IteratorNode):
 
         self.num_shards = len(self.streams["cuts"])
         for field in self.fields:
-            assert len(self.streams[field]) == self.num_shards, (
+            found = len(self.streams[field])
+            assert found == self.num_shards, (
                 f"Expected {self.num_shards} shards available for field "
-                f"'{field}' but found {len(self.streams[field])}: "
-                f"{self.streams[field]}"
+                f"'{field}' but found {found}: {self.streams[field]}"
             )
 
         self.shards = [
@@ -185,102 +180,101 @@ class LazySharIterator(IteratorNode):
         self.epoch = epoch
 
     def __iter__(self):
-        restored = self._restored
-        self._restored = False
-
-        shards = self.shards
-        map_fns = self.cut_map_fns
         rng = self._get_rng()
-
-        if restored:
+        if self._restored:
             # Resume: saved shard order and positions.
-            shard_order = self._shard_order
-            start_shard = self._current_shard_idx
-            skip_in_shard = self._position_in_shard
+            self._restored = False
+            start_shard, skip_in_shard = self._current_shard_idx, self._position_in_shard
         else:
-            indices = list(range(len(shards)))
-            indices = self._maybe_shuffle_shards(indices)
-            indices = self._maybe_split_for_dataloading(indices)
-            shard_order = indices
-            start_shard = 0
-            skip_in_shard = 0
-
-        self._shard_order = shard_order
-
-        for i in range(start_shard, len(shard_order)):
-            orig_idx = shard_order[i]
-            shard = shards[orig_idx]
-            cut_map_fn = map_fns[orig_idx] if map_fns is not None else None
-
-            self._current_shard_idx = i
-            self._position_in_shard = 0
-
-            cuts = LazyManifestIterator(shard["cuts"])
-            if self.slice_length is not None:
-                # Sampling a slice offset requires knowing the length.
-                cuts = list(cuts)
-
-            field_paths = {field: path for field, path in shard.items() if field != "cuts"}
-
-            field_iters = {
-                field: TarIterator(path)
-                if extension_contains(".tar", path)
-                else _jsonl_tar_adaptor(LazyJsonlIterator(path), field=field)
-                for field, path in field_paths.items()
-            }
-
-            yielded_cntr = 0
-            slice_offset = (
-                rng.randint(0, len(cuts) - self.slice_length)
-                if self.slice_length is not None and self.slice_length < len(cuts)
-                else -1
+            fresh = self._maybe_split_for_dataloading(
+                self._maybe_shuffle_shards(list(range(len(self.shards))))
             )
-            for idx, (cut, *field_data) in enumerate(zip(cuts, *field_iters.values())):
-                if idx < slice_offset:
-                    continue
-                elif yielded_cntr == self.slice_length:
-                    break
+            self._shard_order, start_shard, skip_in_shard = fresh, 0, 0
 
-                # Skip items consumed before the checkpoint.
-                if i == start_shard and yielded_cntr < skip_in_shard:
-                    yielded_cntr += 1
-                    self._position_in_shard = yielded_cntr
-                    continue
-
-                for field, (maybe_manifest, data_path) in zip(
-                    field_iters.keys(), field_data
-                ):
-                    if maybe_manifest is None:
-                        continue  # field absent for this cut
-                    assert str(data_path.parent / data_path.stem) == cut.id, (
-                        f"Mismatched IDs: cut ID is '{cut.id}' but found data "
-                        f"with name '{data_path}' for field {field}"
-                    )
-                    setattr(cut, field, maybe_manifest)
-
-                cut.shard_origin = shard["cuts"]
-                cut.shar_epoch = self.epoch
-                if cut_map_fn is not None:
-                    cut = cut_map_fn(cut)
-                yielded_cntr += 1
-                self._position_in_shard = yielded_cntr
-                yield cut
+        map_fns = self.cut_map_fns
+        for i in range(start_shard, len(self._shard_order)):
+            orig_idx = self._shard_order[i]
+            self._current_shard_idx, self._position_in_shard = i, 0
+            yield from self._iter_shard(
+                self.shards[orig_idx],
+                cut_map_fn=map_fns[orig_idx] if map_fns is not None else None,
+                rng=rng,
+                skip=skip_in_shard if i == start_shard else 0,
+            )
 
         self.epoch += 1
 
+    def _open_field_streams(self, shard: dict) -> dict:
+        """field -> iterator of (manifest-or-None, member path) pairs."""
+        return {
+            field: (
+                TarIterator(path)
+                if extension_contains(".tar", path)
+                else _jsonl_tar_adaptor(LazyJsonlIterator(path), field=field)
+            )
+            for field, path in shard.items()
+            if field != "cuts"
+        }
+
+    def _attach(self, cut, field_streams, field_data) -> None:
+        for field, (manifest, member_path) in zip(field_streams, field_data):
+            if manifest is None:
+                continue  # field absent for this cut
+            member_id = str(member_path.parent / member_path.stem)
+            assert member_id == cut.id, (
+                f"Mismatched IDs: cut ID is '{cut.id}' but found data "
+                f"with name '{member_path}' for field {field}"
+            )
+            setattr(cut, field, manifest)
+
+    def _iter_shard(self, shard: dict, *, cut_map_fn, rng, skip: int):
+        cuts = LazyManifestIterator(shard["cuts"])
+        take = self.slice_length
+        first = -1
+        if take is not None:
+            # Sampling a slice offset requires knowing the length.
+            cuts = list(cuts)
+            if take < len(cuts):
+                first = rng.randint(0, len(cuts) - take)
+
+        field_streams = self._open_field_streams(shard)
+        emitted = 0
+        for idx, (cut, *field_data) in enumerate(zip(cuts, *field_streams.values())):
+            if idx < first:
+                continue
+            if emitted == take:
+                break
+            if emitted < skip:
+                # Items consumed before the checkpoint.
+                emitted += 1
+                self._position_in_shard = emitted
+                continue
+            self._attach(cut, field_streams, field_data)
+            cut.shard_origin = shard["cuts"]
+            cut.shar_epoch = self.epoch
+            if cut_map_fn is not None:
+                cut = cut_map_fn(cut)
+            emitted += 1
+            self._position_in_shard = emitted
+            yield cut
+
+    # (state_dict key, attribute, default) for checkpointing.
+    _STATE_FIELDS = (
+        ("epoch", "epoch", 0),
+        ("current_shard_idx", "_current_shard_idx", 0),
+        ("position_in_shard", "_position_in_shard", 0),
+        ("shard_order", "_shard_order", None),
+    )
+
     def state_dict(self) -> dict:
         return {
-            "epoch": self.epoch,
-            "current_shard_idx": getattr(self, "_current_shard_idx", 0),
-            "position_in_shard": getattr(self, "_position_in_shard", 0),
-            "shard_order": getattr(self, "_shard_order", None),
+            key: getattr(self, attr, default)
+            for key, attr, default in self._STATE_FIELDS
         }
 
     def load_state_dict(self, sd: dict) -> None:
-        self.epoch = sd["epoch"]
-        self._current_shard_idx = sd["current_shard_idx"]
-        self._position_in_shard = sd["position_in_shard"]
-        self._shard_order = sd["shard_order"]
+        for key, attr, _ in self._STATE_FIELDS:
+            setattr(self, attr, sd[key])
         self._restored = True
 
     def __len__(self) -> int:

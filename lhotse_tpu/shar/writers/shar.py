@@ -91,36 +91,35 @@ class SharWriter:
             self.shard_suffix = ifnone(shard_suffix, "")
         self.initial_shard_offset = shard_offset
 
-        callback = self._index_shard if self.create_index else None
+        self.writers = self._build_writers(include_cuts)
 
-        self.writers = {}
+    def _build_writers(self, include_cuts: bool) -> dict:
+        callback = self._index_shard if self.create_index else None
+        common = dict(
+            shard_size=self.shard_size,
+            shard_offset=self.initial_shard_offset,
+            on_shard_complete=callback,
+        )
+        writers = {}
         if include_cuts:
-            self.writers["cuts"] = JsonlShardWriter(
-                pattern=_create_cuts_output_url(
-                    self.output_dir, self.shard_suffix, compress=self.compress_jsonl
-                ),
-                shard_size=self.shard_size,
-                shard_offset=self.initial_shard_offset,
-                on_shard_complete=callback,
+            cuts_url = _create_cuts_output_url(
+                self.output_dir, self.shard_suffix, compress=self.compress_jsonl
             )
+            writers["cuts"] = JsonlShardWriter(pattern=cuts_url, **common)
         for field, writer_type in self.fields.items():
             make_writer_fn, ext = resolve_writer(
                 writer_type, compress_jsonl=self.compress_jsonl
             )
-            self.writers[field] = make_writer_fn(
-                pattern=f"{self.output_dir}/{field}{self.shard_suffix}{ext}",
-                shard_size=self.shard_size,
-                shard_offset=self.initial_shard_offset,
-                on_shard_complete=callback,
-            )
+            pattern = f"{self.output_dir}/{field}{self.shard_suffix}{ext}"
+            writers[field] = make_writer_fn(pattern=pattern, **common)
+        return writers
 
-    @property
-    def sharding_enabled(self) -> bool:
-        return self.shard_size is not None and self.shard_size > 0
-
-    @property
-    def output_paths(self) -> Dict[str, List[str]]:
-        return {k: w.output_paths for k, w in self.writers.items()}
+    sharding_enabled = property(
+        lambda self: self.shard_size is not None and self.shard_size > 0
+    )
+    output_paths = property(
+        lambda self: {field: w.output_paths for field, w in self.writers.items()}
+    )
 
     def __enter__(self):
         for w in self.writers.values():
@@ -147,125 +146,119 @@ class SharWriter:
                 f"Got remote shard path '{path_str}'. "
                 "Set create_index=False for pipe/URL/cloud outputs."
             )
+        indexer = None
         if path_str.endswith(".jsonl"):
-            try:
-                create_jsonl_index(path_str)
-            except (RuntimeError, OSError):
-                pass
+            indexer = create_jsonl_index
         elif path_str.endswith(".tar"):
+            indexer = create_tar_index
+        if indexer is not None:
             try:
-                create_tar_index(path_str)
+                indexer(path_str)
             except (RuntimeError, OSError):
-                pass
+                pass  # indexing is best-effort; readers fall back gracefully
+
+    def _warn_unused(self, key: str) -> None:
+        if self.warn_unused_fields:
+            warnings.warn(
+                f"Found cut with '{key}' field that is not specified for Shar writing."
+            )
+
+    def _store_recording(self, cut: Cut) -> Cut:
+        if not cut.has_recording:
+            self.writers["recording"].write_placeholder(cut.id)
+            return cut
+        data = cut.load_audio()
+        placeholder = to_shar_placeholder(cut.recording, cut)
+        span_channels = _aslist(cut.channel)
+        if placeholder.channel_ids != span_channels:
+            # The cut may reference a channel subset of the recording.
+            placeholder.sources[0].channels = span_channels
+            placeholder.channel_ids = span_channels
+        self.writers["recording"].write(
+            cut.id,
+            data,
+            cut.sampling_rate,
+            manifest=placeholder,
+            original_format=cut.recording.source_format,
+        )
+        return fastcopy(cut, recording=placeholder)
+
+    def _store_features(self, cut: Cut) -> Cut:
+        if not cut.has_features:
+            self.writers["features"].write_placeholder(cut.id)
+            return cut
+        placeholder = to_shar_placeholder(cut.features, cut)
+        self.writers["features"].write(cut.id, cut.load_features(), manifest=placeholder)
+        return fastcopy(cut, features=placeholder)
+
+    def _store_custom(self, cut: Cut, key: str) -> Cut:
+        if not cut.has_custom(key):
+            self.writers[key].write_placeholder(cut.id)
+            return cut
+        val = getattr(cut, key)
+        if not isinstance(val, (Array, TemporalArray, Recording)):
+            assert isinstance(self.writers[key], JsonlShardWriter), (
+                f"Expected writer type 'jsonl' (got '{self.fields[key]}') "
+                f"for non-data field '{key}'."
+            )
+            self.writers[key].write({"cut_id": cut.id, key: val})
+            return cut
+        data = cut.load_custom(key)
+        placeholder = to_shar_placeholder(val, cut)
+        selector_key = f"{key}_channel_selector"
+        kwargs = {}
+        if isinstance(val, Recording):
+            kwargs["sampling_rate"] = val.sampling_rate
+            if cut.has_custom(selector_key):
+                # The audio was loaded through the cut's channel selector —
+                # reflect that in the stored manifest.
+                placeholder.sources[0].channels = cut.custom[selector_key]
+                placeholder.channel_ids = cut.custom[selector_key]
+        self.writers[key].write(cut.id, data, manifest=placeholder, **kwargs)
+        cut = fastcopy(cut, custom=dict(cut.custom))
+        cut.custom.pop(selector_key, None)
+        setattr(cut, key, placeholder)
+        return cut
 
     def write(self, cut: Cut) -> None:
-        # Audio.
         if "recording" in self.fields:
-            if cut.has_recording:
-                data = cut.load_audio()
-                recording = to_shar_placeholder(cut.recording, cut)
-                cut_channels = _aslist(cut.channel)
-                if recording.channel_ids != cut_channels:
-                    # The cut may reference a channel subset of the recording.
-                    recording.sources[0].channels = cut_channels
-                    recording.channel_ids = cut_channels
-                self.writers["recording"].write(
-                    cut.id,
-                    data,
-                    cut.sampling_rate,
-                    manifest=recording,
-                    original_format=cut.recording.source_format,
-                )
-                cut = fastcopy(cut, recording=recording)
-            else:
-                self.writers["recording"].write_placeholder(cut.id)
-        elif cut.has_recording and self.warn_unused_fields:
-            warnings.warn(
-                "Found cut with 'recording' field that is not specified for Shar writing."
-            )
+            cut = self._store_recording(cut)
+        elif cut.has_recording:
+            self._warn_unused("recording")
 
-        # Features.
         if "features" in self.fields:
-            if cut.has_features:
-                data = cut.load_features()
-                features = to_shar_placeholder(cut.features, cut)
-                self.writers["features"].write(cut.id, data, manifest=features)
-                cut = fastcopy(cut, features=features)
-            else:
-                self.writers["features"].write_placeholder(cut.id)
-        elif cut.has_features and self.warn_unused_fields:
-            warnings.warn(
-                "Found cut with 'features' field that is not specified for Shar writing."
-            )
+            cut = self._store_features(cut)
+        elif cut.has_features:
+            self._warn_unused("features")
 
-        # Custom fields.
         for key in self.fields:
-            if key in ("recording", "features"):
-                continue
-
-            if cut.has_custom(key):
-                val = getattr(cut, key)
-                if not isinstance(val, (Array, TemporalArray, Recording)):
-                    assert isinstance(self.writers[key], JsonlShardWriter), (
-                        f"Expected writer type 'jsonl' (got '{self.fields[key]}') "
-                        f"for non-data field '{key}'."
-                    )
-                    self.writers[key].write({"cut_id": cut.id, key: val})
-                else:
-                    data = cut.load_custom(key)
-                    placeholder_obj = to_shar_placeholder(val, cut)
-                    channel_selector_key = f"{key}_channel_selector"
-                    kwargs = {}
-                    if isinstance(val, Recording):
-                        kwargs["sampling_rate"] = val.sampling_rate
-                        if cut.has_custom(channel_selector_key):
-                            # The audio was loaded through the cut's channel
-                            # selector — reflect that in the stored manifest.
-                            placeholder_obj.sources[0].channels = cut.custom[
-                                channel_selector_key
-                            ]
-                            placeholder_obj.channel_ids = cut.custom[
-                                channel_selector_key
-                            ]
-                    self.writers[key].write(cut.id, data, manifest=placeholder_obj, **kwargs)
-                    cut = fastcopy(cut, custom=cut.custom.copy())
-                    cut.custom.pop(channel_selector_key, None)
-                    setattr(cut, key, placeholder_obj)
-            else:
-                self.writers[key].write_placeholder(cut.id)
+            if key not in ("recording", "features"):
+                cut = self._store_custom(cut, key)
 
         # Warn about attached data not requested for saving.
         for key, val in ifnone(cut.custom, {}).items():
-            if not isinstance(val, (Array, TemporalArray, Recording)):
-                continue
-            if key not in self.fields and self.warn_unused_fields:
-                warnings.warn(
-                    f"Found cut with '{key}' field that is not specified for Shar writing."
-                )
+            if isinstance(val, (Array, TemporalArray, Recording)) and key not in self.fields:
+                self._warn_unused(key)
 
         # Data was stored for exactly the cut span: reset the offset.
         cut = fastcopy(cut, start=0)
-
         if "cuts" in self.writers:
             self.writers["cuts"].write(cut)
 
 
+_AUDIO_FORMATS = ("wav", "flac", "mp3", "opus", "original")
+_ARRAY_COMPRESSIONS = ("lilcom", "numpy")
+
+
 def resolve_writer(name: str, compress_jsonl: bool = True) -> Tuple[FieldWriter, str]:
-    jsonl_ext = ".jsonl.gz" if compress_jsonl else ".jsonl"
-    opts = {
-        "wav": (partial(AudioTarWriter, format="wav"), ".tar"),
-        "flac": (partial(AudioTarWriter, format="flac"), ".tar"),
-        "mp3": (partial(AudioTarWriter, format="mp3"), ".tar"),
-        "opus": (partial(AudioTarWriter, format="opus"), ".tar"),
-        "original": (partial(AudioTarWriter, format="original"), ".tar"),
-        "lilcom": (partial(ArrayTarWriter, compression="lilcom"), ".tar"),
-        "numpy": (partial(ArrayTarWriter, compression="numpy"), ".tar"),
-        "jsonl": (JsonlShardWriter, jsonl_ext),
-    }
-    assert name in opts, (
-        f"Unknown field type (got: '{name}', we support only: {', '.join(opts)}"
-    )
-    return opts[name]
+    if name in _AUDIO_FORMATS:
+        return partial(AudioTarWriter, format=name), ".tar"
+    if name in _ARRAY_COMPRESSIONS:
+        return partial(ArrayTarWriter, compression=name), ".tar"
+    if name == "jsonl":
+        return JsonlShardWriter, ".jsonl.gz" if compress_jsonl else ".jsonl"
+    supported = ", ".join((*_AUDIO_FORMATS, *_ARRAY_COMPRESSIONS, "jsonl"))
+    raise AssertionError(f"Unknown field type (got: '{name}', we support only: {supported}")
 
 
 def _create_cuts_output_url(

@@ -46,11 +46,9 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
         prob_diff_spk_overlap: float = 0.5,
     ):
         super().__init__()
-        for duration in [same_spk_pause, diff_spk_pause, diff_spk_overlap]:
+        for duration in (same_spk_pause, diff_spk_pause, diff_spk_overlap):
             assert duration is None or duration > 0, "Durations must be > 0."
-
-        self.same_spk_pause = same_spk_pause
-        self.diff_spk_pause = diff_spk_pause
+        self.same_spk_pause, self.diff_spk_pause = same_spk_pause, diff_spk_pause
         self.diff_spk_overlap = diff_spk_overlap
         self.prob_diff_spk_overlap = prob_diff_spk_overlap
 
@@ -66,15 +64,14 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
     def _init_defaults(self):
         from scipy.stats import gamma
 
-        self.same_spk_pause_dist = gamma(a=1.0, scale=1.0, loc=self.same_spk_pause)
-        self.diff_spk_pause_dist = gamma(a=1.0, scale=1.0, loc=self.diff_spk_pause)
-        self.diff_spk_overlap_dist = gamma(a=1.0, scale=1.0, loc=self.diff_spk_overlap)
+        for attr in ("same_spk_pause", "diff_spk_pause", "diff_spk_overlap"):
+            dist = gamma(a=1.0, scale=1.0, loc=getattr(self, attr))
+            setattr(self, f"{attr}_dist", dist)
 
     def _compute_histogram_dist(self, values: np.ndarray) -> Any:
         from scipy.stats import rv_histogram
 
-        hist, bin_edges = np.histogram(values, bins=100, density=True)
-        return rv_histogram((hist, bin_edges))
+        return rv_histogram(np.histogram(values, bins=100, density=True))
 
     @dill_enabled(True)
     def fit(self, meetings: Optional[SupervisionSet] = None) -> None:
@@ -88,45 +85,30 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
             "The meetings must be provided as a SupervisionSet."
         )
 
-        same_spk_pause_values = []
-        diff_spk_pause_values = []
-        diff_spk_overlap_values = []
+        gaps = {"same_spk_pause": [], "diff_spk_pause": [], "diff_spk_overlap": []}
 
-        recording_segments = defaultdict(list)
+        by_recording = defaultdict(list)
         for s in sorted(meetings, key=lambda s: (s.recording_id, s.start)):
-            recording_segments[s.recording_id].append(s)
+            by_recording[s.recording_id].append(s)
 
-        for segments in recording_segments.values():
-            for i in range(1, len(segments)):
-                if segments[i].speaker == segments[i - 1].speaker:
-                    same_spk_pause_values.append(segments[i].start - segments[i - 1].end)
-                    continue
-                if segments[i].start > segments[i - 1].end:
-                    diff_spk_pause_values.append(segments[i].start - segments[i - 1].end)
+        for segments in by_recording.values():
+            for prev, cur in zip(segments, segments[1:]):
+                step = cur.start - prev.end
+                if cur.speaker == prev.speaker:
+                    gaps["same_spk_pause"].append(step)
+                elif step > 0:
+                    gaps["diff_spk_pause"].append(step)
                 else:
-                    diff_spk_overlap_values.append(
-                        segments[i - 1].end - segments[i].start
-                    )
+                    gaps["diff_spk_overlap"].append(-step)
 
-        self.same_spk_pause_dist = self._compute_histogram_dist(
-            np.array(same_spk_pause_values)
-        )
-        self.diff_spk_pause_dist = self._compute_histogram_dist(
-            np.array(diff_spk_pause_values)
-        )
-        self.diff_spk_overlap_dist = self._compute_histogram_dist(
-            np.array(diff_spk_overlap_values)
-        )
+        for attr, values in gaps.items():
+            dist = self._compute_histogram_dist(np.array(values))
+            setattr(self, f"{attr}_dist", dist)
+            setattr(self, attr, dist.mean())
+        turn_changes = len(gaps["diff_spk_pause"]) + len(gaps["diff_spk_overlap"])
         self.prob_diff_spk_overlap = (
-            len(diff_spk_overlap_values)
-            / (len(diff_spk_pause_values) + len(diff_spk_overlap_values))
-            if (len(diff_spk_pause_values) + len(diff_spk_overlap_values)) > 0
-            else 0.5
+            len(gaps["diff_spk_overlap"]) / turn_changes if turn_changes else 0.5
         )
-
-        self.same_spk_pause = self.same_spk_pause_dist.mean()
-        self.diff_spk_pause = self.diff_spk_pause_dist.mean()
-        self.diff_spk_overlap = self.diff_spk_overlap_dist.mean()
 
         logging.info(f"Learned parameters: {self}")
 
@@ -137,79 +119,63 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
         Chain the sampled utterances with pauses/overlaps drawn from the
         learned distributions, then group per speaker into MixTracks.
         """
-        speakers = utterances.speakers
+        utts = list(utterances)
+        sr = utts[0].sampling_rate
+        N = len(utts)
+        draws = {
+            "same_pause": self.same_spk_pause_dist.rvs(size=N).round(2),
+            "diff_pause": self.diff_spk_pause_dist.rvs(size=N).round(2),
+            "overlap": self.diff_spk_overlap_dist.rvs(size=N).round(2),
+            "do_overlap": self.bernoulli.rvs(p=self.prob_diff_spk_overlap, size=N),
+        }
 
-        N = len(utterances)
-        same_spk_pauses = [round(x, 2) for x in self.same_spk_pause_dist.rvs(size=N)]
-        diff_spk_pauses = [round(x, 2) for x in self.diff_spk_pause_dist.rvs(size=N)]
-        diff_spk_overlaps = [round(x, 2) for x in self.diff_spk_overlap_dist.rvs(size=N)]
-        diff_spk_bernoulli = self.bernoulli.rvs(p=self.prob_diff_spk_overlap, size=N)
+        def spk_of(utt):
+            return utt.supervisions[0].speaker
 
-        utterances = list(utterances)
+        plus = lambda *xs: add_durations(*xs, sampling_rate=sr)
+
         # Offsets w.r.t. the meeting start: each new utterance starts after a
         # sampled pause (or before the previous one ends, for overlaps).
         offsets = [0.0]
-        cur_offset = utterances[0].duration
+        frontier = plus(utts[0].duration)
+        spk_end = {spkr: 0.0 for spkr in utterances.speakers}
+        spk_end[spk_of(utts[0])] = frontier
 
-        first_spk = utterances[0].supervisions[0].speaker
-        last_utt_end = {spkr: 0.0 for spkr in speakers}
-        last_utt_end[first_spk] = cur_offset
-        last_utt_end_times = sorted(list(last_utt_end.values()), reverse=True)
-        sr = utterances[0].sampling_rate
-
-        for i in range(1, len(utterances)):
-            cur_spk = utterances[i].supervisions[0].speaker
-            prev_spk = utterances[i - 1].supervisions[0].speaker
+        for i in range(1, N):
+            cur_spk, prev_spk = spk_of(utts[i]), spk_of(utts[i - 1])
             if cur_spk == prev_spk:
-                ot = same_spk_pauses[i]
+                step = draws["same_pause"][i]
+            elif not draws["do_overlap"][i]:
+                step = draws["diff_pause"][i]
             else:
-                if diff_spk_bernoulli[i] == 0:
-                    ot = diff_spk_pauses[i]
-                else:
-                    ot = diff_spk_overlaps[i]
-                    if len(last_utt_end_times) > 1 and not allow_3fold_overlap:
-                        # 2nd term: same speaker's utterances must not overlap;
-                        # 3rd term: cap simultaneous overlap at two speakers.
-                        ot = min(
-                            ot,
-                            add_durations(cur_offset, -last_utt_end[cur_spk], sampling_rate=sr),
-                            add_durations(cur_offset, -last_utt_end_times[1], sampling_rate=sr),
-                        )
-                    else:
-                        ot = min(
-                            ot,
-                            add_durations(cur_offset, -last_utt_end[cur_spk], sampling_rate=sr),
-                        )
-                    ot = -ot
+                # Overlap, but never with the same speaker's own audio; and
+                # (unless allowed) never three speakers at once.
+                caps = [plus(frontier, -spk_end[cur_spk])]
+                ends_desc = sorted(spk_end.values(), reverse=True)
+                if len(ends_desc) > 1 and not allow_3fold_overlap:
+                    caps.append(plus(frontier, -ends_desc[1]))
+                step = -min(draws["overlap"][i], *caps)
 
-            cur_offset = add_durations(cur_offset, ot, sampling_rate=sr)
-            offsets.append(cur_offset)
-            cur_offset = add_durations(cur_offset, utterances[i].duration, sampling_rate=sr)
-
-            last_utt_end[cur_spk] = cur_offset
-            last_utt_end_times = sorted(list(last_utt_end.values()), reverse=True)
-            cur_offset = last_utt_end_times[0]
+            begin = plus(frontier, step)
+            offsets.append(begin)
+            spk_end[cur_spk] = plus(begin, utts[i].duration)
+            frontier = max(spk_end.values())
 
         # Group utterances + offsets per speaker (sorted by offset).
-        utterances, offsets = zip(*sorted(zip(utterances, offsets), key=lambda x: x[1]))
-        spk_tracks = defaultdict(list)
-        for utt, offset in zip(utterances, offsets):
-            spk_tracks[utt.supervisions[0].speaker].append((utt, offset))
+        per_speaker = defaultdict(list)
+        for utt, offset in sorted(zip(utts, offsets), key=lambda pair: pair[1]):
+            per_speaker[spk_of(utt)].append((utt, offset))
 
         tracks = []
-        for spk, spk_utts in spk_tracks.items():
+        for spk_utts in per_speaker.values():
             track, start = spk_utts[0]
             for utt, offset in spk_utts[1:]:
                 track = mix(
-                    track,
-                    utt,
-                    offset=add_durations(offset, -start, sampling_rate=sr),
-                    allow_padding=True,
+                    track, utt, offset=plus(offset, -start), allow_padding=True
                 )
-            track = MixTrack(cut=track, offset=start)
-            tracks.append(track)
+            tracks.append(MixTrack(cut=track, offset=start))
 
-        tracks = sorted(tracks, key=lambda x: x.offset)
+        tracks.sort(key=lambda t: t.offset)
         return MixedCut(id=str(uuid4()), tracks=tracks)
 
     @dill_enabled(True)
@@ -235,21 +201,15 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
 
         if num_meetings is None and num_repeats is None:
             raise ValueError("Either num_meetings or num_repeats must be provided.")
-
         if num_meetings is not None:
             num_repeats = None
-
         if isinstance(num_speakers_per_meeting, int):
             num_speakers_per_meeting = [num_speakers_per_meeting]
-
         if speaker_count_probs is None:
-            speaker_count_probs = [1.0 / len(num_speakers_per_meeting)] * len(
-                num_speakers_per_meeting
-            )
-
+            uniform = 1.0 / len(num_speakers_per_meeting)
+            speaker_count_probs = [uniform] * len(num_speakers_per_meeting)
         if getattr(self, "same_spk_pause_dist", None) is None:
             self._init_defaults()
-
         self.bernoulli = bernoulli
 
         sampler = MeetingSampler(
@@ -262,24 +222,19 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
             speaker_count_probs=speaker_count_probs,
             seed=seed,
         )
-        sampler_iter = iter(sampler)
-
-        work = partial(_simulate_worker, simulator=self, allow_3fold_overlap=allow_3fold_overlap)
-
-        mixtures = []
+        work = partial(
+            _simulate_worker, simulator=self, allow_3fold_overlap=allow_3fold_overlap
+        )
         if num_jobs == 1:
-            for mixture in map(work, sampler_iter):
-                mixtures.append(mixture)
+            mixtures = map(work, iter(sampler))
         else:
-            for mixture in parallel_map(
+            mixtures = parallel_map(
                 work,
-                sampler_iter,
+                iter(sampler),
                 num_jobs=num_jobs,
                 queue_size=num_jobs * MAX_TASKS_WAITING,
-            ):
-                mixtures.append(mixture)
-
-        return CutSet.from_cuts(mixtures)
+            )
+        return CutSet.from_cuts(list(mixtures))
 
     def reverberate(self, cuts: CutSet, *rirs: RecordingSet) -> CutSet:
         return reverberate_cuts(cuts, *rirs)
