@@ -161,13 +161,8 @@ class Cut:
         from lhotse_tpu.cut.set import mix
 
         return mix(
-            self,
-            other,
-            offset=offset_other_by,
-            allow_padding=allow_padding,
-            snr=snr,
-            preserve_id=preserve_id,
-            tag=tag,
+            self, other, offset=offset_other_by, allow_padding=allow_padding,
+            snr=snr, preserve_id=preserve_id, tag=tag,
         )
 
     def append(
@@ -230,40 +225,42 @@ class Cut:
         from lhotse_tpu.cut.multi import MultiCut
         from lhotse_tpu.cut.set import CutSet
 
+        def span_of(segment):
+            if min_duration is None:
+                return segment.start, segment.duration
+            return compute_start_duration_for_extended_cut(
+                start=segment.start,
+                duration=segment.duration,
+                new_duration=min_duration,
+                direction=context_direction,
+            )
+
+        def collapse_channels(piece):
+            distinct = set(to_hashable(s.channel) for s in piece.supervisions)
+            assert len(distinct) == 1, (
+                "Trimmed cut has supervisions with different channels. Either set "
+                "`keep_all_channels=True` to keep original channels or "
+                "`keep_overlapping=False` to retain only 1 supervision per cut."
+            )
+            piece.channel = piece.supervisions[0].channel
+            if isinstance(piece, MultiCut) and piece.num_channels == 1:
+                piece = piece.to_mono()[0]
+            return piece
+
         cuts = []
         supervisions_index = self.index_supervisions(index_mixed_tracks=True)
         for segment in self.supervisions:
-            if min_duration is None:
-                new_start, new_duration = segment.start, segment.duration
-            else:
-                new_start, new_duration = compute_start_duration_for_extended_cut(
-                    start=segment.start,
-                    duration=segment.duration,
-                    new_duration=min_duration,
-                    direction=context_direction,
-                )
+            begin, span = span_of(segment)
             trimmed = self.truncate(
-                offset=new_start,
-                duration=new_duration,
+                offset=begin,
+                duration=span,
                 keep_excessive_supervisions=keep_overlapping,
                 _supervisions_index=supervisions_index,
             )
-
             if not keep_overlapping:
                 trimmed = trimmed.filter_supervisions(lambda s: s.id == segment.id)
-
             if not keep_all_channels and not isinstance(trimmed, MixedCut):
-                assert (
-                    len(set(to_hashable(s.channel) for s in trimmed.supervisions)) == 1
-                ), (
-                    "Trimmed cut has supervisions with different channels. Either set "
-                    "`keep_all_channels=True` to keep original channels or "
-                    "`keep_overlapping=False` to retain only 1 supervision per cut."
-                )
-                trimmed.channel = trimmed.supervisions[0].channel
-                if isinstance(trimmed, MultiCut) and trimmed.num_channels == 1:
-                    trimmed = trimmed.to_mono()[0]
-
+                trimmed = collapse_channels(trimmed)
             if len(trimmed.supervisions) == 1:
                 trimmed.id = segment.id
             cuts.append(trimmed)
@@ -284,39 +281,38 @@ class Cut:
         """
         from lhotse_tpu.supervision import AlignmentItem
 
-        if max_pause is None:
-            max_pause = -1.0
-        if max_segment_duration is None:
-            max_segment_duration = self.duration
+        pause_cap = -1.0 if max_pause is None else max_pause
+        span_cap = self.duration if max_segment_duration is None else max_segment_duration
+
+        def merge_items(alignments):
+            """[(merged AlignmentItem, constituent indices)] under the caps."""
+            groups = [(alignments[0], [0])]
+            for i, item in enumerate(alignments[1:], start=1):
+                if not item.symbol.strip():
+                    continue
+                head, members = groups[-1]
+                mergeable = (
+                    item.start - head.end <= pause_cap
+                    and item.end - head.start <= span_cap
+                )
+                if not mergeable:
+                    groups.append((item, [i]))
+                    continue
+                grown = AlignmentItem(
+                    symbol=delimiter.join([head.symbol, item.symbol]),
+                    start=head.start,
+                    duration=item.end - head.start,
+                )
+                groups[-1] = (grown, members + [i])
+            return groups
 
         new_supervisions = []
         for segment in self.supervisions:
-            if (
-                segment.alignment is None
-                or type not in segment.alignment
-                or not segment.alignment[type]
-            ):
+            items = (segment.alignment or {}).get(type) or None
+            if not items:
                 continue
-            alignments = sorted(segment.alignment[type], key=lambda a: a.start)
-            merged_alignments = [(alignments[0], [0])]
-            for i, item in enumerate(alignments[1:]):
-                if item.symbol.strip() == "":
-                    continue
-                prev_item, prev_indices = merged_alignments[-1]
-                if (
-                    item.start - prev_item.end <= max_pause
-                    and item.end - prev_item.start <= max_segment_duration
-                ):
-                    new_item = AlignmentItem(
-                        symbol=delimiter.join([prev_item.symbol, item.symbol]),
-                        start=prev_item.start,
-                        duration=item.end - prev_item.start,
-                    )
-                    merged_alignments[-1] = (new_item, prev_indices + [i + 1])
-                else:
-                    merged_alignments.append((item, [i + 1]))
-
-            for i, (item, indices) in enumerate(merged_alignments):
+            alignments = sorted(items, key=lambda a: a.start)
+            for i, (item, indices) in enumerate(merge_items(alignments)):
                 new_supervisions.append(
                     SupervisionSegment(
                         id=f"{segment.id}-{i}",
@@ -332,8 +328,8 @@ class Cut:
                     )
                 )
 
-        new_cuts = fastcopy(self, supervisions=new_supervisions)
-        return new_cuts.trim_to_supervisions(
+        relabeled = fastcopy(self, supervisions=new_supervisions)
+        return relabeled.trim_to_supervisions(
             keep_overlapping=False,
             keep_all_channels=keep_all_channels,
         )
@@ -349,37 +345,26 @@ class Cut:
         if not self.supervisions:
             return CutSet([self])
         supervisions = sorted(self.supervisions, key=lambda s: s.start)
-        supervision_group = [supervisions[0]]
-        cur_end = supervisions[0].end
+
         new_cuts = []
-        group_idx = 0
-        for sup in supervisions[1:]:
-            if sup.start - cur_end <= max_pause:
-                supervision_group.append(sup)
-                cur_end = max(cur_end, sup.end)
-            else:
-                offset = supervision_group[0].start
-                duration = add_durations(cur_end, -offset, sampling_rate=self.sampling_rate)
-                new_cuts.append(
-                    self.truncate(
-                        offset=offset,
-                        duration=duration,
-                        keep_excessive_supervisions=False,
-                    ).with_id(f"{self.id}-{max_pause}-{group_idx}")
-                )
-                group_idx += 1
-                supervision_group = [sup]
-                cur_end = sup.end
-        if len(supervision_group) > 0:
-            offset = supervision_group[0].start
-            duration = add_durations(cur_end, -offset, sampling_rate=self.sampling_rate)
-            new_cuts.append(
-                self.truncate(
-                    offset=offset,
-                    duration=duration,
-                    keep_excessive_supervisions=False,
-                ).with_id(f"{self.id}-{max_pause}-{group_idx}")
+
+        def flush(group_start: Seconds, group_end: Seconds):
+            span = add_durations(group_end, -group_start, sampling_rate=self.sampling_rate)
+            piece = self.truncate(
+                offset=group_start, duration=span, keep_excessive_supervisions=False
             )
+            new_cuts.append(piece.with_id(f"{self.id}-{max_pause}-{len(new_cuts)}"))
+
+        group_start = supervisions[0].start
+        group_end = supervisions[0].end
+        for sup in supervisions[1:]:
+            if sup.start - group_end <= max_pause:
+                group_end = max(group_end, sup.end)
+            else:
+                flush(group_start, group_end)
+                group_start, group_end = sup.start, sup.end
+        flush(group_start, group_end)
+
         assert sum(len(c.supervisions) for c in new_cuts) == len(self.supervisions), (
             "The total number of supervisions decreased after trimming to "
             "supervision groups — this is likely a bug."
@@ -417,22 +402,24 @@ class Cut:
                 best_last_chunk = last_chunk_len
                 best_duration = float(d)
 
-        hop = best_duration - overlap
-        new_cuts = []
+        origin = {"source_cut_id": self.id, "source_cut_start": self.start}
+        windows = [
+            fastcopy(sub, custom={**(sub.custom or {}), **origin})
+            for sub in self._windows(
+                best_duration, best_duration - overlap, keep_excessive_supervisions
+            )
+        ]
+        return CutSet.from_cuts(windows)
+
+    def _windows(self, duration: Seconds, hop: Seconds, keep_excessive_supervisions: bool):
         supervisions_index = self.index_supervisions(index_mixed_tracks=True)
-        n_windows = compute_num_windows(self.duration, best_duration, hop)
-        extra_custom = {"source_cut_id": self.id, "source_cut_start": self.start}
-        for i in range(n_windows):
-            sub = self.truncate(
+        for i in range(compute_num_windows(self.duration, duration, hop)):
+            yield self.truncate(
                 offset=hop * i,
-                duration=best_duration,
+                duration=duration,
                 keep_excessive_supervisions=keep_excessive_supervisions,
                 _supervisions_index=supervisions_index,
             ).with_id(f"{self.id}-{i}")
-            merged_custom = dict(sub.custom or {})
-            merged_custom.update(extra_custom)
-            new_cuts.append(fastcopy(sub, custom=merged_custom))
-        return CutSet.from_cuts(new_cuts)
 
     def cut_into_windows(
         self,
@@ -455,19 +442,9 @@ class Cut:
                 f"[cut.id={self.id}] Window hop must give an integer number of "
                 f"video frames (hop={hop} * fps={self.video.fps})."
             )
-        new_cuts = []
-        n_windows = compute_num_windows(self.duration, duration, hop)
-        supervisions_index = self.index_supervisions(index_mixed_tracks=True)
-        for i in range(n_windows):
-            new_cuts.append(
-                self.truncate(
-                    offset=hop * i,
-                    duration=duration,
-                    keep_excessive_supervisions=keep_excessive_supervisions,
-                    _supervisions_index=supervisions_index,
-                ).with_id(f"{self.id}-{i}")
-            )
-        return CutSet.from_cuts(new_cuts)
+        return CutSet.from_cuts(
+            self._windows(duration, hop, keep_excessive_supervisions)
+        )
 
     def index_supervisions(
         self, index_mixed_tracks: bool = False, keep_ids: Optional[Set[str]] = None
@@ -506,32 +483,64 @@ class Cut:
         if augment_fn is not None:
             samples = augment_fn(samples, self.sampling_rate)
         save_audio(
-            storage_path,
-            samples,
-            sampling_rate=self.sampling_rate,
-            format=format,
-            encoding=encoding,
+            storage_path, samples,
+            sampling_rate=self.sampling_rate, format=format, encoding=encoding,
         )
-        recording = Recording(
+        n = samples.shape[1]
+        source = AudioSource(
+            type="file", channels=list(range(self.num_channels)), source=str(storage_path)
+        )
+        stored = Recording(
             id=storage_path.stem,
             sampling_rate=self.sampling_rate,
-            num_samples=samples.shape[1],
-            duration=samples.shape[1] / self.sampling_rate,
-            sources=[
-                AudioSource(
-                    type="file",
-                    channels=list(range(self.num_channels)),
-                    source=str(storage_path),
-                )
-            ],
+            num_samples=n,
+            duration=n / self.sampling_rate,
+            sources=[source],
         )
         return fastcopy(
-            recording.to_cut(),
+            stored.to_cut(),
             id=self.id,
             supervisions=self.supervisions,
-            custom=self.custom if hasattr(self, "custom") else None,
+            custom=getattr(self, "custom", None),
             features=self.features if self.has_features else None,
         )
+
+    def _active_spans(self, supervision, use_alignment_if_exists: Optional[str]):
+        """(start, end) second-spans of activity: the alignment items when the
+        requested alignment exists, otherwise the whole supervision."""
+        ali = (supervision.alignment or {}).get(use_alignment_if_exists or "", None)
+        if use_alignment_if_exists and ali is not None:
+            return [(item.start, item.end) for item in ali]
+        return [(supervision.start, supervision.end)]
+
+    def _speaker_rows(self, speaker_to_idx_map, min_speaker_dim):
+        if speaker_to_idx_map is None:
+            speakers = sorted(set(s.speaker for s in self.supervisions))
+            speaker_to_idx_map = {spk: idx for idx, spk in enumerate(speakers)}
+        rows = len(speaker_to_idx_map)
+        if min_speaker_dim is not None:
+            rows = min(min_speaker_dim, rows)
+        return speaker_to_idx_map, rows
+
+    def _speakers_activity_mask(
+        self,
+        num_units: int,
+        to_unit,
+        speaker_to_idx_map,
+        min_speaker_dim,
+        use_alignment_if_exists,
+    ) -> np.ndarray:
+        """Shared (num_speakers, num_units) activity rasterizer; ``to_unit``
+        converts seconds to the frame/sample grid."""
+        speaker_to_idx_map, rows = self._speaker_rows(speaker_to_idx_map, min_speaker_dim)
+        mask = np.zeros((rows, num_units))
+        for supervision in self.supervisions:
+            row = speaker_to_idx_map[supervision.speaker]
+            for begin, finish in self._active_spans(supervision, use_alignment_if_exists):
+                lo = to_unit(begin) if begin > 0 else 0
+                hi = to_unit(finish) if finish < self.duration else num_units
+                mask[row, lo:hi] = 1
+        return mask
 
     def speakers_feature_mask(
         self,
@@ -544,39 +553,13 @@ class Cut:
         assert self.has_features, (
             f"No features available. Can't compute speakers feature mask for cut {self.id}."
         )
-        if speaker_to_idx_map is None:
-            speaker_to_idx_map = {
-                spk: idx
-                for idx, spk in enumerate(sorted(set(s.speaker for s in self.supervisions)))
-            }
-        num_speakers = len(speaker_to_idx_map)
-        if min_speaker_dim is not None:
-            num_speakers = min(min_speaker_dim, num_speakers)
-        mask = np.zeros((num_speakers, self.num_frames))
-        for supervision in self.supervisions:
-            speaker_idx = speaker_to_idx_map[supervision.speaker]
-            if (
-                use_alignment_if_exists
-                and supervision.alignment
-                and use_alignment_if_exists in supervision.alignment
-            ):
-                for ali in supervision.alignment[use_alignment_if_exists]:
-                    st = round(ali.start / self.frame_shift) if ali.start > 0 else 0
-                    et = (
-                        round(ali.end / self.frame_shift)
-                        if ali.end < self.duration
-                        else self.num_frames
-                    )
-                    mask[speaker_idx, st:et] = 1
-            else:
-                st = round(supervision.start / self.frame_shift) if supervision.start > 0 else 0
-                et = (
-                    round(supervision.end / self.frame_shift)
-                    if supervision.end < self.duration
-                    else self.num_frames
-                )
-                mask[speaker_idx, st:et] = 1
-        return mask
+        return self._speakers_activity_mask(
+            self.num_frames,
+            lambda secs: round(secs / self.frame_shift),
+            speaker_to_idx_map,
+            min_speaker_dim,
+            use_alignment_if_exists,
+        )
 
     def speakers_audio_mask(
         self,
@@ -588,43 +571,13 @@ class Cut:
         assert self.has_recording, (
             f"No recording available. Can't compute speakers audio mask for cut {self.id}."
         )
-        if speaker_to_idx_map is None:
-            speaker_to_idx_map = {
-                spk: idx
-                for idx, spk in enumerate(sorted(set(s.speaker for s in self.supervisions)))
-            }
-        num_speakers = len(speaker_to_idx_map)
-        if min_speaker_dim is not None:
-            num_speakers = min(min_speaker_dim, num_speakers)
-        mask = np.zeros((num_speakers, self.num_samples))
-        for supervision in self.supervisions:
-            speaker_idx = speaker_to_idx_map[supervision.speaker]
-            if (
-                use_alignment_if_exists
-                and supervision.alignment
-                and use_alignment_if_exists in supervision.alignment
-            ):
-                for ali in supervision.alignment[use_alignment_if_exists]:
-                    st = compute_num_samples(ali.start, self.sampling_rate) if ali.start > 0 else 0
-                    et = (
-                        compute_num_samples(ali.end, self.sampling_rate)
-                        if ali.end < self.duration
-                        else compute_num_samples(self.duration, self.sampling_rate)
-                    )
-                    mask[speaker_idx, st:et] = 1
-            else:
-                st = (
-                    compute_num_samples(supervision.start, self.sampling_rate)
-                    if supervision.start > 0
-                    else 0
-                )
-                et = (
-                    compute_num_samples(supervision.end, self.sampling_rate)
-                    if supervision.end < self.duration
-                    else compute_num_samples(self.duration, self.sampling_rate)
-                )
-                mask[speaker_idx, st:et] = 1
-        return mask
+        return self._speakers_activity_mask(
+            compute_num_samples(self.duration, self.sampling_rate),
+            lambda secs: compute_num_samples(secs, self.sampling_rate),
+            speaker_to_idx_map,
+            min_speaker_dim,
+            use_alignment_if_exists,
+        )
 
     def supervisions_feature_mask(self, use_alignment_if_exists: Optional[str] = None) -> np.ndarray:
         """1-D 0/1 mask over frames covered by at least one supervision."""
@@ -640,28 +593,12 @@ class Cut:
             f"No recording available. Can't compute supervisions audio mask for cut {self.id}."
         )
         mask = np.zeros(self.num_samples, dtype=np.float32)
+        cap = round(self.duration * self.sampling_rate)
         for supervision in self.supervisions:
-            if (
-                use_alignment_if_exists
-                and supervision.alignment
-                and use_alignment_if_exists in supervision.alignment
-            ):
-                for ali in supervision.alignment[use_alignment_if_exists]:
-                    st = round(ali.start * self.sampling_rate) if ali.start > 0 else 0
-                    et = (
-                        round(ali.end * self.sampling_rate)
-                        if ali.end < self.duration
-                        else round(self.duration * self.sampling_rate)
-                    )
-                    mask[st:et] = 1.0
-            else:
-                st = round(supervision.start * self.sampling_rate) if supervision.start > 0 else 0
-                et = (
-                    round(supervision.end * self.sampling_rate)
-                    if supervision.end < self.duration
-                    else round(self.duration * self.sampling_rate)
-                )
-                mask[st:et] = 1.0
+            for begin, finish in self._active_spans(supervision, use_alignment_if_exists):
+                lo = round(begin * self.sampling_rate) if begin > 0 else 0
+                hi = round(finish * self.sampling_rate) if finish < self.duration else cap
+                mask[lo:hi] = 1.0
         return mask
 
     def with_id(self, id_: str) -> "Cut":

@@ -44,15 +44,8 @@ class FeaturesWriter(metaclass=ABCMeta):
     ``write(key, value) -> storage_key``. Usable as a context manager.
     """
 
-    @property
-    @abstractmethod
-    def name(self) -> str:
-        ...
-
-    @property
-    @abstractmethod
-    def storage_path(self) -> str:
-        ...
+    name = property(abstractmethod(lambda self: ...))
+    storage_path = property(abstractmethod(lambda self: ...))
 
     @abstractmethod
     def write(self, key: str, value: np.ndarray) -> str:
@@ -71,20 +64,18 @@ class FeaturesWriter(metaclass=ABCMeta):
         :class:`TemporalArray` when frame_shift/temporal_dim are given)
         manifest describing how to retrieve it.
         """
-        is_temporal = frame_shift is not None and temporal_dim is not None
-        if not is_temporal:
-            assert all(arg is None for arg in [frame_shift, temporal_dim]), (
-                "frame_shift and temporal_dim have to be both None or both set "
-                f"(got frame_shift={frame_shift}, temporal_dim={temporal_dim})."
-            )
-        storage_key = self.write(key, value)
+        temporal = (frame_shift is not None, temporal_dim is not None)
+        assert temporal in ((True, True), (False, False)), (
+            "frame_shift and temporal_dim have to be both None or both set "
+            f"(got frame_shift={frame_shift}, temporal_dim={temporal_dim})."
+        )
         array = Array(
             storage_type=self.name,
             storage_path=self.storage_path,
-            storage_key=storage_key,
+            storage_key=self.write(key, value),
             shape=list(value.shape),
         )
-        if not is_temporal:
+        if not all(temporal):
             return array
         return TemporalArray(
             array=array, temporal_dim=temporal_dim, frame_shift=frame_shift, start=start
@@ -235,33 +226,35 @@ class FileIO:
         if self.is_url and self.storage_path.endswith("/"):
             self.storage_path = self.storage_path[:-1]
 
+    def _read_path(self, key: str) -> str:
+        if key.startswith("/") and self.storage_path:
+            key = key[1:]
+        return f"{self.storage_path}/{key}"
+
+    def _write_path(self, key: str, add_subdir: bool):
+        if self.is_url:
+            return f"{self.storage_path}/{key.lstrip('/')}"
+        root = Path(self.storage_path)
+        root.mkdir(exist_ok=True, parents=True)
+        if not add_subdir:
+            return root / key
+        shard_dir = root / key[:3]
+        shard_dir.mkdir(exist_ok=True)
+        return shard_dir / key
+
     @contextmanager
     def open_fileobj(
         self, key: str, mode: str, add_subdir: bool = False
     ) -> Generator[tuple, None, None]:
         assert not ("r" in mode and "w" in mode)
         if "r" in mode:
-            if key.startswith("/") and len(self.storage_path) > 0:
-                key = key[1:]
-            input_path = f"{self.storage_path}/{key}"
-            with open_best(input_path, "rb") as f:
-                yield f, input_path
+            path = self._read_path(key)
+            with open_best(path, "rb") as f:
+                yield f, path
         elif "w" in mode:
-            if self.is_url:
-                if key.startswith("/"):
-                    key = key[1:]
-                output_path = f"{self.storage_path}/{key}"
-            else:
-                p = Path(self.storage_path)
-                p.mkdir(exist_ok=True, parents=True)
-                if add_subdir:
-                    subdir = p / key[:3]
-                    subdir.mkdir(exist_ok=True)
-                    output_path = subdir / key
-                else:
-                    output_path = p / key
-            with open_best(output_path, "wb") as f:
-                yield f, output_path
+            path = self._write_path(key, add_subdir)
+            with open_best(path, "wb") as f:
+                yield f, path
         else:
             raise ValueError(f"Unsupported file mode (missing r or w): '{mode}'")
 
@@ -271,11 +264,8 @@ class FileIO:
 #################################################
 
 
-@register_reader
-class LilcomFilesReader(FeaturesReader):
-    """Reads compressed ``.llc`` files from a directory or object store."""
-
-    name = "lilcom_files"
+class _PerFileReader(FeaturesReader):
+    """Per-key files under a directory/URL prefix; subclasses set _decode."""
 
     def __init__(self, storage_path: Pathlike, *args, **kwargs):
         self.io = FileIO(storage_path)
@@ -288,33 +278,54 @@ class LilcomFilesReader(FeaturesReader):
         right_offset_frames: Optional[int] = None,
     ) -> np.ndarray:
         with self.io.open_fileobj(key, mode="r") as (f, _):
-            arr = ltc_decompress(f.read())
+            arr = self._decode(f)
         return arr[left_offset_frames:right_offset_frames]
 
 
-@register_writer
-class LilcomFilesWriter(FeaturesWriter):
-    """Writes compressed ``.llc`` files into a directory or object store."""
+class _PerFileWriter(FeaturesWriter):
+    """Per-key files under a directory/URL prefix; subclasses set _ext and
+    _encode. Local writes shard into 3-letter-prefix subdirectories."""
+
+    _ext: str
+
+    def __init__(self, storage_path: Pathlike, *args, **kwargs):
+        self.io = FileIO(storage_path)
+
+    storage_path = property(lambda self: self.io.storage_path)
+
+    def write(self, key: str, value: np.ndarray) -> str:
+        if not key.endswith(self._ext):
+            key = key + self._ext
+        with self.io.open_fileobj(key, "w", add_subdir=True) as (f, out_path):
+            self._encode(f, value)
+            if not self.io.is_url:
+                key = "/".join(Path(out_path).parts[-2:])
+        return key
+
+
+@register_reader
+class LilcomFilesReader(_PerFileReader):
+    """Reads compressed ``.llc`` files from a directory or object store."""
 
     name = "lilcom_files"
 
+    def _decode(self, f) -> np.ndarray:
+        return ltc_decompress(f.read())
+
+
+@register_writer
+class LilcomFilesWriter(_PerFileWriter):
+    """Writes compressed ``.llc`` files into a directory or object store."""
+
+    name = "lilcom_files"
+    _ext = ".llc"
+
     def __init__(self, storage_path: Pathlike, tick_power: int = -5, *args, **kwargs):
-        self.io = FileIO(storage_path)
+        super().__init__(storage_path)
         self.tick_power = tick_power
 
-    @property
-    def storage_path(self) -> str:
-        return self.io.storage_path
-
-    def write(self, key: str, value: np.ndarray) -> str:
-        if not key.endswith(".llc"):
-            key = key + ".llc"
-        serialized = ltc_compress(value, tick_power=self.tick_power)
-        with self.io.open_fileobj(key, "w", add_subdir=True) as (f, output_path):
-            f.write(serialized)
-            if not self.io.is_url:
-                key = "/".join(Path(output_path).parts[-2:])
-        return key
+    def _encode(self, f, value: np.ndarray) -> None:
+        f.write(ltc_compress(value, tick_power=self.tick_power))
 
 
 #################################################
@@ -323,47 +334,24 @@ class LilcomFilesWriter(FeaturesWriter):
 
 
 @register_reader
-class NumpyFilesReader(FeaturesReader):
+class NumpyFilesReader(_PerFileReader):
     """Reads plain ``.npy`` files from a directory or object store."""
 
     name = "numpy_files"
 
-    def __init__(self, storage_path: Pathlike, *args, **kwargs):
-        self.io = FileIO(storage_path)
-
-    @dynamic_lru_cache
-    def read(
-        self,
-        key: str,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
-    ) -> np.ndarray:
-        with self.io.open_fileobj(key, mode="r") as (f, _):
-            arr = np.load(f, allow_pickle=False)
-        return arr[left_offset_frames:right_offset_frames]
+    def _decode(self, f) -> np.ndarray:
+        return np.load(f, allow_pickle=False)
 
 
 @register_writer
-class NumpyFilesWriter(FeaturesWriter):
+class NumpyFilesWriter(_PerFileWriter):
     """Writes plain ``.npy`` files into a directory or object store."""
 
     name = "numpy_files"
+    _ext = ".npy"
 
-    def __init__(self, storage_path: Pathlike, *args, **kwargs):
-        self.io = FileIO(storage_path)
-
-    @property
-    def storage_path(self) -> str:
-        return self.io.storage_path
-
-    def write(self, key: str, value: np.ndarray) -> str:
-        if not key.endswith(".npy"):
-            key = key + ".npy"
-        with self.io.open_fileobj(key, "w", add_subdir=True) as (f, output_path):
-            np.save(f, value, allow_pickle=False)
-            if not self.io.is_url:
-                key = "/".join(Path(output_path).parts[-2:])
-        return key
+    def _encode(self, f, value: np.ndarray) -> None:
+        np.save(f, value, allow_pickle=False)
 
 
 #################################################
@@ -410,13 +398,11 @@ class NumpyHdf5Reader(FeaturesReader):
         return self.hdf[key][left_offset_frames:right_offset_frames]
 
 
-@register_writer
-class NumpyHdf5Writer(FeaturesWriter):
-    """Writes numpy arrays to a flat-layout HDF5 file (one dataset per key)."""
+class _Hdf5Writer(FeaturesWriter):
+    """Shared HDF5-file lifecycle: '.h5'-suffixed path, open handle,
+    close/context management."""
 
-    name = "numpy_hdf5"
-
-    def __init__(self, storage_path: Pathlike, mode: str = "w", *args, **kwargs):
+    def __init__(self, storage_path: Pathlike, mode: str = "w"):
         check_h5py_installed()
         import h5py
 
@@ -424,22 +410,27 @@ class NumpyHdf5Writer(FeaturesWriter):
         self.storage_path_ = p if p.suffix == ".h5" else p.with_suffix(p.suffix + ".h5")
         self.hdf = h5py.File(self.storage_path, mode=mode)
 
-    @property
-    def storage_path(self) -> str:
-        return str(self.storage_path_)
-
-    def write(self, key: str, value: np.ndarray) -> str:
-        self.hdf.create_dataset(key, data=value)
-        return key
+    storage_path = property(lambda self: str(self.storage_path_))
 
     def close(self) -> None:
         return self.hdf.close()
 
-    def __enter__(self):
-        return self
-
     def __exit__(self, exc_type, exc_val, exc_tb):
         self.close()
+
+
+@register_writer
+class NumpyHdf5Writer(_Hdf5Writer):
+    """Writes numpy arrays to a flat-layout HDF5 file (one dataset per key)."""
+
+    name = "numpy_hdf5"
+
+    def __init__(self, storage_path: Pathlike, mode: str = "w", *args, **kwargs):
+        super().__init__(storage_path, mode=mode)
+
+    def write(self, key: str, value: np.ndarray) -> str:
+        self.hdf.create_dataset(key, data=value)
+        return key
 
 
 @register_reader
@@ -463,7 +454,7 @@ class LilcomHdf5Reader(FeaturesReader):
 
 
 @register_writer
-class LilcomHdf5Writer(FeaturesWriter):
+class LilcomHdf5Writer(_Hdf5Writer):
     """Writes whole-matrix compressed blobs to an HDF5 file."""
 
     name = "lilcom_hdf5"
@@ -471,31 +462,13 @@ class LilcomHdf5Writer(FeaturesWriter):
     def __init__(
         self, storage_path: Pathlike, tick_power: int = -5, mode: str = "w", *args, **kwargs
     ):
-        check_h5py_installed()
-        import h5py
-
-        p = Path(storage_path)
-        self.storage_path_ = p if p.suffix == ".h5" else p.with_suffix(p.suffix + ".h5")
-        self.hdf = h5py.File(self.storage_path, mode=mode)
+        super().__init__(storage_path, mode=mode)
         self.tick_power = tick_power
 
-    @property
-    def storage_path(self) -> str:
-        return str(self.storage_path_)
-
     def write(self, key: str, value: np.ndarray) -> str:
-        serialized = ltc_compress(value, tick_power=self.tick_power)
-        self.hdf.create_dataset(key, data=np.void(serialized))
+        blob = ltc_compress(value, tick_power=self.tick_power)
+        self.hdf.create_dataset(key, data=np.void(blob))
         return key
-
-    def close(self) -> None:
-        return self.hdf.close()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, exc_type, exc_val, exc_tb):
-        self.close()
 
 
 CHUNK_SIZE_KEY = "lhotse-chunk-size"
@@ -539,7 +512,7 @@ class ChunkedLilcomHdf5Reader(FeaturesReader):
 
 
 @register_writer
-class ChunkedLilcomHdf5Writer(FeaturesWriter):
+class ChunkedLilcomHdf5Writer(_Hdf5Writer):
     """Writes per-chunk compressed blobs to an HDF5 file."""
 
     name = "chunked_lilcom_hdf5"
@@ -548,18 +521,9 @@ class ChunkedLilcomHdf5Writer(FeaturesWriter):
     def __init__(
         self, storage_path: Pathlike, tick_power: int = -5, mode: str = "w", *args, **kwargs
     ):
-        check_h5py_installed()
-        import h5py
-
-        p = Path(storage_path)
-        self.storage_path_ = p if p.suffix == ".h5" else p.with_suffix(p.suffix + ".h5")
-        self.hdf = h5py.File(self.storage_path, mode=mode)
+        super().__init__(storage_path, mode=mode)
         self.hdf.create_dataset(CHUNK_SIZE_KEY, data=self.CHUNK_SIZE)
         self.tick_power = tick_power
-
-    @property
-    def storage_path(self) -> str:
-        return str(self.storage_path_)
 
     def write(self, key: str, value: np.ndarray) -> str:
         from lhotse_tpu.features.compression import lilcom_compress_chunked
@@ -571,15 +535,6 @@ class ChunkedLilcomHdf5Writer(FeaturesWriter):
         for i, chunk in enumerate(chunks):
             group.create_dataset(str(i), data=np.void(chunk))
         return key
-
-    def close(self) -> None:
-        return self.hdf.close()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, exc_type, exc_val, exc_tb):
-        self.close()
 
 
 #################################################
@@ -896,20 +851,12 @@ class MemoryRawWriter(FeaturesWriter):
     def __init__(self, *args, **kwargs):
         pass
 
-    @property
-    def storage_path(self) -> None:
-        return None
+    storage_path = property(lambda self: None)
 
     def write(self, key: str, value: np.ndarray) -> bytes:
         return pickle.dumps(value)
 
     def close(self) -> None:
-        pass
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, exc_type, exc_val, exc_tb):
         pass
 
 
