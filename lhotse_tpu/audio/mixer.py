@@ -35,15 +35,13 @@ class AudioMixer:
         reference_energy: Optional[float] = None,
         base_offset: Seconds = 0.0,
     ):
+        self.sampling_rate = sampling_rate
         self.tracks = [base_audio]
         self.offsets = [compute_num_samples(base_offset, sampling_rate)]
-        self.sampling_rate = sampling_rate
-        self.num_channels = base_audio.shape[0]
-        self.dtype = self.tracks[0].dtype
-        if reference_energy is None:
-            self.reference_energy = audio_energy(base_audio)
-        else:
-            self.reference_energy = reference_energy
+        self.num_channels, self.dtype = base_audio.shape[0], base_audio.dtype
+        self.reference_energy = (
+            audio_energy(base_audio) if reference_energy is None else reference_energy
+        )
 
     def _pad_track(
         self, audio: np.ndarray, offset: int, total: Optional[int] = None
@@ -106,25 +104,26 @@ class AudioMixer:
         if audio.size == 0:
             return
         assert offset >= 0.0, "Negative offset in mixing is not supported."
-        num_samples_offset = compute_num_samples(offset, self.sampling_rate)
-        gain = 1.0
-        if snr is not None and self.reference_energy > 0:
-            added_audio_energy = audio_energy(audio)
-            if added_audio_energy > 0.0:
-                target_energy = self.reference_energy * (10.0 ** (-snr / 10))
-                # Energy ratio applies to power; gains apply to field quantities.
-                gain = sqrt(target_energy / added_audio_energy)
-        self.tracks.append(gain * audio)
-        self.offsets.append(num_samples_offset)
-        if (
-            audio.shape[0] != self.num_channels
-            and self.num_channels != 1
-            and audio.shape[0] != 1
+        incoming_channels = audio.shape[0]
+        if 1 not in (incoming_channels, self.num_channels) and (
+            incoming_channels != self.num_channels
         ):
             raise ValueError(
-                f"Cannot mix audios with {audio.shape[0]} and {self.num_channels} channels."
+                f"Cannot mix audios with {incoming_channels} and {self.num_channels} channels."
             )
-        self.num_channels = max(self.num_channels, audio.shape[0])
+        self.tracks.append(self._snr_gain(audio, snr) * audio)
+        self.offsets.append(compute_num_samples(offset, self.sampling_rate))
+        self.num_channels = max(self.num_channels, incoming_channels)
+
+    def _snr_gain(self, audio: np.ndarray, snr: Optional[Decibels]) -> float:
+        if snr is None or self.reference_energy <= 0:
+            return 1.0
+        incoming_energy = audio_energy(audio)
+        if incoming_energy <= 0.0:
+            return 1.0
+        target_energy = self.reference_energy * (10.0 ** (-snr / 10))
+        # Energy ratio applies to power; gains apply to field quantities.
+        return sqrt(target_energy / incoming_energy)
 
 
 class VideoMixer:

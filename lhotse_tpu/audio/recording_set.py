@@ -55,13 +55,8 @@ class RecordingSet(Serializable, AlgorithmMixin):
     def __eq__(self, other: "RecordingSet") -> bool:
         return self.recordings == other.recordings
 
-    @property
-    def data(self) -> Union[Dict[str, Recording], Iterable[Recording]]:
-        return self.recordings
-
-    @property
-    def ids(self) -> Iterable[str]:
-        return (r.id for r in self)
+    data = property(lambda self: self.recordings)
+    ids = property(lambda self: (r.id for r in self))
 
     @staticmethod
     def from_recordings(recordings: Iterable[Recording]) -> "RecordingSet":
@@ -108,12 +103,10 @@ class RecordingSet(Serializable, AlgorithmMixin):
         self, num_splits: int, shuffle: bool = False, drop_last: bool = False
     ) -> List["RecordingSet"]:
         """Split into ``num_splits`` pieces of (near-)equal size."""
-        return [
-            RecordingSet.from_recordings(subset)
-            for subset in split_sequence(
-                self, num_splits=num_splits, shuffle=shuffle, drop_last=drop_last
-            )
-        ]
+        pieces = split_sequence(
+            self, num_splits=num_splits, shuffle=shuffle, drop_last=drop_last
+        )
+        return [RecordingSet.from_recordings(piece) for piece in pieces]
 
     def split_lazy(
         self, output_dir: Pathlike, chunk_size: int, prefix: str = ""
@@ -144,24 +137,19 @@ class RecordingSet(Serializable, AlgorithmMixin):
         offset_seconds: float = 0.0,
         duration_seconds: Optional[float] = None,
     ) -> np.ndarray:
-        return self[recording_id].load_audio(
+        rec = self[recording_id]
+        return rec.load_audio(
             channels=channels, offset=offset_seconds, duration=duration_seconds
         )
 
     def with_path_prefix(self, path: Pathlike) -> "RecordingSet":
         return RecordingSet.from_recordings(r.with_path_prefix(path) for r in self)
 
-    def num_channels(self, recording_id: str) -> int:
-        return self[recording_id].num_channels
-
-    def sampling_rate(self, recording_id: str) -> int:
-        return self[recording_id].sampling_rate
-
-    def num_samples(self, recording_id: str) -> int:
-        return self[recording_id].num_samples
-
-    def duration(self, recording_id: str) -> Seconds:
-        return self[recording_id].duration
+    # Per-recording metadata lookups (wav.scp-style convenience accessors).
+    num_channels = lambda self, recording_id: self[recording_id].num_channels
+    sampling_rate = lambda self, recording_id: self[recording_id].sampling_rate
+    num_samples = lambda self, recording_id: self[recording_id].num_samples
+    duration = lambda self, recording_id: self[recording_id].duration
 
     def perturb_speed(self, factor: float, affix_id: bool = True) -> "RecordingSet":
         """Lazy whole-set speed perturbation."""

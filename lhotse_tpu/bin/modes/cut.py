@@ -20,6 +20,13 @@ from lhotse_tpu.serialization import load_manifest_lazy_or_eager
 from lhotse_tpu.utils import Pathlike
 
 
+def _stream_out(cuts, path: Pathlike) -> None:
+    """Write a cut iterable to a manifest without materializing it."""
+    with CutSet.open_writer(path) as writer:
+        for c in cuts:
+            writer.write(c)
+
+
 @cli.group()
 def cut():
     """Group of commands used to create CutSets."""
@@ -32,19 +39,19 @@ def cut():
     "-r",
     "--recording-manifest",
     type=click.Path(exists=True, dir_okay=False),
-    help="Optional recording manifest to attach recordings to the cuts.",
+    help="Recording manifest whose entries the cuts will reference.",
 )
 @click.option(
     "-f",
     "--feature-manifest",
     type=click.Path(exists=True, dir_okay=False),
-    help="Optional feature manifest to attach features to the cuts.",
+    help="Feature manifest whose entries the cuts will reference.",
 )
 @click.option(
     "-s",
     "--supervision-manifest",
     type=click.Path(exists=True, dir_okay=False),
-    help="Optional supervision manifest to attach supervisions to the cuts.",
+    help="Supervision manifest whose entries the cuts will reference.",
 )
 @click.option(
     "--force-eager",
@@ -64,29 +71,19 @@ def simple(
     recording/feature/supervision manifests (at least one of
     recording/feature required).
     """
-    supervision_set, feature_set, recording_set = [
-        load_manifest_lazy_or_eager(p) if p is not None else None
-        for p in (supervision_manifest, feature_manifest, recording_manifest)
-    ]
+    def maybe_load(p):
+        return load_manifest_lazy_or_eager(p) if p is not None else None
 
-    if (
-        all(m is None or m.is_lazy for m in (supervision_set, feature_set, recording_set))
-        and not force_eager
-    ):
-        CutSet.from_manifests(
-            recordings=recording_set,
-            supervisions=supervision_set,
-            features=feature_set,
-            output_path=output_cut_manifest,
-            lazy=True,
-        )
+    manifests = dict(
+        recordings=maybe_load(recording_manifest),
+        supervisions=maybe_load(supervision_manifest),
+        features=maybe_load(feature_manifest),
+    )
+    all_lazy = all(m is None or m.is_lazy for m in manifests.values())
+    if all_lazy and not force_eager:
+        CutSet.from_manifests(output_path=output_cut_manifest, lazy=True, **manifests)
     else:
-        cut_set = CutSet.from_manifests(
-            recordings=recording_set,
-            supervisions=supervision_set,
-            features=feature_set,
-        )
-        cut_set.to_file(output_cut_manifest)
+        CutSet.from_manifests(**manifests).to_file(output_cut_manifest)
 
 
 @cut.command()
@@ -104,14 +101,14 @@ def simple(
     "--min-duration",
     type=float,
     default=None,
-    help="Extend cuts shorter than this with acoustic context.",
+    help="Pad shorter cuts with surrounding acoustic context up to this length.",
 )
 @click.option(
     "-c",
     "--context-direction",
     type=click.Choice(["center", "left", "right", "random"]),
     default="center",
-    help="Which direction to expand towards to include context.",
+    help="Side(s) on which the acoustic context is added.",
 )
 def trim_to_supervisions(
     cuts: Pathlike,
@@ -124,33 +121,32 @@ def trim_to_supervisions(
     Split each input cut into one cut per supervision, spanning exactly the
     supervision's time span.
     """
-    cuts = CutSet.from_file(cuts)
-
-    with CutSet.open_writer(output_cuts) as writer:
-        for c in cuts.trim_to_supervisions(
+    _stream_out(
+        CutSet.from_file(cuts).trim_to_supervisions(
             keep_overlapping=keep_overlapping,
             min_duration=min_duration,
             context_direction=context_direction,
-        ):
-            writer.write(c)
+        ),
+        output_cuts,
+    )
 
 
 @cut.command()
 @click.argument("cuts", type=click.Path(exists=True, dir_okay=False, allow_dash=True))
 @click.argument("output_cuts", type=click.Path(allow_dash=True))
-@click.option("--type", type=str, default="word", help="Alignment type to use for trimming")
+@click.option("--type", type=str, default="word", help="Which alignment tier drives the trimming")
 @click.option(
     "--max-pause",
     type=float,
     default=0.0,
-    help="Merge alignments separated by a pause shorter than this value",
+    help="Alignment items closer than this pause merge into one span",
 )
 @click.option(
     "--delimiter",
     "-d",
     type=str,
     default=" ",
-    help="Delimiter to use for concatenating alignment symbols for merging",
+    help="Joiner placed between merged alignment symbols",
 )
 def trim_to_alignments(
     cuts: Pathlike,
@@ -163,13 +159,12 @@ def trim_to_alignments(
     New CutSet with cuts spanning the alignments of type TYPE; contiguous
     alignment items within MAX_PAUSE are merged.
     """
-    cuts = CutSet.from_file(cuts)
-
-    with CutSet.open_writer(output_cuts) as writer:
-        for c in cuts.trim_to_alignments(
+    _stream_out(
+        CutSet.from_file(cuts).trim_to_alignments(
             type=type, max_pause=max_pause, delimiter=delimiter
-        ):
-            writer.write(c)
+        ),
+        output_cuts,
+    )
 
 
 @cut.command()
@@ -179,7 +174,7 @@ def trim_to_alignments(
     "--max-pause",
     type=float,
     default=0.0,
-    help="Merge supervision groups separated by a pause shorter than this value",
+    help="Supervisions closer than this pause form one group",
 )
 def trim_to_supervision_groups(
     cuts: Pathlike,
@@ -190,11 +185,10 @@ def trim_to_supervision_groups(
     New CutSet with cuts spanning supervision groups (supervisions that
     overlap or are separated by less than MAX_PAUSE).
     """
-    cuts = CutSet.from_file(cuts)
-
-    with CutSet.open_writer(output_cuts) as writer:
-        for c in cuts.trim_to_supervision_groups(max_pause=max_pause):
-            writer.write(c)
+    _stream_out(
+        CutSet.from_file(cuts).trim_to_supervision_groups(max_pause=max_pause),
+        output_cuts,
+    )
 
 
 @cut.command()
@@ -205,10 +199,8 @@ def mix_sequential(cut_manifests: List[Pathlike], output_cut_manifest: Pathlike)
     Mix cuts position-wise across CUT_MANIFESTS (first with first, etc.),
     stopping at the shortest manifest.
     """
-    cut_manifests = [CutSet.from_file(path) for path in cut_manifests]
-    with CutSet.open_writer(output_cut_manifest) as w:
-        for cuts in zip(*cut_manifests):
-            w.write(mix_cuts(cuts))
+    streams = [CutSet.from_file(path) for path in cut_manifests]
+    _stream_out((mix_cuts(group) for group in zip(*streams)), output_cut_manifest)
 
 
 @cut.command()
@@ -220,14 +212,12 @@ def mix_by_recording_id(cut_manifests: List[Pathlike], output_cut_manifest: Path
     """
     from lhotse_tpu.manipulation import combine
 
-    all_cuts = combine(*[CutSet.from_file(path) for path in cut_manifests])
-    recording_id_to_cuts = defaultdict(list)
-    for c in all_cuts:
-        recording_id_to_cuts[c.recording_id].append(c)
-    mixed_cut_set = CutSet.from_cuts(
-        mix_cuts(cuts) for recording_id, cuts in recording_id_to_cuts.items()
-    )
-    mixed_cut_set.to_file(output_cut_manifest)
+    by_recording = defaultdict(list)
+    for c in combine(*(CutSet.from_file(path) for path in cut_manifests)):
+        by_recording[c.recording_id].append(c)
+    CutSet.from_cuts(
+        mix_cuts(group) for group in by_recording.values()
+    ).to_file(output_cut_manifest)
 
 
 @cut.command(context_settings=dict(show_default=True))
@@ -236,27 +226,27 @@ def mix_by_recording_id(cut_manifests: List[Pathlike], output_cut_manifest: Path
 @click.option(
     "--preserve-id",
     is_flag=True,
-    help="Should the cuts preserve IDs (by default, they will get new, random IDs)",
+    help="Keep the original cut IDs (new random IDs are assigned otherwise).",
 )
 @click.option(
     "-d",
     "--max-duration",
     type=float,
     required=True,
-    help="The maximum duration in seconds of a cut in the resulting manifest.",
+    help="Upper bound (seconds) on cut duration in the output manifest.",
 )
 @click.option(
     "-o",
     "--offset-type",
     type=click.Choice(["start", "end", "random"]),
     default="start",
-    help="Where the truncated cut starts relative to the original.",
+    help="Anchor of the truncation window within the original cut.",
 )
 @click.option(
     "--keep-overflowing-supervisions/--discard-overflowing-supervisions",
     type=bool,
     default=False,
-    help="Keep supervisions cut in the middle by the truncation.",
+    help="Retain supervisions that the truncation slices through.",
 )
 def truncate(
     cut_manifest: Pathlike,
@@ -269,14 +259,13 @@ def truncate(
     """
     Truncate cuts to MAX_DURATION (shorter cuts are unmodified).
     """
-    cut_set = CutSet.from_file(cut_manifest)
-    truncated_cut_set = cut_set.truncate(
+    shortened = CutSet.from_file(cut_manifest).truncate(
         max_duration=max_duration,
         offset_type=offset_type,
         keep_excessive_supervisions=keep_overflowing_supervisions,
         preserve_id=preserve_id,
     )
-    truncated_cut_set.to_file(output_cut_manifest)
+    shortened.to_file(output_cut_manifest)
 
 
 @cut.command()
@@ -290,10 +279,8 @@ def append(
     Append cuts position-wise across CUT_MANIFESTS, in argument order,
     stopping at the shortest manifest.
     """
-    cut_sets = [CutSet.from_file(path) for path in cut_manifests]
-    with CutSet.open_writer(output_cut_manifest) as w:
-        for cuts in zip(*cut_sets):
-            w.write(append_cuts(cuts))
+    streams = [CutSet.from_file(path) for path in cut_manifests]
+    _stream_out((append_cuts(group) for group in zip(*streams)), output_cut_manifest)
 
 
 @cut.command()
@@ -304,15 +291,13 @@ def append(
     "--duration",
     default=None,
     type=float,
-    help="Desired duration after right-padding (default: the longest cut).",
+    help="Target length after right-padding (defaults to the longest cut).",
 )
 def pad(cut_manifest: Pathlike, output_cut_manifest: Pathlike, duration: Optional[float]):
     """
     Right-pad the cuts in CUT_MANIFEST.
     """
-    cut_set = CutSet.from_file(cut_manifest)
-    padded_cut_set = cut_set.pad(duration=duration)
-    padded_cut_set.to_file(output_cut_manifest)
+    CutSet.from_file(cut_manifest).pad(duration=duration).to_file(output_cut_manifest)
 
 
 @cut.command()
@@ -340,13 +325,13 @@ def describe(cutset: Pathlike):
 
 @cut.command()
 @click.argument("cutset", type=click.Path(exists=True, dir_okay=False, allow_dash=True))
-@click.option("-b", "--num-buckets", default=30, type=int, help="Desired number of buckets.")
+@click.option("-b", "--num-buckets", default=30, type=int, help="How many duration buckets to estimate.")
 @click.option(
     "-s",
     "--sample",
     default=None,
     type=int,
-    help="How many samples to use for estimation (default: full cutset).",
+    help="Estimate from this many cuts only (default: all of them).",
 )
 def estimate_bucket_bins(cutset: Pathlike, num_buckets: int, sample: Optional[int]) -> None:
     """

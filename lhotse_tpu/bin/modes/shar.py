@@ -93,23 +93,17 @@ def export(
     SHARD_SIZE cuts + sequential-read tars per data field). Readable with
     CutSet.from_shar(OUTDIR).
     """
-    cuts: CutSet = CutSet.from_file(cuts)
-
+    cut_set: CutSet = CutSet.from_file(cuts)
     if shuffle:
-        cuts = cuts.shuffle(rng=random.Random(seed))
+        cut_set = cut_set.shuffle(rng=random.Random(seed))
 
-    fields = {}
-    if audio != "none":
-        fields["recording"] = audio
-    if features != "none":
-        fields["features"] = features
-    if custom:
-        for item in custom:
-            key, fmt = item.split(":")
-            fields[key] = fmt
+    fields = dict(item.split(":") for item in custom)
+    for field, fmt in (("recording", audio), ("features", features)):
+        if fmt != "none":
+            fields[field] = fmt
 
     Path(outdir).mkdir(parents=True, exist_ok=True)
-    cuts.to_shar(
+    cut_set.to_shar(
         output_dir=outdir,
         fields=fields,
         shard_size=shard_size,
@@ -151,36 +145,33 @@ def compute_features(
     """
     import tqdm
 
-    shards = [
-        {
-            "cuts": [p],
-            "recording": [p.with_name("".join(["recording", p.suffixes[0], ".tar"]))],
-        }
-        for p in Path(shar_dir).glob("cuts.*.jsonl*")
-        if p.suffix != ".idx"
+    def shard_spec(cuts_path: Path) -> dict:
+        audio_tar = "".join(["recording", cuts_path.suffixes[0], ".tar"])
+        return {"cuts": [cuts_path], "recording": [cuts_path.with_name(audio_tar)]}
+
+    cut_shards = [
+        p for p in Path(shar_dir).glob("cuts.*.jsonl*") if p.suffix != ".idx"
     ]
     progbar = lambda x: x
     if verbose:
-        click.echo(f"Computing features for {len(shards)} shards.")
-        progbar = partial(tqdm.tqdm, desc="Shard progress", total=len(shards))
+        click.echo(f"Computing features for {len(cut_shards)} shards.")
+        progbar = partial(tqdm.tqdm, desc="Shard progress", total=len(cut_shards))
 
-    futures = []
-    with ProcessPoolExecutor(num_jobs) as ex:
-        for shard in shards:
-            cuts_path = shard["cuts"][0]
+    with ProcessPoolExecutor(num_jobs) as pool:
+        jobs = []
+        for cuts_path in cut_shards:
             shard_idx = cuts_path.name.split(".")[1]
-            output_path = cuts_path.with_name(f"features.{shard_idx}.tar")
-            futures.append(
-                ex.submit(
+            jobs.append(
+                pool.submit(
                     compute_features_one_shard,
-                    cuts=CutSet.from_shar(shard),
+                    cuts=CutSet.from_shar(shard_spec(cuts_path)),
                     feature_config=feature_config,
-                    output_path=output_path,
+                    output_path=cuts_path.with_name(f"features.{shard_idx}.tar"),
                     compression=compression,
                 )
             )
-        for f in progbar(as_completed(futures)):
-            f.result()
+        for job in progbar(as_completed(jobs)):
+            job.result()
 
 
 def compute_features_one_shard(
@@ -189,13 +180,9 @@ def compute_features_one_shard(
     from lhotse_tpu.features.io import MemoryRawWriter
     from lhotse_tpu.shar import ArrayTarWriter
 
-    extractor = (
-        FeatureExtractor.from_yaml(feature_config)
-        if feature_config is not None
-        else Fbank()
-    )
-    in_memory = MemoryRawWriter()
+    extractor = Fbank() if feature_config is None else FeatureExtractor.from_yaml(feature_config)
+    scratch = MemoryRawWriter()
     with ArrayTarWriter(output_path, shard_size=None, compression=compression) as writer:
         for cut in cuts:
-            cut = cut.compute_and_store_features(extractor, in_memory)
+            cut = cut.compute_and_store_features(extractor, scratch)
             writer.write(key=cut.id, value=cut.load_features(), manifest=cut.features)

@@ -57,82 +57,65 @@ def convert_supervisions_info_to_hf(
     """Per-cut supervision dicts + the matching HF feature description."""
     from datasets import Features, Sequence, Value
 
-    has_speaker = any(
-        (hasattr(cut.supervisions[0], "speaker") and cut.supervisions[0].speaker is not None)
-        for cut in cutset
-    )
-    has_language = any(
-        (hasattr(cut.supervisions[0], "language") and cut.supervisions[0].language is not None)
-        for cut in cutset
-    )
-    alignment_types = [
-        s.alignment.keys() for c in cutset for s in c.supervisions if s.alignment is not None
+    def keep(attr: str) -> bool:
+        return exclude_attributes is None or attr not in exclude_attributes
+
+    def first_sup_has(attr: str) -> bool:
+        return any(
+            getattr(cut.supervisions[0], attr, None) is not None for cut in cutset
+        )
+
+    has_speaker, has_language = first_sup_has("speaker"), first_sup_has("language")
+    alignment_types = {
+        kind
+        for c in cutset
+        for s in c.supervisions
+        if s.alignment is not None
+        for kind in s.alignment
+    }
+
+    # (field, emit?, value-of-supervision, HF type)
+    field_specs = [
+        ("start", keep("start"), lambda s: s.start, Value("float")),
+        ("end", keep("end"), lambda s: s.end, Value("float")),
+        (
+            "channel",
+            keep("channel"),
+            lambda s: ",".join(map(str, s.channel))
+            if isinstance(s.channel, list)
+            else str(s.channel),
+            Value("string"),
+        ),
+        ("speaker", has_speaker and keep("speaker"), lambda s: str(s.speaker), Value("string")),
+        ("language", has_language and keep("language"), lambda s: str(s.language), Value("string")),
     ]
-    alignment_types = set([item for sublist in alignment_types for item in sublist])
+    emit_alignments = bool(alignment_types) and keep("alignments")
 
-    sup_dicts = []
-    for c in cutset:
-        cut_sup_dicts = []
-        for s in c.supervisions:
-            sup_dict = {"text": s.text}
+    def one_sup(s) -> Dict[str, Any]:
+        row = {"text": s.text}
+        for field, emit, value_of, _ in field_specs:
+            if emit:
+                row[field] = value_of(s)
+        if emit_alignments:
+            for kind in alignment_types:
+                row[kind + "_alignment"] = [
+                    {"symbol": item.symbol, "start": item.start, "end": item.end}
+                    for item in s.alignment[kind]
+                ]
+        return row
 
-            if exclude_attributes is None or "start" not in exclude_attributes:
-                sup_dict["start"] = s.start
-            if exclude_attributes is None or "end" not in exclude_attributes:
-                sup_dict["end"] = s.end
-            if exclude_attributes is None or "channel" not in exclude_attributes:
-                if isinstance(s.channel, list):
-                    sup_dict["channel"] = ",".join(map(str, s.channel))
-                else:
-                    sup_dict["channel"] = str(s.channel)
-            if has_speaker and (
-                exclude_attributes is None or "speaker" not in exclude_attributes
-            ):
-                sup_dict["speaker"] = str(s.speaker)
-            if has_language and (
-                exclude_attributes is None or "language" not in exclude_attributes
-            ):
-                sup_dict["language"] = str(s.language)
-            if alignment_types and (
-                exclude_attributes is None or "alignments" not in exclude_attributes
-            ):
-                alignments = {}
-                for alignment_type in alignment_types:
-                    alignments[alignment_type + "_alignment"] = [
-                        {"symbol": item.symbol, "start": item.start, "end": item.end}
-                        for item in s.alignment[alignment_type]
-                    ]
-                sup_dict = {**sup_dict, **alignments}
-
-            cut_sup_dicts.append(sup_dict)
-        sup_dicts.append(cut_sup_dicts)
+    sup_dicts = [[one_sup(s) for s in c.supervisions] for c in cutset]
 
     sup_dicts_info = {"text": Value("string")}
-
-    if exclude_attributes is None or "start" not in exclude_attributes:
-        sup_dicts_info["start"] = Value("float")
-    if exclude_attributes is None or "end" not in exclude_attributes:
-        sup_dicts_info["end"] = Value("float")
-    if exclude_attributes is None or "channel" not in exclude_attributes:
-        sup_dicts_info["channel"] = Value("string")
-    if has_speaker and (exclude_attributes is None or "speaker" not in exclude_attributes):
-        sup_dicts_info["speaker"] = Value("string")
-    if has_language and (
-        exclude_attributes is None or "language" not in exclude_attributes
-    ):
-        sup_dicts_info["language"] = Value("string")
-    if alignment_types and (
-        exclude_attributes is None or "alignments" not in exclude_attributes
-    ):
-        alignment_info = {
-            "symbol": Value("string"),
-            "start": Value("float"),
-            "end": Value("float"),
-        }
-        for alignment_type in alignment_types:
-            sup_dicts_info[alignment_type + "_alignment"] = Sequence(
-                Features(**alignment_info)
-            )
+    for field, emit, _, hf_type in field_specs:
+        if emit:
+            sup_dicts_info[field] = hf_type
+    if emit_alignments:
+        item_features = Features(
+            symbol=Value("string"), start=Value("float"), end=Value("float")
+        )
+        for kind in alignment_types:
+            sup_dicts_info[kind + "_alignment"] = Sequence(item_features)
 
     return sup_dicts, sup_dicts_info
 
@@ -208,12 +191,9 @@ class LazyHFDatasetIterator(IteratorNode):
             "LazyHFDatasetIterator requires the 'datasets' package "
             "(pip install datasets)."
         )
-        self.audio_key = audio_key
-        self.text_key = text_key
-        self.lang_key = lang_key
-        self.gender_key = gender_key
-        self.dataset_args = dataset_args
-        self.dataset_kwargs = dataset_kwargs
+        self.audio_key, self.text_key = audio_key, text_key
+        self.lang_key, self.gender_key = lang_key, gender_key
+        self.dataset_args, self.dataset_kwargs = dataset_args, dataset_kwargs
 
     def __iter__(self):
         from datasets import (
@@ -234,16 +214,19 @@ class LazyHFDatasetIterator(IteratorNode):
             dataset = load_dataset(*self.dataset_args, **self.dataset_kwargs)
         dataset = dataset.cast_column(self.audio_key, Audio(decode=False))
         for item in dataset:
-            audio_data = item.pop(self.audio_key)
-            if audio_data.get("bytes") is not None:
-                recording = Recording.from_bytes(
-                    audio_data["bytes"],
-                    recording_id=md5(audio_data["bytes"]).hexdigest(),
-                )
-            else:
-                # Audio stored by reference: the example carries only a path.
-                recording = Recording.from_file(audio_data["path"])
-            supervision = SupervisionSegment(
+            yield self._example_to_cut(item)
+
+    def _example_to_cut(self, item: dict):
+        audio_data = item.pop(self.audio_key)
+        blob = audio_data.get("bytes")
+        if blob is not None:
+            recording = Recording.from_bytes(blob, recording_id=md5(blob).hexdigest())
+        else:
+            # Audio stored by reference: the example carries only a path.
+            recording = Recording.from_file(audio_data["path"])
+        cut = recording.to_cut()
+        cut.supervisions = [
+            SupervisionSegment(
                 id=recording.id,
                 recording_id=recording.id,
                 start=0.0,
@@ -252,11 +235,10 @@ class LazyHFDatasetIterator(IteratorNode):
                 language=item.pop(self.lang_key, None),
                 gender=item.pop(self.gender_key, None),
             )
-            cut = recording.to_cut()
-            cut.supervisions = [supervision]
-            maybe_resolve_images(item)
-            cut.custom = item
-            yield cut
+        ]
+        maybe_resolve_images(item)
+        cut.custom = item
+        return cut
 
 
 def maybe_resolve_images(item: dict) -> None:

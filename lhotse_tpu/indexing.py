@@ -125,25 +125,20 @@ def _is_valid_index_file(path: Path) -> bool:
 def _write_index(offsets: list, path: Pathlike) -> None:
     """Atomically write offsets (stage-and-rename) so racing readers never
     observe a half-written index."""
-    arr = np.array(offsets, dtype=_OFFSET_DTYPE)
+    payload = np.array(offsets, dtype=_OFFSET_DTYPE).tobytes()
     local_path = _as_local_path(path)
-    if local_path is not None:
-        local_path.parent.mkdir(parents=True, exist_ok=True)
-        tmp_path = local_path.with_name(
-            f"{local_path.name}.tmp.{os.getpid()}.{time.monotonic_ns()}"
-        )
-        try:
-            with open(tmp_path, "wb") as f:
-                f.write(arr.tobytes())
-            os.replace(tmp_path, local_path)
-        finally:
-            try:
-                tmp_path.unlink()
-            except FileNotFoundError:
-                pass
+    if local_path is None:
+        with open_best(path, "wb") as f:
+            f.write(payload)
         return
-    with open_best(path, "wb") as f:
-        f.write(arr.tobytes())
+    local_path.parent.mkdir(parents=True, exist_ok=True)
+    stage_name = f"{local_path.name}.tmp.{os.getpid()}.{time.monotonic_ns()}"
+    stage = local_path.with_name(stage_name)
+    try:
+        stage.write_bytes(payload)
+        os.replace(stage, local_path)
+    finally:
+        stage.unlink(missing_ok=True)
 
 
 def _remote_index_cache_dir() -> Path:
@@ -228,18 +223,19 @@ def create_tar_index(tar_path: Pathlike, output_path: Optional[Pathlike] = None)
     """
     _assert_uncompressed(tar_path, "tar")
     offsets = []
-    num_members = 0
     with open_best(tar_path, "rb") as f:
         with tarfile.open(fileobj=f, mode="r|") as tf:
-            for member in tf:
-                if num_members % 2 == 0:
+            # Shar convention: members alternate data, metadata — record the
+            # offset of every pair's data member.
+            for k, member in enumerate(tf):
+                if k % 2 == 0:
                     offsets.append(member.offset)
-                num_members += 1
+            total_members = k + 1 if offsets else 0
             sentinel_from_tarfile = tf.offset
-        if num_members % 2 != 0:
+        if total_members % 2:
             raise RuntimeError(
                 f"Expected an even number of tar members (data+meta pairs) "
-                f"in {tar_path}, got {num_members}."
+                f"in {tar_path}, got {total_members}."
             )
         try:
             sentinel = f.tell()
@@ -398,13 +394,14 @@ def _open_for_indexed_read(path: Pathlike):
     return open_best(path, "rb")
 
 
-class IndexedJsonlReader:
+class _IndexedReaderBase:
     """
-    Random-access reader for an uncompressed JSONL file: each ``__getitem__``
-    is one seek + range-read + JSON parse. Auto-creates the index by default.
-    File handles are reopened per-process (fork safety) and excluded from
-    pickling.
+    Shared machinery of the indexed pread readers: resolves/creates the .idx
+    sidecar, lazily (re)opens the data file per process (fork safety), and
+    keeps open handles out of pickles.
     """
+
+    _KIND: str  # "jsonl" | "tar"
 
     def __init__(
         self,
@@ -412,30 +409,28 @@ class IndexedJsonlReader:
         auto_create_index: bool = True,
         index_path: Optional[Pathlike] = None,
     ) -> None:
-        validate_indexed_access(path, kind="jsonl", context="IndexedJsonlReader")
-        self.path = path
-        self.index_path = index_path
-        self._fh = None
-        self._fh_pid: Optional[int] = None
+        validate_indexed_access(path, kind=self._KIND, context=type(self).__name__)
+        self.path, self.index_path = path, index_path
+        self._fh, self._fh_pid = None, None
         idx_path = index_path if index_path is not None else index_file_path(path)
         self._resolved_index_path = idx_path
         if not index_exists(path, index_path=idx_path):
-            if auto_create_index:
-                create_jsonl_index(path, output_path=idx_path)
-            else:
+            if not auto_create_index:
                 raise FileNotFoundError(
-                    f"Index file not found: {idx_path}. Use create_jsonl_index() "
+                    f"Index file not found: {idx_path}. Use create_{self._KIND}_index() "
                     f"to build it, or set auto_create_index=True."
                 )
+            builder = create_jsonl_index if self._KIND == "jsonl" else create_tar_index
+            builder(path, output_path=idx_path)
         self._offsets = read_index(idx_path)
 
     def _ensure_open(self):
         pid = os.getpid()
-        if self._fh is None or self._fh_pid != pid:
-            if self._fh is not None:
-                self._fh.close()
-            self._fh = _open_for_indexed_read(self.path)
-            self._fh_pid = pid
+        if self._fh is not None and self._fh_pid == pid:
+            return
+        self.close()
+        self._fh = _open_for_indexed_read(self.path)
+        self._fh_pid = pid
 
     def __del__(self):
         self.close()
@@ -443,14 +438,10 @@ class IndexedJsonlReader:
     def close(self):
         if self._fh is not None:
             self._fh.close()
-            self._fh = None
-            self._fh_pid = None
+        self._fh, self._fh_pid = None, None
 
     def __getstate__(self):
-        state = self.__dict__.copy()
-        state["_fh"] = None
-        state["_fh_pid"] = None
-        return state
+        return {**self.__dict__, "_fh": None, "_fh_pid": None}
 
     def __setstate__(self, state):
         state.setdefault("_fh_pid", None)
@@ -459,6 +450,22 @@ class IndexedJsonlReader:
     def __len__(self) -> int:
         return len(self._offsets) - 1
 
+    def _pread(self, start: int, end: int) -> bytes:
+        self._ensure_open()
+        self._fh.seek(start)
+        return self._fh.read(end - start)
+
+
+class IndexedJsonlReader(_IndexedReaderBase):
+    """
+    Random-access reader for an uncompressed JSONL file: each ``__getitem__``
+    is one seek + range-read + JSON parse. Auto-creates the index by default.
+    File handles are reopened per-process (fork safety) and excluded from
+    pickling.
+    """
+
+    _KIND = "jsonl"
+
     def __getitem__(self, idx: int) -> dict:
         if idx < 0:
             idx += len(self)
@@ -466,12 +473,8 @@ class IndexedJsonlReader:
             raise IndexError(
                 f"index {idx} out of range for IndexedJsonlReader with {len(self)} lines"
             )
-        self._ensure_open()
-        start = int(self._offsets[idx])
-        end = int(self._offsets[idx + 1])
-        self._fh.seek(start)
-        line = self._fh.read(end - start)
-        decoded = line.decode("utf-8")
+        start, end = int(self._offsets[idx]), int(self._offsets[idx + 1])
+        decoded = self._pread(start, end).decode("utf-8")
         try:
             return decode_json_line(decoded)
         except JSONDecodeError as ex:
@@ -492,7 +495,7 @@ def _ceil_block(size: int) -> int:
     return (size + _TAR_BLOCK_SIZE - 1) // _TAR_BLOCK_SIZE * _TAR_BLOCK_SIZE
 
 
-class IndexedTarReader:
+class IndexedTarReader(_IndexedReaderBase):
     """
     Random-access reader for an uncompressed Shar tar archive. Each sample is
     a pair of consecutive members (data + metadata); ``__getitem__`` seeks to
@@ -501,57 +504,7 @@ class IndexedTarReader:
     (for shar_ptr construction).
     """
 
-    def __init__(
-        self,
-        path: Pathlike,
-        auto_create_index: bool = True,
-        index_path: Optional[Pathlike] = None,
-    ) -> None:
-        validate_indexed_access(path, kind="tar", context="IndexedTarReader")
-        self.path = path
-        self.index_path = index_path
-        self._fh = None
-        self._fh_pid: Optional[int] = None
-        idx_path = index_path if index_path is not None else index_file_path(path)
-        if not index_exists(path, index_path=idx_path):
-            if auto_create_index:
-                create_tar_index(path, output_path=idx_path)
-            else:
-                raise FileNotFoundError(
-                    f"Index file not found: {idx_path}. Use create_tar_index() "
-                    f"to build it, or set auto_create_index=True."
-                )
-        self._offsets = read_index(idx_path)
-
-    def _ensure_open(self):
-        pid = os.getpid()
-        if self._fh is None or self._fh_pid != pid:
-            if self._fh is not None:
-                self._fh.close()
-            self._fh = _open_for_indexed_read(self.path)
-            self._fh_pid = pid
-
-    def __del__(self):
-        self.close()
-
-    def close(self):
-        if self._fh is not None:
-            self._fh.close()
-            self._fh = None
-            self._fh_pid = None
-
-    def __getstate__(self):
-        state = self.__dict__.copy()
-        state["_fh"] = None
-        state["_fh_pid"] = None
-        return state
-
-    def __setstate__(self, state):
-        state.setdefault("_fh_pid", None)
-        self.__dict__.update(state)
-
-    def __len__(self) -> int:
-        return len(self._offsets) - 1
+    _KIND = "tar"
 
     def _read_header(self, offset: int):
         self._fh.seek(offset)
