@@ -214,25 +214,23 @@ class PartitionedIndexedIterator:
     def position(self) -> int:
         return self._position
 
-    def iterate(self, total_len: int) -> Generator[int, None, None]:
-        shard_id, num_shards = get_worker_partition()
-        if self._restored:
-            self._restored = False
-            if self._num_shards is not None and (
-                self._shard_id != shard_id or self._num_shards != num_shards
-            ):
-                raise ValueError(
-                    f"PartitionedIndexedIterator topology mismatch on resume: "
-                    f"saved (shard_id={self._shard_id}, num_shards={self._num_shards}), "
-                    f"current (shard_id={shard_id}, num_shards={num_shards})."
-                )
-            start = self._position
-        else:
-            start = 0
+    def _resume_start(self, shard_id: int, num_shards: int) -> int:
+        """Resume position after topology validation (0 on a fresh pass)."""
+        if not self._restored:
             self._position = 0
-        self._shard_id = shard_id
-        self._num_shards = num_shards
+            return 0
+        self._restored = False
+        saved = (self._shard_id, self._num_shards)
+        if self._num_shards is not None and saved != (shard_id, num_shards):
+            raise ValueError(
+                f"PartitionedIndexedIterator topology mismatch on resume: "
+                f"saved (shard_id={saved[0]}, num_shards={saved[1]}), "
+                f"current (shard_id={shard_id}, num_shards={num_shards})."
+            )
+        return self._position
 
+    def _build_order(self, total_len: int, shard_id: int, num_shards: int) -> int:
+        """Set up this pass's index order; returns the shard length."""
         if self._shuffle:
             from lhotse_tpu.indexing import LazyShuffledRange
 
@@ -242,20 +240,20 @@ class PartitionedIndexedIterator:
             if self._pending_range_state is not None:
                 self._range.load_state_dict(self._pending_range_state)
                 self._pending_range_state = None
-            shard_len = len(self._range)
-        else:
-            self._range = None
-            if total_len > shard_id:
-                shard_len = (total_len - shard_id + num_shards - 1) // num_shards
-            else:
-                shard_len = 0
+            return len(self._range)
+        self._range = None
+        if total_len <= shard_id:
+            return 0
+        return (total_len - shard_id + num_shards - 1) // num_shards
 
+    def iterate(self, total_len: int) -> Generator[int, None, None]:
+        shard_id, num_shards = get_worker_partition()
+        start = self._resume_start(shard_id, num_shards)
+        self._shard_id, self._num_shards = shard_id, num_shards
+        shard_len = self._build_order(total_len, shard_id, num_shards)
         for i in range(start, shard_len):
             self._position = i + 1
-            if self._range is not None:
-                yield self._range[i]
-            else:
-                yield shard_id + i * num_shards
+            yield self._range[i] if self._range is not None else shard_id + i * num_shards
 
     def state_dict(self) -> dict:
         sd = {
@@ -263,16 +261,18 @@ class PartitionedIndexedIterator:
             "shard_id": self._shard_id,
             "num_shards": self._num_shards,
         }
-        if self._range is not None:
-            sd["range"] = self._range.state_dict()
-        elif self._pending_range_state is not None:
-            sd["range"] = self._pending_range_state
+        order_state = (
+            self._range.state_dict()
+            if self._range is not None
+            else self._pending_range_state
+        )
+        if order_state is not None:
+            sd["range"] = order_state
         return sd
 
     def load_state_dict(self, sd: dict) -> None:
         self._position = sd.get("position", 0)
-        self._shard_id = sd.get("shard_id")
-        self._num_shards = sd.get("num_shards")
+        self._shard_id, self._num_shards = sd.get("shard_id"), sd.get("num_shards")
         if self._shuffle:
             self._pending_range_state = sd.get("range")
             self._range = None

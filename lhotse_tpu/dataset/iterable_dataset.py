@@ -49,60 +49,55 @@ class IterableDatasetWrapper:
         auto_increment_epoch: bool = False,
         reset_on_iter: bool = False,
     ) -> None:
-        self.dataset = dataset
-        self.sampler = sampler
+        self.dataset, self.sampler = dataset, sampler
         self.auto_increment_epoch = auto_increment_epoch
         self.reset_on_iter = reset_on_iter
-        self.epoch = 0
-        self._sampler_iter = None
+        self.epoch, self._sampler_iter = 0, None
 
-        rank = self.sampler.rank
-        ws = self.sampler.world_size
-        if rank != 0 or ws != 1:
+        rank, ws = self.sampler.rank, self.sampler.world_size
+        if (rank, ws) != (0, 1):
             warnings.warn(
-                f"We detected you're trying to use a CutSampler with rank {rank} "
-                f"and world_size {ws} inside an IterableDatasetWrapper. Setting "
-                f"rank != 0 and world_size != 1 in a CutSampler is intended for "
-                f"map-style datasets, when the sampler exists in the main "
-                f"training loop. Make sure these settings are intentional or "
+                f"A CutSampler with rank {rank} and world_size {ws} is being "
+                f"used inside an IterableDatasetWrapper. Those settings are "
+                f"meant for map-style datasets where the sampler lives in the "
+                f"main training loop; with the iterable pattern, dedup happens "
+                f"via shard splitting instead. If this is not intentional, "
                 f"pass rank=0 and world_size=1 to the sampler's constructor.\n"
             )
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
         self.sampler.set_epoch(epoch)
-
         # Propagate to shard-shuffling iterators (shar/tar-backed CutSets).
-        if hasattr(self.sampler, "cuts") and isinstance(self.sampler.cuts, tuple):
-            for cs in self.sampler.cuts:
-                if hasattr(cs, "data") and hasattr(cs.data, "set_epoch"):
-                    cs.data.set_epoch(epoch)
+        for cs in getattr(self.sampler, "cuts", None) or ():
+            inner = getattr(cs, "data", None)
+            if hasattr(inner, "set_epoch"):
+                inner.set_epoch(epoch)
 
-    def __iter__(self):
-        if (
-            self._sampler_iter is None
-            or self.reset_on_iter
-            or getattr(self, "_needs_sampler_reiter", False)
-        ):
+    def _refresh_sampler_iter(self, force: bool = False) -> None:
+        deferred = getattr(self, "_needs_sampler_reiter", False)
+        if force or deferred or self._sampler_iter is None:
             self._needs_sampler_reiter = False
             self._sampler_iter = iter(self.sampler)
+
+    def __iter__(self):
+        self._refresh_sampler_iter(force=self.reset_on_iter)
         return self
 
     def __next__(self) -> dict:
         # A stateful dataloader may call load_state_dict after iter(dataset):
         # honor the deferred re-iteration flag here too.
         if getattr(self, "_needs_sampler_reiter", False):
-            self._needs_sampler_reiter = False
-            self._sampler_iter = iter(self.sampler)
+            self._refresh_sampler_iter(force=True)
         try:
             sampled = next(self._sampler_iter)
-            self._update_dataloading_info(sampled)
-            return self.dataset[sampled]
         except StopIteration:
             if self.auto_increment_epoch:
                 self.set_epoch(self.epoch + 1)
             self._sampler_iter = None
             raise
+        self._update_dataloading_info(sampled)
+        return self.dataset[sampled]
 
     def state_dict(self) -> dict:
         """Stateful-protocol checkpoint of the wrapper + sampler."""

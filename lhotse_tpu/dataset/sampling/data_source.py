@@ -23,16 +23,14 @@ class DataSource:
 
     def __init__(self, items: CutSet):
         self._orig_items = items
-        self._shuffled_items = self._orig_items
+        self._shuffled_items = items
         self._iter = None
         self._reusable = deque()
         # Duration bookkeeping is only possible for eager CutSets.
+        self._total_duration = self._total_cuts = None
         if not self.is_lazy:
-            self._total_duration = sum(c.duration for c in self._orig_items)
-            self._total_cuts = len(self._orig_items)
-        else:
-            self._total_duration = None
-            self._total_cuts = None
+            self._total_duration = sum(c.duration for c in items)
+            self._total_cuts = len(items)
         self._remaining_duration = self._total_duration
         self.remaining_cuts = self._total_cuts
 
@@ -66,14 +64,14 @@ class DataSource:
         """Push the cut back so it is sampled again before new items."""
         self._reusable.append(cut)
         if not self.is_lazy:
-            self._remaining_duration += cut.duration
             self.remaining_cuts += 1
+            self._remaining_duration += cut.duration
 
     def reset(self) -> None:
         self._iter = None
         self._reusable.clear()
-        self._remaining_duration = self._total_duration
         self.remaining_cuts = self._total_cuts
+        self._remaining_duration = self._total_duration
 
     def fast_forward(self, steps: int) -> None:
         """Advance by ``steps`` items (used for O(N) checkpoint replay)."""

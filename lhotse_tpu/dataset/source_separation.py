@@ -56,24 +56,16 @@ class SourceSeparationDataset:
             assert len(source_cuts) > 1
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
-        cut_id = self.cut_ids[idx]
-        mixture_cut, source_cuts = self._obtain_mixture(cut_id=cut_id)
-
-        mixture = mixture_cut.load_features()
-        sources = np.stack(
-            [source_cut.load_features() for source_cut in source_cuts], axis=0
-        )
-
+        mixture_cut, source_cuts = self._obtain_mixture(cut_id=self.cut_ids[idx])
+        sources = np.stack([c.load_features() for c in source_cuts], axis=0)
         # Ideal ratio masks from source features (log-domain → power).
-        sources_exp = np.exp(sources)
-        real_mask = sources_exp / (sources_exp.sum(0, keepdims=True) + EPSILON)
-        binary_mask = real_mask.argmax(0)
-
+        powers = np.exp(sources)
+        real_mask = powers / (powers.sum(0, keepdims=True) + EPSILON)
         return {
             "sources": sources,
-            "mixture": mixture,
+            "mixture": mixture_cut.load_features(),
             "real_mask": real_mask,
-            "binary_mask": binary_mask,
+            "binary_mask": real_mask.argmax(0),
         }
 
     def __len__(self):
@@ -103,13 +95,9 @@ class DynamicallyMixedSourceSeparationDataset(SourceSeparationDataset):
 
     def _obtain_mixture(self, cut_id: str) -> Tuple[Cut, List[MonoCut]]:
         mixture_cut = self.mixtures_set.mixed_cuts[cut_id]
-        source_cuts = [
-            track.cut
-            for track in mixture_cut.tracks
-            # Tracks absent from the sources set are noise.
-            if track.cut.id in self.sources_set
-        ]
-        return mixture_cut, source_cuts
+        # Tracks absent from the sources set are noise.
+        is_target = lambda track: track.cut.id in self.sources_set
+        return mixture_cut, [t.cut for t in mixture_cut.tracks if is_target(t)]
 
 
 class PreMixedSourceSeparationDataset(SourceSeparationDataset):
@@ -131,7 +119,5 @@ class PreMixedSourceSeparationDataset(SourceSeparationDataset):
 
     def _obtain_mixture(self, cut_id: str) -> Tuple[Cut, List[MonoCut]]:
         mixture_cut = self.mixtures_set.cuts[cut_id]
-        source_cuts = [
-            self.sources_set.cuts[id] for id in self.mixture_to_source[mixture_cut.id]
-        ]
-        return mixture_cut, source_cuts
+        sources = self.mixture_to_source[mixture_cut.id]
+        return mixture_cut, [self.sources_set.cuts[sid] for sid in sources]

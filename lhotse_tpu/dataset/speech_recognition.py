@@ -60,9 +60,7 @@ class K2SpeechRecognitionDataset:
         self.return_cuts = return_cuts
         self.cut_transforms = ifnone(cut_transforms, [])
         self.input_transforms = ifnone(input_transforms, [])
-        self.input_strategy = (
-            input_strategy if input_strategy is not None else PrecomputedFeatures()
-        )
+        self.input_strategy = ifnone(input_strategy, PrecomputedFeatures())
 
     def __getitem__(self, cuts: CutSet) -> Dict[str, Union[np.ndarray, List[str]]]:
         validate_for_asr(cuts)
@@ -82,27 +80,16 @@ class K2SpeechRecognitionDataset:
         else:
             inputs, _ = input_tpl
 
-        supervision_intervals = self.input_strategy.supervision_intervals(cuts)
-
-        segments = np.stack(list(supervision_intervals.values()), axis=1)
+        intervals = self.input_strategy.supervision_intervals(cuts)
+        segments = np.stack(list(intervals.values()), axis=1)
         for tnfm in self.input_transforms:
             inputs = tnfm(inputs, supervision_segments=segments)
 
-        batch = {
-            "inputs": inputs,
-            "supervisions": {
-                "text": [
-                    supervision.text
-                    for cut in cuts
-                    for supervision in cut.supervisions
-                ],
-            },
-        }
-        batch["supervisions"].update(supervision_intervals)
+        per_sup = [(cut, sup) for cut in cuts for sup in cut.supervisions]
+        supervisions = {"text": [sup.text for _, sup in per_sup], **intervals}
         if self.return_cuts:
-            batch["supervisions"]["cut"] = [
-                cut for cut in cuts for sup in cut.supervisions
-            ]
+            supervisions["cut"] = [cut for cut, _ in per_sup]
+        batch = {"inputs": inputs, "supervisions": supervisions}
 
         has_word_alignments = all(
             s.alignment is not None and "word" in s.alignment
@@ -110,7 +97,6 @@ class K2SpeechRecognitionDataset:
             for s in c.supervisions
         )
         if has_word_alignments:
-            words, starts, ends = [], [], []
             cuts_list = list(cuts)
             frame_shift = cuts_list[0].frame_shift
             sampling_rate = cuts_list[0].sampling_rate
@@ -122,32 +108,24 @@ class K2SpeechRecognitionDataset:
                         "Can't determine the frame_shift -- it is not present "
                         "either in cuts or the input_strategy. "
                     )
-            for c in cuts_list:
-                for s in c.supervisions:
-                    words.append([aliword.symbol for aliword in s.alignment["word"]])
-                    starts.append(
-                        [
-                            compute_num_frames(
-                                aliword.start,
-                                frame_shift=frame_shift,
-                                sampling_rate=sampling_rate,
-                            )
-                            for aliword in s.alignment["word"]
-                        ]
-                    )
-                    ends.append(
-                        [
-                            compute_num_frames(
-                                aliword.end,
-                                frame_shift=frame_shift,
-                                sampling_rate=sampling_rate,
-                            )
-                            for aliword in s.alignment["word"]
-                        ]
-                    )
-            batch["supervisions"]["word"] = words
-            batch["supervisions"]["word_start"] = starts
-            batch["supervisions"]["word_end"] = ends
+
+            def to_frame(secs):
+                return compute_num_frames(
+                    secs, frame_shift=frame_shift, sampling_rate=sampling_rate
+                )
+
+            word_alis = [
+                s.alignment["word"] for c in cuts_list for s in c.supervisions
+            ]
+            batch["supervisions"]["word"] = [
+                [item.symbol for item in ali] for ali in word_alis
+            ]
+            batch["supervisions"]["word_start"] = [
+                [to_frame(item.start) for item in ali] for ali in word_alis
+            ]
+            batch["supervisions"]["word_end"] = [
+                [to_frame(item.end) for item in ali] for ali in word_alis
+            ]
 
         return batch
 

@@ -54,18 +54,13 @@ class K2SurtDataset:
             frame boundaries (requires 'source_feats' TemporalArray and
             'source_feat_offsets' custom fields on the cuts).
         """
-        self.return_cuts = return_cuts
-        self.return_sources = return_sources
+        self.return_cuts, self.return_sources = return_cuts, return_sources
         self.return_alignments = return_alignments
-        self.num_channels = num_channels
-        self.text_delimiter = text_delimiter
+        self.num_channels, self.text_delimiter = num_channels, text_delimiter
         self.cut_transforms = ifnone(cut_transforms, [])
         self.input_transforms = ifnone(input_transforms, [])
-        self.input_strategy = (
-            input_strategy if input_strategy is not None else PrecomputedFeatures()
-        )
-        self.pad_value = pad_value
-        self.strict = strict
+        self.input_strategy = ifnone(input_strategy, PrecomputedFeatures())
+        self.pad_value, self.strict = pad_value, strict
 
     def __getitem__(self, cuts: CutSet) -> Dict[str, Union[np.ndarray, List]]:
         validate_for_asr(cuts)
@@ -81,36 +76,29 @@ class K2SurtDataset:
         # HEAT channel assignment: first channel that is empty or whose last
         # supervision ended before this one starts.
         supervisions = defaultdict(list)
-        invalid_cuts = []
-        source_feats = []
-        source_boundaries = []
+        invalid_cuts, source_feats, source_boundaries = [], [], []
 
         for cut in cuts:
             cut_sups = [[] for _ in range(self.num_channels)]
-            last_sup_end = [0.0 for _ in range(self.num_channels)]
-
-            cut_sources = []
-            cut_source_boundaries = []
+            last_sup_end = [0.0] * self.num_channels
+            cut_sources, cut_source_boundaries = [], []
             invalid_cut = False
 
-            for sup in sorted(cut.supervisions, key=lambda s: s.start):
-                assigned = False
-                for i in range(self.num_channels):
-                    if len(cut_sups[i]) == 0 or last_sup_end[i] <= sup.start:
-                        cut_sups[i].append(sup)
-                        last_sup_end[i] = max(last_sup_end[i], sup.end)
-                        assigned = True
+            def place(sup) -> bool:
+                """HEAT: first free channel, else earliest-ending (overlap)."""
+                for ch, (members, busy_until) in enumerate(zip(cut_sups, last_sup_end)):
+                    if not members or busy_until <= sup.start:
+                        chosen, clean = ch, True
                         break
+                else:
+                    chosen, clean = last_sup_end.index(min(last_sup_end)), False
+                cut_sups[chosen].append(sup)
+                last_sup_end[chosen] = max(last_sup_end[chosen], sup.end)
+                return clean
 
-                if not assigned:
-                    # More overlapping speakers than channels: minimize the
-                    # overlap by choosing the earliest-ending channel.
+            for sup in sorted(cut.supervisions, key=lambda s: s.start):
+                if not place(sup):
                     invalid_cut = True
-                    min_end_channel = last_sup_end.index(min(last_sup_end))
-                    cut_sups[min_end_channel].append(sup)
-                    last_sup_end[min_end_channel] = max(
-                        last_sup_end[min_end_channel], sup.end
-                    )
 
             if self.return_sources:
                 source_feat_offsets = cut.source_feat_offsets
@@ -156,23 +144,22 @@ class K2SurtDataset:
         else:
             inputs, input_lens = input_tpl
 
+        def channel_texts(cut_sups):
+            return [
+                self.text_delimiter.join(sup.text.strip() for sup in sups_ch)
+                for sups_ch in cut_sups
+            ]
+
         batch = {
             "inputs": inputs,
             "input_lens": input_lens,
             "supervisions": list(supervisions.values()),
-            "text": [
-                [
-                    self.text_delimiter.join([sup.text.strip() for sup in sups_ch])
-                    for sups_ch in cut_sups
-                ]
-                for cut_sups in supervisions.values()
-            ],
+            "text": [channel_texts(cs) for cs in supervisions.values()],
         }
         if self.return_cuts:
             batch["cuts"] = cuts
         if self.return_sources:
-            batch["source_feats"] = source_feats
-            batch["source_boundaries"] = source_boundaries
+            batch.update(source_feats=source_feats, source_boundaries=source_boundaries)
         return batch
 
 

@@ -40,39 +40,38 @@ def download_vctk(
     target_dir.mkdir(parents=True, exist_ok=True)
     if use_edinburgh_vctk_url:
         url = EDINBURGH_VCTK_URL
-    archive_name = url.split("/")[-1]
-    archive_path = target_dir / archive_name
-    part_dir = target_dir / archive_name.replace(".zip", "").replace(".tar.gz", "")
-    completed_detector = part_dir / ".completed"
-    if completed_detector.is_file():
-        logging.info(f"Skipping {archive_name}: {completed_detector} exists.")
+    archive_name = url.rsplit("/", 1)[-1]
+    stem = archive_name.replace(".zip", "").replace(".tar.gz", "")
+    part_dir = target_dir / stem
+    marker = part_dir / ".completed"
+    if marker.is_file():
+        logging.info(f"Skipping {archive_name}: {marker} exists.")
         return part_dir
+    archive_path = target_dir / archive_name
     resumable_download(url, filename=archive_path, force_download=force_download)
     shutil.rmtree(part_dir, ignore_errors=True)
     opener = zipfile.ZipFile if archive_name.endswith(".zip") else tarfile.open
     with opener(archive_path) as archive:
         archive.extractall(path=target_dir)
-    completed_detector.touch()
+    marker.touch()
     return part_dir
 
 
 def _parse_speaker_description(
     corpus_dir: Path, use_edinburgh_vctk_url: bool
 ) -> Dict[str, dict]:
-    meta = {}
-    lines = [
+    rows = [
         line.split()
         for line in (corpus_dir / "speaker-info.txt").read_text().splitlines()
     ]
-    header = lines[0]
-    assert {"ID", "AGE", "GENDER", "ACCENTS", "REGION"}.issubset(set(header))
-    for spk, age, gender, accent, *region in lines[1:]:
-        key = spk if use_edinburgh_vctk_url else f"p{spk}"
-        meta[key] = {
+    assert {"ID", "AGE", "GENDER", "ACCENTS", "REGION"} <= set(rows[0])
+    meta = {}
+    for spk, age, gender, accent, *region in rows[1:]:
+        meta[spk if use_edinburgh_vctk_url else f"p{spk}"] = {
             "age": int(age),
             "gender": gender,
             "accent": accent,
-            "region": " ".join(region) if region else None,
+            "region": " ".join(region) or None,
         }
     return meta
 
@@ -89,15 +88,12 @@ def prepare_vctk(
     speaker_meta = _parse_speaker_description(corpus_dir, use_edinburgh_vctk_url)
 
     if use_edinburgh_vctk_url:
-        audios_dir = corpus_dir / "wav48_silence_trimmed"
-        recordings = RecordingSet.from_recordings(
-            Recording.from_file(p) for p in sorted(audios_dir.rglob("*.flac"))
-        )
+        subdir, pattern = "wav48_silence_trimmed", "*.flac"
     else:
-        audios_dir = corpus_dir / "wav48"
-        recordings = RecordingSet.from_recordings(
-            Recording.from_file(p) for p in sorted(audios_dir.rglob("*.wav"))
-        )
+        subdir, pattern = "wav48", "*.wav"
+    recordings = RecordingSet.from_recordings(
+        Recording.from_file(p) for p in sorted((corpus_dir / subdir).rglob(pattern))
+    )
 
     supervisions = []
     for path in sorted((corpus_dir / "txt").rglob("*.txt")):
@@ -118,6 +114,7 @@ def prepare_vctk(
         if meta is None:
             logging.warning(f"Cannot find metadata for speaker {speaker}.")
             meta = defaultdict(lambda: None)
+        extras = {k: meta[k] for k in ("accent", "age", "region")}
         supervisions.append(
             SupervisionSegment(
                 id=audio_file_id,
@@ -128,11 +125,7 @@ def prepare_vctk(
                 language="English",
                 speaker=speaker,
                 gender=meta["gender"],
-                custom={
-                    "accent": meta["accent"],
-                    "age": meta["age"],
-                    "region": meta["region"],
-                },
+                custom=extras,
             )
         )
     recordings, supervisions = fix_manifests(

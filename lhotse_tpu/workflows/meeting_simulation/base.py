@@ -78,22 +78,26 @@ class MeetingSampler:
         max_utterances_per_speaker: Optional[int] = 5,
         seed: int = 0,
     ):
-        assert all(n > 1 for n in num_speakers_per_meeting), (
-            "The number of speakers per meeting must be greater than 1. "
-            f"Got: {num_speakers_per_meeting}"
-        )
-        assert all(p > 0.0 for p in speaker_count_probs), (
-            "The probabilities of the number of speakers per meeting must be "
-            f"greater than 0. Got: {speaker_count_probs}"
-        )
-        assert abs(sum(speaker_count_probs) - 1.0) < 1e-8, (
-            "The probabilities of the number of speakers per meeting must sum "
-            f"to 1. Got: {speaker_count_probs}"
-        )
-        assert len(num_speakers_per_meeting) == len(speaker_count_probs), (
-            "The number of speakers per meeting and the number of "
-            "probabilities must be the same."
-        )
+        if min(num_speakers_per_meeting) <= 1:
+            raise AssertionError(
+                "The number of speakers per meeting must be greater than 1. "
+                f"Got: {num_speakers_per_meeting}"
+            )
+        if min(speaker_count_probs) <= 0.0:
+            raise AssertionError(
+                "The probabilities of the number of speakers per meeting must "
+                f"be greater than 0. Got: {speaker_count_probs}"
+            )
+        if abs(sum(speaker_count_probs) - 1.0) >= 1e-8:
+            raise AssertionError(
+                "The probabilities of the number of speakers per meeting must "
+                f"sum to 1. Got: {speaker_count_probs}"
+            )
+        if len(num_speakers_per_meeting) != len(speaker_count_probs):
+            raise AssertionError(
+                "The number of speakers per meeting and the number of "
+                "probabilities must be the same."
+            )
 
         # Dict for O(1) removal + sampling of speaker buckets.
         self.samplers = {}
@@ -116,7 +120,6 @@ class MeetingSampler:
 
         self.num_speakers_per_meeting = num_speakers_per_meeting
         self.speaker_count_probs = speaker_count_probs
-
         self.npr = np.random.RandomState(seed)
         self.rng = random.Random(seed)
         self._remaining_meetings = num_meetings
@@ -126,32 +129,29 @@ class MeetingSampler:
             iter(sampler)
         return self
 
-    def __next__(self):
-        if self._remaining_meetings is not None and self._remaining_meetings == 0:
-            raise StopIteration()
+    def _draw_speaker_count(self) -> int:
+        wanted = self.npr.choice(
+            self.num_speakers_per_meeting, p=self.speaker_count_probs
+        )
+        return min(wanted, len(self.samplers))
 
+    def __next__(self):
+        if self._remaining_meetings == 0:
+            raise StopIteration()
         if len(self.samplers) < min(self.num_speakers_per_meeting):
             raise StopIteration()
 
         # Sample the speaker count, then one batch per chosen speaker.
-        N = min(
-            self.npr.choice(self.num_speakers_per_meeting, p=self.speaker_count_probs),
-            len(self.samplers),
-        )
-
-        this_batch_spk_ids = self.rng.sample(sorted(self.samplers.keys()), N)
+        chosen = self.rng.sample(sorted(self.samplers), self._draw_speaker_count())
         utterances = CutSet.from_cuts([])
-        for spk_id in this_batch_spk_ids:
-            sampler = self.samplers[spk_id]
+        for spk_id in chosen:
             try:
-                this_batch = next(sampler)
-                utterances = utterances + this_batch
+                utterances = utterances + next(self.samplers[spk_id])
             except StopIteration:
+                # This speaker's pool ran dry; retire it.
                 del self.samplers[spk_id]
-                continue
 
         utterances = utterances.to_eager().shuffle(rng=self.rng)
-
         if self._remaining_meetings is not None:
             self._remaining_meetings -= 1
         return utterances if len(utterances) > 0 else next(self)

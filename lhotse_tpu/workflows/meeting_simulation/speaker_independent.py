@@ -60,36 +60,41 @@ class SpeakerIndependentMeetingSimulator(BaseMeetingSimulator):
 
         from scipy.stats import expon
 
-        speaker_segments = defaultdict(list)
-        for s in sorted(meetings, key=lambda s: (s.recording_id, s.speaker)):
-            speaker_segments[(s.recording_id, s.speaker)].append(s)
+        per_speaker = defaultdict(list)
+        for s in meetings:
+            per_speaker[(s.recording_id, s.speaker)].append(s)
 
-        inter_speech_intervals = []
-        for segments in speaker_segments.values():
-            segments = sorted(segments, key=lambda s: s.start)
-            for i in range(1, len(segments)):
-                inter_speech_intervals.append(
-                    max(0, segments[i].start - segments[i - 1].end)
-                )
+        gaps = []
+        for segments in per_speaker.values():
+            segments.sort(key=lambda s: s.start)
+            gaps.extend(
+                max(0, nxt.start - prev.end)
+                for prev, nxt in zip(segments, segments[1:])
+            )
 
-        self.loc, self.scale = expon.fit(inter_speech_intervals)
+        self.loc, self.scale = expon.fit(gaps)
         logging.info(f"Learned parameters: loc={self.loc:.2f}, scale={self.scale:.2f}")
 
     def _create_mixture(
         self, utterances: List[CutSet], silence_durations: List[np.ndarray]
     ) -> MixedCut:
         """One track per speaker: utterances chained with sampled pauses."""
-        tracks = []
-        for i, (spk_utterances, spk_silences) in enumerate(
-            zip(utterances, silence_durations)
-        ):
-            spk_utterances = list(spk_utterances)
-            track = spk_utterances[0]
-            for sil, utt in zip(spk_silences[1:], spk_utterances[1:]):
-                track = mix(track, utt, offset=track.duration + sil, allow_padding=True)
-            # The first track must have offset 0.0.
-            track = MixTrack(cut=track, offset=(0 if i == 0 else float(spk_silences[0])))
-            tracks.append(track)
+        def chain(utts, pauses):
+            merged = utts[0]
+            for pause, utt in zip(pauses[1:], utts[1:]):
+                merged = mix(
+                    merged, utt, offset=merged.duration + pause, allow_padding=True
+                )
+            return merged
+
+        tracks = [
+            MixTrack(
+                cut=chain(list(utts), pauses),
+                # The first track must have offset 0.0.
+                offset=0 if i == 0 else float(pauses[0]),
+            )
+            for i, (utts, pauses) in enumerate(zip(utterances, silence_durations))
+        ]
         return MixedCut(id=str(uuid4()), tracks=tracks)
 
     @dill_enabled(True)
@@ -133,24 +138,17 @@ class SpeakerIndependentMeetingSimulator(BaseMeetingSimulator):
             speaker_count_probs=speaker_count_probs,
             seed=seed,
         )
-        sampler_iter = iter(sampler)
-
         work = partial(_simulate_worker, seed=seed, simulator=self)
-
-        mixtures = []
         if num_jobs == 1:
-            for mixture in map(work, sampler_iter):
-                mixtures.append(mixture)
+            mixtures = map(work, iter(sampler))
         else:
-            for mixture in parallel_map(
+            mixtures = parallel_map(
                 work,
-                sampler_iter,
+                iter(sampler),
                 num_jobs=num_jobs,
                 queue_size=num_jobs * MAX_TASKS_WAITING,
-            ):
-                mixtures.append(mixture)
-
-        return CutSet.from_cuts(mixtures)
+            )
+        return CutSet.from_cuts(list(mixtures))
 
     def reverberate(self, cuts: CutSet, *rirs: RecordingSet) -> CutSet:
         return reverberate_cuts(cuts, *rirs)
@@ -163,15 +161,14 @@ def _simulate_worker(
 ) -> MixedCut:
     npr = np.random.RandomState(seed)
 
-    utts_by_speaker = defaultdict(list)
+    by_speaker = defaultdict(list)
     for utt in utterances:
-        utts_by_speaker[utt.supervisions[0].speaker].append(utt)
-
-    utterances = [CutSet.from_cuts(cuts) for cuts in utts_by_speaker.values()]
+        by_speaker[utt.supervisions[0].speaker].append(utt)
+    per_speaker = [CutSet.from_cuts(group) for group in by_speaker.values()]
 
     silence_durations = [
-        simulator.loc + npr.exponential(scale=simulator.scale, size=len(utterances[i]))
-        for i in range(len(utterances))
+        simulator.loc + npr.exponential(scale=simulator.scale, size=len(group))
+        for group in per_speaker
     ]
 
-    return simulator._create_mixture(utterances, silence_durations)
+    return simulator._create_mixture(per_speaker, silence_durations)
