@@ -19,7 +19,7 @@ __all__ = ["librispeech"]
     "--alignments-dir",
     type=click.Path(exists=True, dir_okay=True),
     default=None,
-    help="Path to the directory with the alignments (optional).",
+    help="Directory holding the optional forced alignments.",
 )
 @click.option(
     "-p",
@@ -27,7 +27,7 @@ __all__ = ["librispeech"]
     type=str,
     default=["auto"],
     multiple=True,
-    help="Dataset parts to prepare; pass multiple with repeated `-p`.",
+    help="Which dataset parts to prepare; repeat `-p` for several.",
 )
 @click.option(
     "-j",

@@ -63,24 +63,19 @@ class TokenCollater:
         eos_symbol: str = "<eos>",
         unk_symbol: str = "<unk>",
     ):
-        self.pad_symbol = pad_symbol
-        self.bos_symbol = bos_symbol
-        self.eos_symbol = eos_symbol
-        self.unk_symbol = unk_symbol
+        self.pad_symbol, self.unk_symbol = pad_symbol, unk_symbol
+        self.bos_symbol, self.eos_symbol = bos_symbol, eos_symbol
+        self.add_bos, self.add_eos = add_bos, add_eos
 
-        self.add_eos = add_eos
-        self.add_bos = add_bos
-
-        tokens = {char for cut in cuts for char in cut.supervisions[0].text}
-        tokens_unique = (
-            [pad_symbol, unk_symbol]
-            + ([bos_symbol] if add_bos else [])
-            + ([eos_symbol] if add_eos else [])
-            + sorted(tokens)
-        )
-
-        self.token2idx = {token: idx for idx, token in enumerate(tokens_unique)}
-        self.idx2token = list(tokens_unique)
+        specials = [pad_symbol, unk_symbol]
+        if add_bos:
+            specials.append(bos_symbol)
+        if add_eos:
+            specials.append(eos_symbol)
+        alphabet = sorted({ch for cut in cuts for ch in cut.supervisions[0].text})
+        vocabulary = specials + alphabet
+        self.token2idx = {token: idx for idx, token in enumerate(vocabulary)}
+        self.idx2token = vocabulary
 
     def __call__(self, cuts: CutSet) -> Tuple[np.ndarray, np.ndarray]:
         token_sequences = [
@@ -281,21 +276,15 @@ def collate_video(
 
     id2lens = {}
     for cut in cuts:
+        source = cut if recording_field is None else getattr(cut, recording_field)
         if recording_field is None:
-            video = cut.video
             num_samples = cut.num_samples
         else:
-            video = getattr(cut, recording_field).video
-            num_samples = compute_num_samples(
-                cut.duration, getattr(cut, recording_field).sampling_rate
-            )
-        id2lens[cut.id] = (num_samples, video.num_frames)
+            num_samples = compute_num_samples(cut.duration, source.sampling_rate)
+        id2lens[cut.id] = (num_samples, source.video.num_frames)
 
-    cuts = cuts.pad(
-        duration=max(c.duration for c in cuts),
-        direction=pad_direction,
-        preserve_id=True,
-    )
+    longest = max(c.duration for c in cuts)
+    cuts = cuts.pad(duration=longest, direction=pad_direction, preserve_id=True)
 
     videos, audios, cuts = read_video_from_cuts(
         cuts, with_audio=with_audio, executor=executor, suppress_errors=fault_tolerant

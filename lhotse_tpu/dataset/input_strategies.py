@@ -110,28 +110,28 @@ class PrecomputedFeatures(BatchIO):
                 f"pad_direction must be 'left' or 'right', got {pad_direction}"
             )
 
+        per_sup = [
+            (i, cut, sup)
+            for i, cut in enumerate(cuts)
+            for sup in cut.supervisions
+        ]
         max_frames = max(cut.num_frames for cut in cuts)
-
-        start_frames, nums_frames = zip(
-            *(
-                supervision_to_frames(
-                    sup, cut.frame_shift, cut.sampling_rate, max_frames=cut.num_frames
-                )
-                for cut in cuts
-                for sup in cut.supervisions
+        bounds = [
+            supervision_to_frames(
+                sup, cut.frame_shift, cut.sampling_rate, max_frames=cut.num_frames
             )
-        )
-
+            for _, cut, sup in per_sup
+        ]
+        start_frames = [b[0] for b in bounds]
+        nums_frames = [b[1] for b in bounds]
         if pad_direction == "left":
-            offsets = [
-                max_frames - cut.num_frames for cut in cuts for _ in cut.supervisions
+            # Left padding shifts every supervision by the pad amount.
+            start_frames = [
+                s + (max_frames - cut.num_frames)
+                for s, (_, cut, _) in zip(start_frames, per_sup)
             ]
-            start_frames = [s + o for s, o in zip(start_frames, offsets)]
-
-        sequence_idx = [i for i, c in enumerate(cuts) for _ in c.supervisions]
-
         return {
-            "sequence_idx": np.array(sequence_idx, dtype=np.int32),
+            "sequence_idx": np.array([i for i, _, _ in per_sup], dtype=np.int32),
             "start_frame": np.array(start_frames, dtype=np.int32),
             "num_frames": np.array(nums_frames, dtype=np.int32),
         }

@@ -158,49 +158,45 @@ class StatelessSampler(Dillable):
             f"[ddp_rank={self.rank} worker_id={worker_id}]"
         )
 
+        def _draw_one(n: int):
+            # Pick a file weighted by (scaled) line count, then a uniform
+            # line; seek straight to its byte range.
+            path = rng.choices(self.paths, self.scaled_line_counts)[0]
+            spans = self.index.line_offsets[path]
+            row = rng.randrange(len(spans) - 1)
+            with path.open() as f:
+                f.seek(spans[row])
+                line = f.read(spans[row + 1] - spans[row])
+            cut = deserialize_cut(decode_json_line(line))
+            # The same item may repeat within one mini-batch; CutSet
+            # requires unique IDs.
+            cut.id = f"{cut.id}_it{n}"
+            return cut
+
         def _inner():
-            # Infinite cut generator: pick a file weighted by (scaled) line
-            # count, then a uniform line; seek straight to its byte range.
             n = 0
-            while True:
-                path = rng.choices(self.paths, self.scaled_line_counts)[0]
-                line_offsets = self.index.line_offsets[path]
-                begin_idx = rng.randrange(len(line_offsets) - 1)
-                begin, end = line_offsets[begin_idx], line_offsets[begin_idx + 1]
-                with path.open() as f:
-                    f.seek(begin)
-                    line = f.read(end - begin)
-                data = decode_json_line(line)
-                cut = deserialize_cut(data)
-                # The same item may repeat within one mini-batch; CutSet
-                # requires unique IDs.
-                cut.id = f"{cut.id}_it{n}"
-                yield cut
+            while True:  # infinite cut stream
+                yield _draw_one(n)
                 n += 1
 
+        common = dict(
+            max_duration=self.max_duration,
+            max_cuts=self.max_cuts,
+            shuffle=False,
+            drop_last=False,
+            world_size=1,
+            rank=0,
+        )
         if self.num_buckets is not None or self.duration_bins is not None:
             inner_sampler = DynamicBucketingSampler(
                 _inner(),
-                max_duration=self.max_duration,
-                max_cuts=self.max_cuts,
                 num_buckets=self.num_buckets,
                 duration_bins=self.duration_bins,
-                shuffle=False,
-                drop_last=False,
                 quadratic_duration=self.quadratic_duration,
-                world_size=1,
-                rank=0,
+                **common,
             )
         else:
-            inner_sampler = DynamicCutSampler(
-                _inner(),
-                max_duration=self.max_duration,
-                max_cuts=self.max_cuts,
-                shuffle=False,
-                drop_last=False,
-                world_size=1,
-                rank=0,
-            )
+            inner_sampler = DynamicCutSampler(_inner(), **common)
         if self._transforms:
             transforms = list(self._transforms)
             inner_sampler.map(

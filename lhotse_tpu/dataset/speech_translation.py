@@ -82,7 +82,6 @@ class K2Speech2TextTranslationDataset:
             for s in c.supervisions
         )
         if has_word_alignments:
-            words, starts, ends = [], [], []
             cuts_list = list(cuts)
             frame_shift = cuts_list[0].frame_shift
             sampling_rate = cuts_list[0].sampling_rate
@@ -94,31 +93,23 @@ class K2Speech2TextTranslationDataset:
                         "Can't determine the frame_shift -- it is not present "
                         "either in cuts or the input_strategy. "
                     )
-            for c in cuts_list:
-                for s in c.supervisions:
-                    words.append([aliword.symbol for aliword in s.alignment["word"]])
-                    starts.append(
-                        [
-                            compute_num_frames(
-                                aliword.start,
-                                frame_shift=frame_shift,
-                                sampling_rate=sampling_rate,
-                            )
-                            for aliword in s.alignment["word"]
-                        ]
-                    )
-                    ends.append(
-                        [
-                            compute_num_frames(
-                                aliword.end,
-                                frame_shift=frame_shift,
-                                sampling_rate=sampling_rate,
-                            )
-                            for aliword in s.alignment["word"]
-                        ]
-                    )
-            batch["supervisions"]["word"] = words
-            batch["supervisions"]["word_start"] = starts
-            batch["supervisions"]["word_end"] = ends
+
+            def to_frame(secs):
+                return compute_num_frames(
+                    secs, frame_shift=frame_shift, sampling_rate=sampling_rate
+                )
+
+            word_alis = [
+                s.alignment["word"] for c in cuts_list for s in c.supervisions
+            ]
+            batch["supervisions"]["word"] = [
+                [item.symbol for item in ali] for ali in word_alis
+            ]
+            batch["supervisions"]["word_start"] = [
+                [to_frame(item.start) for item in ali] for ali in word_alis
+            ]
+            batch["supervisions"]["word_end"] = [
+                [to_frame(item.end) for item in ali] for ali in word_alis
+            ]
 
         return batch

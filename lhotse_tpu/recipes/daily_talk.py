@@ -84,17 +84,13 @@ def prepare_daily_talk(
                     language="English",
                     speaker=f"dailytalk_spk{utt['speaker']}",
                     gender="F" if utt["speaker"] == 1 else "M",
-                    custom={
-                        "turn": utt["turn"],
-                        "topic": utt["topic"],
-                        "emotion": utt["emotion"],
-                        "act": utt["act"],
-                    },
+                    custom={k: utt[k] for k in ("turn", "topic", "emotion", "act")},
                 )
             )
 
-    supervisions = SupervisionSet.from_segments(supervisions)
-    recordings, supervisions = fix_manifests(recordings, supervisions)
+    recordings, supervisions = fix_manifests(
+        recordings, SupervisionSet.from_segments(supervisions)
+    )
     validate_recordings_and_supervisions(recordings, supervisions)
     if output_dir is not None:
         output_dir = Path(output_dir)

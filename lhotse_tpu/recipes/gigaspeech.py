@@ -126,32 +126,28 @@ def prepare_gigaspeech(
         ):
             logging.info(f"GigaSpeech subset: {part} already prepared - skipping.")
             continue
-        with RecordingSet.open_writer(
-            output_dir / f"gigaspeech_recordings_{part}.jsonl.gz"
-        ) as rec_writer, SupervisionSet.open_writer(
-            output_dir / f"gigaspeech_supervisions_{part}.jsonl.gz"
-        ) as sup_writer, CutSet.open_writer(
-            output_dir / f"gigaspeech_cuts_{part}.jsonl.gz"
-        ) as cut_writer:
+        out_of = lambda kind: output_dir / f"gigaspeech_{kind}_{part}.jsonl.gz"
+        with RecordingSet.open_writer(out_of("recordings")) as rec_writer, \
+                SupervisionSet.open_writer(out_of("supervisions")) as sup_writer, \
+                CutSet.open_writer(out_of("cuts")) as cut_writer:
             for recording, segments in parallel_map(
                 parse_utterance,
                 gigaspeech.audios("{" + part + "}"),
                 repeat(gigaspeech.gigaspeech_dataset_dir),
                 num_jobs=num_jobs,
             ):
-                recordings, segments = fix_manifests(
-                    recordings=RecordingSet.from_recordings([recording]),
+                one_rec = RecordingSet.from_recordings([recording])
+                one_rec, segments = fix_manifests(
+                    recordings=one_rec,
                     supervisions=SupervisionSet.from_segments(segments),
                 )
                 validate_recordings_and_supervisions(
-                    recordings=recordings, supervisions=segments
+                    recordings=one_rec, supervisions=segments
                 )
-                cuts = CutSet.from_manifests(
-                    recordings=recordings, supervisions=segments
-                )
-                rec_writer.write(recordings[0])
-                for s in segments:
-                    sup_writer.write(s)
+                rec_writer.write(one_rec[0])
+                for seg in segments:
+                    sup_writer.write(seg)
+                cuts = CutSet.from_manifests(recordings=one_rec, supervisions=segments)
                 cut_writer.write(cuts[0])
         manifests[part] = {
             "recordings": RecordingSet.from_jsonl_lazy(rec_writer.path),

@@ -191,22 +191,21 @@ def prepare_libritts(
                         start=0.0,
                         duration=recordings[rec_id].duration,
                         channel=0,
-                        text=norm_text,
                         language="English",
+                        text=norm_text,
                         speaker=spk_id,
                         gender=spk2gender.get(spk_id),
                         custom=customd,
                     )
                 )
 
-        supervisions = SupervisionSet.from_segments(supervisions)
-        recordings, supervisions = fix_manifests(recordings, supervisions)
+        recordings, supervisions = fix_manifests(
+            recordings, SupervisionSet.from_segments(supervisions)
+        )
         validate_recordings_and_supervisions(recordings, supervisions)
         if output_dir is not None:
-            recordings.to_file(output_dir / f"libritts_recordings_{part}.jsonl.gz")
-            supervisions.to_file(
-                output_dir / f"libritts_supervisions_{part}.jsonl.gz"
-            )
+            for kind, manifest in (("recordings", recordings), ("supervisions", supervisions)):
+                manifest.to_file(output_dir / f"libritts_{kind}_{part}.jsonl.gz")
         manifests[part] = {"recordings": recordings, "supervisions": supervisions}
     return manifests
 

@@ -83,23 +83,24 @@ def prepare_mls(
                 num_jobs=num_jobs,
                 force_opus_sampling_rate=16000,
             )
-            supervisions = []
-            for line in (split_dir / "transcripts.txt").read_text().splitlines():
+            def parse_row(line: str) -> SupervisionSegment:
                 recording_id, text = line.split("\t")
                 speaker = recording_id.split("_")[0]
-                supervisions.append(
-                    SupervisionSegment(
-                        id=recording_id,
-                        recording_id=recording_id,
-                        text=text,
-                        speaker=speaker,
-                        gender=spk2gender.get(speaker),
-                        start=0.0,
-                        duration=recordings.duration(recording_id),
-                        language=lang,
-                    )
+                return SupervisionSegment(
+                    id=recording_id,
+                    recording_id=recording_id,
+                    text=text,
+                    speaker=speaker,
+                    gender=spk2gender.get(speaker),
+                    start=0.0,
+                    duration=recordings.duration(recording_id),
+                    language=lang,
                 )
-            supervisions = SupervisionSet.from_segments(supervisions)
+
+            transcript_rows = (split_dir / "transcripts.txt").read_text().splitlines()
+            supervisions = SupervisionSet.from_segments(
+                parse_row(line) for line in transcript_rows
+            )
             recordings, supervisions = fix_manifests(recordings, supervisions)
             validate_recordings_and_supervisions(recordings, supervisions)
             manifests[lang][split] = {
