@@ -36,10 +36,7 @@ from lhotse_tpu.utils import fastcopy, is_module_available
 
 # File-based storage types -> their in-memory equivalents
 # (reference: batch_loader.py:21-26).
-FILE_TO_MEMORY_TYPE = {
-    "numpy_files": "memory_raw",
-    "lilcom_files": "memory_lilcom",
-}
+FILE_TO_MEMORY_TYPE = {"numpy_files": "memory_raw", "lilcom_files": "memory_lilcom"}
 
 
 class AISBatchLoaderError(Exception):
@@ -183,9 +180,7 @@ def _inject_recording(rec: Recording, slot_payloads: Dict[str, bytes]) -> Record
     sources = list(rec.sources)
     for slot, payload in slot_payloads.items():
         i = int(slot.split(":")[1])
-        sources[i] = fastcopy(
-            sources[i], type="memory", source=payload
-        )
+        sources[i] = fastcopy(sources[i], type="memory", source=payload)
     return fastcopy(rec, sources=sources)
 
 
@@ -209,11 +204,7 @@ class AISBatchLoader:
 
     def __init__(self, fetcher: Optional[BatchFetcher] = None):
         if fetcher is None:
-            fetcher = (
-                AISBatchFetcher()
-                if is_module_available("aistore")
-                else LocalBatchFetcher()
-            )
+            fetcher = (AISBatchFetcher() if is_module_available("aistore") else LocalBatchFetcher())
         self.fetcher = fetcher
 
     def __call__(self, cuts):
@@ -234,9 +225,7 @@ class AISBatchLoader:
         try:
             payloads = self.fetcher.fetch(order)
         except Exception as e:
-            raise AISBatchLoaderError(
-                f"Batch fetch of {len(order)} objects failed: {e}"
-            ) from e
+            raise AISBatchLoaderError(f"Batch fetch of {len(order)} objects failed: {e}") from e
         if len(payloads) != len(order):
             raise AISBatchLoaderError(
                 f"Fetcher returned {len(payloads)} payloads for "
@@ -247,9 +236,7 @@ class AISBatchLoader:
         by_owner: Dict[Tuple[int, str], Dict[str, bytes]] = {}
         cut_index = {id(c): i for i, c in enumerate(cuts)}
         for (cut, field), slot, req in triples:
-            by_owner.setdefault((cut_index[id(cut)], field), {})[slot] = payloads[
-                unique[req]
-            ]
+            by_owner.setdefault((cut_index[id(cut)], field), {})[slot] = payloads[unique[req]]
 
         out = [fastcopy(c) for c in cuts]
         for (ci, field), slot_payloads in by_owner.items():
@@ -257,24 +244,16 @@ class AISBatchLoader:
             if field == "recording":
                 cut.recording = _inject_recording(cut.recording, slot_payloads)
             elif field == "features":
-                cut.features = _inject_manifest(
-                    cut.features, slot_payloads["storage"]
-                )
+                cut.features = _inject_manifest(cut.features, slot_payloads["storage"])
             elif field.startswith("custom:"):
                 key = field.split(":", 1)[1]
                 cut.custom = dict(cut.custom)
                 value = cut.custom[key]
                 if isinstance(value, TemporalArray):
                     cut.custom[key] = fastcopy(
-                        value,
-                        array=_inject_manifest(
-                            value.array, slot_payloads["storage"]
-                        ),
-                    )
+                        value, array=_inject_manifest( value.array, slot_payloads["storage"] ))
                 elif isinstance(value, Array):
-                    cut.custom[key] = _inject_manifest(
-                        value, slot_payloads["storage"]
-                    )
+                    cut.custom[key] = _inject_manifest(value, slot_payloads["storage"])
                 elif isinstance(value, Recording):
                     cut.custom[key] = _inject_recording(value, slot_payloads)
         return CutSet.from_cuts(out)

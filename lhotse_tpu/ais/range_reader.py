@@ -16,9 +16,7 @@ from lhotse_tpu.utils import is_module_available
 
 class AISRangeReader:
     def __init__(self, url: str):
-        assert is_module_available("aistore"), (
-            "AISRangeReader requires the 'aistore' package."
-        )
+        assert is_module_available("aistore"), ("AISRangeReader requires the 'aistore' package.")
         self._url = url
         self._obj = None
         self._size: Optional[int] = None

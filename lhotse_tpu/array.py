@@ -36,12 +36,7 @@ def _memory_copy(arr: np.ndarray, lilcom: bool) -> "Array":
     compress = lilcom and np.issubdtype(arr.dtype, np.floating)
     writer = get_memory_writer("memory_lilcom" if compress else "memory_raw")()
     blob = writer.write("", arr)
-    return Array(
-        storage_type=writer.name,
-        storage_path="",
-        storage_key=blob,
-        shape=list(arr.shape),
-    )
+    return Array(storage_type=writer.name, storage_path="", storage_key=blob, shape=list(arr.shape))
 
 
 @dataclass
@@ -158,23 +153,16 @@ class TemporalArray:
         right = None
         if duration is not None:
             right = left + seconds_to_frames(
-                duration, frame_shift=self.frame_shift, max_index=max_frames
-            )
+                duration, frame_shift=self.frame_shift, max_index=max_frames)
         return left, right
 
     def load(
-        self,
-        start: Optional[Seconds] = None,
-        duration: Optional[Seconds] = None,
-    ) -> np.ndarray:
+        self, start: Optional[Seconds] = None, duration: Optional[Seconds] = None) -> np.ndarray:
         """Load the array, optionally partially along ``temporal_dim``."""
         left, right = self._frame_window(start, duration)
         storage = _open_storage(self.array.storage_type, self.array.storage_path)
         return storage.read(
-            self.array.storage_key,
-            left_offset_frames=left,
-            right_offset_frames=right,
-        )
+            self.array.storage_key, left_offset_frames=left, right_offset_frames=right)
 
     def with_path_prefix(self, path: Pathlike) -> "TemporalArray":
         return fastcopy(self, array=self.array.with_path_prefix(path))
@@ -183,10 +171,7 @@ class TemporalArray:
         return fastcopy(self, **kwargs)
 
     def move_to_memory(
-        self,
-        start: Seconds = 0,
-        duration: Optional[Seconds] = None,
-        lilcom: bool = False,
+        self, start: Seconds = 0, duration: Optional[Seconds] = None, lilcom: bool = False,
     ) -> "TemporalArray":
         if self.array.storage_type in _MEMORY_TYPES:
             return self
@@ -206,8 +191,7 @@ class TemporalArray:
 
 
 def seconds_to_frames(
-    duration: Seconds, frame_shift: Seconds, max_index: Optional[int] = None
-) -> int:
+    duration: Seconds, frame_shift: Seconds, max_index: Optional[int] = None) -> int:
     """
     Convert a time quantity in seconds to a frame index, limited to the array
     shape when ``max_index`` is given (reference: array.py:330, 8-digit
@@ -229,13 +213,8 @@ def deserialize_array(raw_data: dict) -> Union[Array, TemporalArray]:
 
 
 def pad_array(
-    array: np.ndarray,
-    temporal_dim: int,
-    frame_shift: Seconds,
-    offset: Seconds,
-    padded_duration: Seconds,
-    pad_value: Union[int, float],
-) -> np.ndarray:
+    array: np.ndarray, temporal_dim: int, frame_shift: Seconds, offset: Seconds,
+    padded_duration: Seconds, pad_value: Union[int, float]) -> np.ndarray:
     """
     Pad an array along its temporal dim, guided by durations: ``offset``
     seconds of padding in front, total ``padded_duration`` after padding.

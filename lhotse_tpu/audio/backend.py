@@ -74,19 +74,14 @@ class AudioBackend:
         return True
 
     def read_audio(
-        self,
-        path_or_fd: Union[Pathlike, FileObject],
-        offset: Seconds = 0.0,
-        duration: Optional[Seconds] = None,
-        force_opus_sampling_rate: Optional[int] = None,
+        self, path_or_fd: Union[Pathlike, FileObject], offset: Seconds = 0.0,
+        duration: Optional[Seconds] = None, force_opus_sampling_rate: Optional[int] = None,
     ) -> Tuple[np.ndarray, int]:
         raise NotImplementedError()
 
     def info(
-        self,
-        path_or_fd: Union[Pathlike, FileObject],
-        force_opus_sampling_rate: Optional[int] = None,
-    ) -> LibsndfileCompatibleAudioInfo:
+        self, path_or_fd: Union[Pathlike, FileObject],
+        force_opus_sampling_rate: Optional[int] = None) -> LibsndfileCompatibleAudioInfo:
         raise NotImplementedError()
 
     def handles_special_case(self, path_or_fd: Union[Pathlike, FileObject]) -> bool:
@@ -102,13 +97,8 @@ class AudioBackend:
         return False
 
     def save_audio(
-        self,
-        dest: Union[str, Path, BytesIO],
-        src: np.ndarray,
-        sampling_rate: int,
-        format: Optional[str] = None,
-        encoding: Optional[str] = None,
-    ) -> None:
+        self, dest: Union[str, Path, BytesIO], src: np.ndarray, sampling_rate: int,
+        format: Optional[str] = None, encoding: Optional[str] = None) -> None:
         raise NotImplementedError()
 
 
@@ -130,12 +120,8 @@ class InternalWavBackend(AudioBackend):
     (:mod:`lhotse_tpu.audio.wavio`)."""
 
     def read_audio(
-        self,
-        path_or_fd,
-        offset: Seconds = 0.0,
-        duration: Optional[Seconds] = None,
-        force_opus_sampling_rate: Optional[int] = None,
-    ) -> Tuple[np.ndarray, int]:
+        self, path_or_fd, offset: Seconds = 0.0, duration: Optional[Seconds] = None,
+        force_opus_sampling_rate: Optional[int] = None) -> Tuple[np.ndarray, int]:
         # Probe header first to translate seconds -> frames.
         if isinstance(path_or_fd, (str, Path)):
             hdr = info_wav(path_or_fd)
@@ -161,11 +147,8 @@ class InternalWavBackend(AudioBackend):
     def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
         hdr = info_wav(path_or_fd)
         return LibsndfileCompatibleAudioInfo(
-            channels=hdr.num_channels,
-            frames=hdr.num_frames,
-            samplerate=hdr.sampling_rate,
-            duration=hdr.num_frames / hdr.sampling_rate,
-        )
+            channels=hdr.num_channels, frames=hdr.num_frames, samplerate=hdr.sampling_rate,
+            duration=hdr.num_frames / hdr.sampling_rate)
 
     def is_applicable(self, path_or_fd) -> bool:
         sfx = _suffix_of(path_or_fd)
@@ -189,17 +172,10 @@ class InternalWavBackend(AudioBackend):
     def supports_save(self) -> bool:
         return True
 
-    def save_audio(
-        self, dest, src, sampling_rate: int, format=None, encoding=None
-    ) -> None:
+    def save_audio(self, dest, src, sampling_rate: int, format=None, encoding=None) -> None:
         subtype = {
-            None: "pcm16",
-            "PCM_16": "pcm16",
-            "PCM_24": "pcm24",
-            "PCM_32": "pcm32",
-            "FLOAT": "float32",
-            "DOUBLE": "float64",
-        }.get(encoding, encoding or "pcm16")
+            None: "pcm16", "PCM_16": "pcm16", "PCM_24": "pcm24", "PCM_32": "pcm32",
+            "FLOAT": "float32", "DOUBLE": "float64"}.get(encoding, encoding or "pcm16")
         write_wav(dest, np.asarray(src), sampling_rate, subtype=subtype)
 
 
@@ -208,12 +184,8 @@ class FlacBackend(AudioBackend):
     (:mod:`lhotse_tpu.audio.flacio`)."""
 
     def read_audio(
-        self,
-        path_or_fd,
-        offset: Seconds = 0.0,
-        duration: Optional[Seconds] = None,
-        force_opus_sampling_rate: Optional[int] = None,
-    ) -> Tuple[np.ndarray, int]:
+        self, path_or_fd, offset: Seconds = 0.0, duration: Optional[Seconds] = None,
+        force_opus_sampling_rate: Optional[int] = None) -> Tuple[np.ndarray, int]:
         from lhotse_tpu.audio.flacio import read_flac
 
         samples, sr = read_flac(path_or_fd)
@@ -228,11 +200,8 @@ class FlacBackend(AudioBackend):
 
         hdr = info_flac(path_or_fd)
         return LibsndfileCompatibleAudioInfo(
-            channels=hdr.num_channels,
-            frames=hdr.num_frames,
-            samplerate=hdr.sampling_rate,
-            duration=hdr.num_frames / hdr.sampling_rate,
-        )
+            channels=hdr.num_channels, frames=hdr.num_frames, samplerate=hdr.sampling_rate,
+            duration=hdr.num_frames / hdr.sampling_rate)
 
     def is_applicable(self, path_or_fd) -> bool:
         sfx = _suffix_of(path_or_fd)
@@ -269,7 +238,7 @@ class SoundfileBackend(AudioBackend):
         return is_module_available("soundfile")
 
     def read_audio(
-        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None
+        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None,
     ) -> Tuple[np.ndarray, int]:
         import soundfile as sf
 
@@ -288,8 +257,7 @@ class SoundfileBackend(AudioBackend):
 
         i = sf.info(path_or_fd)
         return LibsndfileCompatibleAudioInfo(
-            channels=i.channels, frames=i.frames, samplerate=i.samplerate, duration=i.duration
-        )
+            channels=i.channels, frames=i.frames, samplerate=i.samplerate, duration=i.duration)
 
     def supports_info(self) -> bool:
         return True
@@ -316,17 +284,14 @@ class AudioreadBackend(AudioBackend):
         return is_module_available("audioread")
 
     def read_audio(
-        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None
+        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None,
     ) -> Tuple[np.ndarray, int]:
         import audioread
 
         with audioread.audio_open(str(path_or_fd)) as f:
             sampling_rate = f.samplerate
             channels = f.channels
-            chunks = [
-                np.frombuffer(buf, dtype=np.int16).reshape(-1, channels)
-                for buf in f
-            ]
+            chunks = [np.frombuffer(buf, dtype=np.int16).reshape(-1, channels) for buf in f]
         samples = (
             np.concatenate(chunks, axis=0).T.astype(np.float32) / 32768.0
             if chunks
@@ -354,7 +319,7 @@ class TorchcodecBackend(AudioBackend):
         return is_module_available("torchcodec")
 
     def read_audio(
-        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None
+        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None,
     ) -> Tuple[np.ndarray, int]:
         from torchcodec.decoders import AudioDecoder
 
@@ -364,8 +329,7 @@ class TorchcodecBackend(AudioBackend):
         if offset or duration is not None:
             stop = (offset + duration) if duration is not None else None
             samples = decoder.get_samples_played_in_range(
-                start_seconds=float(offset), stop_seconds=stop
-            ).data
+                start_seconds=float(offset), stop_seconds=stop).data
         else:
             samples = decoder.get_all_samples().data
         return samples.numpy().astype(np.float32), sampling_rate
@@ -384,7 +348,7 @@ class FfmpegSubprocessBackend(AudioBackend):
         return shutil.which("ffmpeg") is not None
 
     def read_audio(
-        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None
+        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None,
     ) -> Tuple[np.ndarray, int]:
         is_opus = False
         if isinstance(path_or_fd, (str, Path)):
@@ -418,10 +382,8 @@ class FfmpegSubprocessBackend(AudioBackend):
 
     def _probe(self, src_arg: str, stdin: Optional[bytes]) -> dict:
         cmd = [
-            "ffprobe", "-v", "error", "-select_streams", "a:0",
-            "-show_entries", "stream=sample_rate,channels,duration",
-            "-of", "default=noprint_wrappers=1", src_arg,
-        ]
+            "ffprobe", "-v", "error", "-select_streams", "a:0", "-show_entries",
+            "stream=sample_rate,channels,duration", "-of", "default=noprint_wrappers=1", src_arg]
         proc = subprocess.run(cmd, input=stdin, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         if proc.returncode != 0:
             raise AudioLoadingError(f"ffprobe failed: {proc.stderr.decode(errors='replace')}")
@@ -447,11 +409,8 @@ class FfmpegSubprocessBackend(AudioBackend):
         duration = probe["duration"] or 0.0
         frames = int(round(duration * probe["sample_rate"]))
         return LibsndfileCompatibleAudioInfo(
-            channels=probe["channels"],
-            frames=frames,
-            samplerate=probe["sample_rate"],
-            duration=duration,
-        )
+            channels=probe["channels"], frames=frames, samplerate=probe["sample_rate"],
+            duration=duration)
 
     def supports_info(self) -> bool:
         return True
@@ -477,29 +436,21 @@ class Sph2pipeSubprocessBackend(AudioBackend):
     is_applicable = handles_special_case
 
     def read_audio(
-        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None
+        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None,
     ) -> Tuple[np.ndarray, int]:
-        assert isinstance(
-            path_or_fd, (str, Path)
-        ), "sph2pipe backend supports only file paths"
+        assert isinstance(path_or_fd, (str, Path)), "sph2pipe backend supports only file paths"
         cmd = ["sph2pipe", "-f", "wav", "-p", str(path_or_fd)]
         proc = subprocess.run(cmd, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         if proc.returncode != 0:
-            raise AudioLoadingError(
-                f"sph2pipe failed: {proc.stderr.decode(errors='replace')}"
-            )
+            raise AudioLoadingError(f"sph2pipe failed: {proc.stderr.decode(errors='replace')}")
         return InternalWavBackend().read_audio(
-            BytesIO(proc.stdout), offset=offset, duration=duration
-        )
+            BytesIO(proc.stdout), offset=offset, duration=duration)
 
     def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
         samples, sr = self.read_audio(path_or_fd)
         return LibsndfileCompatibleAudioInfo(
-            channels=samples.shape[0],
-            frames=samples.shape[1],
-            samplerate=sr,
-            duration=samples.shape[1] / sr,
-        )
+            channels=samples.shape[0], frames=samples.shape[1], samplerate=sr,
+            duration=samples.shape[1] / sr)
 
     def supports_info(self) -> bool:
         return True
@@ -543,20 +494,14 @@ class CompositeAudioBackend(AudioBackend):
         raise AudioLoadingError(f"Reading audio from '{npath}' failed. Details:\n{detail}")
 
     def read_audio(
-        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None
+        self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None,
     ) -> Tuple[np.ndarray, int]:
         return self._run(
-            "read_audio",
-            path_or_fd,
-            offset=offset,
-            duration=duration,
-            force_opus_sampling_rate=force_opus_sampling_rate,
-        )
+            "read_audio", path_or_fd, offset=offset, duration=duration,
+            force_opus_sampling_rate=force_opus_sampling_rate)
 
     def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
-        return self._run(
-            "info", path_or_fd, force_opus_sampling_rate=force_opus_sampling_rate
-        )
+        return self._run("info", path_or_fd, force_opus_sampling_rate=force_opus_sampling_rate)
 
     def supports_info(self) -> bool:
         return True
@@ -570,8 +515,7 @@ class CompositeAudioBackend(AudioBackend):
             fmt = Path(dest).suffix.lstrip(".").lower() or None
         if fmt in (None, "wav", "wave"):
             return InternalWavBackend().save_audio(
-                dest, src, sampling_rate, format=fmt, encoding=encoding
-            )
+                dest, src, sampling_rate, format=fmt, encoding=encoding)
         if fmt == "flac":
             return FlacBackend().save_audio(dest, src, sampling_rate)
         for b in self.backends:
@@ -582,9 +526,7 @@ class CompositeAudioBackend(AudioBackend):
 
 def available_audio_backends() -> List[str]:
     """List the names of all available audio backends."""
-    return sorted(
-        name for name, b in AudioBackend.KNOWN_BACKENDS.items() if b.is_available()
-    )
+    return sorted(name for name, b in AudioBackend.KNOWN_BACKENDS.items() if b.is_available())
 
 
 def set_current_audio_backend(backend: Union[str, AudioBackend]) -> AudioBackend:
@@ -604,9 +546,7 @@ def get_current_audio_backend() -> AudioBackend:
     global CURRENT_AUDIO_BACKEND
     if CURRENT_AUDIO_BACKEND is not None:
         return CURRENT_AUDIO_BACKEND
-    env = os.environ.get("LHOTSE_TPU_AUDIO_BACKEND") or os.environ.get(
-        "LHOTSE_AUDIO_BACKEND"
-    )
+    env = os.environ.get("LHOTSE_TPU_AUDIO_BACKEND") or os.environ.get("LHOTSE_AUDIO_BACKEND")
     if env:
         return set_current_audio_backend(env)
     return get_default_audio_backend()
@@ -657,49 +597,33 @@ class audio_backend:
 
 
 def read_audio(
-    path_or_fd: Union[Pathlike, FileObject],
-    offset: Seconds = 0.0,
-    duration: Optional[Seconds] = None,
-    force_opus_sampling_rate: Optional[int] = None,
+    path_or_fd: Union[Pathlike, FileObject], offset: Seconds = 0.0,
+    duration: Optional[Seconds] = None, force_opus_sampling_rate: Optional[int] = None,
 ) -> Tuple[np.ndarray, int]:
     """Read audio returning ``(samples(channels, frames) float32, sampling_rate)``
     (reference: audio/backend.py:1662)."""
     return get_current_audio_backend().read_audio(
-        path_or_fd,
-        offset=offset,
-        duration=duration,
-        force_opus_sampling_rate=force_opus_sampling_rate,
-    )
+        path_or_fd, offset=offset, duration=duration,
+        force_opus_sampling_rate=force_opus_sampling_rate)
 
 
 def info(
-    path_or_fd: Union[Pathlike, FileObject],
-    force_opus_sampling_rate: Optional[int] = None,
-    force_read_audio: bool = False,
-) -> LibsndfileCompatibleAudioInfo:
+    path_or_fd: Union[Pathlike, FileObject], force_opus_sampling_rate: Optional[int] = None,
+    force_read_audio: bool = False) -> LibsndfileCompatibleAudioInfo:
     """Probe audio metadata, preferring header-only reads (reference: audio/backend.py:1676)."""
     backend = get_current_audio_backend()
     if force_read_audio:
         samples, sr = backend.read_audio(
-            path_or_fd, force_opus_sampling_rate=force_opus_sampling_rate
-        )
+            path_or_fd, force_opus_sampling_rate=force_opus_sampling_rate)
         return LibsndfileCompatibleAudioInfo(
-            channels=samples.shape[0],
-            frames=samples.shape[1],
-            samplerate=sr,
-            duration=samples.shape[1] / sr,
-        )
+            channels=samples.shape[0], frames=samples.shape[1], samplerate=sr,
+            duration=samples.shape[1] / sr)
     return backend.info(path_or_fd, force_opus_sampling_rate=force_opus_sampling_rate)
 
 
 def save_audio(
-    dest: Union[str, Path, BytesIO],
-    src: np.ndarray,
-    sampling_rate: int,
-    format: Optional[str] = None,
-    encoding: Optional[str] = None,
-) -> None:
+    dest: Union[str, Path, BytesIO], src: np.ndarray, sampling_rate: int,
+    format: Optional[str] = None, encoding: Optional[str] = None) -> None:
     """Save audio samples (reference: audio/backend.py:1646)."""
     return get_current_audio_backend().save_audio(
-        dest, src, sampling_rate, format=format, encoding=encoding
-    )
+        dest, src, sampling_rate, format=format, encoding=encoding)

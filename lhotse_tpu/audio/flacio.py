@@ -35,9 +35,7 @@ def _source_path() -> Path:
         cand = base / "native" / "flac" / "flac_codec.c"
         if cand.is_file():
             return cand
-    raise FileNotFoundError(
-        "flac_codec.c not found — expected it under <repo>/native/flac/."
-    )
+    raise FileNotFoundError("flac_codec.c not found — expected it under <repo>/native/flac/.")
 
 
 def _cache_dir() -> Path:
@@ -69,9 +67,7 @@ def _build_library() -> Path:
         except (subprocess.CalledProcessError, OSError) as e:
             last_err = e
             continue
-    raise RuntimeError(
-        f"Failed to build the native FLAC codec with '{cc}': {last_err}"
-    )
+    raise RuntimeError(f"Failed to build the native FLAC codec with '{cc}': {last_err}")
 
 
 def _get_lib():
@@ -85,30 +81,16 @@ def _get_lib():
         lib = ctypes.CDLL(str(so_path))
         lib.flac_parse_info.restype = ctypes.c_int
         lib.flac_parse_info.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_longlong),
-        ]
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_longlong)]
         lib.flac_decode.restype = ctypes.c_longlong
         lib.flac_decode.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_longlong,
-        ]
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong]
         lib.flac_encode.restype = ctypes.c_longlong
         lib.flac_encode.argtypes = [
-            ctypes.POINTER(ctypes.c_int32),
-            ctypes.c_longlong,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_size_t,
-        ]
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
         _LIB = lib
         return _LIB
 
@@ -153,17 +135,12 @@ def info_flac(path_or_fd) -> FlacInfo:
     bps = ctypes.c_int()
     total = ctypes.c_longlong()
     rc = lib.flac_parse_info(
-        data, len(data), ctypes.byref(ch), ctypes.byref(sr), ctypes.byref(bps),
-        ctypes.byref(total),
-    )
+        data, len(data), ctypes.byref(ch), ctypes.byref(sr), ctypes.byref(bps), ctypes.byref(total))
     if rc != 0:
         raise ValueError(f"Not a valid FLAC stream (error {rc}).")
     return FlacInfo(
-        num_channels=ch.value,
-        sampling_rate=sr.value,
-        bits_per_sample=bps.value,
-        num_frames=int(total.value),
-    )
+        num_channels=ch.value, sampling_rate=sr.value, bits_per_sample=bps.value,
+        num_frames=int(total.value))
 
 
 def read_flac(path_or_fd) -> Tuple[np.ndarray, int]:
@@ -177,8 +154,7 @@ def read_flac(path_or_fd) -> Tuple[np.ndarray, int]:
         total = max(1, len(data) * 4 // max(1, info.num_channels))
     out = np.empty(total * info.num_channels, dtype=np.int32)
     decoded = lib.flac_decode(
-        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), total
-    )
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), total)
     if decoded < 0:
         raise ValueError(f"FLAC decode failed (error {decoded}).")
     pcm = out[: decoded * info.num_channels].reshape(decoded, info.num_channels).T
@@ -186,12 +162,7 @@ def read_flac(path_or_fd) -> Tuple[np.ndarray, int]:
     return (pcm.astype(np.float32) / scale), info.sampling_rate
 
 
-def write_flac(
-    dest,
-    samples: np.ndarray,
-    sampling_rate: int,
-    bits_per_sample: int = 16,
-) -> None:
+def write_flac(dest, samples: np.ndarray, sampling_rate: int, bits_per_sample: int = 16) -> None:
     """
     Encode float samples (``(channels, frames)`` or ``(frames,)`` in [-1, 1],
     or integer PCM) to FLAC at ``dest`` (path or writable file-like).
@@ -214,14 +185,9 @@ def write_flac(
     cap = interleaved.nbytes + frames * channels // 2 + (frames // 4096 + 2) * 64 + 1024
     out = np.empty(cap, dtype=np.uint8)
     n = lib.flac_encode(
-        interleaved.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        frames,
-        channels,
-        int(sampling_rate),
-        int(bits_per_sample),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        cap,
-    )
+        interleaved.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), frames, channels,
+        int(sampling_rate), int(bits_per_sample),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
     if n < 0:
         raise ValueError(f"FLAC encode failed (error {n}).")
     payload = bytearray(out[:n].tobytes())
@@ -230,9 +196,7 @@ def write_flac(
     if bits_per_sample == 16:
         import hashlib
 
-        md5 = hashlib.md5(
-            np.ascontiguousarray(pcm.T).astype("<i2").tobytes()
-        ).digest()
+        md5 = hashlib.md5(np.ascontiguousarray(pcm.T).astype("<i2").tobytes()).digest()
         payload[26:42] = md5
     payload = bytes(payload)
     if isinstance(dest, (str, Path)):

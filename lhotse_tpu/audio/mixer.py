@@ -29,12 +29,8 @@ class AudioMixer:
     """
 
     def __init__(
-        self,
-        base_audio: np.ndarray,
-        sampling_rate: int,
-        reference_energy: Optional[float] = None,
-        base_offset: Seconds = 0.0,
-    ):
+        self, base_audio: np.ndarray, sampling_rate: int, reference_energy: Optional[float] = None,
+        base_offset: Seconds = 0.0):
         self.sampling_rate = sampling_rate
         self.tracks = [base_audio]
         self.offsets = [compute_num_samples(base_offset, sampling_rate)]
@@ -43,9 +39,7 @@ class AudioMixer:
             audio_energy(base_audio) if reference_energy is None else reference_energy
         )
 
-    def _pad_track(
-        self, audio: np.ndarray, offset: int, total: Optional[int] = None
-    ) -> np.ndarray:
+    def _pad_track(self, audio: np.ndarray, offset: int, total: Optional[int] = None) -> np.ndarray:
         assert audio.ndim == 2, f"audio.ndim={audio.ndim}"
         if total is None:
             total = audio.shape[1] + offset
@@ -56,17 +50,15 @@ class AudioMixer:
     def num_samples_total(self) -> int:
         return max(
             (offset + audio.shape[1] for offset, audio in zip(self.offsets, self.tracks)),
-            default=0,
-        )
+            default=0)
 
     @property
     def unmixed_audio(self) -> List[np.ndarray]:
         """Each track zero-padded/scaled to the mix length: list of (C, N)."""
         total = self.num_samples_total
         return [
-            self._pad_track(track, offset=offset, total=total)
-            for offset, track in zip(self.offsets, self.tracks)
-        ]
+            self._pad_track(track, offset=offset, total=total) for offset,
+            track in zip(self.offsets, self.tracks)]
 
     @property
     def mixed_audio(self) -> np.ndarray:
@@ -91,12 +83,7 @@ class AudioMixer:
             mixed[:, offset : offset + track.shape[1]] += track
         return mixed
 
-    def add_to_mix(
-        self,
-        audio: np.ndarray,
-        snr: Optional[Decibels] = None,
-        offset: Seconds = 0.0,
-    ):
+    def add_to_mix(self, audio: np.ndarray, snr: Optional[Decibels] = None, offset: Seconds = 0.0):
         """
         Add a new track; ``snr`` treats ``audio`` as noise relative to the
         reference (positive SNR ⇒ lower added-signal energy).
@@ -145,9 +132,7 @@ class VideoMixer:
         if total is None:
             total = video.shape[0] + offset
         assert video.shape[0] + offset <= total
-        pad_width = ((offset, total - video.shape[0] - offset),) + ((0, 0),) * (
-            video.ndim - 1
-        )
+        pad_width = ((offset, total - video.shape[0] - offset),) + ((0, 0),) * (video.ndim - 1)
         return np.pad(video, pad_width)
 
     @property
@@ -158,9 +143,8 @@ class VideoMixer:
     def unmixed_video(self) -> List[np.ndarray]:
         total = self.num_frames_total
         return [
-            self._pad_track(track, offset=offset, total=total)
-            for offset, track in zip(self.offsets, self.tracks)
-        ]
+            self._pad_track(track, offset=offset, total=total) for offset,
+            track in zip(self.offsets, self.tracks)]
 
     @property
     def mixed_video(self) -> np.ndarray:

@@ -25,35 +25,13 @@ import numpy as np
 from lhotse_tpu.audio.backend import get_current_audio_backend, info, save_audio
 from lhotse_tpu.audio.source import AudioSource
 from lhotse_tpu.audio.utils import (
-    AudioLoadingError,
-    DurationMismatchError,
-    VideoInfo,
-    get_audio_duration_mismatch_tolerance,
-)
+    AudioLoadingError, DurationMismatchError, VideoInfo, get_audio_duration_mismatch_tolerance)
 from lhotse_tpu.augmentation import (
-    AudioTransform,
-    Clipping,
-    Compress,
-    DereverbWPE,
-    LoudnessNormalization,
-    Narrowband,
-    Resample,
-    ReverbWithImpulseResponse,
-    Speed,
-    Tempo,
-    Volume,
-)
+    AudioTransform, Clipping, Compress, DereverbWPE, LoudnessNormalization, Narrowband, Resample,
+    ReverbWithImpulseResponse, Speed, Tempo, Volume)
 from lhotse_tpu.utils import (
-    Channels,
-    Pathlike,
-    Seconds,
-    asdict_nonull,
-    compute_num_samples,
-    fastcopy,
-    ifnone,
-    perturb_num_samples,
-    rich_exception_info,
-)
+    Channels, Pathlike, Seconds, asdict_nonull, compute_num_samples, fastcopy, ifnone,
+    perturb_num_samples, rich_exception_info)
 
 
 class SetContainingAnything:
@@ -84,13 +62,9 @@ class Recording:
 
     def __post_init__(self):
         if self.channel_ids is None:
-            self.channel_ids = sorted(
-                cid for src in self.sources for cid in src.channels
-            )
+            self.channel_ids = sorted(cid for src in self.sources for cid in src.channels)
         if sum(src.has_video for src in self.sources) > 1:
-            raise AssertionError(
-                "More than one video stream per recording is not supported."
-            )
+            raise AssertionError("More than one video stream per recording is not supported.")
 
     # -- introspection -----------------------------------------------------------
 
@@ -100,8 +74,7 @@ class Recording:
     _video_source = property(lambda self: self._matching_source(lambda s: s.has_video))
     video = property(
         lambda self: getattr(self._video_source, "video", None),
-        doc="VideoInfo of the video stream, if this recording has one.",
-    )
+        doc="VideoInfo of the video stream, if this recording has one.")
     has_video = property(lambda self: self._video_source is not None)
     is_in_memory = property(
         lambda self: self._matching_source(lambda s: s.type == "memory") is not None
@@ -125,11 +98,9 @@ class Recording:
 
     @staticmethod
     def from_file(
-        path: Pathlike,
-        recording_id: Optional[Union[str, Callable[[Path], str]]] = None,
-        relative_path_depth: Optional[int] = None,
-        force_opus_sampling_rate: Optional[int] = None, force_read_audio: bool = False,
-    ) -> "Recording":
+        path: Pathlike, recording_id: Optional[Union[str, Callable[[Path], str]]] = None,
+        relative_path_depth: Optional[int] = None, force_opus_sampling_rate: Optional[int] = None,
+        force_read_audio: bool = False) -> "Recording":
         """Header-read a file into a Recording (no audio decoding)."""
         path = Path(path)
         if recording_id is None:
@@ -139,10 +110,8 @@ class Recording:
         else:
             rid = recording_id
         meta = info(
-            path,
-            force_opus_sampling_rate=force_opus_sampling_rate,
-            force_read_audio=force_read_audio,
-        )
+            path, force_opus_sampling_rate=force_opus_sampling_rate,
+            force_read_audio=force_read_audio)
         if meta.video is not None:
             duration = meta.video.duration
             n = compute_num_samples(duration, meta.samplerate)
@@ -153,33 +122,18 @@ class Recording:
         else:
             stored_path = str(path)
         src = AudioSource(
-            type="file",
-            channels=list(range(meta.channels)),
-            source=stored_path,
-            video=meta.video,
-        )
+            type="file", channels=list(range(meta.channels)), source=stored_path, video=meta.video)
         return Recording(
-            id=rid,
-            sampling_rate=meta.samplerate,
-            num_samples=n,
-            duration=duration,
-            sources=[src],
-        )
+            id=rid, sampling_rate=meta.samplerate, num_samples=n, duration=duration, sources=[src])
 
     @staticmethod
     def from_bytes(data: bytes, recording_id: str) -> "Recording":
         """Like :meth:`from_file` for encoded bytes, attached to the manifest."""
         meta = get_current_audio_backend().info(BytesIO(data))
         return Recording(
-            id=recording_id,
-            sampling_rate=meta.samplerate,
-            num_samples=meta.frames,
+            id=recording_id, sampling_rate=meta.samplerate, num_samples=meta.frames,
             duration=meta.duration,
-            sources=[
-                AudioSource(
-                    type="memory", channels=list(range(meta.channels)), source=data
-                )
-            ],
+            sources=[ AudioSource( type="memory", channels=list(range(meta.channels)), source=data ) ],
         )
 
     @staticmethod
@@ -189,17 +143,12 @@ class Recording:
         if transforms is not None:
             transforms = [AudioTransform.from_dict(t) for t in transforms]
         return Recording(
-            sources=[AudioSource.from_dict(s) for s in raw_sources],
-            transforms=transforms,
-            **data,
-        )
+            sources=[AudioSource.from_dict(s) for s in raw_sources], transforms=transforms, **data)
 
     def to_dict(self) -> dict:
         d = asdict_nonull(self)
         if self.transforms is not None:
-            d["transforms"] = [
-                t if isinstance(t, dict) else t.to_dict() for t in self.transforms
-            ]
+            d["transforms"] = [t if isinstance(t, dict) else t.to_dict() for t in self.transforms]
         return d
 
     def to_cut(self):
@@ -208,17 +157,12 @@ class Recording:
 
         mono = self.num_channels == 1
         return (MonoCut if mono else MultiCut)(
-            id=self.id,
-            start=0.0,
-            duration=self.duration,
-            channel=self.channel_ids[0] if mono else self.channel_ids,
-            recording=self,
-        )
+            id=self.id, start=0.0, duration=self.duration,
+            channel=self.channel_ids[0] if mono else self.channel_ids, recording=self)
 
     def move_to_memory(
         self, channels: Optional[Channels] = None, offset: Seconds = None,
-        duration: Optional[Seconds] = None, format: Optional[str] = None,
-    ) -> "Recording":
+        duration: Optional[Seconds] = None, format: Optional[str] = None) -> "Recording":
         """
         Return a copy whose sources hold the encoded bytes in memory.  With no
         subset requested the original encoded bytes are attached verbatim;
@@ -236,42 +180,24 @@ class Recording:
         if whole_thing:
             return fastcopy(
                 self,
-                sources=[
-                    AudioSource(
-                        type="memory",
-                        channels=src.channels,
-                        source=open(src.source, "rb").read(),
-                    )
-                    for src in self.sources
-                ],
+                sources=[ AudioSource( type="memory", channels=src.channels, source=open(src.source, "rb").read(), ) for src in self.sources ],
             )
 
-        audio = self.load_audio(
-            channels=channels, offset=ifnone(offset, 0), duration=duration
-        )
+        audio = self.load_audio(channels=channels, offset=ifnone(offset, 0), duration=duration)
         buf = BytesIO()
         save_audio(buf, audio, self.sampling_rate, format=ifnone(format, "wav"))
         return Recording(
             id=self.id,
-            sources=[
-                AudioSource(
-                    type="memory",
-                    channels=ifnone(want_channels, self.channel_ids),
-                    source=buf.getvalue(),
-                )
-            ],
-            sampling_rate=self.sampling_rate,
-            num_samples=audio.shape[1],
-            duration=ifnone(duration, self.duration),
-        )
+            sources=[ AudioSource( type="memory", channels=ifnone(want_channels, self.channel_ids), source=buf.getvalue(), ) ],
+            sampling_rate=self.sampling_rate, num_samples=audio.shape[1],
+            duration=ifnone(duration, self.duration))
 
     # -- loading -----------------------------------------------------------------
 
     @rich_exception_info
     def load_audio(
         self, channels: Optional[Channels] = None, offset: Seconds = 0.0,
-        duration: Optional[Seconds] = None,
-    ) -> np.ndarray:
+        duration: Optional[Seconds] = None) -> np.ndarray:
         """
         Decode samples for the requested (channels, offset, duration) window,
         then apply the transform chain.  The window is first propagated
@@ -301,30 +227,19 @@ class Recording:
         src_offset, src_duration = offset, duration
         for t in reversed(chain):
             src_offset, src_duration = t.reverse_timestamps(
-                offset=src_offset,
-                duration=src_duration,
-                sampling_rate=self.sampling_rate,
-            )
+                offset=src_offset, duration=src_duration, sampling_rate=self.sampling_rate)
 
-        audio = self._stack_audio_channels(
-            self._read_sources(wanted, src_offset, src_duration)
-        )
+        audio = self._stack_audio_channels(self._read_sources(wanted, src_offset, src_duration))
         for t in chain:
             audio = t(audio, self.sampling_rate)
 
         # Video containers have looser audio-length guarantees; zero-pad there.
         if self.has_video:
             return assert_and_maybe_fix_num_samples(
-                audio,
-                offset=offset,
-                duration=requested_duration,
-                recording=self,
-                tolerance=1e6,
-                pad_mode="constant",
-            )
+                audio, offset=offset, duration=requested_duration, recording=self, tolerance=1e6,
+                pad_mode="constant")
         return assert_and_maybe_fix_num_samples(
-            audio, offset=offset, duration=requested_duration, recording=self
-        )
+            audio, offset=offset, duration=requested_duration, recording=self)
 
     def _channel_selector(self, channels: Optional[Channels]):
         if channels is None:
@@ -345,13 +260,8 @@ class Recording:
             if not wanted.intersection(src.channels):
                 continue
             block = src.load_audio(
-                offset=offset,
-                duration=duration,
-                force_opus_sampling_rate=self.sampling_rate,
-            )
-            unwanted_rows = [
-                row for row, cid in enumerate(src.channels) if cid not in wanted
-            ]
+                offset=offset, duration=duration, force_opus_sampling_rate=self.sampling_rate)
+            unwanted_rows = [row for row, cid in enumerate(src.channels) if cid not in wanted]
             if unwanted_rows:
                 block = np.delete(block, unwanted_rows, axis=0)
             blocks.append(block)
@@ -385,14 +295,12 @@ class Recording:
     def load_video(
         self, channels: Optional[Channels] = None, offset: Seconds = 0.0,
         duration: Optional[Seconds] = None, with_audio: bool = True,
-        force_consistent_duration: bool = True,
-    ):
+        force_consistent_duration: bool = True):
         """Video frames (and optionally audio): ``((T,C,H,W) uint8, audio|None)``."""
         if not self.has_video:
             raise AssertionError(f"Recording {self.id} has no video to load.")
         frames, _ = self._video_source.load_video(
-            offset=offset, duration=duration, with_audio=False
-        )
+            offset=offset, duration=duration, with_audio=False)
         audio = (
             self.load_audio(channels=channels, offset=offset, duration=duration)
             if with_audio
@@ -417,11 +325,7 @@ class Recording:
     def with_video_resolution(self, width: int, height: int) -> "Recording":
         return fastcopy(
             self,
-            sources=[
-                s.with_video_resolution(width=width, height=height)
-                for s in self.sources
-            ],
-        )
+            sources=[ s.with_video_resolution(width=width, height=height) for s in self.sources ])
 
     # -- lazy transform builders ---------------------------------------------------
     # Each returns a copy with one more entry on the transform chain; geometry
@@ -440,75 +344,49 @@ class Recording:
         """Resample-based speed change: shifts both pitch and duration."""
         n = perturb_num_samples(self.num_samples, factor)
         return fastcopy(
-            self,
-            id=self._affixed(affix_id, f"_sp{factor}"),
-            num_samples=n,
-            duration=n / self.sampling_rate,
-            transforms=self._chain_plus(Speed(factor=factor)),
-        )
+            self, id=self._affixed(affix_id, f"_sp{factor}"), num_samples=n,
+            duration=n / self.sampling_rate, transforms=self._chain_plus(Speed(factor=factor)))
 
     def perturb_tempo(self, factor: float, affix_id: bool = True) -> "Recording":
         """WSOLA tempo change: shifts duration, preserves pitch."""
         n = perturb_num_samples(self.num_samples, factor)
         return fastcopy(
-            self,
-            id=self._affixed(affix_id, f"_tp{factor}"),
-            num_samples=n,
-            duration=n / self.sampling_rate,
-            transforms=self._chain_plus(Tempo(factor=factor)),
-        )
+            self, id=self._affixed(affix_id, f"_tp{factor}"), num_samples=n,
+            duration=n / self.sampling_rate, transforms=self._chain_plus(Tempo(factor=factor)))
 
     def perturb_volume(self, factor: float, affix_id: bool = True) -> "Recording":
         """Scalar gain."""
         return fastcopy(
-            self,
-            id=self._affixed(affix_id, f"_vp{factor}"),
-            transforms=self._chain_plus(Volume(factor=factor)),
-        )
+            self, id=self._affixed(affix_id, f"_vp{factor}"),
+            transforms=self._chain_plus(Volume(factor=factor)))
 
     def narrowband(
-        self, codec: str, restore_orig_sr: bool = True, affix_id: bool = True
-    ) -> "Recording":
+        self, codec: str, restore_orig_sr: bool = True, affix_id: bool = True) -> "Recording":
         """Telephone-codec bandwidth reduction (optionally staying at 8 kHz)."""
         out_sr = self.sampling_rate if restore_orig_sr else 8000
         return fastcopy(
-            self,
-            id=self._affixed(affix_id, f"_nb_{codec}"),
-            num_samples=compute_num_samples(
-                self.duration, out_sr, rounding=ROUND_HALF_UP
-            ),
+            self, id=self._affixed(affix_id, f"_nb_{codec}"),
+            num_samples=compute_num_samples( self.duration, out_sr, rounding=ROUND_HALF_UP ),
             sampling_rate=out_sr,
-            transforms=self._chain_plus(
-                Narrowband(
-                    codec=codec,
-                    source_sampling_rate=self.sampling_rate,
-                    restore_orig_sr=restore_orig_sr,
-                ).to_dict()
-            ),
+            transforms=self._chain_plus( Narrowband( codec=codec, source_sampling_rate=self.sampling_rate, restore_orig_sr=restore_orig_sr, ).to_dict() ),
         )
 
     def normalize_loudness(self, target: float, affix_id: bool = False) -> "Recording":
         """EBU R128 loudness normalization to ``target`` dB LUFS."""
         return fastcopy(
-            self,
-            id=self._affixed(affix_id, f"_ln{target}"),
-            transforms=self._chain_plus(LoudnessNormalization(target=target)),
-        )
+            self, id=self._affixed(affix_id, f"_ln{target}"),
+            transforms=self._chain_plus(LoudnessNormalization(target=target)))
 
     def dereverb_wpe(self, affix_id: bool = True) -> "Recording":
         """Weighted prediction error dereverberation."""
         return fastcopy(
-            self,
-            id=self._affixed(affix_id, "_wpe"),
-            transforms=self._chain_plus(DereverbWPE()),
-        )
+            self, id=self._affixed(affix_id, "_wpe"), transforms=self._chain_plus(DereverbWPE()))
 
     def reverb_rir(
-        self, rir_recording: Optional["Recording"] = None,
-        normalize_output: bool = True, early_only: bool = False,
-        affix_id: bool = True, rir_channels: Optional[Sequence[int]] = None,
-        room_rng_seed: Optional[int] = None, source_rng_seed: Optional[int] = None,
-    ) -> "Recording":
+        self, rir_recording: Optional["Recording"] = None, normalize_output: bool = True,
+        early_only: bool = False, affix_id: bool = True,
+        rir_channels: Optional[Sequence[int]] = None, room_rng_seed: Optional[int] = None,
+        source_rng_seed: Optional[int] = None) -> "Recording":
         """
         Convolve with a real or synthetic (FRA-RIR) impulse response.  A mono
         recording convolved with a multi-channel RIR becomes multi-channel.
@@ -518,9 +396,7 @@ class Recording:
                 f"Sampling rate mismatch between RIR vs recording: "
                 f"{rir_recording.sampling_rate} vs {self.sampling_rate}."
             )
-        fans_out = (
-            self.num_channels == 1 and rir_channels is not None and len(rir_channels) > 1
-        )
+        fans_out = (self.num_channels == 1 and rir_channels is not None and len(rir_channels) > 1)
         out_channels = list(range(len(rir_channels))) if fans_out else self.channel_ids
 
         synth = None
@@ -528,23 +404,13 @@ class Recording:
             from lhotse_tpu.augmentation.utils import FastRandomRIRGenerator
 
             synth = FastRandomRIRGenerator(
-                sr=self.sampling_rate,
-                room_seed=room_rng_seed,
-                source_seed=source_rng_seed,
-            )
+                sr=self.sampling_rate, room_seed=room_rng_seed, source_seed=source_rng_seed)
         effect = ReverbWithImpulseResponse(
-            rir=rir_recording,
-            normalize_output=normalize_output,
-            early_only=early_only,
-            rir_channels=rir_channels if rir_channels is not None else [0],
-            rir_generator=synth,
-        )
+            rir=rir_recording, normalize_output=normalize_output, early_only=early_only,
+            rir_channels=rir_channels if rir_channels is not None else [0], rir_generator=synth)
         return fastcopy(
-            self,
-            id=self._affixed(affix_id, "_rvb"),
-            channel_ids=out_channels,
-            transforms=self._chain_plus(effect),
-        )
+            self, id=self._affixed(affix_id, "_rvb"), channel_ids=out_channels,
+            transforms=self._chain_plus(effect))
 
     def resample(self, sampling_rate: int) -> "Recording":
         """Sinc-kernel resampling to a new rate."""
@@ -552,22 +418,13 @@ class Recording:
             return fastcopy(self)
         n = compute_num_samples(self.duration, sampling_rate, rounding=ROUND_HALF_UP)
         return fastcopy(
-            self,
-            duration=n / sampling_rate,
-            num_samples=n,
-            sampling_rate=sampling_rate,
-            transforms=self._chain_plus(
-                Resample(
-                    source_sampling_rate=self.sampling_rate,
-                    target_sampling_rate=sampling_rate,
-                )
-            ),
+            self, duration=n / sampling_rate, num_samples=n, sampling_rate=sampling_rate,
+            transforms=self._chain_plus( Resample( source_sampling_rate=self.sampling_rate, target_sampling_rate=sampling_rate, ) ),
         )
 
     def clip_amplitude(
         self, hard: bool = False, gain_db: float = 0.0, normalize: bool = True,
-        oversampling: Optional[int] = 4, affix_id: bool = False,
-    ) -> "Recording":
+        oversampling: Optional[int] = 4, affix_id: bool = False) -> "Recording":
         """Hard/soft clipping, optionally sandwiched between up/down-resamples."""
         clip = Clipping(hard, gain_db, normalize)
         if oversampling is None:
@@ -575,23 +432,14 @@ class Recording:
         else:
             hi_sr = self.sampling_rate * oversampling
             added = (
-                Resample(
-                    source_sampling_rate=self.sampling_rate, target_sampling_rate=hi_sr
-                ),
+                Resample( source_sampling_rate=self.sampling_rate, target_sampling_rate=hi_sr ),
                 clip,
-                Resample(
-                    source_sampling_rate=hi_sr, target_sampling_rate=self.sampling_rate
-                ),
-            )
+                Resample( source_sampling_rate=hi_sr, target_sampling_rate=self.sampling_rate ))
         return fastcopy(
-            self,
-            id=self._affixed(affix_id, f"_cl{gain_db:.1f}"),
-            transforms=self._chain_plus(*added),
-        )
+            self, id=self._affixed(affix_id, f"_cl{gain_db:.1f}"),
+            transforms=self._chain_plus(*added))
 
-    def compress(
-        self, codec: str = "opus", compression_level: float = 0.99
-    ) -> "Recording":
+    def compress(self, codec: str = "opus", compression_level: float = 0.99) -> "Recording":
         """Round-trip through a lossy codec (artifact simulation)."""
         if codec not in Compress.supported_codecs:
             raise ValueError(
@@ -606,24 +454,17 @@ class Recording:
         if codec == "gsm" and self.sampling_rate != 8000:
             # GSM is defined at 8 kHz only; bracket it with resamples.
             added = (
-                Resample(
-                    source_sampling_rate=self.sampling_rate, target_sampling_rate=8000
-                ),
+                Resample( source_sampling_rate=self.sampling_rate, target_sampling_rate=8000 ),
                 squeeze,
-                Resample(
-                    source_sampling_rate=8000, target_sampling_rate=self.sampling_rate
-                ),
-            )
+                Resample( source_sampling_rate=8000, target_sampling_rate=self.sampling_rate ))
         else:
             added = (squeeze,)
         return fastcopy(self, transforms=self._chain_plus(*added))
 
 
 def assert_and_maybe_fix_num_samples(
-    audio: np.ndarray, offset: Seconds, duration: Optional[Seconds],
-    recording: Recording, tolerance: Optional[Seconds] = None,
-    pad_mode: str = "reflect",
-) -> np.ndarray:
+    audio: np.ndarray, offset: Seconds, duration: Optional[Seconds], recording: Recording,
+    tolerance: Optional[Seconds] = None, pad_mode: str = "reflect") -> np.ndarray:
     """
     Reconcile the decoded sample count with the declared one: transform
     chains and codecs can be off by a few samples.  Pad or trim within
@@ -633,8 +474,7 @@ def assert_and_maybe_fix_num_samples(
         tolerance = get_audio_duration_mismatch_tolerance()
     want = compute_num_samples(
         duration=duration if duration is not None else recording.duration - offset,
-        sampling_rate=recording.sampling_rate,
-    )
+        sampling_rate=recording.sampling_rate)
     short_by = want - audio.shape[1]
     if short_by == 0:
         return audio

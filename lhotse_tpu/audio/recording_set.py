@@ -20,26 +20,14 @@ from lhotse_tpu.audio.recording import Recording
 from lhotse_tpu.lazy import AlgorithmMixin
 from lhotse_tpu.serialization import Serializable
 from lhotse_tpu.utils import (
-    Channels,
-    Pathlike,
-    Seconds,
-    exactly_one_not_null,
-    ifnone,
-    split_manifest_lazy,
-    split_sequence,
-)
+    Channels, Pathlike, Seconds, exactly_one_not_null, ifnone, split_manifest_lazy, split_sequence)
 
 
 def _file_read_worker(
-    p: Path,
-    force_opus_sampling_rate: Optional[int] = None,
-    recording_id: Optional[Callable[[Path], str]] = None,
-) -> Recording:
+    p: Path, force_opus_sampling_rate: Optional[int] = None,
+    recording_id: Optional[Callable[[Path], str]] = None) -> Recording:
     return Recording.from_file(
-        p,
-        force_opus_sampling_rate=force_opus_sampling_rate,
-        recording_id=recording_id,
-    )
+        p, force_opus_sampling_rate=force_opus_sampling_rate, recording_id=recording_id)
 
 
 class RecordingSet(Serializable, AlgorithmMixin):
@@ -66,12 +54,9 @@ class RecordingSet(Serializable, AlgorithmMixin):
 
     @staticmethod
     def from_dir(
-        path: Pathlike,
-        pattern: str,
-        num_jobs: int = 1,
+        path: Pathlike, pattern: str, num_jobs: int = 1,
         force_opus_sampling_rate: Optional[int] = None,
-        recording_id: Optional[Callable[[Path], str]] = None,
-        exclude_pattern: Optional[str] = None,
+        recording_id: Optional[Callable[[Path], str]] = None, exclude_pattern: Optional[str] = None,
     ):
         """
         Recursively scan ``path`` for audio files matching ``pattern`` and
@@ -83,10 +68,8 @@ class RecordingSet(Serializable, AlgorithmMixin):
             exclude = re.compile(exclude_pattern)
             it = (p for p in it if exclude.fullmatch(p.name) is None)
         worker = partial(
-            _file_read_worker,
-            force_opus_sampling_rate=force_opus_sampling_rate,
-            recording_id=recording_id,
-        )
+            _file_read_worker, force_opus_sampling_rate=force_opus_sampling_rate,
+            recording_id=recording_id)
         if num_jobs == 1:
             return RecordingSet.from_recordings(map(worker, it))
         with ProcessPoolExecutor(num_jobs) as ex:
@@ -100,25 +83,19 @@ class RecordingSet(Serializable, AlgorithmMixin):
         return (r.to_dict() for r in self)
 
     def split(
-        self, num_splits: int, shuffle: bool = False, drop_last: bool = False
+        self, num_splits: int, shuffle: bool = False, drop_last: bool = False,
     ) -> List["RecordingSet"]:
         """Split into ``num_splits`` pieces of (near-)equal size."""
-        pieces = split_sequence(
-            self, num_splits=num_splits, shuffle=shuffle, drop_last=drop_last
-        )
+        pieces = split_sequence(self, num_splits=num_splits, shuffle=shuffle, drop_last=drop_last)
         return [RecordingSet.from_recordings(piece) for piece in pieces]
 
     def split_lazy(
-        self, output_dir: Pathlike, chunk_size: int, prefix: str = ""
-    ) -> List["RecordingSet"]:
+        self, output_dir: Pathlike, chunk_size: int, prefix: str = "") -> List["RecordingSet"]:
         """Split into fixed-size chunks saved to disk as the input is consumed."""
         return split_manifest_lazy(
-            self, output_dir=output_dir, chunk_size=chunk_size, prefix=prefix
-        )
+            self, output_dir=output_dir, chunk_size=chunk_size, prefix=prefix)
 
-    def subset(
-        self, first: Optional[int] = None, last: Optional[int] = None
-    ) -> "RecordingSet":
+    def subset(self, first: Optional[int] = None, last: Optional[int] = None) -> "RecordingSet":
         """Keep only the first or last N recordings."""
         assert exactly_one_not_null(first, last), "subset() can handle only one non-None arg."
         if first is not None:
@@ -131,16 +108,10 @@ class RecordingSet(Serializable, AlgorithmMixin):
             return RecordingSet.from_recordings(islice(self, len(self) - last, len(self)))
 
     def load_audio(
-        self,
-        recording_id: str,
-        channels: Optional[Channels] = None,
-        offset_seconds: float = 0.0,
-        duration_seconds: Optional[float] = None,
-    ) -> np.ndarray:
+        self, recording_id: str, channels: Optional[Channels] = None, offset_seconds: float = 0.0,
+        duration_seconds: Optional[float] = None) -> np.ndarray:
         rec = self[recording_id]
-        return rec.load_audio(
-            channels=channels, offset=offset_seconds, duration=duration_seconds
-        )
+        return rec.load_audio(channels=channels, offset=offset_seconds, duration=duration_seconds)
 
     def with_path_prefix(self, path: Pathlike) -> "RecordingSet":
         return RecordingSet.from_recordings(r.with_path_prefix(path) for r in self)
@@ -170,12 +141,8 @@ class RecordingSet(Serializable, AlgorithmMixin):
         )
 
     def reverb_rir(
-        self,
-        rir_recordings: Optional["RecordingSet"] = None,
-        normalize_output: bool = True,
-        early_only: bool = False,
-        affix_id: bool = True,
-        rir_channels: List[int] = [0],
+        self, rir_recordings: Optional["RecordingSet"] = None, normalize_output: bool = True,
+        early_only: bool = False, affix_id: bool = True, rir_channels: List[int] = [0],
     ) -> "RecordingSet":
         """Lazy whole-set reverberation with RIRs sampled round-robin (or
         synthetic RIRs when none given)."""

@@ -21,11 +21,7 @@ import numpy as np
 
 from lhotse_tpu.audio.backend import read_audio
 from lhotse_tpu.audio.utils import (
-    DurationMismatchError,
-    VideoInfo,
-    VideoLoadingError,
-    get_audio_duration_mismatch_tolerance,
-)
+    DurationMismatchError, VideoInfo, VideoLoadingError, get_audio_duration_mismatch_tolerance)
 from lhotse_tpu.caching import AudioCache
 from lhotse_tpu.serialization import open_best
 from lhotse_tpu.utils import Pathlike, Seconds, asdict_nonull, compute_num_samples, fastcopy
@@ -66,11 +62,8 @@ class AudioSource:
         return self._get_format()
 
     def load_audio(
-        self,
-        offset: Seconds = 0.0,
-        duration: Optional[Seconds] = None,
-        force_opus_sampling_rate: Optional[int] = None,
-    ) -> np.ndarray:
+        self, offset: Seconds = 0.0, duration: Optional[Seconds] = None,
+        force_opus_sampling_rate: Optional[int] = None) -> np.ndarray:
         """
         Load the audio as float32 numpy array in [-1, 1]; shape
         ``(n_channels, n_samples)``; single-channel sources return
@@ -78,11 +71,8 @@ class AudioSource:
         """
         source = self._prepare_for_reading(offset=offset, duration=duration)
         samples, sampling_rate = read_audio(
-            source,
-            offset=offset,
-            duration=duration,
-            force_opus_sampling_rate=force_opus_sampling_rate,
-        )
+            source, offset=offset, duration=duration,
+            force_opus_sampling_rate=force_opus_sampling_rate)
         # Explicit sanity check for duration (reference: source.py:98-110).
         if duration is not None:
             num_samples = samples.shape[0] if len(samples.shape) == 1 else samples.shape[1]
@@ -94,11 +84,7 @@ class AudioSource:
         return samples.astype(np.float32)
 
     def load_video(
-        self,
-        offset: Seconds = 0.0,
-        duration: Optional[Seconds] = None,
-        with_audio: bool = True,
-    ):
+        self, offset: Seconds = 0.0, duration: Optional[Seconds] = None, with_audio: bool = True):
         """
         Load video frames as a uint8 array (T, C, H, W) plus optionally audio.
         Requires the ``ffmpeg`` binary (frames piped as rawvideo), replacing the
@@ -122,10 +108,7 @@ class AudioSource:
             cmd += ["-i", src]
             if duration is not None:
                 cmd += ["-t", str(duration)]
-            cmd += [
-                "-f", "rawvideo", "-pix_fmt", "rgb24",
-                "-s", f"{w}x{h}", "pipe:1",
-            ]
+            cmd += ["-f", "rawvideo", "-pix_fmt", "rgb24", "-s", f"{w}x{h}", "pipe:1"]
             proc = subprocess.run(cmd, input=stdin, stdout=PIPE, stderr=PIPE)
             if proc.returncode != 0:
                 raise RuntimeError(proc.stderr.decode(errors="replace"))
@@ -168,20 +151,13 @@ class AudioSource:
             f"source='{self.source if isinstance(self.source, str) else '<binary-data>'}')"
         )
 
-    def _prepare_for_reading(
-        self, offset: Seconds, duration: Optional[Seconds]
-    ) -> PathOrFilelike:
+    def _prepare_for_reading(self, offset: Seconds, duration: Optional[Seconds]) -> PathOrFilelike:
         """
         Validate ``self.type`` and prepare the actual source for reading:
         either a path or a binary file-like object (reference: source.py:253).
         """
         assert self.type in (
-            "file",
-            "command",
-            "url",
-            "memory",
-            "shar",
-            "shar_ptr",
+            "file", "command", "url", "memory", "shar", "shar_ptr",
         ), f"Unexpected AudioSource type: '{self.type}'"
 
         source = self.source
@@ -264,6 +240,4 @@ class AudioSource:
                 return "mp3"
             return "unknown"
         else:
-            raise NotImplementedError(
-                f"Getting format not implemented for source type {self.type}"
-            )
+            raise NotImplementedError(f"Getting format not implemented for source type {self.type}")

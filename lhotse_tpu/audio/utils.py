@@ -44,11 +44,7 @@ class DurationMismatchError(Exception):
 
 # Error classes that fault-tolerant audio reads convert into warnings.
 _RECOVERABLE_AUDIO_ERRORS = (
-    AudioLoadingError,
-    DurationMismatchError,
-    NonPositiveEnergyError,
-    ConnectionResetError,
-)
+    AudioLoadingError, DurationMismatchError, NonPositiveEnergyError, ConnectionResetError)
 
 
 @dataclass
@@ -121,9 +117,7 @@ def suppress_audio_loading_errors(enabled: bool = True):
 @contextmanager
 def suppress_video_loading_errors(enabled: bool = True):
     """Like :func:`suppress_audio_loading_errors`, plus video decode errors."""
-    with suppress_and_warn(
-        VideoLoadingError, *_RECOVERABLE_AUDIO_ERRORS, enabled=enabled
-    ):
+    with suppress_and_warn(VideoLoadingError, *_RECOVERABLE_AUDIO_ERRORS, enabled=enabled):
         yield
 
 

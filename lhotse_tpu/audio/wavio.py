@@ -90,8 +90,7 @@ def parse_wav_header(f: BinaryIO) -> WavHeader:
             body = _read_exact(f, chunk_size)
             pos += chunk_size
             (format_tag, num_channels, sampling_rate, _byte_rate, _block_align, bits) = struct.unpack(
-                "<HHIIHH", body[:16]
-            )
+                "<HHIIHH", body[:16])
             if format_tag == WAVE_FORMAT_EXTENSIBLE and chunk_size >= 40:
                 # true format is the first 2 bytes of the SubFormat GUID
                 format_tag = struct.unpack("<H", body[24:26])[0]
@@ -118,14 +117,8 @@ def parse_wav_header(f: BinaryIO) -> WavHeader:
         raise WavFormatError("Invalid WAVE header (zero frame size)")
     num_frames = data_size // bytes_per_frame
     return WavHeader(
-        sampling_rate=sampling_rate,
-        num_channels=num_channels,
-        num_frames=num_frames,
-        bits_per_sample=bits,
-        format_tag=format_tag,
-        data_offset=data_offset,
-        data_size=data_size,
-    )
+        sampling_rate=sampling_rate, num_channels=num_channels, num_frames=num_frames,
+        bits_per_sample=bits, format_tag=format_tag, data_offset=data_offset, data_size=data_size)
 
 
 # mu-law / A-law decode tables (ITU-T G.711), computed once.
@@ -147,10 +140,7 @@ def _make_alaw_table() -> np.ndarray:
     exponent = (a >> 4) & 0x07
     mantissa = a & 0x0F
     magnitude = np.where(
-        exponent > 0,
-        ((mantissa << 4) + 0x108) << (exponent - 1),
-        (mantissa << 4) + 8,
-    )
+        exponent > 0, ((mantissa << 4) + 0x108) << (exponent - 1), (mantissa << 4) + 8)
     out = np.where(sign != 0, -magnitude, magnitude)
     return (out.astype(np.float32)) / 32768.0
 
@@ -205,9 +195,7 @@ def _decode_frames(raw: bytes, header: WavHeader) -> np.ndarray:
 
 
 def read_wav(
-    source: Union[str, BinaryIO],
-    frame_offset: int = 0,
-    num_frames: Optional[int] = None,
+    source: Union[str, BinaryIO], frame_offset: int = 0, num_frames: Optional[int] = None,
 ) -> Tuple[np.ndarray, int]:
     """
     Read a WAV file (or file-like object) returning
@@ -261,10 +249,7 @@ def info_wav(source: Union[str, BinaryIO]) -> WavHeader:
 
 
 def write_wav(
-    dest: Union[str, BinaryIO],
-    samples: np.ndarray,
-    sampling_rate: int,
-    subtype: str = "pcm16",
+    dest: Union[str, BinaryIO], samples: np.ndarray, sampling_rate: int, subtype: str = "pcm16",
 ) -> None:
     """
     Write samples to a WAV file. ``samples`` may be (frames,), (channels,
@@ -302,9 +287,7 @@ def write_wav(
         bits, tag = 32, WAVE_FORMAT_PCM
     elif subtype == "pcm24":
         x = np.clip(
-            np.rint(frames.astype(np.float64) * float(1 << 23)),
-            -(1 << 23),
-            (1 << 23) - 1,
+            np.rint(frames.astype(np.float64) * float(1 << 23)), -(1 << 23), (1 << 23) - 1,
         ).astype(np.int32)
         b = np.empty((x.size, 3), dtype=np.uint8)
         flat = x.reshape(-1)
@@ -325,8 +308,7 @@ def write_wav(
     byte_rate = sampling_rate * num_channels * bits // 8
     block_align = num_channels * bits // 8
     fmt_chunk = struct.pack(
-        "<4sIHHIIHH", b"fmt ", 16, tag, num_channels, sampling_rate, byte_rate, block_align, bits
-    )
+        "<4sIHHIIHH", b"fmt ", 16, tag, num_channels, sampling_rate, byte_rate, block_align, bits)
     data_hdr = struct.pack("<4sI", b"data", len(data))
     riff_size = 4 + len(fmt_chunk) + len(data_hdr) + len(data)
     header = struct.pack("<4sI4s", b"RIFF", riff_size, b"WAVE")

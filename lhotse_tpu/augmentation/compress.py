@@ -30,11 +30,8 @@ OPUS_SUPPORTED_SAMPLING_RATES = [8000, 12000, 16000, 24000, 48000]
 MP3_SUPPORTED_SAMPLING_RATES = [8000, 11025, 12000, 16000, 22050, 24000, 32000, 44100, 48000]
 
 _FFMPEG_CODEC_ARGS = {
-    "opus": ["-c:a", "libopus"],
-    "mp3": ["-c:a", "libmp3lame"],
-    "vorbis": ["-c:a", "libvorbis"],
-    "gsm": ["-c:a", "libgsm"],
-}
+    "opus": ["-c:a", "libopus"], "mp3": ["-c:a", "libmp3lame"], "vorbis": ["-c:a", "libvorbis"],
+    "gsm": ["-c:a", "libgsm"]}
 _FFMPEG_FORMATS = {"opus": "ogg", "mp3": "mp3", "vorbis": "ogg", "gsm": "gsm"}
 
 
@@ -74,25 +71,13 @@ class Compress(AudioTransform):
             kbps = int(round(256 - 224 * self.compression_level))  # 256..32 kbps
             quality_args = ["-b:a", f"{kbps}k"]
         enc = subprocess.run(
-            ["ffmpeg", "-v", "error", "-f", "wav", "-i", "pipe:0"]
-            + _FFMPEG_CODEC_ARGS[self.codec]
-            + quality_args
-            + ["-f", _FFMPEG_FORMATS[self.codec], "pipe:1"],
-            input=buf.getvalue(),
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-        )
+            ["ffmpeg", "-v", "error", "-f", "wav", "-i", "pipe:0"] + _FFMPEG_CODEC_ARGS[self.codec] + quality_args + ["-f", _FFMPEG_FORMATS[self.codec], "pipe:1"],
+            input=buf.getvalue(), stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         if enc.returncode != 0:
             raise RuntimeError(f"ffmpeg encode failed: {enc.stderr.decode(errors='replace')}")
         dec = subprocess.run(
-            [
-                "ffmpeg", "-v", "error", "-i", "pipe:0",
-                "-ar", str(sampling_rate), "-f", "wav", "-c:a", "pcm_f32le", "pipe:1",
-            ],
-            input=enc.stdout,
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-        )
+            [ "ffmpeg", "-v", "error", "-i", "pipe:0", "-ar", str(sampling_rate), "-f", "wav", "-c:a", "pcm_f32le", "pipe:1", ],
+            input=enc.stdout, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         if dec.returncode != 0:
             raise RuntimeError(f"ffmpeg decode failed: {dec.stderr.decode(errors='replace')}")
         out, _ = read_wav(BytesIO(dec.stdout))

@@ -43,16 +43,12 @@ def _k_weighting_coeffs(fs: float):
     f0, Q = 38.13547087602444, 0.5003270373238773
     K = np.tan(np.pi * f0 / fs)
     den = 1.0 + K / Q + K * K
-    a_hp = np.array(
-        [1.0, 2.0 * (K * K - 1.0) / den, (1.0 - K / Q + K * K) / den]
-    )
+    a_hp = np.array([1.0, 2.0 * (K * K - 1.0) / den, (1.0 - K / Q + K * K) / den])
     b_hp = np.array([1.0, -2.0, 1.0])
     return (b_shelf, a_shelf), (b_hp, a_hp)
 
 
-def measure_loudness(
-    audio: np.ndarray, sampling_rate: int, block_size: float = 0.4
-) -> float:
+def measure_loudness(audio: np.ndarray, sampling_rate: int, block_size: float = 0.4) -> float:
     """
     Integrated loudness in LUFS of ``audio`` with shape (channels, samples),
     per ITU-R BS.1770-4 with gating.
@@ -95,9 +91,7 @@ def measure_loudness(
     return float(-0.691 + 10 * np.log10(np.sum(gains * z_avg) + EPSILON))
 
 
-def normalize_loudness(
-    audio: np.ndarray, target: float, sampling_rate: int = 16000
-) -> np.ndarray:
+def normalize_loudness(audio: np.ndarray, target: float, sampling_rate: int = 16000) -> np.ndarray:
     """Scale ``audio`` (channels, samples) so its integrated loudness equals
     ``target`` LUFS."""
     assert audio.ndim == 2, f"Expected 2D audio shape, got: {audio.shape}"
@@ -113,8 +107,7 @@ def normalize_loudness(
             out = pyln.normalize.loudness(audio.T, loudness, target)
         return out.astype(dtype).T
     loudness = measure_loudness(
-        audio, sampling_rate, block_size=min(0.4, max(duration - EPSILON, 0.05))
-    )
+        audio, sampling_rate, block_size=min(0.4, max(duration - EPSILON, 0.05)))
     if not np.isfinite(loudness):
         return audio
     gain = 10.0 ** ((target - loudness) / 20.0)
@@ -129,10 +122,9 @@ class LoudnessNormalization(AudioTransform):
 
     def __call__(self, samples: np.ndarray, sampling_rate: int) -> np.ndarray:
         return normalize_loudness(
-            np.asarray(samples), target=self.target, sampling_rate=sampling_rate
-        )
+            np.asarray(samples), target=self.target, sampling_rate=sampling_rate)
 
     def reverse_timestamps(
-        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: int
+        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: int,
     ) -> Tuple[Seconds, Optional[Seconds]]:
         return offset, duration

@@ -76,18 +76,12 @@ class Lpc10Codec:
         try:
             coded = np.zeros(n_frames * LPC10_FRAME_BYTES, dtype=np.uint8)
             api.lpc10_encode(
-                enc,
-                coded.ctypes.data_as(POINTER(c_uint8)),
-                pcm.ctypes.data_as(POINTER(c_short)),
-                len(pcm),
-            )
+                enc, coded.ctypes.data_as(POINTER(c_uint8)), pcm.ctypes.data_as(POINTER(c_short)),
+                len(pcm))
             out = np.zeros(n_frames * LPC10_FRAME_SAMPLES, dtype=np.int16)
             api.lpc10_decode(
-                dec,
-                out.ctypes.data_as(POINTER(c_short)),
-                coded.ctypes.data_as(POINTER(c_uint8)),
-                len(coded),
-            )
+                dec, out.ctypes.data_as(POINTER(c_short)), coded.ctypes.data_as(POINTER(c_uint8)),
+                len(coded))
         finally:
             api.lpc10_encode_free(enc)
             api.lpc10_decode_free(dec)
@@ -127,6 +121,6 @@ class Narrowband(AudioTransform):
         return samples
 
     def reverse_timestamps(
-        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: Optional[int]
+        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: Optional[int],
     ) -> Tuple[Seconds, Optional[Seconds]]:
         return offset, duration

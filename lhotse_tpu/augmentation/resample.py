@@ -27,12 +27,8 @@ import numpy as np
 
 
 def _sinc_resample_kernel(
-    orig_freq: int,
-    new_freq: int,
-    lowpass_filter_width: int = 6,
-    rolloff: float = 0.99,
-    beta: Optional[float] = None,
-    resampling_method: str = "sinc_interp_hann",
+    orig_freq: int, new_freq: int, lowpass_filter_width: int = 6, rolloff: float = 0.99,
+    beta: Optional[float] = None, resampling_method: str = "sinc_interp_hann",
 ) -> Tuple[np.ndarray, int]:
     """Build the polyphase kernel (new_freq, 2*width + orig_freq) and width."""
     assert int(orig_freq) == orig_freq and int(new_freq) == new_freq
@@ -70,23 +66,18 @@ _KERNEL_CACHE: Dict[Tuple[int, int, int, float], Tuple[np.ndarray, int]] = {}
 
 
 def get_sinc_resample_kernel(
-    orig_freq: int, new_freq: int, lowpass_filter_width: int = 6, rolloff: float = 0.99
+    orig_freq: int, new_freq: int, lowpass_filter_width: int = 6, rolloff: float = 0.99,
 ) -> Tuple[np.ndarray, int]:
     key = (int(orig_freq), int(new_freq), lowpass_filter_width, rolloff)
     if key not in _KERNEL_CACHE:
         _KERNEL_CACHE[key] = _sinc_resample_kernel(
-            orig_freq, new_freq, lowpass_filter_width, rolloff
-        )
+            orig_freq, new_freq, lowpass_filter_width, rolloff)
     return _KERNEL_CACHE[key]
 
 
 def resample_array(
-    waveform: np.ndarray,
-    orig_freq: int,
-    new_freq: int,
-    lowpass_filter_width: int = 6,
-    rolloff: float = 0.99,
-) -> np.ndarray:
+    waveform: np.ndarray, orig_freq: int, new_freq: int, lowpass_filter_width: int = 6,
+    rolloff: float = 0.99) -> np.ndarray:
     """
     Resample ``waveform`` of shape (..., time) from ``orig_freq`` to
     ``new_freq`` with the cached polyphase sinc kernel.
@@ -96,9 +87,7 @@ def resample_array(
     gcd = math.gcd(int(orig_freq), int(new_freq))
     o = int(orig_freq) // gcd
     n = int(new_freq) // gcd
-    kernel, width = get_sinc_resample_kernel(
-        orig_freq, new_freq, lowpass_filter_width, rolloff
-    )
+    kernel, width = get_sinc_resample_kernel(orig_freq, new_freq, lowpass_filter_width, rolloff)
 
     shape = waveform.shape
     x = waveform.reshape(-1, shape[-1]).astype(np.float32, copy=False)
@@ -108,10 +97,7 @@ def resample_array(
     K = kernel.shape[1]
     num_blocks = (x.shape[1] - K) // o + 1
     frames = np.lib.stride_tricks.as_strided(
-        x,
-        shape=(num_wavs, num_blocks, K),
-        strides=(x.strides[0], o * x.strides[1], x.strides[1]),
-    )
+        x, shape=(num_wavs, num_blocks, K), strides=(x.strides[0], o * x.strides[1], x.strides[1]))
     # (B, T_blocks, K) @ (K, n_phases) -> (B, T_blocks, n_phases)
     out = frames @ kernel.T
     out = out.reshape(num_wavs, -1)

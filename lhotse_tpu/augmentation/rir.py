@@ -69,13 +69,7 @@ class ReverbWithImpulseResponse(AudioTransform):
             gen = gen.to_dict()
         return {
             "name": type(self).__name__,
-            "kwargs": {
-                "rir": rir,
-                "normalize_output": self.normalize_output,
-                "early_only": self.early_only,
-                "rir_channels": list(self.rir_channels),
-                "rir_generator": gen,
-            },
+            "kwargs": { "rir": rir, "normalize_output": self.normalize_output, "early_only": self.early_only, "rir_channels": list(self.rir_channels), "rir_generator": gen, },
         }
 
     def _impulse_response(self) -> np.ndarray:
@@ -127,10 +121,7 @@ class ReverbWithImpulseResponse(AudioTransform):
         return out
 
     def reverse_timestamps(
-        self,
-        offset: Seconds,
-        duration: Optional[Seconds],
-        sampling_rate: Optional[int],
+        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: Optional[int],
     ) -> Tuple[Seconds, Optional[Seconds]]:
         # Shift-output preserves timing.
         return offset, duration

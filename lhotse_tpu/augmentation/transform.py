@@ -51,6 +51,6 @@ class AudioTransform:
         raise NotImplementedError
 
     def reverse_timestamps(
-        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: int
+        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: int,
     ) -> Tuple[Seconds, Optional[Seconds]]:
         raise NotImplementedError

@@ -34,13 +34,11 @@ class Speed(AudioTransform):
     factor: float
 
     def __call__(self, samples: np.ndarray, sampling_rate: int) -> np.ndarray:
-        resampler = get_or_create_resampler(
-            round(sampling_rate * self.factor), sampling_rate
-        )
+        resampler = get_or_create_resampler(round(sampling_rate * self.factor), sampling_rate)
         return resampler(samples)
 
     def reverse_timestamps(
-        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: int
+        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: int,
     ) -> Tuple[Seconds, Optional[Seconds]]:
         start_sample = compute_num_samples(offset, sampling_rate)
         num_samples = (
@@ -54,8 +52,7 @@ class Speed(AudioTransform):
         )
         return (
             start_sample / sampling_rate,
-            num_samples / sampling_rate if num_samples is not None else None,
-        )
+            num_samples / sampling_rate if num_samples is not None else None)
 
 
 @dataclass
@@ -75,34 +72,26 @@ class Resample(AudioTransform):
         # Backend dispatch mirrors the reference's selector
         # (augmentation/torchaudio.py:102-118): "sox" routes through the sox
         # rate effect, "default" through the built-in polyphase sinc kernel.
-        from lhotse_tpu.audio.resampling_backend import (
-            get_current_resampling_backend,
-        )
+        from lhotse_tpu.audio.resampling_backend import (get_current_resampling_backend,)
 
         if get_current_resampling_backend() == "sox":
             from lhotse_tpu.tools.libsox import libsox_rate
 
-            return libsox_rate(
-                samples, self.source_sampling_rate, self.target_sampling_rate
-            )
-        resampler = get_or_create_resampler(
-            self.source_sampling_rate, self.target_sampling_rate
-        )
+            return libsox_rate(samples, self.source_sampling_rate, self.target_sampling_rate)
+        resampler = get_or_create_resampler(self.source_sampling_rate, self.target_sampling_rate)
         return resampler(samples)
 
     def reverse_timestamps(
-        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: int
+        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: int,
     ) -> Tuple[Seconds, Optional[Seconds]]:
         if self.source_sampling_rate == self.target_sampling_rate:
             return offset, duration
         old_num_samples = compute_num_samples(
-            offset, self.source_sampling_rate, rounding=ROUND_HALF_UP
-        )
+            offset, self.source_sampling_rate, rounding=ROUND_HALF_UP)
         old_offset = old_num_samples / self.source_sampling_rate
         if duration is not None:
             old_num_samples = compute_num_samples(
-                duration, self.source_sampling_rate, rounding=ROUND_HALF_UP
-            )
+                duration, self.source_sampling_rate, rounding=ROUND_HALF_UP)
             old_duration = old_num_samples / self.source_sampling_rate
         else:
             old_duration = None
@@ -110,13 +99,8 @@ class Resample(AudioTransform):
 
 
 def wsola_time_stretch(
-    samples: np.ndarray,
-    factor: float,
-    sampling_rate: int,
-    segment_ms: float = 82.0,
-    search_ms: float = 14.0,
-    overlap_ms: float = 12.0,
-) -> np.ndarray:
+    samples: np.ndarray, factor: float, sampling_rate: int, segment_ms: float = 82.0,
+    search_ms: float = 14.0, overlap_ms: float = 12.0) -> np.ndarray:
     """
     Waveform-similarity overlap-add time stretching (the algorithm behind
     sox's ``tempo`` effect). ``factor > 1`` speeds up (shorter output),
@@ -171,9 +155,7 @@ def wsola_time_stretch(
             n_cand = hi - lo + 1
             if n_cand <= 0:
                 break
-            windows = np.lib.stride_tricks.sliding_window_view(
-                segment_region, overlap
-            )[:n_cand]
+            windows = np.lib.stride_tricks.sliding_window_view(segment_region, overlap)[:n_cand]
             scores = windows @ ref
             norm = np.sqrt(np.einsum("ij,ij->i", windows, windows) + 1e-12)
             best = int(np.argmax(scores / norm))
@@ -217,7 +199,7 @@ class Tempo(AudioTransform):
         return out
 
     def reverse_timestamps(
-        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: int
+        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: int,
     ) -> Tuple[Seconds, Optional[Seconds]]:
         start_sample = compute_num_samples(offset, sampling_rate)
         num_samples = (
@@ -231,8 +213,7 @@ class Tempo(AudioTransform):
         )
         return (
             start_sample / sampling_rate,
-            num_samples / sampling_rate if num_samples is not None else None,
-        )
+            num_samples / sampling_rate if num_samples is not None else None)
 
 
 @dataclass
@@ -245,6 +226,6 @@ class Volume(AudioTransform):
         return samples * self.factor
 
     def reverse_timestamps(
-        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: Optional[int]
+        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: Optional[int],
     ) -> Tuple[Seconds, Optional[Seconds]]:
         return offset, duration

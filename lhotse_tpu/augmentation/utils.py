@@ -56,8 +56,7 @@ def convolve1d(signal: np.ndarray, kernel: np.ndarray) -> np.ndarray:
 
 
 def highpass_biquad(
-    waveform: np.ndarray, sample_rate: int, cutoff_freq: float, Q: float = 0.707
-) -> np.ndarray:
+    waveform: np.ndarray, sample_rate: int, cutoff_freq: float, Q: float = 0.707) -> np.ndarray:
     """RBJ cookbook biquad highpass, applied along the last axis."""
     from scipy.signal import lfilter
 
@@ -137,29 +136,19 @@ class FastRandomRIRGenerator:
         dist_prob = np.linspace(self.alpha, 1.0, image) ** 2
         dist_prob = dist_prob / dist_prob.sum()
         dist_select_idx = self.source_rng.choice(
-            image, size=(nsource, image), replace=True, p=dist_prob
-        )
+            image, size=(nsource, image), replace=True, p=dist_prob)
         dist_ratio = np.stack(
-            [
-                np.linspace(1.0, velocity * T60 / direct_dist[i] - 1, image)[
-                    dist_select_idx[i]
-                ]
-                for i in range(nsource)
-            ],
-            0,
-        )
+            [ np.linspace(1.0, velocity * T60 / direct_dist[i] - 1, image)[ dist_select_idx[i] ] for i in range(nsource) ],
+            0)
         dist = direct_dist[:, None] * dist_ratio
 
         # Number of reflections per virtual source.
         reflect_max = (
             np.log10(velocity * T60) - np.log10(direct_dist) - 3
         ) / np.log10(reflect_coef + eps)
-        reflect_ratio = (dist / (velocity * T60)) ** 2 * (
-            reflect_max[:, None] - 1
-        ) + 1
+        reflect_ratio = (dist / (velocity * T60)) ** 2 * (reflect_max[:, None] - 1) + 1
         reflect_pertub = self.source_rng.uniform(
-            self.a, self.b, size=(nsource, image)
-        ) * (dist_ratio**self.tau)
+            self.a, self.b, size=(nsource, image)) * (dist_ratio**self.tau)
         reflect_ratio = np.maximum(reflect_ratio + reflect_pertub, 1.0)
 
         # Rescaled dirac comb as the RIR filter.
@@ -167,8 +156,7 @@ class FastRandomRIRGenerator:
         reflect_ratio = np.concatenate([np.zeros((nsource, 1)), reflect_ratio], 1)
         rir = np.zeros((nsource, rir_length), dtype=np.float64)
         delta_idx = np.minimum(
-            np.ceil(dist * sample_sr / velocity), rir_length - 1
-        ).astype(np.int64)
+            np.ceil(dist * sample_sr / velocity), rir_length - 1).astype(np.int64)
         delta_decay = reflect_coef**reflect_ratio / dist
         for i in range(nsource):
             np.add.at(rir[i], delta_idx[i], delta_decay[i])
@@ -178,10 +166,7 @@ class FastRandomRIRGenerator:
         direct_mask = np.zeros((nsource, rir_length), dtype=np.float64)
         for i in range(nsource):
             lo = max(int(direct_idx[i]) + sample_sr * self.direct_range[0] // 1000, 0)
-            hi = min(
-                int(direct_idx[i]) + sample_sr * self.direct_range[1] // 1000,
-                rir_length,
-            )
+            hi = min(int(direct_idx[i]) + sample_sr * self.direct_range[1] // 1000, rir_length)
             direct_mask[i, lo:hi] = 1.0
         rir_direct = rir * direct_mask
 

@@ -30,9 +30,7 @@ def _stft(audio: np.ndarray, n_fft: int, hop: int, window: np.ndarray) -> np.nda
     return np.fft.rfft(frames, axis=-1).transpose(0, 2, 1)
 
 
-def _istft(
-    spec: np.ndarray, n_fft: int, hop: int, window: np.ndarray, length: int
-) -> np.ndarray:
+def _istft(spec: np.ndarray, n_fft: int, hop: int, window: np.ndarray, length: int) -> np.ndarray:
     """Inverse of :func:`_stft` with window-sum normalization."""
     C, F, T = spec.shape
     frames = np.fft.irfft(spec.transpose(0, 2, 1), n=n_fft, axis=-1)
@@ -50,11 +48,7 @@ def _istft(
 
 
 def wpe(
-    Y: np.ndarray,
-    taps: int = 10,
-    delay: int = 3,
-    iterations: int = 3,
-    eps: float = 1e-10,
+    Y: np.ndarray, taps: int = 10, delay: int = 3, iterations: int = 3, eps: float = 1e-10,
 ) -> np.ndarray:
     """
     WPE dereverberation for a single frequency band.
@@ -86,14 +80,8 @@ def wpe(
 
 
 def dereverb_wpe_numpy(
-    audio: np.ndarray,
-    n_fft: int = 512,
-    hop_length: int = 128,
-    taps: int = 10,
-    delay: int = 3,
-    iterations: int = 3,
-    statistics_mode: str = "full",
-) -> np.ndarray:
+    audio: np.ndarray, n_fft: int = 512, hop_length: int = 128, taps: int = 10, delay: int = 3,
+    iterations: int = 3, statistics_mode: str = "full") -> np.ndarray:
     """Apply WPE dereverberation to (channels, samples) audio."""
     assert audio.ndim == 2, f"Expected 2D audio shape, got: {audio.shape}"
     N = audio.shape[1]
@@ -107,28 +95,16 @@ def dereverb_wpe_numpy(
 
 
 def dereverb_wpe_torch(
-    audio,
-    n_fft: int = 512,
-    hop_length: int = 128,
-    taps: int = 10,
-    delay: int = 3,
-    iterations: int = 3,
-    statistics_mode: str = "full",
-):
+    audio, n_fft: int = 512, hop_length: int = 128, taps: int = 10, delay: int = 3,
+    iterations: int = 3, statistics_mode: str = "full"):
     """Torch-tensor front-end over the numpy WPE implementation (the
     reference keeps separate torch/numpy paths, wpe.py; here the math is
     shared and only the tensor conversion differs)."""
     import torch
 
     out = dereverb_wpe_numpy(
-        audio.detach().cpu().numpy(),
-        n_fft=n_fft,
-        hop_length=hop_length,
-        taps=taps,
-        delay=delay,
-        iterations=iterations,
-        statistics_mode=statistics_mode,
-    )
+        audio.detach().cpu().numpy(), n_fft=n_fft, hop_length=hop_length, taps=taps, delay=delay,
+        iterations=iterations, statistics_mode=statistics_mode)
     return torch.from_numpy(out)
 
 
@@ -147,6 +123,6 @@ class DereverbWPE(AudioTransform):
         return dereverb_wpe_numpy(np.asarray(samples), **asdict(self))
 
     def reverse_timestamps(
-        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: int
+        self, offset: Seconds, duration: Optional[Seconds], sampling_rate: int,
     ) -> Tuple[Seconds, Optional[Seconds]]:
         return offset, duration

@@ -17,8 +17,7 @@ def cli(seed):
     """
     logging.basicConfig(
         format="%(asctime)s %(levelname)s [%(filename)s:%(lineno)d] %(message)s",
-        level=logging.INFO,
-    )
+        level=logging.INFO)
     if seed is not None:
         from lhotse_tpu.utils import fix_random_seed
 

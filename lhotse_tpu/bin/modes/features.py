@@ -15,11 +15,7 @@ from lhotse_tpu import CutSet, available_storage_backends
 from lhotse_tpu.audio import RecordingSet
 from lhotse_tpu.bin.modes.cli_base import cli
 from lhotse_tpu.features import (
-    Fbank,
-    FeatureExtractor,
-    FeatureSetBuilder,
-    create_default_feature_extractor,
-)
+    Fbank, FeatureExtractor, FeatureSetBuilder, create_default_feature_extractor)
 from lhotse_tpu.features.base import FEATURE_EXTRACTORS
 from lhotse_tpu.features.io import default_features_storage_backend_name, get_writer
 from lhotse_tpu.utils import Pathlike, Seconds
@@ -33,17 +29,12 @@ def feat():
 
 # Options shared by every extraction command.
 _extractor_config_opt = click.option(
-    "-f",
-    "--feature-manifest",
-    type=click.Path(exists=True, dir_okay=False),
-    help="YAML config overriding the default extractor settings.",
-)
+    "-f", "--feature-manifest", type=click.Path(exists=True, dir_okay=False),
+    help="YAML config overriding the default extractor settings.")
 _storage_type_opt = click.option(
-    "--storage-type",
-    type=click.Choice(available_storage_backends()),
+    "--storage-type", type=click.Choice(available_storage_backends()),
     default=default_features_storage_backend_name(),
-    help="Backend used to store the feature matrices.",
-)
+    help="Backend used to store the feature matrices.")
 
 
 def _load_extractor(config_path: Optional[Pathlike]) -> FeatureExtractor:
@@ -61,12 +52,8 @@ def _save_cuts(cuts: CutSet, path: Pathlike) -> None:
 @feat.command(context_settings=dict(show_default=True))
 @click.argument("output_config", type=click.Path())
 @click.option(
-    "-f",
-    "--feature-type",
-    type=click.Choice(list(FEATURE_EXTRACTORS)),
-    default="kaldi-fbank",
-    help="Feature extractor family to configure.",
-)
+    "-f", "--feature-type", type=click.Choice(list(FEATURE_EXTRACTORS)), default="kaldi-fbank",
+    help="Feature extractor family to configure.")
 def write_default_config(output_config: Pathlike, feature_type: str):
     """Save a default feature extraction config to OUTPUT_CONFIG."""
     create_default_feature_extractor(feature_type).to_yaml(output_config)
@@ -78,29 +65,15 @@ def write_default_config(output_config: Pathlike, feature_type: str):
 @_extractor_config_opt
 @_storage_type_opt
 @click.option(
-    "-t",
-    "--lilcom-tick-power",
-    type=int,
-    default=-5,
-    help="LTC1 compression accuracy: values quantize to multiples of 2^tick_power.",
-)
+    "-t", "--lilcom-tick-power", type=int, default=-5,
+    help="LTC1 compression accuracy: values quantize to multiples of 2^tick_power.")
 @click.option(
-    "-r",
-    "--root-dir",
-    type=click.Path(exists=True, file_okay=False),
-    default=None,
-    help="Prefix prepended to every path in the manifest.",
-)
+    "-r", "--root-dir", type=click.Path(exists=True, file_okay=False), default=None,
+    help="Prefix prepended to every path in the manifest.")
 @click.option("-j", "--num-jobs", type=int, default=1, help="Parallel worker processes.")
 def extract(
-    recording_manifest: Pathlike,
-    output_dir: Pathlike,
-    feature_manifest: Optional[Pathlike],
-    storage_type: str,
-    lilcom_tick_power: int,
-    root_dir: Optional[Pathlike],
-    num_jobs: int,
-):
+    recording_manifest: Pathlike, output_dir: Pathlike, feature_manifest: Optional[Pathlike],
+    storage_type: str, lilcom_tick_power: int, root_dir: Optional[Pathlike], num_jobs: int):
     """
     Extract features for recordings in RECORDING_MANIFEST into OUTPUT_DIR.
     """
@@ -114,14 +87,10 @@ def extract(
 
     with get_writer(storage_type)(storage_path, tick_power=lilcom_tick_power) as storage:
         builder = FeatureSetBuilder(
-            feature_extractor=_load_extractor(feature_manifest),
-            storage=storage,
-        )
+            feature_extractor=_load_extractor(feature_manifest), storage=storage)
         builder.process_and_store_recordings(
-            recordings=recordings,
-            output_manifest=out / "feature_manifest.json.gz",
-            num_jobs=num_jobs,
-        )
+            recordings=recordings, output_manifest=out / "feature_manifest.json.gz",
+            num_jobs=num_jobs)
 
 
 @feat.command(context_settings=dict(show_default=True))
@@ -132,23 +101,15 @@ def extract(
 @_storage_type_opt
 @click.option("-j", "--num-jobs", type=int, default=1, help="Parallel worker processes.")
 def extract_cuts(
-    cutset: Pathlike,
-    output_cutset: Pathlike,
-    storage_path: Pathlike,
-    feature_manifest: Optional[Pathlike],
-    storage_type: str,
-    num_jobs: int,
-):
+    cutset: Pathlike, output_cutset: Pathlike, storage_path: Pathlike,
+    feature_manifest: Optional[Pathlike], storage_type: str, num_jobs: int):
     """
     Extract features for cuts in CUTSET into STORAGE_PATH; the updated
     manifest is written to OUTPUT_CUTSET.
     """
     cuts = CutSet.from_file(cutset).compute_and_store_features(
-        extractor=_load_extractor(feature_manifest),
-        storage_path=storage_path,
-        num_jobs=num_jobs,
-        storage_type=get_writer(storage_type),
-    )
+        extractor=_load_extractor(feature_manifest), storage_path=storage_path, num_jobs=num_jobs,
+        storage_type=get_writer(storage_type))
     _save_cuts(cuts, output_cutset)
 
 
@@ -160,20 +121,11 @@ def extract_cuts(
 @_storage_type_opt
 @click.option("-j", "--num-jobs", type=int, default=4, help="Audio read workers feeding the device.")
 @click.option(
-    "-b",
-    "--batch-duration",
-    type=float,
-    default=600.0,
-    help="Upper bound on seconds of audio per device batch.",
-)
+    "-b", "--batch-duration", type=float, default=600.0,
+    help="Upper bound on seconds of audio per device batch.")
 def extract_cuts_batch(
-    cutset: Pathlike,
-    output_cutset: Pathlike,
-    storage_path: Pathlike,
-    feature_manifest: Optional[Pathlike],
-    storage_type: str,
-    num_jobs: int,
-    batch_duration: Seconds,
+    cutset: Pathlike, output_cutset: Pathlike, storage_path: Pathlike,
+    feature_manifest: Optional[Pathlike], storage_type: str, num_jobs: int, batch_duration: Seconds,
 ):
     """
     Extract features for cuts in CUTSET with batched accelerator execution —
@@ -181,10 +133,6 @@ def extract_cuts_batch(
     compiled program per bucket).
     """
     cuts = CutSet.from_file(cutset).compute_and_store_features_batch(
-        extractor=_load_extractor(feature_manifest),
-        storage_path=storage_path,
-        batch_duration=batch_duration,
-        num_workers=num_jobs,
-        storage_type=get_writer(storage_type),
-    )
+        extractor=_load_extractor(feature_manifest), storage_path=storage_path,
+        batch_duration=batch_duration, num_workers=num_jobs, storage_type=get_writer(storage_type))
     _save_cuts(cuts, output_cutset)

@@ -32,12 +32,8 @@ def _create_single_index(path: str, output_dir: str, create_index_fn):
 @index.command()
 @click.argument("path", type=click.Path(exists=True, dir_okay=False))
 @click.option(
-    "-o",
-    "--output-dir",
-    type=click.Path(file_okay=False),
-    default=None,
-    help="Write the .idx file into this directory instead of next to the input.",
-)
+    "-o", "--output-dir", type=click.Path(file_okay=False), default=None,
+    help="Write the .idx file into this directory instead of next to the input.")
 def jsonl(path: str, output_dir: str):
     """Create a binary index for an uncompressed JSONL file."""
     from lhotse_tpu.indexing import create_jsonl_index
@@ -48,12 +44,8 @@ def jsonl(path: str, output_dir: str):
 @index.command()
 @click.argument("path", type=click.Path(exists=True, dir_okay=False))
 @click.option(
-    "-o",
-    "--output-dir",
-    type=click.Path(file_okay=False),
-    default=None,
-    help="Write the .idx file into this directory instead of next to the input.",
-)
+    "-o", "--output-dir", type=click.Path(file_okay=False), default=None,
+    help="Write the .idx file into this directory instead of next to the input.")
 def tar(path: str, output_dir: str):
     """Create a binary index for an uncompressed tar archive."""
     from lhotse_tpu.indexing import create_tar_index
@@ -64,12 +56,8 @@ def tar(path: str, output_dir: str):
 @index.command()
 @click.argument("shar_dir", type=click.Path(exists=True, file_okay=False))
 @click.option(
-    "-o",
-    "--output-dir",
-    type=click.Path(file_okay=False),
-    default=None,
-    help="Write .idx files into this directory instead of next to the data files.",
-)
+    "-o", "--output-dir", type=click.Path(file_okay=False), default=None,
+    help="Write .idx files into this directory instead of next to the data files.")
 def shar(shar_dir: str, output_dir: str):
     """
     Create binary indexes for all JSONL and tar files in a Shar directory

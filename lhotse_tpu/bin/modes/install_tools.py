@@ -10,11 +10,8 @@ from lhotse_tpu.tools.sph2pipe import SPH2PIPE_URL
 
 @cli.command(context_settings=dict(show_default=True))
 @click.option(
-    "--install-dir",
-    type=click.Path(),
-    default=default_tools_cachedir(),
-    help="Directory where sph2pipe will be downloaded and installed.",
-)
+    "--install-dir", type=click.Path(), default=default_tools_cachedir(),
+    help="Directory where sph2pipe will be downloaded and installed.")
 @click.option("--url", default=SPH2PIPE_URL, help="URL from which to download sph2pipe.")
 def install_sph2pipe(install_dir: str, url: str):
     """

@@ -23,33 +23,17 @@ def kaldi():
 @click.argument("sampling_rate", type=int)
 @click.argument("manifest_dir", type=click.Path())
 @click.option(
-    "-f",
-    "--frame-shift",
-    type=float,
-    help="Frame shift (seconds) — required to import feats.scp.",
-)
+    "-f", "--frame-shift", type=float, help="Frame shift (seconds) — required to import feats.scp.")
 @click.option(
-    "-u",
-    "--map-string-to-underscores",
-    type=str,
-    default=None,
-    help="Replace this string with underscores in segment/speaker IDs.",
-)
+    "-u", "--map-string-to-underscores", type=str, default=None,
+    help="Replace this string with underscores in segment/speaker IDs.")
 @click.option(
-    "--use-reco2dur/--no-use-reco2dur",
-    default=True,
-    help="Read durations from reco2dur when available instead of the audio.",
-)
+    "--use-reco2dur/--no-use-reco2dur", default=True,
+    help="Read durations from reco2dur when available instead of the audio.")
 @click.option("-j", "--num-jobs", type=int, default=1, help="Parallel duration reads.")
 def import_(
-    data_dir: Pathlike,
-    sampling_rate: int,
-    manifest_dir: Pathlike,
-    frame_shift: Optional[float],
-    map_string_to_underscores: Optional[str],
-    use_reco2dur: bool,
-    num_jobs: int,
-):
+    data_dir: Pathlike, sampling_rate: int, manifest_dir: Pathlike, frame_shift: Optional[float],
+    map_string_to_underscores: Optional[str], use_reco2dur: bool, num_jobs: int):
     """
     Convert a Kaldi DATA_DIR (wav.scp + optional segments/text/utt2spk/...)
     into recordings/supervisions[/features] manifests in MANIFEST_DIR.
@@ -57,13 +41,9 @@ def import_(
     from lhotse_tpu.kaldi import load_kaldi_data_dir
 
     recording_set, supervision_set, feature_set = load_kaldi_data_dir(
-        path=data_dir,
-        sampling_rate=sampling_rate,
-        frame_shift=frame_shift,
-        map_string_to_underscores=map_string_to_underscores,
-        use_reco2dur=use_reco2dur,
-        num_jobs=num_jobs,
-    )
+        path=data_dir, sampling_rate=sampling_rate, frame_shift=frame_shift,
+        map_string_to_underscores=map_string_to_underscores, use_reco2dur=use_reco2dur,
+        num_jobs=num_jobs)
     manifest_dir = Path(manifest_dir)
     manifest_dir.mkdir(parents=True, exist_ok=True)
     recording_set.to_file(manifest_dir / "recordings.jsonl.gz")
@@ -78,26 +58,14 @@ def import_(
 @click.argument("supervisions", type=click.Path(exists=True, dir_okay=False))
 @click.argument("output_dir", type=click.Path())
 @click.option(
-    "-u",
-    "--map-underscores-to",
-    type=str,
-    default=None,
-    help="Replace underscores with this string in segment/speaker IDs.",
-)
+    "-u", "--map-underscores-to", type=str, default=None,
+    help="Replace underscores with this string in segment/speaker IDs.")
 @click.option(
-    "-p",
-    "--prefix-spk-id",
-    is_flag=True,
-    default=False,
-    help="Prefix utterance IDs with the speaker ID (required Kaldi sorting).",
-)
+    "-p", "--prefix-spk-id", is_flag=True, default=False,
+    help="Prefix utterance IDs with the speaker ID (required Kaldi sorting).")
 def export(
-    recordings: Pathlike,
-    supervisions: Pathlike,
-    output_dir: Pathlike,
-    map_underscores_to: Optional[str],
-    prefix_spk_id: bool,
-):
+    recordings: Pathlike, supervisions: Pathlike, output_dir: Pathlike,
+    map_underscores_to: Optional[str], prefix_spk_id: bool):
     """
     Export RECORDINGS and SUPERVISIONS manifests to a Kaldi data directory.
     """
@@ -105,9 +73,5 @@ def export(
     from lhotse_tpu.kaldi import export_to_kaldi
 
     export_to_kaldi(
-        recordings=load_manifest(recordings),
-        supervisions=load_manifest(supervisions),
-        output_dir=output_dir,
-        map_underscores_to=map_underscores_to,
-        prefix_spk_id=prefix_spk_id,
-    )
+        recordings=load_manifest(recordings), supervisions=load_manifest(supervisions),
+        output_dir=output_dir, map_underscores_to=map_underscores_to, prefix_spk_id=prefix_spk_id)

@@ -24,15 +24,12 @@ from lhotse_tpu.utils import Pathlike
 __all__ = ["split", "combine", "subset", "filter"]
 
 _MANIFEST_ARG = click.argument(
-    "manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True)
-)
+    "manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True))
 _OUTPUT_ARG = click.argument("output_manifest", type=click.Path(allow_dash=True))
 
 
 @cli.command()
-@click.argument(
-    "input_manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True)
-)
+@click.argument("input_manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True))
 @_OUTPUT_ARG
 def copy(input_manifest, output_manifest):
     """
@@ -43,8 +40,7 @@ def copy(input_manifest, output_manifest):
 
 
 def _copy_cut_features_parallel(
-    cuts: CutSet, storage_path: str, storage_type: str, max_jobs: int, output_manifest
-) -> None:
+    cuts: CutSet, storage_path: str, storage_type: str, max_jobs: int, output_manifest) -> None:
     """Group cuts by their underlying feature file and copy file-groups in
     parallel worker processes."""
     from lhotse_tpu.manipulation import combine as combine_manifests
@@ -64,15 +60,8 @@ def _copy_cut_features_parallel(
 
     with ProcessPoolExecutor(workers) as pool:
         jobs = [
-            pool.submit(
-                copy_feats_worker,
-                group,
-                f"{storage_path}/feats-{i}",
-                storage_type,
-                f"{storage_path}/cuts-{i}.jsonl.gz",
-            )
-            for i, group in enumerate(by_file)
-        ]
+            pool.submit( copy_feats_worker, group, f"{storage_path}/feats-{i}", storage_type, f"{storage_path}/cuts-{i}.jsonl.gz", ) for i,
+            group in enumerate(by_file)]
         merged = combine_manifests(job.result() for job in as_completed(jobs))
 
     with CutSet.open_writer(output_manifest) as writer:
@@ -81,32 +70,19 @@ def _copy_cut_features_parallel(
 
 
 @cli.command()
-@click.argument(
-    "input_manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True)
-)
+@click.argument("input_manifest", type=click.Path(exists=True, dir_okay=False, allow_dash=True))
 @_OUTPUT_ARG
 @click.argument("storage_path", type=str)
 @click.option(
-    "-t",
-    "--storage-type",
-    type=click.Choice(available_storage_backends()),
+    "-t", "--storage-type", type=click.Choice(available_storage_backends()),
     default=default_features_storage_backend_name(),
-    help="Backend used to write the copied features.",
-)
+    help="Backend used to write the copied features.")
 @click.option(
-    "-j",
-    "--max-jobs",
-    default=-1,
-    type=int,
-    help="Cap on parallel copy processes (default: one per existing feature file).",
-)
+    "-j", "--max-jobs", default=-1, type=int,
+    help="Cap on parallel copy processes (default: one per existing feature file).")
 def copy_feats(
-    input_manifest: Pathlike,
-    output_manifest: Pathlike,
-    storage_path: str,
-    storage_type: str,
-    max_jobs: int,
-) -> None:
+    input_manifest: Pathlike, output_manifest: Pathlike, storage_path: str, storage_type: str,
+    max_jobs: int) -> None:
     """
     Read every feature matrix from INPUT_MANIFEST (FeatureSet or CutSet),
     save them in STORAGE_PATH, and write the updated OUTPUT_MANIFEST.
@@ -117,17 +93,13 @@ def copy_feats(
             manifests.copy_feats(writer=writer).to_file(output_manifest)
     elif isinstance(manifests, CutSet):
         _copy_cut_features_parallel(
-            manifests, storage_path, storage_type, max_jobs, output_manifest
-        )
+            manifests, storage_path, storage_type, max_jobs, output_manifest)
     else:
-        raise ValueError(
-            f"Unsupported manifest type ({type(manifests)}) at: {input_manifest}"
-        )
+        raise ValueError(f"Unsupported manifest type ({type(manifests)}) at: {input_manifest}")
 
 
 def copy_feats_worker(
-    cuts: CutSet, storage_path: Pathlike, storage_type: str, output_manifest: Path
-) -> CutSet:
+    cuts: CutSet, storage_path: Pathlike, storage_type: str, output_manifest: Path) -> CutSet:
     with get_writer(storage_type)(storage_path) as w:
         return cuts.copy_feats(writer=w, output_path=output_manifest)
 
@@ -137,24 +109,15 @@ def copy_feats_worker(
 @_MANIFEST_ARG
 @click.argument("output_dir", type=click.Path())
 @click.option(
-    "-s", "--shuffle", is_flag=True, help="Optionally shuffle the sequence before splitting."
-)
+    "-s", "--shuffle", is_flag=True, help="Optionally shuffle the sequence before splitting.")
 @click.option(
-    "--pad/--no-pad",
-    default=True,
-    help="Pad the split output idx with zeros (e.g. 00, 01, 02, .., 10).",
-)
+    "--pad/--no-pad", default=True,
+    help="Pad the split output idx with zeros (e.g. 00, 01, 02, .., 10).")
 @click.option(
-    "-i", "--start-idx", type=int, default=0, help="Count splits starting from this index."
-)
+    "-i", "--start-idx", type=int, default=0, help="Count splits starting from this index.")
 def split(
-    num_splits: int,
-    manifest: Pathlike,
-    output_dir: Pathlike,
-    shuffle: bool,
-    pad: bool,
-    start_idx: int,
-):
+    num_splits: int, manifest: Pathlike, output_dir: Pathlike, shuffle: bool, pad: bool,
+    start_idx: int):
     """
     Split MANIFEST into NUM_SPLITS equal parts saved in OUTPUT_DIR.
     For very large manifests, prefer "lhotse-tpu split-lazy".
@@ -167,8 +130,7 @@ def split(
 
     whole = load_manifest_lazy_or_eager(manifest)
     for idx, part in enumerate(
-        whole.split(num_splits=num_splits, shuffle=shuffle), start=start_idx
-    ):
+        whole.split(num_splits=num_splits, shuffle=shuffle), start=start_idx):
         tag = str(idx).zfill(width) if pad else str(idx)
         part.to_file((out / manifest.stem).with_suffix(f".{tag}{suffix}"))
 
@@ -178,8 +140,7 @@ def split(
 @click.argument("output_dir", type=click.Path(allow_dash=True))
 @click.argument("chunk_size", type=int)
 @click.option(
-    "-i", "--start-idx", type=int, default=0, help="Count splits starting from this index."
-)
+    "-i", "--start-idx", type=int, default=0, help="Count splits starting from this index.")
 def split_lazy(manifest: Pathlike, output_dir: Pathlike, chunk_size: int, start_idx: int):
     """
     Split MANIFEST lazily into parts of CHUNK_SIZE items saved as
@@ -187,11 +148,8 @@ def split_lazy(manifest: Pathlike, output_dir: Pathlike, chunk_size: int, start_
     """
     manifest = Path(manifest)
     load_manifest_lazy_or_eager(manifest).split_lazy(
-        output_dir=Path(output_dir),
-        chunk_size=chunk_size,
-        prefix=manifest.stem,
-        start_idx=start_idx,
-    )
+        output_dir=Path(output_dir), chunk_size=chunk_size, prefix=manifest.stem,
+        start_idx=start_idx)
 
 
 def _parse_cut_ids(cutids: Optional[str]):
@@ -210,20 +168,12 @@ def _parse_cut_ids(cutids: Optional[str]):
 @click.option("--first", type=int)
 @click.option("--last", type=int)
 @click.option(
-    "--cutids",
-    type=str,
-    help=(
-        "A json string or path to json file containing array of cutids strings. "
-        'E.g. --cutids \'["cutid1", "cutid2"]\'.'
-    ),
+    "--cutids", type=str,
+    help=( "A json string or path to json file containing array of cutids strings. " 'E.g. --cutids \'["cutid1", "cutid2"]\'.' ),
 )
 def subset(
-    manifest: Pathlike,
-    output_manifest: Pathlike,
-    first: Optional[int],
-    last: Optional[int],
-    cutids: Optional[str],
-):
+    manifest: Pathlike, output_manifest: Pathlike, first: Optional[int], last: Optional[int],
+    cutids: Optional[str]):
     """Select the FIRST or LAST items of MANIFEST into OUTPUT_MANIFEST."""
     whole = load_manifest_lazy_or_eager(Path(manifest))
     cids = _parse_cut_ids(cutids)
@@ -231,9 +181,7 @@ def subset(
     if isinstance(whole, CutSet):
         picked = whole.subset(first=first, last=last, cut_ids=cids)
     elif cids is not None:
-        raise ValueError(
-            f"Expected a CutSet manifest with cut_ids argument; got {type(whole)}"
-        )
+        raise ValueError(f"Expected a CutSet manifest with cut_ids argument; got {type(whole)}")
     else:
         picked = whole.subset(first=first, last=last)
     picked.to_file(Path(output_manifest))
@@ -241,8 +189,7 @@ def subset(
 
 @cli.command()
 @click.argument(
-    "manifests", nargs=-1, type=click.Path(exists=True, dir_okay=False, allow_dash=True)
-)
+    "manifests", nargs=-1, type=click.Path(exists=True, dir_okay=False, allow_dash=True))
 @_OUTPUT_ARG
 def combine(manifests: Pathlike, output_manifest: Pathlike):
     """Combine MANIFESTS into a single one written to OUTPUT_MANIFEST."""
@@ -272,9 +219,7 @@ def filter(predicate: str, manifest: Pathlike, output_manifest: Pathlike):
 
     from lhotse_tpu.manipulation import to_manifest
 
-    match = re.fullmatch(
-        r"(?P<key>\w+)(?P<op>==?|!=|>=?|<=?)(?P<value>[0-9.]+)", predicate
-    )
+    match = re.fullmatch(r"(?P<key>\w+)(?P<op>==?|!=|>=?|<=?)(?P<value>[0-9.]+)", predicate)
     if match is None:
         raise ValueError(
             "Invalid predicate! Run with --help option to learn what "
@@ -282,14 +227,8 @@ def filter(predicate: str, manifest: Pathlike, output_manifest: Pathlike):
         )
     key, op, raw = match.group("key", "op", "value")
     compare = {
-        "<": operator.lt,
-        ">": operator.gt,
-        ">=": operator.ge,
-        "<=": operator.le,
-        "=": isclose,
-        "==": isclose,
-        "!=": lambda a, b: not isclose(a, b),
-    }[op]
+        "<": operator.lt, ">": operator.gt, ">=": operator.ge, "<=": operator.le, "=": isclose,
+        "==": isclose, "!=": lambda a, b: not isclose(a, b)}[op]
     threshold = float(raw) if "." in raw else int(raw)
 
     kept = []
@@ -298,10 +237,8 @@ def filter(predicate: str, manifest: Pathlike, output_manifest: Pathlike):
             attr = getattr(item, key)
         except AttributeError:
             click.echo(
-                f'Invalid predicate! Items in "{manifest}" do not have the '
-                f'attribute "{key}"',
-                err=True,
-            )
+                f'Invalid predicate! Items in "{manifest}" do not have the ' f'attribute "{key}"',
+                err=True)
             exit(1)
         if compare(attr, threshold):
             kept.append(item)

@@ -17,36 +17,21 @@ __all__ = ["ami"]
 @click.option("--mic", type=click.Choice(MICS), default="ihm")
 @click.option("--partition", type=click.Choice(sorted(PARTITIONS)), default="full-corpus")
 @click.option(
-    "--normalize-text",
-    type=click.Choice(["none", "upper", "kaldi"], case_sensitive=False),
-    default="kaldi",
-)
+    "--normalize-text", type=click.Choice(["none", "upper", "kaldi"], case_sensitive=False),
+    default="kaldi")
 @click.option("--max-words-per-segment", type=int, default=None)
 @click.option("--merge-consecutive/--no-merge-consecutive", default=False)
 @click.option("--keep-punctuation/--no-keep-punctuation", default=False)
 def ami(
-    corpus_dir: Pathlike,
-    output_dir: Pathlike,
-    annotations_dir: Optional[Pathlike],
-    mic: str,
-    partition: str,
-    normalize_text: str,
-    max_words_per_segment: Optional[int],
-    merge_consecutive: bool,
-    keep_punctuation: bool,
-):
+    corpus_dir: Pathlike, output_dir: Pathlike, annotations_dir: Optional[Pathlike], mic: str,
+    partition: str, normalize_text: str, max_words_per_segment: Optional[int],
+    merge_consecutive: bool, keep_punctuation: bool):
     """AMI Meeting Corpus data preparation."""
     prepare_ami(
-        corpus_dir,
-        annotations_dir=annotations_dir,
-        output_dir=output_dir,
-        mic=mic,
-        partition=partition,
-        normalize_text=normalize_text,
-        max_words_per_segment=max_words_per_segment,
-        merge_consecutive=merge_consecutive,
-        keep_punctuation=keep_punctuation,
-    )
+        corpus_dir, annotations_dir=annotations_dir, output_dir=output_dir, mic=mic,
+        partition=partition, normalize_text=normalize_text,
+        max_words_per_segment=max_words_per_segment, merge_consecutive=merge_consecutive,
+        keep_punctuation=keep_punctuation)
 
 
 @download.command(context_settings=dict(show_default=True))

@@ -6,11 +6,7 @@ import click
 
 from lhotse_tpu.bin.modes.cli_base import download, prepare
 from lhotse_tpu.recipes import (
-    download_earnings22,
-    download_spgispeech,
-    prepare_earnings22,
-    prepare_spgispeech,
-)
+    download_earnings22, download_spgispeech, prepare_earnings22, prepare_spgispeech)
 from lhotse_tpu.utils import Pathlike
 
 __all__ = []
@@ -24,8 +20,7 @@ __all__ = []
 def spgispeech(corpus_dir: Pathlike, output_dir: Pathlike, normalize_text: bool, num_jobs: int):
     """SPGISpeech data preparation."""
     prepare_spgispeech(
-        corpus_dir, output_dir=output_dir, normalize_text=normalize_text, num_jobs=num_jobs
-    )
+        corpus_dir, output_dir=output_dir, normalize_text=normalize_text, num_jobs=num_jobs)
 
 
 @download.command(context_settings=dict(show_default=True))

@@ -17,9 +17,7 @@ __all__ = ["fleurs"]
 @click.option("-j", "--num-jobs", type=int, default=1)
 def fleurs(corpus_dir: Pathlike, output_dir: Pathlike, languages: Sequence[str], num_jobs: int):
     """FLEURS multilingual benchmark data preparation."""
-    prepare_fleurs(
-        corpus_dir, output_dir=output_dir, languages=list(languages), num_jobs=num_jobs
-    )
+    prepare_fleurs(corpus_dir, output_dir=output_dir, languages=list(languages), num_jobs=num_jobs)
 
 
 @download.command(context_settings=dict(show_default=True))

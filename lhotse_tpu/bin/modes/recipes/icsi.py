@@ -16,25 +16,15 @@ __all__ = ["icsi"]
 @click.option("--transcripts-dir", type=click.Path(exists=True), default=None)
 @click.option("--mic", type=click.Choice(sorted(MIC_TO_CHANNELS)), default="ihm")
 @click.option(
-    "--normalize-text",
-    type=click.Choice(["none", "upper", "kaldi"], case_sensitive=False),
-    default="kaldi",
-)
+    "--normalize-text", type=click.Choice(["none", "upper", "kaldi"], case_sensitive=False),
+    default="kaldi")
 def icsi(
-    audio_dir: Pathlike,
-    output_dir: Pathlike,
-    transcripts_dir: Optional[Pathlike],
-    mic: str,
-    normalize_text: str,
-):
+    audio_dir: Pathlike, output_dir: Pathlike, transcripts_dir: Optional[Pathlike], mic: str,
+    normalize_text: str):
     """ICSI Meeting Corpus data preparation."""
     prepare_icsi(
-        audio_dir,
-        transcripts_dir=transcripts_dir,
-        output_dir=output_dir,
-        mic=mic,
-        normalize_text=normalize_text,
-    )
+        audio_dir, transcripts_dir=transcripts_dir, output_dir=output_dir, mic=mic,
+        normalize_text=normalize_text)
 
 
 @download.command(context_settings=dict(show_default=True))

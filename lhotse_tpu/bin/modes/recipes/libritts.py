@@ -4,11 +4,7 @@ from typing import Sequence
 import click
 
 from lhotse_tpu.bin.modes.cli_base import download, prepare
-from lhotse_tpu.recipes.libritts import (
-    download_libritts,
-    download_librittsr,
-    prepare_libritts,
-)
+from lhotse_tpu.recipes.libritts import (download_libritts, download_librittsr, prepare_libritts)
 from lhotse_tpu.utils import Pathlike
 
 __all__ = ["libritts", "librittsr"]
@@ -16,19 +12,12 @@ __all__ = ["libritts", "librittsr"]
 
 def _prepare_opts(fn):
     fn = click.option(
-        "-p",
-        "--dataset-parts",
-        type=str,
-        default=["all"],
-        multiple=True,
-        help="Dataset parts to prepare (e.g. dev-clean).",
-    )(fn)
+        "-p", "--dataset-parts", type=str, default=["all"], multiple=True,
+        help="Dataset parts to prepare (e.g. dev-clean).")(fn)
     fn = click.option("-j", "--num-jobs", type=int, default=1)(fn)
     fn = click.option(
-        "--link-previous-utt/--no-link-previous-utt",
-        default=False,
-        help="Attach the previous utterance id to supervisions (for TTS chains).",
-    )(fn)
+        "--link-previous-utt/--no-link-previous-utt", default=False,
+        help="Attach the previous utterance id to supervisions (for TTS chains).")(fn)
     return fn
 
 
@@ -37,22 +26,14 @@ def _prepare_opts(fn):
 @click.argument("output_dir", type=click.Path())
 @_prepare_opts
 def libritts(
-    corpus_dir: Pathlike,
-    output_dir: Pathlike,
-    dataset_parts: Sequence[str],
-    num_jobs: int,
-    link_previous_utt: bool,
-):
+    corpus_dir: Pathlike, output_dir: Pathlike, dataset_parts: Sequence[str], num_jobs: int,
+    link_previous_utt: bool):
     """LibriTTS TTS data preparation."""
     if len(dataset_parts) == 1:
         dataset_parts = dataset_parts[0]
     prepare_libritts(
-        corpus_dir,
-        output_dir=output_dir,
-        dataset_parts=dataset_parts,
-        num_jobs=num_jobs,
-        link_previous_utt=link_previous_utt,
-    )
+        corpus_dir, output_dir=output_dir, dataset_parts=dataset_parts, num_jobs=num_jobs,
+        link_previous_utt=link_previous_utt)
 
 
 @prepare.command(context_settings=dict(show_default=True))
@@ -60,22 +41,14 @@ def libritts(
 @click.argument("output_dir", type=click.Path())
 @_prepare_opts
 def librittsr(
-    corpus_dir: Pathlike,
-    output_dir: Pathlike,
-    dataset_parts: Sequence[str],
-    num_jobs: int,
-    link_previous_utt: bool,
-):
+    corpus_dir: Pathlike, output_dir: Pathlike, dataset_parts: Sequence[str], num_jobs: int,
+    link_previous_utt: bool):
     """LibriTTS-R TTS data preparation."""
     if len(dataset_parts) == 1:
         dataset_parts = dataset_parts[0]
     prepare_libritts(
-        corpus_dir,
-        output_dir=output_dir,
-        dataset_parts=dataset_parts,
-        num_jobs=num_jobs,
-        link_previous_utt=link_previous_utt,
-    )
+        corpus_dir, output_dir=output_dir, dataset_parts=dataset_parts, num_jobs=num_jobs,
+        link_previous_utt=link_previous_utt)
 
 
 @download.command(context_settings=dict(show_default=True))

@@ -5,10 +5,8 @@ from lhotse_tpu.bin.modes.cli_base import download, prepare
 from lhotse_tpu.utils import Pathlike
 
 __all__ = [
-    "chime6", "dipco", "dipco_dl", "ali_meeting", "ali_meeting_dl",
-    "aishell4", "aishell4_dl", "libricss", "libricss_dl", "dihard3",
-    "voxconverse", "voxconverse_dl",
-]
+    "chime6", "dipco", "dipco_dl", "ali_meeting", "ali_meeting_dl", "aishell4", "aishell4_dl",
+    "libricss", "libricss_dl", "dihard3", "voxconverse", "voxconverse_dl"]
 
 
 @prepare.command(context_settings=dict(show_default=True))
@@ -22,9 +20,8 @@ def chime6(corpus_dir: Pathlike, output_dir: Pathlike, mic, normalize_text, use_
     from lhotse_tpu.recipes import prepare_chime6
 
     prepare_chime6(
-        corpus_dir, output_dir=output_dir, mic=mic,
-        normalize_text=normalize_text, use_chime7_split=use_chime7_split,
-    )
+        corpus_dir, output_dir=output_dir, mic=mic, normalize_text=normalize_text,
+        use_chime7_split=use_chime7_split)
 
 
 @prepare.command(context_settings=dict(show_default=True))
@@ -118,8 +115,7 @@ def dihard3(output_dir: Pathlike, dev_audio_dir, eval_audio_dir):
     from lhotse_tpu.recipes import prepare_dihard3
 
     prepare_dihard3(
-        dev_audio_dir=dev_audio_dir, eval_audio_dir=eval_audio_dir, output_dir=output_dir
-    )
+        dev_audio_dir=dev_audio_dir, eval_audio_dir=eval_audio_dir, output_dir=output_dir)
 
 
 @prepare.command(context_settings=dict(show_default=True))

@@ -11,11 +11,7 @@ __all__ = ["mls"]
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-@click.option(
-    "--opus/--flac",
-    default=True,
-    help="Scan for OPUS (default) or FLAC audio files.",
-)
+@click.option("--opus/--flac", default=True, help="Scan for OPUS (default) or FLAC audio files.")
 @click.option("-j", "--num-jobs", type=int, default=1)
 def mls(corpus_dir: Pathlike, output_dir: Pathlike, opus: bool, num_jobs: int):
     """Multilingual LibriSpeech (MLS) data preparation."""

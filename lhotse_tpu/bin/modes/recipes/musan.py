@@ -14,25 +14,13 @@ __all__ = ["musan"]
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
 @click.option(
-    "-p",
-    "--parts",
-    type=click.Choice(["music", "speech", "noise"]),
-    multiple=True,
-    default=["music", "speech", "noise"],
-    help="Which MUSAN parts to prepare.",
-)
+    "-p", "--parts", type=click.Choice(["music", "speech", "noise"]), multiple=True,
+    default=["music", "speech", "noise"], help="Which MUSAN parts to prepare.")
 @click.option(
-    "--use-vocals/--no-vocals",
-    default=True,
-    help="Include music recordings with vocals.",
-)
-def musan(
-    corpus_dir: Pathlike, output_dir: Pathlike, parts: Sequence[str], use_vocals: bool
-):
+    "--use-vocals/--no-vocals", default=True, help="Include music recordings with vocals.")
+def musan(corpus_dir: Pathlike, output_dir: Pathlike, parts: Sequence[str], use_vocals: bool):
     """MUSAN data preparation (noise/music/speech for augmentation)."""
-    prepare_musan(
-        corpus_dir, output_dir=output_dir, parts=parts, use_vocals=use_vocals
-    )
+    prepare_musan(corpus_dir, output_dir=output_dir, parts=parts, use_vocals=use_vocals)
 
 
 @download.command(context_settings=dict(show_default=True))

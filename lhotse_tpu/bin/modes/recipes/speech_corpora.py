@@ -5,13 +5,10 @@ from lhotse_tpu.bin.modes.cli_base import download, prepare
 from lhotse_tpu.utils import Pathlike
 
 __all__ = [
-    "aishell2", "aishell3", "aishell3_dl", "tedlium2", "tedlium2_dl",
-    "earnings21", "earnings21_dl", "voxpopuli", "voxpopuli_dl",
-    "librilight", "fisher_english", "babel", "mdcc", "mdcc_dl",
-    "heroico", "heroico_dl", "cmu_kids", "speechcommands",
-    "speechcommands_dl", "audio_mnist", "audio_mnist_dl",
-    "mobvoihotwords", "mobvoihotwords_dl",
-]
+    "aishell2", "aishell3", "aishell3_dl", "tedlium2", "tedlium2_dl", "earnings21", "earnings21_dl",
+    "voxpopuli", "voxpopuli_dl", "librilight", "fisher_english", "babel", "mdcc", "mdcc_dl",
+    "heroico", "heroico_dl", "cmu_kids", "speechcommands", "speechcommands_dl", "audio_mnist",
+    "audio_mnist_dl", "mobvoihotwords", "mobvoihotwords_dl"]
 
 
 @prepare.command(context_settings=dict(show_default=True))
@@ -54,8 +51,7 @@ def tedlium2(corpus_dir: Pathlike, output_dir: Pathlike, normalize_text, num_job
     from lhotse_tpu.recipes import prepare_tedlium2
 
     prepare_tedlium2(
-        corpus_dir, output_dir=output_dir, normalize_text=normalize_text, num_jobs=num_jobs
-    )
+        corpus_dir, output_dir=output_dir, normalize_text=normalize_text, num_jobs=num_jobs)
 
 
 @download.command(context_settings=dict(show_default=True))

@@ -19,22 +19,12 @@ __all__ = []
 @click.option("--omit-silence/--retain-silence", default=True)
 @click.option("--absolute-paths", is_flag=True, default=False)
 def switchboard(
-    audio_dir: Pathlike,
-    output_dir: Pathlike,
-    transcripts_dir: Optional[Pathlike],
-    sentiment_dir: Optional[Pathlike],
-    omit_silence: bool,
-    absolute_paths: bool,
-):
+    audio_dir: Pathlike, output_dir: Pathlike, transcripts_dir: Optional[Pathlike],
+    sentiment_dir: Optional[Pathlike], omit_silence: bool, absolute_paths: bool):
     """Switchboard-1 (LDC97S62) data preparation."""
     prepare_switchboard(
-        audio_dir,
-        transcripts_dir=transcripts_dir,
-        sentiment_dir=sentiment_dir,
-        output_dir=output_dir,
-        omit_silence=omit_silence,
-        absolute_paths=absolute_paths,
-    )
+        audio_dir, transcripts_dir=transcripts_dir, sentiment_dir=sentiment_dir,
+        output_dir=output_dir, omit_silence=omit_silence, absolute_paths=absolute_paths)
 
 
 @prepare.command(context_settings=dict(show_default=True))

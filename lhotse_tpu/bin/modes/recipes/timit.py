@@ -15,12 +15,7 @@ __all__ = ["timit"]
 @click.option("-j", "--num-jobs", type=int, default=1)
 def timit(corpus_dir: Pathlike, output_dir: Pathlike, num_phones: str, num_jobs: int):
     """TIMIT data preparation (word + phone alignments)."""
-    prepare_timit(
-        corpus_dir,
-        output_dir=output_dir,
-        num_phones=int(num_phones),
-        num_jobs=num_jobs,
-    )
+    prepare_timit(corpus_dir, output_dir=output_dir, num_phones=int(num_phones), num_jobs=num_jobs)
 
 
 @download.command(context_settings=dict(show_default=True))

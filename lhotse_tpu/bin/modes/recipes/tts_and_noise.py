@@ -5,10 +5,9 @@ from lhotse_tpu.bin.modes.cli_base import download, prepare
 from lhotse_tpu.utils import Pathlike
 
 __all__ = [
-    "cmu_arctic", "cmu_arctic_dl", "l2_arctic", "hifitts", "hifitts_dl",
-    "adept", "adept_dl", "daily_talk", "daily_talk_dl", "ears", "ears_dl",
-    "rir_noise", "rir_noise_dl", "wham", "wham_dl", "librilight_dl",
-]
+    "cmu_arctic", "cmu_arctic_dl", "l2_arctic", "hifitts", "hifitts_dl", "adept", "adept_dl",
+    "daily_talk", "daily_talk_dl", "ears", "ears_dl", "rir_noise", "rir_noise_dl", "wham",
+    "wham_dl", "librilight_dl"]
 
 
 @prepare.command(context_settings=dict(show_default=True))

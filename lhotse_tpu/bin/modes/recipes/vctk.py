@@ -16,11 +16,8 @@ __all__ = ["vctk"]
 def vctk(corpus_dir: Pathlike, output_dir: Pathlike, use_edinburgh_vctk_url: bool, mic_id: str):
     """VCTK TTS data preparation."""
     prepare_vctk(
-        corpus_dir,
-        output_dir=output_dir,
-        use_edinburgh_vctk_url=use_edinburgh_vctk_url,
-        mic_id=mic_id,
-    )
+        corpus_dir, output_dir=output_dir, use_edinburgh_vctk_url=use_edinburgh_vctk_url,
+        mic_id=mic_id)
 
 
 @download.command(context_settings=dict(show_default=True))

@@ -4,11 +4,7 @@ from typing import Optional
 import click
 
 from lhotse_tpu.bin.modes.cli_base import download, prepare
-from lhotse_tpu.recipes.voxceleb import (
-    download_voxceleb1,
-    download_voxceleb2,
-    prepare_voxceleb,
-)
+from lhotse_tpu.recipes.voxceleb import (download_voxceleb1, download_voxceleb2, prepare_voxceleb)
 from lhotse_tpu.utils import Pathlike
 
 __all__ = ["voxceleb"]
@@ -20,18 +16,12 @@ __all__ = ["voxceleb"]
 @click.option("--v2", "voxceleb2_root", type=click.Path(exists=True), default=None)
 @click.option("-j", "--num-jobs", type=int, default=1)
 def voxceleb(
-    output_dir: Pathlike,
-    voxceleb1_root: Optional[Pathlike],
-    voxceleb2_root: Optional[Pathlike],
-    num_jobs: int,
-):
+    output_dir: Pathlike, voxceleb1_root: Optional[Pathlike], voxceleb2_root: Optional[Pathlike],
+    num_jobs: int):
     """VoxCeleb 1+2 speaker verification data preparation."""
     prepare_voxceleb(
-        voxceleb1_root=voxceleb1_root,
-        voxceleb2_root=voxceleb2_root,
-        output_dir=output_dir,
-        num_jobs=num_jobs,
-    )
+        voxceleb1_root=voxceleb1_root, voxceleb2_root=voxceleb2_root, output_dir=output_dir,
+        num_jobs=num_jobs)
 
 
 @download.command(context_settings=dict(show_default=True))

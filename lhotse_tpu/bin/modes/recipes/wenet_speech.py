@@ -14,23 +14,11 @@ __all__ = []
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
 @click.option(
-    "-p",
-    "--dataset-parts",
-    type=click.Choice(("all",) + WENET_SPEECH_PARTS),
-    multiple=True,
-    default=["all"],
-)
+    "-p", "--dataset-parts", type=click.Choice(("all",) + WENET_SPEECH_PARTS), multiple=True,
+    default=["all"])
 @click.option("-j", "--num-jobs", type=int, default=1)
 def wenet_speech(
-    corpus_dir: Pathlike,
-    output_dir: Pathlike,
-    dataset_parts: Sequence[str],
-    num_jobs: int,
-):
+    corpus_dir: Pathlike, output_dir: Pathlike, dataset_parts: Sequence[str], num_jobs: int):
     """WenetSpeech ASR data preparation."""
     prepare_wenet_speech(
-        corpus_dir,
-        dataset_parts=list(dataset_parts),
-        output_dir=output_dir,
-        num_jobs=num_jobs,
-    )
+        corpus_dir, dataset_parts=list(dataset_parts), output_dir=output_dir, num_jobs=num_jobs)

@@ -7,17 +7,9 @@ import click
 
 from lhotse_tpu.bin.modes.cli_base import download, prepare
 from lhotse_tpu.recipes import (
-    download_aidatatang_200zh,
-    download_magicdata,
-    download_primewords,
-    download_stcmds,
-    download_thchs_30,
-    prepare_aidatatang_200zh,
-    prepare_magicdata,
-    prepare_primewords,
-    prepare_stcmds,
-    prepare_thchs_30,
-)
+    download_aidatatang_200zh, download_magicdata, download_primewords, download_stcmds,
+    download_thchs_30, prepare_aidatatang_200zh, prepare_magicdata, prepare_primewords,
+    prepare_stcmds, prepare_thchs_30)
 from lhotse_tpu.utils import Pathlike
 
 __all__ = []  # commands self-register on the click groups
@@ -45,8 +37,4 @@ _register("thchs-30", prepare_thchs_30, download_thchs_30, "THCHS-30")
 _register("magicdata", prepare_magicdata, download_magicdata, "MagicData")
 _register("primewords", prepare_primewords, download_primewords, "Primewords")
 _register(
-    "aidatatang-200zh",
-    prepare_aidatatang_200zh,
-    download_aidatatang_200zh,
-    "aidatatang_200zh",
-)
+    "aidatatang-200zh", prepare_aidatatang_200zh, download_aidatatang_200zh, "aidatatang_200zh")

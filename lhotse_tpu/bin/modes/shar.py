@@ -27,67 +27,34 @@ def shar():
 @click.argument("cuts", type=click.Path(exists=True, dir_okay=False))
 @click.argument("outdir", type=click.Path())
 @click.option(
-    "-a",
-    "--audio",
-    default="none",
+    "-a", "--audio", default="none",
     type=click.Choice(["none", "wav", "flac", "mp3", "opus", "original"]),
-    help="Format in which to export audio (disabled by default; enabling copies the data).",
-)
+    help="Format in which to export audio (disabled by default; enabling copies the data).")
 @click.option(
-    "-f",
-    "--features",
-    default="none",
-    type=click.Choice(["none", "lilcom", "numpy"]),
-    help="Format in which to export features (disabled by default).",
-)
+    "-f", "--features", default="none", type=click.Choice(["none", "lilcom", "numpy"]),
+    help="Format in which to export features (disabled by default).")
 @click.option(
-    "-c",
-    "--custom",
-    multiple=True,
-    default=[],
-    help="Custom fields to export as NAME:FORMAT, e.g.: -c target_recording:flac "
-    "-c embedding:numpy; use 'jsonl' for metadata fields.",
+    "-c", "--custom", multiple=True, default=[],
+    help="Custom fields to export as NAME:FORMAT, e.g.: -c target_recording:flac " "-c embedding:numpy; use 'jsonl' for metadata fields.",
 )
 @click.option("-s", "--shard-size", type=int, default=1000, help="Cuts per shard.")
 @click.option(
-    "--shuffle/--no-shuffle",
-    default=True,
-    help="Shuffle the cuts before splitting into shards.",
-)
+    "--shuffle/--no-shuffle", default=True, help="Shuffle the cuts before splitting into shards.")
 @click.option(
-    "--fault-tolerant/--fast-fail",
-    default=False,
-    help="Skip cuts that failed to load data instead of raising.",
-)
+    "--fault-tolerant/--fast-fail", default=False,
+    help="Skip cuts that failed to load data instead of raising.")
 @click.option("--seed", default=0, type=int, help="Random seed.")
 @click.option(
-    "-j",
-    "--num-jobs",
-    default=1,
-    type=int,
-    help="Number of parallel workers (keep low on slow disks).",
-)
+    "-j", "--num-jobs", default=1, type=int,
+    help="Number of parallel workers (keep low on slow disks).")
 @click.option(
-    "--compress-jsonl/--no-compress-jsonl",
-    default=True,
-    help="Gzip the cuts jsonl shards; use --no-compress-jsonl to enable "
-    "exact indexed restore.",
-)
+    "--compress-jsonl/--no-compress-jsonl", default=True,
+    help="Gzip the cuts jsonl shards; use --no-compress-jsonl to enable " "exact indexed restore.")
 @click.option("-v", "--verbose", count=True)
 def export(
-    cuts: str,
-    outdir: str,
-    audio: str,
-    features: str,
-    custom: List[str],
-    shard_size: int,
-    shuffle: bool,
-    fault_tolerant: bool,
-    seed: int,
-    num_jobs: int,
-    compress_jsonl: bool,
-    verbose: bool,
-):
+    cuts: str, outdir: str, audio: str, features: str, custom: List[str], shard_size: int,
+    shuffle: bool, fault_tolerant: bool, seed: int, num_jobs: int, compress_jsonl: bool,
+    verbose: bool):
     """
     Export CutSet from CUTS into the Shar format in OUTDIR (shards of
     SHARD_SIZE cuts + sequential-read tars per data field). Readable with
@@ -104,41 +71,22 @@ def export(
 
     Path(outdir).mkdir(parents=True, exist_ok=True)
     cut_set.to_shar(
-        output_dir=outdir,
-        fields=fields,
-        shard_size=shard_size,
-        num_jobs=num_jobs,
-        fault_tolerant=fault_tolerant,
-        verbose=bool(verbose),
-        compress_jsonl=compress_jsonl,
-    )
+        output_dir=outdir, fields=fields, shard_size=shard_size, num_jobs=num_jobs,
+        fault_tolerant=fault_tolerant, verbose=bool(verbose), compress_jsonl=compress_jsonl)
 
 
 @shar.command(context_settings=dict(show_default=True))
 @click.argument("shar_dir", type=click.Path(exists=True, file_okay=False))
 @click.option(
-    "-f",
-    "--feature-config",
-    type=click.Path(exists=True, dir_okay=False),
-    help="Optional manifest specifying feature extractor configuration "
-    "(Fbank by default).",
-)
+    "-f", "--feature-config", type=click.Path(exists=True, dir_okay=False),
+    help="Optional manifest specifying feature extractor configuration " "(Fbank by default).")
 @click.option(
-    "-c",
-    "--compression",
-    type=click.Choice(["lilcom", "numpy"]),
-    default="numpy",
-    help="Compression (lilcom is lossy, numpy is lossless).",
-)
+    "-c", "--compression", type=click.Choice(["lilcom", "numpy"]), default="numpy",
+    help="Compression (lilcom is lossy, numpy is lossless).")
 @click.option("-j", "--num-jobs", default=1, type=int, help="Number of parallel workers.")
 @click.option("-v", "--verbose", count=True)
 def compute_features(
-    shar_dir: str,
-    feature_config: Optional[str],
-    compression: str,
-    num_jobs: int,
-    verbose: int,
-):
+    shar_dir: str, feature_config: Optional[str], compression: str, num_jobs: int, verbose: int):
     """
     Compute features for Shar cuts stored in SHAR_DIR, parallelized across
     shards (extends the dataset with features.*.tar archives).
@@ -149,9 +97,7 @@ def compute_features(
         audio_tar = "".join(["recording", cuts_path.suffixes[0], ".tar"])
         return {"cuts": [cuts_path], "recording": [cuts_path.with_name(audio_tar)]}
 
-    cut_shards = [
-        p for p in Path(shar_dir).glob("cuts.*.jsonl*") if p.suffix != ".idx"
-    ]
+    cut_shards = [p for p in Path(shar_dir).glob("cuts.*.jsonl*") if p.suffix != ".idx"]
     progbar = lambda x: x
     if verbose:
         click.echo(f"Computing features for {len(cut_shards)} shards.")
@@ -175,8 +121,7 @@ def compute_features(
 
 
 def compute_features_one_shard(
-    cuts: CutSet, feature_config: Pathlike, output_path: Pathlike, compression: str
-):
+    cuts: CutSet, feature_config: Pathlike, output_path: Pathlike, compression: str):
     from lhotse_tpu.features.io import MemoryRawWriter
     from lhotse_tpu.shar import ArrayTarWriter
 

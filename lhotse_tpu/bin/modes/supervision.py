@@ -21,40 +21,24 @@ def supervision():
 @click.argument("in_supervision_manifest", type=click.Path(allow_dash=True))
 @click.argument("out_supervision_manifest", type=click.Path(allow_dash=True))
 @click.option(
-    "--ctm-file",
-    type=click.Path(exists=True, dir_okay=False),
-    help="CTM file containing alignments to add.",
-)
+    "--ctm-file", type=click.Path(exists=True, dir_okay=False),
+    help="CTM file containing alignments to add.")
 @click.option(
-    "--alignment-type",
-    type=str,
-    default="word",
-    help="Type of alignment to add (default = `word`).",
-)
+    "--alignment-type", type=str, default="word",
+    help="Type of alignment to add (default = `word`).")
 @click.option(
-    "--match-channel/--no-match-channel",
-    default=False,
-    help="Match channel between CTM and SupervisionSegment.",
-)
+    "--match-channel/--no-match-channel", default=False,
+    help="Match channel between CTM and SupervisionSegment.")
 @click.option("--verbose", "-v", is_flag=True, default=False)
 def with_alignment_from_ctm(
-    in_supervision_manifest: Pathlike,
-    out_supervision_manifest: Pathlike,
-    ctm_file: Pathlike,
-    alignment_type: str,
-    match_channel: bool,
-    verbose: bool,
-):
+    in_supervision_manifest: Pathlike, out_supervision_manifest: Pathlike, ctm_file: Pathlike,
+    alignment_type: str, match_channel: bool, verbose: bool):
     """Add alignments from a CTM file to the supervision set."""
     from tqdm import tqdm
 
     supervisions = load_manifest_lazy_or_eager(in_supervision_manifest)
     supervisions = supervisions.with_alignment_from_ctm(
-        ctm_file=ctm_file,
-        type=alignment_type,
-        match_channel=match_channel,
-        verbose=verbose,
-    )
+        ctm_file=ctm_file, type=alignment_type, match_channel=match_channel, verbose=verbose)
     with SupervisionSet.open_writer(out_supervision_manifest, overwrite=True) as writer:
         supervisions = (
             tqdm(supervisions, desc="Writing supervisions") if verbose else supervisions

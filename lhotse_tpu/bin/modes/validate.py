@@ -15,10 +15,8 @@ from lhotse_tpu.utils import Pathlike
 @cli.command(name="validate")
 @click.argument("manifest", type=click.Path(exists=True, dir_okay=False))
 @click.option(
-    "--read-data/--dont-read-data",
-    default=False,
-    help="Read the audio/features data from disk for additional checks "
-    "(can be very slow for large manifests).",
+    "--read-data/--dont-read-data", default=False,
+    help="Read the audio/features data from disk for additional checks " "(can be very slow for large manifests).",
 )
 def validate_(manifest: Pathlike, read_data: bool):
     """Validate a manifest file."""
@@ -36,10 +34,8 @@ def validate_(manifest: Pathlike, read_data: bool):
 @click.argument("recordings", type=click.Path(exists=True, dir_okay=False))
 @click.argument("supervisions", type=click.Path(exists=True, dir_okay=False))
 @click.option(
-    "--read-data/--dont-read-data",
-    default=False,
-    help="Read the audio/features data from disk for additional checks.",
-)
+    "--read-data/--dont-read-data", default=False,
+    help="Read the audio/features data from disk for additional checks.")
 def validate_pair_(recordings: Pathlike, supervisions: Pathlike, read_data: bool):
     """Validate that RECORDINGS and SUPERVISIONS manifests are consistent."""
     from lhotse_tpu import load_manifest, validate_recordings_and_supervisions
@@ -48,8 +44,7 @@ def validate_pair_(recordings: Pathlike, supervisions: Pathlike, read_data: bool
     sups = load_manifest(supervisions)
     try:
         validate_recordings_and_supervisions(
-            recordings=recs, supervisions=sups, read_data=read_data
-        )
+            recordings=recs, supervisions=sups, read_data=read_data)
     except AssertionError as e:
         click.echo(f"Validation failed: {e}")
         return 1

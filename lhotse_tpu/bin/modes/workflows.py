@@ -24,70 +24,38 @@ def workflows():
 @click.argument("in_cuts", type=click.Path(exists=True, dir_okay=False))
 @click.argument("out_cuts", type=click.Path(allow_dash=True))
 @click.option(
-    "-m",
-    "--method",
-    type=click.Choice(["independent", "conversational"]),
-    default="independent",
-    help="Meeting simulation method.",
+    "-m", "--method", type=click.Choice(["independent", "conversational"]), default="independent",
+    help="Meeting simulation method.")
+@click.option(
+    "--fit-to-supervisions", type=click.Path(exists=True, dir_okay=False), default=None,
+    help="Supervision manifest of a real corpus to fit the simulator's " "pause/overlap statistics to.",
 )
 @click.option(
-    "--fit-to-supervisions",
-    type=click.Path(exists=True, dir_okay=False),
-    default=None,
-    help="Supervision manifest of a real corpus to fit the simulator's "
-    "pause/overlap statistics to.",
+    "-n", "--num-meetings", type=int, default=None,
+    help="Number of meetings to simulate (supply this or --num-repeats).")
+@click.option(
+    "-r", "--num-repeats", type=int, default=1,
+    help="How many times to use each utterance in the simulation.")
+@click.option(
+    "-s", "--num-speakers-per-meeting", type=str, default="2",
+    help="Number of speakers per meeting (comma-separated list allowed, " "used with --speaker-count-probs).",
 )
 @click.option(
-    "-n",
-    "--num-meetings",
-    type=int,
-    default=None,
-    help="Number of meetings to simulate (supply this or --num-repeats).",
-)
-@click.option(
-    "-r",
-    "--num-repeats",
-    type=int,
-    default=1,
-    help="How many times to use each utterance in the simulation.",
-)
-@click.option(
-    "-s",
-    "--num-speakers-per-meeting",
-    type=str,
-    default="2",
-    help="Number of speakers per meeting (comma-separated list allowed, "
-    "used with --speaker-count-probs).",
-)
-@click.option(
-    "--speaker-count-probs",
-    type=str,
-    default=None,
-    help="Comma-separated probabilities for each speaker count.",
-)
+    "--speaker-count-probs", type=str, default=None,
+    help="Comma-separated probabilities for each speaker count.")
 @click.option("--seed", type=int, default=0, help="Random seed.")
 @click.option("-j", "--num-jobs", type=int, default=1, help="Parallel jobs.")
 def simulate_meetings(
-    in_cuts: Pathlike,
-    out_cuts: Pathlike,
-    method: str,
-    fit_to_supervisions: Optional[Pathlike],
-    num_meetings: Optional[int],
-    num_repeats: Optional[int],
-    num_speakers_per_meeting: str,
-    speaker_count_probs: Optional[str],
-    seed: int,
-    num_jobs: int,
-):
+    in_cuts: Pathlike, out_cuts: Pathlike, method: str, fit_to_supervisions: Optional[Pathlike],
+    num_meetings: Optional[int], num_repeats: Optional[int], num_speakers_per_meeting: str,
+    speaker_count_probs: Optional[str], seed: int, num_jobs: int):
     """
     Simulate multi-speaker meetings from single-utterance cuts in IN_CUTS,
     writing mixed cuts to OUT_CUTS.
     """
     from lhotse_tpu.cut import CutSet
     from lhotse_tpu.workflows import (
-        ConversationalMeetingSimulator,
-        SpeakerIndependentMeetingSimulator,
-    )
+        ConversationalMeetingSimulator, SpeakerIndependentMeetingSimulator)
 
     cuts = CutSet.from_file(in_cuts)
     num_speakers = [int(x) for x in num_speakers_per_meeting.split(",")]
@@ -108,14 +76,9 @@ def simulate_meetings(
         simulator.fit(SupervisionSet.from_file(fit_to_supervisions))
 
     mixed = simulator.simulate(
-        cuts,
-        num_meetings=num_meetings,
-        num_repeats=num_repeats,
+        cuts, num_meetings=num_meetings, num_repeats=num_repeats,
         num_speakers_per_meeting=num_speakers if len(num_speakers) > 1 else num_speakers[0],
-        speaker_count_probs=probs,
-        seed=seed,
-        num_jobs=num_jobs,
-    )
+        speaker_count_probs=probs, seed=seed, num_jobs=num_jobs)
     mixed.to_file(out_cuts)
 
 
@@ -123,19 +86,13 @@ def simulate_meetings(
 @click.argument("recordings_manifest", type=click.Path(exists=True, dir_okay=False))
 @click.argument("output_supervisions", type=click.Path(allow_dash=True))
 @click.option(
-    "-t", "--threshold", type=float, default=0.01, help="Energy threshold (RMS fraction)."
-)
+    "-t", "--threshold", type=float, default=0.01, help="Energy threshold (RMS fraction).")
 @click.option(
-    "-d", "--min-duration", type=float, default=0.25, help="Minimum speech segment length."
-)
+    "-d", "--min-duration", type=float, default=0.25, help="Minimum speech segment length.")
 @click.option("-j", "--num-jobs", type=int, default=1, help="Parallel jobs.")
 def activity_detection(
-    recordings_manifest: Pathlike,
-    output_supervisions: Pathlike,
-    threshold: float,
-    min_duration: float,
-    num_jobs: int,
-):
+    recordings_manifest: Pathlike, output_supervisions: Pathlike, threshold: float,
+    min_duration: float, num_jobs: int):
     """
     Run energy-based voice activity detection over RECORDINGS_MANIFEST and
     write the detected speech segments to OUTPUT_SUPERVISIONS.
@@ -145,37 +102,27 @@ def activity_detection(
 
     recordings = RecordingSet.from_file(recordings_manifest)
     sups = detect_activity_energy(
-        recordings, threshold=threshold, min_duration=min_duration, num_jobs=num_jobs
-    )
+        recordings, threshold=threshold, min_duration=min_duration, num_jobs=num_jobs)
     sups.to_file(output_supervisions)
 
 
 @workflows.command(context_settings=dict(show_default=True))
 @click.argument("out_cuts", type=click.Path(allow_dash=True))
 @click.option(
-    "-m",
-    "--recordings-manifest",
-    type=click.Path(exists=True, dir_okay=False),
-    help="RecordingSet manifest to annotate.",
-)
+    "-m", "--recordings-manifest", type=click.Path(exists=True, dir_okay=False),
+    help="RecordingSet manifest to annotate.")
 @click.option(
-    "-c",
-    "--cuts-manifest",
-    type=click.Path(exists=True, dir_okay=False),
-    help="CutSet manifest to annotate (supervisions are overwritten).",
-)
+    "-c", "--cuts-manifest", type=click.Path(exists=True, dir_okay=False),
+    help="CutSet manifest to annotate (supervisions are overwritten).")
 @click.option("-n", "--model-name", default="base", help="Whisper variant or checkpoint.")
 @click.option("-l", "--language", default=None, help="Language hint (else auto-detect).")
 @click.option("-d", "--device", default="cpu")
 @click.option(
-    "--force-nonoverlapping/--keep-overlapping",
-    default=False,
-    help="Truncate each segment at the next one's start.",
-)
+    "--force-nonoverlapping/--keep-overlapping", default=False,
+    help="Truncate each segment at the next one's start.")
 def annotate_with_whisper(
     out_cuts, recordings_manifest, cuts_manifest, model_name, language, device,
-    force_nonoverlapping,
-):
+    force_nonoverlapping):
     """
     Transcribe and segment audio with a Whisper model, writing annotated cuts
     to OUT_CUTS (requires 'openai-whisper' or 'transformers' with the model
@@ -193,12 +140,8 @@ def annotate_with_whisper(
     opts = {"language": language} if language else {}
     with CutSet.open_writer(out_cuts) as writer:
         for cut in annotate(
-            manifest,
-            model_name=model_name,
-            device=device,
-            force_nonoverlapping=force_nonoverlapping,
-            **opts,
-        ):
+            manifest, model_name=model_name, device=device,
+            force_nonoverlapping=force_nonoverlapping, **opts):
             writer.write(cut, flush=True)
 
 
@@ -206,18 +149,13 @@ def annotate_with_whisper(
 @click.argument("in_cuts", type=click.Path(exists=True, dir_okay=False))
 @click.argument("out_cuts", type=click.Path(allow_dash=True))
 @click.option(
-    "-n",
-    "--model-name",
-    default="facebook/wav2vec2-base-960h",
-    help="Transformers CTC checkpoint (or reference torchaudio bundle name).",
-)
+    "-n", "--model-name", default="facebook/wav2vec2-base-960h",
+    help="Transformers CTC checkpoint (or reference torchaudio bundle name).")
 @click.option("-d", "--device", default="cpu")
 @click.option("-j", "--num-jobs", type=int, default=1)
 @click.option(
-    "--normalize-text/--dont-normalize-text",
-    default=True,
-    help="Uppercase + num2words + drop out-of-vocabulary symbols.",
-)
+    "--normalize-text/--dont-normalize-text", default=True,
+    help="Uppercase + num2words + drop out-of-vocabulary symbols.")
 def align_with_torchaudio(in_cuts, out_cuts, model_name, device, num_jobs, normalize_text):
     """
     Word-level forced alignment of IN_CUTS supervisions with a CTC model
@@ -231,12 +169,8 @@ def align_with_torchaudio(in_cuts, out_cuts, model_name, device, num_jobs, norma
     cuts = CutSet.from_file(in_cuts)
     with CutSet.open_writer(out_cuts) as writer:
         for cut in align_supervisions(
-            cuts,
-            model_name=model_name,
-            device=device,
-            num_jobs=num_jobs,
-            normalize_text=normalize_text,
-        ):
+            cuts, model_name=model_name, device=device, num_jobs=num_jobs,
+            normalize_text=normalize_text):
             writer.write(cut, flush=True)
 
 
@@ -247,8 +181,7 @@ def align_with_torchaudio(in_cuts, out_cuts, model_name, device, num_jobs, norma
 @click.option("-p", "--is-personalized-mos", is_flag=True, default=False)
 @click.option("--download-root", default=None)
 def annotate_dnsmos(
-    out_cuts, recordings_manifest, cuts_manifest, is_personalized_mos, download_root
-):
+    out_cuts, recordings_manifest, cuts_manifest, is_personalized_mos, download_root):
     """
     Predict DNSMOS P.835 SIG/BAK/OVRL speech-quality scores (requires
     'onnxruntime' and the Microsoft DNSMOS models).
@@ -263,8 +196,5 @@ def annotate_dnsmos(
     manifest = load_manifest(recordings_manifest or cuts_manifest)
     with CutSet.open_writer(out_cuts) as writer:
         for cut in annotate(
-            manifest,
-            is_personalized_mos=is_personalized_mos,
-            download_root=download_root,
-        ):
+            manifest, is_personalized_mos=is_personalized_mos, download_root=download_root):
             writer.write(cut, flush=True)

@@ -16,11 +16,7 @@ from typing import List
 
 from lhotse_tpu.utils import Pathlike
 
-__all__ = [
-    "collect_state_dict",
-    "restore_state_dict",
-    "DataloaderCheckpoint",
-]
+__all__ = ["collect_state_dict", "restore_state_dict", "DataloaderCheckpoint"]
 
 
 def _rng_state_to_json(rng_state) -> list:
@@ -135,9 +131,7 @@ class DataloaderCheckpoint:
     def validate(self, num_workers: int, world_size: int, rank: int = 0) -> None:
         for name, saved, current in (
             ("num_workers", self.num_workers, num_workers),
-            ("world_size", self.world_size, world_size),
-            ("rank", self.rank, rank),
-        ):
+            ("world_size", self.world_size, world_size), ("rank", self.rank, rank)):
             if saved != current:
                 raise ValueError(
                     f"Checkpoint {name}={saved} does not match current "

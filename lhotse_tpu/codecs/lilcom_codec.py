@@ -42,9 +42,7 @@ _MAGIC = b"LTC1"
 
 
 def _use_pip_lilcom() -> bool:
-    return os.environ.get("LHOTSE_TPU_USE_PIP_LILCOM") == "1" and is_module_available(
-        "lilcom"
-    )
+    return os.environ.get("LHOTSE_TPU_USE_PIP_LILCOM") == "1" and is_module_available("lilcom")
 
 
 _NATIVE = None
@@ -66,13 +64,8 @@ def _native_lib():
             return None
         lib = build_native("lilcom", "ltc1.c", extra_link=["-lz"])
         sig = [
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.POINTER(ctypes.c_uint32),
-            ctypes.c_int,
-            ctypes.c_int,
-            ctypes.POINTER(ctypes.c_uint8),
-            ctypes.c_size_t,
-        ]
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint32), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t]
         lib.ltc1_compress.restype = ctypes.c_longlong
         lib.ltc1_compress.argtypes = sig
         lib.ltc1_compress_rowpack.restype = ctypes.c_longlong
@@ -81,19 +74,11 @@ def _native_lib():
         lib.ltc1_compress_bound.argtypes = [ctypes.POINTER(ctypes.c_uint32), ctypes.c_int]
         lib.ltc1_parse_header.restype = ctypes.c_int
         lib.ltc1_parse_header.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_uint32),
-            ctypes.POINTER(ctypes.c_int),
-            ctypes.POINTER(ctypes.c_int),
-        ]
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_uint32),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         lib.ltc1_decompress.restype = ctypes.c_longlong
         lib.ltc1_decompress.argtypes = [
-            ctypes.c_char_p,
-            ctypes.c_size_t,
-            ctypes.POINTER(ctypes.c_float),
-            ctypes.c_longlong,
-        ]
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_float), ctypes.c_longlong]
         _NATIVE = lib
     except Exception:
         _NATIVE = None
@@ -118,12 +103,7 @@ def compress(data: np.ndarray, tick_power: int = -5, do_regression: bool = True)
     native = _native_lib()
     # float64 inputs keep the numpy path: its quantization runs in f64 and a
     # pre-cast to f32 could change ticks at the rounding boundary.
-    if (
-        native is not None
-        and data.ndim >= 1
-        and data.size > 0
-        and data.dtype == np.float32
-    ):
+    if (native is not None and data.ndim >= 1 and data.size > 0 and data.dtype == np.float32):
         import ctypes
 
         arr = np.ascontiguousarray(data, dtype=np.float32)
@@ -134,13 +114,8 @@ def compress(data: np.ndarray, tick_power: int = -5, do_regression: bool = True)
         # Method 1 (per-row bit-packing): ~15x faster than deflate at a
         # comparable ratio on smooth feature matrices.
         n = native.ltc1_compress_rowpack(
-            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            shape_p,
-            arr.ndim,
-            int(tick_power),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            cap,
-        )
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), shape_p, arr.ndim, int(tick_power),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap)
         if n > 0:
             return out[:n].tobytes()
         # On any native failure, fall through to the numpy path.
@@ -167,9 +142,7 @@ def compress(data: np.ndarray, tick_power: int = -5, do_regression: bool = True)
         itemsize, dtype = 4, "<u4"
     payload = zlib.compress(zz.astype(dtype).tobytes(), 4)
 
-    header = _MAGIC + struct.pack(
-        "<Bbbb", 0, np.int8(tick_power), data.ndim, itemsize
-    )
+    header = _MAGIC + struct.pack("<Bbbb", 0, np.int8(tick_power), data.ndim, itemsize)
     header += struct.pack(f"<{data.ndim}I", *data.shape)
     return header + payload
 
@@ -221,22 +194,14 @@ def decompress(data: bytes, dtype: Optional[np.dtype] = None) -> np.ndarray:
         nd = ctypes.c_int()
         tp = ctypes.c_int()
         rc = native.ltc1_parse_header(
-            data,
-            len(data),
-            shape_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-            ctypes.byref(nd),
-            ctypes.byref(tp),
-        )
+            data, len(data), shape_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.byref(nd), ctypes.byref(tp))
         if rc == 0:
             shape = tuple(int(s) for s in shape_arr[: nd.value])
             elems = int(np.prod(shape)) if shape else 0
             out = np.empty(elems, dtype=np.float32)
             n = native.ltc1_decompress(
-                data,
-                len(data),
-                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                elems,
-            )
+                data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), elems)
             if n == elems:
                 result = out.reshape(shape)
                 return result.astype(dtype) if dtype is not None else result

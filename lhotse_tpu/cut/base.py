@@ -22,19 +22,9 @@ from lhotse_tpu.audio import AudioSource, Recording, VideoInfo
 from lhotse_tpu.audio.backend import save_audio
 from lhotse_tpu.supervision import SupervisionSegment
 from lhotse_tpu.utils import (
-    Decibels,
-    Pathlike,
-    Seconds,
-    add_durations,
-    asdict_nonull,
-    compute_num_samples,
-    compute_num_windows,
-    compute_start_duration_for_extended_cut,
-    fastcopy,
-    ifnone,
-    overlaps,
-    to_hashable,
-)
+    Decibels, Pathlike, Seconds, add_durations, asdict_nonull, compute_num_samples,
+    compute_num_windows, compute_start_duration_for_extended_cut, fastcopy, ifnone, overlaps,
+    to_hashable)
 
 
 class SetContainingAnything:
@@ -149,27 +139,18 @@ class Cut:
         return [self]
 
     def mix(
-        self,
-        other: "Cut",
-        offset_other_by: Seconds = 0.0,
-        allow_padding: bool = False,
-        snr: Optional[Decibels] = None,
-        preserve_id: Optional[str] = None,
-        tag: Optional[str] = None,
-    ) -> "Cut":
+        self, other: "Cut", offset_other_by: Seconds = 0.0, allow_padding: bool = False,
+        snr: Optional[Decibels] = None, preserve_id: Optional[str] = None,
+        tag: Optional[str] = None) -> "Cut":
         """Mix ``other`` into this cut (lazy); see :func:`lhotse_tpu.cut.set.mix`."""
         from lhotse_tpu.cut.set import mix
 
         return mix(
-            self, other, offset=offset_other_by, allow_padding=allow_padding,
-            snr=snr, preserve_id=preserve_id, tag=tag,
-        )
+            self, other, offset=offset_other_by, allow_padding=allow_padding, snr=snr,
+            preserve_id=preserve_id, tag=tag)
 
     def append(
-        self,
-        other: "Cut",
-        snr: Optional[Decibels] = None,
-        preserve_id: Optional[str] = None,
+        self, other: "Cut", snr: Optional[Decibels] = None, preserve_id: Optional[str] = None,
     ) -> "Cut":
         """Append ``other`` after this cut (mix at offset == self.duration)."""
         from lhotse_tpu.cut.set import mix
@@ -209,11 +190,8 @@ class Cut:
         return plt.matshow(features)
 
     def trim_to_supervisions(
-        self,
-        keep_overlapping: bool = True,
-        min_duration: Optional[Seconds] = None,
-        context_direction: str = "center",
-        keep_all_channels: bool = False,
+        self, keep_overlapping: bool = True, min_duration: Optional[Seconds] = None,
+        context_direction: str = "center", keep_all_channels: bool = False,
     ) -> "CutSet":  # noqa: F821
         """
         Split this cut into one cut per supervision, with the supervision's
@@ -229,11 +207,8 @@ class Cut:
             if min_duration is None:
                 return segment.start, segment.duration
             return compute_start_duration_for_extended_cut(
-                start=segment.start,
-                duration=segment.duration,
-                new_duration=min_duration,
-                direction=context_direction,
-            )
+                start=segment.start, duration=segment.duration, new_duration=min_duration,
+                direction=context_direction)
 
         def collapse_channels(piece):
             distinct = set(to_hashable(s.channel) for s in piece.supervisions)
@@ -252,11 +227,8 @@ class Cut:
         for segment in self.supervisions:
             begin, span = span_of(segment)
             trimmed = self.truncate(
-                offset=begin,
-                duration=span,
-                keep_excessive_supervisions=keep_overlapping,
-                _supervisions_index=supervisions_index,
-            )
+                offset=begin, duration=span, keep_excessive_supervisions=keep_overlapping,
+                _supervisions_index=supervisions_index)
             if not keep_overlapping:
                 trimmed = trimmed.filter_supervisions(lambda s: s.id == segment.id)
             if not keep_all_channels and not isinstance(trimmed, MixedCut):
@@ -267,13 +239,9 @@ class Cut:
         return CutSet.from_cuts(cuts)
 
     def trim_to_alignments(
-        self,
-        type: str,
-        max_pause: Optional[Seconds] = None,
-        max_segment_duration: Optional[Seconds] = None,
-        delimiter: str = " ",
-        keep_all_channels: bool = False,
-    ) -> "CutSet":  # noqa: F821
+        self, type: str, max_pause: Optional[Seconds] = None,
+        max_segment_duration: Optional[Seconds] = None, delimiter: str = " ",
+        keep_all_channels: bool = False) -> "CutSet":  # noqa: F821
         """
         Split this cut into its alignment items of the given ``type``,
         optionally merging items separated by pauses shorter than
@@ -299,10 +267,8 @@ class Cut:
                     groups.append((item, [i]))
                     continue
                 grown = AlignmentItem(
-                    symbol=delimiter.join([head.symbol, item.symbol]),
-                    start=head.start,
-                    duration=item.end - head.start,
-                )
+                    symbol=delimiter.join([head.symbol, item.symbol]), start=head.start,
+                    duration=item.end - head.start)
                 groups[-1] = (grown, members + [i])
             return groups
 
@@ -330,9 +296,7 @@ class Cut:
 
         relabeled = fastcopy(self, supervisions=new_supervisions)
         return relabeled.trim_to_supervisions(
-            keep_overlapping=False,
-            keep_all_channels=keep_all_channels,
-        )
+            keep_overlapping=False, keep_all_channels=keep_all_channels)
 
     def trim_to_supervision_groups(self, max_pause: Seconds = 0.0) -> "CutSet":  # noqa: F821
         """
@@ -351,8 +315,7 @@ class Cut:
         def flush(group_start: Seconds, group_end: Seconds):
             span = add_durations(group_end, -group_start, sampling_rate=self.sampling_rate)
             piece = self.truncate(
-                offset=group_start, duration=span, keep_excessive_supervisions=False
-            )
+                offset=group_start, duration=span, keep_excessive_supervisions=False)
             new_cuts.append(piece.with_id(f"{self.id}-{max_pause}-{len(new_cuts)}"))
 
         group_start = supervisions[0].start
@@ -372,12 +335,8 @@ class Cut:
         return CutSet.from_cuts(new_cuts)
 
     def cut_into_windows_balanced(
-        self,
-        min_duration: Seconds,
-        max_duration: Seconds,
-        overlap: Seconds = 0.0,
-        keep_excessive_supervisions: bool = True,
-    ) -> "CutSet":  # noqa: F821
+        self, min_duration: Seconds, max_duration: Seconds, overlap: Seconds = 0.0,
+        keep_excessive_supervisions: bool = True) -> "CutSet":  # noqa: F821
         """
         Split into overlapping windows whose size is chosen within
         [min_duration, max_duration] to maximize the final window's length
@@ -415,18 +374,13 @@ class Cut:
         supervisions_index = self.index_supervisions(index_mixed_tracks=True)
         for i in range(compute_num_windows(self.duration, duration, hop)):
             yield self.truncate(
-                offset=hop * i,
-                duration=duration,
+                offset=hop * i, duration=duration,
                 keep_excessive_supervisions=keep_excessive_supervisions,
-                _supervisions_index=supervisions_index,
-            ).with_id(f"{self.id}-{i}")
+                _supervisions_index=supervisions_index).with_id(f"{self.id}-{i}")
 
     def cut_into_windows(
-        self,
-        duration: Seconds,
-        hop: Optional[Seconds] = None,
-        keep_excessive_supervisions: bool = True,
-    ) -> "CutSet":  # noqa: F821
+        self, duration: Seconds, hop: Optional[Seconds] = None,
+        keep_excessive_supervisions: bool = True) -> "CutSet":  # noqa: F821
         """Split into windows of ``duration`` every ``hop`` seconds (the last
         window may be shorter)."""
         from lhotse_tpu.cut.set import CutSet
@@ -442,12 +396,10 @@ class Cut:
                 f"[cut.id={self.id}] Window hop must give an integer number of "
                 f"video frames (hop={hop} * fps={self.video.fps})."
             )
-        return CutSet.from_cuts(
-            self._windows(duration, hop, keep_excessive_supervisions)
-        )
+        return CutSet.from_cuts(self._windows(duration, hop, keep_excessive_supervisions))
 
     def index_supervisions(
-        self, index_mixed_tracks: bool = False, keep_ids: Optional[Set[str]] = None
+        self, index_mixed_tracks: bool = False, keep_ids: Optional[Set[str]] = None,
     ) -> Dict[str, SupervisionIntervalIndex]:
         """Two-level index {cut_id: interval index of its supervisions} to
         speed up repeated truncations of long cuts."""
@@ -469,13 +421,8 @@ class Cut:
         return indexed
 
     def save_audio(
-        self,
-        storage_path: Pathlike,
-        format: Optional[str] = None,
-        encoding: Optional[str] = None,
-        augment_fn=None,
-        **kwargs,
-    ) -> "Cut":
+        self, storage_path: Pathlike, format: Optional[str] = None, encoding: Optional[str] = None,
+        augment_fn=None, **kwargs) -> "Cut":
         """Store this cut's waveform to disk and return a new Cut referencing
         the stored recording."""
         storage_path = Path(storage_path)
@@ -483,27 +430,18 @@ class Cut:
         if augment_fn is not None:
             samples = augment_fn(samples, self.sampling_rate)
         save_audio(
-            storage_path, samples,
-            sampling_rate=self.sampling_rate, format=format, encoding=encoding,
-        )
+            storage_path, samples, sampling_rate=self.sampling_rate, format=format,
+            encoding=encoding)
         n = samples.shape[1]
         source = AudioSource(
-            type="file", channels=list(range(self.num_channels)), source=str(storage_path)
-        )
+            type="file", channels=list(range(self.num_channels)), source=str(storage_path))
         stored = Recording(
-            id=storage_path.stem,
-            sampling_rate=self.sampling_rate,
-            num_samples=n,
-            duration=n / self.sampling_rate,
-            sources=[source],
-        )
+            id=storage_path.stem, sampling_rate=self.sampling_rate, num_samples=n,
+            duration=n / self.sampling_rate, sources=[source])
         return fastcopy(
-            stored.to_cut(),
-            id=self.id,
-            supervisions=self.supervisions,
+            stored.to_cut(), id=self.id, supervisions=self.supervisions,
             custom=getattr(self, "custom", None),
-            features=self.features if self.has_features else None,
-        )
+            features=self.features if self.has_features else None)
 
     def _active_spans(self, supervision, use_alignment_if_exists: Optional[str]):
         """(start, end) second-spans of activity: the alignment items when the
@@ -523,12 +461,7 @@ class Cut:
         return speaker_to_idx_map, rows
 
     def _speakers_activity_mask(
-        self,
-        num_units: int,
-        to_unit,
-        speaker_to_idx_map,
-        min_speaker_dim,
-        use_alignment_if_exists,
+        self, num_units: int, to_unit, speaker_to_idx_map, min_speaker_dim, use_alignment_if_exists,
     ) -> np.ndarray:
         """Shared (num_speakers, num_units) activity rasterizer; ``to_unit``
         converts seconds to the frame/sample grid."""
@@ -543,49 +476,37 @@ class Cut:
         return mask
 
     def speakers_feature_mask(
-        self,
-        min_speaker_dim: Optional[int] = None,
+        self, min_speaker_dim: Optional[int] = None,
         speaker_to_idx_map: Optional[Dict[str, int]] = None,
-        use_alignment_if_exists: Optional[str] = None,
-    ) -> np.ndarray:
+        use_alignment_if_exists: Optional[str] = None) -> np.ndarray:
         """(num_speakers, num_frames) 0/1 per-speaker activity matrix
         (TS-VAD-style; arXiv:2005.07272)."""
         assert self.has_features, (
             f"No features available. Can't compute speakers feature mask for cut {self.id}."
         )
         return self._speakers_activity_mask(
-            self.num_frames,
-            lambda secs: round(secs / self.frame_shift),
-            speaker_to_idx_map,
-            min_speaker_dim,
-            use_alignment_if_exists,
-        )
+            self.num_frames, lambda secs: round(secs / self.frame_shift), speaker_to_idx_map,
+            min_speaker_dim, use_alignment_if_exists)
 
     def speakers_audio_mask(
-        self,
-        min_speaker_dim: Optional[int] = None,
+        self, min_speaker_dim: Optional[int] = None,
         speaker_to_idx_map: Optional[Dict[str, int]] = None,
-        use_alignment_if_exists: Optional[str] = None,
-    ) -> np.ndarray:
+        use_alignment_if_exists: Optional[str] = None) -> np.ndarray:
         """(num_speakers, num_samples) 0/1 per-speaker activity matrix."""
         assert self.has_recording, (
             f"No recording available. Can't compute speakers audio mask for cut {self.id}."
         )
         return self._speakers_activity_mask(
             compute_num_samples(self.duration, self.sampling_rate),
-            lambda secs: compute_num_samples(secs, self.sampling_rate),
-            speaker_to_idx_map,
-            min_speaker_dim,
-            use_alignment_if_exists,
-        )
+            lambda secs: compute_num_samples(secs, self.sampling_rate), speaker_to_idx_map,
+            min_speaker_dim, use_alignment_if_exists)
 
     def supervisions_feature_mask(self, use_alignment_if_exists: Optional[str] = None) -> np.ndarray:
         """1-D 0/1 mask over frames covered by at least one supervision."""
         from lhotse_tpu.cut.set import compute_supervisions_frame_mask
 
         return compute_supervisions_frame_mask(
-            self, use_alignment_if_exists=use_alignment_if_exists
-        )
+            self, use_alignment_if_exists=use_alignment_if_exists)
 
     def supervisions_audio_mask(self, use_alignment_if_exists: Optional[str] = None) -> np.ndarray:
         """1-D 0/1 mask over samples covered by at least one supervision."""

@@ -19,9 +19,7 @@ from dataclasses import dataclass, field
 from decimal import ROUND_DOWN
 from math import isclose
 from pathlib import Path
-from typing import (
-    Any, Callable, Dict, Generator, Iterable, List, Optional, Tuple, Union,
-)
+from typing import (Any, Callable, Dict, Generator, Iterable, List, Optional, Tuple, Union)
 
 import numpy as np
 
@@ -34,11 +32,9 @@ from lhotse_tpu.features.io import FeaturesWriter
 from lhotse_tpu.image import Image
 from lhotse_tpu.supervision import SupervisionSegment
 from lhotse_tpu.utils import (
-    LOG_EPSILON, Pathlike, Seconds, TimeSpan, add_durations, asdict_nonull,
-    compute_num_frames, compute_num_samples, fastcopy, is_module_available,
-    measure_overlap, overlaps, overspans, perturb_num_samples,
-    rich_exception_info, uuid4,
-)
+    LOG_EPSILON, Pathlike, Seconds, TimeSpan, add_durations, asdict_nonull, compute_num_frames,
+    compute_num_samples, fastcopy, is_module_available, measure_overlap, overlaps, overspans,
+    perturb_num_samples, rich_exception_info, uuid4)
 
 _DATA_MANIFEST_TYPES = (Recording, Features, Array, TemporalArray, Image)
 
@@ -80,9 +76,7 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
 
     def iter_data(
         self,
-    ) -> Generator[
-        Tuple[str, Union[Recording, Features, Array, TemporalArray, Image]], None, None
-    ]:
+    ) -> Generator[Tuple[str, Union[Recording, Features, Array, TemporalArray, Image]], None, None]:
         """(name, manifest) pairs for every piece of data this cut references."""
         if self.has_recording:
             yield "recording", self.recording
@@ -94,19 +88,12 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
 
     has_features = property(lambda self: self.features is not None)
     has_recording = property(lambda self: self.recording is not None)
-    has_video = property(
-        lambda self: self.recording is not None and self.recording.has_video
-    )
-    is_in_memory = property(
-        lambda self: any(v.is_in_memory for _, v in self.iter_data())
-    )
+    has_video = property(lambda self: self.recording is not None and self.recording.has_video)
+    is_in_memory = property(lambda self: any(v.is_in_memory for _, v in self.iter_data()))
 
     def has(self, field_: str) -> bool:
         builtin = {
-            "recording": self.has_recording,
-            "features": self.has_features,
-            "video": self.has_video,
-        }
+            "recording": self.has_recording, "features": self.has_features, "video": self.has_video}
         if field_ in builtin:
             return builtin[field_]
         return self.custom is not None and field_ in self.custom
@@ -135,10 +122,7 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         if not self.has_features:
             return None
         return compute_num_frames(
-            duration=self.duration,
-            frame_shift=self.frame_shift,
-            sampling_rate=self.sampling_rate,
-        )
+            duration=self.duration, frame_shift=self.frame_shift, sampling_rate=self.sampling_rate)
 
     @property
     def num_samples(self) -> Optional[int]:
@@ -146,12 +130,8 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
             return None
         return compute_num_samples(self.duration, self.sampling_rate)
 
-    num_features = property(
-        lambda self: self.features.num_features if self.has_features else None
-    )
-    features_type = property(
-        lambda self: self.features.type if self.has_features else None
-    )
+    num_features = property(lambda self: self.features.num_features if self.has_features else None)
+    features_type = property(lambda self: self.features.type if self.has_features else None)
 
     @property
     @abstractmethod
@@ -183,12 +163,8 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
     # -- data movement ------------------------------------------------------------------
 
     def move_to_memory(
-        self,
-        audio_format: str = "wav",
-        load_audio: bool = True,
-        load_features: bool = True,
-        load_custom: bool = True,
-    ) -> "Cut":
+        self, audio_format: str = "wav", load_audio: bool = True, load_features: bool = True,
+        load_custom: bool = True) -> "Cut":
         """
         Pull this cut's window of data into the manifest itself (encoded
         bytes in memory).  Default audio format is wav; the reference uses
@@ -197,11 +173,8 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         recording = self.recording
         if load_audio and self.has_recording:
             recording = recording.move_to_memory(
-                channels=self.channel,
-                offset=self.start,
-                duration=self.duration,
-                format=audio_format,
-            )
+                channels=self.channel, offset=self.start, duration=self.duration,
+                format=audio_format)
         features = self.features
         if load_features and self.has_features:
             features = features.move_to_memory(start=self.start, duration=self.duration)
@@ -216,9 +189,7 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
 
             custom = {k: _pull(v) for k, v in custom.items()}
         # The in-memory payloads cover exactly this window: start resets to 0.
-        return fastcopy(
-            self, start=0.0, recording=recording, features=features, custom=custom
-        )
+        return fastcopy(self, start=0.0, recording=recording, features=features, custom=custom)
 
     def drop_in_memory_data(self) -> "DataCut":
         """Swap in-memory payloads for Shar placeholders (metadata kept)."""
@@ -230,20 +201,13 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
             return v
 
         return fastcopy(
-            self,
-            recording=_strip(self.recording) if self.has_recording else None,
+            self, recording=_strip(self.recording) if self.has_recording else None,
             features=_strip(self.features) if self.has_features else None,
-            custom=None if self.custom is None else {k: _strip(v) for k, v in self.custom.items()},
-        )
+            custom=None if self.custom is None else {k: _strip(v) for k, v in self.custom.items()})
 
     def attach_tensor(
-        self,
-        name: str,
-        data: np.ndarray,
-        frame_shift: Optional[Seconds] = None,
-        temporal_dim: Optional[int] = None,
-        compressed: bool = False,
-    ) -> "Cut":
+        self, name: str, data: np.ndarray, frame_shift: Optional[Seconds] = None,
+        temporal_dim: Optional[int] = None, compressed: bool = False) -> "Cut":
         """
         Store an ndarray in memory under ``name`` (retrievable later as
         ``cut.load_<name>()``); temporal arrays follow truncate/pad.
@@ -253,18 +217,12 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         out = fastcopy(self, custom=dict(self.custom or {}))
         with (MemoryLilcomWriter() if compressed else MemoryRawWriter()) as writer:
             manifest = writer.store_array(
-                key=out.id,
-                value=np.asarray(data),
-                frame_shift=frame_shift,
-                temporal_dim=temporal_dim,
-                start=out.start,
-            )
+                key=out.id, value=np.asarray(data), frame_shift=frame_shift,
+                temporal_dim=temporal_dim, start=out.start)
         setattr(out, name, manifest)
         return out
 
-    def attach_image(
-        self, key: str, path_or_object: Union[str, np.ndarray, bytes]
-    ) -> "DataCut":
+    def attach_image(self, key: str, path_or_object: Union[str, np.ndarray, bytes]) -> "DataCut":
         """Attach an image (file path, ndarray, or encoded bytes) under ``key``."""
         if not is_module_available("PIL"):
             raise AssertionError("Using images requires 'pip install pillow'.")
@@ -279,12 +237,8 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
                 width, height = img.size
             p = Path(path_or_object)
             manifest = Image(
-                storage_type="pillow_files",
-                storage_path=str(p.parent),
-                storage_key=str(p.name),
-                width=width,
-                height=height,
-            )
+                storage_type="pillow_files", storage_path=str(p.parent), storage_key=str(p.name),
+                width=width, height=height)
         else:
             with PillowInMemoryWriter() as writer:
                 manifest = writer.store_image(key, path_or_object)
@@ -313,9 +267,7 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         return fastcopy(self, supervisions=[])
 
     def drop_alignments(self) -> "DataCut":
-        return fastcopy(
-            self, supervisions=[fastcopy(s, alignment={}) for s in self.supervisions]
-        )
+        return fastcopy(self, supervisions=[fastcopy(s, alignment={}) for s in self.supervisions])
 
     # -- supervision manipulation ------------------------------------------------------------
 
@@ -356,66 +308,44 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         return fastcopy(self, supervisions=[fastcopy(sup, start=0, duration=self.duration)])
 
     def map_supervisions(
-        self, transform_fn: Callable[[SupervisionSegment], SupervisionSegment]
-    ) -> "DataCut":
+        self, transform_fn: Callable[[SupervisionSegment], SupervisionSegment]) -> "DataCut":
         return fastcopy(self, supervisions=[s.map(transform_fn) for s in self.supervisions])
 
-    def filter_supervisions(
-        self, predicate: Callable[[SupervisionSegment], bool]
-    ) -> "DataCut":
+    def filter_supervisions(self, predicate: Callable[[SupervisionSegment], bool]) -> "DataCut":
         return fastcopy(self, supervisions=[s for s in self.supervisions if predicate(s)])
 
     @abstractmethod
     def merge_supervisions(
-        self,
-        merge_policy: str = "delimiter",
-        custom_merge_fn: Optional[Callable[[str, Iterable[Any]], Any]] = None,
-        **kwargs,
+        self, merge_policy: str = "delimiter",
+        custom_merge_fn: Optional[Callable[[str, Iterable[Any]], Any]] = None, **kwargs,
     ) -> "DataCut":
         ...
 
     # -- feature extraction --------------------------------------------------------------------
 
     def compute_and_store_features(
-        self,
-        extractor: FeatureExtractor,
-        storage: FeaturesWriter,
-        augment_fn=None,
-        *args,
-        **kwargs,
-    ) -> "DataCut":
+        self, extractor: FeatureExtractor, storage: FeaturesWriter, augment_fn=None, *args,
+        **kwargs) -> "DataCut":
         """Extract + persist features for this window; returns the cut with
         the Features manifest attached."""
         manifest = extractor.extract_from_samples_and_store(
-            samples=self.load_audio(),
-            storage=storage,
-            sampling_rate=self.sampling_rate,
-            offset=self.start,
-            channel=self.channel,
-            augment_fn=augment_fn,
-        )
+            samples=self.load_audio(), storage=storage, sampling_rate=self.sampling_rate,
+            offset=self.start, channel=self.channel, augment_fn=augment_fn)
         return fastcopy(self, features=manifest)
 
     # -- windowing -------------------------------------------------------------------------------
 
     def truncate(
-        self,
-        *,
-        offset: Seconds = 0.0,
-        duration: Optional[Seconds] = None,
-        keep_excessive_supervisions: bool = True,
-        preserve_id: bool = False,
-        _supervisions_index: Optional[Dict[str, Any]] = None,
-    ) -> "DataCut":
+        self, *, offset: Seconds = 0.0, duration: Optional[Seconds] = None,
+        keep_excessive_supervisions: bool = True, preserve_id: bool = False,
+        _supervisions_index: Optional[Dict[str, Any]] = None) -> "DataCut":
         """
         View of ``[offset, offset+duration)`` within this cut (clamped to the
         cut's end).  Boundary-crossing supervisions are kept or dropped per
         ``keep_excessive_supervisions``.
         """
         if offset < 0:
-            raise AssertionError(
-                f"Offset for truncate must be non-negative (provided {offset})."
-            )
+            raise AssertionError(f"Offset for truncate must be non-negative (provided {offset}).")
         sr = self.sampling_rate
         new_start = max(add_durations(self.start, offset, sampling_rate=sr), 0)
         window = duration if duration is not None else self.duration
@@ -423,25 +353,18 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         if new_duration <= 0.0:
             raise AssertionError(f"new_duration={new_duration}")
         overhang = add_durations(
-            new_start, new_duration, -self.start, -self.duration, sampling_rate=sr
-        )
+            new_start, new_duration, -self.start, -self.duration, sampling_rate=sr)
         if overhang > 0:
             new_duration = add_durations(new_duration, -overhang, sampling_rate=sr)
 
         sups = self._truncated_supervisions(
-            offset, new_duration, keep_excessive_supervisions, _supervisions_index
-        )
+            offset, new_duration, keep_excessive_supervisions, _supervisions_index)
         return fastcopy(
-            self,
-            id=self.id if preserve_id else str(uuid4()),
-            start=new_start,
-            duration=new_duration,
-            supervisions=sorted(sups, key=lambda s: s.start),
-        )
+            self, id=self.id if preserve_id else str(uuid4()), start=new_start,
+            duration=new_duration, supervisions=sorted(sups, key=lambda s: s.start))
 
     def _truncated_supervisions(
-        self, offset, new_duration, keep_excessive, index
-    ) -> List[SupervisionSegment]:
+        self, offset, new_duration, keep_excessive, index) -> List[SupervisionSegment]:
         if index is None:
             accept = overlaps if keep_excessive else overspans
             span = TimeSpan(start=0, end=new_duration)
@@ -452,9 +375,7 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         for s in index[self.id].overlap(begin=offset, end=offset + new_duration):
             if not keep_excessive:
                 # Fully contained only (with a little float-epsilon slack).
-                inside = (
-                    s.start >= offset - 1e-3 and s.end <= offset + new_duration + 1e-3
-                )
+                inside = (s.start >= offset - 1e-3 and s.end <= offset + new_duration + 1e-3)
                 if not inside:
                     continue
             # Sub-1% overlaps are float-precision artifacts, not real overlap.
@@ -463,13 +384,8 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         return out
 
     def extend_by(
-        self,
-        *,
-        duration: Seconds,
-        direction: str = "both",
-        preserve_id: bool = False,
-        pad_silence: bool = True,
-    ) -> Cut:
+        self, *, duration: Seconds, direction: str = "both", preserve_id: bool = False,
+        pad_silence: bool = True) -> Cut:
         """
         Grow the window by ``duration`` seconds of *real* recording content
         per direction; where the recording runs out, optionally pad with
@@ -493,9 +409,7 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         new_duration = add_durations(new_end, -new_start, sampling_rate=sr)
 
         shift = add_durations(self.start, -new_start, sampling_rate=sr)
-        sups = sorted(
-            (s.with_offset(shift) for s in self.supervisions), key=lambda s: s.start
-        )
+        sups = sorted((s.with_offset(shift) for s in self.supervisions), key=lambda s: s.start)
 
         def covers(attr) -> bool:
             lo = compute_num_frames(new_start, attr.frame_shift, sr)
@@ -523,43 +437,27 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
                 kept_custom[name] = value
 
         out = fastcopy(
-            self,
-            id=self.id if preserve_id else str(uuid4()),
-            start=new_start,
-            duration=new_duration,
-            supervisions=sups,
-            custom=kept_custom,
-            **updates,
-        )
+            self, id=self.id if preserve_id else str(uuid4()), start=new_start,
+            duration=new_duration, supervisions=sups, custom=kept_custom, **updates)
         if silence_left > 0:
             out = out.pad(
-                duration=out.duration + silence_left,
-                direction="left",
-                preserve_id=preserve_id,
-            )
+                duration=out.duration + silence_left, direction="left", preserve_id=preserve_id)
         if silence_right > 0:
             out = out.pad(
-                duration=out.duration + silence_right,
-                direction="right",
-                preserve_id=preserve_id,
-            )
+                duration=out.duration + silence_right, direction="right", preserve_id=preserve_id)
         return out
 
     def pad(
-        self, duration: Seconds = None, num_frames: int = None,
-        num_samples: int = None, pad_feat_value: float = LOG_EPSILON,
-        direction: str = "right", preserve_id: bool = False,
-        pad_value_dict: Optional[Dict[str, Union[int, float]]] = None,
-    ) -> Cut:
+        self, duration: Seconds = None, num_frames: int = None, num_samples: int = None,
+        pad_feat_value: float = LOG_EPSILON, direction: str = "right", preserve_id: bool = False,
+        pad_value_dict: Optional[Dict[str, Union[int, float]]] = None) -> Cut:
         """Pad to a target duration/frames/samples; see :func:`lhotse_tpu.cut.set.pad`."""
         from lhotse_tpu.cut.set import pad
 
         return pad(
-            self, duration=duration, num_frames=num_frames,
-            num_samples=num_samples, pad_feat_value=pad_feat_value,
-            direction=direction, preserve_id=preserve_id,
-            pad_value_dict=pad_value_dict,
-        )
+            self, duration=duration, num_frames=num_frames, num_samples=num_samples,
+            pad_feat_value=pad_feat_value, direction=direction, preserve_id=preserve_id,
+            pad_value_dict=pad_value_dict)
 
     # -- waveform-domain lazy effects -------------------------------------------------------------
     # Shared plumbing: every effect needs a Recording, invalidates any
@@ -578,10 +476,7 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
             self.features = None
 
     def resample(
-        self,
-        sampling_rate: int,
-        affix_id: bool = False,
-        recording_field: Optional[str] = None,
+        self, sampling_rate: int, affix_id: bool = False, recording_field: Optional[str] = None,
     ) -> "DataCut":
         """Lazy resample (of the main recording or a custom Recording field)."""
         self._require_recording("resample")
@@ -592,12 +487,8 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
             custom = dict(custom)
             custom[recording_field] = custom[recording_field].resample(sampling_rate)
         return fastcopy(
-            self,
-            id=f"{self.id}_rs{sampling_rate}" if affix_id else self.id,
-            recording=recording,
-            features=None,
-            custom=custom,
-        )
+            self, id=f"{self.id}_rs{sampling_rate}" if affix_id else self.id, recording=recording,
+            features=None, custom=custom)
 
     def _time_scaled(self, factor: float, suffix: str, affix_id: bool, op: str) -> "DataCut":
         """Common core of speed/tempo perturbation: everything on the cut's
@@ -605,9 +496,7 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         self._require_recording(op)
         self._invalidate_features(op)
         sr = self.sampling_rate
-        scaled_start = (
-            perturb_num_samples(compute_num_samples(self.start, sr), factor) / sr
-        )
+        scaled_start = (perturb_num_samples(compute_num_samples(self.start, sr), factor) / sr)
         scaled_duration = perturb_num_samples(self.num_samples, factor) / sr
         if op == "perturb speed":
             rec = self.recording.perturb_speed(factor=factor, affix_id=affix_id)
@@ -622,13 +511,8 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
                 for s in self.supervisions
             ]
         return fastcopy(
-            self,
-            id=f"{self.id}{suffix}" if affix_id else self.id,
-            recording=rec,
-            supervisions=sups,
-            start=scaled_start,
-            duration=scaled_duration,
-        )
+            self, id=f"{self.id}{suffix}" if affix_id else self.id, recording=rec,
+            supervisions=sups, start=scaled_start, duration=scaled_duration)
 
     def perturb_speed(self, factor: float, affix_id: bool = True) -> "DataCut":
         """Resample-based speed change (pitch shifts too)."""
@@ -643,30 +527,20 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         self._require_recording("perturb volume")
         self._invalidate_features("perturb volume")
         return fastcopy(
-            self,
-            id=f"{self.id}_vp{factor}" if affix_id else self.id,
+            self, id=f"{self.id}_vp{factor}" if affix_id else self.id,
             recording=self.recording.perturb_volume(factor=factor, affix_id=affix_id),
-            supervisions=[
-                s.perturb_volume(factor=factor, affix_id=affix_id)
-                for s in self.supervisions
-            ],
+            supervisions=[ s.perturb_volume(factor=factor, affix_id=affix_id) for s in self.supervisions ],
         )
 
     def narrowband(
-        self, codec: str, restore_orig_sr: bool = True, affix_id: bool = True
-    ) -> "DataCut":
+        self, codec: str, restore_orig_sr: bool = True, affix_id: bool = True) -> "DataCut":
         """Telephone-codec bandwidth reduction."""
         self._require_recording("apply narrowband")
         self._invalidate_features("narrowband")
         return fastcopy(
-            self,
-            id=f"{self.id}_nb_{codec}" if affix_id else self.id,
-            recording=self.recording.narrowband(
-                codec=codec, restore_orig_sr=restore_orig_sr, affix_id=affix_id
-            ),
-            supervisions=[
-                s.narrowband(codec=codec, affix_id=affix_id) for s in self.supervisions
-            ],
+            self, id=f"{self.id}_nb_{codec}" if affix_id else self.id,
+            recording=self.recording.narrowband( codec=codec, restore_orig_sr=restore_orig_sr, affix_id=affix_id ),
+            supervisions=[ s.narrowband(codec=codec, affix_id=affix_id) for s in self.supervisions ],
         )
 
     def _renamed_supervisions(self, suffix: str, affix_id: bool) -> list:
@@ -677,44 +551,35 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
             for s in self.supervisions
         ]
 
-    def normalize_loudness(
-        self, target: float, affix_id: bool = False, **kwargs
-    ) -> "DataCut":
+    def normalize_loudness(self, target: float, affix_id: bool = False, **kwargs) -> "DataCut":
         """EBU R128 loudness normalization to ``target`` LUFS."""
         self._require_recording("normalize loudness")
         self._invalidate_features("loudness normalization")
         tag = f"_ln{target}"
         return fastcopy(
-            self,
-            id=f"{self.id}{tag}" if affix_id else self.id,
+            self, id=f"{self.id}{tag}" if affix_id else self.id,
             recording=self.recording.normalize_loudness(target=target, affix_id=affix_id),
-            supervisions=self._renamed_supervisions(tag, affix_id),
-        )
+            supervisions=self._renamed_supervisions(tag, affix_id))
 
     def dereverb_wpe(self, affix_id: bool = True) -> "DataCut":
         """Weighted-prediction-error dereverberation."""
         self._require_recording("apply WPE")
         self._invalidate_features("WPE dereverberation")
         return fastcopy(
-            self,
-            id=f"{self.id}_wpe" if affix_id else self.id,
+            self, id=f"{self.id}_wpe" if affix_id else self.id,
             recording=self.recording.dereverb_wpe(affix_id=affix_id),
-            supervisions=self._renamed_supervisions("_wpe", affix_id),
-        )
+            supervisions=self._renamed_supervisions("_wpe", affix_id))
 
     @abstractmethod
     def reverb_rir(
-        self, rir_recording: Optional["Recording"] = None,
-        normalize_output: bool = True, early_only: bool = False,
-        affix_id: bool = True, rir_channels: List[int] = [0],
-        room_rng_seed: Optional[int] = None, source_rng_seed: Optional[int] = None,
-    ) -> "DataCut":
+        self, rir_recording: Optional["Recording"] = None, normalize_output: bool = True,
+        early_only: bool = False, affix_id: bool = True, rir_channels: List[int] = [0],
+        room_rng_seed: Optional[int] = None, source_rng_seed: Optional[int] = None) -> "DataCut":
         ...
 
     def clip_amplitude(
         self, hard: bool = False, gain_db: float = 0.0, normalize: bool = True,
-        oversampling: Optional[int] = 2, affix_id: bool = True,
-    ) -> "DataCut":
+        oversampling: Optional[int] = 2, affix_id: bool = True) -> "DataCut":
         """Hard/soft amplitude clipping (audio path only)."""
         self._require_recording("apply clipping")
         if self.has_features:
@@ -723,37 +588,23 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
                 "clipping affects only the audio path."
             )
         return fastcopy(
-            self,
-            id=f"{self.id}_cl{gain_db}" if affix_id else self.id,
-            recording=self.recording.clip_amplitude(
-                hard=hard,
-                gain_db=gain_db,
-                normalize=normalize,
-                oversampling=oversampling,
-                affix_id=affix_id,
-            ),
+            self, id=f"{self.id}_cl{gain_db}" if affix_id else self.id,
+            recording=self.recording.clip_amplitude( hard=hard, gain_db=gain_db, normalize=normalize, oversampling=oversampling, affix_id=affix_id, ),
         )
 
     def compress(
-        self,
-        codec: str = "opus",
-        compression_level: float = 0.99,
-        compress_custom_fields: bool = False,
-    ) -> "DataCut":
+        self, codec: str = "opus", compression_level: float = 0.99,
+        compress_custom_fields: bool = False) -> "DataCut":
         """Lossy-codec round-trip on the recording (optionally also on custom
         Recording fields)."""
         self._require_recording("compress")
         custom = self.custom
         if compress_custom_fields and isinstance(custom, dict):
             custom = {
-                k: v.compress(codec, compression_level) if isinstance(v, Recording) else v
-                for k, v in custom.items()
-            }
+                k: v.compress(codec, compression_level) if isinstance(v, Recording) else v for k,
+                v in custom.items()}
         return fastcopy(
-            self,
-            recording=self.recording.compress(codec, compression_level),
-            custom=custom,
-        )
+            self, recording=self.recording.compress(codec, compression_level), custom=custom)
 
     # -- path remapping --------------------------------------------------------------------------
 
@@ -778,10 +629,7 @@ def make_supervision_mergers(merge_policy: str, custom_merge_fn):
     from lhotse_tpu.utils import merge_items_with_delimiter
 
     join = partial(
-        merge_items_with_delimiter,
-        delimiter="#",
-        return_first=(merge_policy == "keep_first"),
-    )
+        merge_items_with_delimiter, delimiter="#", return_first=(merge_policy == "keep_first"))
     if custom_merge_fn is not None:
         return join, custom_merge_fn
     return join, (lambda key, values: join(map(str, values)))
@@ -796,14 +644,7 @@ def has_overlapping_texts(sups) -> bool:
 
 
 def merge_segment_group(
-    sups,
-    *,
-    sampling_rate: int,
-    channel,
-    join,
-    join_custom,
-    group_end=None,
-) -> SupervisionSegment:
+    sups, *, sampling_rate: int, channel, join, join_custom, group_end=None) -> SupervisionSegment:
     """
     Collapse a start-sorted supervision group into one spanning segment:
     texts joined with whitespace, other string fields via ``join``,
@@ -819,26 +660,12 @@ def merge_segment_group(
     custom_keys = {k for s in sups if s.custom is not None for k in s.custom}
     ali_keys = {k for s in sups if s.alignment is not None for k in s.alignment}
     return SupervisionSegment(
-        id=join(s.id for s in sups),
-        recording_id=sups[0].recording_id,
-        start=begin,
-        duration=add_durations(finish, -begin, sampling_rate=sampling_rate),
-        channel=channel,
+        id=join(s.id for s in sups), recording_id=sups[0].recording_id, start=begin,
+        duration=add_durations(finish, -begin, sampling_rate=sampling_rate), channel=channel,
         text=" ".join(s.text for s in sups if s.text),
         speaker=join(s.speaker for s in sups if s.speaker),
         language=join(s.language for s in sups if s.language),
         gender=join(s.gender for s in sups if s.gender),
-        custom={
-            k: join_custom(
-                k, (s.custom[k] for s in sups if s.custom is not None and k in s.custom)
-            )
-            for k in custom_keys
-        },
-        alignment={
-            k: reduce(
-                _add,
-                (s.alignment[k] for s in sups if s.alignment is not None and k in s.alignment),
-            )
-            for k in ali_keys
-        },
+        custom={ k: join_custom( k, (s.custom[k] for s in sups if s.custom is not None and k in s.custom) ) for k in custom_keys },
+        alignment={ k: reduce( _add, (s.alignment[k] for s in sups if s.alignment is not None and k in s.alignment), ) for k in ali_keys },
     )

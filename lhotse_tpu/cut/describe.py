@@ -49,9 +49,7 @@ def _render_table(rows, headers=None, tablefmt="fancy_grid") -> str:
     # Minimal dependency-free rendering: left-justified columns.
     ncol = max(len(r) for r in rows)
     widths = [max(len(str(r[i])) for r in rows if len(r) > i) for i in range(ncol)]
-    return "\n".join(
-        " | ".join(str(v).ljust(w) for v, w in zip(r, widths)) for r in rows
-    )
+    return "\n".join(" | ".join(str(v).ljust(w) for v, w in zip(r, widths)) for r in rows)
 
 
 class CutSetStatistics:
@@ -114,9 +112,7 @@ class CutSetStatistics:
                     "Refusing to combine CutSetStatistics with mismatched "
                     f"full= settings ({merged.full} vs {o.full})."
                 )
-            merged.counters = defaultdict(
-                int, Counter(merged.counters) + Counter(o.counters)
-            )
+            merged.counters = defaultdict(int, Counter(merged.counters) + Counter(o.counters))
             merged.cut_custom += o.cut_custom
             merged.sup_custom += o.sup_custom
             merged.cut_durations += o.cut_durations
@@ -155,10 +151,7 @@ class CutSetStatistics:
         return "\n".join(blocks)
 
     def _cuts_block(self, durs: np.ndarray, total: float) -> str:
-        rows = [
-            ["Cuts count:", len(durs)],
-            ["Total duration (hh:mm:ss)", _hms(total)],
-        ]
+        rows = [["Cuts count:", len(durs)], ["Total duration (hh:mm:ss)", _hms(total)]]
         for label, q in _QUANTILE_ROWS:
             if q == -1.0:
                 val = durs.mean()
@@ -176,16 +169,8 @@ class CutSetStatistics:
         speaking = float(np.sum(self.speaking_time_durations))
         rows = [
             ["Total speech duration", _hms(speech), f"{speech / total:.2%} of recording"],
-            [
-                "Total speaking time duration",
-                _hms(speaking),
-                f"{speaking / total:.2%} of recording",
-            ],
-            [
-                "Total silence duration",
-                _hms(total - speech),
-                f"{(total - speech) / total:.2%} of recording",
-            ],
+            [ "Total speaking time duration", _hms(speaking), f"{speaking / total:.2%} of recording", ],
+            [ "Total silence duration", _hms(total - speech), f"{(total - speech) / total:.2%} of recording", ],
         ]
         if self.full:
             solo = float(np.sum(self.single_durations))
@@ -231,8 +216,7 @@ class CutSetStatistics:
             )
         rows.append(["Total", _hms(speech), _hms(speaking), "100.00%", "100.00%"])
         return "Speech duration statistics by number of speakers:\n" + _render_table(
-            rows, headers="firstrow"
-        )
+            rows, headers="firstrow")
 
 
 def _covered_duration(cut, min_speakers: int, max_speakers: Optional[int]) -> float:
@@ -243,8 +227,7 @@ def _covered_duration(cut, min_speakers: int, max_speakers: Optional[int]) -> fl
 
 
 def find_segments_with_speaker_count(
-    cut, min_speakers: int = 0, max_speakers: Optional[int] = None
-) -> List[TimeSpan]:
+    cut, min_speakers: int = 0, max_speakers: Optional[int] = None) -> List[TimeSpan]:
     """
     Return the maximal intervals of ``cut`` during which the number of
     simultaneously active supervisions lies in ``[min_speakers, max_speakers]``.
@@ -255,9 +238,7 @@ def find_segments_with_speaker_count(
     """
     hi = np.inf if max_speakers is None else max_speakers
     if not 0 <= min_speakers <= hi:
-        raise ValueError(
-            f"Invalid speaker-count window: [{min_speakers}, {max_speakers}]."
-        )
+        raise ValueError(f"Invalid speaker-count window: [{min_speakers}, {max_speakers}].")
     if min_speakers == 0 and hi == np.inf:
         return [TimeSpan(0, cut.duration)]
     if not cut.supervisions:

@@ -20,43 +20,28 @@ from dataclasses import dataclass
 from functools import partial, reduce
 from io import BytesIO
 from operator import add
-from typing import (
-    Any, Callable, Dict, Generator, Iterable, List, Optional, Tuple, Union,
-)
+from typing import (Any, Callable, Dict, Generator, Iterable, List, Optional, Tuple, Union)
 
 import numpy as np
 
 from lhotse_tpu.array import Array, TemporalArray
-from lhotse_tpu.audio import (
-    Recording,
-    VideoInfo,
-    get_audio_duration_mismatch_tolerance,
-)
+from lhotse_tpu.audio import (Recording, VideoInfo, get_audio_duration_mismatch_tolerance)
 from lhotse_tpu.audio.backend import save_audio
 from lhotse_tpu.audio.mixer import AudioMixer, VideoMixer, audio_energy
 from lhotse_tpu.augmentation import (
-    AudioTransform,
-    LoudnessNormalization,
-    ReverbWithImpulseResponse,
-)
+    AudioTransform, LoudnessNormalization, ReverbWithImpulseResponse)
 from lhotse_tpu.cut.base import Cut
 from lhotse_tpu.cut.data import DataCut
 from lhotse_tpu.cut.padding import PaddingCut
-from lhotse_tpu.features.base import (
-    FeatureExtractor,
-    Features,
-    create_default_feature_extractor,
-)
+from lhotse_tpu.features.base import (FeatureExtractor, Features, create_default_feature_extractor)
 from lhotse_tpu.features.io import FeaturesWriter
 from lhotse_tpu.features.mixer import FeatureMixer
 from lhotse_tpu.image import Image
 from lhotse_tpu.supervision import SupervisionSegment
 from lhotse_tpu.utils import (
-    DEFAULT_PADDING_VALUE, LOG_EPSILON, Decibels, Pathlike, Seconds,
-    add_durations, compute_num_frames, compute_num_samples, fastcopy,
-    hash_str_to_int, merge_items_with_delimiter, overlaps,
-    perturb_num_samples, rich_exception_info, uuid4,
-)
+    DEFAULT_PADDING_VALUE, LOG_EPSILON, Decibels, Pathlike, Seconds, add_durations,
+    compute_num_frames, compute_num_samples, fastcopy, hash_str_to_int, merge_items_with_delimiter,
+    overlaps, perturb_num_samples, rich_exception_info, uuid4)
 
 
 @dataclass
@@ -117,9 +102,7 @@ def _get_snr_reference_track(mixed_cut: "MixedCut") -> Tuple[Optional[int], MixT
     for idx, t in enumerate(mixed_cut.tracks):
         if not isinstance(t.cut, PaddingCut) and t.snr is None:
             return idx, t
-    raise ValueError(
-        f"Cannot determine SNR reference track for MixedCut '{mixed_cut.id}'."
-    )
+    raise ValueError(f"Cannot determine SNR reference track for MixedCut '{mixed_cut.id}'.")
 
 
 def _ensure_explicit_snr_reference(tracks: List[MixTrack]) -> List[MixTrack]:
@@ -142,18 +125,14 @@ def _snr_gain(snr: Optional[Decibels], reference_energy, own_energy) -> Optional
 
 
 def _scale_audio_for_snr(
-    audio: np.ndarray, snr: Optional[Decibels], reference_energy: Optional[float]
-) -> np.ndarray:
+    audio: np.ndarray, snr: Optional[Decibels], reference_energy: Optional[float]) -> np.ndarray:
     ratio = _snr_gain(snr, reference_energy, audio_energy(audio))
     return audio if ratio is None else np.sqrt(ratio) * audio
 
 
 def _scale_features_for_snr(
-    features: np.ndarray,
-    feature_extractor: FeatureExtractor,
-    snr: Optional[Decibels],
-    reference_energy: Optional[float],
-) -> np.ndarray:
+    features: np.ndarray, feature_extractor: FeatureExtractor, snr: Optional[Decibels],
+    reference_energy: Optional[float]) -> np.ndarray:
     ratio = _snr_gain(snr, reference_energy, feature_extractor.compute_energy(features))
     return features if ratio is None else feature_extractor.scale(features, ratio)
 
@@ -210,9 +189,7 @@ class MixedCut(Cut):
     frame_shift = property(lambda self: self._lead.frame_shift)
     sampling_rate = property(lambda self: self._lead.sampling_rate)
     num_features = property(lambda self: self._lead.num_features)
-    is_in_memory = property(
-        lambda self: any(t.cut.is_in_memory for t in _get_audible_tracks(self))
-    )
+    is_in_memory = property(lambda self: any(t.cut.is_in_memory for t in _get_audible_tracks(self)))
 
     def has(self, field: str) -> bool:
         return self._lead.has(field)
@@ -222,10 +199,7 @@ class MixedCut(Cut):
         if not self.has_features:
             return None
         return compute_num_frames(
-            duration=self.duration,
-            frame_shift=self.frame_shift,
-            sampling_rate=self.sampling_rate,
-        )
+            duration=self.duration, frame_shift=self.frame_shift, sampling_rate=self.sampling_rate)
 
     @property
     def num_samples(self) -> Optional[int]:
@@ -329,13 +303,9 @@ class MixedCut(Cut):
                 pad_value = t.cut.custom[name]
                 break
         return pad_array(
-            lead_cut.load_custom(name),
-            temporal_dim=manifest.temporal_dim,
-            frame_shift=manifest.frame_shift,
-            offset=lead_offset,
-            padded_duration=self.duration,
-            pad_value=pad_value,
-        )
+            lead_cut.load_custom(name), temporal_dim=manifest.temporal_dim,
+            frame_shift=manifest.frame_shift, offset=lead_offset, padded_duration=self.duration,
+            pad_value=pad_value)
 
     def _sum_custom_recordings(self, name: str, carriers: list) -> np.ndarray:
         """Sum one custom Recording field across tracks (e.g. per-cut target
@@ -343,24 +313,19 @@ class MixedCut(Cut):
         lead_idx, lead_cut = carriers[0]
         sr = getattr(lead_cut, name).sampling_rate
         mixer = AudioMixer(
-            base_audio=lead_cut.load_custom(name),
-            sampling_rate=sr,
-            base_offset=self.tracks[lead_idx].offset,
-        )
+            base_audio=lead_cut.load_custom(name), sampling_rate=sr,
+            base_offset=self.tracks[lead_idx].offset)
         for idx, cut in carriers[1:]:
             mixer.add_to_mix(audio=cut.load_custom(name), offset=self.tracks[idx].offset)
         return _settle_length(
-            mixer.mixed_audio, compute_num_samples(self.duration, sr), sr, pad_mode="constant"
-        )
+            mixer.mixed_audio, compute_num_samples(self.duration, sr), sr, pad_mode="constant")
 
     # -- serialization ----------------------------------------------------------------
 
     def to_dict(self) -> dict:
         d = {
-            "id": self.id,
-            "tracks": [t.to_dict() for t in self.tracks],
-            "type": type(self).__name__,
-        }
+            "id": self.id, "tracks": [t.to_dict() for t in self.tracks],
+            "type": type(self).__name__}
         if self.transforms:
             d["transforms"] = [t.to_dict() for t in self.transforms]
         return d
@@ -385,22 +350,14 @@ class MixedCut(Cut):
     # -- per-track rebuilding: the engine behind all the lazy builders ------------------
 
     def _rebuild_tracks(
-        self,
-        cut_op: Callable[[Cut], Cut],
-        *,
-        suffix: str = "",
-        affix_id: bool = False,
+        self, cut_op: Callable[[Cut], Cut], *, suffix: str = "", affix_id: bool = False,
         offset_op: Optional[Callable[[Seconds], Seconds]] = None,
-        warn_features: Optional[str] = None,
-        require_recording: Optional[str] = None,
-        keep_transforms: bool = False,
-    ) -> "MixedCut":
+        warn_features: Optional[str] = None, require_recording: Optional[str] = None,
+        keep_transforms: bool = False) -> "MixedCut":
         """Apply ``cut_op`` to every track's cut (and optionally remap the
         track offsets), producing a new MixedCut."""
         if require_recording is not None and not self.has_recording:
-            raise AssertionError(
-                f"Cannot {require_recording} on a MixedCut without Recording."
-            )
+            raise AssertionError(f"Cannot {require_recording} on a MixedCut without Recording.")
         if warn_features is not None and self.has_features:
             logging.warning(
                 f"Applying {warn_features} on a MixedCut with pre-computed "
@@ -413,134 +370,80 @@ class MixedCut(Cut):
                 updates["offset"] = offset_op(t.offset)
             tracks.append(fastcopy(t, **updates))
         return MixedCut(
-            id=f"{self.id}{suffix}" if affix_id else self.id,
-            tracks=tracks,
-            transforms=list(self.transforms) if keep_transforms and self.transforms else None,
-        )
+            id=f"{self.id}{suffix}" if affix_id else self.id, tracks=tracks,
+            transforms=list(self.transforms) if keep_transforms and self.transforms else None)
 
     def _scaled_offset(self, factor: float) -> Callable[[Seconds], Seconds]:
         sr = self.sampling_rate
 
         def scale(offset: Seconds) -> Seconds:
             return round(
-                perturb_num_samples(compute_num_samples(offset, sr), factor) / sr,
-                ndigits=8,
-            )
+                perturb_num_samples(compute_num_samples(offset, sr), factor) / sr, ndigits=8)
 
         return scale
 
     def _added_mix_transform(self, transform, suffix: str, affix_id: bool) -> "MixedCut":
         chain = list(self.transforms) if self.transforms is not None else []
         chain.append(transform)
-        return fastcopy(
-            self, id=f"{self.id}{suffix}" if affix_id else self.id, transforms=chain
-        )
+        return fastcopy(self, id=f"{self.id}{suffix}" if affix_id else self.id, transforms=chain)
 
     # -- lazy builders --------------------------------------------------------------------
 
     def move_to_memory(
-        self,
-        audio_format: str = "wav",
-        load_audio: bool = True,
-        load_features: bool = True,
-        load_custom: bool = True,
-    ) -> "MixedCut":
+        self, audio_format: str = "wav", load_audio: bool = True, load_features: bool = True,
+        load_custom: bool = True) -> "MixedCut":
         return self._rebuild_tracks(
-            lambda c: c.move_to_memory(
-                audio_format=audio_format,
-                load_audio=load_audio,
-                load_features=load_features,
-                load_custom=load_custom,
-            ),
-            keep_transforms=True,
-        )
+            lambda c: c.move_to_memory( audio_format=audio_format, load_audio=load_audio, load_features=load_features, load_custom=load_custom, ),
+            keep_transforms=True)
 
     def resample(
-        self,
-        sampling_rate: int,
-        affix_id: bool = False,
-        recording_field: Optional[str] = None,
+        self, sampling_rate: int, affix_id: bool = False, recording_field: Optional[str] = None,
     ) -> "MixedCut":
         """Lazy resample of every track (feature manifests detach)."""
         return self._rebuild_tracks(
             lambda c: c.resample(sampling_rate, recording_field=recording_field),
-            suffix=f"_rs{sampling_rate}",
-            affix_id=affix_id,
-            require_recording="resample",
-        )
+            suffix=f"_rs{sampling_rate}", affix_id=affix_id, require_recording="resample")
 
     def compress(
-        self,
-        codec: str = "opus",
-        compression_level: float = 0.99,
-        compress_custom_fields: bool = False,
-    ):
+        self, codec: str = "opus", compression_level: float = 0.99,
+        compress_custom_fields: bool = False):
         return self._rebuild_tracks(
             lambda c: c.compress(codec, compression_level, compress_custom_fields),
-            require_recording="compress",
-        )
+            require_recording="compress")
 
     def perturb_speed(self, factor: float, affix_id: bool = True) -> "MixedCut":
         """Speed-perturb every track; offsets rescale via sample counts."""
         return self._rebuild_tracks(
-            lambda c: c.perturb_speed(factor=factor, affix_id=affix_id),
-            suffix=f"_sp{factor}",
-            affix_id=affix_id,
-            offset_op=self._scaled_offset(factor),
-            warn_features="speed perturbation",
-            require_recording="perturb speed",
-        )
+            lambda c: c.perturb_speed(factor=factor, affix_id=affix_id), suffix=f"_sp{factor}",
+            affix_id=affix_id, offset_op=self._scaled_offset(factor),
+            warn_features="speed perturbation", require_recording="perturb speed")
 
     def perturb_tempo(self, factor: float, affix_id: bool = True) -> "MixedCut":
         """Tempo-perturb every track; offsets rescale via sample counts."""
         return self._rebuild_tracks(
-            lambda c: c.perturb_tempo(factor=factor, affix_id=affix_id),
-            suffix=f"_tp{factor}",
-            affix_id=affix_id,
-            offset_op=self._scaled_offset(factor),
-            warn_features="tempo perturbation",
-            require_recording="perturb tempo",
-        )
+            lambda c: c.perturb_tempo(factor=factor, affix_id=affix_id), suffix=f"_tp{factor}",
+            affix_id=affix_id, offset_op=self._scaled_offset(factor),
+            warn_features="tempo perturbation", require_recording="perturb tempo")
 
     def perturb_volume(self, factor: float, affix_id: bool = True) -> "MixedCut":
         return self._rebuild_tracks(
-            lambda c: c.perturb_volume(factor=factor, affix_id=affix_id),
-            suffix=f"_vp{factor}",
-            affix_id=affix_id,
-            warn_features="volume perturbation",
-            require_recording="perturb volume",
-        )
+            lambda c: c.perturb_volume(factor=factor, affix_id=affix_id), suffix=f"_vp{factor}",
+            affix_id=affix_id, warn_features="volume perturbation",
+            require_recording="perturb volume")
 
     def clip_amplitude(
-        self,
-        hard: bool = False,
-        gain_db: float = 0.0,
-        normalize: bool = True,
-        oversampling: Optional[int] = 2,
-        affix_id: bool = True,
-    ) -> "MixedCut":
+        self, hard: bool = False, gain_db: float = 0.0, normalize: bool = True,
+        oversampling: Optional[int] = 2, affix_id: bool = True) -> "MixedCut":
         return self._rebuild_tracks(
-            lambda c: c.clip_amplitude(
-                hard=hard,
-                gain_db=gain_db,
-                normalize=normalize,
-                oversampling=oversampling,
-                affix_id=affix_id,
-            ),
-            suffix=f"_cl{gain_db}",
-            affix_id=affix_id,
-            warn_features="clipping",
-            require_recording="apply clipping",
-        )
+            lambda c: c.clip_amplitude( hard=hard, gain_db=gain_db, normalize=normalize, oversampling=oversampling, affix_id=affix_id, ),
+            suffix=f"_cl{gain_db}", affix_id=affix_id, warn_features="clipping",
+            require_recording="apply clipping")
 
     def normalize_loudness(
-        self, target: float, mix_first: bool = True, affix_id: bool = False
-    ) -> Cut:
+        self, target: float, mix_first: bool = True, affix_id: bool = False) -> Cut:
         """Loudness normalization applied to the mix or per source track."""
         if not self.has_recording:
-            raise AssertionError(
-                "Cannot normalize loudness on a MixedCut without Recording."
-            )
+            raise AssertionError("Cannot normalize loudness on a MixedCut without Recording.")
         if self.has_features:
             logging.warning(
                 "Normalizing loudness on a MixedCut with pre-computed features: "
@@ -548,42 +451,29 @@ class MixedCut(Cut):
             )
         if mix_first:
             return self._added_mix_transform(
-                LoudnessNormalization(target=target), f"_ln{target}", affix_id
-            )
+                LoudnessNormalization(target=target), f"_ln{target}", affix_id)
         return self._rebuild_tracks(
-            lambda c: c.normalize_loudness(target=target, affix_id=affix_id),
-            suffix=f"_ln{target}",
-            affix_id=affix_id,
-        )
+            lambda c: c.normalize_loudness(target=target, affix_id=affix_id), suffix=f"_ln{target}",
+            affix_id=affix_id)
 
     def reverb_rir(
-        self,
-        rir_recording: Optional["Recording"] = None,
-        normalize_output: bool = True,
-        early_only: bool = False,
-        affix_id: bool = True,
-        rir_channels: List[int] = [0],
-        room_rng_seed: Optional[int] = None,
-        source_rng_seed: Optional[int] = None,
-        mix_first: bool = True,
-    ) -> "MixedCut":
+        self, rir_recording: Optional["Recording"] = None, normalize_output: bool = True,
+        early_only: bool = False, affix_id: bool = True, rir_channels: List[int] = [0],
+        room_rng_seed: Optional[int] = None, source_rng_seed: Optional[int] = None,
+        mix_first: bool = True) -> "MixedCut":
         """
         Reverberate the mix with one RIR (``mix_first=True``) or each track
         with its own RIR draw (same room seed, distinct source seeds —
         several speakers in one simulated room).
         """
         if not self.has_recording:
-            raise AssertionError(
-                "Cannot apply reverberation on a MixedCut without Recording."
-            )
+            raise AssertionError("Cannot apply reverberation on a MixedCut without Recording.")
         if self.has_features:
             logging.warning(
                 "Reverberating a MixedCut with pre-computed features: the "
                 "feature manifests will be detached."
             )
-        if rir_recording is not None and any(
-            c >= rir_recording.num_channels for c in rir_channels
-        ):
+        if rir_recording is not None and any(c >= rir_recording.num_channels for c in rir_channels):
             raise AssertionError("Invalid channel index in `rir_channels`.")
         audible = _get_audible_tracks(self)
         if len(rir_channels) not in (1, len(audible)):
@@ -609,68 +499,34 @@ class MixedCut(Cut):
                 from lhotse_tpu.augmentation.utils import FastRandomRIRGenerator
 
                 synth = FastRandomRIRGenerator(
-                    sr=self.sampling_rate,
-                    room_seed=room_rng_seed,
-                    source_seed=source_rng_seed,
-                )
+                    sr=self.sampling_rate, room_seed=room_rng_seed, source_seed=source_rng_seed)
             return self._added_mix_transform(
-                ReverbWithImpulseResponse(
-                    rir=rir_recording,
-                    normalize_output=normalize_output,
-                    early_only=early_only,
-                    rir_channels=rir_channels if rir_channels is not None else [0],
-                    rir_generator=synth,
-                ),
-                "_rvb",
-                affix_id,
-            )
+                ReverbWithImpulseResponse( rir=rir_recording, normalize_output=normalize_output, early_only=early_only, rir_channels=rir_channels if rir_channels is not None else [0], rir_generator=synth, ),
+                "_rvb", affix_id)
 
         if len(rir_channels) == 1:
             channel_per_track = rir_channels * len(self.tracks)
         else:
             feed = iter(rir_channels)
-            channel_per_track = [
-                rir_channels[0] if t.mute else next(feed) for t in self.tracks
-            ]
+            channel_per_track = [rir_channels[0] if t.mute else next(feed) for t in self.tracks]
         new_tracks = [
-            fastcopy(
-                t,
-                cut=t.cut.reverb_rir(
-                    rir_recording=rir_recording,
-                    normalize_output=normalize_output,
-                    early_only=early_only,
-                    affix_id=affix_id,
-                    rir_channels=[ch],
-                    room_rng_seed=room_rng_seed,
-                    source_rng_seed=seed,
-                ),
-            )
-            for t, ch, seed in zip(self.tracks, channel_per_track, per_track_seeds)
-        ]
-        return MixedCut(
-            id=f"{self.id}_rvb" if affix_id else self.id, tracks=new_tracks
-        )
+            fastcopy( t, cut=t.cut.reverb_rir( rir_recording=rir_recording, normalize_output=normalize_output, early_only=early_only, affix_id=affix_id, rir_channels=[ch], room_rng_seed=room_rng_seed, source_rng_seed=seed, ), ) for t,
+            ch, seed in zip(self.tracks, channel_per_track, per_track_seeds)]
+        return MixedCut(id=f"{self.id}_rvb" if affix_id else self.id, tracks=new_tracks)
 
     # -- windowing --------------------------------------------------------------------------
 
     def truncate(
-        self,
-        *,
-        offset: Seconds = 0.0,
-        duration: Optional[Seconds] = None,
-        keep_excessive_supervisions: bool = True,
-        preserve_id: bool = False,
-        _supervisions_index: Optional[Dict[str, Any]] = None,
-    ) -> Cut:
+        self, *, offset: Seconds = 0.0, duration: Optional[Seconds] = None,
+        keep_excessive_supervisions: bool = True, preserve_id: bool = False,
+        _supervisions_index: Optional[Dict[str, Any]] = None) -> Cut:
         """
         Window the mix: each track is truncated/re-offset; tracks that fall
         completely outside are dropped.  Degenerate results collapse to a
         PaddingCut or a single plain cut.
         """
         if offset < 0:
-            raise AssertionError(
-                f"Offset for truncate must be non-negative (provided {offset})."
-            )
+            raise AssertionError(f"Offset for truncate must be non-negative (provided {offset}).")
         sr = self.sampling_rate
         old_duration = self.duration
         if duration is None:
@@ -681,20 +537,15 @@ class MixedCut(Cut):
         kept: List[MixTrack] = []
         for t in sorted(self.tracks, key=lambda t: t.offset):
             reshaped = self._truncate_track(
-                t, offset, duration, window_end, old_duration,
-                keep_excessive_supervisions, preserve_id, _supervisions_index,
-            )
+                t, offset, duration, window_end, old_duration, keep_excessive_supervisions,
+                preserve_id, _supervisions_index)
             if reshaped is not None:
                 kept.append(reshaped)
 
         if not any(not isinstance(t.cut, PaddingCut) for t in kept):
             return PaddingCut(
-                id=self.id if preserve_id else str(uuid4()),
-                duration=duration,
-                sampling_rate=sr,
-                feat_value=0.0,
-                num_samples=compute_num_samples(duration, sr),
-            )
+                id=self.id if preserve_id else str(uuid4()), duration=duration, sampling_rate=sr,
+                feat_value=0.0, num_samples=compute_num_samples(duration, sr))
         if len(kept) == 1:
             return kept[0].cut
 
@@ -712,9 +563,8 @@ class MixedCut(Cut):
         return out
 
     def _truncate_track(
-        self, track, offset, duration, window_end, old_duration,
-        keep_excessive, preserve_id, sup_index,
-    ) -> Optional[MixTrack]:
+        self, track, offset, duration, window_end, old_duration, keep_excessive, preserve_id,
+        sup_index) -> Optional[MixTrack]:
         sr = self.sampling_rate
         track_end = add_durations(track.offset, track.cut.duration, sampling_rate=sr)
         if track_end < offset:
@@ -725,46 +575,27 @@ class MixedCut(Cut):
         if track_end > window_end:
             bound = window_end if duration is not None else old_duration
             past_window = add_durations(track_end, -bound, sampling_rate=sr)
-        new_len = add_durations(
-            track.cut.duration, -inner_offset, -past_window, sampling_rate=sr
-        )
+        new_len = add_durations(track.cut.duration, -inner_offset, -past_window, sampling_rate=sr)
         if new_len <= 0:
             return None
         return MixTrack(
-            cut=track.cut.truncate(
-                offset=inner_offset,
-                duration=new_len,
-                keep_excessive_supervisions=keep_excessive,
-                preserve_id=preserve_id,
-                _supervisions_index=sup_index,
-            ),
-            offset=new_track_offset,
-            snr=track.snr,
-            tag=track.tag,
-            is_snr_reference=track.is_snr_reference,
-            mute=track.mute,
-        )
+            cut=track.cut.truncate( offset=inner_offset, duration=new_len, keep_excessive_supervisions=keep_excessive, preserve_id=preserve_id, _supervisions_index=sup_index, ),
+            offset=new_track_offset, snr=track.snr, tag=track.tag,
+            is_snr_reference=track.is_snr_reference, mute=track.mute)
 
     def extend_by(self, **kwargs) -> "MixedCut":
         raise ValueError("The extend_by() method is not defined for a MixedCut.")
 
     def pad(
-        self,
-        duration: Seconds = None,
-        num_frames: int = None,
-        num_samples: int = None,
-        pad_feat_value: float = LOG_EPSILON,
-        direction: str = "right",
-        preserve_id: bool = False,
-        pad_value_dict: Optional[Dict[str, Union[int, float]]] = None,
-    ) -> Cut:
+        self, duration: Seconds = None, num_frames: int = None, num_samples: int = None,
+        pad_feat_value: float = LOG_EPSILON, direction: str = "right", preserve_id: bool = False,
+        pad_value_dict: Optional[Dict[str, Union[int, float]]] = None) -> Cut:
         from lhotse_tpu.cut.set import pad
 
         return pad(
             self, duration=duration, num_frames=num_frames, num_samples=num_samples,
-            pad_feat_value=pad_feat_value, direction=direction,
-            preserve_id=preserve_id, pad_value_dict=pad_value_dict,
-        )
+            pad_feat_value=pad_feat_value, direction=direction, preserve_id=preserve_id,
+            pad_value_dict=pad_value_dict)
 
     # -- unmixing -----------------------------------------------------------------------------
 
@@ -774,15 +605,12 @@ class MixedCut(Cut):
         with ``tag`` exactly two cuts, ``[without_tag, with_tag]`` (muted
         SNR-reference tracks ride along to keep SNR math exact).
         """
-        real = [
-            t for t in _get_audible_tracks(self) if not isinstance(t.cut, PaddingCut)
-        ]
+        real = [t for t in _get_audible_tracks(self) if not isinstance(t.cut, PaddingCut)]
         if tag is None:
             return [_to_unmixed_cut(self, [t]) for t in real]
         return [
             _to_unmixed_cut(self, [t for t in real if t.tag != tag]),
-            _to_unmixed_cut(self, [t for t in real if t.tag == tag]),
-        ]
+            _to_unmixed_cut(self, [t for t in real if t.tag == tag])]
 
     def to_mono(self, encoding: str = "wav", **kwargs) -> "Cut":
         """Render the whole mix to a single-channel in-memory MonoCut."""
@@ -791,10 +619,8 @@ class MixedCut(Cut):
         save_audio(buf, wave, self.sampling_rate, format=encoding)
         rec = Recording.from_bytes(buf.getvalue(), recording_id=self.id)
         return fastcopy(
-            rec.to_cut(),
-            supervisions=[fastcopy(s, channel=0) for s in self.supervisions],
-            custom=_get_first_non_padding_track(self).cut.custom,
-        )
+            rec.to_cut(), supervisions=[fastcopy(s, channel=0) for s in self.supervisions],
+            custom=_get_first_non_padding_track(self).cut.custom)
 
     # -- loading ---------------------------------------------------------------------------------
 
@@ -811,9 +637,7 @@ class MixedCut(Cut):
         lead_track, lead_cut = tracks[0], tracks[0].cut
 
         # Shortcut: one real cut + padding only needs a fill, not a mixer.
-        only_padding_rest = tracks[1:] and all(
-            isinstance(t.cut, PaddingCut) for t in tracks[1:]
-        )
+        only_padding_rest = tracks[1:] and all(isinstance(t.cut, PaddingCut) for t in tracks[1:])
         if mixed and lead_track.snr is None and only_padding_rest:
             fill = tracks[1].cut.feat_value
             lead_feats = lead_cut.load_features()
@@ -833,12 +657,8 @@ class MixedCut(Cut):
 
         mixer = FeatureMixer(
             feature_extractor=extractor,
-            base_feats=_scale_features_for_snr(
-                lead_cut.load_features(), extractor, lead_track.snr, ref_energy
-            ),
-            frame_shift=lead_cut.frame_shift,
-            reference_energy=ref_energy,
-        )
+            base_feats=_scale_features_for_snr( lead_cut.load_features(), extractor, lead_track.snr, ref_energy ),
+            frame_shift=lead_cut.frame_shift, reference_energy=ref_energy)
         for t in tracks[1:]:
             feats = (
                 ref_feats
@@ -846,8 +666,7 @@ class MixedCut(Cut):
                 else t.cut.load_features()
             )
             mixer.add_to_mix(
-                feats=feats, snr=t.snr, offset=t.offset, sampling_rate=t.cut.sampling_rate
-            )
+                feats=feats, snr=t.snr, offset=t.offset, sampling_rate=t.cut.sampling_rate)
 
         if not mixed:
             return mixer.unmixed_feats
@@ -866,9 +685,7 @@ class MixedCut(Cut):
         return feats
 
     @rich_exception_info
-    def load_audio(
-        self, mixed: bool = True, mono_downmix: bool = False
-    ) -> Optional[np.ndarray]:
+    def load_audio(self, mixed: bool = True, mono_downmix: bool = False) -> Optional[np.ndarray]:
         """
         Mix the tracks' waveforms.  ``mixed=False`` returns the padded
         per-track stack; ``mono_downmix`` collapses a multi-channel mix.
@@ -886,16 +703,10 @@ class MixedCut(Cut):
 
         mixer = AudioMixer(
             _scale_audio_for_snr(lead_cut.load_audio(), lead_track.snr, ref_energy),
-            sampling_rate=lead_cut.sampling_rate,
-            reference_energy=ref_energy,
-            base_offset=lead_track.offset,
-        )
+            sampling_rate=lead_cut.sampling_rate, reference_energy=ref_energy,
+            base_offset=lead_track.offset)
         for t in tracks[1:]:
-            wave = (
-                ref_audio
-                if t is ref_track and ref_audio is not None
-                else t.cut.load_audio()
-            )
+            wave = (ref_audio if t is ref_track and ref_audio is not None else t.cut.load_audio())
             mixer.add_to_mix(audio=wave, snr=t.snr, offset=t.offset)
 
         if not mixed:
@@ -903,9 +714,7 @@ class MixedCut(Cut):
 
         downmix = mono_downmix and any(t.type == "MultiCut" for t in tracks)
         audio = mixer.mixed_mono_audio if downmix else mixer.mixed_audio
-        audio = _settle_length(
-            audio, self.num_samples, self.sampling_rate, pad_mode="reflect"
-        )
+        audio = _settle_length(audio, self.num_samples, self.sampling_rate, pad_mode="reflect")
         if audio.shape[1] != self.num_samples:
             raise AssertionError(
                 f"Inconsistent number of samples in a MixedCut: expected "
@@ -917,22 +726,16 @@ class MixedCut(Cut):
         return audio
 
     @rich_exception_info
-    def load_video(
-        self, with_audio: bool = True, mixed: bool = True, mono_downmix: bool = False
-    ):
+    def load_video(self, with_audio: bool = True, mixed: bool = True, mono_downmix: bool = False):
         if not self.has_video:
             return None
         tracks = _get_audible_tracks(self)
         mixer = VideoMixer(
-            tracks[0].cut.load_video(with_audio=False)[0],
-            fps=self.video.fps,
-            base_offset=tracks[0].offset,
-        )
+            tracks[0].cut.load_video(with_audio=False)[0], fps=self.video.fps,
+            base_offset=tracks[0].offset)
         for t in tracks[1:]:
             mixer.add_to_mix(video=t.cut.load_video(with_audio=False)[0], offset=t.offset)
-        audio = (
-            self.load_audio(mixed=mixed, mono_downmix=mono_downmix) if with_audio else None
-        )
+        audio = (self.load_audio(mixed=mixed, mono_downmix=mono_downmix) if with_audio else None)
         return mixer.mixed_video, audio
 
     # -- plotting -----------------------------------------------------------------------------------
@@ -959,9 +762,7 @@ class MixedCut(Cut):
             ax.plot(np.linspace(0, self.duration, len(samples)), samples)
             for sup in t.cut.supervisions:
                 sup = sup.trim(t.cut.duration)
-                ax.axvspan(
-                    t.offset + sup.start, t.offset + sup.end, color="green", alpha=0.1
-                )
+                ax.axvspan(t.offset + sup.start, t.offset + sup.end, color="green", alpha=0.1)
         return axes
 
     # -- detachments ------------------------------------------------------------------------------------
@@ -989,9 +790,7 @@ class MixedCut(Cut):
         return self._rebuild_tracks(lambda c: c.drop_alignments(), keep_transforms=True)
 
     def drop_in_memory_data(self) -> "MixedCut":
-        return self._rebuild_tracks(
-            lambda c: c.drop_in_memory_data(), keep_transforms=True
-        )
+        return self._rebuild_tracks(lambda c: c.drop_in_memory_data(), keep_transforms=True)
 
     def with_features_path_prefix(self, path: Pathlike) -> "MixedCut":
         if not self.has_features:
@@ -1006,12 +805,8 @@ class MixedCut(Cut):
     # -- feature extraction -------------------------------------------------------------------------------
 
     def compute_and_store_features(
-        self,
-        extractor: FeatureExtractor,
-        storage: FeaturesWriter,
-        augment_fn=None,
-        mix_eagerly: bool = True,
-    ) -> DataCut:
+        self, extractor: FeatureExtractor, storage: FeaturesWriter, augment_fn=None,
+        mix_eagerly: bool = True) -> DataCut:
         """
         Extract + persist features: eagerly (mix the waveform now, return a
         recording-less MonoCut) or per track (return a MixedCut ready for
@@ -1021,26 +816,14 @@ class MixedCut(Cut):
             from lhotse_tpu.cut.mono import MonoCut
 
             manifest = extractor.extract_from_samples_and_store(
-                samples=self.load_audio(),
-                storage=storage,
-                sampling_rate=self.sampling_rate,
-                offset=0,
-                channel=0,
-                augment_fn=augment_fn,
-            )
+                samples=self.load_audio(), storage=storage, sampling_rate=self.sampling_rate,
+                offset=0, channel=0, augment_fn=augment_fn)
             manifest.recording_id = self.id
             return MonoCut(
-                id=self.id,
-                start=0,
-                duration=self.duration,
-                channel=0,
-                supervisions=[
-                    fastcopy(s, recording_id=self.id) for s in self.supervisions
-                ],
-                features=manifest,
-                recording=None,
-                custom=self.custom if hasattr(self, "custom") else None,
-            )
+                id=self.id, start=0, duration=self.duration, channel=0,
+                supervisions=[ fastcopy(s, recording_id=self.id) for s in self.supervisions ],
+                features=manifest, recording=None,
+                custom=self.custom if hasattr(self, "custom") else None)
         return self._rebuild_tracks(
             lambda c: c.compute_and_store_features(
                 extractor=extractor, storage=storage, augment_fn=augment_fn
@@ -1049,9 +832,7 @@ class MixedCut(Cut):
 
     # -- supervision manipulation ---------------------------------------------------------------------------
 
-    def fill_supervision(
-        self, add_empty: bool = True, shrink_ok: bool = False
-    ) -> "MixedCut":
+    def fill_supervision(self, add_empty: bool = True, shrink_ok: bool = False) -> "MixedCut":
         """Grow (or create) the single supervision to cover the full mix."""
         n = len(self.supervisions)
         if n == 0:
@@ -1061,20 +842,13 @@ class MixedCut(Cut):
             new_tracks = list(self.tracks)
             lead = new_tracks[lead_idx]
             whole_mix_sup = SupervisionSegment(
-                id=self.id,
-                recording_id=lead.cut.recording_id,
-                start=-lead.offset,
-                duration=self.duration,
-                channel=-1,
-            )
+                id=self.id, recording_id=lead.cut.recording_id, start=-lead.offset,
+                duration=self.duration, channel=-1)
             new_tracks[lead_idx] = fastcopy(
-                lead, cut=fastcopy(lead.cut, supervisions=[whole_mix_sup])
-            )
+                lead, cut=fastcopy(lead.cut, supervisions=[whole_mix_sup]))
             return fastcopy(self, tracks=new_tracks)
         if n != 1:
-            raise AssertionError(
-                f"Cannot expand more than one supervision (found {n})."
-            )
+            raise AssertionError(f"Cannot expand more than one supervision (found {n}).")
         new_tracks = []
         for t in self.tracks:
             if t.mute or not t.cut.supervisions:
@@ -1092,8 +866,7 @@ class MixedCut(Cut):
         return fastcopy(self, tracks=new_tracks)
 
     def map_supervisions(
-        self, transform_fn: Callable[[SupervisionSegment], SupervisionSegment]
-    ) -> Cut:
+        self, transform_fn: Callable[[SupervisionSegment], SupervisionSegment]) -> Cut:
         out = fastcopy(self)
         for t in out.tracks:
             if isinstance(t.cut, PaddingCut) or t.mute:
@@ -1101,24 +874,16 @@ class MixedCut(Cut):
             t.cut.supervisions = [s.map(transform_fn) for s in t.cut.supervisions]
         return out
 
-    def filter_supervisions(
-        self, predicate: Callable[[SupervisionSegment], bool]
-    ) -> Cut:
+    def filter_supervisions(self, predicate: Callable[[SupervisionSegment], bool]) -> Cut:
         return self._rebuild_tracks(
-            lambda c: c.filter_supervisions(predicate), keep_transforms=True
-        )
+            lambda c: c.filter_supervisions(predicate), keep_transforms=True)
 
     def merge_supervisions(
-        self,
-        merge_policy: str = "delimiter",
-        custom_merge_fn: Optional[Callable[[str, Iterable[Any]], Any]] = None,
-    ) -> "MixedCut":
+        self, merge_policy: str = "delimiter",
+        custom_merge_fn: Optional[Callable[[str, Iterable[Any]], Any]] = None) -> "MixedCut":
         """Fuse all supervisions into one segment on the lead track."""
         join = partial(
-            merge_items_with_delimiter,
-            delimiter="#",
-            return_first=(merge_policy == "keep_first"),
-        )
+            merge_items_with_delimiter, delimiter="#", return_first=(merge_policy == "keep_first"))
         join_custom = custom_merge_fn or (lambda k, vs: join(map(str, vs)))
 
         sups = sorted(self.supervisions, key=lambda s: s.start)
@@ -1175,12 +940,10 @@ class MixedCut(Cut):
 
 
 def _settle_length(
-    audio: np.ndarray, want: int, sampling_rate: int, *, pad_mode: str
-) -> np.ndarray:
+    audio: np.ndarray, want: int, sampling_rate: int, *, pad_mode: str) -> np.ndarray:
     """Trim/pad sub-tolerance sample-count drift after mixing."""
     slack = compute_num_samples(
-        get_audio_duration_mismatch_tolerance(), sampling_rate=sampling_rate
-    )
+        get_audio_duration_mismatch_tolerance(), sampling_rate=sampling_rate)
     drift = audio.shape[1] - want
     if 0 < drift < slack:
         return audio[:, :want]
@@ -1193,19 +956,13 @@ def _make_padding_cut(mixed_cut: "MixedCut") -> PaddingCut:
     feat_geom = {}
     if mixed_cut.has_features:
         feat_geom = dict(
-            num_frames=mixed_cut.num_frames,
-            num_features=mixed_cut.num_features,
-            frame_shift=mixed_cut.frame_shift,
-        )
+            num_frames=mixed_cut.num_frames, num_features=mixed_cut.num_features,
+            frame_shift=mixed_cut.frame_shift)
     return PaddingCut(
-        id=str(uuid4()),
-        duration=mixed_cut.duration,
-        sampling_rate=mixed_cut.sampling_rate,
+        id=str(uuid4()), duration=mixed_cut.duration, sampling_rate=mixed_cut.sampling_rate,
         feat_value=LOG_EPSILON,
         num_samples=mixed_cut.num_samples if mixed_cut.has_recording else None,
-        video=mixed_cut.video if mixed_cut.has_video else None,
-        **feat_geom,
-    )
+        video=mixed_cut.video if mixed_cut.has_video else None, **feat_geom)
 
 
 def _to_unmixed_cut(mixed_cut: "MixedCut", tracks: List[MixTrack]) -> Cut:

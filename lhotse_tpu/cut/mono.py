@@ -20,12 +20,7 @@ from lhotse_tpu.cut.data import DataCut
 from lhotse_tpu.features.base import Features
 from lhotse_tpu.supervision import SupervisionSegment
 from lhotse_tpu.utils import (
-    fastcopy,
-    hash_str_to_int,
-    is_equal_or_contains,
-    rich_exception_info,
-    uuid4,
-)
+    fastcopy, hash_str_to_int, is_equal_or_contains, rich_exception_info, uuid4)
 
 
 @dataclass
@@ -70,11 +65,7 @@ class MonoCut(DataCut):
 
     def _shared_span_kwargs(self) -> dict:
         return dict(
-            recording=self.recording,
-            start=self.start,
-            duration=self.duration,
-            custom=self.custom,
-        )
+            recording=self.recording, start=self.start, duration=self.duration, custom=self.custom)
 
     def with_channels(self, channels: Union[List[int], int]) -> DataCut:
         """Select channels available in the underlying Recording; returns
@@ -91,29 +82,19 @@ class MonoCut(DataCut):
                 if is_equal_or_contains(s.channel, one)
             ]
             return MonoCut(
-                id=f"{self.id}-{one}", channel=one, supervisions=keep,
-                **self._shared_span_kwargs(),
-            )
+                id=f"{self.id}-{one}", channel=one, supervisions=keep, **self._shared_span_kwargs())
         from lhotse_tpu.cut.multi import MultiCut
 
-        keep = [
-            s for s in self.supervisions if is_equal_or_contains(wanted, s.channel)
-        ]
+        keep = [s for s in self.supervisions if is_equal_or_contains(wanted, s.channel)]
         return MultiCut(
             id=f"{self.id}-{len(wanted)}chan", channel=wanted, supervisions=keep,
-            **self._shared_span_kwargs(),
-        )
+            **self._shared_span_kwargs())
 
     def reverb_rir(
-        self,
-        rir_recording: Optional[Union[Recording, DataCut]] = None,
-        normalize_output: bool = True,
-        early_only: bool = False,
-        affix_id: bool = True,
-        rir_channels: Sequence[int] = (0,),
-        room_rng_seed: Optional[int] = None,
-        source_rng_seed: Optional[int] = None,
-    ) -> DataCut:
+        self, rir_recording: Optional[Union[Recording, DataCut]] = None,
+        normalize_output: bool = True, early_only: bool = False, affix_id: bool = True,
+        rir_channels: Sequence[int] = (0,), room_rng_seed: Optional[int] = None,
+        source_rng_seed: Optional[int] = None) -> DataCut:
         """
         Lazy reverberation: mono RIR (or a synthetic FRA-RIR) keeps a MonoCut;
         multi-channel RIR selections return a MultiCut with fanned-out channels.
@@ -138,53 +119,33 @@ class MonoCut(DataCut):
                 source_rng_seed = room_rng_seed
 
         recording_rvb = self.recording.reverb_rir(
-            rir_recording=rir_recording,
-            normalize_output=normalize_output,
-            early_only=early_only,
-            affix_id=affix_id,
-            rir_channels=rir_channels,
-            room_rng_seed=room_rng_seed,
-            source_rng_seed=source_rng_seed,
-        )
+            rir_recording=rir_recording, normalize_output=normalize_output, early_only=early_only,
+            affix_id=affix_id, rir_channels=rir_channels, room_rng_seed=room_rng_seed,
+            source_rng_seed=source_rng_seed)
 
         if len(rir_channels) == 1:
             return fastcopy(
-                self,
-                id=f"{self.id}_rvb" if affix_id else self.id,
-                recording=recording_rvb,
-                supervisions=[
-                    s.reverb_rir(affix_id=affix_id) for s in self.supervisions
-                ],
-            )
+                self, id=f"{self.id}_rvb" if affix_id else self.id, recording=recording_rvb,
+                supervisions=[ s.reverb_rir(affix_id=affix_id) for s in self.supervisions ])
         # Multi-channel RIR: the result fans out into a MultiCut.
         from lhotse_tpu.cut.multi import MultiCut
 
         fanout = list(range(len(rir_channels)))
         return fastcopy(
-            MultiCut.from_mono(self),
-            recording=recording_rvb,
-            supervisions=[
-                s.reverb_rir(affix_id=affix_id, channel=fanout)
-                for s in self.supervisions
-            ],
-            channel=fanout,
-        )
+            MultiCut.from_mono(self), recording=recording_rvb,
+            supervisions=[ s.reverb_rir(affix_id=affix_id, channel=fanout) for s in self.supervisions ],
+            channel=fanout)
 
     def merge_supervisions(
-        self,
-        merge_policy: str = "delimiter",
-        custom_merge_fn: Optional[Callable[[str, Iterable[Any]], Any]] = None,
-    ) -> "MonoCut":
+        self, merge_policy: str = "delimiter",
+        custom_merge_fn: Optional[Callable[[str, Iterable[Any]], Any]] = None) -> "MonoCut":
         """
         Merge all supervisions into one spanning segment; texts joined with
         whitespace, other string fields joined with "#" (or first kept, per
         ``merge_policy``); alignments concatenated.
         """
         from lhotse_tpu.cut.data import (
-            has_overlapping_texts,
-            make_supervision_mergers,
-            merge_segment_group,
-        )
+            has_overlapping_texts, make_supervision_mergers, merge_segment_group)
 
         sups = sorted(self.supervisions, key=lambda s: s.start)
         if len(sups) <= 1:
@@ -196,13 +157,8 @@ class MonoCut(DataCut):
             )
         join, join_custom = make_supervision_mergers(merge_policy, custom_merge_fn)
         merged = merge_segment_group(
-            sups,
-            sampling_rate=self.sampling_rate,
-            channel=sups[0].channel,
-            join=join,
-            join_custom=join_custom,
-            group_end=sups[-1].end,
-        )
+            sups, sampling_rate=self.sampling_rate, channel=sups[0].channel, join=join,
+            join_custom=join_custom, group_end=sups[-1].end)
         return fastcopy(self, supervisions=[merged])
 
     @staticmethod
@@ -216,8 +172,5 @@ class MonoCut(DataCut):
         if "custom" in data:
             deserialize_custom_field(data["custom"])
         return MonoCut(
-            **data,
-            features=features,
-            recording=recording,
-            supervisions=[SupervisionSegment.from_dict(s) for s in supervision_infos],
-        )
+            **data, features=features, recording=recording,
+            supervisions=[SupervisionSegment.from_dict(s) for s in supervision_infos])

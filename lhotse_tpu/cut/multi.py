@@ -21,14 +21,7 @@ from lhotse_tpu.cut.data import DataCut
 from lhotse_tpu.features.base import Features
 from lhotse_tpu.supervision import SupervisionSegment
 from lhotse_tpu.utils import (
-    fastcopy,
-    hash_str_to_int,
-    ifnone,
-    is_equal_or_contains,
-    rich_exception_info,
-    to_list,
-    uuid4,
-)
+    fastcopy, hash_str_to_int, ifnone, is_equal_or_contains, rich_exception_info, to_list, uuid4)
 
 
 @dataclass
@@ -57,10 +50,8 @@ class MultiCut(DataCut):
         if not self.has_features:
             return None
         feats = self.features.load(
-            start=self.start,
-            duration=self.duration,
-            channel_id=self.channel if channel is None else channel,
-        )
+            start=self.start, duration=self.duration,
+            channel_id=self.channel if channel is None else channel)
         drift = feats.shape[0] - self.num_frames
         if drift == 1:
             return feats[: self.num_frames]
@@ -76,23 +67,16 @@ class MultiCut(DataCut):
         return self.recording.load_audio(**self._span(channel))
 
     @rich_exception_info
-    def load_video(
-        self, channel: Optional[Union[int, List[int]]] = None, with_audio: bool = True
-    ):
+    def load_video(self, channel: Optional[Union[int, List[int]]] = None, with_audio: bool = True):
         if not self.has_video:
             return None
         return self.recording.load_video(with_audio=with_audio, **self._span(channel))
 
     def reverb_rir(
-        self,
-        rir_recording: Optional[Union[Recording, DataCut]] = None,
-        normalize_output: bool = True,
-        early_only: bool = False,
-        affix_id: bool = True,
-        rir_channels: Sequence[int] = (0,),
-        room_rng_seed: Optional[int] = None,
-        source_rng_seed: Optional[int] = None,
-    ) -> "MultiCut":
+        self, rir_recording: Optional[Union[Recording, DataCut]] = None,
+        normalize_output: bool = True, early_only: bool = False, affix_id: bool = True,
+        rir_channels: Sequence[int] = (0,), room_rng_seed: Optional[int] = None,
+        source_rng_seed: Optional[int] = None) -> "MultiCut":
         """Lazy reverberation; synthetic RIRs are supported only for
         single-channel MultiCuts."""
         assert self.has_recording, "Cannot apply reverberation on a MultiCut without Recording."
@@ -115,35 +99,19 @@ class MultiCut(DataCut):
             bad = [c for c in rir_channels if c >= rir_recording.num_channels]
             assert not bad, "Invalid channel index in `rir_channels`."
         return fastcopy(
-            self,
-            id=f"{self.id}_rvb" if affix_id else self.id,
-            recording=self.recording.reverb_rir(
-                rir_recording=rir_recording,
-                normalize_output=normalize_output,
-                early_only=early_only,
-                affix_id=affix_id,
-                rir_channels=rir_channels,
-                room_rng_seed=room_rng_seed,
-                source_rng_seed=source_rng_seed,
-            ),
-            supervisions=[s.reverb_rir(affix_id=affix_id) for s in self.supervisions],
-        )
+            self, id=f"{self.id}_rvb" if affix_id else self.id,
+            recording=self.recording.reverb_rir( rir_recording=rir_recording, normalize_output=normalize_output, early_only=early_only, affix_id=affix_id, rir_channels=rir_channels, room_rng_seed=room_rng_seed, source_rng_seed=source_rng_seed, ),
+            supervisions=[s.reverb_rir(affix_id=affix_id) for s in self.supervisions])
 
     def merge_supervisions(
-        self,
-        merge_policy: str = "delimiter",
-        merge_channels: bool = True,
-        custom_merge_fn: Optional[Callable[[str, Iterable[Any]], Any]] = None,
-    ) -> "MultiCut":
+        self, merge_policy: str = "delimiter", merge_channels: bool = True,
+        custom_merge_fn: Optional[Callable[[str, Iterable[Any]], Any]] = None) -> "MultiCut":
         """
         Merge supervisions into one segment (channel = union of channels), or
         one per channel group when ``merge_channels=False``.
         """
         from lhotse_tpu.cut.data import (
-            has_overlapping_texts,
-            make_supervision_mergers,
-            merge_segment_group,
-        )
+            has_overlapping_texts, make_supervision_mergers, merge_segment_group)
 
         join, join_custom = make_supervision_mergers(merge_policy, custom_merge_fn)
         sups = sorted(self.supervisions, key=lambda s: s.start)
@@ -199,18 +167,10 @@ class MultiCut(DataCut):
         from lhotse_tpu.cut.mono import MonoCut
 
         return MonoCut(
-            id=f"{self.id}-{channel}",
-            recording=self.recording,
-            start=self.start,
-            duration=self.duration,
-            channel=channel,
-            supervisions=[
-                fastcopy(s, channel=channel)
-                for s in self.supervisions
-                if is_equal_or_contains(s.channel, channel)
-            ],
-            custom=self.custom,
-        )
+            id=f"{self.id}-{channel}", recording=self.recording, start=self.start,
+            duration=self.duration, channel=channel,
+            supervisions=[ fastcopy(s, channel=channel) for s in self.supervisions if is_equal_or_contains(s.channel, channel) ],
+            custom=self.custom)
 
     @staticmethod
     def from_mono(*cuts: DataCut) -> "MultiCut":
@@ -229,15 +189,10 @@ class MultiCut(DataCut):
         )
         first = cuts[0]
         return MultiCut(
-            id=first.id,
-            start=first.start,
-            duration=first.duration,
+            id=first.id, start=first.start, duration=first.duration,
             channel=sorted(c.channel for c in cuts),
-            supervisions=[s for c in cuts for s in c.supervisions],
-            features=first.features,
-            recording=first.recording,
-            custom=first.custom,
-        )
+            supervisions=[s for c in cuts for s in c.supervisions], features=first.features,
+            recording=first.recording, custom=first.custom)
 
     def to_mono(self, mono_downmix: bool = False) -> Union["DataCut", List["DataCut"]]:
         """One MonoCut per channel, or a single downmixed cut when
@@ -249,9 +204,7 @@ class MultiCut(DataCut):
             return mono_cuts
         # Downmix: overlay every channel at offset 0 without level changes.
         mixed_cut = MixedCut(
-            id=self.id,
-            tracks=[MixTrack(cut=mc, offset=0.0, snr=None) for mc in mono_cuts],
-        )
+            id=self.id, tracks=[MixTrack(cut=mc, offset=0.0, snr=None) for mc in mono_cuts])
         return mixed_cut.to_mono()
 
     @staticmethod
@@ -265,8 +218,5 @@ class MultiCut(DataCut):
         if "custom" in data:
             deserialize_custom_field(data["custom"])
         return MultiCut(
-            **data,
-            features=features,
-            recording=recording,
-            supervisions=[SupervisionSegment.from_dict(s) for s in supervision_infos],
-        )
+            **data, features=features, recording=recording,
+            supervisions=[SupervisionSegment.from_dict(s) for s in supervision_infos])

@@ -18,15 +18,8 @@ from lhotse_tpu.audio.utils import VideoInfo
 from lhotse_tpu.cut.base import Cut
 from lhotse_tpu.supervision import SupervisionSegment
 from lhotse_tpu.utils import (
-    LOG_EPSILON,
-    Pathlike,
-    Seconds,
-    compute_num_frames,
-    compute_num_samples,
-    fastcopy,
-    perturb_num_samples,
-    uuid4,
-)
+    LOG_EPSILON, Pathlike, Seconds, compute_num_frames, compute_num_samples, fastcopy,
+    perturb_num_samples, uuid4)
 
 
 @dataclass
@@ -65,10 +58,8 @@ class PaddingCut(Cut):
 
     def has(self, field: str) -> bool:
         known = {
-            "recording": lambda: self.has_recording,
-            "features": lambda: self.has_features,
-            "video": lambda: self.has_video,
-        }
+            "recording": lambda: self.has_recording, "features": lambda: self.has_features,
+            "video": lambda: self.has_video}
         if field in known:
             return known[field]()
         return self.custom is not None and field in self.custom
@@ -105,81 +96,49 @@ class PaddingCut(Cut):
         frames = samples = None
         if self.num_frames is not None:
             frames = compute_num_frames(
-                duration=new_duration,
-                frame_shift=self.frame_shift,
-                sampling_rate=self.sampling_rate,
-            )
+                duration=new_duration, frame_shift=self.frame_shift,
+                sampling_rate=self.sampling_rate)
         if self.num_samples is not None:
             samples = compute_num_samples(new_duration, self.sampling_rate)
         return fastcopy(
-            self,
-            id=self.id if preserve_id else str(uuid4()),
-            duration=new_duration,
-            num_frames=frames,
-            num_samples=samples,
-        )
+            self, id=self.id if preserve_id else str(uuid4()), duration=new_duration,
+            num_frames=frames, num_samples=samples)
 
     def truncate(
-        self,
-        *,
-        offset: Seconds = 0.0,
-        duration: Optional[Seconds] = None,
-        keep_excessive_supervisions: bool = True,
-        preserve_id: bool = False,
-        **kwargs,
+        self, *, offset: Seconds = 0.0, duration: Optional[Seconds] = None,
+        keep_excessive_supervisions: bool = True, preserve_id: bool = False, **kwargs,
     ) -> "PaddingCut":
         new_duration = self.duration - offset if duration is None else duration
         return self._resized(new_duration, preserve_id)
 
     def extend_by(
-        self,
-        *,
-        duration: Seconds,
-        direction: str = "both",
-        preserve_id: bool = False,
-        pad_silence: bool = True,
-    ) -> "PaddingCut":
+        self, *, duration: Seconds, direction: str = "both", preserve_id: bool = False,
+        pad_silence: bool = True) -> "PaddingCut":
         """Extend by ``duration`` (on both sides when direction='both')."""
         growth = duration * (2 if direction == "both" else 1)
         return self._resized(self.duration + growth, preserve_id)
 
     def pad(
-        self,
-        duration: Seconds = None,
-        num_frames: int = None,
-        num_samples: int = None,
-        pad_feat_value: float = LOG_EPSILON,
-        direction: str = "right",
-        preserve_id: bool = False,
-        pad_value_dict: Optional[Dict[str, Union[int, float]]] = None,
-    ) -> Cut:
+        self, duration: Seconds = None, num_frames: int = None, num_samples: int = None,
+        pad_feat_value: float = LOG_EPSILON, direction: str = "right", preserve_id: bool = False,
+        pad_value_dict: Optional[Dict[str, Union[int, float]]] = None) -> Cut:
         from lhotse_tpu.cut.set import pad
 
         return pad(
-            self,
-            duration=duration,
-            num_frames=num_frames,
-            num_samples=num_samples,
-            pad_feat_value=pad_feat_value,
-            direction=direction,
-            preserve_id=preserve_id,
-            pad_value_dict=pad_value_dict,
-        )
+            self, duration=duration, num_frames=num_frames, num_samples=num_samples,
+            pad_feat_value=pad_feat_value, direction=direction, preserve_id=preserve_id,
+            pad_value_dict=pad_value_dict)
 
     def resample(
-        self, sampling_rate: int, affix_id: bool = False, recording_field: Optional[str] = None
+        self, sampling_rate: int, affix_id: bool = False, recording_field: Optional[str] = None,
     ) -> "PaddingCut":
         """Metadata-only resample mimic."""
         assert self.has_recording, "Cannot resample a PaddingCut without Recording."
         return fastcopy(
-            self,
-            id=f"{self.id}_rs{sampling_rate}" if affix_id else self.id,
+            self, id=f"{self.id}_rs{sampling_rate}" if affix_id else self.id,
             sampling_rate=sampling_rate,
-            num_samples=compute_num_samples(self.duration, sampling_rate),
-            num_frames=None,
-            num_features=None,
-            frame_shift=None,
-        )
+            num_samples=compute_num_samples(self.duration, sampling_rate), num_frames=None,
+            num_features=None, frame_shift=None)
 
     def _retimed(self, factor: float, tag: str, affix_id: bool) -> "PaddingCut":
         """Shared speed/tempo mimic: rescale the sample count; feature dims
@@ -193,12 +152,8 @@ class PaddingCut(Cut):
             feat_dims = dict(num_frames=None, num_features=None, frame_shift=None)
         samples = perturb_num_samples(self.num_samples, factor)
         return fastcopy(
-            self,
-            id=f"{self.id}_{tag}{factor}" if affix_id else self.id,
-            num_samples=samples,
-            duration=samples / self.sampling_rate,
-            **feat_dims,
-        )
+            self, id=f"{self.id}_{tag}{factor}" if affix_id else self.id, num_samples=samples,
+            duration=samples / self.sampling_rate, **feat_dims)
 
     def perturb_speed(self, factor: float, affix_id: bool = True) -> "PaddingCut":
         return self._retimed(factor, "sp", affix_id)
@@ -211,15 +166,9 @@ class PaddingCut(Cut):
         return fastcopy(self, id=f"{self.id}_vp{factor}" if affix_id else self.id)
 
     def reverb_rir(
-        self,
-        rir_recording: Optional["Recording"] = None,
-        normalize_output: bool = True,
-        early_only: bool = False,
-        affix_id: bool = True,
-        rir_channels: List[int] = [0],
-        room_rng_seed: Optional[int] = None,
-        source_rng_seed: Optional[int] = None,
-    ) -> "PaddingCut":
+        self, rir_recording: Optional["Recording"] = None, normalize_output: bool = True,
+        early_only: bool = False, affix_id: bool = True, rir_channels: List[int] = [0],
+        room_rng_seed: Optional[int] = None, source_rng_seed: Optional[int] = None) -> "PaddingCut":
         """Reverb has no effect on silence — only the ID changes."""
         return fastcopy(self, id=f"{self.id}_rvb" if affix_id else self.id)
 
@@ -241,15 +190,9 @@ class PaddingCut(Cut):
     def compute_and_store_features(self, extractor, *args, **kwargs) -> Cut:
         """Update feature-dim metadata per the extractor; no actual compute."""
         return fastcopy(
-            self,
-            num_features=extractor.feature_dim(self.sampling_rate),
-            num_frames=compute_num_frames(
-                duration=self.duration,
-                frame_shift=extractor.frame_shift,
-                sampling_rate=self.sampling_rate,
-            ),
-            frame_shift=extractor.frame_shift,
-        )
+            self, num_features=extractor.feature_dim(self.sampling_rate),
+            num_frames=compute_num_frames( duration=self.duration, frame_shift=extractor.frame_shift, sampling_rate=self.sampling_rate, ),
+            frame_shift=extractor.frame_shift)
 
     # Supervision/storage manipulations are all no-ops on synthetic silence.
 

@@ -29,20 +29,8 @@ from functools import partial, reduce
 from itertools import chain, islice
 from pathlib import Path
 from typing import (
-    Any,
-    Callable,
-    Dict,
-    FrozenSet,
-    Iterable,
-    List,
-    Optional,
-    Sequence,
-    Set,
-    Tuple,
-    Type,
-    TypeVar,
-    Union,
-)
+    Any, Callable, Dict, FrozenSet, Iterable, List, Optional, Sequence, Set, Tuple, Type, TypeVar,
+    Union)
 
 import numpy as np
 
@@ -54,47 +42,19 @@ from lhotse_tpu.cut.mono import MonoCut
 from lhotse_tpu.cut.multi import MultiCut
 from lhotse_tpu.cut.padding import PaddingCut
 from lhotse_tpu.features.base import (
-    FeatureExtractor,
-    Features,
-    FeatureSet,
-    StatsAccumulator,
-    compute_global_stats,
-)
+    FeatureExtractor, Features, FeatureSet, StatsAccumulator, compute_global_stats)
 from lhotse_tpu.features.io import FeaturesWriter, LilcomChunkyWriter
 from lhotse_tpu.features.io import default_features_storage_backend
 from lhotse_tpu.lazy import (
-    AlgorithmMixin,
-    is_dill_enabled,
-    IteratorNode,
-    LazyFlattener,
-    LazyIteratorChain,
-    LazyManifestIterator,
-    LazyMapper,
-    LazySlicer,
-    _try_collect_child_state,
-    _try_restore_child_state,
-    attach_graph_origin,
-    get_graph_origin,
-    normalize_graph_token,
-    resolve_iterator_source,
-    supports_graph_restore,
-)
+    AlgorithmMixin, is_dill_enabled, IteratorNode, LazyFlattener, LazyIteratorChain,
+    LazyManifestIterator, LazyMapper, LazySlicer, _try_collect_child_state,
+    _try_restore_child_state, attach_graph_origin, get_graph_origin, normalize_graph_token,
+    resolve_iterator_source, supports_graph_restore)
 from lhotse_tpu.serialization import Serializable
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import (
-    LOG_EPSILON,
-    Decibels,
-    Pathlike,
-    Seconds,
-    compute_num_frames,
-    compute_num_samples,
-    exactly_one_not_null,
-    fastcopy,
-    ifnone,
-    split_manifest_lazy,
-    split_sequence,
-    uuid4,
-)
+    LOG_EPSILON, Decibels, Pathlike, Seconds, compute_num_frames, compute_num_samples,
+    exactly_one_not_null, fastcopy, ifnone, split_manifest_lazy, split_sequence, uuid4)
 
 T = TypeVar("T")
 FW = TypeVar("FW", bound=FeaturesWriter)
@@ -142,12 +102,8 @@ class CutSet(Serializable, AlgorithmMixin):
 
     @staticmethod
     def from_files(
-        paths: List[Pathlike],
-        shuffle_iters: bool = True,
-        seed: Optional[int] = None,
-        indexed: Optional[bool] = None,
-        index_path: Optional[List[Pathlike]] = None,
-    ) -> "CutSet":
+        paths: List[Pathlike], shuffle_iters: bool = True, seed: Optional[int] = None,
+        indexed: Optional[bool] = None, index_path: Optional[List[Pathlike]] = None) -> "CutSet":
         """
         One lazy CutSet over many manifest files. With ``shuffle_iters`` the
         file order is re-randomized every iteration; when every file is
@@ -176,8 +132,7 @@ class CutSet(Serializable, AlgorithmMixin):
 
         return CutSet(
             LazyIteratorChain(
-                *(leaf_for(p, sc) for p, sc in zip(paths, sidecars)),
-                shuffle_iters=shuffle_iters,
+                *(leaf_for(p, sc) for p, sc in zip(paths, sidecars)), shuffle_iters=shuffle_iters,
                 seed=seed,
             )
         )
@@ -190,14 +145,9 @@ class CutSet(Serializable, AlgorithmMixin):
 
     @staticmethod
     def from_manifests(
-        recordings: Optional[RecordingSet] = None,
-        supervisions: Optional[SupervisionSet] = None,
-        features: Optional[FeatureSet] = None,
-        output_path: Optional[Pathlike] = None,
-        random_ids: bool = False,
-        tolerance: Seconds = 0.001,
-        lazy: bool = False,
-    ) -> "CutSet":
+        recordings: Optional[RecordingSet] = None, supervisions: Optional[SupervisionSet] = None,
+        features: Optional[FeatureSet] = None, output_path: Optional[Pathlike] = None,
+        random_ids: bool = False, tolerance: Seconds = 0.001, lazy: bool = False) -> "CutSet":
         """
         Create a CutSet from any combination of recording/supervision/feature
         manifests (at least one of recordings/features required). Cut
@@ -205,21 +155,11 @@ class CutSet(Serializable, AlgorithmMixin):
         """
         if lazy:
             return create_cut_set_lazy(
-                recordings=recordings,
-                supervisions=supervisions,
-                features=features,
-                output_path=output_path,
-                random_ids=random_ids,
-                tolerance=tolerance,
-            )
+                recordings=recordings, supervisions=supervisions, features=features,
+                output_path=output_path, random_ids=random_ids, tolerance=tolerance)
         return create_cut_set_eager(
-            recordings=recordings,
-            supervisions=supervisions,
-            features=features,
-            output_path=output_path,
-            random_ids=random_ids,
-            tolerance=tolerance,
-        )
+            recordings=recordings, supervisions=supervisions, features=features,
+            output_path=output_path, random_ids=random_ids, tolerance=tolerance)
 
     @staticmethod
     def from_dicts(data: Iterable[dict]) -> "CutSet":
@@ -234,18 +174,12 @@ class CutSet(Serializable, AlgorithmMixin):
 
     @staticmethod
     def from_shar(
-        fields: Optional[Dict[str, Sequence[Pathlike]]] = None,
-        in_dir: Optional[Pathlike] = None,
-        split_for_dataloading: bool = False,
-        shuffle_shards: bool = False,
-        stateful_shuffle: bool = True,
-        seed: Union[int, str] = 42,
+        fields: Optional[Dict[str, Sequence[Pathlike]]] = None, in_dir: Optional[Pathlike] = None,
+        split_for_dataloading: bool = False, shuffle_shards: bool = False,
+        stateful_shuffle: bool = True, seed: Union[int, str] = 42,
         cut_map_fns: Optional[Sequence[Callable[[Cut], Cut]]] = None,
-        slice_length: Optional[int] = None,
-        indexed: Optional[bool] = None,
-        index_path=None,
-        lazy: bool = False,
-    ) -> "CutSet":
+        slice_length: Optional[int] = None, indexed: Optional[bool] = None, index_path=None,
+        lazy: bool = False) -> "CutSet":
         """
         Read cuts + data from Shar shards (one jsonl manifest + one tar per
         field per shard): streaming (LazySharIterator) or O(1) random-access
@@ -256,13 +190,10 @@ class CutSet(Serializable, AlgorithmMixin):
 
         use_indexed = indexed
         if index_path is not None and indexed is False:
-            raise ValueError(
-                "index_path is set but indexed=False — contradictory arguments."
-            )
+            raise ValueError("index_path is set but indexed=False — contradictory arguments.")
         if use_indexed is None:
             use_indexed = LazyIndexedSharIterator.supports_configuration(
-                fields=fields, in_dir=in_dir, index_path=index_path
-            )
+                fields=fields, in_dir=in_dir, index_path=index_path)
         if use_indexed:
             if cut_map_fns:
                 raise ValueError("'cut_map_fns' is not supported with indexed=True.")
@@ -270,33 +201,23 @@ class CutSet(Serializable, AlgorithmMixin):
                 raise ValueError("'slice_length' is not supported with indexed=True.")
             return CutSet(
                 cuts=LazyIndexedSharIterator(
-                    fields=fields, in_dir=in_dir, shuffle=shuffle_shards,
-                    seed=seed, split_for_dataloading=split_for_dataloading,
-                    index_path=index_path, lazy=lazy,
+                    fields=fields, in_dir=in_dir, shuffle=shuffle_shards, seed=seed,
+                    split_for_dataloading=split_for_dataloading, index_path=index_path, lazy=lazy,
                 )
             )
         return CutSet(
             cuts=LazySharIterator(
-                fields=fields, in_dir=in_dir,
-                split_for_dataloading=split_for_dataloading,
-                shuffle_shards=shuffle_shards, stateful_shuffle=stateful_shuffle,
-                seed=seed, cut_map_fns=cut_map_fns, slice_length=slice_length,
+                fields=fields, in_dir=in_dir, split_for_dataloading=split_for_dataloading,
+                shuffle_shards=shuffle_shards, stateful_shuffle=stateful_shuffle, seed=seed,
+                cut_map_fns=cut_map_fns, slice_length=slice_length,
             )
         )
 
     def to_shar(
-        self,
-        output_dir: Pathlike,
-        fields: Dict[str, str],
-        shard_size: Optional[int] = 1000,
-        shard_offset: int = 0,
-        warn_unused_fields: bool = True,
-        include_cuts: bool = True,
-        num_jobs: int = 1,
-        fault_tolerant: bool = False,
-        verbose: bool = False,
-        compress_jsonl: bool = True, create_index: bool = True,
-    ) -> Dict[str, List[str]]:
+        self, output_dir: Pathlike, fields: Dict[str, str], shard_size: Optional[int] = 1000,
+        shard_offset: int = 0, warn_unused_fields: bool = True, include_cuts: bool = True,
+        num_jobs: int = 1, fault_tolerant: bool = False, verbose: bool = False,
+        compress_jsonl: bool = True, create_index: bool = True) -> Dict[str, List[str]]:
         """
         Export cuts + selected data fields into Shar shards. ``fields`` maps
         field names to formats (e.g. {"recording": "wav", "features":
@@ -305,49 +226,25 @@ class CutSet(Serializable, AlgorithmMixin):
         if not (isinstance(num_jobs, int) and num_jobs > 0):
             raise AssertionError(f"num_jobs must be a positive int, got {num_jobs}")
         shared = dict(
-            output_dir=output_dir,
-            shard_offset=shard_offset,
-            fields=fields,
-            warn_unused_fields=warn_unused_fields,
-            fault_tolerant=fault_tolerant,
-            compress_jsonl=compress_jsonl,
-            create_index=create_index,
-        )
+            output_dir=output_dir, shard_offset=shard_offset, fields=fields,
+            warn_unused_fields=warn_unused_fields, fault_tolerant=fault_tolerant,
+            compress_jsonl=compress_jsonl, create_index=create_index)
         if num_jobs == 1:
             return _export_to_shar_single(
-                cuts=self,
-                shard_size=shard_size,
-                include_cuts=include_cuts,
-                shard_suffix=None,
-                verbose=verbose,
-                **shared,
-            )
+                cuts=self, shard_size=shard_size, include_cuts=include_cuts, shard_suffix=None,
+                verbose=verbose, **shared)
 
         track = _progressbar(verbose, desc="Shard progress")
         # Pre-split to shard-sized jsonl chunks on disk, then one worker
         # process per shard writes the tars.
         shards = self.split_lazy(
-            output_dir=output_dir,
-            chunk_size=shard_size,
-            prefix="cuts",
-            num_digits=6,
-            start_idx=shard_offset,
-        )
+            output_dir=output_dir, chunk_size=shard_size, prefix="cuts", num_digits=6,
+            start_idx=shard_offset)
         collected = defaultdict(list)
         with ProcessPoolExecutor(num_jobs) as pool:
             jobs = [
-                pool.submit(
-                    _export_to_shar_single,
-                    cuts=shard,
-                    shard_size=None,
-                    include_cuts=True,
-                    shard_suffix=f".{idx:06d}",
-                    verbose=False,
-                    preload=True,
-                    **shared,
-                )
-                for idx, shard in enumerate(shards)
-            ]
+                pool.submit( _export_to_shar_single, cuts=shard, shard_size=None, include_cuts=True, shard_suffix=f".{idx:06d}", verbose=False, preload=True, **shared, ) for idx,
+                shard in enumerate(shards)]
             for job in track(as_completed(jobs)):
                 for field, paths in job.result().items():
                     collected[field].extend(paths)
@@ -357,7 +254,7 @@ class CutSet(Serializable, AlgorithmMixin):
         return (cut.to_dict() for cut in self)
 
     def decompose(
-        self, output_dir: Optional[Pathlike] = None, verbose: bool = False
+        self, output_dir: Optional[Pathlike] = None, verbose: bool = False,
     ) -> Tuple[Optional[RecordingSet], Optional[SupervisionSet], Optional[FeatureSet]]:
         """Extract the unique (recordings, supervisions, features) manifests
         found in this CutSet (MixedCuts iterated over their tracks)."""
@@ -403,38 +300,27 @@ class CutSet(Serializable, AlgorithmMixin):
         stats.accumulate(self).describe()
 
     def split(
-        self, num_splits: int, shuffle: bool = False, drop_last: bool = False
-    ) -> List["CutSet"]:
+        self, num_splits: int, shuffle: bool = False, drop_last: bool = False) -> List["CutSet"]:
         """Split into ``num_splits`` pieces of (near-)equal size."""
         return [
             CutSet(subset)
             for subset in split_sequence(
-                self, num_splits=num_splits, shuffle=shuffle, drop_last=drop_last
+                self, num_splits=num_splits, shuffle=shuffle, drop_last=drop_last,
             )
         ]
 
     def split_lazy(
-        self,
-        output_dir: Pathlike,
-        chunk_size: int,
-        prefix: str = "",
-        num_digits: int = 8,
-        start_idx: int = 0,
-    ) -> List["CutSet"]:
+        self, output_dir: Pathlike, chunk_size: int, prefix: str = "", num_digits: int = 8,
+        start_idx: int = 0) -> List["CutSet"]:
         """Split into fixed-size chunks saved to disk as the input is consumed."""
         return split_manifest_lazy(
             self, output_dir=output_dir, chunk_size=chunk_size, prefix=prefix,
-            num_digits=num_digits, start_idx=start_idx,
-        )
+            num_digits=num_digits, start_idx=start_idx)
 
     def subset(
-        self,
-        *,
-        supervision_ids: Optional[Iterable[str]] = None,
-        cut_ids: Optional[Iterable[str]] = None,
-        first: Optional[int] = None,
-        last: Optional[int] = None,
-    ) -> "CutSet":
+        self, *, supervision_ids: Optional[Iterable[str]] = None,
+        cut_ids: Optional[Iterable[str]] = None, first: Optional[int] = None,
+        last: Optional[int] = None) -> "CutSet":
         """Select a subset by first/last N, cut IDs (order-preserving), or
         supervision IDs (drops cuts without matches)."""
         if not exactly_one_not_null(supervision_ids, cut_ids, first, last):
@@ -469,34 +355,24 @@ class CutSet(Serializable, AlgorithmMixin):
         return found.sort_like(requested)
 
     def map(
-        self,
-        transform_fn: Callable[[T], T],
-        apply_fn: Optional[Callable[[T], bool]] = is_cut,
+        self, transform_fn: Callable[[T], T], apply_fn: Optional[Callable[[T], bool]] = is_cut,
     ) -> "CutSet":
         ans = CutSet(LazyMapper(self.data, fn=transform_fn, apply_fn=apply_fn))
         if self.is_lazy:
             return ans
         return ans.to_eager()
 
-    def filter_supervisions(
-        self, predicate: Callable[[SupervisionSegment], bool]
-    ) -> "CutSet":
+    def filter_supervisions(self, predicate: Callable[[SupervisionSegment], bool]) -> "CutSet":
         """Keep only supervisions satisfying ``predicate`` (cuts without
         supervisions are preserved)."""
         return self.map(_CutOp("filter_supervisions", predicate))
 
     def merge_supervisions(
-        self,
-        merge_policy: str = "delimiter",
-        custom_merge_fn: Optional[Callable[[str, Iterable[Any]], Any]] = None,
-    ) -> "CutSet":
+        self, merge_policy: str = "delimiter",
+        custom_merge_fn: Optional[Callable[[str, Iterable[Any]], Any]] = None) -> "CutSet":
         """Merge each cut's supervisions into a single spanning segment."""
         return self.map(
-            _CutOp(
-                "merge_supervisions",
-                merge_policy=merge_policy,
-                custom_merge_fn=custom_merge_fn,
-            )
+            _CutOp("merge_supervisions", merge_policy=merge_policy, custom_merge_fn=custom_merge_fn)
         )
 
     def _one_to_many(self, op: "_SetOrCutOp", num_jobs: int) -> "CutSet":
@@ -509,47 +385,22 @@ class CutSet(Serializable, AlgorithmMixin):
         return split_parallelize_combine(num_jobs, self, op)
 
     def trim_to_supervisions(
-        self,
-        keep_overlapping: bool = True,
-        min_duration: Optional[Seconds] = None,
-        context_direction: str = "center",
-        keep_all_channels: bool = False,
-        num_jobs: int = 1,
+        self, keep_overlapping: bool = True, min_duration: Optional[Seconds] = None,
+        context_direction: str = "center", keep_all_channels: bool = False, num_jobs: int = 1,
     ) -> "CutSet":
         """One cut per supervision, with identical spans (optionally extended
         to min_duration with acoustic context)."""
         return self._one_to_many(
-            _SetOrCutOp(
-                "trim_to_supervisions",
-                keep_overlapping=keep_overlapping,
-                min_duration=min_duration,
-                context_direction=context_direction,
-                keep_all_channels=keep_all_channels,
-            ),
-            num_jobs,
-        )
+            _SetOrCutOp( "trim_to_supervisions", keep_overlapping=keep_overlapping, min_duration=min_duration, context_direction=context_direction, keep_all_channels=keep_all_channels, ),
+            num_jobs)
 
     def trim_to_alignments(
-        self,
-        type: str,
-        max_pause: Seconds = 0.0,
-        max_segment_duration: Optional[Seconds] = None,
-        delimiter: str = " ",
-        keep_all_channels: bool = False,
-        num_jobs: int = 1,
-    ) -> "CutSet":
+        self, type: str, max_pause: Seconds = 0.0, max_segment_duration: Optional[Seconds] = None,
+        delimiter: str = " ", keep_all_channels: bool = False, num_jobs: int = 1) -> "CutSet":
         """One cut per (merged) alignment item of the given type."""
         return self._one_to_many(
-            _SetOrCutOp(
-                "trim_to_alignments",
-                type=type,
-                max_pause=max_pause,
-                max_segment_duration=max_segment_duration,
-                delimiter=delimiter,
-                keep_all_channels=keep_all_channels,
-            ),
-            num_jobs,
-        )
+            _SetOrCutOp( "trim_to_alignments", type=type, max_pause=max_pause, max_segment_duration=max_segment_duration, delimiter=delimiter, keep_all_channels=keep_all_channels, ),
+            num_jobs)
 
     def trim_to_unsupervised_segments(self) -> "CutSet":
         """Cuts made from segments with no supervisions (likely silence/noise)."""
@@ -557,22 +408,18 @@ class CutSet(Serializable, AlgorithmMixin):
 
         cuts = []
         for cut in self:
-            segments = find_segments_with_speaker_count(
-                cut, min_speakers=0, max_speakers=0
-            )
+            segments = find_segments_with_speaker_count(cut, min_speakers=0, max_speakers=0)
             for span in segments:
                 cuts.append(cut.truncate(offset=span.start, duration=span.duration))
         return CutSet(cuts)
 
     def trim_to_supervision_groups(
-        self, max_pause: Optional[Seconds] = None, num_jobs: int = 1
-    ) -> "CutSet":
+        self, max_pause: Optional[Seconds] = None, num_jobs: int = 1) -> "CutSet":
         """One cut per supervision group (runs with gaps <= max_pause)."""
         if max_pause is None:
             max_pause = 0.0
         return self._one_to_many(
-            _SetOrCutOp("trim_to_supervision_groups", max_pause=max_pause), num_jobs
-        )
+            _SetOrCutOp("trim_to_supervision_groups", max_pause=max_pause), num_jobs)
 
     def combine_same_recording_channels(self) -> "CutSet":
         """Combine per-channel cuts of the same recording span into MultiCuts."""
@@ -588,15 +435,11 @@ class CutSet(Serializable, AlgorithmMixin):
 
     def sort_by_recording_id(self, ascending: bool = True) -> "CutSet":
         """Sort alphabetically by recording_id (helps caching in save_audios)."""
-        return CutSet(
-            sorted(self, key=(lambda cut: cut.recording.id), reverse=not ascending)
-        )
+        return CutSet(sorted(self, key=(lambda cut: cut.recording.id), reverse=not ascending))
 
     def sort_by_duration(self, ascending: bool = False) -> "CutSet":
         """Sort by cut duration (descending by default)."""
-        return CutSet(
-            sorted(self, key=(lambda cut: cut.duration), reverse=not ascending)
-        )
+        return CutSet(sorted(self, key=(lambda cut: cut.duration), reverse=not ascending))
 
     def sort_like(self, other: Union["CutSet", Sequence[str]]) -> "CutSet":
         """Reorder to match the cut ID order of ``other``."""
@@ -611,27 +454,19 @@ class CutSet(Serializable, AlgorithmMixin):
         return CutSet(ans)
 
     def index_supervisions(
-        self, index_mixed_tracks: bool = False, keep_ids: Optional[Set[str]] = None
-    ):
+        self, index_mixed_tracks: bool = False, keep_ids: Optional[Set[str]] = None):
         """Two-level index {cut_id: interval index of supervisions}."""
         out = {}
         for cut in self:
             per_cut = cut.index_supervisions(
-                index_mixed_tracks=index_mixed_tracks, keep_ids=keep_ids
-            )
+                index_mixed_tracks=index_mixed_tracks, keep_ids=keep_ids)
             out.update(per_cut)
         return out
 
     def pad(
-        self,
-        duration: Seconds = None,
-        num_frames: int = None,
-        num_samples: int = None,
-        pad_feat_value: float = LOG_EPSILON,
-        direction: str = "right",
-        preserve_id: bool = False,
-        pad_value_dict: Optional[Dict[str, Union[int, float]]] = None,
-    ) -> "CutSet":
+        self, duration: Seconds = None, num_frames: int = None, num_samples: int = None,
+        pad_feat_value: float = LOG_EPSILON, direction: str = "right", preserve_id: bool = False,
+        pad_value_dict: Optional[Dict[str, Union[int, float]]] = None) -> "CutSet":
         """
         Pad every cut to duration/num_frames/num_samples (default: the longest
         cut, in frames if features exist, else samples, else seconds).
@@ -645,92 +480,56 @@ class CutSet(Serializable, AlgorithmMixin):
                 duration = max(cut.duration for cut in self)
         return self.map(
             _CutOp(
-                "pad",
-                duration=duration, num_frames=num_frames, num_samples=num_samples,
-                pad_feat_value=pad_feat_value, direction=direction,
-                preserve_id=preserve_id, pad_value_dict=pad_value_dict,
+                "pad", duration=duration, num_frames=num_frames, num_samples=num_samples,
+                pad_feat_value=pad_feat_value, direction=direction, preserve_id=preserve_id,
+                pad_value_dict=pad_value_dict,
             )
         )
 
     def truncate(
-        self,
-        max_duration: Seconds,
-        offset_type: str,
-        keep_excessive_supervisions: bool = True,
-        preserve_id: bool = False,
-        rng: Optional[random.Random] = None,
-    ) -> "CutSet":
+        self, max_duration: Seconds, offset_type: str, keep_excessive_supervisions: bool = True,
+        preserve_id: bool = False, rng: Optional[random.Random] = None) -> "CutSet":
         """Truncate cuts to at most ``max_duration``, from 'start'/'end'/'random'."""
-        assert offset_type in ("start", "end", "random"), (
-            f"Unknown offset type: '{offset_type}'"
-        )
+        assert offset_type in ("start", "end", "random"), (f"Unknown offset type: '{offset_type}'")
         return self.map(
             partial(
-                _truncate_single,
-                max_duration=max_duration, offset_type=offset_type,
-                keep_excessive_supervisions=keep_excessive_supervisions,
-                preserve_id=preserve_id, rng=rng,
+                _truncate_single, max_duration=max_duration, offset_type=offset_type,
+                keep_excessive_supervisions=keep_excessive_supervisions, preserve_id=preserve_id,
+                rng=rng,
             )
         )
 
     def extend_by(
-        self,
-        duration: Seconds,
-        direction: str = "both",
-        preserve_id: bool = False,
-        pad_silence: bool = True,
-    ) -> "CutSet":
+        self, duration: Seconds, direction: str = "both", preserve_id: bool = False,
+        pad_silence: bool = True) -> "CutSet":
         """Extend cuts by ``duration`` with real recording context."""
         return self.map(
             _CutOp(
-                "extend_by",
-                duration=duration, direction=direction,
-                preserve_id=preserve_id, pad_silence=pad_silence,
+                "extend_by", duration=duration, direction=direction, preserve_id=preserve_id,
+                pad_silence=pad_silence,
             )
         )
 
     def cut_into_windows(
-        self,
-        duration: Seconds,
-        hop: Optional[Seconds] = None,
-        keep_excessive_supervisions: bool = True,
-        num_jobs: int = 1,
-    ) -> "CutSet":
+        self, duration: Seconds, hop: Optional[Seconds] = None,
+        keep_excessive_supervisions: bool = True, num_jobs: int = 1) -> "CutSet":
         """Traverse each cut in ``duration``-second windows every ``hop`` seconds."""
         if not hop:
             hop = duration
         return self._one_to_many(
-            _SetOrCutOp(
-                "cut_into_windows",
-                duration=duration,
-                hop=hop,
-                keep_excessive_supervisions=keep_excessive_supervisions,
-            ),
-            num_jobs,
-        )
+            _SetOrCutOp( "cut_into_windows", duration=duration, hop=hop, keep_excessive_supervisions=keep_excessive_supervisions, ),
+            num_jobs)
 
     def cut_into_windows_balanced(
-        self,
-        min_duration: Seconds,
-        max_duration: Seconds,
-        overlap: Seconds = 0.0,
-        keep_excessive_supervisions: bool = True,
-        num_jobs: int = 1,
-    ) -> "CutSet":
+        self, min_duration: Seconds, max_duration: Seconds, overlap: Seconds = 0.0,
+        keep_excessive_supervisions: bool = True, num_jobs: int = 1) -> "CutSet":
         """Split cuts into windows sized within [min, max] to minimize padding."""
         return self._one_to_many(
-            _SetOrCutOp(
-                "cut_into_windows_balanced",
-                min_duration=min_duration,
-                max_duration=max_duration,
-                overlap=overlap,
-                keep_excessive_supervisions=keep_excessive_supervisions,
-            ),
-            num_jobs,
-        )
+            _SetOrCutOp( "cut_into_windows_balanced", min_duration=min_duration, max_duration=max_duration, overlap=overlap, keep_excessive_supervisions=keep_excessive_supervisions, ),
+            num_jobs)
 
     def load_audio(
-        self, collate: bool = False, limit: int = 1024
+        self, collate: bool = False, limit: int = 1024,
     ) -> Union[List[np.ndarray], Tuple[np.ndarray, np.ndarray]]:
         """Read all cuts' audio into memory (mini-batch use)."""
         assert not self.is_lazy, "Cannot load audio of cuts in a lazy CutSet."
@@ -755,16 +554,12 @@ class CutSet(Serializable, AlgorithmMixin):
         return CutSet(cuts)
 
     def resample(
-        self,
-        sampling_rate: int,
-        affix_id: bool = False,
-        recording_field: Optional[str] = None,
+        self, sampling_rate: int, affix_id: bool = False, recording_field: Optional[str] = None,
     ) -> "CutSet":
         """Lazily resample all cuts (drops attached feature manifests)."""
         return self.map(
             _CutOp(
-                "resample",
-                sampling_rate=sampling_rate, affix_id=affix_id,
+                "resample", sampling_rate=sampling_rate, affix_id=affix_id,
                 recording_field=recording_field,
             )
         )
@@ -782,25 +577,17 @@ class CutSet(Serializable, AlgorithmMixin):
         return self.map(_CutOp("perturb_volume", factor=factor, affix_id=affix_id))
 
     def narrowband(
-        self, codec: str, restore_orig_sr: bool = True, affix_id: bool = True
-    ) -> "CutSet":
+        self, codec: str, restore_orig_sr: bool = True, affix_id: bool = True) -> "CutSet":
         """Lazy narrowband effect over all cuts."""
         return self.map(
-            _CutOp(
-                "narrowband",
-                codec=codec, restore_orig_sr=restore_orig_sr, affix_id=affix_id,
-            )
+            _CutOp("narrowband", codec=codec, restore_orig_sr=restore_orig_sr, affix_id=affix_id)
         )
 
     def normalize_loudness(
-        self, target: float, mix_first: bool = True, affix_id: bool = True
-    ) -> "CutSet":
+        self, target: float, mix_first: bool = True, affix_id: bool = True) -> "CutSet":
         """Lazy loudness normalization to ``target`` LUFS over all cuts."""
         return self.map(
-            _CutOp(
-                "normalize_loudness",
-                target=target, mix_first=mix_first, affix_id=affix_id,
-            )
+            _CutOp("normalize_loudness", target=target, mix_first=mix_first, affix_id=affix_id)
         )
 
     def dereverb_wpe(self, affix_id: bool = True) -> "CutSet":
@@ -808,44 +595,30 @@ class CutSet(Serializable, AlgorithmMixin):
         return self.map(_CutOp("dereverb_wpe", affix_id=affix_id))
 
     def reverb_rir(
-        self,
-        rir_recordings: Optional["RecordingSet"] = None,
-        normalize_output: bool = True,
-        early_only: bool = False,
-        affix_id: bool = True,
-        rir_channels: List[int] = [0],
-    ) -> "CutSet":
+        self, rir_recordings: Optional["RecordingSet"] = None, normalize_output: bool = True,
+        early_only: bool = False, affix_id: bool = True, rir_channels: List[int] = [0]) -> "CutSet":
         """Lazy reverberation with randomly chosen (or synthetic) RIRs."""
         rir_recordings = list(rir_recordings) if rir_recordings else None
         return self.map(
             _CutOp(
                 "reverb_rir",
                 rir_recording=random.choice(rir_recordings) if rir_recordings else None,
-                normalize_output=normalize_output, early_only=early_only,
-                affix_id=affix_id, rir_channels=rir_channels,
+                normalize_output=normalize_output, early_only=early_only, affix_id=affix_id,
+                rir_channels=rir_channels,
             )
         )
 
     def mix(
-        self,
-        cuts: "CutSet",
-        duration: Optional[Seconds] = None,
-        allow_padding: bool = False,
-        snr: Optional[Union[Decibels, Sequence[Decibels]]] = 20,
-        preserve_id: Optional[str] = None,
-        mix_prob: float = 1.0,
-        seed: Union[int, str, random.Random] = 42,
-        random_mix_offset: bool = False,
-        tag: Optional[str] = None,
-    ) -> "CutSet":
+        self, cuts: "CutSet", duration: Optional[Seconds] = None, allow_padding: bool = False,
+        snr: Optional[Union[Decibels, Sequence[Decibels]]] = 20, preserve_id: Optional[str] = None,
+        mix_prob: float = 1.0, seed: Union[int, str, random.Random] = 42,
+        random_mix_offset: bool = False, tag: Optional[str] = None) -> "CutSet":
         """Lazily mix randomly-sampled cuts from ``cuts`` into this CutSet
         (noise/music/babble augmentation)."""
         mixer = LazyCutMixer(
-            cuts=self, mix_in_cuts=cuts, duration=duration,
-            allow_padding=allow_padding, snr=snr, preserve_id=preserve_id,
-            mix_prob=mix_prob, seed=seed, random_mix_offset=random_mix_offset,
-            tag=tag,
-        )
+            cuts=self, mix_in_cuts=cuts, duration=duration, allow_padding=allow_padding, snr=snr,
+            preserve_id=preserve_id, mix_prob=mix_prob, seed=seed,
+            random_mix_offset=random_mix_offset, tag=tag)
         return CutSet(mixer)
 
     def drop_features(self) -> "CutSet":
@@ -864,15 +637,9 @@ class CutSet(Serializable, AlgorithmMixin):
         return self.map(_CutOp("drop_in_memory_data"))
 
     def compute_and_store_features(
-        self,
-        extractor: FeatureExtractor,
-        storage_path: Pathlike,
-        num_jobs: Optional[int] = None,
-        augment_fn=None,
-        storage_type: Optional[Type[FW]] = None,
-        executor: Optional[Executor] = None,
-        mix_eagerly: bool = True,
-        progress_bar: bool = True,
+        self, extractor: FeatureExtractor, storage_path: Pathlike, num_jobs: Optional[int] = None,
+        augment_fn=None, storage_type: Optional[Type[FW]] = None,
+        executor: Optional[Executor] = None, mix_eagerly: bool = True, progress_bar: bool = True,
     ) -> "CutSet":
         """
         Extract + store features for every cut, optionally fanning out over
@@ -890,41 +657,29 @@ class CutSet(Serializable, AlgorithmMixin):
 
         if executor is None and num_jobs == 1:
             return self._extract_features_single_process(
-                extractor, storage_type, storage_path, augment_fn, mix_eagerly,
-                progress_bar,
-            )
+                extractor, storage_type, storage_path, augment_fn, mix_eagerly, progress_bar)
         return self._extract_features_fanout(
-            extractor, storage_type, storage_path, augment_fn, mix_eagerly,
-            progress_bar, num_jobs, executor,
-        )
+            extractor, storage_type, storage_path, augment_fn, mix_eagerly, progress_bar, num_jobs,
+            executor)
 
     def _extract_features_single_process(
-        self, extractor, storage_type, storage_path, augment_fn, mix_eagerly,
-        progress_bar,
+        self, extractor, storage_type, storage_path, augment_fn, mix_eagerly, progress_bar,
     ) -> "CutSet":
-        track = _progressbar(
-            progress_bar, desc="Extracting and storing features", total=len(self)
-        )
+        track = _progressbar(progress_bar, desc="Extracting and storing features", total=len(self))
         done = []
         with storage_type(storage_path) as storage:
             for cut in track(self):
-                safe_extract = null_result_on_audio_loading_error(
-                    cut.compute_and_store_features
-                )
+                safe_extract = null_result_on_audio_loading_error(cut.compute_and_store_features)
                 out = safe_extract(
-                    extractor=extractor,
-                    storage=storage,
-                    augment_fn=augment_fn,
-                    mix_eagerly=mix_eagerly,
-                )
+                    extractor=extractor, storage=storage, augment_fn=augment_fn,
+                    mix_eagerly=mix_eagerly)
                 if out is not None:
                     done.append(out)
         return CutSet(done)
 
     def _extract_features_fanout(
-        self, extractor, storage_type, storage_path, augment_fn, mix_eagerly,
-        progress_bar, num_jobs, executor,
-    ) -> "CutSet":
+        self, extractor, storage_type, storage_path, augment_fn, mix_eagerly, progress_bar,
+        num_jobs, executor) -> "CutSet":
         from lhotse_tpu.manipulation import combine as combine_manifests
 
         if "://" in str(storage_path):
@@ -938,41 +693,26 @@ class CutSet(Serializable, AlgorithmMixin):
             import multiprocessing
 
             executor = ProcessPoolExecutor(
-                num_jobs, mp_context=multiprocessing.get_context("spawn")
-            )
+                num_jobs, mp_context=multiprocessing.get_context("spawn"))
         # Stripe the work: job i processes every num_jobs-th cut starting at i.
         futures = [
             executor.submit(
-                CutSet.compute_and_store_features,
-                CutSet(LazySlicer(self.data, k=i, n=num_jobs)),
-                extractor=extractor,
-                storage_path=job_storage[i],
-                augment_fn=augment_fn,
-                storage_type=storage_type,
-                mix_eagerly=mix_eagerly,
-                progress_bar=False,
+                CutSet.compute_and_store_features, CutSet(LazySlicer(self.data, k=i, n=num_jobs)),
+                extractor=extractor, storage_path=job_storage[i], augment_fn=augment_fn,
+                storage_type=storage_type, mix_eagerly=mix_eagerly, progress_bar=False,
             )
             for i in range(num_jobs)
         ]
         track = _progressbar(
-            progress_bar,
-            desc="Extracting and storing features (chunks progress)",
-            total=len(futures),
-        )
+            progress_bar, desc="Extracting and storing features (chunks progress)",
+            total=len(futures))
         return combine_manifests(track(f.result() for f in futures))
 
     def compute_and_store_features_batch(
-        self,
-        extractor: FeatureExtractor,
-        storage_path: Pathlike,
-        manifest_path: Optional[Pathlike] = None,
-        batch_duration: Seconds = 600.0,
-        num_workers: int = 4,
-        collate: bool = True,
-        augment_fn=None,
-        storage_type: Optional[Type[FW]] = None,
-        overwrite: bool = False,
-    ) -> "CutSet":
+        self, extractor: FeatureExtractor, storage_path: Pathlike,
+        manifest_path: Optional[Pathlike] = None, batch_duration: Seconds = 600.0,
+        num_workers: int = 4, collate: bool = True, augment_fn=None,
+        storage_type: Optional[Type[FW]] = None, overwrite: bool = False) -> "CutSet":
         """
         Batched extraction for extractors with an accelerated
         ``extract_batch`` (the JAX/Pallas path): audio is read with a thread
@@ -1011,27 +751,18 @@ class CutSet(Serializable, AlgorithmMixin):
                 if isinstance(cut, PaddingCut):
                     cuts_writer.write(
                         fastcopy(
-                            cut,
-                            num_frames=feat_mat.shape[0],
-                            num_features=feat_mat.shape[1],
+                            cut, num_frames=feat_mat.shape[0], num_features=feat_mat.shape[1],
                             frame_shift=frame_shift,
                         )
                     )
                     continue
                 storage_key = feats_writer.write(cut.id, np.asarray(feat_mat))
                 feat_manifest = Features(
-                    start=cut.start,
-                    duration=cut.duration,
-                    type=extractor.name,
-                    num_frames=feat_mat.shape[0],
-                    num_features=feat_mat.shape[1],
-                    frame_shift=frame_shift,
-                    sampling_rate=cut.sampling_rate,
-                    channels=cut.channel,
-                    storage_type=feats_writer.name,
-                    storage_path=str(feats_writer.storage_path),
-                    storage_key=storage_key,
-                )
+                    start=cut.start, duration=cut.duration, type=extractor.name,
+                    num_frames=feat_mat.shape[0], num_features=feat_mat.shape[1],
+                    frame_shift=frame_shift, sampling_rate=cut.sampling_rate, channels=cut.channel,
+                    storage_type=feats_writer.name, storage_path=str(feats_writer.storage_path),
+                    storage_key=storage_key)
                 validate_features(feat_manifest, feats_data=np.asarray(feat_mat))
                 if isinstance(cut, DataCut):
                     feat_manifest.recording_id = cut.recording_id
@@ -1041,20 +772,15 @@ class CutSet(Serializable, AlgorithmMixin):
                     feat_manifest.recording_id = cut.id
                     cut = MonoCut(
                         id=cut.id, start=0, duration=cut.duration, channel=0,
-                        supervisions=[
-                            fastcopy(s, recording_id=cut.id, channel=0)
-                            for s in cut.supervisions
-                        ],
-                        features=feat_manifest, recording=None,
-                    )
+                        supervisions=[ fastcopy(s, recording_id=cut.id, channel=0) for s in cut.supervisions ],
+                        features=feat_manifest, recording=None)
                 cuts_writer.write(cut, flush=True)
 
         from tqdm.auto import tqdm
 
         futures = []
         with cuts_writer, storage_type(
-            storage_path, mode="w" if overwrite else "a"
-        ) as feats_writer, tqdm(
+            storage_path, mode="w" if overwrite else "a") as feats_writer, tqdm(
             desc="Computing features in batches"
         ) as progress, ThreadPoolExecutor(max_workers=max(num_workers, 1)) as read_pool, ThreadPoolExecutor(
             # One background writer so serialization order is deterministic.
@@ -1069,22 +795,12 @@ class CutSet(Serializable, AlgorithmMixin):
                     waves = [w for w in waves if w is not None]
                     if len(cuts) == 0:
                         continue
-                    assert all(
-                        c.sampling_rate == cuts[0].sampling_rate for c in cuts
-                    )
+                    assert all(c.sampling_rate == cuts[0].sampling_rate for c in cuts)
                     if augment_fn is not None:
-                        waves = [
-                            augment_fn(w, c.sampling_rate)
-                            for c, w in zip(cuts, waves)
-                        ]
-                    flat = [
-                        w.reshape(-1) if w.ndim > 1 and w.shape[0] == 1 else w
-                        for w in waves
-                    ]
+                        waves = [augment_fn(w, c.sampling_rate) for c, w in zip(cuts, waves)]
+                    flat = [w.reshape(-1) if w.ndim > 1 and w.shape[0] == 1 else w for w in waves]
                     add_work(sum(c.duration for c in cuts))
-                    features = extractor.extract_batch(
-                        flat, sampling_rate=cuts[0].sampling_rate
-                    )
+                    features = extractor.extract_batch(flat, sampling_rate=cuts[0].sampling_rate)
                 if not isinstance(features, list):
                     features = [features[i] for i in range(len(cuts))] if features.ndim == 3 else [features]
                 futures.append(save_pool.submit(_save_worker, cuts, features))
@@ -1095,26 +811,16 @@ class CutSet(Serializable, AlgorithmMixin):
         return cuts_writer.open_manifest()
 
     def save_audios(
-        self,
-        storage_path: Pathlike,
-        format: str = "wav",
-        encoding: Optional[str] = None,
-        num_jobs: Optional[int] = None,
-        executor: Optional[Executor] = None,
-        augment_fn=None,
-        progress_bar: bool = True,
-        shuffle_on_split: bool = True,
-        **kwargs,
-    ) -> "CutSet":
+        self, storage_path: Pathlike, format: str = "wav", encoding: Optional[str] = None,
+        num_jobs: Optional[int] = None, executor: Optional[Executor] = None, augment_fn=None,
+        progress_bar: bool = True, shuffle_on_split: bool = True, **kwargs) -> "CutSet":
         """Store each cut's waveform to disk under
         ``{storage_path}/{id[:3]}/{id}.{format}``."""
         from lhotse_tpu.manipulation import combine as combine_manifests
 
         num_jobs = ifnone(num_jobs, 1)
         if num_jobs == 1 and executor is not None:
-            logging.warning(
-                "Executor argument was passed but num_jobs set to 1: ignoring it."
-            )
+            logging.warning("Executor argument was passed but num_jobs set to 1: ignoring it.")
             executor = None
 
         def target_file(cut: Cut) -> Path:
@@ -1128,9 +834,7 @@ class CutSet(Serializable, AlgorithmMixin):
             return CutSet(
                 track(
                     cut.save_audio(
-                        storage_path=target_file(cut),
-                        format=format,
-                        encoding=encoding,
+                        storage_path=target_file(cut), format=format, encoding=encoding,
                         augment_fn=augment_fn,
                     )
                     for cut in self
@@ -1141,33 +845,21 @@ class CutSet(Serializable, AlgorithmMixin):
             import multiprocessing
 
             executor = ProcessPoolExecutor(
-                max_workers=num_jobs, mp_context=multiprocessing.get_context("spawn")
-            )
+                max_workers=num_jobs, mp_context=multiprocessing.get_context("spawn"))
         futures = [
             executor.submit(
-                CutSet.save_audios,
-                piece,
-                storage_path=storage_path,
-                format=format,
-                encoding=encoding,
-                augment_fn=augment_fn,
-                progress_bar=False,
+                CutSet.save_audios, piece, storage_path=storage_path, format=format,
+                encoding=encoding, augment_fn=augment_fn, progress_bar=False,
             )
             for piece in self.split(num_jobs, shuffle=shuffle_on_split)
         ]
         track = _progressbar(
-            progress_bar,
-            desc="Storing audio recordings (chunks progress)",
-            total=len(futures),
-        )
+            progress_bar, desc="Storing audio recordings (chunks progress)", total=len(futures))
         return combine_manifests(track(f.result() for f in futures))
 
     def compute_global_feature_stats(
-        self,
-        storage_path: Optional[Pathlike] = None,
-        max_cuts: Optional[int] = None,
-        extractor: Optional[FeatureExtractor] = None,
-    ) -> Dict[str, np.ndarray]:
+        self, storage_path: Optional[Pathlike] = None, max_cuts: Optional[int] = None,
+        extractor: Optional[FeatureExtractor] = None) -> Dict[str, np.ndarray]:
         """Global per-bin mean/std via the streaming Chan–Golub–LeVeque update."""
         if extractor is not None:
             cuts = self
@@ -1197,12 +889,8 @@ class CutSet(Serializable, AlgorithmMixin):
                 f"{len(have_features)} cuts have features."
             )
         return compute_global_stats(
-            feature_manifests=islice(
-                (cut.features for cut in self if cut.has_features),
-                max_cuts if max_cuts is not None else len(self),
-            ),
-            storage_path=storage_path,
-        )
+            feature_manifests=islice( (cut.features for cut in self if cut.has_features), max_cuts if max_cuts is not None else len(self), ),
+            storage_path=storage_path)
 
     def with_features_path_prefix(self, path: Pathlike) -> "CutSet":
         return self.map(_CutOp("with_features_path_prefix", path))
@@ -1252,9 +940,7 @@ class CutSet(Serializable, AlgorithmMixin):
                 if cut.has_features:
                     cut.features = cut.features.copy_feats(writer=feature_writer)
                 if cut.has_recording:
-                    cut = cut.save_audio(
-                        (audio_dir / cut.recording_id).with_suffix(".wav")
-                    )
+                    cut = cut.save_audio((audio_dir / cut.recording_id).with_suffix(".wav"))
                 for k, v in (cut.custom or {}).items():
                     if isinstance(v, (Array, TemporalArray)):
                         custom_writer_for(k).write(cut.id, v.load())
@@ -1279,8 +965,7 @@ class CutSet(Serializable, AlgorithmMixin):
         return manifest_writer.open_manifest()
 
     def copy_feats(
-        self, writer: FeaturesWriter, output_path: Optional[Pathlike] = None
-    ) -> "CutSet":
+        self, writer: FeaturesWriter, output_path: Optional[Pathlike] = None) -> "CutSet":
         """Re-store every feature matrix with ``writer``; returns an updated manifest."""
         with CutSet.open_writer(output_path) as manifest_writer:
             for item in self:
@@ -1292,9 +977,7 @@ class CutSet(Serializable, AlgorithmMixin):
                             if isinstance(t.cut, DataCut):
                                 t.cut.features = t.cut.features.copy_feats(writer=writer)
                     elif isinstance(item, DataCut):
-                        out = fastcopy(
-                            item, features=item.features.copy_feats(writer=writer)
-                        )
+                        out = fastcopy(item, features=item.features.copy_feats(writer=writer))
                 manifest_writer.write(out)
         return manifest_writer.open_manifest()
 
@@ -1307,8 +990,7 @@ class CutSet(Serializable, AlgorithmMixin):
         return self.map(_CutOp("fill_supervision", add_empty=add_empty, shrink_ok=shrink_ok))
 
     def map_supervisions(
-        self, transform_fn: Callable[[SupervisionSegment], SupervisionSegment]
-    ) -> "CutSet":
+        self, transform_fn: Callable[[SupervisionSegment], SupervisionSegment]) -> "CutSet":
         return self.map(_CutOp("map_supervisions", transform_fn))
 
     def transform_text(self, transform_fn: Callable[[str], str]) -> "CutSet":
@@ -1347,9 +1029,7 @@ class CutSet(Serializable, AlgorithmMixin):
     def state_dict(self) -> dict:
         """Collect the checkpoint state of the underlying lazy iterator graph."""
         if not self.is_lazy:
-            raise RuntimeError(
-                "state_dict() is only supported for lazy CutSets."
-            )
+            raise RuntimeError("state_dict() is only supported for lazy CutSets.")
         from lhotse_tpu.checkpoint import collect_state_dict
 
         return collect_state_dict(self.data)
@@ -1357,9 +1037,7 @@ class CutSet(Serializable, AlgorithmMixin):
     def load_state_dict(self, sd: dict) -> None:
         """Restore the checkpoint state into the underlying lazy iterator graph."""
         if not self.is_lazy:
-            raise RuntimeError(
-                "load_state_dict() is only supported for lazy CutSets."
-            )
+            raise RuntimeError("load_state_dict() is only supported for lazy CutSets.")
         from lhotse_tpu.checkpoint import restore_state_dict
 
         restore_state_dict(self.data, sd)
@@ -1429,13 +1107,8 @@ class _BackgroundPrefetchIterator:
 
 
 def mix(
-    reference_cut: Cut,
-    mixed_in_cut: Cut,
-    offset: Seconds = 0,
-    allow_padding: bool = False,
-    snr: Optional[Decibels] = None,
-    preserve_id: Optional[str] = None,
-    tag: Optional[str] = None,
+    reference_cut: Cut, mixed_in_cut: Cut, offset: Seconds = 0, allow_padding: bool = False,
+    snr: Optional[Decibels] = None, preserve_id: Optional[str] = None, tag: Optional[str] = None,
 ) -> MixedCut:
     """
     Overlay two cuts: ``mixed_in_cut`` enters at ``offset`` seconds, scaled to
@@ -1448,8 +1121,7 @@ def mix(
     if offset > reference_cut.duration:
         reference_cut = reference_cut.pad(duration=offset)
     tracks = _tracks_of_reference(reference_cut) + _tracks_of_mixed_in(
-        mixed_in_cut, offset, snr, tag
-    )
+        mixed_in_cut, offset, snr, tag)
     return MixedCut(id=out_id, tracks=tracks)
 
 
@@ -1545,27 +1217,17 @@ def _tracks_of_mixed_in(other: Cut, offset, snr, tag) -> List[MixTrack]:
 
     return [
         MixTrack(
-            cut=t.cut,
-            offset=round(t.offset + offset, ndigits=8),
-            snr=combined_snr(t.snr),
-            tag=t.tag if t.tag is not None else tag,
-            is_snr_reference=False,
-            mute=t.mute,
+            cut=t.cut, offset=round(t.offset + offset, ndigits=8), snr=combined_snr(t.snr),
+            tag=t.tag if t.tag is not None else tag, is_snr_reference=False, mute=t.mute,
         )
         for t in other.tracks
     ]
 
 
 def pad(
-    cut: Cut,
-    duration: Seconds = None,
-    num_frames: int = None,
-    num_samples: int = None,
-    pad_feat_value: float = LOG_EPSILON,
-    direction: str = "right",
-    preserve_id: bool = False,
-    pad_value_dict: Optional[Dict[str, Union[int, float]]] = None,
-) -> Cut:
+    cut: Cut, duration: Seconds = None, num_frames: int = None, num_samples: int = None,
+    pad_feat_value: float = LOG_EPSILON, direction: str = "right", preserve_id: bool = False,
+    pad_value_dict: Optional[Dict[str, Union[int, float]]] = None) -> Cut:
     """
     Grow a cut to a target duration / frame count / sample count (exactly one
     may be given) by appending a PaddingCut; returns the input unchanged when
@@ -1588,23 +1250,14 @@ def pad(
     pad_span = round(duration - cut.duration, ndigits=8)
     video = None
     if cut.has_video:
-        video = cut.video.copy_with(
-            num_frames=compute_num_samples(pad_span, cut.video.fps)
-        )
+        video = cut.video.copy_with(num_frames=compute_num_samples(pad_span, cut.video.fps))
     filler = PaddingCut(
-        id=str(uuid4()),
-        duration=pad_span,
-        feat_value=pad_feat_value,
+        id=str(uuid4()), duration=pad_span, feat_value=pad_feat_value,
         num_features=cut.num_features,
         num_frames=(total_num_frames - cut.num_frames if cut.has_features else None),
-        num_samples=(
-            total_num_samples - cut.num_samples if cut.has_recording else None
-        ),
-        frame_shift=cut.frame_shift,
-        sampling_rate=cut.sampling_rate,
-        video=video,
-        custom=pad_value_dict,
-    )
+        num_samples=( total_num_samples - cut.num_samples if cut.has_recording else None ),
+        frame_shift=cut.frame_shift, sampling_rate=cut.sampling_rate, video=video,
+        custom=pad_value_dict)
 
     if direction == "right":
         return cut.append(filler, preserve_id="left" if preserve_id else None)
@@ -1613,8 +1266,7 @@ def pad(
     if direction == "both":
         half = filler.truncate(duration=filler.duration / 2)
         return half.append(cut, preserve_id="right" if preserve_id else None).append(
-            half, preserve_id="left" if preserve_id else None
-        )
+            half, preserve_id="left" if preserve_id else None)
     raise ValueError(f"Unknown type of padding: {direction}")
 
 
@@ -1641,8 +1293,7 @@ def _pad_geometry(cut, duration, num_frames, num_samples):
         if not cut.has_features:
             return None
         return compute_num_frames(
-            duration=dur, frame_shift=cut.frame_shift, sampling_rate=cut.sampling_rate
-        )
+            duration=dur, frame_shift=cut.frame_shift, sampling_rate=cut.sampling_rate)
 
     def samples_for(dur):
         if not cut.has_recording:
@@ -1673,9 +1324,7 @@ def _pad_geometry(cut, duration, num_frames, num_samples):
         return duration, num_frames, total_samples
 
     if not cut.has_recording:
-        raise AssertionError(
-            "Cannot pad a cut using num_samples when it is missing a Recording."
-        )
+        raise AssertionError("Cannot pad a cut using num_samples when it is missing a Recording.")
     if num_samples <= cut.num_samples:
         return None
     duration = num_samples / cut.sampling_rate
@@ -1683,11 +1332,8 @@ def _pad_geometry(cut, duration, num_frames, num_samples):
 
 
 def append(
-    left_cut: Cut,
-    right_cut: Cut,
-    snr: Optional[Decibels] = None,
-    preserve_id: Optional[str] = None,
-) -> MixedCut:
+    left_cut: Cut, right_cut: Cut, snr: Optional[Decibels] = None,
+    preserve_id: Optional[str] = None) -> MixedCut:
     """Functional-style append of two cuts."""
     return left_cut.append(right_cut, snr=snr, preserve_id=preserve_id)
 
@@ -1703,10 +1349,7 @@ def append_cuts(cuts: Iterable[Cut]) -> Cut:
 
 
 def compute_supervisions_frame_mask(
-    cut: Cut,
-    frame_shift: Optional[Seconds] = None,
-    use_alignment_if_exists: Optional[str] = None,
-):
+    cut: Cut, frame_shift: Optional[Seconds] = None, use_alignment_if_exists: Optional[str] = None):
     """1-D 0/1 mask over frames covered by at least one supervision
     (reference: cut/set.py:3353)."""
     assert cut.has_features or frame_shift is not None, (
@@ -1717,8 +1360,7 @@ def compute_supervisions_frame_mask(
         num_frames = cut.num_frames
     else:
         num_frames = compute_num_frames(
-            duration=cut.duration, frame_shift=frame_shift, sampling_rate=cut.sampling_rate
-        )
+            duration=cut.duration, frame_shift=frame_shift, sampling_rate=cut.sampling_rate)
     mask = np.zeros(num_frames, dtype=np.float32)
     for supervision in cut.supervisions:
         if (
@@ -1742,11 +1384,7 @@ def compute_supervisions_frame_mask(
 
 
 def _cut_cls_and_channel_from_features(feats):
-    mono = (
-        feats.channels is None
-        or isinstance(feats.channels, int)
-        or len(feats.channels) == 1
-    )
+    mono = (feats.channels is None or isinstance(feats.channels, int) or len(feats.channels) == 1)
     if mono:
         return MonoCut, feats.channels if feats.channels is not None else 0
     return MultiCut, list(feats.channels)
@@ -1758,31 +1396,20 @@ def _cut_cls_and_channel_from_recording(recording):
     return MultiCut, recording.channel_ids
 
 
-def _cut_from_features(
-    idx, feats, recording, sup_source, random_ids, tolerance
-) -> Cut:
+def _cut_from_features(idx, feats, recording, sup_source, random_ids, tolerance) -> Cut:
     cls, channel = _cut_cls_and_channel_from_features(feats)
     sups = []
     if sup_source is not None:
         sups = list(
             sup_source.find(
-                recording_id=feats.recording_id,
-                channel=channel,
-                start_after=feats.start,
-                end_before=feats.end,
-                adjust_offset=True,
-                tolerance=tolerance,
+                recording_id=feats.recording_id, channel=channel, start_after=feats.start,
+                end_before=feats.end, adjust_offset=True, tolerance=tolerance,
             )
         )
     return cls(
-        id=str(uuid4()) if random_ids else f"{feats.recording_id}-{idx}",
-        start=feats.start,
-        duration=feats.duration,
-        channel=channel,
-        features=feats,
-        recording=recording,
-        supervisions=sups,
-    )
+        id=str(uuid4()) if random_ids else f"{feats.recording_id}-{idx}", start=feats.start,
+        duration=feats.duration, channel=channel, features=feats, recording=recording,
+        supervisions=sups)
 
 
 def _cut_from_recording(idx, recording, sup_source, random_ids) -> Cut:
@@ -1791,23 +1418,14 @@ def _cut_from_recording(idx, recording, sup_source, random_ids) -> Cut:
     if sup_source is not None:
         sups = list(sup_source.find(recording_id=recording.id))
     return cls(
-        id=str(uuid4()) if random_ids else f"{recording.id}-{idx}",
-        start=0,
-        duration=recording.duration,
-        channel=channel,
-        recording=recording,
-        supervisions=sups,
-    )
+        id=str(uuid4()) if random_ids else f"{recording.id}-{idx}", start=0,
+        duration=recording.duration, channel=channel, recording=recording, supervisions=sups)
 
 
 def create_cut_set_eager(
-    recordings: Optional[RecordingSet] = None,
-    supervisions: Optional[SupervisionSet] = None,
-    features: Optional[FeatureSet] = None,
-    output_path: Optional[Pathlike] = None,
-    random_ids: bool = False,
-    tolerance: Seconds = 0.001,
-) -> CutSet:
+    recordings: Optional[RecordingSet] = None, supervisions: Optional[SupervisionSet] = None,
+    features: Optional[FeatureSet] = None, output_path: Optional[Pathlike] = None,
+    random_ids: bool = False, tolerance: Seconds = 0.001) -> CutSet:
     """
     Materialize cuts from manifests: when features are given they set the cut
     boundaries (recordings optionally attached); otherwise each recording
@@ -1815,9 +1433,7 @@ def create_cut_set_eager(
     offsets made cut-relative.
     """
     if features is None and recordings is None:
-        raise AssertionError(
-            "At least one of 'features' or 'recordings' has to be provided."
-        )
+        raise AssertionError("At least one of 'features' or 'recordings' has to be provided.")
     if supervisions is not None:
         supervisions = supervisions.to_eager()  # .find() needs random access
     if features is not None:
@@ -1826,12 +1442,8 @@ def create_cut_set_eager(
         cuts = CutSet(
             [
                 _cut_from_features(
-                    idx,
-                    feats,
-                    recordings[feats.recording_id] if recordings is not None else None,
-                    supervisions,
-                    random_ids,
-                    tolerance,
+                    idx, feats, recordings[feats.recording_id] if recordings is not None else None,
+                    supervisions, random_ids, tolerance,
                 )
                 for idx, feats in enumerate(features)
             ]
@@ -1849,13 +1461,9 @@ def create_cut_set_eager(
 
 
 def create_cut_set_lazy(
-    output_path: Pathlike,
-    recordings: Optional[RecordingSet] = None,
-    supervisions: Optional[SupervisionSet] = None,
-    features: Optional[FeatureSet] = None,
-    random_ids: bool = False,
-    tolerance: Seconds = 0.001,
-) -> CutSet:
+    output_path: Pathlike, recordings: Optional[RecordingSet] = None,
+    supervisions: Optional[SupervisionSet] = None, features: Optional[FeatureSet] = None,
+    random_ids: bool = False, tolerance: Seconds = 0.001) -> CutSet:
     """
     Streaming variant of :func:`create_cut_set_eager`: writes cuts to
     ``output_path`` while consuming the inputs once.  Inputs must be sorted
@@ -1866,14 +1474,9 @@ def create_cut_set_lazy(
             "You must provide the 'output_path' argument to create a CutSet lazily."
         )
     if features is None and recordings is None:
-        raise AssertionError(
-            "At least one of 'features' or 'recordings' has to be provided."
-        )
+        raise AssertionError("At least one of 'features' or 'recordings' has to be provided.")
     for name, m in (
-        ("recordings", recordings),
-        ("supervisions", supervisions),
-        ("features", features),
-    ):
+        ("recordings", recordings), ("supervisions", supervisions), ("features", features)):
         if m is not None and not m.is_lazy:
             logging.info(
                 f"Manifest passed in argument '{name}' is not opened lazily; "
@@ -1887,16 +1490,12 @@ def create_cut_set_lazy(
         nonlocal sup_stream
         if sup_stream is None:
             return None
-        matched, sup_stream = _takewhile(
-            sup_stream, lambda s: s.recording_id == recording_id
-        )
+        matched, sup_stream = _takewhile(sup_stream, lambda s: s.recording_id == recording_id)
         return SupervisionSet.from_segments(matched)
 
     with CutSet.open_writer(output_path) as writer:
         if features is not None:
-            rec_stream = (
-                iter(recordings) if recordings is not None else itertools.repeat(None)
-            )
+            rec_stream = (iter(recordings) if recordings is not None else itertools.repeat(None))
             for idx, feats in enumerate(features):
                 rec = next(rec_stream)
                 if rec is not None and rec.id != feats.recording_id:
@@ -1906,23 +1505,19 @@ def create_cut_set_lazy(
                     )
                 writer.write(
                     _cut_from_features(
-                        idx, feats, rec, sups_for(feats.recording_id),
-                        random_ids, tolerance,
+                        idx, feats, rec, sups_for(feats.recording_id), random_ids, tolerance,
                     )
                 )
         else:
             for ridx, recording in enumerate(recordings):
                 writer.write(
-                    _cut_from_recording(
-                        ridx, recording, sups_for(recording.id), random_ids
-                    )
+                    _cut_from_recording(ridx, recording, sups_for(recording.id), random_ids)
                 )
     return CutSet.from_jsonl_lazy(output_path)
 
 
 def _takewhile(
-    iterable: Iterable[T], predicate: Callable[[T], bool]
-) -> Tuple[List[T], Iterable[T]]:
+    iterable: Iterable[T], predicate: Callable[[T], bool]) -> Tuple[List[T], Iterable[T]]:
     """Like itertools.takewhile, but returns the remaining iterable including
     the first non-matching item."""
     collected = []
@@ -1949,9 +1544,7 @@ def deserialize_cut(raw_cut: dict) -> Cut:
     if cut_type == "PaddingCut":
         return PaddingCut.from_dict(raw_cut)
     if cut_type == "Cut":
-        warnings.warn(
-            "Your manifest uses the legacy cut type name 'Cut'; interpreting as MonoCut."
-        )
+        warnings.warn("Your manifest uses the legacy cut type name 'Cut'; interpreting as MonoCut.")
         return MonoCut.from_dict(raw_cut)
     if cut_type == "MixedCut":
         return MixedCut.from_dict(raw_cut)
@@ -2002,13 +1595,8 @@ def _transform_text(sup, transform_fn):
 
 
 def _truncate_single(
-    cut: Cut,
-    max_duration: Seconds,
-    offset_type: str,
-    keep_excessive_supervisions: bool = True,
-    preserve_id: bool = False,
-    rng: Optional[random.Random] = None,
-) -> Cut:
+    cut: Cut, max_duration: Seconds, offset_type: str, keep_excessive_supervisions: bool = True,
+    preserve_id: bool = False, rng: Optional[random.Random] = None) -> Cut:
     if cut.duration <= max_duration:
         return cut
     slack = cut.duration - max_duration
@@ -2022,24 +1610,14 @@ def _truncate_single(
         raise ValueError(f"Unknown 'offset_type' option: {offset_type}")
     return cut.truncate(
         offset=begin, duration=max_duration, preserve_id=preserve_id,
-        keep_excessive_supervisions=keep_excessive_supervisions,
-    )
+        keep_excessive_supervisions=keep_excessive_supervisions)
 
 
 def _export_to_shar_single(
-    cuts: CutSet,
-    output_dir: Pathlike,
-    shard_size: Optional[int],
-    shard_offset: int,
-    fields: Dict[str, str],
-    warn_unused_fields: bool,
-    include_cuts: bool,
-    shard_suffix: Optional[str],
-    verbose: bool,
-    fault_tolerant: bool,
-    preload: bool = False,
-    compress_jsonl: bool = True, create_index: bool = True,
-) -> Dict[str, List[str]]:
+    cuts: CutSet, output_dir: Pathlike, shard_size: Optional[int], shard_offset: int,
+    fields: Dict[str, str], warn_unused_fields: bool, include_cuts: bool,
+    shard_suffix: Optional[str], verbose: bool, fault_tolerant: bool, preload: bool = False,
+    compress_jsonl: bool = True, create_index: bool = True) -> Dict[str, List[str]]:
     from tqdm.auto import tqdm
 
     from lhotse_tpu.shar import SharWriter
@@ -2048,11 +1626,9 @@ def _export_to_shar_single(
     if preload:
         cuts = cuts.to_eager()
     shar = SharWriter(
-        output_dir=output_dir, fields=fields, shard_size=shard_size,
-        shard_offset=shard_offset, warn_unused_fields=warn_unused_fields,
-        include_cuts=include_cuts, shard_suffix=shard_suffix,
-        compress_jsonl=compress_jsonl, create_index=create_index,
-    )
+        output_dir=output_dir, fields=fields, shard_size=shard_size, shard_offset=shard_offset,
+        warn_unused_fields=warn_unused_fields, include_cuts=include_cuts, shard_suffix=shard_suffix,
+        compress_jsonl=compress_jsonl, create_index=create_index)
     with shar as writer:
         for cut in cuts:
             try:
@@ -2060,9 +1636,7 @@ def _export_to_shar_single(
             except Exception as e:
                 if not fault_tolerant:
                     raise
-                logging.warning(
-                    f"Skipping: failed to load cut '{cut.id}'. Error message: {e}."
-                )
+                logging.warning(f"Skipping: failed to load cut '{cut.id}'. Error message: {e}.")
             progress.update()
     return writer.output_paths
 
@@ -2077,19 +1651,11 @@ class LazyCutMixer(IteratorNode):
     """
 
     def __init__(
-        self,
-        cuts: "CutSet",
-        mix_in_cuts: "CutSet",
-        duration: Optional[Seconds] = None,
-        allow_padding: bool = False,
-        snr: Optional[Union[Decibels, Sequence[Decibels]]] = 20,
-        preserve_id: Optional[str] = None,
-        mix_prob: float = 1.0,
-        seed: Union[int, str, random.Random] = 42,
-        random_mix_offset: bool = False,
-        stateful: bool = True,
-        tag: Optional[str] = None,
-    ) -> None:
+        self, cuts: "CutSet", mix_in_cuts: "CutSet", duration: Optional[Seconds] = None,
+        allow_padding: bool = False, snr: Optional[Union[Decibels, Sequence[Decibels]]] = 20,
+        preserve_id: Optional[str] = None, mix_prob: float = 1.0,
+        seed: Union[int, str, random.Random] = 42, random_mix_offset: bool = False,
+        stateful: bool = True, tag: Optional[str] = None) -> None:
         if not 0.0 <= mix_prob <= 1.0:
             raise AssertionError(f"mix_prob must be in [0, 1], got {mix_prob}")
         if duration is not None and duration <= 0:
@@ -2194,8 +1760,7 @@ class LazyCutMixer(IteratorNode):
 
     def _noise_is_indexed(self) -> bool:
         return getattr(self._mix_in_source, "is_indexed", False) and supports_graph_restore(
-            self._mix_in_source, require_length=True
-        )
+            self._mix_in_source, require_length=True)
 
     def _next_mix_in_cut(self, rng: random.Random) -> Cut:
         if self._noise_is_indexed():
@@ -2217,8 +1782,7 @@ class LazyCutMixer(IteratorNode):
     def _combine_seed(iteration_seed: int, source_token: Any) -> int:
         token_bytes = pickle.dumps(normalize_graph_token(source_token), protocol=4)
         token_seed = int.from_bytes(
-            hashlib.blake2b(token_bytes, digest_size=8).digest(), byteorder="little"
-        )
+            hashlib.blake2b(token_bytes, digest_size=8).digest(), byteorder="little")
         return ((iteration_seed * 0x9E3779B97F4A7C15) + token_seed) & 0xFFFFFFFFFFFFFFFF
 
     def _make_item_rng(self, source_token: Any, iteration_seed: int) -> random.Random:
@@ -2230,31 +1794,21 @@ class LazyCutMixer(IteratorNode):
         snr = rng.uniform(*self.snr) if isinstance(self.snr, (list, tuple)) else self.snr
         # Target 50 ms short of the cut so the last noise chunk never collapses
         # to 0 feature frames.
-        goal = round(
-            self.duration if self.duration is not None else cut.duration - 0.05,
-            ndigits=8,
-        )
+        goal = round(self.duration if self.duration is not None else cut.duration - 0.05, ndigits=8)
         covered = 0.0
         mixed = cut
         while True:
-            chunk = self._maybe_truncate_cut(
-                self._next_mix_in_cut(rng), goal - covered, rng
-            )
+            chunk = self._maybe_truncate_cut(self._next_mix_in_cut(rng), goal - covered, rng)
             mixed = mixed.mix(
-                other=chunk,
-                snr=snr,
-                offset_other_by=covered if covered > 0 else 0,
+                other=chunk, snr=snr, offset_other_by=covered if covered > 0 else 0,
                 allow_padding=self.allow_padding if covered > 0 else False,
-                preserve_id=self.preserve_id,
-                tag=self.tag,
-            )
+                preserve_id=self.preserve_id, tag=self.tag)
             covered = round(covered + chunk.duration, ndigits=8)
             if covered >= goal - 0.05:
                 break
         return mixed.truncate(
             duration=self.duration if self.duration is not None else cut.duration,
-            preserve_id=self.preserve_id is not None,
-        )
+            preserve_id=self.preserve_id is not None)
 
     def __getitem__(self, idx: Any) -> Cut:
         if not self.has_constant_time_access:
@@ -2271,17 +1825,14 @@ class LazyCutMixer(IteratorNode):
 
     def state_dict(self) -> dict:
         if not self.is_checkpointable:
-            raise NotImplementedError(
-                "LazyCutMixer checkpointing requires indexed mix_in_cuts."
-            )
+            raise NotImplementedError("LazyCutMixer checkpointing requires indexed mix_in_cuts.")
         from lhotse_tpu.checkpoint import _rng_state_to_json
 
         rng_state = self._rng.getstate() if self._rng is not None else self._rng_state
         sd = {
             "num_times_iterated": self.num_times_iterated,
             "rng_state": _rng_state_to_json(rng_state) if rng_state is not None else None,
-            "iteration_seed": self._iteration_seed,
-        }
+            "iteration_seed": self._iteration_seed}
         source_state = _try_collect_child_state(self.source)
         if source_state is not None:
             sd["source"] = source_state
@@ -2289,9 +1840,7 @@ class LazyCutMixer(IteratorNode):
 
     def load_state_dict(self, sd: dict) -> None:
         if not self.is_checkpointable:
-            raise NotImplementedError(
-                "LazyCutMixer checkpointing requires indexed mix_in_cuts."
-            )
+            raise NotImplementedError("LazyCutMixer checkpointing requires indexed mix_in_cuts.")
         from lhotse_tpu.checkpoint import _rng_state_from_json
 
         self.num_times_iterated = sd["num_times_iterated"]
@@ -2301,9 +1850,7 @@ class LazyCutMixer(IteratorNode):
         _try_restore_child_state(self.source, sd.get("source"))
         self._restored = True
 
-    def _maybe_truncate_cut(
-        self, cut: Cut, target_duration: Seconds, rng: random.Random
-    ) -> Cut:
+    def _maybe_truncate_cut(self, cut: Cut, target_duration: Seconds, rng: random.Random) -> Cut:
         if not self.random_mix_offset or cut.duration <= target_duration:
             return cut
         slack = cut.duration - target_duration

@@ -1,74 +1,38 @@
 from lhotse_tpu.dataset import collation, input_strategies, signal_transforms
 from lhotse_tpu.dataset.collation import (
-    TokenCollater,
-    collate_audio,
-    collate_custom_field,
-    collate_features,
-    collate_images,
-    collate_matrices,
-    collate_multi_channel_audio,
-    collate_multi_channel_features,
-    collate_vectors,
-    collate_video,
-)
+    TokenCollater, collate_audio, collate_custom_field, collate_features, collate_images,
+    collate_matrices, collate_multi_channel_audio, collate_multi_channel_features, collate_vectors,
+    collate_video)
 from lhotse_tpu.dataset.cut_transforms import *  # noqa: F401,F403
 from lhotse_tpu.dataset.cut_transforms import __all__ as _cut_transforms_all
 from lhotse_tpu.dataset.dataloading import (
-    WorkerInfo,
-    get_rank,
-    get_worker_info,
-    get_world_size,
-    make_worker_init_fn,
-    resolve_seed,
-    set_worker_info,
-    worker_init_fn,
-)
+    WorkerInfo, get_rank, get_worker_info, get_world_size, make_worker_init_fn, resolve_seed,
+    set_worker_info, worker_init_fn)
 from lhotse_tpu.dataset.input_strategies import (
-    AudioSamples,
-    BatchIO,
-    OnTheFlyFeatures,
-    PrecomputedFeatures,
-)
+    AudioSamples, BatchIO, OnTheFlyFeatures, PrecomputedFeatures)
 from lhotse_tpu.dataset.audio_tagging import AudioTaggingDataset
 from lhotse_tpu.dataset.diarization import DiarizationDataset
 from lhotse_tpu.dataset.iterable_dataset import IdentityDataset, IterableDatasetWrapper
 from lhotse_tpu.dataset.loader import DataLoader, device_prefetch
 from lhotse_tpu.dataset.vis import plot_batch
 from lhotse_tpu.dataset.webdataset import (
-    LazyWebdatasetIterator,
-    WebdatasetWriter,
-    export_to_webdataset,
-)
+    LazyWebdatasetIterator, WebdatasetWriter, export_to_webdataset)
 from lhotse_tpu.dataset.sampling import *  # noqa: F401,F403
 from lhotse_tpu.dataset.sampling import __all__ as _sampling_all
 from lhotse_tpu.dataset.source_separation import (
-    DynamicallyMixedSourceSeparationDataset,
-    PreMixedSourceSeparationDataset,
-    SourceSeparationDataset,
-)
-from lhotse_tpu.dataset.speech_recognition import (
-    K2SpeechRecognitionDataset,
-    validate_for_asr,
-)
+    DynamicallyMixedSourceSeparationDataset, PreMixedSourceSeparationDataset,
+    SourceSeparationDataset)
+from lhotse_tpu.dataset.speech_recognition import (K2SpeechRecognitionDataset, validate_for_asr)
 from lhotse_tpu.dataset.speech_synthesis import SpeechSynthesisDataset
 from lhotse_tpu.dataset.speech_translation import K2Speech2TextTranslationDataset
 from lhotse_tpu.dataset.surt import K2SurtDataset
 from lhotse_tpu.dataset.unsupervised import (
-    DynamicUnsupervisedDataset,
-    RecordingChunkIterableDataset,
-    UnsupervisedDataset,
-    UnsupervisedWaveformDataset,
-    audio_chunk_collate,
-    audio_chunk_worker_init_fn,
-)
+    DynamicUnsupervisedDataset, RecordingChunkIterableDataset, UnsupervisedDataset,
+    UnsupervisedWaveformDataset, audio_chunk_collate, audio_chunk_worker_init_fn)
 from lhotse_tpu.dataset.vad import VadDataset
 from lhotse_tpu.dataset.video import UnsupervisedAudioVideoDataset
 from lhotse_tpu.dataset.signal_transforms import (
-    DereverbWPE,
-    GlobalMVN,
-    RandomizedSmoothing,
-    SpecAugment,
-)
+    DereverbWPE, GlobalMVN, RandomizedSmoothing, SpecAugment)
 
 __all__ = (
     [

@@ -29,12 +29,8 @@ class AudioTaggingDataset:
     """
 
     def __init__(
-        self,
-        return_cuts: bool = False,
-        cut_transforms: List[Callable[[CutSet], CutSet]] = None,
-        input_transforms: List[Callable] = None,
-        input_strategy: BatchIO = None,
-    ):
+        self, return_cuts: bool = False, cut_transforms: List[Callable[[CutSet], CutSet]] = None,
+        input_transforms: List[Callable] = None, input_strategy: BatchIO = None):
         self.return_cuts = return_cuts
         self.cut_transforms = ifnone(cut_transforms, [])
         self.input_transforms = ifnone(input_transforms, [])
@@ -64,18 +60,10 @@ class AudioTaggingDataset:
 
         batch = {
             "inputs": inputs,
-            "supervisions": {
-                "audio_event": [
-                    supervision.audio_event
-                    for cut in cuts
-                    for supervision in cut.supervisions
-                ],
-            },
+            "supervisions": { "audio_event": [ supervision.audio_event for cut in cuts for supervision in cut.supervisions ], },
         }
         batch["supervisions"].update(supervision_intervals)
         if self.return_cuts:
-            batch["supervisions"]["cut"] = [
-                cut for cut in cuts for sup in cut.supervisions
-            ]
+            batch["supervisions"]["cut"] = [cut for cut in cuts for sup in cut.supervisions]
 
         return batch

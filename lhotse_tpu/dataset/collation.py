@@ -54,15 +54,8 @@ class TokenCollater:
     """
 
     def __init__(
-        self,
-        cuts: CutSet,
-        add_eos: bool = True,
-        add_bos: bool = True,
-        pad_symbol: str = "<pad>",
-        bos_symbol: str = "<bos>",
-        eos_symbol: str = "<eos>",
-        unk_symbol: str = "<unk>",
-    ):
+        self, cuts: CutSet, add_eos: bool = True, add_bos: bool = True, pad_symbol: str = "<pad>",
+        bos_symbol: str = "<bos>", eos_symbol: str = "<eos>", unk_symbol: str = "<unk>"):
         self.pad_symbol, self.unk_symbol = pad_symbol, unk_symbol
         self.bos_symbol, self.eos_symbol = bos_symbol, eos_symbol
         self.add_bos, self.add_eos = add_bos, add_eos
@@ -94,38 +87,23 @@ class TokenCollater:
         ]
 
         tokens_batch = np.array(
-            [[self.token2idx.get(token, unk) for token in seq] for seq in seqs],
-            dtype=np.int64,
-        )
+            [[self.token2idx.get(token, unk) for token in seq] for seq in seqs], dtype=np.int64)
         tokens_lens = np.array(
-            [
-                len(seq) + int(self.add_eos) + int(self.add_bos)
-                for seq in token_sequences
-            ],
-            dtype=np.int32,
-        )
+            [ len(seq) + int(self.add_eos) + int(self.add_bos) for seq in token_sequences ],
+            dtype=np.int32)
         return tokens_batch, tokens_lens
 
-    def inverse(
-        self, tokens_batch: np.ndarray, tokens_lens: np.ndarray
-    ) -> List[str]:
+    def inverse(self, tokens_batch: np.ndarray, tokens_lens: np.ndarray) -> List[str]:
         start = 1 if self.add_bos else 0
         sentences = [
-            "".join(
-                self.idx2token[idx]
-                for idx in np.asarray(tokens_list)[start : int(end) - int(self.add_eos)]
-            )
-            for tokens_list, end in zip(tokens_batch, tokens_lens)
-        ]
+            "".join( self.idx2token[idx] for idx in np.asarray(tokens_list)[start : int(end) - int(self.add_eos)] ) for tokens_list,
+            end in zip(tokens_batch, tokens_lens)]
         return sentences
 
 
 def collate_features(
-    cuts: CutSet,
-    pad_direction: str = "right",
-    executor: Optional[Executor] = None,
-    features_dtype: Optional[np.dtype] = None,
-    pad_to_multiple: Optional[int] = None,
+    cuts: CutSet, pad_direction: str = "right", executor: Optional[Executor] = None,
+    features_dtype: Optional[np.dtype] = None, pad_to_multiple: Optional[int] = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """
     Load features for all cuts into a ``(batch, time, features)`` array,
@@ -142,8 +120,7 @@ def collate_features(
     first_cut = next(iter(cuts))
     features = np.empty(
         (len(cuts), first_cut.num_frames, first_cut.num_features),
-        dtype=features_dtype if features_dtype is not None else np.float32,
-    )
+        dtype=features_dtype if features_dtype is not None else np.float32)
     if executor is None:
         for idx, cut in enumerate(cuts):
             features[idx] = cut.load_features()
@@ -154,13 +131,9 @@ def collate_features(
 
 
 def collate_audio(
-    cuts: CutSet,
-    pad_direction: str = "right",
-    executor: Optional[Executor] = None,
-    fault_tolerant: bool = False,
-    recording_field: Optional[str] = None,
-    mono_downmix: Optional[bool] = None,
-    pad_to_multiple: Optional[int] = None,
+    cuts: CutSet, pad_direction: str = "right", executor: Optional[Executor] = None,
+    fault_tolerant: bool = False, recording_field: Optional[str] = None,
+    mono_downmix: Optional[bool] = None, pad_to_multiple: Optional[int] = None,
 ) -> Union[Tuple[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray, CutSet]]:
     """
     Load audio for all cuts into ``(batch, time)`` (or ``(batch, channels,
@@ -191,26 +164,19 @@ def collate_audio(
             num_samples = cut.num_samples
         else:
             num_samples = compute_num_samples(
-                cut.duration, sampling_rate=getattr(cut, recording_field).sampling_rate
-            )
+                cut.duration, sampling_rate=getattr(cut, recording_field).sampling_rate)
         sample_counts.append(num_samples)
 
     max_duration = max(cut.duration for cut in cuts)
     if pad_to_multiple is not None and pad_to_multiple > 1:
         sr = next(iter(cuts)).sampling_rate
-        target_samples = _round_up(
-            compute_num_samples(max_duration, sr), pad_to_multiple
-        )
+        target_samples = _round_up(compute_num_samples(max_duration, sr), pad_to_multiple)
         max_duration = target_samples / sr
     cuts = cuts.pad(duration=max_duration, direction=pad_direction, preserve_id=True)
 
     audios, cuts, sample_counts = read_audio_from_cuts(
-        cuts,
-        executor,
-        suppress_errors=fault_tolerant,
-        recording_field=recording_field,
-        filter_aux_iter=sample_counts,
-    )
+        cuts, executor, suppress_errors=fault_tolerant, recording_field=recording_field,
+        filter_aux_iter=sample_counts)
 
     if mono_downmix is None:
         # Auto-detect: multichannel collation only when every audio is 2-D.
@@ -236,9 +202,7 @@ def collate_audio(
                 expanded[: audio.shape[0]] = audio
                 audio = expanded
             processed.append(audio)
-        audios = collate_matrices(
-            [a.T for a in processed], padding_value=0.0
-        ).transpose(0, 2, 1)
+        audios = collate_matrices([a.T for a in processed], padding_value=0.0).transpose(0, 2, 1)
     audio_lens = np.array(sample_counts, dtype=np.int32)
 
     if fault_tolerant:
@@ -251,13 +215,9 @@ collate_multi_channel_audio = collate_audio  # backwards-compatible alias
 
 
 def collate_video(
-    cuts: CutSet,
-    with_audio: bool = True,
-    pad_direction: str = "right",
-    executor: Optional[Executor] = None,
-    fault_tolerant: bool = False,
-    recording_field: Optional[str] = None,
-):
+    cuts: CutSet, with_audio: bool = True, pad_direction: str = "right",
+    executor: Optional[Executor] = None, fault_tolerant: bool = False,
+    recording_field: Optional[str] = None):
     """
     Load video (+audio) into ``(batch, time, channel, height, width)`` and
     ``(batch, channel, time)`` arrays, padding with black/silence.
@@ -287,8 +247,7 @@ def collate_video(
     cuts = cuts.pad(duration=longest, direction=pad_direction, preserve_id=True)
 
     videos, audios, cuts = read_video_from_cuts(
-        cuts, with_audio=with_audio, executor=executor, suppress_errors=fault_tolerant
-    )
+        cuts, with_audio=with_audio, executor=executor, suppress_errors=fault_tolerant)
 
     videos = np.stack(videos)  # B x T x C x H x W
     video_lens = np.array([id2lens[cut.id][1] for cut in cuts], dtype=np.int32)
@@ -305,11 +264,8 @@ def collate_video(
 
 
 def collate_custom_field(
-    cuts: CutSet,
-    field: str,
-    pad_value: Union[None, int, float] = None,
-    pad_direction: str = "right",
-) -> Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]:
+    cuts: CutSet, field: str, pad_value: Union[None, int, float] = None,
+    pad_direction: str = "right") -> Union[np.ndarray, Tuple[np.ndarray, np.ndarray]]:
     """
     Collate a custom field across cuts:
 
@@ -352,9 +308,7 @@ def collate_custom_field(
         maxlen = largest_arr.shape[temporal_dim]
         collated_shape = (len(arrs), *largest_arr.shape)
         dtype = largest_arr.dtype
-        if dtype in (np.uint8, np.int8, np.int16, np.int32) or np.issubdtype(
-            dtype, np.integer
-        ):
+        if dtype in (np.uint8, np.int8, np.int16, np.int32) or np.issubdtype(dtype, np.integer):
             dtype = np.int64
         tensors = np.full(collated_shape, pad_value, dtype=dtype)
         for aidx, a in enumerate(arrs):
@@ -379,10 +333,7 @@ def collate_custom_field(
         return collate_images(cuts_list, field)
     elif isinstance(first_manifest, Recording):
         return collate_audio(
-            CutSet.from_cuts(cuts_list),
-            recording_field=field,
-            pad_direction=pad_direction,
-        )
+            CutSet.from_cuts(cuts_list), recording_field=field, pad_direction=pad_direction)
     else:
         return np.array([getattr(c, field) for c in cuts_list])
 
@@ -398,19 +349,15 @@ def collate_multi_channel_features(cuts: CutSet) -> np.ndarray:
     first_cut = next(iter(cuts))
     features = np.empty(
         (len(cuts), len(first_cut.tracks), first_cut.num_frames, first_cut.num_features),
-        dtype=np.float32,
-    )
+        dtype=np.float32)
     for idx, cut in enumerate(cuts):
         features[idx] = cut.load_features(mixed=False)
     return features
 
 
 def collate_vectors(
-    tensors: Iterable[np.ndarray],
-    padding_value: Union[int, float] = PAD_TOKEN_ID,
-    pad_direction: str = "right",
-    matching_shapes: bool = False,
-) -> np.ndarray:
+    tensors: Iterable[np.ndarray], padding_value: Union[int, float] = PAD_TOKEN_ID,
+    pad_direction: str = "right", matching_shapes: bool = False) -> np.ndarray:
     """
     Stack 1-D arrays of various lengths into ``(B, L)`` with padding.
     """
@@ -433,10 +380,8 @@ def collate_vectors(
 
 
 def collate_matrices(
-    tensors: Iterable[np.ndarray],
-    padding_value: Union[int, float] = 0,
-    matching_shapes: bool = False,
-) -> np.ndarray:
+    tensors: Iterable[np.ndarray], padding_value: Union[int, float] = 0,
+    matching_shapes: bool = False) -> np.ndarray:
     """
     Stack 2-D arrays with consistent second dim into ``(B, L, F)``.
     """
@@ -454,11 +399,8 @@ def collate_matrices(
 
 
 def read_audio_from_cuts(
-    cuts: Iterable[Cut],
-    executor: Optional[Executor] = None,
-    suppress_errors: bool = False,
-    recording_field: Optional[str] = None,
-    filter_aux_iter: Optional[Iterable] = None,
+    cuts: Iterable[Cut], executor: Optional[Executor] = None, suppress_errors: bool = False,
+    recording_field: Optional[str] = None, filter_aux_iter: Optional[Iterable] = None,
 ) -> Union[Tuple[List[np.ndarray], CutSet], Tuple[List[np.ndarray], CutSet, List]]:
     """
     Load audio for each cut (optionally concurrently / fault-tolerantly).
@@ -475,16 +417,8 @@ def read_audio_from_cuts(
     aux_iter_out = []
     for cut, maybe_audio, aux_item in zip(
         cuts,
-        map_fn(
-            partial(
-                _read_audio,
-                suppress_errors=suppress_errors,
-                recording_field=recording_field,
-            ),
-            cuts,
-        ),
-        filter_aux_iter,
-    ):
+        map_fn( partial( _read_audio, suppress_errors=suppress_errors, recording_field=recording_field, ), cuts, ),
+        filter_aux_iter):
         if maybe_audio is None:
             continue
         audios.append(maybe_audio)
@@ -497,11 +431,8 @@ def read_audio_from_cuts(
 
 
 def read_video_from_cuts(
-    cuts: Iterable[Cut],
-    with_audio: bool = True,
-    executor: Optional[Executor] = None,
-    suppress_errors: bool = False,
-    recording_field: Optional[str] = None,
+    cuts: Iterable[Cut], with_audio: bool = True, executor: Optional[Executor] = None,
+    suppress_errors: bool = False, recording_field: Optional[str] = None,
 ) -> Tuple[List[np.ndarray], List[np.ndarray], CutSet]:
     map_fn = map if executor is None else executor.map
     videos = []
@@ -509,15 +440,7 @@ def read_video_from_cuts(
     ok_cuts = []
     for cut, maybe_ans in zip(
         cuts,
-        map_fn(
-            partial(
-                _read_video,
-                suppress_errors=suppress_errors,
-                with_audio=with_audio,
-                recording_field=recording_field,
-            ),
-            cuts,
-        ),
+        map_fn( partial( _read_video, suppress_errors=suppress_errors, with_audio=with_audio, recording_field=recording_field, ), cuts, ),
     ):
         if maybe_ans is None:
             continue
@@ -529,14 +452,13 @@ def read_video_from_cuts(
 
 
 def read_features_from_cuts(
-    cuts: Iterable[Cut], executor: Optional[Executor] = None
-) -> List[np.ndarray]:
+    cuts: Iterable[Cut], executor: Optional[Executor] = None) -> List[np.ndarray]:
     map_fn = map if executor is None else executor.map
     return list(map_fn(_read_features, cuts))
 
 
 def _read_audio(
-    cut: Cut, suppress_errors: bool = False, recording_field: Optional[str] = None
+    cut: Cut, suppress_errors: bool = False, recording_field: Optional[str] = None,
 ) -> Optional[np.ndarray]:
     with suppress_audio_loading_errors(enabled=suppress_errors):
         if recording_field is None:
@@ -559,11 +481,8 @@ def _read_features(cut: Cut) -> np.ndarray:
 
 
 def _read_video(
-    cut: Cut,
-    with_audio: bool = True,
-    suppress_errors: bool = False,
-    recording_field: Optional[str] = None,
-) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
+    cut: Cut, with_audio: bool = True, suppress_errors: bool = False,
+    recording_field: Optional[str] = None) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
     with suppress_video_loading_errors(enabled=suppress_errors):
         if recording_field is None:
             return cut.load_video(with_audio=with_audio)
@@ -576,10 +495,7 @@ def _read_video(
             return cut.load_custom(recording_field, with_audio=with_audio)
 
 
-def collate_images(
-    cuts: CutSet,
-    image_field: str = "image",
-) -> np.ndarray:
+def collate_images(cuts: CutSet, image_field: str = "image") -> np.ndarray:
     """Load and stack images into ``(batch, height, width, channel)``."""
     images = [np.asarray(cut.load_custom(image_field)) for cut in cuts]
     return np.stack(images)

@@ -10,15 +10,6 @@ from lhotse_tpu.dataset.cut_transforms.perturb_volume import PerturbVolume
 from lhotse_tpu.dataset.cut_transforms.reverberate import ReverbWithImpulseResponse
 
 __all__ = [
-    "ClippingTransform",
-    "Compress",
-    "CutConcatenate",
-    "CutMix",
-    "ExtraPadding",
-    "LowpassUsingResampling",
-    "PerturbSpeed",
-    "PerturbTempo",
-    "PerturbVolume",
-    "ReverbWithImpulseResponse",
-    "concat_cuts",
-]
+    "ClippingTransform", "Compress", "CutConcatenate", "CutMix", "ExtraPadding",
+    "LowpassUsingResampling", "PerturbSpeed", "PerturbTempo", "PerturbVolume",
+    "ReverbWithImpulseResponse", "concat_cuts"]

@@ -59,12 +59,8 @@ class ClippingTransform:
                     gain_db = self.gain_db
 
                 new_cut = cut.clip_amplitude(
-                    hard=hard,
-                    gain_db=gain_db,
-                    normalize=self.normalize,
-                    affix_id=not self.preserve_id,
-                    oversampling=self.oversampling,
-                )
+                    hard=hard, gain_db=gain_db, normalize=self.normalize,
+                    affix_id=not self.preserve_id, oversampling=self.oversampling)
                 saturated_cuts.append(new_cut)
             else:
                 saturated_cuts.append(cut)

@@ -76,10 +76,8 @@ class Compress:
 
                 codec, *_ = self.rng.choices(self.codecs, weights=self.codec_weights)
                 new_cut = cut.compress(
-                    codec=codec,
-                    compression_level=compression_level,
-                    compress_custom_fields=self.compress_custom_fields,
-                )
+                    codec=codec, compression_level=compression_level,
+                    compress_custom_fields=self.compress_custom_fields)
                 if not self.preserve_id:
                     new_cut.id = f"{new_cut.id}_{codec}_{compression_level:.2f}"
                 compressed_cuts.append(new_cut)

@@ -19,11 +19,8 @@ class CutConcatenate:
     """
 
     def __init__(
-        self,
-        gap: Seconds = 1.0,
-        duration_factor: float = 1.0,
-        max_duration: Optional[Seconds] = None,
-    ) -> None:
+        self, gap: Seconds = 1.0, duration_factor: float = 1.0,
+        max_duration: Optional[Seconds] = None) -> None:
         """
         :param gap: silence inserted between concatenated utterances, so the
             model can tell they are separate.
@@ -38,17 +35,13 @@ class CutConcatenate:
     def __call__(self, cuts: CutSet) -> CutSet:
         cuts = cuts.sort_by_duration(ascending=False)
         return concat_cuts(
-            list(cuts),
-            gap=self.gap,
-            max_duration=self.max_duration
-            if self.max_duration
-            else cuts[0].duration * self.duration_factor,
+            list(cuts), gap=self.gap,
+            max_duration=self.max_duration if self.max_duration else cuts[0].duration * self.duration_factor,
         )
 
 
 def concat_cuts(
-    cuts: Sequence[Cut], gap: Seconds = 1.0, max_duration: Optional[Seconds] = None
-) -> CutSet:
+    cuts: Sequence[Cut], gap: Seconds = 1.0, max_duration: Optional[Seconds] = None) -> CutSet:
     """
     Greedy knapsack packing: from the shortest cut upward, append it to the
     longest cut that still has room (duration + gap + shortest <= cap).

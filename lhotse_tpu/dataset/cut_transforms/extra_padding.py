@@ -19,15 +19,9 @@ class ExtraPadding:
     """
 
     def __init__(
-        self,
-        extra_frames: Optional[int] = None,
-        extra_samples: Optional[int] = None,
-        extra_seconds: Optional[Seconds] = None,
-        pad_feat_value: float = LOG_EPSILON,
-        randomized: bool = False,
-        preserve_id: bool = False,
-        direction: str = "both",
-    ) -> None:
+        self, extra_frames: Optional[int] = None, extra_samples: Optional[int] = None,
+        extra_seconds: Optional[Seconds] = None, pad_feat_value: float = LOG_EPSILON,
+        randomized: bool = False, preserve_id: bool = False, direction: str = "both") -> None:
         """
         :param extra_frames/extra_samples/extra_seconds: the total amount of
             context to add (half on each side with direction="both").
@@ -40,9 +34,7 @@ class ExtraPadding:
             "For ExtraPadding, you have to specify exactly one of: frames, "
             "samples, or duration."
         )
-        assert direction in ("both", "left", "right"), (
-            "Only three padding modes are supported"
-        )
+        assert direction in ("both", "left", "right"), ("Only three padding modes are supported")
         self.extra_frames = extra_frames
         self.extra_samples = extra_samples
         self.extra_seconds = extra_seconds

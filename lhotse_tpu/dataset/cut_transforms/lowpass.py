@@ -43,9 +43,7 @@ class LowpassUsingResampling:
                         f"sampling rate / 2 ({cut.sampling_rate // 2})"
                     )
 
-                cutoff_frequency = int(
-                    math.exp(self.rng.uniform(math.log(low), math.log(high)))
-                )
+                cutoff_frequency = int(math.exp(self.rng.uniform(math.log(low), math.log(high))))
                 new_cut = cut.resample(cutoff_frequency * 2).resample(cut.sampling_rate)
                 if not self.preserve_id:
                     new_cut.id = f"{cut.id}_lowpassed{cutoff_frequency:.0f}"

@@ -18,16 +18,10 @@ class CutMix:
     """
 
     def __init__(
-        self,
-        cuts: CutSet,
-        snr: Optional[Union[Decibels, Tuple[Decibels, Decibels]]] = (10, 20),
-        p: float = 0.5,
-        pad_to_longest: bool = True,
-        preserve_id: bool = False,
-        seed: Union[int, str, random.Random] = 42,
-        random_mix_offset: bool = False,
-        tag: Optional[str] = None,
-    ) -> None:
+        self, cuts: CutSet, snr: Optional[Union[Decibels, Tuple[Decibels, Decibels]]] = (10, 20),
+        p: float = 0.5, pad_to_longest: bool = True, preserve_id: bool = False,
+        seed: Union[int, str, random.Random] = 42, random_mix_offset: bool = False,
+        tag: Optional[str] = None) -> None:
         """
         :param cuts: CutSet with augmentation data (noise, music, babble).
         :param snr: float (fixed), (low, high) range (uniform sample), or
@@ -41,9 +35,7 @@ class CutMix:
         :param tag: optional label attached to the mixed-in tracks.
         """
         if len(cuts) == 0:
-            warnings.warn(
-                "Empty CutSet in CutMix transform: it'll act as an identity transform."
-            )
+            warnings.warn("Empty CutSet in CutMix transform: it'll act as an identity transform.")
         self.cuts, self.snr, self.p = cuts, snr, p
         self.pad_to_longest, self.preserve_id = pad_to_longest, preserve_id
         self.random_mix_offset, self.tag = random_mix_offset, tag
@@ -63,15 +55,9 @@ class CutMix:
             return cuts
         pad_target = max(c.duration for c in cuts) if self.pad_to_longest else None
         mixed = cuts.mix(
-            cuts=self.cuts,
-            duration=pad_target,
-            snr=self.snr,
-            mix_prob=self.p,
-            preserve_id="left" if self.preserve_id else None,
-            seed=self._rng(),
-            random_mix_offset=self.random_mix_offset,
-            tag=self.tag,
-        )
+            cuts=self.cuts, duration=pad_target, snr=self.snr, mix_prob=self.p,
+            preserve_id="left" if self.preserve_id else None, seed=self._rng(),
+            random_mix_offset=self.random_mix_offset, tag=self.tag)
         return mixed.to_eager()
 
     def state_dict(self) -> dict:

@@ -16,12 +16,8 @@ class PerturbTempo:
     """
 
     def __init__(
-        self,
-        factors: Union[float, Sequence[float]],
-        p: float,
-        randgen: random.Random = None,
-        preserve_id: bool = False,
-    ) -> None:
+        self, factors: Union[float, Sequence[float]], p: float, randgen: random.Random = None,
+        preserve_id: bool = False) -> None:
         self.factors = factors if isinstance(factors, Sequence) else [factors]
         self.p = p
         self.random = randgen

@@ -15,13 +15,8 @@ class PerturbVolume:
     """
 
     def __init__(
-        self,
-        p: float,
-        scale_low: float = 0.125,
-        scale_high: float = 2.0,
-        randgen: random.Random = None,
-        preserve_id: bool = False,
-    ) -> None:
+        self, p: float, scale_low: float = 0.125, scale_high: float = 2.0,
+        randgen: random.Random = None, preserve_id: bool = False) -> None:
         self.p = p
         self.scale_low = scale_low
         self.scale_high = scale_high

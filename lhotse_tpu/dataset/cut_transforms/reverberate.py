@@ -19,15 +19,9 @@ class ReverbWithImpulseResponse:
     """
 
     def __init__(
-        self,
-        rir_recordings: Optional[RecordingSet] = None,
-        p: float = 0.5,
-        normalize_output: bool = True,
-        randgen: random.Random = None,
-        preserve_id: bool = False,
-        early_only: bool = False,
-        rir_channels: List[int] = [0],
-    ) -> None:
+        self, rir_recordings: Optional[RecordingSet] = None, p: float = 0.5,
+        normalize_output: bool = True, randgen: random.Random = None, preserve_id: bool = False,
+        early_only: bool = False, rir_channels: List[int] = [0]) -> None:
         self.rir_recordings = list(rir_recordings) if rir_recordings is not None else []
         self.p = p
         self.normalize_output = normalize_output

@@ -95,28 +95,18 @@ def get_rank() -> int:
 
 
 def make_worker_init_fn(
-    rank: Optional[int] = None,
-    world_size: Optional[int] = None,
-    set_different_node_and_worker_seeds: bool = True,
-    seed: Optional[int] = 42,
+    rank: Optional[int] = None, world_size: Optional[int] = None,
+    set_different_node_and_worker_seeds: bool = True, seed: Optional[int] = 42,
 ) -> Optional[Callable[[int], None]]:
     """Create a worker_init_fn suitable for worker subprocess initialization."""
     return partial(
-        worker_init_fn,
-        rank=rank,
-        world_size=world_size,
-        set_different_node_and_worker_seeds=set_different_node_and_worker_seeds,
-        seed=seed,
-    )
+        worker_init_fn, rank=rank, world_size=world_size,
+        set_different_node_and_worker_seeds=set_different_node_and_worker_seeds, seed=seed)
 
 
 def worker_init_fn(
-    worker_id: int,
-    rank: Optional[int] = None,
-    world_size: Optional[int] = None,
-    set_different_node_and_worker_seeds: bool = True,
-    seed: Optional[int] = 42,
-) -> None:
+    worker_id: int, rank: Optional[int] = None, world_size: Optional[int] = None,
+    set_different_node_and_worker_seeds: bool = True, seed: Optional[int] = 42) -> None:
     """
     Sets per-(rank, worker) random seeds and env flags enabling worker-level
     partitioning of indexed sources (reference: dataloading.py:50).
@@ -235,8 +225,7 @@ class PartitionedIndexedIterator:
             from lhotse_tpu.indexing import LazyShuffledRange
 
             self._range = LazyShuffledRange(
-                total_len, seed=self._seed, shard_id=shard_id, num_shards=num_shards
-            )
+                total_len, seed=self._seed, shard_id=shard_id, num_shards=num_shards)
             if self._pending_range_state is not None:
                 self._range.load_state_dict(self._pending_range_state)
                 self._pending_range_state = None
@@ -257,10 +246,7 @@ class PartitionedIndexedIterator:
 
     def state_dict(self) -> dict:
         sd = {
-            "position": self._position,
-            "shard_id": self._shard_id,
-            "num_shards": self._num_shards,
-        }
+            "position": self._position, "shard_id": self._shard_id, "num_shards": self._num_shards}
         order_state = (
             self._range.state_dict()
             if self._range is not None

@@ -36,24 +36,16 @@ class DiarizationDataset:
     """
 
     def __init__(
-        self,
-        cuts: CutSet,
-        uem: Optional[SupervisionSet] = None,
-        min_speaker_dim: Optional[int] = None,
-        global_speaker_ids: bool = False,
-    ) -> None:
+        self, cuts: CutSet, uem: Optional[SupervisionSet] = None,
+        min_speaker_dim: Optional[int] = None, global_speaker_ids: bool = False) -> None:
         validate(cuts)
         if not uem:
             self.cuts = cuts
         else:
             # Intersect supervisions with the UEM scoring regions.
-            recordings = RecordingSet.from_recordings(
-                c.recording for c in cuts if c.has_recording
-            )
+            recordings = RecordingSet.from_recordings(c.recording for c in cuts if c.has_recording)
             uem_intervals = CutSet.from_manifests(
-                recordings=recordings,
-                supervisions=uem,
-            ).index_supervisions()
+                recordings=recordings, supervisions=uem).index_supervisions()
             supervisions = []
             for cut_id, index in cuts.index_supervisions().items():
                 if cut_id not in uem_intervals:
@@ -65,9 +57,7 @@ class DiarizationDataset:
                         kept.add(s.trim(u.end, start=u.start))
                 supervisions += list(kept)
             self.cuts = CutSet.from_manifests(
-                recordings=recordings,
-                supervisions=SupervisionSet.from_segments(supervisions),
-            )
+                recordings=recordings, supervisions=SupervisionSet.from_segments(supervisions))
         self.speakers = (
             {spk: idx for idx, spk in enumerate(sorted(self.cuts.speakers))}
             if global_speaker_ids

@@ -20,19 +20,9 @@ import numpy as np
 
 from lhotse_tpu.cut import CutSet, compute_supervisions_frame_mask
 from lhotse_tpu.dataset.collation import (
-    collate_audio,
-    collate_features,
-    collate_matrices,
-    collate_vectors,
-    read_audio_from_cuts,
-)
+    collate_audio, collate_features, collate_matrices, collate_vectors, read_audio_from_cuts)
 from lhotse_tpu.features import FeatureExtractor
-from lhotse_tpu.utils import (
-    LOG_EPSILON,
-    ifnone,
-    supervision_to_frames,
-    supervision_to_samples,
-)
+from lhotse_tpu.utils import (LOG_EPSILON, ifnone, supervision_to_frames, supervision_to_samples)
 
 ExecutorType = TypeVar("ExecutorType", bound=Executor)
 
@@ -45,10 +35,7 @@ class BatchIO:
     """
 
     def __init__(
-        self,
-        num_workers: int = 0,
-        executor_type: Type[ExecutorType] = ThreadPoolExecutor,
-    ) -> None:
+        self, num_workers: int = 0, executor_type: Type[ExecutorType] = ThreadPoolExecutor) -> None:
         self.num_workers = num_workers
         self._executor_type = executor_type
 
@@ -78,75 +65,48 @@ class PrecomputedFeatures(BatchIO):
     """
 
     def __init__(
-        self,
-        num_workers: int = 0,
-        executor_type: Type[ExecutorType] = ThreadPoolExecutor,
-        pad_to_multiple: Optional[int] = None,
-    ) -> None:
+        self, num_workers: int = 0, executor_type: Type[ExecutorType] = ThreadPoolExecutor,
+        pad_to_multiple: Optional[int] = None) -> None:
         super().__init__(num_workers=num_workers, executor_type=executor_type)
         self.pad_to_multiple = pad_to_multiple
 
     def __call__(
-        self,
-        cuts: CutSet,
-        pad_direction: Optional[str] = "right",
+        self, cuts: CutSet, pad_direction: Optional[str] = "right",
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns ``(features (B, T, F), feature_lens (B,))``."""
         return collate_features(
-            cuts,
-            pad_direction=pad_direction,
+            cuts, pad_direction=pad_direction,
             executor=_get_executor(self.num_workers, executor_type=self._executor_type),
-            pad_to_multiple=self.pad_to_multiple,
-        )
+            pad_to_multiple=self.pad_to_multiple)
 
     def supervision_intervals(
-        self,
-        cuts: CutSet,
-        pad_direction: Optional[str] = "right",
-    ) -> Dict[str, np.ndarray]:
+        self, cuts: CutSet, pad_direction: Optional[str] = "right") -> Dict[str, np.ndarray]:
         """Frame-domain supervision bounds: sequence_idx/start_frame/num_frames."""
         if pad_direction not in ("left", "right"):
-            raise ValueError(
-                f"pad_direction must be 'left' or 'right', got {pad_direction}"
-            )
+            raise ValueError(f"pad_direction must be 'left' or 'right', got {pad_direction}")
 
-        per_sup = [
-            (i, cut, sup)
-            for i, cut in enumerate(cuts)
-            for sup in cut.supervisions
-        ]
+        per_sup = [(i, cut, sup) for i, cut in enumerate(cuts) for sup in cut.supervisions]
         max_frames = max(cut.num_frames for cut in cuts)
         bounds = [
-            supervision_to_frames(
-                sup, cut.frame_shift, cut.sampling_rate, max_frames=cut.num_frames
-            )
-            for _, cut, sup in per_sup
-        ]
+            supervision_to_frames( sup, cut.frame_shift, cut.sampling_rate, max_frames=cut.num_frames ) for _,
+            cut, sup in per_sup]
         start_frames = [b[0] for b in bounds]
         nums_frames = [b[1] for b in bounds]
         if pad_direction == "left":
             # Left padding shifts every supervision by the pad amount.
             start_frames = [
-                s + (max_frames - cut.num_frames)
-                for s, (_, cut, _) in zip(start_frames, per_sup)
-            ]
+                s + (max_frames - cut.num_frames) for s, (_, cut, _) in zip(start_frames, per_sup)]
         return {
             "sequence_idx": np.array([i for i, _, _ in per_sup], dtype=np.int32),
             "start_frame": np.array(start_frames, dtype=np.int32),
-            "num_frames": np.array(nums_frames, dtype=np.int32),
-        }
+            "num_frames": np.array(nums_frames, dtype=np.int32)}
 
     def supervision_masks(
-        self,
-        cuts: CutSet,
-        use_alignment_if_exists: Optional[str] = None,
-        pad_direction: Optional[str] = "right",
-    ) -> np.ndarray:
+        self, cuts: CutSet, use_alignment_if_exists: Optional[str] = None,
+        pad_direction: Optional[str] = "right") -> np.ndarray:
         """Mask of supervised frames (optionally from a named alignment)."""
         if pad_direction not in ("left", "right"):
-            raise ValueError(
-                f"pad_direction must be 'left' or 'right', got {pad_direction}"
-            )
+            raise ValueError(f"pad_direction must be 'left' or 'right', got {pad_direction}")
         masks = [
             cut.supervisions_feature_mask(use_alignment_if_exists=use_alignment_if_exists)
             for cut in cuts
@@ -161,13 +121,9 @@ class AudioSamples(BatchIO):
     """
 
     def __init__(
-        self,
-        num_workers: int = 0,
-        fault_tolerant: bool = False,
-        executor_type: Type[ExecutorType] = ThreadPoolExecutor,
-        mono_downmix: Optional[bool] = None,
-        pad_to_multiple: Optional[int] = None,
-    ) -> None:
+        self, num_workers: int = 0, fault_tolerant: bool = False,
+        executor_type: Type[ExecutorType] = ThreadPoolExecutor, mono_downmix: Optional[bool] = None,
+        pad_to_multiple: Optional[int] = None) -> None:
         """
         :param fault_tolerant: skip cuts with failed reads; ``__call__``
             returns the surviving CutSet as an extra item.
@@ -181,17 +137,13 @@ class AudioSamples(BatchIO):
         self.pad_to_multiple = pad_to_multiple
 
     def __call__(
-        self, cuts: CutSet, recording_field: Optional[str] = None
+        self, cuts: CutSet, recording_field: Optional[str] = None,
     ) -> Union[Tuple[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray, CutSet]]:
         """Returns ``(audio (B, T), audio_lens (B,)[, cuts])``."""
         return collate_audio(
-            cuts,
-            executor=_get_executor(self.num_workers, executor_type=self._executor_type),
-            fault_tolerant=self.fault_tolerant,
-            recording_field=recording_field,
-            mono_downmix=self.mono_downmix,
-            pad_to_multiple=self.pad_to_multiple,
-        )
+            cuts, executor=_get_executor(self.num_workers, executor_type=self._executor_type),
+            fault_tolerant=self.fault_tolerant, recording_field=recording_field,
+            mono_downmix=self.mono_downmix, pad_to_multiple=self.pad_to_multiple)
 
     def supervision_intervals(self, cuts: CutSet) -> Dict[str, np.ndarray]:
         """Sample-domain supervision bounds: sequence_idx/start_sample/num_samples."""
@@ -206,22 +158,14 @@ class AudioSamples(BatchIO):
         return {
             "sequence_idx": np.array(sequence_idx, dtype=np.int32),
             "start_sample": np.array(start_samples, dtype=np.int32),
-            "num_samples": np.array(nums_samples, dtype=np.int32),
-        }
+            "num_samples": np.array(nums_samples, dtype=np.int32)}
 
     def supervision_masks(
-        self, cuts: CutSet, use_alignment_if_exists: Optional[str] = None
-    ) -> np.ndarray:
+        self, cuts: CutSet, use_alignment_if_exists: Optional[str] = None) -> np.ndarray:
         """Mask of supervised samples (optionally from a named alignment)."""
         return collate_vectors(
-            [
-                cut.supervisions_audio_mask(
-                    use_alignment_if_exists=use_alignment_if_exists
-                )
-                for cut in cuts
-            ],
-            padding_value=0,
-        )
+            [ cut.supervisions_audio_mask( use_alignment_if_exists=use_alignment_if_exists ) for cut in cuts ],
+            padding_value=0)
 
 
 class OnTheFlyFeatures(BatchIO):
@@ -234,15 +178,10 @@ class OnTheFlyFeatures(BatchIO):
     """
 
     def __init__(
-        self,
-        extractor: FeatureExtractor,
-        wave_transforms: List[Callable[[np.ndarray], np.ndarray]] = None,
-        num_workers: int = 0,
-        use_batch_extract: bool = True,
-        fault_tolerant: bool = False,
-        return_audio: bool = False,
-        executor_type: Type[ExecutorType] = ThreadPoolExecutor,
-    ) -> None:
+        self, extractor: FeatureExtractor,
+        wave_transforms: List[Callable[[np.ndarray], np.ndarray]] = None, num_workers: int = 0,
+        use_batch_extract: bool = True, fault_tolerant: bool = False, return_audio: bool = False,
+        executor_type: Type[ExecutorType] = ThreadPoolExecutor) -> None:
         """
         :param extractor: feature extractor applied on-the-fly.
         :param wave_transforms: optional per-waveform transforms applied
@@ -261,17 +200,14 @@ class OnTheFlyFeatures(BatchIO):
         self.return_audio = return_audio
 
     def __call__(
-        self, cuts: CutSet, recording_field: Optional[str] = None
+        self, cuts: CutSet, recording_field: Optional[str] = None,
     ) -> Union[Tuple[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray, CutSet]]:
         """
         Returns ``(feats (B, T, F), feat_lens[, audios, audio_lens][, cuts])``.
         """
         audios, cuts = read_audio_from_cuts(
-            cuts,
-            executor=_get_executor(self.num_workers, executor_type=self._executor_type),
-            suppress_errors=self.fault_tolerant,
-            recording_field=recording_field,
-        )
+            cuts, executor=_get_executor(self.num_workers, executor_type=self._executor_type),
+            suppress_errors=self.fault_tolerant, recording_field=recording_field)
 
         for tfnm in self.wave_transforms:
             for idx in range(len(audios)):
@@ -279,12 +215,9 @@ class OnTheFlyFeatures(BatchIO):
 
         cuts_list = list(cuts)
         if self.use_batch_extract:
-            assert all(
-                c.sampling_rate == cuts_list[0].sampling_rate for c in cuts_list
-            )
+            assert all(c.sampling_rate == cuts_list[0].sampling_rate for c in cuts_list)
             features_single = self.extractor.extract_batch(
-                audios, sampling_rate=cuts_list[0].sampling_rate
-            )
+                audios, sampling_rate=cuts_list[0].sampling_rate)
             features_single = [np.asarray(f) for f in features_single]
         else:
             features_single = []
@@ -329,29 +262,19 @@ class OnTheFlyFeatures(BatchIO):
         return {
             "sequence_idx": np.array(sequence_idx, dtype=np.int32),
             "start_frame": np.array(start_frames, dtype=np.int32),
-            "num_frames": np.array(nums_frames, dtype=np.int32),
-        }
+            "num_frames": np.array(nums_frames, dtype=np.int32)}
 
     def supervision_masks(
-        self, cuts: CutSet, use_alignment_if_exists: Optional[str] = None
-    ) -> np.ndarray:
+        self, cuts: CutSet, use_alignment_if_exists: Optional[str] = None) -> np.ndarray:
         """Mask of supervised frames using the extractor's frame_shift."""
         return collate_vectors(
-            [
-                compute_supervisions_frame_mask(
-                    cut,
-                    frame_shift=self.extractor.frame_shift,
-                    use_alignment_if_exists=use_alignment_if_exists,
-                )
-                for cut in cuts
-            ],
-            padding_value=0,
-        )
+            [ compute_supervisions_frame_mask( cut, frame_shift=self.extractor.frame_shift, use_alignment_if_exists=use_alignment_if_exists, ) for cut in cuts ],
+            padding_value=0)
 
 
 @lru_cache(maxsize=1)
 def _get_executor(
-    max_workers: int = 0, executor_type: Type[ExecutorType] = ThreadPoolExecutor
+    max_workers: int = 0, executor_type: Type[ExecutorType] = ThreadPoolExecutor,
 ) -> Optional[Executor]:
     """Process-global cached thread/process pool for concurrent reads."""
     if max_workers <= 0:

@@ -43,12 +43,8 @@ class IterableDatasetWrapper:
     """
 
     def __init__(
-        self,
-        dataset,
-        sampler: CutSampler,
-        auto_increment_epoch: bool = False,
-        reset_on_iter: bool = False,
-    ) -> None:
+        self, dataset, sampler: CutSampler, auto_increment_epoch: bool = False,
+        reset_on_iter: bool = False) -> None:
         self.dataset, self.sampler = dataset, sampler
         self.auto_increment_epoch = auto_increment_epoch
         self.reset_on_iter = reset_on_iter
@@ -101,10 +97,7 @@ class IterableDatasetWrapper:
 
     def state_dict(self) -> dict:
         """Stateful-protocol checkpoint of the wrapper + sampler."""
-        return {
-            "epoch": self.epoch,
-            "sampler_state": self.sampler.state_dict(),
-        }
+        return {"epoch": self.epoch, "sampler_state": self.sampler.state_dict()}
 
     def load_state_dict(self, sd: dict) -> None:
         """Restore; sampler re-iteration is deferred to stay picklable."""

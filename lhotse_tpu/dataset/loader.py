@@ -59,35 +59,18 @@ def _pin_worker_jax_platform(platform: str) -> None:
 
 
 def _worker_entrypoint(
-    worker_id: int,
-    num_workers: int,
-    rank: int,
-    world_size: int,
-    seed: int,
-    dedup: str,
-    jax_platform,
-    sampler,
-    dataset,
-    apply_fn,
-    out_q,
-) -> None:
+    worker_id: int, num_workers: int, rank: int, world_size: int, seed: int, dedup: str,
+    jax_platform, sampler, dataset, apply_fn, out_q) -> None:
     """Body of one spawned assembly worker (module-level for picklability)."""
-    from lhotse_tpu.dataset.dataloading import (
-        WorkerInfo,
-        set_worker_info,
-        worker_init_fn,
-    )
+    from lhotse_tpu.dataset.dataloading import (WorkerInfo, set_worker_info, worker_init_fn)
 
     if jax_platform is not None:
         _pin_worker_jax_platform(jax_platform)
 
     set_worker_info(WorkerInfo(id=worker_id, num_workers=num_workers, seed=seed))
     worker_init_fn(
-        worker_id,
-        rank=rank if dedup == "partition" else None,
-        world_size=world_size if dedup == "partition" else None,
-        seed=seed,
-    )
+        worker_id, rank=rank if dedup == "partition" else None,
+        world_size=world_size if dedup == "partition" else None, seed=seed)
     try:
         for batch_idx, cuts in enumerate(sampler):
             if dedup == "batch" and batch_idx % num_workers != worker_id:
@@ -124,20 +107,11 @@ class DataLoader:
     """
 
     def __init__(
-        self,
-        sampler: Iterable,
-        dataset: Any,
-        prefetch_batches: int = 2,
-        apply_fn: Optional[Callable[[Any], Any]] = None,
-        num_workers: int = 0,
-        worker_dedup: str = "batch",
-        seed: int = 42,
-        worker_jax_platform: str = "cpu",
-    ):
+        self, sampler: Iterable, dataset: Any, prefetch_batches: int = 2,
+        apply_fn: Optional[Callable[[Any], Any]] = None, num_workers: int = 0,
+        worker_dedup: str = "batch", seed: int = 42, worker_jax_platform: str = "cpu"):
         if worker_dedup not in ("batch", "partition"):
-            raise ValueError(
-                f"worker_dedup must be 'batch' or 'partition', got {worker_dedup!r}"
-            )
+            raise ValueError(f"worker_dedup must be 'batch' or 'partition', got {worker_dedup!r}")
         self.sampler = sampler
         self.dataset = dataset
         self.prefetch_batches = max(int(prefetch_batches), 0)
@@ -194,10 +168,7 @@ class DataLoader:
 
         ctx = mp.get_context("spawn")
         rank, world = get_rank(), get_world_size()
-        queues = [
-            ctx.Queue(maxsize=max(self.prefetch_batches, 1))
-            for _ in range(self.num_workers)
-        ]
+        queues = [ctx.Queue(maxsize=max(self.prefetch_batches, 1)) for _ in range(self.num_workers)]
         procs = [
             ctx.Process(
                 target=_worker_entrypoint,

@@ -108,11 +108,7 @@ def attach_dataloading_info(cuts: CutSet, rank: int, world_size: int) -> None:
     from lhotse_tpu.dataset.dataloading import get_worker_info
 
     wi = get_worker_info()
-    stamp = {
-        "rank": rank,
-        "world_size": world_size,
-        "worker_id": None if wi is None else wi.id,
-    }
+    stamp = {"rank": rank, "world_size": world_size, "worker_id": None if wi is None else wi.id}
     for cut in cuts:
         cut.dataloading_info = stamp
 
@@ -125,13 +121,8 @@ class CutSampler(Dillable):
     """
 
     def __init__(
-        self,
-        shuffle: bool = False,
-        drop_last: bool = False,
-        world_size: Optional[int] = None,
-        rank: Optional[int] = None,
-        seed: Union[int, str] = 0,
-    ) -> None:
+        self, shuffle: bool = False, drop_last: bool = False, world_size: Optional[int] = None,
+        rank: Optional[int] = None, seed: Union[int, str] = 0) -> None:
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.seed = seed
@@ -197,14 +188,9 @@ class CutSampler(Dillable):
         RNG states of stateful batch transforms.
         """
         sd = {
-            "epoch": self.epoch,
-            "drop_last": self.drop_last,
-            "world_size": self.world_size,
-            "rank": self.rank,
-            "seed": self.seed,
-            "shuffle": self.shuffle,
-            "diagnostics": self.diagnostics.state_dict(),
-        }
+            "epoch": self.epoch, "drop_last": self.drop_last, "world_size": self.world_size,
+            "rank": self.rank, "seed": self.seed, "shuffle": self.shuffle,
+            "diagnostics": self.diagnostics.state_dict()}
         source_state = self._capture_cuts_state()
         if source_state is not None:
             sd["cuts_state"] = source_state
@@ -288,9 +274,7 @@ class CutSampler(Dillable):
         raise NotImplementedError("Sub-classes of CutSampler must implement __iter__()")
 
     def _next_batch(self):
-        raise NotImplementedError(
-            "Sub-classes of CutSampler must implement self._next_batch()"
-        )
+        raise NotImplementedError("Sub-classes of CutSampler must implement self._next_batch()")
 
     @property
     def remaining_duration(self) -> Optional[float]:
@@ -329,9 +313,7 @@ class CutSampler(Dillable):
             except StopIteration:
                 if self.world_size == 1 or self.drop_last:
                     raise
-        self.diagnostics.consumed(
-            sum(len(b[0]) if isinstance(b, tuple) else len(b) for b in drawn)
-        )
+        self.diagnostics.consumed(sum(len(b[0]) if isinstance(b, tuple) else len(b) for b in drawn))
         return drawn
 
     def _rebalance_tail(self, batches: list) -> list:
@@ -389,9 +371,7 @@ class SamplingConstraint(metaclass=ABCMeta):
     def measure_length(self, example: Any) -> float:
         ...
 
-    def select_bucket(
-        self, buckets: Any, example: Any = None, example_len: Any = None
-    ) -> int:
+    def select_bucket(self, buckets: Any, example: Any = None, example_len: Any = None) -> int:
         """Index of the first bucket whose boundary exceeds the example length."""
         if not exactly_one_not_null(example, example_len):
             raise AssertionError(
@@ -476,10 +456,8 @@ class TimeConstraint(SamplingConstraint):
         return asdict(self)
 
     _STATE_FIELDS = (
-        ("max_duration", ...), ("max_cuts", ...), ("current", ...),
-        ("num_cuts", ...), ("longest_seen", 0), ("quadratic_duration", None),
-        ("concatenate_cuts", None),
-    )
+        ("max_duration", ...), ("max_cuts", ...), ("current", ...), ("num_cuts", ...),
+        ("longest_seen", 0), ("quadratic_duration", None), ("concatenate_cuts", None))
 
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
         for name, default in self._STATE_FIELDS:
@@ -506,11 +484,9 @@ class TimeConstraint(SamplingConstraint):
                 )
         return TimeConstraint(
             max_duration=self.max_duration, max_cuts=self.max_cuts,
-            current=self.current + other.current,
-            num_cuts=self.num_cuts + other.num_cuts,
+            current=self.current + other.current, num_cuts=self.num_cuts + other.num_cuts,
             longest_seen=max(self.longest_seen, other.longest_seen),
-            quadratic_duration=self.quadratic_duration,
-        )
+            quadratic_duration=self.quadratic_duration)
 
     def __eq__(self, other: "TimeConstraint") -> bool:
         return all(
@@ -588,9 +564,7 @@ def _report_row(label: str, kept_c, total_c, disc_c, kept_b, total_b, disc_b) ->
     )
 
 
-_EMPTY_REPORT = (
-    "Sampling statistics unavailable: EpochDiagnostics received no cuts or batches."
-)
+_EMPTY_REPORT = ("Sampling statistics unavailable: EpochDiagnostics received no cuts or batches.")
 
 
 @dataclass
@@ -628,10 +602,8 @@ class EpochDiagnostics:
         if self.total_batches == 0 or self.total_cuts == 0:
             return _EMPTY_REPORT
         return _report_row(
-            f"ep {self.epoch:>3d}",
-            self.kept_cuts, self.total_cuts, self.discarded_cuts,
-            self.kept_batches, self.total_batches, self.discarded_batches,
-        )
+            f"ep {self.epoch:>3d}", self.kept_cuts, self.total_cuts, self.discarded_cuts,
+            self.kept_batches, self.total_batches, self.discarded_batches)
 
     def state_dict(self) -> Dict[str, Any]:
         return asdict(self)
@@ -656,13 +628,11 @@ class EpochDiagnostics:
                 f"Cannot merge EpochDiagnostics of epochs {self.epoch} != {other.epoch}"
             )
         return EpochDiagnostics(
-            epoch=self.epoch,
-            kept_cuts=self.kept_cuts + other.kept_cuts,
+            epoch=self.epoch, kept_cuts=self.kept_cuts + other.kept_cuts,
             kept_batches=self.kept_batches + other.kept_batches,
             discarded_cuts=self.discarded_cuts + other.discarded_cuts,
             discarded_batches=self.discarded_batches + other.discarded_batches,
-            source_cuts=self.source_cuts + other.source_cuts,
-        )
+            source_cuts=self.source_cuts + other.source_cuts)
 
 
 @dataclass
@@ -695,9 +665,7 @@ class SamplingDiagnostics:
         n = sum(1 for _ in cuts)
         stats.kept_cuts += n
         if n == 0:
-            warnings.warn(
-                "Found and accepted batch with zero cuts. This could be an error."
-            )
+            warnings.warn("Found and accepted batch with zero cuts. This could be an error.")
         stats.kept_batches += 1
 
     def consumed(self, num_cuts: int) -> None:
@@ -749,15 +717,12 @@ class SamplingDiagnostics:
     def load_state_dict(self, state_dict: Dict[str, Any]) -> "SamplingDiagnostics":
         self.current_epoch = state_dict.pop("current_epoch")
         self.stats_per_epoch = {
-            int(epoch): EpochDiagnostics().load_state_dict(sd)
-            for epoch, sd in state_dict.pop("stats_per_epoch").items()
-        }
+            int(epoch): EpochDiagnostics().load_state_dict(sd) for epoch,
+            sd in state_dict.pop("stats_per_epoch").items()}
         return self
 
     def __add__(self, other: "SamplingDiagnostics") -> "SamplingDiagnostics":
         merged = deepcopy(self.stats_per_epoch)
         for epoch, stats in other.stats_per_epoch.items():
             merged[epoch] = merged[epoch] + stats if epoch in merged else stats
-        return SamplingDiagnostics(
-            current_epoch=self.current_epoch, stats_per_epoch=merged
-        )
+        return SamplingDiagnostics(current_epoch=self.current_epoch, stats_per_epoch=merged)

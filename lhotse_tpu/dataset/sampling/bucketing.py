@@ -34,14 +34,8 @@ class BucketingSampler(CutSampler):
     """
 
     def __init__(
-        self,
-        *cuts: CutSet,
-        sampler_type: Type = SimpleCutSampler,
-        num_buckets: int = 10,
-        drop_last: bool = False,
-        seed: int = 0,
-        **kwargs: Any,
-    ) -> None:
+        self, *cuts: CutSet, sampler_type: Type = SimpleCutSampler, num_buckets: int = 10,
+        drop_last: bool = False, seed: int = 0, **kwargs: Any) -> None:
         # Distributed dedup is handled by the per-bucket sub-samplers, not here.
         super().__init__(drop_last=drop_last, world_size=1, rank=0, seed=seed)
         if any(cs.is_lazy for cs in cuts):
@@ -63,11 +57,7 @@ class BucketingSampler(CutSampler):
 
     def _alive(self) -> List[Tuple[int, CutSampler]]:
         """(index, sampler) pairs of buckets that still have data."""
-        return [
-            (i, s)
-            for i, s in enumerate(self.bucket_samplers)
-            if not self.depleted[i]
-        ]
+        return [(i, s) for i, s in enumerate(self.bucket_samplers) if not self.depleted[i]]
 
     def _sum_over_alive(self, attr: str) -> Optional[float]:
         values = [getattr(s, attr) for _, s in self._alive()]
@@ -184,9 +174,7 @@ class BucketingSampler(CutSampler):
         return self.diagnostics.get_report()
 
 
-def create_buckets_equal_duration(
-    *cuts: CutSet, num_buckets: int
-) -> List[Tuple[CutSet, ...]]:
+def create_buckets_equal_duration(*cuts: CutSet, num_buckets: int) -> List[Tuple[CutSet, ...]]:
     """
     Partition CutSets into buckets of equal cumulative duration. The first
     CutSet defines the bucketing; additional CutSets (paired by cut ID)
@@ -196,9 +184,7 @@ def create_buckets_equal_duration(
     lead_buckets = _equal_duration_buckets(lead, num_buckets=num_buckets)
     per_cutset = [lead_buckets]
     for follower in cuts[1:]:
-        per_cutset.append(
-            [follower.subset(cut_ids=bucket.ids) for bucket in lead_buckets]
-        )
+        per_cutset.append([follower.subset(cut_ids=bucket.ids) for bucket in lead_buckets])
     return list(zip(*per_cutset))
 
 

@@ -130,8 +130,7 @@ class SeekResume:
         present = {
             "source_positions": _saved_positions(s) is not None,
             "rng_state": getattr(s, "_rng_state", None) is not None,
-            "bucketer_state": getattr(s, "_bucketer_state", None) is not None,
-        }
+            "bucketer_state": getattr(s, "_bucketer_state", None) is not None}
         return (
             f"{type(s).__name__} reads from seekable (indexed) sources but its "
             f"checkpoint is incomplete for O(1) resume after {self.steps_done} "

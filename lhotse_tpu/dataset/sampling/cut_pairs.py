@@ -29,40 +29,23 @@ class CutPairsSampler(CutSampler):
     """
 
     def __init__(
-        self,
-        source_cuts: CutSet,
-        target_cuts: CutSet,
-        max_source_duration: Seconds = None,
-        max_target_duration: Seconds = None,
-        max_cuts: Optional[int] = None,
-        shuffle: bool = False,
-        drop_last: bool = False,
-        world_size: Optional[int] = None,
-        rank: Optional[int] = None,
-        seed: int = 0,
-    ):
+        self, source_cuts: CutSet, target_cuts: CutSet, max_source_duration: Seconds = None,
+        max_target_duration: Seconds = None, max_cuts: Optional[int] = None, shuffle: bool = False,
+        drop_last: bool = False, world_size: Optional[int] = None, rank: Optional[int] = None,
+        seed: int = 0):
         super().__init__(
-            drop_last=drop_last,
-            shuffle=shuffle,
-            world_size=world_size,
-            rank=rank,
-            seed=seed,
-        )
+            drop_last=drop_last, shuffle=shuffle, world_size=world_size, rank=rank, seed=seed)
         self.source_cuts = DataSource(source_cuts)
         self.target_cuts = DataSource(target_cuts)
         self.source_constraints = TimeConstraint(
-            max_duration=max_source_duration, max_cuts=max_cuts
-        )
+            max_duration=max_source_duration, max_cuts=max_cuts)
         self.target_constraints = TimeConstraint(
-            max_duration=max_target_duration, max_cuts=max_cuts
-        )
+            max_duration=max_target_duration, max_cuts=max_cuts)
 
     # Progress accounting follows the source stream (None for lazy CutSets).
     remaining_duration = property(lambda self: self.source_cuts.remaining_duration)
     remaining_cuts = property(lambda self: self.source_cuts.remaining_cuts)
-    num_cuts = property(
-        lambda self: None if self.source_cuts.is_lazy else len(self.source_cuts)
-    )
+    num_cuts = property(lambda self: None if self.source_cuts.is_lazy else len(self.source_cuts))
 
     def state_dict(self) -> Dict[str, Any]:
         sd = super().state_dict()
@@ -141,9 +124,7 @@ class CutPairsSampler(CutSampler):
 
             self.source_constraints.add(src)
             self.target_constraints.add(tgt)
-            overflow = (
-                self.source_constraints.exceeded() or self.target_constraints.exceeded()
-            )
+            overflow = (self.source_constraints.exceeded() or self.target_constraints.exceeded())
             if not overflow:
                 pairs.append((src, tgt))
                 continue

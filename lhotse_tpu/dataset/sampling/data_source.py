@@ -105,13 +105,7 @@ class WeightedDataSource(DataSource):
     distribution without replacement, with per-cut weights.
     """
 
-    def __init__(
-        self,
-        items: CutSet,
-        weights: List,
-        num_samples: int,
-        seed: int = 0,
-    ):
+    def __init__(self, items: CutSet, weights: List, num_samples: int, seed: int = 0):
         super().__init__(items=items)
         assert len(items) == len(weights), (
             f"Expected one weight per cut ({len(items)} cuts, {len(weights)} weights)."
@@ -145,9 +139,7 @@ class WeightedDataSource(DataSource):
         self._iter = iter(self._shuffled_items)
         # Seeded per-epoch draw: reproducible and identical across ranks.
         rng = np.random.default_rng(self.seed + self.epoch)
-        drawn = rng.choice(
-            len(self.weights), self.num_samples, p=self.weights, replace=False
-        )
+        drawn = rng.choice(len(self.weights), self.num_samples, p=self.weights, replace=False)
         self.sampled_indexes = iter(drawn)
         return self
 

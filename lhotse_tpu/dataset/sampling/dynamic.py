@@ -11,28 +11,13 @@ buffered streaming shuffle per epoch, and two checkpoint-restore paths
 import random
 import warnings
 from collections import deque
-from typing import (
-    Any,
-    Callable,
-    Dict,
-    Generator,
-    Iterable,
-    List,
-    Optional,
-    Tuple,
-    Union,
-)
+from typing import (Any, Callable, Dict, Generator, Iterable, List, Optional, Tuple, Union)
 
 from lhotse_tpu.cut import Cut, CutSet
 from lhotse_tpu.dataset.dataloading import resolve_seed
 from lhotse_tpu.dataset.sampling.base import (
-    CutSampler,
-    SamplingConstraint,
-    SamplingDiagnostics,
-    TimeConstraint,
-    capture_sources_state,
-    restore_sources_state,
-)
+    CutSampler, SamplingConstraint, SamplingDiagnostics, TimeConstraint, capture_sources_state,
+    restore_sources_state)
 from lhotse_tpu.dataset.sampling.checkpoint_backends import plan_resume
 from lhotse_tpu.lazy import LazyShuffler, resolve_iterator_source
 from lhotse_tpu.utils import Seconds, ifnone
@@ -56,26 +41,14 @@ class DynamicCutSampler(CutSampler):
     """
 
     def __init__(
-        self,
-        *cuts: Iterable,
-        max_duration: Optional[Seconds] = None,
-        max_cuts: Optional[int] = None,
-        constraint: Optional[SamplingConstraint] = None,
-        shuffle: bool = False,
-        drop_last: bool = False,
-        consistent_ids: bool = True,
-        shuffle_buffer_size: int = 20000,
-        quadratic_duration: Optional[Seconds] = None,
-        world_size: Optional[int] = None,
-        rank: Optional[int] = None,
-        seed: Union[int, str] = 0,
+        self, *cuts: Iterable, max_duration: Optional[Seconds] = None,
+        max_cuts: Optional[int] = None, constraint: Optional[SamplingConstraint] = None,
+        shuffle: bool = False, drop_last: bool = False, consistent_ids: bool = True,
+        shuffle_buffer_size: int = 20000, quadratic_duration: Optional[Seconds] = None,
+        world_size: Optional[int] = None, rank: Optional[int] = None, seed: Union[int, str] = 0,
     ) -> None:
-        super().__init__(
-            drop_last=drop_last, world_size=world_size, rank=rank, seed=seed
-        )
-        eager_inputs = [
-            cs for cs in cuts if isinstance(cs, CutSet) and not cs.is_lazy
-        ]
+        super().__init__(drop_last=drop_last, world_size=world_size, rank=rank, seed=seed)
+        eager_inputs = [cs for cs in cuts if isinstance(cs, CutSet) and not cs.is_lazy]
         if eager_inputs:
             warnings.warn(
                 "You are using DynamicCutSampler with an eagerly read CutSet. "
@@ -90,12 +63,7 @@ class DynamicCutSampler(CutSampler):
         self._active_cuts = None
 
     _CONFIG_KEYS = (
-        "max_duration",
-        "max_cuts",
-        "consistent_ids",
-        "shuffle_buffer_size",
-        "quadratic_duration",
-    )
+        "max_duration", "max_cuts", "consistent_ids", "shuffle_buffer_size", "quadratic_duration")
 
     def state_dict(self) -> Dict[str, Any]:
         # Custom constraint objects are reconstructed from config, not stored;
@@ -117,9 +85,7 @@ class DynamicCutSampler(CutSampler):
         current_epoch = self.diagnostics.current_epoch
         num_batches_to_iter = self.diagnostics.current_epoch_stats.total_batches
         self.set_epoch(current_epoch)
-        plan_resume(
-            self, "dynamic", epoch=current_epoch, steps_done=num_batches_to_iter
-        ).run()
+        plan_resume(self, "dynamic", epoch=current_epoch, steps_done=num_batches_to_iter).run()
 
     def _initialize_replay_iterator(self) -> None:
         self._cuts_state, self._active_cuts = None, None
@@ -132,10 +98,8 @@ class DynamicCutSampler(CutSampler):
     def _wrap_shuffled(self, src, rng_seed: int):
         """One input stream -> buffered streaming shuffle for this epoch."""
         mixed = LazyShuffler(
-            resolve_iterator_source(src),
-            buffer_size=self.shuffle_buffer_size,
-            rng=random.Random(rng_seed),
-        )
+            resolve_iterator_source(src), buffer_size=self.shuffle_buffer_size,
+            rng=random.Random(rng_seed))
         return CutSet(mixed) if isinstance(src, CutSet) else mixed
 
     def _make_epoch_sources(self):
@@ -147,14 +111,10 @@ class DynamicCutSampler(CutSampler):
     def _initialize_epoch_iterator(self, *, rebuild_sources: bool) -> None:
         if rebuild_sources or self._active_cuts is None:
             self._active_cuts = self._make_epoch_sources()
-        streams = tuple(
-            iter(resolve_iterator_source(cs)) for cs in self._active_cuts
-        )
+        streams = tuple(iter(resolve_iterator_source(cs)) for cs in self._active_cuts)
         surviving = Filter(
-            iterator=zip(*streams),
-            predicate=lambda tpl: all(map(self._filter_fn, tpl)),
-            diagnostics=self.diagnostics,
-        )
+            iterator=zip(*streams), predicate=lambda tpl: all(map(self._filter_fn, tpl)),
+            diagnostics=self.diagnostics)
         self.cuts_iter = iter(
             DurationBatcher(
                 surviving,
@@ -223,15 +183,10 @@ class DurationBatcher:
     """Greedy constraint-batching over a cut (or cut-tuple) iterator."""
 
     def __init__(
-        self,
-        datapipe: Iterable[Union[Cut, Tuple[Cut]]],
-        max_duration: Seconds = None,
-        max_cuts: Optional[int] = None,
-        constraint: Optional[SamplingConstraint] = None,
-        drop_last: bool = False,
-        quadratic_duration: Optional[Seconds] = None,
-        diagnostics: Optional[SamplingDiagnostics] = None,
-    ) -> None:
+        self, datapipe: Iterable[Union[Cut, Tuple[Cut]]], max_duration: Seconds = None,
+        max_cuts: Optional[int] = None, constraint: Optional[SamplingConstraint] = None,
+        drop_last: bool = False, quadratic_duration: Optional[Seconds] = None,
+        diagnostics: Optional[SamplingDiagnostics] = None) -> None:
         self.datapipe, self.drop_last = datapipe, drop_last
         self.reuse_cuts_buffer = deque()
         self.diagnostics = ifnone(diagnostics, SamplingDiagnostics())
@@ -292,11 +247,8 @@ class Filter(Iterable):
     """Lazy filter that also records discarded items in the diagnostics."""
 
     def __init__(
-        self,
-        iterator: Iterable,
-        predicate: Callable[[Cut], bool],
-        diagnostics: Optional[SamplingDiagnostics] = None,
-    ) -> None:
+        self, iterator: Iterable, predicate: Callable[[Cut], bool],
+        diagnostics: Optional[SamplingDiagnostics] = None) -> None:
         self.iterator = iterator
         self.predicate = predicate
         self.diagnostics = ifnone(diagnostics, SamplingDiagnostics())

@@ -33,47 +33,23 @@ import warnings
 from collections import deque
 from dataclasses import asdict, dataclass
 from itertools import islice
-from typing import (
-    Any,
-    Callable,
-    Dict,
-    Generator,
-    Iterable,
-    List,
-    Optional,
-    Tuple,
-    Union,
-)
+from typing import (Any, Callable, Dict, Generator, Iterable, List, Optional, Tuple, Union)
 
 import numpy as np
 
 from lhotse_tpu.cut import Cut, CutSet
 from lhotse_tpu.dataset.dataloading import resolve_seed
 from lhotse_tpu.dataset.sampling.base import (
-    CutSampler,
-    SamplingConstraint,
-    SamplingDiagnostics,
-    TimeConstraint,
-)
+    CutSampler, SamplingConstraint, SamplingDiagnostics, TimeConstraint)
 from lhotse_tpu.dataset.sampling.checkpoint_backends import plan_resume
-from lhotse_tpu.dataset.sampling.dynamic import (
-    DurationBatcher,
-    Filter,
-    check_constraint,
-)
+from lhotse_tpu.dataset.sampling.dynamic import (DurationBatcher, Filter, check_constraint)
 from lhotse_tpu.lazy import (
-    IteratorNode,
-    require_graph_origin,
-    resolve_iterator_source,
-    supports_graph_restore,
-)
+    IteratorNode, require_graph_origin, resolve_iterator_source, supports_graph_restore)
 from lhotse_tpu.utils import Seconds, ifnone
 
 
 def estimate_duration_buckets(
-    cuts: Iterable[Cut],
-    num_buckets: int,
-    constraint: Optional[SamplingConstraint] = None,
+    cuts: Iterable[Cut], num_buckets: int, constraint: Optional[SamplingConstraint] = None,
 ) -> List[float]:
     """
     Choose ``num_buckets - 1`` ascending boundary lengths so that each bucket
@@ -174,11 +150,7 @@ class _StickyBinChooser:
         return self._choice
 
     def save(self) -> Dict[str, Any]:
-        return {
-            "rng": self.rng.getstate(),
-            "choice": self._choice,
-            "left": self._left,
-        }
+        return {"rng": self.rng.getstate(), "choice": self._choice, "left": self._left}
 
     def restore(self, snap: Dict[str, Any]) -> None:
         self.rng.setstate(snap["rng"])
@@ -208,15 +180,13 @@ class DynamicBucketer:
     """
 
     def __init__(
-        self, cuts: Iterable[Union[Cut, Tuple[Cut]]], duration_bins: List[Seconds],
-        world_size: int, max_duration: Optional[Seconds] = None,
-        max_cuts: Optional[int] = None, constraint: Optional[SamplingConstraint] = None,
-        drop_last: bool = False, buffer_size: int = 10000,
-        quadratic_duration: Optional[Seconds] = None, shuffle: bool = False,
-        rng: random.Random = None, bucket_rng: random.Random = None,
+        self, cuts: Iterable[Union[Cut, Tuple[Cut]]], duration_bins: List[Seconds], world_size: int,
+        max_duration: Optional[Seconds] = None, max_cuts: Optional[int] = None,
+        constraint: Optional[SamplingConstraint] = None, drop_last: bool = False,
+        buffer_size: int = 10000, quadratic_duration: Optional[Seconds] = None,
+        shuffle: bool = False, rng: random.Random = None, bucket_rng: random.Random = None,
         concurrent: bool = False, diagnostics: Optional[SamplingDiagnostics] = None,
-        restore_sources: Optional[List[Iterable]] = None,
-    ) -> None:
+        restore_sources: Optional[List[Iterable]] = None) -> None:
         if list(duration_bins) != sorted(duration_bins):
             raise AssertionError(
                 f"Argument list for 'duration_bins' is expected to be in "
@@ -235,10 +205,7 @@ class DynamicBucketer:
         self.rng = rng if rng is not None else random.Random()
         self.bucket_rng = bucket_rng
         self.constraint = constraint or TimeConstraint(
-            max_duration=max_duration,
-            max_cuts=max_cuts,
-            quadratic_duration=quadratic_duration,
-        )
+            max_duration=max_duration, max_cuts=max_cuts, quadratic_duration=quadratic_duration)
         self._warn_if_buffer_undersized(max_duration, duration_bins, buffer_size)
 
         self.buffer = _BucketBuffer(len(duration_bins) + 1)
@@ -251,9 +218,7 @@ class DynamicBucketer:
     def _warn_if_buffer_undersized(max_duration, duration_bins, buffer_size) -> None:
         if max_duration is None or not duration_bins:
             return
-        per_bucket_sec = (
-            buffer_size * float(np.mean(duration_bins)) / (len(duration_bins) + 1)
-        )
+        per_bucket_sec = (buffer_size * float(np.mean(duration_bins)) / (len(duration_bins) + 1))
         if per_bucket_sec < max_duration:
             warnings.warn(
                 f"Your 'buffer_size' setting of {buffer_size} might be too low "
@@ -294,14 +259,9 @@ class DynamicBucketer:
             row = []
             for item in self.buffer.peek_all(b):
                 members = item if isinstance(item, tuple) else (item,)
-                row.append(
-                    [self._token_for(c, self._source_at(k)) for k, c in enumerate(members)]
-                )
+                row.append([self._token_for(c, self._source_at(k)) for k, c in enumerate(members)])
             rows.append(row)
-        payload = {
-            "bucket_tokens": rows,
-            "rng_state": _rng_state_to_json(self.rng.getstate()),
-        }
+        payload = {"bucket_tokens": rows, "rng_state": _rng_state_to_json(self.rng.getstate())}
         if self._selection_state is not None:
             payload["selection_state"] = self._selection_state.save()
         return payload
@@ -437,8 +397,7 @@ class DynamicBucketer:
                 yield items[pos]
 
         batcher = DurationBatcher(
-            feed(), constraint=self.constraint.copy(), diagnostics=self.diagnostics
-        )
+            feed(), constraint=self.constraint.copy(), diagnostics=self.diagnostics)
         batch = next(iter(batcher))
         # Commit before yielding so a checkpoint taken between batches never
         # double-counts these items.
@@ -462,8 +421,7 @@ class DynamicBucketer:
             else:
                 self._pull_into_buffer(self.buffer_size)
             self._selection_state = _StickyBinChooser(
-                self.bucket_rng, len(self.buffer), self.world_size
-            )
+                self.bucket_rng, len(self.buffer), self.world_size)
         try:
             while True:
                 try:
@@ -508,16 +466,13 @@ class DynamicBucketingSampler(CutSampler):
     def __init__(
         self, *cuts: Iterable, max_duration: Optional[Seconds] = None,
         max_cuts: Optional[int] = None, constraint: Optional[SamplingConstraint] = None,
-        num_buckets: Optional[int] = 10, shuffle: bool = False,
-        drop_last: bool = False, consistent_ids: bool = True,
-        duration_bins: List[Seconds] = None, num_cuts_for_bins_estimate: int = 10000,
-        buffer_size: int = 20000, quadratic_duration: Optional[Seconds] = None,
-        world_size: Optional[int] = None, rank: Optional[int] = None,
-        seed: Union[int, str] = 0, sync_buckets: bool = True, concurrent: bool = False,
-    ) -> None:
-        super().__init__(
-            drop_last=drop_last, world_size=world_size, rank=rank, seed=seed
-        )
+        num_buckets: Optional[int] = 10, shuffle: bool = False, drop_last: bool = False,
+        consistent_ids: bool = True, duration_bins: List[Seconds] = None,
+        num_cuts_for_bins_estimate: int = 10000, buffer_size: int = 20000,
+        quadratic_duration: Optional[Seconds] = None, world_size: Optional[int] = None,
+        rank: Optional[int] = None, seed: Union[int, str] = 0, sync_buckets: bool = True,
+        concurrent: bool = False) -> None:
+        super().__init__(drop_last=drop_last, world_size=world_size, rank=rank, seed=seed)
         if not all(cs.is_lazy for cs in cuts if isinstance(cs, CutSet)):
             warnings.warn(
                 "You are using DynamicBucketingSampler with an eagerly read CutSet. "
@@ -544,28 +499,21 @@ class DynamicBucketingSampler(CutSampler):
                 raise AssertionError("Duration bins must be sorted ascendingly.")
             return duration_bins
         probe_constraint = self.constraint or TimeConstraint(
-            max_duration=self.max_duration,
-            max_cuts=self.max_cuts,
-            quadratic_duration=self.quadratic_duration,
-        )
+            max_duration=self.max_duration, max_cuts=self.max_cuts,
+            quadratic_duration=self.quadratic_duration)
         return estimate_duration_buckets(
-            islice(self.cuts[0], self.num_cuts_for_bins_estimate),
-            num_buckets=num_buckets,
-            constraint=probe_constraint,
-        )
+            islice(self.cuts[0], self.num_cuts_for_bins_estimate), num_buckets=num_buckets,
+            constraint=probe_constraint)
 
     # -- checkpointing ------------------------------------------------------------
 
     def state_dict(self) -> Dict[str, Any]:
         sd = super().state_dict()
         sd.update(
-            max_duration=self.max_duration,
-            max_cuts=self.max_cuts,
-            consistent_ids=self.consistent_ids,
-            buffer_size=self.buffer_size,
+            max_duration=self.max_duration, max_cuts=self.max_cuts,
+            consistent_ids=self.consistent_ids, buffer_size=self.buffer_size,
             num_cuts_for_bins_estimate=self.num_cuts_for_bins_estimate,
-            quadratic_duration=self.quadratic_duration,
-        )
+            quadratic_duration=self.quadratic_duration)
         payload = self._o1_payload()
         if payload is not None:
             sd["rng_state"], sd["bucketer_state"] = payload
@@ -658,17 +606,14 @@ class DynamicBucketingSampler(CutSampler):
         joined = Filter(
             iterator=zip(*(iter(src) for src in sources)),
             predicate=lambda tpl: all(self._filter_fn(c) for c in tpl),
-            diagnostics=self.diagnostics,
-        )
+            diagnostics=self.diagnostics)
         self._bucketer = DynamicBucketer(
             joined, duration_bins=self.duration_bins, world_size=self.world_size,
-            max_duration=self.max_duration, max_cuts=self.max_cuts,
-            constraint=self.constraint, drop_last=self.drop_last,
-            buffer_size=self.buffer_size, quadratic_duration=self.quadratic_duration,
-            shuffle=self.shuffle, rng=self.rng,
+            max_duration=self.max_duration, max_cuts=self.max_cuts, constraint=self.constraint,
+            drop_last=self.drop_last, buffer_size=self.buffer_size,
+            quadratic_duration=self.quadratic_duration, shuffle=self.shuffle, rng=self.rng,
             bucket_rng=self._bucket_selection_rng(), concurrent=self.concurrent,
-            diagnostics=self.diagnostics, restore_sources=sources,
-        )
+            diagnostics=self.diagnostics, restore_sources=sources)
         self.cuts_iter = iter(self._bucketer)
         return self
 
@@ -710,9 +655,7 @@ class FixedBucketBatchSizeConstraint(SamplingConstraint):
 
     def __post_init__(self):
         if sorted(self.max_seq_len_buckets) != list(self.max_seq_len_buckets):
-            raise AssertionError(
-                f"max_seq_len_buckets must be sorted: {self.max_seq_len_buckets}"
-            )
+            raise AssertionError(f"max_seq_len_buckets must be sorted: {self.max_seq_len_buckets}")
 
     def is_active(self) -> bool:
         return True
@@ -761,9 +704,7 @@ class FixedBucketBatchSizeConstraint(SamplingConstraint):
                 "Unexpected keys:\n- " + "\n- ".join(state_dict.keys())
             )
 
-    def __add__(
-        self, other: "FixedBucketBatchSizeConstraint"
-    ) -> "FixedBucketBatchSizeConstraint":
+    def __add__(self, other: "FixedBucketBatchSizeConstraint") -> "FixedBucketBatchSizeConstraint":
         for key in ("max_seq_len_buckets", "batch_sizes", "current_bucket"):
             mine, theirs = getattr(self, key), getattr(other, key)
             if not (mine is None and theirs is None) and mine != theirs:
@@ -773,11 +714,8 @@ class FixedBucketBatchSizeConstraint(SamplingConstraint):
                     f"(got self.{key}={mine} != other.{key}={theirs})."
                 )
         return FixedBucketBatchSizeConstraint(
-            max_seq_len_buckets=self.max_seq_len_buckets,
-            batch_sizes=self.batch_sizes,
-            current_bucket=self.current_bucket,
-            num_cuts=self.num_cuts + other.num_cuts,
-        )
+            max_seq_len_buckets=self.max_seq_len_buckets, batch_sizes=self.batch_sizes,
+            current_bucket=self.current_bucket, num_cuts=self.num_cuts + other.num_cuts)
 
     def __eq__(self, other) -> bool:
         return (

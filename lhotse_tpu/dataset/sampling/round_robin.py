@@ -31,12 +31,8 @@ class RoundRobinSampler(CutSampler):
     """
 
     def __init__(
-        self,
-        *samplers: CutSampler,
-        stop_early: bool = False,
-        randomize: Union[bool, List[float]] = False,
-        seed: int = 0,
-    ) -> None:
+        self, *samplers: CutSampler, stop_early: bool = False,
+        randomize: Union[bool, List[float]] = False, seed: int = 0) -> None:
         """
         :param samplers: samplers to draw batches from in turns.
         :param stop_early: finish the epoch as soon as any sampler depletes
@@ -97,9 +93,7 @@ class RoundRobinSampler(CutSampler):
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
         for key in _SCHED_KEYS:
             setattr(self, key, state_dict.pop(key))
-        self._nondepleted_samplers_indices = state_dict.pop(
-            "_nondepleted_samplers_indices"
-        )
+        self._nondepleted_samplers_indices = state_dict.pop("_nondepleted_samplers_indices")
         per_sampler = state_dict.pop("samplers")
         if len(per_sampler) != len(self.samplers):
             raise AssertionError(

@@ -30,43 +30,25 @@ class SimpleCutSampler(CutSampler):
     """
 
     def __init__(
-        self,
-        cuts: CutSet,
-        max_duration: Seconds = None,
-        max_cuts: Optional[int] = None,
-        shuffle: bool = False,
-        drop_last: bool = False,
-        concatenate_cuts: bool = False,
-        quadratic_duration: Optional[Seconds] = None,
-        world_size: Optional[int] = None,
-        rank: Optional[int] = None,
-        seed: int = 0,
-    ):
+        self, cuts: CutSet, max_duration: Seconds = None, max_cuts: Optional[int] = None,
+        shuffle: bool = False, drop_last: bool = False, concatenate_cuts: bool = False,
+        quadratic_duration: Optional[Seconds] = None, world_size: Optional[int] = None,
+        rank: Optional[int] = None, seed: int = 0):
         super().__init__(
-            drop_last=drop_last,
-            shuffle=shuffle,
-            world_size=world_size,
-            rank=rank,
-            seed=seed,
-        )
+            drop_last=drop_last, shuffle=shuffle, world_size=world_size, rank=rank, seed=seed)
         assert any(v is not None for v in (max_duration, max_cuts)), (
             "At least one of max_duration or max_cuts has to be set."
         )
         self.cuts = [cuts]  # enables CutSampler source-state capture
         self.data_source = DataSource(cuts)
         self.time_constraint = TimeConstraint(
-            max_duration=max_duration,
-            max_cuts=max_cuts,
-            concatenate_cuts=concatenate_cuts,
-            quadratic_duration=quadratic_duration,
-        )
+            max_duration=max_duration, max_cuts=max_cuts, concatenate_cuts=concatenate_cuts,
+            quadratic_duration=quadratic_duration)
 
     # Progress accounting (each is None for lazy CutSets).
     remaining_duration = property(lambda self: self.data_source.remaining_duration)
     remaining_cuts = property(lambda self: self.data_source.remaining_cuts)
-    num_cuts = property(
-        lambda self: None if self.data_source.is_lazy else len(self.data_source)
-    )
+    num_cuts = property(lambda self: None if self.data_source.is_lazy else len(self.data_source))
 
     def state_dict(self) -> Dict[str, Any]:
         sd = super().state_dict()

@@ -12,17 +12,7 @@ import logging
 import random
 from functools import reduce
 from pathlib import Path
-from typing import (
-    Callable,
-    Dict,
-    Generator,
-    Iterable,
-    List,
-    Optional,
-    Sequence,
-    Tuple,
-    Union,
-)
+from typing import (Callable, Dict, Generator, Iterable, List, Optional, Sequence, Tuple, Union)
 
 from lhotse_tpu.cut import CutSet
 from lhotse_tpu.cut.set import deserialize_cut
@@ -68,16 +58,10 @@ class StatelessSampler(Dillable):
     """
 
     def __init__(
-        self,
-        cuts_paths: Union[Pathlike, Iterable[Pathlike], Iterable[PathlikeAndScale]],
-        index_path: Pathlike,
-        base_seed: int,
-        max_duration: Optional[Seconds] = None,
-        max_cuts: Optional[int] = None,
-        num_buckets: Optional[int] = None,
-        duration_bins: List[Seconds] = None,
-        quadratic_duration: Optional[Seconds] = None,
-    ) -> None:
+        self, cuts_paths: Union[Pathlike, Iterable[Pathlike], Iterable[PathlikeAndScale]],
+        index_path: Pathlike, base_seed: int, max_duration: Optional[Seconds] = None,
+        max_cuts: Optional[int] = None, num_buckets: Optional[int] = None,
+        duration_bins: List[Seconds] = None, quadratic_duration: Optional[Seconds] = None) -> None:
         self.paths = []
         self.scales = []
         if isinstance(cuts_paths, (Path, str)):
@@ -99,9 +83,7 @@ class StatelessSampler(Dillable):
                         f"[note: mixing paths with and without scales is not allowed]"
                     )
                     p, scale = tpl
-                    assert isinstance(p, (Path, str)), (
-                        f"Path must be a string or Path, got: {p}"
-                    )
+                    assert isinstance(p, (Path, str)), (f"Path must be a string or Path, got: {p}")
                     assert isinstance(scale, (int, float)), (
                         f"Scale must be an int or float, got: {scale}"
                     )
@@ -122,8 +104,7 @@ class StatelessSampler(Dillable):
         self.diagnostics = SamplingDiagnostics()
         self.index = ManifestIndex(self.paths, self.index_path)
         self.scaled_line_counts = [
-            lc * scale for lc, scale in zip(self.index.line_counts.values(), self.scales)
-        ]
+            lc * scale for lc, scale in zip(self.index.line_counts.values(), self.scales)]
         self._transforms = []
         self.rank = get_rank()
         self.world_size = get_world_size()
@@ -143,9 +124,7 @@ class StatelessSampler(Dillable):
 
     def __iter__(self) -> Generator[CutSet, None, None]:
         from lhotse_tpu.dataset.sampling.dynamic import DynamicCutSampler
-        from lhotse_tpu.dataset.sampling.dynamic_bucketing import (
-            DynamicBucketingSampler,
-        )
+        from lhotse_tpu.dataset.sampling.dynamic_bucketing import (DynamicBucketingSampler,)
 
         worker_info = get_worker_info()
         worker_id = 0 if worker_info is None else worker_info.id
@@ -180,28 +159,17 @@ class StatelessSampler(Dillable):
                 n += 1
 
         common = dict(
-            max_duration=self.max_duration,
-            max_cuts=self.max_cuts,
-            shuffle=False,
-            drop_last=False,
-            world_size=1,
-            rank=0,
-        )
+            max_duration=self.max_duration, max_cuts=self.max_cuts, shuffle=False, drop_last=False,
+            world_size=1, rank=0)
         if self.num_buckets is not None or self.duration_bins is not None:
             inner_sampler = DynamicBucketingSampler(
-                _inner(),
-                num_buckets=self.num_buckets,
-                duration_bins=self.duration_bins,
-                quadratic_duration=self.quadratic_duration,
-                **common,
-            )
+                _inner(), num_buckets=self.num_buckets, duration_bins=self.duration_bins,
+                quadratic_duration=self.quadratic_duration, **common)
         else:
             inner_sampler = DynamicCutSampler(_inner(), **common)
         if self._transforms:
             transforms = list(self._transforms)
-            inner_sampler.map(
-                reduce(lambda f, g: (lambda x, f=f, g=g: g(f(x))), transforms)
-            )
+            inner_sampler.map(reduce(lambda f, g: (lambda x, f=f, g=g: g(f(x))), transforms))
         self.diagnostics = inner_sampler.diagnostics
         yield from inner_sampler
 
@@ -221,16 +189,9 @@ class ManifestIndex:
     """
 
     def __init__(
-        self,
-        manifest_paths: Sequence[Pathlike],
-        index_path: Pathlike,
-        force: bool = False,
+        self, manifest_paths: Sequence[Pathlike], index_path: Pathlike, force: bool = False,
     ) -> None:
-        from lhotse_tpu.indexing import (
-            create_jsonl_index,
-            index_file_path,
-            read_index,
-        )
+        from lhotse_tpu.indexing import (create_jsonl_index, index_file_path, read_index)
 
         self.line_counts: Dict[Path, int] = {}
         self.line_offsets: Dict[Path, Tuple[int, ...]] = {}

@@ -18,23 +18,15 @@ from lhotse_tpu.dataset.sampling.base import CutSampler
 # criterion name -> batch "badness" measure (higher = more pessimistic).
 _CRITERIA = {
     "single_longest_cut": lambda cuts: max(c.duration for c in cuts),
-    "single_longest_supervision": lambda cuts: max(
-        sum(s.duration for s in c.supervisions) for c in cuts
-    ),
+    "single_longest_supervision": lambda cuts: max( sum(s.duration for s in c.supervisions) for c in cuts ),
     "largest_batch_cuts_duration": lambda cuts: sum(c.duration for c in cuts),
-    "largest_batch_supervisions_duration": lambda cuts: sum(
-        s.duration for c in cuts for s in c.supervisions
-    ),
+    "largest_batch_supervisions_duration": lambda cuts: sum( s.duration for c in cuts for s in c.supervisions ),
     "max_num_cuts": len,
-    "max_num_supervisions": lambda cuts: sum(
-        1 for c in cuts for _ in c.supervisions
-    ),
-}
+    "max_num_supervisions": lambda cuts: sum( 1 for c in cuts for _ in c.supervisions )}
 
 
 def find_pessimistic_batches(
-    sampler: CutSampler, batch_tuple_index: int = 0
-) -> Tuple[Dict[str, CutSet], Dict[str, float]]:
+    sampler: CutSampler, batch_tuple_index: int = 0) -> Tuple[Dict[str, CutSet], Dict[str, float]]:
     """
     Fully iterate ``sampler`` and record the batches most likely to blow up
     accelerator memory, under several criteria (longest cut, longest
@@ -54,8 +46,7 @@ def find_pessimistic_batches(
         return {}, {}
     return (
         {crit: batch for crit, (_, batch) in worst.items()},
-        {crit: value for crit, (value, _) in worst.items()},
-    )
+        {crit: value for crit, (value, _) in worst.items()})
 
 
 def _fmt(values) -> str:
@@ -91,9 +82,7 @@ def report_padding_ratio_estimate(sampler: CutSampler, n_samples: int = 1000) ->
             longest = ordered[0].duration
             spread["min"].append((longest - ordered[1].duration) / longest)
             spread["max"].append((longest - ordered[-1].duration) / longest)
-            spread["mean"].append(
-                mean(longest - c.duration for c in ordered[1:]) / longest
-            )
+            spread["mean"].append(mean(longest - c.duration for c in ordered[1:]) / longest)
 
         totals = supers = 0.0
         for cut in batch.pad():

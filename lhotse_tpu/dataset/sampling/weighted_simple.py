@@ -29,32 +29,15 @@ class WeightedSimpleCutSampler(SimpleCutSampler):
     """
 
     def __init__(
-        self,
-        cuts: CutSet,
-        cuts_weight: List,
-        num_samples: int,
-        max_duration: Seconds = None,
-        max_cuts: Optional[int] = None,
-        shuffle: bool = False,
-        drop_last: bool = False,
-        world_size: Optional[int] = None,
-        rank: Optional[int] = None,
-        seed: int = 0,
-    ):
+        self, cuts: CutSet, cuts_weight: List, num_samples: int, max_duration: Seconds = None,
+        max_cuts: Optional[int] = None, shuffle: bool = False, drop_last: bool = False,
+        world_size: Optional[int] = None, rank: Optional[int] = None, seed: int = 0):
         super().__init__(
-            cuts=cuts,
-            drop_last=drop_last,
-            shuffle=shuffle,
-            world_size=world_size,
-            rank=rank,
-            max_duration=max_duration,
-            max_cuts=max_cuts,
-            seed=seed,
-        )
+            cuts=cuts, drop_last=drop_last, shuffle=shuffle, world_size=world_size, rank=rank,
+            max_duration=max_duration, max_cuts=max_cuts, seed=seed)
         assert not cuts.is_lazy, "This sampler does not support lazy mode!"
         self.data_source = WeightedDataSource(
-            cuts, weights=cuts_weight, num_samples=num_samples, seed=seed
-        )
+            cuts, weights=cuts_weight, num_samples=num_samples, seed=seed)
         self.weights = cuts_weight
         self.num_samples = num_samples
 
@@ -64,12 +47,7 @@ class WeightedSimpleCutSampler(SimpleCutSampler):
 
     def state_dict(self) -> Dict[str, Any]:
         state_dict = super().state_dict()
-        state_dict.update(
-            {
-                "weights": list(self.weights),
-                "num_samples": self.num_samples,
-            }
-        )
+        state_dict.update({ "weights": list(self.weights), "num_samples": self.num_samples, })
         return state_dict
 
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:

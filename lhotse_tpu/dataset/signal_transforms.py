@@ -37,11 +37,8 @@ class GlobalMVN:
 
     @classmethod
     def from_cuts(
-        cls,
-        cuts: CutSet,
-        max_cuts: Optional[int] = None,
-        extractor: Optional[FeatureExtractor] = None,
-    ) -> "GlobalMVN":
+        cls, cuts: CutSet, max_cuts: Optional[int] = None,
+        extractor: Optional[FeatureExtractor] = None) -> "GlobalMVN":
         stats = cuts.compute_global_feature_stats(max_cuts=max_cuts, extractor=extractor)
         (feature_dim,) = stats["norm_means"].shape
         global_mvn = cls(feature_dim)
@@ -85,12 +82,8 @@ class RandomizedSmoothing:
     """
 
     def __init__(
-        self,
-        sigma: Union[float, Sequence[Tuple[int, float]]] = 0.1,
-        sample_sigma: bool = True,
-        p: float = 0.3,
-        seed: int = 0,
-    ):
+        self, sigma: Union[float, Sequence[Tuple[int, float]]] = 0.1, sample_sigma: bool = True,
+        p: float = 0.3, seed: int = 0):
         self.sigma = sigma
         self.sample_sigma = sample_sigma
         self.p = p
@@ -119,11 +112,7 @@ class RandomizedSmoothing:
     forward = __call__
 
     def state_dict(self) -> Dict[str, Any]:
-        return {
-            "step": self.step,
-            "seed": self.seed,
-            "rng_state": self.rng.bit_generator.state,
-        }
+        return {"step": self.step, "seed": self.seed, "rng_state": self.rng.bit_generator.state}
 
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
         self.step = state_dict.get("step", self.step)
@@ -145,16 +134,9 @@ class SpecAugment:
     """
 
     def __init__(
-        self,
-        time_warp_factor: Optional[int] = 80,
-        num_feature_masks: int = 2,
-        features_mask_size: int = 27,
-        num_frame_masks: int = 10,
-        frames_mask_size: int = 100,
-        max_frames_mask_fraction: float = 0.15,
-        p=0.9,
-        seed: int = 0,
-    ):
+        self, time_warp_factor: Optional[int] = 80, num_feature_masks: int = 2,
+        features_mask_size: int = 27, num_frame_masks: int = 10, frames_mask_size: int = 100,
+        max_frames_mask_fraction: float = 0.15, p=0.9, seed: int = 0):
         """
         :param time_warp_factor: warp strength ``W``; None or <1 disables.
         :param num_feature_masks: number of frequency masks (0 disables).
@@ -215,14 +197,10 @@ class SpecAugment:
     def _time_mask_params(self, t: int) -> Tuple[int, int]:
         max_tot_mask_frames = self.max_frames_mask_fraction * t
         num_frame_masks = min(
-            self.num_frame_masks,
-            math.ceil(max_tot_mask_frames / self.frames_mask_size),
-        )
+            self.num_frame_masks, math.ceil(max_tot_mask_frames / self.frames_mask_size))
         if num_frame_masks <= 0:
             return 0, 0
-        max_mask_frames = int(
-            min(self.frames_mask_size, max_tot_mask_frames // num_frame_masks)
-        )
+        max_mask_frames = int(min(self.frames_mask_size, max_tot_mask_frames // num_frame_masks))
         return num_frame_masks, max_mask_frames
 
     def __call__(self, features, supervision_segments=None, *args, **kwargs):
@@ -252,10 +230,7 @@ class SpecAugment:
             segs = np.asarray(supervision_segments)
             for sequence_idx, start_frame, num_frames in segs:
                 sequence_idx, start_frame, num_frames = (
-                    int(sequence_idx),
-                    int(start_frame),
-                    int(num_frames),
-                )
+                    int(sequence_idx), int(start_frame), int(num_frames))
                 # Each segment independently samples its apply decision,
                 # matching per-call randomness of the reference.
                 if self.rng.random() > self.p:
@@ -278,8 +253,7 @@ class SpecAugment:
             if not mask_flags[i]:
                 continue
             freq_mask[i] = self._axis_mask_single(
-                f, self.features_mask_size, self.num_feature_masks
-            )
+                f, self.features_mask_size, self.num_feature_masks)
             time_mask[i] = self._axis_mask_single(t, max_mask_frames, num_frame_masks)
 
         return _apply_specaugment(features, warp_src, time_mask, freq_mask)
@@ -288,29 +262,20 @@ class SpecAugment:
 
     def state_dict(self, **kwargs) -> Dict[str, Any]:
         return dict(
-            time_warp_factor=self.time_warp_factor,
-            num_feature_masks=self.num_feature_masks,
-            features_mask_size=self.features_mask_size,
-            num_frame_masks=self.num_frame_masks,
+            time_warp_factor=self.time_warp_factor, num_feature_masks=self.num_feature_masks,
+            features_mask_size=self.features_mask_size, num_frame_masks=self.num_frame_masks,
             frames_mask_size=self.frames_mask_size,
-            max_frames_mask_fraction=self.max_frames_mask_fraction,
-            p=self.p,
-            rng_state=self.rng.bit_generator.state,
-        )
+            max_frames_mask_fraction=self.max_frames_mask_fraction, p=self.p,
+            rng_state=self.rng.bit_generator.state)
 
     def load_state_dict(self, state_dict: Dict[str, Any]):
         self.time_warp_factor = state_dict.get("time_warp_factor", self.time_warp_factor)
-        self.num_feature_masks = state_dict.get(
-            "num_feature_masks", self.num_feature_masks
-        )
-        self.features_mask_size = state_dict.get(
-            "features_mask_size", self.features_mask_size
-        )
+        self.num_feature_masks = state_dict.get("num_feature_masks", self.num_feature_masks)
+        self.features_mask_size = state_dict.get("features_mask_size", self.features_mask_size)
         self.num_frame_masks = state_dict.get("num_frame_masks", self.num_frame_masks)
         self.frames_mask_size = state_dict.get("frames_mask_size", self.frames_mask_size)
         self.max_frames_mask_fraction = state_dict.get(
-            "max_frames_mask_fraction", self.max_frames_mask_fraction
-        )
+            "max_frames_mask_fraction", self.max_frames_mask_fraction)
         self.p = state_dict.get("p", self.p)
         if "rng_state" in state_dict:
             self.rng.bit_generator.state = state_dict["rng_state"]
@@ -344,13 +309,8 @@ def _apply_specaugment(features, warp_src, time_mask, freq_mask):
 
 
 def mask_along_axis_optimized(
-    features: np.ndarray,
-    mask_size: int,
-    mask_times: int,
-    mask_value: float,
-    axis: int,
-    rng: Optional[np.random.Generator] = None,
-) -> np.ndarray:
+    features: np.ndarray, mask_size: int, mask_times: int, mask_value: float, axis: int,
+    rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """
     Mask ``mask_times`` random spans of width < ``mask_size`` along ``axis``
     of a ``(T, F)`` matrix (1 = time, 2 = frequency).
@@ -372,8 +332,7 @@ def mask_along_axis_optimized(
 
 
 def time_warp(
-    features: np.ndarray, factor: int, rng: Optional[np.random.Generator] = None
-) -> np.ndarray:
+    features: np.ndarray, factor: int, rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """
     SpecAugment time warping of a single ``(T, F)`` matrix via
     piecewise-linear resampling around a random center.
@@ -411,8 +370,7 @@ def schedule_value_for_step(schedule: Sequence[Tuple[int, T]], step: int) -> T:
 
 
 def random_mask_along_batch_axis(
-    tensor: np.ndarray, p: float = 0.5, rng: Optional[np.random.Generator] = None
-) -> np.ndarray:
+    tensor: np.ndarray, p: float = 0.5, rng: Optional[np.random.Generator] = None) -> np.ndarray:
     """
     Mask of shape ``(N, 1, 1, ...)`` that zeroes each batch element with
     probability ``p``.
@@ -442,21 +400,11 @@ class DereverbWPE:
         audio = np.asarray(audio)
         if audio.ndim == 2:
             return np.concatenate(
-                [
-                    dereverb_wpe_numpy(
-                        a[None, :], n_fft=self.n_fft, hop_length=self.hop_length
-                    )
-                    for a in audio
-                ],
-                axis=0,
-            )
+                [ dereverb_wpe_numpy( a[None, :], n_fft=self.n_fft, hop_length=self.hop_length ) for a in audio ],
+                axis=0)
         assert audio.ndim == 3
         return np.stack(
-            [
-                dereverb_wpe_numpy(a, n_fft=self.n_fft, hop_length=self.hop_length)
-                for a in audio
-            ],
-            axis=0,
-        )
+            [ dereverb_wpe_numpy(a, n_fft=self.n_fft, hop_length=self.hop_length) for a in audio ],
+            axis=0)
 
     forward = __call__

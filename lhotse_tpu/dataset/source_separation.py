@@ -28,11 +28,7 @@ class SourceSeparationDataset:
         }
     """
 
-    def __init__(
-        self,
-        sources_set: CutSet,
-        mixtures_set: CutSet,
-    ):
+    def __init__(self, sources_set: CutSet, mixtures_set: CutSet):
         warnings.warn(
             "Speech separation datasets are not yet updated to use the new "
             "sampling mechanism."
@@ -62,11 +58,8 @@ class SourceSeparationDataset:
         powers = np.exp(sources)
         real_mask = powers / (powers.sum(0, keepdims=True) + EPSILON)
         return {
-            "sources": sources,
-            "mixture": mixture_cut.load_features(),
-            "real_mask": real_mask,
-            "binary_mask": real_mask.argmax(0),
-        }
+            "sources": sources, "mixture": mixture_cut.load_features(), "real_mask": real_mask,
+            "binary_mask": real_mask.argmax(0)}
 
     def __len__(self):
         return len(self.cut_ids)
@@ -81,11 +74,7 @@ class DynamicallyMixedSourceSeparationDataset(SourceSeparationDataset):
     """
 
     def __init__(
-        self,
-        sources_set: CutSet,
-        mixtures_set: CutSet,
-        nonsources_set: Optional[CutSet] = None,
-    ):
+        self, sources_set: CutSet, mixtures_set: CutSet, nonsources_set: Optional[CutSet] = None):
         super().__init__(sources_set=sources_set, mixtures_set=mixtures_set)
         self.nonsources_set = nonsources_set
 
@@ -106,11 +95,7 @@ class PreMixedSourceSeparationDataset(SourceSeparationDataset):
     ``recording_id`` (assumes one recording == one utterance).
     """
 
-    def __init__(
-        self,
-        sources_set: CutSet,
-        mixtures_set: CutSet,
-    ):
+    def __init__(self, sources_set: CutSet, mixtures_set: CutSet):
         self.mixture_to_source = {
             cut.id: [c.id for c in sources_set if c.recording_id == cut.recording_id]
             for cut in mixtures_set

@@ -42,12 +42,8 @@ class K2SpeechRecognitionDataset:
     """
 
     def __init__(
-        self,
-        return_cuts: bool = False,
-        cut_transforms: List[Callable[[CutSet], CutSet]] = None,
-        input_transforms: List[Callable] = None,
-        input_strategy: BatchIO = None,
-    ):
+        self, return_cuts: bool = False, cut_transforms: List[Callable[[CutSet], CutSet]] = None,
+        input_transforms: List[Callable] = None, input_strategy: BatchIO = None):
         """
         :param return_cuts: include a "cut" list in each batch's supervisions.
         :param cut_transforms: transforms on the CutSet before input
@@ -111,15 +107,10 @@ class K2SpeechRecognitionDataset:
 
             def to_frame(secs):
                 return compute_num_frames(
-                    secs, frame_shift=frame_shift, sampling_rate=sampling_rate
-                )
+                    secs, frame_shift=frame_shift, sampling_rate=sampling_rate)
 
-            word_alis = [
-                s.alignment["word"] for c in cuts_list for s in c.supervisions
-            ]
-            batch["supervisions"]["word"] = [
-                [item.symbol for item in ali] for ali in word_alis
-            ]
+            word_alis = [s.alignment["word"] for c in cuts_list for s in c.supervisions]
+            batch["supervisions"]["word"] = [[item.symbol for item in ali] for ali in word_alis]
             batch["supervisions"]["word_start"] = [
                 [to_frame(item.start) for item in ali] for ali in word_alis
             ]

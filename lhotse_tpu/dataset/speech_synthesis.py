@@ -32,14 +32,10 @@ class SpeechSynthesisDataset:
     """
 
     def __init__(
-        self,
-        cut_transforms: List[Callable[[CutSet], CutSet]] = None,
+        self, cut_transforms: List[Callable[[CutSet], CutSet]] = None,
         feature_input_strategy: BatchIO = None,
-        feature_transforms: Union[Sequence[Callable], Callable] = None,
-        return_text: bool = True,
-        return_tokens: bool = False,
-        return_spk_ids: bool = False,
-        return_cuts: bool = False,
+        feature_transforms: Union[Sequence[Callable], Callable] = None, return_text: bool = True,
+        return_tokens: bool = False, return_spk_ids: bool = False, return_cuts: bool = False,
     ) -> None:
         self.cut_transforms = ifnone(cut_transforms, [])
         self.feature_input_strategy = (
@@ -76,11 +72,8 @@ class SpeechSynthesisDataset:
             features = transform(features)
 
         batch = {
-            "audio": audio,
-            "features": features,
-            "audio_lens": audio_lens,
-            "features_lens": features_lens,
-        }
+            "audio": audio, "features": features, "audio_lens": audio_lens,
+            "features_lens": features_lens}
 
         if self.return_text:
             batch["text"] = [
@@ -104,6 +97,4 @@ class SpeechSynthesisDataset:
 def validate_for_tts(cuts: CutSet) -> None:
     validate(cuts)
     for cut in cuts:
-        assert len(cut.supervisions) == 1, (
-            "Only the Cuts with single supervision are supported."
-        )
+        assert len(cut.supervisions) == 1, ("Only the Cuts with single supervision are supported.")

@@ -23,12 +23,8 @@ class K2Speech2TextTranslationDataset:
     """
 
     def __init__(
-        self,
-        return_cuts: bool = False,
-        cut_transforms: List[Callable[[CutSet], CutSet]] = None,
-        input_transforms: List[Callable] = None,
-        input_strategy: BatchIO = None,
-    ):
+        self, return_cuts: bool = False, cut_transforms: List[Callable[[CutSet], CutSet]] = None,
+        input_transforms: List[Callable] = None, input_strategy: BatchIO = None):
         self.return_cuts = return_cuts
         self.cut_transforms = ifnone(cut_transforms, [])
         self.input_transforms = ifnone(input_transforms, [])
@@ -57,24 +53,11 @@ class K2Speech2TextTranslationDataset:
             inputs = tnfm(inputs, supervision_segments=segments)
         batch = {
             "inputs": inputs,
-            "supervisions": {
-                "text": [
-                    supervision.text
-                    for cut in cuts
-                    for supervision in cut.supervisions
-                ],
-                "tgt_text": [
-                    supervision.custom["translated_text"]
-                    for cut in cuts
-                    for supervision in cut.supervisions
-                ],
-            },
+            "supervisions": { "text": [ supervision.text for cut in cuts for supervision in cut.supervisions ], "tgt_text": [ supervision.custom["translated_text"] for cut in cuts for supervision in cut.supervisions ], },
         }
         batch["supervisions"].update(supervision_intervals)
         if self.return_cuts:
-            batch["supervisions"]["cut"] = [
-                cut for cut in cuts for sup in cut.supervisions
-            ]
+            batch["supervisions"]["cut"] = [cut for cut in cuts for sup in cut.supervisions]
 
         has_word_alignments = all(
             s.alignment is not None and "word" in s.alignment
@@ -96,15 +79,10 @@ class K2Speech2TextTranslationDataset:
 
             def to_frame(secs):
                 return compute_num_frames(
-                    secs, frame_shift=frame_shift, sampling_rate=sampling_rate
-                )
+                    secs, frame_shift=frame_shift, sampling_rate=sampling_rate)
 
-            word_alis = [
-                s.alignment["word"] for c in cuts_list for s in c.supervisions
-            ]
-            batch["supervisions"]["word"] = [
-                [item.symbol for item in ali] for ali in word_alis
-            ]
+            word_alis = [s.alignment["word"] for c in cuts_list for s in c.supervisions]
+            batch["supervisions"]["word"] = [[item.symbol for item in ali] for ali in word_alis]
             batch["supervisions"]["word_start"] = [
                 [to_frame(item.start) for item in ali] for ali in word_alis
             ]

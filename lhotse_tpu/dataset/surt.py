@@ -33,18 +33,11 @@ class K2SurtDataset:
     """
 
     def __init__(
-        self,
-        return_cuts: bool = False,
-        return_sources: bool = False,
-        return_alignments: bool = False,
-        num_channels: int = 2,
-        text_delimiter: str = " ",
+        self, return_cuts: bool = False, return_sources: bool = False,
+        return_alignments: bool = False, num_channels: int = 2, text_delimiter: str = " ",
         cut_transforms: List[Callable[[CutSet], CutSet]] = None,
-        input_transforms: List[Callable] = None,
-        input_strategy: BatchIO = None,
-        pad_value: float = LOG_EPSILON,
-        strict: bool = False,
-    ):
+        input_transforms: List[Callable] = None, input_strategy: BatchIO = None,
+        pad_value: float = LOG_EPSILON, strict: bool = False):
         """
         :param num_channels: number of output branches; supervisions are
             assigned to the first channel free at their start time.
@@ -108,9 +101,7 @@ class K2SurtDataset:
                     f"{len(source_feat_offsets)} offsets for "
                     f"{len(cut.supervisions)} supervisions."
                 )
-                cut_sources = list(
-                    np.split(cut.load_source_feats(), source_feat_offsets[1:])
-                )
+                cut_sources = list(np.split(cut.load_source_feats(), source_feat_offsets[1:]))
                 cut_source_boundaries = [
                     (
                         compute_num_frames(sup.start, cut.frame_shift, cut.sampling_rate),
@@ -119,9 +110,8 @@ class K2SurtDataset:
                     for sup in sorted(cut.supervisions, key=lambda s: (s.start, s.speaker))
                 ]
                 cut_sources = [
-                    adjust_source_feats(x, end - start, padding_value=self.pad_value)
-                    for x, (start, end) in zip(cut_sources, cut_source_boundaries)
-                ]
+                    adjust_source_feats(x, end - start, padding_value=self.pad_value) for x,
+                    (start, end) in zip(cut_sources, cut_source_boundaries)]
 
             if invalid_cut and self.strict:
                 invalid_cuts.append(cut.id)
@@ -151,11 +141,8 @@ class K2SurtDataset:
             ]
 
         batch = {
-            "inputs": inputs,
-            "input_lens": input_lens,
-            "supervisions": list(supervisions.values()),
-            "text": [channel_texts(cs) for cs in supervisions.values()],
-        }
+            "inputs": inputs, "input_lens": input_lens, "supervisions": list(supervisions.values()),
+            "text": [channel_texts(cs) for cs in supervisions.values()]}
         if self.return_cuts:
             batch["cuts"] = cuts
         if self.return_sources:
@@ -164,8 +151,7 @@ class K2SurtDataset:
 
 
 def adjust_source_feats(
-    feats: np.ndarray, num_frames: int, padding_value: float = 0.0, tol: int = 2
-) -> np.ndarray:
+    feats: np.ndarray, num_frames: int, padding_value: float = 0.0, tol: int = 2) -> np.ndarray:
     """
     Pad or trim source features to exactly ``num_frames`` (off-by-``tol``
     mismatches only; larger gaps raise).
@@ -178,9 +164,7 @@ def adjust_source_feats(
             f"not close to the number of frames in the supervision ({num_frames})."
         )
     elif feats.shape[0] < num_frames:
-        pad = np.full(
-            (num_frames - feats.shape[0], feats.shape[1]), padding_value, feats.dtype
-        )
+        pad = np.full((num_frames - feats.shape[0], feats.shape[1]), padding_value, feats.dtype)
         return np.concatenate([feats, pad], axis=0)
     else:
         return feats[:num_frames]

@@ -14,11 +14,7 @@ import numpy as np
 from lhotse_tpu.audio import RecordingSet
 from lhotse_tpu.audio.utils import suppress_audio_loading_errors
 from lhotse_tpu.cut import CutSet
-from lhotse_tpu.dataset.collation import (
-    collate_audio,
-    collate_features,
-    collate_matrices,
-)
+from lhotse_tpu.dataset.collation import (collate_audio, collate_features, collate_matrices)
 from lhotse_tpu.features import FeatureExtractor
 from lhotse_tpu.qa import validate
 from lhotse_tpu.utils import Seconds, compute_num_samples
@@ -34,11 +30,7 @@ class UnsupervisedDataset:
     def __getitem__(self, cuts: CutSet) -> Dict[str, Any]:
         self._validate(cuts)
         features, features_lens = collate_features(cuts)
-        return {
-            "cuts": cuts,
-            "features": features,
-            "features_lens": features_lens,
-        }
+        return {"cuts": cuts, "features": features, "features_lens": features_lens}
 
     def _validate(self, cuts: CutSet) -> None:
         validate(cuts)
@@ -62,11 +54,7 @@ class UnsupervisedWaveformDataset(UnsupervisedDataset):
 
         if self.collate:
             audio, audio_lens = collate_audio(cuts)
-            return {
-                "cuts": cuts,
-                "audio": audio,
-                "audio_lens": audio_lens,
-            }
+            return {"cuts": cuts, "audio": audio, "audio_lens": audio_lens}
         else:
             remain_cuts = []
             remain_audios = []
@@ -88,11 +76,7 @@ class DynamicUnsupervisedDataset(UnsupervisedDataset):
     mixing).
     """
 
-    def __init__(
-        self,
-        feature_extractor: FeatureExtractor,
-        augment_fn: Optional[Any] = None,
-    ):
+    def __init__(self, feature_extractor: FeatureExtractor, augment_fn: Optional[Any] = None):
         self.feature_extractor = feature_extractor
         self.augment_fn = augment_fn
 
@@ -103,9 +87,7 @@ class DynamicUnsupervisedDataset(UnsupervisedDataset):
             for cut in cuts:
                 with suppress_audio_loading_errors():
                     yield cut.compute_features(
-                        extractor=self.feature_extractor,
-                        augment_fn=self.augment_fn,
-                    )
+                        extractor=self.feature_extractor, augment_fn=self.augment_fn)
 
         return collate_matrices(generate_cut(cuts))
 
@@ -127,9 +109,7 @@ class RecordingChunkIterableDataset:
     :func:`audio_chunk_worker_init_fn` to shard across workers.
     """
 
-    def __init__(
-        self, recordings: RecordingSet, chunk_size: Seconds, chunk_shift: Seconds
-    ) -> None:
+    def __init__(self, recordings: RecordingSet, chunk_size: Seconds, chunk_shift: Seconds) -> None:
         self.recordings = list(recordings)
         self.chunk_size = chunk_size
         self.chunk_shift = chunk_shift
@@ -165,14 +145,10 @@ class RecordingChunkIterableDataset:
             while offset < total:
                 n = min(chunk_samples, total - offset)
                 chunk = r.load_audio(
-                    offset=offset / r.sampling_rate, duration=n / r.sampling_rate
-                )[0]
+                    offset=offset / r.sampling_rate, duration=n / r.sampling_rate)[0]
                 yield {
-                    "recording_id": r.id,
-                    "begin_time": np.float32(begin_time),
-                    "end_time": np.float32(end_time),
-                    "audio": chunk.astype(np.float32),
-                }
+                    "recording_id": r.id, "begin_time": np.float32(begin_time),
+                    "end_time": np.float32(end_time), "audio": chunk.astype(np.float32)}
                 offset += shift_samples
                 begin_time += self.chunk_shift
                 end_time = begin_time + self.chunk_size
@@ -184,8 +160,7 @@ def audio_chunk_collate(batch: List[Dict]) -> Dict[str, Any]:
     out = {
         "recording_id": [d["recording_id"] for d in batch],
         "begin_time": np.array([d["begin_time"] for d in batch], dtype=np.float32),
-        "end_time": np.array([d["end_time"] for d in batch], dtype=np.float32),
-    }
+        "end_time": np.array([d["end_time"] for d in batch], dtype=np.float32)}
     maxlen = max(a.shape[0] for a in audios)
     audio = np.zeros((len(audios), maxlen), dtype=np.float32)
     for i, a in enumerate(audios):
@@ -204,8 +179,6 @@ def audio_chunk_worker_init_fn(worker_id: int) -> None:
     dataset = worker_info.dataset
     overall_start = dataset.start
     overall_end = dataset.end
-    per_worker = int(
-        math.ceil((overall_end - overall_start) / float(worker_info.num_workers))
-    )
+    per_worker = int(math.ceil((overall_end - overall_start) / float(worker_info.num_workers)))
     dataset.start = overall_start + worker_info.id * per_worker
     dataset.end = min(dataset.start + per_worker, overall_end)

@@ -26,11 +26,9 @@ class VadDataset:
     """
 
     def __init__(
-        self,
-        input_strategy: BatchIO = None,
+        self, input_strategy: BatchIO = None,
         cut_transforms: Sequence[Callable[[CutSet], CutSet]] = None,
-        input_transforms: Sequence[Callable] = None,
-    ) -> None:
+        input_transforms: Sequence[Callable] = None) -> None:
         self.input_strategy = (
             input_strategy if input_strategy is not None else PrecomputedFeatures()
         )
@@ -46,8 +44,5 @@ class VadDataset:
         for tfnm in self.input_transforms:
             inputs = tfnm(inputs)
         return {
-            "inputs": inputs,
-            "input_lens": input_lens,
-            "is_voice": self.input_strategy.supervision_masks(cuts),
-            "cut": cuts,
-        }
+            "inputs": inputs, "input_lens": input_lens,
+            "is_voice": self.input_strategy.supervision_masks(cuts), "cut": cuts}

@@ -24,13 +24,7 @@ class UnsupervisedAudioVideoDataset:
     """
 
     def __getitem__(self, cuts: CutSet) -> Dict[str, Any]:
-        video, video_lens, audio, audio_lens, cuts = collate_video(
-            cuts, fault_tolerant=True
-        )
+        video, video_lens, audio, audio_lens, cuts = collate_video(cuts, fault_tolerant=True)
         return {
-            "cuts": cuts,
-            "video": video,
-            "video_lens": video_lens,
-            "audio": audio,
-            "audio_lens": audio_lens,
-        }
+            "cuts": cuts, "video": video, "video_lens": video_lens, "audio": audio,
+            "audio_lens": audio_lens}

@@ -45,22 +45,17 @@ def plot_batch(batch: Mapping[str, Any], supervisions: bool = True, text=True):
             seq_idx = int(sups["sequence_idx"][idx])
             if all(k in sups for k in ("start_frame", "num_frames")):
                 start, end = (
-                    sups["start_frame"][idx],
-                    sups["start_frame"][idx] + sups["num_frames"][idx],
-                )
+                    sups["start_frame"][idx], sups["start_frame"][idx] + sups["num_frames"][idx])
             elif all(k in sups for k in ("start_sample", "num_samples")):
                 start, end = (
-                    sups["start_sample"][idx],
-                    sups["start_sample"][idx] + sups["num_samples"][idx],
-                )
+                    sups["start_sample"][idx], sups["start_sample"][idx] + sups["num_samples"][idx])
             else:
                 raise ValueError(
                     "Cannot plot supervisions: missing 'start_frame/sample' and "
                     "'num_frames/samples' fields."
                 )
             axes[seq_idx].axvspan(
-                start, end, fill=False, edgecolor="red", linestyle="--", linewidth=4
-            )
+                start, end, fill=False, edgecolor="red", linestyle="--", linewidth=4)
             if text and "text" in sups:
                 axes[seq_idx].text(start, 83, sups["text"][idx])
     return fig

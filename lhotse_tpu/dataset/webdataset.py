@@ -25,16 +25,9 @@ from lhotse_tpu.utils import Pathlike, suppress_and_warn
 
 
 def export_to_webdataset(
-    cuts: CutSet,
-    output_path: Pathlike,
-    shard_size: Optional[int] = None,
-    verbose: bool = True,
-    audio_format: str = "flac",
-    load_audio: bool = True,
-    load_features: bool = True,
-    load_custom: bool = True,
-    fault_tolerant: bool = True,
-) -> int:
+    cuts: CutSet, output_path: Pathlike, shard_size: Optional[int] = None, verbose: bool = True,
+    audio_format: str = "flac", load_audio: bool = True, load_features: bool = True,
+    load_custom: bool = True, fault_tolerant: bool = True) -> int:
     """
     Save CutSet metadata + audio/features data into WebDataset-style
     tarballs: random-access reads become sequential reads at training time.
@@ -43,14 +36,9 @@ def export_to_webdataset(
     unsharded).
     """
     writer = WebdatasetWriter(
-        path_or_url=output_path,
-        shard_size=shard_size,
-        audio_format=audio_format,
-        load_audio=load_audio,
-        load_features=load_features,
-        load_custom=load_custom,
-        fault_tolerant=fault_tolerant,
-    )
+        path_or_url=output_path, shard_size=shard_size, audio_format=audio_format,
+        load_audio=load_audio, load_features=load_features, load_custom=load_custom,
+        fault_tolerant=fault_tolerant)
 
     total = 0
     ok = 0
@@ -83,15 +71,9 @@ class WebdatasetWriter:
     """
 
     def __init__(
-        self,
-        path_or_url: Pathlike,
-        shard_size: Optional[int] = None,
-        audio_format: str = "flac",
-        load_audio: bool = True,
-        load_features: bool = True,
-        load_custom: bool = True,
-        fault_tolerant: bool = True,
-    ) -> None:
+        self, path_or_url: Pathlike, shard_size: Optional[int] = None, audio_format: str = "flac",
+        load_audio: bool = True, load_features: bool = True, load_custom: bool = True,
+        fault_tolerant: bool = True) -> None:
         from lhotse_tpu.shar.writers.tar import TarWriter
 
         self.path_or_url = str(path_or_url)
@@ -130,11 +112,8 @@ class WebdatasetWriter:
         """Move the cut's data into memory, pickle, and append to the tar."""
         with suppress_and_warn(Exception, enabled=self.fault_tolerant):
             cut = manifest.move_to_memory(
-                audio_format=self.audio_format,
-                load_audio=self.load_audio,
-                load_features=self.load_features,
-                load_custom=self.load_custom,
-            )
+                audio_format=self.audio_format, load_audio=self.load_audio,
+                load_features=self.load_features, load_custom=self.load_custom)
             data = pickle.dumps(cut.to_dict())
             self.writer.write(f"{cut.id}.data", BytesIO(data))
             return True
@@ -209,12 +188,8 @@ class LazyWebdatasetIterator(IteratorNode):
 
 
 def mini_webdataset(
-    urls: Union[Pathlike, Sequence[Pathlike]],
-    epoch: int = 0,
-    shuffle_shards: bool = False,
-    split_by_worker: bool = True,
-    split_by_node: bool = False,
-    ignore_error_shards: bool = True,
+    urls: Union[Pathlike, Sequence[Pathlike]], epoch: int = 0, shuffle_shards: bool = False,
+    split_by_worker: bool = True, split_by_node: bool = False, ignore_error_shards: bool = True,
 ) -> Generator[Dict, None, None]:
     """
     Stream samples (``{"__key__", "data", "__url__"}`` dicts) from a set of

@@ -36,18 +36,8 @@ from lhotse_tpu.features.io import FeaturesReader, FeaturesWriter, get_reader, i
 from lhotse_tpu.lazy import AlgorithmMixin
 from lhotse_tpu.serialization import LazyMixin, Serializable, load_yaml, save_to_yaml
 from lhotse_tpu.utils import (
-    Pathlike,
-    Seconds,
-    asdict_nonull,
-    compute_num_frames,
-    compute_num_frames_from_samples,
-    exactly_one_not_null,
-    fastcopy,
-    ifnone,
-    split_manifest_lazy,
-    split_sequence,
-    uuid4,
-)
+    Pathlike, Seconds, asdict_nonull, compute_num_frames, compute_num_frames_from_samples,
+    exactly_one_not_null, fastcopy, ifnone, split_manifest_lazy, split_sequence, uuid4)
 
 AugmentFn = Callable[[np.ndarray, int], np.ndarray]
 
@@ -89,7 +79,7 @@ class FeatureExtractor(metaclass=ABCMeta):
 
     @staticmethod
     def mix(
-        features_a: np.ndarray, features_b: np.ndarray, energy_scaling_factor_b: float
+        features_a: np.ndarray, features_b: np.ndarray, energy_scaling_factor_b: float,
     ) -> np.ndarray:
         """Feature-domain mix of two signals; the mixed-in signal's energy is
         scaled by ``energy_scaling_factor_b`` to reach a target SNR."""
@@ -106,11 +96,8 @@ class FeatureExtractor(metaclass=ABCMeta):
         _undefined_op("scale", "feature-domain scaling")
 
     def extract_batch(
-        self,
-        samples: Union[np.ndarray, Sequence[np.ndarray]],
-        sampling_rate: int,
-        lengths: Optional[np.ndarray] = None,
-    ) -> Union[np.ndarray, List[np.ndarray]]:
+        self, samples: Union[np.ndarray, Sequence[np.ndarray]], sampling_rate: int,
+        lengths: Optional[np.ndarray] = None) -> Union[np.ndarray, List[np.ndarray]]:
         """
         Batch extraction over variable-length inputs. The generic fallback
         calls :meth:`extract` sequentially; extractors with true batched
@@ -130,9 +117,8 @@ class FeatureExtractor(metaclass=ABCMeta):
                 for n in lengths
             ]
             result = [
-                self.extract(row, sampling_rate=sampling_rate)[:t]
-                for row, t in zip(np.asarray(samples), keep)
-            ]
+                self.extract(row, sampling_rate=sampling_rate)[:t] for row,
+                t in zip(np.asarray(samples), keep)]
         else:
             if not input_is_list:
                 samples = list(samples) if samples.ndim > 1 else [samples.reshape(1, -1)]
@@ -148,13 +134,8 @@ class FeatureExtractor(metaclass=ABCMeta):
         return result
 
     def extract_from_samples_and_store(
-        self,
-        samples: np.ndarray,
-        storage: FeaturesWriter,
-        sampling_rate: int,
-        offset: Seconds = 0,
-        channel: Optional[Union[int, List[int]]] = None,
-        augment_fn: Optional[AugmentFn] = None,
+        self, samples: np.ndarray, storage: FeaturesWriter, sampling_rate: int, offset: Seconds = 0,
+        channel: Optional[Union[int, List[int]]] = None, augment_fn: Optional[AugmentFn] = None,
     ) -> "Features":
         """
         Full pipeline over raw samples: optional augmentation → extract →
@@ -164,23 +145,13 @@ class FeatureExtractor(metaclass=ABCMeta):
             samples = augment_fn(samples, sampling_rate)
         feats = self.extract(samples=samples, sampling_rate=sampling_rate)
         return self._store_and_describe(
-            feats,
-            storage,
-            sampling_rate=sampling_rate,
-            start=offset,
-            duration=round(samples.shape[1] / sampling_rate, ndigits=8),
-            channels=channel,
-        )
+            feats, storage, sampling_rate=sampling_rate, start=offset,
+            duration=round(samples.shape[1] / sampling_rate, ndigits=8), channels=channel)
 
     def extract_from_recording_and_store(
-        self,
-        recording: Recording,
-        storage: FeaturesWriter,
-        offset: Seconds = 0,
-        duration: Optional[Seconds] = None,
-        channels: Union[int, List[int]] = None,
-        augment_fn: Optional[AugmentFn] = None,
-    ) -> "Features":
+        self, recording: Recording, storage: FeaturesWriter, offset: Seconds = 0,
+        duration: Optional[Seconds] = None, channels: Union[int, List[int]] = None,
+        augment_fn: Optional[AugmentFn] = None) -> "Features":
         """
         Full pipeline over a Recording: load audio → optional augmentation →
         extract → store → return a ``Features`` manifest.
@@ -190,32 +161,21 @@ class FeatureExtractor(metaclass=ABCMeta):
             samples = augment_fn(samples, recording.sampling_rate)
         feats = self.extract(samples=samples, sampling_rate=recording.sampling_rate)
         return self._store_and_describe(
-            feats,
-            storage,
-            sampling_rate=recording.sampling_rate,
-            start=offset,
+            feats, storage, sampling_rate=recording.sampling_rate, start=offset,
             duration=recording.duration,
             channels=channels if channels is not None else recording.channel_ids,
-            recording_id=recording.id,
-        )
+            recording_id=recording.id)
 
     def _store_and_describe(
-        self, feats: np.ndarray, storage: FeaturesWriter, **manifest_fields
-    ) -> "Features":
+        self, feats: np.ndarray, storage: FeaturesWriter, **manifest_fields) -> "Features":
         """Persist a feature matrix and build + validate its manifest."""
         from lhotse_tpu.qa import validate_features
 
         key = store_feature_array(feats, storage=storage)
         manifest = Features(
-            type=self.name,
-            num_frames=feats.shape[0],
-            num_features=feats.shape[1],
-            frame_shift=self.frame_shift,
-            storage_type=storage.name,
-            storage_path=str(storage.storage_path),
-            storage_key=key,
-            **manifest_fields,
-        )
+            type=self.name, num_frames=feats.shape[0], num_features=feats.shape[1],
+            frame_shift=self.frame_shift, storage_type=storage.name,
+            storage_path=str(storage.storage_path), storage_key=key, **manifest_fields)
         validate_features(manifest, feats_data=feats)
         return manifest
 
@@ -303,31 +263,22 @@ class Features:
                 f"{start}s. The available range is ({self.start}, {self.end}) seconds."
             )
         to_frames = lambda secs: compute_num_frames(
-            secs, frame_shift=self.frame_shift, sampling_rate=self.sampling_rate
-        )
+            secs, frame_shift=self.frame_shift, sampling_rate=self.sampling_rate)
         left = 0 if isclose(start, self.start) else to_frames(start - self.start)
         right = None if duration is None else left + to_frames(duration)
         return left, right
 
     def load(
-        self,
-        start: Optional[Seconds] = None,
-        duration: Optional[Seconds] = None,
-        channel_id: Union[int, List[int]] = 0,
-    ) -> np.ndarray:
+        self, start: Optional[Seconds] = None, duration: Optional[Seconds] = None,
+        channel_id: Union[int, List[int]] = 0) -> np.ndarray:
         """Load the matrix, translating second offsets to frame offsets for a
         partial read (reference: features/base.py:488)."""
         left, right = self._frame_window(start, duration)
         storage = get_reader(self.storage_type)(self.storage_path)
-        return storage.read(
-            self.storage_key, left_offset_frames=left, right_offset_frames=right
-        )
+        return storage.read(self.storage_key, left_offset_frames=left, right_offset_frames=right)
 
     def move_to_memory(
-        self,
-        start: Seconds = 0,
-        duration: Optional[Seconds] = None,
-        lilcom: bool = False,
+        self, start: Seconds = 0, duration: Optional[Seconds] = None, lilcom: bool = False,
     ) -> "Features":
         from lhotse_tpu.features.io import get_memory_writer
 
@@ -337,14 +288,8 @@ class Features:
         compress = lilcom and issubclass(arr.dtype.type, np.floating)
         writer = get_memory_writer("memory_lilcom" if compress else "memory_raw")()
         return fastcopy(
-            self,
-            start=0.0,
-            duration=ifnone(duration, self.duration),
-            num_frames=arr.shape[0],
-            storage_type=writer.name,
-            storage_key=writer.write("", arr),
-            storage_path="",
-        )
+            self, start=0.0, duration=ifnone(duration, self.duration), num_frames=arr.shape[0],
+            storage_type=writer.name, storage_key=writer.write("", arr), storage_path="")
 
     def with_path_prefix(self, path: Pathlike) -> "Features":
         return fastcopy(self, storage_path=str(Path(path) / self.storage_path))
@@ -361,11 +306,7 @@ class Features:
         feats = self.load()
         new_key = writer.write(self.storage_key, feats)
         return fastcopy(
-            self,
-            storage_type=writer.name,
-            storage_path=writer.storage_path,
-            storage_key=new_key,
-        )
+            self, storage_type=writer.name, storage_path=writer.storage_path, storage_key=new_key)
 
     @staticmethod
     def from_dict(data: dict) -> "Features":
@@ -430,7 +371,7 @@ class FeatureSet(Serializable, AlgorithmMixin):
         return FeatureSet.from_features(f.with_path_prefix(path) for f in self)
 
     def split(
-        self, num_splits: int, shuffle: bool = False, drop_last: bool = False
+        self, num_splits: int, shuffle: bool = False, drop_last: bool = False,
     ) -> List["FeatureSet"]:
         return [
             FeatureSet.from_features(subset)
@@ -440,11 +381,9 @@ class FeatureSet(Serializable, AlgorithmMixin):
         ]
 
     def split_lazy(
-        self, output_dir: Pathlike, chunk_size: int, prefix: str = ""
-    ) -> List["FeatureSet"]:
+        self, output_dir: Pathlike, chunk_size: int, prefix: str = "") -> List["FeatureSet"]:
         return split_manifest_lazy(
-            self, output_dir=output_dir, chunk_size=chunk_size, prefix=prefix
-        )
+            self, output_dir=output_dir, chunk_size=chunk_size, prefix=prefix)
 
     def shuffle(self, *args, **kwargs):
         raise NotImplementedError("FeatureSet does not support shuffling.")
@@ -462,13 +401,8 @@ class FeatureSet(Serializable, AlgorithmMixin):
             return FeatureSet.from_items(islice(self, N - last, N))
 
     def find(
-        self,
-        recording_id: str,
-        channel_id: Union[int, List[int]] = 0,
-        start: Seconds = 0.0,
-        duration: Optional[Seconds] = None,
-        leeway: Seconds = 0.05,
-    ) -> Features:
+        self, recording_id: str, channel_id: Union[int, List[int]] = 0, start: Seconds = 0.0,
+        duration: Optional[Seconds] = None, leeway: Seconds = 0.05) -> Features:
         """
         Find the Features object best matching the criteria (closest time
         markers within ``leeway``); raise KeyError when none match.
@@ -505,15 +439,10 @@ class FeatureSet(Serializable, AlgorithmMixin):
         return self._features_by_recording_id
 
     def load(
-        self,
-        recording_id: str,
-        channel_id: Union[int, List[int]] = 0,
-        start: Seconds = 0.0,
-        duration: Optional[Seconds] = None,
-    ) -> np.ndarray:
+        self, recording_id: str, channel_id: Union[int, List[int]] = 0, start: Seconds = 0.0,
+        duration: Optional[Seconds] = None) -> np.ndarray:
         feature_info = self.find(
-            recording_id=recording_id, channel_id=channel_id, start=start, duration=duration
-        )
+            recording_id=recording_id, channel_id=channel_id, start=start, duration=duration)
         return feature_info.load(start=start, duration=duration)
 
     def copy_feats(self, writer: FeaturesWriter) -> "FeatureSet":
@@ -543,20 +472,14 @@ class FeatureSetBuilder:
     """
 
     def __init__(
-        self,
-        feature_extractor: FeatureExtractor,
-        storage: FeaturesWriter,
-        augment_fn: Optional[AugmentFn] = None,
-    ):
+        self, feature_extractor: FeatureExtractor, storage: FeaturesWriter,
+        augment_fn: Optional[AugmentFn] = None):
         self.feature_extractor, self.storage = feature_extractor, storage
         self.augment_fn = augment_fn
 
     def process_and_store_recordings(
-        self,
-        recordings: Sequence[Recording],
-        output_manifest: Optional[Pathlike] = None,
-        num_jobs: int = 1,
-    ) -> FeatureSet:
+        self, recordings: Sequence[Recording], output_manifest: Optional[Pathlike] = None,
+        num_jobs: int = 1) -> FeatureSet:
         from tqdm.auto import tqdm
 
         job = self._process_and_store_recording
@@ -601,7 +524,7 @@ def store_feature_array(feats: np.ndarray, storage: FeaturesWriter) -> str:
 
 
 def compute_global_stats(
-    feature_manifests: Iterable[Features], storage_path: Optional[Pathlike] = None
+    feature_manifests: Iterable[Features], storage_path: Optional[Pathlike] = None,
 ) -> Dict[str, np.ndarray]:
     """
     Single-pass global per-bin means and stds using the Chan–Golub–LeVeque

@@ -28,13 +28,7 @@ import numpy as np
 
 from lhotse_tpu.features.base import FeatureExtractor, register_extractor
 from lhotse_tpu.features.kaldi.extractors import (
-    Fbank,
-    FbankConfig,
-    LogSpectrogram,
-    LogSpectrogramConfig,
-    Mfcc,
-    MfccConfig,
-)
+    Fbank, FbankConfig, LogSpectrogram, LogSpectrogramConfig, Mfcc, MfccConfig)
 from lhotse_tpu.utils import EPSILON, Seconds
 
 
@@ -169,16 +163,12 @@ class _ComplianceExtractor(FeatureExtractor):
     def extract(self, samples: np.ndarray, sampling_rate: int) -> np.ndarray:
         samples = np.asarray(samples)
         if samples.ndim == 2:
-            assert samples.shape[0] == 1, (
-                "This extractor expects single-channel input."
-            )
+            assert samples.shape[0] == 1, ("This extractor expects single-channel input.")
             samples = samples[0]
         return self._delegate(sampling_rate).extract(samples, sampling_rate)
 
     def extract_batch(self, samples, sampling_rate: int, lengths=None):
-        return self._delegate(sampling_rate).extract_batch(
-            samples, sampling_rate, lengths=lengths
-        )
+        return self._delegate(sampling_rate).extract_batch(samples, sampling_rate, lengths=lengths)
 
 
 @register_extractor

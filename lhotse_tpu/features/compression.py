@@ -14,12 +14,8 @@ from lhotse_tpu.codecs import compress
 
 
 def lilcom_compress_chunked(
-    data: np.ndarray,
-    tick_power: int = -5,
-    do_regression: bool = True,
-    chunk_size: int = 100,
-    temporal_dim: int = 0,
-) -> List[bytes]:
+    data: np.ndarray, tick_power: int = -5, do_regression: bool = True, chunk_size: int = 100,
+    temporal_dim: int = 0) -> List[bytes]:
     assert temporal_dim < data.ndim
     num_frames = data.shape[temporal_dim]
     return [

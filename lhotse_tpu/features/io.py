@@ -52,13 +52,8 @@ class FeaturesWriter(metaclass=ABCMeta):
         ...
 
     def store_array(
-        self,
-        key: str,
-        value: np.ndarray,
-        frame_shift: Optional[Seconds] = None,
-        temporal_dim: Optional[int] = None,
-        start: Seconds = 0,
-    ) -> Union[Array, TemporalArray]:
+        self, key: str, value: np.ndarray, frame_shift: Optional[Seconds] = None,
+        temporal_dim: Optional[int] = None, start: Seconds = 0) -> Union[Array, TemporalArray]:
         """
         Store a numpy array and return an :class:`Array` (or
         :class:`TemporalArray` when frame_shift/temporal_dim are given)
@@ -70,16 +65,12 @@ class FeaturesWriter(metaclass=ABCMeta):
             f"(got frame_shift={frame_shift}, temporal_dim={temporal_dim})."
         )
         array = Array(
-            storage_type=self.name,
-            storage_path=self.storage_path,
-            storage_key=self.write(key, value),
-            shape=list(value.shape),
-        )
+            storage_type=self.name, storage_path=self.storage_path,
+            storage_key=self.write(key, value), shape=list(value.shape))
         if not all(temporal):
             return array
         return TemporalArray(
-            array=array, temporal_dim=temporal_dim, frame_shift=frame_shift, start=start
-        )
+            array=array, temporal_dim=temporal_dim, frame_shift=frame_shift, start=start)
 
     def __enter__(self):
         return self
@@ -101,10 +92,7 @@ class FeaturesReader(metaclass=ABCMeta):
 
     @abstractmethod
     def read(
-        self,
-        key: str,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
+        self, key: str, left_offset_frames: int = 0, right_offset_frames: Optional[int] = None,
     ) -> np.ndarray:
         ...
 
@@ -126,9 +114,7 @@ def _missing_packages_for_storage_backend(backend: str) -> List[str]:
     missing = []
     if backend in HDF5_STORAGE_BACKENDS and not is_module_available("h5py"):
         missing.append("h5py")
-    if backend in KALDI_NATIVE_IO_STORAGE_BACKENDS and not is_module_available(
-        "kaldi_native_io"
-    ):
+    if backend in KALDI_NATIVE_IO_STORAGE_BACKENDS and not is_module_available("kaldi_native_io"):
         missing.append("kaldi_native_io")
     return missing
 
@@ -244,8 +230,7 @@ class FileIO:
 
     @contextmanager
     def open_fileobj(
-        self, key: str, mode: str, add_subdir: bool = False
-    ) -> Generator[tuple, None, None]:
+        self, key: str, mode: str, add_subdir: bool = False) -> Generator[tuple, None, None]:
         assert not ("r" in mode and "w" in mode)
         if "r" in mode:
             path = self._read_path(key)
@@ -272,10 +257,7 @@ class _PerFileReader(FeaturesReader):
 
     @dynamic_lru_cache
     def read(
-        self,
-        key: str,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
+        self, key: str, left_offset_frames: int = 0, right_offset_frames: Optional[int] = None,
     ) -> np.ndarray:
         with self.io.open_fileobj(key, mode="r") as (f, _):
             arr = self._decode(f)
@@ -361,9 +343,7 @@ class NumpyFilesWriter(_PerFileWriter):
 
 def check_h5py_installed():
     if not is_module_available("h5py"):
-        raise ValueError(
-            "To read and write HDF5 file formats, please 'pip install h5py' first."
-        )
+        raise ValueError("To read and write HDF5 file formats, please 'pip install h5py' first.")
 
 
 @lru_cache(maxsize=None)
@@ -390,10 +370,7 @@ class NumpyHdf5Reader(FeaturesReader):
         self.hdf = lookup_cache_or_open(str(storage_path))
 
     def read(
-        self,
-        key: str,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
+        self, key: str, left_offset_frames: int = 0, right_offset_frames: Optional[int] = None,
     ) -> np.ndarray:
         return self.hdf[key][left_offset_frames:right_offset_frames]
 
@@ -444,10 +421,7 @@ class LilcomHdf5Reader(FeaturesReader):
 
     @dynamic_lru_cache
     def read(
-        self,
-        key: str,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
+        self, key: str, left_offset_frames: int = 0, right_offset_frames: Optional[int] = None,
     ) -> np.ndarray:
         arr = ltc_decompress(self.hdf[key][()].tobytes())
         return arr[left_offset_frames:right_offset_frames]
@@ -460,8 +434,7 @@ class LilcomHdf5Writer(_Hdf5Writer):
     name = "lilcom_hdf5"
 
     def __init__(
-        self, storage_path: Pathlike, tick_power: int = -5, mode: str = "w", *args, **kwargs
-    ):
+        self, storage_path: Pathlike, tick_power: int = -5, mode: str = "w", *args, **kwargs):
         super().__init__(storage_path, mode=mode)
         self.tick_power = tick_power
 
@@ -491,10 +464,7 @@ class ChunkedLilcomHdf5Reader(FeaturesReader):
 
     @dynamic_lru_cache
     def read(
-        self,
-        key: str,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
+        self, key: str, left_offset_frames: int = 0, right_offset_frames: Optional[int] = None,
     ) -> np.ndarray:
         left_chunk_idx = floor(left_offset_frames / self.CHUNK_SIZE)
         if right_offset_frames is not None:
@@ -519,8 +489,7 @@ class ChunkedLilcomHdf5Writer(_Hdf5Writer):
     CHUNK_SIZE = HDF5_CHUNK_SIZE
 
     def __init__(
-        self, storage_path: Pathlike, tick_power: int = -5, mode: str = "w", *args, **kwargs
-    ):
+        self, storage_path: Pathlike, tick_power: int = -5, mode: str = "w", *args, **kwargs):
         super().__init__(storage_path, mode=mode)
         self.hdf.create_dataset(CHUNK_SIZE_KEY, data=self.CHUNK_SIZE)
         self.tick_power = tick_power
@@ -529,8 +498,7 @@ class ChunkedLilcomHdf5Writer(_Hdf5Writer):
         from lhotse_tpu.features.compression import lilcom_compress_chunked
 
         chunks = lilcom_compress_chunked(
-            value, tick_power=self.tick_power, chunk_size=self.CHUNK_SIZE
-        )
+            value, tick_power=self.tick_power, chunk_size=self.CHUNK_SIZE)
         group = self.hdf.create_group(key)
         for i, chunk in enumerate(chunks):
             group.create_dataset(str(i), data=np.void(chunk))
@@ -562,10 +530,7 @@ class LilcomChunkyReader(FeaturesReader):
 
     @dynamic_lru_cache
     def read(
-        self,
-        key: str,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
+        self, key: str, left_offset_frames: int = 0, right_offset_frames: Optional[int] = None,
     ) -> np.ndarray:
         left_chunk_idx = floor(left_offset_frames / self.CHUNK_SIZE)
         if right_offset_frames is not None:
@@ -603,20 +568,12 @@ class LilcomChunkyWriter(FeaturesWriter):
     CHUNK_SIZE = CHUNKY_FORMAT_CHUNK_SIZE
 
     def __init__(
-        self,
-        storage_path: Pathlike,
-        tick_power: int = -5,
-        mode: str = "wb",
-        *args,
-        **kwargs,
-    ):
+        self, storage_path: Pathlike, tick_power: int = -5, mode: str = "wb", *args, **kwargs):
         if "b" not in mode:
             mode = mode + "b"
         assert mode in ("wb", "ab")
         p = Path(storage_path)
-        self.storage_path_ = p.with_suffix(
-            p.suffix + ".lca" if p.suffix != ".lca" else ".lca"
-        )
+        self.storage_path_ = p.with_suffix(p.suffix + ".lca" if p.suffix != ".lca" else ".lca")
         self.tick_power = tick_power
         self.file = open(self.storage_path, mode=mode)
         self.curr_offset = self.file.tell()
@@ -629,8 +586,7 @@ class LilcomChunkyWriter(FeaturesWriter):
         from lhotse_tpu.features.compression import lilcom_compress_chunked
 
         serialized_feats = lilcom_compress_chunked(
-            value, tick_power=self.tick_power, chunk_size=self.CHUNK_SIZE
-        )
+            value, tick_power=self.tick_power, chunk_size=self.CHUNK_SIZE)
         offsets = [self.curr_offset]
         for feat in serialized_feats:
             nbytes = self.file.write(feat)
@@ -664,10 +620,7 @@ class LilcomURLReader(FeaturesReader):
 
     @dynamic_lru_cache
     def read(
-        self,
-        key: str,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
+        self, key: str, left_offset_frames: int = 0, right_offset_frames: Optional[int] = None,
     ) -> np.ndarray:
         return self._inner.read(key, left_offset_frames, right_offset_frames)
 
@@ -696,9 +649,7 @@ class LilcomURLWriter(FeaturesWriter):
 
 def check_kaldi_native_io_installed():
     if not is_module_available("kaldi_native_io"):
-        raise ValueError(
-            "To read Kaldi feats.scp, please 'pip install kaldi_native_io' first."
-        )
+        raise ValueError("To read Kaldi feats.scp, please 'pip install kaldi_native_io' first.")
 
 
 @lru_cache(maxsize=None)
@@ -721,10 +672,7 @@ class KaldiReader(FeaturesReader):
         self.storage = lookup_reader_cache_or_open(str(storage_path))
 
     def read(
-        self,
-        key: str,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
+        self, key: str, left_offset_frames: int = 0, right_offset_frames: Optional[int] = None,
     ) -> np.ndarray:
         arr = np.copy(self.storage[key])
         return arr[left_offset_frames:right_offset_frames]
@@ -736,9 +684,7 @@ class KaldiWriter(FeaturesWriter):
 
     name = "kaldiio"
 
-    def __init__(
-        self, storage_path: Pathlike, compression_method: int = 1, *args, **kwargs
-    ):
+    def __init__(self, storage_path: Pathlike, compression_method: int = 1, *args, **kwargs):
         check_kaldi_native_io_installed()
         import kaldi_native_io
 
@@ -784,11 +730,8 @@ class MemoryLilcomReader(FeaturesReader):
 
     @dynamic_lru_cache
     def read(
-        self,
-        raw_data: bytes,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
-    ) -> np.ndarray:
+        self, raw_data: bytes, left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None) -> np.ndarray:
         arr = ltc_decompress(raw_data)
         return arr[left_offset_frames:right_offset_frames]
 
@@ -833,11 +776,8 @@ class MemoryRawReader(FeaturesReader):
 
     @dynamic_lru_cache
     def read(
-        self,
-        raw_data: bytes,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
-    ) -> np.ndarray:
+        self, raw_data: bytes, left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None) -> np.ndarray:
         arr = pickle.loads(raw_data)
         return arr[left_offset_frames:right_offset_frames]
 
@@ -871,11 +811,8 @@ class MemoryNpyReader(FeaturesReader):
 
     @dynamic_lru_cache
     def read(
-        self,
-        raw_data: bytes,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
-    ) -> np.ndarray:
+        self, raw_data: bytes, left_offset_frames: int = 0,
+        right_offset_frames: Optional[int] = None) -> np.ndarray:
         arr = np.load(BytesIO(raw_data))
         return arr[left_offset_frames:right_offset_frames]
 
@@ -922,10 +859,7 @@ class SharPtrArrayReader(FeaturesReader):
 
     @dynamic_lru_cache
     def read(
-        self,
-        key: str,
-        left_offset_frames: int = 0,
-        right_offset_frames: Optional[int] = None,
+        self, key: str, left_offset_frames: int = 0, right_offset_frames: Optional[int] = None,
     ) -> np.ndarray:
         from lhotse_tpu.shar.lazy_pointer import read_payload
 

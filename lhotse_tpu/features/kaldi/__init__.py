@@ -1,18 +1,5 @@
 from lhotse_tpu.features.kaldi.extractors import (
-    Fbank,
-    FbankConfig,
-    LogSpectrogram,
-    LogSpectrogramConfig,
-    Mfcc,
-    MfccConfig,
-    Spectrogram,
-    SpectrogramConfig,
-)
+    Fbank, FbankConfig, LogSpectrogram, LogSpectrogramConfig, Mfcc, MfccConfig, Spectrogram,
+    SpectrogramConfig)
 from lhotse_tpu.features.kaldi.layers import (
-    Wav2FFT,
-    Wav2LogFilterBank,
-    Wav2LogSpec,
-    Wav2MFCC,
-    Wav2Spec,
-    Wav2Win,
-)
+    Wav2FFT, Wav2LogFilterBank, Wav2LogSpec, Wav2MFCC, Wav2Spec, Wav2Win)

@@ -26,19 +26,9 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 import numpy as np
 
 from lhotse_tpu.features.base import FeatureExtractor, register_extractor
-from lhotse_tpu.features.kaldi.layers import (
-    Wav2LogFilterBank,
-    Wav2LogSpec,
-    Wav2MFCC,
-    Wav2Spec,
-)
+from lhotse_tpu.features.kaldi.layers import (Wav2LogFilterBank, Wav2LogSpec, Wav2MFCC, Wav2Spec)
 from lhotse_tpu.ops import fbank as ops
-from lhotse_tpu.utils import (
-    EPSILON,
-    Seconds,
-    asdict_nonull,
-    compute_num_frames_from_samples,
-)
+from lhotse_tpu.utils import (EPSILON, Seconds, asdict_nonull, compute_num_frames_from_samples)
 
 # Pad waveform lengths up to multiples of this many frames' worth of samples
 # so that each (batch_bucket, length_bucket) pair compiles exactly once.
@@ -100,12 +90,8 @@ class _KaldiExtractorBase(FeatureExtractor):
 
     def _analysis_matrices(self):
         return ops.dft_analysis_matrices(
-            self._frame_samples,
-            self._fft_length,
-            window_type=self.config.window_type,
-            remove_dc_offset=self.config.remove_dc_offset,
-            preemph_coeff=self.config.preemph_coeff,
-        )
+            self._frame_samples, self._fft_length, window_type=self.config.window_type,
+            remove_dc_offset=self.config.remove_dc_offset, preemph_coeff=self.config.preemph_coeff)
 
     def _pallas_matrices(self):
         """
@@ -137,8 +123,7 @@ class _KaldiExtractorBase(FeatureExtractor):
 
             def _run(x):
                 frames = ops.frame_signal(
-                    x, self._frame_samples, self._shift_samples, snip_edges=True
-                )
+                    x, self._frame_samples, self._shift_samples, snip_edges=True)
                 log_e = None
                 if getattr(self.config, "use_energy", False):
                     import jax.numpy as jnp
@@ -146,8 +131,7 @@ class _KaldiExtractorBase(FeatureExtractor):
                     centered = frames - jnp.mean(frames, axis=-1, keepdims=True)
                     log_e = ops.frame_log_energy(centered, self.config.energy_floor)
                 pow_spec = ops.power_spectrum_gemm(
-                    frames, Mc, Ms, use_fft_mag=self.config.use_fft_mag
-                )
+                    frames, Mc, Ms, use_fft_mag=self.config.use_fft_mag)
                 return self._postprocess(pow_spec, log_e, consts)
 
             fn = jax.jit(_run)
@@ -180,8 +164,7 @@ class _KaldiExtractorBase(FeatureExtractor):
     def _num_frames(self, num_samples: int) -> int:
         if self.config.snip_edges:
             return ops.compute_num_frames_snip(
-                num_samples, self._frame_samples, self._shift_samples
-            )
+                num_samples, self._frame_samples, self._shift_samples)
         return ops.compute_num_frames_pad(num_samples, self._shift_samples)
 
     def _prepare_item(self, x: np.ndarray) -> np.ndarray:
@@ -228,8 +211,7 @@ class _KaldiExtractorBase(FeatureExtractor):
         prepared = [self._prepare_item(row) for row in samples]
         n = max(p.shape[-1] for p in prepared)
         padded_n = _round_up(
-            max(n, self._frame_samples), self._shift_samples * LENGTH_BUCKET_FRAMES
-        )
+            max(n, self._frame_samples), self._shift_samples * LENGTH_BUCKET_FRAMES)
         batch = np.zeros((len(prepared), padded_n), dtype=np.float32)
         for i, p in enumerate(prepared):
             batch[i, : p.shape[-1]] = p
@@ -237,11 +219,8 @@ class _KaldiExtractorBase(FeatureExtractor):
         return out[0] if squeeze or out.shape[0] == 1 else out
 
     def extract_batch(
-        self,
-        samples: Union[np.ndarray, Sequence[np.ndarray]],
-        sampling_rate: int,
-        lengths: Optional[np.ndarray] = None,
-    ) -> Union[np.ndarray, List[np.ndarray]]:
+        self, samples: Union[np.ndarray, Sequence[np.ndarray]], sampling_rate: int,
+        lengths: Optional[np.ndarray] = None) -> Union[np.ndarray, List[np.ndarray]]:
         """
         True batched extraction: collate variable-length inputs into one
         padded, shape-bucketed batch, run a single jitted forward, and slice
@@ -263,18 +242,14 @@ class _KaldiExtractorBase(FeatureExtractor):
         if is_tracing_enabled():
             with trace_span(f"{type(self).__name__}.extract_batch"):
                 add_work(sum(item_lengths) / sampling_rate)
-                return self._extract_batch_impl(
-                    items, item_lengths, input_is_list, sampling_rate
-                )
+                return self._extract_batch_impl(items, item_lengths, input_is_list, sampling_rate)
         return self._extract_batch_impl(items, item_lengths, input_is_list, sampling_rate)
 
     def _extract_batch_impl(self, items, item_lengths, input_is_list, sampling_rate):
         prepared = [self._prepare_item(s) for s in items]
         max_len = max(p.shape[-1] for p in prepared)
         padded_len = _round_up(
-            max(max_len, self._frame_samples),
-            self._shift_samples * LENGTH_BUCKET_FRAMES,
-        )
+            max(max_len, self._frame_samples), self._shift_samples * LENGTH_BUCKET_FRAMES)
         Bp = _batch_bucket(len(prepared))
         batch = np.zeros((Bp, padded_len), dtype=np.float32)
         for i, p in enumerate(prepared):
@@ -380,7 +355,7 @@ class Fbank(_KaldiExtractorBase):
 
     @staticmethod
     def mix(
-        features_a: np.ndarray, features_b: np.ndarray, energy_scaling_factor_b: float
+        features_a: np.ndarray, features_b: np.ndarray, energy_scaling_factor_b: float,
     ) -> np.ndarray:
         return np.log(
             np.maximum(
@@ -462,8 +437,7 @@ class Mfcc(_KaldiExtractorBase):
         fb, dct, lifter = consts
         logmel = ops.mel_fbank_from_power(pow_spec, jnp.asarray(fb))
         mfcc = ops.mfcc_from_logmel(
-            logmel, jnp.asarray(dct), jnp.asarray(lifter) if lifter is not None else None
-        )
+            logmel, jnp.asarray(dct), jnp.asarray(lifter) if lifter is not None else None)
         if self.config.use_energy and log_e is not None:
             mfcc = mfcc.at[..., 0].set(log_e)
         return mfcc
@@ -518,7 +492,7 @@ class Spectrogram(_KaldiExtractorBase):
 
     @staticmethod
     def mix(
-        features_a: np.ndarray, features_b: np.ndarray, energy_scaling_factor_b: float
+        features_a: np.ndarray, features_b: np.ndarray, energy_scaling_factor_b: float,
     ) -> np.ndarray:
         return features_a + energy_scaling_factor_b * features_b
 
@@ -583,7 +557,7 @@ class LogSpectrogram(_KaldiExtractorBase):
 
     @staticmethod
     def mix(
-        features_a: np.ndarray, features_b: np.ndarray, energy_scaling_factor_b: float
+        features_a: np.ndarray, features_b: np.ndarray, energy_scaling_factor_b: float,
     ) -> np.ndarray:
         return np.log(
             np.maximum(

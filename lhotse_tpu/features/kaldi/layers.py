@@ -25,32 +25,14 @@ import numpy as np
 
 from lhotse_tpu.ops import fbank as ops
 from lhotse_tpu.ops.fbank import (
-    EPSILON,
-    available_windows,
-    create_frame_window,
-    create_mel_scale,
-    get_mel_banks,
-    lin2mel,
-    mel2lin,
-    next_power_of_2,
-)
+    EPSILON, available_windows, create_frame_window, create_mel_scale, get_mel_banks, lin2mel,
+    mel2lin, next_power_of_2)
 from lhotse_tpu.utils import Seconds
 
 __all__ = [
-    "Wav2Win",
-    "Wav2FFT",
-    "Wav2Spec",
-    "Wav2LogSpec",
-    "Wav2LogFilterBank",
-    "Wav2MFCC",
-    "available_windows",
-    "create_frame_window",
-    "create_mel_scale",
-    "get_mel_banks",
-    "lin2mel",
-    "mel2lin",
-    "next_power_of_2",
-]
+    "Wav2Win", "Wav2FFT", "Wav2Spec", "Wav2LogSpec", "Wav2LogFilterBank", "Wav2MFCC",
+    "available_windows", "create_frame_window", "create_mel_scale", "get_mel_banks", "lin2mel",
+    "mel2lin", "next_power_of_2"]
 
 
 def _as_jax_batch(x):
@@ -63,12 +45,8 @@ def _as_jax_batch(x):
 
 
 def _get_strided_batch_streaming(
-    waveform: np.ndarray,
-    window_shift: int,
-    window_length: int,
-    prev_remainder: Optional[np.ndarray] = None,
-    snip_edges: bool = False,
-):
+    waveform: np.ndarray, window_shift: int, window_length: int,
+    prev_remainder: Optional[np.ndarray] = None, snip_edges: bool = False):
     """
     Streaming framing: accepts optional leftover samples from the previous
     call, returns (frames, remainder). Reference: layers.py:775-856.
@@ -108,20 +86,11 @@ class Wav2Win:
     """
 
     def __init__(
-        self,
-        sampling_rate: int = 16000,
-        frame_length: Seconds = 0.025,
-        frame_shift: Seconds = 0.01,
-        pad_length: Optional[int] = None,
-        remove_dc_offset: bool = True,
-        preemph_coeff: float = 0.97,
-        window_type: str = "povey",
-        dither: float = 0.0,
-        snip_edges: bool = False,
-        energy_floor: float = EPSILON,
-        raw_energy: bool = True,
-        return_log_energy: bool = False,
-    ) -> None:
+        self, sampling_rate: int = 16000, frame_length: Seconds = 0.025,
+        frame_shift: Seconds = 0.01, pad_length: Optional[int] = None,
+        remove_dc_offset: bool = True, preemph_coeff: float = 0.97, window_type: str = "povey",
+        dither: float = 0.0, snip_edges: bool = False, energy_floor: float = EPSILON,
+        raw_energy: bool = True, return_log_energy: bool = False) -> None:
         self.sampling_rate = sampling_rate
         self.frame_length = frame_length
         self.frame_shift = frame_shift
@@ -202,12 +171,8 @@ class Wav2Win:
         if self.dither != 0.0:
             x = x + self.dither * np.random.randn(*x.shape).astype(np.float32)
         x_strided, remainder = _get_strided_batch_streaming(
-            x,
-            window_shift=self._shift,
-            window_length=self._length,
-            prev_remainder=context,
-            snip_edges=self.snip_edges,
-        )
+            x, window_shift=self._shift, window_length=self._length, prev_remainder=context,
+            snip_edges=self.snip_edges)
         import jax.numpy as jnp
 
         x_strided, log_energy = self._forward_strided(jnp.asarray(x_strided))
@@ -222,37 +187,19 @@ class Wav2FFT:
     """
 
     def __init__(
-        self,
-        sampling_rate: int = 16000,
-        frame_length: Seconds = 0.025,
-        frame_shift: Seconds = 0.01,
-        round_to_power_of_two: bool = True,
-        remove_dc_offset: bool = True,
-        preemph_coeff: float = 0.97,
-        window_type: str = "povey",
-        dither: float = 0.0,
-        snip_edges: bool = False,
-        energy_floor: float = EPSILON,
-        raw_energy: bool = True,
-        use_energy: bool = True,
-    ) -> None:
+        self, sampling_rate: int = 16000, frame_length: Seconds = 0.025,
+        frame_shift: Seconds = 0.01, round_to_power_of_two: bool = True,
+        remove_dc_offset: bool = True, preemph_coeff: float = 0.97, window_type: str = "povey",
+        dither: float = 0.0, snip_edges: bool = False, energy_floor: float = EPSILON,
+        raw_energy: bool = True, use_energy: bool = True) -> None:
         self.use_energy = use_energy
         N = int(math.floor(frame_length * sampling_rate))
         self.fft_length = next_power_of_2(N) if round_to_power_of_two else N
         self.wav2win = Wav2Win(
-            sampling_rate,
-            frame_length,
-            frame_shift,
-            pad_length=self.fft_length,
-            remove_dc_offset=remove_dc_offset,
-            preemph_coeff=preemph_coeff,
-            window_type=window_type,
-            dither=dither,
-            snip_edges=snip_edges,
-            energy_floor=energy_floor,
-            raw_energy=raw_energy,
-            return_log_energy=use_energy,
-        )
+            sampling_rate, frame_length, frame_shift, pad_length=self.fft_length,
+            remove_dc_offset=remove_dc_offset, preemph_coeff=preemph_coeff, window_type=window_type,
+            dither=dither, snip_edges=snip_edges, energy_floor=energy_floor, raw_energy=raw_energy,
+            return_log_energy=use_energy)
 
     @property
     def sampling_rate(self) -> int:
@@ -305,35 +252,16 @@ class Wav2Spec(Wav2FFT):
     """STFT magnitude (``use_fft_mag=True``) or power spectrum."""
 
     def __init__(
-        self,
-        sampling_rate: int = 16000,
-        frame_length: Seconds = 0.025,
-        frame_shift: Seconds = 0.01,
-        round_to_power_of_two: bool = True,
-        remove_dc_offset: bool = True,
-        preemph_coeff: float = 0.97,
-        window_type: str = "povey",
-        dither: float = 0.0,
-        snip_edges: bool = False,
-        energy_floor: float = EPSILON,
-        raw_energy: bool = True,
-        use_energy: bool = True,
-        use_fft_mag: bool = False,
-    ) -> None:
+        self, sampling_rate: int = 16000, frame_length: Seconds = 0.025,
+        frame_shift: Seconds = 0.01, round_to_power_of_two: bool = True,
+        remove_dc_offset: bool = True, preemph_coeff: float = 0.97, window_type: str = "povey",
+        dither: float = 0.0, snip_edges: bool = False, energy_floor: float = EPSILON,
+        raw_energy: bool = True, use_energy: bool = True, use_fft_mag: bool = False) -> None:
         super().__init__(
-            sampling_rate,
-            frame_length,
-            frame_shift,
-            round_to_power_of_two=round_to_power_of_two,
-            remove_dc_offset=remove_dc_offset,
-            preemph_coeff=preemph_coeff,
-            window_type=window_type,
-            dither=dither,
-            snip_edges=snip_edges,
-            energy_floor=energy_floor,
-            raw_energy=raw_energy,
-            use_energy=use_energy,
-        )
+            sampling_rate, frame_length, frame_shift, round_to_power_of_two=round_to_power_of_two,
+            remove_dc_offset=remove_dc_offset, preemph_coeff=preemph_coeff, window_type=window_type,
+            dither=dither, snip_edges=snip_edges, energy_floor=energy_floor, raw_energy=raw_energy,
+            use_energy=use_energy)
         self.use_fft_mag = use_fft_mag
 
     def _forward_strided(self, x_strided, log_e):
@@ -343,8 +271,7 @@ class Wav2Spec(Wav2FFT):
         # fft_length, so the plain cos/sin matrices apply.
         C, S = ops.raw_dft_matrices(self.fft_length, self.fft_length)
         pow_spec = ops.power_spectrum_gemm(
-            x_strided, jnp.asarray(C), jnp.asarray(S), use_fft_mag=self.use_fft_mag
-        )
+            x_strided, jnp.asarray(C), jnp.asarray(S), use_fft_mag=self.use_fft_mag)
         if self.use_energy and log_e is not None:
             pow_spec = pow_spec.at[:, :, 0].set(log_e)
         return pow_spec
@@ -358,8 +285,7 @@ class Wav2LogSpec(Wav2Spec):
 
         C, S = ops.raw_dft_matrices(self.fft_length, self.fft_length)
         pow_spec = ops.power_spectrum_gemm(
-            x_strided, jnp.asarray(C), jnp.asarray(S), use_fft_mag=self.use_fft_mag
-        )
+            x_strided, jnp.asarray(C), jnp.asarray(S), use_fft_mag=self.use_fft_mag)
         pow_spec = jnp.log(pow_spec + 1e-15)
         if self.use_energy and log_e is not None:
             pow_spec = pow_spec.at[:, :, 0].set(log_e)
@@ -370,33 +296,18 @@ class _MelBase(Wav2FFT):
     """Shared mel-filterbank construction for fbank/MFCC layers."""
 
     def _build_fb(
-        self,
-        num_filters: int,
-        sampling_rate: int,
-        low_freq: float,
-        high_freq: float,
-        norm_filters: bool,
-        torchaudio_compatible_mel_scale: bool,
-    ) -> np.ndarray:
+        self, num_filters: int, sampling_rate: int, low_freq: float, high_freq: float,
+        norm_filters: bool, torchaudio_compatible_mel_scale: bool) -> np.ndarray:
         if torchaudio_compatible_mel_scale:
             fb, _ = get_mel_banks(
-                num_bins=num_filters,
-                window_length_padded=self.fft_length,
-                sample_freq=sampling_rate,
-                low_freq=low_freq,
-                high_freq=high_freq,
-            )
+                num_bins=num_filters, window_length_padded=self.fft_length,
+                sample_freq=sampling_rate, low_freq=low_freq, high_freq=high_freq)
             # Zero-pad the nyquist bin column and transpose to (bins, filters).
             fb = np.pad(fb, ((0, 0), (0, 1))).T
         else:
             fb = create_mel_scale(
-                num_filters=num_filters,
-                fft_length=self.fft_length,
-                sampling_rate=sampling_rate,
-                low_freq=low_freq,
-                high_freq=high_freq,
-                norm_filters=norm_filters,
-            )
+                num_filters=num_filters, fft_length=self.fft_length, sampling_rate=sampling_rate,
+                low_freq=low_freq, high_freq=high_freq, norm_filters=norm_filters)
         return fb.astype(np.float32)
 
 
@@ -408,61 +319,33 @@ class Wav2LogFilterBank(_MelBase):
     """
 
     def __init__(
-        self,
-        sampling_rate: int = 16000,
-        frame_length: Seconds = 0.025,
-        frame_shift: Seconds = 0.01,
-        round_to_power_of_two: bool = True,
-        remove_dc_offset: bool = True,
-        preemph_coeff: float = 0.97,
-        window_type: str = "povey",
-        dither: float = 0.0,
-        snip_edges: bool = False,
-        energy_floor: float = EPSILON,
-        raw_energy: bool = True,
-        use_energy: bool = False,
-        use_fft_mag: bool = False,
-        low_freq: float = 20.0,
-        high_freq: float = -400.0,
-        num_filters: int = 80,
-        norm_filters: bool = False,
-        torchaudio_compatible_mel_scale: bool = True,
-    ):
+        self, sampling_rate: int = 16000, frame_length: Seconds = 0.025,
+        frame_shift: Seconds = 0.01, round_to_power_of_two: bool = True,
+        remove_dc_offset: bool = True, preemph_coeff: float = 0.97, window_type: str = "povey",
+        dither: float = 0.0, snip_edges: bool = False, energy_floor: float = EPSILON,
+        raw_energy: bool = True, use_energy: bool = False, use_fft_mag: bool = False,
+        low_freq: float = 20.0, high_freq: float = -400.0, num_filters: int = 80,
+        norm_filters: bool = False, torchaudio_compatible_mel_scale: bool = True):
         super().__init__(
-            sampling_rate,
-            frame_length,
-            frame_shift,
-            round_to_power_of_two=round_to_power_of_two,
-            remove_dc_offset=remove_dc_offset,
-            preemph_coeff=preemph_coeff,
-            window_type=window_type,
-            dither=dither,
-            snip_edges=snip_edges,
-            energy_floor=energy_floor,
-            raw_energy=raw_energy,
-            use_energy=use_energy,
-        )
+            sampling_rate, frame_length, frame_shift, round_to_power_of_two=round_to_power_of_two,
+            remove_dc_offset=remove_dc_offset, preemph_coeff=preemph_coeff, window_type=window_type,
+            dither=dither, snip_edges=snip_edges, energy_floor=energy_floor, raw_energy=raw_energy,
+            use_energy=use_energy)
         self.use_fft_mag = use_fft_mag
         self.low_freq = low_freq
         self.high_freq = high_freq
         self.num_filters = num_filters
         self.norm_filters = norm_filters
         self._fb = self._build_fb(
-            num_filters,
-            sampling_rate,
-            low_freq,
-            high_freq,
-            norm_filters,
-            torchaudio_compatible_mel_scale,
-        )
+            num_filters, sampling_rate, low_freq, high_freq, norm_filters,
+            torchaudio_compatible_mel_scale)
 
     def _forward_strided(self, x_strided, log_e):
         import jax.numpy as jnp
 
         C, S = ops.raw_dft_matrices(self.fft_length, self.fft_length)
         pow_spec = ops.power_spectrum_gemm(
-            x_strided, jnp.asarray(C), jnp.asarray(S), use_fft_mag=self.use_fft_mag
-        )
+            x_strided, jnp.asarray(C), jnp.asarray(S), use_fft_mag=self.use_fft_mag)
         pow_spec = ops.mel_fbank_from_power(pow_spec, jnp.asarray(self._fb))
         if self.use_energy and log_e is not None:
             pow_spec = jnp.concatenate([log_e[..., None], pow_spec], axis=-1)
@@ -485,12 +368,8 @@ class Wav2LogFilterBank(_MelBase):
                 and not fb[256].any()
             ):
                 Mc, Ms = ops.dft_analysis_matrices(
-                    w._length,
-                    self.fft_length,
-                    window_type=w.window_type,
-                    remove_dc_offset=w.remove_dc_offset,
-                    preemph_coeff=w.preemph_coeff,
-                )
+                    w._length, self.fft_length, window_type=w.window_type,
+                    remove_dc_offset=w.remove_dc_offset, preemph_coeff=w.preemph_coeff)
                 mats = (Mc, Ms, fb)
             self._fused_cache = mats
         return self._fused_cache
@@ -516,42 +395,19 @@ class Wav2MFCC(_MelBase):
     """Mel-frequency cepstral coefficients: (batch, num_frames, num_ceps)."""
 
     def __init__(
-        self,
-        sampling_rate: int = 16000,
-        frame_length: Seconds = 0.025,
-        frame_shift: Seconds = 0.01,
-        round_to_power_of_two: bool = True,
-        remove_dc_offset: bool = True,
-        preemph_coeff: float = 0.97,
-        window_type: str = "povey",
-        dither: float = 0.0,
-        snip_edges: bool = False,
-        energy_floor: float = EPSILON,
-        raw_energy: bool = True,
-        use_energy: bool = False,
-        use_fft_mag: bool = False,
-        low_freq: float = 20.0,
-        high_freq: float = -400.0,
-        num_filters: int = 23,
-        norm_filters: bool = False,
-        num_ceps: int = 13,
-        cepstral_lifter: int = 22,
-        torchaudio_compatible_mel_scale: bool = True,
-    ):
+        self, sampling_rate: int = 16000, frame_length: Seconds = 0.025,
+        frame_shift: Seconds = 0.01, round_to_power_of_two: bool = True,
+        remove_dc_offset: bool = True, preemph_coeff: float = 0.97, window_type: str = "povey",
+        dither: float = 0.0, snip_edges: bool = False, energy_floor: float = EPSILON,
+        raw_energy: bool = True, use_energy: bool = False, use_fft_mag: bool = False,
+        low_freq: float = 20.0, high_freq: float = -400.0, num_filters: int = 23,
+        norm_filters: bool = False, num_ceps: int = 13, cepstral_lifter: int = 22,
+        torchaudio_compatible_mel_scale: bool = True):
         super().__init__(
-            sampling_rate,
-            frame_length,
-            frame_shift,
-            round_to_power_of_two=round_to_power_of_two,
-            remove_dc_offset=remove_dc_offset,
-            preemph_coeff=preemph_coeff,
-            window_type=window_type,
-            dither=dither,
-            snip_edges=snip_edges,
-            energy_floor=energy_floor,
-            raw_energy=raw_energy,
-            use_energy=use_energy,
-        )
+            sampling_rate, frame_length, frame_shift, round_to_power_of_two=round_to_power_of_two,
+            remove_dc_offset=remove_dc_offset, preemph_coeff=preemph_coeff, window_type=window_type,
+            dither=dither, snip_edges=snip_edges, energy_floor=energy_floor, raw_energy=raw_energy,
+            use_energy=use_energy)
         self.use_fft_mag = use_fft_mag
         self.low_freq = low_freq
         self.high_freq = high_freq
@@ -560,13 +416,8 @@ class Wav2MFCC(_MelBase):
         self.num_ceps = num_ceps
         self.cepstral_lifter = cepstral_lifter
         self._fb = self._build_fb(
-            num_filters,
-            sampling_rate,
-            low_freq,
-            high_freq,
-            norm_filters,
-            torchaudio_compatible_mel_scale,
-        )
+            num_filters, sampling_rate, low_freq, high_freq, norm_filters,
+            torchaudio_compatible_mel_scale)
         self._dct = ops.make_dct_matrix(num_ceps, num_filters).astype(np.float32)
         self._lifter = (
             ops.make_lifter(num_ceps, cepstral_lifter).astype(np.float32)
@@ -587,14 +438,11 @@ class Wav2MFCC(_MelBase):
 
         C, S = ops.raw_dft_matrices(self.fft_length, self.fft_length)
         pow_spec = ops.power_spectrum_gemm(
-            x_strided, jnp.asarray(C), jnp.asarray(S), use_fft_mag=self.use_fft_mag
-        )
+            x_strided, jnp.asarray(C), jnp.asarray(S), use_fft_mag=self.use_fft_mag)
         logmel = ops.mel_fbank_from_power(pow_spec, jnp.asarray(self._fb))
         mfcc = ops.mfcc_from_logmel(
-            logmel,
-            jnp.asarray(self._dct),
-            jnp.asarray(self._lifter) if self._lifter is not None else None,
-        )
+            logmel, jnp.asarray(self._dct),
+            jnp.asarray(self._lifter) if self._lifter is not None else None)
         if self.use_energy and log_e is not None:
             mfcc = mfcc.at[..., 0].set(log_e)
         return mfcc

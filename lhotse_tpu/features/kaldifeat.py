@@ -19,12 +19,7 @@ from typing import Any, Dict, Optional, Sequence, Union
 import numpy as np
 
 from lhotse_tpu.features.base import FeatureExtractor, register_extractor
-from lhotse_tpu.features.kaldi.extractors import (
-    Fbank,
-    FbankConfig,
-    Mfcc,
-    MfccConfig,
-)
+from lhotse_tpu.features.kaldi.extractors import (Fbank, FbankConfig, Mfcc, MfccConfig)
 from lhotse_tpu.utils import EPSILON, Seconds
 
 
@@ -107,17 +102,11 @@ class _KaldifeatNamedExtractor(FeatureExtractor):
     def _frame_params(self) -> Dict[str, Any]:
         fo = self.config.frame_opts
         return dict(
-            sampling_rate=fo.sampling_rate,
-            frame_shift=fo.frame_shift,
-            frame_length=fo.frame_length,
-            dither=fo.dither,
-            preemph_coeff=fo.preemph_coeff,
-            remove_dc_offset=fo.remove_dc_offset,
-            window_type=fo.window_type,
-            round_to_power_of_two=fo.round_to_power_of_two,
-            snip_edges=fo.snip_edges,
-            use_energy=self.config.use_energy,
-        )
+            sampling_rate=fo.sampling_rate, frame_shift=fo.frame_shift,
+            frame_length=fo.frame_length, dither=fo.dither, preemph_coeff=fo.preemph_coeff,
+            remove_dc_offset=fo.remove_dc_offset, window_type=fo.window_type,
+            round_to_power_of_two=fo.round_to_power_of_two, snip_edges=fo.snip_edges,
+            use_energy=self.config.use_energy)
 
     @property
     def device(self) -> str:
@@ -127,11 +116,7 @@ class _KaldifeatNamedExtractor(FeatureExtractor):
     def frame_shift(self) -> Seconds:
         return self.config.frame_opts.frame_shift
 
-    def extract(
-        self,
-        samples: Union[np.ndarray, Sequence[np.ndarray]],
-        sampling_rate: int,
-    ):
+    def extract(self, samples: Union[np.ndarray, Sequence[np.ndarray]], sampling_rate: int):
         expected_sr = self.config.frame_opts.sampling_rate
         assert sampling_rate == expected_sr, (
             f"Mismatched sampling rate: extractor expects {expected_sr}, "
@@ -214,9 +199,7 @@ class KaldifeatMfccConfig:
     """Reference: kaldifeat.py:217-247."""
 
     frame_opts: KaldifeatFrameOptions = field(default_factory=KaldifeatFrameOptions)
-    mel_opts: KaldifeatMelOptions = field(
-        default_factory=lambda: KaldifeatMelOptions(num_bins=23)
-    )
+    mel_opts: KaldifeatMelOptions = field(default_factory=lambda: KaldifeatMelOptions(num_bins=23))
     num_ceps: int = 13
     use_energy: bool = False
     energy_floor: float = EPSILON

@@ -45,10 +45,7 @@ class LibrosaFbankConfig:
 
 
 def pad_or_truncate_features(
-    feats: np.ndarray,
-    expected_num_frames: int,
-    abs_tol: int = 1,
-    pad_value: float = LOG_EPSILON,
+    feats: np.ndarray, expected_num_frames: int, abs_tol: int = 1, pad_value: float = LOG_EPSILON,
 ) -> np.ndarray:
     """Reference: librosa_fbank.py:43-63 — tolerate ±1 frame drift between
     the STFT hop count and the canonical duration-based frame count."""
@@ -57,11 +54,7 @@ def pad_or_truncate_features(
         feats = feats[:expected_num_frames]
     elif -abs_tol <= frames_diff < 0:
         feats = np.pad(
-            feats,
-            ((0, -frames_diff), (0, 0)),
-            mode="constant",
-            constant_values=pad_value,
-        )
+            feats, ((0, -frames_diff), (0, 0)), mode="constant", constant_values=pad_value)
     elif abs(frames_diff) > abs_tol:
         raise ValueError(
             f"Expected {expected_num_frames} feature frames; "
@@ -71,17 +64,9 @@ def pad_or_truncate_features(
 
 
 def logmelfilterbank(
-    audio: np.ndarray,
-    sampling_rate: int,
-    fft_size: int = 1024,
-    hop_size: int = 256,
-    win_length: Optional[int] = None,
-    window: str = "hann",
-    num_mel_bins: int = 80,
-    fmin: int = 80,
-    fmax: int = 7600,
-    eps: float = EPSILON,
-) -> np.ndarray:
+    audio: np.ndarray, sampling_rate: int, fft_size: int = 1024, hop_size: int = 256,
+    win_length: Optional[int] = None, window: str = "hann", num_mel_bins: int = 80, fmin: int = 80,
+    fmax: int = 7600, eps: float = EPSILON) -> np.ndarray:
     """Log-mel feature matrix (num_frames, num_mel_bins); see module docs."""
     assert window == "hann", "Only the hann window is supported."
     audio = np.asarray(audio)
@@ -106,10 +91,7 @@ def logmelfilterbank(
     x = np.pad(audio.astype(np.float32, copy=False), (fft_size // 2,) * 2, "reflect")
     num_frames = 1 + (len(audio)) // hop_size
     frames = np.lib.stride_tricks.as_strided(
-        x,
-        shape=(num_frames, fft_size),
-        strides=(hop_size * x.strides[0], x.strides[0]),
-    )
+        x, shape=(num_frames, fft_size), strides=(hop_size * x.strides[0], x.strides[0]))
     frames = frames * window_full[None, :]
 
     from lhotse_tpu.ops.fbank import raw_dft_matrices
@@ -122,15 +104,12 @@ def logmelfilterbank(
     fmin = 0 if fmin is None else fmin
     fmax = sampling_rate / 2 if fmax is None else fmax
     mel_basis = slaney_mel_filters(
-        sampling_rate, fft_size, num_mel_bins, fmin=float(fmin), fmax=float(fmax)
-    )
+        sampling_rate, fft_size, num_mel_bins, fmin=float(fmin), fmax=float(fmax))
     feats = np.log10(np.maximum(eps, spc @ mel_basis.T))
 
     expected_num_frames = compute_num_frames(
-        duration=len(audio) / sampling_rate,
-        frame_shift=hop_size / sampling_rate,
-        sampling_rate=sampling_rate,
-    )
+        duration=len(audio) / sampling_rate, frame_shift=hop_size / sampling_rate,
+        sampling_rate=sampling_rate)
     return pad_or_truncate_features(feats, expected_num_frames).astype(np.float32)
 
 

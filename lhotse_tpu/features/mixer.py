@@ -24,13 +24,8 @@ class FeatureMixer:
     """
 
     def __init__(
-        self,
-        feature_extractor: FeatureExtractor,
-        base_feats: np.ndarray,
-        frame_shift: Seconds,
-        padding_value: float = -1000.0,
-        reference_energy: Optional[float] = None,
-    ):
+        self, feature_extractor: FeatureExtractor, base_feats: np.ndarray, frame_shift: Seconds,
+        padding_value: float = -1000.0, reference_energy: Optional[float] = None):
         self.feature_extractor = feature_extractor
         self.frame_shift = frame_shift
         self.padding_value = padding_value
@@ -57,8 +52,7 @@ class FeatureMixer:
         acc = self.tracks[0]
         for extra, gain in zip(self.tracks[1:], self.gains):
             acc = self.feature_extractor.mix(
-                features_a=acc, features_b=extra, energy_scaling_factor_b=gain
-            )
+                features_a=acc, features_b=extra, energy_scaling_factor_b=gain)
         return acc
 
     def _filler(self, num_frames: int) -> np.ndarray:
@@ -77,12 +71,8 @@ class FeatureMixer:
         return self.reference_energy * (10.0 ** (-snr / 10)) / incoming_energy
 
     def add_to_mix(
-        self,
-        feats: np.ndarray,
-        sampling_rate: int,
-        snr: Optional[Decibels] = None,
-        offset: Seconds = 0.0,
-    ):
+        self, feats: np.ndarray, sampling_rate: int, snr: Optional[Decibels] = None,
+        offset: Seconds = 0.0):
         """Add a feature matrix, padding all tracks to the common mix length."""
         if len(feats) == 0:
             return
@@ -90,8 +80,7 @@ class FeatureMixer:
         assert self.tracks[0].ndim == feats.ndim, "Feature dimensions mismatch in mixing"
 
         lead_frames = compute_num_frames(
-            duration=offset, frame_shift=self.frame_shift, sampling_rate=sampling_rate
-        )
+            duration=offset, frame_shift=self.frame_shift, sampling_rate=sampling_rate)
         have_frames = self.tracks[0].shape[0]
         new_track_frames = feats.shape[0] + lead_frames
         mix_frames = max(have_frames, new_track_frames)

@@ -67,26 +67,17 @@ class OpenSmileExtractor(FeatureExtractor):
         import opensmile
 
         feature_set = self.config.feature_set
-        if isinstance(feature_set, str) and feature_set in list(
-            opensmile.FeatureSet.__members__
-        ):
+        if isinstance(feature_set, str) and feature_set in list(opensmile.FeatureSet.__members__):
             feature_set = opensmile.FeatureSet[feature_set]
         feature_level = self.config.feature_level
         if isinstance(feature_level, str):
             feature_level = opensmile.FeatureLevel(feature_level)
         self.smileExtractor = opensmile.Smile(
-            feature_set=feature_set,
-            feature_level=feature_level,
-            options=self.config.options,
-            loglevel=self.config.loglevel,
-            logfile=self.config.logfile,
-            sampling_rate=self.config.sampling_rate,
-            channels=self.config.channels,
-            mixdown=self.config.mixdown,
-            resample=self.config.resample,
-            num_workers=self.config.num_workers,
-            verbose=self.config.verbose,
-        )
+            feature_set=feature_set, feature_level=feature_level, options=self.config.options,
+            loglevel=self.config.loglevel, logfile=self.config.logfile,
+            sampling_rate=self.config.sampling_rate, channels=self.config.channels,
+            mixdown=self.config.mixdown, resample=self.config.resample,
+            num_workers=self.config.num_workers, verbose=self.config.verbose)
 
     @property
     def frame_shift(self) -> Seconds:

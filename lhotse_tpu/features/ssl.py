@@ -82,10 +82,7 @@ class S3PRLSSL(FeatureExtractor):
         feats = hidden.squeeze(0).cpu().numpy()
         # Trim/pad to the canonical frame count for the duration.
         target = compute_num_frames_from_samples(
-            num_samples=samples.shape[1],
-            frame_shift=self.frame_shift,
-            sampling_rate=sampling_rate,
-        )
+            num_samples=samples.shape[1], frame_shift=self.frame_shift, sampling_rate=sampling_rate)
         if len(feats) > target:
             feats = feats[:target]
         elif len(feats) < target:

@@ -26,11 +26,7 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 from lhotse_tpu.features.base import FeatureExtractor, register_extractor
-from lhotse_tpu.utils import (
-    Seconds,
-    asdict_nonull,
-    compute_num_frames_from_samples,
-)
+from lhotse_tpu.utils import (Seconds, asdict_nonull, compute_num_frames_from_samples)
 
 
 def _hz_to_mel_slaney(f: np.ndarray) -> np.ndarray:
@@ -43,8 +39,7 @@ def _hz_to_mel_slaney(f: np.ndarray) -> np.ndarray:
     mels = f / f_sp
     above = f >= min_log_hz
     mels = np.where(
-        above, min_log_mel + np.log(np.maximum(f, min_log_hz) / min_log_hz) / logstep, mels
-    )
+        above, min_log_mel + np.log(np.maximum(f, min_log_hz) / min_log_hz) / logstep, mels)
     return mels
 
 
@@ -61,11 +56,7 @@ def _mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
 
 @lru_cache(maxsize=None)
 def slaney_mel_filters(
-    sampling_rate: int,
-    n_fft: int,
-    n_mels: int,
-    fmin: float = 0.0,
-    fmax: Optional[float] = None,
+    sampling_rate: int, n_fft: int, n_mels: int, fmin: float = 0.0, fmax: Optional[float] = None,
 ) -> np.ndarray:
     """
     Triangular mel filterbank matching ``librosa.filters.mel`` defaults
@@ -75,8 +66,7 @@ def slaney_mel_filters(
         fmax = sampling_rate / 2.0
     fftfreqs = np.linspace(0.0, sampling_rate / 2.0, 1 + n_fft // 2)
     mel_pts = np.linspace(
-        _hz_to_mel_slaney(float(fmin)), _hz_to_mel_slaney(float(fmax)), n_mels + 2
-    )
+        _hz_to_mel_slaney(float(fmin)), _hz_to_mel_slaney(float(fmax)), n_mels + 2)
     mel_f = _mel_to_hz_slaney(mel_pts)
     fdiff = np.diff(mel_f)
     ramps = mel_f[:, None] - fftfreqs[None, :]
@@ -123,14 +113,10 @@ class WhisperFbank(FeatureExtractor):
         self.hop_length = 160
         self.n_fft = 400
         self.num_filters = self.config.num_filters
-        self.filters = slaney_mel_filters(
-            self.sampling_rate, self.n_fft, self.num_filters
-        )
+        self.filters = slaney_mel_filters(self.sampling_rate, self.n_fft, self.num_filters)
         # Periodic Hann, like torch.hann_window(n_fft).
         n = np.arange(self.n_fft, dtype=np.float64)
-        self.window = (0.5 - 0.5 * np.cos(2.0 * np.pi * n / self.n_fft)).astype(
-            np.float32
-        )
+        self.window = (0.5 - 0.5 * np.cos(2.0 * np.pi * n / self.n_fft)).astype(np.float32)
 
     @property
     def device(self) -> str:
@@ -156,9 +142,7 @@ class WhisperFbank(FeatureExtractor):
         samples = np.asarray(samples)
         if samples.ndim == 2:
             if samples.shape[0] > 1:
-                raise ValueError(
-                    "Whisper Fbank works only with single-channel recordings."
-                )
+                raise ValueError("Whisper Fbank works only with single-channel recordings.")
             samples = samples[0]
         x = samples.astype(np.float32, copy=False)
         num_samples = len(x)
@@ -171,10 +155,8 @@ class WhisperFbank(FeatureExtractor):
         num_frames = max(num_samples // self.hop_length, 0)
         if num_frames > 0:
             frames = np.lib.stride_tricks.as_strided(
-                x,
-                shape=(num_frames, self.n_fft),
-                strides=(self.hop_length * x.strides[0], x.strides[0]),
-            )
+                x, shape=(num_frames, self.n_fft),
+                strides=(self.hop_length * x.strides[0], x.strides[0]))
             frames = frames * self.window[None, :]
             from lhotse_tpu.ops.fbank import raw_dft_matrices
 
@@ -192,17 +174,14 @@ class WhisperFbank(FeatureExtractor):
         # Whisper zero-pads to the rounded frame count for short inputs
         # (whisper_fbank.py:72-81).
         target = compute_num_frames_from_samples(
-            num_samples=num_samples,
-            frame_shift=self.frame_shift,
-            sampling_rate=self.sampling_rate,
-        )
+            num_samples=num_samples, frame_shift=self.frame_shift, sampling_rate=self.sampling_rate)
         if target > log_spec.shape[0]:
             log_spec = np.pad(log_spec, ((0, target - log_spec.shape[0]), (0, 0)))
         return log_spec.astype(np.float32)
 
     @staticmethod
     def mix(
-        features_a: np.ndarray, features_b: np.ndarray, energy_scaling_factor_b: float
+        features_a: np.ndarray, features_b: np.ndarray, energy_scaling_factor_b: float,
     ) -> np.ndarray:
         raise ValueError(
             "Mixing is not defined for Whisper filter-bank features: its "
@@ -211,6 +190,4 @@ class WhisperFbank(FeatureExtractor):
 
     @staticmethod
     def compute_energy(features: np.ndarray) -> float:
-        raise ValueError(
-            "Energy is not defined for Whisper filter-bank features."
-        )
+        raise ValueError("Energy is not defined for Whisper filter-bank features.")

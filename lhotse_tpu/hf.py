@@ -35,24 +35,19 @@ def convert_cuts_info_to_hf(cutset: CutSet) -> Tuple[Dict[str, Any], Dict[str, A
         "id": [cut.id for cut in cutset],
         "audio": [cut.recording.sources[0].source for cut in cutset],
         "duration": [cut.duration for cut in cutset],
-        "num_channels": [len(cut.recording.channel_ids) for cut in cutset],
-    }
+        "num_channels": [len(cut.recording.channel_ids) for cut in cutset]}
     # The audio column is declared as a plain string path at creation time
     # and cast to the Audio feature afterwards: HF datasets >= 5.0 requires
     # torchcodec inside Audio.encode_example even for path inputs, while the
     # arrow-level string->Audio cast is codec-free.
     cut_info_description = {
-        "id": Value("string"),
-        "audio": Value("string"),
-        "duration": Value("float"),
-        "num_channels": Value("uint16"),
-    }
+        "id": Value("string"), "audio": Value("string"), "duration": Value("float"),
+        "num_channels": Value("uint16")}
     return cut_info, cut_info_description
 
 
 def convert_supervisions_info_to_hf(
-    cutset: CutSet,
-    exclude_attributes: Optional[Union[List[str], Set[str]]] = None,
+    cutset: CutSet, exclude_attributes: Optional[Union[List[str], Set[str]]] = None,
 ) -> Tuple[List[List[Dict[str, Any]]], Dict[str, Any]]:
     """Per-cut supervision dicts + the matching HF feature description."""
     from datasets import Features, Sequence, Value
@@ -61,9 +56,7 @@ def convert_supervisions_info_to_hf(
         return exclude_attributes is None or attr not in exclude_attributes
 
     def first_sup_has(attr: str) -> bool:
-        return any(
-            getattr(cut.supervisions[0], attr, None) is not None for cut in cutset
-        )
+        return any(getattr(cut.supervisions[0], attr, None) is not None for cut in cutset)
 
     has_speaker, has_language = first_sup_has("speaker"), first_sup_has("language")
     alignment_types = {
@@ -78,17 +71,9 @@ def convert_supervisions_info_to_hf(
     field_specs = [
         ("start", keep("start"), lambda s: s.start, Value("float")),
         ("end", keep("end"), lambda s: s.end, Value("float")),
-        (
-            "channel",
-            keep("channel"),
-            lambda s: ",".join(map(str, s.channel))
-            if isinstance(s.channel, list)
-            else str(s.channel),
-            Value("string"),
-        ),
+        ( "channel", keep("channel"), lambda s: ",".join(map(str, s.channel)) if isinstance(s.channel, list) else str(s.channel), Value("string"), ),
         ("speaker", has_speaker and keep("speaker"), lambda s: str(s.speaker), Value("string")),
-        ("language", has_language and keep("language"), lambda s: str(s.language), Value("string")),
-    ]
+        ("language", has_language and keep("language"), lambda s: str(s.language), Value("string"))]
     emit_alignments = bool(alignment_types) and keep("alignments")
 
     def one_sup(s) -> Dict[str, Any]:
@@ -111,9 +96,7 @@ def convert_supervisions_info_to_hf(
         if emit:
             sup_dicts_info[field] = hf_type
     if emit_alignments:
-        item_features = Features(
-            symbol=Value("string"), start=Value("float"), end=Value("float")
-        )
+        item_features = Features(symbol=Value("string"), start=Value("float"), end=Value("float"))
         for kind in alignment_types:
             sup_dicts_info[kind + "_alignment"] = Sequence(item_features)
 
@@ -144,9 +127,7 @@ def export_cuts_to_hf(cutset: CutSet):
     cut_info, cut_info_description = convert_cuts_info_to_hf(cutset)
     sup_dicts, sup_dicts_info = convert_supervisions_info_to_hf(
         cutset,
-        exclude_attributes={"start", "end", "channel"}
-        if has_one_supervision_per_cut(cutset)
-        else None,
+        exclude_attributes={"start", "end", "channel"} if has_one_supervision_per_cut(cutset) else None,
     )
 
     if has_one_supervision_per_cut(cutset):
@@ -155,8 +136,7 @@ def export_cuts_to_hf(cutset: CutSet):
     else:
         dataset_dict = {**cut_info, "segments": sup_dicts}
         dataset_info = Features(
-            segments=Sequence(Features(**sup_dicts_info)), **cut_info_description
-        )
+            segments=Sequence(Features(**sup_dicts_info)), **cut_info_description)
 
     from datasets import Audio
 
@@ -179,14 +159,8 @@ class LazyHFDatasetIterator(IteratorNode):
     """
 
     def __init__(
-        self,
-        *dataset_args,
-        audio_key: str = "audio",
-        text_key: str = "sentence",
-        lang_key: str = "language",
-        gender_key: str = "gender",
-        **dataset_kwargs,
-    ):
+        self, *dataset_args, audio_key: str = "audio", text_key: str = "sentence",
+        lang_key: str = "language", gender_key: str = "gender", **dataset_kwargs):
         assert is_module_available("datasets"), (
             "LazyHFDatasetIterator requires the 'datasets' package "
             "(pip install datasets)."
@@ -197,18 +171,10 @@ class LazyHFDatasetIterator(IteratorNode):
 
     def __iter__(self):
         from datasets import (
-            Audio,
-            Dataset,
-            DatasetDict,
-            IterableDataset,
-            IterableDatasetDict,
-            load_dataset,
-        )
+            Audio, Dataset, DatasetDict, IterableDataset, IterableDatasetDict, load_dataset)
 
         if len(self.dataset_args) == 1 and isinstance(
-            self.dataset_args[0],
-            (Dataset, IterableDataset, DatasetDict, IterableDatasetDict),
-        ):
+            self.dataset_args[0], (Dataset, IterableDataset, DatasetDict, IterableDatasetDict)):
             dataset = self.dataset_args[0]
         else:
             dataset = load_dataset(*self.dataset_args, **self.dataset_kwargs)

@@ -69,12 +69,8 @@ class Image:
         writer = get_memory_writer("pillow_memory")()
         data = writer.write("", img)
         return Image(
-            storage_type=writer.name,
-            storage_key=data,
-            storage_path="",
-            width=self.width,
-            height=self.height,
-        )
+            storage_type=writer.name, storage_key=data, storage_path="", width=self.width,
+            height=self.height)
 
     def __repr__(self):
         return (

@@ -67,10 +67,7 @@ class ImageWriter(metaclass=ABCMeta):
         return Image(
             storage_type=self.name,
             storage_path=str(self.storage_path) if self.storage_path is not None else "",
-            storage_key=storage_key,
-            width=pil.width,
-            height=pil.height,
-        )
+            storage_key=storage_key, width=pil.width, height=pil.height)
 
     def close(self) -> None:
         pass

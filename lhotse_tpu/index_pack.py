@@ -106,10 +106,7 @@ def index_pack_collection_key(role: str, kind: str, source_spec) -> bytes:
     _identity_check(role, kind)
     blob = json.dumps(
         {"kind": kind, "role": role, "source_spec": _json_canonical(source_spec)},
-        ensure_ascii=False,
-        separators=(",", ":"),
-        sort_keys=True,
-    )
+        ensure_ascii=False, separators=(",", ":"), sort_keys=True)
     return hashlib.sha256(blob.encode("utf-8")).digest()
 
 
@@ -171,8 +168,7 @@ def _scan_sidecar(path: str, indexes_root, *, offsets_required: bool) -> _Sideca
     """Validate one source's sidecar and collect its geometry."""
     if not offsets_required:
         return _SidecarInfo(
-            path=path, index_path=None, offsets_count=1, source_size=0, path_only=True
-        )
+            path=path, index_path=None, offsets_count=1, source_size=0, path_only=True)
     idx = index_file_path(path, indexes_root)
     if is_valid_url(str(idx)):
         raise ValueError(
@@ -202,11 +198,8 @@ def _scan_sidecar(path: str, indexes_root, *, offsets_required: bool) -> _Sideca
             )
         source_size = src_stat.st_size
     return _SidecarInfo(
-        path=path,
-        index_path=idx,
-        offsets_count=idx_stat.st_size // _U64.size,
-        source_size=source_size,
-    )
+        path=path, index_path=idx, offsets_count=idx_stat.st_size // _U64.size,
+        source_size=source_size)
 
 
 class _Strings:
@@ -284,9 +277,7 @@ class _PackBuilder:
 
         # Section layout.
         self.collection_offset = _HEADER_SIZE
-        self.sequence_offset = (
-            self.collection_offset + len(self.catalog) * _COLLECTION.size
-        )
+        self.sequence_offset = (self.collection_offset + len(self.catalog) * _COLLECTION.size)
         self.segment_offset = self.sequence_offset + len(self.sequences) * _SEQUENCE.size
         self.strings_offset = self.segment_offset + len(self.sidecars) * _SEGMENT.size
         raw_offsets_offset = self.strings_offset + len(self.strings.blob)
@@ -308,21 +299,10 @@ class _PackBuilder:
 
     def emit(self, out) -> None:
         head = _HEADER.pack(
-            _MAGIC,
-            _VERSION,
-            _HEADER_SIZE,
-            self.collection_offset,
-            len(self.catalog),
-            self.sequence_offset,
-            len(self.sequences),
-            self.segment_offset,
-            len(self.sidecars),
-            self.strings_offset,
-            len(self.strings.blob),
-            self.offsets_offset,
-            self.offsets_size,
-            _layout_digest(self.collections),
-        )
+            _MAGIC, _VERSION, _HEADER_SIZE, self.collection_offset, len(self.catalog),
+            self.sequence_offset, len(self.sequences), self.segment_offset, len(self.sidecars),
+            self.strings_offset, len(self.strings.blob), self.offsets_offset, self.offsets_size,
+            _layout_digest(self.collections))
         out.write(head)
         out.write(b"\0" * (_HEADER_SIZE - len(head)))
 
@@ -402,9 +382,7 @@ class _PackBuilder:
         with sc.index_path.open("rb") as src:
             while block := src.read(1024 * 1024):
                 if len(block) % _U64.size:
-                    raise ValueError(
-                        f"Index chunk is not uint64-aligned: {sc.index_path}"
-                    )
+                    raise ValueError(f"Index chunk is not uint64-aligned: {sc.index_path}")
                 for (value,) in struct.iter_unpack("<Q", block):
                     if last is not None and value < last:
                         raise ValueError(
@@ -419,12 +397,8 @@ class _PackBuilder:
 
 
 def write_index_pack(
-    output_path,
-    collections: Sequence[IndexPackCollectionSpec],
-    *,
-    indexes_root=None,
-    overwrite: bool = False,
-) -> Path:
+    output_path, collections: Sequence[IndexPackCollectionSpec], *, indexes_root=None,
+    overwrite: bool = False) -> Path:
     """
     Fuse existing ``.idx`` sidecars into one atomic ``.idxpack``.
 
@@ -444,9 +418,7 @@ def write_index_pack(
     builder = _PackBuilder(collections, indexes_root)
     builder.plan()
 
-    scratch = output_path.with_name(
-        f".{output_path.name}.tmp.{os.getpid()}.{uuid.uuid4().hex}"
-    )
+    scratch = output_path.with_name(f".{output_path.name}.tmp.{os.getpid()}.{uuid.uuid4().hex}")
     try:
         with scratch.open("w+b") as out:
             builder.emit(out)
@@ -456,9 +428,7 @@ def write_index_pack(
             try:
                 os.link(scratch, output_path)
             except FileExistsError as ex:
-                raise FileExistsError(
-                    f"Index pack already exists: {output_path}"
-                ) from ex
+                raise FileExistsError(f"Index pack already exists: {output_path}") from ex
             scratch.unlink()
         _fsync_directory(output_path.parent)
     finally:
@@ -478,9 +448,8 @@ class PackedIndexCollection:
     """
 
     def __init__(
-        self, pack: "IndexPack", key: bytes, sequence_start: int,
-        sequence_count: int, total_records: int, kind: str, offsets_required: bool,
-    ):
+        self, pack: "IndexPack", key: bytes, sequence_start: int, sequence_count: int,
+        total_records: int, kind: str, offsets_required: bool):
         self.pack, self.key = pack, key
         self.sequence_start, self.sequence_count = sequence_start, sequence_count
         self.total_records = total_records
@@ -538,13 +507,8 @@ class PackedIndexCollection:
                 f"[{lo}, {hi}) outside source size {seg.source_size}"
             )
         return PackedIndexLocation(
-            path=pack._segment_path(seg_id),
-            start=lo,
-            end=hi,
-            segment_id=seg_id,
-            shard_index=shard_index,
-            local_index=local_index,
-        )
+            path=pack._segment_path(seg_id), start=lo, end=hi, segment_id=seg_id,
+            shard_index=shard_index, local_index=local_index)
 
     def locate(self, index: int) -> PackedIndexLocation:
         """Collection-global record index -> byte range (binary search + 2 reads)."""
@@ -597,13 +561,9 @@ class IndexPack:
             key = bytes.fromhex(key)
         entry = self._collections.get(key)
         if entry is None:
-            raise KeyError(
-                f"Collection {key.hex()} is not present in index pack {self.path}"
-            )
+            raise KeyError(f"Collection {key.hex()} is not present in index pack {self.path}")
         seq_start, seq_count, total, kind, offsets_required = entry
-        return PackedIndexCollection(
-            self, key, seq_start, seq_count, total, kind, offsets_required
-        )
+        return PackedIndexCollection(self, key, seq_start, seq_count, total, kind, offsets_required)
 
     def verify_segment(self, segment_id: int) -> None:
         """CRC32-check one offsets payload (on demand, not at open time)."""
@@ -641,17 +601,13 @@ class IndexPack:
 
     _CATALOG_FIELDS = (
         "collection_offset", "num_collections", "sequence_offset", "num_sequences",
-        "segment_offset", "num_segments", "strings_offset", "strings_size",
-        "offsets_offset", "offsets_size", "layout_hash",
-    )
+        "segment_offset", "num_segments", "strings_offset", "strings_size", "offsets_offset",
+        "offsets_size", "layout_hash")
 
     def __getstate__(self):
         state = {
-            "path": self.path,
-            "expected_layout_hash": self.expected_layout_hash,
-            "file_identity": self._identity,
-            "collections": self._collections,
-        }
+            "path": self.path, "expected_layout_hash": self.expected_layout_hash,
+            "file_identity": self._identity, "collections": self._collections}
         for f in self._CATALOG_FIELDS:
             state[f] = getattr(self, f)
         return state
@@ -681,17 +637,11 @@ class IndexPack:
         fields = _HEADER.unpack_from(buf, 0)
         magic, version, header_size = fields[:3]
         (
-            self.collection_offset, self.num_collections,
-            self.sequence_offset, self.num_sequences,
-            self.segment_offset, self.num_segments,
-            self.strings_offset, self.strings_size,
-            self.offsets_offset, self.offsets_size,
-            self.layout_hash,
-        ) = fields[3:]
+            self.collection_offset, self.num_collections, self.sequence_offset, self.num_sequences,
+            self.segment_offset, self.num_segments, self.strings_offset, self.strings_size,
+            self.offsets_offset, self.offsets_size, self.layout_hash) = fields[3:]
         if magic != _MAGIC:
-            raise ValueError(
-                f"Invalid index-pack header magic in {self.path}: {magic!r}"
-            )
+            raise ValueError(f"Invalid index-pack header magic in {self.path}: {magic!r}")
         if version != _VERSION or header_size != _HEADER_SIZE:
             raise ValueError(
                 f"Unsupported index-pack header in {self.path}: "
@@ -702,8 +652,7 @@ class IndexPack:
             "sequences": (self.sequence_offset, self.num_sequences * _SEQUENCE.size),
             "segments": (self.segment_offset, self.num_segments * _SEGMENT.size),
             "strings": (self.strings_offset, self.strings_size),
-            "offsets": (self.offsets_offset, self.offsets_size),
-        }
+            "offsets": (self.offsets_offset, self.offsets_size)}
         for name, (off, size) in spans.items():
             if off < _HEADER_SIZE or size < 0 or off + size > file_size:
                 raise ValueError(
@@ -744,8 +693,7 @@ class IndexPack:
             self._parse_header(_pread_exact(fd, _HEADER_SIZE, 0), file_size)
 
             table = _pread_exact(
-                fd, self.num_collections * _COLLECTION.size, self.collection_offset
-            )
+                fd, self.num_collections * _COLLECTION.size, self.collection_offset)
             found: dict = {}
             next_seq = 0
             for cid in range(self.num_collections):
@@ -759,8 +707,7 @@ class IndexPack:
                         f"record count"
                     )
                 found[row.key] = (
-                    row.seq_start, row.seq_count, row.total_records, kind, not paths_only,
-                )
+                    row.seq_start, row.seq_count, row.total_records, kind, not paths_only)
                 next_seq += row.seq_count
             if next_seq != self.num_sequences:
                 raise ValueError("Index pack contains unreferenced sequence rows")
@@ -769,22 +716,16 @@ class IndexPack:
 
     def _check_collection_row(self, fd, cid, row: _ColRow, found, next_seq) -> None:
         if row.flags & ~_COLLECTION_PATHS_ONLY:
-            raise ValueError(
-                f"Index pack collection {cid} has unsupported flags: {row.flags:#x}"
-            )
+            raise ValueError(f"Index pack collection {cid} has unsupported flags: {row.flags:#x}")
         if row.seq_start != next_seq or row.seq_start + row.seq_count > self.num_sequences:
-            raise ValueError(
-                f"Index pack collection {cid} has an invalid sequence range"
-            )
+            raise ValueError(f"Index pack collection {cid} has an invalid sequence range")
         if row.key in found:
             raise ValueError(f"Duplicate collection key in index pack: {row.key.hex()}")
         if (
             row.kind_pos < self.strings_offset
             or row.kind_pos + row.kind_len > self.strings_offset + self.strings_size
         ):
-            raise ValueError(
-                f"Index pack collection {cid} kind points outside the strings section"
-            )
+            raise ValueError(f"Index pack collection {cid} kind points outside the strings section")
 
     def _resolve_paths_only(self, fd, cid, row: _ColRow) -> bool:
         paths_only = bool(row.flags & _COLLECTION_PATHS_ONLY)
@@ -794,9 +735,7 @@ class IndexPack:
             _pread_exact(fd, _SEQUENCE.size, self.sequence_offset + row.seq_start * _SEQUENCE.size)
         )
         if seg_id >= self.num_segments:
-            raise ValueError(
-                f"Index pack collection {cid} has corrupt sequence metadata"
-            )
+            raise ValueError(f"Index pack collection {cid} has corrupt sequence metadata")
         seg = _SegRow(
             *_SEGMENT.unpack(
                 _pread_exact(fd, _SEGMENT.size, self.segment_offset + seg_id * _SEGMENT.size)
@@ -865,9 +804,7 @@ class IndexPack:
                     )
                 cursor += seg.offsets_size
             if cursor != self.offsets_offset + self.offsets_size:
-                raise ValueError(
-                    "Index pack segment payloads do not cover the offsets section"
-                )
+                raise ValueError("Index pack segment payloads do not cover the offsets section")
         except Exception:
             self.close()
             raise
@@ -882,9 +819,7 @@ class IndexPack:
         self._ensure_open()
         if not 0 <= index < self.num_sequences:
             raise IndexError(f"Index-pack sequence index out of range: {index}")
-        return _SEQUENCE.unpack_from(
-            self._mmap, self.sequence_offset + index * _SEQUENCE.size
-        )
+        return _SEQUENCE.unpack_from(self._mmap, self.sequence_offset + index * _SEQUENCE.size)
 
     def _segment_row(self, index: int) -> _SegRow:
         if not 0 <= index < self.num_segments:

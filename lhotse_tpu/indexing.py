@@ -71,8 +71,7 @@ def supports_indexed_access(path: Pathlike, *, kind: Optional[str] = None) -> bo
 
 
 def validate_indexed_access(
-    path: Pathlike, kind: Optional[str] = None, context: str = "indexed access"
-) -> None:
+    path: Pathlike, kind: Optional[str] = None, context: str = "indexed access") -> None:
     if not supports_indexed_access(path, kind=kind):
         raise RuntimeError(
             f"{context} requires an uncompressed "
@@ -80,9 +79,7 @@ def validate_indexed_access(
         )
 
 
-def index_file_path(
-    data_path: Pathlike, indexes_root: Optional[Pathlike] = None
-) -> Path:
+def index_file_path(data_path: Pathlike, indexes_root: Optional[Pathlike] = None) -> Path:
     """
     Conventional sidecar location: ``<data_path>.idx`` — or, when
     ``indexes_root`` is given, the same path mirrored under that root
@@ -156,8 +153,7 @@ def _materialize_remote_index(idx_path: Pathlike) -> Path:
         return cache_path
     cache_path.parent.mkdir(parents=True, exist_ok=True)
     fd, tmp_name = tempfile.mkstemp(
-        prefix=f"{cache_path.name}.", suffix=".tmp", dir=str(cache_path.parent)
-    )
+        prefix=f"{cache_path.name}.", suffix=".tmp", dir=str(cache_path.parent))
     tmp_path = Path(tmp_name)
     try:
         with open_best(idx_path, "rb") as src, os.fdopen(fd, "wb") as dst:
@@ -196,9 +192,7 @@ def _assert_uncompressed(path: Pathlike, kind: str) -> None:
         )
 
 
-def create_jsonl_index(
-    jsonl_path: Pathlike, output_path: Optional[Pathlike] = None
-) -> Path:
+def create_jsonl_index(jsonl_path: Pathlike, output_path: Optional[Pathlike] = None) -> Path:
     """Build a line-offset index for an uncompressed JSONL file."""
     _assert_uncompressed(jsonl_path, "JSONL")
     offsets = []
@@ -293,9 +287,7 @@ class LazyShuffledRange:
         if num_shards < 1:
             raise ValueError(f"num_shards must be >= 1, got {num_shards}")
         if not (0 <= shard_id < num_shards):
-            raise ValueError(
-                f"shard_id must be in [0, num_shards={num_shards}), got {shard_id}"
-            )
+            raise ValueError(f"shard_id must be in [0, num_shards={num_shards}), got {shard_id}")
         self.n = n
         self.seed = seed
         self.shard_id = shard_id
@@ -347,12 +339,8 @@ class LazyShuffledRange:
 
     def state_dict(self) -> dict:
         return {
-            "n": self.n,
-            "seed": self.seed,
-            "shard_id": self.shard_id,
-            "num_shards": self.num_shards,
-            "pos": self._pos,
-        }
+            "n": self.n, "seed": self.seed, "shard_id": self.shard_id,
+            "num_shards": self.num_shards, "pos": self._pos}
 
     def load_state_dict(self, sd: dict) -> None:
         saved_shard_id = sd.get("shard_id", 0)
@@ -404,10 +392,7 @@ class _IndexedReaderBase:
     _KIND: str  # "jsonl" | "tar"
 
     def __init__(
-        self,
-        path: Pathlike,
-        auto_create_index: bool = True,
-        index_path: Optional[Pathlike] = None,
+        self, path: Pathlike, auto_create_index: bool = True, index_path: Optional[Pathlike] = None,
     ) -> None:
         validate_indexed_access(path, kind=self._KIND, context=type(self).__name__)
         self.path, self.index_path = path, index_path
@@ -480,11 +465,8 @@ class IndexedJsonlReader(_IndexedReaderBase):
         except JSONDecodeError as ex:
             preview = decoded[:120].replace("\n", "\\n")
             raise JSONDecodeError(
-                f"{ex.msg} while decoding indexed JSONL record path={self.path!r} "
-                f"idx={idx} byte_range=[{start}, {end}) preview={preview!r}",
-                ex.doc,
-                ex.pos,
-            ) from ex
+                f"{ex.msg} while decoding indexed JSONL record path={self.path!r} " f"idx={idx} byte_range=[{start}, {end}) preview={preview!r}",
+                ex.doc, ex.pos) from ex
 
     def __iter__(self):
         for i in range(len(self)):

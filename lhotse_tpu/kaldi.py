@@ -22,14 +22,7 @@ from lhotse_tpu.audio import AudioSource, Recording, RecordingSet, info
 from lhotse_tpu.features import Features, FeatureSet
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import (
-    Pathlike,
-    Seconds,
-    add_durations,
-    compute_num_samples,
-    fastcopy,
-    is_module_available,
-    to_list,
-)
+    Pathlike, Seconds, add_durations, compute_num_samples, fastcopy, is_module_available, to_list)
 
 
 def floor_duration_to_milliseconds(duration: float) -> float:
@@ -72,12 +65,8 @@ def get_duration(path: Pathlike) -> Optional[float]:
 # Import
 # ---------------------------------------------------------------------------
 def load_kaldi_data_dir(
-    path: Pathlike,
-    sampling_rate: int,
-    frame_shift: Optional[Seconds] = None,
-    map_string_to_underscores: Optional[str] = None,
-    use_reco2dur: bool = True,
-    num_jobs: int = 1,
+    path: Pathlike, sampling_rate: int, frame_shift: Optional[Seconds] = None,
+    map_string_to_underscores: Optional[str] = None, use_reco2dur: bool = True, num_jobs: int = 1,
     feature_type: str = "kaldi-fbank",
 ) -> Tuple[RecordingSet, Optional[SupervisionSet], Optional[FeatureSet]]:
     """
@@ -105,40 +94,29 @@ def load_kaldi_data_dir(
         )
         del wavs[rid]
     if len(wavs) < len(durations) * 0.8:
-        raise RuntimeError(
-            f'Failed to load more than 20% utterances of the dataset: "{path}"'
-        )
+        raise RuntimeError(f'Failed to load more than 20% utterances of the dataset: "{path}"')
 
     recording_set = RecordingSet.from_recordings(
-        _recording_from_scp_entry(rid, entry, durations[rid], sampling_rate)
-        for rid, entry in wavs.items()
-    )
+        _recording_from_scp_entry(rid, entry, durations[rid], sampling_rate) for rid,
+        entry in wavs.items())
 
     timing_from_feats = load_start_and_duration(
-        segments_path=path / "segments",
-        feats_path=path / "feats.scp",
-        frame_shift=frame_shift,
-    )
+        segments_path=path / "segments", feats_path=path / "feats.scp", frame_shift=frame_shift)
 
     supervision_set = None
     if (path / "segments").is_file():
         supervision_set = _supervisions_from_segments(
-            path, durations, timing_from_feats, sampling_rate, fix_id
-        )
+            path, durations, timing_from_feats, sampling_rate, fix_id)
     elif (path / "utt2spk").is_file():
-        supervision_set = _whole_recording_supervisions(
-            path, durations, len(recording_set), fix_id
-        )
+        supervision_set = _whole_recording_supervisions(path, durations, len(recording_set), fix_id)
 
     feature_set = _features_from_scp(
-        path, supervision_set, timing_from_feats, frame_shift, sampling_rate,
-        feature_type, fix_id,
-    )
+        path, supervision_set, timing_from_feats, frame_shift, sampling_rate, feature_type, fix_id)
     return recording_set, supervision_set, feature_set
 
 
 def _gather_durations(
-    path: Path, wavs: Dict[str, str], use_reco2dur: bool, num_jobs: int
+    path: Path, wavs: Dict[str, str], use_reco2dur: bool, num_jobs: int,
 ) -> Dict[str, Optional[float]]:
     reco2dur = path / "reco2dur"
     if use_reco2dur and reco2dur.is_file():
@@ -161,27 +139,17 @@ def _gather_durations(
 
 
 def _recording_from_scp_entry(
-    rid: str, entry: str, duration: float, sampling_rate: int
-) -> Recording:
+    rid: str, entry: str, duration: float, sampling_rate: int) -> Recording:
     is_pipe = entry.endswith("|")
     return Recording(
         id=rid,
-        sources=[
-            AudioSource(
-                type="command" if is_pipe else "file",
-                channels=[0],
-                source=entry[:-1] if is_pipe else entry,
-            )
-        ],
-        sampling_rate=sampling_rate,
-        num_samples=compute_num_samples(duration, sampling_rate),
-        duration=duration,
-    )
+        sources=[ AudioSource( type="command" if is_pipe else "file", channels=[0], source=entry[:-1] if is_pipe else entry, ) ],
+        sampling_rate=sampling_rate, num_samples=compute_num_samples(duration, sampling_rate),
+        duration=duration)
 
 
 def _supervisions_from_segments(
-    path: Path, durations, timing_from_feats, sampling_rate, fix_id
-) -> SupervisionSet:
+    path: Path, durations, timing_from_feats, sampling_rate, fix_id) -> SupervisionSet:
     texts = load_kaldi_text_file(path / "text", allow_empty_ref=True)
     speakers = load_kaldi_text_mapping(path / "utt2spk")
     genders = load_kaldi_text_mapping(path / "spk2gender")
@@ -216,8 +184,7 @@ def _supervisions_from_segments(
 
 
 def _whole_recording_supervisions(
-    path: Path, durations, num_recordings: int, fix_id
-) -> SupervisionSet:
+    path: Path, durations, num_recordings: int, fix_id) -> SupervisionSet:
     speakers = load_kaldi_text_mapping(path / "utt2spk")
     if len(speakers) != num_recordings:
         raise AssertionError(
@@ -228,24 +195,12 @@ def _whole_recording_supervisions(
     genders = load_kaldi_text_mapping(path / "spk2gender")
     languages = load_kaldi_text_mapping(path / "utt2lang")
     return SupervisionSet.from_segments(
-        SupervisionSegment(
-            id=fix_id(rid),
-            recording_id=rid,
-            start=0.0,
-            duration=durations[rid],
-            channel=0,
-            text=texts[rid],
-            language=languages[rid],
-            speaker=fix_id(spk),
-            gender=genders[spk],
-        )
-        for rid, spk in speakers.items()
-    )
+        SupervisionSegment( id=fix_id(rid), recording_id=rid, start=0.0, duration=durations[rid], channel=0, text=texts[rid], language=languages[rid], speaker=fix_id(spk), gender=genders[spk], ) for rid,
+        spk in speakers.items())
 
 
 def _features_from_scp(
-    path, supervision_set, timing_from_feats, frame_shift, sampling_rate,
-    feature_type, fix_id,
+    path, supervision_set, timing_from_feats, frame_shift, sampling_rate, feature_type, fix_id,
 ) -> Optional[FeatureSet]:
     feats_scp = path / "feats.scp"
     if not (feats_scp.exists() and is_module_available("kaldi_native_io")):
@@ -297,12 +252,8 @@ def _features_from_scp(
 # Export
 # ---------------------------------------------------------------------------
 def export_to_kaldi(
-    recordings: RecordingSet,
-    supervisions: SupervisionSet,
-    output_dir: Pathlike,
-    map_underscores_to: Optional[str] = None,
-    prefix_spk_id: Optional[bool] = False,
-):
+    recordings: RecordingSet, supervisions: SupervisionSet, output_dir: Pathlike,
+    map_underscores_to: Optional[str] = None, prefix_spk_id: Optional[bool] = False):
     """
     Write a Kaldi data directory for a (RecordingSet, SupervisionSet) pair.
 
@@ -332,8 +283,7 @@ def export_to_kaldi(
     for rec in recordings:
         for src in rec.sources:
             by_channel = make_wavscp_channel_string_map(
-                src, sampling_rate=rec.sampling_rate, transforms=rec.transforms
-            )
+                src, sampling_rate=rec.sampling_rate, transforms=rec.transforms)
             if mono:
                 wavscp[rec.id] = by_channel[0]
                 reco2dur[rec.id] = rec.duration
@@ -360,32 +310,20 @@ def export_to_kaldi(
         return f"{rec_key} {sup.start} {sup.end}"
 
     save_kaldi_text_mapping(utterance_rows(segment_line), output_dir / "segments")
-    save_kaldi_text_mapping(
-        utterance_rows(lambda s, _: s.text), output_dir / "text"
-    )
-    save_kaldi_text_mapping(
-        utterance_rows(lambda s, _: s.speaker), output_dir / "utt2spk"
-    )
-    save_kaldi_text_mapping(
-        utterance_rows(lambda s, _: s.duration), output_dir / "utt2dur"
-    )
+    save_kaldi_text_mapping(utterance_rows(lambda s, _: s.text), output_dir / "text")
+    save_kaldi_text_mapping(utterance_rows(lambda s, _: s.speaker), output_dir / "utt2spk")
+    save_kaldi_text_mapping(utterance_rows(lambda s, _: s.duration), output_dir / "utt2dur")
     if all(s.language is not None for s in supervisions):
-        save_kaldi_text_mapping(
-            utterance_rows(lambda s, _: s.language), output_dir / "utt2lang"
-        )
+        save_kaldi_text_mapping(utterance_rows(lambda s, _: s.language), output_dir / "utt2lang")
     if all(s.gender is not None for s in supervisions):
-        save_kaldi_text_mapping(
-            utterance_rows(lambda s, _: s.gender), output_dir / "utt2gender"
-        )
+        save_kaldi_text_mapping(utterance_rows(lambda s, _: s.gender), output_dir / "utt2gender")
 
 
 # ---------------------------------------------------------------------------
 # Low-level file helpers
 # ---------------------------------------------------------------------------
 def load_start_and_duration(
-    segments_path: Path = None,
-    feats_path: Path = None,
-    frame_shift: Optional[Seconds] = None,
+    segments_path: Path = None, feats_path: Path = None, frame_shift: Optional[Seconds] = None,
 ) -> Dict[str, Tuple[float, float]]:
     """
     When both ``segments`` and ``feats.scp`` exist, derive each utterance's
@@ -435,8 +373,7 @@ def load_kaldi_text_file(path: Path, allow_empty_ref: bool = True) -> Dict[str, 
 
 
 def load_kaldi_text_mapping(
-    path: Path, must_exist: bool = False, float_vals: bool = False
-) -> Dict[str, Optional[str]]:
+    path: Path, must_exist: bool = False, float_vals: bool = False) -> Dict[str, Optional[str]]:
     """
     Two-column Kaldi mapping files (utt2spk, spk2gender, ...) as a dict that
     yields None for absent keys (many of these files are optional).
@@ -445,11 +382,7 @@ def load_kaldi_text_mapping(
         if must_exist:
             raise ValueError(f"No such file: {path}")
         return defaultdict(lambda: None)
-    pairs = dict(
-        line.strip().split(maxsplit=1)
-        for line in path.open()
-        if line.strip()
-    )
+    pairs = dict(line.strip().split(maxsplit=1) for line in path.open() if line.strip())
     if float_vals:
         pairs = {k: float(v) for k, v in pairs.items()}
     return defaultdict(lambda: None, pairs)
@@ -463,7 +396,7 @@ def save_kaldi_text_mapping(data: Dict[str, Any], path: Path):
 
 
 def make_wavscp_channel_string_map(
-    source: AudioSource, sampling_rate: int, transforms: Optional[List[Dict]] = None
+    source: AudioSource, sampling_rate: int, transforms: Optional[List[Dict]] = None,
 ) -> Dict[int, str]:
     """
     Channel -> wav.scp entry for one AudioSource: a plain path when Kaldi can

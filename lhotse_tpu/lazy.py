@@ -31,12 +31,7 @@ from functools import partial
 from json import JSONDecodeError
 from typing import Any, Callable, Iterable, List, Optional, TypeVar, Union
 
-from lhotse_tpu.serialization import (
-    LazyMixin,
-    decode_json_line,
-    deserialize_item,
-    open_best,
-)
+from lhotse_tpu.serialization import (LazyMixin, decode_json_line, deserialize_item, open_best)
 from lhotse_tpu.utils import Pathlike, fastcopy, is_module_available
 
 T = TypeVar("T")
@@ -91,11 +86,7 @@ class Dillable:
 
 
 def _warn_if_lambda(fn: Callable, owner: str) -> None:
-    if (
-        isinstance(fn, types.LambdaType)
-        and fn.__name__ == "<lambda>"
-        and not is_dill_enabled()
-    ):
+    if (isinstance(fn, types.LambdaType) and fn.__name__ == "<lambda>" and not is_dill_enabled()):
         warnings.warn(
             f"A lambda was passed to {owner}: it may prevent forking this "
             f"process. Pass a regular function for multi-worker dataloading "
@@ -214,9 +205,7 @@ def _try_collect_child_state(child: Any) -> Optional[dict]:
         if type(child).state_dict is IteratorNode.state_dict:
             # No own state — fine for a leaf, a wiring error for a composite.
             if any(True for _ in child.iter_children()):
-                raise NotImplementedError(
-                    f"{type(child).__name__} does not support checkpointing."
-                )
+                raise NotImplementedError(f"{type(child).__name__} does not support checkpointing.")
             return None
         return child.state_dict()
     getter = getattr(child, "state_dict", None)
@@ -380,11 +369,8 @@ class LazyIndexedManifestIterator(IteratorNode):  # noqa: D101 — doc below
 
     def __init__(
         self, path: Pathlike, shuffle: bool = False, seed: int = 0,
-        index_path: Optional[Pathlike] = None,
-        decode: Optional[Callable[[dict], Any]] = None,
-        skip_decode_errors: bool = False,
-        decode_error_callback: Optional[Callable] = None,
-    ) -> None:
+        index_path: Optional[Pathlike] = None, decode: Optional[Callable[[dict], Any]] = None,
+        skip_decode_errors: bool = False, decode_error_callback: Optional[Callable] = None) -> None:
         from lhotse_tpu.dataset.dataloading import PartitionedIndexedIterator
         from lhotse_tpu.indexing import IndexedJsonlReader
 
@@ -451,11 +437,8 @@ class LazyIteratorChain(IteratorNode):
     is_checkpointable = True
 
     def __init__(
-        self,
-        *iterators: Iterable,
-        shuffle_iters: bool = False,
-        seed: Optional[Union[int, str]] = None,
-    ) -> None:
+        self, *iterators: Iterable, shuffle_iters: bool = False,
+        seed: Optional[Union[int, str]] = None) -> None:
         self.shuffle_iters = shuffle_iters
         self.seed = seed
         self.num_iters = 0
@@ -571,8 +554,7 @@ class LazyIteratorChain(IteratorNode):
         self._part_worker, self._part_n = worker, nworkers
 
         perm = LazyShuffledRange(
-            len(self), seed=seed0 + self.num_iters, shard_id=worker, num_shards=nworkers
-        )
+            len(self), seed=seed0 + self.num_iters, shard_id=worker, num_shards=nworkers)
         for i in range(begin, len(perm)):
             self._flat_pos = i + 1
             yield self[perm[i]]
@@ -586,15 +568,11 @@ class LazyIteratorChain(IteratorNode):
 
     def state_dict(self) -> dict:
         return {
-            "current_iter_idx": self._at_source,
-            "num_iters": self.num_iters,
-            "iter_order": self._pass_order,
-            "global_position": self._flat_pos,
-            "global_seed": self._flat_seed,
-            "global_shard_id": getattr(self, "_part_worker", None),
+            "current_iter_idx": self._at_source, "num_iters": self.num_iters,
+            "iter_order": self._pass_order, "global_position": self._flat_pos,
+            "global_seed": self._flat_seed, "global_shard_id": getattr(self, "_part_worker", None),
             "global_num_shards": getattr(self, "_part_n", None),
-            "inner_states": [_try_collect_child_state(s) for s in self.sources],
-        }
+            "inner_states": [_try_collect_child_state(s) for s in self.sources]}
 
     def load_state_dict(self, sd: dict) -> None:
         self._at_source = sd["current_iter_idx"]
@@ -626,12 +604,8 @@ class LazyIteratorMultiplexer(IteratorNode):
     is_checkpointable = True
 
     def __init__(
-        self,
-        *iterators: Iterable,
-        stop_early: bool = False,
-        weights: Optional[List[Union[int, float]]] = None,
-        seed: Union[int, str] = 0,
-    ) -> None:
+        self, *iterators: Iterable, stop_early: bool = False,
+        weights: Optional[List[Union[int, float]]] = None, seed: Union[int, str] = 0) -> None:
         self.sources = [resolve_iterator_source(it) for it in iterators]
         if len(self.sources) < 2:
             raise AssertionError("There have to be at least two iterables to multiplex.")
@@ -710,8 +684,7 @@ class LazyIteratorMultiplexer(IteratorNode):
         return {
             "rng_state": self._rng_state,
             "exhausted": list(self._drained) if self._drained is not None else None,
-            "inner_states": [_try_collect_child_state(s) for s in self.sources],
-        }
+            "inner_states": [_try_collect_child_state(s) for s in self.sources]}
 
     def load_state_dict(self, sd: dict) -> None:
         rng_state = sd["rng_state"]
@@ -740,13 +713,9 @@ class LazyInfiniteApproximateMultiplexer(IteratorNode):
     """
 
     def __init__(
-        self,
-        *iterators: Iterable,
-        stop_early: bool = False,
-        weights: Optional[List[Union[int, float]]] = None,
-        seed: Union[int, str] = 0,
-        max_open_streams: Optional[int] = None,
-    ) -> None:
+        self, *iterators: Iterable, stop_early: bool = False,
+        weights: Optional[List[Union[int, float]]] = None, seed: Union[int, str] = 0,
+        max_open_streams: Optional[int] = None) -> None:
         self.sources = [resolve_iterator_source(it) for it in iterators]
         if not self.sources:
             raise AssertionError("infinite_mux needs at least one source.")
@@ -778,8 +747,7 @@ class LazyInfiniteApproximateMultiplexer(IteratorNode):
         while True:
             live_weights = [w for _, w in slots]
             pos = rng.choices(
-                slot_ids, weights=live_weights if sum(live_weights) > 0 else None, k=1
-            )[0]
+                slot_ids, weights=live_weights if sum(live_weights) > 0 else None, k=1)[0]
             try:
                 yield next(slots[pos][0])
             except StopIteration:
@@ -799,10 +767,7 @@ class LazyShuffler(_Transform):
     """
 
     def __init__(
-        self,
-        iterator: Iterable,
-        buffer_size: int = 10000,
-        rng: Optional[random.Random] = None,
+        self, iterator: Iterable, buffer_size: int = 10000, rng: Optional[random.Random] = None,
     ) -> None:
         super().__init__(iterator)
         self.buffer_size = buffer_size
@@ -871,15 +836,10 @@ class LazyShuffler(_Transform):
         from lhotse_tpu.checkpoint import _rng_state_to_json
 
         return {
-            "buffer": [
-                require_graph_origin(x, "LazyShuffler", "buffered items")
-                for x in self._pool
-            ],
-            "startup": self._warming_up,
-            "source_exhausted": self._drained,
+            "buffer": [ require_graph_origin(x, "LazyShuffler", "buffered items") for x in self._pool ],
+            "startup": self._warming_up, "source_exhausted": self._drained,
             "rng_state": _rng_state_to_json(self.rng.getstate()),
-            "source": _try_collect_child_state(self.source),
-        }
+            "source": _try_collect_child_state(self.source)}
 
     def load_state_dict(self, sd: dict) -> None:
         if not self.is_checkpointable:
@@ -889,9 +849,7 @@ class LazyShuffler(_Transform):
         from lhotse_tpu.checkpoint import _rng_state_from_json
 
         _try_restore_child_state(self.source, sd.get("source"))
-        self._pool = deque(
-            self.source[normalize_graph_token(t)] for t in sd.get("buffer", [])
-        )
+        self._pool = deque(self.source[normalize_graph_token(t)] for t in sd.get("buffer", []))
         self._warming_up = sd.get("startup", True)
         self._drained = sd.get("source_exhausted", False)
         self.rng.setstate(_rng_state_from_json(sd["rng_state"]))
@@ -904,9 +862,7 @@ class LazyFilter(_Transform):
     def __init__(self, iterator: Iterable, predicate: Callable[[Any], bool]) -> None:
         super().__init__(iterator)
         if not callable(predicate):
-            raise AssertionError(
-                f"LazyFilter: 'predicate' arg must be callable (got {predicate})."
-            )
+            raise AssertionError(f"LazyFilter: 'predicate' arg must be callable (got {predicate}).")
         self.predicate = predicate
         _warn_if_lambda(predicate, "LazyFilter")
 
@@ -934,11 +890,8 @@ class LazyMapper(_Transform):
     """Streaming ``map``, optionally gated by ``apply_fn(item) -> bool``."""
 
     def __init__(
-        self,
-        iterator: Iterable,
-        fn: Callable[[Any], Any],
-        apply_fn: Optional[Callable[[Any], bool]] = None,
-    ) -> None:
+        self, iterator: Iterable, fn: Callable[[Any], Any],
+        apply_fn: Optional[Callable[[Any], bool]] = None) -> None:
         super().__init__(iterator)
         if not callable(fn):
             raise AssertionError(f"LazyMapper: 'fn' arg must be callable (got {fn}).")
@@ -982,9 +935,7 @@ class LazyFlattener(_Transform):
     def __getitem__(self, idx: Any) -> Any:
         token = normalize_graph_token(idx)
         if not isinstance(token, tuple) or len(token) != 2:
-            raise TypeError(
-                "LazyFlattener expects graph tokens shaped like (outer, inner)."
-            )
+            raise TypeError("LazyFlattener expects graph tokens shaped like (outer, inner).")
         outer, inner = token
         item = self._fetch_inner(self.source[outer], inner)
         return attach_graph_origin(item, token)
@@ -1027,8 +978,7 @@ class LazyFlattener(_Transform):
     def __iter__(self):
         if self._resume and self._outer_token is not None:
             yield from self._walk(
-                self.source[self._outer_token], self._outer_token, skip=self._inner_pos
-            )
+                self.source[self._outer_token], self._outer_token, skip=self._inner_pos)
         self._resume = False
         trackable = self.is_checkpointable
         for group in self.source:
@@ -1052,10 +1002,8 @@ class LazyFlattener(_Transform):
                 "outer sources."
             )
         return {
-            "active_outer_token": self._outer_token,
-            "inner_position": self._inner_pos,
-            "source": _try_collect_child_state(self.source),
-        }
+            "active_outer_token": self._outer_token, "inner_position": self._inner_pos,
+            "source": _try_collect_child_state(self.source)}
 
     def load_state_dict(self, sd: dict) -> None:
         if not self.is_checkpointable:
@@ -1073,8 +1021,7 @@ class LazyRepeater(_Transform):
     """N (or infinite) passes over the source; checkpoints (pass, source state)."""
 
     def __init__(
-        self, iterator: Iterable, times: Optional[int] = None, preserve_id: bool = False
-    ) -> None:
+        self, iterator: Iterable, times: Optional[int] = None, preserve_id: bool = False) -> None:
         super().__init__(iterator)
         if times is not None and times <= 0:
             raise AssertionError(f"LazyRepeater times must be positive, got {times}.")
@@ -1118,9 +1065,7 @@ class LazyRepeater(_Transform):
 
     def __len__(self) -> int:
         if self.times is None:
-            raise TypeError(
-                f"object of type '{type(self).__name__}' is an infinite iterator"
-            )
+            raise TypeError(f"object of type '{type(self).__name__}' is an infinite iterator")
         return len(self.source) * self.times
 
     def state_dict(self) -> dict:
@@ -1213,12 +1158,8 @@ class AlgorithmMixin(LazyMixin, Iterable):
 
     @classmethod
     def mux(
-        cls,
-        *manifests,
-        stop_early: bool = False,
-        weights: Optional[List[Union[int, float]]] = None,
-        seed: Union[int, str] = 0,
-    ):
+        cls, *manifests, stop_early: bool = False,
+        weights: Optional[List[Union[int, float]]] = None, seed: Union[int, str] = 0):
         """Weighted random interleave of several manifests (always lazy)."""
         return cls(
             LazyIteratorMultiplexer(
@@ -1231,12 +1172,8 @@ class AlgorithmMixin(LazyMixin, Iterable):
 
     @classmethod
     def infinite_mux(
-        cls,
-        *manifests,
-        weights: Optional[List[Union[int, float]]] = None,
-        seed: Union[int, str] = 0,
-        max_open_streams: Optional[int] = None,
-    ):
+        cls, *manifests, weights: Optional[List[Union[int, float]]] = None,
+        seed: Union[int, str] = 0, max_open_streams: Optional[int] = None):
         """Endless sample-with-replacement mux over a shard pool."""
         return cls(
             LazyInfiniteApproximateMultiplexer(
@@ -1263,15 +1200,11 @@ class AlgorithmMixin(LazyMixin, Iterable):
 
     def repeat(self, times: Optional[int] = None, preserve_id: bool = False):
         """Iterate the whole set ``times`` times (forever when None)."""
-        node = LazyRepeater(
-            resolve_iterator_source(self), times=times, preserve_id=preserve_id
-        )
+        node = LazyRepeater(resolve_iterator_source(self), times=times, preserve_id=preserve_id)
         return type(self)(node)
 
     def __add__(self, other):
-        joined = LazyIteratorChain(
-            resolve_iterator_source(self), resolve_iterator_source(other)
-        )
+        joined = LazyIteratorChain(resolve_iterator_source(self), resolve_iterator_source(other))
         return type(self)(joined)
 
 

@@ -28,8 +28,7 @@ def combine(*manifests: Union[Manifest, Iterable[Manifest]]) -> Manifest:
 
 
 def split_parallelize_combine(
-    num_jobs: int, manifest: Manifest, fn: Callable, *args, **kwargs
-) -> Manifest:
+    num_jobs: int, manifest: Manifest, fn: Callable, *args, **kwargs) -> Manifest:
     """
     Split the manifest into ``num_jobs`` pieces, apply ``fn`` to each split in
     a process pool, and combine the results.
@@ -55,9 +54,7 @@ def to_manifest(items: Iterable[ManifestItem]) -> Optional[Manifest]:
 
     builders = (
         (Recording, RecordingSet.from_recordings),
-        (SupervisionSegment, SupervisionSet.from_segments),
-        (Cut, CutSet.from_cuts),
-    )
+        (SupervisionSegment, SupervisionSet.from_segments), (Cut, CutSet.from_cuts))
     for kind, build in builders:
         if isinstance(head, kind):
             return build(stream)

@@ -63,26 +63,17 @@ def init_params(key: jax.Array, cfg: EncoderConfig) -> Params:
         "input_proj": dense(next(k_it), (cfg.num_mel_bins, cfg.d_model), cfg.num_mel_bins),
         "mask_embed": jax.random.normal(next(k_it), (cfg.num_mel_bins,), jnp.float32) * 0.1,
         "output_proj": dense(next(k_it), (cfg.d_model, cfg.num_mel_bins), cfg.d_model),
-        "final_ln": {"scale": jnp.ones(cfg.d_model), "bias": jnp.zeros(cfg.d_model)},
-        "layers": [],
-    }
+        "final_ln": {"scale": jnp.ones(cfg.d_model), "bias": jnp.zeros(cfg.d_model)}, "layers": []}
     for _ in range(n):
         layer = {
             "ln1": {"scale": jnp.ones(cfg.d_model), "bias": jnp.zeros(cfg.d_model)},
-            "wqkv": dense(
-                next(k_it),
-                (cfg.d_model, 3, cfg.num_heads, cfg.head_dim),
-                cfg.d_model,
-            ),
-            "wo": dense(
-                next(k_it), (cfg.num_heads, cfg.head_dim, cfg.d_model), cfg.d_model
-            ),
+            "wqkv": dense( next(k_it), (cfg.d_model, 3, cfg.num_heads, cfg.head_dim), cfg.d_model, ),
+            "wo": dense( next(k_it), (cfg.num_heads, cfg.head_dim, cfg.d_model), cfg.d_model ),
             "ln2": {"scale": jnp.ones(cfg.d_model), "bias": jnp.zeros(cfg.d_model)},
             "w1": dense(next(k_it), (cfg.d_model, cfg.ffn_dim), cfg.d_model),
             "b1": jnp.zeros(cfg.ffn_dim),
             "w2": dense(next(k_it), (cfg.ffn_dim, cfg.d_model), cfg.ffn_dim),
-            "b2": jnp.zeros(cfg.d_model),
-        }
+            "b2": jnp.zeros(cfg.d_model)}
         params["layers"].append(layer)
     return params
 
@@ -115,11 +106,8 @@ def _block(x: jnp.ndarray, layer: Params, pad_mask: jnp.ndarray, cfg: EncoderCon
 
 
 def forward(
-    params: Params,
-    feats: jnp.ndarray,
-    feat_lens: Optional[jnp.ndarray] = None,
-    cfg: EncoderConfig = EncoderConfig(),
-) -> jnp.ndarray:
+    params: Params, feats: jnp.ndarray, feat_lens: Optional[jnp.ndarray] = None,
+    cfg: EncoderConfig = EncoderConfig()) -> jnp.ndarray:
     """
     Encode a feature batch: (B, T, F) → (B, T, D) hidden states.
     Padding positions (>= feat_lens) are masked out of attention.
@@ -130,9 +118,7 @@ def forward(
     else:
         pad_mask = jnp.arange(t)[None, :] < feat_lens[:, None]
 
-    x = jnp.einsum(
-        "btf,fd->btd", feats.astype(cfg.dtype), params["input_proj"].astype(cfg.dtype)
-    )
+    x = jnp.einsum("btf,fd->btd", feats.astype(cfg.dtype), params["input_proj"].astype(cfg.dtype))
     pos = jnp.asarray(_sinusoidal_positions(cfg.max_len, cfg.d_model))[:t]
     x = x + pos.astype(cfg.dtype)[None]
 
@@ -143,12 +129,8 @@ def forward(
 
 
 def masked_prediction_loss(
-    params: Params,
-    feats: jnp.ndarray,
-    feat_lens: jnp.ndarray,
-    mask_key: jax.Array,
-    cfg: EncoderConfig = EncoderConfig(),
-) -> jnp.ndarray:
+    params: Params, feats: jnp.ndarray, feat_lens: jnp.ndarray, mask_key: jax.Array,
+    cfg: EncoderConfig = EncoderConfig()) -> jnp.ndarray:
     """
     Masked feature prediction: replace a random subset of frames with a
     learned mask embedding, encode, and regress the original log-mels at the
@@ -158,13 +140,10 @@ def masked_prediction_loss(
     valid = jnp.arange(t)[None, :] < feat_lens[:, None]
     mask = jax.random.bernoulli(mask_key, cfg.mask_prob, (b, t)) & valid
 
-    masked_inputs = jnp.where(
-        mask[..., None], params["mask_embed"][None, None, :], feats
-    )
+    masked_inputs = jnp.where(mask[..., None], params["mask_embed"][None, None, :], feats)
     hidden = forward(params, masked_inputs, feat_lens, cfg)
     pred = jnp.einsum(
-        "btd,df->btf", hidden, params["output_proj"].astype(cfg.dtype)
-    ).astype(jnp.float32)
+        "btd,df->btf", hidden, params["output_proj"].astype(cfg.dtype)).astype(jnp.float32)
 
     err = jnp.square(pred - feats.astype(jnp.float32)).mean(-1)
     denom = jnp.maximum(mask.sum(), 1)
@@ -172,18 +151,12 @@ def masked_prediction_loss(
 
 
 def sgd_train_step(
-    params: Params,
-    feats: jnp.ndarray,
-    feat_lens: jnp.ndarray,
-    mask_key: jax.Array,
-    cfg: EncoderConfig = EncoderConfig(),
-    lr: float = 1e-3,
-) -> Tuple[Params, jnp.ndarray]:
+    params: Params, feats: jnp.ndarray, feat_lens: jnp.ndarray, mask_key: jax.Array,
+    cfg: EncoderConfig = EncoderConfig(), lr: float = 1e-3) -> Tuple[Params, jnp.ndarray]:
     """One SGD step of the masked-prediction objective (optimizer-free
     variant used for sharding dry-runs and smoke tests)."""
     loss, grads = jax.value_and_grad(masked_prediction_loss)(
-        params, feats, feat_lens, mask_key, cfg
-    )
+        params, feats, feat_lens, mask_key, cfg)
     params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
     return params, loss
 
@@ -199,8 +172,7 @@ def make_adamw_train_step(cfg: EncoderConfig, lr: float = 1e-3):
 
     def step(params, opt_state, feats, feat_lens, mask_key):
         loss, grads = jax.value_and_grad(masked_prediction_loss)(
-            params, feats, feat_lens, mask_key, cfg
-        )
+            params, feats, feat_lens, mask_key, cfg)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -224,12 +196,8 @@ def param_shardings(params: Params, mesh) -> Params:
         return NamedSharding(mesh, P(*axes))
 
     out = {
-        "input_proj": repl(),
-        "mask_embed": repl(),
-        "output_proj": repl(),
-        "final_ln": {"scale": repl(), "bias": repl()},
-        "layers": [],
-    }
+        "input_proj": repl(), "mask_embed": repl(), "output_proj": repl(),
+        "final_ln": {"scale": repl(), "bias": repl()}, "layers": []}
     for _ in params["layers"]:
         out["layers"].append(
             {

@@ -40,9 +40,7 @@ def _cache_dir() -> Path:
     return d
 
 
-def build_native(
-    name: str, source: str, extra_link: Optional[List[str]] = None
-) -> ctypes.CDLL:
+def build_native(name: str, source: str, extra_link: Optional[List[str]] = None) -> ctypes.CDLL:
     """
     Build (if needed) and load ``native/<name>/<source>`` as ``lib<name>.so``.
     Raises on failure; callers are expected to catch and fall back.

@@ -72,20 +72,12 @@ def create_frame_window(window_size: int, window_type: str = POVEY, blackman_coe
         return np.ones(window_size, dtype=np.float64)
     if window_type == BLACKMAN:
         a = 2 * np.pi / window_size
-        return (
-            blackman_coeff
-            - 0.5 * np.cos(a * n)
-            + (0.5 - blackman_coeff) * np.cos(2 * a * n)
-        )
+        return (blackman_coeff - 0.5 * np.cos(a * n) + (0.5 - blackman_coeff) * np.cos(2 * a * n))
     raise ValueError(f"Invalid window type: {window_type}")
 
 
 def get_mel_banks(
-    num_bins: int,
-    window_length_padded: int,
-    sample_freq: float,
-    low_freq: float,
-    high_freq: float,
+    num_bins: int, window_length_padded: int, sample_freq: float, low_freq: float, high_freq: float,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """
     Kaldi/torchaudio-compatible triangular mel filterbank of shape
@@ -121,13 +113,8 @@ def get_mel_banks(
 
 
 def create_mel_scale(
-    num_filters: int,
-    fft_length: int,
-    sampling_rate: int,
-    low_freq: float = 0,
-    high_freq: Optional[float] = None,
-    norm_filters: bool = True,
-) -> np.ndarray:
+    num_filters: int, fft_length: int, sampling_rate: int, low_freq: float = 0,
+    high_freq: Optional[float] = None, norm_filters: bool = True) -> np.ndarray:
     """Alternative (non-torchaudio) mel bank of shape (fft_bins+1, num_filters)
     (reference: layers.py:874)."""
     if high_freq is None or high_freq == 0:
@@ -171,11 +158,8 @@ def make_lifter(num_ceps: int, Q: int) -> np.ndarray:
 
 
 def frame_preprocessing_matrix(
-    frame_samples: int,
-    remove_dc_offset: bool = True,
-    preemph_coeff: float = 0.97,
-    window: Optional[np.ndarray] = None,
-) -> np.ndarray:
+    frame_samples: int, remove_dc_offset: bool = True, preemph_coeff: float = 0.97,
+    window: Optional[np.ndarray] = None) -> np.ndarray:
     """
     The per-frame linear preprocessing as one (frame_samples, frame_samples)
     matrix L such that ``processed_frame = frame @ L``:
@@ -202,12 +186,8 @@ def frame_preprocessing_matrix(
 
 @lru_cache(maxsize=32)
 def dft_analysis_matrices(
-    frame_samples: int,
-    fft_length: int,
-    window_type: str = POVEY,
-    remove_dc_offset: bool = True,
-    preemph_coeff: float = 0.97,
-) -> Tuple[np.ndarray, np.ndarray]:
+    frame_samples: int, fft_length: int, window_type: str = POVEY, remove_dc_offset: bool = True,
+    preemph_coeff: float = 0.97) -> Tuple[np.ndarray, np.ndarray]:
     """
     Precompute Mc, Ms of shape (frame_samples, fft_length//2 + 1) folding the
     full linear frame chain with the real DFT:
@@ -215,11 +195,8 @@ def dft_analysis_matrices(
     """
     window = create_frame_window(frame_samples, window_type=window_type)
     L = frame_preprocessing_matrix(
-        frame_samples,
-        remove_dc_offset=remove_dc_offset,
-        preemph_coeff=preemph_coeff,
-        window=window,
-    )
+        frame_samples, remove_dc_offset=remove_dc_offset, preemph_coeff=preemph_coeff,
+        window=window)
     n = np.arange(frame_samples, dtype=np.float64)[:, None]
     k = np.arange(fft_length // 2 + 1, dtype=np.float64)[None, :]
     ang = 2.0 * np.pi * n * k / fft_length
@@ -231,9 +208,7 @@ def dft_analysis_matrices(
 
 
 @lru_cache(maxsize=None)
-def raw_dft_matrices(
-    frame_samples: int, fft_length: int
-) -> Tuple[np.ndarray, np.ndarray]:
+def raw_dft_matrices(frame_samples: int, fft_length: int) -> Tuple[np.ndarray, np.ndarray]:
     """
     Plain real-DFT analysis matrices (no preprocessing folded), for frames
     that were already DC-removed/pre-emphasized/windowed (and possibly
@@ -271,12 +246,7 @@ def _jnp():
     return jnp
 
 
-def frame_signal(
-    x,
-    frame_samples: int,
-    frame_shift_samples: int,
-    snip_edges: bool = False,
-):
+def frame_signal(x, frame_samples: int, frame_shift_samples: int, snip_edges: bool = False):
     """
     Partition (B, N) waveforms into overlapping frames (B, T, frame_samples).
     snip_edges=False applies symmetric padding matching the reference
@@ -334,13 +304,8 @@ def power_spectrum_gemm(frames, Mc, Ms, use_fft_mag: bool = False):
 
 
 def power_spectrum_rfft(
-    frames,
-    fft_length: int,
-    window,
-    remove_dc_offset: bool = True,
-    preemph_coeff: float = 0.97,
-    use_fft_mag: bool = False,
-):
+    frames, fft_length: int, window, remove_dc_offset: bool = True, preemph_coeff: float = 0.97,
+    use_fft_mag: bool = False):
     """Reference-style explicit path: per-frame ops + rFFT (for validation and
     platforms where FFT wins)."""
     import jax.numpy as jnp

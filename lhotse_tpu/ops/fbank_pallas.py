@@ -72,9 +72,7 @@ def _kernel(audio_hbm, shifted_hbm, d0, d1, d2, d3, mel, out_ref, slab_a, slab_b
     # and both slabs land at sublane offset 0, which the lane-concat below
     # requires on its non-concat dimension.
     copy_a = pltpu.make_async_copy(audio_hbm.at[b, pl.ds(t * K, K), :], slab_a, sem_a)
-    copy_b = pltpu.make_async_copy(
-        shifted_hbm.at[b, pl.ds(t * K, K), :], slab_b, sem_b
-    )
+    copy_b = pltpu.make_async_copy(shifted_hbm.at[b, pl.ds(t * K, K), :], slab_b, sem_b)
     copy_a.start()
     copy_b.start()
     copy_a.wait()
@@ -97,9 +95,7 @@ def _squeeze_nyquist(Mc: np.ndarray, Ms: np.ndarray, mel_fb: np.ndarray):
     bins = Mc.shape[1]
     if bins == 257:
         if mel_fb[256].any():
-            raise ValueError(
-                "fbank_pallas requires a zero Nyquist mel row (257-bin input)."
-            )
+            raise ValueError("fbank_pallas requires a zero Nyquist mel row (257-bin input).")
         return Mc[:, :256], Ms[:, :256], mel_fb[:256]
     if bins % 128 == 0:
         return Mc, Ms, mel_fb
@@ -107,14 +103,8 @@ def _squeeze_nyquist(Mc: np.ndarray, Ms: np.ndarray, mel_fb: np.ndarray):
 
 
 def fbank_pallas(
-    audio,
-    Mc: np.ndarray,
-    Ms: np.ndarray,
-    mel_fb: np.ndarray,
-    *,
-    eps: float = float(np.finfo(np.float32).eps),
-    interpret: bool = False,
-):
+    audio, Mc: np.ndarray, Ms: np.ndarray, mel_fb: np.ndarray, *,
+    eps: float = float(np.finfo(np.float32).eps), interpret: bool = False):
     """
     Fused fbank over pre-padded audio.
 
@@ -140,9 +130,7 @@ def fbank_pallas(
     )
     assert Mc.shape[0] == FRAME_LEN, f"expected {FRAME_LEN}-sample frames"
     Mc, Ms, mel_fb = _squeeze_nyquist(
-        np.asarray(Mc, np.float32), np.asarray(Ms, np.float32),
-        np.asarray(mel_fb, np.float32),
-    )
+        np.asarray(Mc, np.float32), np.asarray(Ms, np.float32), np.asarray(mel_fb, np.float32))
     grid_t = num_frames // BLOCK_T
     K = BLOCK_T // PHASES
     num_mels = mel_fb.shape[1]
@@ -173,18 +161,11 @@ def fbank_pallas(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # mel bank
         ],
         out_specs=pl.BlockSpec(
-            (1, PHASES, K, num_mels), lambda b, t: (b, 0, t, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, PHASES, num_frames // PHASES, num_mels), jnp.float32
-        ),
+            (1, PHASES, K, num_mels), lambda b, t: (b, 0, t, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, PHASES, num_frames // PHASES, num_mels), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((K, ROW), jnp.float32),
-            pltpu.VMEM((K, ROW), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
+            pltpu.VMEM((K, ROW), jnp.float32), pltpu.VMEM((K, ROW), jnp.float32),
+            pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(audio3d, shifted3d, *phased, mel)
 
@@ -212,14 +193,8 @@ def use_pallas_default() -> bool:
 
 
 def fbank_fused_padded(
-    x,
-    Mc: np.ndarray,
-    Ms: np.ndarray,
-    mel_fb: np.ndarray,
-    *,
-    snip_edges: bool = False,
-    eps: float = float(np.finfo(np.float32).eps),
-):
+    x, Mc: np.ndarray, Ms: np.ndarray, mel_fb: np.ndarray, *, snip_edges: bool = False,
+    eps: float = float(np.finfo(np.float32).eps)):
     """
     :func:`fbank_pallas` over raw (B, N) audio: applies the snip_edges=False
     symmetric edge padding (matching ``ops.frame_signal``), zero-pads the
@@ -261,8 +236,7 @@ def fbank_fused(audio, Mc, Ms, mel_fb, *, eps: float = float(np.finfo(np.float32
             pass
     num_frames = (audio.shape[1] - ROW) // HOP
     return reference_fbank(
-        audio[:, : num_frames * HOP + (FRAME_LEN - HOP)], Mc, Ms, mel_fb, eps=eps
-    )
+        audio[:, : num_frames * HOP + (FRAME_LEN - HOP)], Mc, Ms, mel_fb, eps=eps)
 
 
 def reference_fbank(audio, Mc, Ms, mel_fb, eps=float(np.finfo(np.float32).eps)):

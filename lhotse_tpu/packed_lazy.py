@@ -24,11 +24,7 @@ from typing import Any, Optional, Union
 
 from lhotse_tpu.index_pack import IndexPack, open_index_pack
 from lhotse_tpu.lazy import (
-    IteratorNode,
-    attach_graph_origin,
-    normalize_graph_token,
-    resolve_iteration_seed,
-)
+    IteratorNode, attach_graph_origin, normalize_graph_token, resolve_iteration_seed)
 from lhotse_tpu.serialization import decode_json_line, deserialize_item
 from lhotse_tpu.utils import is_valid_url
 
@@ -104,13 +100,7 @@ _POOL = _FdPool()
 
 
 def read_packed_range(
-    index_pack: IndexPack,
-    path: str,
-    start: int,
-    end: int,
-    *,
-    max_open_files: int = 32,
-) -> bytes:
+    index_pack: IndexPack, path: str, start: int, end: int, *, max_open_files: int = 32) -> bytes:
     """Read one packed record's bytes through the shared descriptor pool."""
     del index_pack  # pooling is global; kept in the signature for parity
     _POOL.shrink(max(max_open_files, 1) if max_open_files else 1)
@@ -140,13 +130,9 @@ class _Cursor:
     def from_state(cls, d: dict) -> "_Cursor":
         part = d.get("part")
         return cls(
-            epoch=d.get("epoch", 0),
-            shard=d.get("shard", 0),
-            taken=d.get("taken", 0),
-            rank=d.get("rank", 0),
-            seed=d.get("seed"),
-            part=tuple(part) if part is not None else None,
-        )
+            epoch=d.get("epoch", 0), shard=d.get("shard", 0), taken=d.get("taken", 0),
+            rank=d.get("rank", 0), seed=d.get("seed"),
+            part=tuple(part) if part is not None else None)
 
 
 class LazyPackedManifestIterator(IteratorNode):
@@ -177,19 +163,11 @@ class LazyPackedManifestIterator(IteratorNode):
     has_constant_time_access = True
 
     def __init__(
-        self,
-        index_pack,
-        collection_key: Union[bytes, str],
-        *,
-        shuffle_shards: bool = False,
-        seed: int = 0,
-        decode: Optional[Callable[[dict], Any]] = None,
+        self, index_pack, collection_key: Union[bytes, str], *, shuffle_shards: bool = False,
+        seed: int = 0, decode: Optional[Callable[[dict], Any]] = None,
         skip_decode_errors: bool = False,
-        decode_error_callback: Optional[
-            Callable[[BaseException, int, str], None]
-        ] = None,
-        max_open_files: int = 32,
-    ):
+        decode_error_callback: Optional[ Callable[[BaseException, int, str], None] ] = None,
+        max_open_files: int = 32):
         if max_open_files < 1:
             raise ValueError("max_open_files must be positive")
         self.index_pack = (
@@ -222,23 +200,15 @@ class LazyPackedManifestIterator(IteratorNode):
         token = normalize_graph_token(token)
         flat, where = self._resolve(token)
         raw = read_packed_range(
-            self.index_pack,
-            where.path,
-            where.start,
-            where.end,
-            max_open_files=self.max_open_files,
+            self.index_pack, where.path, where.start, where.end, max_open_files=self.max_open_files,
         ).decode("utf-8")
         try:
             item = self._decode(decode_json_line(raw))
         except JSONDecodeError as ex:
             head = raw[:120].replace("\n", "\\n").replace("\r", "\\r")
             raise JSONDecodeError(
-                f"{ex.msg} — record #{flat} of packed collection "
-                f"(pack={str(self.index_pack.path)!r}, shard file={where.path!r}, "
-                f"bytes [{where.start}, {where.end})), starts with: {head!r}",
-                ex.doc,
-                ex.pos,
-            ) from ex
+                f"{ex.msg} — record #{flat} of packed collection " f"(pack={str(self.index_pack.path)!r}, shard file={where.path!r}, " f"bytes [{where.start}, {where.end})), starts with: {head!r}",
+                ex.doc, ex.pos) from ex
         return attach_graph_origin(item, token), where
 
     def _resolve(self, token):
@@ -255,9 +225,7 @@ class LazyPackedManifestIterator(IteratorNode):
             )
             return flat, where
         if not isinstance(token, int):
-            raise TypeError(
-                f"Packed manifest tokens are int or (shard, local); got {token!r}"
-            )
+            raise TypeError(f"Packed manifest tokens are int or (shard, local); got {token!r}")
         flat = token if token >= 0 else token + len(self.collection)
         return flat, self.collection.locate(flat)
 
@@ -298,11 +266,7 @@ class LazyPackedManifestIterator(IteratorNode):
         if cur.seed is None:
             cur.seed = resolve_iteration_seed(self.seed)
         perm = LazyShuffledRange(
-            len(self),
-            seed=cur.seed + cur.epoch,
-            shard_id=worker,
-            num_shards=nworkers,
-        )
+            len(self), seed=cur.seed + cur.epoch, shard_id=worker, num_shards=nworkers)
         while cur.rank < len(perm):
             token = perm[cur.rank]
             cur.rank += 1
@@ -341,10 +305,8 @@ class LazyPackedManifestIterator(IteratorNode):
                 self.decode_error_callback(ex, flat, where.path)
             else:
                 warnings.warn(
-                    f"Dropping undecodable packed record #{flat} "
-                    f"({where.path}): {ex}",
-                    stacklevel=2,
-                )
+                    f"Dropping undecodable packed record #{flat} " f"({where.path}): {ex}",
+                    stacklevel=2)
             return None
 
     # -- checkpointing ----------------------------------------------------------

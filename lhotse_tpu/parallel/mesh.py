@@ -46,10 +46,7 @@ def get_rank() -> int:
         return 0
 
 
-def data_parallel_mesh(
-    n_devices: Optional[int] = None,
-    axis_name: str = "data",
-):
+def data_parallel_mesh(n_devices: Optional[int] = None, axis_name: str = "data"):
     """
     Create a 1-D data-parallel ``jax.sharding.Mesh`` over all (or the first
     ``n_devices``) devices. The data pipeline shards the batch dimension over
@@ -99,8 +96,7 @@ def shard_batch(batch, mesh, axis_name: str = "data"):
 
 
 def pad_to_multiple(
-    arr: np.ndarray, multiple: int, axis: int = 0, value: float = 0.0
-) -> np.ndarray:
+    arr: np.ndarray, multiple: int, axis: int = 0, value: float = 0.0) -> np.ndarray:
     """Pad ``arr`` along ``axis`` so its size is divisible by ``multiple`` —
     needed so the batch dim shards evenly over the mesh."""
     size = arr.shape[axis]
@@ -123,7 +119,5 @@ def host_local_to_global(batch, mesh=None, axis_name: str = "data"):
     n = int(np.prod(mesh.devices.shape))
     import jax
 
-    padded = jax.tree_util.tree_map(
-        lambda x: pad_to_multiple(np.asarray(x), n, axis=0), batch
-    )
+    padded = jax.tree_util.tree_map(lambda x: pad_to_multiple(np.asarray(x), n, axis=0), batch)
     return shard_batch(padded, mesh, axis_name), mesh

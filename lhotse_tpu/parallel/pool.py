@@ -15,12 +15,8 @@ from typing import Callable, Generator, Iterable, Optional
 
 
 def parallel_map(
-    fn: Callable,
-    *iterables: Iterable,
-    num_jobs: int = 1,
-    queue_size: int = 5000,
-    threads: bool = False,
-) -> Generator:
+    fn: Callable, *iterables: Iterable, num_jobs: int = 1, queue_size: int = 5000,
+    threads: bool = False) -> Generator:
     """
     Map ``fn`` over ``iterables`` in parallel, yielding results in order as
     they become available, with at most ``queue_size`` items in flight.
@@ -33,8 +29,7 @@ def parallel_map(
         yield from map(fn, *iterables)
         return
     thread = SubmitterThread(
-        fn, *iterables, num_jobs=num_jobs, queue_size=queue_size, threads=threads
-    )
+        fn, *iterables, num_jobs=num_jobs, queue_size=queue_size, threads=threads)
     thread.start()
     q = thread.queue
     while thread.is_alive() or not q.empty():
@@ -51,13 +46,8 @@ class SubmitterThread(threading.Thread):
     (reference: parallel.py:58)."""
 
     def __init__(
-        self,
-        fn: Callable,
-        *iterables,
-        num_jobs: int = 1,
-        queue_size: int = 10000,
-        threads: bool = False,
-    ) -> None:
+        self, fn: Callable, *iterables, num_jobs: int = 1, queue_size: int = 10000,
+        threads: bool = False) -> None:
         super().__init__(daemon=True)
         self.fn = fn
         self.iterables = iterables
@@ -100,14 +90,8 @@ class ParallelExecutor:
     _process_runner = None
 
     def __init__(
-        self,
-        init_fn: Callable,
-        num_jobs: int = 1,
-        threads: bool = True,
-        queue_size: int = 5000,
-        verbose: bool = False,
-        description: str = "Processing",
-    ):
+        self, init_fn: Callable, num_jobs: int = 1, threads: bool = True, queue_size: int = 5000,
+        verbose: bool = False, description: str = "Processing"):
         self.init_fn = init_fn
         self.num_jobs = num_jobs
         self.threads = threads
@@ -132,12 +116,8 @@ class ParallelExecutor:
         # Extra kwargs are forwarded to every runner call (reference:
         # parallel.py's ParallelExecutor.__call__ does the same).
         gen = parallel_map(
-            partial(self._process, **kwargs) if kwargs else self._process,
-            items,
-            num_jobs=self.num_jobs,
-            queue_size=self.queue_size,
-            threads=self.threads,
-        )
+            partial(self._process, **kwargs) if kwargs else self._process, items,
+            num_jobs=self.num_jobs, queue_size=self.queue_size, threads=self.threads)
         if self.verbose:
             from tqdm.auto import tqdm
 

@@ -15,11 +15,7 @@ from typing import Any, Callable, Dict, Iterable, Optional, Tuple, Union
 import numpy as np
 
 from lhotse_tpu.array import Array, TemporalArray
-from lhotse_tpu.audio import (
-    Recording,
-    RecordingSet,
-    get_audio_duration_mismatch_tolerance,
-)
+from lhotse_tpu.audio import (Recording, RecordingSet, get_audio_duration_mismatch_tolerance)
 from lhotse_tpu.features.base import Features, FeatureSet
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import compute_num_frames, is_equal_or_contains, overlaps
@@ -47,15 +43,12 @@ def validate(obj: Any, read_data: bool = False) -> None:
 
 
 def fix_manifests(
-    recordings: RecordingSet, supervisions: SupervisionSet
-) -> Tuple[RecordingSet, SupervisionSet]:
+    recordings: RecordingSet, supervisions: SupervisionSet) -> Tuple[RecordingSet, SupervisionSet]:
     """
     Remove supervisions/recordings without counterparts, drop supervisions
     starting past the recording end, and trim those exceeding it.
     """
-    recordings, supervisions = remove_missing_recordings_and_supervisions(
-        recordings, supervisions
-    )
+    recordings, supervisions = remove_missing_recordings_and_supervisions(recordings, supervisions)
     assert (
         len(frozenset(r.id for r in recordings)) > 0
     ), "No recordings left after fixing the manifests."
@@ -68,9 +61,7 @@ def fix_manifests(
 
 def validate_recordings_and_supervisions(
     recordings: Union[RecordingSet, Recording],
-    supervisions: Union[SupervisionSet, SupervisionSegment],
-    read_data: bool = False,
-) -> None:
+    supervisions: Union[SupervisionSet, SupervisionSegment], read_data: bool = False) -> None:
     """
     Validate both manifests and their mutual consistency; missing
     counterparts produce warnings (they get discarded when creating CutSets).
@@ -114,8 +105,7 @@ def validate_recordings_and_supervisions(
 
 
 def remove_missing_recordings_and_supervisions(
-    recordings: RecordingSet, supervisions: SupervisionSet
-) -> Tuple[RecordingSet, SupervisionSet]:
+    recordings: RecordingSet, supervisions: SupervisionSet) -> Tuple[RecordingSet, SupervisionSet]:
     """Drop entries that miss their counterparts (returns new manifests)."""
     recording_ids = frozenset(r.id for r in recordings)
     recording_ids_in_sups = frozenset(s.recording_id for s in supervisions)
@@ -128,9 +118,7 @@ def remove_missing_recordings_and_supervisions(
     only_in_supervisions = recording_ids_in_sups - recording_ids
     if only_in_supervisions:
         supervision_ids = frozenset(s.id for s in supervisions)
-        supervisions = supervisions.filter(
-            lambda s: s.recording_id not in only_in_supervisions
-        )
+        supervisions = supervisions.filter(lambda s: s.recording_id not in only_in_supervisions)
         supervision_ids_after = frozenset(s.id for s in supervisions)
         n_removed = len(supervision_ids) - len(supervision_ids_after)
         logging.warning(
@@ -141,10 +129,8 @@ def remove_missing_recordings_and_supervisions(
 
 
 def trim_supervisions_to_recordings(
-    recordings: Union[Recording, RecordingSet],
-    supervisions: Iterable[SupervisionSegment],
-    verbose: bool = True,
-) -> SupervisionSet:
+    recordings: Union[Recording, RecordingSet], supervisions: Iterable[SupervisionSegment],
+    verbose: bool = True) -> SupervisionSet:
     """Keep supervisions within their recording's duration, trimming overruns."""
     if isinstance(recordings, Recording):
         recordings = RecordingSet([recordings])
@@ -162,13 +148,9 @@ def trim_supervisions_to_recordings(
             s = s.trim(end=end)
         sups.append(s)
     if verbose and removed:
-        logging.warning(
-            f"Removed {removed} supervisions starting after the end of the recording."
-        )
+        logging.warning(f"Removed {removed} supervisions starting after the end of the recording.")
     if verbose and trimmed:
-        logging.warning(
-            f"Trimmed {trimmed} supervisions exceeding the end of the recording."
-        )
+        logging.warning(f"Trimmed {trimmed} supervisions exceeding the end of the recording.")
     return SupervisionSet.from_segments(sups)
 
 
@@ -230,8 +212,7 @@ def validate_supervision(s: SupervisionSegment, read_data: bool = False, **kwarg
 
 @register_validator
 def validate_features(
-    f: Features, read_data: bool = False, feats_data: Optional[np.ndarray] = None
-) -> None:
+    f: Features, read_data: bool = False, feats_data: Optional[np.ndarray] = None) -> None:
     assert f.start >= 0, f"Features: start has to be greater than 0 (is {f.start})"
     assert f.duration > 0, f"Features: duration has to be greater than 0 (is {f.duration})"
     assert f.num_frames > 0, f"Features: num_frames has to be greater than 0 (is {f.num_frames})"
@@ -250,8 +231,7 @@ def validate_features(
         f"sampling rate {f.sampling_rate} (fractional window hop {window_hop})."
     )
     expected_num_frames = compute_num_frames(
-        duration=f.duration, frame_shift=f.frame_shift, sampling_rate=f.sampling_rate
-    )
+        duration=f.duration, frame_shift=f.frame_shift, sampling_rate=f.sampling_rate)
     assert expected_num_frames == f.num_frames, (
         f"Features: inconsistent manifest: declared num_frames is {f.num_frames} but "
         f"duration ({f.duration}s) / frame_shift ({f.frame_shift}s) gives "
@@ -341,16 +321,13 @@ def validate_cut(c, read_data: bool = False) -> None:
                 f"(expected {c.recording_id}, supervision has {s.recording_id})"
             )
             assert is_equal_or_contains(s.channel, c.channel) and is_equal_or_contains(
-                c.channel, s.channel
-            ), (
+                c.channel, s.channel), (
                 f"Cut {c.id}: supervision {s.id} has a mismatched channel "
                 f"(expected {c.channel}, supervision has {s.channel})"
             )
 
     if c.custom is not None:
-        assert isinstance(c.custom, dict), (
-            f"Cut {c.id}: custom field has to be a dict or None."
-        )
+        assert isinstance(c.custom, dict), (f"Cut {c.id}: custom field has to be a dict or None.")
         for key, value in c.custom.items():
             if isinstance(value, Array):
                 validate_array(value, read_data=read_data)

@@ -1,8 +1,6 @@
 from lhotse_tpu.recipes.ami import download_ami, prepare_ami
 from lhotse_tpu.recipes.aidatatang_200zh import (
-    download_aidatatang_200zh,
-    prepare_aidatatang_200zh,
-)
+    download_aidatatang_200zh, prepare_aidatatang_200zh)
 from lhotse_tpu.recipes.aishell import download_aishell, prepare_aishell
 from lhotse_tpu.recipes.eval2000 import prepare_eval2000
 from lhotse_tpu.recipes.commonvoice import download_commonvoice, prepare_commonvoice
@@ -14,11 +12,7 @@ from lhotse_tpu.recipes.icsi import download_icsi, prepare_icsi
 from lhotse_tpu.recipes.librispeech import download_librispeech, prepare_librispeech
 from lhotse_tpu.recipes.ljspeech import download_ljspeech, prepare_ljspeech
 from lhotse_tpu.recipes.libritts import (
-    download_libritts,
-    download_librittsr,
-    prepare_libritts,
-    prepare_librittsr,
-)
+    download_libritts, download_librittsr, prepare_libritts, prepare_librittsr)
 from lhotse_tpu.recipes.mls import prepare_mls
 from lhotse_tpu.recipes.musan import download_musan, prepare_musan
 from lhotse_tpu.recipes.peoples_speech import prepare_peoples_speech
@@ -32,69 +26,23 @@ from lhotse_tpu.recipes.timit import download_timit, prepare_timit
 from lhotse_tpu.recipes.utils import manifests_exist, read_manifests_if_cached
 from lhotse_tpu.recipes.vctk import download_vctk, prepare_vctk
 from lhotse_tpu.recipes.wenet_speech import prepare_wenet_speech
-from lhotse_tpu.recipes.voxceleb import (
-    download_voxceleb1,
-    download_voxceleb2,
-    prepare_voxceleb,
-)
+from lhotse_tpu.recipes.voxceleb import (download_voxceleb1, download_voxceleb2, prepare_voxceleb)
 from lhotse_tpu.recipes.yesno import download_yesno, prepare_yesno
 
 __all__ = [
-    "download_aishell",
-    "download_aidatatang_200zh",
-    "download_magicdata",
-    "download_primewords",
-    "download_spgispeech",
-    "download_stcmds",
-    "download_thchs_30",
-    "download_ami",
-    "download_commonvoice",
-    "download_earnings22",
-    "download_fleurs",
-    "download_gigaspeech",
-    "download_icsi",
-    "download_librispeech",
-    "download_ljspeech",
-    "download_libritts",
-    "download_librittsr",
-    "download_musan",
-    "download_tedlium",
-    "download_timit",
-    "download_vctk",
-    "download_voxceleb1",
-    "download_voxceleb2",
-    "download_yesno",
-    "manifests_exist",
-    "prepare_aishell",
-    "prepare_aidatatang_200zh",
-    "prepare_magicdata",
-    "prepare_peoples_speech",
-    "prepare_primewords",
-    "prepare_spgispeech",
-    "prepare_stcmds",
-    "prepare_thchs_30",
-    "prepare_ami",
-    "prepare_commonvoice",
-    "prepare_eval2000",
-    "prepare_earnings22",
-    "prepare_fleurs",
-    "prepare_gigaspeech",
-    "prepare_mls",
-    "prepare_icsi",
-    "prepare_librispeech",
-    "prepare_ljspeech",
-    "prepare_libritts",
-    "prepare_librittsr",
-    "prepare_musan",
-    "prepare_switchboard",
-    "prepare_tedlium",
-    "prepare_timit",
-    "prepare_vctk",
-    "prepare_voxceleb",
-    "prepare_wenet_speech",
-    "prepare_yesno",
-    "read_manifests_if_cached",
-]
+    "download_aishell", "download_aidatatang_200zh", "download_magicdata", "download_primewords",
+    "download_spgispeech", "download_stcmds", "download_thchs_30", "download_ami",
+    "download_commonvoice", "download_earnings22", "download_fleurs", "download_gigaspeech",
+    "download_icsi", "download_librispeech", "download_ljspeech", "download_libritts",
+    "download_librittsr", "download_musan", "download_tedlium", "download_timit", "download_vctk",
+    "download_voxceleb1", "download_voxceleb2", "download_yesno", "manifests_exist",
+    "prepare_aishell", "prepare_aidatatang_200zh", "prepare_magicdata", "prepare_peoples_speech",
+    "prepare_primewords", "prepare_spgispeech", "prepare_stcmds", "prepare_thchs_30", "prepare_ami",
+    "prepare_commonvoice", "prepare_eval2000", "prepare_earnings22", "prepare_fleurs",
+    "prepare_gigaspeech", "prepare_mls", "prepare_icsi", "prepare_librispeech", "prepare_ljspeech",
+    "prepare_libritts", "prepare_librittsr", "prepare_musan", "prepare_switchboard",
+    "prepare_tedlium", "prepare_timit", "prepare_vctk", "prepare_voxceleb", "prepare_wenet_speech",
+    "prepare_yesno", "read_manifests_if_cached"]
 
 # --- round 2 recipe tranche ---
 from lhotse_tpu.recipes.adept import download_adept, prepare_adept
@@ -119,15 +67,9 @@ from lhotse_tpu.recipes.l2_arctic import prepare_l2_arctic
 from lhotse_tpu.recipes.libricss import download_libricss, prepare_libricss
 from lhotse_tpu.recipes.librilight import prepare_librilight
 from lhotse_tpu.recipes.mdcc import download_mdcc, prepare_mdcc
-from lhotse_tpu.recipes.mobvoihotwords import (
-    download_mobvoihotwords,
-    prepare_mobvoihotwords,
-)
+from lhotse_tpu.recipes.mobvoihotwords import (download_mobvoihotwords, prepare_mobvoihotwords)
 from lhotse_tpu.recipes.rir_noise import download_rir_noise, prepare_rir_noise
-from lhotse_tpu.recipes.speechcommands import (
-    download_speechcommands,
-    prepare_speechcommands,
-)
+from lhotse_tpu.recipes.speechcommands import (download_speechcommands, prepare_speechcommands)
 from lhotse_tpu.recipes.tedlium2 import download_tedlium2, prepare_tedlium2
 from lhotse_tpu.recipes.voxconverse import download_voxconverse, prepare_voxconverse
 from lhotse_tpu.recipes.voxpopuli import download_voxpopuli, prepare_voxpopuli

@@ -17,12 +17,8 @@ from lhotse_tpu.utils import Pathlike, resumable_download, safe_extract
 
 
 def download_tars(
-    url: str,
-    tar_names: Iterable[str],
-    target_dir: Pathlike,
-    corpus_name: str,
-    force_download: bool = False,
-) -> Path:
+    url: str, tar_names: Iterable[str], target_dir: Pathlike, corpus_name: str,
+    force_download: bool = False) -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     corpus_dir = target_dir / corpus_name
@@ -33,9 +29,7 @@ def download_tars(
         if completed_detector.is_file():
             logging.info(f"Skipping {tar_name}: {completed_detector} exists.")
             continue
-        resumable_download(
-            f"{url}/{tar_name}", filename=tar_path, force_download=force_download
-        )
+        resumable_download(f"{url}/{tar_name}", filename=tar_path, force_download=force_download)
         shutil.rmtree(extracted_dir, ignore_errors=True)
         with tarfile.open(tar_path) as tar:
             safe_extract(tar, path=corpus_dir)
@@ -44,10 +38,8 @@ def download_tars(
 
 
 def build_part_manifests(
-    wav_paths: Iterable[Path],
-    transcript_dict: Dict[str, str],
-    speaker_of: Callable[[Path], Optional[str]],
-    language: str = "Chinese",
+    wav_paths: Iterable[Path], transcript_dict: Dict[str, str],
+    speaker_of: Callable[[Path], Optional[str]], language: str = "Chinese",
 ) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
     recordings, supervisions = [], []
     for audio_path in sorted(wav_paths):
@@ -70,9 +62,7 @@ def build_part_manifests(
             )
         )
     recording_set, supervision_set = fix_manifests(
-        RecordingSet.from_recordings(recordings),
-        SupervisionSet.from_segments(supervisions),
-    )
+        RecordingSet.from_recordings(recordings), SupervisionSet.from_segments(supervisions))
     validate_recordings_and_supervisions(recording_set, supervision_set)
     return {"recordings": recording_set, "supervisions": supervision_set}
 
@@ -82,9 +72,5 @@ def maybe_store(manifests, output_dir: Optional[Pathlike], prefix: str, part: st
         return
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    manifests["recordings"].to_file(
-        output_dir / f"{prefix}_recordings_{part}.jsonl.gz"
-    )
-    manifests["supervisions"].to_file(
-        output_dir / f"{prefix}_supervisions_{part}.jsonl.gz"
-    )
+    manifests["recordings"].to_file(output_dir / f"{prefix}_recordings_{part}.jsonl.gz")
+    manifests["supervisions"].to_file(output_dir / f"{prefix}_supervisions_{part}.jsonl.gz")

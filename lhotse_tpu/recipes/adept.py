@@ -82,5 +82,4 @@ def prepare_adept(corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None):
             )
         )
     return finalize_manifests(
-        recordings, supervisions, output_dir=output_dir, prefix="adept", part="all"
-    )
+        recordings, supervisions, output_dir=output_dir, prefix="adept", part="all")

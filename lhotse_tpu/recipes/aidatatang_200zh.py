@@ -19,10 +19,8 @@ from lhotse_tpu.utils import Pathlike, resumable_download, safe_extract
 
 
 def download_aidatatang_200zh(
-    target_dir: Pathlike = ".",
-    force_download: bool = False,
-    base_url: str = "http://www.openslr.org/resources",
-) -> Path:
+    target_dir: Pathlike = ".", force_download: bool = False,
+    base_url: str = "http://www.openslr.org/resources") -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     corpus_dir = target_dir / "aidatatang_200zh"
@@ -34,8 +32,7 @@ def download_aidatatang_200zh(
         return corpus_dir
     tar_path = target_dir / tar_name
     resumable_download(
-        f"{base_url}/62/{tar_name}", filename=tar_path, force_download=force_download
-    )
+        f"{base_url}/62/{tar_name}", filename=tar_path, force_download=force_download)
     shutil.rmtree(extracted_dir, ignore_errors=True)
     with tarfile.open(tar_path) as tar:
         safe_extract(tar, path=corpus_dir)
@@ -50,7 +47,7 @@ def download_aidatatang_200zh(
 
 
 def prepare_aidatatang_200zh(
-    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     corpus_dir = Path(corpus_dir)
     d = corpus_dir / "aidatatang_200zh"
@@ -68,10 +65,8 @@ def prepare_aidatatang_200zh(
     manifests = {}
     for part in ("dev", "test", "train"):
         part_manifests = build_part_manifests(
-            (d / "corpus" / part).rglob("**/*.wav"),
-            transcript_dict,
-            speaker_of=lambda p: p.parts[-2],
-        )
+            (d / "corpus" / part).rglob("**/*.wav"), transcript_dict,
+            speaker_of=lambda p: p.parts[-2])
         maybe_store(part_manifests, output_dir, "aidatatang_200zh", part)
         manifests[part] = part_manifests
     return manifests

@@ -30,10 +30,8 @@ def text_normalize(line: str) -> str:
 
 
 def download_aishell(
-    target_dir: Pathlike = ".",
-    force_download: bool = False,
-    base_url: str = "http://www.openslr.org/resources",
-) -> Path:
+    target_dir: Pathlike = ".", force_download: bool = False,
+    base_url: str = "http://www.openslr.org/resources") -> Path:
     """Download data + resource tarballs and untar (incl. per-speaker inner
     tars); returns the corpus directory."""
     url = f"{base_url}/33"
@@ -47,9 +45,7 @@ def download_aishell(
         if completed_detector.is_file():
             logging.info(f"Skipping {tar_name}: {completed_detector} exists.")
             continue
-        resumable_download(
-            f"{url}/{tar_name}", filename=tar_path, force_download=force_download
-        )
+        resumable_download(f"{url}/{tar_name}", filename=tar_path, force_download=force_download)
         shutil.rmtree(extracted_dir, ignore_errors=True)
         with tarfile.open(tar_path) as tar:
             safe_extract(tar, path=corpus_dir)
@@ -63,7 +59,7 @@ def download_aishell(
 
 
 def prepare_aishell(
-    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """Prepare train/dev/test manifests from an extracted AISHELL-1 tree."""
     corpus_dir = Path(corpus_dir)
@@ -72,9 +68,7 @@ def prepare_aishell(
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
 
-    transcript_path = (
-        corpus_dir / "data_aishell/transcript/aishell_transcript_v0.8.txt"
-    )
+    transcript_path = (corpus_dir / "data_aishell/transcript/aishell_transcript_v0.8.txt")
     transcript_dict = {}
     with open(transcript_path, encoding="utf-8") as f:
         for line in f:
@@ -109,17 +103,10 @@ def prepare_aishell(
                 )
             )
         recording_set, supervision_set = fix_manifests(
-            RecordingSet.from_recordings(recordings),
-            SupervisionSet.from_segments(supervisions),
-        )
+            RecordingSet.from_recordings(recordings), SupervisionSet.from_segments(supervisions))
         validate_recordings_and_supervisions(recording_set, supervision_set)
         if output_dir is not None:
             recording_set.to_file(output_dir / f"aishell_recordings_{part}.jsonl.gz")
-            supervision_set.to_file(
-                output_dir / f"aishell_supervisions_{part}.jsonl.gz"
-            )
-        manifests[part] = {
-            "recordings": recording_set,
-            "supervisions": supervision_set,
-        }
+            supervision_set.to_file(output_dir / f"aishell_supervisions_{part}.jsonl.gz")
+        manifests[part] = {"recordings": recording_set, "supervisions": supervision_set}
     return dict(manifests)

@@ -36,9 +36,7 @@ def text_normalize(line: str) -> str:
 
 
 def prepare_aishell2(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, num_jobs: int = 1,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """Per-split AISHELL-2 manifests (train/dev/test, iOS condition)."""
     corpus_dir = Path(corpus_dir)
@@ -58,9 +56,7 @@ def prepare_aishell2(
             if fields:
                 transcripts[fields[0]] = text_normalize(" ".join(fields[1:]))
 
-        recordings = RecordingSet.from_dir(
-            path=wav_root, pattern="*.wav", num_jobs=num_jobs
-        )
+        recordings = RecordingSet.from_dir(path=wav_root, pattern="*.wav", num_jobs=num_jobs)
         supervisions = []
         for wav in wav_root.rglob("**/*.wav"):
             utt = wav.stem
@@ -80,7 +76,5 @@ def prepare_aishell2(
                 )
             )
         manifests[part] = finalize_manifests(
-            recordings, supervisions, output_dir=output_dir,
-            prefix="aishell2", part=part,
-        )
+            recordings, supervisions, output_dir=output_dir, prefix="aishell2", part=part)
     return manifests

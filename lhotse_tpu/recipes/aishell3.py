@@ -15,11 +15,7 @@ from pathlib import Path
 from typing import Dict, Optional, Union
 
 from lhotse_tpu.audio import Recording, RecordingSet
-from lhotse_tpu.recipes.utils import (
-    finalize_manifests,
-    manifests_exist,
-    read_manifests_if_cached,
-)
+from lhotse_tpu.recipes.utils import (finalize_manifests, manifests_exist, read_manifests_if_cached)
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, resumable_download, safe_extract
 
@@ -27,10 +23,8 @@ AISHELL3_PARTS = ("test", "train")
 
 
 def download_aishell3(
-    target_dir: Pathlike = ".",
-    force_download: Optional[bool] = False,
-    base_url: Optional[str] = "http://www.openslr.org/resources",
-) -> Path:
+    target_dir: Pathlike = ".", force_download: Optional[bool] = False,
+    base_url: Optional[str] = "http://www.openslr.org/resources") -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     marker = target_dir / ".completed"
@@ -39,8 +33,7 @@ def download_aishell3(
         return target_dir
     archive = target_dir / "data_aishell3.tgz"
     resumable_download(
-        f"{base_url}/93/{archive.name}", filename=archive, force_download=force_download
-    )
+        f"{base_url}/93/{archive.name}", filename=archive, force_download=force_download)
     with tarfile.open(archive) as tar:
         safe_extract(tar, path=target_dir)
     marker.touch()
@@ -70,8 +63,7 @@ def _read_tone_labels(path: Path) -> Dict[str, tuple]:
 
 
 def prepare_aishell3(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """AISHELL-3 manifests; pinyin and tone labels go to supervision.custom."""
     corpus_dir = Path(corpus_dir)
@@ -81,8 +73,7 @@ def prepare_aishell3(
     manifests = {}
     if output_dir is not None:
         manifests = read_manifests_if_cached(
-            dataset_parts=AISHELL3_PARTS, output_dir=output_dir, prefix="aishell3"
-        ) or {}
+            dataset_parts=AISHELL3_PARTS, output_dir=output_dir, prefix="aishell3") or {}
 
     genders = _read_speaker_genders(corpus_dir / "spk-info.txt")
     tones = _read_tone_labels(corpus_dir / "train" / "label_train-set.txt")
@@ -129,7 +120,5 @@ def prepare_aishell3(
                 )
             )
         manifests[part] = finalize_manifests(
-            recordings, supervisions, output_dir=output_dir,
-            prefix="aishell3", part=part,
-        )
+            recordings, supervisions, output_dir=output_dir, prefix="aishell3", part=part)
     return manifests

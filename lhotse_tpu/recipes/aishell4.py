@@ -38,26 +38,21 @@ def text_normalize(line: str) -> str:
 
 
 def download_aishell4(
-    target_dir: Pathlike = ".",
-    force_download: Optional[bool] = False,
-    base_url: Optional[str] = "http://www.openslr.org/resources",
-) -> Path:
+    target_dir: Pathlike = ".", force_download: Optional[bool] = False,
+    base_url: Optional[str] = "http://www.openslr.org/resources") -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     for tar_name in ("train_L.tar.gz", "train_M.tar.gz", "train_S.tar.gz", "test.tar.gz"):
         archive = target_dir / tar_name
         resumable_download(
-            f"{base_url}/111/{tar_name}", filename=archive, force_download=force_download
-        )
+            f"{base_url}/111/{tar_name}", filename=archive, force_download=force_download)
         with tarfile.open(archive) as tar:
             safe_extract(tar, path=target_dir)
     return target_dir
 
 
 def prepare_aishell4(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    normalize_text: bool = False,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, normalize_text: bool = False,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """AISHELL-4 manifests with globally unique speaker ids."""
     corpus_dir = Path(corpus_dir)
@@ -103,7 +98,5 @@ def prepare_aishell4(
             logging.warning(f"AISHELL-4 part {part} has no sessions; skipping.")
             continue
         manifests[part] = finalize_manifests(
-            recordings, supervisions, output_dir=output_dir,
-            prefix="aishell4", part=part,
-        )
+            recordings, supervisions, output_dir=output_dir, prefix="aishell4", part=part)
     return dict(manifests)

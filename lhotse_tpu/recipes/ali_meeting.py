@@ -48,22 +48,17 @@ def normalize_text_alimeeting(text: str, normalize: str = "m2met") -> str:
 
 
 def download_ali_meeting(
-    target_dir: Pathlike = ".",
-    force_download: Optional[bool] = False,
+    target_dir: Pathlike = ".", force_download: Optional[bool] = False,
     base_url: Optional[str] = "https://speech-lab-share-data.oss-cn-shanghai.aliyuncs.com/",
 ) -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     for tar_name in (
-        "Train_Ali_far.tar.gz", "Train_Ali_near.tar.gz",
-        "Eval_Ali.tar.gz", "Test_Ali.tar.gz",
-    ):
+        "Train_Ali_far.tar.gz", "Train_Ali_near.tar.gz", "Eval_Ali.tar.gz", "Test_Ali.tar.gz"):
         archive = target_dir / tar_name
         resumable_download(
-            f"{base_url}/AliMeeting/openlr/{tar_name}",
-            filename=archive,
-            force_download=force_download,
-        )
+            f"{base_url}/AliMeeting/openlr/{tar_name}", filename=archive,
+            force_download=force_download)
         with tarfile.open(archive) as tar:
             safe_extract(tar, path=target_dir)
     return target_dir
@@ -81,11 +76,8 @@ def _far_tier_identity(tier_name: str):
 
 
 def prepare_ali_meeting(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    mic: Optional[str] = "far",
-    normalize_text: str = "none",
-    save_mono: bool = False,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, mic: Optional[str] = "far",
+    normalize_text: str = "none", save_mono: bool = False,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     AliMeeting manifests per split (train/eval/test).
@@ -132,9 +124,7 @@ def prepare_ali_meeting(
                 mono_dir.mkdir(parents=True, exist_ok=True)
                 mono_path = mono_dir / wav_path.name
                 if not mono_path.is_file():
-                    subprocess.run(
-                        f"sox {wav_path} -c 1 {mono_path}", shell=True, check=True
-                    )
+                    subprocess.run(f"sox {wav_path} -c 1 {mono_path}", shell=True, check=True)
                 wav_path = mono_path
             rec = Recording.from_file(wav_path, recording_id=session)
             recordings.append(rec)
@@ -143,9 +133,7 @@ def prepare_ali_meeting(
                 _, _, gender, spk_tag = session.split("_")
                 near_identity = (gender, spk_tag[3:])
             for tier in tiers:
-                gender, spk = (
-                    near_identity if field == "near" else _far_tier_identity(tier.name)
-                )
+                gender, spk = (near_identity if field == "near" else _far_tier_identity(tier.name))
                 for k, iv in enumerate(tier.intervals):
                     if not iv.mark:
                         continue
@@ -171,9 +159,7 @@ def prepare_ali_meeting(
             logging.warning(f"AliMeeting {part} split has no sessions; skipping.")
             continue
         rec_set, sup_set = fix_manifests(
-            RecordingSet.from_recordings(recordings),
-            SupervisionSet.from_segments(supervisions),
-        )
+            RecordingSet.from_recordings(recordings), SupervisionSet.from_segments(supervisions))
         validate_recordings_and_supervisions(rec_set, sup_set)
         if output_dir is not None:
             sup_set.to_file(

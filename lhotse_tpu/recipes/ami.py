@@ -29,67 +29,36 @@ from lhotse_tpu.utils import Pathlike, Seconds, add_durations, resumable_downloa
 
 # Meeting ids per session; "a-d" expands to suffixed observations.
 _SESSIONS: Dict[str, str] = {
-    "EN2001": "abde", "EN2002": "abcd", "EN2003": "a", "EN2004": "a",
-    "EN2005": "a", "EN2006": "ab", "EN2009": "bcd",
-    **{f"ES20{i:02d}": "abcd" for i in range(2, 17)},
+    "EN2001": "abde", "EN2002": "abcd", "EN2003": "a", "EN2004": "a", "EN2005": "a", "EN2006": "ab",
+    "EN2009": "bcd", **{f"ES20{i:02d}": "abcd" for i in range(2, 17)},
     **{f"IB40{i:02d}": "" for i in (1, 2, 3, 4, 5, 10, 11)},
-    **{f"IN10{i:02d}": "" for i in (1, 2, 5, 7, 8, 9, 12, 13, 14, 16)},
-    "IS1000": "abcd", "IS1001": "abcd", "IS1002": "bcd", "IS1003": "abcd",
-    "IS1004": "abcd", "IS1005": "abc", "IS1006": "abcd", "IS1007": "abcd",
-    "IS1008": "abcd", "IS1009": "abcd",
-    **{f"TS30{i:02d}": "abcd" for i in range(3, 13)},
-}
+    **{f"IN10{i:02d}": "" for i in (1, 2, 5, 7, 8, 9, 12, 13, 14, 16)}, "IS1000": "abcd",
+    "IS1001": "abcd", "IS1002": "bcd", "IS1003": "abcd", "IS1004": "abcd", "IS1005": "abc",
+    "IS1006": "abcd", "IS1007": "abcd", "IS1008": "abcd", "IS1009": "abcd",
+    **{f"TS30{i:02d}": "abcd" for i in range(3, 13)}}
 
 MEETINGS: Dict[str, List[str]] = {
-    session: [session + suffix for suffix in suffixes] if suffixes else [session]
-    for session, suffixes in _SESSIONS.items()
-}
+    session: [session + suffix for suffix in suffixes] if suffixes else [session] for session,
+    suffixes in _SESSIONS.items()}
 
 
 def _expand(sessions: List[str], exclude: Tuple[str, ...] = ()) -> List[str]:
-    return [
-        m
-        for s in sessions
-        for m in MEETINGS[s]
-        if m not in exclude
-    ]
+    return [m for s in sessions for m in MEETINGS[s] if m not in exclude]
 
 
 _SCENARIO_TRAIN = [
-    "ES2002", "ES2005", "ES2006", "ES2007", "ES2008", "ES2009", "ES2010",
-    "ES2012", "ES2013", "ES2015", "ES2016", "IS1000", "IS1001", "IS1002",
-    "IS1003", "IS1004", "IS1005", "IS1006", "IS1007", "TS3005", "TS3008",
-    "TS3009", "TS3010", "TS3011", "TS3012",
-]
+    "ES2002", "ES2005", "ES2006", "ES2007", "ES2008", "ES2009", "ES2010", "ES2012", "ES2013",
+    "ES2015", "ES2016", "IS1000", "IS1001", "IS1002", "IS1003", "IS1004", "IS1005", "IS1006",
+    "IS1007", "TS3005", "TS3008", "TS3009", "TS3010", "TS3011", "TS3012"]
 _NONSCENARIO_TRAIN = [
-    "EN2001", "EN2003", "EN2004", "EN2005", "EN2006", "EN2009", "IN1001",
-    "IN1002", "IN1005", "IN1007", "IN1008", "IN1009", "IN1012", "IN1013",
-    "IN1014", "IN1016",
-]
+    "EN2001", "EN2003", "EN2004", "EN2005", "EN2006", "EN2009", "IN1001", "IN1002", "IN1005",
+    "IN1007", "IN1008", "IN1009", "IN1012", "IN1013", "IN1014", "IN1016"]
 _IB_DEV = ["IB4001", "IB4002", "IB4003", "IB4004", "IB4010", "IB4011"]
 
 PARTITIONS = {
-    "scenario-only": {
-        "train": _expand(_SCENARIO_TRAIN, exclude=("IS1002a", "IS1005d")),
-        "dev": _expand(["ES2003", "ES2011", "IS1008", "TS3004", "TS3006"]),
-        "test": _expand(["ES2004", "ES2014", "IS1009", "TS3003", "TS3007"]),
-    },
-    "full-corpus": {
-        "train": _expand(_SCENARIO_TRAIN + _NONSCENARIO_TRAIN),
-        "dev": _expand(["ES2003", "ES2011", "IS1008", "TS3004", "TS3006"] + _IB_DEV),
-        "test": _expand(
-            ["ES2004", "ES2014", "IS1009", "TS3003", "TS3007", "EN2002"]
-        ),
-    },
-    "full-corpus-asr": {
-        "train": _expand(
-            _SCENARIO_TRAIN
-            + _NONSCENARIO_TRAIN
-            + ["ES2014", "TS3007", "ES2003", "TS3006"]
-        ),
-        "dev": _expand(["ES2011", "IS1008", "TS3004"] + _IB_DEV),
-        "test": _expand(["ES2004", "IS1009", "TS3003", "EN2002"]),
-    },
+    "scenario-only": { "train": _expand(_SCENARIO_TRAIN, exclude=("IS1002a", "IS1005d")), "dev": _expand(["ES2003", "ES2011", "IS1008", "TS3004", "TS3006"]), "test": _expand(["ES2004", "ES2014", "IS1009", "TS3003", "TS3007"]), },
+    "full-corpus": { "train": _expand(_SCENARIO_TRAIN + _NONSCENARIO_TRAIN), "dev": _expand(["ES2003", "ES2011", "IS1008", "TS3004", "TS3006"] + _IB_DEV), "test": _expand( ["ES2004", "ES2014", "IS1009", "TS3003", "TS3007", "EN2002"] ), },
+    "full-corpus-asr": { "train": _expand( _SCENARIO_TRAIN + _NONSCENARIO_TRAIN + ["ES2014", "TS3007", "ES2003", "TS3006"] ), "dev": _expand(["ES2011", "IS1008", "TS3004"] + _IB_DEV), "test": _expand(["ES2004", "IS1009", "TS3003", "EN2002"]), },
 }
 
 MICS = ["ihm", "ihm-mix", "sdm", "mdm", "mdm8-bf"]
@@ -119,11 +88,8 @@ def normalize_text_ami(text: str, normalize: str = "upper") -> str:
 
 
 def download_audio(
-    target_dir: Path,
-    force_download: Optional[bool] = False,
-    url: Optional[str] = _AMI_URL,
-    mic: Optional[str] = "ihm",
-) -> None:
+    target_dir: Path, force_download: Optional[bool] = False, url: Optional[str] = _AMI_URL,
+    mic: Optional[str] = "ihm") -> None:
     for item in itertools.chain.from_iterable(MEETINGS.values()):
         wav_dir = target_dir / "wav_db" / item / "audio"
         base = f"{url}/AMICorpusMirror/amicorpus/{item}/audio"
@@ -136,11 +102,7 @@ def download_audio(
         elif mic == "sdm":
             names, missing_ok = [f"{item}.Array1-01.wav"], True
         elif mic == "mdm":
-            names = [
-                f"{item}.{array}-{ch}.wav"
-                for array in MDM_ARRAYS
-                for ch in MDM_CHANNELS
-            ]
+            names = [f"{item}.{array}-{ch}.wav" for array in MDM_ARRAYS for ch in MDM_CHANNELS]
             missing_ok = True
         elif mic == "mdm8-bf":
             base = f"{url}/AMICorpusMirror/amicorpus/beamformed/{item}"
@@ -150,37 +112,25 @@ def download_audio(
         wav_dir.mkdir(parents=True, exist_ok=True)
         for name in names:
             resumable_download(
-                f"{base}/{name}",
-                filename=wav_dir / name,
-                force_download=force_download,
-                missing_ok=missing_ok,
-            )
+                f"{base}/{name}", filename=wav_dir / name, force_download=force_download,
+                missing_ok=missing_ok)
 
 
 def download_ami(
-    target_dir: Pathlike = ".",
-    annotations: Optional[Pathlike] = None,
-    force_download: Optional[bool] = False,
-    url: Optional[str] = _AMI_URL,
-    mic: Optional[str] = "ihm",
-) -> Path:
+    target_dir: Pathlike = ".", annotations: Optional[Pathlike] = None,
+    force_download: Optional[bool] = False, url: Optional[str] = _AMI_URL,
+    mic: Optional[str] = "ihm") -> Path:
     """Download per-mic audio + the 1.6.2 manual annotations zip."""
     target_dir = Path(target_dir)
-    annotations = Path(
-        annotations
-        if annotations
-        else target_dir / "ami_public_manual_1.6.2.zip"
-    )
+    annotations = Path(annotations if annotations else target_dir / "ami_public_manual_1.6.2.zip")
     download_audio(target_dir, force_download, url, mic)
     logging.info("Downloading AMI annotations")
     if annotations.exists():
         logging.info(f"Skip downloading annotations: {annotations} exists.")
         return target_dir
     resumable_download(
-        f"{url}/AMICorpusAnnotations/ami_public_manual_1.6.2.zip",
-        annotations,
-        force_download=force_download,
-    )
+        f"{url}/AMICorpusAnnotations/ami_public_manual_1.6.2.zip", annotations,
+        force_download=force_download)
     return target_dir
 
 
@@ -194,10 +144,8 @@ class AmiSegmentAnnotation(NamedTuple):
 
 
 def split_segment(
-    words: List[Tuple[float, float, str]],
-    max_words_per_segment: Optional[int] = None,
-    merge_consecutive: bool = False,
-    keep_punctuation: bool = False,
+    words: List[Tuple[float, float, str]], max_words_per_segment: Optional[int] = None,
+    merge_consecutive: bool = False, keep_punctuation: bool = False,
 ) -> List[List[Tuple[float, float, str]]]:
     """
     Re-segment a speaker turn's word list on full stops (and, when a turn
@@ -225,10 +173,7 @@ def split_segment(
         limit = max_words_per_segment or 100000
         merged = [subsegs[0]]
         for seg in subsegs[1:]:
-            if (
-                merged[-1][-1][1] == seg[0][0]
-                and len(merged[-1]) + len(seg) <= limit
-            ):
+            if (merged[-1][-1][1] == seg[0][0] and len(merged[-1]) + len(seg) <= limit):
                 merged[-1].extend(seg)
             else:
                 merged.append(seg)
@@ -256,12 +201,9 @@ def split_segment(
 
 
 def parse_ami_annotations(
-    annotations_dir: Pathlike,
-    normalize: str = "upper",
-    max_words_per_segment: Optional[int] = None,
-    merge_consecutive: bool = False,
-    keep_punctuation: bool = False,
-) -> Dict[Tuple[str, str, int], List[AmiSegmentAnnotation]]:
+    annotations_dir: Pathlike, normalize: str = "upper",
+    max_words_per_segment: Optional[int] = None, merge_consecutive: bool = False,
+    keep_punctuation: bool = False) -> Dict[Tuple[str, str, int], List[AmiSegmentAnnotation]]:
     annotations_dir = Path(annotations_dir)
     if str(annotations_dir).endswith(".zip"):
         with zipfile.ZipFile(annotations_dir) as z:
@@ -283,15 +225,9 @@ def parse_ami_annotations(
     for file in sorted((annotations_dir / "segments").iterdir()):
         meet_id, local_spkid, _ = file.stem.split(".")
         if (meet_id, local_spkid) not in global_spk_id:
-            logging.warning(
-                f"No speaker {meet_id}.{local_spkid} found! Skipping annotation."
-            )
+            logging.warning(f"No speaker {meet_id}.{local_spkid} found! Skipping annotation.")
             continue
-        key = (
-            meet_id,
-            global_spk_id[(meet_id, local_spkid)],
-            channel_id[(meet_id, local_spkid)],
-        )
+        key = (meet_id, global_spk_id[(meet_id, local_spkid)], channel_id[(meet_id, local_spkid)])
         segments[key] = [
             (
                 float(seg.attrib["transcriber_start"]),
@@ -307,11 +243,7 @@ def parse_ami_annotations(
         meet_id, local_spkid, _ = file.stem.split(".")
         if (meet_id, local_spkid) not in global_spk_id:
             continue
-        key = (
-            meet_id,
-            global_spk_id[(meet_id, local_spkid)],
-            channel_id[(meet_id, local_spkid)],
-        )
+        key = (meet_id, global_spk_id[(meet_id, local_spkid)], channel_id[(meet_id, local_spkid)])
         if key not in segments:
             continue
         entries = []
@@ -335,13 +267,9 @@ def parse_ami_annotations(
     for key, segs in segments.items():
         spk_words = words.get(key, [])
         for seg_start, seg_end in segs:
-            seg_words = [
-                w for w in spk_words if w[0] >= seg_start and w[1] <= seg_end
-            ]
+            seg_words = [w for w in spk_words if w[0] >= seg_start and w[1] <= seg_end]
             for subseg in split_segment(
-                seg_words, max_words_per_segment, merge_consecutive,
-                keep_punctuation,
-            ):
+                seg_words, max_words_per_segment, merge_consecutive, keep_punctuation):
                 start, end = subseg[0][0], subseg[-1][1]
                 word_alignments = []
                 for w in subseg:
@@ -395,14 +323,10 @@ def prepare_audio_grouped(audio_paths: List[Path]) -> RecordingSet:
         for idx, audio_path in enumerate(sorted(channel_paths)):
             ch_probe = Recording.from_file(audio_path)
             if ch_probe.num_channels > 1:
-                logging.warning(
-                    f"Skipping recording {session_name}: stereo channel file."
-                )
+                logging.warning(f"Skipping recording {session_name}: stereo channel file.")
                 all_mono = False
                 break
-            sources.append(
-                AudioSource(type="file", channels=[idx], source=str(audio_path))
-            )
+            sources.append(AudioSource(type="file", channels=[idx], source=str(audio_path)))
         if not all_mono:
             continue
         recordings.append(
@@ -417,28 +341,19 @@ def prepare_audio_grouped(audio_paths: List[Path]) -> RecordingSet:
     return RecordingSet.from_recordings(recordings)
 
 
-def prepare_audio_single(
-    audio_paths: List[Path], mic: Optional[str] = "ihm-mix"
-) -> RecordingSet:
+def prepare_audio_single(audio_paths: List[Path], mic: Optional[str] = "ihm-mix") -> RecordingSet:
     """IHM-Mix / SDM / mdm8-bf: one file per session."""
     recordings = []
     for audio_path in sorted(audio_paths):
-        session_name = (
-            audio_path.parts[-3] if mic != "mdm8-bf" else audio_path.parts[-2]
-        )
-        recordings.append(
-            Recording.from_file(audio_path, recording_id=session_name)
-        )
+        session_name = (audio_path.parts[-3] if mic != "mdm8-bf" else audio_path.parts[-2])
+        recordings.append(Recording.from_file(audio_path, recording_id=session_name))
     return RecordingSet.from_recordings(recordings)
 
 
 def prepare_supervision_ihm(
-    audio: RecordingSet,
-    annotations: Dict[Tuple[str, str, int], List[AmiSegmentAnnotation]],
+    audio: RecordingSet, annotations: Dict[Tuple[str, str, int], List[AmiSegmentAnnotation]],
 ) -> SupervisionSet:
-    by_id_and_channel = {
-        (key[0], key[2]): value for key, value in annotations.items()
-    }
+    by_id_and_channel = {(key[0], key[2]): value for key, value in annotations.items()}
     segments = []
     for recording in audio:
         for source in recording.sources:
@@ -452,8 +367,7 @@ def prepare_supervision_ihm(
                 continue
             for seg_idx, seg_info in enumerate(annotation):
                 duration = add_durations(
-                    seg_info.end_time, -seg_info.start_time, sampling_rate=16000
-                )
+                    seg_info.end_time, -seg_info.start_time, sampling_rate=16000)
                 if seg_info.end_time > recording.duration:
                     logging.warning(
                         f"Segment {recording.id}-{channel}-{seg_idx} exceeds "
@@ -479,8 +393,7 @@ def prepare_supervision_ihm(
 
 
 def prepare_supervision_other(
-    audio: RecordingSet,
-    annotations: Dict[Tuple[str, str, int], List[AmiSegmentAnnotation]],
+    audio: RecordingSet, annotations: Dict[Tuple[str, str, int], List[AmiSegmentAnnotation]],
 ) -> SupervisionSet:
     by_id = defaultdict(list)
     for key, value in annotations.items():
@@ -518,14 +431,10 @@ def prepare_supervision_other(
 
 
 def prepare_ami(
-    data_dir: Pathlike,
-    annotations_dir: Optional[Pathlike] = None,
-    output_dir: Optional[Pathlike] = None,
-    mic: Optional[str] = "ihm",
-    partition: Optional[str] = "full-corpus",
-    normalize_text: str = "kaldi",
-    max_words_per_segment: Optional[int] = None,
-    merge_consecutive: bool = False,
+    data_dir: Pathlike, annotations_dir: Optional[Pathlike] = None,
+    output_dir: Optional[Pathlike] = None, mic: Optional[str] = "ihm",
+    partition: Optional[str] = "full-corpus", normalize_text: str = "kaldi",
+    max_words_per_segment: Optional[int] = None, merge_consecutive: bool = False,
     keep_punctuation: Optional[bool] = False,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
@@ -548,16 +457,11 @@ def prepare_ami(
         elif (data_dir / "ami_public_manual_1.6.2.zip").is_file():
             annotations_dir = data_dir / "ami_public_manual_1.6.2.zip"
         else:
-            raise ValueError(
-                f"No annotations directory specified and no zip found in {data_dir}"
-            )
+            raise ValueError(f"No annotations directory specified and no zip found in {data_dir}")
     annotations = parse_ami_annotations(
-        Path(annotations_dir),
-        normalize=normalize_text,
-        max_words_per_segment=max_words_per_segment,
-        merge_consecutive=merge_consecutive,
-        keep_punctuation=keep_punctuation,
-    )
+        Path(annotations_dir), normalize=normalize_text,
+        max_words_per_segment=max_words_per_segment, merge_consecutive=merge_consecutive,
+        keep_punctuation=keep_punctuation)
 
     logging.info("Preparing recording manifests")
     if mic in ("ihm", "mdm"):
@@ -565,10 +469,7 @@ def prepare_ami(
         audio = prepare_audio_grouped(list(data_dir.rglob(pattern)))
     else:
         pattern = {
-            "ihm-mix": "*Mix-Headset.wav",
-            "sdm": "*Array1-01.wav",
-            "mdm8-bf": "*MDM8.wav",
-        }[mic]
+            "ihm-mix": "*Mix-Headset.wav", "sdm": "*Array1-01.wav", "mdm8-bf": "*MDM8.wav"}[mic]
         audio = prepare_audio_single(list(data_dir.rglob(pattern)), mic)
 
     logging.info("Preparing supervision manifests")
@@ -582,18 +483,11 @@ def prepare_ami(
     dataset_parts = PARTITIONS[partition]
     for part in ("train", "dev", "test"):
         audio_part = audio.filter(lambda x: x.id in dataset_parts[part])
-        supervision_part = supervision.filter(
-            lambda x: x.recording_id in dataset_parts[part]
-        )
+        supervision_part = supervision.filter(lambda x: x.recording_id in dataset_parts[part])
         audio_part, supervision_part = fix_manifests(audio_part, supervision_part)
         validate_recordings_and_supervisions(audio_part, supervision_part)
         if output_dir is not None:
             audio_part.to_file(output_dir / f"ami-{mic}_recordings_{part}.jsonl.gz")
-            supervision_part.to_file(
-                output_dir / f"ami-{mic}_supervisions_{part}.jsonl.gz"
-            )
-        manifests[part] = {
-            "recordings": audio_part,
-            "supervisions": supervision_part,
-        }
+            supervision_part.to_file(output_dir / f"ami-{mic}_supervisions_{part}.jsonl.gz")
+        manifests[part] = {"recordings": audio_part, "supervisions": supervision_part}
     return manifests

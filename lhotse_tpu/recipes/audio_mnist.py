@@ -22,15 +22,10 @@ from lhotse_tpu.utils import Pathlike, resumable_download
 
 AUDIO_MNIST_URL = "https://github.com/soerenab/AudioMNIST/archive/refs/heads/master.tar.gz"
 
-_DIGIT_WORDS = (
-    "zero", "one", "two", "three", "four",
-    "five", "six", "seven", "eight", "nine",
-)
+_DIGIT_WORDS = ("zero", "one", "two", "three", "four", "five", "six", "seven", "eight", "nine")
 
 
-def download_audio_mnist(
-    target_dir: Pathlike = ".", force_download: bool = False
-) -> Path:
+def download_audio_mnist(target_dir: Pathlike = ".", force_download: bool = False) -> Path:
     """Fetch the AudioMNIST GitHub tarball and extract it."""
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
@@ -46,9 +41,7 @@ def download_audio_mnist(
 
 
 def prepare_audio_mnist(
-    corpus_dir: Pathlike,
-    output_dir: Pathlike,
-) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
+    corpus_dir: Pathlike, output_dir: Pathlike) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
     """AudioMNIST manifests; speaker metadata lands in supervision.custom."""
     data_dir = Path(corpus_dir) / "data"
     meta_path = data_dir / "audioMNIST_meta.txt"
@@ -81,9 +74,4 @@ def prepare_audio_mnist(
 
     # The reference writes this corpus without a part suffix; keep "all".
     return finalize_manifests(
-        recordings,
-        supervisions,
-        output_dir=output_dir,
-        prefix="audio_mnist",
-        part="all",
-    )
+        recordings, supervisions, output_dir=output_dir, prefix="audio_mnist", part="all")

@@ -16,22 +16,17 @@ from typing import Dict, Iterable, List, Optional, Union
 from lhotse_tpu.audio import Recording, RecordingSet
 from lhotse_tpu.manipulation import combine
 from lhotse_tpu.qa import (
-    remove_missing_recordings_and_supervisions,
-    trim_supervisions_to_recordings,
-    validate_recordings_and_supervisions,
-)
+    remove_missing_recordings_and_supervisions, trim_supervisions_to_recordings,
+    validate_recordings_and_supervisions)
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike
 
 BABELCODE2LANG = {
-    "101": "Cantonese", "102": "Assamese", "103": "Bengali", "104": "Pashto",
-    "105": "Turkish", "106": "Tagalog", "107": "Vietnamese", "201": "Haitian",
-    "202": "Swahili", "203": "Lao", "204": "Tamil", "205": "Kurmanji",
-    "206": "Zulu", "207": "Tok-Pisin", "301": "Cebuano", "302": "Kazakh",
-    "303": "Telugu", "304": "Lithuanian", "305": "Guarani", "306": "Igbo",
-    "307": "Amharic", "401": "Mongolian", "402": "Javanese", "403": "Dholuo",
-    "404": "Georgian",
-}
+    "101": "Cantonese", "102": "Assamese", "103": "Bengali", "104": "Pashto", "105": "Turkish",
+    "106": "Tagalog", "107": "Vietnamese", "201": "Haitian", "202": "Swahili", "203": "Lao",
+    "204": "Tamil", "205": "Kurmanji", "206": "Zulu", "207": "Tok-Pisin", "301": "Cebuano",
+    "302": "Kazakh", "303": "Telugu", "304": "Lithuanian", "305": "Guarani", "306": "Igbo",
+    "307": "Amharic", "401": "Mongolian", "402": "Javanese", "403": "Dholuo", "404": "Georgian"}
 
 _OOV = re.compile(r"(\(\(\)\)|<foreign>|<prompt>|<overlap>|<hes>)")
 _SPK_NOISE = re.compile(r"<(limspack|lipsmack|breath|cough)>")
@@ -82,9 +77,7 @@ def deduplicate_supervisions(
 
 
 def prepare_single_babel_language(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    no_eval_ok: bool = False,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, no_eval_ok: bool = False,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     Manifests for one BABEL language package: finds the ``conversational``
@@ -110,13 +103,8 @@ def prepare_single_babel_language(
     for split in ("dev", "eval", "training"):
         audio_dir = package / "conversational" / split / "audio"
         recordings = combine(
-            RecordingSet.from_recordings(
-                Recording.from_file(p) for p in audio_dir.glob("*.sph")
-            ),
-            RecordingSet.from_recordings(
-                Recording.from_file(p) for p in audio_dir.glob("*.wav")
-            ),
-        )
+            RecordingSet.from_recordings( Recording.from_file(p) for p in audio_dir.glob("*.sph") ),
+            RecordingSet.from_recordings( Recording.from_file(p) for p in audio_dir.glob("*.wav") ))
         if len(recordings) == 0:
             if split != "training":
                 continue
@@ -151,8 +139,7 @@ def prepare_single_babel_language(
         if not (split == "eval" and len(supervisions) == 0):
             # (eval transcripts are often withheld; keep those recordings.)
             recordings, supervisions = remove_missing_recordings_and_supervisions(
-                recordings, supervisions
-            )
+                recordings, supervisions)
             supervisions = trim_supervisions_to_recordings(recordings, supervisions)
         validate_recordings_and_supervisions(recordings, supervisions)
         manifests[split] = {"recordings": recordings, "supervisions": supervisions}
@@ -163,7 +150,5 @@ def prepare_single_babel_language(
             language = BABELCODE2LANG[lang_code]
             tag = "train" if split == "training" else split
             recordings.to_file(output_dir / f"babel-{language}_recordings_{tag}.jsonl.gz")
-            supervisions.to_file(
-                output_dir / f"babel-{language}_supervisions_{tag}.jsonl.gz"
-            )
+            supervisions.to_file(output_dir / f"babel-{language}_supervisions_{tag}.jsonl.gz")
     return dict(manifests)

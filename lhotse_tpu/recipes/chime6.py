@@ -30,17 +30,12 @@ from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, add_durations
 
 SESSIONS = {
-    "train": ["S03", "S04", "S05", "S06", "S07", "S08", "S12", "S13",
-              "S16", "S17", "S18", "S19", "S20", "S22", "S23", "S24"],
-    "dev": ["S02", "S09"],
-    "eval": ["S01", "S21"],
-}
+    "train": ["S03", "S04", "S05", "S06", "S07", "S08", "S12", "S13", "S16", "S17", "S18", "S19", "S20", "S22", "S23", "S24"],
+    "dev": ["S02", "S09"], "eval": ["S01", "S21"]}
 # CHiME-7 moved two train sessions into dev.
 SESSIONS_CHIME7 = {
     "train": [s for s in SESSIONS["train"] if s not in ("S19", "S20")],
-    "dev": ["S02", "S09", "S19", "S20"],
-    "eval": ["S01", "S21"],
-}
+    "dev": ["S02", "S09", "S19", "S20"], "eval": ["S01", "S21"]}
 
 
 def hms_to_seconds(stamp: str) -> float:
@@ -78,39 +73,26 @@ def _headset_recording(session: str, wavs: list):
         spk_channels[wav.stem.split("_")[1]] = pair
     meta = audio_info(wavs[0])
     rec = Recording(
-        id=session,
-        sources=sources,
-        sampling_rate=int(meta.samplerate),
-        num_samples=meta.frames,
-        duration=meta.frames / meta.samplerate,
-    )
+        id=session, sources=sources, sampling_rate=int(meta.samplerate), num_samples=meta.frames,
+        duration=meta.frames / meta.samplerate)
     return rec, spk_channels
 
 
 def _array_recording(session: str, wavs: list) -> Recording:
     sources = [
-        AudioSource(type="file", channels=[idx], source=str(wav))
-        for idx, wav in enumerate(sorted(wavs))
-    ]
+        AudioSource(type="file", channels=[idx], source=str(wav)) for idx,
+        wav in enumerate(sorted(wavs))]
     meta = audio_info(sorted(wavs)[0])
     return Recording(
-        id=session,
-        sources=sources,
-        sampling_rate=int(meta.samplerate),
-        num_samples=meta.frames,
-        duration=meta.frames / meta.samplerate,
-    )
+        id=session, sources=sources, sampling_rate=int(meta.samplerate), num_samples=meta.frames,
+        duration=meta.frames / meta.samplerate)
 
 
 def prepare_chime6(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    dataset_parts: Optional[Union[str, Sequence[str]]] = "all",
-    mic: str = "mdm",
-    use_reference_array: bool = False,
-    use_chime7_split: bool = False,
-    normalize_text: str = "upper",
-) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
+    dataset_parts: Optional[Union[str, Sequence[str]]] = "all", mic: str = "mdm",
+    use_reference_array: bool = False, use_chime7_split: bool = False,
+    normalize_text: str = "upper") -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     Build CHiME-6 manifests from an array-synchronized corpus directory.
 
@@ -159,9 +141,7 @@ def prepare_chime6(
             else:
                 wavs = sorted((corpus_dir / "audio" / home).rglob(f"{session}_U*.wav"))
                 if not wavs:
-                    raise FileNotFoundError(
-                        f"No array audio for session {session} in {home} set."
-                    )
+                    raise FileNotFoundError(f"No array audio for session {session} in {home} set.")
                 rec = _array_recording(session, wavs)
             recordings.append(rec)
         recordings = RecordingSet.from_recordings(recordings)
@@ -183,9 +163,7 @@ def prepare_chime6(
                 finish = hms_to_seconds(seg["end_time"])
                 if begin >= finish:
                     continue  # a few annotations have non-positive durations
-                want_ref = (
-                    seg.get("ref") if use_reference_array and part != "train" else None
-                )
+                want_ref = (seg.get("ref") if use_reference_array and part != "train" else None)
                 supervisions.append(
                     SupervisionSegment(
                         id=f"{session}-{idx}",
@@ -211,9 +189,7 @@ def prepare_chime6(
             output_dir = Path(output_dir)
             output_dir.mkdir(parents=True, exist_ok=True)
             mic_affix = f"{mic}-ref" if use_reference_array else mic
-            supervisions.to_file(
-                output_dir / f"chime6-{mic_affix}_supervisions_{part}.jsonl.gz"
-            )
+            supervisions.to_file(output_dir / f"chime6-{mic_affix}_supervisions_{part}.jsonl.gz")
             recordings.to_file(output_dir / f"chime6-{mic}_recordings_{part}.jsonl.gz")
         manifests[part] = {"recordings": recordings, "supervisions": supervisions}
         logging.info(f"CHiME-6 {part}/{mic}: {len(recordings)} sessions prepared.")

@@ -24,19 +24,16 @@ from lhotse_tpu.utils import Pathlike, resumable_download, safe_extract
 BASE_URL = "http://festvox.org/cmu_arctic/packed/"
 
 SPEAKERS = (
-    "aew", "ahw", "aup", "awb", "axb", "bdl", "clb", "eey", "fem",
-    "gka", "jmk", "ksp", "ljm", "lnh", "rms", "rxr", "slp", "slt",
-)
+    "aew", "ahw", "aup", "awb", "axb", "bdl", "clb", "eey", "fem", "gka", "jmk", "ksp", "ljm",
+    "lnh", "rms", "rxr", "slp", "slt")
 
 # Metadata that is readily documented; other speakers stay unannotated.
 GENDERS = {
-    "bdl": "male", "rms": "male", "jmk": "male", "awb": "male", "ksp": "male",
-    "slt": "female", "clb": "female",
-}
+    "bdl": "male", "rms": "male", "jmk": "male", "awb": "male", "ksp": "male", "slt": "female",
+    "clb": "female"}
 ACCENTS = {
-    "bdl": "US Midwest", "slt": "US Midwest", "clb": "US", "rms": "US",
-    "jmk": "Canadian Ontario", "awb": "Scottish South Eastern", "ksp": "Indian",
-}
+    "bdl": "US Midwest", "slt": "US Midwest", "clb": "US", "rms": "US", "jmk": "Canadian Ontario",
+    "awb": "Scottish South Eastern", "ksp": "Indian"}
 
 
 def _speaker_of(package_dir_name: str) -> str:
@@ -45,11 +42,8 @@ def _speaker_of(package_dir_name: str) -> str:
 
 
 def download_cmu_arctic(
-    target_dir: Pathlike = ".",
-    speakers: Sequence[str] = SPEAKERS,
-    force_download: Optional[bool] = False,
-    base_url: Optional[str] = BASE_URL,
-) -> Path:
+    target_dir: Pathlike = ".", speakers: Sequence[str] = SPEAKERS,
+    force_download: Optional[bool] = False, base_url: Optional[str] = BASE_URL) -> Path:
     """Fetch + untar the per-speaker ARCTIC packages from festvox.org."""
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
@@ -61,8 +55,7 @@ def download_cmu_arctic(
             continue
         archive = target_dir / f"{package}.tar.bz2"
         resumable_download(
-            f"{base_url}{archive.name}", filename=archive, force_download=force_download
-        )
+            f"{base_url}{archive.name}", filename=archive, force_download=force_download)
         shutil.rmtree(target_dir / package, ignore_errors=True)
         with tarfile.open(archive) as tar:
             safe_extract(tar, path=target_dir)
@@ -71,8 +64,7 @@ def download_cmu_arctic(
 
 
 def prepare_cmu_arctic(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
     """CMU ARCTIC manifests over every downloaded speaker package."""
     corpus_dir = Path(corpus_dir)
@@ -110,9 +102,4 @@ def prepare_cmu_arctic(
 
     # A handful of prompts have no recording (or vice versa) upstream.
     return finalize_manifests(
-        recordings,
-        supervisions,
-        output_dir=output_dir,
-        prefix="cmu-arctic",
-        part="all",
-    )
+        recordings, supervisions, output_dir=output_dir, prefix="cmu-arctic", part="all")

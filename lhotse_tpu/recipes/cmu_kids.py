@@ -45,10 +45,8 @@ def _read_speakers(tables: Path) -> Dict[str, tuple]:
 
 
 def prepare_cmu_kids(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    absolute_paths: Optional[bool] = True,
-) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
+    absolute_paths: Optional[bool] = True) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
     """
     Build CMU Kids manifests. Supervisions carry the prompt as ``text`` and,
     under ``custom``: speaker grade/age/population, the transcript as spoken
@@ -70,9 +68,7 @@ def prepare_cmu_kids(
         spk, utt, tbin = trn_id[:4], trn_id[4:7], int(trn_id[7])
         population, grade, age = speakers[spk]
         sph = corpus_dir / "cmu_kids" / "kids" / spk / "signal" / f"{trn_id}.sph"
-        rec = Recording.from_file(
-            sph, relative_path_depth=None if absolute_paths else 3
-        )
+        rec = Recording.from_file(sph, relative_path_depth=None if absolute_paths else 3)
         recordings.append(rec)
         supervisions.append(
             SupervisionSegment(
@@ -96,5 +92,4 @@ def prepare_cmu_kids(
 
     logging.info(f"Prepared {len(recordings)} CMU Kids utterances.")
     return finalize_manifests(
-        recordings, supervisions, output_dir=output_dir, prefix="cmu-kids", part="all"
-    )
+        recordings, supervisions, output_dir=output_dir, prefix="cmu-kids", part="all")

@@ -37,12 +37,9 @@ COMMONVOICE_DEFAULT_SPLITS = ("test", "dev", "train")
 
 
 def download_commonvoice(
-    target_dir: Pathlike = ".",
-    languages: Union[str, Iterable[str]] = "all",
-    force_download: bool = False,
-    base_url: str = DEFAULT_COMMONVOICE_URL,
-    release: str = DEFAULT_COMMONVOICE_RELEASE,
-) -> Path:
+    target_dir: Pathlike = ".", languages: Union[str, Iterable[str]] = "all",
+    force_download: bool = False, base_url: str = DEFAULT_COMMONVOICE_URL,
+    release: str = DEFAULT_COMMONVOICE_RELEASE) -> Path:
     """Download and untar per-language CommonVoice archives (release >= 8.0;
     earlier releases require a manual e-mail-gated download)."""
     target_dir = Path(target_dir)
@@ -64,10 +61,8 @@ def download_commonvoice(
             continue
         tar_path = target_dir / f"{lang}.tar.gz"
         resumable_download(
-            f"{base_url}/{release}/{release}-{lang}.tar.gz",
-            filename=tar_path,
-            force_download=force_download,
-        )
+            f"{base_url}/{release}/{release}-{lang}.tar.gz", filename=tar_path,
+            force_download=force_download)
         shutil.rmtree(part_dir, ignore_errors=True)
         with tarfile.open(tar_path) as tar:
             safe_extract(tar, path=target_dir)
@@ -76,7 +71,7 @@ def download_commonvoice(
 
 
 def _parse_utterance(
-    lang_path: Path, language: str, audio_info: Dict[str, str]
+    lang_path: Path, language: str, audio_info: Dict[str, str],
 ) -> Optional[Tuple[Recording, SupervisionSegment]]:
     audio_path = lang_path / "clips" / audio_info["path"]
     if not audio_path.is_file():
@@ -85,26 +80,16 @@ def _parse_utterance(
     recording_id = Path(audio_info["path"]).stem
     recording = Recording.from_file(path=audio_path, recording_id=recording_id)
     segment = SupervisionSegment(
-        id=recording_id,
-        recording_id=recording_id,
-        start=0.0,
-        duration=recording.duration,
-        channel=0,
-        language=language,
-        speaker=audio_info.get("client_id"),
-        text=(audio_info.get("sentence") or "").strip(),
-        gender=audio_info.get("gender"),
-        custom={
-            "age": audio_info.get("age"),
-            "accents": audio_info.get("accents"),
-            "variant": audio_info.get("variant"),
-        },
+        id=recording_id, recording_id=recording_id, start=0.0, duration=recording.duration,
+        channel=0, language=language, speaker=audio_info.get("client_id"),
+        text=(audio_info.get("sentence") or "").strip(), gender=audio_info.get("gender"),
+        custom={ "age": audio_info.get("age"), "accents": audio_info.get("accents"), "variant": audio_info.get("variant"), },
     )
     return recording, segment
 
 
 def _prepare_part(
-    lang: str, part: str, lang_path: Pathlike, num_jobs: int = 1
+    lang: str, part: str, lang_path: Pathlike, num_jobs: int = 1,
 ) -> Tuple[RecordingSet, SupervisionSet]:
     """One split of one language: read {part}.tsv, probe the referenced clips."""
     lang_path = Path(lang_path)
@@ -114,25 +99,17 @@ def _prepare_part(
         rows = list(csv.DictReader(f, delimiter="\t", quoting=csv.QUOTE_NONE))
     recordings, supervisions = [], []
     with ThreadPoolExecutor(num_jobs) as ex:
-        for result in ex.map(
-            lambda row: _parse_utterance(lang_path, lang, row), rows
-        ):
+        for result in ex.map(lambda row: _parse_utterance(lang_path, lang, row), rows):
             if result is None:
                 continue
             recordings.append(result[0])
             supervisions.append(result[1])
-    return (
-        RecordingSet.from_recordings(recordings),
-        SupervisionSet.from_segments(supervisions),
-    )
+    return (RecordingSet.from_recordings(recordings), SupervisionSet.from_segments(supervisions))
 
 
 def prepare_commonvoice(
-    corpus_dir: Pathlike,
-    output_dir: Pathlike,
-    languages: Union[str, Sequence[str]] = "auto",
-    splits: Union[str, Sequence[str]] = COMMONVOICE_DEFAULT_SPLITS,
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, output_dir: Pathlike, languages: Union[str, Sequence[str]] = "auto",
+    splits: Union[str, Sequence[str]] = COMMONVOICE_DEFAULT_SPLITS, num_jobs: int = 1,
 ) -> Dict[str, Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]]:
     """
     Prepare manifests: ``result[language][split] = {recordings, supervisions}``.
@@ -163,19 +140,12 @@ def prepare_commonvoice(
             if rec_path.is_file() and sup_path.is_file():
                 logging.info(f"Skipping {lang}/{part} - already prepared.")
                 manifests[lang][part] = {
-                    "recordings": load_manifest(rec_path),
-                    "supervisions": load_manifest(sup_path),
-                }
+                    "recordings": load_manifest(rec_path), "supervisions": load_manifest(sup_path)}
                 continue
-            recordings, supervisions = _prepare_part(
-                lang, part, lang_path, num_jobs=num_jobs
-            )
+            recordings, supervisions = _prepare_part(lang, part, lang_path, num_jobs=num_jobs)
             recordings, supervisions = fix_manifests(recordings, supervisions)
             validate_recordings_and_supervisions(recordings, supervisions)
             recordings.to_file(rec_path)
             supervisions.to_file(sup_path)
-            manifests[lang][part] = {
-                "recordings": recordings,
-                "supervisions": supervisions,
-            }
+            manifests[lang][part] = {"recordings": recordings, "supervisions": supervisions}
     return dict(manifests)

@@ -53,9 +53,7 @@ def download_daily_talk(target_dir: Pathlike, force_download: bool = False) -> P
 
 
 def prepare_daily_talk(
-    corpus_dir: Pathlike,
-    output_dir: Pathlike = None,
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, output_dir: Pathlike = None, num_jobs: int = 1,
 ) -> Tuple[RecordingSet, SupervisionSet]:
     """
     DailyTalk manifests.  Dialogue metadata (turn/topic/emotion/act) lands in
@@ -64,8 +62,7 @@ def prepare_daily_talk(
     """
     corpus_dir = Path(corpus_dir)
     recordings = RecordingSet.from_dir(
-        corpus_dir / "data", "*.wav", num_jobs=num_jobs, recording_id=make_recording_id
-    )
+        corpus_dir / "data", "*.wav", num_jobs=num_jobs, recording_id=make_recording_id)
 
     supervisions = []
     for dialog_idx, dialog in load_json(corpus_dir / "metadata.json").items():
@@ -88,9 +85,7 @@ def prepare_daily_talk(
                 )
             )
 
-    recordings, supervisions = fix_manifests(
-        recordings, SupervisionSet.from_segments(supervisions)
-    )
+    recordings, supervisions = fix_manifests(recordings, SupervisionSet.from_segments(supervisions))
     validate_recordings_and_supervisions(recordings, supervisions)
     if output_dir is not None:
         output_dir = Path(output_dir)

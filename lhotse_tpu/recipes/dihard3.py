@@ -34,17 +34,12 @@ def parse_metadata(metadata_path: Pathlike) -> Dict[str, Dict[str, Union[str, bo
             continue
         rec_id, in_core, lang, domain, source = line.split()[:5]
         table[rec_id] = {
-            "in_core": in_core == "True",
-            "lang": lang,
-            "domain": domain,
-            "source": source,
-        }
+            "in_core": in_core == "True", "lang": lang, "domain": domain, "source": source}
     return table
 
 
 def make_rttm_segments(
-    rttm_path: Pathlike, recording: Recording, metadata: Dict
-) -> List[SupervisionSegment]:
+    rttm_path: Pathlike, recording: Recording, metadata: Dict) -> List[SupervisionSegment]:
     segments = []
     for row in Path(rttm_path).read_text().splitlines():
         fields = row.split()
@@ -64,9 +59,7 @@ def make_rttm_segments(
     return segments
 
 
-def make_uem_segments(
-    uem_path: Pathlike, recording: Recording
-) -> List[SupervisionSegment]:
+def make_uem_segments(uem_path: Pathlike, recording: Recording) -> List[SupervisionSegment]:
     segments = []
     for row in Path(uem_path).read_text().splitlines():
         _, _, start, end = row.split()
@@ -83,12 +76,9 @@ def make_uem_segments(
 
 
 def prepare_dihard3(
-    dev_audio_dir: Optional[Pathlike] = None,
-    eval_audio_dir: Optional[Pathlike] = None,
-    output_dir: Optional[Pathlike] = None,
-    uem_manifest: Optional[bool] = True,
-    num_jobs: Optional[int] = 1,
-) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
+    dev_audio_dir: Optional[Pathlike] = None, eval_audio_dir: Optional[Pathlike] = None,
+    output_dir: Optional[Pathlike] = None, uem_manifest: Optional[bool] = True,
+    num_jobs: Optional[int] = 1) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     Build DIHARD III manifests for whichever of dev/eval directories exist.
     RTTM rows become speaker supervisions (with domain metadata in custom);
@@ -128,7 +118,5 @@ def prepare_dihard3(
             recordings.to_file(output_dir / f"dihard3_recordings_{part}.jsonl.gz")
             supervisions.to_file(output_dir / f"dihard3_supervisions_{part}.jsonl.gz")
             if uem_manifest:
-                manifests[part]["uem"].to_file(
-                    output_dir / f"dihard3_uem_{part}.jsonl.gz"
-                )
+                manifests[part]["uem"].to_file(output_dir / f"dihard3_uem_{part}.jsonl.gz")
     return dict(manifests)

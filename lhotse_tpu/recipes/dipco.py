@@ -25,15 +25,10 @@ from lhotse_tpu.utils import Pathlike, add_durations, resumable_download, safe_e
 
 CORPUS_URL = "https://s3.amazonaws.com/dipco/DiPCo.tgz"
 
-SESSIONS = {
-    "dev": ["S02", "S04", "S05", "S09", "S10"],
-    "eval": ["S01", "S03", "S06", "S07", "S08"],
-}
+SESSIONS = {"dev": ["S02", "S04", "S05", "S09", "S10"], "eval": ["S01", "S03", "S06", "S07", "S08"]}
 
 
-def download_dipco(
-    target_dir: Pathlike = ".", force_download: Optional[bool] = False
-) -> Path:
+def download_dipco(target_dir: Pathlike = ".", force_download: Optional[bool] = False) -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     archive = target_dir / "DiPCo.tgz"
@@ -57,20 +52,13 @@ def _clock_to_seconds(stamp: str) -> float:
 def _session_recording(session_id: str, sources: list, probe: Path) -> Recording:
     meta = audio_info(probe)
     return Recording(
-        id=session_id,
-        sources=sources,
-        sampling_rate=int(meta.samplerate),
-        num_samples=meta.frames,
-        duration=meta.frames / meta.samplerate,
-    )
+        id=session_id, sources=sources, sampling_rate=int(meta.samplerate), num_samples=meta.frames,
+        duration=meta.frames / meta.samplerate)
 
 
 def prepare_dipco(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    mic: Optional[str] = "mdm",
-    normalize_text: Optional[str] = "kaldi",
-    use_chime7_offset: Optional[bool] = False,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, mic: Optional[str] = "mdm",
+    normalize_text: Optional[str] = "kaldi", use_chime7_offset: Optional[bool] = False,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     DiPCo manifests per part (dev/eval).
@@ -136,9 +124,7 @@ def prepare_dipco(
                 )
 
         rec_set, sup_set = fix_manifests(
-            RecordingSet.from_recordings(recordings),
-            SupervisionSet.from_segments(supervisions),
-        )
+            RecordingSet.from_recordings(recordings), SupervisionSet.from_segments(supervisions))
         validate_recordings_and_supervisions(rec_set, sup_set)
         if output_dir is not None:
             sup_set.to_file(output_dir / f"dipco-{mic}_supervisions_{part}.jsonl.gz")

@@ -20,9 +20,7 @@ from lhotse_tpu.qa import fix_manifests, validate_recordings_and_supervisions
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, resumable_download
 
-_DEFAULT_URL = (
-    "https://codeload.github.com/revdotcom/speech-datasets/zip/refs/heads/main"
-)
+_DEFAULT_URL = ("https://codeload.github.com/revdotcom/speech-datasets/zip/refs/heads/main")
 
 
 def normalize(text: str) -> str:
@@ -37,10 +35,8 @@ def parse_nlp_file(filename: Pathlike):
 
 
 def download_earnings21(
-    target_dir: Pathlike = ".",
-    force_download: Optional[bool] = False,
-    url: Optional[str] = _DEFAULT_URL,
-) -> Path:
+    target_dir: Pathlike = ".", force_download: Optional[bool] = False,
+    url: Optional[str] = _DEFAULT_URL) -> Path:
     """Fetch the whole speech-datasets repo zip and keep only earnings21."""
     logging.info(
         "Downloading Earnings21 via the github repository zip downloads the "
@@ -67,9 +63,7 @@ def download_earnings21(
 
 
 def prepare_earnings21(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    normalize_text: bool = False,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, normalize_text: bool = False,
 ) -> Union[RecordingSet, SupervisionSet]:
     """
     Earnings-21 manifests: one whole-call supervision per mp3.

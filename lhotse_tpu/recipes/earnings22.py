@@ -20,10 +20,8 @@ _DEFAULT_URL = "https://github.com/revdotcom/speech-datasets"
 
 
 def download_earnings22(
-    target_dir: Pathlike = ".",
-    force_download: Optional[bool] = False,
-    url: Optional[str] = _DEFAULT_URL,
-) -> None:
+    target_dir: Pathlike = ".", force_download: Optional[bool] = False,
+    url: Optional[str] = _DEFAULT_URL) -> None:
     logging.error(
         "Downloading Earnings22 from the github repository is not "
         f"implemented. Please visit {_DEFAULT_URL} and download the files "
@@ -53,9 +51,7 @@ def parse_nlp_file(filename: Pathlike) -> List[str]:
 
 
 def prepare_earnings22(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    normalize_text: bool = False,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, normalize_text: bool = False,
 ) -> Tuple[RecordingSet, SupervisionSet]:
     """One "all" split: (recordings, supervisions) for the 125 calls."""
     corpus_dir = Path(corpus_dir)
@@ -65,15 +61,11 @@ def prepare_earnings22(
         output_dir.mkdir(parents=True, exist_ok=True)
 
     audio_files = sorted((corpus_dir / "media").glob("*.mp3"))
-    recording_set = RecordingSet.from_recordings(
-        Recording.from_file(p) for p in audio_files
-    )
+    recording_set = RecordingSet.from_recordings(Recording.from_file(p) for p in audio_files)
     metadata = read_metadata(corpus_dir / "metadata.csv")
 
     supervision_segments = []
-    for nlp_file in sorted(
-        (corpus_dir / "transcripts" / "nlp_references").glob("*.nlp")
-    ):
+    for nlp_file in sorted((corpus_dir / "transcripts" / "nlp_references").glob("*.nlp")):
         rec_id = nlp_file.stem
         text = " ".join(parse_nlp_file(nlp_file))
         if normalize_text:

@@ -42,19 +42,15 @@ def download_ears(target_dir: Pathlike = ".", force_download: bool = False) -> P
     for meta in ("speaker_statistics.json", "transcripts.json"):
         resumable_download(
             f"{_EARS_RELEASE.replace('github.com', 'raw.githubusercontent.com')}/main/{meta}",
-            filename=target_dir / meta,
-            force_download=force_download,
-        )
+            filename=target_dir / meta, force_download=force_download)
     for spk in EARS_SPEAKERS:
         zip_path = target_dir / f"{spk}.zip"
         spk_dir = target_dir / spk
         if spk_dir.is_dir() and not force_download:
             continue
         resumable_download(
-            f"{_EARS_RELEASE}/releases/download/dataset/{spk}.zip",
-            filename=zip_path,
-            force_download=force_download,
-        )
+            f"{_EARS_RELEASE}/releases/download/dataset/{spk}.zip", filename=zip_path,
+            force_download=force_download)
         shutil.rmtree(spk_dir, ignore_errors=True)
         with zipfile.ZipFile(zip_path) as zf:
             zf.extractall(target_dir)
@@ -63,9 +59,7 @@ def download_ears(target_dir: Pathlike = ".", force_download: bool = False) -> P
 
 
 def prepare_ears(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, num_jobs: int = 1,
 ) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
     """One flat EARS manifest pair; speaker metadata in supervision.custom."""
     corpus_dir = Path(corpus_dir)
@@ -80,8 +74,7 @@ def prepare_ears(
         if not spk_dir.is_dir():
             continue
         recs = RecordingSet.from_dir(
-            spk_dir, "*.wav", num_jobs=num_jobs, recording_id=_SpeakerRecordingId(spk)
-        )
+            spk_dir, "*.wav", num_jobs=num_jobs, recording_id=_SpeakerRecordingId(spk))
         for rec in recs:
             recordings.append(rec)
             meta = dict(spk2meta[spk])

@@ -46,11 +46,8 @@ def make_segments(transcript_dir_path: Path) -> List[SupervisionSegment]:
 
 
 def prepare_eval2000(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    transcript_path: Optional[Pathlike] = None,
-    absolute_paths: bool = False,
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
+    transcript_path: Optional[Pathlike] = None, absolute_paths: bool = False, num_jobs: int = 1,
 ) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
     """One "all" split from the standard LDC layout."""
     corpus_dir = Path(corpus_dir)

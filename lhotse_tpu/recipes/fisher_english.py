@@ -43,9 +43,7 @@ def create_recording(audio_path_and_rel_path_depth) -> Optional[Recording]:
 def _fix_known_typos(session_id: str, rows: list) -> list:
     if session_id == "11487":
         # One row has start 31.09 but clearly means 231.09.
-        rows = [
-            [231.09, *r[1:]] if r[0] == 31.09 and r[1] == 234.06 else r for r in rows
-        ]
+        rows = [[231.09, *r[1:]] if r[0] == 31.09 and r[1] == 234.06 else r for r in rows]
     return rows
 
 
@@ -71,28 +69,14 @@ def create_supervision(sessions_and_transcript_path) -> List[SupervisionSegment]
     rows = _fix_known_typos(session_id, rows)
     width = len(str(len(rows)))
     return [
-        SupervisionSegment(
-            id=f"{transcript_path.stem}-{str(k).zfill(width)}",
-            recording_id=transcript_path.stem,
-            start=round(start, 3),
-            duration=round(end - start, 3),
-            channel=_CHANNELS[side],
-            text=words,
-            language="English",
-            speaker=sessions[session_id][side],
-        )
-        for k, (start, end, side, words) in enumerate(rows)
-    ]
+        SupervisionSegment( id=f"{transcript_path.stem}-{str(k).zfill(width)}", recording_id=transcript_path.stem, start=round(start, 3), duration=round(end - start, 3), channel=_CHANNELS[side], text=words, language="English", speaker=sessions[session_id][side], ) for k,
+        (start, end, side, words) in enumerate(rows)]
 
 
 def prepare_fisher_english(
-    corpus_dir: Pathlike,
-    output_dir: Pathlike,
-    audio_dirs: List[str] = FISHER_AUDIO_DIRS,
-    transcript_dirs: List[str] = FISHER_TRANSCRIPT_DIRS,
-    absolute_paths: bool = False,
-    num_jobs: int = 1,
-) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
+    corpus_dir: Pathlike, output_dir: Pathlike, audio_dirs: List[str] = FISHER_AUDIO_DIRS,
+    transcript_dirs: List[str] = FISHER_TRANSCRIPT_DIRS, absolute_paths: bool = False,
+    num_jobs: int = 1) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
     """
     Fisher English manifests (one big 'recordings' + 'supervisions' pair).
     Intermediate manifests are cached in ``output_dir`` so interrupted runs
@@ -142,9 +126,7 @@ def prepare_fisher_english(
         logging.info("Building fresh recording manifest")
         inputs = [(p, None if absolute_paths else 5) for p in audio_paths]
         failed = 0
-        with ProcessPoolExecutor(num_jobs) as pool, RecordingSet.open_writer(
-            recs_path
-        ) as writer:
+        with ProcessPoolExecutor(num_jobs) as pool, RecordingSet.open_writer(recs_path) as writer:
             for rec in pool.map(create_recording, inputs):
                 if rec is None:
                     failed += 1
@@ -180,9 +162,7 @@ def prepare_fisher_english(
                 f"and were omitted."
             )
 
-    recordings, supervisions = fix_manifests(
-        recordings.to_eager(), supervisions.to_eager()
-    )
+    recordings, supervisions = fix_manifests(recordings.to_eager(), supervisions.to_eager())
     validate_recordings_and_supervisions(recordings, supervisions)
     recordings.to_file(output_dir / "fisher-english_recordings_all.jsonl.gz")
     supervisions.to_file(output_dir / "fisher-english_supervisions_all.jsonl.gz")

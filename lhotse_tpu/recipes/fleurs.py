@@ -41,8 +41,7 @@ def _resolve_languages(languages) -> Sequence[str]:
 
 
 def download_single_fleurs_language(
-    target_dir: Pathlike, language: str, force_download: bool = False
-) -> Path:
+    target_dir: Pathlike, language: str, force_download: bool = False) -> Path:
     """Stream one language from google/fleurs and materialize wavs +
     metadata TSVs in the reference's on-disk layout."""
     assert is_module_available("datasets"), (
@@ -64,23 +63,14 @@ def download_single_fleurs_language(
 
     for split in ("train", "validation", "test"):
         dataset = load_dataset(
-            "google/fleurs",
-            language,
-            cache_dir=target_dir,
-            streaming=True,
-            split=split,
-        )
+            "google/fleurs", language, cache_dir=target_dir, streaming=True, split=split)
         osplit = "dev" if split == "validation" else split
         split_dir = target_dir / osplit
         split_dir.mkdir(parents=True, exist_ok=True)
         metadata = []
         for data in dataset:
             fname = Path(data["audio"]["path"]).name
-            save_audio(
-                split_dir / fname,
-                data["audio"]["array"],
-                data["audio"]["sampling_rate"],
-            )
+            save_audio(split_dir / fname, data["audio"]["array"], data["audio"]["sampling_rate"])
             metadata.append(
                 [
                     str(data["id"]),
@@ -100,17 +90,13 @@ def download_single_fleurs_language(
 
 
 def download_fleurs(
-    target_dir: Pathlike = ".",
-    languages: Optional[Union[str, Sequence[str]]] = "all",
-    force_download: Optional[bool] = False,
-) -> Path:
+    target_dir: Pathlike = ".", languages: Optional[Union[str, Sequence[str]]] = "all",
+    force_download: Optional[bool] = False) -> Path:
     target_dir = Path(target_dir)
     corpus_dir = target_dir / "fleurs"
     (corpus_dir / "metadata").mkdir(parents=True, exist_ok=True)
     for lang in _resolve_languages(languages):
-        download_single_fleurs_language(
-            corpus_dir / lang, lang, force_download
-        )
+        download_single_fleurs_language(corpus_dir / lang, lang, force_download)
     return corpus_dir
 
 
@@ -119,11 +105,8 @@ def _make_recording(path):
 
 
 def prepare_single_fleurs_language(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    language: str = "language",
-    num_jobs: int = 1,
-) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, language: str = "language",
+    num_jobs: int = 1) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """One language's train/dev/test manifests from the metadata TSVs."""
     corpus_dir = Path(corpus_dir)
     supervisions = {"train": [], "dev": [], "test": []}
@@ -131,9 +114,7 @@ def prepare_single_fleurs_language(
         prompt_ids: Dict[str, int] = {}
         tsv = corpus_dir.parents[0] / "metadata" / corpus_dir.stem / f"{dset}.tsv"
         for line in tsv.read_text().splitlines():
-            prompt_id, fname, raw_text, text, _, nsamples, gender = line.split(
-                "\t"
-            )
+            prompt_id, fname, raw_text, text, _, nsamples, gender = line.split("\t")
             prompt_ids[prompt_id] = prompt_ids.get(prompt_id, 0) + 1
             fname = Path(fname).stem
             supervisions[dset].append(
@@ -164,17 +145,14 @@ def prepare_single_fleurs_language(
         )
         recos, sups = fix_manifests(
             RecordingSet.from_recordings(recordings),
-            SupervisionSet.from_segments(supervisions[dset]),
-        )
+            SupervisionSet.from_segments(supervisions[dset]))
         manifests[dset] = {"recordings": recos, "supervisions": sups}
     return manifests
 
 
 def prepare_fleurs(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    languages: Optional[Union[str, Sequence[str]]] = "all",
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
+    languages: Optional[Union[str, Sequence[str]]] = "all", num_jobs: int = 1,
 ) -> Dict[str, Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]]:
     """``result[language][split] = {recordings, supervisions}``."""
     corpus_dir = Path(corpus_dir)
@@ -190,11 +168,7 @@ def prepare_fleurs(
             logging.info(f"Skipping {lang}. No directory {lang_dir} found.")
             continue
         manifests[lang] = prepare_single_fleurs_language(
-            lang_dir,
-            output_dir / lang if output_dir else None,
-            language=lang,
-            num_jobs=num_jobs,
-        )
+            lang_dir, output_dir / lang if output_dir else None, language=lang, num_jobs=num_jobs)
         if output_dir is not None:
             (output_dir / lang).mkdir(parents=True, exist_ok=True)
             for dset in ("train", "dev", "test"):

@@ -18,12 +18,7 @@ from lhotse_tpu.audio import AudioSource, Recording, RecordingSet
 from lhotse_tpu.parallel import parallel_map
 from lhotse_tpu.recipes.utils import manifests_exist, read_manifests_if_cached
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
-from lhotse_tpu.utils import (
-    Pathlike,
-    Seconds,
-    compute_num_samples,
-    is_module_available,
-)
+from lhotse_tpu.utils import (Pathlike, Seconds, compute_num_samples, is_module_available)
 
 GIGASPEECH_PARTS = ("XL", "L", "M", "S", "XS", "DEV", "TEST")
 
@@ -40,10 +35,8 @@ def _require_speechcolab():
 
 
 def download_gigaspeech(
-    password: str,
-    target_dir: Pathlike = ".",
-    dataset_parts: Optional[Union[str, Sequence[str]]] = "auto",
-    host: Optional[str] = "tsinghua",
+    password: str, target_dir: Pathlike = ".",
+    dataset_parts: Optional[Union[str, Sequence[str]]] = "auto", host: Optional[str] = "tsinghua",
 ) -> Path:
     GigaSpeech = _require_speechcolab()
     gigaspeech = GigaSpeech(target_dir)
@@ -58,25 +51,14 @@ def download_gigaspeech(
 
 
 def parse_utterance(
-    audio: Any, root_path: Path
-) -> Optional[Tuple[Recording, List[SupervisionSegment]]]:
+    audio: Any, root_path: Path) -> Optional[Tuple[Recording, List[SupervisionSegment]]]:
     """One SDK JSON audio entry -> (Recording, [SupervisionSegment])."""
     sampling_rate = int(audio["sample_rate"])
     recording = Recording(
         id=audio["aid"],
-        sources=[
-            AudioSource(
-                type="file",
-                channels=list(range(int(audio["channels"]))),
-                source=str(Path(root_path) / audio["path"]),
-            )
-        ],
-        num_samples=compute_num_samples(
-            duration=Seconds(audio["duration"]), sampling_rate=sampling_rate
-        ),
-        sampling_rate=sampling_rate,
-        duration=Seconds(audio["duration"]),
-    )
+        sources=[ AudioSource( type="file", channels=list(range(int(audio["channels"]))), source=str(Path(root_path) / audio["path"]), ) ],
+        num_samples=compute_num_samples( duration=Seconds(audio["duration"]), sampling_rate=sampling_rate ),
+        sampling_rate=sampling_rate, duration=Seconds(audio["duration"]))
     segments = [
         SupervisionSegment(
             id=seg["sid"],
@@ -96,10 +78,8 @@ def parse_utterance(
 
 
 def prepare_gigaspeech(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike],
-    dataset_parts: Union[str, Sequence[str]] = "auto",
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike],
+    dataset_parts: Union[str, Sequence[str]] = "auto", num_jobs: int = 1,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet, CutSet]]]:
     """Prepare lazily-written recordings/supervisions/cuts manifests."""
     GigaSpeech = _require_speechcolab()
@@ -112,18 +92,13 @@ def prepare_gigaspeech(
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     manifests = read_manifests_if_cached(
-        dataset_parts=subsets,
-        output_dir=output_dir,
-        prefix="gigaspeech",
-        suffix="jsonl.gz",
-        lazy=True,
-    )
+        dataset_parts=subsets, output_dir=output_dir, prefix="gigaspeech", suffix="jsonl.gz",
+        lazy=True)
 
     for part in subsets:
         logging.info(f"Processing GigaSpeech subset: {part}")
         if manifests_exist(
-            part=part, output_dir=output_dir, prefix="gigaspeech", suffix="jsonl.gz"
-        ):
+            part=part, output_dir=output_dir, prefix="gigaspeech", suffix="jsonl.gz"):
             logging.info(f"GigaSpeech subset: {part} already prepared - skipping.")
             continue
         out_of = lambda kind: output_dir / f"gigaspeech_{kind}_{part}.jsonl.gz"
@@ -131,19 +106,12 @@ def prepare_gigaspeech(
                 SupervisionSet.open_writer(out_of("supervisions")) as sup_writer, \
                 CutSet.open_writer(out_of("cuts")) as cut_writer:
             for recording, segments in parallel_map(
-                parse_utterance,
-                gigaspeech.audios("{" + part + "}"),
-                repeat(gigaspeech.gigaspeech_dataset_dir),
-                num_jobs=num_jobs,
-            ):
+                parse_utterance, gigaspeech.audios("{" + part + "}"),
+                repeat(gigaspeech.gigaspeech_dataset_dir), num_jobs=num_jobs):
                 one_rec = RecordingSet.from_recordings([recording])
                 one_rec, segments = fix_manifests(
-                    recordings=one_rec,
-                    supervisions=SupervisionSet.from_segments(segments),
-                )
-                validate_recordings_and_supervisions(
-                    recordings=one_rec, supervisions=segments
-                )
+                    recordings=one_rec, supervisions=SupervisionSet.from_segments(segments))
+                validate_recordings_and_supervisions(recordings=one_rec, supervisions=segments)
                 rec_writer.write(one_rec[0])
                 for seg in segments:
                     sup_writer.write(seg)
@@ -152,6 +120,5 @@ def prepare_gigaspeech(
         manifests[part] = {
             "recordings": RecordingSet.from_jsonl_lazy(rec_writer.path),
             "supervisions": SupervisionSet.from_jsonl_lazy(sup_writer.path),
-            "cuts": CutSet.from_jsonl_lazy(cut_writer.path),
-        }
+            "cuts": CutSet.from_jsonl_lazy(cut_writer.path)}
     return dict(manifests)

@@ -35,10 +35,8 @@ _USMA_FILE = "usma-prompts.txt"
 
 
 def download_heroico(
-    target_dir: Pathlike = ".",
-    force_download: Optional[bool] = False,
-    url: Optional[str] = "http://www.openslr.org/resources/39",
-) -> Path:
+    target_dir: Pathlike = ".", force_download: Optional[bool] = False,
+    url: Optional[str] = "http://www.openslr.org/resources/39") -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     marker = target_dir / ".completed"
@@ -46,9 +44,7 @@ def download_heroico(
     if marker.is_file():
         logging.info(f"Skipping {archive.name} because {marker} exists.")
         return target_dir
-    resumable_download(
-        f"{url}/{archive.name}", filename=archive, force_download=force_download
-    )
+    resumable_download(f"{url}/{archive.name}", filename=archive, force_download=force_download)
     with tarfile.open(archive) as tar:
         safe_extract(tar, path=target_dir)
     marker.touch()
@@ -92,20 +88,14 @@ def _classify(wav: Path, answers, recitations, usma_prompts):
         n = int(pid)
         if 354 < n < 562:
             return (
-                "devtest",
-                "heroico-recitations-repeats",
-                spk,
-                f"heroico-recitations-repeats-{spk}-{pid}",
-                text,
-            )
+                "devtest", "heroico-recitations-repeats", spk,
+                f"heroico-recitations-repeats-{spk}-{pid}", text)
         return "train", "heroico-recitations", spk, f"heroico-recitations-{spk}-{pid}", text
     return None
 
 
 def prepare_heroico(
-    speech_dir: Pathlike,
-    transcript_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
+    speech_dir: Pathlike, transcript_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     Build per-fold (train/devtest/test) Heroico+USMA manifests.
@@ -118,15 +108,9 @@ def prepare_heroico(
         if not d.is_dir():
             raise AssertionError(f"No such directory: {d}")
 
-    answers = _read_prompt_table(
-        transcript_dir / _ANSWERS_FILE, re.compile(r"\d+/\d+\t.+")
-    )
-    recitations = _read_prompt_table(
-        transcript_dir / _RECITATIONS_FILE, re.compile(r"\d+\t.+")
-    )
-    usma_prompts = _read_prompt_table(
-        transcript_dir / _USMA_FILE, re.compile(r"s\d+\t.+")
-    )
+    answers = _read_prompt_table(transcript_dir / _ANSWERS_FILE, re.compile(r"\d+/\d+\t.+"))
+    recitations = _read_prompt_table(transcript_dir / _RECITATIONS_FILE, re.compile(r"\d+\t.+"))
+    usma_prompts = _read_prompt_table(transcript_dir / _USMA_FILE, re.compile(r"s\d+\t.+"))
 
     by_fold = defaultdict(lambda: ([], []))  # fold -> (recordings, supervisions)
     for wav in sorted(speech_dir.rglob("*.wav")):
@@ -157,6 +141,5 @@ def prepare_heroico(
             continue
         recs, sups = by_fold[fold]
         manifests[fold] = finalize_manifests(
-            recs, sups, output_dir=output_dir, prefix="heroico", part=fold
-        )
+            recs, sups, output_dir=output_dir, prefix="heroico", part=fold)
     return manifests

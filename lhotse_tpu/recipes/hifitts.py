@@ -22,22 +22,17 @@ from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, resumable_download, safe_extract
 
 ID2SPEAKER = {
-    "92": "Cori Samuel", "6097": "Phil Benson", "9017": "John Van Stan",
-    "6670": "Mike Pelton", "6671": "Tony Oliva", "8051": "Maria Kasper",
-    "9136": "Helen Taylor", "11614": "Sylviamb", "11697": "Celine Major",
-    "12787": "LikeManyWaters",
-}
+    "92": "Cori Samuel", "6097": "Phil Benson", "9017": "John Van Stan", "6670": "Mike Pelton",
+    "6671": "Tony Oliva", "8051": "Maria Kasper", "9136": "Helen Taylor", "11614": "Sylviamb",
+    "11697": "Celine Major", "12787": "LikeManyWaters"}
 ID2GENDER = {
-    "92": "F", "6097": "M", "9017": "M", "6670": "M", "6671": "M",
-    "8051": "F", "9136": "F", "11614": "F", "11697": "F", "12787": "F",
-}
+    "92": "F", "6097": "M", "9017": "M", "6670": "M", "6671": "M", "8051": "F", "9136": "F",
+    "11614": "F", "11697": "F", "12787": "F"}
 
 
 def download_hifitts(
-    target_dir: Pathlike = ".",
-    force_download: Optional[bool] = False,
-    base_url: Optional[str] = "http://www.openslr.org/resources",
-) -> Path:
+    target_dir: Pathlike = ".", force_download: Optional[bool] = False,
+    base_url: Optional[str] = "http://www.openslr.org/resources") -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     part_dir = target_dir / "hi_fi_tts_v0"
@@ -47,8 +42,7 @@ def download_hifitts(
         return part_dir
     archive = target_dir / "hi_fi_tts_v0.tar.gz"
     resumable_download(
-        f"{base_url}/109/{archive.name}", filename=archive, force_download=force_download
-    )
+        f"{base_url}/109/{archive.name}", filename=archive, force_download=force_download)
     shutil.rmtree(part_dir, ignore_errors=True)
     with tarfile.open(archive) as tar:
         safe_extract(tar, path=target_dir)
@@ -62,8 +56,7 @@ def to_partition_id(path: Path) -> str:
 
 
 def prepare_single_partition(
-    raw_manifest_path: Path, corpus_dir: Path, speaker_id: str, clean_or_other: str
-):
+    raw_manifest_path: Path, corpus_dir: Path, speaker_id: str, clean_or_other: str):
     recordings, supervisions = [], []
     for meta in load_jsonl(raw_manifest_path):
         rec = Recording.from_file(corpus_dir / meta["audio_filepath"])
@@ -86,9 +79,7 @@ def prepare_single_partition(
 
 
 def prepare_hifitts(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, num_jobs: int = 1,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     Hi-Fi TTS manifests, one partition per (speaker, quality, split), e.g.

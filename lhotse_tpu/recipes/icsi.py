@@ -29,39 +29,19 @@ from lhotse_tpu.utils import Pathlike, Seconds, add_durations, resumable_downloa
 
 # fmt: off
 PARTITIONS = {
-    "train": [
-        "Bdb001", "Bed002", "Bed003", "Bed004", "Bed005", "Bed006", "Bed008",
-        "Bed009", "Bed010", "Bed011", "Bed012", "Bed013", "Bed014", "Bed015",
-        "Bed016", "Bed017", "Bmr001", "Bmr002", "Bmr003", "Bmr005", "Bmr006",
-        "Bmr007", "Bmr008", "Bmr009", "Bmr010", "Bmr011", "Bmr012", "Bmr014",
-        "Bmr015", "Bmr016", "Bmr019", "Bmr020", "Bmr022", "Bmr023", "Bmr024",
-        "Bmr025", "Bmr026", "Bmr027", "Bmr028", "Bmr029", "Bmr030", "Bmr031",
-        "Bns002", "Bns003", "Bro003", "Bro004", "Bro005", "Bro007", "Bro008",
-        "Bro010", "Bro011", "Bro012", "Bro013", "Bro014", "Bro015", "Bro016",
-        "Bro017", "Bro018", "Bro019", "Bro022", "Bro023", "Bro024", "Bro025",
-        "Bro026", "Bro027", "Bro028", "Bsr001", "Btr001", "Btr002", "Buw001",
-    ],
-    "dev": ["Bmr021", "Bns001"],
-    "test": ["Bmr013", "Bmr018", "Bro021"],
-}
+    "train": [ "Bdb001", "Bed002", "Bed003", "Bed004", "Bed005", "Bed006", "Bed008", "Bed009", "Bed010", "Bed011", "Bed012", "Bed013", "Bed014", "Bed015", "Bed016", "Bed017", "Bmr001", "Bmr002", "Bmr003", "Bmr005", "Bmr006", "Bmr007", "Bmr008", "Bmr009", "Bmr010", "Bmr011", "Bmr012", "Bmr014", "Bmr015", "Bmr016", "Bmr019", "Bmr020", "Bmr022", "Bmr023", "Bmr024", "Bmr025", "Bmr026", "Bmr027", "Bmr028", "Bmr029", "Bmr030", "Bmr031", "Bns002", "Bns003", "Bro003", "Bro004", "Bro005", "Bro007", "Bro008", "Bro010", "Bro011", "Bro012", "Bro013", "Bro014", "Bro015", "Bro016", "Bro017", "Bro018", "Bro019", "Bro022", "Bro023", "Bro024", "Bro025", "Bro026", "Bro027", "Bro028", "Bsr001", "Btr001", "Btr002", "Buw001", ],
+    "dev": ["Bmr021", "Bns001"], "test": ["Bmr013", "Bmr018", "Bro021"]}
 # fmt: on
 
 MIC_TO_CHANNELS = {
-    "ihm": list("0123456789AB"),
-    "sdm": ["6"],
-    "mdm": ["E", "F", "6", "7"],
-    "ihm-mix": [],
-}
+    "ihm": list("0123456789AB"), "sdm": ["6"], "mdm": ["E", "F", "6", "7"], "ihm-mix": []}
 
 _ICSI_URL = "http://groups.inf.ed.ac.uk/ami"
 
 
 def download_audio(
-    target_dir: Path,
-    force_download: Optional[bool] = False,
-    url: Optional[str] = _ICSI_URL,
-    mic: Optional[str] = "ihm",
-) -> None:
+    target_dir: Path, force_download: Optional[bool] = False, url: Optional[str] = _ICSI_URL,
+    mic: Optional[str] = "ihm") -> None:
     for item in itertools.chain.from_iterable(PARTITIONS.values()):
         wav_dir = target_dir / item
         wav_dir.mkdir(parents=True, exist_ok=True)
@@ -70,35 +50,23 @@ def download_audio(
                 try:
                     resumable_download(
                         f"{url}/ICSIsignals/SPH/{item}/chan{channel}.sph",
-                        filename=wav_dir / f"chan{channel}.sph",
-                        force_download=force_download,
-                    )
+                        filename=wav_dir / f"chan{channel}.sph", force_download=force_download)
                 except urllib.error.HTTPError:
-                    logging.warning(
-                        f"Skipping failed download of {item}/chan{channel}.sph"
-                    )
+                    logging.warning(f"Skipping failed download of {item}/chan{channel}.sph")
         else:
             resumable_download(
                 f"{url}/ICSIsignals/NXT/{item}.interaction.wav",
-                filename=wav_dir / "Mix-Headset.wav",
-                force_download=force_download,
-            )
+                filename=wav_dir / "Mix-Headset.wav", force_download=force_download)
 
 
 def download_icsi(
-    target_dir: Pathlike = ".",
-    audio_dir: Optional[Pathlike] = None,
-    transcripts_dir: Optional[Pathlike] = None,
-    force_download: Optional[bool] = False,
-    url: Optional[str] = _ICSI_URL,
-    mic: Optional[str] = "ihm",
-) -> Path:
+    target_dir: Pathlike = ".", audio_dir: Optional[Pathlike] = None,
+    transcripts_dir: Optional[Pathlike] = None, force_download: Optional[bool] = False,
+    url: Optional[str] = _ICSI_URL, mic: Optional[str] = "ihm") -> Path:
     """Download per-mic audio + the NXT annotations (+ MRT preambles)."""
     target_dir = Path(target_dir)
     audio_dir = Path(audio_dir) if audio_dir else target_dir / "speech"
-    transcripts_dir = (
-        Path(transcripts_dir) if transcripts_dir else target_dir / "transcripts"
-    )
+    transcripts_dir = (Path(transcripts_dir) if transcripts_dir else target_dir / "transcripts")
     download_audio(audio_dir, force_download, url, mic)
     logging.info("Downloading ICSI annotations")
     if transcripts_dir.exists() and not force_download:
@@ -106,14 +74,10 @@ def download_icsi(
         return target_dir
     resumable_download(
         f"{url}/ICSICorpusAnnotations/ICSI_original_transcripts.zip",
-        filename=target_dir / "ICSI_original_transcripts.zip",
-        force_download=force_download,
-    )
+        filename=target_dir / "ICSI_original_transcripts.zip", force_download=force_download)
     resumable_download(
-        f"{url}/ICSICorpusAnnotations/ICSI_core_NXT.zip",
-        filename=target_dir / "ICSI_core_NXT.zip",
-        force_download=force_download,
-    )
+        f"{url}/ICSICorpusAnnotations/ICSI_core_NXT.zip", filename=target_dir / "ICSI_core_NXT.zip",
+        force_download=force_download)
     with zipfile.ZipFile(target_dir / "ICSI_core_NXT.zip") as z:
         z.extractall(target_dir)
         if transcripts_dir != target_dir / "transcripts":
@@ -134,11 +98,8 @@ class IcsiSegmentAnnotation(NamedTuple):
 
 
 def parse_icsi_annotations(
-    transcripts_dir: Pathlike, normalize: str = "upper"
-) -> Tuple[
-    Dict[Tuple[str, str, str], List[IcsiSegmentAnnotation]],
-    Dict[str, Dict[str, int]],
-]:
+    transcripts_dir: Pathlike, normalize: str = "upper",
+) -> Tuple[Dict[Tuple[str, str, str], List[IcsiSegmentAnnotation]], Dict[str, Dict[str, int]]]:
     """Returns (annotations keyed by (meeting, speaker, channel-name),
     per-meeting channel-name -> integer index map)."""
     transcripts_dir = Path(transcripts_dir)
@@ -156,9 +117,7 @@ def parse_icsi_annotations(
             for section in preamble:
                 if section.tag == "Channels":
                     channel_to_idx_map[meeting_id] = {
-                        channel.attrib["Name"]: idx
-                        for idx, channel in enumerate(section)
-                    }
+                        channel.attrib["Name"]: idx for idx, channel in enumerate(section)}
                 elif section.tag == "Participants":
                     for speaker in section:
                         # Speakers without a channel get the SDM channel.
@@ -177,9 +136,7 @@ def parse_icsi_annotations(
                 continue
             if spk_id is None and "participant" in seg.attrib:
                 spk_id = seg.attrib["participant"]
-            spk_segments.append(
-                (float(seg.attrib["starttime"]), float(seg.attrib["endtime"]))
-            )
+            spk_segments.append((float(seg.attrib["starttime"]), float(seg.attrib["endtime"])))
         if spk_id is None or not spk_segments:
             continue
         channel = spk_to_channel_map[meet_id][spk_id]
@@ -213,9 +170,7 @@ def parse_icsi_annotations(
         spk_words = words.get(key, [])
         new_key = (key[0], spk_id, channel)
         for seg_start, seg_end in spk_segments:
-            seg_words = [
-                w for w in spk_words if w[0] >= seg_start and w[1] <= seg_end
-            ]
+            seg_words = [w for w in spk_words if w[0] >= seg_start and w[1] <= seg_end]
             if not seg_words:
                 continue
             start, end = seg_words[0][0], seg_words[-1][1]
@@ -250,8 +205,7 @@ def parse_icsi_annotations(
 
 
 def prepare_audio_grouped(
-    audio_paths: List[Path],
-    channel_to_idx_map: Optional[Dict[str, Dict[str, int]]] = None,
+    audio_paths: List[Path], channel_to_idx_map: Optional[Dict[str, Dict[str, int]]] = None,
 ) -> RecordingSet:
     """ihm/mdm: group a session's per-channel files into one Recording,
     with channel indices from the preambles map."""
@@ -265,8 +219,7 @@ def prepare_audio_grouped(
     for session_name, channel_paths in sorted(by_session.items()):
         if session_name not in channel_to_idx_map:
             channel_to_idx_map[session_name] = {
-                c: idx for idx, c in enumerate(["chanE", "chanF", "chan6", "chan7"])
-            }
+                c: idx for idx, c in enumerate(["chanE", "chanF", "chan6", "chan7"])}
         probe = Recording.from_file(channel_paths[0])
         recordings.append(
             Recording(
@@ -296,15 +249,11 @@ def prepare_audio_single(audio_paths: List[Path]) -> RecordingSet:
 
 
 def prepare_supervision_ihm(
-    audio: RecordingSet,
-    annotations: Dict[Tuple[str, str, str], List[IcsiSegmentAnnotation]],
-    channel_to_idx_map: Dict[str, Dict[str, int]],
-) -> SupervisionSet:
+    audio: RecordingSet, annotations: Dict[Tuple[str, str, str], List[IcsiSegmentAnnotation]],
+    channel_to_idx_map: Dict[str, Dict[str, int]]) -> SupervisionSet:
     by_id_and_channel = {
-        (key[0], channel_to_idx_map[key[0]][key[2]]): value
-        for key, value in annotations.items()
-        if key[2] in channel_to_idx_map[key[0]]
-    }
+        (key[0], channel_to_idx_map[key[0]][key[2]]): value for key,
+        value in annotations.items() if key[2] in channel_to_idx_map[key[0]]}
     segments = []
     for recording in audio:
         for source in recording.sources:
@@ -339,8 +288,7 @@ def prepare_supervision_ihm(
 
 
 def prepare_supervision_other(
-    audio: RecordingSet,
-    annotations: Dict[Tuple[str, str, str], List[IcsiSegmentAnnotation]],
+    audio: RecordingSet, annotations: Dict[Tuple[str, str, str], List[IcsiSegmentAnnotation]],
 ) -> SupervisionSet:
     by_id = defaultdict(list)
     for key, value in annotations.items():
@@ -352,9 +300,7 @@ def prepare_supervision_other(
             logging.warning(f"No annotation found for recording {recording.id}")
             continue
         if len(recording.sources[0].channels) > 1:
-            logging.warning(
-                f"More than 1 channels in recording {recording.id}. Skipping."
-            )
+            logging.warning(f"More than 1 channels in recording {recording.id}. Skipping.")
             continue
         for seg_idx, seg_info in enumerate(annotation):
             duration = seg_info.end_time - seg_info.start_time
@@ -377,12 +323,9 @@ def prepare_supervision_other(
 
 
 def prepare_icsi(
-    audio_dir: Pathlike,
-    transcripts_dir: Optional[Pathlike] = None,
-    output_dir: Optional[Pathlike] = None,
-    mic: Optional[str] = "ihm",
-    normalize_text: str = "kaldi",
-) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
+    audio_dir: Pathlike, transcripts_dir: Optional[Pathlike] = None,
+    output_dir: Optional[Pathlike] = None, mic: Optional[str] = "ihm",
+    normalize_text: str = "kaldi") -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """Prepare train/dev/test manifests for the chosen mic variant."""
     audio_dir = Path(audio_dir)
     transcripts_dir = (
@@ -399,16 +342,14 @@ def prepare_icsi(
 
     logging.info("Parsing ICSI transcripts")
     annotations, channel_to_idx_map = parse_icsi_annotations(
-        transcripts_dir, normalize=normalize_text
-    )
+        transcripts_dir, normalize=normalize_text)
 
     logging.info("Preparing recording manifests")
     channels = "".join(MIC_TO_CHANNELS[mic])
     if mic in ("ihm", "mdm"):
         audio = prepare_audio_grouped(
             list(audio_dir.rglob(f"chan[{channels}].sph")),
-            channel_to_idx_map if mic == "ihm" else None,
-        )
+            channel_to_idx_map if mic == "ihm" else None)
     else:
         audio_paths = (
             audio_dir.rglob(f"chan[{channels}].sph")
@@ -427,18 +368,11 @@ def prepare_icsi(
     manifests = {}
     for part in ("train", "dev", "test"):
         audio_part = audio.filter(lambda x: x.id in PARTITIONS[part])
-        supervision_part = supervision.filter(
-            lambda x: x.recording_id in PARTITIONS[part]
-        )
+        supervision_part = supervision.filter(lambda x: x.recording_id in PARTITIONS[part])
         audio_part, supervision_part = fix_manifests(audio_part, supervision_part)
         validate_recordings_and_supervisions(audio_part, supervision_part)
         if output_dir is not None:
             audio_part.to_file(output_dir / f"icsi-{mic}_recordings_{part}.jsonl.gz")
-            supervision_part.to_file(
-                output_dir / f"icsi-{mic}_supervisions_{part}.jsonl.gz"
-            )
-        manifests[part] = {
-            "recordings": audio_part,
-            "supervisions": supervision_part,
-        }
+            supervision_part.to_file(output_dir / f"icsi-{mic}_supervisions_{part}.jsonl.gz")
+        manifests[part] = {"recordings": audio_part, "supervisions": supervision_part}
     return manifests

@@ -21,19 +21,14 @@ from lhotse_tpu.utils import Pathlike
 
 # speaker -> (gender, native language); from the corpus description table.
 SPEAKERS = {
-    "aba": ("M", "Arabic"), "ska": ("F", "Arabic"),
-    "ybaa": ("M", "Arabic"), "zhaa": ("F", "Arabic"),
-    "bwc": ("M", "Chinese"), "lxc": ("F", "Chinese"),
-    "ncc": ("F", "Chinese"), "txhc": ("M", "Chinese"),
-    "asi": ("M", "Hindi"), "rrbi": ("M", "Hindi"),
-    "svbi": ("F", "Hindi"), "tni": ("F", "Hindi"),
-    "hjk": ("F", "Korean"), "hkk": ("M", "Korean"),
-    "ydck": ("F", "Korean"), "ykwk": ("M", "Korean"),
-    "ebvs": ("M", "Spanish"), "erms": ("M", "Spanish"),
-    "mbmps": ("F", "Spanish"), "njs": ("F", "Spanish"),
-    "hqtv": ("M", "Vietnamese"), "pnv": ("F", "Vietnamese"),
-    "thv": ("F", "Vietnamese"), "tlv": ("M", "Vietnamese"),
-}
+    "aba": ("M", "Arabic"), "ska": ("F", "Arabic"), "ybaa": ("M", "Arabic"),
+    "zhaa": ("F", "Arabic"), "bwc": ("M", "Chinese"), "lxc": ("F", "Chinese"),
+    "ncc": ("F", "Chinese"), "txhc": ("M", "Chinese"), "asi": ("M", "Hindi"),
+    "rrbi": ("M", "Hindi"), "svbi": ("F", "Hindi"), "tni": ("F", "Hindi"), "hjk": ("F", "Korean"),
+    "hkk": ("M", "Korean"), "ydck": ("F", "Korean"), "ykwk": ("M", "Korean"),
+    "ebvs": ("M", "Spanish"), "erms": ("M", "Spanish"), "mbmps": ("F", "Spanish"),
+    "njs": ("F", "Spanish"), "hqtv": ("M", "Vietnamese"), "pnv": ("F", "Vietnamese"),
+    "thv": ("F", "Vietnamese"), "tlv": ("M", "Vietnamese")}
 
 
 def _identify(path: Path):
@@ -46,8 +41,7 @@ def _identify(path: Path):
 
 
 def prepare_l2_arctic(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """L2-ARCTIC manifests split into "read" and "suitcase" parts."""
     corpus_dir = Path(corpus_dir)
@@ -85,8 +79,7 @@ def prepare_l2_arctic(
         )
         return {
             "recordings": recordings.filter(lambda r: pick(r.id)),
-            "supervisions": supervisions.filter(lambda s: pick(s.recording_id)),
-        }
+            "supervisions": supervisions.filter(lambda s: pick(s.recording_id))}
 
     splits = {"read": subset(False), "suitcase": subset(True)}
     if output_dir is not None:
@@ -94,7 +87,5 @@ def prepare_l2_arctic(
         makedirs(output_dir, exist_ok=True)
         for key, m in splits.items():
             m["recordings"].to_file(output_dir / f"l2-arctic_recordings_{key}.jsonl.gz")
-            m["supervisions"].to_file(
-                output_dir / f"l2-arctic_supervisions_{key}.jsonl.gz"
-            )
+            m["supervisions"].to_file(output_dir / f"l2-arctic_supervisions_{key}.jsonl.gz")
     return splits

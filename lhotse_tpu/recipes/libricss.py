@@ -96,7 +96,7 @@ SPK_TO_CHANNEL_MAP = {
     "overlap_ratio_40.0_sil0.1_1.0_session6_actual39.9": {"1188": 1, "2094": 4, "3575": 5, "4970": 0, "5105": 7, "672": 2, "7021": 6, "8230": 3},
     "overlap_ratio_40.0_sil0.1_1.0_session7_actual40.5": {"1221": 2, "1580": 1, "2830": 6, "5142": 4, "7021": 7, "8230": 0, "8455": 5, "8463": 3},
     "overlap_ratio_40.0_sil0.1_1.0_session8_actual40.5": {"1580": 4, "260": 3, "3729": 7, "4970": 2, "5639": 6, "61": 0, "6930": 5, "8230": 1},
-    "overlap_ratio_40.0_sil0.1_1.0_session9_actual39.9": {"1284": 7, "1995": 0, "2961": 6, "3575": 2, "4077": 4, "7176": 1, "8224": 5, "8463": 3}
+    "overlap_ratio_40.0_sil0.1_1.0_session9_actual39.9": {"1284": 7, "1995": 0, "2961": 6, "3575": 2, "4077": 4, "7176": 1, "8224": 5, "8463": 3},
 }
 # fmt: on
 
@@ -141,11 +141,8 @@ def _session_audio(session: Path, type: str) -> Path:
 
 
 def prepare_libricss(
-    corpus_dir: Pathlike,
-    output_dir: Pathlike = None,
-    type: str = "mdm",
-    segmented_cuts: bool = False,
-) -> Dict[str, Union[RecordingSet, SupervisionSet, CutSet]]:
+    corpus_dir: Pathlike, output_dir: Pathlike = None, type: str = "mdm",
+    segmented_cuts: bool = False) -> Dict[str, Union[RecordingSet, SupervisionSet, CutSet]]:
     """
     LibriCSS manifests for one mic setting.
 

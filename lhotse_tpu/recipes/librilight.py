@@ -31,25 +31,14 @@ def _parse_utterance(corpus_dir: Path, flac: Path):
     meta = json.loads(flac.with_suffix(".json").read_text())
     recording = Recording.from_file(path=flac, recording_id=rec_id)
     sups = [
-        SupervisionSegment(
-            id=f"{rec_id}_{k}",
-            recording_id=rec_id,
-            start=lo,
-            duration=add_durations(hi, -lo, sampling_rate=16000),
-            channel=0,
-            language="English",
-            speaker=meta["speaker"],
-        )
-        for k, (lo, hi) in enumerate(meta["voice_activity"])
-    ]
+        SupervisionSegment( id=f"{rec_id}_{k}", recording_id=rec_id, start=lo, duration=add_durations(hi, -lo, sampling_rate=16000), channel=0, language="English", speaker=meta["speaker"], ) for k,
+        (lo, hi) in enumerate(meta["voice_activity"])]
     return recording, sups
 
 
 def prepare_librilight(
-    corpus_dir: Pathlike,
-    dataset_parts: Union[str, Sequence[str]] = "auto",
-    output_dir: Optional[Pathlike] = None,
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, dataset_parts: Union[str, Sequence[str]] = "auto",
+    output_dir: Optional[Pathlike] = None, num_jobs: int = 1,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """Per-subset Libri-Light manifests (VAD intervals as supervisions)."""
     corpus_dir = Path(corpus_dir)
@@ -61,8 +50,7 @@ def prepare_librilight(
     manifests = {}
     if output_dir is not None:
         manifests = read_manifests_if_cached(
-            dataset_parts=dataset_parts, output_dir=output_dir, prefix="librilight"
-        ) or {}
+            dataset_parts=dataset_parts, output_dir=output_dir, prefix="librilight") or {}
 
     for part in dataset_parts:
         if manifests_exist(part=part, output_dir=output_dir, prefix="librilight"):
@@ -77,7 +65,5 @@ def prepare_librilight(
                 recordings.append(result[0])
                 supervisions.extend(result[1])
         manifests[part] = finalize_manifests(
-            recordings, supervisions, output_dir=output_dir,
-            prefix="librilight", part=part,
-        )
+            recordings, supervisions, output_dir=output_dir, prefix="librilight", part=part)
     return manifests

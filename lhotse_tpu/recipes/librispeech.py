@@ -22,31 +22,18 @@ from lhotse_tpu import fix_manifests, validate_recordings_and_supervisions
 from lhotse_tpu.audio import Recording, RecordingSet
 from lhotse_tpu.recipes.utils import manifests_exist, read_manifests_if_cached
 from lhotse_tpu.supervision import AlignmentItem, SupervisionSegment, SupervisionSet
-from lhotse_tpu.utils import (
-    Pathlike,
-    is_module_available,
-    resumable_download,
-    safe_extract,
-)
+from lhotse_tpu.utils import (Pathlike, is_module_available, resumable_download, safe_extract)
 
 # Split name -> OpenSLR resource number it ships in.
 _FULL_SPLITS = {
-    "dev-clean": 12,
-    "dev-other": 12,
-    "test-clean": 12,
-    "test-other": 12,
-    "train-clean-100": 12,
-    "train-clean-360": 12,
-    "train-other-500": 12,
-}
+    "dev-clean": 12, "dev-other": 12, "test-clean": 12, "test-other": 12, "train-clean-100": 12,
+    "train-clean-360": 12, "train-other-500": 12}
 _MINI_SPLITS = {"dev-clean-2": 31, "train-clean-5": 31}
 
 LIBRISPEECH = tuple(_FULL_SPLITS)
 MINI_LIBRISPEECH = tuple(_MINI_SPLITS)
 
-LIBRISPEECH_ALIGNMENTS_URL = (
-    "https://drive.google.com/uc?id=1WYfgr31T-PPwMcxuAq09XZfHQO5Mw8fE"
-)
+LIBRISPEECH_ALIGNMENTS_URL = ("https://drive.google.com/uc?id=1WYfgr31T-PPwMcxuAq09XZfHQO5Mw8fE")
 
 
 def _requested_splits(spec: Union[str, Sequence[str]]) -> Sequence[str]:
@@ -60,11 +47,9 @@ def _requested_splits(spec: Union[str, Sequence[str]]) -> Sequence[str]:
 def download_librispeech(
     target_dir: Pathlike = ".",
     dataset_parts: Optional[Union[str, Sequence[str]]] = "mini_librispeech",
-    force_download: bool = False,
-    alignments: bool = False,
+    force_download: bool = False, alignments: bool = False,
     base_url: str = "http://www.openslr.org/resources",
-    alignments_url: str = LIBRISPEECH_ALIGNMENTS_URL,
-) -> Path:
+    alignments_url: str = LIBRISPEECH_ALIGNMENTS_URL) -> Path:
     """
     Fetch + extract (Mini) LibriSpeech tarballs from OpenSLR.
 
@@ -90,10 +75,7 @@ def download_librispeech(
             continue
         archive = target_dir / f"{split}.tar.gz"
         resumable_download(
-            f"{base_url}/{slr_no}/{archive.name}",
-            filename=archive,
-            force_download=force_download,
-        )
+            f"{base_url}/{slr_no}/{archive.name}", filename=archive, force_download=force_download)
         shutil.rmtree(corpus_dir / split, ignore_errors=True)
         with tarfile.open(archive) as tar:
             safe_extract(tar, path=target_dir)
@@ -122,12 +104,9 @@ def _download_alignments(target_dir: Path, url: str, force: bool) -> None:
 
 
 def prepare_librispeech(
-    corpus_dir: Pathlike,
-    alignments_dir: Optional[Pathlike] = None,
-    dataset_parts: Union[str, Sequence[str]] = "auto",
-    output_dir: Optional[Pathlike] = None,
-    normalize_text: str = "none",
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, alignments_dir: Optional[Pathlike] = None,
+    dataset_parts: Union[str, Sequence[str]] = "auto", output_dir: Optional[Pathlike] = None,
+    normalize_text: str = "none", num_jobs: int = 1,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     Build per-split RecordingSet/SupervisionSet manifests.
@@ -164,8 +143,7 @@ def prepare_librispeech(
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         manifests = read_manifests_if_cached(
-            dataset_parts=splits, output_dir=output_dir, prefix="librispeech"
-        )
+            dataset_parts=splits, output_dir=output_dir, prefix="librispeech")
 
     with ThreadPoolExecutor(num_jobs) as pool:
         for split in splits:
@@ -175,9 +153,7 @@ def prepare_librispeech(
                 continue
             recs, sups = _scan_split(corpus_dir, split, ali_root, pool)
             if normalize_text == "lower":
-                sups = SupervisionSet.from_segments(
-                    s.transform_text(str.lower) for s in sups
-                )
+                sups = SupervisionSet.from_segments(s.transform_text(str.lower) for s in sups)
             recs, sups = fix_manifests(recs, sups)
             validate_recordings_and_supervisions(recs, sups)
             if output_dir is not None:
@@ -189,7 +165,7 @@ def prepare_librispeech(
 
 
 def _scan_split(
-    corpus_dir: Path, split: str, ali_root: Path, pool: ThreadPoolExecutor
+    corpus_dir: Path, split: str, ali_root: Path, pool: ThreadPoolExecutor,
 ) -> Tuple[RecordingSet, SupervisionSet]:
     """Parse every utterance of one split (header reads run on the pool)."""
     split_dir = corpus_dir / split
@@ -210,16 +186,11 @@ def _scan_split(
         if parsed is not None:
             recordings.append(parsed[0])
             segments.append(parsed[1])
-    return (
-        RecordingSet.from_recordings(recordings),
-        SupervisionSet.from_segments(segments),
-    )
+    return (RecordingSet.from_recordings(recordings), SupervisionSet.from_segments(segments))
 
 
 def parse_utterance(
-    dataset_split_path: Path,
-    line: str,
-    alignments: Dict[str, List[AlignmentItem]],
+    dataset_split_path: Path, line: str, alignments: Dict[str, List[AlignmentItem]],
 ) -> Optional[Tuple[Recording, SupervisionSegment]]:
     """One "<utt-id> <TRANSCRIPT>" line -> (Recording, SupervisionSegment)."""
     utt_id, transcript = line.strip().split(maxsplit=1)
@@ -231,16 +202,9 @@ def parse_utterance(
     recording = Recording.from_file(flac, recording_id=utt_id)
     word_ali = alignments.get(utt_id)
     segment = SupervisionSegment(
-        id=utt_id,
-        recording_id=utt_id,
-        start=0.0,
-        duration=recording.duration,
-        channel=0,
-        language="English",
-        speaker=speaker,
-        text=transcript.strip(),
-        alignment={"word": word_ali} if word_ali is not None else None,
-    )
+        id=utt_id, recording_id=utt_id, start=0.0, duration=recording.duration, channel=0,
+        language="English", speaker=speaker, text=transcript.strip(),
+        alignment={"word": word_ali} if word_ali is not None else None)
     return recording, segment
 
 
@@ -260,9 +224,7 @@ def parse_alignments(ali_path: Pathlike) -> Dict[str, List[AlignmentItem]]:
         items = []
         prev = 0.0
         for tok, end in zip(tokens, ends):
-            items.append(
-                AlignmentItem(symbol=tok, start=prev, duration=round(end - prev, 8))
-            )
+            items.append(AlignmentItem(symbol=tok, start=prev, duration=round(end - prev, 8)))
             prev = end
         by_utt[utt_id] = items
     return by_utt

@@ -22,23 +22,15 @@ from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, resumable_download, safe_extract
 
 LIBRITTS = (
-    "dev-clean",
-    "dev-other",
-    "test-clean",
-    "test-other",
-    "train-clean-100",
-    "train-clean-360",
-    "train-other-500",
-)
+    "dev-clean", "dev-other", "test-clean", "test-other", "train-clean-100", "train-clean-360",
+    "train-other-500")
 
 
 def download_libritts(
-    target_dir: Pathlike = ".",
-    use_librittsr: bool = False,
+    target_dir: Pathlike = ".", use_librittsr: bool = False,
     dataset_parts: Optional[Union[str, Sequence[str]]] = "all",
     force_download: Optional[bool] = False,
-    base_url: Optional[str] = "http://www.openslr.org/resources",
-) -> Path:
+    base_url: Optional[str] = "http://www.openslr.org/resources") -> Path:
     """Download and untar LibriTTS (or LibriTTS-R with use_librittsr=True)."""
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
@@ -76,18 +68,12 @@ def download_libritts(
 
 
 def download_librittsr(
-    target_dir: Pathlike = ".",
-    dataset_parts: Optional[Union[str, Sequence[str]]] = "all",
+    target_dir: Pathlike = ".", dataset_parts: Optional[Union[str, Sequence[str]]] = "all",
     force_download: Optional[bool] = False,
-    base_url: Optional[str] = "http://www.openslr.org/resources",
-) -> Path:
+    base_url: Optional[str] = "http://www.openslr.org/resources") -> Path:
     return download_libritts(
-        target_dir=target_dir,
-        dataset_parts=dataset_parts,
-        force_download=force_download,
-        base_url=base_url,
-        use_librittsr=True,
-    )
+        target_dir=target_dir, dataset_parts=dataset_parts, force_download=force_download,
+        base_url=base_url, use_librittsr=True)
 
 
 def _read_speakers(corpus_dir: Path) -> Dict[str, str]:
@@ -106,11 +92,8 @@ def _read_speakers(corpus_dir: Path) -> Dict[str, str]:
 
 
 def prepare_libritts(
-    corpus_dir: Pathlike,
-    dataset_parts: Union[str, Sequence[str]] = "all",
-    output_dir: Optional[Pathlike] = None,
-    num_jobs: int = 1,
-    link_previous_utt: bool = False,
+    corpus_dir: Pathlike, dataset_parts: Union[str, Sequence[str]] = "all",
+    output_dir: Optional[Pathlike] = None, num_jobs: int = 1, link_previous_utt: bool = False,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     Prepare per-split manifests; supervisions carry the normalized text as
@@ -130,8 +113,7 @@ def prepare_libritts(
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
         manifests = read_manifests_if_cached(
-            dataset_parts=dataset_parts, output_dir=output_dir, prefix="libritts"
-        )
+            dataset_parts=dataset_parts, output_dir=output_dir, prefix="libritts")
 
     spk2gender = _read_speakers(corpus_dir)
 
@@ -142,18 +124,13 @@ def prepare_libritts(
         part_path = corpus_dir / part
         # Skip macOS resource forks and the known-corrupted file.
         recordings = RecordingSet.from_dir(
-            part_path,
-            "*.wav",
-            num_jobs=num_jobs,
-            exclude_pattern=r"^(\._.+|1092_134562_000013_000004\.wav)$",
-        )
+            part_path, "*.wav", num_jobs=num_jobs,
+            exclude_pattern=r"^(\._.+|1092_134562_000013_000004\.wav)$")
         supervisions = []
         for trans_path in sorted(part_path.rglob("*.trans.tsv")):
             if re.match(r"^\._.+$", trans_path.name):
                 continue
-            book_path = trans_path.parent / trans_path.name.replace(
-                ".trans.tsv", ".book.tsv"
-            )
+            book_path = trans_path.parent / trans_path.name.replace(".trans.tsv", ".book.tsv")
             utt2snr = {}
             uttids = []
             if book_path.is_file():
@@ -161,11 +138,7 @@ def prepare_libritts(
                     if len(fields) >= 2:
                         uttids.append(fields[0])
                         utt2snr[fields[0]] = float(fields[-1])
-            utt2prevutt = (
-                dict(zip(uttids + [None], [None] + uttids))
-                if link_previous_utt
-                else {}
-            )
+            utt2prevutt = (dict(zip(uttids + [None], [None] + uttids)) if link_previous_utt else {})
 
             prev_rec_id = None
             for line in trans_path.read_text().splitlines():
@@ -180,9 +153,7 @@ def prepare_libritts(
                 customd = {"orig_text": orig_text, "snr": utt2snr.get(rec_id)}
                 if link_previous_utt:
                     prev_utt = utt2prevutt.get(rec_id)
-                    customd["prev_utt"] = (
-                        prev_utt if prev_utt == prev_rec_id else None
-                    )
+                    customd["prev_utt"] = (prev_utt if prev_utt == prev_rec_id else None)
                     prev_rec_id = rec_id
                 supervisions.append(
                     SupervisionSegment(
@@ -200,8 +171,7 @@ def prepare_libritts(
                 )
 
         recordings, supervisions = fix_manifests(
-            recordings, SupervisionSet.from_segments(supervisions)
-        )
+            recordings, SupervisionSet.from_segments(supervisions))
         validate_recordings_and_supervisions(recordings, supervisions)
         if output_dir is not None:
             for kind, manifest in (("recordings", recordings), ("supervisions", supervisions)):

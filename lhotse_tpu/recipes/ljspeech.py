@@ -20,9 +20,7 @@ from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, fastcopy, resumable_download, safe_extract
 
 
-def download_ljspeech(
-    target_dir: Pathlike = ".", force_download: Optional[bool] = False
-) -> Path:
+def download_ljspeech(target_dir: Pathlike = ".", force_download: Optional[bool] = False) -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     dataset_name = "LJSpeech-1.1"
@@ -33,10 +31,8 @@ def download_ljspeech(
         return corpus_dir
     tar_path = target_dir / f"{dataset_name}.tar.bz2"
     resumable_download(
-        f"http://data.keithito.com/data/speech/{dataset_name}.tar.bz2",
-        filename=tar_path,
-        force_download=force_download,
-    )
+        f"http://data.keithito.com/data/speech/{dataset_name}.tar.bz2", filename=tar_path,
+        force_download=force_download)
     shutil.rmtree(corpus_dir, ignore_errors=True)
     with tarfile.open(tar_path) as tar:
         safe_extract(tar, path=target_dir)
@@ -45,7 +41,7 @@ def download_ljspeech(
 
 
 def prepare_ljspeech(
-    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
     """One "all" split: {"recordings": ..., "supervisions": ...}."""
     corpus_dir = Path(corpus_dir)
@@ -80,9 +76,7 @@ def prepare_ljspeech(
                 )
             )
     recording_set, supervision_set = fix_manifests(
-        RecordingSet.from_recordings(recordings),
-        SupervisionSet.from_segments(supervisions),
-    )
+        RecordingSet.from_recordings(recordings), SupervisionSet.from_segments(supervisions))
     validate_recordings_and_supervisions(recording_set, supervision_set)
     if output_dir is not None:
         recording_set.to_file(output_dir / "ljspeech_recordings_all.jsonl.gz")
@@ -94,9 +88,5 @@ def text_normalizer(segment: SupervisionSegment) -> SupervisionSegment:
     """Uppercase + strip punctuation from both text fields (the reference's
     TTS-prep helper, ljspeech.py:120-127)."""
     text = re.sub(r"[^\w !?]", "", segment.text.upper())
-    normalized = re.sub(
-        r"[^\w !?]", "", segment.custom["normalized_text"].upper()
-    )
-    return fastcopy(
-        segment, text=text, custom={"normalized_text": normalized}
-    )
+    normalized = re.sub(r"[^\w !?]", "", segment.custom["normalized_text"].upper())
+    return fastcopy(segment, text=text, custom={"normalized_text": normalized})

@@ -11,18 +11,12 @@ from pathlib import Path
 from typing import Dict, Optional, Union
 
 from lhotse_tpu.audio import RecordingSet
-from lhotse_tpu.recipes._zh_common import (
-    build_part_manifests,
-    download_tars,
-    maybe_store,
-)
+from lhotse_tpu.recipes._zh_common import (build_part_manifests, download_tars, maybe_store)
 from lhotse_tpu.supervision import SupervisionSet
 from lhotse_tpu.utils import Pathlike
 
 # Punctuation + noise tokens the WeNet prep strips.
-_STRIP = re.compile(
-    "[！？，－：；。`,:?/·\"“”\\\\…、\\[\\]《》　﻿]|FIL|SPK|\\[ |《 "
-)
+_STRIP = re.compile("[！？，－：；。`,:?/·\"“”\\\\…、\\[\\]《》　﻿]|FIL|SPK|\\[ |《 ")
 
 
 def text_normalize(line: str) -> str:
@@ -30,21 +24,15 @@ def text_normalize(line: str) -> str:
 
 
 def download_magicdata(
-    target_dir: Pathlike = ".",
-    force_download: bool = False,
-    base_url: str = "http://www.openslr.org/resources",
-) -> Path:
+    target_dir: Pathlike = ".", force_download: bool = False,
+    base_url: str = "http://www.openslr.org/resources") -> Path:
     return download_tars(
-        f"{base_url}/68",
-        ["train_set.tar.gz", "dev_set.tar.gz", "test_set.tar.gz"],
-        target_dir,
-        "magicdata",
-        force_download,
-    )
+        f"{base_url}/68", ["train_set.tar.gz", "dev_set.tar.gz", "test_set.tar.gz"], target_dir,
+        "magicdata", force_download)
 
 
 def prepare_magicdata(
-    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     corpus_dir = Path(corpus_dir)
     assert corpus_dir.is_dir(), f"No such directory: {corpus_dir}"
@@ -68,10 +56,7 @@ def prepare_magicdata(
         if not wav_path.is_dir():
             continue
         part_manifests = build_part_manifests(
-            wav_path.rglob("**/*.wav"),
-            transcript_dict,
-            speaker_of=lambda p: p.parts[-2],
-        )
+            wav_path.rglob("**/*.wav"), transcript_dict, speaker_of=lambda p: p.parts[-2])
         maybe_store(part_manifests, output_dir, "magicdata", part)
         manifests[part] = part_manifests
     return manifests

@@ -50,18 +50,14 @@ def download_mdcc(target_dir: Pathlike, force_download: bool = False) -> Path:
 
 
 def prepare_mdcc(
-    corpus_dir: Pathlike,
-    dataset_parts: Union[str, Sequence[str]] = "all",
-    output_dir: Pathlike = None,
-) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
+    corpus_dir: Pathlike, dataset_parts: Union[str, Sequence[str]] = "all",
+    output_dir: Pathlike = None) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """Per-split MDCC manifests (language code "yue")."""
     corpus_dir = Path(corpus_dir)
     audio_dir = corpus_dir / "audio"
     if not audio_dir.is_dir():
         raise AssertionError(f"Missing {audio_dir} in {corpus_dir}.")
-    if dataset_parts == "all" or (
-        not isinstance(dataset_parts, str) and dataset_parts[0] == "all"
-    ):
+    if dataset_parts == "all" or (not isinstance(dataset_parts, str) and dataset_parts[0] == "all"):
         dataset_parts = MDCC_PARTS
     elif isinstance(dataset_parts, str):
         if dataset_parts not in MDCC_PARTS:
@@ -97,6 +93,5 @@ def prepare_mdcc(
             logging.warning(f"MDCC part {part} has no rows; skipping.")
             continue
         manifests[part] = finalize_manifests(
-            recordings, supervisions, output_dir=output_dir, prefix="mdcc", part=part
-        )
+            recordings, supervisions, output_dir=output_dir, prefix="mdcc", part=part)
     return manifests

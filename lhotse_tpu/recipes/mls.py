@@ -20,11 +20,8 @@ from lhotse_tpu.utils import Pathlike
 
 
 def prepare_mls(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    opus: bool = True,
-    num_jobs: int = 1,
-) -> Dict[str, Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]]:
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, opus: bool = True,
+    num_jobs: int = 1) -> Dict[str, Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]]:
     """
     Prepare MLS manifests: ``result[language][split] = {recordings,
     supervisions}`` for splits test/dev/train.
@@ -72,41 +69,26 @@ def prepare_mls(
                 logging.info(f"Skipping - {lang}/{split} - already exists!")
                 manifests[lang][split] = {
                     "recordings": RecordingSet.from_file(recordings_path),
-                    "supervisions": SupervisionSet.from_file(supervisions_path),
-                }
+                    "supervisions": SupervisionSet.from_file(supervisions_path)}
                 continue
 
             split_dir = lang_dir / split
             recordings = RecordingSet.from_dir(
-                path=split_dir,
-                pattern="*.opus" if opus else "*.flac",
-                num_jobs=num_jobs,
-                force_opus_sampling_rate=16000,
-            )
+                path=split_dir, pattern="*.opus" if opus else "*.flac", num_jobs=num_jobs,
+                force_opus_sampling_rate=16000)
             def parse_row(line: str) -> SupervisionSegment:
                 recording_id, text = line.split("\t")
                 speaker = recording_id.split("_")[0]
                 return SupervisionSegment(
-                    id=recording_id,
-                    recording_id=recording_id,
-                    text=text,
-                    speaker=speaker,
-                    gender=spk2gender.get(speaker),
-                    start=0.0,
-                    duration=recordings.duration(recording_id),
-                    language=lang,
-                )
+                    id=recording_id, recording_id=recording_id, text=text, speaker=speaker,
+                    gender=spk2gender.get(speaker), start=0.0,
+                    duration=recordings.duration(recording_id), language=lang)
 
             transcript_rows = (split_dir / "transcripts.txt").read_text().splitlines()
-            supervisions = SupervisionSet.from_segments(
-                parse_row(line) for line in transcript_rows
-            )
+            supervisions = SupervisionSet.from_segments(parse_row(line) for line in transcript_rows)
             recordings, supervisions = fix_manifests(recordings, supervisions)
             validate_recordings_and_supervisions(recordings, supervisions)
-            manifests[lang][split] = {
-                "recordings": recordings,
-                "supervisions": supervisions,
-            }
+            manifests[lang][split] = {"recordings": recordings, "supervisions": supervisions}
             if output_dir is not None:
                 output_dir.mkdir(exist_ok=True, parents=True)
                 recordings.to_file(recordings_path)

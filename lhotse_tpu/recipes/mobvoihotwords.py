@@ -16,11 +16,7 @@ from pathlib import Path
 from typing import Dict, Optional, Union
 
 from lhotse_tpu.audio import Recording, RecordingSet
-from lhotse_tpu.recipes.utils import (
-    finalize_manifests,
-    manifests_exist,
-    read_manifests_if_cached,
-)
+from lhotse_tpu.recipes.utils import (finalize_manifests, manifests_exist, read_manifests_if_cached)
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, resumable_download, safe_extract
 
@@ -28,10 +24,8 @@ _KEYWORD_TEXT = {0: "HiXiaowen", 1: "NihaoWenwen", -1: "FREETEXT"}
 
 
 def download_mobvoihotwords(
-    target_dir: Pathlike = ".",
-    force_download: Optional[bool] = False,
-    base_url: Optional[str] = "http://www.openslr.org/resources",
-) -> Path:
+    target_dir: Pathlike = ".", force_download: Optional[bool] = False,
+    base_url: Optional[str] = "http://www.openslr.org/resources") -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     corpus_dir = target_dir / "MobvoiHotwords"
@@ -43,8 +37,7 @@ def download_mobvoihotwords(
             continue
         archive = target_dir / tar_name
         resumable_download(
-            f"{base_url}/87/{tar_name}", filename=archive, force_download=force_download
-        )
+            f"{base_url}/87/{tar_name}", filename=archive, force_download=force_download)
         with tarfile.open(archive) as tar:
             safe_extract(tar, path=corpus_dir)
         marker.touch()
@@ -52,8 +45,7 @@ def download_mobvoihotwords(
 
 
 def prepare_mobvoihotwords(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """Per-split MobvoiHotwords manifests (positives + negatives merged)."""
     corpus_dir = Path(corpus_dir)
@@ -64,8 +56,7 @@ def prepare_mobvoihotwords(
     manifests = {}
     if output_dir is not None:
         manifests = read_manifests_if_cached(
-            dataset_parts=parts, output_dir=output_dir, prefix="mobvoi"
-        ) or {}
+            dataset_parts=parts, output_dir=output_dir, prefix="mobvoi") or {}
 
     for part in parts:
         if manifests_exist(part=part, output_dir=output_dir, prefix="mobvoi"):
@@ -100,6 +91,5 @@ def prepare_mobvoihotwords(
                     )
                 )
         manifests[part] = finalize_manifests(
-            recordings, supervisions, output_dir=output_dir, prefix="mobvoi", part=part
-        )
+            recordings, supervisions, output_dir=output_dir, prefix="mobvoi", part=part)
     return manifests

@@ -21,10 +21,8 @@ MUSAN_URL = "https://www.openslr.org/resources/17/musan.tar.gz"
 
 
 def download_musan(
-    target_dir: Pathlike = ".",
-    url: Optional[str] = MUSAN_URL,
-    force_download: Optional[bool] = False,
-) -> Path:
+    target_dir: Pathlike = ".", url: Optional[str] = MUSAN_URL,
+    force_download: Optional[bool] = False) -> Path:
     """Download and untar MUSAN; returns the corpus directory."""
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
@@ -56,32 +54,20 @@ def _read_annotations(path: Path, max_fields: int) -> Iterable[List[str]]:
 
 
 def _prepare_music(
-    corpus_dir: Path, use_vocals: bool
-) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
+    corpus_dir: Path, use_vocals: bool) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
     music_dir = corpus_dir / "music"
     recordings = _scan_recordings(music_dir)
     supervisions = SupervisionSet.from_segments(
-        SupervisionSegment(
-            id=utt,
-            recording_id=utt,
-            start=0,
-            duration=recordings.duration(utt),
-            speaker=musician,
-            custom={"genres": genres.split(","), "vocals": vocals == "Y"},
-        )
-        for ann_file in sorted(music_dir.rglob("ANNOTATIONS"))
-        for utt, genres, vocals, musician in _read_annotations(ann_file, max_fields=4)
-    )
+        SupervisionSegment( id=utt, recording_id=utt, start=0, duration=recordings.duration(utt), speaker=musician, custom={"genres": genres.split(","), "vocals": vocals == "Y"}, ) for ann_file in sorted(music_dir.rglob("ANNOTATIONS")) for utt,
+        genres, vocals, musician in _read_annotations(ann_file, max_fields=4))
     if not use_vocals:
         supervisions = supervisions.filter(lambda s: s.custom["vocals"] is False)
     return {"recordings": recordings, "supervisions": supervisions}
 
 
 def prepare_musan(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    parts: Sequence[str] = ("music", "speech", "noise"),
-    use_vocals: bool = True,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
+    parts: Sequence[str] = ("music", "speech", "noise"), use_vocals: bool = True,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     Prepare per-part manifests: ``music`` with annotation supervisions,

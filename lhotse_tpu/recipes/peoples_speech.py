@@ -19,36 +19,23 @@ from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike
 
 PEOPLES_SPEECH = (
-    "train/dirty_sa",
-    "train/dirty",
-    "train/clean_sa",
-    "train/clean",
-    "validation/validation",
-    "test/test",
-)
+    "train/dirty_sa", "train/dirty", "train/clean_sa", "train/clean", "validation/validation",
+    "test/test")
 
 
 def _parse_utterance(
-    audio_dir: Path, text: str, audio_path: str, identifier: str
+    audio_dir: Path, text: str, audio_path: str, identifier: str,
 ) -> Tuple[Recording, SupervisionSegment]:
     full_path = audio_dir / audio_path
     recording = Recording.from_file(path=full_path, recording_id=full_path.stem)
     segment = SupervisionSegment(
-        id=recording.id,
-        recording_id=recording.id,
-        start=0.0,
-        duration=recording.duration,
-        channel=0,
-        text=text,
-        language="English",
-        custom={"session_id": identifier},
-    )
+        id=recording.id, recording_id=recording.id, start=0.0, duration=recording.duration,
+        channel=0, text=text, language="English", custom={"session_id": identifier})
     return recording, segment
 
 
 def _prepare_subset(
-    subset: str, corpus_dir: Path, num_jobs: int = 1
-) -> Tuple[RecordingSet, SupervisionSet]:
+    subset: str, corpus_dir: Path, num_jobs: int = 1) -> Tuple[RecordingSet, SupervisionSet]:
     part_dir = corpus_dir / subset.split("/")[0]
     part_name = subset.split("/")[1]
     audio_dir = corpus_dir / subset
@@ -72,17 +59,13 @@ def _prepare_subset(
             recordings.append(recording)
             supervisions.append(segment)
     recording_set, supervision_set = fix_manifests(
-        RecordingSet.from_recordings(recordings),
-        SupervisionSet.from_segments(supervisions),
-    )
+        RecordingSet.from_recordings(recordings), SupervisionSet.from_segments(supervisions))
     validate_recordings_and_supervisions(recording_set, supervision_set)
     return recording_set, supervision_set
 
 
 def prepare_peoples_speech(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, num_jobs: int = 1,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """Per-part manifests keyed by e.g. "train/clean"."""
     corpus_dir = Path(corpus_dir)
@@ -99,23 +82,14 @@ def prepare_peoples_speech(
             logging.info(f"Skipping {part}: directory not found.")
             continue
         if manifests_exist(
-            part=part_name,
-            output_dir=output_dir,
-            prefix="peoples_speech",
-            suffix="jsonl.gz",
-        ):
+            part=part_name, output_dir=output_dir, prefix="peoples_speech", suffix="jsonl.gz"):
             logging.info(f"People's Speech {part_name} already prepared - skipping.")
             continue
         recording_set, supervision_set = _prepare_subset(part, corpus_dir, num_jobs)
         if output_dir is not None:
-            recording_set.to_file(
-                output_dir / f"peoples_speech_recordings_{part_name}.jsonl.gz"
-            )
+            recording_set.to_file(output_dir / f"peoples_speech_recordings_{part_name}.jsonl.gz")
             supervision_set.to_file(
                 output_dir / f"peoples_speech_supervisions_{part_name}.jsonl.gz"
             )
-        manifests[part] = {
-            "recordings": recording_set,
-            "supervisions": supervision_set,
-        }
+        manifests[part] = {"recordings": recording_set, "supervisions": supervision_set}
     return dict(manifests)

@@ -22,18 +22,13 @@ from lhotse_tpu.utils import Pathlike, resumable_download
 RIR_NOISE_ZIP_URL = "https://www.openslr.org/resources/28/rirs_noises.zip"
 
 _PART_DIRS = {
-    "point_noise": "pointsource_noises",
-    "iso_noise": "real_rirs_isotropic_noises",
-    "real_rir": "real_rirs_isotropic_noises",
-    "sim_rir": "simulated_rirs",
-}
+    "point_noise": "pointsource_noises", "iso_noise": "real_rirs_isotropic_noises",
+    "real_rir": "real_rirs_isotropic_noises", "sim_rir": "simulated_rirs"}
 
 
 def download_rir_noise(
-    target_dir: Pathlike = ".",
-    url: Optional[str] = RIR_NOISE_ZIP_URL,
-    force_download: Optional[bool] = False,
-) -> Path:
+    target_dir: Pathlike = ".", url: Optional[str] = RIR_NOISE_ZIP_URL,
+    force_download: Optional[bool] = False) -> Path:
     """Fetch + unzip rirs_noises.zip."""
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
@@ -68,8 +63,7 @@ def _collect(part: str, audio_dir: Path) -> RecordingSet:
 
 
 def prepare_rir_noise(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
     parts: Sequence[str] = ("point_noise", "iso_noise", "real_rir", "sim_rir"),
 ) -> Dict[str, Dict[str, Union[RecordingSet, CutSet]]]:
     """Per-part recording manifests for the RIR/noise package."""
@@ -95,7 +89,5 @@ def prepare_rir_noise(
         output_dir.mkdir(parents=True, exist_ok=True)
         for part, entry in manifests.items():
             for key, manifest in entry.items():
-                manifest.to_file(
-                    output_dir / f"{part.replace('_', '-')}_{key}_all.jsonl.gz"
-                )
+                manifest.to_file(output_dir / f"{part.replace('_', '-')}_{key}_all.jsonl.gz")
     return manifests

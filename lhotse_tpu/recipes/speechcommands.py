@@ -31,16 +31,11 @@ BACKGROUND_NOISE = "_background_noise_"
 
 
 def _archive_names(version: str) -> Tuple[str, str]:
-    return (
-        f"speech_commands_v0.0{version}",
-        f"speech_commands_test_set_v0.0{version}",
-    )
+    return (f"speech_commands_v0.0{version}", f"speech_commands_test_set_v0.0{version}")
 
 
 def download_speechcommands(
-    speechcommands_version: str = "2",
-    target_dir: Pathlike = ".",
-    force_download: bool = False,
+    speechcommands_version: str = "2", target_dir: Pathlike = ".", force_download: bool = False,
 ) -> Path:
     """Fetch + extract both Speech Commands archives (main + test set)."""
     target_dir = Path(target_dir)
@@ -54,10 +49,8 @@ def download_speechcommands(
             continue
         archive = corpus_dir / f"{part}.tar.gz"
         resumable_download(
-            f"http://download.tensorflow.org/data/{archive.name}",
-            filename=archive,
-            force_download=force_download,
-        )
+            f"http://download.tensorflow.org/data/{archive.name}", filename=archive,
+            force_download=force_download)
         shutil.rmtree(part_dir, ignore_errors=True)
         with tarfile.open(archive) as tar:
             tar.extractall(part_dir)
@@ -81,21 +74,13 @@ def _utterance(root: Path, rel_path: str):
         speaker = filename.split("_")[0]
         text = word.strip()
     sup = SupervisionSegment(
-        id=rec_id,
-        recording_id=rec_id,
-        start=0.0,
-        duration=rec.duration,
-        channel=0,
-        text=text,
-        language="English",
-        speaker=speaker,
-    )
+        id=rec_id, recording_id=rec_id, start=0.0, duration=rec.duration, channel=0, text=text,
+        language="English", speaker=speaker)
     return rec, sup
 
 
 def prepare_speechcommands(
-    speechcommands_version: str = "2",
-    corpus_dir: Pathlike = ".",
+    speechcommands_version: str = "2", corpus_dir: Pathlike = ".",
     output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """Per-split (train/valid/test) Speech Commands manifests."""
@@ -106,21 +91,15 @@ def prepare_speechcommands(
     main_root = corpus_dir / main_name
     test_root = corpus_dir / test_name
 
-    held_out_test = set(
-        (main_root / "testing_list.txt").read_text().strip().splitlines()
-    )
-    valid_paths = set(
-        (main_root / "validation_list.txt").read_text().strip().splitlines()
-    )
+    held_out_test = set((main_root / "testing_list.txt").read_text().strip().splitlines())
+    valid_paths = set((main_root / "validation_list.txt").read_text().strip().splitlines())
     # The published validation list carries no silence; add one noise clip.
     valid_paths.add(f"{BACKGROUND_NOISE}/running_tap.wav")
     train_paths = set(_relative_wavs(main_root)) - valid_paths - held_out_test
 
     split_sources = {
-        "train": (main_root, sorted(train_paths)),
-        "valid": (main_root, sorted(valid_paths)),
-        "test": (test_root, sorted(_relative_wavs(test_root)) if test_root.is_dir() else []),
-    }
+        "train": (main_root, sorted(train_paths)), "valid": (main_root, sorted(valid_paths)),
+        "test": (test_root, sorted(_relative_wavs(test_root)) if test_root.is_dir() else [])}
 
     prefix = f"speechcommands{speechcommands_version}"
     manifests = {}
@@ -136,6 +115,5 @@ def prepare_speechcommands(
         if not recordings:
             continue
         manifests[split] = finalize_manifests(
-            recordings, supervisions, output_dir=output_dir, prefix=prefix, part=split
-        )
+            recordings, supervisions, output_dir=output_dir, prefix=prefix, part=split)
     return manifests

@@ -39,10 +39,7 @@ def _audio_read_worker(p: Path) -> Recording:
 
 
 def prepare_spgispeech(
-    corpus_dir: Pathlike,
-    output_dir: Pathlike,
-    normalize_text: bool = True,
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, output_dir: Pathlike, normalize_text: bool = True, num_jobs: int = 1,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     Prepare train/val manifests, written lazily (output_dir is required:
@@ -50,25 +47,18 @@ def prepare_spgispeech(
     """
     corpus_dir = Path(corpus_dir)
     assert corpus_dir.is_dir(), f"No such directory: {corpus_dir}"
-    audio_dir = (
-        corpus_dir if (corpus_dir / "train").is_dir() else corpus_dir / "spgispeech"
-    )
+    audio_dir = (corpus_dir if (corpus_dir / "train").is_dir() else corpus_dir / "spgispeech")
     dataset_parts = ["train", "val"]
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     manifests = read_manifests_if_cached(
-        dataset_parts=dataset_parts,
-        output_dir=output_dir,
-        prefix="spgispeech",
-        suffix="jsonl.gz",
-        lazy=True,
-    )
+        dataset_parts=dataset_parts, output_dir=output_dir, prefix="spgispeech", suffix="jsonl.gz",
+        lazy=True)
 
     for part in dataset_parts:
         logging.info(f"Processing SPGISpeech subset: {part}")
         if manifests_exist(
-            part=part, output_dir=output_dir, prefix="spgispeech", suffix="jsonl.gz"
-        ):
+            part=part, output_dir=output_dir, prefix="spgispeech", suffix="jsonl.gz"):
             logging.info(f"SPGISpeech subset: {part} already prepared - skipping.")
             continue
         durations = {}
@@ -76,10 +66,7 @@ def prepare_spgispeech(
             output_dir / f"spgispeech_recordings_{part}.jsonl.gz"
         ) as rec_writer:
             for recording in parallel_map(
-                _audio_read_worker,
-                sorted((audio_dir / part).rglob("*.wav")),
-                num_jobs=num_jobs,
-            ):
+                _audio_read_worker, sorted((audio_dir / part).rglob("*.wav")), num_jobs=num_jobs):
                 durations[recording.id] = recording.duration
                 rec_writer.write(recording)
 
@@ -110,6 +97,5 @@ def prepare_spgispeech(
                 )
         manifests[part] = {
             "recordings": RecordingSet.from_jsonl_lazy(rec_writer.path),
-            "supervisions": SupervisionSet.from_jsonl_lazy(sup_writer.path),
-        }
+            "supervisions": SupervisionSet.from_jsonl_lazy(sup_writer.path)}
     return manifests

@@ -9,11 +9,7 @@ from pathlib import Path
 from typing import Dict, Optional, Union
 
 from lhotse_tpu.audio import RecordingSet
-from lhotse_tpu.recipes._zh_common import (
-    build_part_manifests,
-    download_tars,
-    maybe_store,
-)
+from lhotse_tpu.recipes._zh_common import (build_part_manifests, download_tars, maybe_store)
 from lhotse_tpu.supervision import SupervisionSet
 from lhotse_tpu.utils import Pathlike
 
@@ -23,21 +19,14 @@ def text_normalize(line: str) -> str:
 
 
 def download_stcmds(
-    target_dir: Pathlike = ".",
-    force_download: bool = False,
-    base_url: str = "http://www.openslr.org/resources",
-) -> Path:
+    target_dir: Pathlike = ".", force_download: bool = False,
+    base_url: str = "http://www.openslr.org/resources") -> Path:
     return download_tars(
-        f"{base_url}/38",
-        ["ST-CMDS-20170001_1-OS.tar.gz"],
-        target_dir,
-        "stcmds",
-        force_download,
-    )
+        f"{base_url}/38", ["ST-CMDS-20170001_1-OS.tar.gz"], target_dir, "stcmds", force_download)
 
 
 def prepare_stcmds(
-    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     corpus_dir = Path(corpus_dir)
     assert corpus_dir.is_dir(), f"No such directory: {corpus_dir}"

@@ -15,12 +15,7 @@ from typing import Dict, Optional, Union
 from lhotse_tpu import fix_manifests, validate_recordings_and_supervisions
 from lhotse_tpu.audio import Recording, RecordingSet
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
-from lhotse_tpu.utils import (
-    Pathlike,
-    check_and_rglob,
-    resumable_download,
-    safe_extract,
-)
+from lhotse_tpu.utils import (Pathlike, check_and_rglob, resumable_download, safe_extract)
 
 SWBD_TEXT_URL = (
     "http://www.isip.piconepress.com/projects/switchboard/releases/"
@@ -29,10 +24,7 @@ SWBD_TEXT_URL = (
 
 
 def download_and_untar(
-    target_dir: Pathlike = ".",
-    force_download: bool = False,
-    url: str = SWBD_TEXT_URL,
-) -> Path:
+    target_dir: Pathlike = ".", force_download: bool = False, url: str = SWBD_TEXT_URL) -> Path:
     """Fetch the ISIP transcripts (the audio itself is LDC-licensed)."""
     target_dir = Path(target_dir)
     transcript_dir = target_dir / "swb_ms98_transcriptions"
@@ -47,11 +39,7 @@ def download_and_untar(
 
 
 def make_segments(
-    transcript_path: Path,
-    recording: Recording,
-    channel: int,
-    omit_silence: bool = True,
-):
+    transcript_path: Path, recording: Recording, channel: int, omit_silence: bool = True):
     """One `*trans.text` file: `<segment_id> <start> <end> <words...>`."""
     side = "A" if channel == 0 else "B"
     return [
@@ -73,12 +61,9 @@ def make_segments(
 
 
 def prepare_switchboard(
-    audio_dir: Pathlike,
-    transcripts_dir: Optional[Pathlike] = None,
-    sentiment_dir: Optional[Pathlike] = None,
-    output_dir: Optional[Pathlike] = None,
-    omit_silence: bool = True,
-    absolute_paths: bool = False,
+    audio_dir: Pathlike, transcripts_dir: Optional[Pathlike] = None,
+    sentiment_dir: Optional[Pathlike] = None, output_dir: Optional[Pathlike] = None,
+    omit_silence: bool = True, absolute_paths: bool = False,
 ) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
     """
     One "all" split of recordings + supervisions; with ``sentiment_dir``
@@ -133,9 +118,7 @@ def prepare_switchboard(
     return {"recordings": recordings, "supervisions": supervisions}
 
 
-def parse_and_add_sentiment_labels(
-    sentiment_dir: Pathlike, supervisions: SupervisionSet
-) -> None:
+def parse_and_add_sentiment_labels(sentiment_dir: Pathlike, supervisions: SupervisionSet) -> None:
     """LDC2020T14 `sentiment_labels.tsv`: id/start/end/annotator#labels."""
     sentiment_dir = Path(sentiment_dir)
     labels_path = sentiment_dir / "data" / "sentiment_labels.tsv"
@@ -160,7 +143,5 @@ def parse_and_add_sentiment_labels(
         labels = sentiment.split("#")
         # .find() returns references: annotate the set's segments in place.
         for segment in matches:
-            segment.custom = {
-                f"sentiment{i}": label for i, label in enumerate(labels)
-            }
+            segment.custom = {f"sentiment{i}": label for i, label in enumerate(labels)}
     logging.info(f"Attached sentiment labels to {matched} annotation spans.")

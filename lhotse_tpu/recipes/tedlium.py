@@ -40,9 +40,7 @@ def normalize_text_tedlium(text: str, normalize: str = "upper") -> str:
     raise ValueError(f"Unknown text normalization: {normalize}")
 
 
-def download_tedlium(
-    target_dir: Pathlike = ".", force_download: Optional[bool] = False
-) -> Path:
+def download_tedlium(target_dir: Pathlike = ".", force_download: Optional[bool] = False) -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     corpus_dir = target_dir / "TEDLIUM_release-3"
@@ -52,10 +50,8 @@ def download_tedlium(
         return corpus_dir
     tar_path = target_dir / "TEDLIUM_release-3.tgz"
     resumable_download(
-        "http://www.openslr.org/resources/51/TEDLIUM_release-3.tgz",
-        filename=tar_path,
-        force_download=force_download,
-    )
+        "http://www.openslr.org/resources/51/TEDLIUM_release-3.tgz", filename=tar_path,
+        force_download=force_download)
     shutil.rmtree(corpus_dir, ignore_errors=True)
     with tarfile.open(tar_path) as tar:
         safe_extract(tar, path=target_dir)
@@ -88,12 +84,9 @@ def _parse_stm_file(stm: Path, normalize_text: str = "none") -> List[Supervision
 
 
 def prepare_tedlium(
-    tedlium_root: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    dataset_parts: Union[str, Sequence[str]] = TEDLIUM_PARTS,
-    num_jobs: int = 1,
-    normalize_text: str = "none",
-) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
+    tedlium_root: Pathlike, output_dir: Optional[Pathlike] = None,
+    dataset_parts: Union[str, Sequence[str]] = TEDLIUM_PARTS, num_jobs: int = 1,
+    normalize_text: str = "none") -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """Prepare train/dev/test manifests from the legacy TED-LIUM 3 layout."""
     tedlium_root = Path(tedlium_root)
     if output_dir is not None:
@@ -107,9 +100,7 @@ def prepare_tedlium(
         for split in dataset_parts:
             logging.info(f"Processing {split} split...")
             root = tedlium_root / "legacy" / split
-            recordings = RecordingSet.from_dir(
-                root / "sph", pattern="*.sph", num_jobs=num_jobs
-            )
+            recordings = RecordingSet.from_dir(root / "sph", pattern="*.sph", num_jobs=num_jobs)
             stms = sorted((root / "stm").glob("*.stm"))
             assert len(stms) == len(recordings), (
                 f"Mismatch: found {len(recordings)} sphere files and "
@@ -126,7 +117,5 @@ def prepare_tedlium(
             validate_recordings_and_supervisions(**corpus[split])
             if output_dir is not None:
                 recordings.to_file(output_dir / f"tedlium_recordings_{split}.jsonl.gz")
-                supervisions.to_file(
-                    output_dir / f"tedlium_supervisions_{split}.jsonl.gz"
-                )
+                supervisions.to_file(output_dir / f"tedlium_supervisions_{split}.jsonl.gz")
     return corpus

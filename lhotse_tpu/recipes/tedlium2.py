@@ -22,9 +22,7 @@ from lhotse_tpu.utils import Pathlike, resumable_download, safe_extract
 TEDLIUM2_PARTS = ("train", "dev", "test")
 
 
-def download_tedlium2(
-    target_dir: Pathlike = ".", force_download: Optional[bool] = False
-) -> Path:
+def download_tedlium2(target_dir: Pathlike = ".", force_download: Optional[bool] = False) -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     corpus_dir = target_dir / "TEDLIUM_release2"
@@ -34,10 +32,8 @@ def download_tedlium2(
         return corpus_dir
     archive = target_dir / "TEDLIUM_release2.tar.gz"
     resumable_download(
-        "http://www.openslr.org/resources/19/TEDLIUM_release2.tar.gz",
-        filename=archive,
-        force_download=force_download,
-    )
+        "http://www.openslr.org/resources/19/TEDLIUM_release2.tar.gz", filename=archive,
+        force_download=force_download)
     shutil.rmtree(corpus_dir, ignore_errors=True)
     with tarfile.open(archive) as tar:
         safe_extract(tar, path=target_dir)
@@ -46,12 +42,9 @@ def download_tedlium2(
 
 
 def prepare_tedlium2(
-    tedlium_root: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    dataset_parts: Union[str, Sequence[str]] = TEDLIUM2_PARTS,
-    num_jobs: int = 1,
-    normalize_text: str = "none",
-) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
+    tedlium_root: Pathlike, output_dir: Optional[Pathlike] = None,
+    dataset_parts: Union[str, Sequence[str]] = TEDLIUM2_PARTS, num_jobs: int = 1,
+    normalize_text: str = "none") -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """Per-split TED-LIUM v2 manifests (sph audio + parsed STM segments)."""
     tedlium_root = Path(tedlium_root)
     if isinstance(dataset_parts, str):
@@ -63,9 +56,7 @@ def prepare_tedlium2(
         for split in dataset_parts:
             logging.info(f"Processing {split} split...")
             root = tedlium_root / split
-            recordings = RecordingSet.from_dir(
-                root / "sph", pattern="*.sph", num_jobs=num_jobs
-            )
+            recordings = RecordingSet.from_dir(root / "sph", pattern="*.sph", num_jobs=num_jobs)
             stms = sorted((root / "stm").glob("*.stm"))
             if len(stms) != len(recordings):
                 raise AssertionError(
@@ -77,7 +68,5 @@ def prepare_tedlium2(
             for result in pool.map(parse, stms):
                 segments.extend(result)
             corpus[split] = finalize_manifests(
-                recordings, segments, output_dir=output_dir,
-                prefix="tedlium2", part=split,
-            )
+                recordings, segments, output_dir=output_dir, prefix="tedlium2", part=split)
     return corpus

@@ -38,9 +38,7 @@ def parse_textgrid(text: str) -> List[Tier]:
     def flush_interval():
         nonlocal pending
         if current is not None and {"xmin", "xmax", "text"} <= set(pending):
-            current.intervals.append(
-                Interval(pending["xmin"], pending["xmax"], pending["text"])
-            )
+            current.intervals.append(Interval(pending["xmin"], pending["xmax"], pending["text"]))
         pending = {}
 
     in_interval_tier = False

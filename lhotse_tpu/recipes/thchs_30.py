@@ -10,11 +10,7 @@ from pathlib import Path
 from typing import Dict, Optional, Union
 
 from lhotse_tpu.audio import RecordingSet
-from lhotse_tpu.recipes._zh_common import (
-    build_part_manifests,
-    download_tars,
-    maybe_store,
-)
+from lhotse_tpu.recipes._zh_common import (build_part_manifests, download_tars, maybe_store)
 from lhotse_tpu.supervision import SupervisionSet
 from lhotse_tpu.utils import Pathlike
 
@@ -24,21 +20,14 @@ def text_normalize(line: str) -> str:
 
 
 def download_thchs_30(
-    target_dir: Pathlike = ".",
-    force_download: bool = False,
-    base_url: str = "http://www.openslr.org/resources",
-) -> Path:
+    target_dir: Pathlike = ".", force_download: bool = False,
+    base_url: str = "http://www.openslr.org/resources") -> Path:
     return download_tars(
-        f"{base_url}/18",
-        ["data_thchs30.tgz"],
-        target_dir,
-        "thchs_30",
-        force_download,
-    )
+        f"{base_url}/18", ["data_thchs30.tgz"], target_dir, "thchs_30", force_download)
 
 
 def prepare_thchs_30(
-    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     corpus_dir = Path(corpus_dir)
     assert corpus_dir.is_dir(), f"No such directory: {corpus_dir}"
@@ -52,10 +41,8 @@ def prepare_thchs_30(
     manifests = {}
     for part in ("train", "dev", "test"):
         part_manifests = build_part_manifests(
-            (corpus_dir / "data_thchs30" / part).rglob("**/*.wav"),
-            transcript_dict,
-            speaker_of=lambda p: p.stem.split("_")[0],
-        )
+            (corpus_dir / "data_thchs30" / part).rglob("**/*.wav"), transcript_dict,
+            speaker_of=lambda p: p.stem.split("_")[0])
         maybe_store(part_manifests, output_dir, "thchs_30", part)
         manifests[part] = part_manifests
     return manifests

@@ -25,9 +25,7 @@ from lhotse_tpu.audio import Recording, RecordingSet
 from lhotse_tpu.supervision import AlignmentItem, SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, resumable_download
 
-_DEFAULT_URL = (
-    "https://huggingface.co/datasets/kligvasser/timit/resolve/main/timit.zip"
-)
+_DEFAULT_URL = ("https://huggingface.co/datasets/kligvasser/timit/resolve/main/timit.zip")
 
 # The 48-phone set's identity symbols + fold exceptions (Kaldi TIMIT s5).
 _PHONES_48_IDENTITY = (
@@ -35,21 +33,18 @@ _PHONES_48_IDENTITY = (
     "iy jh k l m n ng ow oy p r s sh t th uh uw v w y z zh"
 ).split()
 _FOLD_48 = {
-    "ax-h": "ax", "axr": "er", "bcl": "vcl", "dcl": "vcl", "em": "m",
-    "eng": "ng", "gcl": "vcl", "h#": "sil", "hv": "hh", "kcl": "cl",
-    "nx": "n", "pau": "sil", "pcl": "cl", "q": "", "tcl": "cl", "ux": "uw",
-}
+    "ax-h": "ax", "axr": "er", "bcl": "vcl", "dcl": "vcl", "em": "m", "eng": "ng", "gcl": "vcl",
+    "h#": "sil", "hv": "hh", "kcl": "cl", "nx": "n", "pau": "sil", "pcl": "cl", "q": "",
+    "tcl": "cl", "ux": "uw"}
 _PHONES_39_IDENTITY = (
     "sil aa ae ah aw ay b ch d dh dx eh er ey f g hh ih iy jh k l m n ng "
     "ow oy p r s sh t th uh uw v w y z"
 ).split()
 _FOLD_39 = {
-    "ao": "aa", "ax": "ah", "ax-h": "ah", "axr": "er", "bcl": "sil",
-    "dcl": "sil", "el": "l", "em": "m", "en": "n", "eng": "ng",
-    "epi": "sil", "gcl": "sil", "h#": "sil", "hv": "hh", "ix": "ih",
-    "kcl": "sil", "nx": "n", "pau": "sil", "pcl": "sil", "q": "",
-    "tcl": "sil", "ux": "uw", "zh": "sh",
-}
+    "ao": "aa", "ax": "ah", "ax-h": "ah", "axr": "er", "bcl": "sil", "dcl": "sil", "el": "l",
+    "em": "m", "en": "n", "eng": "ng", "epi": "sil", "gcl": "sil", "h#": "sil", "hv": "hh",
+    "ix": "ih", "kcl": "sil", "nx": "n", "pau": "sil", "pcl": "sil", "q": "", "tcl": "sil",
+    "ux": "uw", "zh": "sh"}
 
 
 def get_phonemes(num_phones: int) -> Dict[str, str]:
@@ -85,10 +80,7 @@ def get_speakers() -> Tuple[list, list]:
 
 
 def download_timit(
-    target_dir: Pathlike = ".",
-    force_download: bool = False,
-    base_url: str = _DEFAULT_URL,
-) -> Path:
+    target_dir: Pathlike = ".", force_download: bool = False, base_url: str = _DEFAULT_URL) -> Path:
     """Download and unzip TIMIT; returns the corpus directory."""
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
@@ -108,7 +100,7 @@ def download_timit(
 
 
 def prepare_recording(
-    wav_file: Pathlike, num_phones: int, phones_dict: Dict[str, str]
+    wav_file: Pathlike, num_phones: int, phones_dict: Dict[str, str],
 ) -> Tuple[Recording, SupervisionSegment]:
     """One utterance: recording + supervision with word & phone alignments."""
     wav_file = Path(wav_file)
@@ -118,9 +110,7 @@ def prepare_recording(
     sr = recording.sampling_rate
 
     # .TXT: "<start> <end> the transcript ..."
-    text = " ".join(
-        wav_file.with_suffix(".TXT").read_text().rstrip("\n").split(" ")[2:]
-    )
+    text = " ".join(wav_file.with_suffix(".TXT").read_text().rstrip("\n").split(" ")[2:])
 
     word_alignments = []
     for line in wav_file.with_suffix(".WRD").read_text().splitlines():
@@ -137,28 +127,17 @@ def prepare_recording(
         phone_alignments.append(AlignmentItem(phone, start, end - start))
 
     segment = SupervisionSegment(
-        id=idx,
-        recording_id=idx,
-        start=0.0,
-        duration=recording.duration,
-        channel=0,
-        language="English",
-        speaker=speaker,
-        gender="male" if speaker.lower().startswith("m") else "female",
-        text=text.strip(),
-    )
+        id=idx, recording_id=idx, start=0.0, duration=recording.duration, channel=0,
+        language="English", speaker=speaker,
+        gender="male" if speaker.lower().startswith("m") else "female", text=text.strip())
     segment = segment.with_alignment("word", word_alignments).with_alignment(
-        "phone", phone_alignments
-    )
+        "phone", phone_alignments)
     return recording, segment
 
 
 def prepare_timit(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    num_phones: int = 48,
-    num_jobs: int = 1,
-) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, num_phones: int = 48,
+    num_jobs: int = 1) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     Prepare TRAIN/DEV/TEST manifests (DEV/TEST = Kaldi core splits of the
     distribution's TEST portion by speaker).
@@ -184,10 +163,7 @@ def prepare_timit(
             )
         recordings, supervisions = [], []
         with ThreadPoolExecutor(max(num_jobs, 1)) as ex:
-            futures = [
-                ex.submit(prepare_recording, p, num_phones, phones_dict)
-                for p in wav_files
-            ]
+            futures = [ex.submit(prepare_recording, p, num_phones, phones_dict) for p in wav_files]
             for f in futures:
                 try:
                     recording, supervision = f.result()
@@ -196,17 +172,10 @@ def prepare_timit(
                 except FileNotFoundError as e:
                     logging.warning(e.strerror)
         recording_set, supervision_set = fix_manifests(
-            RecordingSet.from_recordings(recordings),
-            SupervisionSet.from_segments(supervisions),
-        )
+            RecordingSet.from_recordings(recordings), SupervisionSet.from_segments(supervisions))
         validate_recordings_and_supervisions(recording_set, supervision_set)
         if output_dir is not None:
             recording_set.to_file(output_dir / f"timit_recordings_{part}.jsonl.gz")
-            supervision_set.to_file(
-                output_dir / f"timit_supervisions_{part}.jsonl.gz"
-            )
-        manifests[part] = {
-            "recordings": recording_set,
-            "supervisions": supervision_set,
-        }
+            supervision_set.to_file(output_dir / f"timit_supervisions_{part}.jsonl.gz")
+        manifests[part] = {"recordings": recording_set, "supervisions": supervision_set}
     return dict(manifests)

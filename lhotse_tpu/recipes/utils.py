@@ -16,21 +16,14 @@ from lhotse_tpu.utils import Pathlike
 DEFAULT_DETECTED_MANIFEST_TYPES = ("recordings", "supervisions")
 
 TYPES_TO_CLASSES = {
-    "recordings": RecordingSet,
-    "supervisions": SupervisionSet,
-    "features": FeatureSet,
-    "cuts": CutSet,
-}
+    "recordings": RecordingSet, "supervisions": SupervisionSet, "features": FeatureSet,
+    "cuts": CutSet}
 
 
 def read_manifests_if_cached(
-    dataset_parts: Optional[Sequence[str]],
-    output_dir: Optional[Pathlike],
-    prefix: str = "",
-    suffix: Optional[str] = "jsonl.gz",
-    types: Iterable[str] = DEFAULT_DETECTED_MANIFEST_TYPES,
-    lazy: bool = False,
-) -> Optional[Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]]:
+    dataset_parts: Optional[Sequence[str]], output_dir: Optional[Pathlike], prefix: str = "",
+    suffix: Optional[str] = "jsonl.gz", types: Iterable[str] = DEFAULT_DETECTED_MANIFEST_TYPES,
+    lazy: bool = False) -> Optional[Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]]:
     """
     Load manifests matching ``output_dir / f'{prefix}_{type}_{part}.{suffix}'``
     from disk when they exist — skips re-running data preparation.
@@ -44,9 +37,7 @@ def read_manifests_if_cached(
     if suffix.startswith("."):
         suffix = suffix[1:]
     if lazy and not suffix.startswith("jsonl"):
-        raise ValueError(
-            f"Only JSONL manifests can be opened lazily (got suffix: '{suffix}')"
-        )
+        raise ValueError(f"Only JSONL manifests can be opened lazily (got suffix: '{suffix}')")
     manifests = defaultdict(dict)
     output_dir = Path(output_dir)
     for part in dataset_parts:
@@ -62,12 +53,9 @@ def read_manifests_if_cached(
 
 
 def manifests_exist(
-    part: str,
-    output_dir: Optional[Pathlike],
-    types: Iterable[str] = DEFAULT_DETECTED_MANIFEST_TYPES,
-    prefix: str = "",
-    suffix: str = "jsonl.gz",
-) -> bool:
+    part: str, output_dir: Optional[Pathlike],
+    types: Iterable[str] = DEFAULT_DETECTED_MANIFEST_TYPES, prefix: str = "",
+    suffix: str = "jsonl.gz") -> bool:
     if output_dir is None:
         return False
     if prefix and not prefix.endswith("_"):
@@ -83,13 +71,8 @@ def manifests_exist(
 
 
 def finalize_manifests(
-    recordings,
-    supervisions,
-    *,
-    output_dir: Optional[Pathlike] = None,
-    prefix: str = "",
-    part: str = "all",
-) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
+    recordings, supervisions, *, output_dir: Optional[Pathlike] = None, prefix: str = "",
+    part: str = "all") -> Dict[str, Union[RecordingSet, SupervisionSet]]:
     """
     The common recipe tail: fix + validate the pair, optionally persist it as
     ``{prefix}_recordings_{part}.jsonl.gz`` (same for supervisions), and

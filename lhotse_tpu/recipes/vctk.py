@@ -22,18 +22,13 @@ from lhotse_tpu.audio import Recording, RecordingSet
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, resumable_download
 
-EDINBURGH_VCTK_URL = (
-    "https://datashare.ed.ac.uk/bitstream/handle/10283/3443/VCTK-Corpus-0.92.zip"
-)
+EDINBURGH_VCTK_URL = ("https://datashare.ed.ac.uk/bitstream/handle/10283/3443/VCTK-Corpus-0.92.zip")
 CREST_VCTK_URL = "http://www.udialogue.org/download/VCTK-Corpus.tar.gz"
 
 
 def download_vctk(
-    target_dir: Pathlike = ".",
-    force_download: Optional[bool] = False,
-    use_edinburgh_vctk_url: Optional[bool] = False,
-    url: Optional[str] = CREST_VCTK_URL,
-) -> Path:
+    target_dir: Pathlike = ".", force_download: Optional[bool] = False,
+    use_edinburgh_vctk_url: Optional[bool] = False, url: Optional[str] = CREST_VCTK_URL) -> Path:
     """Download and extract VCTK (CREST tar.gz by default; Edinburgh 0.92
     zip with use_edinburgh_vctk_url=True)."""
     target_dir = Path(target_dir)
@@ -57,30 +52,19 @@ def download_vctk(
     return part_dir
 
 
-def _parse_speaker_description(
-    corpus_dir: Path, use_edinburgh_vctk_url: bool
-) -> Dict[str, dict]:
-    rows = [
-        line.split()
-        for line in (corpus_dir / "speaker-info.txt").read_text().splitlines()
-    ]
+def _parse_speaker_description(corpus_dir: Path, use_edinburgh_vctk_url: bool) -> Dict[str, dict]:
+    rows = [line.split() for line in (corpus_dir / "speaker-info.txt").read_text().splitlines()]
     assert {"ID", "AGE", "GENDER", "ACCENTS", "REGION"} <= set(rows[0])
     meta = {}
     for spk, age, gender, accent, *region in rows[1:]:
         meta[spk if use_edinburgh_vctk_url else f"p{spk}"] = {
-            "age": int(age),
-            "gender": gender,
-            "accent": accent,
-            "region": " ".join(region) or None,
-        }
+            "age": int(age), "gender": gender, "accent": accent, "region": " ".join(region) or None}
     return meta
 
 
 def prepare_vctk(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    use_edinburgh_vctk_url: Optional[bool] = False,
-    mic_id: Optional[str] = "mic2",
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
+    use_edinburgh_vctk_url: Optional[bool] = False, mic_id: Optional[str] = "mic2",
 ) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
     """One "all" split: {"recordings": ..., "supervisions": ...}."""
     corpus_dir = Path(corpus_dir)
@@ -128,9 +112,7 @@ def prepare_vctk(
                 custom=extras,
             )
         )
-    recordings, supervisions = fix_manifests(
-        recordings, SupervisionSet.from_segments(supervisions)
-    )
+    recordings, supervisions = fix_manifests(recordings, SupervisionSet.from_segments(supervisions))
     validate_recordings_and_supervisions(recordings, supervisions)
     if output_dir is not None:
         output_dir = Path(output_dir)

@@ -15,12 +15,8 @@ from lhotse_tpu.recipes.utils import finalize_manifests
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, resumable_download
 
-DEV_AUDIO_ZIP = (
-    "https://www.robots.ox.ac.uk/~vgg/data/voxconverse/data/voxconverse_dev_wav.zip"
-)
-TEST_AUDIO_ZIP = (
-    "https://www.robots.ox.ac.uk/~vgg/data/voxconverse/data/voxconverse_test_wav.zip"
-)
+DEV_AUDIO_ZIP = ("https://www.robots.ox.ac.uk/~vgg/data/voxconverse/data/voxconverse_dev_wav.zip")
+TEST_AUDIO_ZIP = ("https://www.robots.ox.ac.uk/~vgg/data/voxconverse/data/voxconverse_test_wav.zip")
 ANNOTATIONS_ZIP = "https://github.com/joonson/voxconverse/archive/master.zip"
 
 
@@ -41,9 +37,7 @@ def download_voxconverse(corpus_dir: Pathlike, force_download: bool = False):
     if marker.is_file() and not force_download:
         return
     _fetch_and_flatten(DEV_AUDIO_ZIP, corpus_dir, "dev.zip", "audio", "dev")
-    _fetch_and_flatten(
-        TEST_AUDIO_ZIP, corpus_dir, "test.zip", "voxconverse_test_wav", "test"
-    )
+    _fetch_and_flatten(TEST_AUDIO_ZIP, corpus_dir, "test.zip", "voxconverse_test_wav", "test")
     resumable_download(ANNOTATIONS_ZIP, corpus_dir / "annotations.zip")
     with zipfile.ZipFile(corpus_dir / "annotations.zip") as zf:
         zf.extractall(corpus_dir)
@@ -61,9 +55,7 @@ def _speaker_turns(rttm: Path):
 
 
 def prepare_voxconverse(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    split_test: bool = False,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, split_test: bool = False,
 ) -> Dict[str, Dict[str, object]]:
     """
     VoxConverse manifests.  With ``split_test`` the (larger) test release is
@@ -74,16 +66,13 @@ def prepare_voxconverse(
         test_wavs = sorted((corpus_dir / "test").glob("*.wav"))
         half = len(test_wavs) // 2
         splits = {
-            "train": sorted((corpus_dir / "dev").glob("*.wav")),
-            "dev": test_wavs[:half],
-            "test": test_wavs[half:],
-        }
+            "train": sorted((corpus_dir / "dev").glob("*.wav")), "dev": test_wavs[:half],
+            "test": test_wavs[half:]}
         rttm_dir_of = {"train": "dev", "dev": "test", "test": "test"}
     else:
         splits = {
             "dev": sorted((corpus_dir / "dev").glob("*.wav")),
-            "test": sorted((corpus_dir / "test").glob("*.wav")),
-        }
+            "test": sorted((corpus_dir / "test").glob("*.wav"))}
         rttm_dir_of = {"dev": "dev", "test": "test"}
 
     manifests = {}
@@ -106,7 +95,5 @@ def prepare_voxconverse(
                     )
                 )
         manifests[subset] = finalize_manifests(
-            recordings, supervisions, output_dir=output_dir,
-            prefix="voxconverse", part=subset,
-        )
+            recordings, supervisions, output_dir=output_dir, prefix="voxconverse", part=subset)
     return manifests

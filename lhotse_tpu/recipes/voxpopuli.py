@@ -24,30 +24,21 @@ from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, resumable_download, safe_extract
 
 LANGUAGES = (
-    "en", "de", "fr", "es", "pl", "it", "ro", "hu", "cs", "nl", "fi", "hr",
-    "sk", "sl", "et", "lt", "pt", "bg", "el", "lv", "mt", "sv", "da",
-)
+    "en", "de", "fr", "es", "pl", "it", "ro", "hu", "cs", "nl", "fi", "hr", "sk", "sl", "et", "lt",
+    "pt", "bg", "el", "lv", "mt", "sv", "da")
 LANGUAGES_V2 = tuple(f"{x}_v2" for x in LANGUAGES)
 YEARS = tuple(range(2009, 2021))
 ASR_LANGUAGES = (
-    "en", "de", "fr", "es", "pl", "it", "ro", "hu", "cs", "nl", "fi", "hr",
-    "sk", "sl", "et", "lt",
-)
+    "en", "de", "fr", "es", "pl", "it", "ro", "hu", "cs", "nl", "fi", "hr", "sk", "sl", "et", "lt")
 DOWNLOAD_BASE_URL = "https://dl.fbaipublicfiles.com/voxpopuli"
 
 _SUBSET_LANGS = {"400k": LANGUAGES, "100k": LANGUAGES, "10k": LANGUAGES, "asr": ("original",)}
 _SUBSET_YEARS = {
-    "400k": YEARS + tuple(f"{y}_2" for y in YEARS),
-    "100k": YEARS,
-    "10k": (2019, 2020),
-    "asr": YEARS,
-}
+    "400k": YEARS + tuple(f"{y}_2" for y in YEARS), "100k": YEARS, "10k": (2019, 2020),
+    "asr": YEARS}
 
 
-def download_voxpopuli(
-    target_dir: Pathlike = ".",
-    subset: Optional[str] = "asr",
-) -> Path:
+def download_voxpopuli(target_dir: Pathlike = ".", subset: Optional[str] = "asr") -> Path:
     """Fetch + untar the session audio tars for a subset or language."""
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
@@ -63,11 +54,7 @@ def download_voxpopuli(
             raise ValueError(f"Unknown VoxPopuli subset: {subset}")
     out_root = target_dir / "raw_audios"
     out_root.mkdir(exist_ok=True, parents=True)
-    urls = [
-        f"{DOWNLOAD_BASE_URL}/audios/{lang}_{year}.tar"
-        for lang in languages
-        for year in years
-    ]
+    urls = [f"{DOWNLOAD_BASE_URL}/audios/{lang}_{year}.tar" for lang in languages for year in years]
     logging.info(f"{len(urls)} files to download...")
     for url in urls:
         tar_path = out_root / Path(url).name
@@ -90,14 +77,9 @@ class RecordingIdFn:
 
 
 def prepare_voxpopuli(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
-    task: str = "asr",
-    lang: str = "en",
-    source_lang: Optional[str] = None,
-    target_lang: Optional[str] = None,
-    num_jobs: int = 1,
-) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None, task: str = "asr",
+    lang: str = "en", source_lang: Optional[str] = None, target_lang: Optional[str] = None,
+    num_jobs: int = 1) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     VoxPopuli manifests. Only the "asr" task is currently supported (the
     reference also stubs out "s2s" and "lm").
@@ -122,9 +104,7 @@ def prepare_voxpopuli(
         validate_recordings_and_supervisions(recordings, supervisions)
         pair["recordings"], pair["supervisions"] = recordings, supervisions
         if output_dir is not None:
-            recordings.to_file(
-                output_dir / f"voxpopuli-{task}-{lang}_recordings_{split}.jsonl.gz"
-            )
+            recordings.to_file(output_dir / f"voxpopuli-{task}-{lang}_recordings_{split}.jsonl.gz")
             supervisions.to_file(
                 output_dir / f"voxpopuli-{task}-{lang}_supervisions_{split}.jsonl.gz"
             )
@@ -132,15 +112,12 @@ def prepare_voxpopuli(
 
 
 def _prepare_asr(
-    corpus_dir: Path, output_dir: Optional[Path], lang: str, num_jobs: int = 1
+    corpus_dir: Path, output_dir: Optional[Path], lang: str, num_jobs: int = 1,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     logging.info("Preparing recordings (this may take a few minutes)...")
     recordings = RecordingSet.from_dir(
-        corpus_dir / "raw_audios" / lang,
-        "*.ogg",
-        num_jobs=num_jobs,
-        recording_id=RecordingIdFn(language=lang),
-    )
+        corpus_dir / "raw_audios" / lang, "*.ogg", num_jobs=num_jobs,
+        recording_id=RecordingIdFn(language=lang))
 
     # Segment annotations ship separately as a per-language TSV.
     url = f"{DOWNLOAD_BASE_URL}/annotations/asr/asr_{lang}.tsv.gz"
@@ -180,6 +157,5 @@ def _prepare_asr(
         wanted = {s.recording_id for s in per_split[split]}
         manifests[split] = {
             "recordings": recordings.filter(lambda r: r.id in wanted),
-            "supervisions": SupervisionSet.from_segments(per_split[split]),
-        }
+            "supervisions": SupervisionSet.from_segments(per_split[split])}
     return manifests

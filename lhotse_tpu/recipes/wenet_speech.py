@@ -21,36 +21,20 @@ WENET_SPEECH_PARTS = ("L", "M", "S", "DEV", "TEST_NET", "TEST_MEETING")
 
 
 def parse_utterance(
-    audio: Any, root_path: Path, subsets: Sequence[str]
+    audio: Any, root_path: Path, subsets: Sequence[str],
 ) -> Tuple[Recording, Dict[str, List[SupervisionSegment]]]:
     sampling_rate = 16000
     recording = Recording(
         id=audio["aid"],
-        sources=[
-            AudioSource(
-                type="file",
-                channels=[0],
-                source=str(Path(root_path) / audio["path"]),
-            )
-        ],
-        num_samples=compute_num_samples(
-            duration=audio["duration"], sampling_rate=sampling_rate
-        ),
-        sampling_rate=sampling_rate,
-        duration=audio["duration"],
-    )
+        sources=[ AudioSource( type="file", channels=[0], source=str(Path(root_path) / audio["path"]), ) ],
+        num_samples=compute_num_samples( duration=audio["duration"], sampling_rate=sampling_rate ),
+        sampling_rate=sampling_rate, duration=audio["duration"])
     segments: Dict[str, List[SupervisionSegment]] = {sub: [] for sub in subsets}
     for seg in audio["segments"]:
         segment = SupervisionSegment(
-            id=seg["sid"],
-            recording_id=audio["aid"],
-            start=seg["begin_time"],
-            duration=add_durations(
-                seg["end_time"], -seg["begin_time"], sampling_rate=sampling_rate
-            ),
-            language="Chinese",
-            text=seg["text"].strip(),
-        )
+            id=seg["sid"], recording_id=audio["aid"], start=seg["begin_time"],
+            duration=add_durations( seg["end_time"], -seg["begin_time"], sampling_rate=sampling_rate ),
+            language="Chinese", text=seg["text"].strip())
         for sub in seg["subsets"]:
             if sub in segments:
                 segments[sub].append(segment)
@@ -58,10 +42,8 @@ def parse_utterance(
 
 
 def prepare_wenet_speech(
-    corpus_dir: Pathlike,
-    dataset_parts: Union[str, Sequence[str]] = "all",
-    output_dir: Optional[Pathlike] = None,
-    num_jobs: int = 1,
+    corpus_dir: Pathlike, dataset_parts: Union[str, Sequence[str]] = "all",
+    output_dir: Optional[Pathlike] = None, num_jobs: int = 1,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """Per-subset manifests from the corpus-wide JSON metadata."""
     corpus_dir = Path(corpus_dir)
@@ -71,9 +53,7 @@ def prepare_wenet_speech(
         output_dir.mkdir(parents=True, exist_ok=True)
     if isinstance(dataset_parts, str):
         dataset_parts = [dataset_parts]
-    subsets = (
-        WENET_SPEECH_PARTS if "all" in dataset_parts else tuple(dataset_parts)
-    )
+    subsets = (WENET_SPEECH_PARTS if "all" in dataset_parts else tuple(dataset_parts))
     for sub in subsets:
         if sub not in WENET_SPEECH_PARTS:
             raise ValueError(f"No such part of dataset in WenetSpeech: {sub}")
@@ -85,11 +65,8 @@ def prepare_wenet_speech(
 
     collected = {sub: {"recordings": [], "supervisions": []} for sub in subsets}
     for recording, segments in parallel_map(
-        lambda audio: parse_utterance(audio, corpus_dir, subsets),
-        raw_manifests["audios"],
-        num_jobs=num_jobs,
-        threads=True,
-    ):
+        lambda audio: parse_utterance(audio, corpus_dir, subsets), raw_manifests["audios"],
+        num_jobs=num_jobs, threads=True):
         for part, segs in segments.items():
             if segs:
                 collected[part]["recordings"].append(recording)
@@ -99,15 +76,10 @@ def prepare_wenet_speech(
     for sub in subsets:
         recordings, supervisions = fix_manifests(
             recordings=RecordingSet.from_recordings(collected[sub]["recordings"]),
-            supervisions=SupervisionSet.from_segments(
-                collected[sub]["supervisions"]
-            ),
-        )
+            supervisions=SupervisionSet.from_segments( collected[sub]["supervisions"] ))
         validate_recordings_and_supervisions(recordings, supervisions)
         if output_dir is not None:
             recordings.to_file(output_dir / f"wenetspeech_recordings_{sub}.jsonl.gz")
-            supervisions.to_file(
-                output_dir / f"wenetspeech_supervisions_{sub}.jsonl.gz"
-            )
+            supervisions.to_file(output_dir / f"wenetspeech_supervisions_{sub}.jsonl.gz")
         manifests[sub] = {"recordings": recordings, "supervisions": supervisions}
     return dict(manifests)

@@ -19,10 +19,8 @@ WHAM_URL = "https://storage.googleapis.com/whisper-public/wham_noise.zip"
 
 
 def download_wham(
-    target_dir: Pathlike = ".",
-    url: Optional[str] = WHAM_URL,
-    force_download: Optional[bool] = False,
-) -> Path:
+    target_dir: Pathlike = ".", url: Optional[str] = WHAM_URL,
+    force_download: Optional[bool] = False) -> Path:
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
     corpus_dir = target_dir / "wham_noise"
@@ -40,8 +38,7 @@ def download_wham(
 
 
 def prepare_wham(
-    corpus_dir: Pathlike,
-    output_dir: Optional[Pathlike] = None,
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """Per-split (tr/cv/tt) WHAM! noise recording manifests."""
     corpus_dir = Path(corpus_dir)

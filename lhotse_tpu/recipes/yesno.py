@@ -24,10 +24,8 @@ _WORD_MAP = {"0": "NO", "1": "YES"}
 
 
 def download_yesno(
-    target_dir: Pathlike = ".",
-    force_download: Optional[bool] = False,
-    url: Optional[str] = _DEFAULT_URL,
-) -> Path:
+    target_dir: Pathlike = ".", force_download: Optional[bool] = False,
+    url: Optional[str] = _DEFAULT_URL) -> Path:
     """Download and untar the corpus; returns the waves_yesno directory."""
     target_dir = Path(target_dir)
     target_dir.mkdir(parents=True, exist_ok=True)
@@ -45,9 +43,7 @@ def download_yesno(
     return extracted_dir
 
 
-def _make_manifests(
-    wavs: List[Path],
-) -> Tuple[RecordingSet, SupervisionSet]:
+def _make_manifests(wavs: List[Path],) -> Tuple[RecordingSet, SupervisionSet]:
     recordings, supervisions = [], []
     for audio_path in wavs:
         words = audio_path.stem.split("_")
@@ -68,15 +64,13 @@ def _make_manifests(
             )
         )
     rs, ss = fix_manifests(
-        RecordingSet.from_recordings(recordings),
-        SupervisionSet.from_segments(supervisions),
-    )
+        RecordingSet.from_recordings(recordings), SupervisionSet.from_segments(supervisions))
     validate_recordings_and_supervisions(rs, ss)
     return rs, ss
 
 
 def prepare_yesno(
-    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None
+    corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     Prepare train/test manifests (first 30 sorted wavs = train, rest = test).

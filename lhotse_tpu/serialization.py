@@ -202,9 +202,7 @@ class MSCIOBackend(IOBackend):
         import os as _os
 
         forced = _os.environ.get("LHOTSE_MSC_BACKEND_FORCED", "").lower() == "true"
-        return str(identifier).startswith(self.PREFIX) or (
-            forced and is_valid_url(str(identifier))
-        )
+        return str(identifier).startswith(self.PREFIX) or (forced and is_valid_url(str(identifier)))
 
 
 class TarAsDirBackend(IOBackend):
@@ -238,9 +236,7 @@ class TarAsDirBackend(IOBackend):
                 raise KeyError(internal)
             return member
         except (tarfile.TarError, KeyError) as e:
-            raise FileNotFoundError(
-                f"File '{internal}' not found in '{tar_path}': {e}"
-            )
+            raise FileNotFoundError(f"File '{internal}' not found in '{tar_path}': {e}")
 
     def is_applicable(self, identifier: str) -> bool:
         return self._split(str(identifier)) is not None
@@ -269,9 +265,7 @@ CURRENT_IO_BACKEND: Optional[IOBackend] = None
 
 
 def available_io_backends() -> List[str]:
-    return sorted(
-        name for name, b in IOBackend.KNOWN_BACKENDS.items() if b.is_available()
-    )
+    return sorted(name for name, b in IOBackend.KNOWN_BACKENDS.items() if b.is_available())
 
 
 def set_current_io_backend(backend: Union[str, IOBackend]) -> None:
@@ -292,21 +286,14 @@ def get_current_io_backend() -> IOBackend:
 
 def get_default_io_backend() -> IOBackend:
     """Composite fallback chain (reference: serialization.py:1157)."""
-    backends = [
-        RedirectIOBackend(),
-        PipeIOBackend(),
-        TarAsDirBackend(),
-    ]
+    backends = [RedirectIOBackend(), PipeIOBackend(), TarAsDirBackend()]
     if MSCIOBackend.is_available():
         backends.append(MSCIOBackend())
     if AIStoreIOBackend.is_available():
         backends.append(AIStoreIOBackend())
     if SmartOpenIOBackend.is_available():
         backends.append(SmartOpenIOBackend())
-    backends += [
-        GzipIOBackend(),
-        BuiltinIOBackend(),
-    ]
+    backends += [GzipIOBackend(), BuiltinIOBackend()]
     return CompositeIOBackend(backends)
 
 
@@ -564,7 +551,7 @@ class JsonlMixin:
 
     @classmethod
     def open_writer(
-        cls, path: Union[Pathlike, None], overwrite: bool = True
+        cls, path: Union[Pathlike, None], overwrite: bool = True,
     ) -> Union[SequentialJsonlWriter, InMemoryWriter]:
         """
         Open a sequential writer that allows to store the manifests one by one,
@@ -645,12 +632,8 @@ def load_manifest(path: Pathlike, manifest_cls: Optional[Type] = None) -> Manife
 
 
 def load_manifest_lazy(
-    path: Pathlike,
-    indexed: Optional[bool] = None,
-    shuffle: bool = False,
-    seed: int = 0,
-    index_path: Optional[Pathlike] = None,
-) -> Optional[Manifest]:
+    path: Pathlike, indexed: Optional[bool] = None, shuffle: bool = False, seed: int = 0,
+    index_path: Optional[Pathlike] = None) -> Optional[Manifest]:
     """
     Generic utility for reading an arbitrary manifest from a JSONL file lazily
     (reference: serialization.py:490). Returns None when the manifest is empty.
@@ -686,25 +669,18 @@ def load_manifest_lazy(
 
 
 def load_manifest_lazy_or_eager(
-    path: Pathlike,
-    manifest_cls=None,
-    indexed: Optional[bool] = None,
-    shuffle: bool = False,
-    seed: int = 0,
-    index_path: Optional[Pathlike] = None,
-) -> Optional[Manifest]:
+    path: Pathlike, manifest_cls=None, indexed: Optional[bool] = None, shuffle: bool = False,
+    seed: int = 0, index_path: Optional[Pathlike] = None) -> Optional[Manifest]:
     """
     Generic utility for reading an arbitrary manifest: JSONL opens lazily,
     other formats open eagerly.
     """
     if extension_contains(".jsonl", path) or str(path) == "-":
         out = load_manifest_lazy(
-            path, indexed=indexed, shuffle=shuffle, seed=seed, index_path=index_path
-        )
+            path, indexed=indexed, shuffle=shuffle, seed=seed, index_path=index_path)
         if manifest_cls is not None and out is not None:
             assert isinstance(
-                out, manifest_cls
-            ), f"Expected {manifest_cls} but got {type(out)} from {path}"
+                out, manifest_cls), f"Expected {manifest_cls} but got {type(out)} from {path}"
         return out
     return load_manifest(path, manifest_cls=manifest_cls)
 
@@ -713,13 +689,7 @@ def resolve_manifest_set_class(item):
     """Returns the Set class corresponding to the provided manifest item type
     (reference: serialization.py:570)."""
     from lhotse_tpu import (
-        Features,
-        FeatureSet,
-        Recording,
-        RecordingSet,
-        SupervisionSegment,
-        SupervisionSet,
-    )
+        Features, FeatureSet, Recording, RecordingSet, SupervisionSegment, SupervisionSet)
     from lhotse_tpu.cut import Cut, CutSet
 
     if isinstance(item, Recording):
@@ -753,22 +723,12 @@ def store_manifest(manifest: Manifest, path: Pathlike) -> None:
 class Serializable(JsonMixin, JsonlMixin, LazyMixin, YamlMixin):
     @classmethod
     def from_file(
-        cls,
-        path: Pathlike,
-        indexed: Optional[bool] = None,
-        shuffle: bool = False,
-        seed: int = 0,
-        index_path: Optional[Pathlike] = None,
-    ) -> Manifest:
+        cls, path: Pathlike, indexed: Optional[bool] = None, shuffle: bool = False, seed: int = 0,
+        index_path: Optional[Pathlike] = None) -> Manifest:
         """Read a manifest from a file (JSONL lazy; JSON/YAML eager)."""
         return load_manifest_lazy_or_eager(
-            path,
-            manifest_cls=cls,
-            indexed=indexed,
-            shuffle=shuffle,
-            seed=seed,
-            index_path=index_path,
-        )
+            path, manifest_cls=cls, indexed=indexed, shuffle=shuffle, seed=seed,
+            index_path=index_path)
 
     def to_file(self, path: Pathlike) -> None:
         store_manifest(self, path)
@@ -801,9 +761,7 @@ def deserialize_item(data: dict) -> Any:
     if cut_type == "MultiCut":
         return MultiCut.from_dict(data)
     if cut_type == "Cut":
-        warnings.warn(
-            "Manifest uses legacy cut type name 'Cut'; interpreting as MonoCut."
-        )
+        warnings.warn("Manifest uses legacy cut type name 'Cut'; interpreting as MonoCut.")
         return MonoCut.from_dict(data)
     if cut_type == "MixedCut":
         return MixedCut.from_dict(data)

@@ -61,9 +61,7 @@ def read_payload(pointer: str) -> bytes:
     """Single ranged read of the payload bytes a pointer refers to."""
     tar_path, offset, end_offset = decode_pointer(pointer)
     if end_offset <= offset:
-        raise RuntimeError(
-            f"Shar pointer {pointer!r} points at a placeholder (.nodata) member."
-        )
+        raise RuntimeError(f"Shar pointer {pointer!r} points at a placeholder (.nodata) member.")
     fh, fh_lock = _get_handle(tar_path)
     with fh_lock:
         fh.seek(offset)

@@ -24,18 +24,9 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 from lhotse_tpu.cut import Cut
 from lhotse_tpu.dataset.dataloading import PartitionedIndexedIterator, resolve_seed
 from lhotse_tpu.indexing import (
-    create_jsonl_index,
-    create_tar_index,
-    index_exists,
-    validate_indexed_access,
-)
+    create_jsonl_index, create_tar_index, index_exists, validate_indexed_access)
 from lhotse_tpu.lazy import (
-    IteratorNode,
-    LazyIteratorChain,
-    attach_graph_origin,
-    is_dill_enabled,
-    normalize_graph_token,
-)
+    IteratorNode, LazyIteratorChain, attach_graph_origin, is_dill_enabled, normalize_graph_token)
 from lhotse_tpu.serialization import deserialize_item, extension_contains
 from lhotse_tpu.shar.readers.lazy import _discover_fields
 from lhotse_tpu.utils import Pathlike, exactly_one_not_null, is_valid_url
@@ -53,8 +44,7 @@ def _suffixed_index_path(index_dir: Pathlike, data_path: Pathlike) -> Pathlike:
 
 
 def _mirror_under_root(
-    streams: Dict[str, Sequence[Pathlike]], indexes_root: Pathlike
-) -> Dict[str, List[Pathlike]]:
+    streams: Dict[str, Sequence[Pathlike]], indexes_root: Pathlike) -> Dict[str, List[Pathlike]]:
     """Map every shard data path to ``<root>/<path-without-scheme>.idx``."""
     root = Path(indexes_root)
     mirrored: Dict[str, List[Pathlike]] = {}
@@ -81,14 +71,10 @@ class ShardCatalog:
     """
 
     def __init__(
-        self,
-        *,
-        fields: Optional[Dict[str, Sequence[Pathlike]]] = None,
+        self, *, fields: Optional[Dict[str, Sequence[Pathlike]]] = None,
         in_dir: Optional[Pathlike] = None,
         index_path: Optional[Union[Pathlike, Dict[str, Sequence[Pathlike]]]] = None,
-        indexes_root: Optional[Pathlike] = None,
-        create_missing_indexes: bool = True,
-    ) -> None:
+        indexes_root: Optional[Pathlike] = None, create_missing_indexes: bool = True) -> None:
         if index_path is not None and indexes_root is not None:
             raise ValueError(
                 "ShardCatalog accepts 'index_path' (explicit locations) or "
@@ -126,9 +112,8 @@ class ShardCatalog:
         from lhotse_tpu.indexing import IndexedJsonlReader
 
         self._cut_readers = [
-            IndexedJsonlReader(p, index_path=self.index_for("cuts", i))
-            for i, p in enumerate(self.streams["cuts"])
-        ]
+            IndexedJsonlReader(p, index_path=self.index_for("cuts", i)) for i,
+            p in enumerate(self.streams["cuts"])]
         lengths = [len(r) for r in self._cut_readers]
         self._first_flat: List[int] = []
         acc = 0
@@ -146,9 +131,8 @@ class ShardCatalog:
         if from_dir:
             # A single directory: every shard's index is <dir>/<file>.idx.
             return {
-                f: [_suffixed_index_path(index_path, p) for p in paths]
-                for f, paths in self.streams.items()
-            }
+                f: [_suffixed_index_path(index_path, p) for p in paths] for f,
+                paths in self.streams.items()}
         if not isinstance(index_path, dict):
             raise TypeError(
                 "With 'fields', 'index_path' must map field names to lists of "
@@ -186,9 +170,7 @@ class ShardCatalog:
                         f"{where} has no index file "
                         f"(looked at {idx if idx is not None else str(path) + '.idx'})."
                     )
-                (create_jsonl_index if kind == "jsonl" else create_tar_index)(
-                    path, output_path=idx
-                )
+                (create_jsonl_index if kind == "jsonl" else create_tar_index)(path, output_path=idx)
 
     # -- addressing -------------------------------------------------------------
 
@@ -197,9 +179,7 @@ class ShardCatalog:
         if flat < 0:
             flat += self.total
         if not 0 <= flat < self.total:
-            raise IndexError(
-                f"Cut index {flat} outside the catalog's {self.total} cuts."
-            )
+            raise IndexError(f"Cut index {flat} outside the catalog's {self.total} cuts.")
         shard = bisect.bisect_right(self._first_flat, flat) - 1
         return shard, flat - self._first_flat[shard]
 
@@ -237,9 +217,8 @@ class ShardCatalog:
         from lhotse_tpu.indexing import IndexedJsonlReader
 
         self._cut_readers = [
-            IndexedJsonlReader(p, index_path=self.index_for("cuts", i))
-            for i, p in enumerate(self.streams["cuts"])
-        ]
+            IndexedJsonlReader(p, index_path=self.index_for("cuts", i)) for i,
+            p in enumerate(self.streams["cuts"])]
 
 
 class LazyIndexedSharIterator(IteratorNode):
@@ -267,24 +246,14 @@ class LazyIndexedSharIterator(IteratorNode):
     is_checkpointable = True
 
     def __init__(
-        self,
-        fields: Optional[Dict[str, Sequence[Pathlike]]] = None,
-        in_dir: Optional[Pathlike] = None,
-        *,
-        shuffle: bool = False,
-        seed: Union[int, str] = 42,
+        self, fields: Optional[Dict[str, Sequence[Pathlike]]] = None,
+        in_dir: Optional[Pathlike] = None, *, shuffle: bool = False, seed: Union[int, str] = 42,
         split_for_dataloading: bool = False,
         index_path: Optional[Union[Pathlike, Dict[str, Sequence[Pathlike]]]] = None,
-        indexes_root: Optional[Pathlike] = None,
-        lazy: bool = False,
-    ) -> None:
+        indexes_root: Optional[Pathlike] = None, lazy: bool = False) -> None:
         self.in_dir = Path(in_dir) if in_dir is not None else None
         self.catalog = ShardCatalog(
-            fields=fields,
-            in_dir=in_dir,
-            index_path=index_path,
-            indexes_root=indexes_root,
-        )
+            fields=fields, in_dir=in_dir, index_path=index_path, indexes_root=indexes_root)
         self.shuffle = shuffle
         self.seed = seed
         self.split_for_dataloading = split_for_dataloading
@@ -294,9 +263,7 @@ class LazyIndexedSharIterator(IteratorNode):
         # PartitionedIndexedIterator (it refuses resume under a different
         # world_size/num_workers, where stride-split would silently diverge).
         self._iter_state = PartitionedIndexedIterator(
-            shuffle=shuffle,
-            seed=resolve_seed(seed) if isinstance(seed, int) else 0,
-        )
+            shuffle=shuffle, seed=resolve_seed(seed) if isinstance(seed, int) else 0)
 
     # -- compat accessors used elsewhere in the package -------------------------
 
@@ -314,22 +281,15 @@ class LazyIndexedSharIterator(IteratorNode):
 
     @classmethod
     def supports_configuration(
-        cls,
-        *,
-        fields: Optional[Dict[str, Sequence[Pathlike]]] = None,
+        cls, *, fields: Optional[Dict[str, Sequence[Pathlike]]] = None,
         in_dir: Optional[Pathlike] = None,
         index_path: Optional[Union[Pathlike, Dict[str, Sequence[Pathlike]]]] = None,
-        indexes_root: Optional[Pathlike] = None,
-    ) -> bool:
+        indexes_root: Optional[Pathlike] = None) -> bool:
         """True when every shard is seekable and already has its index."""
         try:
             ShardCatalog(
-                fields=fields,
-                in_dir=in_dir,
-                index_path=index_path,
-                indexes_root=indexes_root,
-                create_missing_indexes=False,
-            )
+                fields=fields, in_dir=in_dir, index_path=index_path, indexes_root=indexes_root,
+                create_missing_indexes=False)
             return True
         except (AssertionError, TypeError, ValueError, FileNotFoundError, RuntimeError):
             return False
@@ -353,9 +313,7 @@ class LazyIndexedSharIterator(IteratorNode):
         epoch_tag = self.epoch
         if isinstance(token, tuple):
             if len(token) != 2:
-                raise TypeError(
-                    f"Expected an int or (flat_index, shar_epoch) token, got {token!r}"
-                )
+                raise TypeError(f"Expected an int or (flat_index, shar_epoch) token, got {token!r}")
             token, epoch_tag = token
         shard, pos = self.catalog.split_flat(token)
         cut = deserialize_item(self.catalog.read_cut_record(shard, pos))
@@ -384,8 +342,7 @@ class LazyIndexedSharIterator(IteratorNode):
             from lhotse_tpu.shar.utils import fill_shar_placeholder_lazy
 
             fill_shar_placeholder_lazy(
-                cut, field=field, tar_path=str(reader.path), offset=lo, end_offset=hi
-            )
+                cut, field=field, tar_path=str(reader.path), offset=lo, end_offset=hi)
             return
         manifest, member_path = reader[pos]
         if manifest is None:

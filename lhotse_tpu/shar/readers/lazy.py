@@ -7,26 +7,12 @@ Reference behavior: `/root/reference/lhotse/shar/readers/lazy.py`
 """
 import random
 from pathlib import Path
-from typing import (
-    Callable,
-    Dict,
-    Generator,
-    List,
-    Optional,
-    Sequence,
-    Tuple,
-    Union,
-)
+from typing import (Callable, Dict, Generator, List, Optional, Sequence, Tuple, Union)
 
 from lhotse_tpu.cut import Cut
 from lhotse_tpu.dataset.dataloading import resolve_seed
 from lhotse_tpu.lazy import (
-    IteratorNode,
-    LazyIteratorChain,
-    LazyJsonlIterator,
-    LazyManifestIterator,
-    count_newlines_fast,
-)
+    IteratorNode, LazyIteratorChain, LazyJsonlIterator, LazyManifestIterator, count_newlines_fast)
 from lhotse_tpu.serialization import extension_contains
 from lhotse_tpu.shar.readers.tar import TarIterator
 from lhotse_tpu.utils import Pathlike, exactly_one_not_null, ifnone
@@ -95,16 +81,11 @@ class LazySharIterator(IteratorNode):
     is_checkpointable = True
 
     def __init__(
-        self,
-        fields: Optional[Dict[str, Sequence[Pathlike]]] = None,
-        in_dir: Optional[Pathlike] = None,
-        split_for_dataloading: bool = False,
-        shuffle_shards: bool = False,
-        stateful_shuffle: bool = True,
-        seed: Union[int, str] = 42,
+        self, fields: Optional[Dict[str, Sequence[Pathlike]]] = None,
+        in_dir: Optional[Pathlike] = None, split_for_dataloading: bool = False,
+        shuffle_shards: bool = False, stateful_shuffle: bool = True, seed: Union[int, str] = 42,
         cut_map_fns: Optional[Sequence[Callable[[Cut], Cut]]] = None,
-        slice_length: Optional[int] = None,
-    ) -> None:
+        slice_length: Optional[int] = None) -> None:
         assert exactly_one_not_null(fields, in_dir), (
             "To read the Shar format, provide either 'in_dir' or 'fields' argument."
         )
@@ -197,24 +178,16 @@ class LazySharIterator(IteratorNode):
             self._current_shard_idx, self._position_in_shard = i, 0
             yield from self._iter_shard(
                 self.shards[orig_idx],
-                cut_map_fn=map_fns[orig_idx] if map_fns is not None else None,
-                rng=rng,
-                skip=skip_in_shard if i == start_shard else 0,
-            )
+                cut_map_fn=map_fns[orig_idx] if map_fns is not None else None, rng=rng,
+                skip=skip_in_shard if i == start_shard else 0)
 
         self.epoch += 1
 
     def _open_field_streams(self, shard: dict) -> dict:
         """field -> iterator of (manifest-or-None, member path) pairs."""
         return {
-            field: (
-                TarIterator(path)
-                if extension_contains(".tar", path)
-                else _jsonl_tar_adaptor(LazyJsonlIterator(path), field=field)
-            )
-            for field, path in shard.items()
-            if field != "cuts"
-        }
+            field: ( TarIterator(path) if extension_contains(".tar", path) else _jsonl_tar_adaptor(LazyJsonlIterator(path), field=field) ) for field,
+            path in shard.items() if field != "cuts"}
 
     def _attach(self, cut, field_streams, field_data) -> None:
         for field, (manifest, member_path) in zip(field_streams, field_data):
@@ -260,17 +233,11 @@ class LazySharIterator(IteratorNode):
 
     # (state_dict key, attribute, default) for checkpointing.
     _STATE_FIELDS = (
-        ("epoch", "epoch", 0),
-        ("current_shard_idx", "_current_shard_idx", 0),
-        ("position_in_shard", "_position_in_shard", 0),
-        ("shard_order", "_shard_order", None),
-    )
+        ("epoch", "epoch", 0), ("current_shard_idx", "_current_shard_idx", 0),
+        ("position_in_shard", "_position_in_shard", 0), ("shard_order", "_shard_order", None))
 
     def state_dict(self) -> dict:
-        return {
-            key: getattr(self, attr, default)
-            for key, attr, default in self._STATE_FIELDS
-        }
+        return {key: getattr(self, attr, default) for key, attr, default in self._STATE_FIELDS}
 
     def load_state_dict(self, sd: dict) -> None:
         for key, attr, _ in self._STATE_FIELDS:
@@ -287,7 +254,7 @@ class LazySharIterator(IteratorNode):
 
 
 def _jsonl_tar_adaptor(
-    jsonl_iter: LazyJsonlIterator, field: str
+    jsonl_iter: LazyJsonlIterator, field: str,
 ) -> Generator[Tuple[Optional[dict], Path], None, None]:
     """Adapt LazyJsonlIterator output to TarIterator's (item, path) shape."""
     for item in jsonl_iter:

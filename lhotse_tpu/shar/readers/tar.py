@@ -61,8 +61,7 @@ def iterate_tarfile_pairwise(
 
 
 def parse_tarinfo(
-    tarinfo: tarfile.TarInfo, tar_file: tarfile.TarFile
-) -> Tuple[Optional[bytes], Path]:
+    tarinfo: tarfile.TarInfo, tar_file: tarfile.TarFile) -> Tuple[Optional[bytes], Path]:
     """Read a member's bytes (None for .nodata/.nometa placeholders)."""
     path = Path(tarinfo.path)
     if path.suffix == ".nodata" or path.suffix == ".nometa":
@@ -72,10 +71,7 @@ def parse_tarinfo(
 
 
 def parse_tar_sample(
-    data: Optional[bytes],
-    data_name: str,
-    meta_bytes: Optional[bytes],
-    meta_name: str,
+    data: Optional[bytes], data_name: str, meta_bytes: Optional[bytes], meta_name: str,
 ) -> Tuple[Optional[Manifest], Path]:
     """
     Decode one (data member, metadata member) pair that was read directly by

@@ -12,11 +12,7 @@ def worker_info(group=None):
     """Return ``(rank, world_size, worker, num_workers)``."""
     import os
 
-    from lhotse_tpu.dataset.dataloading import (
-        get_rank,
-        get_worker_info,
-        get_world_size,
-    )
+    from lhotse_tpu.dataset.dataloading import (get_rank, get_worker_info, get_world_size)
 
     rank = get_rank()
     world_size = get_world_size()

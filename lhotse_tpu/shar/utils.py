@@ -40,9 +40,7 @@ def to_shar_placeholder(manifest: Manifest, cut: Optional[Cut] = None) -> Manife
         span = manifest.duration if cut is None else cut.duration
         return fastcopy(manifest, start=0, duration=span, **_BLANK_STORAGE)
     if isinstance(manifest, TemporalArray):
-        return fastcopy(
-            manifest, start=0, array=fastcopy(manifest.array, **_BLANK_STORAGE)
-        )
+        return fastcopy(manifest, start=0, array=fastcopy(manifest.array, **_BLANK_STORAGE))
     if isinstance(manifest, Array):
         return fastcopy(manifest, **_BLANK_STORAGE)
     raise RuntimeError(f"Unexpected manifest type: {type(manifest)}")
@@ -81,11 +79,8 @@ def _sole_source(recording: Recording) -> AudioSource:
 
 @_unwrap_cut
 def fill_shar_placeholder(
-    manifest: Union[Cut, Recording, Features, Array, TemporalArray],
-    data: bytes = None,
-    tarpath: Pathlike = None,
-    field: Optional[str] = None,
-) -> None:
+    manifest: Union[Cut, Recording, Features, Array, TemporalArray], data: bytes = None,
+    tarpath: Pathlike = None, field: Optional[str] = None) -> None:
     """Attach in-memory ``data`` bytes to a shar placeholder manifest."""
     tarpath = Path(tarpath)
     if isinstance(manifest, Recording):
@@ -103,13 +98,8 @@ def fill_shar_placeholder(
 
 @_unwrap_cut
 def fill_shar_placeholder_lazy(
-    manifest: Union[Cut, Recording, Features, Array, TemporalArray],
-    *,
-    tar_path: Pathlike = None,
-    offset: int = None,
-    end_offset: int = None,
-    field: Optional[str] = None,
-) -> None:
+    manifest: Union[Cut, Recording, Features, Array, TemporalArray], *, tar_path: Pathlike = None,
+    offset: int = None, end_offset: int = None, field: Optional[str] = None) -> None:
     """
     Lazy variant: instead of inlining bytes, encode a Shar lazy pointer
     ``<tar_path>?o=<offset>&e=<end_offset>`` (a *payload* byte range from the

@@ -28,22 +28,13 @@ class ArrayTarWriter(TarBackedWriter):
     """
 
     def __init__(
-        self,
-        pattern: str,
-        shard_size: Optional[int] = 1000,
-        compression: str = "numpy",
-        lilcom_tick_power: int = -5,
-        shard_offset: int = 0,
-        on_shard_complete: Optional[Callable[[str], None]] = None,
-    ):
+        self, pattern: str, shard_size: Optional[int] = 1000, compression: str = "numpy",
+        lilcom_tick_power: int = -5, shard_offset: int = 0,
+        on_shard_complete: Optional[Callable[[str], None]] = None):
         if compression not in ("numpy", "lilcom"):
-            raise AssertionError(
-                f"Unknown compression: {compression} (supported: numpy, lilcom)"
-            )
+            raise AssertionError(f"Unknown compression: {compression} (supported: numpy, lilcom)")
         super().__init__(
-            pattern, shard_size,
-            shard_offset=shard_offset, on_shard_complete=on_shard_complete,
-        )
+            pattern, shard_size, shard_offset=shard_offset, on_shard_complete=on_shard_complete)
         self.compression = compression
         self.lilcom_tick_power = lilcom_tick_power
 
@@ -51,9 +42,7 @@ class ArrayTarWriter(TarBackedWriter):
         """-> (extension, BytesIO) under the configured compression."""
         if self.compression == "lilcom":
             if not np.issubdtype(value.dtype, np.floating):
-                raise AssertionError(
-                    "Lilcom compression supports only floating-point arrays."
-                )
+                raise AssertionError("Lilcom compression supports only floating-point arrays.")
             from lhotse_tpu.codecs.lilcom_codec import compress
 
             return ".llc", BytesIO(compress(value, tick_power=self.lilcom_tick_power))
@@ -62,11 +51,7 @@ class ArrayTarWriter(TarBackedWriter):
         return ".npy", stream
 
     def write(
-        self,
-        key: str,
-        value: np.ndarray,
-        manifest: Union[Features, Array, TemporalArray],
-    ) -> None:
+        self, key: str, value: np.ndarray, manifest: Union[Features, Array, TemporalArray]) -> None:
         ext, stream = self._encode(value)
         self.tar_writer.write(key + ext, stream)
         self._write_manifest(key, manifest)

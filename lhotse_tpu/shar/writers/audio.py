@@ -28,17 +28,10 @@ class AudioTarWriter(TarBackedWriter):
     """
 
     def __init__(
-        self,
-        pattern: str,
-        shard_size: Optional[int] = 1000,
-        format: str = "flac",
-        shard_offset: int = 0,
-        on_shard_complete: Optional[Callable[[str], None]] = None,
-    ):
+        self, pattern: str, shard_size: Optional[int] = 1000, format: str = "flac",
+        shard_offset: int = 0, on_shard_complete: Optional[Callable[[str], None]] = None):
         super().__init__(
-            pattern, shard_size,
-            shard_offset=shard_offset, on_shard_complete=on_shard_complete,
-        )
+            pattern, shard_size, shard_offset=shard_offset, on_shard_complete=on_shard_complete)
         self.format = format
 
     def resolve_format(self, original_format: Optional[str]) -> str:
@@ -48,17 +41,11 @@ class AudioTarWriter(TarBackedWriter):
         return original_format if original_format is not None else "wav"
 
     def write(
-        self,
-        key: str,
-        value: np.ndarray,
-        sampling_rate: int,
-        manifest: Recording,
-        original_format: Optional[str] = None,
-    ) -> None:
+        self, key: str, value: np.ndarray, sampling_rate: int, manifest: Recording,
+        original_format: Optional[str] = None) -> None:
         stream = BytesIO()
         save_audio(
             dest=stream, src=value, sampling_rate=sampling_rate,
-            format=self.resolve_format(original_format),
-        )
+            format=self.resolve_format(original_format))
         self.tar_writer.write(f"{key}.{self.format}", stream)
         self._write_manifest(key, manifest)

@@ -18,18 +18,10 @@ class TarBackedWriter:
     (or ``.nodata``/``.nometa`` placeholder pairs)."""
 
     def __init__(
-        self,
-        pattern: str,
-        shard_size: Optional[int] = 1000,
-        shard_offset: int = 0,
-        on_shard_complete: Optional[Callable[[str], None]] = None,
-    ):
+        self, pattern: str, shard_size: Optional[int] = 1000, shard_offset: int = 0,
+        on_shard_complete: Optional[Callable[[str], None]] = None):
         self.tar_writer = TarWriter(
-            pattern,
-            shard_size,
-            shard_offset=shard_offset,
-            on_shard_complete=on_shard_complete,
-        )
+            pattern, shard_size, shard_offset=shard_offset, on_shard_complete=on_shard_complete)
 
     def __enter__(self):
         self.tar_writer.__enter__()
@@ -53,6 +45,4 @@ class TarBackedWriter:
         """Serialize the shar-placeholder manifest as the JSON member that
         immediately follows the data member."""
         payload = json.dumps(to_shar_placeholder(manifest).to_dict()) + "\n"
-        self.tar_writer.write(
-            f"{key}.json", BytesIO(payload.encode("utf-8")), count=False
-        )
+        self.tar_writer.write(f"{key}.json", BytesIO(payload.encode("utf-8")), count=False)

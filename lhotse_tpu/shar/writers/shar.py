@@ -45,17 +45,10 @@ class SharWriter:
     """
 
     def __init__(
-        self,
-        output_dir: Pathlike,
-        fields: Dict[str, str],
-        shard_size: Optional[int] = 1000,
-        warn_unused_fields: bool = True,
-        include_cuts: bool = True,
-        shard_suffix: Optional[str] = None,
-        shard_offset: int = 0,
-        compress_jsonl: bool = True,
-        create_index: bool = True,
-    ) -> None:
+        self, output_dir: Pathlike, fields: Dict[str, str], shard_size: Optional[int] = 1000,
+        warn_unused_fields: bool = True, include_cuts: bool = True,
+        shard_suffix: Optional[str] = None, shard_offset: int = 0, compress_jsonl: bool = True,
+        create_index: bool = True) -> None:
         self.output_dir = str(output_dir)
         if not _is_non_local_output(self.output_dir):
             from pathlib import Path
@@ -75,12 +68,8 @@ class SharWriter:
             )
         if self.create_index and self.compress_jsonl:
             warnings.warn(
-                "create_index=True with compress_jsonl=True creates only a "
-                "partially indexed Shar: compressed cuts.*.jsonl.gz shards "
-                "cannot be indexed. Use compress_jsonl=False to enable exact "
-                "indexed Shar restore.",
-                stacklevel=2,
-            )
+                "create_index=True with compress_jsonl=True creates only a " "partially indexed Shar: compressed cuts.*.jsonl.gz shards " "cannot be indexed. Use compress_jsonl=False to enable exact " "indexed Shar restore.",
+                stacklevel=2)
         if self.sharding_enabled:
             assert shard_suffix is None, (
                 f"shard_suffix must be None when shard_size is specified "
@@ -96,27 +85,20 @@ class SharWriter:
     def _build_writers(self, include_cuts: bool) -> dict:
         callback = self._index_shard if self.create_index else None
         common = dict(
-            shard_size=self.shard_size,
-            shard_offset=self.initial_shard_offset,
-            on_shard_complete=callback,
-        )
+            shard_size=self.shard_size, shard_offset=self.initial_shard_offset,
+            on_shard_complete=callback)
         writers = {}
         if include_cuts:
             cuts_url = _create_cuts_output_url(
-                self.output_dir, self.shard_suffix, compress=self.compress_jsonl
-            )
+                self.output_dir, self.shard_suffix, compress=self.compress_jsonl)
             writers["cuts"] = JsonlShardWriter(pattern=cuts_url, **common)
         for field, writer_type in self.fields.items():
-            make_writer_fn, ext = resolve_writer(
-                writer_type, compress_jsonl=self.compress_jsonl
-            )
+            make_writer_fn, ext = resolve_writer(writer_type, compress_jsonl=self.compress_jsonl)
             pattern = f"{self.output_dir}/{field}{self.shard_suffix}{ext}"
             writers[field] = make_writer_fn(pattern=pattern, **common)
         return writers
 
-    sharding_enabled = property(
-        lambda self: self.shard_size is not None and self.shard_size > 0
-    )
+    sharding_enabled = property(lambda self: self.shard_size is not None and self.shard_size > 0)
     output_paths = property(
         lambda self: {field: w.output_paths for field, w in self.writers.items()}
     )
@@ -159,9 +141,7 @@ class SharWriter:
 
     def _warn_unused(self, key: str) -> None:
         if self.warn_unused_fields:
-            warnings.warn(
-                f"Found cut with '{key}' field that is not specified for Shar writing."
-            )
+            warnings.warn(f"Found cut with '{key}' field that is not specified for Shar writing.")
 
     def _store_recording(self, cut: Cut) -> Cut:
         if not cut.has_recording:
@@ -175,12 +155,8 @@ class SharWriter:
             placeholder.sources[0].channels = span_channels
             placeholder.channel_ids = span_channels
         self.writers["recording"].write(
-            cut.id,
-            data,
-            cut.sampling_rate,
-            manifest=placeholder,
-            original_format=cut.recording.source_format,
-        )
+            cut.id, data, cut.sampling_rate, manifest=placeholder,
+            original_format=cut.recording.source_format)
         return fastcopy(cut, recording=placeholder)
 
     def _store_features(self, cut: Cut) -> Cut:
@@ -261,9 +237,7 @@ def resolve_writer(name: str, compress_jsonl: bool = True) -> Tuple[FieldWriter,
     raise AssertionError(f"Unknown field type (got: '{name}', we support only: {supported}")
 
 
-def _create_cuts_output_url(
-    base_output_url: str, shard_suffix: str, compress: bool = True
-) -> str:
+def _create_cuts_output_url(base_output_url: str, shard_suffix: str, compress: bool = True) -> str:
     ext = ".jsonl.gz" if compress else ".jsonl"
     if base_output_url.startswith("pipe:") and compress:
         base_output_url = base_output_url.replace("pipe:", "pipe:gzip -c | ")

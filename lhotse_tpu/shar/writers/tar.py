@@ -23,12 +23,8 @@ class _ShardedWriter:
     """
 
     def __init__(
-        self,
-        pattern: str,
-        shard_size: Optional[int] = 1000,
-        shard_offset: int = 0,
-        on_shard_complete: Optional[Callable[[str], None]] = None,
-    ):
+        self, pattern: str, shard_size: Optional[int] = 1000, shard_offset: int = 0,
+        on_shard_complete: Optional[Callable[[str], None]] = None):
         self.pattern, self.shard_size = str(pattern), shard_size
         self.initial_shard_offset, self.on_shard_complete = shard_offset, on_shard_complete
         if self.sharding_enabled:

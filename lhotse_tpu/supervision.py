@@ -20,9 +20,9 @@ from lhotse_tpu.custom import CustomFieldMixin
 from lhotse_tpu.lazy import AlgorithmMixin
 from lhotse_tpu.serialization import Serializable
 from lhotse_tpu.utils import (
-    Pathlike, Seconds, TimeSpan, add_durations, asdict_nonull, compute_num_samples, exactly_one_not_null,
-    fastcopy, ifnone, is_equal_or_contains, overspans, perturb_num_samples, split_manifest_lazy, split_sequence,
-)
+    Pathlike, Seconds, TimeSpan, add_durations, asdict_nonull, compute_num_samples,
+    exactly_one_not_null, fastcopy, ifnone, is_equal_or_contains, overspans, perturb_num_samples,
+    split_manifest_lazy, split_sequence)
 
 
 # Alignment times are quantized against a 48 kHz grid: fine enough for any
@@ -43,9 +43,7 @@ def _clamped_span(item, lo: Seconds, hi: Seconds):
     assert lo >= 0
     head_loss = abs(min(0, item.start - lo))
     tail_loss = max(0, item.end - hi)
-    clamped = add_durations(
-        item.duration, -tail_loss, -head_loss, sampling_rate=_TIME_GRID_SR
-    )
+    clamped = add_durations(item.duration, -tail_loss, -head_loss, sampling_rate=_TIME_GRID_SR)
     return max(lo, item.start), clamped
 
 
@@ -141,23 +139,16 @@ class SupervisionSegment(CustomFieldMixin):
         return {kind: [fn(item) for item in ali] for kind, ali in self.alignment.items()}
 
     def perturb_speed(
-        self, factor: float, sampling_rate: int, affix_id: bool = True
-    ) -> "SupervisionSegment":
+        self, factor: float, sampling_rate: int, affix_id: bool = True) -> "SupervisionSegment":
         """Match the time boundaries of a speed-perturbed recording/cut."""
         begin, span = _rescaled_span(self.start, self.duration, factor, sampling_rate)
         return self._affixed(
-            f"sp{factor}",
-            affix_id,
-            start=begin,
-            duration=span,
-            alignment=self._map_alignment(
-                lambda item: item.perturb_speed(factor=factor, sampling_rate=sampling_rate)
-            ),
+            f"sp{factor}", affix_id, start=begin, duration=span,
+            alignment=self._map_alignment( lambda item: item.perturb_speed(factor=factor, sampling_rate=sampling_rate) ),
         )
 
     def perturb_tempo(
-        self, factor: float, sampling_rate: int, affix_id: bool = True
-    ) -> "SupervisionSegment":
+        self, factor: float, sampling_rate: int, affix_id: bool = True) -> "SupervisionSegment":
         # Speed and tempo perturbation have identical effect on supervisions.
         perturbed = self.perturb_speed(factor, sampling_rate, affix_id=False)
         return perturbed._affixed(f"tp{factor}", affix_id)
@@ -169,11 +160,9 @@ class SupervisionSegment(CustomFieldMixin):
         return self._affixed(f"nb_{codec}", affix_id)
 
     def reverb_rir(
-        self, affix_id: bool = True, channel: Optional[Union[int, List[int]]] = None
+        self, affix_id: bool = True, channel: Optional[Union[int, List[int]]] = None,
     ) -> "SupervisionSegment":
-        return self._affixed(
-            "rvb", affix_id, channel=ifnone(channel, self.channel)
-        )
+        return self._affixed("rvb", affix_id, channel=ifnone(channel, self.channel))
 
     def trim(self, end: Seconds, start: Seconds = 0) -> "SupervisionSegment":
         """
@@ -182,11 +171,8 @@ class SupervisionSegment(CustomFieldMixin):
         """
         begin, span = _clamped_span(self, start, end)
         return fastcopy(
-            self,
-            start=begin,
-            duration=span,
-            alignment=self._map_alignment(lambda item: item.trim(end=end, start=start)),
-        )
+            self, start=begin, duration=span,
+            alignment=self._map_alignment(lambda item: item.trim(end=end, start=start)))
 
     def map(self, transform_fn: Callable[["SupervisionSegment"], "SupervisionSegment"]):
         return transform_fn(self)
@@ -197,28 +183,19 @@ class SupervisionSegment(CustomFieldMixin):
         return fastcopy(self, text=transform_fn(self.text))
 
     def transform_alignment(
-        self, transform_fn: Callable[[str], str], type: Optional[str] = "word"
+        self, transform_fn: Callable[[str], str], type: Optional[str] = "word",
     ) -> "SupervisionSegment":
         if self.alignment is None:
             return self
         return fastcopy(
             self,
-            alignment={
-                ali_type: [
-                    item.transform(transform_fn=transform_fn) if ali_type == type else item
-                    for item in ali
-                ]
-                for ali_type, ali in self.alignment.items()
-            },
+            alignment={ ali_type: [ item.transform(transform_fn=transform_fn) if ali_type == type else item for item in ali ] for ali_type, ali in self.alignment.items() },
         )
 
     def to_dict(self) -> dict:
         if self.alignment is None:
             return asdict_nonull(self)
-        alis = {
-            kind: [item.serialize() for item in ali]
-            for kind, ali in self.alignment.items()
-        }
+        alis = {kind: [item.serialize() for item in ali] for kind, ali in self.alignment.items()}
         data = asdict_nonull(fastcopy(self, alignment=None))
         data["alignment"] = alis
         return data
@@ -231,9 +208,7 @@ class SupervisionSegment(CustomFieldMixin):
             deserialize_custom_field(data["custom"])
         if "alignment" in data:
             data["alignment"] = {
-                k: [AlignmentItem.deserialize(x) for x in v]
-                for k, v in data["alignment"].items()
-            }
+                k: [AlignmentItem.deserialize(x) for x in v] for k, v in data["alignment"].items()}
         return SupervisionSegment(**data)
 
 
@@ -279,30 +254,19 @@ class SupervisionSet(Serializable, AlgorithmMixin):
             for file in files:
                 for idx, line in enumerate(Path(file).read_text().splitlines()):
                     fields = line.split()
-                    assert len(fields) == 10, (
-                        f"Invalid RTTM line in file {file}: {line}\n"
-                    )
+                    assert len(fields) == 10, (f"Invalid RTTM line in file {file}: {line}\n")
                     _, reco, ch, begin, span, _, _, spk, _, _ = fields
                     if float(span) == 0:
                         continue  # zero-length turns carry no information
                     yield SupervisionSegment(
-                        id=f"{reco}-{idx:06d}",
-                        recording_id=reco,
-                        channel=int(ch),
-                        start=float(begin),
-                        duration=float(span),
-                        speaker=spk,
-                    )
+                        id=f"{reco}-{idx:06d}", recording_id=reco, channel=int(ch),
+                        start=float(begin), duration=float(span), speaker=spk)
 
         return SupervisionSet.from_segments(turns())
 
     def with_alignment_from_ctm(
-        self,
-        ctm_file: Pathlike,
-        type: str = "word",
-        match_channel: bool = False,
-        verbose: bool = False,
-    ) -> "SupervisionSet":
+        self, ctm_file: Pathlike, type: str = "word", match_channel: bool = False,
+        verbose: bool = False) -> "SupervisionSet":
         """Attach alignments read from a CTM file to matching segments."""
         def maybe_progress(iterable, desc):
             if not verbose:
@@ -318,11 +282,8 @@ class SupervisionSet(Serializable, AlgorithmMixin):
             for line in maybe_progress(f, "Reading words from CTM file"):
                 reco_id, ch, begin, span, symbol, *score = line.strip().split()
                 item = AlignmentItem(
-                    symbol=symbol,
-                    start=float(begin),
-                    duration=float(span),
-                    score=float(score[0]) if score else None,
-                )
+                    symbol=symbol, start=float(begin), duration=float(span),
+                    score=float(score[0]) if score else None)
                 per_reco[reco_id].append((int(ch), item))
                 num_total += 1
         for rows in per_reco.values():
@@ -357,9 +318,8 @@ class SupervisionSet(Serializable, AlgorithmMixin):
                 ch = s.channel[0] if isinstance(s.channel, list) else s.channel
                 for ali in s.alignment[type]:
                     fields = [
-                        s.recording_id, str(ch),
-                        f"{ali.start:.02f}", f"{ali.duration:.02f}", ali.symbol,
-                    ]
+                        s.recording_id, str(ch), f"{ali.start:.02f}", f"{ali.duration:.02f}",
+                        ali.symbol]
                     if ali.score is not None:
                         fields.append(f"{ali.score:.02f}")
                     print(" ".join(fields), file=f)
@@ -368,7 +328,7 @@ class SupervisionSet(Serializable, AlgorithmMixin):
         return (s.to_dict() for s in self)
 
     def split(
-        self, num_splits: int, shuffle: bool = False, drop_last: bool = False
+        self, num_splits: int, shuffle: bool = False, drop_last: bool = False,
     ) -> List["SupervisionSet"]:
         """Split into ``num_splits`` pieces of (near-)equal size."""
         return [
@@ -379,16 +339,12 @@ class SupervisionSet(Serializable, AlgorithmMixin):
         ]
 
     def split_lazy(
-        self, output_dir: Pathlike, chunk_size: int, prefix: str = ""
-    ) -> List["SupervisionSet"]:
+        self, output_dir: Pathlike, chunk_size: int, prefix: str = "") -> List["SupervisionSet"]:
         """Split into fixed-size chunks saved to disk as the input is consumed."""
         return split_manifest_lazy(
-            self, output_dir=output_dir, chunk_size=chunk_size, prefix=prefix
-        )
+            self, output_dir=output_dir, chunk_size=chunk_size, prefix=prefix)
 
-    def subset(
-        self, first: Optional[int] = None, last: Optional[int] = None
-    ) -> "SupervisionSet":
+    def subset(self, first: Optional[int] = None, last: Optional[int] = None) -> "SupervisionSet":
         """Keep only the first or last N segments."""
         assert exactly_one_not_null(first, last), "subset() can handle only one non-None arg."
         if first is not None:
@@ -404,21 +360,15 @@ class SupervisionSet(Serializable, AlgorithmMixin):
         return SupervisionSet.from_segments(s.transform_text(transform_fn) for s in self)
 
     def transform_alignment(
-        self, transform_fn: Callable[[str], str], type: str = "word"
-    ) -> "SupervisionSet":
+        self, transform_fn: Callable[[str], str], type: str = "word") -> "SupervisionSet":
         return SupervisionSet.from_segments(
             s.transform_alignment(transform_fn, type=type) for s in self
         )
 
     def find(
-        self,
-        recording_id: str,
-        channel: Optional[int] = None,
-        start_after: Seconds = 0,
-        end_before: Optional[Seconds] = None,
-        adjust_offset: bool = False,
-        tolerance: Seconds = 0.001,
-    ) -> Iterable[SupervisionSegment]:
+        self, recording_id: str, channel: Optional[int] = None, start_after: Seconds = 0,
+        end_before: Optional[Seconds] = None, adjust_offset: bool = False,
+        tolerance: Seconds = 0.001) -> Iterable[SupervisionSegment]:
         """
         Temporal search over segments of ``recording_id`` (cached index),
         optionally restricted to a channel and a [start_after, end_before]

@@ -72,66 +72,44 @@ def _encode(data: np.ndarray, sampling_rate: int, format: str) -> bytes:
 
 
 def dummy_audio_source(
-    num_samples: int = 16000, sampling_rate: int = 16000,
-    channels: Optional[List[int]] = None, with_data: bool = False, format: str = "wav",
-) -> AudioSource:
+    num_samples: int = 16000, sampling_rate: int = 16000, channels: Optional[List[int]] = None,
+    with_data: bool = False, format: str = "wav") -> AudioSource:
     channels = [0] if channels is None else channels
     if not with_data:
         # A command source that produces garbage: tests that only touch
         # metadata never notice; tests that decode fail immediately.
-        return AudioSource(
-            type="command", channels=channels, source='echo "dummy waveform"'
-        )
+        return AudioSource(type="command", channels=channels, source='echo "dummy waveform"')
     wave = _sine_block(num_samples, sampling_rate, len(channels))
     return AudioSource(
-        type="memory",
-        channels=channels,
-        source=_encode(wave, sampling_rate, format),
-    )
+        type="memory", channels=channels, source=_encode(wave, sampling_rate, format))
 
 
 def dummy_recording(
-    unique_id: int, duration: float = 1.0, sampling_rate: int = 16000,
-    with_data: bool = False, source_format: str = "wav",
-) -> Recording:
+    unique_id: int, duration: float = 1.0, sampling_rate: int = 16000, with_data: bool = False,
+    source_format: str = "wav") -> Recording:
     n = compute_num_samples(duration, sampling_rate)
     src = dummy_audio_source(
-        sampling_rate=sampling_rate,
-        num_samples=n,
-        with_data=with_data,
-        format=source_format,
-    )
+        sampling_rate=sampling_rate, num_samples=n, with_data=with_data, format=source_format)
     return Recording(
-        id=_rid(unique_id), sources=[src], sampling_rate=sampling_rate,
-        num_samples=n, duration=duration,
-    )
+        id=_rid(unique_id), sources=[src], sampling_rate=sampling_rate, num_samples=n,
+        duration=duration)
 
 
 def dummy_multi_channel_recording(
     unique_id: int, duration: float = 1.0, sampling_rate: int = 16000,
     channel_ids: Optional[List[int]] = None, source_per_channel: bool = False,
-    with_data: bool = False,
-) -> Recording:
+    with_data: bool = False) -> Recording:
     channel_ids = [0, 1] if channel_ids is None else channel_ids
     n = compute_num_samples(duration, sampling_rate)
     groups = [[c] for c in channel_ids] if source_per_channel else [channel_ids]
     return Recording(
         id=_rid(unique_id, multi=True),
-        sources=[
-            dummy_audio_source(
-                num_samples=n,
-                sampling_rate=sampling_rate,
-                channels=grp,
-                with_data=with_data,
-            )
-            for grp in groups
-        ],
-        sampling_rate=sampling_rate, num_samples=n, duration=duration,
-    )
+        sources=[ dummy_audio_source( num_samples=n, sampling_rate=sampling_rate, channels=grp, with_data=with_data, ) for grp in groups ],
+        sampling_rate=sampling_rate, num_samples=n, duration=duration)
 
 
 def dummy_alignment(
-    text: str = "irrelevant", start: float = 0.0, duration: float = 1.0
+    text: str = "irrelevant", start: float = 0.0, duration: float = 1.0,
 ) -> Dict[str, List[AlignmentItem]]:
     """Chop ``text`` into 3-char pseudo-subwords spread evenly over the span."""
     pieces = [text[i : i + 3] for i in range(0, len(text), 3)]
@@ -145,175 +123,114 @@ def dummy_alignment(
 
 
 def dummy_supervision(
-    unique_id: int, start: float = 0.0, duration: float = 1.0,
-    channel: Union[int, List[int]] = 0, text: str = "irrelevant",
-    alignment: Optional[Dict[str, List[AlignmentItem]]] = None,
+    unique_id: int, start: float = 0.0, duration: float = 1.0, channel: Union[int, List[int]] = 0,
+    text: str = "irrelevant", alignment: Optional[Dict[str, List[AlignmentItem]]] = None,
 ) -> SupervisionSegment:
     return SupervisionSegment(
-        id=f"dummy-segment-{unique_id:04d}", recording_id=_rid(unique_id),
-        start=start, duration=duration, channel=channel, text=text,
-        speaker="irrelevant", language="irrelevant", gender="irrelevant",
-        custom={"custom_field": "irrelevant"},
-        alignment=dummy_alignment() if alignment is None else alignment,
-    )
+        id=f"dummy-segment-{unique_id:04d}", recording_id=_rid(unique_id), start=start,
+        duration=duration, channel=channel, text=text, speaker="irrelevant", language="irrelevant",
+        gender="irrelevant", custom={"custom_field": "irrelevant"},
+        alignment=dummy_alignment() if alignment is None else alignment)
 
 
 def _features_manifest(recording_id, channels, start, duration, **overrides) -> Features:
     base = dict(
-        recording_id=recording_id,
-        channels=channels,
-        start=start,
-        duration=duration,
-        type="fbank",
-        num_frames=100,
-        num_features=23,
-        frame_shift=0.01,
-        sampling_rate=16000,
-        storage_type="numpy_files",
-        storage_path=_FAKE_NPY_DIR,
-        storage_key=_FAKE_NPY_KEY,
-    )
+        recording_id=recording_id, channels=channels, start=start, duration=duration, type="fbank",
+        num_frames=100, num_features=23, frame_shift=0.01, sampling_rate=16000,
+        storage_type="numpy_files", storage_path=_FAKE_NPY_DIR, storage_key=_FAKE_NPY_KEY)
     base.update(overrides)
     return Features(**base)
 
 
 def dummy_features(
-    unique_id: int, start: float = 0.0, duration: float = 1.0, with_data: bool = False
-) -> Features:
+    unique_id: int, start: float = 0.0, duration: float = 1.0, with_data: bool = False) -> Features:
     if with_data:
         return dummy_in_memory_features(unique_id, start=start, duration=duration)
     return _features_manifest(_rid(unique_id), 0, start, duration)
 
 
 def dummy_in_memory_features(
-    unique_id: int, start: float = 0.0, duration: float = 1.0,
-    sampling_rate: int = 16000, frame_shift: float = 0.01,
-) -> Features:
+    unique_id: int, start: float = 0.0, duration: float = 1.0, sampling_rate: int = 16000,
+    frame_shift: float = 0.01) -> Features:
     shape = (compute_num_frames(duration, frame_shift, sampling_rate), 23)
-    payload = MemoryRawWriter().write(
-        "dummy-features", np.random.rand(*shape).astype(np.float32)
-    )
+    payload = MemoryRawWriter().write("dummy-features", np.random.rand(*shape).astype(np.float32))
     return _features_manifest(
-        _rid(unique_id),
-        0,
-        start,
-        duration,
-        num_frames=shape[0],
-        frame_shift=frame_shift,
-        sampling_rate=sampling_rate,
-        storage_type=MemoryRawWriter.name,
-        storage_path="",
-        storage_key=payload,
-    )
+        _rid(unique_id), 0, start, duration, num_frames=shape[0], frame_shift=frame_shift,
+        sampling_rate=sampling_rate, storage_type=MemoryRawWriter.name, storage_path="",
+        storage_key=payload)
 
 
 def dummy_multi_channel_features(
-    unique_id: int, start: float = 0.0, duration: float = 1.0,
-    channels: Optional[List[int]] = None,
+    unique_id: int, start: float = 0.0, duration: float = 1.0, channels: Optional[List[int]] = None,
 ) -> Features:
     return _features_manifest(
-        _rid(unique_id, multi=True),
-        [0, 1] if channels is None else channels,
-        start,
-        duration,
-    )
+        _rid(unique_id, multi=True), [0, 1] if channels is None else channels, start, duration)
 
 
 def dummy_array() -> Array:
-    return MemoryRawWriter().store_array(
-        "vector-float32", np.random.rand(128).astype(np.float32)
-    )
+    return MemoryRawWriter().store_array("vector-float32", np.random.rand(128).astype(np.float32))
 
 
 def dummy_temporal_array(
-    start: float = 0.0, num_frames: int = 100, num_features: int = 23,
-    frame_shift: float = 0.01,
+    start: float = 0.0, num_frames: int = 100, num_features: int = 23, frame_shift: float = 0.01,
 ) -> TemporalArray:
     return MemoryRawWriter().store_array(
         key="temporal-array-float32",
-        value=np.random.rand(num_frames, num_features).astype(np.float32),
-        frame_shift=frame_shift,
-        temporal_dim=0,
-        start=start,
-    )
+        value=np.random.rand(num_frames, num_features).astype(np.float32), frame_shift=frame_shift,
+        temporal_dim=0, start=start)
 
 
 def dummy_temporal_array_uint8(
-    start: float = 0.0, num_frames: int = 100, frame_shift: float = 0.01
-) -> TemporalArray:
+    start: float = 0.0, num_frames: int = 100, frame_shift: float = 0.01) -> TemporalArray:
     return MemoryRawWriter().store_array(
-        "temporal-array-int8",
-        np.random.randint(0, 255, num_frames, dtype=np.uint8),
-        frame_shift=frame_shift,
-        temporal_dim=0,
-        start=start,
-    )
+        "temporal-array-int8", np.random.randint(0, 255, num_frames, dtype=np.uint8),
+        frame_shift=frame_shift, temporal_dim=0, start=start)
 
 
 def dummy_cut(
-    unique_id: int, start: float = 0.0, duration: float = 1.0,
-    recording_duration: float = 1.0, recording: Recording = None,
-    features: Features = None, supervisions=None, with_data: bool = False,
-):
+    unique_id: int, start: float = 0.0, duration: float = 1.0, recording_duration: float = 1.0,
+    recording: Recording = None, features: Features = None, supervisions=None,
+    with_data: bool = False):
     custom = {"custom_attribute": "dummy-value", "custom_attribute_other": "dummy-value-other"}
     if with_data:
         custom["custom_embedding"] = dummy_array()
         custom["custom_features"] = dummy_temporal_array(start)
-        custom["custom_recording"] = dummy_recording(
-            unique_id, duration=duration, with_data=True
-        )
+        custom["custom_recording"] = dummy_recording(unique_id, duration=duration, with_data=True)
         custom["custom_indexes"] = dummy_temporal_array_uint8(start=start)
     if recording is None:
         recording = dummy_recording(
-            unique_id, duration=max(recording_duration, duration), with_data=with_data
-        )
+            unique_id, duration=max(recording_duration, duration), with_data=with_data)
     return MonoCut(
-        id=f"dummy-mono-cut-{unique_id:04d}", start=start, duration=duration,
-        channel=0, recording=recording,
-        features=features or dummy_features(unique_id, with_data=with_data),
-        supervisions=[] if supervisions is None else supervisions, custom=custom,
-    )
+        id=f"dummy-mono-cut-{unique_id:04d}", start=start, duration=duration, channel=0,
+        recording=recording, features=features or dummy_features(unique_id, with_data=with_data),
+        supervisions=[] if supervisions is None else supervisions, custom=custom)
 
 
 def dummy_multi_cut(
-    unique_id: int, start: float = 0.0, duration: float = 1.0,
-    recording_duration: float = 1.0, recording: Recording = None,
-    features: Features = None, supervisions=None,
-    channel: Optional[List[int]] = None, source_per_channel: bool = False,
-    with_data: bool = False,
-):
+    unique_id: int, start: float = 0.0, duration: float = 1.0, recording_duration: float = 1.0,
+    recording: Recording = None, features: Features = None, supervisions=None,
+    channel: Optional[List[int]] = None, source_per_channel: bool = False, with_data: bool = False):
     channel = [0, 1] if channel is None else channel
     if recording is None:
         recording = dummy_multi_channel_recording(
-            unique_id,
-            duration=max(recording_duration, duration),
-            channel_ids=channel,
-            with_data=with_data,
-            source_per_channel=source_per_channel,
-        )
+            unique_id, duration=max(recording_duration, duration), channel_ids=channel,
+            with_data=with_data, source_per_channel=source_per_channel)
     return MultiCut(
-        id=f"dummy-multi-cut-{unique_id:04d}", start=start, duration=duration,
-        channel=channel, recording=recording,
+        id=f"dummy-multi-cut-{unique_id:04d}", start=start, duration=duration, channel=channel,
+        recording=recording,
         features=features or dummy_multi_channel_features(unique_id, channels=channel),
-        supervisions=[] if supervisions is None else supervisions,
-    )
+        supervisions=[] if supervisions is None else supervisions)
 
 
 _BULK_BUILDERS = {
     RecordingSet: lambda i, with_data: dummy_recording(i, with_data=with_data),
-    SupervisionSet: lambda i, with_data: dummy_supervision(i),
-    FeatureSet: lambda i, with_data: dummy_features(i, with_data=with_data),
-    CutSet: lambda i, with_data: dummy_cut(
-        i, supervisions=[dummy_supervision(i)], with_data=with_data
-    ),
-}
+    SupervisionSet: lambda i, with_data: dummy_supervision(i), FeatureSet: lambda i,
+    with_data: dummy_features(i, with_data=with_data), CutSet: lambda i,
+    with_data: dummy_cut( i, supervisions=[dummy_supervision(i)], with_data=with_data )}
 
 _BULK_WRAPPERS = {
-    RecordingSet: RecordingSet.from_recordings,
-    SupervisionSet: SupervisionSet.from_segments,
-    FeatureSet: FeatureSet.from_features,
-    CutSet: CutSet.from_cuts,
-}
+    RecordingSet: RecordingSet.from_recordings, SupervisionSet: SupervisionSet.from_segments,
+    FeatureSet: FeatureSet.from_features, CutSet: CutSet.from_cuts}
 
 
 # noinspection PyPep8Naming

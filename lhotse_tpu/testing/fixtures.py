@@ -17,15 +17,8 @@ import numpy as np
 import pytest
 
 from lhotse_tpu import (
-    AudioSource,
-    CutSet,
-    Fbank,
-    FbankConfig,
-    MonoCut,
-    NumpyFilesWriter,
-    Recording,
-    SupervisionSegment,
-)
+    AudioSource, CutSet, Fbank, FbankConfig, MonoCut, NumpyFilesWriter, Recording,
+    SupervisionSegment)
 from lhotse_tpu.array import seconds_to_frames
 from lhotse_tpu.audio.backend import save_audio
 from lhotse_tpu.features.io import default_features_storage_backend
@@ -85,8 +78,7 @@ class RandomCutTestCase:
         return self._resources.enter_context(TemporaryDirectory())
 
     def with_recording(
-        self, sampling_rate: int, num_samples: int, use_zeros: bool = False
-    ) -> Recording:
+        self, sampling_rate: int, num_samples: int, use_zeros: bool = False) -> Recording:
         f = self._tmpfile(".wav")
         shape = (1, num_samples)
         wave = (
@@ -100,48 +92,36 @@ class RandomCutTestCase:
         return Recording(
             id=str(uuid4()), sampling_rate=sampling_rate, num_samples=num_samples,
             duration=num_samples / sampling_rate,
-            sources=[AudioSource(type="file", channels=[0], source=f.name)],
-        )
+            sources=[AudioSource(type="file", channels=[0], source=f.name)])
 
     def with_cut(
         self, sampling_rate: int, num_samples: int, features: bool = True,
-        supervision: bool = False, alignment: bool = False,
-        custom_field: bool = False, frame_shift: Seconds = 0.01,
-        use_zeroes: bool = False,
-    ) -> MonoCut:
+        supervision: bool = False, alignment: bool = False, custom_field: bool = False,
+        frame_shift: Seconds = 0.01, use_zeroes: bool = False) -> MonoCut:
         rec = self.with_recording(
-            sampling_rate=sampling_rate, num_samples=num_samples, use_zeros=use_zeroes
-        )
+            sampling_rate=sampling_rate, num_samples=num_samples, use_zeros=use_zeroes)
         cut = MonoCut(
-            id=str(uuid4()), start=0, duration=num_samples / sampling_rate,
-            channel=0, recording=rec,
-        )
+            id=str(uuid4()), start=0, duration=num_samples / sampling_rate, channel=0,
+            recording=rec)
         if features:
             cut = self._attach_fbank(cut, frame_shift, sampling_rate)
         if supervision:
             ali = self._spread_alignment(cut, "irrelevant") if alignment else None
             sup = SupervisionSegment(
-                id=f"sup-{cut.id}", recording_id=cut.recording_id, start=0,
-                duration=cut.duration, text="irrelevant", alignment=ali,
-            )
+                id=f"sup-{cut.id}", recording_id=cut.recording_id, start=0, duration=cut.duration,
+                text="irrelevant", alignment=ali)
             cut.supervisions.append(sup)
         if custom_field:
             self._attach_codebook_indices(cut, frame_shift)
         return cut
 
-    def _attach_fbank(
-        self, cut: MonoCut, frame_shift: Seconds, sampling_rate: int
-    ) -> MonoCut:
-        fbank = Fbank(
-            config=FbankConfig(sampling_rate=sampling_rate, frame_shift=frame_shift)
-        )
+    def _attach_fbank(self, cut: MonoCut, frame_shift: Seconds, sampling_rate: int) -> MonoCut:
+        fbank = Fbank(config=FbankConfig(sampling_rate=sampling_rate, frame_shift=frame_shift))
         store_cls = default_features_storage_backend()
         with store_cls(self._tmpdir()) as storage:
             return cut.compute_and_store_features(fbank, storage=storage)
 
-    def _spread_alignment(
-        self, cut: MonoCut, text: str
-    ) -> Dict[str, List[AlignmentItem]]:
+    def _spread_alignment(self, cut: MonoCut, text: str) -> Dict[str, List[AlignmentItem]]:
         pieces = [text[i : i + 3] for i in range(0, len(text), 3)]
         step = cut.duration / len(pieces)
         return {
@@ -155,11 +135,8 @@ class RandomCutTestCase:
         n = seconds_to_frames(cut.duration, frame_shift=frame_shift)
         with NumpyFilesWriter(self._tmpdir()) as storage:
             cut.codebook_indices = storage.store_array(
-                key="ali1",
-                value=np.random.randint(256, size=(n,)),
-                frame_shift=frame_shift,
-                temporal_dim=0,
-            )
+                key="ali1", value=np.random.randint(256, size=(n,)), frame_shift=frame_shift,
+                temporal_dim=0)
 
     # Kept for parity with the reference helper names: some ported tests call
     # these private helpers directly.

@@ -21,11 +21,7 @@ def libsox_available() -> bool:
 
 
 def libsox_rate(
-    samples: np.ndarray,
-    sampling_rate: int,
-    target_rate: int,
-    quality: str = "v",
-) -> np.ndarray:
+    samples: np.ndarray, sampling_rate: int, target_rate: int, quality: str = "v") -> np.ndarray:
     """
     Resample with sox's ``rate`` effect (very-high quality by default).
 
@@ -46,17 +42,10 @@ def libsox_rate(
     channels = samples.shape[0]
 
     cmd = [
-        "sox",
-        "-t", "f32", "-r", str(sampling_rate), "-c", str(channels), "-",
-        "-t", "f32", "-r", str(target_rate), "-c", str(channels), "-",
-        "rate", f"-{quality}", str(target_rate),
-    ]
+        "sox", "-t", "f32", "-r", str(sampling_rate), "-c", str(channels), "-", "-t", "f32", "-r",
+        str(target_rate), "-c", str(channels), "-", "rate", f"-{quality}", str(target_rate)]
     proc = subprocess.run(
-        cmd,
-        input=np.ascontiguousarray(samples.T).tobytes(),
-        capture_output=True,
-        check=True,
-    )
+        cmd, input=np.ascontiguousarray(samples.T).tobytes(), capture_output=True, check=True)
     out = np.frombuffer(proc.stdout, dtype=np.float32)
     out = out.reshape(-1, channels).T
     return out[0] if squeeze else out

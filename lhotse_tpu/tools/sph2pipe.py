@@ -16,9 +16,7 @@ SPH2PIPE_URL = "https://github.com/burrmill/sph2pipe/archive/2.5.tar.gz"
 
 
 def install_sph2pipe(
-    where: Optional[Pathlike] = None,
-    download_from: str = SPH2PIPE_URL,
-    force: bool = False,
+    where: Optional[Pathlike] = None, download_from: str = SPH2PIPE_URL, force: bool = False,
 ) -> None:
     """
     Download, extract, and compile sph2pipe (handles sphere .sph audio with
@@ -29,22 +27,13 @@ def install_sph2pipe(
     where = Path(where)
     download_and_untar_sph2pipe(where, url=download_from, force_download=force)
     subprocess.run(
-        [
-            "make",
-            "-C",
-            str(where / "sph2pipe-2.5"),
-            "CCFLAGS=-Wno-error=implicit-function-declaration",
-        ],
-        check=True,
-    )
+        [ "make", "-C", str(where / "sph2pipe-2.5"), "CCFLAGS=-Wno-error=implicit-function-declaration", ],
+        check=True)
     logging.info("Finished installing sph2pipe.")
 
 
 def download_and_untar_sph2pipe(
-    target_dir: Pathlike,
-    url: str,
-    force_download: bool = False,
-) -> Path:
+    target_dir: Pathlike, url: str, force_download: bool = False) -> Path:
     target_dir = Path(target_dir)
     sph2pipe_dir = target_dir / "sph2pipe-2.5"
     if (sph2pipe_dir / "Makefile").is_file() and not force_download:

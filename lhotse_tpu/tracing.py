@@ -128,12 +128,9 @@ def tracing_report(reset: bool = False) -> Dict[str, Dict[str, Any]]:
         out = {}
         for name, s in _STATS.items():
             out[name] = {
-                "calls": s.calls,
-                "total_s": s.total_time,
-                "mean_s": s.total_time / s.calls if s.calls else 0.0,
-                "work": s.work,
-                "throughput": s.work / s.total_time if s.total_time > 0 else 0.0,
-            }
+                "calls": s.calls, "total_s": s.total_time,
+                "mean_s": s.total_time / s.calls if s.calls else 0.0, "work": s.work,
+                "throughput": s.work / s.total_time if s.total_time > 0 else 0.0}
         if reset:
             _STATS.clear()
     return out

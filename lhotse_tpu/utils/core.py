@@ -23,17 +23,7 @@ from dataclasses import dataclass, fields
 from decimal import ROUND_DOWN, ROUND_HALF_DOWN, ROUND_HALF_UP, Decimal
 from math import ceil, isclose
 from pathlib import Path
-from typing import (
-    Any,
-    Callable,
-    Dict,
-    Iterable,
-    List,
-    Optional,
-    Tuple,
-    TypeVar,
-    Union,
-)
+from typing import (Any, Callable, Dict, Iterable, List, Optional, Tuple, TypeVar, Union)
 
 import numpy as np
 
@@ -124,10 +114,7 @@ def exactly_one_not_null(*args) -> bool:
 
 
 def split_sequence(
-    seq: Iterable[Any],
-    num_splits: int,
-    shuffle: bool = False,
-    drop_last: bool = False,
+    seq: Iterable[Any], num_splits: int, shuffle: bool = False, drop_last: bool = False,
 ) -> List[List[Any]]:
     """
     Split an iterable into ``num_splits`` even chunks; with ``drop_last=False``
@@ -148,22 +135,15 @@ def split_sequence(
         end_shifts = [0] * num_splits
         begin_shifts = [0] * num_splits
     else:
-        end_shifts = list(range(1, num_shifts + 1)) + [num_shifts] * (
-            num_splits - num_shifts
-        )
+        end_shifts = list(range(1, num_shifts + 1)) + [num_shifts] * (num_splits - num_shifts)
         begin_shifts = [0] + end_shifts[:-1]
     splits = [
-        seq[i * chunk_size + b : (i + 1) * chunk_size + e]
-        for i, b, e in zip(range(num_splits), begin_shifts, end_shifts)
-    ]
+        seq[i * chunk_size + b : (i + 1) * chunk_size + e] for i, b,
+        e in zip(range(num_splits), begin_shifts, end_shifts)]
     return splits
 
 
-def compute_num_frames(
-    duration: Seconds,
-    frame_shift: Seconds,
-    sampling_rate: int,
-) -> int:
+def compute_num_frames(duration: Seconds, frame_shift: Seconds, sampling_rate: int) -> int:
     """
     Compute the number of frames from duration and frame_shift in a safe way,
     matching the reference rounding exactly (utils.py:410-421): num_samples and
@@ -176,10 +156,7 @@ def compute_num_frames(
 
 
 def compute_num_frames_from_samples(
-    num_samples: int,
-    frame_shift: Seconds,
-    sampling_rate: int,
-) -> int:
+    num_samples: int, frame_shift: Seconds, sampling_rate: int) -> int:
     """Reference: utils.py:424-434."""
     window_hop = round(frame_shift * sampling_rate)
     num_frames = int((num_samples + window_hop // 2) // window_hop)
@@ -187,28 +164,21 @@ def compute_num_frames_from_samples(
 
 
 def compute_num_samples(
-    duration: Seconds, sampling_rate: Union[int, float], rounding=ROUND_HALF_UP
-) -> int:
+    duration: Seconds, sampling_rate: Union[int, float], rounding=ROUND_HALF_UP) -> int:
     """
     Convert a time quantity to the number of samples given a specific sampling rate.
     Performs consistent rounding up or down (not banker's rounding), matching
     reference utils.py:657-668 exactly (round to 8 decimal digits first, then
     Decimal-quantize with the requested rounding mode).
     """
-    return int(
-        Decimal(round(duration * sampling_rate, ndigits=8)).quantize(
-            0, rounding=rounding
-        )
-    )
+    return int(Decimal(round(duration * sampling_rate, ndigits=8)).quantize( 0, rounding=rounding ))
 
 
 def perturb_num_samples(num_samples: int, factor: float) -> int:
     """Mimics the behavior of speed perturbation on the number of samples
     (reference: utils.py:649-654)."""
     rounding = ROUND_HALF_UP if factor >= 1.0 else ROUND_HALF_DOWN
-    return int(
-        Decimal(round(num_samples / factor, ndigits=8)).quantize(0, rounding=rounding)
-    )
+    return int(Decimal(round(num_samples / factor, ndigits=8)).quantize(0, rounding=rounding))
 
 
 def add_durations(*durs: Seconds, sampling_rate: int) -> Seconds:
@@ -216,9 +186,7 @@ def add_durations(*durs: Seconds, sampling_rate: int) -> Seconds:
     Adds durations in a way that avoids floating point precision issues
     (reference: utils.py:672-681): convert to sample counts, add, convert back.
     """
-    tot_num_samples = sum(
-        compute_num_samples(d, sampling_rate=sampling_rate) for d in durs
-    )
+    tot_num_samples = sum(compute_num_samples(d, sampling_rate=sampling_rate) for d in durs)
     return tot_num_samples / sampling_rate
 
 
@@ -233,10 +201,7 @@ def compute_num_windows(sig_len: Seconds, win_len: Seconds, hop: Seconds) -> int
 
 
 def compute_start_duration_for_extended_cut(
-    start: Seconds,
-    duration: Seconds,
-    new_duration: Seconds,
-    direction: str = "center",
+    start: Seconds, duration: Seconds, new_duration: Seconds, direction: str = "center",
 ) -> Tuple[Seconds, Seconds]:
     """
     Compute new "start" for an interval extended to ``new_duration`` towards
@@ -261,9 +226,7 @@ def compute_start_duration_for_extended_cut(
     return round(new_start, ndigits=15), new_duration
 
 
-def duration_to_num_samples_check(
-    duration: Seconds, num_samples: int, sampling_rate: int
-) -> bool:
+def duration_to_num_samples_check(duration: Seconds, num_samples: int, sampling_rate: int) -> bool:
     return compute_num_samples(duration, sampling_rate) == num_samples
 
 
@@ -323,9 +286,7 @@ def save_rng_state(rng: Optional[random.Random]) -> dict:
     return {"version": version, "state": list(internal), "gauss_next": gauss_next}
 
 
-def load_rng_state(
-    state: dict, rng: Optional[random.Random] = None
-) -> random.Random:
+def load_rng_state(state: dict, rng: Optional[random.Random] = None) -> random.Random:
     """Restore a ``random.Random`` from :func:`save_rng_state` output
     (into ``rng`` if given, else a fresh instance)."""
     if rng is None:
@@ -402,13 +363,8 @@ class Pipe:
     """
 
     def __init__(
-        self,
-        cmd: str,
-        mode: str = "rb",
-        shell: bool = True,
-        timeout: Optional[float] = None,
-        ignore_status: Optional[List[int]] = None,
-    ):
+        self, cmd: str, mode: str = "rb", shell: bool = True, timeout: Optional[float] = None,
+        ignore_status: Optional[List[int]] = None):
         import subprocess
 
         self.cmd = cmd
@@ -435,9 +391,7 @@ class Pipe:
             return
         self.status = self.proc.wait(timeout=self.timeout)
         if self.status not in self.ignore_status:
-            raise RuntimeError(
-                f"Command '{self.cmd}' exited with status {self.status}"
-            )
+            raise RuntimeError(f"Command '{self.cmd}' exited with status {self.status}")
 
     def read(self, *args, **kwargs):
         result = self.stream.read(*args, **kwargs)
@@ -520,11 +474,7 @@ def to_hashable(item: Any) -> Any:
     return tuple(item) if isinstance(item, list) else item
 
 
-def streaming_shuffle(
-    data: Iterable[T],
-    bufsize: int = 10000,
-    rng: Optional[random.Random] = None,
-):
+def streaming_shuffle(data: Iterable[T], bufsize: int = 10000, rng: Optional[random.Random] = None):
     """
     Shuffle the data in the stream using a fixed-size reservoir buffer
     (reference: utils.py:940): fill a buffer of ``bufsize`` items, then for each
@@ -551,9 +501,7 @@ def check_and_rglob(path, pattern: str, strict: bool = True) -> list:
     assert path.is_dir(), f"No such directory: {path}"
     matches = sorted(path.rglob(pattern))
     if strict:
-        assert len(matches) > 0, (
-            f"No files matching pattern '{pattern}' in directory: {path}"
-        )
+        assert len(matches) > 0, (f"No files matching pattern '{pattern}' in directory: {path}")
     return matches
 
 
@@ -574,12 +522,8 @@ def safe_extract(archive, path: Pathlike = ".", members=None, *, numeric_owner=F
 
 
 def resumable_download(
-    url: str,
-    filename: Pathlike,
-    force_download: bool = False,
-    completed_file_size: Optional[int] = None,
-    missing_ok: bool = False,
-) -> None:
+    url: str, filename: Pathlike, force_download: bool = False,
+    completed_file_size: Optional[int] = None, missing_ok: bool = False) -> None:
     """
     Download a file with support for resuming partial downloads via HTTP Range
     requests (reference: utils.py:471). Uses urllib; no external dependencies.
@@ -622,10 +566,7 @@ def recursion_limit(stack_size: int):
 
 
 def merge_items_with_delimiter(
-    values: Iterable[str],
-    prefix: str = "cat",
-    delimiter: str = "#",
-    return_first: bool = False,
+    values: Iterable[str], prefix: str = "cat", delimiter: str = "#", return_first: bool = False,
 ) -> Optional[str]:
     """Merge a sequence of strings into one with a delimiter
     (reference: utils.py:726), used when merging supervision fields."""
@@ -638,21 +579,16 @@ def merge_items_with_delimiter(
 
 
 def supervision_to_frames(
-    supervision,
-    frame_shift: Seconds,
-    sampling_rate: int,
-    max_frames: Optional[int] = None,
+    supervision, frame_shift: Seconds, sampling_rate: int, max_frames: Optional[int] = None,
 ) -> Tuple[int, int]:
     """
     Convert a supervision's time span into a (start_frame, num_frames) tuple
     (reference: utils.py:743).
     """
     start_frame = compute_num_frames(
-        supervision.start, frame_shift=frame_shift, sampling_rate=sampling_rate
-    )
+        supervision.start, frame_shift=frame_shift, sampling_rate=sampling_rate)
     num_frames = compute_num_frames(
-        supervision.duration, frame_shift=frame_shift, sampling_rate=sampling_rate
-    )
+        supervision.duration, frame_shift=frame_shift, sampling_rate=sampling_rate)
     if max_frames:
         diff = start_frame + num_frames - max_frames
         if diff > 0:
@@ -661,8 +597,7 @@ def supervision_to_frames(
 
 
 def supervision_to_samples(
-    supervision, sampling_rate: int, max_samples: Optional[int] = None
-) -> Tuple[int, int]:
+    supervision, sampling_rate: int, max_samples: Optional[int] = None) -> Tuple[int, int]:
     """Convert a supervision's time span into (start_sample, num_samples)
     (reference: utils.py:765)."""
     start_sample = compute_num_samples(supervision.start, sampling_rate)
@@ -689,13 +624,8 @@ def hash_str_to_int(s: str, max_value: Optional[int] = None) -> int:
 
 
 def split_manifest_lazy(
-    it: Iterable[Any],
-    output_dir: Pathlike,
-    chunk_size: int,
-    prefix: str = "",
-    num_digits: int = 8,
-    start_idx: int = 0,
-) -> List:
+    it: Iterable[Any], output_dir: Pathlike, chunk_size: int, prefix: str = "", num_digits: int = 8,
+    start_idx: int = 0) -> List:
     """
     Split a manifest into chunks of ``chunk_size`` items, saving each chunk to
     ``{output_dir}/{prefix}.{split_idx}.jsonl.gz`` as the input is consumed

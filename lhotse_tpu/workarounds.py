@@ -56,13 +56,7 @@ class AltGzipFile(gzip.GzipFile):
 
 
 def gzip_open_robust(
-    filename,
-    mode="rb",
-    compresslevel=9,
-    encoding=None,
-    errors=None,
-    newline=None,
-):
+    filename, mode="rb", compresslevel=9, encoding=None, errors=None, newline=None):
     """
     ``gzip.open`` equivalent built on :class:`AltGzipFile` (tolerates
     trailing garbage). Accepts a path or an existing binary file object;

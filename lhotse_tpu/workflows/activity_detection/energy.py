@@ -16,12 +16,8 @@ from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 
 
 def detect_activity_energy_single(
-    recording: Recording,
-    threshold: float = 0.01,
-    min_duration: float = 0.25,
-    min_pause: float = 0.15,
-    frame_size: float = 0.025,
-    frame_shift: float = 0.010,
+    recording: Recording, threshold: float = 0.01, min_duration: float = 0.25,
+    min_pause: float = 0.15, frame_size: float = 0.025, frame_shift: float = 0.010,
 ) -> List[SupervisionSegment]:
     """
     Frame-RMS voice activity detection on one recording: frames whose RMS
@@ -37,10 +33,7 @@ def detect_activity_energy_single(
 
     n_frames = 1 + (len(audio) - flen) // fshift
     strided = np.lib.stride_tricks.as_strided(
-        audio,
-        shape=(n_frames, flen),
-        strides=(audio.strides[0] * fshift, audio.strides[0]),
-    )
+        audio, shape=(n_frames, flen), strides=(audio.strides[0] * fshift, audio.strides[0]))
     rms = np.sqrt((strided.astype(np.float64) ** 2).mean(axis=1))
     peak = rms.max()
     if peak <= 0:
@@ -70,29 +63,17 @@ def detect_activity_energy_single(
     merged = [(s, min(e, recording.duration)) for s, e in merged if e - s >= min_duration]
 
     return [
-        SupervisionSegment(
-            id=f"{recording.id}-vad-{i:04d}",
-            recording_id=recording.id,
-            start=round(s, 3),
-            duration=round(e - s, 3),
-            channel=0,
-        )
-        for i, (s, e) in enumerate(merged)
-    ]
+        SupervisionSegment( id=f"{recording.id}-vad-{i:04d}", recording_id=recording.id, start=round(s, 3), duration=round(e - s, 3), channel=0, ) for i,
+        (s, e) in enumerate(merged)]
 
 
 def detect_activity_energy(
-    recordings: RecordingSet,
-    threshold: float = 0.01,
-    min_duration: float = 0.25,
-    num_jobs: int = 1,
-) -> SupervisionSet:
+    recordings: RecordingSet, threshold: float = 0.01, min_duration: float = 0.25,
+    num_jobs: int = 1) -> SupervisionSet:
     """Run energy VAD over a RecordingSet (optionally in parallel)."""
     from functools import partial
 
-    work = partial(
-        detect_activity_energy_single, threshold=threshold, min_duration=min_duration
-    )
+    work = partial(detect_activity_energy_single, threshold=threshold, min_duration=min_duration)
     segments = []
     if num_jobs == 1:
         for r in recordings:

@@ -19,18 +19,10 @@ class EnergyVAD(ActivityDetector):
     """Frame-RMS thresholding relative to the track's peak RMS."""
 
     def __init__(
-        self,
-        sampling_rate: int = 16000,
-        device: str = "cpu",
-        threshold: float = 0.01,
-        min_duration: float = 0.25,
-        min_pause: float = 0.15,
-        frame_size: float = 0.025,
-        frame_shift: float = 0.010,
-    ):
-        super().__init__(
-            detector_name="energy_vad", sampling_rate=sampling_rate, device=device
-        )
+        self, sampling_rate: int = 16000, device: str = "cpu", threshold: float = 0.01,
+        min_duration: float = 0.25, min_pause: float = 0.15, frame_size: float = 0.025,
+        frame_shift: float = 0.010):
+        super().__init__(detector_name="energy_vad", sampling_rate=sampling_rate, device=device)
         self.threshold = threshold
         self.min_duration = min_duration
         self.min_pause = min_pause
@@ -45,10 +37,7 @@ class EnergyVAD(ActivityDetector):
             return []
         n_frames = 1 + (len(track) - flen) // fshift
         strided = np.lib.stride_tricks.as_strided(
-            track,
-            shape=(n_frames, flen),
-            strides=(track.strides[0] * fshift, track.strides[0]),
-        )
+            track, shape=(n_frames, flen), strides=(track.strides[0] * fshift, track.strides[0]))
         rms = np.sqrt((strided.astype(np.float64) ** 2).mean(axis=1))
         peak = rms.max()
         if peak <= 0:
@@ -75,7 +64,5 @@ class EnergyVAD(ActivityDetector):
                 merged.append((s, e))
         duration = len(track) / sr
         return [
-            Activity(start=round(s, 3), duration=round(min(e, duration) - s, 3))
-            for s, e in merged
-            if e - s >= self.min_duration
-        ]
+            Activity(start=round(s, 3), duration=round(min(e, duration) - s, 3)) for s,
+            e in merged if e - s >= self.min_duration]

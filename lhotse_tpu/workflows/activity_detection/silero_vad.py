@@ -20,26 +20,18 @@ class SileroVAD(ActivityDetector):
     """Silero voice-activity model at 16 kHz."""
 
     def __init__(self, device: str = "cpu", force_download: bool = False):
-        super().__init__(
-            detector_name="silero_vad_16k",
-            sampling_rate=16000,
-            device=device,
-        )
+        super().__init__(detector_name="silero_vad_16k", sampling_rate=16000, device=device)
         assert is_module_available("torch"), "SileroVAD requires torch."
         self._model, self._get_speech_timestamps = self._get_model(
-            device=device, force_download=force_download
-        )
+            device=device, force_download=force_download)
 
     @classmethod
     def _get_model(cls, device: str = "cpu", force_download: bool = False):
         import torch
 
         model, utils = torch.hub.load(
-            repo_or_dir="snakers4/silero-vad",
-            model="silero_vad",
-            force_reload=force_download,
-            onnx=False,
-        )
+            repo_or_dir="snakers4/silero-vad", model="silero_vad", force_reload=force_download,
+            onnx=False)
         get_speech_timestamps = utils[0]
         return model.to(device), get_speech_timestamps
 
@@ -48,11 +40,8 @@ class SileroVAD(ActivityDetector):
 
         wav = torch.from_numpy(np.ascontiguousarray(track, dtype=np.float32))
         spans: List[Dict[str, float]] = self._get_speech_timestamps(
-            wav.to(self._device),
-            self._model,
-            sampling_rate=self._sampling_rate,
-            return_seconds=False,
-        )
+            wav.to(self._device), self._model, sampling_rate=self._sampling_rate,
+            return_seconds=False)
         sr = float(self._sampling_rate)
         return [
             Activity(
@@ -78,11 +67,6 @@ class SileroVAD8k(SileroVAD):
 
     def __init__(self, device: str = "cpu", force_download: bool = False):
         ActivityDetector.__init__(
-            self,
-            detector_name="silero_vad_8k",
-            sampling_rate=8000,
-            device=device,
-        )
+            self, detector_name="silero_vad_8k", sampling_rate=8000, device=device)
         self._model, self._get_speech_timestamps = self._get_model(
-            device=device, force_download=force_download
-        )
+            device=device, force_download=force_download)

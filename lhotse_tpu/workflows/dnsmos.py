@@ -21,9 +21,7 @@ from lhotse_tpu.audio import RecordingSet
 from lhotse_tpu.cut import CutSet
 from lhotse_tpu.utils import fastcopy, is_module_available
 
-_URL_BASE = (
-    "https://raw.githubusercontent.com/microsoft/DNS-Challenge/master/DNSMOS"
-)
+_URL_BASE = ("https://raw.githubusercontent.com/microsoft/DNS-Challenge/master/DNSMOS")
 INPUT_LENGTH = 9.01
 SAMPLING_RATE = 16000
 
@@ -45,10 +43,7 @@ class ComputeScore:
         x = np.pad(np.asarray(audio, np.float32), (n_fft // 2,) * 2, "reflect")
         num_frames = 1 + len(audio) // hop_length
         frames = np.lib.stride_tricks.as_strided(
-            x,
-            shape=(num_frames, n_fft),
-            strides=(hop_length * x.strides[0], x.strides[0]),
-        )
+            x, shape=(num_frames, n_fft), strides=(hop_length * x.strides[0], x.strides[0]))
         n = np.arange(n_fft)
         win = (0.5 - 0.5 * np.cos(2 * np.pi * n / n_fft)).astype(np.float32)
         C, S = raw_dft_matrices(n_fft, n_fft)
@@ -81,23 +76,16 @@ class ComputeScore:
                 continue
             inp = np.array(seg, np.float32)[None, :]
             p808_inp = self._audio_melspec(seg[:-160])[None, :].astype(np.float32)
-            p808.append(
-                float(self.p808_onnx_sess.run(None, {"input_1": p808_inp})[0][0][0])
-            )
+            p808.append(float(self.p808_onnx_sess.run(None, {"input_1": p808_inp})[0][0][0]))
             mos = self.onnx_sess.run(None, {"input_1": inp})[0][0]
             s, b, o = self._polyfit(mos[0], mos[1], mos[2], personalized)
             sig.append(s), bak.append(b), ovr.append(o)
         return {
-            "OVRL": float(np.mean(ovr)),
-            "SIG": float(np.mean(sig)),
-            "BAK": float(np.mean(bak)),
-            "P808_MOS": float(np.mean(p808)),
-        }
+            "OVRL": float(np.mean(ovr)), "SIG": float(np.mean(sig)), "BAK": float(np.mean(bak)),
+            "P808_MOS": float(np.mean(p808))}
 
 
-def download_model(
-    is_personalized_mos: bool = False, download_root: Optional[str] = None
-):
+def download_model(is_personalized_mos: bool = False, download_root: Optional[str] = None):
     """Fetch the two ONNX models; returns their local paths."""
     root = download_root or "/tmp"
     os.makedirs(root, exist_ok=True)
@@ -115,10 +103,8 @@ def download_model(
 
 
 def annotate_dnsmos(
-    manifest: Union[RecordingSet, CutSet],
-    is_personalized_mos: bool = False,
-    download_root: Optional[str] = None,
-) -> Generator:
+    manifest: Union[RecordingSet, CutSet], is_personalized_mos: bool = False,
+    download_root: Optional[str] = None) -> Generator:
     """
     Predict DNSMOS P.835 scores (SIG/BAK/OVRL + P.808) for every recording or
     cut and attach them as ``cut.custom["dnsmos"]``. Yields cuts.
@@ -139,9 +125,7 @@ def annotate_dnsmos(
 
     for cut in cuts:
         if cut.num_channels > 1:
-            logging.warning(
-                f"Skipping '{cut.id}': only mono input is supported."
-            )
+            logging.warning(f"Skipping '{cut.id}': only mono input is supported.")
             continue
         audio = cut.resample(SAMPLING_RATE).load_audio()[0]
         scores = scorer(audio, is_personalized_mos)

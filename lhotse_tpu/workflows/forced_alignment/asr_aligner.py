@@ -40,11 +40,7 @@ class TransformersForcedAligner(ForcedAligner):
     """Word-level CTC forced alignment with a transformers checkpoint."""
 
     def __init__(
-        self,
-        bundle_name: str = "facebook/wav2vec2-base-960h",
-        device: str = "cpu",
-        **kwargs,
-    ):
+        self, bundle_name: str = "facebook/wav2vec2-base-960h", device: str = "cpu", **kwargs):
         super().__init__(device=device)
         assert is_module_available("transformers"), (
             "TransformersForcedAligner requires the 'transformers' package."
@@ -59,15 +55,9 @@ class TransformersForcedAligner(ForcedAligner):
         vocab = self.processor.tokenizer.get_vocab()
         self.dictionary = {k.upper(): v for k, v in vocab.items()}
         self.blank_id = self.model.config.pad_token_id or 0
-        labels = [
-            k
-            for k in self.dictionary
-            if len(k) == 1 and k not in ("<", ">")
-        ]
+        labels = [k for k in self.dictionary if len(k) == 1 and k not in ("<", ">")]
         self.discard_symbols = make_discard_symbols_regex(labels)
-        self._sample_rate = int(
-            getattr(self.processor.feature_extractor, "sampling_rate", 16000)
-        )
+        self._sample_rate = int(getattr(self.processor.feature_extractor, "sampling_rate", 16000))
 
     @property
     def sample_rate(self) -> int:
@@ -83,9 +73,7 @@ class TransformersForcedAligner(ForcedAligner):
             logits = self.model(torch.from_numpy(audio).to(self.device)).logits
             emission = torch.log_softmax(logits, dim=-1)[0].cpu().numpy()
 
-        words = align_ctc_emission(
-            emission, transcript, self.dictionary, blank_id=self.blank_id
-        )
+        words = align_ctc_emission(emission, transcript, self.dictionary, blank_id=self.blank_id)
         if not words:
             raise FailedToAlign("No words survived alignment.")
         ratio = audio.shape[1] / emission.shape[0]

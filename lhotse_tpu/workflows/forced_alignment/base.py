@@ -41,22 +41,20 @@ class ForcedAligner(abc.ABC):
 
     @abc.abstractmethod
     def normalize_text(
-        self, text: str, language: Optional[str] = None
+        self, text: str, language: Optional[str] = None,
     ) -> Union[str, List[str], List[Tuple[str, str]]]:
         ...
 
     @abc.abstractmethod
     def align(
-        self, audio: np.ndarray, transcript: Union[str, List[Tuple[str, str]]]
+        self, audio: np.ndarray, transcript: Union[str, List[Tuple[str, str]]],
     ) -> List[AlignmentItem]:
         ...
 
     def __call__(self, cut, normalize: bool = True):
         cut = fastcopy(cut, supervisions=list(cut.supervisions))
 
-        for idx, subcut in enumerate(
-            cut.trim_to_supervisions(keep_overlapping=False)
-        ):
+        for idx, subcut in enumerate(cut.trim_to_supervisions(keep_overlapping=False)):
             audio = subcut.resample(self.sample_rate).load_audio()
             sup = subcut.supervisions[0]
             transcript = (
@@ -73,13 +71,9 @@ class ForcedAligner(abc.ABC):
                 )
                 continue
 
-            alignment = [
-                item._replace(start=item.start + subcut.start)
-                for item in pre_alignment
-            ]
+            alignment = [item._replace(start=item.start + subcut.start) for item in pre_alignment]
             # Reference the original supervision (the trimmed one has start=0).
             cut.supervisions[idx] = cut.supervisions[idx].with_alignment(
-                kind="word", alignment=alignment
-            )
+                kind="word", alignment=alignment)
 
         return cut

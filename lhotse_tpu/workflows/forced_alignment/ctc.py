@@ -40,9 +40,7 @@ class Segment(NamedTuple):
         return self.end - self.start
 
 
-def ctc_forced_align(
-    emission: np.ndarray, tokens: Sequence[int], blank_id: int = 0
-) -> List[Point]:
+def ctc_forced_align(emission: np.ndarray, tokens: Sequence[int], blank_id: int = 0) -> List[Point]:
     """
     Viterbi-style CTC alignment. Returns one :class:`Point` per frame on the
     optimal path (time-ascending), each carrying the frame's emission
@@ -83,9 +81,7 @@ def ctc_forced_align(
     while t > 0:
         stayed = trellis[t - 1, j] + blank_scores[t - 1]
         changed = trellis[t - 1, j - 1] + token_scores[t - 1, j - 1]
-        prob = float(
-            np.exp(emission[t - 1, tokens[j - 1] if changed > stayed else blank_id])
-        )
+        prob = float(np.exp(emission[t - 1, tokens[j - 1] if changed > stayed else blank_id]))
         path.append(Point(j - 1, t - 1, prob))
         if changed > stayed:
             j -= 1
@@ -144,11 +140,7 @@ def merge_words(segments: List[Segment], separator: str = "|") -> List[Segment]:
 
 
 def align_ctc_emission(
-    emission: np.ndarray,
-    transcript: str,
-    dictionary,
-    blank_id: int = 0,
-    separator: str = "|",
+    emission: np.ndarray, transcript: str, dictionary, blank_id: int = 0, separator: str = "|",
 ) -> List[Segment]:
     """Transcript string → word segments (frame units), one call."""
     tokens = [dictionary[c] for c in transcript]

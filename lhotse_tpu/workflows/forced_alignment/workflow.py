@@ -25,19 +25,13 @@ _BUNDLE_TO_CHECKPOINT = {
     "WAV2VEC2_ASR_LARGE_LV60K_960H": "facebook/wav2vec2-large-960h-lv60-self",
     "VOXPOPULI_ASR_BASE_10K_EN": "facebook/wav2vec2-base-10k-voxpopuli-ft-en",
     "HUBERT_ASR_LARGE": "facebook/hubert-large-ls960-ft",
-    "HUBERT_ASR_XLARGE": "facebook/hubert-xlarge-ls960-ft",
-}
+    "HUBERT_ASR_XLARGE": "facebook/hubert-xlarge-ls960-ft"}
 
 
 def align_supervisions(
-    cuts,
-    model_name: str = "facebook/wav2vec2-base-960h",
-    device: str = "cpu",
-    normalize_text: bool = True,
-    num_jobs: int = 1,
-    verbose: bool = False,
-    aligner_factory: Optional[callable] = None,
-) -> Generator:
+    cuts, model_name: str = "facebook/wav2vec2-base-960h", device: str = "cpu",
+    normalize_text: bool = True, num_jobs: int = 1, verbose: bool = False,
+    aligner_factory: Optional[callable] = None) -> Generator:
     """
     Word-level forced alignment of every supervision in ``cuts``; yields cuts
     whose supervisions carry a ``"word"`` alignment.
@@ -48,31 +42,18 @@ def align_supervisions(
         overrides ``model_name`` (used for custom aligners and testing).
     """
     if aligner_factory is None:
-        from lhotse_tpu.workflows.forced_alignment.asr_aligner import (
-            TransformersForcedAligner,
-        )
+        from lhotse_tpu.workflows.forced_alignment.asr_aligner import (TransformersForcedAligner,)
 
-        aligner_factory = partial(
-            TransformersForcedAligner, bundle_name=model_name, device=device
-        )
+        aligner_factory = partial(TransformersForcedAligner, bundle_name=model_name, device=device)
     processor = ParallelExecutor(
-        init_fn=aligner_factory,
-        num_jobs=num_jobs,
-        verbose=verbose,
-        description="Aligning",
-    )
+        init_fn=aligner_factory, num_jobs=num_jobs, verbose=verbose, description="Aligning")
     return processor(cuts, normalize=normalize_text)
 
 
 def align_with_torchaudio(
-    cuts,
-    bundle_name: str = "WAV2VEC2_ASR_BASE_960H",
-    device: str = "cpu",
-    normalize_text: bool = True,
-    num_jobs: int = 1,
-    verbose: bool = False,
-    check_language: bool = True,
-) -> Generator:
+    cuts, bundle_name: str = "WAV2VEC2_ASR_BASE_960H", device: str = "cpu",
+    normalize_text: bool = True, num_jobs: int = 1, verbose: bool = False,
+    check_language: bool = True) -> Generator:
     """Compatibility alias for the reference API (workflow.py:26): maps the
     torchaudio bundle name to its transformers checkpoint and delegates to
     :func:`align_supervisions`. ``MMS_FA`` is not supported."""
@@ -90,10 +71,5 @@ def align_with_torchaudio(
             f"with any transformers CTC checkpoint."
         )
     return align_supervisions(
-        cuts,
-        model_name=model_name,
-        device=device,
-        normalize_text=normalize_text,
-        num_jobs=num_jobs,
-        verbose=verbose,
-    )
+        cuts, model_name=model_name, device=device, normalize_text=normalize_text,
+        num_jobs=num_jobs, verbose=verbose)

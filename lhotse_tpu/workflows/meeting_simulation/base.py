@@ -46,10 +46,7 @@ class BaseMeetingSimulator(abc.ABC):
 
     @abc.abstractmethod
     def simulate(
-        self,
-        cuts: CutSet,
-        num_meetings: Optional[int] = None,
-        num_repeats: Optional[int] = None,
+        self, cuts: CutSet, num_meetings: Optional[int] = None, num_repeats: Optional[int] = None,
     ) -> CutSet:
         """Simulate the desired number of multi-speaker meetings."""
         ...
@@ -68,16 +65,11 @@ class MeetingSampler:
     """
 
     def __init__(
-        self,
-        cuts: CutSet,
-        num_repeats: Optional[int] = None,
-        num_meetings: Optional[int] = None,
+        self, cuts: CutSet, num_repeats: Optional[int] = None, num_meetings: Optional[int] = None,
         num_speakers_per_meeting: Union[int, List[int]] = 2,
         speaker_count_probs: Optional[List[float]] = None,
         max_duration_per_speaker: Optional[float] = 20.0,
-        max_utterances_per_speaker: Optional[int] = 5,
-        seed: int = 0,
-    ):
+        max_utterances_per_speaker: Optional[int] = 5, seed: int = 0):
         if min(num_speakers_per_meeting) <= 1:
             raise AssertionError(
                 "The number of speakers per meeting must be greater than 1. "
@@ -103,19 +95,11 @@ class MeetingSampler:
         self.samplers = {}
         for spk, spk_cuts in groupby(
             sorted(cuts, key=lambda cut: cut.supervisions[0].speaker),
-            lambda cut: cut.supervisions[0].speaker,
-        ):
+            lambda cut: cut.supervisions[0].speaker):
             sampler = DynamicCutSampler(
-                CutSet.from_cuts(list(spk_cuts)).repeat(
-                    times=num_repeats, preserve_id=False
-                ),
-                max_duration=max_duration_per_speaker,
-                max_cuts=max_utterances_per_speaker,
-                shuffle=True,
-                seed=seed,
-                world_size=1,
-                rank=0,
-            )
+                CutSet.from_cuts(list(spk_cuts)).repeat( times=num_repeats, preserve_id=False ),
+                max_duration=max_duration_per_speaker, max_cuts=max_utterances_per_speaker,
+                shuffle=True, seed=seed, world_size=1, rank=0)
             self.samplers[spk] = sampler
 
         self.num_speakers_per_meeting = num_speakers_per_meeting
@@ -130,9 +114,7 @@ class MeetingSampler:
         return self
 
     def _draw_speaker_count(self) -> int:
-        wanted = self.npr.choice(
-            self.num_speakers_per_meeting, p=self.speaker_count_probs
-        )
+        wanted = self.npr.choice(self.num_speakers_per_meeting, p=self.speaker_count_probs)
         return min(wanted, len(self.samplers))
 
     def __next__(self):

@@ -24,11 +24,7 @@ from lhotse_tpu.parallel import parallel_map
 from lhotse_tpu.supervision import SupervisionSet
 from lhotse_tpu.utils import add_durations, uuid4
 from lhotse_tpu.workflows.meeting_simulation.base import (
-    MAX_TASKS_WAITING,
-    BaseMeetingSimulator,
-    MeetingSampler,
-    reverberate_cuts,
-)
+    MAX_TASKS_WAITING, BaseMeetingSimulator, MeetingSampler, reverberate_cuts)
 
 
 class ConversationalMeetingSimulator(BaseMeetingSimulator):
@@ -39,12 +35,8 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
     """
 
     def __init__(
-        self,
-        same_spk_pause: float = 1.0,
-        diff_spk_pause: float = 1.0,
-        diff_spk_overlap: float = 2.0,
-        prob_diff_spk_overlap: float = 0.5,
-    ):
+        self, same_spk_pause: float = 1.0, diff_spk_pause: float = 1.0,
+        diff_spk_overlap: float = 2.0, prob_diff_spk_overlap: float = 0.5):
         super().__init__()
         for duration in (same_spk_pause, diff_spk_pause, diff_spk_overlap):
             assert duration is None or duration > 0, "Durations must be > 0."
@@ -112,9 +104,7 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
 
         logging.info(f"Learned parameters: {self}")
 
-    def _create_mixture(
-        self, utterances: CutSet, allow_3fold_overlap: bool = False
-    ) -> MixedCut:
+    def _create_mixture(self, utterances: CutSet, allow_3fold_overlap: bool = False) -> MixedCut:
         """
         Chain the sampled utterances with pauses/overlaps drawn from the
         learned distributions, then group per speaker into MixTracks.
@@ -126,8 +116,7 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
             "same_pause": self.same_spk_pause_dist.rvs(size=N).round(2),
             "diff_pause": self.diff_spk_pause_dist.rvs(size=N).round(2),
             "overlap": self.diff_spk_overlap_dist.rvs(size=N).round(2),
-            "do_overlap": self.bernoulli.rvs(p=self.prob_diff_spk_overlap, size=N),
-        }
+            "do_overlap": self.bernoulli.rvs(p=self.prob_diff_spk_overlap, size=N)}
 
         def spk_of(utt):
             return utt.supervisions[0].speaker
@@ -170,9 +159,7 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
         for spk_utts in per_speaker.values():
             track, start = spk_utts[0]
             for utt, offset in spk_utts[1:]:
-                track = mix(
-                    track, utt, offset=plus(offset, -start), allow_padding=True
-                )
+                track = mix(track, utt, offset=plus(offset, -start), allow_padding=True)
             tracks.append(MixTrack(cut=track, offset=start))
 
         tracks.sort(key=lambda t: t.offset)
@@ -180,18 +167,12 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
 
     @dill_enabled(True)
     def simulate(
-        self,
-        cuts: CutSet,
-        num_meetings: Optional[int] = None,
-        num_repeats: Optional[int] = None,
+        self, cuts: CutSet, num_meetings: Optional[int] = None, num_repeats: Optional[int] = None,
         num_speakers_per_meeting: Union[int, List[int]] = 2,
         speaker_count_probs: Optional[List[float]] = None,
         max_duration_per_speaker: Optional[float] = 20.0,
-        max_utterances_per_speaker: Optional[int] = 5,
-        allow_3fold_overlap: bool = False,
-        seed: int = 0,
-        num_jobs: int = 1,
-    ) -> CutSet:
+        max_utterances_per_speaker: Optional[int] = 5, allow_3fold_overlap: bool = False,
+        seed: int = 0, num_jobs: int = 1) -> CutSet:
         """
         Simulate meetings (see SpeakerIndependentMeetingSimulator.simulate
         for parameter semantics; ``allow_3fold_overlap`` permits 3+ speakers
@@ -213,27 +194,17 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
         self.bernoulli = bernoulli
 
         sampler = MeetingSampler(
-            cuts,
-            num_repeats=num_repeats,
-            num_meetings=num_meetings,
+            cuts, num_repeats=num_repeats, num_meetings=num_meetings,
             max_duration_per_speaker=max_duration_per_speaker,
             max_utterances_per_speaker=max_utterances_per_speaker,
             num_speakers_per_meeting=num_speakers_per_meeting,
-            speaker_count_probs=speaker_count_probs,
-            seed=seed,
-        )
-        work = partial(
-            _simulate_worker, simulator=self, allow_3fold_overlap=allow_3fold_overlap
-        )
+            speaker_count_probs=speaker_count_probs, seed=seed)
+        work = partial(_simulate_worker, simulator=self, allow_3fold_overlap=allow_3fold_overlap)
         if num_jobs == 1:
             mixtures = map(work, iter(sampler))
         else:
             mixtures = parallel_map(
-                work,
-                iter(sampler),
-                num_jobs=num_jobs,
-                queue_size=num_jobs * MAX_TASKS_WAITING,
-            )
+                work, iter(sampler), num_jobs=num_jobs, queue_size=num_jobs * MAX_TASKS_WAITING)
         return CutSet.from_cuts(list(mixtures))
 
     def reverberate(self, cuts: CutSet, *rirs: RecordingSet) -> CutSet:
@@ -241,6 +212,5 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
 
 
 def _simulate_worker(
-    utterances, allow_3fold_overlap: bool, simulator: ConversationalMeetingSimulator
-):
+    utterances, allow_3fold_overlap: bool, simulator: ConversationalMeetingSimulator):
     return simulator._create_mixture(utterances, allow_3fold_overlap=allow_3fold_overlap)

@@ -22,11 +22,7 @@ from lhotse_tpu.parallel import parallel_map
 from lhotse_tpu.supervision import SupervisionSet
 from lhotse_tpu.utils import uuid4
 from lhotse_tpu.workflows.meeting_simulation.base import (
-    MAX_TASKS_WAITING,
-    BaseMeetingSimulator,
-    MeetingSampler,
-    reverberate_cuts,
-)
+    MAX_TASKS_WAITING, BaseMeetingSimulator, MeetingSampler, reverberate_cuts)
 
 
 class SpeakerIndependentMeetingSimulator(BaseMeetingSimulator):
@@ -67,24 +63,18 @@ class SpeakerIndependentMeetingSimulator(BaseMeetingSimulator):
         gaps = []
         for segments in per_speaker.values():
             segments.sort(key=lambda s: s.start)
-            gaps.extend(
-                max(0, nxt.start - prev.end)
-                for prev, nxt in zip(segments, segments[1:])
-            )
+            gaps.extend(max(0, nxt.start - prev.end) for prev, nxt in zip(segments, segments[1:]))
 
         self.loc, self.scale = expon.fit(gaps)
         logging.info(f"Learned parameters: loc={self.loc:.2f}, scale={self.scale:.2f}")
 
     def _create_mixture(
-        self, utterances: List[CutSet], silence_durations: List[np.ndarray]
-    ) -> MixedCut:
+        self, utterances: List[CutSet], silence_durations: List[np.ndarray]) -> MixedCut:
         """One track per speaker: utterances chained with sampled pauses."""
         def chain(utts, pauses):
             merged = utts[0]
             for pause, utt in zip(pauses[1:], utts[1:]):
-                merged = mix(
-                    merged, utt, offset=merged.duration + pause, allow_padding=True
-                )
+                merged = mix(merged, utt, offset=merged.duration + pause, allow_padding=True)
             return merged
 
         tracks = [
@@ -99,17 +89,11 @@ class SpeakerIndependentMeetingSimulator(BaseMeetingSimulator):
 
     @dill_enabled(True)
     def simulate(
-        self,
-        cuts: CutSet,
-        num_meetings: Optional[int] = None,
-        num_repeats: Optional[int] = None,
+        self, cuts: CutSet, num_meetings: Optional[int] = None, num_repeats: Optional[int] = None,
         num_speakers_per_meeting: Union[int, List[int]] = 2,
         speaker_count_probs: Optional[List[float]] = None,
         max_duration_per_speaker: Optional[float] = 20.0,
-        max_utterances_per_speaker: Optional[int] = 5,
-        seed: int = 0,
-        num_jobs: int = 1,
-    ) -> CutSet:
+        max_utterances_per_speaker: Optional[int] = 5, seed: int = 0, num_jobs: int = 1) -> CutSet:
         """
         Simulate meetings; supply either ``num_meetings`` or ``num_repeats``
         (how many times each source cut may be reused).
@@ -129,25 +113,17 @@ class SpeakerIndependentMeetingSimulator(BaseMeetingSimulator):
             )
 
         sampler = MeetingSampler(
-            cuts,
-            num_repeats=num_repeats,
-            num_meetings=num_meetings,
+            cuts, num_repeats=num_repeats, num_meetings=num_meetings,
             max_duration_per_speaker=max_duration_per_speaker,
             max_utterances_per_speaker=max_utterances_per_speaker,
             num_speakers_per_meeting=num_speakers_per_meeting,
-            speaker_count_probs=speaker_count_probs,
-            seed=seed,
-        )
+            speaker_count_probs=speaker_count_probs, seed=seed)
         work = partial(_simulate_worker, seed=seed, simulator=self)
         if num_jobs == 1:
             mixtures = map(work, iter(sampler))
         else:
             mixtures = parallel_map(
-                work,
-                iter(sampler),
-                num_jobs=num_jobs,
-                queue_size=num_jobs * MAX_TASKS_WAITING,
-            )
+                work, iter(sampler), num_jobs=num_jobs, queue_size=num_jobs * MAX_TASKS_WAITING)
         return CutSet.from_cuts(list(mixtures))
 
     def reverberate(self, cuts: CutSet, *rirs: RecordingSet) -> CutSet:
@@ -155,10 +131,7 @@ class SpeakerIndependentMeetingSimulator(BaseMeetingSimulator):
 
 
 def _simulate_worker(
-    utterances: CutSet,
-    seed: int,
-    simulator: SpeakerIndependentMeetingSimulator,
-) -> MixedCut:
+    utterances: CutSet, seed: int, simulator: SpeakerIndependentMeetingSimulator) -> MixedCut:
     npr = np.random.RandomState(seed)
 
     by_speaker = defaultdict(list)

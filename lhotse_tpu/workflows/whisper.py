@@ -26,25 +26,16 @@ from lhotse_tpu.utils import add_durations, fastcopy, is_module_available
 
 
 def annotate_with_whisper(
-    manifest: Union[RecordingSet, CutSet],
-    model_name: str = "base",
-    device: str = "cpu",
-    force_nonoverlapping: bool = False,
-    download_root: Optional[str] = None,
-    backend: str = "auto",
-    **decode_options,
-) -> Generator:
+    manifest: Union[RecordingSet, CutSet], model_name: str = "base", device: str = "cpu",
+    force_nonoverlapping: bool = False, download_root: Optional[str] = None, backend: str = "auto",
+    **decode_options) -> Generator:
     """
     Annotate recordings or cuts with Whisper ASR (segmentation,
     transcription, language id). For a CutSet the existing supervisions are
     overwritten. Yields cuts; use ``CutSet.open_writer()`` to persist.
     """
     transcribe = _make_transcriber(
-        model_name=model_name,
-        device=device,
-        download_root=download_root,
-        backend=backend,
-    )
+        model_name=model_name, device=device, download_root=download_root, backend=backend)
     if isinstance(manifest, RecordingSet):
         items = ((r, r.to_cut()) for r in manifest)
     elif isinstance(manifest, CutSet):
@@ -63,19 +54,8 @@ def annotate_with_whisper(
         audio = item.resample(16000).load_audio()[0]
         segments, language = transcribe(audio, **decode_options)
         supervisions = [
-            SupervisionSegment(
-                id=f"{cut.id}-{i:06d}",
-                recording_id=getattr(cut, "recording_id", cut.id),
-                start=round(start, ndigits=8),
-                duration=add_durations(
-                    min(end, cut.duration), -start, sampling_rate=16000
-                ),
-                text=text.strip(),
-                language=language,
-            )
-            for i, (start, end, text) in enumerate(segments)
-            if end - start > 0
-        ]
+            SupervisionSegment( id=f"{cut.id}-{i:06d}", recording_id=getattr(cut, "recording_id", cut.id), start=round(start, ndigits=8), duration=add_durations( min(end, cut.duration), -start, sampling_rate=16000 ), text=text.strip(), language=language, ) for i,
+            (start, end, text) in enumerate(segments) if end - start > 0]
         if force_nonoverlapping:
             supervisions = _postprocess_timestamps(supervisions)
         if is_recording_set:
@@ -90,9 +70,7 @@ def annotate_with_whisper(
             yield fastcopy(cut, supervisions=supervisions)
 
 
-def _make_transcriber(
-    model_name: str, device: str, download_root: Optional[str], backend: str
-):
+def _make_transcriber(model_name: str, device: str, download_root: Optional[str], backend: str):
     """Returns transcribe(audio, **opts) -> (segments, language) where
     segments is a list of (start_sec, end_sec, text)."""
     if backend == "auto":
@@ -105,16 +83,12 @@ def _make_transcriber(
         )
         import whisper
 
-        model = whisper.load_model(
-            model_name, device=device, download_root=download_root
-        )
+        model = whisper.load_model(model_name, device=device, download_root=download_root)
 
         def transcribe(audio, **opts):
             result = whisper.transcribe(model=model, audio=audio, **opts)
             return (
-                [(s["start"], s["end"], s["text"]) for s in result["segments"]],
-                result["language"],
-            )
+                [(s["start"], s["end"], s["text"]) for s in result["segments"]], result["language"])
 
         return transcribe
 
@@ -124,27 +98,17 @@ def _make_transcriber(
         )
         from transformers import pipeline
 
-        checkpoint = (
-            model_name
-            if "/" in model_name
-            else f"openai/whisper-{model_name}"
-        )
+        checkpoint = (model_name if "/" in model_name else f"openai/whisper-{model_name}")
         pipe = pipeline(
-            "automatic-speech-recognition",
-            model=checkpoint,
-            device=device,
-            model_kwargs={"cache_dir": download_root} if download_root else None,
-        )
+            "automatic-speech-recognition", model=checkpoint, device=device,
+            model_kwargs={"cache_dir": download_root} if download_root else None)
 
         def transcribe(audio, **opts):
             language = opts.pop("language", None)
             generate_kwargs = {"language": language} if language else {}
             result = pipe(
-                {"array": audio, "sampling_rate": 16000},
-                return_timestamps=True,
-                generate_kwargs=generate_kwargs,
-                **opts,
-            )
+                {"array": audio, "sampling_rate": 16000}, return_timestamps=True,
+                generate_kwargs=generate_kwargs, **opts)
             segments = [
                 (c["timestamp"][0], c["timestamp"][1], c["text"])
                 for c in result.get("chunks", [])
@@ -157,9 +121,7 @@ def _make_transcriber(
     raise ValueError(f"Unknown whisper backend: {backend}")
 
 
-def _postprocess_timestamps(
-    supervisions: List[SupervisionSegment],
-) -> List[SupervisionSegment]:
+def _postprocess_timestamps(supervisions: List[SupervisionSegment],) -> List[SupervisionSegment]:
     """Truncate each segment at the next one's start (Whisper end timestamps
     overshoot; assumes non-overlapping speech). Reference: whisper.py:172-200."""
     supervisions = sorted(supervisions, key=lambda s: s.start)

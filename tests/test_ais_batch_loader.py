@@ -4,12 +4,7 @@ import pytest
 
 from lhotse_tpu import CutSet
 from lhotse_tpu.ais import (
-    AISBatchLoader,
-    AISBatchLoaderError,
-    FetchRequest,
-    LocalBatchFetcher,
-    collect_batch_requests,
-)
+    AISBatchLoader, AISBatchLoaderError, FetchRequest, LocalBatchFetcher, collect_batch_requests)
 from lhotse_tpu.testing.dummies import dummy_cut
 
 
@@ -26,12 +21,8 @@ def shar_cuts(tmp_path):
     cuts = CutSet.from_cuts(base)
     out = tmp_path / "shar"
     cuts.to_shar(
-        out,
-        fields={"recording": "wav", "features": "lilcom", "custom_features": "lilcom"},
-        shard_size=2,
-        compress_jsonl=False,
-        create_index=True,
-    )
+        out, fields={"recording": "wav", "features": "lilcom", "custom_features": "lilcom"},
+        shard_size=2, compress_jsonl=False, create_index=True)
     lazy = CutSet.from_shar(in_dir=out, indexed=True, lazy=True)
     return cuts, list(lazy)
 
@@ -54,16 +45,11 @@ def test_batch_loader_injects_memory_payloads(shar_cuts):
         assert loaded.recording.sources[0].type == "memory"
         np.testing.assert_array_equal(orig.load_audio(), loaded.load_audio())
         assert loaded.features.storage_type.startswith("memory")
-        np.testing.assert_allclose(
-            orig.load_features(), loaded.load_features(), atol=2**-6
-        )
+        np.testing.assert_allclose(orig.load_features(), loaded.load_features(), atol=2**-6)
         inner = loaded.custom["custom_features"].array
         assert inner.storage_type.startswith("memory")
         np.testing.assert_allclose(
-            orig.load_custom_features(),
-            loaded.load_custom_features(),
-            atol=2**-6,
-        )
+            orig.load_custom_features(), loaded.load_custom_features(), atol=2**-6)
 
 
 def test_batch_loader_noop_on_local_cuts():

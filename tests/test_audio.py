@@ -19,9 +19,7 @@ class TestWavCodec:
         y, sr = read_wav(buf)
         assert sr == 16000
         assert y.shape == (2, 8000)
-        tol = {"pcm16": 1e-4, "pcm24": 1e-6, "pcm32": 1e-7, "float32": 0, "float64": 1e-7}[
-            subtype
-        ]
+        tol = {"pcm16": 1e-4, "pcm24": 1e-6, "pcm32": 1e-7, "float32": 0, "float64": 1e-7}[subtype]
         assert np.abs(y - x).max() <= tol + 1e-9
 
     def test_partial_read(self):
@@ -127,9 +125,7 @@ class TestRecordingSet:
 
     def test_split_subset_filter(self, tmp_wav):
         r = Recording.from_file(tmp_wav)
-        recs = RecordingSet.from_recordings(
-            [r.copy_with(id=f"rec-{i}") for i in range(10)]
-        )
+        recs = RecordingSet.from_recordings([r.copy_with(id=f"rec-{i}") for i in range(10)])
         splits = recs.split(3)
         assert sum(len(s) for s in splits) == 10
         assert len(recs.subset(first=4)) == 4

@@ -39,12 +39,7 @@ def cuts_path(corpus):
     out = corpus / "cuts.jsonl.gz"
     res = runner.invoke(
         cli,
-        [
-            "cut", "simple",
-            "-r", str(corpus / "recordings.jsonl.gz"),
-            "-s", str(corpus / "supervisions.jsonl.gz"),
-            "--force-eager", str(out),
-        ],
+        [ "cut", "simple", "-r", str(corpus / "recordings.jsonl.gz"), "-s", str(corpus / "supervisions.jsonl.gz"), "--force-eager", str(out), ],
     )
     assert res.exit_code == 0, res.output
     return out
@@ -58,11 +53,7 @@ def test_validate(corpus):
 def test_validate_pair(corpus):
     res = CliRunner().invoke(
         cli,
-        [
-            "validate-pair",
-            str(corpus / "recordings.jsonl.gz"),
-            str(corpus / "supervisions.jsonl.gz"),
-        ],
+        [ "validate-pair", str(corpus / "recordings.jsonl.gz"), str(corpus / "supervisions.jsonl.gz"), ],
     )
     assert res.exit_code == 0, res.output
 
@@ -70,12 +61,7 @@ def test_validate_pair(corpus):
 def test_fix(corpus, tmp_path):
     res = CliRunner().invoke(
         cli,
-        [
-            "fix",
-            str(corpus / "recordings.jsonl.gz"),
-            str(corpus / "supervisions.jsonl.gz"),
-            str(tmp_path),
-        ],
+        [ "fix", str(corpus / "recordings.jsonl.gz"), str(corpus / "supervisions.jsonl.gz"), str(tmp_path), ],
     )
     assert res.exit_code == 0, res.output
     assert (tmp_path / "recordings.jsonl.gz").exists()
@@ -98,14 +84,11 @@ def test_subset_split_combine_filter(cuts_path, tmp_path):
 
     parts = sorted((tmp_path / "splits").glob("*.jsonl.gz"))
     assert len(parts) == 2
-    res = runner.invoke(
-        cli, ["combine", *[str(p) for p in parts], str(tmp_path / "rec.jsonl.gz")]
-    )
+    res = runner.invoke(cli, ["combine", *[str(p) for p in parts], str(tmp_path / "rec.jsonl.gz")])
     assert res.exit_code == 0, res.output
 
     res = runner.invoke(
-        cli, ["filter", "duration>1.2", str(cuts_path), str(tmp_path / "f.jsonl.gz")]
-    )
+        cli, ["filter", "duration>1.2", str(cuts_path), str(tmp_path / "f.jsonl.gz")])
     assert res.exit_code == 0, res.output
     from lhotse_tpu import CutSet
 
@@ -116,12 +99,7 @@ def test_subset_split_combine_filter(cuts_path, tmp_path):
 def test_feat_extract_cuts(cuts_path, tmp_path):
     res = CliRunner().invoke(
         cli,
-        [
-            "feat", "extract-cuts",
-            str(cuts_path),
-            str(tmp_path / "cuts_feats.jsonl.gz"),
-            str(tmp_path / "storage"),
-        ],
+        [ "feat", "extract-cuts", str(cuts_path), str(tmp_path / "cuts_feats.jsonl.gz"), str(tmp_path / "storage"), ],
     )
     assert res.exit_code == 0, res.output
     from lhotse_tpu import CutSet
@@ -134,10 +112,7 @@ def test_shar_export_and_index(cuts_path, tmp_path):
     runner = CliRunner()
     res = runner.invoke(
         cli,
-        [
-            "shar", "export", "-a", "wav", "--no-compress-jsonl",
-            str(cuts_path), str(tmp_path / "shar"),
-        ],
+        [ "shar", "export", "-a", "wav", "--no-compress-jsonl", str(cuts_path), str(tmp_path / "shar"), ],
     )
     assert res.exit_code == 0, res.output
     from lhotse_tpu import CutSet
@@ -150,11 +125,7 @@ def test_shar_export_and_index(cuts_path, tmp_path):
 def test_workflows_simulate_meetings(cuts_path, tmp_path):
     res = CliRunner().invoke(
         cli,
-        [
-            "workflows", "simulate-meetings", "-m", "independent",
-            "-n", "2", "-s", "2",
-            str(cuts_path), str(tmp_path / "meetings.jsonl.gz"),
-        ],
+        [ "workflows", "simulate-meetings", "-m", "independent", "-n", "2", "-s", "2", str(cuts_path), str(tmp_path / "meetings.jsonl.gz"), ],
     )
     assert res.exit_code == 0, res.output
     from lhotse_tpu import CutSet
@@ -170,11 +141,7 @@ def test_workflows_simulate_meetings(cuts_path, tmp_path):
 def test_workflows_activity_detection(corpus, tmp_path):
     res = CliRunner().invoke(
         cli,
-        [
-            "workflows", "activity-detection",
-            str(corpus / "recordings.jsonl.gz"),
-            str(tmp_path / "vad.jsonl.gz"),
-        ],
+        [ "workflows", "activity-detection", str(corpus / "recordings.jsonl.gz"), str(tmp_path / "vad.jsonl.gz"), ],
     )
     assert res.exit_code == 0, res.output
     from lhotse_tpu import SupervisionSet

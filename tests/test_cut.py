@@ -4,15 +4,8 @@ import numpy as np
 import pytest
 
 from lhotse_tpu import (
-    CutSet,
-    Fbank,
-    LilcomChunkyWriter,
-    MonoCut,
-    Recording,
-    RecordingSet,
-    SupervisionSegment,
-    SupervisionSet,
-)
+    CutSet, Fbank, LilcomChunkyWriter, MonoCut, Recording, RecordingSet, SupervisionSegment,
+    SupervisionSet)
 from lhotse_tpu.audio.wavio import write_wav
 from lhotse_tpu.cut import MixedCut, PaddingCut, deserialize_cut, mix, pad
 
@@ -29,19 +22,8 @@ def recording(tmp_path):
 @pytest.fixture
 def cut(recording):
     return MonoCut(
-        id="cut-1",
-        start=0.0,
-        duration=2.0,
-        channel=0,
-        recording=recording,
-        supervisions=[
-            SupervisionSegment(
-                id="sup-1", recording_id=recording.id, start=0.2, duration=0.5, text="a"
-            ),
-            SupervisionSegment(
-                id="sup-2", recording_id=recording.id, start=1.0, duration=0.8, text="b"
-            ),
-        ],
+        id="cut-1", start=0.0, duration=2.0, channel=0, recording=recording,
+        supervisions=[ SupervisionSegment( id="sup-1", recording_id=recording.id, start=0.2, duration=0.5, text="a" ), SupervisionSegment( id="sup-2", recording_id=recording.id, start=1.0, duration=0.8, text="b" ), ],
     )
 
 
@@ -148,9 +130,7 @@ class TestCutBasics:
 
     def test_padding_cut(self):
         pc = PaddingCut(
-            id="pad", duration=1.0, sampling_rate=16000, feat_value=-23.0,
-            num_samples=16000,
-        )
+            id="pad", duration=1.0, sampling_rate=16000, feat_value=-23.0, num_samples=16000)
         assert pc.load_audio().shape == (1, 16000)
         np.testing.assert_allclose(pc.load_audio(), 0.0)
 
@@ -205,9 +185,7 @@ class TestCutSet:
                 for i in range(1)
             ]
         )
-        recs = RecordingSet.from_recordings(
-            [recording.copy_with(id=recording.id)]
-        )
+        recs = RecordingSet.from_recordings([recording.copy_with(id=recording.id)])
         sups = SupervisionSet.from_segments(
             [
                 SupervisionSegment(
@@ -233,10 +211,7 @@ class TestCutSet:
 
     def test_compute_and_store_features_pipeline(self, cuts, tmp_path):
         cuts_f = cuts.compute_and_store_features(
-            extractor=Fbank(),
-            storage_path=tmp_path / "feats",
-            progress_bar=False,
-        )
+            extractor=Fbank(), storage_path=tmp_path / "feats", progress_bar=False)
         assert all(c.has_features for c in cuts_f)
         assert cuts_f[0].load_features().shape == (200, 80)
 

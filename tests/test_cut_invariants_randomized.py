@@ -35,14 +35,11 @@ def op_chains(draw):
             )
         )
     params = {
-        "trunc_offset": draw(st.floats(0.0, 0.5)),
-        "trunc_duration": draw(st.floats(0.2, 1.0)),
+        "trunc_offset": draw(st.floats(0.0, 0.5)), "trunc_duration": draw(st.floats(0.2, 1.0)),
         "pad_duration": draw(st.floats(2.5, 5.0)),
         "resample_rate": draw(st.sampled_from([8000, 16000, 22050, 24000])),
-        "speed": draw(st.sampled_from([0.9, 1.0, 1.1])),
-        "volume": draw(st.floats(0.5, 2.0)),
-        "tempo": draw(st.sampled_from([0.9, 1.1])),
-    }
+        "speed": draw(st.sampled_from([0.9, 1.0, 1.1])), "volume": draw(st.floats(0.5, 2.0)),
+        "tempo": draw(st.sampled_from([0.9, 1.1]))}
     return ops, params
 
 
@@ -51,8 +48,7 @@ def apply_ops(cut, ops, params):
         if op == "truncate":
             cut = cut.truncate(
                 offset=min(params["trunc_offset"], max(cut.duration - 0.2, 0)),
-                duration=min(params["trunc_duration"], cut.duration),
-            )
+                duration=min(params["trunc_duration"], cut.duration))
         elif op == "pad":
             cut = cut.pad(duration=cut.duration + params["pad_duration"])
         elif op == "resample":
@@ -86,19 +82,13 @@ def test_loaded_audio_shape_matches_manifest_after_op_chain(chain):
 
 
 @settings(max_examples=MAX_EXAMPLES, deadline=None)
-@given(
-    offset=st.floats(0.0, 1.5),
-    duration=st.floats(0.1, 2.0),
-    keep=st.booleans(),
-)
+@given(offset=st.floats(0.0, 1.5), duration=st.floats(0.1, 2.0), keep=st.booleans())
 def test_truncate_keeps_supervisions_within_bounds(offset, duration, keep):
     cut = dummy_cut(0, with_data=True, duration=1.0, recording_duration=2.0)
     offset = min(offset, cut.duration - 0.05)
     cut2 = cut.truncate(
-        offset=offset,
-        duration=min(duration, cut.duration - offset),
-        keep_excessive_supervisions=keep,
-    )
+        offset=offset, duration=min(duration, cut.duration - offset),
+        keep_excessive_supervisions=keep)
     for sup in cut2.supervisions:
         if not keep:
             assert sup.start >= -1e-8
@@ -106,10 +96,7 @@ def test_truncate_keeps_supervisions_within_bounds(offset, duration, keep):
 
 
 @settings(max_examples=MAX_EXAMPLES, deadline=None)
-@given(
-    snr=st.floats(-5, 30),
-    offset=st.floats(0.0, 0.8),
-)
+@given(snr=st.floats(-5, 30), offset=st.floats(0.0, 0.8))
 def test_mix_duration_and_audio_shape(snr, offset):
     a = make_cut(duration=1.0)
     b = make_cut(duration=1.0)
@@ -128,8 +115,6 @@ def test_resample_then_window_partition(rate, win):
     total = sum(w.duration for w in windows)
     # Window boundaries snap to whole samples, so the sum can drift by up to
     # one sample per window.
-    assert total == pytest.approx(
-        cut.duration, abs=len(windows) / cut.sampling_rate
-    )
+    assert total == pytest.approx(cut.duration, abs=len(windows) / cut.sampling_rate)
     for w in windows:
         assert abs(w.num_samples - w.duration * w.sampling_rate) <= 1

@@ -6,24 +6,9 @@ import pytest
 from lhotse_tpu import CutSet, Fbank, LilcomChunkyWriter, Recording
 from lhotse_tpu.audio.wavio import write_wav
 from lhotse_tpu.dataset import (
-    AudioSamples,
-    CutConcatenate,
-    CutMix,
-    ExtraPadding,
-    GlobalMVN,
-    OnTheFlyFeatures,
-    PerturbSpeed,
-    PerturbVolume,
-    PrecomputedFeatures,
-    RandomizedSmoothing,
-    SpecAugment,
-    TokenCollater,
-    collate_audio,
-    collate_custom_field,
-    collate_features,
-    collate_matrices,
-    collate_vectors,
-)
+    AudioSamples, CutConcatenate, CutMix, ExtraPadding, GlobalMVN, OnTheFlyFeatures, PerturbSpeed,
+    PerturbVolume, PrecomputedFeatures, RandomizedSmoothing, SpecAugment, TokenCollater,
+    collate_audio, collate_custom_field, collate_features, collate_matrices, collate_vectors)
 from lhotse_tpu.supervision import SupervisionSegment
 from lhotse_tpu.utils import LOG_EPSILON
 
@@ -53,9 +38,7 @@ def cuts(tmp_path_factory):
 def cuts_with_feats(cuts, tmp_path_factory):
     d = tmp_path_factory.mktemp("feats")
     with LilcomChunkyWriter(d) as storage:
-        return CutSet.from_cuts(
-            c.compute_and_store_features(Fbank(), storage) for c in cuts
-        )
+        return CutSet.from_cuts(c.compute_and_store_features(Fbank(), storage) for c in cuts)
 
 
 class TestCollation:
@@ -143,9 +126,7 @@ class TestSignalTransforms:
 
     def test_specaugment_warp_preserves_mean(self):
         x = np.random.RandomState(0).randn(2, 300, 80).astype(np.float32)
-        sa = SpecAugment(
-            p=1.0, num_feature_masks=0, num_frame_masks=0, time_warp_factor=80, seed=2
-        )
+        sa = SpecAugment(p=1.0, num_feature_masks=0, num_frame_masks=0, time_warp_factor=80, seed=2)
         y = sa(x)
         assert y.shape == x.shape
         # Warp is a resample: global stats nearly unchanged.

@@ -85,5 +85,4 @@ def test_smart_open_gated_url_open():
 
     if not SmartOpenIOBackend.is_available():
         assert "SmartOpenIOBackend" not in __import__(
-            "lhotse_tpu.serialization", fromlist=["available_io_backends"]
-        ).available_io_backends()
+            "lhotse_tpu.serialization", fromlist=["available_io_backends"]).available_io_backends()

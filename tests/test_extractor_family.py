@@ -3,17 +3,8 @@ import numpy as np
 import pytest
 
 from lhotse_tpu import (
-    Fbank,
-    FbankConfig,
-    KaldifeatFbank,
-    KaldifeatFbankConfig,
-    KaldifeatMfcc,
-    LibrosaFbank,
-    TorchaudioFbank,
-    TorchaudioFbankConfig,
-    TorchaudioMfcc,
-    TorchaudioSpectrogram,
-)
+    Fbank, FbankConfig, KaldifeatFbank, KaldifeatFbankConfig, KaldifeatMfcc, LibrosaFbank,
+    TorchaudioFbank, TorchaudioFbankConfig, TorchaudioMfcc, TorchaudioSpectrogram)
 from lhotse_tpu.features.base import create_default_feature_extractor
 from lhotse_tpu.features.kaldifeat import KaldifeatFrameOptions, KaldifeatMelOptions
 from lhotse_tpu.features.librosa_fbank import pad_or_truncate_features
@@ -66,8 +57,7 @@ def test_kaldifeat_fbank_list_api(audio):
 def test_kaldifeat_config_serialized_key_renames():
     cfg = KaldifeatFbankConfig(
         frame_opts=KaldifeatFrameOptions(sampling_rate=8000, frame_shift=0.02),
-        mel_opts=KaldifeatMelOptions(num_bins=40),
-    )
+        mel_opts=KaldifeatMelOptions(num_bins=40))
     d = cfg.to_dict()
     assert d["frame_opts"]["samp_freq"] == 8000.0
     assert d["frame_opts"]["frame_shift_ms"] == 20.0
@@ -102,13 +92,9 @@ def test_pad_or_truncate_features():
 
 def test_registry_names_match_reference():
     expected = {
-        "fbank": TorchaudioFbank,
-        "mfcc": TorchaudioMfcc,
-        "spectrogram": TorchaudioSpectrogram,
-        "kaldifeat-fbank": KaldifeatFbank,
-        "kaldifeat-mfcc": KaldifeatMfcc,
-        "librosa-fbank": LibrosaFbank,
-    }
+        "fbank": TorchaudioFbank, "mfcc": TorchaudioMfcc, "spectrogram": TorchaudioSpectrogram,
+        "kaldifeat-fbank": KaldifeatFbank, "kaldifeat-mfcc": KaldifeatMfcc,
+        "librosa-fbank": LibrosaFbank}
     for name, cls in expected.items():
         assert isinstance(create_default_feature_extractor(name), cls)
 

@@ -7,14 +7,7 @@ jnp = pytest.importorskip("jax.numpy")
 from lhotse_tpu.ops import fbank as ops
 from lhotse_tpu.ops.fbank import get_mel_banks
 from lhotse_tpu.ops.fbank_pallas import (
-    BLOCK_T,
-    FRAME_LEN,
-    HOP,
-    ROW,
-    fbank_fused,
-    fbank_pallas,
-    reference_fbank,
-)
+    BLOCK_T, FRAME_LEN, HOP, ROW, fbank_fused, fbank_pallas, reference_fbank)
 
 
 @pytest.fixture(scope="module")

@@ -9,13 +9,10 @@ import pytest
 
 from lhotse_tpu.audio import flacio
 
-FIXTURE = Path(
-    "/root/reference/test/fixtures/mix_cut_test/audio/storage/2412-153948-0000.flac"
-)
+FIXTURE = Path("/root/reference/test/fixtures/mix_cut_test/audio/storage/2412-153948-0000.flac")
 
 pytestmark = pytest.mark.skipif(
-    not flacio.is_available(), reason="native FLAC codec unavailable (no C compiler)"
-)
+    not flacio.is_available(), reason="native FLAC codec unavailable (no C compiler)")
 
 
 def _streaminfo_md5(data: bytes) -> bytes:
@@ -57,9 +54,7 @@ class TestRoundtrip:
         flacio.write_flac(buf, x, 16000)
         y, sr = flacio.read_flac(buf.getvalue())
         assert sr == 16000
-        np.testing.assert_array_equal(
-            np.rint(x * 32768).clip(-32768, 32767), np.rint(y * 32768)
-        )
+        np.testing.assert_array_equal(np.rint(x * 32768).clip(-32768, 32767), np.rint(y * 32768))
 
     def test_stereo_lossless_and_compresses(self):
         t = np.arange(30000) / 16000
@@ -72,9 +67,7 @@ class TestRoundtrip:
         flacio.write_flac(buf, x, 16000)
         assert len(buf.getvalue()) < x.size * 2  # beats raw PCM
         y, _ = flacio.read_flac(buf.getvalue())
-        np.testing.assert_array_equal(
-            np.rint(x * 32768).clip(-32768, 32767), np.rint(y * 32768)
-        )
+        np.testing.assert_array_equal(np.rint(x * 32768).clip(-32768, 32767), np.rint(y * 32768))
 
     def test_own_md5_is_valid(self):
         rng = np.random.RandomState(1)
@@ -114,6 +107,4 @@ class TestBackendIntegration:
         cuts = CutSet.from_cuts([Recording.from_file(tmp_path / "a.wav").to_cut()])
         cuts.to_shar(tmp_path / "shar", fields={"recording": "flac"})
         back = list(CutSet.from_shar(in_dir=tmp_path / "shar"))
-        np.testing.assert_allclose(
-            back[0].load_audio()[0], x, atol=1.0 / 32768
-        )
+        np.testing.assert_allclose(back[0].load_audio()[0], x, atol=1.0 / 32768)

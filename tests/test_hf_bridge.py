@@ -16,11 +16,7 @@ def cuts(tmp_path):
     base = []
     for i in range(3):
         path = tmp_path / f"rec{i}.wav"
-        write_wav(
-            path,
-            (np.random.RandomState(i).randn(1, 16000) * 0.1).astype(np.float32),
-            16000,
-        )
+        write_wav(path, (np.random.RandomState(i).randn(1, 16000) * 0.1).astype(np.float32), 16000)
         cut = Recording.from_file(path).to_cut()
         cut.supervisions = [
             SupervisionSegment(
@@ -60,9 +56,7 @@ def test_lazy_hf_dataset_iterator_roundtrip(cuts):
     assert len(restored) == 3
     for orig, back in zip(cuts, restored):
         assert back.supervisions[0].text == orig.supervisions[0].text
-        np.testing.assert_allclose(
-            back.load_audio(), orig.load_audio(), atol=1e-4
-        )
+        np.testing.assert_allclose(back.load_audio(), orig.load_audio(), atol=1e-4)
 
 
 def test_lazy_hf_iterator_from_streaming_dicts(cuts):

@@ -7,12 +7,8 @@ import pytest
 from lhotse_tpu import CutSet
 from lhotse_tpu.cut import MonoCut
 from lhotse_tpu.index_pack import (
-    IndexPack,
-    IndexPackCollectionSpec,
-    index_pack_collection_key,
-    open_index_pack,
-    write_index_pack,
-)
+    IndexPack, IndexPackCollectionSpec, index_pack_collection_key, open_index_pack,
+    write_index_pack)
 from lhotse_tpu.indexing import create_jsonl_index
 from lhotse_tpu.packed_lazy import LazyPackedManifestIterator
 
@@ -40,17 +36,14 @@ def make_shards(tmp_path, num_shards=3, cuts_per_shard=10):
 def pack_path(tmp_path):
     paths = make_shards(tmp_path)
     spec = IndexPackCollectionSpec(
-        role="records", kind="json-lines",
-        source_spec="cuts-{000..002}.jsonl", paths=tuple(paths),
-    )
+        role="records", kind="json-lines", source_spec="cuts-{000..002}.jsonl", paths=tuple(paths))
     out = tmp_path / "dataset.idxpack"
     write_index_pack(out, [spec])
     return out
 
 
 KEY = index_pack_collection_key(
-    role="records", kind="json-lines", source_spec="cuts-{000..002}.jsonl"
-)
+    role="records", kind="json-lines", source_spec="cuts-{000..002}.jsonl")
 
 
 class TestIndexPack:
@@ -92,8 +85,7 @@ class TestIndexPack:
         (tmp_path / "other").mkdir()
         paths = make_shards(tmp_path / "other", 1, 2)
         spec = IndexPackCollectionSpec(
-            role="records", kind="json-lines", source_spec="x", paths=tuple(paths)
-        )
+            role="records", kind="json-lines", source_spec="x", paths=tuple(paths))
         with pytest.raises(FileExistsError):
             write_index_pack(pack_path, [spec])
         write_index_pack(pack_path, [spec], overwrite=True)
@@ -109,8 +101,7 @@ class TestIndexPack:
         idx.write_bytes(bytes(data))
         # Make the sidecar newer than the source to pass the mtime check.
         spec = IndexPackCollectionSpec(
-            role="records", kind="json-lines", source_spec="y", paths=tuple(paths)
-        )
+            role="records", kind="json-lines", source_spec="y", paths=tuple(paths))
         with pytest.raises(ValueError, match="Non-monotonic"):
             write_index_pack(tmp_path / "bad.idxpack", [spec])
 

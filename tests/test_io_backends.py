@@ -5,12 +5,7 @@ import tarfile
 import pytest
 
 from lhotse_tpu.serialization import (
-    AIStoreIOBackend,
-    MSCIOBackend,
-    TarAsDirBackend,
-    available_io_backends,
-    get_default_io_backend,
-)
+    AIStoreIOBackend, MSCIOBackend, TarAsDirBackend, available_io_backends, get_default_io_backend)
 
 
 @pytest.fixture

@@ -34,8 +34,8 @@ def test_export_import_roundtrip(manifests, tmp_path):
     data_dir = tmp_path / "kaldi_data"
     export_to_kaldi(recs, sups, data_dir)
 
-    for name in ("wav.scp", "segments", "text", "utt2spk", "utt2dur", "reco2dur",
-                 "utt2lang", "utt2gender"):
+    for name in (
+        "wav.scp", "segments", "text", "utt2spk", "utt2dur", "reco2dur", "utt2lang", "utt2gender"):
         assert (data_dir / name).is_file(), f"missing {name}"
 
     recs2, sups2, feats2 = load_kaldi_data_dir(data_dir, sampling_rate=SR)
@@ -80,18 +80,11 @@ def test_cli_kaldi_roundtrip(manifests, tmp_path):
     runner = CliRunner()
     res = runner.invoke(
         cli,
-        [
-            "kaldi", "export",
-            str(tmp_path / "recordings.jsonl.gz"),
-            str(tmp_path / "supervisions.jsonl.gz"),
-            str(tmp_path / "kdir"),
-        ],
+        [ "kaldi", "export", str(tmp_path / "recordings.jsonl.gz"), str(tmp_path / "supervisions.jsonl.gz"), str(tmp_path / "kdir"), ],
     )
     assert res.exit_code == 0, res.output
     res = runner.invoke(
-        cli,
-        ["kaldi", "import", str(tmp_path / "kdir"), str(SR), str(tmp_path / "mdir")],
-    )
+        cli, ["kaldi", "import", str(tmp_path / "kdir"), str(SR), str(tmp_path / "mdir")])
     assert res.exit_code == 0, res.output
     assert (tmp_path / "mdir" / "recordings.jsonl.gz").is_file()
     assert (tmp_path / "mdir" / "supervisions.jsonl.gz").is_file()

@@ -4,11 +4,7 @@ import pytest
 
 from lhotse_tpu import CutSet
 from lhotse_tpu.dataset import (
-    DataLoader,
-    K2SpeechRecognitionDataset,
-    SimpleCutSampler,
-    device_prefetch,
-)
+    DataLoader, K2SpeechRecognitionDataset, SimpleCutSampler, device_prefetch)
 from lhotse_tpu.testing.dummies import dummy_cut, dummy_supervision
 
 
@@ -27,15 +23,9 @@ def cuts():
 
 def test_dataloader_prefetch_matches_sequential(cuts):
     dataset = K2SpeechRecognitionDataset()
-    sequential = [
-        dataset[batch]
-        for batch in SimpleCutSampler(cuts, max_cuts=3, shuffle=False)
-    ]
+    sequential = [dataset[batch] for batch in SimpleCutSampler(cuts, max_cuts=3, shuffle=False)]
     loader = DataLoader(
-        SimpleCutSampler(cuts, max_cuts=3, shuffle=False),
-        dataset,
-        prefetch_batches=2,
-    )
+        SimpleCutSampler(cuts, max_cuts=3, shuffle=False), dataset, prefetch_batches=2)
     prefetched = list(loader)
     assert len(prefetched) == len(sequential) == 4
     for a, b in zip(sequential, prefetched):
@@ -45,11 +35,8 @@ def test_dataloader_prefetch_matches_sequential(cuts):
 
 def test_dataloader_zero_prefetch_and_apply_fn(cuts):
     loader = DataLoader(
-        SimpleCutSampler(cuts, max_cuts=5, shuffle=False),
-        K2SpeechRecognitionDataset(),
-        prefetch_batches=0,
-        apply_fn=lambda b: b["inputs"].shape,
-    )
+        SimpleCutSampler(cuts, max_cuts=5, shuffle=False), K2SpeechRecognitionDataset(),
+        prefetch_batches=0, apply_fn=lambda b: b["inputs"].shape)
     shapes = list(loader)
     assert len(shapes) == 2 and all(s[0] == 5 for s in shapes)
 
@@ -59,9 +46,7 @@ def test_dataloader_propagates_worker_errors(cuts):
         def __getitem__(self, cuts):
             raise RuntimeError("boom")
 
-    loader = DataLoader(
-        SimpleCutSampler(cuts, max_cuts=3), Boom(), prefetch_batches=2
-    )
+    loader = DataLoader(SimpleCutSampler(cuts, max_cuts=3), Boom(), prefetch_batches=2)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
 
@@ -77,10 +62,7 @@ def test_dataloader_state_dict_roundtrip(cuts):
 def test_device_prefetch_stages_on_device():
     import jax
 
-    batches = [
-        {"inputs": np.ones((2, 4), dtype=np.float32) * i, "meta": f"b{i}"}
-        for i in range(5)
-    ]
+    batches = [{"inputs": np.ones((2, 4), dtype=np.float32) * i, "meta": f"b{i}"} for i in range(5)]
     out = list(device_prefetch(batches, size=2))
     assert len(out) == 5
     for i, b in enumerate(out):

@@ -11,10 +11,7 @@ class _SumDataset:
     """Picklable toy dataset: batch = ids + total duration."""
 
     def __getitem__(self, cuts):
-        return {
-            "ids": sorted(c.id for c in cuts),
-            "dur": round(sum(c.duration for c in cuts), 3),
-        }
+        return {"ids": sorted(c.id for c in cuts), "dur": round(sum(c.duration for c in cuts), 3)}
 
 
 class _BoomDataset:
@@ -33,9 +30,7 @@ def _make_cuts(tmp_path, n=20):
         dur = 1.0 + 0.25 * (i % 4)
         sr = 16000
         wav = tmp_path / f"r{i}.wav"
-        x = (np.sin(2 * np.pi * 300 * np.arange(int(sr * dur)) / sr) * 0.3).astype(
-            np.float32
-        )
+        x = (np.sin(2 * np.pi * 300 * np.arange(int(sr * dur)) / sr) * 0.3).astype(np.float32)
         write_wav(str(wav), x, sr)
         cut = Recording.from_file(wav, recording_id=f"rec{i:03d}").to_cut()
         cut.supervisions.append(
@@ -53,11 +48,8 @@ def _make_cuts(tmp_path, n=20):
 
 def _collect(path, num_workers, **kw):
     sampler = DynamicCutSampler(
-        CutSet.from_jsonl_lazy(path), max_cuts=3, world_size=1, rank=0, seed=0
-    )
-    loader = DataLoader(
-        sampler, _SumDataset(), num_workers=num_workers, prefetch_batches=2, **kw
-    )
+        CutSet.from_jsonl_lazy(path), max_cuts=3, world_size=1, rank=0, seed=0)
+    loader = DataLoader(sampler, _SumDataset(), num_workers=num_workers, prefetch_batches=2, **kw)
     return list(loader)
 
 
@@ -76,8 +68,7 @@ def test_single_worker_equivalent(tmp_path):
 def test_worker_error_propagates(tmp_path):
     path = _make_cuts(tmp_path, n=6)
     sampler = DynamicCutSampler(
-        CutSet.from_jsonl_lazy(path), max_cuts=3, world_size=1, rank=0, seed=0
-    )
+        CutSet.from_jsonl_lazy(path), max_cuts=3, world_size=1, rank=0, seed=0)
     loader = DataLoader(sampler, _BoomDataset(), num_workers=2)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
@@ -92,9 +83,7 @@ def test_partition_dedup_covers_all_cuts_once(tmp_path):
     create_jsonl_index(path)
     cuts = CutSet(LazyIndexedManifestIterator(path))
     sampler = DynamicCutSampler(cuts, max_cuts=4, world_size=1, rank=0, seed=0)
-    loader = DataLoader(
-        sampler, _SumDataset(), num_workers=3, worker_dedup="partition"
-    )
+    loader = DataLoader(sampler, _SumDataset(), num_workers=3, worker_dedup="partition")
     seen = [i for b in loader for i in b["ids"]]
     assert len(seen) == 24
     assert len(set(seen)) == 24
@@ -107,11 +96,8 @@ def test_real_feature_extraction_in_workers(tmp_path):
 
     path = _make_cuts(tmp_path, n=8)
     sampler = DynamicCutSampler(
-        CutSet.from_jsonl_lazy(path), max_cuts=4, world_size=1, rank=0, seed=0
-    )
-    dataset = K2SpeechRecognitionDataset(
-        input_strategy=OnTheFlyFeatures(Fbank())
-    )
+        CutSet.from_jsonl_lazy(path), max_cuts=4, world_size=1, rank=0, seed=0)
+    dataset = K2SpeechRecognitionDataset(input_strategy=OnTheFlyFeatures(Fbank()))
     batches = list(DataLoader(sampler, dataset, num_workers=2))
     assert len(batches) == 2
     for b in batches:

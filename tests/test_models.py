@@ -9,12 +9,7 @@ import pytest
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 from lhotse_tpu.models import (
-    EncoderConfig,
-    forward,
-    init_params,
-    masked_prediction_loss,
-    sgd_train_step,
-)
+    EncoderConfig, forward, init_params, masked_prediction_loss, sgd_train_step)
 
 CFG = EncoderConfig(num_layers=2, d_model=64, num_heads=4, ffn_dim=128)
 

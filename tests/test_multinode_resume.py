@@ -53,21 +53,16 @@ class TestMapStyleDDP:
     def test_mid_epoch_resume_per_rank(self, indexed_cuts):
         cuts = CutSet.from_jsonl_lazy(indexed_cuts)
         for rank in range(2):
-            full = SimpleCutSampler(
-                cuts, max_cuts=4, shuffle=True, seed=5, world_size=2, rank=rank
-            )
+            full = SimpleCutSampler(cuts, max_cuts=4, shuffle=True, seed=5, world_size=2, rank=rank)
             expected = _collect_epoch(full)
 
-            part = SimpleCutSampler(
-                cuts, max_cuts=4, shuffle=True, seed=5, world_size=2, rank=rank
-            )
+            part = SimpleCutSampler(cuts, max_cuts=4, shuffle=True, seed=5, world_size=2, rank=rank)
             it = iter(part)
             consumed = [[c.id for c in next(it)] for _ in range(3)]
             sd = part.state_dict()
 
             restored = SimpleCutSampler(
-                cuts, max_cuts=4, shuffle=True, seed=5, world_size=2, rank=rank
-            )
+                cuts, max_cuts=4, shuffle=True, seed=5, world_size=2, rank=rank)
             restored.load_state_dict(sd)
             rest = _collect_epoch(restored)
             assert consumed + rest == expected, f"rank {rank} resume mismatch"
@@ -85,9 +80,7 @@ class TestIterableStyleDDP:
                 # Partition the indexed source across 4 virtual workers.
                 from lhotse_tpu.lazy import LazySlicer
 
-                part = CutSet(
-                    LazySlicer(cuts.data, k=rank * 2 + worker, n=4)
-                )
+                part = CutSet(LazySlicer(cuts.data, k=rank * 2 + worker, n=4))
                 ids = [c.id for c in part]
                 all_ids.extend(ids)
         assert len(all_ids) == 60
@@ -116,11 +109,7 @@ class TestIterableStyleDDP:
 
 def test_worker_partition_env(monkeypatch, indexed_cuts):
     """get_worker_partition composes (rank, num_workers, worker_id)."""
-    from lhotse_tpu.dataset.dataloading import (
-        WorkerInfo,
-        get_worker_partition,
-        set_worker_info,
-    )
+    from lhotse_tpu.dataset.dataloading import (WorkerInfo, get_worker_partition, set_worker_info)
 
     monkeypatch.setenv("WORLD_SIZE", "2")
     monkeypatch.setenv("RANK", "1")

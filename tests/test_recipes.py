@@ -3,12 +3,7 @@ import numpy as np
 import pytest
 
 from lhotse_tpu.audio.wavio import write_wav
-from lhotse_tpu.recipes import (
-    prepare_aishell,
-    prepare_libritts,
-    prepare_musan,
-    prepare_yesno,
-)
+from lhotse_tpu.recipes import (prepare_aishell, prepare_libritts, prepare_musan, prepare_yesno)
 from lhotse_tpu.recipes.tedlium import _parse_stm_file, normalize_text_tedlium
 
 
@@ -91,17 +86,13 @@ def test_prepare_libritts(tmp_path):
     )
     (root / "SPEAKERS.txt").write_text(";ID |SEX| SUBSET\n84 | F | dev-clean\n")
     manifests = prepare_libritts(
-        root, dataset_parts="dev-clean", output_dir=tmp_path / "out",
-        link_previous_utt=True,
-    )
+        root, dataset_parts="dev-clean", output_dir=tmp_path / "out", link_previous_utt=True)
     sups = {s.id: s for s in manifests["dev-clean"]["supervisions"]}
     s1 = sups["84_121123_000007_000001"]
     assert s1.text == "Maximilian." and s1.custom["orig_text"] == "Maximilian!"
     assert s1.custom["snr"] == 12.5 and s1.gender == "F" and s1.speaker == "84"
     assert s1.custom["prev_utt"] is None
-    assert sups["84_121123_000008_000000"].custom["prev_utt"] == (
-        "84_121123_000007_000001"
-    )
+    assert sups["84_121123_000008_000000"].custom["prev_utt"] == ("84_121123_000007_000001")
 
 
 def test_tedlium_stm_parsing(tmp_path):
@@ -147,9 +138,7 @@ def test_prepare_mls(tmp_path):
         rng = np.random.RandomState(1)
         audio = (rng.randn(16000) * 0.1).astype(np.float32)
         write_flac(split_dir / f"1234_5678_{split}.flac", audio[None, :], 16000)
-        (lang_dir / split / "transcripts.txt").write_text(
-            f"1234_5678_{split}\tdzien dobry\n"
-        )
+        (lang_dir / split / "transcripts.txt").write_text(f"1234_5678_{split}\tdzien dobry\n")
     manifests = prepare_mls(root, output_dir=tmp_path / "out", opus=False)
     assert set(manifests) == {"polish"}
     assert set(manifests["polish"]) == {"train", "dev", "test"}
@@ -173,8 +162,7 @@ def test_prepare_commonvoice(tmp_path):
     (lang / "dev.tsv").write_text(header)
     (lang / "test.tsv").write_text(header)
     manifests = prepare_commonvoice(
-        root, output_dir=tmp_path / "out", languages="pl", splits=("train",)
-    )
+        root, output_dir=tmp_path / "out", languages="pl", splits=("train",))
     (seg,) = list(manifests["pl"]["train"]["supervisions"])
     assert seg.text == "Czesc swiecie"
     assert seg.speaker == "spk1" and seg.gender == "female"
@@ -186,20 +174,9 @@ def test_gigaspeech_parse_utterance():
     from lhotse_tpu.recipes.gigaspeech import parse_utterance
 
     audio = {
-        "aid": "AUD0001",
-        "path": "audio/AUD0001.opus",
-        "sample_rate": 16000,
-        "channels": 1,
+        "aid": "AUD0001", "path": "audio/AUD0001.opus", "sample_rate": 16000, "channels": 1,
         "duration": 10.0,
-        "segments": [
-            {
-                "sid": "SEG0001",
-                "begin_time": 0.5,
-                "end_time": 3.25,
-                "speaker": "spk-1",
-                "text_tn": "HELLO WORLD",
-            }
-        ],
+        "segments": [ { "sid": "SEG0001", "begin_time": 0.5, "end_time": 3.25, "speaker": "spk-1", "text_tn": "HELLO WORLD", } ],
     }
     rec, segs = parse_utterance(audio, "/corpus")
     assert rec.id == "AUD0001" and rec.duration == 10.0
@@ -226,9 +203,7 @@ def _ami_tree(tmp_path):
         meetings_xml += [
             f'  <meeting observation="{meet}">',
             f'    <speaker nxt_agent="A" global_name="MEE00{mi}" channel="0"/>',
-            f'    <speaker nxt_agent="B" global_name="FEE10{mi}" channel="1"/>',
-            "  </meeting>",
-        ]
+            f'    <speaker nxt_agent="B" global_name="FEE10{mi}" channel="1"/>', "  </meeting>"]
         (ann / "segments" / f"{meet}.A.segments.xml").write_text(
             '<?xml version="1.0"?>\n<segmentation>\n'
             '  <segment transcriber_start="1.0" transcriber_end="4.0"/>\n'
@@ -264,8 +239,7 @@ def test_prepare_ami_ihm(tmp_path):
     root = _ami_tree(tmp_path)
     manifests = prepare_ami(
         root, output_dir=tmp_path / "out", mic="ihm", partition="full-corpus",
-        normalize_text="kaldi",
-    )
+        normalize_text="kaldi")
     # ES2002a is in the full-corpus train partition.
     recs = manifests["train"]["recordings"]
     sups = list(manifests["train"]["supervisions"])
@@ -291,17 +265,13 @@ def test_ami_split_segment():
     from lhotse_tpu.recipes.ami import split_segment
 
     words = [
-        (0.0, 0.5, "one"), (0.6, 1.0, "two"), (1.0, 1.0, "."),
-        (1.2, 1.5, "three"), (1.6, 2.0, "four"), (2.1, 2.5, "five"),
-        (2.5, 2.5, ","), (2.6, 3.0, "six"),
-    ]
+        (0.0, 0.5, "one"), (0.6, 1.0, "two"), (1.0, 1.0, "."), (1.2, 1.5, "three"),
+        (1.6, 2.0, "four"), (2.1, 2.5, "five"), (2.5, 2.5, ","), (2.6, 3.0, "six")]
     segs = split_segment(words)
     # The full-stop split keeps the comma token inside the second chunk.
     assert [len(s) for s in segs] == [2, 5]
     segs = split_segment(words, max_words_per_segment=3)
-    assert [[w[2] for w in s] for s in segs] == [
-        ["one", "two"], ["three", "four", "five"], ["six"],
-    ]
+    assert [[w[2] for w in s] for s in segs] == [["one", "two"], ["three", "four", "five"], ["six"]]
 
 
 def test_prepare_timit(tmp_path):
@@ -315,9 +285,7 @@ def test_prepare_timit(tmp_path):
         _wav(d / f"{name}.WAV", seed=seed)
         (d / f"{name}.TXT").write_text("0 16000 she had your dark suit\n")
         (d / f"{name}.WRD").write_text("0 8000 she\n8000 16000 had\n")
-        (d / f"{name}.PHN").write_text(
-            "0 4000 h#\n4000 8000 sh\n8000 12000 ix\n12000 16000 axr\n"
-        )
+        (d / f"{name}.PHN").write_text("0 4000 h#\n4000 8000 sh\n8000 12000 ix\n12000 16000 axr\n")
 
     utt("TRAIN", "mabc0", "SI1", 30)
     utt("TEST", "fadg0", "SI2", 31)  # dev speaker
@@ -355,8 +323,7 @@ def test_prepare_voxceleb1_with_trials(tmp_path):
         "0 id10270/sessA/00000.wav id10001/sessA/00000.wav\n"
     )
     manifests = prepare_voxceleb(
-        voxceleb1_root=root, output_dir=tmp_path / "out", trials_path=trials
-    )
+        voxceleb1_root=root, output_dir=tmp_path / "out", trials_path=trials)
     assert len(manifests["train"]["recordings"]) == 4
     assert len(manifests["test"]["recordings"]) == 2
     pos1, pos2 = manifests["pos_trials"]
@@ -412,12 +379,8 @@ def test_prepare_vctk(tmp_path):
 
 def test_prepare_chinese_openslr_family(tmp_path):
     from lhotse_tpu.recipes import (
-        prepare_aidatatang_200zh,
-        prepare_magicdata,
-        prepare_primewords,
-        prepare_stcmds,
-        prepare_thchs_30,
-    )
+        prepare_aidatatang_200zh, prepare_magicdata, prepare_primewords, prepare_stcmds,
+        prepare_thchs_30)
 
     # --- stcmds: .txt next to each .wav ---
     st = tmp_path / "stcmds" / "ST-CMDS-20170001_1-OS"
@@ -502,15 +465,10 @@ def test_prepare_switchboard(tmp_path):
         "sw2001A-ms98-a-0001 0.00 1.00 [silence]\n"
         "sw2001A-ms98-a-0002 1.00 1.90 hello there\n"
     )
-    (trans / "sw2001B-ms98-a-trans.text").write_text(
-        "sw2001B-ms98-a-0001 0.50 1.80 hi yourself\n"
-    )
+    (trans / "sw2001B-ms98-a-trans.text").write_text("sw2001B-ms98-a-0001 0.50 1.80 hi yourself\n")
     m = prepare_switchboard(
-        audio,
-        transcripts_dir=tmp_path / "swb_ms98_transcriptions",
-        output_dir=tmp_path / "out",
-        absolute_paths=True,
-    )
+        audio, transcripts_dir=tmp_path / "swb_ms98_transcriptions", output_dir=tmp_path / "out",
+        absolute_paths=True)
     sups = sorted(m["supervisions"], key=lambda s: s.id)
     assert len(sups) == 2  # [silence] omitted
     assert sups[0].text == "hello there" and sups[0].channel == 0
@@ -518,11 +476,8 @@ def test_prepare_switchboard(tmp_path):
     assert sups[0].speaker.endswith("A") and sups[1].speaker.endswith("B")
     # Retaining silence keeps all three.
     m2 = prepare_switchboard(
-        audio,
-        transcripts_dir=tmp_path / "swb_ms98_transcriptions",
-        omit_silence=False,
-        absolute_paths=True,
-    )
+        audio, transcripts_dir=tmp_path / "swb_ms98_transcriptions", omit_silence=False,
+        absolute_paths=True)
     assert len(m2["supervisions"]) == 3
 
 
@@ -565,10 +520,7 @@ def test_prepare_fleurs(tmp_path):
         for i in range(utts):
             fname = f"{dset}_utt{i}.wav"
             _wav(d / fname, seed=80 + i)
-            rows.append(
-                f"100{i}\t{fname}\tRaw text {i}.\traw text {i}\t"
-                f"r a w |\t16000\tFEMALE"
-            )
+            rows.append(f"100{i}\t{fname}\tRaw text {i}.\traw text {i}\t" f"r a w |\t16000\tFEMALE")
         (meta / f"{dset}.tsv").write_text("\n".join(rows) + "\n")
     manifests = prepare_fleurs(root, output_dir=tmp_path / "out", languages=lang)
     assert set(manifests[lang]) == {"train", "dev", "test"}
@@ -602,11 +554,7 @@ def test_prepare_spgispeech(tmp_path):
 
 
 def test_earnings22_parsers(tmp_path):
-    from lhotse_tpu.recipes.earnings22 import (
-        normalize,
-        parse_nlp_file,
-        read_metadata,
-    )
+    from lhotse_tpu.recipes.earnings22 import (normalize, parse_nlp_file, read_metadata)
 
     nlp = tmp_path / "4320211.nlp"
     nlp.write_text(
@@ -680,11 +628,7 @@ def test_prepare_peoples_speech(tmp_path):
     _wav(audio_dir / "utt0.wav", seed=96)
     manifest = {
         "identifier": "session-xyz",
-        "training_data": {
-            "name": ["utt0"],
-            "label": ["hello people"],
-            "audio_document_id": ["some/session/utt0.wav"],
-        },
+        "training_data": { "name": ["utt0"], "label": ["hello people"], "audio_document_id": ["some/session/utt0.wav"], },
     }
     (root / "train" / "clean.json").write_text(_json.dumps(manifest) + "\n")
     m = prepare_peoples_speech(root, output_dir=tmp_path / "out")
@@ -709,19 +653,12 @@ def test_prepare_icsi_ihm(tmp_path):
         for ch in ("0", "1"):
             _wav(d / f"chan{ch}.sph", seconds=10.0, seed=100 + 2 * mi + int(ch))
         preambles += [
-            f'  <Meeting Session="{meet}">',
-            "    <Preamble>",
-            "      <Channels>",
-            '        <Channel Name="chan0"/>',
-            '        <Channel Name="chan1"/>',
-            "      </Channels>",
-            "      <Participants>",
+            f'  <Meeting Session="{meet}">', "    <Preamble>", "      <Channels>",
+            '        <Channel Name="chan0"/>', '        <Channel Name="chan1"/>',
+            "      </Channels>", "      <Participants>",
             f'        <Participant Name="me0{mi}" Channel="chan0"/>',
-            f'        <Participant Name="fe1{mi}" Channel="chan1"/>',
-            "      </Participants>",
-            "    </Preamble>",
-            "  </Meeting>",
-        ]
+            f'        <Participant Name="fe1{mi}" Channel="chan1"/>', "      </Participants>",
+            "    </Preamble>", "  </Meeting>"]
         (trans / "Segments" / f"{meet}.A.segs.xml").write_text(
             '<?xml version="1.0"?>\n<segments>\n'
             f'  <segment participant="me0{mi}" starttime="1.0" endtime="4.0"/>\n'
@@ -747,18 +684,14 @@ def test_prepare_icsi_ihm(tmp_path):
     preambles.append("</Meetings>")
     (trans / "preambles.mrt").write_text("\n".join(preambles))
 
-    manifests = prepare_icsi(
-        audio, transcripts_dir=trans, output_dir=tmp_path / "out", mic="ihm"
-    )
+    manifests = prepare_icsi(audio, transcripts_dir=trans, output_dir=tmp_path / "out", mic="ihm")
     recs = manifests["train"]["recordings"]
     assert len(recs) == 1 and recs["Bdb001"].num_channels == 2
     sups = sorted(manifests["train"]["supervisions"], key=lambda s: s.start)
     assert len(sups) == 2
     assert sups[0].text == "OKAY LET'S START" and sups[0].channel == 0
     assert sups[0].speaker == "me00" and sups[0].gender == "m"
-    assert [w.symbol for w in sups[0].alignment["word"]] == [
-        "OKAY", "LET'S", "START",
-    ]
+    assert [w.symbol for w in sups[0].alignment["word"]] == ["OKAY", "LET'S", "START"]
     assert sups[1].channel == 1 and sups[1].text == "YEAH"
     assert len(manifests["dev"]["supervisions"]) == 2
     assert len(manifests["test"]["supervisions"]) == 2

@@ -64,10 +64,7 @@ def test_prepare_cmu_kids(tmp_path):
     tables = tmp_path / "cmu_kids" / "tables"
     tables.mkdir(parents=True)
     (tables / "sentence.tbl").write_text("ab1\t5\tThe dog ran away.\n")
-    (tables / "speaker.tbl").write_text(
-        "header1\nheader2\n"
-        "fabc\tSUM96\t3/9\tx\ty\n"
-    )
+    (tables / "speaker.tbl").write_text("header1\nheader2\n" "fabc\tSUM96\t3/9\tx\ty\n")
     (tables / "transcrp.tbl").write_text("fabcab11 the dog ran away\n")
     _wav(tmp_path / "cmu_kids" / "kids" / "fabc" / "signal" / "fabcab11.sph", seed=5)
     m = prepare_cmu_kids(tmp_path, output_dir=tmp_path / "out")
@@ -101,15 +98,10 @@ def test_prepare_heroico(tmp_path):
     _wav(speech / "Recordings_Spanish" / "1" / "100.wav", seed=8)
     _wav(speech / "Recordings_Spanish" / "1" / "400.wav", seed=9)
     _wav(speech / "usma" / "native-f-maria" / "s3.wav", seed=10)
-    (trans / "heroico-answers.txt").write_text(
-        "1/7\thola amigo\n", encoding="iso-8859-1"
-    )
+    (trans / "heroico-answers.txt").write_text("1/7\thola amigo\n", encoding="iso-8859-1")
     (trans / "heroico-recordings.txt").write_text(
-        "100\tbuenos dias\n400\trepeticion\n", encoding="iso-8859-1"
-    )
-    (trans / "usma-prompts.txt").write_text(
-        "s3\tcomo estas\n", encoding="iso-8859-1"
-    )
+        "100\tbuenos dias\n400\trepeticion\n", encoding="iso-8859-1")
+    (trans / "usma-prompts.txt").write_text("s3\tcomo estas\n", encoding="iso-8859-1")
     m = prepare_heroico(speech, trans, output_dir=tmp_path / "out")
     assert {s.text for s in m["train"]["supervisions"]} == {"hola amigo", "buenos dias"}
     assert [s.text for s in m["devtest"]["supervisions"]] == ["repeticion"]
@@ -162,13 +154,12 @@ def test_prepare_chime6_mdm(tmp_path):
 
     for session, seed in (("S02", 20), ("S09", 21)):
         for ch in (1, 2):
-            _wav(tmp_path / "audio" / "dev" / f"{session}_U01.CH{ch}.wav",
-                 seconds=2.0, seed=seed + ch)
+            _wav(
+                tmp_path / "audio" / "dev" / f"{session}_U01.CH{ch}.wav", seconds=2.0,
+                seed=seed + ch)
         segs = [
-            {"start_time": "00:00:00.200", "end_time": "00:00:01.000",
-             "speaker": "P05", "words": "hello there", "location": "kitchen"},
-            {"start_time": "00:00:01.000", "end_time": "00:00:01.000",
-             "speaker": "P05", "words": "zero duration dropped"},
+            {"start_time": "00:00:00.200", "end_time": "00:00:01.000", "speaker": "P05", "words": "hello there", "location": "kitchen"},
+            {"start_time": "00:00:01.000", "end_time": "00:00:01.000", "speaker": "P05", "words": "zero duration dropped"},
         ]
         tdir = tmp_path / "transcriptions" / "dev"
         tdir.mkdir(parents=True, exist_ok=True)
@@ -190,8 +181,7 @@ def test_prepare_dipco_ihm(tmp_path):
     for part, sessions in SESSIONS.items():
         for session in sessions:
             seed += 1
-            _wav(tmp_path / "audio" / part / f"{session}_P01.wav",
-                 seconds=2.0, seed=seed)
+            _wav(tmp_path / "audio" / part / f"{session}_P01.wav", seconds=2.0, seed=seed)
             segs = [{
                 "speaker_id": "P01",
                 "start_time": {"close-talk": "00:00:00.25"},
@@ -296,9 +286,7 @@ def test_prepare_aishell3(tmp_path):
 
     (tmp_path / "spk-info.txt").write_text("# header\nSSB0005\tA\tfemale\tnorth\n")
     (tmp_path / "train").mkdir()
-    (tmp_path / "train" / "label_train-set.txt").write_text(
-        "#\nSSB00050001|ni2 hao3|你好\n"
-    )
+    (tmp_path / "train" / "label_train-set.txt").write_text("#\nSSB00050001|ni2 hao3|你好\n")
     _wav(tmp_path / "train" / "wav" / "SSB0005" / "SSB00050001.wav", sr=44100, seed=63)
     (tmp_path / "train" / "content.txt").write_text("SSB00050001.wav\t你 ni2 好 hao3\n")
     _wav(tmp_path / "test" / "wav" / "SSB0005" / "SSB00050002.wav", sr=44100, seed=64)
@@ -364,9 +352,7 @@ def test_prepare_ali_meeting_far(tmp_path):
     base = tmp_path / "Train_Ali_far"
     _wav(base / "audio_dir" / "R0001_M0001.wav", seconds=2.0, seed=80, channels=8)
     (base / "textgrid_dir").mkdir(parents=True)
-    (base / "textgrid_dir" / "R0001_M0001.TextGrid").write_text(
-        _TEXTGRID.format(tier="F_SPK0093")
-    )
+    (base / "textgrid_dir" / "R0001_M0001.TextGrid").write_text(_TEXTGRID.format(tier="F_SPK0093"))
     m = prepare_ali_meeting(tmp_path, output_dir=tmp_path / "out", mic="far")
     (sup,) = list(m["train"]["supervisions"])
     assert sup.speaker == "0093" and sup.gender == "F"
@@ -431,8 +417,9 @@ def test_prepare_wham(tmp_path):
 def test_prepare_voxpopuli(tmp_path):
     from lhotse_tpu.recipes import prepare_voxpopuli
 
-    _wav(tmp_path / "raw_audios" / "en" / "2020" / "20200101-0900-PLENARY_en.ogg",
-         seconds=3.0, seed=87)
+    _wav(
+        tmp_path / "raw_audios" / "en" / "2020" / "20200101-0900-PLENARY_en.ogg", seconds=3.0,
+        seed=87)
     out = tmp_path / "out"
     out.mkdir()
     header = "id|session_id|start_time|end_time|speaker_id|gender|normed_text|original_text|split"
@@ -450,11 +437,8 @@ def test_prepare_hifitts(tmp_path):
 
     _wav(tmp_path / "audio" / "book1" / "utt1.wav", sr=44100, seed=88)
     row = {
-        "audio_filepath": "audio/book1/utt1.wav",
-        "text": "hello world",
-        "text_normalized": "Hello, world!",
-        "duration": 1.0,
-    }
+        "audio_filepath": "audio/book1/utt1.wav", "text": "hello world",
+        "text_normalized": "Hello, world!", "duration": 1.0}
     (tmp_path / "92_manifest_clean_train.json").write_text(json.dumps(row) + "\n")
     m = prepare_hifitts(tmp_path, output_dir=tmp_path / "out")
     assert "92_clean_train" in m
@@ -487,9 +471,7 @@ def test_prepare_babel(tmp_path):
     _wav(conv / "training" / "audio" / f"{stem}.sph", seconds=3.0, seed=90)
     tdir = conv / "training" / "transcription"
     tdir.mkdir(parents=True)
-    (tdir / f"{stem}.txt").write_text(
-        "[0.0]\n<no-speech>\n[0.5]\nhello ((  ))\n[2.0]\n"
-    )
+    (tdir / f"{stem}.txt").write_text("[0.0]\n<no-speech>\n[0.5]\nhello ((  ))\n[2.0]\n")
     for split in ("dev", "eval"):
         (conv / split / "audio").mkdir(parents=True)
         (conv / split / "transcription").mkdir(parents=True)
@@ -504,8 +486,8 @@ def test_prepare_fisher_english(tmp_path):
     from lhotse_tpu.recipes import prepare_fisher_english
 
     stem = "fe_03_00001"
-    _wav(tmp_path / "LDC2004S13" / "audio" / "000" / f"{stem}.sph",
-         seconds=3.0, seed=91, channels=2)
+    _wav(
+        tmp_path / "LDC2004S13" / "audio" / "000" / f"{stem}.sph", seconds=3.0, seed=91, channels=2)
     tdir = tmp_path / "LDC2004T19" / "fe_03_p1_tran" / "data" / "trans" / "000"
     tdir.mkdir(parents=True)
     (tdir / f"{stem}.txt").write_text(
@@ -520,12 +502,8 @@ def test_prepare_fisher_english(tmp_path):
         "00001,x,x,x,x,9001,x,x,x,x,9002\n"
     )
     m = prepare_fisher_english(
-        tmp_path,
-        output_dir=tmp_path / "out",
-        audio_dirs=["LDC2004S13"],
-        transcript_dirs=["LDC2004T19"],
-        absolute_paths=True,
-    )
+        tmp_path, output_dir=tmp_path / "out", audio_dirs=["LDC2004S13"],
+        transcript_dirs=["LDC2004T19"], absolute_paths=True)
     sups = sorted(m["supervisions"], key=lambda s: s.start)
     assert len(sups) == 2
     assert sups[0].channel == 0 and sups[0].speaker == "9001"
@@ -535,8 +513,7 @@ def test_prepare_fisher_english(tmp_path):
 def test_prepare_adept(tmp_path):
     from lhotse_tpu.recipes import prepare_adept
 
-    _wav(tmp_path / "wav_44khz" / "emphasis" / "marked" / "prompt_1.wav",
-         sr=44100, seed=92)
+    _wav(tmp_path / "wav_44khz" / "emphasis" / "marked" / "prompt_1.wav", sr=44100, seed=92)
     txt = tmp_path / "txt" / "emphasis" / "marked"
     txt.mkdir(parents=True)
     (txt / "prompt_1.txt").write_text("I never said she stole my money.")
@@ -604,12 +581,12 @@ def test_tranche2_cli_registered():
 
     r = CliRunner().invoke(cli, ["prepare", "--help"])
     assert r.exit_code == 0
-    for name in ("chime6", "dipco", "ali-meeting", "aishell4", "libricss",
-                 "dihard3", "voxconverse", "aishell2", "tedlium2", "earnings21",
-                 "voxpopuli", "librilight", "fisher-english", "babel", "mdcc",
-                 "heroico", "cmu-kids", "speechcommands", "audio-mnist",
-                 "mobvoihotwords", "cmu-arctic", "l2-arctic", "hifitts",
-                 "adept", "daily-talk", "ears", "rir-noise", "wham", "aishell3"):
+    for name in (
+        "chime6", "dipco", "ali-meeting", "aishell4", "libricss", "dihard3", "voxconverse",
+        "aishell2", "tedlium2", "earnings21", "voxpopuli", "librilight", "fisher-english", "babel",
+        "mdcc", "heroico", "cmu-kids", "speechcommands", "audio-mnist", "mobvoihotwords",
+        "cmu-arctic", "l2-arctic", "hifitts", "adept", "daily-talk", "ears", "rir-noise", "wham",
+        "aishell3"):
         assert name in r.output, f"missing prepare command: {name}"
     r2 = CliRunner().invoke(cli, ["download", "--help"])
     assert r2.exit_code == 0

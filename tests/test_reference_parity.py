@@ -24,9 +24,7 @@ import pytest
 REF = Path("/root/reference")
 FIXTURES = REF / "test" / "fixtures"
 
-pytestmark = pytest.mark.skipif(
-    not FIXTURES.is_dir(), reason="reference fixtures not mounted"
-)
+pytestmark = pytest.mark.skipif(not FIXTURES.is_dir(), reason="reference fixtures not mounted")
 
 
 def _canon(obj) -> bytes:
@@ -92,11 +90,7 @@ def test_our_serialization_is_reference_schema_stable():
 
 def _strip_derivable(record):
     if isinstance(record, dict):
-        return {
-            k: _strip_derivable(v)
-            for k, v in record.items()
-            if k not in _DERIVABLE
-        }
+        return {k: _strip_derivable(v) for k, v in record.items() if k not in _DERIVABLE}
     if isinstance(record, list):
         return [_strip_derivable(v) for v in record]
     return record
@@ -174,10 +168,7 @@ def test_fbank_float64_floor():
     domain, i.e. our atol=5e-4 goldens are not hiding algorithmic drift.
     """
     from lhotse_tpu.features.kaldi.layers import (
-        Wav2LogFilterBank,
-        create_frame_window,
-        get_mel_banks,
-    )
+        Wav2LogFilterBank, create_frame_window, get_mel_banks)
 
     sr, frame_len, frame_shift, nfft, nmels = 16000, 400, 160, 512, 80
     rng = np.random.RandomState(42)
@@ -199,9 +190,7 @@ def test_fbank_float64_floor():
     spec = np.abs(np.fft.rfft(frames, n=nfft)) ** 2
     mel = np.asarray(get_mel_banks(nmels, nfft, sr, 20.0, -400.0)[0], dtype=np.float64)
     # Kaldi mel banks cover fft bins [0, nfft//2) — the Nyquist bin is unused.
-    ground_truth = np.log(
-        np.maximum(spec[:, : mel.shape[1]] @ mel.T, np.finfo(np.float32).eps)
-    )
+    ground_truth = np.log(np.maximum(spec[:, : mel.shape[1]] @ mel.T, np.finfo(np.float32).eps))
 
     ours = np.asarray(Wav2LogFilterBank(sampling_rate=sr)(wave[None, :]))[0]
     assert ours.shape == ground_truth.shape
@@ -209,6 +198,4 @@ def test_fbank_float64_floor():
     # (pinned separately by the reference goldens); the noise-floor claim is
     # about the interior frames, where only float32 rounding can differ.
     interior = np.abs(ours - ground_truth)[1:-1].max()
-    assert interior < 5e-4, (
-        f"float32 fbank deviates from float64 ground truth by {interior}"
-    )
+    assert interior < 5e-4, (f"float32 fbank deviates from float64 ground truth by {interior}")

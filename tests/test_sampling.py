@@ -7,24 +7,13 @@ import pytest
 from lhotse_tpu import CutSet
 from lhotse_tpu.cut import MonoCut
 from lhotse_tpu.dataset import (
-    BucketingSampler,
-    CutPairsSampler,
-    DynamicBucketingSampler,
-    DynamicCutSampler,
-    RoundRobinSampler,
-    SimpleCutSampler,
-    TimeConstraint,
-    WeightedSimpleCutSampler,
-    ZipSampler,
-    estimate_duration_buckets,
-    find_pessimistic_batches,
-)
+    BucketingSampler, CutPairsSampler, DynamicBucketingSampler, DynamicCutSampler,
+    RoundRobinSampler, SimpleCutSampler, TimeConstraint, WeightedSimpleCutSampler, ZipSampler,
+    estimate_duration_buckets, find_pessimistic_batches)
 
 
 def dummy_cut(idx: int, duration: float = 1.0) -> MonoCut:
-    return MonoCut(
-        id=f"dummy-{idx}", start=0.0, duration=duration, channel=0, supervisions=[]
-    )
+    return MonoCut(id=f"dummy-{idx}", start=0.0, duration=duration, channel=0, supervisions=[])
 
 
 @pytest.fixture
@@ -81,9 +70,7 @@ class TestSimpleCutSampler:
         assert sum(len(b) for b in batches) == 100
 
     def test_shuffle_changes_order_per_epoch(self, cuts100):
-        sampler = SimpleCutSampler(
-            cuts100, max_cuts=10, shuffle=True, seed=0, world_size=1, rank=0
-        )
+        sampler = SimpleCutSampler(cuts100, max_cuts=10, shuffle=True, seed=0, world_size=1, rank=0)
         sampler.set_epoch(0)
         order0 = batch_ids(list(sampler))
         sampler.set_epoch(1)
@@ -102,23 +89,17 @@ class TestSimpleCutSampler:
         assert sorted(ids) == sorted(kept)
 
     def test_resume_replay(self, cuts100):
-        sampler = SimpleCutSampler(
-            cuts100, max_cuts=7, shuffle=True, seed=3, world_size=1, rank=0
-        )
+        sampler = SimpleCutSampler(cuts100, max_cuts=7, shuffle=True, seed=3, world_size=1, rank=0)
         sampler.set_epoch(2)
         all_batches = [batch_ids([b]) for b in sampler]
 
-        sampler2 = SimpleCutSampler(
-            cuts100, max_cuts=7, shuffle=True, seed=3, world_size=1, rank=0
-        )
+        sampler2 = SimpleCutSampler(cuts100, max_cuts=7, shuffle=True, seed=3, world_size=1, rank=0)
         sampler2.set_epoch(2)
         it = iter(sampler2)
         first3 = [batch_ids([next(it)]) for _ in range(3)]
         sd = sampler2.state_dict()
 
-        sampler3 = SimpleCutSampler(
-            cuts100, max_cuts=7, shuffle=True, seed=3, world_size=1, rank=0
-        )
+        sampler3 = SimpleCutSampler(cuts100, max_cuts=7, shuffle=True, seed=3, world_size=1, rank=0)
         sampler3.load_state_dict(sd)
         rest = [batch_ids([b]) for b in sampler3]
         assert first3 + rest == all_batches
@@ -154,13 +135,7 @@ class TestDynamicCutSampler:
 
         def make():
             s = DynamicCutSampler(
-                CutSet.from_jsonl_lazy(p),
-                max_cuts=10,
-                shuffle=True,
-                seed=7,
-                world_size=1,
-                rank=0,
-            )
+                CutSet.from_jsonl_lazy(p), max_cuts=10, shuffle=True, seed=7, world_size=1, rank=0)
             s.set_epoch(1)
             return s
 
@@ -181,13 +156,7 @@ class TestDynamicCutSampler:
 
         def make():
             s = DynamicCutSampler(
-                CutSet.from_jsonl_lazy(p),
-                max_cuts=9,
-                shuffle=True,
-                seed=5,
-                world_size=1,
-                rank=0,
-            )
+                CutSet.from_jsonl_lazy(p), max_cuts=9, shuffle=True, seed=5, world_size=1, rank=0)
             s.set_epoch(1)
             return s
 
@@ -199,13 +168,7 @@ class TestDynamicCutSampler:
         sd = pickle.loads(pickle.dumps(s2.state_dict()))
 
         s3 = DynamicCutSampler(
-            CutSet.from_jsonl_lazy(p),
-            max_cuts=9,
-            shuffle=True,
-            seed=5,
-            world_size=1,
-            rank=0,
-        )
+            CutSet.from_jsonl_lazy(p), max_cuts=9, shuffle=True, seed=5, world_size=1, rank=0)
         s3.load_state_dict(sd)
         rest = [batch_ids([b]) for b in s3]
         assert first4 + rest == all_batches
@@ -213,28 +176,18 @@ class TestDynamicCutSampler:
 
 class TestDynamicBucketingSampler:
     def test_estimate_duration_buckets(self):
-        cuts = CutSet.from_cuts(
-            dummy_cut(i, duration=1.0 + (i % 10)) for i in range(100)
-        )
+        cuts = CutSet.from_cuts(dummy_cut(i, duration=1.0 + (i % 10)) for i in range(100))
         bins = estimate_duration_buckets(cuts, num_buckets=5)
         assert len(bins) == 4
         assert bins == sorted(bins)
 
     def test_batches_have_similar_durations(self, tmp_path):
-        cuts = CutSet.from_cuts(
-            dummy_cut(i, duration=1.0 + (i % 20)) for i in range(400)
-        )
+        cuts = CutSet.from_cuts(dummy_cut(i, duration=1.0 + (i % 20)) for i in range(400))
         p = tmp_path / "cuts.jsonl"
         cuts.to_file(p)
         sampler = DynamicBucketingSampler(
-            CutSet.from_jsonl_lazy(p),
-            max_duration=60.0,
-            num_buckets=5,
-            buffer_size=200,
-            world_size=1,
-            rank=0,
-            seed=0,
-        )
+            CutSet.from_jsonl_lazy(p), max_duration=60.0, num_buckets=5, buffer_size=200,
+            world_size=1, rank=0, seed=0)
         spreads = []
         n = 0
         for b in sampler:
@@ -251,15 +204,8 @@ class TestDynamicBucketingSampler:
         p = tmp_path / "cuts.jsonl"
         cuts.to_file(p)
         sampler = DynamicBucketingSampler(
-            CutSet.from_jsonl_lazy(p),
-            max_duration=40.0,
-            num_buckets=4,
-            buffer_size=80,
-            shuffle=True,
-            world_size=1,
-            rank=0,
-            seed=0,
-        )
+            CutSet.from_jsonl_lazy(p), max_duration=40.0, num_buckets=4, buffer_size=80,
+            shuffle=True, world_size=1, rank=0, seed=0)
         sampler.set_epoch(3)
         ids = batch_ids(list(sampler))
         assert sorted(ids) == sorted(c.id for c in cuts)
@@ -271,15 +217,8 @@ class TestDynamicBucketingSampler:
         per_rank = []
         for rank in range(2):
             sampler = DynamicBucketingSampler(
-                CutSet.from_jsonl_lazy(p),
-                max_duration=50.0,
-                num_buckets=4,
-                buffer_size=100,
-                world_size=2,
-                rank=rank,
-                seed=0,
-                sync_buckets=True,
-            )
+                CutSet.from_jsonl_lazy(p), max_duration=50.0, num_buckets=4, buffer_size=100,
+                world_size=2, rank=rank, seed=0, sync_buckets=True)
             per_rank.append(list(sampler))
         assert len(per_rank[0]) == len(per_rank[1])
         ids0 = set(batch_ids(per_rank[0]))
@@ -293,15 +232,8 @@ class TestDynamicBucketingSampler:
 
         def make():
             s = DynamicBucketingSampler(
-                CutSet.from_jsonl_lazy(p),
-                max_duration=30.0,
-                num_buckets=3,
-                buffer_size=50,
-                shuffle=True,
-                world_size=1,
-                rank=0,
-                seed=11,
-            )
+                CutSet.from_jsonl_lazy(p), max_duration=30.0, num_buckets=3, buffer_size=50,
+                shuffle=True, world_size=1, rank=0, seed=11)
             s.set_epoch(1)
             return s
 
@@ -336,15 +268,12 @@ class TestIndexedO1Resume:
     def test_dynamic_o1_resume(self, indexed_path):
         def make():
             s = DynamicCutSampler(
-                CutSet.from_files([indexed_path], shuffle_iters=False),
-                max_cuts=8, shuffle=True, seed=4, world_size=1, rank=0,
-            )
+                CutSet.from_files([indexed_path], shuffle_iters=False), max_cuts=8, shuffle=True,
+                seed=4, world_size=1, rank=0)
             s.set_epoch(2)
             return s
 
-        assert CutSet.from_files(
-            [indexed_path], shuffle_iters=False
-        ).has_constant_time_access
+        assert CutSet.from_files([indexed_path], shuffle_iters=False).has_constant_time_access
 
         all_batches = [batch_ids([b]) for b in make()]
         s2 = make()
@@ -361,10 +290,8 @@ class TestIndexedO1Resume:
     def test_bucketing_o1_resume(self, indexed_path):
         def make():
             s = DynamicBucketingSampler(
-                CutSet.from_files([indexed_path], shuffle_iters=False),
-                max_duration=25.0, num_buckets=3, buffer_size=40,
-                shuffle=True, seed=9, world_size=1, rank=0,
-            )
+                CutSet.from_files([indexed_path], shuffle_iters=False), max_duration=25.0,
+                num_buckets=3, buffer_size=40, shuffle=True, seed=9, world_size=1, rank=0)
             s.set_epoch(1)
             return s
 
@@ -383,9 +310,7 @@ class TestIndexedO1Resume:
 
 class TestBucketingSampler:
     def test_coverage(self, cuts100):
-        sampler = BucketingSampler(
-            cuts100, num_buckets=4, max_cuts=10, world_size=1, rank=0
-        )
+        sampler = BucketingSampler(cuts100, num_buckets=4, max_cuts=10, world_size=1, rank=0)
         ids = batch_ids(list(sampler))
         assert sorted(ids) == sorted(c.id for c in cuts100)
 
@@ -402,8 +327,7 @@ class TestCombinators:
         b = CutSet.from_cuts(dummy_cut(100 + i) for i in range(20))
         sampler = ZipSampler(
             SimpleCutSampler(a, max_cuts=2, world_size=1, rank=0),
-            SimpleCutSampler(b, max_cuts=4, world_size=1, rank=0),
-        )
+            SimpleCutSampler(b, max_cuts=4, world_size=1, rank=0))
         batches = list(sampler)
         assert all(len(bt) == 6 for bt in batches)
 
@@ -412,25 +336,21 @@ class TestCombinators:
         b = CutSet.from_cuts(dummy_cut(100 + i) for i in range(12))
         sampler = RoundRobinSampler(
             SimpleCutSampler(a, max_cuts=2, world_size=1, rank=0),
-            SimpleCutSampler(b, max_cuts=2, world_size=1, rank=0),
-        )
+            SimpleCutSampler(b, max_cuts=2, world_size=1, rank=0))
         batches = list(sampler)
         assert sum(len(bt) for bt in batches) == 18
         # First two batches alternate sources.
         assert all(c.id.startswith("dummy-") for c in batches[0])
 
     def test_cut_pairs(self, cuts100):
-        sampler = CutPairsSampler(
-            cuts100, cuts100, max_source_duration=20.0, world_size=1, rank=0
-        )
+        sampler = CutPairsSampler(cuts100, cuts100, max_source_duration=20.0, world_size=1, rank=0)
         src, tgt = next(iter(sampler))
         assert [c.id for c in src] == [c.id for c in tgt]
 
     def test_weighted_simple(self, cuts100):
         weights = [1.0] * len(cuts100)
         sampler = WeightedSimpleCutSampler(
-            cuts100, weights, num_samples=30, max_cuts=10, world_size=1, rank=0
-        )
+            cuts100, weights, num_samples=30, max_cuts=10, world_size=1, rank=0)
         batches = list(sampler)
         total = sum(len(b) for b in batches)
         assert total == 30

@@ -6,12 +6,7 @@ import pytest
 from lhotse_tpu import CutSet, Fbank, LilcomChunkyWriter, Recording
 from lhotse_tpu.audio.wavio import write_wav
 from lhotse_tpu.shar import (
-    LazyIndexedSharIterator,
-    LazySharIterator,
-    decode_pointer,
-    encode_pointer,
-    is_shar_pointer,
-)
+    LazyIndexedSharIterator, LazySharIterator, decode_pointer, encode_pointer, is_shar_pointer)
 from lhotse_tpu.supervision import SupervisionSegment
 
 SR = 16000
@@ -36,9 +31,7 @@ def cuts(tmp_path_factory):
         out.append(c)
     cuts = CutSet.from_cuts(out)
     with LilcomChunkyWriter(d / "feats") as st:
-        return CutSet.from_cuts(
-            c.compute_and_store_features(Fbank(), st) for c in cuts
-        )
+        return CutSet.from_cuts(c.compute_and_store_features(Fbank(), st) for c in cuts)
 
 
 @pytest.fixture(scope="module")
@@ -52,12 +45,8 @@ def shar_dir(cuts, tmp_path_factory):
 def shar_idx_dir(cuts, tmp_path_factory):
     d = tmp_path_factory.mktemp("shar_idx")
     cuts.to_shar(
-        d,
-        fields={"recording": "wav", "features": "lilcom"},
-        shard_size=3,
-        compress_jsonl=False,
-        create_index=True,
-    )
+        d, fields={"recording": "wav", "features": "lilcom"}, shard_size=3, compress_jsonl=False,
+        create_index=True)
     return d
 
 
@@ -66,9 +55,7 @@ class TestStreaming:
         back = list(CutSet.from_shar(in_dir=shar_dir))
         assert len(back) == 7
         assert [c.id for c in back] == [c.id for c in cuts]
-        np.testing.assert_allclose(
-            back[0].load_audio(), cuts[0].load_audio(), atol=1e-4
-        )
+        np.testing.assert_allclose(back[0].load_audio(), cuts[0].load_audio(), atol=1e-4)
         assert np.abs(back[0].load_features() - cuts[0].load_features()).max() <= 2**-5
 
     def test_reader_selection(self, shar_dir):
@@ -80,9 +67,7 @@ class TestStreaming:
         a = [c.id for c in CutSet.from_shar(in_dir=shar_dir, shuffle_shards=True, seed=1)]
         b = [c.id for c in CutSet.from_shar(in_dir=shar_dir, shuffle_shards=True, seed=1)]
         assert a == b
-        assert sorted(a) == sorted(
-            c.id for c in CutSet.from_shar(in_dir=shar_dir)
-        )
+        assert sorted(a) == sorted(c.id for c in CutSet.from_shar(in_dir=shar_dir))
 
     def test_streaming_checkpoint_resume(self, shar_dir):
         reader = LazySharIterator(in_dir=shar_dir)
@@ -99,9 +84,7 @@ class TestStreaming:
 
     def test_placeholder_nodata(self, cuts, tmp_path):
         # One cut without features: the features tar stores a placeholder.
-        mixed = CutSet.from_cuts(
-            [cuts[0], cuts[1].drop_features(), cuts[2]]
-        )
+        mixed = CutSet.from_cuts([cuts[0], cuts[1].drop_features(), cuts[2]])
         mixed.to_shar(tmp_path, fields={"recording": "wav", "features": "lilcom"})
         back = list(CutSet.from_shar(in_dir=tmp_path))
         assert back[0].has_features
@@ -122,9 +105,7 @@ class TestIndexed:
         for i in (0, 3, 6):
             c = cs[i]
             assert c.id == cuts[i].id
-            np.testing.assert_allclose(
-                c.load_audio(), cuts[i].load_audio(), atol=1e-4
-            )
+            np.testing.assert_allclose(c.load_audio(), cuts[i].load_audio(), atol=1e-4)
 
     def test_lazy_pointer_mode(self, cuts, shar_idx_dir):
         it = LazyIndexedSharIterator(in_dir=shar_idx_dir, lazy=True)
@@ -142,9 +123,8 @@ class TestIndexed:
 
         def make():
             s = DynamicCutSampler(
-                CutSet.from_shar(in_dir=shar_idx_dir),
-                max_cuts=2, shuffle=True, seed=0, world_size=1, rank=0,
-            )
+                CutSet.from_shar(in_dir=shar_idx_dir), max_cuts=2, shuffle=True, seed=0,
+                world_size=1, rank=0)
             s.set_epoch(1)
             return s
 

@@ -6,19 +6,9 @@ import pytest
 from lhotse_tpu import CutSet, Fbank, LilcomChunkyWriter, Recording
 from lhotse_tpu.audio.wavio import write_wav
 from lhotse_tpu.dataset import (
-    AudioSamples,
-    DiarizationDataset,
-    DynamicCutSampler,
-    IdentityDataset,
-    IterableDatasetWrapper,
-    K2SpeechRecognitionDataset,
-    K2SurtDataset,
-    SimpleCutSampler,
-    SpecAugment,
-    SpeechSynthesisDataset,
-    UnsupervisedDataset,
-    VadDataset,
-)
+    AudioSamples, DiarizationDataset, DynamicCutSampler, IdentityDataset, IterableDatasetWrapper,
+    K2SpeechRecognitionDataset, K2SurtDataset, SimpleCutSampler, SpecAugment,
+    SpeechSynthesisDataset, UnsupervisedDataset, VadDataset)
 from lhotse_tpu.supervision import SupervisionSegment
 
 SR = 16000
@@ -49,9 +39,7 @@ def cuts(tmp_path_factory):
 def cuts_feats(cuts, tmp_path_factory):
     d = tmp_path_factory.mktemp("task_feats")
     with LilcomChunkyWriter(d) as storage:
-        return CutSet.from_cuts(
-            c.compute_and_store_features(Fbank(), storage) for c in cuts
-        )
+        return CutSet.from_cuts(c.compute_and_store_features(Fbank(), storage) for c in cuts)
 
 
 class TestASRPipeline:
@@ -64,9 +52,7 @@ class TestASRPipeline:
             B, T, F = batch["inputs"].shape
             assert F == 80
             assert len(batch["supervisions"]["text"]) >= B
-            assert len(batch["supervisions"]["cut"]) == len(
-                batch["supervisions"]["text"]
-            )
+            assert len(batch["supervisions"]["cut"]) == len(batch["supervisions"]["text"])
             n_sups += len(batch["supervisions"]["text"])
         assert n_sups == 6
 
@@ -74,9 +60,7 @@ class TestASRPipeline:
         from lhotse_tpu.dataset import OnTheFlyFeatures
 
         dataset = K2SpeechRecognitionDataset(
-            input_strategy=OnTheFlyFeatures(Fbank()),
-            input_transforms=[SpecAugment(p=1.0, seed=0)],
-        )
+            input_strategy=OnTheFlyFeatures(Fbank()), input_transforms=[SpecAugment(p=1.0, seed=0)])
         sampler = SimpleCutSampler(cuts, max_cuts=6, world_size=1, rank=0)
         batch = dataset[next(iter(sampler))]
         assert batch["inputs"].ndim == 3
@@ -137,9 +121,7 @@ class TestIterableWrapper:
     def test_identity_loop(self, cuts_feats, tmp_path):
         p = tmp_path / "cuts.jsonl"
         cuts_feats.to_file(p)
-        sampler = DynamicCutSampler(
-            CutSet.from_jsonl_lazy(p), max_cuts=2, world_size=1, rank=0
-        )
+        sampler = DynamicCutSampler(CutSet.from_jsonl_lazy(p), max_cuts=2, world_size=1, rank=0)
         wrapper = IterableDatasetWrapper(IdentityDataset(), sampler)
         wrapper.set_epoch(0)
         batches = list(wrapper)
@@ -151,9 +133,7 @@ class TestIterableWrapper:
 
         def make():
             sampler = DynamicCutSampler(
-                CutSet.from_jsonl_lazy(p), max_cuts=2, shuffle=True, seed=0,
-                world_size=1, rank=0,
-            )
+                CutSet.from_jsonl_lazy(p), max_cuts=2, shuffle=True, seed=0, world_size=1, rank=0)
             w = IterableDatasetWrapper(IdentityDataset(), sampler)
             w.set_epoch(1)
             return w

@@ -7,15 +7,8 @@ import pytest
 
 from lhotse_tpu import Fbank
 from lhotse_tpu.tracing import (
-    add_work,
-    format_tracing_report,
-    is_tracing_enabled,
-    reset_tracing,
-    set_tracing_enabled,
-    trace_span,
-    traced,
-    tracing_report,
-)
+    add_work, format_tracing_report, is_tracing_enabled, reset_tracing, set_tracing_enabled,
+    trace_span, traced, tracing_report)
 
 
 @pytest.fixture(autouse=True)
@@ -35,9 +28,7 @@ def test_trace_span_accumulates():
     assert rep["unit"]["calls"] == 3
     assert rep["unit"]["work"] == 6.0
     assert rep["unit"]["total_s"] >= 0.003
-    assert rep["unit"]["throughput"] == pytest.approx(
-        6.0 / rep["unit"]["total_s"]
-    )
+    assert rep["unit"]["throughput"] == pytest.approx(6.0 / rep["unit"]["total_s"])
 
 
 def test_add_work_attributes_to_innermost_span():
@@ -111,20 +102,12 @@ def test_feature_pipeline_reports_audio_seconds(tmp_path):
     base = []
     for i in range(6):
         path = tmp_path / f"rec{i}.wav"
-        write_wav(
-            path,
-            (np.random.RandomState(i).randn(1, 16000) * 0.1).astype(np.float32),
-            16000,
-        )
+        write_wav(path, (np.random.RandomState(i).randn(1, 16000) * 0.1).astype(np.float32), 16000)
         base.append(Recording.from_file(path).to_cut())
     cuts = CutSet.from_cuts(base)
     out = cuts.compute_and_store_features_batch(
-        extractor=Fbank(),
-        storage_path=tmp_path / "feats",
-        manifest_path=tmp_path / "cuts.jsonl.gz",
-        batch_duration=2.0,
-        num_workers=1,
-    )
+        extractor=Fbank(), storage_path=tmp_path / "feats",
+        manifest_path=tmp_path / "cuts.jsonl.gz", batch_duration=2.0, num_workers=1)
     assert len(out) == 6 and all(c.has_features for c in out)
     rep = tracing_report()
     k = "CutSet.compute_and_store_features_batch"

@@ -4,20 +4,9 @@ import numpy as np
 import pytest
 
 from lhotse_tpu.utils import (
-    TimeSpan,
-    add_durations,
-    compute_num_frames,
-    compute_num_samples,
-    compute_num_windows,
-    fastcopy,
-    fix_random_seed,
-    overlaps,
-    overspans,
-    perturb_num_samples,
-    split_sequence,
-    streaming_shuffle,
-    uuid4,
-)
+    TimeSpan, add_durations, compute_num_frames, compute_num_samples, compute_num_windows, fastcopy,
+    fix_random_seed, overlaps, overspans, perturb_num_samples, split_sequence, streaming_shuffle,
+    uuid4)
 
 
 def test_compute_num_frames_golden():
@@ -49,17 +38,8 @@ def test_add_durations():
 def test_compute_num_windows():
     # Examples from the reference docstring (utils.py:437).
     cases = [
-        ((1, 6.1, 3), 1),
-        ((3, 1, 6.1), 1),
-        ((3, 6.1, 1), 1),
-        ((5.9, 1, 3), 2),
-        ((5.9, 3, 1), 4),
-        ((6.1, 1, 3), 3),
-        ((6.1, 3, 1), 5),
-        ((5.9, 3, 3), 2),
-        ((6.1, 3, 3), 3),
-        ((0.0, 3, 3), 0),
-    ]
+        ((1, 6.1, 3), 1), ((3, 1, 6.1), 1), ((3, 6.1, 1), 1), ((5.9, 1, 3), 2), ((5.9, 3, 1), 4),
+        ((6.1, 1, 3), 3), ((6.1, 3, 1), 5), ((5.9, 3, 3), 2), ((6.1, 3, 3), 3), ((0.0, 3, 3), 0)]
     for args, expected in cases:
         assert compute_num_windows(*args) == expected, args
 

@@ -4,10 +4,7 @@ import pytest
 
 from lhotse_tpu import CutSet, Fbank, LilcomChunkyWriter, Recording
 from lhotse_tpu.audio.wavio import write_wav
-from lhotse_tpu.dataset.webdataset import (
-    LazyWebdatasetIterator,
-    export_to_webdataset,
-)
+from lhotse_tpu.dataset.webdataset import (LazyWebdatasetIterator, export_to_webdataset)
 
 SR = 16000
 
@@ -23,29 +20,21 @@ def cuts(tmp_path_factory):
         out.append(Recording.from_file(p).to_cut())
     cuts = CutSet.from_cuts(out)
     with LilcomChunkyWriter(d / "feats") as st:
-        return CutSet.from_cuts(
-            c.compute_and_store_features(Fbank(), st) for c in cuts
-        )
+        return CutSet.from_cuts(c.compute_and_store_features(Fbank(), st) for c in cuts)
 
 
 def test_export_import_roundtrip(cuts, tmp_path):
-    n = export_to_webdataset(
-        cuts, str(tmp_path / "all.tar"), audio_format="wav", verbose=False
-    )
+    n = export_to_webdataset(cuts, str(tmp_path / "all.tar"), audio_format="wav", verbose=False)
     assert n is None or n == 0 or n == 1  # unsharded
     back = list(CutSet.from_webdataset(str(tmp_path / "all.tar")))
     assert [c.id for c in back] == [c.id for c in cuts]
-    np.testing.assert_allclose(
-        back[0].load_audio(), cuts[0].load_audio(), atol=1.0 / 32768
-    )
+    np.testing.assert_allclose(back[0].load_audio(), cuts[0].load_audio(), atol=1.0 / 32768)
     assert np.abs(back[0].load_features() - cuts[0].load_features()).max() <= 2**-5
 
 
 def test_sharded_export(cuts, tmp_path):
     n = export_to_webdataset(
-        cuts, str(tmp_path / "shard-%06d.tar"), shard_size=2,
-        audio_format="wav", verbose=False,
-    )
+        cuts, str(tmp_path / "shard-%06d.tar"), shard_size=2, audio_format="wav", verbose=False)
     assert n == 3
     shards = [str(tmp_path / f"shard-{i:06d}.tar") for i in range(3)]
     back = list(CutSet.from_webdataset(shards))
@@ -56,9 +45,7 @@ def test_sharded_export(cuts, tmp_path):
 
 def test_shuffle_shards_epoch(cuts, tmp_path):
     export_to_webdataset(
-        cuts, str(tmp_path / "shard-%06d.tar"), shard_size=1,
-        audio_format="wav", verbose=False,
-    )
+        cuts, str(tmp_path / "shard-%06d.tar"), shard_size=1, audio_format="wav", verbose=False)
     shards = [str(tmp_path / f"shard-{i:06d}.tar") for i in range(6)]
     it = LazyWebdatasetIterator(shards, shuffle_shards=True, epoch=0)
     order0 = [c.id for c in it]

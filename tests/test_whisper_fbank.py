@@ -4,11 +4,8 @@ import pytest
 
 from lhotse_tpu import WhisperFbank, WhisperFbankConfig
 from lhotse_tpu.audio.resampling_backend import (
-    available_resampling_backends,
-    get_current_resampling_backend,
-    resampling_backend,
-    set_current_resampling_backend,
-)
+    available_resampling_backends, get_current_resampling_backend, resampling_backend,
+    set_current_resampling_backend)
 from lhotse_tpu.features.base import create_default_feature_extractor
 from lhotse_tpu.features.whisper import slaney_mel_filters
 
@@ -23,9 +20,7 @@ def test_whisper_fbank_matches_torch_stft_golden(audio):
     torch = pytest.importorskip("torch")
     filters = torch.from_numpy(slaney_mel_filters(16000, 400, 80))
     window = torch.hann_window(400)
-    stft = torch.stft(
-        torch.from_numpy(audio), 400, 160, window=window, return_complex=True
-    )
+    stft = torch.stft(torch.from_numpy(audio), 400, 160, window=window, return_complex=True)
     mag = stft[..., :-1].abs() ** 2
     mel = filters @ mag
     log_spec = torch.clamp(mel, min=1e-10).log10()

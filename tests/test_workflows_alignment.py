@@ -5,18 +5,9 @@ import pytest
 from lhotse_tpu.supervision import AlignmentItem
 from lhotse_tpu.testing.dummies import dummy_cut, dummy_supervision
 from lhotse_tpu.workflows import (
-    ActivityDetector,
-    EnergyVAD,
-    FailedToAlign,
-    ForcedAligner,
-    align_supervisions,
-)
+    ActivityDetector, EnergyVAD, FailedToAlign, ForcedAligner, align_supervisions)
 from lhotse_tpu.workflows.forced_alignment.ctc import (
-    align_ctc_emission,
-    ctc_forced_align,
-    merge_repeats,
-    merge_words,
-)
+    align_ctc_emission, ctc_forced_align, merge_repeats, merge_words)
 
 # Vocabulary for the synthetic CTC tests: blank=0, then letters.
 VOCAB = {"-": 0, "|": 1, "C": 2, "A": 3, "T": 4, "S": 5}
@@ -76,18 +67,14 @@ class _FakeAligner(ForcedAligner):
         words = transcript.split()
         dur = audio.shape[-1] / self.sample_rate / len(words)
         return [
-            AlignmentItem(symbol=w, start=round(i * dur, 8), duration=round(dur, 8))
-            for i, w in enumerate(words)
-        ]
+            AlignmentItem(symbol=w, start=round(i * dur, 8), duration=round(dur, 8)) for i,
+            w in enumerate(words)]
 
 
 def test_forced_aligner_call_attaches_word_alignment():
     cut = dummy_cut(
-        0,
-        with_data=True,
-        duration=1.0,
-        supervisions=[dummy_supervision(0, duration=1.0, text="hello world")],
-    )
+        0, with_data=True, duration=1.0,
+        supervisions=[dummy_supervision(0, duration=1.0, text="hello world")])
     aligned = _FakeAligner()(cut)
     ali = aligned.supervisions[0].alignment["word"]
     assert [a.symbol for a in ali] == ["HELLO", "WORLD"]
@@ -102,21 +89,13 @@ def test_align_supervisions_with_custom_factory():
     cuts = []
     for i in range(3):
         c = dummy_cut(
-            i,
-            with_data=True,
-            duration=1.0,
-            supervisions=[dummy_supervision(i, duration=1.0, text="one two")],
-        )
+            i, with_data=True, duration=1.0,
+            supervisions=[dummy_supervision(i, duration=1.0, text="one two")])
         cuts.append(c)
-    out = list(
-        align_supervisions(CutSet.from_cuts(cuts), aligner_factory=_FakeAligner)
-    )
+    out = list(align_supervisions(CutSet.from_cuts(cuts), aligner_factory=_FakeAligner))
     assert len(out) == 3
     for c in out:
-        assert [a.symbol for a in c.supervisions[0].alignment["word"]] == [
-            "ONE",
-            "TWO",
-        ]
+        assert [a.symbol for a in c.supervisions[0].alignment["word"]] == ["ONE", "TWO"]
 
 
 def test_energy_vad_activity_detector():
@@ -145,8 +124,7 @@ def test_whisper_postprocess_timestamps():
 
     sups = [
         SupervisionSegment(id="b", recording_id="r", start=2.0, duration=3.0),
-        SupervisionSegment(id="a", recording_id="r", start=0.0, duration=2.5),
-    ]
+        SupervisionSegment(id="a", recording_id="r", start=0.0, duration=2.5)]
     out = _postprocess_timestamps(sups)
     assert [s.id for s in out] == ["a", "b"]
     # 'a' overshoots into 'b': truncated at b.start.
