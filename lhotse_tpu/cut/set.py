@@ -47,8 +47,8 @@ from lhotse_tpu.features.io import FeaturesWriter, LilcomChunkyWriter
 from lhotse_tpu.features.io import default_features_storage_backend
 from lhotse_tpu.lazy import (
     AlgorithmMixin, is_dill_enabled, IteratorNode, LazyFlattener, LazyIteratorChain,
-    LazyManifestIterator, LazyMapper, LazySlicer, _try_collect_child_state,
-    _try_restore_child_state, attach_graph_origin, get_graph_origin, normalize_graph_token,
+    LazyManifestIterator, LazyMapper, LazySlicer, _snapshot_child,
+    _restore_child, attach_graph_origin, get_graph_origin, normalize_graph_token,
     resolve_iterator_source, supports_graph_restore)
 from lhotse_tpu.serialization import Serializable
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
@@ -67,6 +67,14 @@ def _progressbar(enabled: bool, **tqdm_kwargs):
     from tqdm.auto import tqdm
 
     return partial(tqdm, **tqdm_kwargs)
+
+
+def _maybe_len(obj) -> Optional[int]:
+    """len(obj), or None for streams that cannot know it without consuming."""
+    try:
+        return len(obj)
+    except TypeError:
+        return None
 
 
 def is_cut(example) -> bool:
@@ -665,7 +673,8 @@ class CutSet(Serializable, AlgorithmMixin):
     def _extract_features_single_process(
         self, extractor, storage_type, storage_path, augment_fn, mix_eagerly, progress_bar,
     ) -> "CutSet":
-        track = _progressbar(progress_bar, desc="Extracting and storing features", total=len(self))
+        track = _progressbar(
+            progress_bar, desc="Extracting and storing features", total=_maybe_len(self))
         done = []
         with storage_type(storage_path) as storage:
             for cut in track(self):
@@ -1034,13 +1043,13 @@ class CutSet(Serializable, AlgorithmMixin):
 
         return collect_state_dict(self.data)
 
-    def load_state_dict(self, sd: dict) -> None:
+    def load_state_dict(self, state: dict) -> None:
         """Restore the checkpoint state into the underlying lazy iterator graph."""
         if not self.is_lazy:
             raise RuntimeError("load_state_dict() is only supported for lazy CutSets.")
         from lhotse_tpu.checkpoint import restore_state_dict
 
-        restore_state_dict(self.data, sd)
+        restore_state_dict(self.data, state)
 
     def __repr__(self) -> str:
         try:
@@ -1829,25 +1838,25 @@ class LazyCutMixer(IteratorNode):
         from lhotse_tpu.checkpoint import _rng_state_to_json
 
         rng_state = self._rng.getstate() if self._rng is not None else self._rng_state
-        sd = {
+        snap = {
             "num_times_iterated": self.num_times_iterated,
             "rng_state": _rng_state_to_json(rng_state) if rng_state is not None else None,
             "iteration_seed": self._iteration_seed}
-        source_state = _try_collect_child_state(self.source)
+        source_state = _snapshot_child(self.source)
         if source_state is not None:
-            sd["source"] = source_state
-        return sd
+            snap["source"] = source_state
+        return snap
 
-    def load_state_dict(self, sd: dict) -> None:
+    def load_state_dict(self, state: dict) -> None:
         if not self.is_checkpointable:
             raise NotImplementedError("LazyCutMixer checkpointing requires indexed mix_in_cuts.")
         from lhotse_tpu.checkpoint import _rng_state_from_json
 
-        self.num_times_iterated = sd["num_times_iterated"]
-        saved_rng = sd.get("rng_state")
+        self.num_times_iterated = state["num_times_iterated"]
+        saved_rng = state.get("rng_state")
         self._rng_state = None if saved_rng is None else _rng_state_from_json(saved_rng)
-        self._iteration_seed = sd.get("iteration_seed")
-        _try_restore_child_state(self.source, sd.get("source"))
+        self._iteration_seed = state.get("iteration_seed")
+        _restore_child(self.source, state.get("source"))
         self._restored = True
 
     def _maybe_truncate_cut(self, cut: Cut, target_duration: Seconds, rng: random.Random) -> Cut:

@@ -35,37 +35,49 @@ from lhotse_tpu.utils import Seconds, exactly_one_not_null, ifnone, is_none_or_g
 
 
 # ---------------------------------------------------------------------------
-# Source-graph state capture (shared by the concrete samplers)
+# Shared checkpoint plumbing
 # ---------------------------------------------------------------------------
+def drain_state(owner: str, state: Dict[str, Any], target: Any, required=(), optional=()) -> None:
+    """Pop ``required`` and ``optional`` ``(key, default)`` entries out of a
+    checkpoint dict onto ``target``'s attributes, then insist the dict is
+    empty — leftovers mean version skew between writer and reader."""
+    for key in required:
+        setattr(target, key, state.pop(key))
+    for key, default in optional:
+        setattr(target, key, state.pop(key, default))
+    if state:
+        leftovers = "\n- ".join(state.keys())
+        raise AssertionError(f"{owner}.load_state_dict(): unexpected keys:\n- {leftovers}")
+
+
 def _capture_source_state(src) -> Optional[dict]:
     from lhotse_tpu.checkpoint import collect_state_dict
 
-    if isinstance(src, CutSet):
-        return src.state_dict()
-    if isinstance(src, IteratorNode):
-        return collect_state_dict(src)
-    return None
+    grab = src.state_dict if isinstance(src, CutSet) else (
+        (lambda: collect_state_dict(src)) if isinstance(src, IteratorNode) else lambda: None)
+    return grab()
 
 
 def capture_sources_state(sources) -> Optional[list]:
     """Per-source iterator-graph states; None when nothing is capturable."""
     if not isinstance(sources, (list, tuple)):
         return None
-    states = []
-    for src in sources:
+
+    def grab_or_none(src):
         try:
-            states.append(_capture_source_state(src))
+            return _capture_source_state(src)
         except Exception:
-            states.append(None)
-    return states if any(st is not None for st in states) else None
+            return None
+
+    states = [grab_or_none(src) for src in sources]
+    return None if all(st is None for st in states) else states
 
 
 def restore_sources_state(sources, cuts_state: Optional[list]) -> None:
     from lhotse_tpu.checkpoint import restore_state_dict
 
-    for src, state in zip(sources, cuts_state or ()):
-        if state is None:
-            continue
+    pairs = [(s, st) for s, st in zip(sources, cuts_state or ()) if st is not None]
+    for src, state in pairs:
         if isinstance(src, CutSet):
             src.load_state_dict(state)
         elif isinstance(src, IteratorNode):
@@ -78,8 +90,7 @@ def restore_sources_state(sources, cuts_state: Optional[list]) -> None:
 class _accept_everything:
     """Default cut filter; its type marks 'no user filter installed yet'."""
 
-    def __call__(self, cut: Cut) -> bool:
-        return True
+    def __call__(self, cut: Cut) -> bool: return True  # noqa: E704
 
 
 # Parity alias: the reference names this sentinel _filter_nothing.
@@ -87,20 +98,14 @@ _filter_nothing = _accept_everything
 
 
 def _both(first: Callable[[Cut], bool], second: Callable[[Cut], bool]):
-    def conjunction(cut: Cut) -> bool:
-        return first(cut) and second(cut)
-
-    return conjunction
+    return lambda cut: first(cut) and second(cut)
 
 
 _and = _both
 
 
 def mark_as_duplicate(iteration: int) -> Callable[[str], str]:
-    def inner(cut_id: str) -> str:
-        return f"{cut_id}_dup{iteration}"
-
-    return inner
+    return lambda cut_id: f"{cut_id}_dup{iteration}"
 
 
 def attach_dataloading_info(cuts: CutSet, rank: int, world_size: int) -> None:
@@ -213,23 +218,19 @@ class CutSampler(Dillable):
         constructed over the same CutSets with the same topology and seed.
         """
         self.drop_last = state_dict.pop("drop_last")
-        saved_world = state_dict.pop("world_size")
-        if saved_world != self.world_size:
-            raise AssertionError(
-                f"Cannot restore sampler with a different world_size (current "
-                f"{self.world_size}, checkpoint {saved_world})."
-            )
-        saved_rank = state_dict.pop("rank")
-        if saved_rank != self.rank:
-            raise RuntimeError(
-                f"CutSampler.load_state_dict: state was saved on rank={saved_rank} "
-                f"but is being loaded on rank={self.rank}."
-            )
-        saved_seed = state_dict.pop("seed")
-        if saved_seed != self.seed:
-            raise AssertionError(
-                f"Seed mismatch on sampler restore: {self.seed} vs checkpoint {saved_seed}"
-            )
+        # Topology/seed must agree between writer and reader; rank skew gets a
+        # RuntimeError (it is an orchestration bug, not a usage bug).
+        pinned = (
+            ("world_size", self.world_size, AssertionError,
+             "Cannot restore sampler with a different world_size (current {cur}, checkpoint {ckpt})."),
+            ("rank", self.rank, RuntimeError,
+             "CutSampler.load_state_dict: state was saved on rank={ckpt} but is being loaded on rank={cur}."),
+            ("seed", self.seed, AssertionError,
+             "Seed mismatch on sampler restore: {cur} vs checkpoint {ckpt}"))
+        for key, current, err_type, template in pinned:
+            ckpt_value = state_dict.pop(key)
+            if ckpt_value != current:
+                raise err_type(template.format(cur=current, ckpt=ckpt_value))
         saved_shuffle = state_dict.pop("shuffle")
         if self.shuffle != saved_shuffle:
             warnings.warn(
@@ -237,15 +238,10 @@ class CutSampler(Dillable):
                 f"(initialized to {self.shuffle}; restored to {saved_shuffle})."
             )
         self.shuffle = saved_shuffle
-        self.epoch = state_dict.pop("epoch")
         self.diagnostics.load_state_dict(state_dict.pop("diagnostics"))
         self._cuts_state = state_dict.pop("cuts_state", None)
         self._transforms_state = state_dict.pop("transforms_state", None)
-        if state_dict:
-            raise AssertionError(
-                "Error in CutSampler.load_state_dict(): Unexpected keys:\n- "
-                + "\n- ".join(state_dict.keys())
-            )
+        drain_state("CutSampler", state_dict, self, required=("epoch",))
         self._just_restored_state = True
 
     def _restore_transforms_state(self) -> None:
@@ -351,25 +347,11 @@ class CutSampler(Dillable):
 class SamplingConstraint(metaclass=ABCMeta):
     """Accumulates sampled examples and says when a batch is full."""
 
-    @abstractmethod
-    def add(self, example: Any) -> None:
-        ...
-
-    @abstractmethod
-    def exceeded(self) -> bool:
-        ...
-
-    @abstractmethod
-    def close_to_exceeding(self) -> bool:
-        ...
-
-    @abstractmethod
-    def reset(self) -> None:
-        ...
-
-    @abstractmethod
-    def measure_length(self, example: Any) -> float:
-        ...
+    add = abstractmethod(lambda self, example: None)
+    exceeded = abstractmethod(lambda self: False)
+    close_to_exceeding = abstractmethod(lambda self: False)
+    reset = abstractmethod(lambda self: None)
+    measure_length = abstractmethod(lambda self, example: 0.0)
 
     def select_bucket(self, buckets: Any, example: Any = None, example_len: Any = None) -> int:
         """Index of the first bucket whose boundary exceeds the example length."""
@@ -378,16 +360,84 @@ class SamplingConstraint(metaclass=ABCMeta):
                 f"select_bucket requires either example= or example_len= "
                 f"(received {example=} and {example_len=})."
             )
-        if example_len is None:
-            example_len = self.measure_length(example)
-        return bisect_left(buckets, example_len)
+        measured = example_len if example_len is not None else self.measure_length(example)
+        return bisect_left(buckets, measured)
 
     def copy(self) -> "SamplingConstraint":
         return copy.copy(self)
 
 
+class _PaddedBatchBudget(SamplingConstraint):
+    """
+    Shared engine for padded-batch budgets: subclasses name their dataclass
+    fields via ``_CAP_TOTAL`` / ``_CAP_COUNT`` / ``_COUNT`` / ``_QUAD`` and
+    this base prices examples, tracks the running padded cost, and answers
+    ``exceeded`` / ``close_to_exceeding``.
+
+    The core pricing rule: a batch costs ``count x longest_seen`` — the size
+    of the padded tensor XLA will compile.  A quadratic term (when the QUAD
+    field is set) re-prices each example as ``d + d^2/q`` for attention-bound
+    models.  Setting ``_SUM_COSTS`` prices by the plain sum instead (used for
+    gap-concatenated batches that waste no padding).
+    """
+
+    _CAP_TOTAL: str
+    _CAP_COUNT: str
+    _COUNT: str
+    _QUAD: str
+
+    def _budget(self) -> tuple:
+        return (getattr(self, self._CAP_TOTAL), getattr(self, self._CAP_COUNT))
+
+    def _validate_caps(self) -> None:
+        for name in (self._CAP_TOTAL, self._CAP_COUNT, self._QUAD):
+            if not is_none_or_gt(getattr(self, name), 0):
+                raise AssertionError(f"{type(self).__name__}.{name} must be None or > 0")
+
+    def _priced(self, size) -> float:
+        quad = getattr(self, self._QUAD)
+        return size if quad is None else size + size**2 / quad
+
+    def add(self, example) -> None:
+        if getattr(self, self._CAP_TOTAL) is not None:
+            cost = self._priced(self.measure_length(example))
+            self.current += cost
+            self.longest_seen = max(self.longest_seen, cost)
+        setattr(self, self._COUNT, getattr(self, self._COUNT) + 1)
+
+    def _over_budget(self, hypothetical_count: int) -> bool:
+        cap_total, _ = self._budget()
+        if cap_total is None:
+            return False
+        if getattr(self, "concatenate_cuts", False):
+            return self.current > cap_total
+        return hypothetical_count * self.longest_seen > cap_total
+
+    def exceeded(self) -> bool:
+        _, cap_count = self._budget()
+        count = getattr(self, self._COUNT)
+        return (cap_count is not None and count > cap_count) or self._over_budget(count)
+
+    def close_to_exceeding(self) -> bool:
+        """Would one more longest-seen-sized example blow the budget?"""
+        _, cap_count = self._budget()
+        count = getattr(self, self._COUNT)
+        return (cap_count is not None and count >= cap_count) or self._over_budget(count + 1)
+
+    def reset(self) -> None:
+        self.current = 0
+        self.longest_seen = 0
+        setattr(self, self._COUNT, 0)
+
+
+def _caps_agree(mine, theirs) -> bool:
+    if mine is None or theirs is None:
+        return mine is theirs
+    return isclose(mine, theirs)
+
+
 @dataclass
-class TimeConstraint(SamplingConstraint):
+class TimeConstraint(_PaddedBatchBudget):
     """
     Bounds the batch by padded duration and/or cut count.
 
@@ -406,82 +456,39 @@ class TimeConstraint(SamplingConstraint):
     quadratic_duration: Optional[Seconds] = None
     concatenate_cuts: bool = False
 
+    _CAP_TOTAL = "max_duration"
+    _CAP_COUNT = "max_cuts"
+    _COUNT = "num_cuts"
+    _QUAD = "quadratic_duration"
+
     def __post_init__(self) -> None:
-        for name in ("max_duration", "max_cuts", "quadratic_duration"):
-            if not is_none_or_gt(getattr(self, name), 0):
-                raise AssertionError(f"TimeConstraint.{name} must be None or > 0")
+        self._validate_caps()
 
     def is_active(self) -> bool:
         return self.max_duration is not None or self.max_cuts is not None
 
-    def _priced(self, duration: Seconds) -> Seconds:
-        if self.quadratic_duration is None:
-            return duration
-        return duration + duration**2 / self.quadratic_duration
-
-    def add(self, example: Cut) -> None:
-        if self.max_duration is not None:
-            cost = self._priced(example.duration)
-            self.current += cost
-            self.longest_seen = max(self.longest_seen, cost)
-        self.num_cuts += 1
-
-    def _duration_budget_blown(self, hypothetical_cuts: int) -> bool:
-        if self.max_duration is None:
-            return False
-        if self.concatenate_cuts:
-            return self.current > self.max_duration
-        return hypothetical_cuts * self.longest_seen > self.max_duration
-
-    def exceeded(self) -> bool:
-        if self.max_cuts is not None and self.num_cuts > self.max_cuts:
-            return True
-        return self._duration_budget_blown(self.num_cuts)
-
-    def close_to_exceeding(self) -> bool:
-        """Would one more longest-seen-sized cut blow the budget?"""
-        if self.max_cuts is not None and self.num_cuts >= self.max_cuts:
-            return True
-        return self._duration_budget_blown(self.num_cuts + 1)
-
-    def reset(self) -> None:
-        self.current = 0
-        self.num_cuts = 0
-        self.longest_seen = 0
-
     def measure_length(self, example: Cut) -> float:
         return example.duration
 
-    def state_dict(self) -> Dict[str, Any]:
-        return asdict(self)
-
-    _STATE_FIELDS = (
-        ("max_duration", ...), ("max_cuts", ...), ("current", ...), ("num_cuts", ...),
-        ("longest_seen", 0), ("quadratic_duration", None), ("concatenate_cuts", None))
+    def state_dict(self) -> Dict[str, Any]: return asdict(self)  # noqa: E704
 
     def load_state_dict(self, state_dict: Dict[str, Any]) -> None:
-        for name, default in self._STATE_FIELDS:
-            if default is ...:
-                setattr(self, name, state_dict.pop(name))
-            else:
-                setattr(self, name, state_dict.pop(name, default))
-        if state_dict:
-            raise AssertionError(
-                "Error in TimeConstraint.load_state_dict(): Unexpected keys:\n- "
-                + "\n- ".join(state_dict.keys())
-            )
+        drain_state(
+            "TimeConstraint", state_dict, self,
+            required=("max_duration", "max_cuts", "current", "num_cuts"),
+            optional=(("longest_seen", 0), ("quadratic_duration", None),
+                      ("concatenate_cuts", None)))
 
     def __add__(self, other: "TimeConstraint") -> "TimeConstraint":
-        for key in ("max_duration", "max_cuts", "quadratic_duration"):
-            mine, theirs = getattr(self, key), getattr(other, key)
-            same = (mine is None and theirs is None) or (
-                mine is not None and theirs is not None and isclose(mine, theirs)
+        if self != other:
+            diffs = ", ".join(
+                f"self.{k}={getattr(self, k)} vs other.{k}={getattr(other, k)}"
+                for k in ("max_duration", "max_cuts", "quadratic_duration")
+                if not _caps_agree(getattr(self, k), getattr(other, k)))
+            raise AssertionError(
+                f"To add two TimeConstraint objects they must represent the "
+                f"same constraint ({diffs})."
             )
-            if not same:
-                raise AssertionError(
-                    f"To add two TimeConstraint objects they must represent the "
-                    f"same constraint (self.{key}={mine} != other.{key}={theirs})."
-                )
         return TimeConstraint(
             max_duration=self.max_duration, max_cuts=self.max_cuts,
             current=self.current + other.current, num_cuts=self.num_cuts + other.num_cuts,
@@ -490,13 +497,12 @@ class TimeConstraint(SamplingConstraint):
 
     def __eq__(self, other: "TimeConstraint") -> bool:
         return all(
-            getattr(self, k) == getattr(other, k)
-            for k in ("max_duration", "max_cuts", "quadratic_duration")
-        )
+            _caps_agree(getattr(self, k), getattr(other, k))
+            for k in ("max_duration", "max_cuts", "quadratic_duration"))
 
 
 @dataclass
-class TokenConstraint(SamplingConstraint):
+class TokenConstraint(_PaddedBatchBudget):
     """
     Token-count analog of :class:`TimeConstraint` for text sampling: bounds
     the padded token total and/or example count, with an optional quadratic
@@ -510,41 +516,13 @@ class TokenConstraint(SamplingConstraint):
     longest_seen: int = 0
     quadratic_length: Optional[int] = None
 
+    _CAP_TOTAL = "max_tokens"
+    _CAP_COUNT = "max_examples"
+    _COUNT = "num_examples"
+    _QUAD = "quadratic_length"
+
     def __post_init__(self) -> None:
-        for name in ("max_tokens", "max_examples", "quadratic_length"):
-            if not is_none_or_gt(getattr(self, name), 0):
-                raise AssertionError(f"TokenConstraint.{name} must be None or > 0")
-
-    def _priced(self, size: int) -> float:
-        if self.quadratic_length is None:
-            return size
-        return size + size**2 / self.quadratic_length
-
-    def add(self, example: TextExample) -> None:
-        if self.max_tokens is not None:
-            cost = self._priced(self.measure_length(example))
-            self.current += cost
-            self.longest_seen = max(self.longest_seen, cost)
-        self.num_examples += 1
-
-    def exceeded(self) -> bool:
-        if self.max_examples is not None and self.num_examples > self.max_examples:
-            return True
-        if self.max_tokens is None:
-            return False
-        return self.num_examples * self.longest_seen > self.max_tokens
-
-    def close_to_exceeding(self) -> bool:
-        if self.max_examples is not None and self.num_examples >= self.max_examples:
-            return True
-        if self.max_tokens is None:
-            return False
-        return (self.num_examples + 1) * self.longest_seen > self.max_tokens
-
-    def reset(self) -> None:
-        self.current = 0
-        self.num_examples = 0
-        self.longest_seen = 0
+        self._validate_caps()
 
     def measure_length(self, example: TextExample) -> float:
         return example.num_tokens
@@ -581,9 +559,8 @@ class EpochDiagnostics:
     # DDP map-style resume; we count real consumption.)
     source_cuts: int = 0
 
-    @property
-    def total_cuts(self) -> int:
-        return self.kept_cuts + self.discarded_cuts
+    total_cuts = property(lambda self: self.kept_cuts + self.discarded_cuts)
+    total_batches = property(lambda self: self.kept_batches + self.discarded_batches)
 
     @property
     def consumed_cuts(self) -> int:
@@ -594,10 +571,6 @@ class EpochDiagnostics:
             return self.total_cuts
         return self.source_cuts + self.discarded_cuts
 
-    @property
-    def total_batches(self) -> int:
-        return self.kept_batches + self.discarded_batches
-
     def get_report(self) -> str:
         if self.total_batches == 0 or self.total_cuts == 0:
             return _EMPTY_REPORT
@@ -605,21 +578,13 @@ class EpochDiagnostics:
             f"ep {self.epoch:>3d}", self.kept_cuts, self.total_cuts, self.discarded_cuts,
             self.kept_batches, self.total_batches, self.discarded_batches)
 
-    def state_dict(self) -> Dict[str, Any]:
-        return asdict(self)
+    def state_dict(self) -> Dict[str, Any]: return asdict(self)  # noqa: E704
 
     def load_state_dict(self, state_dict: Dict[str, Any]) -> "EpochDiagnostics":
-        self.epoch = state_dict.pop("epoch")
-        self.kept_batches = state_dict.pop("kept_batches")
-        self.discarded_batches = state_dict.pop("discarded_batches")
-        self.kept_cuts = state_dict.pop("kept_cuts")
-        self.discarded_cuts = state_dict.pop("discarded_cuts")
-        self.source_cuts = state_dict.pop("source_cuts", 0)
-        if state_dict:
-            raise AssertionError(
-                "Error in EpochDiagnostics.load_state_dict(): Unexpected keys:\n- "
-                + "\n- ".join(state_dict.keys())
-            )
+        drain_state(
+            "EpochDiagnostics", state_dict, self,
+            required=("epoch", "kept_batches", "discarded_batches", "kept_cuts", "discarded_cuts"),
+            optional=(("source_cuts", 0),))
         return self
 
     def __add__(self, other: "EpochDiagnostics") -> "EpochDiagnostics":

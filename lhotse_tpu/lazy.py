@@ -180,8 +180,17 @@ class IteratorNode(Dillable, Iterable):
     def state_dict(self) -> dict:
         self._no_state_support("state_dict")
 
-    def load_state_dict(self, sd: dict) -> None:
+    def load_state_dict(self, state: dict) -> None:
         self._no_state_support("load_state_dict")
+
+    def __add__(self, other) -> "LazyIteratorChain":
+        return LazyIteratorChain(self, other)
+
+    def _no_len(self) -> int:
+        raise TypeError(
+            f"{type(self).__name__} does not support __len__: it would require "
+            f"consuming the whole stream. Use .to_eager() first if you need the length."
+        )
 
     def iter_children(self):
         if hasattr(self, "source"):
@@ -199,7 +208,7 @@ def resolve_iterator_source(obj: Iterable) -> Iterable:
     return obj.data if isinstance(obj, CutSet) else obj
 
 
-def _try_collect_child_state(child: Any) -> Optional[dict]:
+def _snapshot_child(child: Any) -> Optional[dict]:
     """A child's state_dict, or None when it is genuinely stateless."""
     if isinstance(child, IteratorNode):
         if type(child).state_dict is IteratorNode.state_dict:
@@ -217,7 +226,7 @@ def _try_collect_child_state(child: Any) -> Optional[dict]:
     return None
 
 
-def _try_restore_child_state(child: Any, state: Optional[dict]) -> None:
+def _restore_child(child: Any, state: Optional[dict]) -> None:
     if state is None:
         return
     if isinstance(child, IteratorNode):
@@ -255,15 +264,12 @@ class _Transform(IteratorNode):
     def __len__(self) -> int:
         return len(self.source)
 
-    def __add__(self, other) -> "LazyIteratorChain":
-        return LazyIteratorChain(self, other)
-
     def state_dict(self) -> dict:
-        inner = _try_collect_child_state(self.source)
+        inner = _snapshot_child(self.source)
         return {} if inner is None else {"source": inner}
 
-    def load_state_dict(self, sd: dict) -> None:
-        _try_restore_child_state(self.source, sd.get("source"))
+    def load_state_dict(self, state: dict) -> None:
+        _restore_child(self.source, state.get("source"))
 
 
 # ===========================================================================
@@ -323,11 +329,10 @@ class LazyJsonlIterator(IteratorNode):
             self._len = count_newlines_fast(self.path)
         return self._len
 
-    def state_dict(self) -> dict:
-        return {"position": self._position}
+    def state_dict(self) -> dict: return {"position": self._position}  # noqa: E704
 
-    def load_state_dict(self, sd: dict) -> None:
-        self._position = sd["position"]
+    def load_state_dict(self, state: dict) -> None:
+        self._position = state["position"]
         self._resume = True
 
 
@@ -341,20 +346,15 @@ class LazyManifestIterator(IteratorNode):
 
     path = property(lambda self: self.source.path)
 
-    def __iter__(self):
-        return map(deserialize_item, self.source)
+    def __iter__(self): return map(deserialize_item, self.source)  # noqa: E704
 
-    def __len__(self) -> int:
-        return len(self.source)
-
-    def __add__(self, other) -> "LazyIteratorChain":
-        return LazyIteratorChain(self, other)
+    def __len__(self) -> int: return len(self.source)  # noqa: E704
 
     def state_dict(self) -> dict:
         return {"source": self.source.state_dict()}
 
-    def load_state_dict(self, sd: dict) -> None:
-        self.source.load_state_dict(sd["source"])
+    def load_state_dict(self, state: dict) -> None:
+        self.source.load_state_dict(state["source"])
 
 
 class LazyIndexedManifestIterator(IteratorNode):  # noqa: D101 — doc below
@@ -402,24 +402,20 @@ class LazyIndexedManifestIterator(IteratorNode):  # noqa: D101 — doc below
                         f"idx={pos}: {type(ex).__name__}: {ex}"
                     )
 
-    def __len__(self) -> int:
-        return len(self._reader)
-
-    def __add__(self, other) -> "LazyIteratorChain":
-        return LazyIteratorChain(self, other)
+    def __len__(self) -> int: return len(self._reader)  # noqa: E704
 
     def state_dict(self) -> dict:
-        sd = dict(self._iter_state.state_dict())
-        sd.update(shuffle=self.shuffle, seed=self.seed)
-        return sd
+        state = dict(self._iter_state.state_dict())
+        state.update(shuffle=self.shuffle, seed=self.seed)
+        return state
 
-    def load_state_dict(self, sd: dict) -> None:
-        if self.shuffle and "range" not in sd:
+    def load_state_dict(self, state: dict) -> None:
+        if self.shuffle and "range" not in state:
             raise ValueError(
                 "LazyIndexedManifestIterator with shuffle=True requires 'range' "
                 "in state_dict; the checkpoint may have been created without shuffling."
             )
-        self._iter_state.load_state_dict(sd)
+        self._iter_state.load_state_dict(state)
         self._restored = True
 
 
@@ -560,11 +556,7 @@ class LazyIteratorChain(IteratorNode):
             yield self[perm[i]]
         self.num_iters += 1
 
-    def __len__(self) -> int:
-        return sum(len(s) for s in self.sources)
-
-    def __add__(self, other) -> "LazyIteratorChain":
-        return LazyIteratorChain(self, other)
+    def __len__(self) -> int: return sum(len(s) for s in self.sources)  # noqa: E704
 
     def state_dict(self) -> dict:
         return {
@@ -572,25 +564,25 @@ class LazyIteratorChain(IteratorNode):
             "iter_order": self._pass_order, "global_position": self._flat_pos,
             "global_seed": self._flat_seed, "global_shard_id": getattr(self, "_part_worker", None),
             "global_num_shards": getattr(self, "_part_n", None),
-            "inner_states": [_try_collect_child_state(s) for s in self.sources]}
+            "inner_states": [_snapshot_child(s) for s in self.sources]}
 
-    def load_state_dict(self, sd: dict) -> None:
-        self._at_source = sd["current_iter_idx"]
-        self.num_iters = sd["num_iters"]
-        self._pass_order = sd.get("iter_order")
-        self._flat_pos = sd.get("global_position", 0)
-        self._flat_seed = sd.get("global_seed")
-        self._part_worker = sd.get("global_shard_id")
-        self._part_n = sd.get("global_num_shards")
+    def load_state_dict(self, state: dict) -> None:
+        self._at_source = state["current_iter_idx"]
+        self.num_iters = state["num_iters"]
+        self._pass_order = state.get("iter_order")
+        self._flat_pos = state.get("global_position", 0)
+        self._flat_seed = state.get("global_seed")
+        self._part_worker = state.get("global_shard_id")
+        self._part_n = state.get("global_num_shards")
         self._resume = True
         if self.shuffle_iters and self.is_indexed:
             return  # item-level mode: position alone restores everything
         order = self._pass_order or list(range(len(self.sources)))
         # Sources already fully consumed this pass must not be rewound.
         pending = set(order[self._at_source :])
-        for i, (src, inner) in enumerate(zip(self.sources, sd.get("inner_states", []))):
+        for i, (src, inner) in enumerate(zip(self.sources, state.get("inner_states", []))):
             if i in pending and inner is not None:
-                _try_restore_child_state(src, inner)
+                _restore_child(src, inner)
 
 
 class LazyIteratorMultiplexer(IteratorNode):
@@ -674,34 +666,30 @@ class LazyIteratorMultiplexer(IteratorNode):
                 attach_graph_origin(item, (pick, inner))
             yield item
 
-    def __len__(self) -> int:
-        return sum(len(s) for s in self.sources)
-
-    def __add__(self, other) -> "LazyIteratorChain":
-        return LazyIteratorChain(self, other)
+    def __len__(self) -> int: return sum(len(s) for s in self.sources)  # noqa: E704
 
     def state_dict(self) -> dict:
         return {
             "rng_state": self._rng_state,
             "exhausted": list(self._drained) if self._drained is not None else None,
-            "inner_states": [_try_collect_child_state(s) for s in self.sources]}
+            "inner_states": [_snapshot_child(s) for s in self.sources]}
 
-    def load_state_dict(self, sd: dict) -> None:
-        rng_state = sd["rng_state"]
+    def load_state_dict(self, state: dict) -> None:
+        rng_state = state["rng_state"]
         if rng_state is not None and not isinstance(rng_state, tuple):
             from lhotse_tpu.checkpoint import _rng_state_from_json
 
             rng_state = _rng_state_from_json(rng_state)
         self._rng_state = rng_state
-        self._drained = sd["exhausted"]
+        self._drained = state["exhausted"]
         live = (
             None
             if self._drained is None
             else {i for i, dead in enumerate(self._drained) if not dead}
         )
-        for i, (src, inner) in enumerate(zip(self.sources, sd.get("inner_states", []))):
+        for i, (src, inner) in enumerate(zip(self.sources, state.get("inner_states", []))):
             if live is None or i in live:
-                _try_restore_child_state(src, inner)
+                _restore_child(src, inner)
         self._resume = True
 
 
@@ -839,20 +827,20 @@ class LazyShuffler(_Transform):
             "buffer": [ require_graph_origin(x, "LazyShuffler", "buffered items") for x in self._pool ],
             "startup": self._warming_up, "source_exhausted": self._drained,
             "rng_state": _rng_state_to_json(self.rng.getstate()),
-            "source": _try_collect_child_state(self.source)}
+            "source": _snapshot_child(self.source)}
 
-    def load_state_dict(self, sd: dict) -> None:
+    def load_state_dict(self, state: dict) -> None:
         if not self.is_checkpointable:
             raise NotImplementedError(
                 "LazyShuffler supports checkpointing only with graph-restorable sources."
             )
         from lhotse_tpu.checkpoint import _rng_state_from_json
 
-        _try_restore_child_state(self.source, sd.get("source"))
-        self._pool = deque(self.source[normalize_graph_token(t)] for t in sd.get("buffer", []))
-        self._warming_up = sd.get("startup", True)
-        self._drained = sd.get("source_exhausted", False)
-        self.rng.setstate(_rng_state_from_json(sd["rng_state"]))
+        _restore_child(self.source, state.get("source"))
+        self._pool = deque(self.source[normalize_graph_token(t)] for t in state.get("buffer", []))
+        self._warming_up = state.get("startup", True)
+        self._drained = state.get("source_exhausted", False)
+        self.rng.setstate(_rng_state_from_json(state["rng_state"]))
         self._resume = True
 
 
@@ -876,14 +864,9 @@ class LazyFilter(_Transform):
             )
         return attach_graph_origin(item, token)
 
-    def __iter__(self):
-        return filter(self.predicate, self.source)
+    def __iter__(self): return filter(self.predicate, self.source)  # noqa: E704
 
-    def __len__(self) -> int:
-        raise TypeError(
-            "LazyFilter does not support __len__: it would require consuming "
-            "the whole stream. Use .to_eager() first if you need the length."
-        )
+    def __len__(self) -> int: return self._no_len()  # noqa: E704
 
 
 class LazyMapper(_Transform):
@@ -989,11 +972,7 @@ class LazyFlattener(_Transform):
             )
             yield from self._walk(group, outer)
 
-    def __len__(self) -> int:
-        raise TypeError(
-            "LazyFlattener does not support __len__: it would require consuming "
-            "the whole stream."
-        )
+    def __len__(self) -> int: return self._no_len()  # noqa: E704
 
     def state_dict(self) -> dict:
         if not self.is_checkpointable:
@@ -1003,17 +982,17 @@ class LazyFlattener(_Transform):
             )
         return {
             "active_outer_token": self._outer_token, "inner_position": self._inner_pos,
-            "source": _try_collect_child_state(self.source)}
+            "source": _snapshot_child(self.source)}
 
-    def load_state_dict(self, sd: dict) -> None:
+    def load_state_dict(self, state: dict) -> None:
         if not self.is_checkpointable:
             raise NotImplementedError(
                 "LazyFlattener supports checkpointing only with graph-restorable "
                 "outer sources."
             )
-        self._outer_token = normalize_graph_token(sd.get("active_outer_token"))
-        self._inner_pos = sd.get("inner_position", 0)
-        _try_restore_child_state(self.source, sd.get("source"))
+        self._outer_token = normalize_graph_token(state.get("active_outer_token"))
+        self._inner_pos = state.get("inner_position", 0)
+        _restore_child(self.source, state.get("source"))
         self._resume = True
 
 
@@ -1069,15 +1048,15 @@ class LazyRepeater(_Transform):
         return len(self.source) * self.times
 
     def state_dict(self) -> dict:
-        sd = {"current_epoch": self._pass_no}
-        inner = _try_collect_child_state(self.source)
+        state = {"current_epoch": self._pass_no}
+        inner = _snapshot_child(self.source)
         if inner is not None:
-            sd["source"] = inner
-        return sd
+            state["source"] = inner
+        return state
 
-    def load_state_dict(self, sd: dict) -> None:
-        self._pass_no = sd["current_epoch"]
-        _try_restore_child_state(self.source, sd.get("source"))
+    def load_state_dict(self, state: dict) -> None:
+        self._pass_no = state["current_epoch"]
+        _restore_child(self.source, state.get("source"))
         self._resume = True
 
 
@@ -1118,22 +1097,18 @@ class LazySlicer(_Transform):
             maybe_attach_graph_origin(item, None if inner is None else ("source", inner))
             yield item
 
-    def __len__(self) -> int:
-        raise TypeError(
-            "LazySlicer does not support __len__: it would require consuming "
-            "the whole stream."
-        )
+    def __len__(self) -> int: return self._no_len()  # noqa: E704
 
     def state_dict(self) -> dict:
-        sd = {"source_offset": self._consumed}
-        inner = _try_collect_child_state(self.source)
+        state = {"source_offset": self._consumed}
+        inner = _snapshot_child(self.source)
         if inner is not None:
-            sd["source"] = inner
-        return sd
+            state["source"] = inner
+        return state
 
-    def load_state_dict(self, sd: dict) -> None:
-        self._consumed = sd.get("source_offset", 0)
-        _try_restore_child_state(self.source, sd.get("source"))
+    def load_state_dict(self, state: dict) -> None:
+        self._consumed = state.get("source_offset", 0)
+        _restore_child(self.source, state.get("source"))
         self._resume = True
 
 
