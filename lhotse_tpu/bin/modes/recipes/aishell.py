@@ -16,7 +16,7 @@ def aishell(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_aishell(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="aishell", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def aishell_dl(target_dir: Pathlike):
     """AISHELL-1 download."""

@@ -34,7 +34,7 @@ def ami(
         keep_punctuation=keep_punctuation)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="ami", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 @click.option("--annotations", type=click.Path(), default=None)
 @click.option("--mic", type=click.Choice(MICS), default="ihm")

@@ -23,7 +23,7 @@ def spgispeech(corpus_dir: Pathlike, output_dir: Pathlike, normalize_text: bool,
         corpus_dir, output_dir=output_dir, normalize_text=normalize_text, num_jobs=num_jobs)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="spgispeech", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def spgispeech_dl(target_dir: Pathlike):
     """SPGISpeech download (form-gated; prints instructions)."""
@@ -39,7 +39,7 @@ def earnings22(corpus_dir: Pathlike, output_dir: Pathlike, normalize_text: bool)
     prepare_earnings22(corpus_dir, output_dir=output_dir, normalize_text=normalize_text)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="earnings22", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def earnings22_dl(target_dir: Pathlike):
     """Earnings-22 download (manual; prints instructions)."""

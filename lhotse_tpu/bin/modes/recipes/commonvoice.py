@@ -32,7 +32,7 @@ def commonvoice(
         corpus_dir, output_dir=output_dir, languages=languages, splits=splits, num_jobs=num_jobs)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="commonvoice", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 @click.option("-l", "--language", "languages", type=str, multiple=True, default=["all"])
 @click.option("--release", type=str, default=DEFAULT_COMMONVOICE_RELEASE)

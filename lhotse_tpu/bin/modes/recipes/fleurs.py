@@ -20,7 +20,7 @@ def fleurs(corpus_dir: Pathlike, output_dir: Pathlike, languages: Sequence[str],
     prepare_fleurs(corpus_dir, output_dir=output_dir, languages=list(languages), num_jobs=num_jobs)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="fleurs", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 @click.option("-l", "--language", "languages", type=str, multiple=True, default=["all"])
 def fleurs_dl(target_dir: Pathlike, languages: Sequence[str]):

@@ -27,7 +27,7 @@ def gigaspeech(
         corpus_dir, output_dir=output_dir, dataset_parts=dataset_parts, num_jobs=num_jobs)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="gigaspeech", context_settings=dict(show_default=True))
 @click.argument("password", type=str)
 @click.argument("target_dir", type=click.Path())
 @click.option(

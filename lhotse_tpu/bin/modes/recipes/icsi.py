@@ -27,7 +27,7 @@ def icsi(
         normalize_text=normalize_text)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="icsi", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 @click.option("--mic", type=click.Choice(sorted(MIC_TO_CHANNELS)), default="ihm")
 def icsi_dl(target_dir: Pathlike, mic: str):

@@ -38,7 +38,7 @@ def librispeech(
         dataset_parts=dataset_parts, normalize_text=normalize_text)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="librispeech", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 @click.option(
     "--full/--mini", default=False, help="Download LibriSpeech (full) or mini LibriSpeech.")

@@ -51,7 +51,7 @@ def librittsr(
         link_previous_utt=link_previous_utt)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="libritts", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 @click.option("-p", "--dataset-parts", type=str, default=["all"], multiple=True)
 def libritts_dl(target_dir: Pathlike, dataset_parts: Sequence[str]):
@@ -59,7 +59,7 @@ def libritts_dl(target_dir: Pathlike, dataset_parts: Sequence[str]):
     download_libritts(target_dir, dataset_parts=list(dataset_parts))
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="librittsr", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 @click.option("-p", "--dataset-parts", type=str, default=["all"], multiple=True)
 def librittsr_dl(target_dir: Pathlike, dataset_parts: Sequence[str]):

@@ -16,7 +16,7 @@ def ljspeech(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_ljspeech(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="ljspeech", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def ljspeech_dl(target_dir: Pathlike):
     """LJSpeech download."""

@@ -36,7 +36,7 @@ def dipco(corpus_dir: Pathlike, output_dir: Pathlike, mic, normalize_text):
     prepare_dipco(corpus_dir, output_dir=output_dir, mic=mic, normalize_text=normalize_text)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="dipco", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def dipco_dl(target_dir: Pathlike):
     """DiPCo download."""
@@ -57,7 +57,7 @@ def ali_meeting(corpus_dir: Pathlike, output_dir: Pathlike, mic, normalize_text)
     prepare_ali_meeting(corpus_dir, output_dir=output_dir, mic=mic, normalize_text=normalize_text)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="ali-meeting", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def ali_meeting_dl(target_dir: Pathlike):
     """AliMeeting download."""
@@ -77,7 +77,7 @@ def aishell4(corpus_dir: Pathlike, output_dir: Pathlike, normalize_text):
     prepare_aishell4(corpus_dir, output_dir=output_dir, normalize_text=normalize_text)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="aishell4", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def aishell4_dl(target_dir: Pathlike):
     """AISHELL-4 download."""
@@ -97,7 +97,7 @@ def libricss(corpus_dir: Pathlike, output_dir: Pathlike, mic_type):
     prepare_libricss(corpus_dir, output_dir=output_dir, type=mic_type)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="libricss", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def libricss_dl(target_dir: Pathlike):
     """LibriCSS download."""
@@ -129,7 +129,7 @@ def voxconverse(corpus_dir: Pathlike, output_dir: Pathlike, split_test):
     prepare_voxconverse(corpus_dir, output_dir=output_dir, split_test=split_test)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="voxconverse", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def voxconverse_dl(target_dir: Pathlike):
     """VoxConverse download."""

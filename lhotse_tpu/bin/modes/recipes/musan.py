@@ -23,7 +23,7 @@ def musan(corpus_dir: Pathlike, output_dir: Pathlike, parts: Sequence[str], use_
     prepare_musan(corpus_dir, output_dir=output_dir, parts=parts, use_vocals=use_vocals)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="musan", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def musan_dl(target_dir: Pathlike):
     """MUSAN download."""

@@ -32,7 +32,7 @@ def aishell3(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_aishell3(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="aishell3", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def aishell3_dl(target_dir: Pathlike):
     """AISHELL-3 download."""
@@ -54,7 +54,7 @@ def tedlium2(corpus_dir: Pathlike, output_dir: Pathlike, normalize_text, num_job
         corpus_dir, output_dir=output_dir, normalize_text=normalize_text, num_jobs=num_jobs)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="tedlium2", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def tedlium2_dl(target_dir: Pathlike):
     """TED-LIUM v2 download."""
@@ -74,7 +74,7 @@ def earnings21(corpus_dir: Pathlike, output_dir: Pathlike, normalize_text):
     prepare_earnings21(corpus_dir, output_dir=output_dir, normalize_text=normalize_text)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="earnings21", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def earnings21_dl(target_dir: Pathlike):
     """Earnings-21 download."""
@@ -95,7 +95,7 @@ def voxpopuli(corpus_dir: Pathlike, output_dir: Pathlike, lang, num_jobs):
     prepare_voxpopuli(corpus_dir, output_dir=output_dir, lang=lang, num_jobs=num_jobs)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="voxpopuli", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 @click.option("--subset", default="asr")
 def voxpopuli_dl(target_dir: Pathlike, subset):
@@ -147,7 +147,7 @@ def mdcc(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_mdcc(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="mdcc", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def mdcc_dl(target_dir: Pathlike):
     """MDCC download."""
@@ -167,7 +167,7 @@ def heroico(speech_dir: Pathlike, transcript_dir: Pathlike, output_dir: Pathlike
     prepare_heroico(speech_dir, transcript_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="heroico", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def heroico_dl(target_dir: Pathlike):
     """Heroico download."""
@@ -197,7 +197,7 @@ def speechcommands(corpus_dir: Pathlike, output_dir: Pathlike, speechcommands_ve
     prepare_speechcommands(speechcommands_version, corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="speechcommands", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 @click.option("--version", "speechcommands_version", type=click.Choice(["1", "2"]), default="2")
 def speechcommands_dl(target_dir: Pathlike, speechcommands_version):
@@ -217,7 +217,7 @@ def audio_mnist(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_audio_mnist(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="audio-mnist", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def audio_mnist_dl(target_dir: Pathlike):
     """AudioMNIST download."""
@@ -236,7 +236,7 @@ def mobvoihotwords(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_mobvoihotwords(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="mobvoihotwords", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def mobvoihotwords_dl(target_dir: Pathlike):
     """MobvoiHotwords download."""

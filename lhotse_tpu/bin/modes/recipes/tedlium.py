@@ -28,7 +28,7 @@ def tedlium(
         normalize_text=normalize_text)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="tedlium", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def tedlium_dl(target_dir: Pathlike):
     """TED-LIUM v3 download."""

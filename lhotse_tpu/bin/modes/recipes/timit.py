@@ -18,7 +18,7 @@ def timit(corpus_dir: Pathlike, output_dir: Pathlike, num_phones: str, num_jobs:
     prepare_timit(corpus_dir, output_dir=output_dir, num_phones=int(num_phones), num_jobs=num_jobs)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="timit", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def timit_dl(target_dir: Pathlike):
     """TIMIT download."""

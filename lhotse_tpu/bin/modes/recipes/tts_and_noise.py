@@ -20,7 +20,7 @@ def cmu_arctic(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_cmu_arctic(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="cmu-arctic", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def cmu_arctic_dl(target_dir: Pathlike):
     """CMU ARCTIC download."""
@@ -50,7 +50,7 @@ def hifitts(corpus_dir: Pathlike, output_dir: Pathlike, num_jobs):
     prepare_hifitts(corpus_dir, output_dir=output_dir, num_jobs=num_jobs)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="hifitts", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def hifitts_dl(target_dir: Pathlike):
     """Hi-Fi TTS download."""
@@ -69,7 +69,7 @@ def adept(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_adept(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="adept", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def adept_dl(target_dir: Pathlike):
     """ADEPT download."""
@@ -88,7 +88,7 @@ def daily_talk(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_daily_talk(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="daily-talk", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def daily_talk_dl(target_dir: Pathlike):
     """DailyTalk download."""
@@ -107,7 +107,7 @@ def ears(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_ears(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="ears", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def ears_dl(target_dir: Pathlike):
     """EARS download."""
@@ -126,7 +126,7 @@ def rir_noise(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_rir_noise(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="rir-noise", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def rir_noise_dl(target_dir: Pathlike):
     """RIRs and Noises download."""
@@ -145,7 +145,7 @@ def wham(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_wham(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="wham", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def wham_dl(target_dir: Pathlike):
     """WHAM! noise download."""
@@ -154,7 +154,7 @@ def wham_dl(target_dir: Pathlike):
     download_wham(target_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="librilight", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 @click.option("--subset", default="small")
 def librilight_dl(target_dir: Pathlike, subset):

@@ -20,7 +20,7 @@ def vctk(corpus_dir: Pathlike, output_dir: Pathlike, use_edinburgh_vctk_url: boo
         mic_id=mic_id)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="vctk", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 @click.option("--use-edinburgh-vctk-url", is_flag=True, default=False)
 def vctk_dl(target_dir: Pathlike, use_edinburgh_vctk_url: bool):

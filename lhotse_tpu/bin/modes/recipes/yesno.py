@@ -16,7 +16,7 @@ def yesno(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_yesno(corpus_dir, output_dir=output_dir)
 
 
-@download.command(context_settings=dict(show_default=True))
+@download.command(name="yesno", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
 def yesno_dl(target_dir: Pathlike):
     """YesNo download."""

@@ -74,3 +74,13 @@ from lhotse_tpu.recipes.tedlium2 import download_tedlium2, prepare_tedlium2
 from lhotse_tpu.recipes.voxconverse import download_voxconverse, prepare_voxconverse
 from lhotse_tpu.recipes.voxpopuli import download_voxpopuli, prepare_voxpopuli
 from lhotse_tpu.recipes.wham import download_wham, prepare_wham
+
+# --- round 2 recipe tranche 3 ---
+from lhotse_tpu.recipes.baker_zh import download_baker_zh, prepare_baker_zh
+from lhotse_tpu.recipes.cdsd import prepare_cdsd
+from lhotse_tpu.recipes.kespeech import prepare_kespeech
+from lhotse_tpu.recipes.speechio import prepare_speechio
+from lhotse_tpu.recipes.tal_asr import prepare_tal_asr
+from lhotse_tpu.recipes.tal_csasr import prepare_tal_csasr
+from lhotse_tpu.recipes.wenetspeech4tts import prepare_wenetspeech4tts
+from lhotse_tpu.recipes.xbmu_amdo31 import download_xbmu_amdo31, prepare_xbmu_amdo31

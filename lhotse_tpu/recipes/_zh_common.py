@@ -61,9 +61,11 @@ def build_part_manifests(
                 text=transcript_dict[idx].strip(),
             )
         )
-    recording_set, supervision_set = fix_manifests(
-        RecordingSet.from_recordings(recordings), SupervisionSet.from_segments(supervisions))
-    validate_recordings_and_supervisions(recording_set, supervision_set)
+    recording_set = RecordingSet.from_recordings(recordings)
+    supervision_set = SupervisionSet.from_segments(supervisions)
+    if recordings:  # an absent split legitimately yields empty manifests
+        recording_set, supervision_set = fix_manifests(recording_set, supervision_set)
+        validate_recordings_and_supervisions(recording_set, supervision_set)
     return {"recordings": recording_set, "supervisions": supervision_set}
 
 

@@ -84,8 +84,9 @@ def finalize_manifests(
         recordings = RecordingSet.from_recordings(recordings)
     if not isinstance(supervisions, SupervisionSet):
         supervisions = SupervisionSet.from_segments(supervisions)
-    recordings, supervisions = fix_manifests(recordings, supervisions)
-    validate_recordings_and_supervisions(recordings, supervisions)
+    if len(recordings) > 0:  # an absent split legitimately yields empty manifests
+        recordings, supervisions = fix_manifests(recordings, supervisions)
+        validate_recordings_and_supervisions(recordings, supervisions)
     if output_dir is not None:
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)

@@ -590,5 +590,7 @@ def test_tranche2_cli_registered():
         assert name in r.output, f"missing prepare command: {name}"
     r2 = CliRunner().invoke(cli, ["download", "--help"])
     assert r2.exit_code == 0
-    for name in ("dipco-dl", "voxconverse-dl", "speechcommands-dl", "wham-dl"):
+    # download commands register under the recipe's own name, matching the
+    # reference CLI (`lhotse download dipco ...`)
+    for name in ("dipco", "voxconverse", "speechcommands", "wham"):
         assert name in r2.output, f"missing download command: {name}"
