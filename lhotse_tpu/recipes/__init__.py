@@ -84,3 +84,9 @@ from lhotse_tpu.recipes.tal_asr import prepare_tal_asr
 from lhotse_tpu.recipes.tal_csasr import prepare_tal_csasr
 from lhotse_tpu.recipes.wenetspeech4tts import prepare_wenetspeech4tts
 from lhotse_tpu.recipes.xbmu_amdo31 import download_xbmu_amdo31, prepare_xbmu_amdo31
+from lhotse_tpu.recipes.callhome_egyptian import prepare_callhome_egyptian
+from lhotse_tpu.recipes.callhome_english import prepare_callhome_english
+from lhotse_tpu.recipes.fisher_spanish import prepare_fisher_spanish
+from lhotse_tpu.recipes.gale_arabic import prepare_gale_arabic
+from lhotse_tpu.recipes.gale_mandarin import prepare_gale_mandarin
+from lhotse_tpu.recipes.mgb2 import download_mgb2, prepare_mgb2

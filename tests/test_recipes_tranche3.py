@@ -153,3 +153,145 @@ def test_prepare_xbmu_amdo31(tmp_path):
     assert sups[0].recording_id == "spk1-u001"
     assert sups[0].language == "tibetan" and sups[0].speaker == "spk1"
     assert sups[0].text == "tibetan words here"
+
+
+def test_prepare_callhome_english_asr(tmp_path):
+    from lhotse_tpu.recipes import prepare_callhome_english
+
+    audio = tmp_path / "audio"
+    trans = tmp_path / "trans"
+    for split, adir in (("train", "train"), ("devtest", "devtest"), ("evaltest", "evltest")):
+        _wav(audio / "data" / adir / f"en_{split}.sph", seconds=30.0, seed=20, channels=2)
+        tdir = trans / "transcrpt" / split
+        tdir.mkdir(parents=True)
+        (tdir / f"en_{split}.txt").write_text(
+            "# comment line\n"
+            "1.00 2.50 A: hello there\n"
+            "2.50 4.00 B: hi and this line\n"
+            "wraps onto the next\n")
+    m = prepare_callhome_english(
+        audio, transcript_dir=trans, output_dir=tmp_path / "out")
+    sups = sorted(m["train"]["supervisions"], key=lambda s: s.start)
+    assert len(sups) == 2
+    assert sups[0].channel == 0 and sups[1].channel == 1  # A->0, B->1
+    assert sups[1].text.endswith("wraps onto the next")  # continuation stitched
+    assert "evaltest" in m  # the LDC 'evltest' typo is handled
+
+
+def test_prepare_callhome_egyptian(tmp_path):
+    from lhotse_tpu.recipes import prepare_callhome_egyptian
+
+    audio = tmp_path / "audio"
+    trans = tmp_path / "trans"
+    _wav(audio / "callhome/arabic/train" / "ar_1.sph", seconds=10.0, seed=21)
+    tdir = trans / "callhome_arabic_trans_970711/transcrp/train/roman"
+    tdir.mkdir(parents=True)
+    (tdir / "ar_1.txt").write_text("0.50 2.00 B: %ah Tayyib\n")
+    _wav(audio / "callhome/arabic/devtest" / "ar_2.sph", seconds=5.0, seed=22)
+    d2 = trans / "callhome_arabic_trans_970711/transcrp/devtest/roman"
+    d2.mkdir(parents=True)
+    (d2 / "ar_2.txt").write_text("0.00 1.00 A: kalam\n")
+    _wav(audio / "callhome/arabic/evltest" / "ar_3.sph", seconds=5.0, seed=23)
+    d3 = trans / "callhome_arabic_trans_970711/transcrp/evaltest/roman"
+    d3.mkdir(parents=True)
+    (d3 / "ar_3.txt").write_text("0.00 1.00 A: kalam\n")
+    m = prepare_callhome_egyptian(audio, trans, output_dir=tmp_path / "out")
+    (sup,) = list(m["train"]["supervisions"])
+    assert sup.text == "%ah Tayyib" and sup.speaker == "ar_1_B"
+    assert len(list(m["evaltest"]["recordings"])) == 1
+
+
+_TDF_HEADER = (
+    "file;unicode\tchannel;int\tstart;float\tend;float\tspeaker;unicode\t"
+    "speakerType;unicode\tspeakerDialect;unicode\ttranscript;unicode\t"
+    "section;int\tturn;int\tsegment;int\tsectionType;unicode\tsuType;unicode\n"
+    ";;MM sectionTypes\n;;MM sectionBoundaries\n")
+
+
+def _tdf_row(reco, channel, start, end, speaker, text):
+    return (f"{reco}\t{channel}\t{start}\t{end}\t{speaker}\tmale\tdialect\t{text}"
+            f"\t0\t1\t2\treport\tstatement\n")
+
+
+def test_prepare_gale_arabic(tmp_path):
+    from lhotse_tpu.recipes import prepare_gale_arabic
+
+    adir = tmp_path / "LDC_S"
+    tdir = tmp_path / "LDC_T"
+    tdir.mkdir()
+    test_id = "ALAM_WITHEVENT_ARB_20070116_205800"
+    _wav(adir / f"{test_id}.wav", seconds=30.0, seed=24)
+    _wav(adir / "OTHER_PROG_ARB_20070101_000000.flac", seconds=30.0, seed=25)
+    (tdir / "x.tdf").write_text(
+        _TDF_HEADER
+        + _tdf_row(f"{test_id}.sph", 0, 1.0, 2.0, "spk*1", "marhaba")
+        + _tdf_row("OTHER_PROG_ARB_20070101_000000", 0, 0.0, 3.0, "no speaker", "x")
+        + _tdf_row("OTHER_PROG_ARB_20070101_000000", 0, 3.0, 4.0, "spk2", "ahlan"))
+    m = prepare_gale_arabic([adir], [tdir], output_dir=tmp_path / "out")
+    test_sups = list(m["test"]["supervisions"])
+    train_sups = list(m["train"]["supervisions"])
+    assert len(test_sups) == 1 and test_sups[0].speaker == "spk1"  # '*' cleaned
+    assert test_sups[0].recording_id == test_id  # '.sph' suffix cleaned
+    assert len(train_sups) == 1  # 'no speaker' row dropped
+    assert train_sups[0].custom["section_type"] == "report"
+
+
+def test_prepare_fisher_spanish(tmp_path):
+    from lhotse_tpu.recipes import prepare_fisher_spanish
+
+    adir = tmp_path / "audio"
+    tdir = tmp_path / "trans"
+    tdir.mkdir()
+    _wav(adir / "fsp_20050301_1.sph", seconds=10.0, seed=26, channels=2)
+    (tdir / "fsp_20050301_1.tdf").write_text(
+        _TDF_HEADER
+        + _tdf_row("fsp_20050301_1", 0, 0.5, 2.0, "x", "hola  amigo")
+        + _tdf_row("fsp_20050301_1", 1, 2.0, 3.5, "y", "buenos dias"))
+    (tdir / "spanish_call.tbl").write_text(
+        "sid,junk,spkA,a,b,c,d,e,spkB\n1,z,maria,a,b,c,d,e,jose\n")
+    m = prepare_fisher_spanish(adir, tdir, output_dir=tmp_path / "out")
+    sups = sorted(m["supervisions"], key=lambda s: s.start)
+    assert len(sups) == 2
+    assert sups[0].speaker == "maria" and sups[1].speaker == "jose"
+    assert sups[0].text == "hola amigo"  # double space collapsed
+    assert sups[0].language == "Spanish"
+
+
+def test_prepare_mgb2_dev(tmp_path):
+    from lhotse_tpu.recipes import prepare_mgb2
+    from lhotse_tpu.recipes.mgb2 import cleaning, from_buck_walter, make_supervisions
+
+    corpus = tmp_path / "corpus"
+    dev = corpus / "dev"
+    _wav(dev / "wav" / "prog1.wav", seconds=10.0, seed=27)
+    dev.mkdir(parents=True, exist_ok=True)
+    (dev / "text.non_overlap_speech").write_text("prog1-seg1 mrHbA\n")
+    (dev / "segments.non_overlap_speech").write_text("prog1-seg1 prog1 0.5 2.0\n")
+    (dev / "wav.scp").write_text("prog1 wav/prog1.wav\n")
+    # train/test dirs absent: prepare only dev by pre-creating cached outputs
+    out = tmp_path / "out"
+    out.mkdir()
+    import gzip
+    for part in ("train", "test"):
+        for kind in ("recordings", "supervisions"):
+            with gzip.open(out / f"mgb2_{kind}_{part}.jsonl.gz", "wt") as f:
+                f.write("")
+    m = prepare_mgb2(corpus, out, text_cleaning=False)
+    dev_sups = list(m["dev"]["supervisions"])
+    assert len(dev_sups) == 1
+    assert dev_sups[0].text == from_buck_walter("mrHbA")
+    # XML train parsing unit-level
+    xml = tmp_path / "p.xml"
+    xml.write_text(
+        '<?xml version="1.0"?><transcript><segments annotation_id="x">'
+        '<segment id="PROG_utt1" starttime="1.0" endtime="2.5" WMER="10.0" '
+        'who="TRSspeaker3overlap"><element>ahlan</element><element>bik</element>'
+        '</segment>'
+        '<segment id="PROG_utt2" starttime="3.0" endtime="4.0" WMER="95.0" '
+        'who="TRSspeaker4overlap"><element>dropped</element></segment>'
+        '</segments></transcript>')
+    sups = make_supervisions(xml, mer_thresh=80)
+    assert len(sups) == 1  # WMER 95 filtered out
+    assert sups[0].text == "ahlan bik" and sups[0].speaker == 3
+    assert sups[0].recording_id == "PROG"
+    assert cleaning("مَرْحَبا ب العالم!!") == "مرحبا العالم"
