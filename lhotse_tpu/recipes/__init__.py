@@ -90,3 +90,12 @@ from lhotse_tpu.recipes.fisher_spanish import prepare_fisher_spanish
 from lhotse_tpu.recipes.gale_arabic import prepare_gale_arabic
 from lhotse_tpu.recipes.gale_mandarin import prepare_gale_mandarin
 from lhotse_tpu.recipes.mgb2 import download_mgb2, prepare_mgb2
+from lhotse_tpu.recipes.aspire import prepare_aspire
+from lhotse_tpu.recipes.atcosim import download_atcosim, prepare_atcosim
+from lhotse_tpu.recipes.broadcast_news import prepare_broadcast_news
+from lhotse_tpu.recipes.grid import download_grid, prepare_grid
+from lhotse_tpu.recipes.medical import download_medical, prepare_medical
+from lhotse_tpu.recipes.slu import prepare_slu
+from lhotse_tpu.recipes.this_american_life import (
+    download_this_american_life, prepare_this_american_life)
+from lhotse_tpu.recipes.uwb_atcc import download_uwb_atcc, prepare_uwb_atcc

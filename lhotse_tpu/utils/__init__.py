@@ -7,6 +7,6 @@ from lhotse_tpu.utils.core import (
     fix_random_seed, hash_str_to_int, ifnone, index_by_id_and_check, is_equal_or_contains,
     is_module_available, is_none_or_gt, is_valid_url, load_rng_state, measure_overlap_frac,
     merge_items_with_delimiter, nullcontext, overlaps, overspans, perturb_num_samples,
-    recursion_limit, resumable_download, check_and_rglob, rich_exception_info, safe_extract,
+    recursion_limit, resumable_download, check_and_rglob, rich_exception_info, safe_extract, safe_extract_rar,
     save_rng_state, split_sequence, streaming_shuffle, supervision_to_frames,
     supervision_to_samples, suppress_and_warn, to_hashable, to_list, uuid4)

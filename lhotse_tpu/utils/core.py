@@ -521,6 +521,17 @@ def safe_extract(archive, path: Pathlike = ".", members=None, *, numeric_owner=F
     archive.extractall(path, members, numeric_owner=numeric_owner)
 
 
+def safe_extract_rar(archive, path: Pathlike = ".", members=None):
+    """rar extraction guarding against path traversal (reference: utils.py:607)."""
+    for member in archive.namelist():
+        member_path = os.path.join(path, member)
+        abs_directory = os.path.abspath(path)
+        abs_target = os.path.abspath(member_path)
+        if os.path.commonprefix([abs_directory, abs_target]) != abs_directory:
+            raise Exception("Attempted Path Traversal in RAR File")
+    archive.extractall(path, members)
+
+
 def resumable_download(
     url: str, filename: Pathlike, force_download: bool = False,
     completed_file_size: Optional[int] = None, missing_ok: bool = False) -> None:

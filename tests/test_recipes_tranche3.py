@@ -295,3 +295,155 @@ def test_prepare_mgb2_dev(tmp_path):
     assert sups[0].text == "ahlan bik" and sups[0].speaker == 3
     assert sups[0].recording_id == "PROG"
     assert cleaning("مَرْحَبا ب العالم!!") == "مرحبا العالم"
+
+
+def test_prepare_aspire_single(tmp_path):
+    from lhotse_tpu.recipes import prepare_aspire
+
+    data = tmp_path / "IARPA-ASpIRE-Dev-Sets-v2.0" / "data"
+    for part in ("dev", "dev_test"):
+        _wav(data / "dev_and_dev_test_audio" / f"ASpIRE_single_{part}" / f"{part}_rec1.wav",
+             seconds=10.0, seed=30)
+    stm = data / "dev_and_dev_test_STM_files"
+    stm.mkdir(parents=True)
+    (stm / "dev.stm").write_text(
+        "dev_rec1 1 spkA 0.50 2.00 hello aspire\n"
+        "dev_rec1 1 spkA 2.00 3.00 second utt\n")
+    (stm / "dev_test.stm").write_text("dev_test_rec1 1 spkB 0.00 1.00 test utt\n")
+    m = prepare_aspire(tmp_path, output_dir=tmp_path / "out", mic="single")
+    dev = sorted(m["dev"]["supervisions"], key=lambda s: s.start)
+    assert len(dev) == 2 and dev[0].id == "dev_rec1-spkA-000"
+    assert dev[0].text == "hello aspire" and dev[0].channel == 0
+    assert len(list(m["dev_test"]["supervisions"])) == 1
+
+
+def test_prepare_slu(tmp_path):
+    from lhotse_tpu.recipes import prepare_slu
+
+    (tmp_path / "data").mkdir(parents=True)
+    _wav(tmp_path / "wavs" / "u1.wav", seed=31)
+    _wav(tmp_path / "wavs" / "u2.wav", seed=32)
+    for part in ("train", "valid", "test"):
+        (tmp_path / "data" / f"{part}_data.csv").write_text(
+            ",path,transcription,action,object,location\n"
+            "0,wavs/u1.wav,turn on the lights,activate,lights,none\n"
+            "1,wavs/u2.wav,turn them off,deactivate,lights,none\n")
+    m = prepare_slu(tmp_path, output_dir=tmp_path / "out")
+    sups = sorted(m["train"]["supervisions"], key=lambda s: str(s.id))
+    assert len(sups) == 2
+    assert sups[0].text == "turn on the lights"
+    assert sups[0].custom["frames"] == ("activate", "lights", "none")
+
+
+def test_prepare_broadcast_news(tmp_path):
+    from lhotse_tpu.recipes import prepare_broadcast_news
+
+    audio = tmp_path / "audio"
+    trans = tmp_path / "trans"
+    trans.mkdir()
+    _wav(audio / "prog1.sph", seconds=30.0, seed=33)
+    (trans / "prog1.sgml").write_text(
+        '<episode program="NPR News" language="English">\n'
+        '<section type="report" starttime="0.0" endtime="10.0">\n'
+        '<turn speaker="Alice Smith" spkrtype="female" starttime="0.0" endtime="10.0">\n'
+        '<time sec="0.5">\nfirst segment text\n'
+        '<time sec="4.0">\nsecond segment text\n'
+        "</turn>\n</section>\n</episode>\n")
+    m = prepare_broadcast_news(audio, trans, output_dir=tmp_path / "out")
+    assert len(list(m["recordings"])) == 1
+    sections = list(m["sections"])
+    segments = sorted(m["segments"], key=lambda s: s.start)
+    assert len(sections) == 1 and sections[0].custom["program"] == "NPR News"
+    assert len(segments) == 2
+    assert segments[0].text == "first segment text"
+    assert segments[0].start == 0.5 and segments[0].end == 4.0
+    assert segments[1].end == 10.0  # closed by the turn endtime
+    assert segments[0].speaker == "Alice Smith" and segments[0].gender == "female"
+
+
+def test_uwb_atcc_text_normalize():
+    from lhotse_tpu.recipes.uwb_atcc import int_to_words, text_normalize
+
+    assert int_to_words(119) == "ONE HUNDRED NINETEEN"
+    assert int_to_words(40) == "FORTY"
+    out = text_normalize(
+        "lufthansa 4 7 A climb FL 310 [ehm_] roger",
+        silence_sym="", breath_sym="", noise_sym="", foreign_sym="<unk>",
+        unintelligble_sym="<unk>", partial_sym="<unk>", unknown_sym="<unk>")
+    assert "FOUR SEVEN ALFA" in out
+    assert "FLIGHT LEVEL THREE HUNDRED TEN" in out
+    assert "LUFTHANSA" in out and "ROGER" in out and "[" not in out
+
+
+def test_prepare_uwb_atcc(tmp_path):
+    from lhotse_tpu.recipes import prepare_uwb_atcc
+
+    _wav(tmp_path / "TWR-test1.wav", seconds=10.0, sr=8000, seed=34)
+    (tmp_path / "TWR-test1.trs").write_text(
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<Trans audio_filename="e2_TWR-test1.wav">\n'
+        '<Episode><Section type="report" startTime="0" endTime="10">\n'
+        '<Turn startTime="0" endTime="10">\n'
+        '<Sync time="0.5"/> [ground] contact praha\n'
+        '<Sync time="3.0"/> [air] roger contact\n'
+        "</Turn></Section></Episode></Trans>\n")
+    m = prepare_uwb_atcc(tmp_path, output_dir=tmp_path / "out")
+    sups = sorted(m["supervisions"], key=lambda s: s.start)
+    assert len(sups) == 2
+    assert sups[0].speaker == "ground" and sups[0].id.endswith("_AT")
+    assert sups[0].start == 0.5 and sups[0].end == 3.0
+    assert "CONTACT PRAHA" in sups[0].text
+    assert sups[1].speaker == "air" and sups[1].end == 10.0
+
+
+def test_prepare_atcosim(tmp_path):
+    from lhotse_tpu.recipes import prepare_atcosim
+
+    txt = tmp_path / "TXTdata"
+    txt.mkdir(parents=True)
+    _wav(tmp_path / "WAVdata" / "d1" / "s1" / "u1.wav", seconds=2.0, sr=32000, seed=35)
+    (txt / "fulldata.csv").write_text(
+        "recording_id,directory,subdirectory,filename,length_sec,speaker_id,"
+        "transcription,recording_corrupt\n"
+        "rec1,d1,s1,u1,2.0,zf1,contact =wien <OT>ok</OT> hm,0\n"
+        "rec2,d1,s1,u2,2.0,zm2,broken file,1\n")
+    m = prepare_atcosim(tmp_path, output_dir=tmp_path / "out")
+    sups = list(m["supervisions"])
+    assert len(sups) == 1  # corrupt row skipped
+    assert sups[0].gender == "F" and sups[0].speaker == "zf1"
+    assert "CONTACT" in sups[0].text and "<unk>" in sups[0].text  # =wien partial
+    assert "HMM" in sups[0].text  # typo fix, OT markup unwrapped
+    assert sups[0].custom["orig_text"].startswith("contact")
+
+
+def test_prepare_grid(tmp_path):
+    from lhotse_tpu.recipes import prepare_grid
+
+    (tmp_path / "audio_25k").mkdir(parents=True)
+    _wav(tmp_path / "video" / "s1" / "bbaf2n.mpg", seconds=3.0, seed=36)
+    ali = tmp_path / "alignments" / "s1"
+    ali.mkdir(parents=True)
+    (ali / "bbaf2n.align").write_text(
+        "0 500 sil\n500 1500 bin\n1500 2500 blue\n2500 3000 sil\n")
+    m = prepare_grid(tmp_path, output_dir=tmp_path / "out", num_jobs=1)
+    (sup,) = list(m["supervisions"])
+    assert sup.text == "bin blue"  # 'sil' dropped
+    assert sup.speaker == "s1"
+    ali_items = sup.alignment["word"]
+    assert len(ali_items) == 4 and ali_items[1].symbol == "bin"
+    assert ali_items[1].start == 0.5 and ali_items[1].duration == 1.0
+
+
+def test_prepare_medical(tmp_path):
+    from lhotse_tpu.recipes import prepare_medical
+
+    _wav(tmp_path / "audio" / "RES0001.mp3", seconds=10.0, seed=37)
+    for part in ("test", "dev", "train"):
+        (tmp_path / f"medical_{part}.info").write_text(
+            "audio/RES0001.mp3,0.5[2.5,doctor hello patient]\n")
+    m = prepare_medical(tmp_path, output_dir=tmp_path / "out")
+    sups = list(m["train"]["supervisions"])
+    assert len(sups) == 1
+    assert sups[0].text == "doctor hello patient"
+    assert sups[0].start == 0.5 and sups[0].duration == 2.0
+    assert sups[0].recording_id == "RES0001"
