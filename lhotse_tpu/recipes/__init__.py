@@ -99,3 +99,11 @@ from lhotse_tpu.recipes.slu import prepare_slu
 from lhotse_tpu.recipes.this_american_life import (
     download_this_american_life, prepare_this_american_life)
 from lhotse_tpu.recipes.uwb_atcc import download_uwb_atcc, prepare_uwb_atcc
+from lhotse_tpu.recipes.cmu_indic import download_cmu_indic, prepare_cmu_indic
+from lhotse_tpu.recipes.cslu_kids import prepare_cslu_kids
+from lhotse_tpu.recipes.librimix import download_librimix, prepare_librimix
+from lhotse_tpu.recipes.librimix_mini import download_librimix_mini, prepare_librimix_mini
+from lhotse_tpu.recipes.librispeechmix import (
+    download_librispeechmix, prepare_librispeechmix)
+from lhotse_tpu.recipes.spatial_librispeech import (
+    download_spatial_librispeech, prepare_spatial_librispeech)

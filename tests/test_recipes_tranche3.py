@@ -447,3 +447,101 @@ def test_prepare_medical(tmp_path):
     assert sups[0].text == "doctor hello patient"
     assert sups[0].start == 0.5 and sups[0].duration == 2.0
     assert sups[0].recording_id == "RES0001"
+
+
+def test_prepare_librimix_mini(tmp_path):
+    from lhotse_tpu.recipes import prepare_librimix_mini
+
+    _wav(tmp_path / "s1" / "m1_s1.wav", seconds=4.0, seed=40)
+    _wav(tmp_path / "s2" / "m1_s2.wav", seconds=4.0, seed=41)
+    _wav(tmp_path / "mix" / "m1.wav", seconds=4.0, seed=42)
+    _wav(tmp_path / "noise" / "m1_n.wav", seconds=4.0, seed=43)
+    csv_path = tmp_path / "mixture_train_mix_both.csv"
+    csv_path.write_text(
+        "mixture_ID,mixture_path,source_1_path,source_2_path,noise_path,length\n"
+        f"m1,{tmp_path}/mix/m1.wav,{tmp_path}/s1/m1_s1.wav,"
+        f"{tmp_path}/s2/m1_s2.wav,{tmp_path}/noise/m1_n.wav,{4 * 16000}\n"
+        f"short,{tmp_path}/mix/m1.wav,{tmp_path}/s1/m1_s1.wav,"
+        f"{tmp_path}/s2/m1_s2.wav,{tmp_path}/noise/m1_n.wav,8000\n")
+    m = prepare_librimix_mini(
+        csv_path, output_dir=tmp_path / "out", with_precomputed_mixtures=True)
+    assert set(m) == {"sources", "premixed", "noise"}
+    srcs = list(m["sources"]["recordings"])
+    assert len(srcs) == 1  # the 0.5 s row is below min_segment_seconds
+    assert srcs[0].num_channels == 2
+    sups = sorted(m["sources"]["supervisions"], key=lambda s: s.id)
+    assert [s.channel for s in sups] == [0, 1]
+    assert len(list(m["premixed"]["recordings"])) == 1
+
+
+def test_prepare_librispeechmix(tmp_path):
+    import json as _json
+    from lhotse_tpu import CutSet, MonoCut, Recording
+    from lhotse_tpu.recipes import prepare_librispeechmix
+
+    _wav(tmp_path / "a1.wav", seconds=2.0, seed=44)
+    _wav(tmp_path / "a2.wav", seconds=1.0, seed=45)
+    cuts = CutSet.from_cuts([
+        MonoCut(id=f"{stem}-0", start=0, duration=dur, channel=0,
+                recording=Recording.from_file(tmp_path / f"{stem}.wav"))
+        for stem, dur in (("a1", 2.0), ("a2", 1.0))])
+    ls_root = tmp_path / "ls"
+    ls_root.mkdir()
+    cuts.to_file(ls_root / "librispeech_cutset_dev-clean.jsonl.gz")
+    meta = tmp_path / "meta"
+    meta.mkdir()
+    (meta / "dev-clean-2mix.jsonl").write_text(
+        _json.dumps({"id": "x/mix1", "wavs": ["w/a1.wav", "w/a2.wav"], "delays": [0.0, 0.5]})
+        + "\n")
+    m = prepare_librispeechmix(ls_root, meta, output_dir=tmp_path / "out")
+    cutset = m["dev-clean-2mix"]["cutset"]
+    (cut,) = list(cutset)
+    assert cut.id == "mix1"
+    assert cut.duration == 2.0  # max(2.0, 0.5 + 1.0)
+    from lhotse_tpu.cut import PaddingCut
+    speech_tracks = [t for t in cut.tracks if not isinstance(t.cut, PaddingCut)]
+    assert len(speech_tracks) == 2
+    # a2 is delayed by 0.5 s
+    offsets = sorted(t.offset for t in speech_tracks)
+    assert offsets == [0.0, 0.5]
+
+
+def test_prepare_cmu_indic(tmp_path):
+    from lhotse_tpu.recipes import prepare_cmu_indic
+
+    pkg = tmp_path / "cmu_indic_ben_rm"
+    _wav(pkg / "wav" / "ben_0001.wav", seed=46)
+    _wav(pkg / "wav" / "arctic_a0001.wav", seed=47)
+    (pkg / "etc").mkdir()
+    (pkg / "etc" / "txt.done.data").write_text(
+        '( ben_0001 "বাংলা বাক্য" )\n( arctic_a0001 "An English prompt." )\n')
+    (pkg / "etc" / "voice.feats").write_text("name x\nage 34\n")
+    m = prepare_cmu_indic(tmp_path, output_dir=tmp_path / "out")
+    sups = sorted(m["supervisions"], key=lambda s: s.id)
+    by_id = {s.id: s for s in sups}
+    ben = by_id["ben_rm-ben_0001"]
+    eng = by_id["ben_rm-arctic_a0001"]
+    assert ben.language == "Bengali" and ben.gender == "F"
+    assert ben.custom["age"] == 34
+    assert eng.language == "English" and eng.custom["accent"] == "Bengali"
+
+
+def test_prepare_cslu_kids(tmp_path):
+    from lhotse_tpu.recipes import prepare_cslu_kids
+
+    _wav(tmp_path / "speech" / "scripted" / "00" / "0" / "ks001" / "ks001000.wav", seed=48)
+    _wav(tmp_path / "speech" / "spontaneous" / "01" / "0" / "ks002" / "ks002xx0.wav", seed=49)
+    (tmp_path / "docs").mkdir(parents=True)
+    (tmp_path / "docs" / "all.map").write_text('00 "the word"\n01 "ignored"\n')
+    (tmp_path / "docs" / "00-verified.txt").write_text("x/ks001000.wav 1\n")
+    tdir = tmp_path / "trans" / "spontaneous" / "01" / "0" / "ks002"
+    tdir.mkdir(parents=True)
+    (tdir / "ks002xx0.txt").write_text("hello <bn> world\n")
+    m = prepare_cslu_kids(tmp_path, output_dir=tmp_path / "out")
+    by_id = {s.id: s for s in m["supervisions"]}
+    scripted = by_id["ks001000"]
+    spont = by_id["ks002xx0"]
+    assert scripted.text == "the word"
+    assert scripted.custom["verification_label"] == 1
+    assert spont.custom["type"] == "spontaneous"
+    assert "<bn>" not in spont.text and "hello" in spont.text
