@@ -107,3 +107,12 @@ from lhotse_tpu.recipes.librispeechmix import (
     download_librispeechmix, prepare_librispeechmix)
 from lhotse_tpu.recipes.spatial_librispeech import (
     download_spatial_librispeech, prepare_spatial_librispeech)
+from lhotse_tpu.recipes.bengaliai_speech import prepare_bengaliai_speech
+from lhotse_tpu.recipes.but_reverb_db import download_but_reverb_db, prepare_but_reverb_db
+from lhotse_tpu.recipes.edacc import download_edacc, prepare_edacc
+from lhotse_tpu.recipes.himia import download_himia, prepare_himia
+from lhotse_tpu.recipes.icmcasr import prepare_icmcasr
+from lhotse_tpu.recipes.ksponspeech import prepare_ksponspeech
+from lhotse_tpu.recipes.oto_speech import download_oto_speech, prepare_oto_speech
+from lhotse_tpu.recipes.radio import prepare_radio
+from lhotse_tpu.recipes.reazonspeech import download_reazonspeech, prepare_reazonspeech

@@ -545,3 +545,151 @@ def test_prepare_cslu_kids(tmp_path):
     assert scripted.custom["verification_label"] == 1
     assert spont.custom["type"] == "spontaneous"
     assert "<bn>" not in spont.text and "hello" in spont.text
+
+
+def test_prepare_bengaliai_speech(tmp_path):
+    from lhotse_tpu.recipes import prepare_bengaliai_speech
+
+    _wav(tmp_path / "train_mp3s" / "u1.mp3", seed=50)
+    _wav(tmp_path / "train_mp3s" / "u2.mp3", seed=51)
+    _wav(tmp_path / "test_mp3s" / "t1.mp3", seed=52)
+    (tmp_path / "train.csv").write_text(
+        "id,sentence,split\nu1,বাংলা বাক্য,train\nu2,অন্য বাক্য,valid\n")
+    m = prepare_bengaliai_speech(tmp_path, output_dir=tmp_path / "out")
+    assert [s.text for s in m["train"]["supervisions"]] == ["বাংলা বাক্য"]
+    assert [s.text for s in m["valid"]["supervisions"]] == ["অন্য বাক্য"]
+    test_sups = list(m["test"]["supervisions"])
+    assert len(test_sups) == 1 and test_sups[0].text is None
+
+
+def test_prepare_but_reverb_db(tmp_path):
+    from lhotse_tpu.recipes import prepare_but_reverb_db
+
+    base = tmp_path / "Q301" / "MicID01" / "SpkID1" / "01"
+    _wav(base / "RIR" / "IR_sweep.v00.wav", seed=53)
+    _wav(base / "silence" / "sil.v00.wav", seconds=2.0, seed=54)
+    m = prepare_but_reverb_db(tmp_path, output_dir=tmp_path / "out")
+    rirs = list(m["rir"]["recordings"])
+    sils = list(m["silence"]["recordings"])
+    assert len(rirs) == 1 and len(sils) == 1
+    assert rirs[0].id == "Q301-MicID01-SpkID1-01-vv00"
+
+
+def test_prepare_himia(tmp_path):
+    from lhotse_tpu.recipes import prepare_himia
+
+    corpus = tmp_path
+    # train part with SPEECHDATA/train.scp
+    tr = corpus / "train" / "SPEECHDATA"
+    _wav(tr / "SV0001" / "SV0001_1_01.wav", seed=55)
+    tr.mkdir(parents=True, exist_ok=True)
+    (tr / "train.scp").write_text("SV0001/SV0001_1_01.wav\n")
+    # cw_test part
+    _wav(corpus / "cw_test" / "16k_wav_file" / "CW0001_1.wav", seed=56)
+    res = corpus / "cw_test" / "resource"
+    res.mkdir(parents=True)
+    (res / "transcription.txt").write_text("CW0001_1.wav 你好米你\n", encoding="utf-8")
+    m = prepare_himia(corpus, dataset_parts=("train", "cw_test"), output_dir=tmp_path / "out")
+    tr_sups = list(m["train"]["supervisions"])
+    assert len(tr_sups) == 1 and tr_sups[0].text == "你好米雅"
+    assert tr_sups[0].speaker == "SV0001"
+    cw_sups = list(m["cw_test"]["supervisions"])
+    assert len(cw_sups) == 1 and cw_sups[0].text == "你好米你"
+
+
+def test_ksponspeech_normalize_and_prepare(tmp_path):
+    import numpy as np
+    from lhotse_tpu.recipes import prepare_ksponspeech
+    from lhotse_tpu.recipes.ksponspeech import normalize
+
+    cid, text = normalize("a/b.pcm :: o/ (7%)/(칠 퍼센트) 정도+  맞다/")
+    assert cid == "a/b.pcm"
+    assert text == "7% 정도 맞다"
+    # synthesize a tiny PCM file and .trn table
+    pcm = (np.sin(np.arange(16000) / 30.0) * 8000).astype("<i2")
+    d = tmp_path / "KsponSpeech_01"
+    d.mkdir()
+    pcm.tofile(d / "u1.pcm")
+    (tmp_path / "train.trn").write_text(
+        "KsponSpeech_01/u1.pcm :: 안녕 (3)/(삼) 하세요\n", encoding="utf-8")
+    m = prepare_ksponspeech(
+        tmp_path, dataset_parts=["train"], output_dir=tmp_path / "out")
+    sups = list(m["train"]["supervisions"])
+    assert len(sups) == 1
+    assert sups[0].text == "안녕 3 하세요"
+    assert sups[0].language == "Korean"
+    assert (d / "u1.flac").is_file()  # PCM converted in place
+
+
+def test_prepare_radio(tmp_path):
+    import json as _json
+    from lhotse_tpu.recipes import prepare_radio
+    from lhotse_tpu.audio.flacio import write_flac
+    import numpy as np
+
+    fname = "23_09_27_10h_30m_00s_s_dur30_station-xyz_lat40.1_long-3.7"
+    rec_dir = tmp_path / "recos" / "recos.0"
+    rec_dir.mkdir(parents=True)
+    rng = np.random.RandomState(57)
+    write_flac(rec_dir / f"{fname}.flac", (rng.randn(1, 32000) * 0.1).astype(np.float32), 16000)
+    seg_dir = tmp_path / "segs" / "segs.0"
+    seg_dir.mkdir(parents=True)
+    (seg_dir / f"{fname}.json").write_text(
+        _json.dumps([["male", 0.5, 1.5], ["music", 0.0, 2.0], ["female", 1.6, 1.7]]))
+    m = prepare_radio(tmp_path, output_dir=tmp_path / "out", num_jobs=1)
+    sups = list(m["supervisions"])
+    assert len(sups) == 1  # music dropped; 0.1s female below min duration
+    assert sups[0].custom["est_gender"] == "male"
+    assert sups[0].custom["lat"] == 40.1 and sups[0].custom["lon"] == -3.7
+    assert sups[0].custom["station"] == "station-xyz"
+    assert len(list(m["recordings"])) == 1
+
+
+def test_reazonspeech_normalize_and_prepare(tmp_path):
+    import json as _json
+    from lhotse_tpu.recipes import prepare_reazonspeech
+    from lhotse_tpu.recipes.reazonspeech import normalize
+
+    out = normalize("１２３、こんにちは。")
+    assert "、" not in out and "。" not in out
+    assert out.startswith("百二十三")
+    _wav(tmp_path / "u0.wav", seed=58)
+    items = [
+        {"id": str(i), "audio_filepath": str(tmp_path / "u0.wav"),
+         "text": "こんにちは", "duration": 1.0}
+        for i in range(1105)]
+    (tmp_path / "dataset.json").write_text(_json.dumps(items), encoding="utf-8")
+    m = prepare_reazonspeech(tmp_path, output_dir=tmp_path / "out")
+    assert len(list(m["dev"]["recordings"])) == 1000
+    assert len(list(m["test"]["recordings"])) == 100
+    assert len(list(m["train"]["recordings"])) == 5
+    assert len(list(m["train"]["cuts"])) == 5
+
+
+def test_prepare_icmcasr(tmp_path):
+    from lhotse_tpu.recipes import prepare_icmcasr
+
+    section = tmp_path / "train" / "S01"
+    _wav(section / "DA01.wav", seconds=5.0, seed=59)
+    section.mkdir(parents=True, exist_ok=True)
+    (section / "DA01.TextGrid").write_text(
+        'File type = "ooTextFile"\n'
+        'Object class = "TextGrid"\n'
+        "xmin = 0\nxmax = 5\ntiers? <exists>\nsize = 1\nitem []:\n"
+        "    item [1]:\n"
+        '        class = "IntervalTier"\n'
+        '        name = "spk001"\n'
+        "        xmin = 0\nxmax = 5\nintervals: size = 2\n"
+        "        intervals [1]:\n"
+        "            xmin = 0.0\nxmax = 1.0\n"
+        '            text = ""\n'
+        "        intervals [2]:\n"
+        "            xmin = 1.0\nxmax = 2.5\n"
+        '            text = "你好 世界"\n')
+    (tmp_path / "dev").mkdir()
+    m = prepare_icmcasr(tmp_path, output_dir=tmp_path / "out", mic="ihm")
+    sups = list(m["train"]["supervisions"])
+    assert len(sups) == 1
+    assert sups[0].speaker == "spk001"
+    assert sups[0].start == 1.0 and sups[0].duration == 1.5
+    assert "你好" in sups[0].text
