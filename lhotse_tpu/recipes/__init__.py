@@ -116,3 +116,11 @@ from lhotse_tpu.recipes.ksponspeech import prepare_ksponspeech
 from lhotse_tpu.recipes.oto_speech import download_oto_speech, prepare_oto_speech
 from lhotse_tpu.recipes.radio import prepare_radio
 from lhotse_tpu.recipes.reazonspeech import download_reazonspeech, prepare_reazonspeech
+from lhotse_tpu.recipes.bvcc import download_bvcc, prepare_bvcc
+from lhotse_tpu.recipes.emilia import prepare_emilia
+from lhotse_tpu.recipes.gigaspeech2 import prepare_gigaspeech2
+from lhotse_tpu.recipes.gigast import download_gigast, prepare_gigast
+from lhotse_tpu.recipes.iwslt22_ta import download_iwslt22_ta, prepare_iwslt22_ta
+from lhotse_tpu.recipes.mtedx import download_mtedx, prepare_mtedx
+from lhotse_tpu.recipes.must_c import prepare_must_c
+from lhotse_tpu.recipes.notsofar1 import download_notsofar1, prepare_notsofar1

@@ -693,3 +693,169 @@ def test_prepare_icmcasr(tmp_path):
     assert sups[0].speaker == "spk001"
     assert sups[0].start == 1.0 and sups[0].duration == 1.5
     assert "你好" in sups[0].text
+
+
+def _flac(path, seconds=1.0, sr=16000, seed=0, channels=1):
+    from lhotse_tpu.audio.flacio import write_flac
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    write_flac(path, (rng.randn(channels, int(seconds * sr)) * 0.1).astype(np.float32), sr)
+
+
+def test_prepare_mtedx_single_language(tmp_path):
+    from lhotse_tpu.recipes.mtedx import prepare_single_mtedx_language
+
+    root = tmp_path / "es-es"
+    for split in ("train", "valid", "test"):
+        _flac(root / "data" / split / "wav" / f"talk_{split}.flac", seconds=30.0, seed=60)
+        vtt = root / "data" / split / "vtt"
+        vtt.mkdir(parents=True)
+        (vtt / f"talk_{split}.es.vtt").write_text(
+            "WEBVTT\n\n"
+            "1\n00:00:01.000 --> 00:00:03.000\nHola, (Risas) Mundo!\n\n"
+            "2\n00:00:04.000 --> 00:00:06.000\n- Buenos dias\n")
+    m = prepare_single_mtedx_language(root, output_dir=tmp_path / "out", language="es")
+    sups = sorted(m["train"]["supervisions"], key=lambda s: s.start)
+    # the cue with an interior (Risas) noise span is dropped (reference behavior)
+    assert len(sups) == 1
+    assert sups[0].start == 4.0 and sups[0].duration == 2.0
+    assert sups[0].text == "buenos dias"  # '-' stripped, lowercased
+    assert sups[0].language == "es"
+
+
+def test_prepare_must_c(tmp_path):
+    from lhotse_tpu.recipes import prepare_must_c
+
+    data = tmp_path / "en-de" / "data"
+    for split in ("dev", "tst-COMMON", "tst-HE", "train"):
+        _wav(data / split / "wav" / "ted_767.wav", seconds=30.0, seed=61)
+        txt = data / split / "txt"
+        txt.mkdir(parents=True)
+        (txt / f"{split}.yaml").write_text(
+            "- {duration: 3.5, offset: 16.08, speaker_id: spk.767, wav: ted_767.wav}\n"
+            "- {duration: 2.0, offset: 20.0, speaker_id: spk.767, wav: ted_767.wav}\n")
+        (txt / f"{split}.de").write_text("Hallo Welt\nZweiter Satz\n")
+    m = prepare_must_c(tmp_path, tmp_path / "out", tgt_lang="de")
+    sups = sorted(m["train"]["supervisions"], key=lambda s: s.start)
+    assert len(sups) == 2
+    assert sups[0].text == "Hallo Welt" and sups[0].start == 16.08
+    assert sups[0].speaker == "spk.767" and sups[0].language == "de"
+
+
+def test_prepare_iwslt22_ta(tmp_path):
+    from lhotse_tpu.recipes import prepare_iwslt22_ta
+
+    corpus = tmp_path / "ldc"
+    splits = tmp_path / "splits"
+    splits.mkdir()
+    fname = "20170101_120000_12345_A"
+    _wav(corpus / "data" / "audio" / "ta" / f"{fname}.sph", seconds=30.0, sr=8000, seed=62)
+    tdir = corpus / "data" / "transcripts" / "ta"
+    tdir.mkdir(parents=True)
+    (tdir / f"{fname}.ta.tsv").write_text(
+        "1.0\t2.5\tspkA\tO/ kalam tounsi?\n"
+        "3.0\t4.0\tspkA\texcluded line\n")
+    xdir = corpus / "data" / "translations" / "ta"
+    xdir.mkdir(parents=True)
+    (xdir / f"{fname}.eng.tsv").write_text(
+        "1.0\t2.5\tspkA\tTunisian Words!\n"
+        "3.0\t4.0\tspkA\tdropped.\n")
+    (splits / "train.file_id.txt").write_text(f"{fname}\n")
+    (splits / "dev.file_id.txt").write_text("")
+    (splits / "test1.file_id.txt").write_text("")
+    (splits / "exclude-utterance.txt").write_text(f"{fname} 3.0 4.0\n")
+    m = prepare_iwslt22_ta(corpus, splits, output_dir=tmp_path / "out")
+    sups = list(m["train"]["supervisions"])
+    assert len(sups) == 1  # excluded utterance dropped
+    assert sups[0].text == " kalam tounsi"  # markers filtered
+    assert sups[0].custom["translated_text"]["eng"] == "tunisian words"
+    assert sups[0].language == "ta"
+
+
+def test_prepare_emilia(tmp_path):
+    import json as _json
+    from lhotse_tpu.recipes import prepare_emilia
+
+    data = tmp_path / "raw" / "DE"
+    _wav(data / "DE_B00000" / "DE_B00000_S00000" / "mp3" / "DE_B00000_S00000_W000029.mp3",
+         seed=63)
+    data.mkdir(parents=True, exist_ok=True)
+    (data / "DE_B00000.jsonl").write_text(
+        _json.dumps({
+            "id": "DE_B00000_S00000_W000029",
+            "wav": "DE_B00000/DE_B00000_S00000/mp3/DE_B00000_S00000_W000029.mp3",
+            "text": " Und es gibt auch einen Stadtplan.", "duration": 1.0,
+            "speaker": "DE_B00000_S00000", "language": "de", "dnsmos": 3.37}) + "\n")
+    cuts = prepare_emilia(tmp_path, lang="de", num_jobs=1, output_dir=tmp_path / "out")
+    (cut,) = list(cuts)
+    assert cut.supervisions[0].language == "de"
+    assert cut.supervisions[0].custom["dnsmos"] == pytest.approx(3.37)
+    with pytest.raises(ValueError):
+        prepare_emilia(tmp_path, lang="xx", num_jobs=1)
+
+
+def test_prepare_gigaspeech2(tmp_path):
+    from lhotse_tpu.recipes import prepare_gigaspeech2
+
+    lang_dir = tmp_path / "data" / "th"
+    _wav(lang_dir / "dev" / "0" / "12" / "0-12-3.wav", seed=64)
+    lang_dir.mkdir(parents=True, exist_ok=True)
+    (lang_dir / "dev.tsv").write_text("0-12-3\tสวัสดี\n")
+    m = prepare_gigaspeech2(tmp_path, output_dir=tmp_path / "out")
+    sups = list(m["th"]["dev"]["supervisions"])
+    assert len(sups) == 1
+    assert sups[0].text == "สวัสดี" and sups[0].language == "th"
+
+
+def test_prepare_bvcc(tmp_path):
+    from lhotse_tpu.recipes import prepare_bvcc
+
+    for track in ("main", "ood"):
+        root = tmp_path / f"phase1-{track}" / "DATA"
+        _wav(root / "wav" / f"sys1-utt_{track}.wav", seed=65)
+        _wav(root / "wav" / f"sys1-test_{track}.wav", seed=66)
+        sets = root / "sets"
+        sets.mkdir(parents=True)
+        info = ("{}_20-29_L001_Male_x_x_No" if track == "main" else "{}_na_L001_na_na_na_EE")
+        row = f"sys1,sys1-utt_{track}.wav,4,0,{info}\n"
+        (sets / "TRAINSET").write_text(row)
+        (sets / "DEVSET").write_text(row)
+        (sets / "test.scp").write_text(f"sys1-test_{track}.wav\n")
+        if track == "ood":
+            (sets / "unlabeled_mos_list.txt").write_text(f"sys1-test_{track}.wav\n")
+    m = prepare_bvcc(tmp_path, output_dir=tmp_path / "out")
+    assert set(m) == {
+        "main1_dev", "main1_train", "main1_test", "ood1_dev", "ood1_train",
+        "ood1_test", "ood1_unlabeled"}
+    (sup,) = list(m["main1_train"]["supervisions"])
+    assert sup.custom["MOS"] == {"L001": 4}
+    assert sup.custom["listeners"]["L001"]["M_F"] == "M"
+    assert "supervisions" not in m["main1_test"]
+
+
+def test_prepare_notsofar1(tmp_path):
+    import json as _json
+    from lhotse_tpu.recipes import prepare_notsofar1
+
+    mtg = tmp_path / "benchmark-datasets" / "dev_set" / "v1" / "MTG" / "MTG001"
+    _wav(mtg / "sc_dev1" / "ch0.wav", seconds=10.0, seed=67)
+    _wav(mtg / "mc_dev2" / "ch0.wav", seconds=10.0, seed=68)
+    _wav(mtg / "mc_dev2" / "ch1.wav", seconds=10.0, seed=69)
+    _wav(mtg / "close_talk" / "CT_1.wav", seconds=10.0, seed=70)
+    (mtg / "gt_transcription.json").write_text(_json.dumps([
+        {"speaker_id": "Alice", "start_time": 1.0, "end_time": 2.5,
+         "text": "hello meeting",
+         "word_timing": [["hello", 1.0, 1.5], ["<eh>", 1.5, 1.6], ["meeting", 1.6, 2.5]]},
+    ]))
+    (mtg / "gt_meeting_metadata.json").write_text(_json.dumps(
+        {"ParticipantAliasToCtDevice": {"Alice": "CT_1"}}))
+    m = prepare_notsofar1(tmp_path, output_dir=tmp_path / "out")
+    dev = m["dev_set"]["v1"]
+    sc_sups = list(dev["single_channel"]["supervisions"])
+    assert len(sc_sups) == 1 and sc_sups[0].speaker == "Alice"
+    assert [a.symbol for a in sc_sups[0].alignment["word"]] == ["hello", "meeting"]
+    mc_recs = list(dev["multi_channel"]["recordings"])
+    assert mc_recs[0].num_channels == 2
+    ihm_sups = list(dev["close_talk"]["supervisions"])
+    assert len(ihm_sups) == 1 and ihm_sups[0].recording_id == "MTG001_close_talk_CT_1"
