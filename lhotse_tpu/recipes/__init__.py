@@ -124,3 +124,6 @@ from lhotse_tpu.recipes.iwslt22_ta import download_iwslt22_ta, prepare_iwslt22_t
 from lhotse_tpu.recipes.mtedx import download_mtedx, prepare_mtedx
 from lhotse_tpu.recipes.must_c import prepare_must_c
 from lhotse_tpu.recipes.notsofar1 import download_notsofar1, prepare_notsofar1
+from lhotse_tpu.recipes.csj import concat_csj_supervisions, prepare_csj
+from lhotse_tpu.recipes.nsc import prepare_nsc
+from lhotse_tpu.recipes.sbcsae import download_sbcsae, prepare_sbcsae

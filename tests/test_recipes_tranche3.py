@@ -859,3 +859,122 @@ def test_prepare_notsofar1(tmp_path):
     assert mc_recs[0].num_channels == 2
     ihm_sups = list(dev["close_talk"]["supervisions"])
     assert len(ihm_sups) == 1 and ihm_sups[0].recording_id == "MTG001_close_talk_CT_1"
+
+
+def test_csj_sdb_parser():
+    from lhotse_tpu.recipes.csj import CSJSDBParser
+
+    parser = CSJSDBParser()
+    # F-tag resolves to the left (disfluent) choice
+    out = parser.parse("(F_えー)+感動詞+(F_エー) それ+代名詞+ソレ", sep="")
+    assert out == "えーそれ"
+    # W-tag (mispronunciation) resolves to the right (corrected) choice
+    out = parser.parse("(W_アタシ;ワタシ)+代名詞+X", sep="")
+    assert out == "ワタシ"
+    # with_tags yields per-character tag labels
+    pairs = parser.parse("(F_えー)+感動詞+X それ+代名詞+X", sep="", with_tags=True)
+    chars, tags = zip(*pairs)
+    assert "".join(chars) == "えーそれ"
+    assert tags[0] == "F" and tags[-1] == ""
+
+
+def test_prepare_csj(tmp_path):
+    from lhotse_tpu.recipes import prepare_csj
+
+    vol = tmp_path / "MORPH" / "SDB" / "core"
+    vol.mkdir(parents=True)
+    wav_dir = tmp_path / "WAV" / "core"
+    _wav(wav_dir / "A01M0007.wav", seconds=10.0, seed=71)
+
+    def sdb_row(sgid, start, end, surface, pron, spkid="A01M0007"):
+        cols = [""] * 17
+        cols[0] = "0001"
+        cols[1] = "x"
+        cols[2] = spkid
+        cols[3] = f"{sgid} {start}-{end} L:x"
+        cols[5] = surface
+        cols[10] = pron
+        cols[11] = "感動詞"
+        return "\t".join(cols)
+
+    (vol / "A01M0007.sdb").write_text(
+        sdb_row("0001", "0.5", "1.2", "(F_えー)", "(F_エー)") + "\n"
+        + sdb_row("0001", "0.5", "1.2", "それ", "ソレ") + "\n"
+        + sdb_row("0002", "2.0", "3.0", "はい", "ハイ") + "\n",
+        encoding="shift_jis")
+    m = prepare_csj(tmp_path, dataset_parts=["core"], manifest_dir=tmp_path / "out")
+    sups = sorted(m["core"]["supervisions"], key=lambda s: s.start)
+    assert len(sups) == 2
+    assert sups[0].text == "えーそれ"
+    assert sups[0].custom["disfluent_tag"].startswith("F,F")
+    assert sups[0].gender == "Male"
+    assert sups[1].text == "はい"
+
+
+def test_prepare_nsc_part3(tmp_path):
+    from lhotse_tpu.recipes import prepare_nsc
+
+    root = tmp_path / "IMDA - National Speech Corpus" / "PART3"
+    _wav(root / "Audio Same CloseMic" / "conf_0001.wav", seconds=10.0, seed=72)
+    scripts = root / "Scripts Same"
+    scripts.mkdir(parents=True)
+    (scripts / "conf_0001.TextGrid").write_text(
+        'File type = "ooTextFile"\nObject class = "TextGrid"\n'
+        "xmin = 0\nxmax = 10\ntiers? <exists>\nsize = 1\nitem []:\n"
+        "    item [1]:\n"
+        '        class = "IntervalTier"\n'
+        '        name = "conf_0001"\n'
+        "        xmin = 0\nxmax = 10\nintervals: size = 3\n"
+        "        intervals [1]:\n            xmin = 0.0\n            xmax = 1.0\n"
+        '            text = "<S>"\n'
+        "        intervals [2]:\n            xmin = 1.0\n            xmax = 3.0\n"
+        '            text = "lah okay can"\n'
+        "        intervals [3]:\n            xmin = 3.0\n            xmax = 10.0\n"
+        '            text = "<Z>"\n')
+    m = prepare_nsc(
+        tmp_path, dataset_part="PART3_SameCloseMic", output_dir=tmp_path / "out")
+    sups = list(m["supervisions"])
+    assert len(sups) == 1  # <S>/<Z> silences skipped
+    assert sups[0].text == "lah okay can"
+    assert sups[0].language == "Singaporean English"
+    assert sups[0].recording_id == "PART3_SameCloseMic_conf_0001"
+
+
+def test_sbcsae_parse_raw_transcript():
+    from lhotse_tpu.recipes.sbcsae import _parse_raw_transcript
+
+    text, tag = _parse_raw_transcript("... And then [2he said2],")
+    assert text == "And then he said,"
+    assert tag == ""
+    text, tag = _parse_raw_transcript("you know @ @@ what X .")
+    assert "<LAUGH>" in text and "<UNK>" in text
+    text, tag = _parse_raw_transcript("he said <L2 hola L2> there")
+    assert tag == "clr"
+
+
+def test_prepare_sbcsae(tmp_path):
+    from lhotse_tpu.recipes import prepare_sbcsae
+
+    corpus = tmp_path / "SBCSAE"
+    _wav(corpus / "WAV" / "SBC001.wav", seconds=30.0, seed=73, channels=2)
+    trn = corpus / "TRN"
+    trn.mkdir(parents=True)
+    (trn / "SBC001.trn").write_text(
+        "1.00 3.50\tLENORE:\t... So you don't need to go borrow equipment,\n"
+        "3.50 4.20\t\t.. from anybody.\n"
+        "4.20 5.00\t>ENV:\t((DOOR))\n")
+    for part in ("Part_1", "Part_2", "Part_3", "Part_4"):
+        d = corpus / "docs" / part
+        d.mkdir(parents=True)
+        if part == "Part_1":
+            (d / "segment.tbl").write_text("sbc001 speaker:\t0001 LENORE\n")
+            (d / "speaker.tbl").write_text("0001,Lenore,F,x,Walnut Cre CA,CA\n")
+        else:
+            (d / "segment.tbl").write_text("")
+            (d / "speaker.tbl").write_text("")
+    m = prepare_sbcsae(corpus, output_dir=tmp_path / "out", omit_realignments=True)
+    sups = sorted(m["supervisions"], key=lambda s: s.start)
+    assert len(sups) == 2  # the >ENV line is dropped
+    assert sups[0].speaker == "0001_LENORE" and sups[0].gender == "F"
+    assert sups[1].speaker == "0001_LENORE"  # speaker buffer carried over
+    assert "borrow equipment" in sups[0].text
