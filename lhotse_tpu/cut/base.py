@@ -457,7 +457,10 @@ class Cut:
             speaker_to_idx_map = {spk: idx for idx, spk in enumerate(speakers)}
         rows = len(speaker_to_idx_map)
         if min_speaker_dim is not None:
-            rows = min(min_speaker_dim, rows)
+            # NOTE: the reference implementation uses min() here, contradicting
+            # its own docstring ("at least that value", e.g. CHiME-6 always
+            # wants 4 rows); we follow the documented intent.
+            rows = max(min_speaker_dim, rows)
         return speaker_to_idx_map, rows
 
     def _speakers_activity_mask(

@@ -356,6 +356,13 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
             new_start, new_duration, -self.start, -self.duration, sampling_rate=sr)
         if overhang > 0:
             new_duration = add_durations(new_duration, -overhang, sampling_rate=sr)
+        if new_duration < 0.0:
+            # NOTE: zero duration is allowed -- cut_into_windows can emit a
+            # degenerate trailing window whose extent rounds to 0 samples on
+            # the sample grid (reference cut/data.py:525-538 emits it too).
+            raise AssertionError(
+                f"Truncation region [offset={offset}, offset+duration) lies "
+                f"outside the cut (cut duration {self.duration}).")
 
         sups = self._truncated_supervisions(
             offset, new_duration, keep_excessive_supervisions, _supervisions_index)

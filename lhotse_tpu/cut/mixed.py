@@ -102,6 +102,10 @@ def _get_snr_reference_track(mixed_cut: "MixedCut") -> Tuple[Optional[int], MixT
     for idx, t in enumerate(mixed_cut.tracks):
         if not isinstance(t.cut, PaddingCut) and t.snr is None:
             return idx, t
+    if all(t.snr is None for t in mixed_cut.tracks):
+        # no SNR scaling anywhere (e.g. padding mixed with padding):
+        # any track works since no gain will be derived from it
+        return 0, mixed_cut.tracks[0]
     raise ValueError(f"Cannot determine SNR reference track for MixedCut '{mixed_cut.id}'.")
 
 
