@@ -107,6 +107,59 @@ def test_fbank_hamming_golden_parity(golden):
     np.testing.assert_allclose(out, ref, atol=ATOL, rtol=0)
 
 
+@pytest.mark.parametrize("name", ["speech", "silence", "clipped"])
+def test_fbank_golden_parity_real_and_degenerate(golden, name):
+    """Real LibriSpeech audio, digital silence, and a hard-clipped sine.
+
+    Unlike the white-noise goldens, these pin the mel-floor/log-eps path
+    (silence), full-scale saturation (clipped), and genuine speech structure.
+    """
+    from lhotse_tpu.features import Fbank
+
+    x = golden[f"input_{name}"]
+    ref = golden[f"fbank_{name}"][0]
+    out = Fbank().extract(x[0], 16000)
+    assert out.shape == ref.shape
+    assert np.isfinite(out).all()
+    # Full-scale inputs push mel energies to ~e^6, where the float32 noise of
+    # two different summation orders (GEMM vs rfft) is ~2e-4 *relative* in the
+    # linear domain -> the same magnitude appears as absolute error in log.
+    np.testing.assert_allclose(out, ref, atol=ATOL, rtol=2.5e-4)
+
+
+@pytest.mark.parametrize("name", ["speech", "silence", "clipped"])
+def test_mfcc_golden_parity_real_and_degenerate(golden, name):
+    from lhotse_tpu.features import Mfcc
+
+    x = golden[f"input_{name}"]
+    ref = golden[f"mfcc_{name}"][0]
+    out = Mfcc().extract(x[0], 16000)
+    assert out.shape == ref.shape
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, ref, atol=1e-3, rtol=0)
+
+
+@pytest.mark.parametrize("name", ["speech", "silence", "clipped"])
+def test_spectrogram_golden_parity_real_and_degenerate(golden, name):
+    from lhotse_tpu.features import Spectrogram
+
+    x = golden[f"input_{name}"]
+    ref = golden[f"spec_{name}"][0]
+    out = Spectrogram().extract(x[0], 16000)
+    assert out.shape == ref.shape
+    tol = ATOL * max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(out, ref, atol=tol, rtol=0)
+
+
+def test_fbank_silence_sits_on_mel_floor(golden):
+    """Every frame of digital silence lands exactly on the log-eps floor."""
+    from lhotse_tpu.features import Fbank
+
+    out = Fbank().extract(golden["input_silence"][0], 16000)
+    np.testing.assert_allclose(out, out.flat[0], rtol=1e-6)
+    assert out.flat[0] < -10.0  # the floor is a large negative log energy
+
+
 def test_extract_batch_matches_extract(golden):
     from lhotse_tpu.features import Fbank
 

@@ -118,6 +118,31 @@ def main():
     # Note: the reference Wav2MFCC(use_energy=True) crashes (layers.py:722 indexes
     # [:, 0] instead of [..., 0]), so no golden exists for that variant.
 
+    # Real speech (LibriSpeech utterance from the reference test fixtures,
+    # decoded with the stdlib so no audio backend is involved): pins parity on
+    # actual formant/harmonic structure instead of white noise.
+    import wave
+
+    with wave.open(
+        "/root/reference/test/fixtures/libri/libri-1088-134315-0000.wav"
+    ) as w:
+        assert w.getframerate() == 16000 and w.getsampwidth() == 2
+        pcm = np.frombuffer(w.readframes(w.getnframes()), dtype=np.int16)
+    speech = (pcm[: 16000 * 4].astype(np.float32) / 32768.0)[None, :]
+    # Degenerate inputs: digital silence (mel-floor/log-eps path) and a
+    # hard-clipped loud sine (full-scale saturation).
+    t = np.arange(16000, dtype=np.float32) / 16000.0
+    clipped = np.clip(1.5 * np.sin(2 * np.pi * 440.0 * t), -1.0, 1.0)
+    clipped = clipped.astype(np.float32)[None, :]
+    silence = np.zeros((1, 16000), dtype=np.float32)
+    for name, x in [("speech", speech), ("silence", silence), ("clipped", clipped)]:
+        xt = torch.from_numpy(x)
+        out[f"input_{name}"] = x
+        out[f"fbank_{name}"] = Wav2LogFilterBank()(xt).numpy()
+        out[f"mfcc_{name}"] = Wav2MFCC()(xt).numpy()
+        out[f"spec_{name}"] = Wav2Spec(use_energy=False)(xt).numpy()
+        out[f"logspec_{name}"] = Wav2LogSpec(use_energy=False)(xt).numpy()
+
     dest = Path(__file__).parent.parent / "tests" / "golden"
     dest.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(dest / "kaldi_features.npz", **out)
