@@ -15,6 +15,9 @@ torch/torchaudio:
 - ``FfmpegSubprocessBackend`` — optional, any format via the ``ffmpeg`` binary;
   also implements forced-sampling-rate OPUS decode like the reference's
   ``read_opus_ffmpeg`` (backend.py:1494).
+- ``SphereBackend`` — in-repo native NIST SPHERE codec (PCM/ulaw/alaw with
+  header-only probes and partial reads; beyond the reference, which always
+  shells out to sph2pipe); delegates shorten-compressed files to:
 - ``Sph2pipeSubprocessBackend`` — optional, SPHERE via the ``sph2pipe`` binary.
 """
 from __future__ import annotations
@@ -416,6 +419,72 @@ class FfmpegSubprocessBackend(AudioBackend):
         return True
 
 
+class SphereBackend(AudioBackend):
+    """Native NIST SPHERE decode via :mod:`lhotse_tpu.audio.sphio` (pure
+    numpy: PCM/ulaw/alaw, partial reads).  Goes beyond the reference, which
+    can only open SPHERE through the ``sph2pipe`` binary; shorten-compressed
+    files are delegated to :class:`Sph2pipeSubprocessBackend` when that
+    binary exists."""
+
+    def handles_special_case(self, path_or_fd) -> bool:
+        sfx = _suffix_of(path_or_fd)
+        if sfx is not None:
+            if sfx not in (".sph", ".wv1", ".wv2"):
+                return False
+            # Verify the magic: mislabeled files (e.g. RIFF behind a .sph
+            # name) must fall through to the other backends.
+            try:
+                with open(path_or_fd, "rb") as f:
+                    return f.read(7) == b"NIST_1A"
+            except Exception:
+                return False
+        try:
+            return _peek_bytes(path_or_fd, 7) == b"NIST_1A"
+        except Exception:
+            return False
+
+    is_applicable = handles_special_case
+
+    def read_audio(
+        self, path_or_fd, offset: Seconds = 0.0, duration: Optional[Seconds] = None,
+        force_opus_sampling_rate: Optional[int] = None) -> Tuple[np.ndarray, int]:
+        from lhotse_tpu.audio.sphio import SphereShortenError, info_sph, read_sph
+
+        try:
+            hdr = info_sph(path_or_fd)
+            frame_offset = compute_num_samples(offset, hdr.sampling_rate) if offset else 0
+            num_frames = (
+                compute_num_samples(duration, hdr.sampling_rate)
+                if duration is not None else None)
+            return read_sph(path_or_fd, frame_offset=frame_offset, num_frames=num_frames)
+        except SphereShortenError:
+            if Sph2pipeSubprocessBackend.is_available():
+                return Sph2pipeSubprocessBackend().read_audio(
+                    path_or_fd, offset=offset, duration=duration)
+            raise
+
+    def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
+        from lhotse_tpu.audio.sphio import info_sph
+
+        hdr = info_sph(path_or_fd)
+        return LibsndfileCompatibleAudioInfo(
+            channels=hdr.num_channels, frames=hdr.sample_count,
+            samplerate=hdr.sampling_rate, duration=hdr.duration)
+
+    def supports_info(self) -> bool:
+        return True
+
+    def supports_save(self) -> bool:
+        return True
+
+    def save_audio(self, dest, src, sampling_rate: int, format=None, encoding=None) -> None:
+        from lhotse_tpu.audio.sphio import write_sph
+
+        coding = {None: "pcm16", "PCM_16": "pcm16", "ULAW": "ulaw", "ALAW": "alaw"}.get(
+            encoding, encoding or "pcm16")
+        write_sph(dest, np.asarray(src), sampling_rate, coding=coding)
+
+
 class Sph2pipeSubprocessBackend(AudioBackend):
     """SPHERE (incl. shorten-compressed) decode via the ``sph2pipe`` binary
     (reference: audio/backend.py:297)."""
@@ -569,8 +638,9 @@ def get_ffmpeg_torchaudio_info_enabled() -> bool:
 
 def get_default_audio_backend() -> AudioBackend:
     """Composite over every available backend, internal codecs first."""
-    backends: List[AudioBackend] = [Sph2pipeSubprocessBackend()] if Sph2pipeSubprocessBackend.is_available() else []
-    backends += [InternalWavBackend(), FlacBackend()]
+    # SphereBackend subsumes the sph2pipe subprocess backend: it decodes
+    # pcm/ulaw/alaw natively and delegates shorten files to sph2pipe itself.
+    backends: List[AudioBackend] = [SphereBackend(), InternalWavBackend(), FlacBackend()]
     if SoundfileBackend.is_available():
         backends.append(SoundfileBackend())
     if FfmpegSubprocessBackend.is_available():
