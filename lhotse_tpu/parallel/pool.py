@@ -12,6 +12,7 @@ import queue
 import threading
 from functools import partial
 from typing import Callable, Generator, Iterable, Optional
+from uuid import uuid4
 
 
 def parallel_map(
@@ -87,7 +88,7 @@ class ParallelExecutor:
     """
 
     _local = threading.local()
-    _process_runner = None
+    _process_runners: dict = {}
 
     def __init__(
         self, init_fn: Callable, num_jobs: int = 1, threads: bool = True, queue_size: int = 5000,
@@ -98,18 +99,21 @@ class ParallelExecutor:
         self.queue_size = queue_size
         self.verbose = verbose
         self.description = description
+        # Unique per executor: runners are cached per worker *and* per
+        # executor, so two executors with different init_fns in one process
+        # never share a runner (the token survives pickling into workers).
+        self._runner_token = uuid4().hex
 
     def _process(self, item, **kwargs):
-        cls = type(self)
         if self.threads:
-            runner = getattr(cls._local, "runner", None)
-            if runner is None:
-                runner = self.init_fn()
-                cls._local.runner = runner
+            cache = getattr(type(self)._local, "runners", None)
+            if cache is None:
+                cache = type(self)._local.runners = {}
         else:
-            if cls._process_runner is None:
-                cls._process_runner = self.init_fn()
-            runner = cls._process_runner
+            cache = type(self)._process_runners
+        runner = cache.get(self._runner_token)
+        if runner is None:
+            runner = cache[self._runner_token] = self.init_fn()
         return runner(item, **kwargs)
 
     def __call__(self, items: Iterable, **kwargs) -> Generator:

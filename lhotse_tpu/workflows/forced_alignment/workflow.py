@@ -56,13 +56,16 @@ def align_with_torchaudio(
     check_language: bool = True) -> Generator:
     """Compatibility alias for the reference API (workflow.py:26): maps the
     torchaudio bundle name to its transformers checkpoint and delegates to
-    :func:`align_supervisions`. ``MMS_FA`` is not supported."""
+    :func:`align_supervisions`. ``MMS_FA`` routes to the multilingual
+    :class:`~lhotse_tpu.workflows.forced_alignment.mms_aligner.MMSForcedAligner`."""
     if bundle_name == "MMS_FA":
-        raise NotImplementedError(
-            "The MMS_FA aligner requires torchaudio, which this framework "
-            "does not depend on. Use align_supervisions() with a "
-            "multilingual transformers CTC checkpoint instead."
-        )
+        from lhotse_tpu.workflows.forced_alignment.mms_aligner import MMSForcedAligner
+
+        return align_supervisions(
+            cuts, device=device, normalize_text=normalize_text, num_jobs=num_jobs,
+            verbose=verbose,
+            aligner_factory=partial(
+                MMSForcedAligner, device=device, check_language=check_language))
     model_name = _BUNDLE_TO_CHECKPOINT.get(bundle_name)
     if model_name is None:
         raise ValueError(

@@ -112,8 +112,9 @@ def test_energy_vad_activity_detector():
 def test_align_with_torchaudio_compat_errors():
     from lhotse_tpu.workflows import align_with_torchaudio
 
-    with pytest.raises(NotImplementedError):
-        next(align_with_torchaudio([], bundle_name="MMS_FA"))
+    # MMS_FA routes to MMSForcedAligner (tested in test_mms_aligner.py);
+    # empty input drains without constructing the model.
+    assert list(align_with_torchaudio([], bundle_name="MMS_FA")) == []
     with pytest.raises(ValueError):
         next(align_with_torchaudio([], bundle_name="NOT_A_BUNDLE"))
 
