@@ -501,6 +501,10 @@ class FeatureSetBuilder:
                         desc=label,
                     )
                 )
+        # Make the returned manifests immediately loadable: buffered writers
+        # (e.g. LilcomChunkyWriter) would otherwise hold the tail of the
+        # archive in memory until close().
+        self.storage.flush()
         if output_manifest is not None:
             feature_set.to_file(output_manifest)
         return feature_set

@@ -72,6 +72,15 @@ class FeaturesWriter(metaclass=ABCMeta):
         return TemporalArray(
             array=array, temporal_dim=temporal_dim, frame_shift=frame_shift, start=start)
 
+    def flush(self) -> None:
+        """Push any buffered writes to durable storage without closing.
+
+        After this returns, every manifest handed out by :meth:`write` so far
+        must be loadable by the matching reader. Writers that buffer (e.g.
+        the chunky archive) override this; stateless writers need not.
+        """
+        ...
+
     def __enter__(self):
         return self
 
@@ -389,6 +398,9 @@ class _Hdf5Writer(FeaturesWriter):
 
     storage_path = property(lambda self: str(self.storage_path_))
 
+    def flush(self) -> None:
+        self.hdf.flush()
+
     def close(self) -> None:
         return self.hdf.close()
 
@@ -593,6 +605,9 @@ class LilcomChunkyWriter(FeaturesWriter):
             offsets.append(nbytes)
             self.curr_offset += nbytes
         return ",".join(map(str, offsets))
+
+    def flush(self) -> None:
+        self.file.flush()
 
     def close(self) -> None:
         self.file.close()

@@ -25,6 +25,11 @@ from typing import Any, Dict, List, Optional, Sequence, Union
 
 import numpy as np
 
+try:  # pocketfft via scipy is ~4x numpy.fft for batched float32 rffts
+    from scipy.fft import rfft as _host_rfft
+except ImportError:  # pragma: no cover
+    _host_rfft = np.fft.rfft
+
 from lhotse_tpu.features.base import FeatureExtractor, register_extractor
 from lhotse_tpu.features.kaldi.layers import (Wav2LogFilterBank, Wav2LogSpec, Wav2MFCC, Wav2Spec)
 from lhotse_tpu.ops import fbank as ops
@@ -161,6 +166,65 @@ class _KaldiExtractorBase(FeatureExtractor):
             self._jit_cache["fn"] = fn
         return fn(samples)
 
+    # ---- pure-numpy host path ----
+    #
+    # The jitted GEMM-NDFT path above is built for accelerator backends:
+    # folded matrices feed the MXU and shapes are bucketed to bound
+    # recompilation. On the *host* (data-pipeline workers decoding and
+    # featurizing on CPU) that design inverts: every shape bucket costs an
+    # XLA compile per worker process, the padded batch wastes FLOPs, and the
+    # folded NDFT does ~10x the arithmetic of an rFFT. So with
+    # config.device == "cpu" (the default for ETL) extraction runs this
+    # numpy path instead: natural shapes, pocketfft, zero compiles. Parity
+    # with the GEMM path is float32-noise only (both implement reference
+    # layers.py:727-772 semantics) and is pinned by the golden tests.
+
+    def _numpy_window(self) -> np.ndarray:
+        w = self._jit_cache.get("np_window")
+        if w is None:
+            w = ops.create_frame_window(
+                self._frame_samples, self.config.window_type).astype(np.float32)
+            self._jit_cache["np_window"] = w
+        return w
+
+    def _forward_numpy_item(self, prepared: np.ndarray) -> np.ndarray:
+        """(num_samples,) float32 (already edge-padded) -> (T, F) float32."""
+        length, shift = self._frame_samples, self._shift_samples
+        n_frames = ops.compute_num_frames_snip(prepared.shape[-1], length, shift)
+        if n_frames <= 0:
+            return np.zeros(
+                (0, self.feature_dim(self.config.sampling_rate)), dtype=np.float32)
+        # float64 throughout: with pocketfft the FFT still beats the f32 XLA
+        # GEMM path by ~2x, and the result sits at the reference's own f32
+        # noise floor instead of adding a second one on top.
+        frames = np.lib.stride_tricks.sliding_window_view(prepared, length)[
+            :: shift
+        ][:n_frames].astype(np.float64)
+        log_e = None
+        if getattr(self.config, "use_energy", False):
+            centered = frames - frames.mean(axis=-1, keepdims=True)
+            log_e = np.log(np.sum(centered**2, axis=-1) + 1e-15)
+            if self.config.energy_floor > 0.0:
+                log_e = np.maximum(log_e, math.log(self.config.energy_floor))
+        if self.config.remove_dc_offset:
+            frames = frames - frames.mean(axis=-1, keepdims=True)
+        if self.config.preemph_coeff != 0.0:
+            frames = frames - self.config.preemph_coeff * np.concatenate(
+                [frames[:, :1], frames[:, :-1]], axis=-1)
+        frames = frames * self._numpy_window().astype(np.float64)
+        spec = _host_rfft(frames, n=self._fft_length, axis=-1)
+        if self.config.use_fft_mag:
+            pow_spec = np.abs(spec)
+        else:
+            pow_spec = spec.real**2 + spec.imag**2
+        return self._postprocess_numpy(pow_spec, log_e)
+
+    def _postprocess_numpy(self, pow_spec: np.ndarray, log_e) -> np.ndarray:
+        raise NotImplementedError
+
+    def _use_numpy_path(self) -> bool:
+        return self.device == "cpu"
+
     def _num_frames(self, num_samples: int) -> int:
         if self.config.snip_edges:
             return ops.compute_num_frames_snip(
@@ -209,6 +273,11 @@ class _KaldiExtractorBase(FeatureExtractor):
             samples = samples[None, :]
         num_frames = self._num_frames(samples.shape[1])
         prepared = [self._prepare_item(row) for row in samples]
+        if self._use_numpy_path():
+            out = np.stack([self._forward_numpy_item(p) for p in prepared])[
+                :, :num_frames
+            ]
+            return out[0] if squeeze or out.shape[0] == 1 else out
         n = max(p.shape[-1] for p in prepared)
         padded_n = _round_up(
             max(n, self._frame_samples), self._shift_samples * LENGTH_BUCKET_FRAMES)
@@ -250,16 +319,21 @@ class _KaldiExtractorBase(FeatureExtractor):
         max_len = max(p.shape[-1] for p in prepared)
         padded_len = _round_up(
             max(max_len, self._frame_samples), self._shift_samples * LENGTH_BUCKET_FRAMES)
-        Bp = _batch_bucket(len(prepared))
-        batch = np.zeros((Bp, padded_len), dtype=np.float32)
-        for i, p in enumerate(prepared):
-            batch[i, : p.shape[-1]] = p
-        feats = np.asarray(self._forward_padded_batch(batch))
         feat_lens = [
             compute_num_frames_from_samples(l, self.frame_shift, sampling_rate)
             for l in item_lengths
         ]
-        result = [feats[i, : feat_lens[i]] for i in range(len(item_lengths))]
+        if self._use_numpy_path():
+            result = [
+                self._forward_numpy_item(p)[:n] for p, n in zip(prepared, feat_lens)
+            ]
+        else:
+            Bp = _batch_bucket(len(prepared))
+            batch = np.zeros((Bp, padded_len), dtype=np.float32)
+            for i, p in enumerate(prepared):
+                batch[i, : p.shape[-1]] = p
+            feats = np.asarray(self._forward_padded_batch(batch))
+            result = [feats[i, : feat_lens[i]] for i in range(len(item_lengths))]
         if len(result) == 1:
             return result if input_is_list else result[0]
         if all(r.shape == result[0].shape for r in result[1:]):
@@ -353,6 +427,15 @@ class Fbank(_KaldiExtractorBase):
             out = jnp.concatenate([log_e[..., None], out], axis=-1)
         return out
 
+    def _postprocess_numpy(self, pow_spec, log_e):
+        # f64 accumulation in the mel matmul: costs ~nothing next to the FFT
+        # and keeps the log-domain noise floor below the 5e-4 parity budget.
+        fb = np.asarray(self.extractor._fb, dtype=np.float64)
+        out = np.log(np.maximum(pow_spec @ fb, ops.FLT_EPS))
+        if self.config.use_energy and log_e is not None:
+            out = np.concatenate([log_e[:, None], out], axis=-1)
+        return out.astype(np.float32)
+
     @staticmethod
     def mix(
         features_a: np.ndarray, features_b: np.ndarray, energy_scaling_factor_b: float,
@@ -442,6 +525,18 @@ class Mfcc(_KaldiExtractorBase):
             mfcc = mfcc.at[..., 0].set(log_e)
         return mfcc
 
+    def _postprocess_numpy(self, pow_spec, log_e):
+        fb = np.asarray(self.extractor._fb, dtype=np.float32)
+        dct = np.asarray(self.extractor._dct, dtype=np.float32)
+        lifter = self.extractor._lifter
+        logmel = np.log(np.maximum(pow_spec @ fb, ops.FLT_EPS))
+        mfcc = logmel @ dct
+        if lifter is not None:
+            mfcc = mfcc * np.asarray(lifter, dtype=np.float32)
+        if self.config.use_energy and log_e is not None:
+            mfcc[:, 0] = log_e
+        return mfcc.astype(np.float32)
+
 
 @dataclass
 class SpectrogramConfig:
@@ -489,6 +584,11 @@ class Spectrogram(_KaldiExtractorBase):
         if self.config.use_energy and log_e is not None:
             pow_spec = pow_spec.at[..., 0].set(log_e)
         return pow_spec
+
+    def _postprocess_numpy(self, pow_spec, log_e):
+        if self.config.use_energy and log_e is not None:
+            pow_spec[:, 0] = log_e
+        return pow_spec.astype(np.float32)
 
     @staticmethod
     def mix(
@@ -554,6 +654,12 @@ class LogSpectrogram(_KaldiExtractorBase):
         if self.config.use_energy and log_e is not None:
             out = out.at[..., 0].set(log_e)
         return out
+
+    def _postprocess_numpy(self, pow_spec, log_e):
+        out = np.log(pow_spec + 1e-15)
+        if self.config.use_energy and log_e is not None:
+            out[:, 0] = log_e
+        return out.astype(np.float32)
 
     @staticmethod
     def mix(
