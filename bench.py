@@ -148,7 +148,10 @@ def bench_host_pipeline() -> dict:
 
     n_rec = 12 if SMOKE else 300
     max_duration = 30.0 if SMOKE else 120.0
-    num_workers = 2 if SMOKE else min(8, max((os.cpu_count() or 4) - 2, 2))
+    # Spawned workers only pay off with spare cores: on a 1-2 core host the
+    # IPC + contention make them ~3x slower than in-process assembly.
+    cores = os.cpu_count() or 4
+    num_workers = (2 if SMOKE else min(8, cores - 2)) if cores >= 4 else 0
 
     with tempfile.TemporaryDirectory() as tmp:
         root = Path(tmp)
