@@ -157,9 +157,14 @@ def read_flac(path_or_fd) -> Tuple[np.ndarray, int]:
         data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), total)
     if decoded < 0:
         raise ValueError(f"FLAC decode failed (error {decoded}).")
-    pcm = out[: decoded * info.num_channels].reshape(decoded, info.num_channels).T
-    scale = np.float32(1 << (info.bits_per_sample - 1))
-    return (pcm.astype(np.float32) / scale), info.sampling_rate
+    pcm = out[: decoded * info.num_channels].reshape(decoded, info.num_channels)
+    scale = 1.0 / float(1 << (info.bits_per_sample - 1))
+    from lhotse_tpu.ops import host_dsp
+
+    scaled = host_dsp.scale_i32_to_f32(pcm, scale)
+    if scaled is None:  # no C compiler: two-pass numpy fallback
+        scaled = pcm.astype(np.float32) * np.float32(scale)
+    return scaled.T, info.sampling_rate
 
 
 def write_flac(dest, samples: np.ndarray, sampling_rate: int, bits_per_sample: int = 16) -> None:

@@ -93,16 +93,22 @@ def resample_array(
     x = waveform.reshape(-1, shape[-1]).astype(np.float32, copy=False)
     num_wavs, length = x.shape
     x = np.pad(x, ((0, 0), (width, width + o)))
-    # Strided view: frames of size kernel_width with hop = o.
     K = kernel.shape[1]
     num_blocks = (x.shape[1] - K) // o + 1
+    target_length = int(math.ceil(n * length / o))
+
+    from lhotse_tpu.ops import host_dsp
+
+    rows = [host_dsp.sinc_resample(row, num_blocks, kernel, o) for row in x]
+    if all(r is not None for r in rows):
+        out = np.stack([r[:target_length] for r in rows])
+        return out.reshape(shape[:-1] + (target_length,))
+
+    # Numpy fallback (no C compiler): strided frames of size kernel_width
+    # with hop = o, then (B, T_blocks, K) @ (K, n_phases).
     frames = np.lib.stride_tricks.as_strided(
         x, shape=(num_wavs, num_blocks, K), strides=(x.strides[0], o * x.strides[1], x.strides[1]))
-    # (B, T_blocks, K) @ (K, n_phases) -> (B, T_blocks, n_phases)
-    out = frames @ kernel.T
-    out = out.reshape(num_wavs, -1)
-    target_length = int(math.ceil(n * length / o))
-    out = out[:, :target_length]
+    out = (frames @ kernel.T).reshape(num_wavs, -1)[:, :target_length]
     return out.reshape(shape[:-1] + (target_length,))
 
 

@@ -33,6 +33,7 @@ except ImportError:  # pragma: no cover
 from lhotse_tpu.features.base import FeatureExtractor, register_extractor
 from lhotse_tpu.features.kaldi.layers import (Wav2LogFilterBank, Wav2LogSpec, Wav2MFCC, Wav2Spec)
 from lhotse_tpu.ops import fbank as ops
+from lhotse_tpu.ops import host_dsp
 from lhotse_tpu.utils import (EPSILON, Seconds, asdict_nonull, compute_num_frames_from_samples)
 
 # Pad waveform lengths up to multiples of this many frames' worth of samples
@@ -183,7 +184,7 @@ class _KaldiExtractorBase(FeatureExtractor):
         w = self._jit_cache.get("np_window")
         if w is None:
             w = ops.create_frame_window(
-                self._frame_samples, self.config.window_type).astype(np.float32)
+                self._frame_samples, self.config.window_type).astype(np.float64)
             self._jit_cache["np_window"] = w
         return w
 
@@ -196,27 +197,50 @@ class _KaldiExtractorBase(FeatureExtractor):
                 (0, self.feature_dim(self.config.sampling_rate)), dtype=np.float32)
         # float64 throughout: with pocketfft the FFT still beats the f32 XLA
         # GEMM path by ~2x, and the result sits at the reference's own f32
-        # noise floor instead of adding a second one on top.
-        frames = np.lib.stride_tricks.sliding_window_view(prepared, length)[
-            :: shift
-        ][:n_frames].astype(np.float64)
-        log_e = None
-        if getattr(self.config, "use_energy", False):
-            centered = frames - frames.mean(axis=-1, keepdims=True)
-            log_e = np.log(np.sum(centered**2, axis=-1) + 1e-15)
-            if self.config.energy_floor > 0.0:
-                log_e = np.maximum(log_e, math.log(self.config.energy_floor))
-        if self.config.remove_dc_offset:
-            frames = frames - frames.mean(axis=-1, keepdims=True)
-        if self.config.preemph_coeff != 0.0:
-            frames = frames - self.config.preemph_coeff * np.concatenate(
-                [frames[:, :1], frames[:, :-1]], axis=-1)
-        frames = frames * self._numpy_window().astype(np.float64)
-        spec = _host_rfft(frames, n=self._fft_length, axis=-1)
-        if self.config.use_fft_mag:
-            pow_spec = np.abs(spec)
+        # noise floor instead of adding a second one on top. The frame matrix
+        # is built once at the final FFT width — the (T, n_fft) f64 buffer is
+        # the dominant memory traffic of this path, so the fused native
+        # kernel (one pass) is preferred, with an in-place numpy fallback.
+        want_energy = bool(getattr(self.config, "use_energy", False))
+        coeff = self.config.preemph_coeff
+        native = host_dsp.frame_prep(
+            prepared, length, shift, n_frames, self._numpy_window(),
+            self._fft_length, preemph_coeff=coeff,
+            remove_dc=self.config.remove_dc_offset, want_energy=want_energy,
+            energy_floor=self.config.energy_floor if want_energy else 0.0)
+        if native is not None:
+            frames, log_e = native
         else:
-            pow_spec = spec.real**2 + spec.imag**2
+            view = np.lib.stride_tricks.sliding_window_view(prepared, length)[
+                :: shift
+            ][:n_frames]
+            frames = np.zeros((n_frames, self._fft_length), dtype=np.float64)
+            work = frames[:, :length]
+            work[:] = view  # single pass: f32 gather + widen + zero-pad
+            means = work.mean(axis=-1, keepdims=True)
+            log_e = None
+            if want_energy:
+                centered = work - means
+                log_e = np.log(np.einsum("ij,ij->i", centered, centered) + 1e-15)
+                if self.config.energy_floor > 0.0:
+                    log_e = np.maximum(log_e, math.log(self.config.energy_floor))
+            if self.config.remove_dc_offset:
+                work -= means
+            if coeff != 0.0:
+                # x[i] -= c * x[i-1] (x[0] against itself). The rhs temp is
+                # materialized before the in-place subtract, so aliasing is
+                # safe.
+                prev = coeff * work[:, :-1]
+                work[:, 1:] -= prev
+                work[:, 0] -= coeff * work[:, 0]
+            work *= self._numpy_window()
+        spec = _host_rfft(frames, n=self._fft_length, axis=-1)
+        pow_spec = host_dsp.power_spectrum(spec, magnitude=self.config.use_fft_mag)
+        if pow_spec is None:
+            if self.config.use_fft_mag:
+                pow_spec = np.abs(spec)
+            else:
+                pow_spec = spec.real**2 + spec.imag**2
         return self._postprocess_numpy(pow_spec, log_e)
 
     def _postprocess_numpy(self, pow_spec: np.ndarray, log_e) -> np.ndarray:

@@ -1,0 +1,197 @@
+"""
+ctypes bindings for the fused host-side DSP kernels
+(`native/dsp/dsp_kernels.c`), compiled on first use like the FLAC codec.
+
+These back the pure-numpy extractor path on CPU workers: `frame_prep` fuses
+framing + DC removal + pre-emphasis + windowing + f32->f64 widening into one
+pass (semantics: reference lhotse/features/kaldi/layers.py:727-772), and
+`scale_i32_to_f32` normalizes decoder PCM output in one pass. Both are
+optional accelerations — callers keep a numpy fallback for environments
+without a C compiler.
+"""
+from __future__ import annotations
+
+import ctypes
+import math
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_LIB_FAILED = False
+_LIB_LOCK = threading.Lock()
+
+
+def _source_path() -> Path:
+    here = Path(__file__).resolve()
+    for base in [here.parents[2], here.parents[1]]:
+        cand = base / "native" / "dsp" / "dsp_kernels.c"
+        if cand.is_file():
+            return cand
+    raise FileNotFoundError("dsp_kernels.c not found — expected it under <repo>/native/dsp/.")
+
+
+def _cache_dir() -> Path:
+    env = os.environ.get("LHOTSE_TPU_CACHE")
+    d = Path(env) if env else Path.home() / ".cache" / "lhotse_tpu"
+    d.mkdir(parents=True, exist_ok=True)
+    return d
+
+
+def _build_library() -> Path:
+    src = _source_path()
+    candidates = [src.parent / "libdsp_kernels.so", _cache_dir() / "libdsp_kernels.so"]
+    for so in candidates:
+        if so.is_file() and so.stat().st_mtime >= src.stat().st_mtime:
+            return so
+    cc = os.environ.get("CC", "cc")
+    last_err = None
+    for so in candidates:
+        tmp = so.with_suffix(".so.tmp")
+        cmd = [cc, "-O3", "-shared", "-fPIC", "-lm", "-o", str(tmp), str(src)]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, so)
+            return so
+        except (subprocess.CalledProcessError, OSError) as e:
+            last_err = e
+            continue
+    raise RuntimeError(f"Failed to build the native DSP kernels with '{cc}': {last_err}")
+
+
+def _get_lib():
+    global _LIB, _LIB_FAILED
+    if _LIB is not None or _LIB_FAILED:
+        return _LIB
+    with _LIB_LOCK:
+        if _LIB is not None or _LIB_FAILED:
+            return _LIB
+        try:
+            lib = ctypes.CDLL(str(_build_library()))
+        except Exception:
+            _LIB_FAILED = True  # no compiler in this env: callers fall back
+            return None
+        lib.frame_prep.restype = None
+        lib.frame_prep.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_int, ctypes.c_longlong, ctypes.POINTER(ctypes.c_double),
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double)]
+        lib.scale_i32_to_f32.restype = None
+        lib.scale_i32_to_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_longlong, ctypes.c_float,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.power_spectrum_c128.restype = None
+        lib.power_spectrum_c128.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_double)]
+        lib.magnitude_c128.restype = None
+        lib.magnitude_c128.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_double)]
+        lib.sinc_resample_f32.restype = None
+        lib.sinc_resample_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+        _LIB = lib
+        return _LIB
+
+
+def is_available() -> bool:
+    return _get_lib() is not None
+
+
+def frame_prep(
+    x: np.ndarray,
+    length: int,
+    shift: int,
+    n_frames: int,
+    window: np.ndarray,
+    fft_length: int,
+    preemph_coeff: float = 0.0,
+    remove_dc: bool = False,
+    want_energy: bool = False,
+    energy_floor: float = 0.0,
+) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
+    """
+    Fused framing for one item: float32 samples -> (n_frames, fft_length)
+    float64 windowed frames (zero-padded past ``length``) plus optional
+    per-frame log energies. Returns None when the native library is
+    unavailable (caller must fall back to numpy).
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    window = np.ascontiguousarray(window, dtype=np.float64)
+    assert window.shape[0] == length and fft_length >= length
+    assert x.shape[-1] >= (n_frames - 1) * shift + length
+    out = np.empty((n_frames, fft_length), dtype=np.float64)
+    log_e = np.empty(n_frames, dtype=np.float64) if want_energy else None
+    floor_log = math.log(energy_floor) if energy_floor > 0.0 else -math.inf
+    lib.frame_prep(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        x.shape[-1], length, shift, n_frames,
+        window.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        float(preemph_coeff), int(remove_dc), int(want_energy), floor_log,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), fft_length,
+        log_e.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) if want_energy
+        else ctypes.POINTER(ctypes.c_double)(),
+    )
+    return out, log_e
+
+
+def power_spectrum(spec: np.ndarray, magnitude: bool = False) -> Optional[np.ndarray]:
+    """``|spec|^2`` (or ``|spec|``) of a complex128 array in one fused pass.
+    Returns None when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    spec = np.ascontiguousarray(spec, dtype=np.complex128)
+    out = np.empty(spec.shape, dtype=np.float64)
+    fn = lib.magnitude_c128 if magnitude else lib.power_spectrum_c128
+    fn(spec.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), spec.size,
+       out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
+
+
+def sinc_resample(
+    padded: np.ndarray, num_blocks: int, kernel: np.ndarray, orig: int
+) -> Optional[np.ndarray]:
+    """
+    Polyphase resample of one already-padded float32 waveform with a
+    (phases, K) float32 kernel; returns the raw (num_blocks * phases,)
+    output (caller trims), or None when the native library is unavailable.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    padded = np.ascontiguousarray(padded, dtype=np.float32)
+    kernel = np.ascontiguousarray(kernel, dtype=np.float32)
+    phases, K = kernel.shape
+    assert padded.shape[-1] >= (num_blocks - 1) * orig + K
+    out = np.empty(num_blocks * phases, dtype=np.float32)
+    lib.sinc_resample_f32(
+        padded.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), num_blocks,
+        kernel.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), phases, K, orig,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def scale_i32_to_f32(pcm: np.ndarray, scale: float) -> Optional[np.ndarray]:
+    """One-pass ``pcm.astype(f32) * scale``; None if the library is missing."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    pcm = np.ascontiguousarray(pcm, dtype=np.int32)
+    out = np.empty(pcm.shape, dtype=np.float32)
+    lib.scale_i32_to_f32(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), pcm.size,
+        float(scale), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
