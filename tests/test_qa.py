@@ -1,0 +1,137 @@
+"""
+QA layer: validators, fix_manifests, and supervision trimming
+(reference surface: lhotse/qa.py; reference tests: test/test_qa.py).
+"""
+import logging
+
+import numpy as np
+import pytest
+
+from lhotse_tpu import (
+    Recording,
+    RecordingSet,
+    SupervisionSegment,
+    SupervisionSet,
+    fix_manifests,
+    validate,
+)
+from lhotse_tpu.qa import (
+    remove_missing_recordings_and_supervisions,
+    trim_supervisions_to_recordings,
+    validate_recordings_and_supervisions,
+)
+from lhotse_tpu.testing.dummies import (
+    DummyManifest,
+    dummy_cut,
+    dummy_recording,
+    dummy_supervision,
+)
+
+
+def _sup(i, rec="rec", start=0.0, duration=1.0, **kw):
+    return SupervisionSegment(
+        id=f"sup{i}", recording_id=rec, start=start, duration=duration,
+        channel=0, **kw)
+
+
+def test_validate_passes_on_well_formed_manifests():
+    recs = DummyManifest(RecordingSet, begin_id=0, end_id=3)
+    sups = DummyManifest(SupervisionSet, begin_id=0, end_id=3)
+    validate(recs)
+    validate(sups)
+    validate_recordings_and_supervisions(recs, sups)
+
+
+def test_validate_cut_with_data():
+    cut = dummy_cut(0, with_data=True)
+    validate(cut, read_data=True)
+
+
+def test_validate_rejects_negative_duration_supervision():
+    # Bypass dataclass-level guards by mutating after construction.
+    s = _sup(0)
+    s.duration = -1.0
+    with pytest.raises(AssertionError):
+        validate(s)
+
+
+def test_validate_rejects_supervision_beyond_recording_end():
+    rec = dummy_recording(0, duration=1.0)
+    sup = _sup(0, rec=rec.id, start=0.5, duration=2.0)
+    with pytest.raises(AssertionError):
+        validate_recordings_and_supervisions(
+            RecordingSet([rec]), SupervisionSet([sup]))
+
+
+def test_validate_rejects_supervision_on_missing_channel():
+    rec = dummy_recording(0, duration=1.0)  # mono: channel 0 only
+    sup = SupervisionSegment(
+        id="s", recording_id=rec.id, start=0.0, duration=0.5, channel=1)
+    with pytest.raises(AssertionError):
+        validate_recordings_and_supervisions(
+            RecordingSet([rec]), SupervisionSet([sup]))
+
+
+def test_validate_rejects_supervision_for_unknown_recording():
+    rec = dummy_recording(0)
+    sup = _sup(0, rec="no-such-recording")
+    with pytest.raises(AssertionError):
+        validate_recordings_and_supervisions(
+            RecordingSet([rec]), SupervisionSet([sup]))
+
+
+def test_remove_missing_drops_both_directions():
+    recs = RecordingSet([dummy_recording(0), dummy_recording(1)])
+    rec_ids = sorted(r.id for r in recs)
+    sups = SupervisionSet([
+        _sup(0, rec=rec_ids[0]),          # kept
+        _sup(1, rec="orphaned-rec"),      # dropped: no recording
+    ])
+    recs2, sups2 = remove_missing_recordings_and_supervisions(recs, sups)
+    assert sorted(r.id for r in recs2) == [rec_ids[0]]
+    assert [s.id for s in sups2] == ["sup0"]
+
+
+def test_trim_supervisions_trims_overrun_and_drops_late_start():
+    rec = dummy_recording(0, duration=2.0)
+    sups = [
+        _sup(0, rec=rec.id, start=0.0, duration=1.0),   # untouched
+        _sup(1, rec=rec.id, start=1.5, duration=1.0),   # trimmed to 0.5
+        _sup(2, rec=rec.id, start=2.5, duration=1.0),   # dropped (starts late)
+    ]
+    out = trim_supervisions_to_recordings(rec, sups)
+    assert len(out) == 2
+    by_id = {s.id: s for s in out}
+    assert by_id["sup0"].duration == 1.0
+    assert np.isclose(by_id["sup1"].duration, 0.5)
+    assert np.isclose(by_id["sup1"].end, 2.0)
+
+
+def test_fix_manifests_end_to_end():
+    rec = dummy_recording(0, duration=2.0)
+    recs = RecordingSet([rec, dummy_recording(1)])  # rec1 has no supervisions
+    sups = SupervisionSet([
+        _sup(0, rec=rec.id, start=0.0, duration=3.0),  # overruns -> trim
+        _sup(1, rec="ghost"),                          # orphan -> drop
+    ])
+    recs2, sups2 = fix_manifests(recs, sups)
+    # Fixed manifests must pass joint validation.
+    validate_recordings_and_supervisions(recs2, sups2)
+    assert [s.id for s in sups2] == ["sup0"]
+    assert np.isclose(next(iter(sups2)).duration, 2.0)
+
+
+def test_validate_supervision_set_accepts_alignment():
+    sups = DummyManifest(SupervisionSet, begin_id=0, end_id=2)
+    for s in sups:
+        assert s.alignment is not None or True
+    validate(sups)
+
+
+def test_warns_on_unsupervised_recordings(caplog):
+    recs = RecordingSet([dummy_recording(0), dummy_recording(1)])
+    some_rec = next(iter(recs))
+    sups = SupervisionSet([_sup(0, rec=some_rec.id, duration=some_rec.duration)])
+    with caplog.at_level(logging.WARNING):
+        validate_recordings_and_supervisions(recs, sups)
+    assert any("without any" in m for m in caplog.messages)
