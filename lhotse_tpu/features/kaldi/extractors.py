@@ -452,13 +452,16 @@ class Fbank(_KaldiExtractorBase):
         return out
 
     def _postprocess_numpy(self, pow_spec, log_e):
-        # f64 accumulation in the mel matmul: costs ~nothing next to the FFT
-        # and keeps the log-domain noise floor below the 5e-4 parity budget.
-        fb = np.asarray(self.extractor._fb, dtype=np.float64)
-        out = np.log(np.maximum(pow_spec @ fb, ops.FLT_EPS))
+        # f32 sgemm for the mel projection: 2x the f64 dgemm throughput, and
+        # the extra log-domain noise it adds (~1e-6, linear-domain rounding
+        # on strictly positive sums) sits far below the 5e-4 parity budget.
+        # The f64 chain up to the power spectrum is what parity needs — the
+        # FFT's near-cancellation bins, not the mel accumulation.
+        fb = np.asarray(self.extractor._fb, dtype=np.float32)
+        out = np.log(np.maximum(pow_spec.astype(np.float32) @ fb, ops.FLT_EPS))
         if self.config.use_energy and log_e is not None:
-            out = np.concatenate([log_e[:, None], out], axis=-1)
-        return out.astype(np.float32)
+            out = np.concatenate([log_e[:, None].astype(np.float32), out], axis=-1)
+        return out.astype(np.float32, copy=False)
 
     @staticmethod
     def mix(
