@@ -132,6 +132,17 @@ class PillowReader(ImageReader):
         return np.asarray(img)
 
 
+def _as_pil(value):
+    """Accept a PIL image, numpy (H, W[, C]) array, or encoded bytes."""
+    from PIL import Image as PILImage
+
+    if isinstance(value, np.ndarray):
+        return PILImage.fromarray(value)
+    if isinstance(value, bytes):
+        return PILImage.open(BytesIO(value))
+    return value
+
+
 @register_writer
 class PillowWriter(ImageWriter):
     """Writes image files into a directory."""
@@ -149,7 +160,7 @@ class PillowWriter(ImageWriter):
     def write(self, key: str, value) -> str:
         if not key.endswith((".jpg", ".jpeg", ".png", ".webp")):
             key = key + ".png"
-        value.save(self._storage_path / key)
+        _as_pil(value).save(self._storage_path / key)
         return key
 
 
@@ -186,5 +197,5 @@ class PillowInMemoryWriter(ImageWriter):
 
     def write(self, key: str, value) -> bytes:
         buf = BytesIO()
-        value.save(buf, format="PNG")
+        _as_pil(value).save(buf, format="PNG")
         return buf.getvalue()
