@@ -63,7 +63,10 @@ class RecordingSet(Serializable, AlgorithmMixin):
         build a RecordingSet (header-only probes; parallel with num_jobs > 1).
         """
         path = Path(path)
-        it = path.rglob(pattern)
+        # Sorted scan: rglob yields filesystem order, which varies between
+        # hosts and breaks the sorted-by-recording-id contract of downstream
+        # streaming joins (CutSet.from_manifests lazy path).
+        it = iter(sorted(path.rglob(pattern)))
         if exclude_pattern is not None:
             exclude = re.compile(exclude_pattern)
             it = (p for p in it if exclude.fullmatch(p.name) is None)

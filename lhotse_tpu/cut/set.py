@@ -1522,6 +1522,19 @@ def create_cut_set_lazy(
                 writer.write(
                     _cut_from_recording(ridx, recording, sups_for(recording.id), random_ids)
                 )
+    if sup_stream is not None:
+        # With correctly sorted inputs every supervision is consumed by the
+        # forward scan; leftovers mean the sort contract was violated and
+        # those supervisions were silently dropped from the cuts.
+        leftovers = sum(1 for _ in sup_stream)
+        if leftovers:
+            warnings.warn(
+                f"{leftovers} supervisions were not attached to any cut. The "
+                "streaming manifest join requires all inputs sorted by "
+                "recording id; sort the inputs first, or materialize them "
+                "eagerly (CLI: pass --force-eager to 'cut simple').",
+                stacklevel=2,
+            )
     return CutSet.from_jsonl_lazy(output_path)
 
 

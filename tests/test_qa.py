@@ -135,3 +135,40 @@ def test_warns_on_unsupervised_recordings(caplog):
     with caplog.at_level(logging.WARNING):
         validate_recordings_and_supervisions(recs, sups)
     assert any("without any" in m for m in caplog.messages)
+
+
+def test_lazy_manifest_join_warns_on_unsorted_inputs(tmp_path):
+    """Regression (found 2026-08-16 via CLI drive): the streaming
+    CutSet.from_manifests silently dropped supervisions when the inputs were
+    not sorted by recording id; it must warn so the user can fix the sort."""
+    from lhotse_tpu import CutSet, RecordingSet
+    from lhotse_tpu.testing.dummies import dummy_recording
+
+    recs = [dummy_recording(i) for i in range(4)]
+    sups = [
+        _sup(i, rec=r.id, duration=min(1.0, r.duration))
+        for i, r in enumerate(recs)
+    ]
+    # Recordings reversed relative to supervisions: violates the sort contract.
+    RecordingSet(list(reversed(recs))).to_file(tmp_path / "recs.jsonl.gz")
+    SupervisionSet(sups).to_file(tmp_path / "sups.jsonl.gz")
+    with pytest.warns(UserWarning, match="not attached"):
+        CutSet.from_manifests(
+            recordings=RecordingSet.from_jsonl_lazy(tmp_path / "recs.jsonl.gz"),
+            supervisions=SupervisionSet.from_jsonl_lazy(tmp_path / "sups.jsonl.gz"),
+            output_path=tmp_path / "cuts.jsonl.gz",
+            lazy=True,
+        )
+    # Sorted inputs attach every supervision and stay silent.
+    RecordingSet(recs).to_file(tmp_path / "recs2.jsonl.gz")
+    import warnings as W
+
+    with W.catch_warnings():
+        W.simplefilter("error")
+        cuts = CutSet.from_manifests(
+            recordings=RecordingSet.from_jsonl_lazy(tmp_path / "recs2.jsonl.gz"),
+            supervisions=SupervisionSet.from_jsonl_lazy(tmp_path / "sups.jsonl.gz"),
+            output_path=tmp_path / "cuts2.jsonl.gz",
+            lazy=True,
+        )
+    assert all(len(c.supervisions) == 1 for c in cuts)
