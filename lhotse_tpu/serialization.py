@@ -359,10 +359,28 @@ def load_json(path: Pathlike) -> Union[dict, list]:
         return json.load(f)
 
 
+def _dumps_manifest(item: Dict[str, Any]) -> str:
+    """json.dumps with an actionable error for in-memory binary payloads."""
+    try:
+        return json.dumps(item, ensure_ascii=False)
+    except TypeError as e:
+        if "bytes" not in str(e):
+            raise
+        raise TypeError(
+            f"Cannot store manifest '{item.get('id', '<no id>')}' as JSON: it "
+            "contains in-memory binary data (e.g. from move_to_memory(), "
+            "from_bytes(), or an attached in-memory array). JSONL manifests "
+            "cannot hold raw bytes — either drop the in-memory fields, keep "
+            "the data in file/archive-backed storage, or export through Shar "
+            "and declare those fields in `fields=` so their payloads go into "
+            "the data shards."
+        ) from e
+
+
 def save_to_jsonl(data: Iterable[Dict[str, Any]], path: Pathlike) -> None:
     with open_best(path, "w") as f:
         for item in data:
-            print(json.dumps(item, ensure_ascii=False), file=f)
+            print(_dumps_manifest(item), file=f)
 
 
 def load_jsonl(path: Pathlike) -> Generator[Dict[str, Any], None, None]:
@@ -466,7 +484,7 @@ class SequentialJsonlWriter:
         self._maybe_open()
         if not isinstance(manifest, dict):
             manifest = manifest.to_dict()
-        print(json.dumps(manifest, ensure_ascii=False), file=self.file)
+        print(_dumps_manifest(manifest), file=self.file)
         if flush:
             self.file.flush()
 
