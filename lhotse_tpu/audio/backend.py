@@ -232,6 +232,57 @@ class FlacBackend(AudioBackend):
         write_flac(dest, np.asarray(src), sampling_rate)
 
 
+class AiffBackend(AudioBackend):
+    """AIFF / AIFF-C via the in-repo numpy codec
+    (:mod:`lhotse_tpu.audio.aiffio`): BE/LE PCM 8/16/24/32, fl32/fl64,
+    ulaw/alaw compression types; saves standard AIFF PCM16."""
+
+    def read_audio(
+        self, path_or_fd, offset: Seconds = 0.0, duration: Optional[Seconds] = None,
+        force_opus_sampling_rate: Optional[int] = None) -> Tuple[np.ndarray, int]:
+        from lhotse_tpu.audio.aiffio import read_aiff
+
+        samples, sr = read_aiff(path_or_fd)
+        if offset or duration is not None:
+            lo = compute_num_samples(offset, sr) if offset else 0
+            hi = lo + compute_num_samples(duration, sr) if duration is not None else None
+            samples = samples[:, lo:hi]
+        return samples, sr
+
+    def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
+        from lhotse_tpu.audio.aiffio import info_aiff
+
+        hdr = info_aiff(path_or_fd)
+        return LibsndfileCompatibleAudioInfo(
+            channels=hdr.num_channels, frames=hdr.num_frames, samplerate=hdr.sampling_rate,
+            duration=hdr.num_frames / hdr.sampling_rate)
+
+    def is_applicable(self, path_or_fd) -> bool:
+        sfx = _suffix_of(path_or_fd)
+        if sfx in (".aiff", ".aif", ".aifc"):
+            return True
+        try:
+            if isinstance(path_or_fd, (str, Path)):
+                with open(path_or_fd, "rb") as f:
+                    magic = f.read(12)
+            else:
+                magic = _peek_bytes(path_or_fd, 12)
+            return magic[:4] == b"FORM" and magic[8:12] in (b"AIFF", b"AIFC")
+        except Exception:
+            return False
+
+    def supports_info(self) -> bool:
+        return True
+
+    def supports_save(self) -> bool:
+        return True
+
+    def save_audio(self, dest, src, sampling_rate: int, format=None, encoding=None) -> None:
+        from lhotse_tpu.audio.aiffio import write_aiff
+
+        write_aiff(dest, np.asarray(src), sampling_rate)
+
+
 class SoundfileBackend(AudioBackend):
     """Optional libsndfile coverage when the ``soundfile`` package is present
     (reference default backend, audio/backend.py:515)."""
@@ -640,7 +691,8 @@ def get_default_audio_backend() -> AudioBackend:
     """Composite over every available backend, internal codecs first."""
     # SphereBackend subsumes the sph2pipe subprocess backend: it decodes
     # pcm/ulaw/alaw natively and delegates shorten files to sph2pipe itself.
-    backends: List[AudioBackend] = [SphereBackend(), InternalWavBackend(), FlacBackend()]
+    backends: List[AudioBackend] = [
+        SphereBackend(), InternalWavBackend(), FlacBackend(), AiffBackend()]
     if SoundfileBackend.is_available():
         backends.append(SoundfileBackend())
     if FfmpegSubprocessBackend.is_available():

@@ -149,6 +149,22 @@ _MULAW_TABLE: Optional[np.ndarray] = None
 _ALAW_TABLE: Optional[np.ndarray] = None
 
 
+def mulaw_table() -> np.ndarray:
+    """256-entry mu-law byte -> float32 decode table (shared by codecs)."""
+    global _MULAW_TABLE
+    if _MULAW_TABLE is None:
+        _MULAW_TABLE = _make_mulaw_table()
+    return _MULAW_TABLE
+
+
+def alaw_table() -> np.ndarray:
+    """256-entry A-law byte -> float32 decode table (shared by codecs)."""
+    global _ALAW_TABLE
+    if _ALAW_TABLE is None:
+        _ALAW_TABLE = _make_alaw_table()
+    return _ALAW_TABLE
+
+
 def _decode_frames(raw: bytes, header: WavHeader) -> np.ndarray:
     """Decode raw interleaved frames to float32 (num_channels, num_frames)."""
     global _MULAW_TABLE, _ALAW_TABLE

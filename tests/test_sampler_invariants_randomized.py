@@ -62,7 +62,12 @@ def test_ranks_partition_the_epoch_exactly(case):
                 longest = max(c.duration for c in batch)
                 assert total - longest <= max_duration + 1e-6
                 seen.extend(c.id for c in batch)
-    assert sorted(seen) == sorted(c.id for c in cuts)
+    # Uneven rank partitions are equalized by duplicating a cut (with a
+    # "_dupN" id suffix) so every DDP rank sees the same number of batches.
+    base_ids = [i.split("_dup")[0] for i in seen]
+    dups = len(seen) - len(set(base_ids))
+    assert dups < world_size
+    assert sorted(set(base_ids)) == sorted(c.id for c in cuts)
 
 
 @settings(max_examples=15, deadline=None)
