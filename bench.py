@@ -184,7 +184,10 @@ def bench_host_pipeline() -> dict:
                 input_strategy=OnTheFlyFeatures(Fbank())
             )
             return DataLoader(
-                sampler, dataset, num_workers=num_workers, prefetch_batches=2
+                sampler, dataset, num_workers=num_workers,
+                # On a core-starved host even the prefetch thread costs more
+                # in GIL churn than it hides in latency: run synchronously.
+                prefetch_batches=2 if num_workers else (2 if cores >= 2 else 0)
             )
 
         # Warm pass compiles the per-bucket fbank programs inside the workers.
