@@ -29,7 +29,17 @@ def plot_batch(batch: Mapping[str, Any], supervisions: bool = True, text=True):
         _plot_features(key="features")
 
     if "audio" in batch:
-        raise NotImplementedError("Plotting audio for batches is not supported yet.")
+        # Waveform view (the reference raises NotImplementedError here).
+        audio = np.asarray(batch["audio"])
+        for idx in range(batch_size):
+            wave = audio[idx]
+            if wave.ndim == 2:  # (channels, samples): overlay channels
+                for ch in wave:
+                    axes[idx].plot(ch, linewidth=0.5)
+            else:
+                axes[idx].plot(wave, linewidth=0.5)
+            axes[idx].set_ylim(-1.05, 1.05)
+        fig.tight_layout(h_pad=2)
 
     if "inputs" in batch:
         if len(batch["inputs"].shape) == 3:
