@@ -19,7 +19,7 @@ from typing import Dict, Tuple, Union
 from lhotse_tpu.audio import Recording, RecordingSet
 from lhotse_tpu.qa import fix_manifests
 from lhotse_tpu.supervision import AlignmentItem, SupervisionSegment, SupervisionSet
-from lhotse_tpu.utils import Pathlike, is_module_available
+from lhotse_tpu.utils import Pathlike, is_module_available, safe_extract
 
 _LABELS_URL = (
     "https://drive.google.com/file/d/16htmj5O14D51C-EjOUMF_cXOxo6vruui/view?usp=sharing")
@@ -63,7 +63,7 @@ def extract_and_flatten_tar(tar_path: Path, extract_dir: Path) -> None:
     if marker.exists():
         return
     with tarfile.open(tar_path) as tar:
-        tar.extractall(path=extract_dir)
+        safe_extract(tar, path=extract_dir)
     for p in extract_dir.rglob("*"):
         if p.is_file() and p.parent != extract_dir and p.suffix != ".done":
             target_path = extract_dir / p.name

@@ -34,9 +34,14 @@ _FALLBACK_TOKEN = re.compile(r"\w+(?:['']\w+)?|[^\w\s]")
 
 def _tokenize(text: str) -> List[str]:
     if is_module_available("nltk"):
-        from nltk import word_tokenize
+        try:
+            from nltk import word_tokenize
 
-        return word_tokenize(text)
+            return word_tokenize(text)
+        except LookupError:
+            # nltk is installed but its tokenizer data (punkt) is not
+            # downloaded; the regex fallback keeps the recipe usable offline.
+            pass
     return _FALLBACK_TOKEN.findall(text)
 
 

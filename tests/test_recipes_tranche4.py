@@ -1,0 +1,339 @@
+"""Tranche-4 recipe prepare_* functions on synthesized corpus trees —
+the recipes that previously had no fixture tests."""
+import json
+
+import numpy as np
+import pytest
+
+from lhotse_tpu.audio.wavio import write_wav
+
+
+def _wav(path, seconds=1.0, sr=16000, seed=0, channels=1):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    write_wav(path, (rng.randn(channels, int(seconds * sr)) * 0.1).astype(np.float32), sr)
+
+
+def _flac(path, seconds=1.0, sr=16000, seed=0):
+    from lhotse_tpu.audio.flacio import write_flac
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    rng = np.random.RandomState(seed)
+    write_flac(str(path), (rng.randn(int(seconds * sr)) * 0.1).astype(np.float32), sr)
+
+
+def test_prepare_aidatatang_200zh(tmp_path):
+    from lhotse_tpu.recipes import prepare_aidatatang_200zh
+
+    d = tmp_path / "aidatatang_200zh"
+    (d / "transcript").mkdir(parents=True)
+    (d / "transcript" / "aidatatang_200_zh_transcript.txt").write_text(
+        "T0055G0013S0001 你好Ａ世界\nT0055G0036S0002 测试 abc\n", encoding="utf-8")
+    _wav(d / "corpus" / "train" / "G0013" / "T0055G0013S0001.wav", seed=1)
+    _wav(d / "corpus" / "dev" / "G0036" / "T0055G0036S0002.wav", seed=2)
+    m = prepare_aidatatang_200zh(tmp_path, output_dir=tmp_path / "out")
+    train = list(m["train"]["supervisions"])
+    dev = list(m["dev"]["supervisions"])
+    assert len(train) == 1 and train[0].speaker == "G0013"
+    assert "A" in train[0].text  # fullwidth A mapped
+    assert len(dev) == 1 and dev[0].text == "测试 ABC"  # uppercased
+
+
+def test_prepare_magicdata(tmp_path):
+    from lhotse_tpu.recipes import prepare_magicdata
+
+    for part, utt, spk, seed in (("train", "A_1", "SPK1", 3), ("dev", "B_2", "SPK2", 4)):
+        _wav(tmp_path / part / spk / f"{utt}.wav", seed=seed)
+        (tmp_path / part / "TRANS.txt").write_text(
+            "UtteranceID SpeakerID Transcription\n"
+            f"{utt}.wav {spk} 你好，世界！\n", encoding="utf-8")
+    m = prepare_magicdata(tmp_path, output_dir=tmp_path / "out")
+    train = list(m["train"]["supervisions"])
+    assert len(train) == 1 and train[0].speaker == "SPK1"
+    assert "，" not in train[0].text  # punctuation normalized away
+    assert len(list(m["dev"]["recordings"])) == 1
+
+
+def test_prepare_primewords(tmp_path):
+    from lhotse_tpu.recipes import prepare_primewords
+
+    root = tmp_path / "primewords_md_2018_set1"
+    (root).mkdir(parents=True)
+    (root / "set1_transcript.json").write_text(json.dumps([
+        {"file": "a1.wav", "text": "第 一 句", "user_id": 100},
+        {"file": "b2.wav", "text": "第 二 句", "user_id": 200},
+    ]), encoding="utf-8")
+    _wav(root / "audio_files" / "0" / "00" / "a1.wav", seed=5)
+    _wav(root / "audio_files" / "1" / "11" / "b2.wav", seed=6)
+    m = prepare_primewords(tmp_path, output_dir=tmp_path / "out")
+    sups = sorted(m["train"]["supervisions"], key=lambda s: s.id)
+    assert len(sups) == 2
+    assert sups[0].speaker == "100" and sups[1].speaker == "200"
+
+
+def test_prepare_stcmds(tmp_path):
+    from lhotse_tpu.recipes import prepare_stcmds
+
+    root = tmp_path / "ST-CMDS-20170001_1-OS"
+    utt = "20170001P00001A0001"
+    _wav(root / f"{utt}.wav", seed=7)
+    (root / f"{utt}.txt").write_text("你好，世界", encoding="utf-8")
+    m = prepare_stcmds(tmp_path, output_dir=tmp_path / "out")
+    sups = list(m["train"]["supervisions"])
+    assert len(sups) == 1
+    assert sups[0].speaker == "P00001A"  # chars 8..15 of the utterance id
+    assert "，" not in sups[0].text
+
+
+def test_prepare_thchs_30(tmp_path):
+    from lhotse_tpu.recipes import prepare_thchs_30
+
+    root = tmp_path / "data_thchs30"
+    _wav(root / "data" / "B11_374.wav", seed=8)
+    (root / "data" / "B11_374.wav.trn").write_text(
+        "绿 是 阳春 烟 景\nlv4 shi4 ...\nl v4 ...\n", encoding="utf-8")
+    _wav(root / "train" / "B11_374.wav", seed=8)
+    m = prepare_thchs_30(tmp_path, output_dir=tmp_path / "out")
+    train = list(m["train"]["supervisions"])
+    assert len(train) == 1
+    assert train[0].speaker == "B11"
+    assert train[0].text.startswith("绿")
+    assert len(list(m["dev"]["recordings"])) == 0
+
+
+def test_prepare_ksponspeech(tmp_path):
+    from lhotse_tpu.recipes import prepare_ksponspeech
+
+    # Headerless 16-bit PCM source file, as shipped by the corpus.
+    rng = np.random.RandomState(9)
+    pcm = (rng.randn(16000) * 3000).astype("<i2")
+    rel = "KsponSpeech_01/KsponSpeech_0001/KsponSpeech_000001.pcm"
+    p = tmp_path / rel
+    p.parent.mkdir(parents=True)
+    p.write_bytes(pcm.tobytes())
+    (tmp_path / "train.trn").write_text(
+        f"{rel} :: 아/ 몬 소리야+, (3프로)/(삼 프로) 진짜*\n", encoding="utf-8")
+    m = prepare_ksponspeech(
+        tmp_path, dataset_parts="train", output_dir=tmp_path / "out")
+    sups = list(m["train"]["supervisions"])
+    assert len(sups) == 1 and sups[0].language == "Korean"
+    # noise labels, dual-transcript brackets, and *,+,/ markers removed
+    for ch in ("*", "+", "/", "(", ")"):
+        assert ch not in sups[0].text
+    recs = list(m["train"]["recordings"])
+    assert recs[0].num_samples == 16000  # via the pcm->flac conversion
+
+
+def test_prepare_earnings22(tmp_path):
+    from lhotse_tpu.recipes import prepare_earnings22
+
+    # The corpus ships mp3; in this env the internal backend decodes RIFF by
+    # magic sniffing, so the fixture is a wav payload behind an .mp3 name.
+    _wav(tmp_path / "media" / "4320211.mp3", seconds=2.0, seed=10)
+    # read_metadata keeps fields[1:-1], and the recipe reads language at [4].
+    (tmp_path / "metadata.csv").write_text(
+        "source_id,a,b,c,d,lang,end\n4320211,x,y,z,w,en-US,0\n")
+    nlp = tmp_path / "transcripts" / "nlp_references"
+    nlp.mkdir(parents=True)
+    (nlp / "4320211.nlp").write_text(
+        "token|speaker|ts|endTs|punct|prepunct|case|tags|wer_tags\n"
+        "hello|1|||||||\n"
+        "world|1|||||||\n")
+    recs, sups = prepare_earnings22(tmp_path, output_dir=tmp_path / "out")
+    sups = list(sups)
+    assert len(list(recs)) == 1 and len(sups) == 1
+    assert sups[0].text == "hello world"
+    assert sups[0].language == "English-en-US"
+
+
+def test_prepare_this_american_life(tmp_path):
+    from lhotse_tpu.recipes import prepare_this_american_life
+
+    _wav(tmp_path / "audio" / "ep-1.mp3", seconds=10.0, seed=11)
+    transcript = {
+        "ep-1": [
+            {
+                "utterance": "hello world",
+                "n_words": 2,
+                "utterance_start": 1.0,
+                "utterance_end": 3.0,
+                "speaker": "host",
+                "alignments": [[1.0, 1.5, 0], [1.6, 2.4, 1]],
+            }
+        ]
+    }
+    for split in ("train", "valid", "test"):
+        (tmp_path / f"{split}-transcripts-aligned.json").write_text(
+            json.dumps(transcript if split == "train" else {}))
+    m = prepare_this_american_life(tmp_path, output_dir=tmp_path / "out")
+    train_sups = list(m["train"]["supervisions"])
+    assert len(train_sups) == 1
+    s = train_sups[0]
+    assert s.speaker == "host" and s.start == 1.0 and s.duration == 2.0
+    ali = s.alignment["word"]
+    assert [a.symbol for a in ali] == ["hello", "world"]
+    assert len(list(m["dev"]["supervisions"])) == 0
+
+
+def test_prepare_reazonspeech(tmp_path):
+    from lhotse_tpu.recipes import prepare_reazonspeech
+
+    corpus = tmp_path / "corpus"
+    items = []
+    for i in range(5):
+        p = corpus / "audio" / f"u{i}.flac"
+        _flac(p, seconds=1.0, seed=20 + i)
+        items.append({
+            "id": f"u{i}", "audio_filepath": str(p), "duration": 1.0,
+            "text": f"こんにちは{i}",
+        })
+    (corpus / "dataset.json").write_text(json.dumps(items), encoding="utf-8")
+    m = prepare_reazonspeech(corpus, output_dir=tmp_path / "out")
+    # Fewer than 1000 items: everything lands in dev.
+    dev_sups = list(m["dev"]["supervisions"])
+    assert len(dev_sups) == 5
+    assert all(s.language == "Japanese" for s in dev_sups)
+    assert len(list(m["train"]["supervisions"])) == 0
+    assert len(list(m["dev"]["cuts"])) == 5
+
+
+def test_prepare_edacc(tmp_path):
+    from lhotse_tpu.recipes import prepare_edacc
+
+    root = tmp_path / "edacc_v1.0"
+    _wav(root / "data" / "EDACC-C06.wav", seconds=4.0, sr=32000, seed=12)
+    (root / "linguistic_background.csv").write_text(
+        "PARTICIPANT_ID,What is your gender?,What’s your ethnic background? ,"
+        "What is your higher level of education?,"
+        '"How would you describe your accent in English? (e.g. Italian, Glaswegian)",'
+        '"Do you speak any second languages? separate them with commas  '
+        '(e.g., Mandarin,Catalan,French )",'
+        '"What’s your year of birth? (e.g., 1992)",'
+        '"What year did you start learning English? (e.g., 1999)"\n'
+        'P1,male,white,MSc,Italian,"French,Spanish",1992,1999\n',
+        encoding="utf-8")
+    for split in ("dev", "test"):
+        d = root / split
+        d.mkdir(parents=True)
+        (d / "segments").write_text("EDACC-C06-A-1 EDACC-C06 0.5 2.0\n")
+        (d / "text").write_text("EDACC-C06-A-1 hello there\n")
+        (d / "utt2spk").write_text("EDACC-C06-A-1 P1\n")
+        (d / "conv.list").write_text("EDACC-C06\n" if split == "dev" else "")
+    m = prepare_edacc(tmp_path, output_dir=tmp_path / "out")
+    dev_sups = list(m["dev"]["supervisions"])
+    assert len(dev_sups) == 1
+    s = dev_sups[0]
+    assert s.language == "English" and s.speaker == "P1"
+    assert s.is_conversational is True
+    assert s.accent == "Italian" and s.gender == "male"
+    assert s.age == 30  # 2022 - 1992
+    test_sups = list(m["test"]["supervisions"])
+    assert test_sups[0].is_conversational is False
+
+
+def test_prepare_gale_mandarin(tmp_path, monkeypatch):
+    import lhotse_tpu.recipes.gale_mandarin as gm
+
+    header = (
+        "file;unicode\tchannel;int\tstart;float\tend;float\tspeaker;unicode\t"
+        "speakerType;unicode\tspeakerDialect;unicode\ttranscript;unicode\t"
+        "section;int\tturn;int\tsegment;int\tsectionType;unicode\tsuType;unicode\n"
+        ";;MM sectionTypes\n;;MM sectionBoundaries\n")
+
+    def row(reco, start, end, speaker, text):
+        return (f"{reco}\t0\t{start}\t{end}\t{speaker}\tmale\tdialect\t{text}"
+                f"\t0\t1\t2\treport\tstatement\n")
+
+    adir, tdir = tmp_path / "audio", tmp_path / "trans"
+    tdir.mkdir()
+    _wav(adir / "CCTV_DEV_20070101.wav", seconds=10.0, seed=13)
+    _wav(adir / "CCTV_TRAIN_20070102.flac", seconds=10.0, seed=14)
+    (tdir / "x.tdf").write_text(
+        header
+        + row("CCTV_DEV_20070101", 0.5, 2.0, "spkA", "你好")
+        + row("CCTV_TRAIN_20070102", 1.0, 3.0, "spkB", "世界"))
+    monkeypatch.setattr(gm, "_fetch_dev_ids", lambda: ["CCTV_DEV_20070101"])
+    m = gm.prepare_gale_mandarin([adir], [tdir], output_dir=tmp_path / "out")
+    dev = list(m["dev"]["supervisions"])
+    train = list(m["train"]["supervisions"])
+    assert len(dev) == 1 and dev[0].recording_id == "CCTV_DEV_20070101"
+    assert len(train) == 1 and train[0].language == "Mandarin"
+
+
+def test_prepare_spatial_librispeech(tmp_path):
+    pd = pytest.importorskip("pandas")
+    from lhotse_tpu.recipes import prepare_spatial_librispeech
+
+    _flac(tmp_path / "audio_files" / "train" / "000000.flac", seed=15)
+    _flac(tmp_path / "audio_files" / "test" / "000001.flac", seed=16)
+    pd.DataFrame({
+        "split": ["train", "test"],
+        "sample_id": [0, 1],
+        "speech/librispeech_metadata/transcription": ["HELLO WORLD", "BYE"],
+        "speech/librispeech_metadata/reader_sex": ["F", "M"],
+        "speech/librispeech_metadata/reader_id": ["19", "26"],
+    }).to_parquet(tmp_path / "metadata.parquet")
+    m = prepare_spatial_librispeech(
+        tmp_path, output_dir=tmp_path / "out", dataset_parts=("train", "test"))
+    train = list(m["train"]["supervisions"])
+    assert len(train) == 1 and train[0].text == "HELLO WORLD"
+    assert train[0].speaker == "19" and train[0].gender == "F"
+
+
+def test_prepare_oto_speech(tmp_path):
+    import tarfile
+
+    from lhotse_tpu.recipes import prepare_oto_speech
+
+    corpus = tmp_path / "corpus"
+    flac_src = tmp_path / "stage" / "sessA.flac"
+    _flac(flac_src, seconds=2.0, sr=48000, seed=17)
+    part_dir = corpus / "data" / "train"
+    part_dir.mkdir(parents=True)
+    with tarfile.open(part_dir / "shard0.tar", "w") as tar:
+        tar.add(flac_src, arcname="inner/sessA.flac")
+    (corpus / "seglst.json").write_text(json.dumps([
+        {"session_id": "sessA", "start_time": 0.2, "end_time": 1.4,
+         "words": "hello oto", "speaker": "spk0",
+         "word_alignment": [["hello", 0.2, 0.7], ["oto", 0.8, 1.4]]},
+        {"session_id": "missing", "start_time": 0.0, "end_time": 1.0,
+         "words": "x", "speaker": "y"},
+    ]), encoding="utf-8")
+    m = prepare_oto_speech(corpus, output_dir=tmp_path / "out")
+    sups = list(m["train"]["supervisions"])
+    assert len(sups) == 1  # the 'missing' session is skipped
+    assert sups[0].text == "hello oto"
+    assert [a.symbol for a in sups[0].alignment["word"]] == ["hello", "oto"]
+    recs = list(m["train"]["recordings"])
+    assert recs[0].sampling_rate == 16000  # lazily resampled from 48k
+
+
+def test_prepare_gigast(tmp_path):
+    from lhotse_tpu import SupervisionSegment, SupervisionSet
+    from lhotse_tpu.recipes import prepare_gigast
+
+    manifests_dir = tmp_path / "manifests"
+    manifests_dir.mkdir()
+    sups = SupervisionSet.from_segments([
+        SupervisionSegment(id=f"POD1_S{i:07d}", recording_id="POD1", start=float(i),
+                           duration=1.0, channel=0, text=f"segment {i}")
+        for i in range(3)
+    ])
+    sups.to_file(manifests_dir / "gigaspeech_supervisions_TEST.jsonl.gz")
+    from lhotse_tpu import RecordingSet
+    from lhotse_tpu.testing.dummies import dummy_recording
+
+    RecordingSet([dummy_recording(0)]).to_file(
+        manifests_dir / "gigaspeech_recordings_TEST.jsonl.gz")
+    (tmp_path / "GigaST.de.json").write_text(json.dumps({
+        "audios": [{"segments": [
+            {"sid": "POD1_S0000001", "text_raw": "Segment eins", "extra": {}},
+        ]}]
+    }), encoding="utf-8")
+    m = prepare_gigast(
+        tmp_path, manifests_dir, output_dir=tmp_path / "out",
+        languages="de", dataset_parts="TEST")
+    out_sups = list(m["de-TEST"]["supervisions"])
+    assert len(out_sups) == 1
+    assert out_sups[0].id == "POD1_S0000001"
+    assert out_sups[0].custom["text_raw"] == "Segment eins"
