@@ -103,6 +103,6 @@ class PreMixedSourceSeparationDataset(SourceSeparationDataset):
         super().__init__(sources_set=sources_set, mixtures_set=mixtures_set)
 
     def _obtain_mixture(self, cut_id: str) -> Tuple[Cut, List[MonoCut]]:
-        mixture_cut = self.mixtures_set.cuts[cut_id]
+        mixture_cut = self.mixtures_set[cut_id]
         sources = self.mixture_to_source[mixture_cut.id]
-        return mixture_cut, [self.sources_set.cuts[sid] for sid in sources]
+        return mixture_cut, [self.sources_set[sid] for sid in sources]
