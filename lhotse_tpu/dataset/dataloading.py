@@ -235,8 +235,14 @@ class PartitionedIndexedIterator:
             return 0
         return (total_len - shard_id + num_shards - 1) // num_shards
 
-    def iterate(self, total_len: int) -> Generator[int, None, None]:
-        shard_id, num_shards = get_worker_partition()
+    def iterate(
+        self, total_len: int, partition: Optional[Tuple[int, int]] = None,
+    ) -> Generator[int, None, None]:
+        """``partition`` overrides the env-gated worker partition — used by
+        readers whose own API requested splitting (split_for_dataloading)."""
+        shard_id, num_shards = (
+            partition if partition is not None else get_worker_partition()
+        )
         start = self._resume_start(shard_id, num_shards)
         self._shard_id, self._num_shards = shard_id, num_shards
         shard_len = self._build_order(total_len, shard_id, num_shards)

@@ -358,7 +358,16 @@ class LazyIndexedSharIterator(IteratorNode):
     # -- iteration / state ----------------------------------------------------------
 
     def __iter__(self):
-        for flat in self._iter_state.iterate(self.catalog.total):
+        partition = None
+        if self.split_for_dataloading:
+            # Honor the explicit API request even without the env-gated
+            # worker_init_fn activation (the streaming reader splits at the
+            # shard level; here we split the flat item range the same way).
+            from lhotse_tpu.shar.readers.utils import worker_info
+
+            rank, world, worker, num_workers = worker_info()
+            partition = (rank * num_workers + worker, world * num_workers)
+        for flat in self._iter_state.iterate(self.catalog.total, partition=partition):
             yield self[flat]
         self.epoch += 1
 
