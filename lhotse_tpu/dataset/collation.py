@@ -178,6 +178,13 @@ def collate_audio(
         cuts, executor, suppress_errors=fault_tolerant, recording_field=recording_field,
         filter_aux_iter=sample_counts)
 
+    if not audios:
+        # Every cut failed to load (fault_tolerant; otherwise read raised):
+        # hand back an empty, well-shaped batch instead of crashing.
+        empty = np.zeros((0, 0), dtype=np.float32)
+        lens = np.zeros((0,), dtype=np.int32)
+        return (empty, lens, cuts) if fault_tolerant else (empty, lens)
+
     if mono_downmix is None:
         # Auto-detect: multichannel collation only when every audio is 2-D.
         mono_downmix = not all(a.ndim == 2 for a in audios)
