@@ -61,8 +61,15 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
             setattr(self, f"{attr}_dist", dist)
 
     def _compute_histogram_dist(self, values: np.ndarray) -> Any:
-        from scipy.stats import rv_histogram
+        from scipy.stats import rv_histogram, uniform
 
+        values = np.asarray(values, dtype=np.float64)
+        if values.max() - values.min() < 1e-6:
+            # Numerically identical observations (e.g. a uniformly segmented
+            # corpus): 100 bins over a ~1e-16 span produce zero-width bins
+            # whose density normalization yields NaN samples. Degenerate to
+            # the constant itself.
+            return uniform(loc=float(values.mean()), scale=0.0)
         return rv_histogram(np.histogram(values, bins=100, density=True))
 
     @dill_enabled(True)
@@ -93,7 +100,19 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
                 else:
                     gaps["diff_spk_overlap"].append(-step)
 
+        from scipy.stats import gamma
+
         for attr, values in gaps.items():
+            if len(values) == 0:
+                # A category the corpus never exhibits (e.g. no overlaps):
+                # an empty histogram would sample NaN durations. Keep the
+                # default prior for it instead.
+                logging.info(
+                    f"No '{attr}' observations in the fitted corpus; keeping "
+                    f"the default distribution."
+                )
+                setattr(self, f"{attr}_dist", gamma(a=1.0, scale=1.0, loc=getattr(self, attr)))
+                continue
             dist = self._compute_histogram_dist(np.array(values))
             setattr(self, f"{attr}_dist", dist)
             setattr(self, attr, dist.mean())

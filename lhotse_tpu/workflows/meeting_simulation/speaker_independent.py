@@ -65,6 +65,14 @@ class SpeakerIndependentMeetingSimulator(BaseMeetingSimulator):
             segments.sort(key=lambda s: s.start)
             gaps.extend(max(0, nxt.start - prev.end) for prev, nxt in zip(segments, segments[1:]))
 
+        if not gaps:
+            # No speaker has two utterances in any meeting: nothing to fit;
+            # expon.fit([]) would return NaN parameters.
+            logging.info(
+                "No same-speaker gaps in the fitted corpus; keeping default "
+                f"parameters: loc={self.loc}, scale={self.scale}"
+            )
+            return
         self.loc, self.scale = expon.fit(gaps)
         logging.info(f"Learned parameters: loc={self.loc:.2f}, scale={self.scale:.2f}")
 
