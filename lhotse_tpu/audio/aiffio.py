@@ -127,7 +127,7 @@ def info_aiff(src) -> AiffInfo:
     try:
         return _parse(f)[0]
     finally:
-        if not isinstance(src, type(f)) or isinstance(src, (str, Path, bytes)):
+        if isinstance(src, (str, Path, bytes)):  # _open created the stream
             f.close()
 
 

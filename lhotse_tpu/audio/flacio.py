@@ -14,8 +14,6 @@ API (mirrors the shape conventions of the other audio backends):
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 from dataclasses import dataclass
 from pathlib import Path
@@ -27,49 +25,6 @@ _LIB = None
 _LIB_LOCK = threading.Lock()
 
 
-def _source_path() -> Path:
-    # Repo layout: <repo>/native/flac/flac_codec.c; installed layout mirrors it
-    # relative to the package root when building from a checkout.
-    here = Path(__file__).resolve()
-    for base in [here.parents[2], here.parents[1]]:
-        cand = base / "native" / "flac" / "flac_codec.c"
-        if cand.is_file():
-            return cand
-    raise FileNotFoundError("flac_codec.c not found — expected it under <repo>/native/flac/.")
-
-
-def _cache_dir() -> Path:
-    env = os.environ.get("LHOTSE_TPU_CACHE")
-    if env:
-        d = Path(env)
-    else:
-        d = Path.home() / ".cache" / "lhotse_tpu"
-    d.mkdir(parents=True, exist_ok=True)
-    return d
-
-
-def _build_library() -> Path:
-    src = _source_path()
-    # Prefer caching next to the source; fall back to the user cache dir.
-    candidates = [src.parent / "libflac_codec.so", _cache_dir() / "libflac_codec.so"]
-    for so in candidates:
-        if so.is_file() and so.stat().st_mtime >= src.stat().st_mtime:
-            return so
-    cc = os.environ.get("CC", "cc")
-    last_err = None
-    for so in candidates:
-        tmp = so.with_suffix(".so.tmp")
-        cmd = [cc, "-O3", "-shared", "-fPIC", "-o", str(tmp), str(src)]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True)
-            os.replace(tmp, so)
-            return so
-        except (subprocess.CalledProcessError, OSError) as e:
-            last_err = e
-            continue
-    raise RuntimeError(f"Failed to build the native FLAC codec with '{cc}': {last_err}")
-
-
 def _get_lib():
     global _LIB
     if _LIB is not None:
@@ -77,8 +32,9 @@ def _get_lib():
     with _LIB_LOCK:
         if _LIB is not None:
             return _LIB
-        so_path = _build_library()
-        lib = ctypes.CDLL(str(so_path))
+        from lhotse_tpu.native_build import build_native
+
+        lib = build_native("flac", "flac_codec.c")
         lib.flac_parse_info.restype = ctypes.c_int
         lib.flac_parse_info.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_int),

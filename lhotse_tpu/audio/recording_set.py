@@ -63,10 +63,7 @@ class RecordingSet(Serializable, AlgorithmMixin):
         build a RecordingSet (header-only probes; parallel with num_jobs > 1).
         """
         path = Path(path)
-        # Sorted scan: rglob yields filesystem order, which varies between
-        # hosts and breaks the sorted-by-recording-id contract of downstream
-        # streaming joins (CutSet.from_manifests lazy path).
-        it = iter(sorted(path.rglob(pattern)))
+        it = path.rglob(pattern)
         if exclude_pattern is not None:
             exclude = re.compile(exclude_pattern)
             it = (p for p in it if exclude.fullmatch(p.name) is None)
@@ -74,9 +71,15 @@ class RecordingSet(Serializable, AlgorithmMixin):
             _file_read_worker, force_opus_sampling_rate=force_opus_sampling_rate,
             recording_id=recording_id)
         if num_jobs == 1:
-            return RecordingSet.from_recordings(map(worker, it))
-        with ProcessPoolExecutor(num_jobs) as ex:
-            return RecordingSet.from_recordings(ex.map(worker, it))
+            recs = map(worker, it)
+        else:
+            with ProcessPoolExecutor(num_jobs) as ex:
+                recs = list(ex.map(worker, it))
+        # Sort by the DERIVED recording id (not the path: rglob order varies
+        # between hosts, and nested layouts / custom recording_id functions
+        # make path order diverge from id order), so downstream streaming
+        # joins get their sorted-by-recording-id contract.
+        return RecordingSet.from_recordings(sorted(recs, key=lambda r: r.id))
 
     @staticmethod
     def from_dicts(data: Iterable[dict]) -> "RecordingSet":

@@ -67,7 +67,10 @@ def plot_batch(batch: Mapping[str, Any], supervisions: bool = True, text=True):
             axes[seq_idx].axvspan(
                 start, end, fill=False, edgecolor="red", linestyle="--", linewidth=4)
             if text and "text" in sups:
-                axes[seq_idx].text(start, 83, sups["text"][idx])
+                # Place the label just inside the top of whatever axis this
+                # is (feature panels span mel bins, waveforms span [-1, 1]).
+                y = axes[seq_idx].get_ylim()[1] * 0.9
+                axes[seq_idx].text(start, y, sups["text"][idx])
     return fig
 
 

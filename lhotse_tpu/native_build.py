@@ -66,7 +66,11 @@ def build_native(name: str, source: str, extra_link: Optional[List[str]] = None)
             cc = os.environ.get("CC", "cc")
             last_err = None
             for so in candidates:
-                tmp = so.with_suffix(".so.tmp")
+                # Per-PID temp name: the in-process lock doesn't cover spawned
+                # workers compiling concurrently, and a shared tmp path could
+                # publish a half-written .so that then satisfies the mtime
+                # cache check forever.
+                tmp = so.with_suffix(f".so.{os.getpid()}.tmp")
                 cmd = [cc, "-O3", "-shared", "-fPIC", "-o", str(tmp), str(src)]
                 cmd += extra_link or []
                 try:
@@ -76,6 +80,7 @@ def build_native(name: str, source: str, extra_link: Optional[List[str]] = None)
                     break
                 except (subprocess.CalledProcessError, OSError) as e:
                     last_err = e
+                    tmp.unlink(missing_ok=True)
                     continue
             if so_path is None:
                 raise RuntimeError(f"Failed to build native component '{name}': {last_err}")

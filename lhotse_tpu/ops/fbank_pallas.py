@@ -53,19 +53,21 @@ HOP = 160
 PHASES = 4            # frames per 640-sample row
 ROW = PHASES * HOP    # 640 = lcm(HOP, 128): the repack row width
 CHUNK = 512           # 128-aligned lane window covering 32*3 + 400 samples
-BLOCK_T = 512         # frames per grid step (=> K = 128 slab rows). K = 128
-                      # fills the MXU M-dimension; K = 64 measured ~7% slower
-                      # on v5e at bench shapes.
+# Frames per grid step. 512 (=> K = 128 slab rows) fills the MXU M-dimension
+# and measured ~7% faster than 256 on v5e at bench shapes; 256 halves the
+# zero-pad bucket for short utterances. fbank_fused_padded picks whichever
+# wastes fewer padded frames.
+BLOCK_T_CHOICES = (512, 256)
+BLOCK_T = 512
 
 
-def _kernel(audio_hbm, shifted_hbm, d0, d1, d2, d3, mel, out_ref, slab_a, slab_b, sem_a, sem_b, *, eps: float):
+def _kernel(audio_hbm, shifted_hbm, d0, d1, d2, d3, mel, out_ref, slab_a, slab_b, sem_a, sem_b, *, eps: float, K: int):
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b = pl.program_id(0)
     t = pl.program_id(1)
-    K = BLOCK_T // PHASES
 
     # Two overlapping row windows: row k frames may run into row k+1
     # (160*3 + 400 = 880 < 1280). ``shifted_hbm`` is the same audio advanced
@@ -106,7 +108,8 @@ def _squeeze_nyquist(Mc: np.ndarray, Ms: np.ndarray, mel_fb: np.ndarray):
 
 def fbank_pallas(
     audio, Mc: np.ndarray, Ms: np.ndarray, mel_fb: np.ndarray, *,
-    eps: float = float(np.finfo(np.float32).eps), interpret: bool = False):
+    eps: float = float(np.finfo(np.float32).eps), interpret: bool = False,
+    block_t: int = None):
     """
     Fused fbank over pre-padded audio.
 
@@ -126,15 +129,18 @@ def fbank_pallas(
 
     B, N = audio.shape
     num_frames = (N - ROW) // HOP
-    assert N == num_frames * HOP + ROW and num_frames % BLOCK_T == 0, (
+    if block_t is None:
+        block_t = next(
+            (b for b in BLOCK_T_CHOICES if num_frames % b == 0), BLOCK_T)
+    assert N == num_frames * HOP + ROW and num_frames % block_t == 0, (
         f"audio length must be num_frames * {HOP} + {ROW} with num_frames a "
-        f"multiple of BLOCK_T ({BLOCK_T}); got N={N}."
+        f"multiple of block_t ({block_t}); got N={N}."
     )
     assert Mc.shape[0] == FRAME_LEN, f"expected {FRAME_LEN}-sample frames"
     Mc, Ms, mel_fb = _squeeze_nyquist(
         np.asarray(Mc, np.float32), np.asarray(Ms, np.float32), np.asarray(mel_fb, np.float32))
-    grid_t = num_frames // BLOCK_T
-    K = BLOCK_T // PHASES
+    grid_t = num_frames // block_t
+    K = block_t // PHASES
     num_mels = mel_fb.shape[1]
     bins2 = 2 * Mc.shape[1]
 
@@ -151,7 +157,7 @@ def fbank_pallas(
     shifted3d = audio[:, ROW:].reshape(B, N // ROW - 1, ROW)
 
     out = pl.pallas_call(
-        partial(_kernel, eps=eps),
+        partial(_kernel, eps=eps, K=K),
         grid=(B, grid_t),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),   # audio stays in HBM
@@ -220,9 +226,13 @@ def fbank_fused_padded(
         else:
             padded = jnp.pad(x, ((0, 0), (npad_left, 0)), mode="symmetric")
             padded = padded[:, :new_n]
-    t_bucket = -(-num_frames // BLOCK_T) * BLOCK_T
+    # Pick the block that wastes the fewest padded frames: the large block
+    # only when it costs no extra padding over the small one.
+    big, small = BLOCK_T_CHOICES
+    block_t = big if -(-num_frames // big) * big <= -(-num_frames // small) * small else small
+    t_bucket = -(-num_frames // block_t) * block_t
     padded = jnp.pad(padded, ((0, 0), (0, t_bucket * HOP + ROW - padded.shape[1])))
-    return fbank_pallas(padded, Mc, Ms, mel_fb, eps=eps)[:, :num_frames]
+    return fbank_pallas(padded, Mc, Ms, mel_fb, eps=eps, block_t=block_t)[:, :num_frames]
 
 
 def fbank_fused(audio, Mc, Ms, mel_fb, *, eps: float = float(np.finfo(np.float32).eps)):

@@ -13,10 +13,7 @@ from __future__ import annotations
 
 import ctypes
 import math
-import os
-import subprocess
 import threading
-from pathlib import Path
 from typing import Optional, Tuple
 
 import numpy as np
@@ -24,43 +21,6 @@ import numpy as np
 _LIB = None
 _LIB_FAILED = False
 _LIB_LOCK = threading.Lock()
-
-
-def _source_path() -> Path:
-    here = Path(__file__).resolve()
-    for base in [here.parents[2], here.parents[1]]:
-        cand = base / "native" / "dsp" / "dsp_kernels.c"
-        if cand.is_file():
-            return cand
-    raise FileNotFoundError("dsp_kernels.c not found — expected it under <repo>/native/dsp/.")
-
-
-def _cache_dir() -> Path:
-    env = os.environ.get("LHOTSE_TPU_CACHE")
-    d = Path(env) if env else Path.home() / ".cache" / "lhotse_tpu"
-    d.mkdir(parents=True, exist_ok=True)
-    return d
-
-
-def _build_library() -> Path:
-    src = _source_path()
-    candidates = [src.parent / "libdsp_kernels.so", _cache_dir() / "libdsp_kernels.so"]
-    for so in candidates:
-        if so.is_file() and so.stat().st_mtime >= src.stat().st_mtime:
-            return so
-    cc = os.environ.get("CC", "cc")
-    last_err = None
-    for so in candidates:
-        tmp = so.with_suffix(".so.tmp")
-        cmd = [cc, "-O3", "-shared", "-fPIC", "-lm", "-o", str(tmp), str(src)]
-        try:
-            subprocess.run(cmd, check=True, capture_output=True)
-            os.replace(tmp, so)
-            return so
-        except (subprocess.CalledProcessError, OSError) as e:
-            last_err = e
-            continue
-    raise RuntimeError(f"Failed to build the native DSP kernels with '{cc}': {last_err}")
 
 
 def _get_lib():
@@ -71,7 +31,9 @@ def _get_lib():
         if _LIB is not None or _LIB_FAILED:
             return _LIB
         try:
-            lib = ctypes.CDLL(str(_build_library()))
+            from lhotse_tpu.native_build import build_native
+
+            lib = build_native("dsp", "dsp_kernels.c", extra_link=["-lm"])
         except Exception:
             _LIB_FAILED = True  # no compiler in this env: callers fall back
             return None

@@ -115,7 +115,9 @@ class ConversationalMeetingSimulator(BaseMeetingSimulator):
                 continue
             dist = self._compute_histogram_dist(np.array(values))
             setattr(self, f"{attr}_dist", dist)
-            setattr(self, attr, dist.mean())
+            # Empirical mean, not dist.mean(): the degenerate uniform
+            # (scale=0) distribution reports mean() as NaN in scipy.
+            setattr(self, attr, float(np.mean(values)))
         turn_changes = len(gaps["diff_spk_pause"]) + len(gaps["diff_spk_overlap"])
         self.prob_diff_spk_overlap = (
             len(gaps["diff_spk_overlap"]) / turn_changes if turn_changes else 0.5
