@@ -308,6 +308,14 @@ class Recording:
         )
         return frames, audio
 
+    def play_video(self):
+        """Notebook helper: an IPython Video widget over the video source
+        (reference: audio/recording.py:633)."""
+        if self.has_video:
+            from IPython.display import Video
+
+            return Video(filename=self._video_source.source)
+
     def _expected_num_samples(self, offset: Seconds, duration: Optional[Seconds]) -> int:
         if offset == 0 and duration is None:
             return self.num_samples

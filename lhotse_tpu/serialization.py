@@ -20,6 +20,7 @@ import json
 import os
 import sys
 import warnings
+from functools import lru_cache
 from pathlib import Path
 from typing import Any, Callable, Dict, Generator, Iterable, List, Optional, Type, Union
 
@@ -129,6 +130,49 @@ class SmartOpenIOBackend(IOBackend):
 
     def is_applicable(self, identifier: str) -> bool:
         return is_valid_url(str(identifier))
+
+
+def is_aistore_available() -> bool:
+    """AIS_ENDPOINT is set to a valid URL (reference: serialization.py)."""
+    import os as _os
+
+    return "AIS_ENDPOINT" in _os.environ and is_valid_url(_os.environ["AIS_ENDPOINT"])
+
+
+@lru_cache
+def get_aistore_client():
+    """A cached AIStore Client for the AIS_ENDPOINT env URL."""
+    if not is_module_available("aistore"):
+        raise ImportError("Please run 'pip install aistore' in order to read data from AIStore.")
+    if not is_aistore_available():
+        raise ValueError(
+            "Set a valid URL as AIS_ENDPOINT environment variable's value to "
+            "read data from AIStore."
+        )
+    import os as _os
+
+    from aistore import Client
+
+    return Client(_os.environ["AIS_ENDPOINT"])
+
+
+def get_lhotse_msc_override_protocols():
+    import os as _os
+
+    return _os.getenv("LHOTSE_MSC_OVERRIDE_PROTOCOLS", None)
+
+
+def get_lhotse_msc_profile():
+    import os as _os
+
+    return _os.getenv("LHOTSE_MSC_PROFILE", None)
+
+
+def get_lhotse_msc_backend_forced() -> bool:
+    """True forces the MSC backend for regular URLs."""
+    import os as _os
+
+    return _os.getenv("LHOTSE_MSC_BACKEND_FORCED", "False").lower() == "true"
 
 
 class AIStoreIOBackend(IOBackend):

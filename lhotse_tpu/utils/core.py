@@ -682,3 +682,74 @@ class nullcontext:
 
     def __exit__(self, *excinfo):
         pass
+
+
+# -- reference-parity helpers (small public utilities users import directly) --
+
+
+def build_rng(seed) -> random.Random:
+    """``random.Random(seed)``, or a true-entropy SystemRandom for "trng"
+    (reference: utils.py build_rng)."""
+    if seed == "trng":
+        import secrets
+
+        return secrets.SystemRandom()
+    return random.Random(seed)
+
+
+def deprecated(message: str):
+    """Decorator marking a function as deprecated; emits a warning per call."""
+
+    def decorator(func):
+        @wraps(func)
+        def wrapper(*args, **kwargs):
+            warnings.warn(message, DeprecationWarning, stacklevel=2)
+            return func(*args, **kwargs)
+
+        wrapper.__doc__ = f"[DEPRECATED] {message}\n\n{func.__doc__ or ''}"
+        return wrapper
+
+    return decorator
+
+
+def lens_to_mask(lens) -> np.ndarray:
+    """(B,) integer lengths -> (B, max_len) float32 0/1 mask (reference takes
+    a torch tensor; this accepts any integer array-like)."""
+    lens = np.asarray(lens)
+    mask = np.zeros((lens.shape[0], int(lens.max())), dtype=np.float32)
+    for i, num in enumerate(lens):
+        mask[i, : int(num)] = 1.0
+    return mask
+
+
+def pairwise(iterable):
+    """s -> (s0, s1), (s1, s2), ..."""
+    from itertools import tee
+
+    a, b = tee(iterable)
+    next(b, None)
+    return zip(a, b)
+
+
+def time_diff_to_num_frames(time_diff: Seconds, frame_length: Seconds, frame_shift: Seconds) -> int:
+    """Number of whole frames fitting inside ``time_diff``."""
+    from math import ceil, isclose as _isclose
+
+    if _isclose(time_diff, 0.0):
+        return 0
+    return int(ceil((time_diff - frame_length) / frame_shift))
+
+
+def is_torchaudio_available() -> bool:
+    return is_module_available("torchaudio")
+
+
+def is_torchcodec_available() -> bool:
+    return is_module_available("torchcodec")
+
+
+def replace_bucket_with_profile_name(identifier: str, profile_name: str) -> str:
+    """Swap the netloc (bucket) of a storage URL for an MSC profile name."""
+    from urllib.parse import urlparse, urlunparse
+
+    return urlunparse(urlparse(identifier)._replace(netloc=profile_name))
