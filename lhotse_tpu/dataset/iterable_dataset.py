@@ -13,6 +13,15 @@ from lhotse_tpu.cut import CutSet
 from lhotse_tpu.dataset.dataloading import get_rank, get_world_size
 from lhotse_tpu.dataset.sampling.base import CutSampler
 
+try:
+    # When torch is present, subclass its IterableDataset so that
+    # torch.utils.data.DataLoader recognizes the wrapper as iterable-style
+    # (a plain iterable gets wrapped in a map-style SequentialSampler and
+    # crashes on len()). The library itself never requires torch.
+    from torch.utils.data import IterableDataset as _IterableBase
+except Exception:  # pragma: no cover - torch-free environments
+    _IterableBase = object
+
 
 class IdentityDataset:
     """
@@ -24,7 +33,7 @@ class IdentityDataset:
         return item
 
 
-class IterableDatasetWrapper:
+class IterableDatasetWrapper(_IterableBase):
     """
     Makes an iterable-style dataset out of a map-style dataset + sampler —
     the pattern for tar/shar-backed data, where the sampler replica lives in
