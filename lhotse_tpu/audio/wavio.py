@@ -24,6 +24,7 @@ WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
 WAVE_FORMAT_ALAW = 0x0006
 WAVE_FORMAT_MULAW = 0x0007
+WAVE_FORMAT_IMA_ADPCM = 0x0011
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
 
@@ -40,6 +41,14 @@ class WavHeader:
     format_tag: int
     data_offset: int
     data_size: int
+    # Block-coded formats (IMA ADPCM): bytes per block and decoded samples
+    # per block; 0 for sample-coded formats.
+    block_align: int = 0
+    samples_per_block: int = 0
+
+    @property
+    def is_block_coded(self) -> bool:
+        return self.format_tag == WAVE_FORMAT_IMA_ADPCM
 
     @property
     def bytes_per_frame(self) -> int:
@@ -72,6 +81,7 @@ def parse_wav_header(f: BinaryIO) -> WavHeader:
     rf64_data_size = None
 
     fmt = None
+    fact_frames = None
     data_offset = None
     data_size = None
     pos = 12
@@ -89,12 +99,23 @@ def parse_wav_header(f: BinaryIO) -> WavHeader:
         elif chunk_id == b"fmt ":
             body = _read_exact(f, chunk_size)
             pos += chunk_size
-            (format_tag, num_channels, sampling_rate, _byte_rate, _block_align, bits) = struct.unpack(
+            (format_tag, num_channels, sampling_rate, _byte_rate, block_align, bits) = struct.unpack(
                 "<HHIIHH", body[:16])
             if format_tag == WAVE_FORMAT_EXTENSIBLE and chunk_size >= 40:
                 # true format is the first 2 bytes of the SubFormat GUID
                 format_tag = struct.unpack("<H", body[24:26])[0]
-            fmt = (format_tag, num_channels, sampling_rate, bits)
+            samples_per_block = 0
+            if format_tag == WAVE_FORMAT_IMA_ADPCM:
+                if chunk_size >= 20:
+                    samples_per_block = struct.unpack("<H", body[18:20])[0]
+                if samples_per_block == 0:
+                    samples_per_block = (block_align - 4 * num_channels) * 2 // num_channels + 1
+            fmt = (format_tag, num_channels, sampling_rate, bits, block_align, samples_per_block)
+        elif chunk_id == b"fact":
+            body = _read_exact(f, chunk_size)
+            pos += chunk_size
+            if chunk_size >= 4:
+                fact_frames = struct.unpack("<I", body[:4])[0]
         elif chunk_id == b"data":
             data_offset = pos
             data_size = chunk_size
@@ -111,14 +132,26 @@ def parse_wav_header(f: BinaryIO) -> WavHeader:
             pos += skip
     if fmt is None or data_offset is None:
         raise WavFormatError("Missing fmt or data chunk in WAVE file")
-    format_tag, num_channels, sampling_rate, bits = fmt
+    format_tag, num_channels, sampling_rate, bits, block_align, samples_per_block = fmt
+    if format_tag == WAVE_FORMAT_IMA_ADPCM:
+        num_blocks = data_size // block_align if block_align else 0
+        num_frames = num_blocks * samples_per_block
+        if fact_frames is not None:
+            num_frames = min(num_frames, fact_frames)
+        return WavHeader(
+            sampling_rate=sampling_rate, num_channels=num_channels, num_frames=num_frames,
+            bits_per_sample=bits, format_tag=format_tag, data_offset=data_offset,
+            data_size=data_size, block_align=block_align, samples_per_block=samples_per_block)
     bytes_per_frame = num_channels * bits // 8
     if bytes_per_frame == 0:
         raise WavFormatError("Invalid WAVE header (zero frame size)")
     num_frames = data_size // bytes_per_frame
+    if fact_frames is not None and format_tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
+        num_frames = min(num_frames, fact_frames)
     return WavHeader(
         sampling_rate=sampling_rate, num_channels=num_channels, num_frames=num_frames,
-        bits_per_sample=bits, format_tag=format_tag, data_offset=data_offset, data_size=data_size)
+        bits_per_sample=bits, format_tag=format_tag, data_offset=data_offset,
+        data_size=data_size, block_align=block_align)
 
 
 # mu-law / A-law decode tables (ITU-T G.711), computed once.
@@ -210,6 +243,85 @@ def _decode_frames(raw: bytes, header: WavHeader) -> np.ndarray:
     return np.ascontiguousarray(x.reshape(n_frames, C).T)
 
 
+# -- IMA ADPCM (DVI4, format tag 0x0011) --------------------------------------
+#
+# Block-coded 4-bit predictive format: each block carries per-channel
+# (predictor, step index) headers followed by nibbles in 4-byte per-channel
+# groups, low nibble first. The sample recurrence is sequential, but decoding
+# vectorizes across blocks and channels: the loop below runs samples-per-block
+# (~505) numpy steps regardless of file length.
+
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+
+
+def _decode_ima_adpcm_blocks(raw: bytes, header: WavHeader) -> np.ndarray:
+    """Whole blocks -> (num_channels, num_blocks * samples_per_block) f32."""
+    C, ba, spb = header.num_channels, header.block_align, header.samples_per_block
+    B = len(raw) // ba
+    if B == 0:
+        return np.zeros((C, 0), dtype=np.float32)
+    data = np.frombuffer(raw, dtype=np.uint8)[: B * ba].reshape(B, ba)
+
+    hdr = data[:, : 4 * C].reshape(B, C, 4).astype(np.int32)
+    predictor = (hdr[:, :, 0] | (hdr[:, :, 1] << 8)).astype(np.int32)
+    predictor = (predictor << 16) >> 16  # sign-extend int16
+    index = np.clip(hdr[:, :, 2], 0, 88)
+
+    out = np.empty((B, C, spb), dtype=np.int32)
+    out[:, :, 0] = predictor
+
+    groups = data[:, 4 * C :].reshape(B, -1, C, 4)  # (B, G, C, 4)
+    low, high = groups & 0x0F, groups >> 4
+    # Sample order inside a 4-byte group: b0.low, b0.high, b1.low, ...
+    nibbles = np.stack([low, high], axis=-1).reshape(B, groups.shape[1], C, 8)
+    nibbles = nibbles.transpose(0, 2, 1, 3).reshape(B, C, -1)[:, :, : spb - 1]
+
+    step = _IMA_STEP_TABLE[index]
+    pred = predictor
+    for t in range(spb - 1):
+        n = nibbles[:, :, t]
+        diff = (
+            (step >> 3)
+            + np.where(n & 1, step >> 2, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 4, step, 0)
+        )
+        pred = np.where(n & 8, pred - diff, pred + diff)
+        pred = np.clip(pred, -32768, 32767)
+        index = np.clip(index + _IMA_INDEX_TABLE[n], 0, 88)
+        step = _IMA_STEP_TABLE[index]
+        out[:, :, t + 1] = pred
+
+    return out.transpose(1, 0, 2).reshape(C, -1).astype(np.float32) / 32768.0
+
+
+def _read_block_coded(f: BinaryIO, header: WavHeader, frame_offset: int, count: int) -> np.ndarray:
+    """Partial read of a block-coded stream: decode the covering blocks."""
+    spb = header.samples_per_block
+    first_block = frame_offset // spb
+    last_block = (frame_offset + count + spb - 1) // spb if count else first_block
+    start_byte = first_block * header.block_align
+    try:
+        f.seek(header.data_offset + start_byte)
+    except (OSError, io.UnsupportedOperation):
+        _read_exact(f, start_byte)
+    raw = _read_exact(f, (last_block - first_block) * header.block_align)
+    decoded = _decode_ima_adpcm_blocks(raw, header)
+    lo = frame_offset - first_block * spb
+    return np.ascontiguousarray(decoded[:, lo : lo + count])
+
+
 def read_wav(
     source: Union[str, BinaryIO], frame_offset: int = 0, num_frames: Optional[int] = None,
 ) -> Tuple[np.ndarray, int]:
@@ -227,6 +339,12 @@ def read_wav(
         f = source
     try:
         header = parse_wav_header(f)
+        if header.is_block_coded:
+            if num_frames is None:
+                count = header.num_frames - frame_offset
+            else:
+                count = min(num_frames, max(header.num_frames - frame_offset, 0))
+            return _read_block_coded(f, header, frame_offset, max(count, 0)), header.sampling_rate
         start_byte = frame_offset * header.bytes_per_frame
         if num_frames is None:
             count = header.num_frames - frame_offset
