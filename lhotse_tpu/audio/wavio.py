@@ -24,6 +24,7 @@ WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
 WAVE_FORMAT_ALAW = 0x0006
 WAVE_FORMAT_MULAW = 0x0007
+WAVE_FORMAT_MS_ADPCM = 0x0002
 WAVE_FORMAT_IMA_ADPCM = 0x0011
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
 
@@ -48,7 +49,7 @@ class WavHeader:
 
     @property
     def is_block_coded(self) -> bool:
-        return self.format_tag == WAVE_FORMAT_IMA_ADPCM
+        return self.format_tag in (WAVE_FORMAT_IMA_ADPCM, WAVE_FORMAT_MS_ADPCM)
 
     @property
     def bytes_per_frame(self) -> int:
@@ -110,6 +111,11 @@ def parse_wav_header(f: BinaryIO) -> WavHeader:
                     samples_per_block = struct.unpack("<H", body[18:20])[0]
                 if samples_per_block == 0:
                     samples_per_block = (block_align - 4 * num_channels) * 2 // num_channels + 1
+            elif format_tag == WAVE_FORMAT_MS_ADPCM:
+                if chunk_size >= 20:
+                    samples_per_block = struct.unpack("<H", body[18:20])[0]
+                if samples_per_block == 0:
+                    samples_per_block = (block_align - 7 * num_channels) * 2 // num_channels + 2
             fmt = (format_tag, num_channels, sampling_rate, bits, block_align, samples_per_block)
         elif chunk_id == b"fact":
             body = _read_exact(f, chunk_size)
@@ -133,7 +139,7 @@ def parse_wav_header(f: BinaryIO) -> WavHeader:
     if fmt is None or data_offset is None:
         raise WavFormatError("Missing fmt or data chunk in WAVE file")
     format_tag, num_channels, sampling_rate, bits, block_align, samples_per_block = fmt
-    if format_tag == WAVE_FORMAT_IMA_ADPCM:
+    if format_tag in (WAVE_FORMAT_IMA_ADPCM, WAVE_FORMAT_MS_ADPCM):
         num_blocks = data_size // block_align if block_align else 0
         num_frames = num_blocks * samples_per_block
         if fact_frames is not None:
@@ -306,6 +312,63 @@ def _decode_ima_adpcm_blocks(raw: bytes, header: WavHeader) -> np.ndarray:
     return out.transpose(1, 0, 2).reshape(C, -1).astype(np.float32) / 32768.0
 
 
+# -- Microsoft ADPCM (format tag 0x0002) --------------------------------------
+
+_MS_ADAPTATION = np.array(
+    [230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230],
+    dtype=np.int64)
+_MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], dtype=np.int64)
+_MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], dtype=np.int64)
+
+
+def _decode_ms_adpcm_blocks(raw: bytes, header: WavHeader) -> np.ndarray:
+    """Whole blocks -> (num_channels, num_blocks * samples_per_block) f32."""
+    C, ba, spb = header.num_channels, header.block_align, header.samples_per_block
+    B = len(raw) // ba
+    if B == 0:
+        return np.zeros((C, 0), dtype=np.float32)
+    data = np.frombuffer(raw, dtype=np.uint8)[: B * ba].reshape(B, ba)
+
+    # Per-channel headers, channel-interleaved field by field:
+    # bpred[C] | idelta[C] i16 | sample1[C] i16 | sample2[C] i16
+    bpred = np.clip(data[:, :C].astype(np.int64), 0, 6)
+
+    def i16(lo, hi):
+        v = lo.astype(np.int64) | (hi.astype(np.int64) << 8)
+        return (v.astype(np.int32) << 16) >> 16
+
+    off = C
+    idelta = i16(data[:, off : off + 2 * C : 2], data[:, off + 1 : off + 2 * C : 2]).astype(np.int64)
+    off += 2 * C
+    sample1 = i16(data[:, off : off + 2 * C : 2], data[:, off + 1 : off + 2 * C : 2]).astype(np.int64)
+    off += 2 * C
+    sample2 = i16(data[:, off : off + 2 * C : 2], data[:, off + 1 : off + 2 * C : 2]).astype(np.int64)
+    off += 2 * C
+
+    coef1, coef2 = _MS_COEF1[bpred], _MS_COEF2[bpred]
+
+    out = np.empty((B, C, spb), dtype=np.int64)
+    out[:, :, 0] = sample2  # the older sample plays first
+    out[:, :, 1] = sample1
+
+    payload = data[:, off:]
+    # MS nibble order: HIGH nibble first; channels alternate nibble by nibble.
+    nib = np.stack([payload >> 4, payload & 0x0F], axis=-1).reshape(B, -1)
+    nib = nib[:, : (spb - 2) * C].reshape(B, spb - 2, C).transpose(0, 2, 1)
+    signed = nib.astype(np.int64)
+    signed = np.where(signed >= 8, signed - 16, signed)
+
+    for t in range(spb - 2):
+        pred = (sample1 * coef1 + sample2 * coef2) >> 8
+        pred = pred + signed[:, :, t] * idelta
+        pred = np.clip(pred, -32768, 32767)
+        sample2, sample1 = sample1, pred
+        idelta = np.maximum((_MS_ADAPTATION[nib[:, :, t]] * idelta) >> 8, 16)
+        out[:, :, t + 2] = pred
+
+    return out.transpose(1, 0, 2).reshape(C, -1).astype(np.float32) / 32768.0
+
+
 def _read_block_coded(f: BinaryIO, header: WavHeader, frame_offset: int, count: int) -> np.ndarray:
     """Partial read of a block-coded stream: decode the covering blocks."""
     spb = header.samples_per_block
@@ -317,7 +380,10 @@ def _read_block_coded(f: BinaryIO, header: WavHeader, frame_offset: int, count: 
     except (OSError, io.UnsupportedOperation):
         _read_exact(f, start_byte)
     raw = _read_exact(f, (last_block - first_block) * header.block_align)
-    decoded = _decode_ima_adpcm_blocks(raw, header)
+    if header.format_tag == WAVE_FORMAT_MS_ADPCM:
+        decoded = _decode_ms_adpcm_blocks(raw, header)
+    else:
+        decoded = _decode_ima_adpcm_blocks(raw, header)
     lo = frame_offset - first_block * spb
     return np.ascontiguousarray(decoded[:, lo : lo + count])
 
