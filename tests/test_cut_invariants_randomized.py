@@ -118,3 +118,28 @@ def test_resample_then_window_partition(rate, win):
     assert total == pytest.approx(cut.duration, abs=len(windows) / cut.sampling_rate)
     for w in windows:
         assert abs(w.num_samples - w.duration * w.sampling_rate) <= 1
+
+
+@settings(max_examples=MAX_EXAMPLES, deadline=None)
+@given(chain=op_chains())
+def test_serialization_roundtrip_after_op_chain(chain):
+    """After ANY op chain, the cut's manifest must survive a JSON round trip
+    byte-for-byte in meaning: equal manifest and identical loaded audio."""
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from lhotse_tpu import Recording
+    from lhotse_tpu.audio.wavio import write_wav
+    from lhotse_tpu.cut.set import deserialize_cut
+
+    ops, params = chain
+    with tempfile.TemporaryDirectory() as d:
+        t = np.arange(32000) / 16000
+        write_wav(Path(d) / "r.wav", (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32), 16000)
+        cut = apply_ops(Recording.from_file(Path(d) / "r.wav").to_cut(), ops, params)
+        restored = deserialize_cut(json.loads(json.dumps(cut.to_dict())))
+        assert restored.duration == cut.duration
+        assert restored.num_samples == cut.num_samples
+        np.testing.assert_array_equal(restored.load_audio(), cut.load_audio())
+        return
