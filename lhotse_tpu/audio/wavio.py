@@ -42,10 +42,12 @@ class WavHeader:
     format_tag: int
     data_offset: int
     data_size: int
-    # Block-coded formats (IMA ADPCM): bytes per block and decoded samples
+    # Block-coded formats (ADPCM): bytes per block and decoded samples
     # per block; 0 for sample-coded formats.
     block_align: int = 0
     samples_per_block: int = 0
+    # MS ADPCM coefficient pairs from the fmt chunk; () = the 7 built-ins.
+    ms_coeffs: tuple = ()
 
     @property
     def is_block_coded(self) -> bool:
@@ -106,6 +108,7 @@ def parse_wav_header(f: BinaryIO) -> WavHeader:
                 # true format is the first 2 bytes of the SubFormat GUID
                 format_tag = struct.unpack("<H", body[24:26])[0]
             samples_per_block = 0
+            ms_coeffs = ()
             if format_tag == WAVE_FORMAT_IMA_ADPCM:
                 if chunk_size >= 20:
                     samples_per_block = struct.unpack("<H", body[18:20])[0]
@@ -116,10 +119,18 @@ def parse_wav_header(f: BinaryIO) -> WavHeader:
                     samples_per_block = struct.unpack("<H", body[18:20])[0]
                 if samples_per_block == 0:
                     samples_per_block = (block_align - 7 * num_channels) * 2 // num_channels + 2
-            fmt = (format_tag, num_channels, sampling_rate, bits, block_align, samples_per_block)
+                if chunk_size >= 22:
+                    num_coef = struct.unpack("<H", body[20:22])[0]
+                    if 22 + 4 * num_coef <= chunk_size:
+                        ms_coeffs = tuple(
+                            struct.unpack("<hh", body[22 + 4 * i : 26 + 4 * i])
+                            for i in range(num_coef)
+                        )
+            fmt = (format_tag, num_channels, sampling_rate, bits, block_align, samples_per_block, ms_coeffs)
         elif chunk_id == b"fact":
-            body = _read_exact(f, chunk_size)
-            pos += chunk_size
+            skip = chunk_size + (chunk_size & 1)  # chunks are word-aligned
+            body = _read_exact(f, skip)
+            pos += skip
             if chunk_size >= 4:
                 fact_frames = struct.unpack("<I", body[:4])[0]
         elif chunk_id == b"data":
@@ -138,21 +149,22 @@ def parse_wav_header(f: BinaryIO) -> WavHeader:
             pos += skip
     if fmt is None or data_offset is None:
         raise WavFormatError("Missing fmt or data chunk in WAVE file")
-    format_tag, num_channels, sampling_rate, bits, block_align, samples_per_block = fmt
+    format_tag, num_channels, sampling_rate, bits, block_align, samples_per_block, ms_coeffs = fmt
     if format_tag in (WAVE_FORMAT_IMA_ADPCM, WAVE_FORMAT_MS_ADPCM):
         num_blocks = data_size // block_align if block_align else 0
         num_frames = num_blocks * samples_per_block
-        if fact_frames is not None:
+        if fact_frames:  # 0 = broken encoder artifact; ignore
             num_frames = min(num_frames, fact_frames)
         return WavHeader(
             sampling_rate=sampling_rate, num_channels=num_channels, num_frames=num_frames,
             bits_per_sample=bits, format_tag=format_tag, data_offset=data_offset,
-            data_size=data_size, block_align=block_align, samples_per_block=samples_per_block)
+            data_size=data_size, block_align=block_align, samples_per_block=samples_per_block,
+            ms_coeffs=ms_coeffs)
     bytes_per_frame = num_channels * bits // 8
     if bytes_per_frame == 0:
         raise WavFormatError("Invalid WAVE header (zero frame size)")
     num_frames = data_size // bytes_per_frame
-    if fact_frames is not None and format_tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
+    if fact_frames and format_tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
         num_frames = min(num_frames, fact_frames)
     return WavHeader(
         sampling_rate=sampling_rate, num_channels=num_channels, num_frames=num_frames,
@@ -329,9 +341,19 @@ def _decode_ms_adpcm_blocks(raw: bytes, header: WavHeader) -> np.ndarray:
         return np.zeros((C, 0), dtype=np.float32)
     data = np.frombuffer(raw, dtype=np.uint8)[: B * ba].reshape(B, ba)
 
+    if header.ms_coeffs:
+        coef1_tab = np.array([c[0] for c in header.ms_coeffs], dtype=np.int64)
+        coef2_tab = np.array([c[1] for c in header.ms_coeffs], dtype=np.int64)
+    else:
+        coef1_tab, coef2_tab = _MS_COEF1, _MS_COEF2
     # Per-channel headers, channel-interleaved field by field:
     # bpred[C] | idelta[C] i16 | sample1[C] i16 | sample2[C] i16
-    bpred = np.clip(data[:, :C].astype(np.int64), 0, 6)
+    bpred = data[:, :C].astype(np.int64)
+    if bpred.max(initial=0) >= len(coef1_tab):
+        raise WavFormatError(
+            f"MS ADPCM block predictor {int(bpred.max())} out of range for "
+            f"{len(coef1_tab)} coefficient pairs."
+        )
 
     def i16(lo, hi):
         v = lo.astype(np.int64) | (hi.astype(np.int64) << 8)
@@ -345,7 +367,7 @@ def _decode_ms_adpcm_blocks(raw: bytes, header: WavHeader) -> np.ndarray:
     sample2 = i16(data[:, off : off + 2 * C : 2], data[:, off + 1 : off + 2 * C : 2]).astype(np.int64)
     off += 2 * C
 
-    coef1, coef2 = _MS_COEF1[bpred], _MS_COEF2[bpred]
+    coef1, coef2 = coef1_tab[bpred], coef2_tab[bpred]
 
     out = np.empty((B, C, spb), dtype=np.int64)
     out[:, :, 0] = sample2  # the older sample plays first

@@ -12,7 +12,7 @@ from lhotse_tpu.dataset.input_strategies import (
     AudioSamples, BatchIO, OnTheFlyFeatures, PrecomputedFeatures)
 from lhotse_tpu.dataset.audio_tagging import AudioTaggingDataset
 from lhotse_tpu.dataset.diarization import DiarizationDataset
-from lhotse_tpu.dataset.iterable_dataset import IdentityDataset, IterableDatasetWrapper
+from lhotse_tpu.dataset.iterable_dataset import IdentityDataset
 from lhotse_tpu.dataset.loader import DataLoader, device_prefetch
 from lhotse_tpu.dataset.vis import plot_batch
 from lhotse_tpu.dataset.webdataset import (
@@ -86,3 +86,13 @@ __all__ = (
     + list(_sampling_all)
     + list(_cut_transforms_all)
 )
+
+
+def __getattr__(name):
+    # Lazy: building IterableDatasetWrapper imports torch when present, and
+    # `import lhotse_tpu` must stay torch-free.
+    if name == "IterableDatasetWrapper":
+        from lhotse_tpu.dataset import iterable_dataset
+
+        return iterable_dataset.IterableDatasetWrapper
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -13,14 +13,7 @@ from lhotse_tpu.cut import CutSet
 from lhotse_tpu.dataset.dataloading import get_rank, get_world_size
 from lhotse_tpu.dataset.sampling.base import CutSampler
 
-try:
-    # When torch is present, subclass its IterableDataset so that
-    # torch.utils.data.DataLoader recognizes the wrapper as iterable-style
-    # (a plain iterable gets wrapped in a map-style SequentialSampler and
-    # crashes on len()). The library itself never requires torch.
-    from torch.utils.data import IterableDataset as _IterableBase
-except Exception:  # pragma: no cover - torch-free environments
-    _IterableBase = object
+
 
 
 class IdentityDataset:
@@ -33,7 +26,7 @@ class IdentityDataset:
         return item
 
 
-class IterableDatasetWrapper(_IterableBase):
+class _IterableDatasetWrapperImpl:
     """
     Makes an iterable-style dataset out of a map-style dataset + sampler —
     the pattern for tar/shar-backed data, where the sampler replica lives in
@@ -122,3 +115,37 @@ class IterableDatasetWrapper(_IterableBase):
         for c in cuts:
             c.dataloading_info["rank"] = rank
             c.dataloading_info["world_size"] = world_size
+
+
+_WRAPPER_CLS = None
+
+
+def _wrapper_class():
+    """
+    Build (once) the public IterableDatasetWrapper class. When torch is
+    importable, it subclasses torch.utils.data.IterableDataset so that
+    torch's DataLoader recognizes it as iterable-style (a plain iterable is
+    wrapped in a map-style SequentialSampler and crashes on len()). The
+    import happens here — at first use — rather than at module import, so
+    `import lhotse_tpu` stays torch-free even with torch installed.
+    """
+    global _WRAPPER_CLS
+    if _WRAPPER_CLS is None:
+        bases = (_IterableDatasetWrapperImpl,)
+        try:
+            from torch.utils.data import IterableDataset as _TorchBase
+
+            bases = (_IterableDatasetWrapperImpl, _TorchBase)
+        except Exception:  # pragma: no cover - torch-free environments
+            pass
+        _WRAPPER_CLS = type("IterableDatasetWrapper", bases, {
+            "__module__": __name__,
+            "__doc__": _IterableDatasetWrapperImpl.__doc__,
+        })
+    return _WRAPPER_CLS
+
+
+def __getattr__(name):
+    if name == "IterableDatasetWrapper":
+        return _wrapper_class()
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -134,9 +134,7 @@ class SmartOpenIOBackend(IOBackend):
 
 def is_aistore_available() -> bool:
     """AIS_ENDPOINT is set to a valid URL (reference: serialization.py)."""
-    import os as _os
-
-    return "AIS_ENDPOINT" in _os.environ and is_valid_url(_os.environ["AIS_ENDPOINT"])
+    return "AIS_ENDPOINT" in os.environ and is_valid_url(os.environ["AIS_ENDPOINT"])
 
 
 @lru_cache
@@ -149,30 +147,22 @@ def get_aistore_client():
             "Set a valid URL as AIS_ENDPOINT environment variable's value to "
             "read data from AIStore."
         )
-    import os as _os
-
     from aistore import Client
 
-    return Client(_os.environ["AIS_ENDPOINT"])
+    return Client(os.environ["AIS_ENDPOINT"])
 
 
 def get_lhotse_msc_override_protocols():
-    import os as _os
-
-    return _os.getenv("LHOTSE_MSC_OVERRIDE_PROTOCOLS", None)
+    return os.getenv("LHOTSE_MSC_OVERRIDE_PROTOCOLS", None)
 
 
 def get_lhotse_msc_profile():
-    import os as _os
-
-    return _os.getenv("LHOTSE_MSC_PROFILE", None)
+    return os.getenv("LHOTSE_MSC_PROFILE", None)
 
 
 def get_lhotse_msc_backend_forced() -> bool:
     """True forces the MSC backend for regular URLs."""
-    import os as _os
-
-    return _os.getenv("LHOTSE_MSC_BACKEND_FORCED", "False").lower() == "true"
+    return os.getenv("LHOTSE_MSC_BACKEND_FORCED", "False").lower() == "true"
 
 
 class AIStoreIOBackend(IOBackend):
@@ -180,11 +170,7 @@ class AIStoreIOBackend(IOBackend):
     ``aistore`` SDK + ``AIS_ENDPOINT`` env; reference: serialization.py:894)."""
 
     def open(self, identifier: str, mode: str):
-        import os as _os
-
-        from aistore import Client
-
-        client = Client(_os.environ["AIS_ENDPOINT"])
+        client = get_aistore_client()
         obj = client.fetch_object_by_url(identifier)
         if "r" in mode:
             fileobj = obj.get_reader().as_file()
@@ -199,13 +185,7 @@ class AIStoreIOBackend(IOBackend):
 
     @classmethod
     def is_available(cls) -> bool:
-        import os as _os
-
-        return (
-            is_module_available("aistore")
-            and "AIS_ENDPOINT" in _os.environ
-            and is_valid_url(_os.environ["AIS_ENDPOINT"])
-        )
+        return is_module_available("aistore") and is_aistore_available()
 
     def is_applicable(self, identifier: str) -> bool:
         return str(identifier).startswith("ais://") or is_valid_url(str(identifier))
@@ -225,13 +205,13 @@ class MSCIOBackend(IOBackend):
 
         identifier = str(identifier)
         if not identifier.startswith(self.PREFIX):
-            overrides = _os.environ.get("LHOTSE_MSC_OVERRIDE_PROTOCOLS")
+            overrides = get_lhotse_msc_override_protocols()
             if overrides:
                 for proto in overrides.split(","):
                     if identifier.startswith(proto):
                         identifier = identifier.replace(proto, "msc", 1)
                         break
-            profile = _os.environ.get("LHOTSE_MSC_PROFILE")
+            profile = get_lhotse_msc_profile()
             if profile and identifier.startswith(self.PREFIX):
                 rest = identifier[len(self.PREFIX) :].split("/", 1)
                 tail = rest[1] if len(rest) > 1 else ""
@@ -245,7 +225,7 @@ class MSCIOBackend(IOBackend):
     def is_applicable(self, identifier: str) -> bool:
         import os as _os
 
-        forced = _os.environ.get("LHOTSE_MSC_BACKEND_FORCED", "").lower() == "true"
+        forced = get_lhotse_msc_backend_forced()
         return str(identifier).startswith(self.PREFIX) or (forced and is_valid_url(str(identifier)))
 
 

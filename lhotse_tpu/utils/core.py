@@ -18,7 +18,9 @@ import re
 import secrets
 import sys
 import uuid
+import warnings
 from contextlib import contextmanager
+from functools import wraps
 from dataclasses import dataclass, fields
 from decimal import ROUND_DOWN, ROUND_HALF_DOWN, ROUND_HALF_UP, Decimal
 from math import ceil, isclose
@@ -691,8 +693,6 @@ def build_rng(seed) -> random.Random:
     """``random.Random(seed)``, or a true-entropy SystemRandom for "trng"
     (reference: utils.py build_rng)."""
     if seed == "trng":
-        import secrets
-
         return secrets.SystemRandom()
     return random.Random(seed)
 
@@ -724,7 +724,7 @@ def lens_to_mask(lens) -> np.ndarray:
 
 def pairwise(iterable):
     """s -> (s0, s1), (s1, s2), ..."""
-    from itertools import tee
+    from itertools import tee  # local: itertools is not otherwise used here
 
     a, b = tee(iterable)
     next(b, None)
@@ -733,9 +733,7 @@ def pairwise(iterable):
 
 def time_diff_to_num_frames(time_diff: Seconds, frame_length: Seconds, frame_shift: Seconds) -> int:
     """Number of whole frames fitting inside ``time_diff``."""
-    from math import ceil, isclose as _isclose
-
-    if _isclose(time_diff, 0.0):
+    if isclose(time_diff, 0.0):
         return 0
     return int(ceil((time_diff - frame_length) / frame_shift))
 

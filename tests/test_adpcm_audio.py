@@ -173,8 +173,6 @@ def encode_ms_wav(pcm: np.ndarray, sr: int, block_align: int = 256, bpred: int =
         c1, c2 = _MS_C1[bpred], _MS_C2[bpred]
         sample2, sample1 = int(chunk[0]), int(chunk[1])
         idelta = 16
-        header = struct.pack("<BhhH", bpred, idelta, sample1, sample2 & 0xFFFF)
-        # note: struct '<BhhH' would misorder; build explicitly below instead
         header = bytes([bpred]) + struct.pack("<h", idelta) + struct.pack("<h", sample1) + struct.pack("<h", sample2)
         nibbles = []
         for s in chunk[2:]:

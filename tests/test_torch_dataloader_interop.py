@@ -35,11 +35,6 @@ def shar_dir(tmp_path_factory):
     return d
 
 
-def _collate_ids(batch):
-    # batch is a list with one sampled CutSet (batch_size=None semantics).
-    return [c.id for c in batch]
-
-
 def test_iterable_wrapper_in_torch_workers(shar_dir):
     """Each torch DataLoader worker holds its own sampler replica over a
     disjoint shard split; the union over workers is the full dataset."""
@@ -51,7 +46,6 @@ def test_iterable_wrapper_in_torch_workers(shar_dir):
         loader = torch.utils.data.DataLoader(
             wrapper, batch_size=None, num_workers=2,
             worker_init_fn=make_worker_init_fn(rank=0, world_size=1),
-            collate_fn=_collate_ids if False else None,
         )
         seen = []
         for batch in loader:
