@@ -228,3 +228,53 @@ def test_ms_adpcm_first_samples_are_header_samples(tmp_path):
     out, _ = read_wav(str(p))
     vals = np.rint(out[0, :2] * 32768).astype(int)
     assert vals[0] == -123 and vals[1] == 456
+
+
+def test_ima_adpcm_stereo(tmp_path):
+    """Stereo blocks: per-channel 4-byte headers, then alternating 4-byte
+    channel groups. Decoded against an independent scalar reference."""
+    rng = np.random.RandomState(0)
+    spb = (256 - 4 * 2) * 2 // 2 + 1  # block_align=256, C=2
+    n = spb * 3
+    t = np.arange(n) / SR
+    left = np.clip(np.rint(12000 * np.sin(2 * np.pi * 300 * t)), -32768, 32767).astype(np.int64)
+    right = np.clip(np.rint(9000 * np.sin(2 * np.pi * 440 * t) + 500 * rng.randn(n)), -32768, 32767).astype(np.int64)
+
+    # Scalar spec encoder for stereo.
+    def encode_channel(chunk):
+        pred, index = int(chunk[0]), 0
+        nibs = []
+        for s in chunk[1:]:
+            nib, pred, index = _encode_nibble(int(s), pred, index)
+            nibs.append(nib)
+        return int(chunk[0]), nibs
+
+    blocks = []
+    for b in range(3):
+        lo, hi = b * spb, (b + 1) * spb
+        headers, nib_ch = b"", []
+        for ch in (left[lo:hi], right[lo:hi]):
+            pred0, nibs = encode_channel(ch)
+            headers += struct.pack("<hBB", pred0, 0, 0)
+            nib_ch.append(nibs)
+        payload = bytearray()
+        # Alternating 4-byte (8-nibble) groups per channel.
+        for g in range(len(nib_ch[0]) // 8):
+            for ch in range(2):
+                eight = nib_ch[ch][g * 8 : g * 8 + 8]
+                for a, c in zip(eight[0::2], eight[1::2]):
+                    payload.append(a | (c << 4))
+        blocks.append(headers + bytes(payload))
+    data = b"".join(blocks)
+    fmt = struct.pack("<HHIIHHHH", 0x0011, 2, SR, SR * 256 // spb, 256, 4, 2, spb)
+    fact = struct.pack("<I", n)
+    riff = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(data)) + data)
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    out, sr = read_wav(BytesIO(blob))
+    assert sr == SR and out.shape == (2, n)
+    for ch, ref in ((0, left), (1, right)):
+        reff = ref.astype(np.float32) / 32768.0
+        assert np.corrcoef(out[ch], reff)[0, 1] > 0.95, ch
