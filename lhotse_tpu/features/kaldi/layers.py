@@ -311,6 +311,30 @@ class _MelBase(Wav2FFT):
         return fb.astype(np.float32)
 
 
+    def _fused_matrices(self):
+        """(Mc, Ms, fb) for the fused Pallas TPU kernel when this layer's
+        configuration maps onto it, else None; cached after the first call."""
+        if not hasattr(self, "_fused_cache"):
+            mats = None
+            w = self.wav2win
+            fb = np.asarray(self._fb, dtype=np.float32)
+            if (
+                w._length == 400
+                and w._shift == 160
+                and self.fft_length == 512
+                and not self.use_energy
+                and not self.use_fft_mag
+                and fb.shape[0] == 257
+                and not fb[256].any()
+            ):
+                Mc, Ms = ops.dft_analysis_matrices(
+                    w._length, self.fft_length, window_type=w.window_type,
+                    remove_dc_offset=w.remove_dc_offset, preemph_coeff=w.preemph_coeff)
+                mats = (Mc, Ms, fb)
+            self._fused_cache = mats
+        return self._fused_cache
+
+
 class Wav2LogFilterBank(_MelBase):
     """
     Log-Mel filterbank energies ("fbank"): shape (batch, num_frames,
@@ -350,29 +374,6 @@ class Wav2LogFilterBank(_MelBase):
         if self.use_energy and log_e is not None:
             pow_spec = jnp.concatenate([log_e[..., None], pow_spec], axis=-1)
         return pow_spec
-
-    def _fused_matrices(self):
-        """(Mc, Ms, fb) for the fused Pallas TPU kernel when this layer's
-        configuration maps onto it, else None; cached after the first call."""
-        if not hasattr(self, "_fused_cache"):
-            mats = None
-            w = self.wav2win
-            fb = np.asarray(self._fb, dtype=np.float32)
-            if (
-                w._length == 400
-                and w._shift == 160
-                and self.fft_length == 512
-                and not self.use_energy
-                and not self.use_fft_mag
-                and fb.shape[0] == 257
-                and not fb[256].any()
-            ):
-                Mc, Ms = ops.dft_analysis_matrices(
-                    w._length, self.fft_length, window_type=w.window_type,
-                    remove_dc_offset=w.remove_dc_offset, preemph_coeff=w.preemph_coeff)
-                mats = (Mc, Ms, fb)
-            self._fused_cache = mats
-        return self._fused_cache
 
     def forward(self, x):
         from lhotse_tpu.ops.fbank_pallas import fbank_fused_padded, use_pallas_default
@@ -446,3 +447,29 @@ class Wav2MFCC(_MelBase):
         if self.use_energy and log_e is not None:
             mfcc = mfcc.at[..., 0].set(log_e)
         return mfcc
+
+    def forward(self, x):
+        from lhotse_tpu.ops.fbank_pallas import fbank_fused_padded, use_pallas_default
+
+        x = _as_jax_batch(x)
+        mats = self._fused_matrices() if use_pallas_default() else None
+        if mats is None:
+            return super().forward(x)
+        # Fused Pallas log-mel (same kernel as fbank), then the tiny DCT +
+        # lifter matmuls in XLA. The mel bank is zero-padded to 128 output
+        # lanes: a 23-lane kernel output block compiles pathologically in
+        # Mosaic (~4 min on v5e vs seconds at 128), and the padded columns
+        # are sliced away before the DCT.
+        import jax.numpy as jnp
+
+        x = self.wav2win._maybe_dither(x)
+        Mc, Ms, fb = mats
+        n_mels = fb.shape[1]
+        if n_mels % 128 != 0:
+            fb = np.pad(fb, ((0, 0), (0, 128 - n_mels % 128)))
+        logmel = fbank_fused_padded(x, Mc, Ms, fb, snip_edges=self.wav2win.snip_edges)
+        return ops.mfcc_from_logmel(
+            logmel[..., :n_mels], jnp.asarray(self._dct),
+            jnp.asarray(self._lifter) if self._lifter is not None else None)
+
+    __call__ = forward

@@ -86,3 +86,43 @@ def test_extractor_pallas_fallback_parity(monkeypatch):
 
     assert forced.shape == base.shape
     np.testing.assert_array_equal(forced, base)
+
+
+def test_mfcc_fused_routing():
+    """The default MFCC config must map onto the fused kernel (23 mel
+    filters, zero Nyquist row), and CPU execution routes through the GEMM
+    path untouched."""
+    from lhotse_tpu.features.kaldi.layers import Wav2MFCC
+
+    layer = Wav2MFCC(sampling_rate=16000)
+    assert layer._fused_matrices() is not None
+    rng = np.random.RandomState(4)
+    out = np.asarray(layer(rng.randn(2, 16000).astype(np.float32) * 0.1))
+    assert out.shape == (2, 100, 13)
+    assert np.isfinite(out).all()
+
+
+def test_mfcc_fused_interpret_numerics():
+    """Interpret-mode Pallas log-mel (23 filters) + DCT equals the XLA MFCC
+    numerics over identical snip-edges frames."""
+    from lhotse_tpu.features.kaldi.layers import Wav2MFCC
+
+    layer = Wav2MFCC(sampling_rate=16000)
+    Mc, Ms, fb = layer._fused_matrices()
+
+    num_frames = BLOCK_T
+    n = num_frames * HOP + ROW
+    rng = np.random.RandomState(5)
+    audio = jnp.asarray(rng.randn(1, n).astype(np.float32) * 0.1)
+
+    logmel_fused = np.asarray(fbank_pallas(audio, Mc, Ms, fb, interpret=True))
+    logmel_ref = np.asarray(
+        reference_fbank(audio[:, : num_frames * HOP + (FRAME_LEN - HOP)], Mc, Ms, fb))
+    assert np.abs(logmel_fused - logmel_ref[:, :num_frames]).max() < 5e-5
+
+    mfcc_fused = np.asarray(ops.mfcc_from_logmel(
+        jnp.asarray(logmel_fused), jnp.asarray(layer._dct), jnp.asarray(layer._lifter)))
+    mfcc_ref = np.asarray(ops.mfcc_from_logmel(
+        jnp.asarray(logmel_ref[:, :num_frames]), jnp.asarray(layer._dct),
+        jnp.asarray(layer._lifter)))
+    assert np.abs(mfcc_fused - mfcc_ref).max() < 5e-4
