@@ -103,9 +103,16 @@ class _KaldiExtractorBase(FeatureExtractor):
         """
         Subclass hook: return (Mc, Ms, mel_fb) when the fused Pallas TPU
         kernel (:mod:`lhotse_tpu.ops.fbank_pallas`) covers this extractor's
-        configuration, else None (default).
+        configuration, else None (default). ``mel_fb`` may be zero-padded to
+        a 128-multiple of columns for Mosaic-friendly output blocks;
+        :meth:`_pallas_postprocess` receives the full kernel output.
         """
         return None
+
+    def _pallas_postprocess(self, logmel):
+        """Subclass hook: transform the fused kernel's log-mel output into
+        this extractor's features (identity for fbank)."""
+        return logmel
 
     def _forward_padded_batch(self, samples: np.ndarray):
         """
@@ -150,7 +157,8 @@ class _KaldiExtractorBase(FeatureExtractor):
                 def _run_pallas(x):
                     # The batch already carries the per-item symmetric edge
                     # padding -> snip-edges framing semantics.
-                    return fbank_fused_padded(x, pMc, pMs, pfb, snip_edges=True)
+                    return self._pallas_postprocess(
+                        fbank_fused_padded(x, pMc, pMs, pfb, snip_edges=True))
 
                 pal = jax.jit(_run_pallas)
 
@@ -563,6 +571,23 @@ class Mfcc(_KaldiExtractorBase):
         if self.config.use_energy and log_e is not None:
             mfcc[:, 0] = log_e
         return mfcc.astype(np.float32)
+
+    def _pallas_matrices(self):
+        mats = self.extractor._fused_matrices()
+        if mats is None:
+            return None
+        Mc, Ms, fb_padded, self._pallas_n_mels = mats
+        return Mc, Ms, fb_padded
+
+    def _pallas_postprocess(self, logmel):
+        import jax.numpy as jnp
+
+        logmel = logmel[..., : self._pallas_n_mels]
+        return ops.mfcc_from_logmel(
+            logmel, jnp.asarray(self.extractor._dct),
+            jnp.asarray(self.extractor._lifter)
+            if self.extractor._lifter is not None
+            else None)
 
 
 @dataclass

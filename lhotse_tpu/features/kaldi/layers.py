@@ -312,8 +312,11 @@ class _MelBase(Wav2FFT):
 
 
     def _fused_matrices(self):
-        """(Mc, Ms, fb) for the fused Pallas TPU kernel when this layer's
-        configuration maps onto it, else None; cached after the first call."""
+        """(Mc, Ms, fb_lane_padded, n_mels) for the fused Pallas TPU kernel
+        when this layer's configuration maps onto it, else None; cached.
+        ``fb`` is zero-padded to a 128-multiple of output lanes (narrow
+        kernel output blocks compile pathologically in Mosaic); callers
+        slice the log-mel back to ``n_mels`` columns."""
         if not hasattr(self, "_fused_cache"):
             mats = None
             w = self.wav2win
@@ -330,9 +333,32 @@ class _MelBase(Wav2FFT):
                 Mc, Ms = ops.dft_analysis_matrices(
                     w._length, self.fft_length, window_type=w.window_type,
                     remove_dc_offset=w.remove_dc_offset, preemph_coeff=w.preemph_coeff)
-                mats = (Mc, Ms, fb)
+                n_mels = fb.shape[1]
+                if n_mels % 128 not in (0, 80):  # 80 is a known-good width
+                    fb = np.pad(fb, ((0, 0), (0, 128 - n_mels % 128)))
+                mats = (Mc, Ms, fb, n_mels)
             self._fused_cache = mats
         return self._fused_cache
+
+    def _fused_logmel(self, x):
+        """Log-mel via the fused Pallas kernel, or None when the config does
+        not map onto it or the kernel cannot lower on this backend (callers
+        fall back to the GEMM path)."""
+        from lhotse_tpu.ops.fbank_pallas import fbank_fused_padded, use_pallas_default
+
+        mats = self._fused_matrices() if use_pallas_default() else None
+        if mats is None:
+            return None
+        Mc, Ms, fb, n_mels = mats
+        # Dithering applies to the raw waveform exactly as in Wav2Win.forward;
+        # DC-removal/pre-emphasis/window are folded into the analysis matrices.
+        dithered = self.wav2win._maybe_dither(x)
+        try:
+            logmel = fbank_fused_padded(
+                dithered, Mc, Ms, fb, snip_edges=self.wav2win.snip_edges)
+        except Exception:
+            return None  # e.g. Mosaic lowering unavailable on this toolchain
+        return logmel[..., :n_mels] if logmel.shape[-1] != n_mels else logmel
 
 
 class Wav2LogFilterBank(_MelBase):
@@ -376,18 +402,9 @@ class Wav2LogFilterBank(_MelBase):
         return pow_spec
 
     def forward(self, x):
-        from lhotse_tpu.ops.fbank_pallas import fbank_fused_padded, use_pallas_default
-
         x = _as_jax_batch(x)
-        mats = self._fused_matrices() if use_pallas_default() else None
-        if mats is None:
-            return super().forward(x)
-        # Fused Pallas path: dithering applies to the raw waveform exactly as
-        # in Wav2Win.forward; DC-removal/pre-emphasis/window are folded into
-        # the analysis matrices (ops.frame_preprocessing_matrix).
-        x = self.wav2win._maybe_dither(x)
-        Mc, Ms, fb = mats
-        return fbank_fused_padded(x, Mc, Ms, fb, snip_edges=self.wav2win.snip_edges)
+        logmel = self._fused_logmel(x)
+        return logmel if logmel is not None else super().forward(x)
 
     __call__ = forward
 
@@ -449,27 +466,15 @@ class Wav2MFCC(_MelBase):
         return mfcc
 
     def forward(self, x):
-        from lhotse_tpu.ops.fbank_pallas import fbank_fused_padded, use_pallas_default
-
-        x = _as_jax_batch(x)
-        mats = self._fused_matrices() if use_pallas_default() else None
-        if mats is None:
-            return super().forward(x)
-        # Fused Pallas log-mel (same kernel as fbank), then the tiny DCT +
-        # lifter matmuls in XLA. The mel bank is zero-padded to 128 output
-        # lanes: a 23-lane kernel output block compiles pathologically in
-        # Mosaic (~4 min on v5e vs seconds at 128), and the padded columns
-        # are sliced away before the DCT.
         import jax.numpy as jnp
 
-        x = self.wav2win._maybe_dither(x)
-        Mc, Ms, fb = mats
-        n_mels = fb.shape[1]
-        if n_mels % 128 != 0:
-            fb = np.pad(fb, ((0, 0), (0, 128 - n_mels % 128)))
-        logmel = fbank_fused_padded(x, Mc, Ms, fb, snip_edges=self.wav2win.snip_edges)
+        x = _as_jax_batch(x)
+        logmel = self._fused_logmel(x)
+        if logmel is None:
+            return super().forward(x)
+        # Fused Pallas log-mel, then the tiny DCT + lifter matmuls in XLA.
         return ops.mfcc_from_logmel(
-            logmel[..., :n_mels], jnp.asarray(self._dct),
+            logmel, jnp.asarray(self._dct),
             jnp.asarray(self._lifter) if self._lifter is not None else None)
 
     __call__ = forward

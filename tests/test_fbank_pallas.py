@@ -108,14 +108,18 @@ def test_mfcc_fused_interpret_numerics():
     from lhotse_tpu.features.kaldi.layers import Wav2MFCC
 
     layer = Wav2MFCC(sampling_rate=16000)
-    Mc, Ms, fb = layer._fused_matrices()
+    Mc, Ms, fb_padded, n_mels = layer._fused_matrices()
+    assert n_mels == 23 and fb_padded.shape[1] == 128  # lane-padded bank
 
     num_frames = BLOCK_T
     n = num_frames * HOP + ROW
     rng = np.random.RandomState(5)
     audio = jnp.asarray(rng.randn(1, n).astype(np.float32) * 0.1)
 
-    logmel_fused = np.asarray(fbank_pallas(audio, Mc, Ms, fb, interpret=True))
+    # The exact padded bank the forward path ships to the kernel.
+    logmel_fused = np.asarray(
+        fbank_pallas(audio, Mc, Ms, fb_padded, interpret=True))[..., :n_mels]
+    fb = fb_padded[:, :n_mels]
     logmel_ref = np.asarray(
         reference_fbank(audio[:, : num_frames * HOP + (FRAME_LEN - HOP)], Mc, Ms, fb))
     assert np.abs(logmel_fused - logmel_ref[:, :num_frames]).max() < 5e-5
