@@ -240,23 +240,27 @@ def test_ima_adpcm_stereo(tmp_path):
     left = np.clip(np.rint(12000 * np.sin(2 * np.pi * 300 * t)), -32768, 32767).astype(np.int64)
     right = np.clip(np.rint(9000 * np.sin(2 * np.pi * 440 * t) + 500 * rng.randn(n)), -32768, 32767).astype(np.int64)
 
-    # Scalar spec encoder for stereo.
+    # Scalar spec encoder for stereo; also records the exact decoder
+    # trajectory (the reconstructed samples) as ground truth.
     def encode_channel(chunk):
         pred, index = int(chunk[0]), 0
-        nibs = []
+        nibs, traj = [], [pred]
         for s in chunk[1:]:
             nib, pred, index = _encode_nibble(int(s), pred, index)
             nibs.append(nib)
-        return int(chunk[0]), nibs
+            traj.append(pred)
+        return int(chunk[0]), nibs, traj
 
     blocks = []
+    expected = [[], []]
     for b in range(3):
         lo, hi = b * spb, (b + 1) * spb
         headers, nib_ch = b"", []
-        for ch in (left[lo:hi], right[lo:hi]):
-            pred0, nibs = encode_channel(ch)
+        for ci, ch in enumerate((left[lo:hi], right[lo:hi])):
+            pred0, nibs, traj = encode_channel(ch)
             headers += struct.pack("<hBB", pred0, 0, 0)
             nib_ch.append(nibs)
+            expected[ci].extend(traj)
         payload = bytearray()
         # Alternating 4-byte (8-nibble) groups per channel.
         for g in range(len(nib_ch[0]) // 8):
@@ -275,6 +279,11 @@ def test_ima_adpcm_stereo(tmp_path):
 
     out, sr = read_wav(BytesIO(blob))
     assert sr == SR and out.shape == (2, n)
+    # Exact agreement with the independent scalar decoder trajectory.
+    for ch in range(2):
+        exact = np.array(expected[ch], dtype=np.float32) / 32768.0
+        np.testing.assert_array_equal(out[ch], exact)
+    # And faithful to the pre-quantization signal.
     for ch, ref in ((0, left), (1, right)):
         reff = ref.astype(np.float32) / 32768.0
         assert np.corrcoef(out[ch], reff)[0, 1] > 0.95, ch
