@@ -1,0 +1,84 @@
+"""
+Property-based agreement between the two extractor execution paths: the
+pure-numpy host chain (config.device == "cpu") and the jitted GEMM chain
+(any other device — here XLA:CPU), across randomized configurations.
+These are independent implementations of the same Kaldi semantics, so they
+cross-validate each other without golden fixtures.
+"""
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from lhotse_tpu.features.kaldi.extractors import (
+    Fbank,
+    FbankConfig,
+    LogSpectrogram,
+    LogSpectrogramConfig,
+    Mfcc,
+    MfccConfig,
+    Spectrogram,
+    SpectrogramConfig,
+)
+
+# Log-domain tolerance: both paths are float32-class; MFCC's DCT amplifies.
+TOL = {"fbank": 6e-4, "mfcc": 1.5e-3, "spectrogram": 2e-2, "logspec": 6e-4}
+
+
+@st.composite
+def cases(draw):
+    kind = draw(st.sampled_from(["fbank", "mfcc", "logspec"]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    window = draw(st.sampled_from(["povey", "hanning", "hamming"]))
+    use_energy = draw(st.booleans())
+    num_filters = draw(st.sampled_from([23, 40, 80]))
+    dur = draw(st.floats(0.5, 2.5))
+    return kind, seed, window, use_energy, num_filters, dur
+
+
+def _build(kind, window, use_energy, num_filters, device):
+    if kind == "fbank":
+        return Fbank(FbankConfig(
+            window_type=window, use_energy=use_energy,
+            num_filters=num_filters, device=device))
+    if kind == "mfcc":
+        return Mfcc(MfccConfig(
+            window_type=window, use_energy=use_energy,
+            num_filters=max(num_filters, 23), device=device))
+    return LogSpectrogram(LogSpectrogramConfig(window_type=window, device=device))
+
+
+@settings(max_examples=25, deadline=None)
+@given(case=cases())
+def test_numpy_path_matches_jit_path(case):
+    kind, seed, window, use_energy, num_filters, dur = case
+    rng = np.random.default_rng(seed)
+    n = int(16000 * dur)
+    t = np.arange(n) / 16000
+    # Tonal + noise mix: exposes both near-cancellation bins and broadband.
+    sig = (0.3 * np.sin(2 * np.pi * (100 + seed % 300) * t)
+           + 0.02 * rng.normal(size=n)).astype(np.float32)
+
+    out_np = _build(kind, window, use_energy, num_filters, "cpu").extract(sig, 16000)
+    out_jit = _build(kind, window, use_energy, num_filters, "tpu").extract(sig, 16000)
+    assert out_np.shape == out_jit.shape
+    err = np.abs(out_np.astype(np.float64) - out_jit.astype(np.float64)).max()
+    assert err < TOL[kind], f"{kind} {window} energy={use_energy}: {err:.2e}"
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 1000),
+    n_items=st.integers(2, 5),
+)
+def test_batch_extraction_paths_agree(seed, n_items):
+    rng = np.random.default_rng(seed)
+    items = [
+        (0.1 * rng.normal(size=rng.integers(8000, 32000))).astype(np.float32)
+        for _ in range(n_items)
+    ]
+    a = Fbank(FbankConfig(device="cpu")).extract_batch(items, 16000)
+    b = Fbank(FbankConfig(device="tpu")).extract_batch(items, 16000)
+    for x, y in zip(a, b):
+        assert x.shape == y.shape
+        assert np.abs(x - y).max() < 6e-4
