@@ -21,8 +21,10 @@ from lhotse_tpu.features.kaldi.extractors import (
     SpectrogramConfig,
 )
 
-# Log-domain tolerance: both paths are float32-class; MFCC's DCT amplifies.
-TOL = {"fbank": 6e-4, "mfcc": 1.5e-3, "spectrogram": 2e-2, "logspec": 6e-4}
+# Log-domain tolerance: both paths are float32-class; MFCC's DCT amplifies
+# the noise; raw log-spectra have no mel smoothing, so spectral nulls of
+# tonal signals amplify f32 FFT noise by orders of magnitude in the log.
+TOL = {"fbank": 6e-4, "mfcc": 1.5e-3, "logspec": 2e-2}
 
 
 @st.composite
@@ -62,8 +64,10 @@ def test_numpy_path_matches_jit_path(case):
     out_np = _build(kind, window, use_energy, num_filters, "cpu").extract(sig, 16000)
     out_jit = _build(kind, window, use_energy, num_filters, "tpu").extract(sig, 16000)
     assert out_np.shape == out_jit.shape
-    err = np.abs(out_np.astype(np.float64) - out_jit.astype(np.float64)).max()
-    assert err < TOL[kind], f"{kind} {window} energy={use_energy}: {err:.2e}"
+    diff = np.abs(out_np.astype(np.float64) - out_jit.astype(np.float64))
+    assert diff.max() < TOL[kind], f"{kind} {window} energy={use_energy}: {diff.max():.2e}"
+    # The bulk of the surface must agree tightly regardless of nulls.
+    assert np.median(diff) < 1e-4
 
 
 @settings(max_examples=10, deadline=None)
