@@ -52,7 +52,7 @@ from lhotse_tpu.recipes.aishell4 import download_aishell4, prepare_aishell4
 from lhotse_tpu.recipes.ali_meeting import download_ali_meeting, prepare_ali_meeting
 from lhotse_tpu.recipes.audio_mnist import download_audio_mnist, prepare_audio_mnist
 from lhotse_tpu.recipes.babel import prepare_single_babel_language
-from lhotse_tpu.recipes.chime6 import prepare_chime6
+from lhotse_tpu.recipes.chime6 import download_chime6, prepare_chime6
 from lhotse_tpu.recipes.cmu_arctic import download_cmu_arctic, prepare_cmu_arctic
 from lhotse_tpu.recipes.cmu_kids import prepare_cmu_kids
 from lhotse_tpu.recipes.daily_talk import download_daily_talk, prepare_daily_talk

@@ -88,6 +88,41 @@ def _array_recording(session: str, wavs: list) -> Recording:
         duration=meta.frames / meta.samplerate)
 
 
+def download_chime6(
+    target_dir: Pathlike = ".", force_download: bool = False) -> Path:
+    """
+    Fetch the openslr/150 CHiME-6 tarballs (train/dev/eval) and extract them.
+    Downloading implies agreeing to the CHiME-5 license
+    (https://licensing.sheffield.ac.uk/product/chime5).
+    Reference behavior: lhotse/recipes/chime6.py:80-120 (including the
+    unverified-SSL workaround for the host's expired certificate).
+    """
+    import ssl
+    import tarfile
+
+    from lhotse_tpu.utils import resumable_download, safe_extract
+
+    logging.warning(
+        "By downloading the CHiME-6 dataset you agree to the license: "
+        "https://licensing.sheffield.ac.uk/product/chime5"
+    )
+    url = "https://us.openslr.org/resources/150"
+    target_dir = Path(target_dir)
+    target_dir.mkdir(parents=True, exist_ok=True)
+    unverified_ssl_ctx = ssl.create_default_context()
+    unverified_ssl_ctx.check_hostname = False
+    unverified_ssl_ctx.verify_mode = ssl.CERT_NONE
+    for part in ("train", "dev", "eval"):
+        file_name = f"CHiME6_{part}.tar.gz"
+        tar_path = target_dir / file_name
+        resumable_download(
+            f"{url}/{file_name}", filename=tar_path, force_download=force_download,
+            request_ssl_context=unverified_ssl_ctx)
+        with tarfile.open(tar_path) as tar:
+            safe_extract(tar, path=target_dir)
+    return Path(target_dir)
+
+
 def prepare_chime6(
     corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
     dataset_parts: Optional[Union[str, Sequence[str]]] = "all", mic: str = "mdm",

@@ -536,7 +536,8 @@ def safe_extract_rar(archive, path: Pathlike = ".", members=None):
 
 def resumable_download(
     url: str, filename: Pathlike, force_download: bool = False,
-    completed_file_size: Optional[int] = None, missing_ok: bool = False) -> None:
+    completed_file_size: Optional[int] = None, missing_ok: bool = False,
+    request_ssl_context=None) -> None:
     """
     Download a file with support for resuming partial downloads via HTTP Range
     requests (reference: utils.py:471). Uses urllib; no external dependencies.
@@ -556,7 +557,8 @@ def resumable_download(
         req.add_header("Range", f"bytes={partial}-")
     mode = "ab" if partial else "wb"
     try:
-        with urllib.request.urlopen(req) as resp, open(filename, mode) as f:
+        with urllib.request.urlopen(req, context=request_ssl_context) as resp, \
+                open(filename, mode) as f:
             while True:
                 chunk = resp.read(1 << 20)
                 if not chunk:
