@@ -172,3 +172,34 @@ def test_lazy_manifest_join_warns_on_unsorted_inputs(tmp_path):
             lazy=True,
         )
     assert all(len(c.supervisions) == 1 for c in cuts)
+
+
+def test_validate_read_data_over_stored_features(tmp_path):
+    """read_data=True actually decodes stored features, and rejects
+    corrupted storage."""
+    import glob
+    import warnings
+
+    from lhotse_tpu import CutSet, Fbank
+    from lhotse_tpu.testing.dummies import dummy_cut, dummy_supervision
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        cuts = CutSet.from_cuts(
+            dummy_cut(i, with_data=True,
+                      supervisions=[dummy_supervision(i, duration=1.0)])
+            for i in range(3))
+        for c in cuts:
+            c.custom = {}
+        stored = cuts.compute_and_store_features(
+            extractor=Fbank(), storage_path=str(tmp_path / "feats"))
+    validate(stored, read_data=True)
+
+    storage_files = glob.glob(str(tmp_path / "feats*")) + glob.glob(
+        str(tmp_path / "feats*" / "*"))
+    target = next(p for p in storage_files if not p.endswith("feats"))
+    import pathlib
+
+    pathlib.Path(target).write_bytes(b"garbage")
+    with pytest.raises(Exception):
+        validate(stored, read_data=True)
