@@ -65,6 +65,13 @@ def test_numpy_path_matches_jit_path(case):
     out_jit = _build(kind, window, use_energy, num_filters, "tpu").extract(sig, 16000)
     assert out_np.shape == out_jit.shape
     diff = np.abs(out_np.astype(np.float64) - out_jit.astype(np.float64))
+    if kind == "logspec":
+        # Log-domain error is d|X|/|X|: unbounded at the spectral nulls of a
+        # tonal signal (no mel smoothing here). Compare only bins within 20
+        # nats (~87 dB power) of the utterance peak — below that the value is
+        # numerically meaningless in both implementations.
+        ref = np.maximum(out_np, out_jit)
+        diff = diff[ref > ref.max() - 20.0]
     assert diff.max() < TOL[kind], f"{kind} {window} energy={use_energy}: {diff.max():.2e}"
     # The bulk of the surface must agree tightly regardless of nulls.
     assert np.median(diff) < 1e-4

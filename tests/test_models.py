@@ -69,3 +69,39 @@ class TestGraftEntry:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(4)
+
+    def test_dryrun_self_provisions_from_single_device_process(self):
+        """
+        The driver's calling convention: a process whose jax is already
+        initialized with a single (non-virtual) device calls
+        dryrun_multichip(8).  The wrapper must detect the shortfall and
+        re-exec the body in a provisioned subprocess — this was the r01/r02
+        MULTICHIP failure mode.
+        """
+        import os
+        import subprocess
+
+        root = Path(__file__).parent.parent
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = ""  # no forced device count -> 1 CPU device
+        env["JAX_PLATFORMS"] = "cpu"
+        code = (
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "assert len(jax.devices()) == 1, jax.devices()\n"
+            "import __graft_entry__ as g\n"
+            "g.dryrun_multichip(8)\n"
+            "print('SELF_PROVISION_OK')\n"
+        )
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            cwd=root,
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1200,
+        )
+        assert proc.returncode == 0 and "SELF_PROVISION_OK" in proc.stdout, (
+            f"rc={proc.returncode}\nstdout:\n{proc.stdout[-2000:]}\n"
+            f"stderr:\n{proc.stderr[-4000:]}"
+        )

@@ -24,6 +24,13 @@ g.dryrun_multichip(8)
 print("dryrun ok")
 EOF
 
+echo "[smoke] dryrun driver-convention (NO env preset: wrapper must self-provision)"
+env -u XLA_FLAGS -u _AXON_REGISTERED JAX_PLATFORMS=cpu python - <<'EOF'
+import __graft_entry__ as g
+g.dryrun_multichip(8)
+print("driver-convention dryrun ok")
+EOF
+
 echo "[smoke] bench smoke (tiny, cpu)"
 LHOTSE_TPU_BENCH_SMOKE=1 python bench.py
 
