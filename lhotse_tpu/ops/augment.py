@@ -1,0 +1,252 @@
+"""
+On-device, batched augmentation ops and the fused augment→fbank pipeline.
+
+These are the jittable device counterparts of the per-cut host paths, sharing
+their constants and math so host and device agree to float32 tolerance
+(tested in ``tests/test_ops_augment.py``):
+
+- SNR noise-mix gain ``sqrt(E_ref * 10^(-snr/10) / E_noise)`` — host
+  :class:`lhotse_tpu.audio.mixer.AudioMixer` (reference spec:
+  `/root/reference/lhotse/audio/mixer.py:129-162`);
+- RIR reverberation by FFT convolution with Kaldi shift-output semantics
+  (output aligned at the RIR peak, length == input) and energy
+  normalization — host :class:`lhotse_tpu.augmentation.rir
+  .ReverbWithImpulseResponse` (reference specs:
+  `/root/reference/lhotse/augmentation/utils.py:49`,
+  `/root/reference/lhotse/augmentation/rir.py:13-166`);
+- speed/volume perturbation — :func:`lhotse_tpu.ops.resample.speed_perturb`
+  (sinc polyphase, reference spec:
+  `/root/reference/lhotse/augmentation/resample.py:186-315`).
+
+TPU-first design: every op consumes a fixed-shape ``(B, T)`` bucket with a
+``lens`` vector instead of ragged per-cut arrays, so the whole augmentation
+chain (speed perturb → volume gain → SNR noise mix → RIR reverb → fbank)
+compiles into ONE XLA program per bucket shape — convolutions and the fbank
+GEMMs ride the MXU, elementwise gain/mask work fuses into them, and nothing
+falls back to per-item host loops.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+RIR_SCALING_FACTOR = 0.5**15  # host parity: augmentation/rir.py
+
+
+def valid_mask(lens, num_samples: int):
+    """(B,) lens → (B, num_samples) float32 0/1 mask."""
+    import jax.numpy as jnp
+
+    return (
+        jnp.arange(num_samples)[None, :] < jnp.asarray(lens)[:, None]
+    ).astype(jnp.float32)
+
+
+def masked_energy(audio, lens=None):
+    """
+    Per-item mean power over the valid samples — the batched analog of
+    ``audio_energy`` (mean of x^2).  With ``lens=None`` the full last axis
+    counts.
+    """
+    import jax.numpy as jnp
+
+    audio = jnp.asarray(audio)
+    if lens is None:
+        return jnp.mean(audio * audio, axis=-1)
+    mask = valid_mask(lens, audio.shape[-1])
+    denom = jnp.maximum(jnp.asarray(lens).astype(jnp.float32), 1.0)
+    return jnp.sum(audio * audio * mask, axis=-1) / denom
+
+
+def snr_mix_gain(ref_energy, noise_energy, snr):
+    """
+    Batched SNR gain: ``sqrt(E_ref * 10^(-snr/10) / E_noise)``, falling back
+    to 1.0 when either energy is non-positive (host AudioMixer._snr_gain
+    semantics).
+    """
+    import jax.numpy as jnp
+
+    ref_energy = jnp.asarray(ref_energy, jnp.float32)
+    noise_energy = jnp.asarray(noise_energy, jnp.float32)
+    snr = jnp.asarray(snr, jnp.float32)
+    target = ref_energy * 10.0 ** (-snr / 10.0)
+    gain = jnp.sqrt(target / jnp.maximum(noise_energy, 1e-20))
+    return jnp.where((ref_energy > 0) & (noise_energy > 0), gain, 1.0)
+
+
+def place_at_offsets(noise, noise_lens, offsets, num_samples: int):
+    """
+    Shift each noise row so it starts at ``offsets[b]`` samples within a
+    ``num_samples``-long frame, zero outside ``[offset, offset+len)`` —
+    the batched analog of the host mixer's per-track zero-padding.
+    """
+    import jax.numpy as jnp
+
+    noise = jnp.asarray(noise)
+    offsets = jnp.asarray(offsets)
+    idx = jnp.arange(num_samples)[None, :] - offsets[:, None]
+    ok = (idx >= 0) & (idx < jnp.asarray(noise_lens)[:, None])
+    gathered = jnp.take_along_axis(
+        noise, jnp.clip(idx, 0, noise.shape[-1] - 1), axis=-1
+    )
+    return jnp.where(ok, gathered, 0.0)
+
+
+def mix_noise(
+    audio,
+    audio_lens,
+    noise,
+    noise_lens,
+    snr,
+    offsets=None,
+    mix_mask=None,
+    reference_energy=None,
+):
+    """
+    Mix a noise batch into an audio batch at the requested per-item SNRs:
+    ``mixed = audio + gain * shift(noise)`` truncated to the audio frame.
+
+    :param audio: (B, T) batch; valid lengths ``audio_lens``.
+    :param noise: (B, Tn) noise batch; valid lengths ``noise_lens``.
+    :param snr: scalar or (B,) target SNR in dB (noise relative to audio).
+    :param offsets: optional (B,) sample offsets where each noise starts.
+    :param mix_mask: optional (B,) 0/1 — items with 0 pass through unmixed
+        (the batched form of ``mix_prob``).
+    :param reference_energy: optional (B,) override of the audio energy used
+        in the gain (e.g. the pre-gain energy of a MixedCut's first track).
+    """
+    import jax.numpy as jnp
+
+    audio = jnp.asarray(audio)
+    T = audio.shape[-1]
+    ref_energy = (
+        masked_energy(audio, audio_lens)
+        if reference_energy is None
+        else jnp.asarray(reference_energy, jnp.float32)
+    )
+    noise_energy = masked_energy(noise, noise_lens)
+    gain = snr_mix_gain(ref_energy, noise_energy, snr)
+    if offsets is None:
+        placed = place_at_offsets(
+            noise, noise_lens, jnp.zeros(audio.shape[0], jnp.int32), T
+        )
+    else:
+        placed = place_at_offsets(noise, noise_lens, offsets, T)
+    if mix_mask is not None:
+        gain = gain * jnp.asarray(mix_mask, jnp.float32)
+    return audio + gain[:, None] * placed
+
+
+def reverb_rir(audio, rir, audio_lens=None, rir_lens=None, normalize: bool = True):
+    """
+    Batched RIR reverberation with Kaldi ``wav-reverberate --shift-output``
+    semantics (host rir.py parity): full FFT convolution with
+    ``rir * 2^-15``, output realigned so the RIR peak lands at t=0, truncated
+    to the input length, optionally rescaled to preserve the dry energy.
+
+    :param audio: (B, T); ``audio_lens`` marks valid samples (tail beyond an
+        item's length is cut, as the host path's fixed output length does).
+    :param rir: (L,) shared or (B, L) per-item impulse responses;
+        ``rir_lens`` masks per-item padding in a batched RIR.
+    """
+    import jax.numpy as jnp
+
+    audio = jnp.asarray(audio, jnp.float32)
+    B, T = audio.shape
+    rir = jnp.asarray(rir, jnp.float32)
+    if rir.ndim == 1:
+        rir = jnp.broadcast_to(rir[None, :], (B, rir.shape[0]))
+    L = rir.shape[-1]
+    if rir_lens is not None:
+        rir = rir * valid_mask(rir_lens, L)
+    taps = rir * RIR_SCALING_FACTOR
+
+    full = T + L - 1
+    fft_size = 1 << (full - 1).bit_length()
+    wet_full = jnp.fft.irfft(
+        jnp.fft.rfft(audio, n=fft_size) * jnp.fft.rfft(taps, n=fft_size),
+        n=fft_size,
+    )
+    # Align the RIR peak with t=0 (host: wet[peak : peak + N]).
+    peak = jnp.argmax(taps, axis=-1)
+    idx = peak[:, None] + jnp.arange(T)[None, :]
+    wet = jnp.take_along_axis(wet_full, jnp.clip(idx, 0, fft_size - 1), axis=-1)
+    if audio_lens is not None:
+        wet = wet * valid_mask(audio_lens, T)
+    if normalize:
+        dry_power = masked_energy(audio, audio_lens)
+        wet_power = masked_energy(wet, audio_lens)
+        scale = jnp.sqrt(dry_power / jnp.maximum(wet_power, 1e-20))
+        wet = wet * jnp.where(wet_power > 0, scale, 1.0)[:, None]
+    return wet
+
+
+def make_augment_fbank_pipeline(
+    sampling_rate: int = 16000,
+    speed_factor: Optional[float] = None,
+    normalize_rir: bool = True,
+    fbank=None,
+):
+    """
+    Build ONE jitted program running the full BASELINE config #3 chain on
+    device over a fixed-shape bucket:
+
+        speed perturb → volume gain → SNR noise mix → RIR reverb → fbank
+
+    Every stage is optional at call time (pass ``None`` to skip; the jit
+    retraces per argument structure, so each used combination costs one
+    compile per bucket shape).  Returns ``fn(audio, audio_lens, *, gains,
+    noise, noise_lens, snr, noise_offsets, mix_mask, rir) -> (feats (B, T',
+    80), feat_lens)``.
+    """
+    import jax
+
+    from lhotse_tpu.features.kaldi.layers import Wav2LogFilterBank
+    from lhotse_tpu.ops.resample import resampled_num_samples, speed_perturb
+
+    if fbank is None:
+        fbank = Wav2LogFilterBank(sampling_rate=sampling_rate)
+    hop = round(fbank.frame_shift * sampling_rate)
+
+    def pipeline(
+        audio,
+        audio_lens,
+        gains=None,
+        noise=None,
+        noise_lens=None,
+        snr=None,
+        noise_offsets=None,
+        mix_mask=None,
+        rir=None,
+    ):
+        import jax.numpy as jnp
+
+        audio = jnp.asarray(audio, jnp.float32)
+        audio_lens = jnp.asarray(audio_lens)
+        if speed_factor is not None and speed_factor != 1.0:
+            orig = round(sampling_rate * speed_factor)
+            audio = speed_perturb(audio, speed_factor, sampling_rate)
+            audio_lens = resampled_num_samples(audio_lens, orig, sampling_rate)
+        if gains is not None:
+            audio = audio * jnp.asarray(gains, jnp.float32)[:, None]
+        if noise is not None:
+            audio = mix_noise(
+                audio,
+                audio_lens,
+                noise,
+                noise_lens,
+                snr,
+                offsets=noise_offsets,
+                mix_mask=mix_mask,
+            )
+        if rir is not None:
+            audio = reverb_rir(
+                audio, rir, audio_lens=audio_lens, normalize=normalize_rir
+            )
+        feats = fbank(audio)
+        # snip_edges=False frame count, computed per item from the lens.
+        feat_lens = (audio_lens + hop // 2) // hop
+        return feats, feat_lens
+
+    return jax.jit(pipeline)
