@@ -144,7 +144,9 @@ def read_aiff(src) -> Tuple[np.ndarray, int]:
 
     ch, bits = info.num_channels, info.bits_per_sample
     comp = info.compression.strip().upper()
-    if comp in ("NONE", "SOWT"):
+    # 'twos' = big-endian PCM (legacy Mac tools emit it; libsndfile reads it
+    # identically to uncompressed AIFF-C).
+    if comp in ("NONE", "SOWT", "TWOS"):
         endian = "<" if comp == "SOWT" else ">"
         if bits == 16:
             x = np.frombuffer(raw, dtype=endian + "i2").astype(np.float32) / 32768.0

@@ -177,9 +177,19 @@ class RecordingSet(Serializable, AlgorithmMixin):
         try:
             return self.recordings[index_or_id]
         except TypeError:
-            if self.is_lazy:
-                return next(item for idx, item in enumerate(self) if idx == index_or_id)
-            return next(item for item in self if item.id == index_or_id)
+            # Lazy backend (or eager int lookup fell through): strings match
+            # by item id, ints by iteration position.
+            if isinstance(index_or_id, str):
+                try:
+                    return next(item for item in self if item.id == index_or_id)
+                except StopIteration:
+                    raise KeyError(index_or_id) from None
+            try:
+                return next(
+                    item for idx, item in enumerate(self) if idx == index_or_id
+                )
+            except StopIteration:
+                raise IndexError(index_or_id) from None
 
     def __contains__(self, other: Union[str, Recording]) -> bool:
         if isinstance(other, str):

@@ -381,7 +381,11 @@ def _decode_ms_adpcm_blocks(raw: bytes, header: WavHeader) -> np.ndarray:
     signed = np.where(signed >= 8, signed - 16, signed)
 
     for t in range(spb - 2):
-        pred = (sample1 * coef1 + sample2 * coef2) >> 8
+        # MS spec divides by 256 with C semantics (truncation toward zero);
+        # '>> 8' would floor, decoding negative sums 1 LSB low and feeding
+        # the error back through the recurrence.
+        acc = sample1 * coef1 + sample2 * coef2
+        pred = (acc + (acc < 0) * 255) >> 8
         pred = pred + signed[:, :, t] * idelta
         pred = np.clip(pred, -32768, 32767)
         sample2, sample1 = sample1, pred

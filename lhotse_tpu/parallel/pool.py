@@ -89,6 +89,11 @@ class ParallelExecutor:
 
     _local = threading.local()
     _process_runners: dict = {}
+    # Every per-thread runner cache ever created, so finished executors can
+    # evict their entries from all of them (thread-locals are otherwise
+    # unreachable from the evicting thread).
+    _thread_caches: list = []
+    _caches_lock = threading.Lock()
 
     def __init__(
         self, init_fn: Callable, num_jobs: int = 1, threads: bool = True, queue_size: int = 5000,
@@ -109,6 +114,8 @@ class ParallelExecutor:
             cache = getattr(type(self)._local, "runners", None)
             if cache is None:
                 cache = type(self)._local.runners = {}
+                with type(self)._caches_lock:
+                    type(self)._thread_caches.append(cache)
         else:
             cache = type(self)._process_runners
         runner = cache.get(self._runner_token)
@@ -126,4 +133,16 @@ class ParallelExecutor:
             from tqdm.auto import tqdm
 
             gen = tqdm(gen, desc=self.description)
-        yield from gen
+        try:
+            yield from gen
+        finally:
+            # Evict this executor's runners (often whole models) from every
+            # cache once iteration ends — otherwise per-chunk executor
+            # construction pins them in the process forever.
+            self._evict_runners()
+
+    def _evict_runners(self) -> None:
+        type(self)._process_runners.pop(self._runner_token, None)
+        with type(self)._caches_lock:
+            for cache in type(self)._thread_caches:
+                cache.pop(self._runner_token, None)
