@@ -1,15 +1,19 @@
 """
 Headline benchmark. Two measurements, one JSON line:
 
-1. **Device throughput** (primary metric, ``value``): the fused
-   augment -> GEMM-NDFT fbank -> mask pipeline over fixed-shape batches on
-   one chip, audio-sec/sec.  This is the north-star 80-dim fbank
-   extract+augment number (target: 10k audio-sec/sec/chip, BASELINE.md).
+1. **Device throughput** (primary metric, ``value``): the FULL BASELINE
+   config #3 augmentation chain on one chip — speed perturb -> volume gain
+   -> SNR noise mix -> RIR reverb -> GEMM-NDFT fbank -> SpecAugment mask —
+   over fixed-shape batches, audio-sec/sec.  This is the north-star 80-dim
+   fbank extract+augment number (target: 10k audio-sec/sec/chip,
+   BASELINE.md); the chain is listed under ``device_chain``.
 2. **Host pipeline** (extra keys): a realistic end-to-end ETL loop over
    freshly synthesized FLAC recordings — decode -> speed perturb -> noise mix
    (MUSAN-style) -> OnTheFlyFeatures(Fbank) -> DynamicBucketingSampler ->
-   multiprocess DataLoader — reporting audio-sec/sec and batches/sec.  This
-   quantifies the input-pipeline bound that the device number alone hides.
+   multiprocess DataLoader — reporting audio-sec/sec, batches/sec, and a
+   per-stage wall-time breakdown from the tracing subsystem
+   (``host_stage_*_s`` keys).  This quantifies the input-pipeline bound that
+   the device number alone hides.
 
 Methodology note (device): on the remote-tunneled chip, ``block_until_ready``
 does not reliably synchronize, so K pipeline iterations are chained inside a
@@ -31,48 +35,77 @@ SMOKE = bool(int(os.environ.get("LHOTSE_TPU_BENCH_SMOKE", "0")))
 
 
 # ---------------------------------------------------------------------------
-# 1) Device compute benchmark
+# 1) Device compute benchmark: the FULL BASELINE config #3 chain on chip —
+#    speed perturb -> volume gain -> SNR noise mix -> RIR reverb -> fbank ->
+#    SpecAugment masks, as one compiled program per bucket shape.
 # ---------------------------------------------------------------------------
+DEVICE_CHAIN = (
+    "speed_perturb(1.1)+volume_gain+snr_noise_mix+rir_reverb"
+    "+fbank80+specaugment_mask"
+)
+
+
 def bench_device() -> float:
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from lhotse_tpu.features.kaldi.layers import Wav2LogFilterBank
+    from lhotse_tpu.ops import augment as aug
+    from lhotse_tpu.ops.resample import resampled_num_samples, speed_perturb
 
-    BATCH = 8 if SMOKE else 512
-    CLIP_SECONDS = 2 if SMOKE else 30
+    BATCH = 8 if SMOKE else 256
+    CLIP_SECONDS = 2 if SMOKE else 15
     SR = 16000
+    SPEED = 1.1
     NUM_SAMPLES = SR * CLIP_SECONDS
     AUDIO_SEC_PER_BATCH = BATCH * CLIP_SECONDS
     K = 2 if SMOKE else 50  # chained pipeline iterations per measurement
 
     fbank = Wav2LogFilterBank(sampling_rate=SR)
-    n_frames = (NUM_SAMPLES + 80) // 160
+    rng = np.random.RandomState(0)
+    # Post-perturb length and frame count define the noise/mask shapes.
+    T_P = resampled_num_samples(NUM_SAMPLES, round(SR * SPEED), SR)
+    n_frames = (T_P + 80) // 160
+    # Synthetic decaying-noise RIR, 0.5 s (concrete numpy -> static-peak path).
+    L = SR // 2
+    rir = (
+        np.exp(-np.arange(L) / (L / 6.0)) * rng.randn(L) * 0.5
+    ).astype(np.float32)
+    rir[L // 50] = 1.0
 
-    def pipeline(audio, gains, time_mask, freq_mask):
-        audio = audio * gains[:, None]  # augment 1: per-clip gain
-        feats = fbank(audio)  # frame GEMM + mel GEMM -> MXU
+    def pipeline(audio, gains, noise, snr, time_mask, freq_mask):
+        x = speed_perturb(audio, SPEED, SR)  # polyphase sinc conv -> MXU
+        x = x * gains[:, None]  # volume perturb
+        x = aug.mix_noise(x, None, noise, None, snr)  # MUSAN-style SNR mix
+        x = aug.reverb_rir(x, rir)  # FFT convolution, shift-output
+        feats = fbank(x)  # frame GEMM + mel GEMM -> MXU
         mean = feats.mean()
-        return jnp.where(  # augment 2: SpecAugment-style masking
+        return jnp.where(  # SpecAugment-style masking
             time_mask[:, : feats.shape[1], None] | freq_mask[:, None, :], mean, feats
         )
 
-    def many(audio, gains, time_mask, freq_mask):
+    def many(audio, gains, noise, snr, time_mask, freq_mask):
         def body(i, acc):
             # Tie each iteration to the counter so XLA cannot collapse the
             # loop into a single pipeline execution.
             out = pipeline(
-                audio + i.astype(jnp.float32) * 1e-9, gains, time_mask, freq_mask
+                audio + i.astype(jnp.float32) * 1e-9,
+                gains,
+                noise,
+                snr,
+                time_mask,
+                freq_mask,
             )
             return acc + out.mean()
 
         return lax.fori_loop(0, K, body, jnp.zeros((), jnp.float32))
 
     fn = jax.jit(many)
-    rng = np.random.RandomState(0)
     audio = jnp.asarray(rng.randn(BATCH, NUM_SAMPLES).astype(np.float32) * 0.1)
     gains = jnp.asarray(rng.uniform(0.8, 1.2, BATCH).astype(np.float32))
+    noise = jnp.asarray(rng.randn(BATCH, T_P).astype(np.float32) * 0.05)
+    snr = jnp.asarray(rng.uniform(10, 20, BATCH).astype(np.float32))
     tm = np.zeros((BATCH, n_frames), dtype=bool)
     fm = np.zeros((BATCH, 80), dtype=bool)
     for i in range(BATCH):
@@ -82,11 +115,11 @@ def bench_device() -> float:
         fm[i, s : s + rng.randint(0, 27)] = True
     time_mask, freq_mask = jnp.asarray(tm), jnp.asarray(fm)
 
-    float(fn(audio, gains, time_mask, freq_mask))  # warmup/compile
+    float(fn(audio, gains, noise, snr, time_mask, freq_mask))  # warmup/compile
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(fn(audio, gains, time_mask, freq_mask))
+        float(fn(audio, gains, noise, snr, time_mask, freq_mask))
         best = min(best, time.perf_counter() - t0)
     return AUDIO_SEC_PER_BATCH * K / best
 
@@ -140,11 +173,16 @@ def _synthesize_corpus(root: Path, n_recordings: int, n_noise: int):
 
 
 def bench_host_pipeline() -> dict:
-    from lhotse_tpu import CutSet, Fbank
+    from lhotse_tpu import CutSet, Fbank, set_caching_enabled
     from lhotse_tpu.dataset.input_strategies import OnTheFlyFeatures
     from lhotse_tpu.dataset.loader import DataLoader
     from lhotse_tpu.dataset.sampling.dynamic_bucketing import DynamicBucketingSampler
     from lhotse_tpu.dataset.speech_recognition import K2SpeechRecognitionDataset
+
+    # Decoded-audio LRU: the MUSAN-style noise pool is re-read per mixed cut;
+    # caching its decoded samples is the library's intended configuration for
+    # noise/RIR assets (lhotse_tpu.caching.DecodedAudioCache).
+    set_caching_enabled(True)
 
     n_rec = 12 if SMOKE else 300
     max_duration = 30.0 if SMOKE else 120.0
@@ -173,7 +211,9 @@ def bench_host_pipeline() -> dict:
             sampler = DynamicBucketingSampler(
                 cuts,
                 max_duration=max_duration,
-                num_buckets=4,
+                # Known bins (the corpus draws U(4, 14) s): skips the
+                # bin-estimation pre-scan of the whole lazy manifest chain.
+                duration_bins=[6.0, 9.0, 12.0],
                 buffer_size=max(n_rec, 16),
                 shuffle=True,
                 seed=0,
@@ -190,7 +230,14 @@ def bench_host_pipeline() -> dict:
                 prefetch_batches=2 if num_workers else (2 if cores >= 2 else 0)
             )
 
-        # Warm pass compiles the per-bucket fbank programs inside the workers.
+        from lhotse_tpu.tracing import (
+            reset_tracing,
+            set_tracing_enabled,
+            tracing_report,
+        )
+
+        set_tracing_enabled(True)
+        reset_tracing()
         audio_seconds = 0.0
         n_batches = 0
         t0 = time.perf_counter()
@@ -200,13 +247,29 @@ def bench_host_pipeline() -> dict:
             sup = batch["supervisions"]
             audio_seconds += float(np.sum(sup["num_frames"])) / 100.0
         elapsed = time.perf_counter() - t0
+        set_tracing_enabled(False)
+        spans = tracing_report(reset=True)
 
-    return {
+    report = {
         "host_pipeline_audio_sec_per_sec": round(audio_seconds / elapsed, 1),
         "host_pipeline_batches_per_sec": round(n_batches / elapsed, 3),
         "host_pipeline_num_batches": n_batches,
         "host_pipeline_workers": num_workers,
     }
+    # Stage breakdown (seconds per span; nested spans overlap — decode/
+    # transforms/fbank happen inside read_audio/assemble). With spawned
+    # workers the spans live in the worker processes and stay empty here.
+    for span, key in [
+        ("sampler.next", "sampler"),
+        ("dataset.assemble", "assemble"),
+        ("collation.read_audio", "read_audio"),
+        ("audio.decode", "decode"),
+        ("audio.transforms", "transforms"),
+        ("Fbank.extract_batch", "fbank"),
+    ]:
+        if span in spans:
+            report[f"host_stage_{key}_s"] = round(spans[span]["total_s"], 3)
+    return report
 
 
 # ---------------------------------------------------------------------------
@@ -218,16 +281,22 @@ def bench_e2e_tpu() -> dict:
     import jax
     import jax.numpy as jnp
 
-    from lhotse_tpu import CutSet
+    from lhotse_tpu import CutSet, set_caching_enabled
+
+    set_caching_enabled(True)  # decoded-audio LRU for the reused noise pool
     from lhotse_tpu.dataset.input_strategies import AudioSamples
     from lhotse_tpu.dataset.loader import DataLoader, device_prefetch
     from lhotse_tpu.dataset.sampling.dynamic_bucketing import DynamicBucketingSampler
     from lhotse_tpu.dataset.speech_recognition import K2SpeechRecognitionDataset
     from lhotse_tpu.features.kaldi.layers import Wav2LogFilterBank
 
+    from lhotse_tpu.ops import augment as aug
+    from lhotse_tpu.ops.resample import resampled_num_samples, speed_perturb
+
     n_rec = 12 if SMOKE else 300
     max_duration = 30.0 if SMOKE else 240.0
     SR = 16000
+    SPEED = 1.1
 
     # The static shape vocabulary: bucket upper bounds (seconds) and the
     # fixed batch size each bucket pads to. Exactly len(BUCKETS) compiled
@@ -239,12 +308,31 @@ def bench_e2e_tpu() -> dict:
     bin_edges = [ub for ub, _ in BUCKETS[:-1]]
 
     fbank = Wav2LogFilterBank(sampling_rate=SR)
+    rng_init = np.random.RandomState(99)
+    # Device-resident augmentation assets: a MUSAN-style noise pool slice per
+    # bucket shape and one shared RIR (realistic serving setup — the pool
+    # lives in HBM, only the speech batch crosses the wire).
+    L = SR // 2
+    rir_np = (
+        np.exp(-np.arange(L) / (L / 6.0)) * rng_init.randn(L) * 0.5
+    ).astype(np.float32)
+    rir_np[L // 50] = 1.0
+    noise_pool = {}
+    for ub, bsz in BUCKETS:
+        t_p = resampled_num_samples(int(ub * SR), round(SR * SPEED), SR)
+        noise_pool[(int(ub * SR), bsz)] = jnp.asarray(
+            rng_init.randn(bsz, t_p).astype(np.float32) * 0.05
+        )
 
     @jax.jit
-    def device_stage(audio_i16, gains):
+    def device_stage(audio_i16, gains, noise, snr):
         # int16 -> f32 on chip: halves the host->device transfer volume.
         audio = audio_i16.astype(jnp.float32) * (1.0 / 32768.0)
-        feats = fbank(audio * gains[:, None])
+        x = speed_perturb(audio, SPEED, SR)
+        x = x * gains[:, None]
+        x = aug.mix_noise(x, None, noise, None, snr)
+        x = aug.reverb_rir(x, rir_np)
+        feats = fbank(x)
         return feats.mean()  # tiny readback forces completion
 
     def bucket_shape(num_samples: int):
@@ -289,7 +377,8 @@ def bench_e2e_tpu() -> dict:
         for ub, bsz in BUCKETS:
             d = jnp.zeros((bsz, int(ub * SR)), jnp.int16)
             g = jnp.ones((bsz,), jnp.float32)
-            float(device_stage(d, g))
+            s = jnp.full((bsz,), 15.0, jnp.float32)
+            float(device_stage(d, g, noise_pool[(int(ub * SR), bsz)], s))
 
         audio_seconds = 0.0
         n_batches = 0
@@ -299,9 +388,12 @@ def bench_e2e_tpu() -> dict:
         for batch in device_prefetch(loader, size=2):
             x = batch["inputs"]
             gains = jnp.asarray(rng.uniform(0.8, 1.2, x.shape[0]).astype(np.float32))
+            snr = jnp.asarray(rng.uniform(10, 20, x.shape[0]).astype(np.float32))
             # Asynchronous dispatch: keep the wire and the chip busy; the
             # scalars are all fetched once at the end.
-            pending.append(device_stage(x, gains))
+            pending.append(
+                device_stage(x, gains, noise_pool[(x.shape[1], x.shape[0])], snr)
+            )
             n_batches += 1
             audio_seconds += float(np.sum(batch["supervisions"]["num_samples"])) / SR
         checksum = sum(float(r) for r in pending)
@@ -311,6 +403,7 @@ def bench_e2e_tpu() -> dict:
     return {
         "e2e_tpu_audio_sec_per_sec": round(audio_seconds / elapsed, 1),
         "e2e_tpu_batches_per_sec": round(n_batches / elapsed, 3),
+        "e2e_device_chain": DEVICE_CHAIN,
     }
 
 
@@ -330,6 +423,7 @@ def main():
         "value": round(device_throughput, 1),
         "unit": "audio_sec_per_sec",
         "vs_baseline": round(device_throughput / 10000.0, 3),
+        "device_chain": DEVICE_CHAIN,
     }
     # The auxiliary sections must not zero the headline record: the tunneled
     # chip's transfer/compile latency occasionally degrades by an order of

@@ -229,9 +229,18 @@ class Recording:
             src_offset, src_duration = t.reverse_timestamps(
                 offset=src_offset, duration=src_duration, sampling_rate=self.sampling_rate)
 
-        audio = self._stack_audio_channels(self._read_sources(wanted, src_offset, src_duration))
-        for t in chain:
-            audio = t(audio, self.sampling_rate)
+        from lhotse_tpu.tracing import add_work, trace_span
+
+        with trace_span("audio.decode"):
+            audio = self._stack_audio_channels(
+                self._read_sources(wanted, src_offset, src_duration)
+            )
+            add_work(audio.shape[1] / self.sampling_rate)
+        if chain:
+            with trace_span("audio.transforms"):
+                for t in chain:
+                    audio = t(audio, self.sampling_rate)
+                add_work(audio.shape[1] / self.sampling_rate)
 
         # Video containers have looser audio-length guarantees; zero-pad there.
         if self.has_video:
@@ -255,17 +264,74 @@ class Recording:
         return wanted
 
     def _read_sources(self, wanted, offset, duration) -> List[np.ndarray]:
+        from lhotse_tpu.caching import DecodedAudioCache
+
+        use_cache = (
+            DecodedAudioCache.enabled()
+            and self.num_samples <= DecodedAudioCache.max_item_samples
+            and not self.has_video
+        )
         blocks = []
-        for src in self.sources:
+        for idx, src in enumerate(self.sources):
             if not wanted.intersection(src.channels):
                 continue
-            block = src.load_audio(
-                offset=offset, duration=duration, force_opus_sampling_rate=self.sampling_rate)
+            block = (
+                self._load_source_cached(src, idx, offset, duration)
+                if use_cache
+                else None
+            )
+            if block is None:
+                block = src.load_audio(
+                    offset=offset, duration=duration,
+                    force_opus_sampling_rate=self.sampling_rate)
             unwanted_rows = [row for row, cid in enumerate(src.channels) if cid not in wanted]
             if unwanted_rows:
                 block = np.delete(block, unwanted_rows, axis=0)
             blocks.append(block)
         return blocks
+
+    def _decoded_cache_key(self, src, idx: int):
+        """Stable identity for one audio source's decoded samples, or None
+        when the source kind has no safe identity."""
+        if src.type in ("file", "url") and isinstance(src.source, str):
+            return ("path", src.source)
+        if src.type == "memory" and isinstance(src.source, bytes):
+            import hashlib
+
+            return ("mem", hashlib.blake2b(src.source, digest_size=16).digest())
+        return None
+
+    def _load_source_cached(self, src, idx: int, offset, duration):
+        """
+        Serve a window of ``src`` from the decoded-audio LRU: the full source
+        is decoded once, then every window is a slice (backends convert the
+        window with the same ``compute_num_samples`` rounding, so slicing is
+        sample-exact). Returns None when the source is uncacheable.
+        """
+        from lhotse_tpu.caching import DecodedAudioCache
+
+        key = self._decoded_cache_key(src, idx)
+        if key is None:
+            return None
+        entry = DecodedAudioCache.try_cache(key)
+        if entry is None:
+            # Only sources seen before are worth a full decode + cache copy;
+            # one-shot recordings window-decode directly.
+            if not DecodedAudioCache.worth_caching(key):
+                return None
+            full = src.load_audio(
+                offset=0.0, duration=None,
+                force_opus_sampling_rate=self.sampling_rate)
+            full = np.atleast_2d(np.asarray(full, dtype=np.float32))
+            DecodedAudioCache.add_to_cache(key, full, self.sampling_rate)
+            samples = full
+        else:
+            samples, _ = entry
+        begin = compute_num_samples(offset, self.sampling_rate) if offset else 0
+        if duration is None:
+            return samples[:, begin:].copy()
+        num = compute_num_samples(duration, self.sampling_rate)
+        return samples[:, begin : begin + num].copy()
 
     def _stack_audio_channels(self, blocks: List[np.ndarray]) -> np.ndarray:
         """Stack per-source blocks, padding length skew within tolerance."""

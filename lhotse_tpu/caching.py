@@ -28,6 +28,7 @@ def set_caching_enabled(enabled: bool) -> None:
         for cache in LHOTSE_DYNAMIC_CACHES.values():
             cache.cache_clear()
         AudioCache.clear()
+        DecodedAudioCache.clear()
 
 
 def is_caching_enabled() -> bool:
@@ -100,6 +101,93 @@ class AudioCache:
     def clear(cls) -> None:
         with cls.__lock:
             cls.__cache_dict.clear()
+            cls.__cache_memory = 0
+
+    @classmethod
+    def memory_used(cls) -> int:
+        return cls.__cache_memory
+
+
+class DecodedAudioCache:
+    """
+    In-memory LRU cache of *decoded* audio (float32 arrays + sampling rate),
+    keyed by audio-source identity. Complements :class:`AudioCache` (which
+    caches encoded bytes): repeatedly-loaded short assets — MUSAN-style
+    noise pools, RIR recordings, mixing sources — skip the decoder entirely.
+
+    Only short sources are cached (``max_item_samples`` per channel) so a
+    long recording never gets fully decoded just to serve a window. Follows
+    the global caching switch; capped at ``max_cache_memory`` bytes with LRU
+    eviction. Thread-safe.
+    """
+
+    max_cache_memory: int = 256 * 1024 * 1024
+    # ~125 s @ 16 kHz per channel: covers noise/RIR assets, excludes
+    # long-form recordings.
+    max_item_samples: int = 2_000_000
+    # Bound on the first-sighting probation set (keys are small tuples).
+    max_probation_keys: int = 100_000
+    __cache_dict: "OrderedDict[Any, tuple]" = OrderedDict()
+    __cache_memory: int = 0
+    __probation: "OrderedDict[Any, None]" = OrderedDict()
+    __lock = threading.Lock()
+
+    @classmethod
+    def enabled(cls) -> bool:
+        return is_caching_enabled()
+
+    @classmethod
+    def worth_caching(cls, key) -> bool:
+        """
+        Cache-on-second-access probation: the first sighting of a key
+        registers it and returns False (a one-shot recording should be
+        window-decoded directly — full decode + copies would only cost);
+        any later sighting returns True (the source is being reused — a
+        noise/RIR-pool access pattern — so the full decode pays for itself).
+        """
+        with cls.__lock:
+            if key in cls.__probation:
+                return True
+            cls.__probation[key] = None
+            while len(cls.__probation) > cls.max_probation_keys:
+                cls.__probation.popitem(last=False)
+            return False
+
+    @classmethod
+    def try_cache(cls, key) -> Optional[tuple]:
+        """Return the cached ``(samples, sampling_rate)`` or None."""
+        if not cls.enabled():
+            return None
+        with cls.__lock:
+            entry = cls.__cache_dict.get(key)
+            if entry is not None:
+                cls.__cache_dict.move_to_end(key)
+            return entry
+
+    @classmethod
+    def add_to_cache(cls, key, samples, sampling_rate: int) -> None:
+        if not cls.enabled():
+            return
+        nbytes = samples.nbytes
+        if nbytes > cls.max_cache_memory:
+            return
+        samples = samples.copy()  # detach from caller-visible buffers
+        samples.setflags(write=False)
+        with cls.__lock:
+            if key in cls.__cache_dict:
+                cls.__cache_dict.move_to_end(key)
+                return
+            while cls.__cache_memory + nbytes > cls.max_cache_memory and cls.__cache_dict:
+                _, (evicted, _) = cls.__cache_dict.popitem(last=False)
+                cls.__cache_memory -= evicted.nbytes
+            cls.__cache_dict[key] = (samples, sampling_rate)
+            cls.__cache_memory += nbytes
+
+    @classmethod
+    def clear(cls) -> None:
+        with cls.__lock:
+            cls.__cache_dict.clear()
+            cls.__probation.clear()
             cls.__cache_memory = 0
 
     @classmethod

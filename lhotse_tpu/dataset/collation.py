@@ -418,19 +418,23 @@ def read_audio_from_cuts(
     if filter_aux_iter is None:
         filter_aux_iter = repeat(None)
         aux_requested = False
+    from lhotse_tpu.tracing import add_work, trace_span
+
     map_fn = map if executor is None else executor.map
     audios = []
     ok_cuts = []
     aux_iter_out = []
-    for cut, maybe_audio, aux_item in zip(
-        cuts,
-        map_fn( partial( _read_audio, suppress_errors=suppress_errors, recording_field=recording_field, ), cuts, ),
-        filter_aux_iter):
-        if maybe_audio is None:
-            continue
-        audios.append(maybe_audio)
-        ok_cuts.append(cut)
-        aux_iter_out.append(aux_item)
+    with trace_span("collation.read_audio"):
+        for cut, maybe_audio, aux_item in zip(
+            cuts,
+            map_fn( partial( _read_audio, suppress_errors=suppress_errors, recording_field=recording_field, ), cuts, ),
+            filter_aux_iter):
+            if maybe_audio is None:
+                continue
+            audios.append(maybe_audio)
+            ok_cuts.append(cut)
+            aux_iter_out.append(aux_item)
+        add_work(sum(c.duration for c in ok_cuts))
     ans = (audios, CutSet.from_cuts(ok_cuts))
     if aux_requested:
         ans = ans + (aux_iter_out,)

@@ -129,12 +129,27 @@ class DataLoader:
 
     # -- single-process (threaded prefetch) ------------------------------------
 
-    def _produce(self, q: "queue.Queue") -> None:
-        try:
-            for cuts in self.sampler:
+    def _sampler_and_assemble(self) -> Iterator:
+        """Pull (sampler -> dataset -> apply_fn) with tracing spans, so a
+        stage breakdown of the input pipeline is one env var away."""
+        from lhotse_tpu.tracing import trace_span
+
+        it = iter(self.sampler)
+        while True:
+            with trace_span("sampler.next"):
+                try:
+                    cuts = next(it)
+                except StopIteration:
+                    return
+            with trace_span("dataset.assemble"):
                 batch = self.dataset[cuts]
                 if self.apply_fn is not None:
                     batch = self.apply_fn(batch)
+            yield batch
+
+    def _produce(self, q: "queue.Queue") -> None:
+        try:
+            for batch in self._sampler_and_assemble():
                 q.put(batch)
         except BaseException as e:  # noqa: B036 - forwarded to the consumer
             q.put(e)
@@ -143,9 +158,7 @@ class DataLoader:
 
     def _iter_threaded(self) -> Iterator:
         if self.prefetch_batches == 0:
-            for cuts in self.sampler:
-                batch = self.dataset[cuts]
-                yield self.apply_fn(batch) if self.apply_fn else batch
+            yield from self._sampler_and_assemble()
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         worker = threading.Thread(target=self._produce, args=(q,), daemon=True)

@@ -45,6 +45,17 @@ def _round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
 
 
+def _host_fft_dtype():
+    """float32 (default) or float64 via LHOTSE_TPU_HOST_FFT_DTYPE."""
+    import os
+
+    return (
+        np.float64
+        if os.environ.get("LHOTSE_TPU_HOST_FFT_DTYPE") == "float64"
+        else np.float32
+    )
+
+
 def _batch_bucket(b: int) -> int:
     return 1 << (b - 1).bit_length() if b > 1 else 1
 
@@ -188,12 +199,13 @@ class _KaldiExtractorBase(FeatureExtractor):
     # with the GEMM path is float32-noise only (both implement reference
     # layers.py:727-772 semantics) and is pinned by the golden tests.
 
-    def _numpy_window(self) -> np.ndarray:
-        w = self._jit_cache.get("np_window")
+    def _numpy_window(self, dtype=np.float64) -> np.ndarray:
+        key = f"np_window_{np.dtype(dtype).name}"
+        w = self._jit_cache.get(key)
         if w is None:
             w = ops.create_frame_window(
-                self._frame_samples, self.config.window_type).astype(np.float64)
-            self._jit_cache["np_window"] = w
+                self._frame_samples, self.config.window_type).astype(dtype)
+            self._jit_cache[key] = w
         return w
 
     def _forward_numpy_item(self, prepared: np.ndarray) -> np.ndarray:
@@ -203,45 +215,63 @@ class _KaldiExtractorBase(FeatureExtractor):
         if n_frames <= 0:
             return np.zeros(
                 (0, self.feature_dim(self.config.sampling_rate)), dtype=np.float32)
-        # float64 throughout: with pocketfft the FFT still beats the f32 XLA
-        # GEMM path by ~2x, and the result sits at the reference's own f32
-        # noise floor instead of adding a second one on top. The frame matrix
-        # is built once at the final FFT width — the (T, n_fft) f64 buffer is
-        # the dominant memory traffic of this path, so the fused native
-        # kernel (one pass) is preferred, with an in-place numpy fallback.
+        # float32 by default: the (T, n_fft) frame buffer is the dominant
+        # memory traffic of this path and the f32 pocketfft rFFT runs 2-6x
+        # the f64 one, while the added noise sits at the (float32)
+        # reference's own floor — goldens stay within the 2.5e-4 budget.
+        # ``LHOTSE_TPU_HOST_FFT_DTYPE=float64`` restores the f64 chain (whose
+        # only advantage is suppressing near-cancellation FFT noise, visible
+        # in unsmoothed log-spectrograms). The fused native kernel (one pass)
+        # is preferred, with an in-place numpy fallback.
+        dtype = _host_fft_dtype()
+        frames = np.empty((n_frames, self._fft_length), dtype=dtype)
+        log_e = self._fill_frames_numpy(prepared, frames, dtype)
+        return self._spectrum_and_postprocess(frames, log_e)
+
+    def _fill_frames_numpy(self, prepared, frames, dtype):
+        """Frame one padded waveform into the preallocated ``frames`` block
+        (native fused kernel, or numpy in-place fallback); returns the
+        per-frame log energies when the config wants them."""
+        length, shift = self._frame_samples, self._shift_samples
+        n_frames = frames.shape[0]
         want_energy = bool(getattr(self.config, "use_energy", False))
         coeff = self.config.preemph_coeff
         native = host_dsp.frame_prep(
-            prepared, length, shift, n_frames, self._numpy_window(),
+            prepared, length, shift, n_frames, self._numpy_window(dtype),
             self._fft_length, preemph_coeff=coeff,
             remove_dc=self.config.remove_dc_offset, want_energy=want_energy,
-            energy_floor=self.config.energy_floor if want_energy else 0.0)
+            energy_floor=self.config.energy_floor if want_energy else 0.0,
+            dtype=dtype, out=frames)
         if native is not None:
-            frames, log_e = native
-        else:
-            view = np.lib.stride_tricks.sliding_window_view(prepared, length)[
-                :: shift
-            ][:n_frames]
-            frames = np.zeros((n_frames, self._fft_length), dtype=np.float64)
-            work = frames[:, :length]
-            work[:] = view  # single pass: f32 gather + widen + zero-pad
-            means = work.mean(axis=-1, keepdims=True)
-            log_e = None
-            if want_energy:
-                centered = work - means
-                log_e = np.log(np.einsum("ij,ij->i", centered, centered) + 1e-15)
-                if self.config.energy_floor > 0.0:
-                    log_e = np.maximum(log_e, math.log(self.config.energy_floor))
-            if self.config.remove_dc_offset:
-                work -= means
-            if coeff != 0.0:
-                # x[i] -= c * x[i-1] (x[0] against itself). The rhs temp is
-                # materialized before the in-place subtract, so aliasing is
-                # safe.
-                prev = coeff * work[:, :-1]
-                work[:, 1:] -= prev
-                work[:, 0] -= coeff * work[:, 0]
-            work *= self._numpy_window()
+            return native[1]
+        view = np.lib.stride_tricks.sliding_window_view(prepared, length)[
+            :: shift
+        ][:n_frames]
+        frames[:, length:] = 0.0
+        work = frames[:, :length]
+        work[:] = view  # single pass: f32 gather + widen + zero-pad
+        # DC estimate always accumulates in f64 (the native kernel does
+        # the same) — an f32 running mean drifts on long frames.
+        means = work.mean(axis=-1, dtype=np.float64, keepdims=True).astype(dtype)
+        log_e = None
+        if want_energy:
+            centered = work - means
+            log_e = np.log(np.einsum("ij,ij->i", centered, centered) + 1e-15)
+            if self.config.energy_floor > 0.0:
+                log_e = np.maximum(log_e, math.log(self.config.energy_floor))
+        if self.config.remove_dc_offset:
+            work -= means
+        if coeff != 0.0:
+            # x[i] -= c * x[i-1] (x[0] against itself). The rhs temp is
+            # materialized before the in-place subtract, so aliasing is
+            # safe.
+            prev = coeff * work[:, :-1]
+            work[:, 1:] -= prev
+            work[:, 0] -= coeff * work[:, 0]
+        work *= self._numpy_window(dtype)
+        return log_e
+
+    def _spectrum_and_postprocess(self, frames, log_e):
         spec = _host_rfft(frames, n=self._fft_length, axis=-1)
         pow_spec = host_dsp.power_spectrum(spec, magnitude=self.config.use_fft_mag)
         if pow_spec is None:
@@ -250,6 +280,7 @@ class _KaldiExtractorBase(FeatureExtractor):
             else:
                 pow_spec = spec.real**2 + spec.imag**2
         return self._postprocess_numpy(pow_spec, log_e)
+
 
     def _postprocess_numpy(self, pow_spec: np.ndarray, log_e) -> np.ndarray:
         raise NotImplementedError
@@ -356,6 +387,10 @@ class _KaldiExtractorBase(FeatureExtractor):
             for l in item_lengths
         ]
         if self._use_numpy_path():
+            # Per-item processing is deliberate: each item's (T_i, n_fft)
+            # frame block stays cache-resident through frame->FFT->|X|^2->
+            # mel, which measures ~1.7x faster than one fused
+            # (sum_T, n_fft) pass that spills to DRAM between stages.
             result = [
                 self._forward_numpy_item(p)[:n] for p, n in zip(prepared, feat_lens)
             ]

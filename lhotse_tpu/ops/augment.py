@@ -97,8 +97,8 @@ def mix_noise(
     audio,
     audio_lens,
     noise,
-    noise_lens,
-    snr,
+    noise_lens=None,
+    snr=10.0,
     offsets=None,
     mix_mask=None,
     reference_energy=None,
@@ -125,14 +125,25 @@ def mix_noise(
         if reference_energy is None
         else jnp.asarray(reference_energy, jnp.float32)
     )
+    noise = jnp.asarray(noise)
     noise_energy = masked_energy(noise, noise_lens)
     gain = snr_mix_gain(ref_energy, noise_energy, snr)
     if offsets is None:
-        placed = place_at_offsets(
-            noise, noise_lens, jnp.zeros(audio.shape[0], jnp.int32), T
-        )
+        # Gather-free fast path: align at t=0, mask/pad/truncate to T.
+        placed = noise
+        if noise_lens is not None:
+            placed = placed * valid_mask(noise_lens, placed.shape[-1])
+        if placed.shape[-1] < T:
+            placed = jnp.pad(placed, ((0, 0), (0, T - placed.shape[-1])))
+        elif placed.shape[-1] > T:
+            placed = placed[:, :T]
     else:
-        placed = place_at_offsets(noise, noise_lens, offsets, T)
+        lens = (
+            jnp.full(audio.shape[0], noise.shape[-1])
+            if noise_lens is None
+            else noise_lens
+        )
+        placed = place_at_offsets(noise, lens, offsets, T)
     if mix_mask is not None:
         gain = gain * jnp.asarray(mix_mask, jnp.float32)
     return audio + gain[:, None] * placed
@@ -154,9 +165,18 @@ def reverb_rir(audio, rir, audio_lens=None, rir_lens=None, normalize: bool = Tru
 
     audio = jnp.asarray(audio, jnp.float32)
     B, T = audio.shape
+    # A concrete shared 1-D RIR has a compile-time peak: the realignment
+    # becomes a static slice instead of a (B, T) gather.
+    static_peak = None
+    if isinstance(rir, np.ndarray) and rir.ndim == 1 and rir_lens is None:
+        static_peak = int(np.argmax(rir))
     rir = jnp.asarray(rir, jnp.float32)
     if rir.ndim == 1:
-        rir = jnp.broadcast_to(rir[None, :], (B, rir.shape[0]))
+        if static_peak is not None:
+            # Shared RIR: one FFT row, broadcast in the frequency product.
+            rir = rir[None, :]
+        else:
+            rir = jnp.broadcast_to(rir[None, :], (B, rir.shape[0]))
     L = rir.shape[-1]
     if rir_lens is not None:
         rir = rir * valid_mask(rir_lens, L)
@@ -169,9 +189,14 @@ def reverb_rir(audio, rir, audio_lens=None, rir_lens=None, normalize: bool = Tru
         n=fft_size,
     )
     # Align the RIR peak with t=0 (host: wet[peak : peak + N]).
-    peak = jnp.argmax(taps, axis=-1)
-    idx = peak[:, None] + jnp.arange(T)[None, :]
-    wet = jnp.take_along_axis(wet_full, jnp.clip(idx, 0, fft_size - 1), axis=-1)
+    if static_peak is not None:
+        wet = wet_full[:, static_peak : static_peak + T]
+    else:
+        peak = jnp.argmax(taps, axis=-1)
+        idx = peak[:, None] + jnp.arange(T)[None, :]
+        wet = jnp.take_along_axis(
+            wet_full, jnp.clip(idx, 0, fft_size - 1), axis=-1
+        )
     if audio_lens is not None:
         wet = wet * valid_mask(audio_lens, T)
     if normalize:

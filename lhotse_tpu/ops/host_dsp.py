@@ -56,6 +56,21 @@ def _get_lib():
         lib.magnitude_c128.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_double)]
+        lib.frame_prep_f32.restype = None
+        lib.frame_prep_f32.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_int, ctypes.c_longlong, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double)]
+        lib.power_spectrum_c64.restype = None
+        lib.power_spectrum_c64.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_float)]
+        lib.magnitude_c64.restype = None
+        lib.magnitude_c64.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_float)]
         lib.sinc_resample_f32.restype = None
         lib.sinc_resample_f32.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
@@ -80,29 +95,43 @@ def frame_prep(
     remove_dc: bool = False,
     want_energy: bool = False,
     energy_floor: float = 0.0,
+    dtype=np.float64,
+    out: Optional[np.ndarray] = None,
 ) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
     """
     Fused framing for one item: float32 samples -> (n_frames, fft_length)
-    float64 windowed frames (zero-padded past ``length``) plus optional
-    per-frame log energies. Returns None when the native library is
+    windowed frames in ``dtype`` (float64 or float32; zero-padded past
+    ``length``) plus optional per-frame log energies (always float64).
+    ``out`` may supply a preallocated C-contiguous destination (e.g. a row
+    block of a batch buffer). Returns None when the native library is
     unavailable (caller must fall back to numpy).
     """
     lib = _get_lib()
     if lib is None:
         return None
+    dtype = np.dtype(dtype)
     x = np.ascontiguousarray(x, dtype=np.float32)
-    window = np.ascontiguousarray(window, dtype=np.float64)
+    window = np.ascontiguousarray(window, dtype=dtype)
     assert window.shape[0] == length and fft_length >= length
     assert x.shape[-1] >= (n_frames - 1) * shift + length
-    out = np.empty((n_frames, fft_length), dtype=np.float64)
+    if out is None:
+        out = np.empty((n_frames, fft_length), dtype=dtype)
+    else:
+        assert (
+            out.dtype == dtype
+            and out.flags.c_contiguous
+            and out.shape == (n_frames, fft_length)
+        )
     log_e = np.empty(n_frames, dtype=np.float64) if want_energy else None
     floor_log = math.log(energy_floor) if energy_floor > 0.0 else -math.inf
-    lib.frame_prep(
+    fn = lib.frame_prep if dtype == np.float64 else lib.frame_prep_f32
+    ptr_t = ctypes.c_double if dtype == np.float64 else ctypes.c_float
+    fn(
         x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         x.shape[-1], length, shift, n_frames,
-        window.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        window.ctypes.data_as(ctypes.POINTER(ptr_t)),
         float(preemph_coeff), int(remove_dc), int(want_energy), floor_log,
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), fft_length,
+        out.ctypes.data_as(ctypes.POINTER(ptr_t)), fft_length,
         log_e.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) if want_energy
         else ctypes.POINTER(ctypes.c_double)(),
     )
@@ -110,11 +139,18 @@ def frame_prep(
 
 
 def power_spectrum(spec: np.ndarray, magnitude: bool = False) -> Optional[np.ndarray]:
-    """``|spec|^2`` (or ``|spec|``) of a complex128 array in one fused pass.
-    Returns None when the native library is unavailable."""
+    """``|spec|^2`` (or ``|spec|``) of a complex128/complex64 array in one
+    fused pass. Returns None when the native library is unavailable."""
     lib = _get_lib()
     if lib is None:
         return None
+    if spec.dtype == np.complex64:
+        spec = np.ascontiguousarray(spec)
+        out = np.empty(spec.shape, dtype=np.float32)
+        fn = lib.magnitude_c64 if magnitude else lib.power_spectrum_c64
+        fn(spec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), spec.size,
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        return out
     spec = np.ascontiguousarray(spec, dtype=np.complex128)
     out = np.empty(spec.shape, dtype=np.float64)
     fn = lib.magnitude_c128 if magnitude else lib.power_spectrum_c128

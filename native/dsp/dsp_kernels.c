@@ -69,6 +69,56 @@ void frame_prep(const float *x, long long n_samples, int length, int shift,
     }
 }
 
+/*
+ * float32 output variant of frame_prep: same per-frame semantics (mean and
+ * energy still accumulate in double), but the windowed frames are emitted as
+ * float32 for the f32 pocketfft path — half the memory traffic and a ~2-6x
+ * faster FFT; the added noise matches the (float32) reference's own floor.
+ */
+void frame_prep_f32(const float *x, long long n_samples, int length, int shift,
+                    long long n_frames, const float *window, double coeff,
+                    int remove_dc, int want_energy, double energy_floor_log,
+                    float *out, int fft_len, double *log_energy) {
+    (void)n_samples;
+    for (long long f = 0; f < n_frames; f++) {
+        const float *src = x + f * (long long)shift;
+        float *dst = out + f * (long long)fft_len;
+
+        double mean = 0.0;
+        if (remove_dc || want_energy) {
+            double acc = 0.0;
+            for (int i = 0; i < length; i++) acc += (double)src[i];
+            mean = acc / (double)length;
+        }
+        if (want_energy) {
+            double e = 0.0;
+            for (int i = 0; i < length; i++) {
+                double v = (double)src[i] - mean;
+                e += v * v;
+            }
+            double le = log(e + 1e-15);
+            if (energy_floor_log > -HUGE_VAL && le < energy_floor_log)
+                le = energy_floor_log;
+            log_energy[f] = le;
+        }
+        float dc = remove_dc ? (float)mean : 0.0f;
+        float c = (float)coeff;
+        if (c != 0.0f) {
+            float first = src[0] - dc;
+            dst[0] = (first - c * first) * window[0];
+            for (int i = 1; i < length; i++) {
+                float cur = src[i] - dc;
+                float prev = src[i - 1] - dc;
+                dst[i] = (cur - c * prev) * window[i];
+            }
+        } else {
+            for (int i = 0; i < length; i++)
+                dst[i] = (src[i] - dc) * window[i];
+        }
+        for (int i = length; i < fft_len; i++) dst[i] = 0.0f;
+    }
+}
+
 void scale_i32_to_f32(const int32_t *src, long long n, float scale, float *dst) {
     for (long long i = 0; i < n; i++) dst[i] = (float)src[i] * scale;
 }
@@ -86,6 +136,21 @@ void magnitude_c128(const double *spec, long long n, double *out) {
     for (long long i = 0; i < n; i++) {
         double re = spec[2 * i], im = spec[2 * i + 1];
         out[i] = sqrt(re * re + im * im);
+    }
+}
+
+/* complex64 variants for the float32 FFT path. */
+void power_spectrum_c64(const float *spec, long long n, float *out) {
+    for (long long i = 0; i < n; i++) {
+        float re = spec[2 * i], im = spec[2 * i + 1];
+        out[i] = re * re + im * im;
+    }
+}
+
+void magnitude_c64(const float *spec, long long n, float *out) {
+    for (long long i = 0; i < n; i++) {
+        float re = spec[2 * i], im = spec[2 * i + 1];
+        out[i] = sqrtf(re * re + im * im);
     }
 }
 

@@ -89,8 +89,11 @@ def test_sinc_resample_matches_strided_matmul():
 
 
 def test_extractors_identical_with_and_without_native(monkeypatch):
+    """f64 chain: the native kernel and the numpy fallback are bit-identical
+    (same double arithmetic, no contraction ambiguity)."""
     from lhotse_tpu import Fbank, Mfcc
 
+    monkeypatch.setenv("LHOTSE_TPU_HOST_FFT_DTYPE", "float64")
     rng = np.random.default_rng(3)
     sig = (0.3 * np.sin(2 * np.pi * 220 * np.arange(16000) / 16000)
            + 0.05 * rng.normal(size=16000)).astype(np.float32)
@@ -99,5 +102,23 @@ def test_extractors_identical_with_and_without_native(monkeypatch):
         monkeypatch.setattr(host_dsp, "_LIB", None)
         monkeypatch.setattr(host_dsp, "_LIB_FAILED", True)
         fallback = ex.extract(sig, 16000)
-        monkeypatch.undo()
+        monkeypatch.setattr(host_dsp, "_LIB_FAILED", False)
         np.testing.assert_array_equal(native, fallback)
+
+
+def test_extractors_close_with_and_without_native_f32(monkeypatch):
+    """f32 chain (the default): compiler contraction (FMA) in the native
+    kernel makes bitwise identity unattainable; agreement must still sit at
+    the f32 noise floor."""
+    from lhotse_tpu import Fbank, Mfcc
+
+    rng = np.random.default_rng(4)
+    sig = (0.3 * np.sin(2 * np.pi * 220 * np.arange(16000) / 16000)
+           + 0.05 * rng.normal(size=16000)).astype(np.float32)
+    for ex in [Fbank(), Mfcc()]:
+        native = ex.extract(sig, 16000)
+        monkeypatch.setattr(host_dsp, "_LIB", None)
+        monkeypatch.setattr(host_dsp, "_LIB_FAILED", True)
+        fallback = ex.extract(sig, 16000)
+        monkeypatch.setattr(host_dsp, "_LIB_FAILED", False)
+        np.testing.assert_allclose(native, fallback, atol=2e-4)

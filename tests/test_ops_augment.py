@@ -107,6 +107,20 @@ class TestMixNoise:
         assert not np.allclose(out[0], audio[0])
         np.testing.assert_allclose(out[1], audio[1], atol=0)
 
+    def test_gatherfree_path_equals_offset_zero(self):
+        rng = np.random.default_rng(8)
+        audio = 0.1 * rng.standard_normal((3, 5000)).astype(np.float32)
+        noise = 0.1 * rng.standard_normal((3, 4000)).astype(np.float32)
+        lens = np.array([5000, 4500, 5000])
+        nlens = np.array([4000, 3000, 2000])
+        fast = np.asarray(dev.mix_noise(audio, lens, noise, nlens, snr=12.0))
+        slow = np.asarray(
+            dev.mix_noise(
+                audio, lens, noise, nlens, snr=12.0, offsets=np.zeros(3, np.int32)
+            )
+        )
+        np.testing.assert_allclose(fast, slow, atol=1e-7)
+
     def test_zero_energy_noise_gain_is_identity_scale(self):
         audio = np.ones((1, 100), np.float32)
         noise = np.zeros((1, 100), np.float32)
@@ -145,6 +159,15 @@ class TestReverbRIR:
         )
         assert host.shape == device.shape
         np.testing.assert_allclose(device, host, atol=2e-5)
+
+    def test_static_peak_path_equals_dynamic(self, tmp_path):
+        """Concrete shared numpy RIR (static slice) vs traced RIR (gather)."""
+        rng = np.random.default_rng(9)
+        taps = _rir_recording(tmp_path, rng, L=1600).load_audio()[0]
+        audio = 0.1 * rng.standard_normal((2, 8000)).astype(np.float32)
+        static = np.asarray(dev.reverb_rir(audio, taps))
+        dynamic = np.asarray(dev.reverb_rir(audio, jnp.asarray(taps)))
+        np.testing.assert_allclose(static, dynamic, atol=1e-7)
 
     def test_batched_rirs_and_lens(self, tmp_path):
         """Per-item RIRs with padding masked by rir_lens must equal two
