@@ -13,6 +13,7 @@ from lhotse_tpu.dataset.input_strategies import (
 from lhotse_tpu.dataset.audio_tagging import AudioTaggingDataset
 from lhotse_tpu.dataset.diarization import DiarizationDataset
 from lhotse_tpu.dataset.iterable_dataset import IdentityDataset
+from lhotse_tpu.dataset.device_augment import OnDeviceAugmenter
 from lhotse_tpu.dataset.loader import DataLoader, device_prefetch
 from lhotse_tpu.dataset.vis import plot_batch
 from lhotse_tpu.dataset.webdataset import (

@@ -1,0 +1,182 @@
+"""
+User-facing device-side augmentation stage for TPU training input pipelines.
+
+This is the packaged form of the architecture the benchmarks run: the host
+pipeline decodes/collates RAW AUDIO (``AudioSamples`` input strategy), and
+the chip runs the whole augmentation chain + fbank as ONE compiled program
+per bucket shape:
+
+    speed perturb → volume gain → SNR noise mix → RIR reverb → fbank
+
+Compared to the reference's host-side per-cut augmentation
+(`/root/reference/lhotse/dataset/cut_transforms/*`), the same math
+(ops/augment.py parity tests) runs batched on the MXU, and the host's only
+jobs are decode and int16 staging.
+
+Typical use::
+
+    aug = OnDeviceAugmenter(
+        buckets=[(6.0, 40), (9.0, 27), (12.0, 20)],
+        speed_factor=1.1,
+        noise_pool=musan_samples,      # (N, T) float32 host array
+        rir=rir_taps,                  # (L,) float32
+        snr=(10, 20),
+        mix_prob=0.5,
+    )
+    aug.precompile()                   # optional: outside the hot loop
+    for batch in loader:               # dataset = AudioSamples strategy
+        feats, feat_lens = aug(batch["inputs"], batch["input_lens"])
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from lhotse_tpu.ops.augment import make_augment_fbank_pipeline
+from lhotse_tpu.ops.resample import resampled_num_samples
+
+
+class OnDeviceAugmenter:
+    """
+    Bucket-shaped device augment→fbank stage.
+
+    :param buckets: shape vocabulary as (max_seconds, batch_size) pairs,
+        ascending by duration; every incoming batch is padded up to the
+        smallest covering bucket so exactly ``len(buckets)`` programs are
+        ever compiled.
+    :param sampling_rate: audio sampling rate.
+    :param speed_factor: optional sox-speed factor applied on device.
+    :param gain_range: per-item volume perturbation range (uniform), or
+        None to disable.
+    :param noise_pool: optional (N, T_noise) float32 host array of noise
+        clips (e.g. decoded MUSAN); staged into HBM once, sliced per batch.
+    :param snr: (low, high) SNR dB range for noise mixing.
+    :param mix_prob: probability of mixing noise into each item.
+    :param rir: optional (L,) float32 impulse response (shared; kept
+        concrete so the realignment is a compile-time slice).
+    :param seed: host RNG seed for gains/SNRs/noise choice.
+    """
+
+    def __init__(
+        self,
+        buckets: Sequence[Tuple[float, int]],
+        sampling_rate: int = 16000,
+        speed_factor: Optional[float] = None,
+        gain_range: Optional[Tuple[float, float]] = (0.9, 1.1),
+        noise_pool: Optional[np.ndarray] = None,
+        snr: Tuple[float, float] = (10.0, 20.0),
+        mix_prob: float = 0.5,
+        rir: Optional[np.ndarray] = None,
+        normalize_rir: bool = True,
+        fbank=None,
+        seed: int = 0,
+    ) -> None:
+        assert len(buckets) > 0
+        self.buckets = sorted((float(s), int(b)) for s, b in buckets)
+        self.sampling_rate = int(sampling_rate)
+        self.speed_factor = speed_factor
+        self.gain_range = gain_range
+        self.snr = snr
+        self.mix_prob = float(mix_prob)
+        self.rir = None if rir is None else np.asarray(rir, np.float32)
+        self._rng = np.random.RandomState(seed)
+        self._pipeline = make_augment_fbank_pipeline(
+            sampling_rate=self.sampling_rate,
+            speed_factor=speed_factor,
+            normalize_rir=normalize_rir,
+            fbank=fbank,
+        )
+        self._noise_host = (
+            None if noise_pool is None else np.asarray(noise_pool, np.float32)
+        )
+        self._noise_device: dict = {}
+
+    # -- shapes -----------------------------------------------------------------
+
+    def bucket_shape(self, num_samples: int) -> Tuple[int, int]:
+        """(padded_num_samples, batch_size) of the smallest covering bucket
+        (the largest bucket when nothing covers)."""
+        for ub, bsz in self.buckets:
+            if num_samples <= int(ub * self.sampling_rate):
+                return int(ub * self.sampling_rate), bsz
+        ub, bsz = self.buckets[-1]
+        return int(ub * self.sampling_rate), bsz
+
+    def _post_perturb_len(self, t: int) -> int:
+        if self.speed_factor is None or self.speed_factor == 1.0:
+            return t
+        return resampled_num_samples(
+            t, round(self.sampling_rate * self.speed_factor), self.sampling_rate
+        )
+
+    def _noise_for(self, batch_size: int, t_perturbed: int):
+        """A (B, T') noise batch staged in HBM, one per bucket shape. The
+        slice assignment is drawn once per shape and reused across batches
+        (per-batch SNR/gain/mask still vary) — the same device-resident-pool
+        tradeoff the e2e benchmark makes to keep the wire free for speech."""
+        import jax.numpy as jnp
+
+        key = (batch_size, t_perturbed)
+        staged = self._noise_device.get(key)
+        if staged is None:
+            pool = self._noise_host
+            n, tn = pool.shape
+            rows = self._rng.randint(0, n, size=batch_size)
+            if tn >= t_perturbed:
+                starts = self._rng.randint(0, tn - t_perturbed + 1, size=batch_size)
+                sel = np.stack(
+                    [pool[r, s : s + t_perturbed] for r, s in zip(rows, starts)]
+                )
+            else:
+                reps = -(-t_perturbed // tn)
+                sel = np.tile(pool[rows], (1, reps))[:, :t_perturbed]
+            staged = jnp.asarray(sel)
+            self._noise_device[key] = staged
+        return staged
+
+    # -- execution --------------------------------------------------------------
+
+    def precompile(self) -> None:
+        """Compile every bucket program outside the hot loop."""
+        for ub, bsz in self.buckets:
+            t = int(ub * self.sampling_rate)
+            self(np.zeros((bsz, t), np.float32), np.full(bsz, t, np.int64))
+
+    def __call__(
+        self,
+        audio: np.ndarray,
+        audio_lens: Union[np.ndarray, Sequence[int]],
+    ):
+        """
+        Pad ``(B, T)`` float32 (or int16) audio up to its bucket shape and
+        run the fused device program. Returns device arrays
+        ``(feats (B', T_frames, F), feat_lens (B',))`` where ``B'`` is the
+        bucket batch size (extra rows are padding with ``feat_lens == 0``).
+        """
+        audio = np.asarray(audio)
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
+        audio_lens = np.asarray(audio_lens)
+        B, T = audio.shape
+        T_b, B_b = self.bucket_shape(T)
+        padded = np.zeros((B_b, T_b), np.float32)
+        padded[: min(B, B_b), : min(T, T_b)] = audio[:B_b, :T_b]
+        lens = np.zeros(B_b, np.int64)
+        lens[: min(B, B_b)] = np.minimum(audio_lens[:B_b], T_b)
+
+        kwargs = {}
+        if self.gain_range is not None:
+            lo, hi = self.gain_range
+            kwargs["gains"] = self._rng.uniform(lo, hi, B_b).astype(np.float32)
+        if self._noise_host is not None:
+            t_p = self._post_perturb_len(T_b)
+            kwargs["noise"] = self._noise_for(B_b, t_p)
+            lo, hi = self.snr
+            kwargs["snr"] = self._rng.uniform(lo, hi, B_b).astype(np.float32)
+            kwargs["mix_mask"] = (
+                self._rng.uniform(0, 1, B_b) < self.mix_prob
+            ).astype(np.float32)
+        if self.rir is not None:
+            kwargs["rir"] = self.rir
+        return self._pipeline(padded, lens, **kwargs)
