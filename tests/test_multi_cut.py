@@ -156,6 +156,24 @@ class TestMultiCutOps:
             loud.load_audio(), 2.0 * cut.load_audio(), atol=1e-4
         )
 
+    def test_reverb_rir_with_explicit_rir(self, cut, tmp_path):
+        rng = np.random.RandomState(2)
+        taps = np.exp(-np.arange(1600) / 200.0).astype(np.float32) * 0.2
+        taps[10] = 1.0
+        write_wav(str(tmp_path / "rir.wav"), taps, SR)
+        rir = Recording.from_file(tmp_path / "rir.wav")
+        rev = cut.reverb_rir(rir_recording=rir)
+        assert isinstance(rev, MultiCut)
+        assert rev.id.endswith("_rvb")
+        audio = rev.load_audio()
+        assert audio.shape == (2, N)
+        assert np.isfinite(audio).all()
+        assert not np.allclose(audio, cut.load_audio())
+
+    def test_reverb_rir_synthetic_requires_mono(self, cut):
+        with pytest.raises(AssertionError):
+            cut.reverb_rir()  # 2-channel MultiCut, no RIR provided
+
     def test_merge_supervisions(self, cut):
         cut.supervisions.append(
             SupervisionSegment(
