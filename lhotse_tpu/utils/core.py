@@ -20,7 +20,7 @@ import sys
 import uuid
 import warnings
 from contextlib import contextmanager
-from functools import wraps
+from functools import lru_cache, wraps
 from dataclasses import dataclass, fields
 from decimal import ROUND_DOWN, ROUND_HALF_DOWN, ROUND_HALF_UP, Decimal
 from math import ceil, isclose
@@ -297,19 +297,24 @@ def load_rng_state(state: dict, rng: Optional[random.Random] = None) -> random.R
     return rng
 
 
-def is_module_available(*modules: str) -> bool:
-    """Check whether the given modules can be imported, without importing them."""
+@lru_cache(maxsize=None)
+def _module_available(m: str) -> bool:
     import importlib.util
 
-    def _available(m: str) -> bool:
-        try:
-            return importlib.util.find_spec(m) is not None
-        except (ImportError, ValueError):
-            # find_spec raises for dotted names whose parent package is
-            # missing (e.g. "s3prl.hub" without s3prl installed).
-            return False
+    try:
+        return importlib.util.find_spec(m) is not None
+    except (ImportError, ValueError):
+        # find_spec raises for dotted names whose parent package is
+        # missing (e.g. "s3prl.hub" without s3prl installed).
+        return False
 
-    return all(_available(m) for m in modules)
+
+def is_module_available(*modules: str) -> bool:
+    """Check whether the given modules can be imported, without importing
+    them. Cached: a negative find_spec walks the whole sys.path on every
+    call (failed imports are never cached by Python), which is measurable
+    in per-recording hot loops like backend applicability checks."""
+    return all(_module_available(m) for m in modules)
 
 
 def measure_overlap(lhs: Any, rhs: Any) -> float:
