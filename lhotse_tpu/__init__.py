@@ -18,7 +18,8 @@ from lhotse_tpu.audio import (
 from lhotse_tpu.caching import is_caching_enabled, set_caching_enabled
 from lhotse_tpu.utils import Decibels, Seconds, measure_overlap, streaming_shuffle
 from lhotse_tpu.tracing import (
-    format_tracing_report, is_tracing_enabled, set_tracing_enabled, trace_span, tracing_report)
+    emit_metrics, format_tracing_report, is_tracing_enabled, register_metrics_hook,
+    set_tracing_enabled, trace_span, tracing_report, unregister_metrics_hook)
 from lhotse_tpu.features import (
     Fbank, FbankConfig, available_storage_backends, create_default_feature_extractor,
     FeatureExtractor, Features, FeatureSet, FeatureSetBuilder, LilcomChunkyWriter,

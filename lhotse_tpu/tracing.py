@@ -136,6 +136,42 @@ def tracing_report(reset: bool = False) -> Dict[str, Dict[str, Any]]:
     return out
 
 
+_METRICS_HOOKS = []
+
+
+def register_metrics_hook(hook) -> None:
+    """
+    Register a callable receiving the tracing report dict whenever
+    :func:`emit_metrics` runs — the thin metrics-export integration point
+    (Prometheus pushgateway, W&B, stdout loggers...) that the reference
+    lacks (SURVEY §5.5). Hooks must not raise; exceptions are swallowed so
+    an exporter can never take down the data pipeline.
+    """
+    _METRICS_HOOKS.append(hook)
+
+
+def unregister_metrics_hook(hook) -> None:
+    try:
+        _METRICS_HOOKS.remove(hook)
+    except ValueError:
+        pass
+
+
+def emit_metrics(extra: Optional[Dict[str, Any]] = None, reset: bool = False) -> None:
+    """Push the current tracing report (plus optional ``extra`` fields) to
+    every registered metrics hook."""
+    if not _METRICS_HOOKS:
+        return
+    payload = tracing_report(reset=reset)
+    if extra:
+        payload = {**payload, "extra": dict(extra)}
+    for hook in list(_METRICS_HOOKS):
+        try:
+            hook(payload)
+        except Exception:
+            pass
+
+
 def format_tracing_report(report: Optional[Dict[str, Dict[str, Any]]] = None) -> str:
     if report is None:
         report = tracing_report()

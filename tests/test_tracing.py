@@ -113,3 +113,44 @@ def test_feature_pipeline_reports_audio_seconds(tmp_path):
     k = "CutSet.compute_and_store_features_batch"
     assert rep[k]["work"] == pytest.approx(6.0)
     assert rep[k]["calls"] == 3  # 2s batches over 6x1s cuts
+
+
+class TestMetricsHooks:
+    def test_emit_pushes_report_and_swallow_errors(self):
+        from lhotse_tpu.tracing import (
+            emit_metrics,
+            register_metrics_hook,
+            reset_tracing,
+            set_tracing_enabled,
+            trace_span,
+            unregister_metrics_hook,
+        )
+
+        got = []
+
+        def ok_hook(payload):
+            got.append(payload)
+
+        def bad_hook(payload):
+            raise RuntimeError("exporter down")
+
+        register_metrics_hook(bad_hook)
+        register_metrics_hook(ok_hook)
+        try:
+            set_tracing_enabled(True)
+            reset_tracing()
+            with trace_span("unit.work", work=2.0):
+                pass
+            emit_metrics(extra={"step": 7})
+        finally:
+            set_tracing_enabled(False)
+            unregister_metrics_hook(bad_hook)
+            unregister_metrics_hook(ok_hook)
+        assert len(got) == 1
+        assert got[0]["unit.work"]["work"] == 2.0
+        assert got[0]["extra"] == {"step": 7}
+
+    def test_emit_without_hooks_is_noop(self):
+        from lhotse_tpu.tracing import emit_metrics
+
+        emit_metrics()  # must not raise
