@@ -160,10 +160,18 @@ class OnDeviceAugmenter:
         audio_lens = np.asarray(audio_lens)
         B, T = audio.shape
         T_b, B_b = self.bucket_shape(T)
+        if B > B_b:
+            raise ValueError(
+                f"Batch of {B} items exceeds the covering bucket's batch size "
+                f"{B_b} (bucket {T_b / self.sampling_rate:g}s). Silently "
+                "dropping items would lose data — align the sampler's "
+                "max_cuts/max_duration with the bucket vocabulary, or enlarge "
+                "the bucket batch sizes."
+            )
         padded = np.zeros((B_b, T_b), np.float32)
-        padded[: min(B, B_b), : min(T, T_b)] = audio[:B_b, :T_b]
+        padded[:B, : min(T, T_b)] = audio[:, :T_b]
         lens = np.zeros(B_b, np.int64)
-        lens[: min(B, B_b)] = np.minimum(audio_lens[:B_b], T_b)
+        lens[:B] = np.minimum(audio_lens, T_b)
 
         kwargs = {}
         if self.gain_range is not None:

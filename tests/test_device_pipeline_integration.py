@@ -1,0 +1,99 @@
+"""
+End-to-end TPU-first training input pipeline on the virtual CPU mesh:
+synthesized FLAC corpus -> lazy CutSet (+noise mix metadata) ->
+DynamicBucketingSampler with explicit bins -> AudioSamples batches ->
+OnDeviceAugmenter (speed perturb + gain + SNR mix + RIR + fbank on
+"device") — the exact architecture bench.py's e2e section measures.
+"""
+import numpy as np
+import pytest
+
+from lhotse_tpu import CutSet, Recording, SupervisionSegment
+from lhotse_tpu.audio.flacio import write_flac
+from lhotse_tpu.dataset.device_augment import OnDeviceAugmenter
+from lhotse_tpu.dataset.input_strategies import AudioSamples
+from lhotse_tpu.dataset.loader import DataLoader
+from lhotse_tpu.dataset.sampling.dynamic_bucketing import DynamicBucketingSampler
+from lhotse_tpu.dataset.speech_recognition import K2SpeechRecognitionDataset
+
+SR = 16000
+
+
+@pytest.fixture
+def corpus(tmp_path):
+    rng = np.random.RandomState(7)
+    cuts = []
+    for i in range(10):
+        dur = float(rng.uniform(1.0, 3.5))
+        n = int(SR * dur)
+        sig = (0.2 * np.sin(2 * np.pi * (100 + 30 * i) * np.arange(n) / SR)
+               + 0.01 * rng.randn(n)).astype(np.float32)
+        path = tmp_path / f"utt{i}.flac"
+        write_flac(str(path), sig, SR)
+        cut = Recording.from_file(path).to_cut()
+        cut.supervisions.append(
+            SupervisionSegment(
+                id=f"sup{i}", recording_id=cut.recording_id, start=0.0,
+                duration=cut.duration, text="synthetic",
+            )
+        )
+        cuts.append(cut)
+    path = tmp_path / "cuts.jsonl"
+    CutSet.from_cuts(cuts).to_file(path)
+    return path
+
+
+def test_full_pipeline_through_device_augmenter(corpus):
+    rng = np.random.RandomState(1)
+    noise = (0.05 * rng.randn(3, 2 * SR)).astype(np.float32)
+    rir = (0.1 * np.exp(-np.arange(800) / 100.0)).astype(np.float32)
+    rir[3] = 1.0
+
+    buckets = [(2.0, 8), (4.0, 6)]
+    aug = OnDeviceAugmenter(
+        buckets,
+        speed_factor=1.1,
+        noise_pool=noise,
+        rir=rir,
+        snr=(10, 20),
+        mix_prob=0.5,
+        seed=5,
+    )
+
+    cuts = CutSet.from_jsonl_lazy(corpus)
+    sampler = DynamicBucketingSampler(
+        cuts, max_duration=10.0, duration_bins=[2.0], buffer_size=16,
+        shuffle=True, seed=0, world_size=1, rank=0,
+    )
+    dataset = K2SpeechRecognitionDataset(input_strategy=AudioSamples())
+    loader = DataLoader(sampler, dataset, prefetch_batches=0)
+
+    seen_frames = 0
+    n_batches = 0
+    for batch in loader:
+        audio = np.asarray(batch["inputs"])
+        lens = np.asarray(batch["supervisions"]["num_samples"])
+        feats, feat_lens = aug(audio, lens)
+        feats = np.asarray(feats)
+        feat_lens = np.asarray(feat_lens)
+        assert feats.shape[-1] == 80
+        assert np.isfinite(feats).all()
+        # Per-item frame counts follow the post-perturb sample counts.
+        from lhotse_tpu.ops.resample import resampled_num_samples
+
+        expect = (resampled_num_samples(lens, round(SR * 1.1), SR) + 80) // 160
+        np.testing.assert_array_equal(feat_lens[: len(lens)], expect)
+        assert (feat_lens[len(lens):] == 0).all()
+        seen_frames += int(feat_lens.sum())
+        n_batches += 1
+    assert n_batches >= 2
+    assert seen_frames > 0
+
+
+def test_oversized_batch_is_rejected_not_truncated():
+    """A batch larger than the covering bucket's batch size must raise —
+    silent truncation would drop training data."""
+    aug = OnDeviceAugmenter([(1.0, 2)], gain_range=None)
+    audio = np.zeros((3, SR), np.float32)
+    with pytest.raises(ValueError, match="exceeds the covering bucket"):
+        aug(audio, [SR, SR, SR])
