@@ -82,3 +82,42 @@ def test_migration_guide_import_swap(manifests):
             input_strategy=__import__("lhotse_tpu.dataset", fromlist=["OnTheFlyFeatures"]).OnTheFlyFeatures(Fbank()))
         batches = [ds[b] for b in sampler]
     assert batches and all("supervisions" in b for b in batches)
+
+
+def test_augmentation_doc_on_device_augmenter(tmp_path, manifests):
+    """Mirrors docs/augmentation.md's OnDeviceAugmenter example."""
+    from lhotse_tpu.dataset import OnDeviceAugmenter
+    from lhotse_tpu.dataset.input_strategies import AudioSamples
+    from lhotse_tpu.dataset.loader import DataLoader
+    from lhotse_tpu.dataset.sampling.dynamic import DynamicCutSampler
+    from lhotse_tpu.dataset.speech_recognition import K2SpeechRecognitionDataset
+
+    rng = np.random.RandomState(0)
+    musan_samples = (0.05 * rng.randn(2, SR)).astype(np.float32)
+    rir_taps = np.exp(-np.arange(400) / 80.0).astype(np.float32)
+
+    aug = OnDeviceAugmenter(
+        buckets=[(2.0, 8)],
+        speed_factor=1.1,
+        noise_pool=musan_samples,
+        rir=rir_taps,
+        snr=(10, 20),
+        mix_prob=0.5,
+    )
+    aug.precompile()
+
+    cuts = CutSet.from_manifests(**manifests)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sampler = DynamicCutSampler(cuts, max_cuts=4, world_size=1, rank=0)
+    loader = DataLoader(
+        sampler,
+        K2SpeechRecognitionDataset(input_strategy=AudioSamples()),
+        prefetch_batches=0,
+    )
+    for batch in loader:
+        feats, feat_lens = aug(
+            batch["inputs"], batch["supervisions"]["num_samples"]
+        )
+        assert np.asarray(feats).shape[-1] == 80
+        assert np.isfinite(np.asarray(feats)).all()
