@@ -55,6 +55,12 @@ class OnDeviceAugmenter:
     :param mix_prob: probability of mixing noise into each item.
     :param rir: optional (L,) float32 impulse response (shared; kept
         concrete so the realignment is a compile-time slice).
+    :param wire_format: host->device transfer encoding — "float32"
+        (default, lossless), "int16" (~96 dB SNR, half the bytes;
+        log-mel shifts up to ~0.04 in near-silent frames), or "mulaw"
+        (8-bit, LOSSY ~38 dB SNR, quarter the bytes — see
+        :mod:`lhotse_tpu.ops.wire`). Use the narrower formats when the
+        host->device link, not the chip, caps pipeline throughput.
     :param seed: host RNG seed for gains/SNRs/noise choice.
     """
 
@@ -70,9 +76,16 @@ class OnDeviceAugmenter:
         rir: Optional[np.ndarray] = None,
         normalize_rir: bool = True,
         fbank=None,
+        wire_format: str = "float32",
         seed: int = 0,
     ) -> None:
+        from lhotse_tpu.ops.wire import WIRE_FORMATS
+
         assert len(buckets) > 0
+        if wire_format not in WIRE_FORMATS:
+            raise ValueError(
+                f"wire_format must be one of {WIRE_FORMATS}, got {wire_format!r}"
+            )
         self.buckets = sorted((float(s), int(b)) for s, b in buckets)
         self.sampling_rate = int(sampling_rate)
         self.speed_factor = speed_factor
@@ -80,12 +93,14 @@ class OnDeviceAugmenter:
         self.snr = snr
         self.mix_prob = float(mix_prob)
         self.rir = None if rir is None else np.asarray(rir, np.float32)
+        self.wire_format = wire_format
         self._rng = np.random.RandomState(seed)
         self._pipeline = make_augment_fbank_pipeline(
             sampling_rate=self.sampling_rate,
             speed_factor=speed_factor,
             normalize_rir=normalize_rir,
             fbank=fbank,
+            wire_format=wire_format,
         )
         self._noise_host = (
             None if noise_pool is None else np.asarray(noise_pool, np.float32)
@@ -154,6 +169,8 @@ class OnDeviceAugmenter:
         ``(feats (B', T_frames, F), feat_lens (B',))`` where ``B'`` is the
         bucket batch size (extra rows are padding with ``feat_lens == 0``).
         """
+        from lhotse_tpu.ops.wire import encode_wire
+
         audio = np.asarray(audio)
         if audio.dtype == np.int16:
             audio = audio.astype(np.float32) / 32768.0
@@ -170,6 +187,7 @@ class OnDeviceAugmenter:
             )
         padded = np.zeros((B_b, T_b), np.float32)
         padded[:B, : min(T, T_b)] = audio[:, :T_b]
+        padded = encode_wire(padded, self.wire_format)
         lens = np.zeros(B_b, np.int64)
         lens[:B] = np.minimum(audio_lens, T_b)
 

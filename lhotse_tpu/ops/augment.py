@@ -212,6 +212,7 @@ def make_augment_fbank_pipeline(
     speed_factor: Optional[float] = None,
     normalize_rir: bool = True,
     fbank=None,
+    wire_format: str = "float32",
 ):
     """
     Build ONE jitted program running the full BASELINE config #3 chain on
@@ -223,12 +224,15 @@ def make_augment_fbank_pipeline(
     retraces per argument structure, so each used combination costs one
     compile per bucket shape).  Returns ``fn(audio, audio_lens, *, gains,
     noise, noise_lens, snr, noise_offsets, mix_mask, rir) -> (feats (B, T',
-    80), feat_lens)``.
+    80), feat_lens)``.  ``wire_format`` selects the host->device audio
+    encoding ("float32"/"int16"/"mulaw"); decoding is the program's first,
+    freely-fused step (:mod:`lhotse_tpu.ops.wire`).
     """
     import jax
 
     from lhotse_tpu.features.kaldi.layers import Wav2LogFilterBank
     from lhotse_tpu.ops.resample import resampled_num_samples, speed_perturb
+    from lhotse_tpu.ops.wire import decode_wire
 
     if fbank is None:
         fbank = Wav2LogFilterBank(sampling_rate=sampling_rate)
@@ -247,7 +251,7 @@ def make_augment_fbank_pipeline(
     ):
         import jax.numpy as jnp
 
-        audio = jnp.asarray(audio, jnp.float32)
+        audio = decode_wire(audio, wire_format)
         audio_lens = jnp.asarray(audio_lens)
         if speed_factor is not None and speed_factor != 1.0:
             orig = round(sampling_rate * speed_factor)
