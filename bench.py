@@ -278,20 +278,14 @@ def bench_host_pipeline() -> dict:
 #    around (shape-bucketed batches -> one compiled program per bucket).
 # ---------------------------------------------------------------------------
 def bench_e2e_tpu() -> dict:
-    import jax
-    import jax.numpy as jnp
-
     from lhotse_tpu import CutSet, set_caching_enabled
 
     set_caching_enabled(True)  # decoded-audio LRU for the reused noise pool
+    from lhotse_tpu.dataset.device_augment import OnDeviceAugmenter
     from lhotse_tpu.dataset.input_strategies import AudioSamples
-    from lhotse_tpu.dataset.loader import DataLoader, device_prefetch
+    from lhotse_tpu.dataset.loader import DataLoader
     from lhotse_tpu.dataset.sampling.dynamic_bucketing import DynamicBucketingSampler
     from lhotse_tpu.dataset.speech_recognition import K2SpeechRecognitionDataset
-    from lhotse_tpu.features.kaldi.layers import Wav2LogFilterBank
-
-    from lhotse_tpu.ops import augment as aug
-    from lhotse_tpu.ops.resample import resampled_num_samples, speed_perturb
 
     n_rec = 12 if SMOKE else 300
     max_duration = 30.0 if SMOKE else 240.0
@@ -299,57 +293,40 @@ def bench_e2e_tpu() -> dict:
     SPEED = 1.1
 
     # The static shape vocabulary: bucket upper bounds (seconds) and the
-    # fixed batch size each bucket pads to. Exactly len(BUCKETS) compiled
-    # programs serve the entire run.
+    # fixed batch size each bucket pads to (+1 headroom over the duration
+    # budget because a batch closes ON its crossing element). Exactly
+    # len(BUCKETS) compiled programs serve the entire run.
     if SMOKE:
-        BUCKETS = [(8.0, 4), (14.0, 4)]
+        BUCKETS = [(8.0, 5), (14.0, 5)]
     else:
-        BUCKETS = [(6.0, 40), (9.0, 27), (12.0, 20), (14.0, 18)]
+        BUCKETS = [(6.0, 41), (9.0, 28), (12.0, 21), (14.0, 19)]
     bin_edges = [ub for ub, _ in BUCKETS[:-1]]
 
-    fbank = Wav2LogFilterBank(sampling_rate=SR)
     rng_init = np.random.RandomState(99)
-    # Device-resident augmentation assets: a MUSAN-style noise pool slice per
-    # bucket shape and one shared RIR (realistic serving setup — the pool
-    # lives in HBM, only the speech batch crosses the wire).
+    # Augmentation assets: a MUSAN-style noise pool (staged into HBM by the
+    # augmenter — only the speech batch crosses the wire, as int16) and one
+    # shared RIR.
     L = SR // 2
     rir_np = (
         np.exp(-np.arange(L) / (L / 6.0)) * rng_init.randn(L) * 0.5
     ).astype(np.float32)
     rir_np[L // 50] = 1.0
-    noise_pool = {}
-    for ub, bsz in BUCKETS:
-        t_p = resampled_num_samples(int(ub * SR), round(SR * SPEED), SR)
-        noise_pool[(int(ub * SR), bsz)] = jnp.asarray(
-            rng_init.randn(bsz, t_p).astype(np.float32) * 0.05
-        )
+    noise_host = (rng_init.randn(4, 10 * SR) * 0.05).astype(np.float32)
 
-    @jax.jit
-    def device_stage(audio_i16, gains, noise, snr):
-        # int16 -> f32 on chip: halves the host->device transfer volume.
-        audio = audio_i16.astype(jnp.float32) * (1.0 / 32768.0)
-        x = speed_perturb(audio, SPEED, SR)
-        x = x * gains[:, None]
-        x = aug.mix_noise(x, None, noise, None, snr)
-        x = aug.reverb_rir(x, rir_np)
-        feats = fbank(x)
-        return feats.mean()  # tiny readback forces completion
-
-    def bucket_shape(num_samples: int):
-        for ub, bsz in BUCKETS:
-            if num_samples <= int(ub * SR):
-                return int(ub * SR), bsz
-        return int(BUCKETS[-1][0] * SR), BUCKETS[-1][1]
-
-    def fix_shapes(batch):
-        """Host-side: quantize to int16 and pad (B, T) to the bucket shape."""
-        x = np.asarray(batch["inputs"])
-        T, B = bucket_shape(x.shape[1])
-        out = np.zeros((B, T), dtype=np.int16)
-        bsz, span = min(x.shape[0], B), min(x.shape[1], T)
-        out[:bsz, :span] = np.clip(x[:bsz, :span] * 32768.0, -32768, 32767)
-        batch["inputs"] = out
-        return batch
+    # The PUBLIC device-augmentation stage runs the measured chain — the
+    # benchmark exercises exactly what a user gets.
+    aug = OnDeviceAugmenter(
+        BUCKETS,
+        sampling_rate=SR,
+        speed_factor=SPEED,
+        gain_range=(0.8, 1.2),
+        noise_pool=noise_host,
+        snr=(10, 20),
+        mix_prob=1.0,
+        rir=rir_np,
+        wire_format="int16",
+        seed=0,
+    )
 
     with tempfile.TemporaryDirectory() as tmp:
         root = Path(tmp)
@@ -368,32 +345,24 @@ def bench_e2e_tpu() -> dict:
             rank=0,
         )
         dataset = K2SpeechRecognitionDataset(input_strategy=AudioSamples())
-        loader = DataLoader(
-            sampler, dataset, prefetch_batches=2, apply_fn=fix_shapes
-        )
+        loader = DataLoader(sampler, dataset, prefetch_batches=2)
 
         # Pre-compile every bucket shape outside the timed region (standard
         # practice; on the tunneled chip each compile costs tens of seconds).
-        for ub, bsz in BUCKETS:
-            d = jnp.zeros((bsz, int(ub * SR)), jnp.int16)
-            g = jnp.ones((bsz,), jnp.float32)
-            s = jnp.full((bsz,), 15.0, jnp.float32)
-            float(device_stage(d, g, noise_pool[(int(ub * SR), bsz)], s))
+        aug.precompile()
 
         audio_seconds = 0.0
         n_batches = 0
-        rng = np.random.RandomState(0)
         pending = []
         t0 = time.perf_counter()
-        for batch in device_prefetch(loader, size=2):
-            x = batch["inputs"]
-            gains = jnp.asarray(rng.uniform(0.8, 1.2, x.shape[0]).astype(np.float32))
-            snr = jnp.asarray(rng.uniform(10, 20, x.shape[0]).astype(np.float32))
+        for batch in loader:
+            feats, feat_lens = aug(
+                np.asarray(batch["inputs"]),
+                np.asarray(batch["supervisions"]["num_samples"]),
+            )
             # Asynchronous dispatch: keep the wire and the chip busy; the
             # scalars are all fetched once at the end.
-            pending.append(
-                device_stage(x, gains, noise_pool[(x.shape[1], x.shape[0])], snr)
-            )
+            pending.append(feats.mean())
             n_batches += 1
             audio_seconds += float(np.sum(batch["supervisions"]["num_samples"])) / SR
         checksum = sum(float(r) for r in pending)
@@ -404,7 +373,9 @@ def bench_e2e_tpu() -> dict:
         "e2e_tpu_audio_sec_per_sec": round(audio_seconds / elapsed, 1),
         "e2e_tpu_batches_per_sec": round(n_batches / elapsed, 3),
         "e2e_device_chain": DEVICE_CHAIN,
+        "e2e_wire_format": "int16",
     }
+
 
 
 def main():
