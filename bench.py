@@ -186,10 +186,16 @@ def bench_host_pipeline() -> dict:
 
     n_rec = 12 if SMOKE else 300
     max_duration = 30.0 if SMOKE else 120.0
-    # Spawned workers only pay off with spare cores: on a 1-2 core host the
-    # IPC + contention make them ~3x slower than in-process assembly.
+    # Parallel assembly only pays off with spare cores: on a 1-2 core host,
+    # spawned processes are ~3x slower (IPC + contention), and measurement
+    # showed thread workers ALSO lose there under realistic cold-cache
+    # conditions (context switching + cache thrash beat the GIL-released
+    # overlap). Multi-core hosts use processes; thread workers
+    # (num_thread_workers) remain available for IPC-averse multi-core
+    # setups.
     cores = os.cpu_count() or 4
     num_workers = (2 if SMOKE else min(8, cores - 2)) if cores >= 4 else 0
+    num_thread_workers = 0
 
     with tempfile.TemporaryDirectory() as tmp:
         root = Path(tmp)
@@ -225,9 +231,8 @@ def bench_host_pipeline() -> dict:
             )
             return DataLoader(
                 sampler, dataset, num_workers=num_workers,
-                # On a core-starved host even the prefetch thread costs more
-                # in GIL churn than it hides in latency: run synchronously.
-                prefetch_batches=2 if num_workers else (2 if cores >= 2 else 0)
+                num_thread_workers=num_thread_workers,
+                prefetch_batches=2,
             )
 
         from lhotse_tpu.tracing import (
@@ -255,6 +260,7 @@ def bench_host_pipeline() -> dict:
         "host_pipeline_batches_per_sec": round(n_batches / elapsed, 3),
         "host_pipeline_num_batches": n_batches,
         "host_pipeline_workers": num_workers,
+        "host_pipeline_thread_workers": num_thread_workers,
     }
     # Stage breakdown (seconds per span; nested spans overlap — decode/
     # transforms/fbank happen inside read_audio/assemble). With spawned

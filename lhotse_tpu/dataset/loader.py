@@ -93,6 +93,11 @@ class DataLoader:
     :param dataset: map-style: ``dataset[cuts] -> batch`` (pytree of numpy).
     :param num_workers: 0 = single background thread; N >= 1 = N spawned
         processes assembling batches in parallel.
+    :param num_thread_workers: N >= 1 = N THREADS assembling batches from
+        one shared sampler (exact order preserved). No IPC/pickling;
+        decode/FFT/DSP release the GIL so threads overlap on multi-core
+        hosts (on a single core this measures as a net loss — keep 0
+        there). Mutually exclusive with ``num_workers``.
     :param prefetch_batches: bound on in-flight assembled batches (per worker
         when ``num_workers >= 1``).
     :param apply_fn: optional post-processing applied where assembly runs.
@@ -109,14 +114,21 @@ class DataLoader:
     def __init__(
         self, sampler: Iterable, dataset: Any, prefetch_batches: int = 2,
         apply_fn: Optional[Callable[[Any], Any]] = None, num_workers: int = 0,
-        worker_dedup: str = "batch", seed: int = 42, worker_jax_platform: str = "cpu"):
+        num_thread_workers: int = 0, worker_dedup: str = "batch", seed: int = 42,
+        worker_jax_platform: str = "cpu"):
         if worker_dedup not in ("batch", "partition"):
             raise ValueError(f"worker_dedup must be 'batch' or 'partition', got {worker_dedup!r}")
+        if num_workers and num_thread_workers:
+            raise ValueError(
+                "num_workers (processes) and num_thread_workers are mutually "
+                "exclusive assembly modes."
+            )
         self.sampler = sampler
         self.dataset = dataset
         self.prefetch_batches = max(int(prefetch_batches), 0)
         self.apply_fn = apply_fn
         self.num_workers = max(int(num_workers), 0)
+        self.num_thread_workers = max(int(num_thread_workers), 0)
         self.worker_dedup = worker_dedup
         self.seed = seed
         self.worker_jax_platform = worker_jax_platform
@@ -256,9 +268,97 @@ class DataLoader:
             if not advanced and live:
                 continue
 
+    # -- thread-pool assembly ----------------------------------------------------
+
+    def _iter_threadpool(self) -> Iterator:
+        """
+        N threads assemble batches concurrently from ONE shared sampler;
+        output order is exactly the sampler's (a reorder buffer holds
+        early-finished batches). Unlike process workers this pays no IPC or
+        re-pickling; decode, pocketfft, and the C DSP kernels release the
+        GIL, so threads genuinely overlap on multi-core hosts. On a
+        single-core host measurement showed a net LOSS (switching + cache
+        thrash outweigh the overlap) — prefer serial assembly there.
+        """
+        from lhotse_tpu.tracing import trace_span
+
+        n = self.num_thread_workers
+        sampler_iter = enumerate(iter(self.sampler))
+        pull_lock = threading.Lock()
+        cond = threading.Condition()
+        done: Dict[int, Any] = {}
+        state = {"next": 0, "error": None, "active": n, "closed": False}
+        max_ahead = max(self.prefetch_batches, 1) + n
+
+        def worker():
+            try:
+                while True:
+                    with pull_lock:
+                        with trace_span("sampler.next"):
+                            try:
+                                seq, cuts = next(sampler_iter)
+                            except StopIteration:
+                                return
+                    with trace_span("dataset.assemble"):
+                        batch = self.dataset[cuts]
+                        if self.apply_fn is not None:
+                            batch = self.apply_fn(batch)
+                    with cond:
+                        while (
+                            state["error"] is None
+                            and not state["closed"]
+                            and seq - state["next"] >= max_ahead
+                        ):
+                            cond.wait()
+                        if state["error"] is not None or state["closed"]:
+                            return
+                        done[seq] = batch
+                        cond.notify_all()
+            except BaseException as e:  # noqa: B036 - forwarded to consumer
+                with cond:
+                    if state["error"] is None:
+                        state["error"] = e
+                    cond.notify_all()
+            finally:
+                with cond:
+                    state["active"] -= 1
+                    cond.notify_all()
+
+        threads = [
+            threading.Thread(target=worker, daemon=True, name=f"loader-asm-{i}")
+            for i in range(n)
+        ]
+        for t in threads:
+            t.start()
+        i = 0
+        try:
+            while True:
+                with cond:
+                    while (
+                        i not in done
+                        and state["error"] is None
+                        and state["active"] > 0
+                    ):
+                        cond.wait()
+                    if state["error"] is not None:
+                        raise state["error"]
+                    if i not in done:
+                        return  # all workers finished, buffer drained
+                    batch = done.pop(i)
+                    state["next"] = i + 1
+                    cond.notify_all()
+                yield batch
+                i += 1
+        finally:
+            with cond:
+                state["closed"] = True
+                cond.notify_all()
+
     def __iter__(self) -> Iterator:
         if self.num_workers >= 1:
             return self._iter_multiprocess()
+        if self.num_thread_workers >= 1:
+            return self._iter_threadpool()
         return self._iter_threaded()
 
 

@@ -82,3 +82,63 @@ def test_device_prefetch_with_sharding():
     (out,) = list(device_prefetch(batches, size=2, sharding=sharding))
     assert out["x"].sharding == sharding
     np.testing.assert_array_equal(np.asarray(out["x"]), batches[0]["x"])
+
+
+@pytest.mark.parametrize("n_threads", [1, 2, 3])
+def test_threadpool_assembly_matches_sequential_order(cuts, n_threads):
+    dataset = K2SpeechRecognitionDataset()
+    sequential = [
+        dataset[batch] for batch in SimpleCutSampler(cuts, max_cuts=3, shuffle=False)
+    ]
+    loader = DataLoader(
+        SimpleCutSampler(cuts, max_cuts=3, shuffle=False),
+        dataset,
+        num_thread_workers=n_threads,
+    )
+    pooled = list(loader)
+    assert len(pooled) == len(sequential)
+    for a, b in zip(sequential, pooled):
+        np.testing.assert_array_equal(a["inputs"], b["inputs"])
+        assert a["supervisions"]["text"] == b["supervisions"]["text"]
+
+
+def test_threadpool_propagates_errors(cuts):
+    class Boom:
+        def __getitem__(self, cuts):
+            raise RuntimeError("boom")
+
+    loader = DataLoader(SimpleCutSampler(cuts, max_cuts=3), Boom(), num_thread_workers=2)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(loader)
+
+
+def test_threadpool_early_abandon_does_not_hang(cuts):
+    loader = DataLoader(
+        SimpleCutSampler(cuts, max_cuts=2, shuffle=False),
+        K2SpeechRecognitionDataset(),
+        num_thread_workers=3,
+    )
+    it = iter(loader)
+    next(it)
+    it.close()  # must release blocked workers, not deadlock
+
+
+def test_threadpool_and_processes_are_exclusive(cuts):
+    with pytest.raises(ValueError, match="mutually"):
+        DataLoader(
+            SimpleCutSampler(cuts, max_cuts=3),
+            K2SpeechRecognitionDataset(),
+            num_workers=2,
+            num_thread_workers=2,
+        )
+
+
+def test_threadpool_apply_fn(cuts):
+    loader = DataLoader(
+        SimpleCutSampler(cuts, max_cuts=5, shuffle=False),
+        K2SpeechRecognitionDataset(),
+        num_thread_workers=2,
+        apply_fn=lambda b: b["inputs"].shape,
+    )
+    shapes = list(loader)
+    assert len(shapes) == 2 and all(s[0] == 5 for s in shapes)
