@@ -134,16 +134,39 @@ class DataLoader:
         self.worker_jax_platform = worker_jax_platform
 
     def state_dict(self) -> Dict[str, Any]:
-        return {"sampler": self.sampler.state_dict()}
+        """
+        Checkpoint reflecting the batches actually YIELDED to the caller.
+        With prefetching or thread workers the underlying sampler runs ahead
+        of consumption; the in-process assembly paths therefore snapshot the
+        sampler after every batch draw and this returns the snapshot of the
+        last yielded batch — resuming continues exactly after it (the
+        in-flight batches are re-assembled). Before iteration starts (or in
+        multiprocess mode, where each worker owns a sampler copy) this falls
+        back to the live sampler state.
+        """
+        state = getattr(self, "_last_yielded_state", None)
+        if state is None:
+            state = self.sampler.state_dict()
+        return {"sampler": state}
 
     def load_state_dict(self, state: Dict[str, Any]) -> None:
         self.sampler.load_state_dict(state["sampler"])
+        self._last_yielded_state = None
 
     # -- single-process (threaded prefetch) ------------------------------------
 
+    def _snapshot_sampler(self):
+        """Sampler state AFTER the batch just drawn (cheap: O(tokens))."""
+        try:
+            return self.sampler.state_dict()
+        except (AttributeError, TypeError):
+            return None  # plain iterables: no checkpointing support
+
     def _sampler_and_assemble(self) -> Iterator:
         """Pull (sampler -> dataset -> apply_fn) with tracing spans, so a
-        stage breakdown of the input pipeline is one env var away."""
+        stage breakdown of the input pipeline is one env var away. Yields
+        ``(snapshot, batch)``; callers publish the snapshot when the batch
+        is handed to the consumer."""
         from lhotse_tpu.tracing import trace_span
 
         it = iter(self.sampler)
@@ -153,16 +176,17 @@ class DataLoader:
                     cuts = next(it)
                 except StopIteration:
                     return
+                snap = self._snapshot_sampler()
             with trace_span("dataset.assemble"):
                 batch = self.dataset[cuts]
                 if self.apply_fn is not None:
                     batch = self.apply_fn(batch)
-            yield batch
+            yield snap, batch
 
     def _produce(self, q: "queue.Queue") -> None:
         try:
-            for batch in self._sampler_and_assemble():
-                q.put(batch)
+            for item in self._sampler_and_assemble():
+                q.put(item)
         except BaseException as e:  # noqa: B036 - forwarded to the consumer
             q.put(e)
             return
@@ -170,7 +194,10 @@ class DataLoader:
 
     def _iter_threaded(self) -> Iterator:
         if self.prefetch_batches == 0:
-            yield from self._sampler_and_assemble()
+            for snap, batch in self._sampler_and_assemble():
+                if snap is not None:
+                    self._last_yielded_state = snap
+                yield batch
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         worker = threading.Thread(target=self._produce, args=(q,), daemon=True)
@@ -181,7 +208,10 @@ class DataLoader:
                 break
             if isinstance(item, BaseException):
                 raise item
-            yield item
+            snap, batch = item
+            if snap is not None:
+                self._last_yielded_state = snap
+            yield batch
         worker.join()
 
     # -- multi-process assembly --------------------------------------------------
@@ -299,6 +329,7 @@ class DataLoader:
                                 seq, cuts = next(sampler_iter)
                             except StopIteration:
                                 return
+                            snap = self._snapshot_sampler()
                     with trace_span("dataset.assemble"):
                         batch = self.dataset[cuts]
                         if self.apply_fn is not None:
@@ -312,7 +343,7 @@ class DataLoader:
                             cond.wait()
                         if state["error"] is not None or state["closed"]:
                             return
-                        done[seq] = batch
+                        done[seq] = (snap, batch)
                         cond.notify_all()
             except BaseException as e:  # noqa: B036 - forwarded to consumer
                 with cond:
@@ -344,7 +375,9 @@ class DataLoader:
                         raise state["error"]
                     if i not in done:
                         return  # all workers finished, buffer drained
-                    batch = done.pop(i)
+                    snap, batch = done.pop(i)
+                    if snap is not None:
+                        self._last_yielded_state = snap
                     state["next"] = i + 1
                     cond.notify_all()
                 yield batch

@@ -142,3 +142,41 @@ def test_threadpool_apply_fn(cuts):
     )
     shapes = list(loader)
     assert len(shapes) == 2 and all(s[0] == 5 for s in shapes)
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(prefetch_batches=3),
+    dict(prefetch_batches=0),
+    dict(num_thread_workers=3, prefetch_batches=2),
+])
+def test_loader_checkpoint_reflects_yielded_batches(cuts, kwargs):
+    """With prefetch/thread workers the sampler runs AHEAD of consumption;
+    loader.state_dict() must checkpoint the last YIELDED batch, so
+    consume-k -> checkpoint -> restore -> rest reproduces the full epoch."""
+    dataset = K2SpeechRecognitionDataset()
+
+    def texts(batch):
+        return batch["supervisions"]["text"]
+
+    full = [
+        texts(b)
+        for b in DataLoader(
+            SimpleCutSampler(cuts, max_cuts=2, shuffle=False), dataset, **kwargs
+        )
+    ]
+    assert len(full) == 5
+
+    loader = DataLoader(
+        SimpleCutSampler(cuts, max_cuts=2, shuffle=False), dataset, **kwargs
+    )
+    it = iter(loader)
+    consumed = [texts(next(it)) for _ in range(2)]
+    sd = loader.state_dict()
+    it.close()
+
+    restored = DataLoader(
+        SimpleCutSampler(cuts, max_cuts=2, shuffle=False), dataset, **kwargs
+    )
+    restored.load_state_dict(sd)
+    rest = [texts(b) for b in restored]
+    assert consumed + rest == full
