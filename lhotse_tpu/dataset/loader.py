@@ -75,10 +75,19 @@ def _worker_entrypoint(
         for batch_idx, cuts in enumerate(sampler):
             if dedup == "batch" and batch_idx % num_workers != worker_id:
                 continue
+            # In batch-dedup mode every worker consumes the full sampler
+            # stream, so its state after drawing batch i is exactly the
+            # consumed-through-i checkpoint; ship it with the batch.
+            snap = None
+            if dedup == "batch":
+                try:
+                    snap = sampler.state_dict()
+                except (AttributeError, TypeError):
+                    pass
             batch = dataset[cuts]
             if apply_fn is not None:
                 batch = apply_fn(batch)
-            out_q.put(("item", batch))
+            out_q.put(("item", (snap, batch)))
     except Exception as exc:  # noqa: BLE001 — forwarded to the consumer
         out_q.put(("error", f"{type(exc).__name__}: {exc}\n{traceback.format_exc()}"))
     finally:
@@ -140,9 +149,12 @@ class DataLoader:
         of consumption; the in-process assembly paths therefore snapshot the
         sampler after every batch draw and this returns the snapshot of the
         last yielded batch — resuming continues exactly after it (the
-        in-flight batches are re-assembled). Before iteration starts (or in
-        multiprocess mode, where each worker owns a sampler copy) this falls
-        back to the live sampler state.
+        in-flight batches are re-assembled). Multiprocess batch-dedup
+        workers ship their own snapshots with each batch (every worker
+        consumes the full sampler stream, so its state at batch i IS the
+        consumed-through-i checkpoint). Before iteration starts, or in
+        partition-dedup multiprocess mode (per-partition states do not
+        compose), this falls back to the live sampler state.
         """
         state = getattr(self, "_last_yielded_state", None)
         if state is None:
@@ -275,7 +287,10 @@ class DataLoader:
             if kind == "done":
                 dead.add(w)
                 continue
-            yield payload
+            snap, batch = payload
+            if snap is not None:
+                self._last_yielded_state = snap
+            yield batch
 
     def _drain_any_order(self, queues) -> Iterator:
         import queue as q_mod
@@ -294,7 +309,10 @@ class DataLoader:
                     live.discard(w)
                     continue
                 advanced = True
-                yield payload
+                snap, batch = payload
+                if snap is not None:
+                    self._last_yielded_state = snap
+                yield batch
             if not advanced and live:
                 continue
 

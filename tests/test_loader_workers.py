@@ -103,3 +103,27 @@ def test_real_feature_extraction_in_workers(tmp_path):
     for b in batches:
         assert b["inputs"].ndim == 3 and b["inputs"].shape[-1] == 80
         assert np.isfinite(np.asarray(b["inputs"])).all()
+
+
+def test_mp_batch_dedup_checkpoint_reflects_yielded(tmp_path):
+    """Multiprocess batch-dedup workers ship per-batch sampler snapshots:
+    consume-k -> checkpoint -> restore (serial) -> rest == full epoch."""
+    path = _make_cuts(tmp_path, n=12)
+
+    def make_sampler():
+        return DynamicCutSampler(
+            CutSet.from_jsonl_lazy(path), max_cuts=3, world_size=1, rank=0, seed=0)
+
+    full = [b["ids"] for b in DataLoader(make_sampler(), _SumDataset(), num_workers=2)]
+    assert len(full) == 4
+
+    loader = DataLoader(make_sampler(), _SumDataset(), num_workers=2)
+    it = iter(loader)
+    consumed = [next(it)["ids"] for _ in range(2)]
+    sd = loader.state_dict()
+    it.close()
+
+    restored = DataLoader(make_sampler(), _SumDataset())
+    restored.load_state_dict(sd)
+    rest = [b["ids"] for b in restored]
+    assert consumed + rest == full
