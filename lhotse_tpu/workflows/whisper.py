@@ -28,14 +28,24 @@ from lhotse_tpu.utils import add_durations, fastcopy, is_module_available
 def annotate_with_whisper(
     manifest: Union[RecordingSet, CutSet], model_name: str = "base", device: str = "cpu",
     force_nonoverlapping: bool = False, download_root: Optional[str] = None, backend: str = "auto",
-    **decode_options) -> Generator:
+    transcribe_fn=None, **decode_options) -> Generator:
     """
     Annotate recordings or cuts with Whisper ASR (segmentation,
     transcription, language id). For a CutSet the existing supervisions are
     overwritten. Yields cuts; use ``CutSet.open_writer()`` to persist.
+
+    ``transcribe_fn`` overrides the model: a callable
+    ``(audio_f32_16k, **decode_options) -> ([(start, end, text), ...],
+    language)`` — the injection point for tests and custom ASR backends
+    (the MMS aligner's ``emission_fn`` pattern).
     """
-    transcribe = _make_transcriber(
-        model_name=model_name, device=device, download_root=download_root, backend=backend)
+    transcribe = (
+        transcribe_fn
+        if transcribe_fn is not None
+        else _make_transcriber(
+            model_name=model_name, device=device, download_root=download_root,
+            backend=backend)
+    )
     if isinstance(manifest, RecordingSet):
         items = ((r, r.to_cut()) for r in manifest)
     elif isinstance(manifest, CutSet):
