@@ -97,3 +97,33 @@ def test_cutset_decompose_recovers_manifests(tmp_path):
     assert len(list(recs)) == 4
     assert len(list(sups)) == 4
     assert (tmp_path / "recordings.jsonl.gz").exists()
+
+
+def test_cutset_save_audios_relocates_and_stays_loadable(tmp_path, cut_with_feats):
+    cuts = CutSet.from_cuts([cut_with_feats])
+    before = cut_with_feats.load_audio()
+    out = cuts.save_audios(tmp_path / "audio", progress_bar=False)
+    (saved,) = list(out)
+    path = saved.recording.sources[0].source
+    assert str(path).startswith(str(tmp_path / "audio"))
+    np.testing.assert_allclose(saved.load_audio(), before, atol=2 / 32768)
+
+
+def test_cutset_copy_feats_restores_matrices(tmp_path, cut_with_feats):
+    from lhotse_tpu.features.io import LilcomChunkyWriter
+
+    cuts = CutSet.from_cuts([cut_with_feats])
+    before = cut_with_feats.load_features()
+    with LilcomChunkyWriter(tmp_path / "refeats.lca") as writer:
+        out = cuts.copy_feats(writer=writer)
+    (copied,) = list(out)
+    assert str(copied.features.storage_path).endswith("refeats.lca")
+    np.testing.assert_allclose(copied.load_features(), before, atol=2**-5)
+
+
+def test_cutset_prefetch_preserves_order_and_items(cut_with_feats):
+    cuts = CutSet.from_cuts(
+        [cut_with_feats.with_id(f"c{i}") for i in range(20)]
+    )
+    prefetched = list(cuts.prefetch(buffer_size=4))
+    assert [c.id for c in prefetched] == [c.id for c in cuts]
