@@ -59,16 +59,18 @@ def collect_state_dict(root) -> dict:
         captured["_state"] = root.state_dict()
         return captured
 
-    edges = list(_children_of(root))
-    if edges:
-        if not isinstance(root, IteratorNode):
-            raise NotImplementedError(
-                f"{type(root).__name__} participates in iterator graph traversal "
-                f"(it has child iterators) but is not an IteratorNode."
-            )
+    if isinstance(root, IteratorNode):
+        # A non-checkpointable lazy node ANYWHERE in the graph (leaf or
+        # composite) makes the checkpoint unable to resume — refuse loudly
+        # instead of silently recording a from-scratch state.
         raise NotImplementedError(
             f"{type(root).__name__} does not support checkpointing. Remove it "
             f"from the pipeline or implement state_dict/load_state_dict."
+        )
+    if list(_children_of(root)):
+        raise NotImplementedError(
+            f"{type(root).__name__} participates in iterator graph traversal "
+            f"(it has child iterators) but is not an IteratorNode."
         )
     return captured
 

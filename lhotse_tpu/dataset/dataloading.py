@@ -239,16 +239,30 @@ class PartitionedIndexedIterator:
         self, total_len: int, partition: Optional[Tuple[int, int]] = None,
     ) -> Generator[int, None, None]:
         """``partition`` overrides the env-gated worker partition — used by
-        readers whose own API requested splitting (split_for_dataloading)."""
+        readers whose own API requested splitting (split_for_dataloading).
+
+        State setup (reset-or-resume, topology validation, order build) runs
+        EAGERLY at the call, not at the first ``next()``: a checkpoint taken
+        between starting a new pass and drawing its first item must already
+        reflect this pass, not the previous one.
+        """
         shard_id, num_shards = (
             partition if partition is not None else get_worker_partition()
         )
         start = self._resume_start(shard_id, num_shards)
         self._shard_id, self._num_shards = shard_id, num_shards
         shard_len = self._build_order(total_len, shard_id, num_shards)
-        for i in range(start, shard_len):
-            self._position = i + 1
-            yield self._range[i] if self._range is not None else shard_id + i * num_shards
+
+        def gen():
+            for i in range(start, shard_len):
+                self._position = i + 1
+                yield (
+                    self._range[i]
+                    if self._range is not None
+                    else shard_id + i * num_shards
+                )
+
+        return gen()
 
     def state_dict(self) -> dict:
         sd = {

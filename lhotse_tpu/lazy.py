@@ -103,6 +103,12 @@ class GraphOriginDict(dict):
     __slots__ = ("_graph_origin",)
 
 
+class GraphOriginList(list):
+    """A list that accepts a ``_graph_origin`` attribute (plain lists don't)."""
+
+    __slots__ = ("_graph_origin",)
+
+
 def normalize_graph_token(token: Any) -> Any:
     """Lists arriving from JSON checkpoints become the canonical tuples."""
     if isinstance(token, (list, tuple)):
@@ -114,13 +120,26 @@ def attach_graph_origin(item: Any, token: Any) -> Any:
     # Cut-like objects divert unknown attributes into their serialized
     # `custom` dict; tokens are process-local runtime metadata, so write the
     # slot directly and tolerate objects that cannot carry attributes at all.
+    # Plain lists/dicts (e.g. produced by a map fn exploding one item into
+    # many) are upgraded to slotted subclasses — callers must use the RETURN
+    # value for the token to stick on those.
     try:
         object.__setattr__(item, "_graph_origin", token)
+        return item
     except Exception:
-        try:
-            setattr(item, "_graph_origin", token)
-        except Exception:
-            pass
+        pass
+    try:
+        setattr(item, "_graph_origin", token)
+        return item
+    except Exception:
+        pass
+    if type(item) is list:
+        item = GraphOriginList(item)
+    elif type(item) is dict:
+        item = GraphOriginDict(item)
+    else:
+        return item
+    item._graph_origin = token
     return item
 
 
@@ -278,21 +297,43 @@ class _Transform(IteratorNode):
 class LazyTxtIterator(IteratorNode):
     """Lines of a (possibly gzipped) text file, wrapped as TextExamples."""
 
+    is_checkpointable = True
+
     def __init__(self, path: Pathlike, as_text_example: bool = True) -> None:
         self.path = path
         self.as_text_example = as_text_example
         self._len = None
+        self._position = 0
+        self._resume = False
 
     def __iter__(self):
         from lhotse_tpu.cut.text import TextExample
 
-        n = 0
-        with open_best(self.path, "r") as f:
-            for raw in f:
-                text = raw.strip()
-                n += 1
-                yield TextExample(text) if self.as_text_example else text
-        self._len = self._len or n
+        # Eager state init: resets/resumes at iter() time so checkpoints
+        # taken before the first next() already reflect this pass.
+        skip = self._position if self._resume else 0
+        self._resume = False
+        self._position = skip
+
+        def gen():
+            n = 0
+            with open_best(self.path, "r") as f:
+                for raw in f:
+                    n += 1
+                    if n <= skip:
+                        continue
+                    text = raw.strip()
+                    self._position = n
+                    yield TextExample(text) if self.as_text_example else text
+            self._len = self._len or n
+
+        return gen()
+
+    def state_dict(self) -> dict: return {"position": self._position}  # noqa: E704
+
+    def load_state_dict(self, state: dict) -> None:
+        self._position = state["position"]
+        self._resume = True
 
     def __len__(self) -> int:
         if self._len is None:
@@ -303,6 +344,8 @@ class LazyTxtIterator(IteratorNode):
 class LazyJsonlIterator(IteratorNode):
     """Raw dict stream over a JSONL file, resumable by line position."""
 
+    is_checkpointable = True
+
     def __init__(self, path: Pathlike) -> None:
         self.path = path
         self._len = None
@@ -310,19 +353,24 @@ class LazyJsonlIterator(IteratorNode):
         self._resume = False
 
     def __iter__(self):
+        # Eager state init (see LazyTxtIterator.__iter__).
         skip = self._position if self._resume else 0
         self._resume = False
         self._position = skip
-        lineno = 0
-        with open_best(self.path, "r") as f:
-            for raw in f:
-                lineno += 1
-                if lineno <= skip:
-                    continue
-                record = decode_json_line(raw)
-                self._position = lineno
-                yield record
-        self._len = self._len or lineno
+
+        def gen():
+            lineno = 0
+            with open_best(self.path, "r") as f:
+                for raw in f:
+                    lineno += 1
+                    if lineno <= skip:
+                        continue
+                    record = decode_json_line(raw)
+                    self._position = lineno
+                    yield record
+            self._len = self._len or lineno
+
+        return gen()
 
     def __len__(self) -> int:
         if self._len is None:
@@ -388,19 +436,25 @@ class LazyIndexedManifestIterator(IteratorNode):  # noqa: D101 — doc below
         return attach_graph_origin(self._decode(self._reader[idx]), idx)
 
     def __iter__(self):
-        for pos in self._iter_state.iterate(len(self._reader)):
-            try:
-                yield self[pos]
-            except (JSONDecodeError, UnicodeDecodeError) as ex:
-                if not self.skip_decode_errors:
-                    raise
-                if self.decode_error_callback is not None:
-                    self.decode_error_callback(ex, pos, self.path)
-                else:
-                    warnings.warn(
-                        f"Skipping malformed indexed JSONL record path={self.path!r} "
-                        f"idx={pos}: {type(ex).__name__}: {ex}"
-                    )
+        # Eager: iterate() resets/resumes partition state at this call.
+        positions = self._iter_state.iterate(len(self._reader))
+
+        def gen():
+            for pos in positions:
+                try:
+                    yield self[pos]
+                except (JSONDecodeError, UnicodeDecodeError) as ex:
+                    if not self.skip_decode_errors:
+                        raise
+                    if self.decode_error_callback is not None:
+                        self.decode_error_callback(ex, pos, self.path)
+                    else:
+                        warnings.warn(
+                            f"Skipping malformed indexed JSONL record path={self.path!r} "
+                            f"idx={pos}: {type(ex).__name__}: {ex}"
+                        )
+
+        return gen()
 
     def __len__(self) -> int: return len(self._reader)  # noqa: E704
 
@@ -410,7 +464,9 @@ class LazyIndexedManifestIterator(IteratorNode):  # noqa: D101 — doc below
         return state
 
     def load_state_dict(self, state: dict) -> None:
-        if self.shuffle and "range" not in state:
+        # A neutral checkpoint (taken before the first item) legitimately has
+        # no permutation state: the order is fully determined by the seed.
+        if self.shuffle and "range" not in state and state.get("position", 0) > 0:
             raise ValueError(
                 "LazyIndexedManifestIterator with shuffle=True requires 'range' "
                 "in state_dict; the checkpoint may have been created without shuffling."
@@ -495,6 +551,10 @@ class LazyIteratorChain(IteratorNode):
     def _iter_by_source(self):
         from lhotse_tpu.dataset.dataloading import resolve_seed
 
+        # Eager preamble: pass order + active-source iterator are set up at
+        # iter() time so checkpoints taken before the first next() already
+        # describe this pass (stale child states from a finished previous
+        # pass must never be captured).
         if self._resume:
             self._resume = False
             first = self._at_source
@@ -512,18 +572,29 @@ class LazyIteratorChain(IteratorNode):
                 )
                 rng.shuffle(order)
                 self.num_iters += 1
-            self._at_source = 0
+            self._at_source = first
         self._pass_order = order
-        stamp = self.has_constant_time_access and not self.shuffle_iters
-        for k in range(first, len(order)):
-            self._at_source = k
+
+        def source_iter(k):
             src = self.sources[order[k]]
             if isinstance(src, dict):
                 src = src.values()
-            for item in src:
-                if stamp:
-                    maybe_attach_graph_origin(item, (order[k], get_graph_origin(item)))
-                yield item
+            return iter(src)
+
+        first_iter = source_iter(first) if first < len(order) else iter(())
+        stamp = self.has_constant_time_access and not self.shuffle_iters
+
+        def gen():
+            for k in range(first, len(order)):
+                self._at_source = k
+                for item in first_iter if k == first else source_iter(k):
+                    if stamp:
+                        item = maybe_attach_graph_origin(
+                            item, (order[k], get_graph_origin(item))
+                        )
+                    yield item
+
+        return gen()
 
     def _iter_item_shuffled(self):
         from lhotse_tpu.dataset.dataloading import get_worker_partition
@@ -551,10 +622,14 @@ class LazyIteratorChain(IteratorNode):
 
         perm = LazyShuffledRange(
             len(self), seed=seed0 + self.num_iters, shard_id=worker, num_shards=nworkers)
-        for i in range(begin, len(perm)):
-            self._flat_pos = i + 1
-            yield self[perm[i]]
-        self.num_iters += 1
+
+        def gen():
+            for i in range(begin, len(perm)):
+                self._flat_pos = i + 1
+                yield self[perm[i]]
+            self.num_iters += 1
+
+        return gen()
 
     def __len__(self) -> int: return sum(len(s) for s in self.sources)  # noqa: E704
 
@@ -578,10 +653,14 @@ class LazyIteratorChain(IteratorNode):
         if self.shuffle_iters and self.is_indexed:
             return  # item-level mode: position alone restores everything
         order = self._pass_order or list(range(len(self.sources)))
-        # Sources already fully consumed this pass must not be rewound.
-        pending = set(order[self._at_source :])
+        # Restore ONLY the active source: earlier ones are fully consumed
+        # this pass (never re-iterated on resume), and later ones have not
+        # started — their snapshots still describe the PREVIOUS pass, so
+        # marking them "resumed" would make them yield nothing. Left
+        # untouched, their next iter() resets them for this pass.
+        active = {order[self._at_source]} if self._at_source < len(order) else set()
         for i, (src, inner) in enumerate(zip(self.sources, state.get("inner_states", []))):
-            if i in pending and inner is not None:
+            if i in active and inner is not None:
                 _restore_child(src, inner)
 
 
@@ -640,6 +719,9 @@ class LazyIteratorMultiplexer(IteratorNode):
                 "multi-shard iteration with indexed sources: the weighted source "
                 "distribution would drift across ranks. Use a fixed integer seed."
             )
+        # Eager preamble: iter() every child NOW — this resets (or resumes)
+        # each child's state at the start of the pass, so checkpoints taken
+        # before the first draw already describe this pass for all children.
         rng = random.Random(resolve_seed(self.seed))
         streams = [iter(s) for s in self.sources]
         if self._resume:
@@ -649,22 +731,26 @@ class LazyIteratorMultiplexer(IteratorNode):
                 rng.setstate(self._rng_state)
         else:
             drained = [False] * len(streams)
+            self._rng_state = rng.getstate()
         self._drained = drained
         stamp = self.has_constant_time_access
 
-        while (not any(drained)) if self.stop_early else (not all(drained)):
-            pool = [i for i, dead in enumerate(drained) if not dead]
-            pick = rng.choices(pool, weights=[self.weights[i] for i in pool], k=1)[0]
-            self._rng_state = rng.getstate()
-            try:
-                item = next(streams[pick])
-            except StopIteration:
-                drained[pick] = True
-                continue
-            if stamp:
-                inner = require_graph_origin(item, "LazyIteratorMultiplexer", "items")
-                attach_graph_origin(item, (pick, inner))
-            yield item
+        def gen():
+            while (not any(drained)) if self.stop_early else (not all(drained)):
+                pool = [i for i, dead in enumerate(drained) if not dead]
+                pick = rng.choices(pool, weights=[self.weights[i] for i in pool], k=1)[0]
+                self._rng_state = rng.getstate()
+                try:
+                    item = next(streams[pick])
+                except StopIteration:
+                    drained[pick] = True
+                    continue
+                if stamp:
+                    inner = require_graph_origin(item, "LazyIteratorMultiplexer", "items")
+                    item = attach_graph_origin(item, (pick, inner))
+                yield item
+
+        return gen()
 
     def __len__(self) -> int: return sum(len(s) for s in self.sources)  # noqa: E704
 
@@ -774,6 +860,8 @@ class LazyShuffler(_Transform):
         return attach_graph_origin(self.source[token], token)
 
     def __iter__(self):
+        # Eager: child iter() + buffer reset happen at this call so a
+        # checkpoint taken before the first next() reflects this pass.
         upstream = iter(self.source)
         if self._resume:
             self._resume = False
@@ -797,24 +885,27 @@ class LazyShuffler(_Transform):
             incoming, self._pool[k] = self._pool[k], incoming
             return incoming
 
-        while not self._drained:
-            item = pull()
-            if item is None:
-                break
-            # Opportunistically grow the buffer toward its target size.
-            if len(self._pool) < self.buffer_size:
-                extra = pull()
-                if extra is not None:
-                    self._pool.append(extra)
-            item = trade(item)
-            if self._warming_up and len(self._pool) < self.buffer_size:
-                # Not at capacity yet: park the item instead of emitting.
-                self._pool.append(item)
-                continue
-            self._warming_up = False
-            yield item
-        while self._pool:
-            yield self._pool.popleft()
+        def gen():
+            while not self._drained:
+                item = pull()
+                if item is None:
+                    break
+                # Opportunistically grow the buffer toward its target size.
+                if len(self._pool) < self.buffer_size:
+                    extra = pull()
+                    if extra is not None:
+                        self._pool.append(extra)
+                item = trade(item)
+                if self._warming_up and len(self._pool) < self.buffer_size:
+                    # Not at capacity yet: park the item instead of emitting.
+                    self._pool.append(item)
+                    continue
+                self._warming_up = False
+                yield item
+            while self._pool:
+                yield self._pool.popleft()
+
+        return gen()
 
     def state_dict(self) -> dict:
         if not self.is_checkpointable:
@@ -894,9 +985,14 @@ class LazyMapper(_Transform):
         return attach_graph_origin(self._transform(self.source[token]), token)
 
     def __iter__(self):
-        for item in self.source:
-            token = get_graph_origin(item)
-            yield maybe_attach_graph_origin(self._transform(item), token)
+        src_iter = iter(self.source)  # eager: child resets/resumes now
+
+        def gen():
+            for item in src_iter:
+                token = get_graph_origin(item)
+                yield maybe_attach_graph_origin(self._transform(item), token)
+
+        return gen()
 
 
 class LazyFlattener(_Transform):
@@ -953,24 +1049,34 @@ class LazyFlattener(_Transform):
             self._inner_pos = k + 1
             if outer_token is not None:
                 inner = get_graph_origin(item)
-                attach_graph_origin(item, (outer_token, k if inner is None else inner))
+                item = attach_graph_origin(
+                    item, (outer_token, k if inner is None else inner)
+                )
             yield item
         self._outer_token = None
         self._inner_pos = 0
 
     def __iter__(self):
-        if self._resume and self._outer_token is not None:
-            yield from self._walk(
-                self.source[self._outer_token], self._outer_token, skip=self._inner_pos)
+        # Eager: resume bookkeeping + child iter() happen at this call.
+        resume_token = self._outer_token if self._resume else None
+        resume_skip = self._inner_pos
         self._resume = False
+        outer_iter = iter(self.source)
         trackable = self.is_checkpointable
-        for group in self.source:
-            outer = (
-                require_graph_origin(group, "LazyFlattener", "outer collections")
-                if trackable
-                else None
-            )
-            yield from self._walk(group, outer)
+
+        def gen():
+            if resume_token is not None:
+                yield from self._walk(
+                    self.source[resume_token], resume_token, skip=resume_skip)
+            for group in outer_iter:
+                outer = (
+                    require_graph_origin(group, "LazyFlattener", "outer collections")
+                    if trackable
+                    else None
+                )
+                yield from self._walk(group, outer)
+
+        return gen()
 
     def __len__(self) -> int: return self._no_len()  # noqa: E704
 
@@ -1025,22 +1131,43 @@ class LazyRepeater(_Transform):
         resumed = self._resume
         pass_no = self._pass_no if resumed else 0
         self._resume = False
-        while self.times is None or pass_no < self.times:
-            self._pass_no = pass_no
+        self._pass_no = pass_no
+
+        def pass_stream(p):
             if self.preserve_id:
                 stream = self.source
             else:
-                stream = LazyMapper(self.source, partial(attach_repeat_idx_to_id, idx=pass_no))
-            emitted = False
-            for item in stream:
-                emitted = True
-                inner = get_graph_origin(item)
-                maybe_attach_graph_origin(item, None if inner is None else (pass_no, inner))
-                yield item
-            if not emitted and not resumed:
-                return  # an empty source would loop forever otherwise
-            resumed = False
-            pass_no += 1
+                stream = LazyMapper(self.source, partial(attach_repeat_idx_to_id, idx=p))
+            return iter(stream)
+
+        # Eager child iter(): resets (or resumes) the source state at this
+        # call so pre-first-next checkpoints describe the current pass.
+        first_stream = (
+            pass_stream(pass_no)
+            if self.times is None or pass_no < self.times
+            else iter(())
+        )
+
+        def gen(pass_no, resumed):
+            stream = first_stream
+            while self.times is None or pass_no < self.times:
+                self._pass_no = pass_no
+                emitted = False
+                for item in stream:
+                    emitted = True
+                    inner = get_graph_origin(item)
+                    item = maybe_attach_graph_origin(
+                        item, None if inner is None else (pass_no, inner)
+                    )
+                    yield item
+                if not emitted and not resumed:
+                    return  # an empty source would loop forever otherwise
+                resumed = False
+                pass_no += 1
+                if self.times is None or pass_no < self.times:
+                    stream = pass_stream(pass_no)
+
+        return gen(pass_no, resumed)
 
     def __len__(self) -> int:
         if self.times is None:
@@ -1087,15 +1214,24 @@ class LazySlicer(_Transform):
         return attach_graph_origin(self.source[token], token)
 
     def __iter__(self):
+        # Eager state init + child iter() (see LazyTxtIterator.__iter__).
         offset = self._consumed if self._resume else 0
         self._resume = False
-        for pos, item in enumerate(self.source, start=offset):
-            self._consumed = pos + 1
-            if pos % self.n != self.k:
-                continue
-            inner = get_graph_origin(item)
-            maybe_attach_graph_origin(item, None if inner is None else ("source", inner))
-            yield item
+        self._consumed = offset
+        src_iter = iter(self.source)
+
+        def gen():
+            for pos, item in enumerate(src_iter, start=offset):
+                self._consumed = pos + 1
+                if pos % self.n != self.k:
+                    continue
+                inner = get_graph_origin(item)
+                item = maybe_attach_graph_origin(
+                    item, None if inner is None else ("source", inner)
+                )
+                yield item
+
+        return gen()
 
     def __len__(self) -> int: return self._no_len()  # noqa: E704
 

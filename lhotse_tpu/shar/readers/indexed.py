@@ -367,9 +367,15 @@ class LazyIndexedSharIterator(IteratorNode):
 
             rank, world, worker, num_workers = worker_info()
             partition = (rank * num_workers + worker, world * num_workers)
-        for flat in self._iter_state.iterate(self.catalog.total, partition=partition):
-            yield self[flat]
-        self.epoch += 1
+        # Eager: iterate() resets/resumes partition state at this call.
+        positions = self._iter_state.iterate(self.catalog.total, partition=partition)
+
+        def gen():
+            for flat in positions:
+                yield self[flat]
+            self.epoch += 1
+
+        return gen()
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch

@@ -29,12 +29,23 @@ from lhotse_tpu.testing.dummies import dummy_supervision
 
 
 @pytest.fixture(autouse=True)
-def _clean_worker_context(monkeypatch):
-    """Each test starts as an un-partitioned main process."""
-    for var in ("RANK", "WORLD_SIZE", LHOTSE_USE_WORKER_PARTITION, LHOTSE_PROCESS_SEED):
-        monkeypatch.delenv(var, raising=False)
+def _clean_worker_context():
+    """Each test starts AND ends as an un-partitioned main process.
+
+    Deliberately not monkeypatch: worker_init_fn writes os.environ directly,
+    and monkeypatch's teardown would RESTORE those leaked values instead of
+    clearing them for the rest of the session.
+    """
+    import os
+
+    names = ("RANK", "WORLD_SIZE", LHOTSE_USE_WORKER_PARTITION, LHOTSE_PROCESS_SEED)
+    saved = {k: os.environ.pop(k, None) for k in names}
     set_worker_info(None)
     yield
+    for k in names:
+        os.environ.pop(k, None)
+        if saved[k] is not None:
+            os.environ[k] = saved[k]
     set_worker_info(None)
 
 
