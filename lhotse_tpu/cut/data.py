@@ -59,6 +59,11 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
 
     def to_dict(self) -> dict:
         d = asdict_nonull(self)
+        if self.supervisions:
+            # Delegate to SupervisionSegment.to_dict: plain dataclass recursion
+            # would leave AlignmentItem NamedTuples embedded, which JSON
+            # happens to dump as lists but YAML refuses to represent.
+            d["supervisions"] = [s.to_dict() for s in self.supervisions]
         if self.has_recording:
             d["recording"] = self.recording.to_dict()
         for k, v in (self.custom or {}).items():
