@@ -281,5 +281,9 @@ class PartitionedIndexedIterator:
         self._shard_id, self._num_shards = sd.get("shard_id"), sd.get("num_shards")
         if self._shuffle:
             self._pending_range_state = sd.get("range")
+            if self._pending_range_state is not None:
+                # The SAVED iteration seed governs the restored permutation —
+                # not whatever seed this instance was constructed with.
+                self._seed = self._pending_range_state.get("seed", self._seed)
             self._range = None
         self._restored = True

@@ -24,7 +24,8 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 from lhotse_tpu.cut import Cut
 from lhotse_tpu.dataset.dataloading import PartitionedIndexedIterator, resolve_seed
 from lhotse_tpu.indexing import (
-    create_jsonl_index, create_tar_index, index_exists, validate_indexed_access)
+    create_jsonl_index, create_tar_index, index_exists, indexed_path_kind,
+    validate_indexed_access)
 from lhotse_tpu.lazy import (
     IteratorNode, LazyIteratorChain, attach_graph_origin, is_dill_enabled, normalize_graph_token)
 from lhotse_tpu.serialization import deserialize_item, extension_contains
@@ -128,16 +129,18 @@ class ShardCatalog:
     def _locate_indexes(self, index_path, *, from_dir: bool):
         if index_path is None:
             return None
-        if from_dir:
-            # A single directory: every shard's index is <dir>/<file>.idx.
-            return {
-                f: [_suffixed_index_path(index_path, p) for p in paths] for f,
-                paths in self.streams.items()}
         if not isinstance(index_path, dict):
+            if from_dir:
+                # A single directory: every shard's index is <dir>/<file>.idx.
+                return {
+                    f: [_suffixed_index_path(index_path, p) for p in paths] for f,
+                    paths in self.streams.items()}
             raise TypeError(
                 "With 'fields', 'index_path' must map field names to lists of "
                 f".idx paths; got {type(index_path)}."
             )
+        # Dict form (explicit per-field lists, incl. the indexes_root mirror)
+        # is validated the same way regardless of in_dir/fields construction.
         for f, idx_paths in index_path.items():
             if f not in self.streams:
                 raise ValueError(
@@ -161,7 +164,8 @@ class ShardCatalog:
             want_kind = "jsonl" if field == "cuts" else None
             for shard, path in enumerate(shard_paths):
                 where = f"Shar field '{field}' shard {shard}"
-                kind = validate_indexed_access(path, kind=want_kind, context=where)
+                validate_indexed_access(path, kind=want_kind, context=where)
+                kind = indexed_path_kind(path)
                 idx = self.index_for(field, shard)
                 if index_exists(path, index_path=idx):
                     continue
