@@ -162,7 +162,12 @@ class DataLoader:
         return {"sampler": state}
 
     def load_state_dict(self, state: Dict[str, Any]) -> None:
-        self.sampler.load_state_dict(state["sampler"])
+        import copy
+
+        # Samplers CONSUME their state dict (keys popped, reference parity);
+        # the loader hands over a deep copy so one checkpoint object can be
+        # loaded into multiple loaders (e.g. every rank reading one file).
+        self.sampler.load_state_dict(copy.deepcopy(state["sampler"]))
         self._last_yielded_state = None
 
     # -- single-process (threaded prefetch) ------------------------------------
@@ -406,6 +411,11 @@ class DataLoader:
                 cond.notify_all()
 
     def __iter__(self) -> Iterator:
+        # Snapshot the PRISTINE sampler state before any producer starts:
+        # state_dict() before the first yielded batch must describe the
+        # un-consumed stream, not whatever the prefetch thread has raced to.
+        if getattr(self, "_last_yielded_state", None) is None:
+            self._last_yielded_state = self._snapshot_sampler()
         if self.num_workers >= 1:
             return self._iter_multiprocess()
         if self.num_thread_workers >= 1:

@@ -59,15 +59,20 @@ class SeekResume:
     def run(self) -> None:
         s = self.sampler
         positions = _saved_positions(s)
+        if self.steps_done == 0:
+            # Checkpointed before any batch was emitted: a fresh epoch
+            # iterator is already the exact saved state. (A pristine capture
+            # may also record the UNWRAPPED source graph — with shuffle=True
+            # the epoch sources are shuffler-wrapped, so restoring those
+            # positions would be a shape mismatch; the fresh epoch is both
+            # correct and cheaper.)
+            self._protected(self._seek_fresh_epoch)
+            return
         if self.kind == "bucketing":
             rng_state = getattr(s, "_rng_state", None)
             bucket_state = getattr(s, "_bucketer_state", None)
             if positions is not None and rng_state is not None and bucket_state is not None:
                 self._protected(self._seek_bucketing, positions, rng_state, bucket_state)
-            elif self.steps_done == 0:
-                # Checkpointed before any batch was emitted: a fresh epoch
-                # iterator is already the exact saved state.
-                self._protected(self._seek_fresh_epoch)
             else:
                 raise ResumeStateError(self._describe_gap())
         else:
