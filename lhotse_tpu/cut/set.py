@@ -368,7 +368,13 @@ class CutSet(Serializable, AlgorithmMixin):
         ans = CutSet(LazyMapper(self.data, fn=transform_fn, apply_fn=apply_fn))
         if self.is_lazy:
             return ans
-        return ans.to_eager()
+        eager = ans.to_eager()
+        # Eager evaluation can validate immediately (reference parity:
+        # test_cut_set.py::test_map_cut_set_rejects_noncut).
+        assert all(is_cut(c) for c in eager), (
+            "CutSet.map: transform_fn must return Cut objects."
+        )
+        return eager
 
     def filter_supervisions(self, predicate: Callable[[SupervisionSegment], bool]) -> "CutSet":
         """Keep only supervisions satisfying ``predicate`` (cuts without
