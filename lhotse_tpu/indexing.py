@@ -18,6 +18,7 @@ import os
 import struct
 import tarfile
 import tempfile
+import threading
 import time
 from json import JSONDecodeError
 from pathlib import Path
@@ -397,6 +398,7 @@ class _IndexedReaderBase:
         validate_indexed_access(path, kind=self._KIND, context=type(self).__name__)
         self.path, self.index_path = path, index_path
         self._fh, self._fh_pid = None, None
+        self._fh_lock = threading.Lock()
         idx_path = index_path if index_path is not None else index_file_path(path)
         self._resolved_index_path = idx_path
         if not index_exists(path, index_path=idx_path):
@@ -413,9 +415,16 @@ class _IndexedReaderBase:
         pid = os.getpid()
         if self._fh is not None and self._fh_pid == pid:
             return
-        self.close()
-        self._fh = _open_for_indexed_read(self.path)
-        self._fh_pid = pid
+        with self._fh_lock:
+            if self._fh is not None and self._fh_pid == pid:
+                return  # another thread won the reopen race
+            if self._fh is not None:
+                try:
+                    self._fh.close()
+                except Exception:
+                    pass
+            self._fh = _open_for_indexed_read(self.path)
+            self._fh_pid = pid
 
     def __del__(self):
         self.close()
@@ -426,19 +435,35 @@ class _IndexedReaderBase:
         self._fh, self._fh_pid = None, None
 
     def __getstate__(self):
-        return {**self.__dict__, "_fh": None, "_fh_pid": None}
+        state = {**self.__dict__, "_fh": None, "_fh_pid": None}
+        state.pop("_fh_lock", None)  # locks are not picklable
+        return state
 
     def __setstate__(self, state):
         state.setdefault("_fh_pid", None)
         self.__dict__.update(state)
+        self._fh_lock = threading.Lock()
 
     def __len__(self) -> int:
         return len(self._offsets) - 1
 
     def _pread(self, start: int, end: int) -> bytes:
+        # Thread-safe ranged read. Local files use true positionless
+        # os.pread (no shared seek pointer, no serialization across
+        # threads); streams without a file descriptor fall back to a
+        # lock-guarded seek+read. The DataLoader's thread-pool assembly mode
+        # makes concurrent reads through ONE reader a supported pattern.
         self._ensure_open()
-        self._fh.seek(start)
-        return self._fh.read(end - start)
+        fh = self._fh
+        try:
+            fd = fh.fileno()
+        except (AttributeError, OSError, ValueError):
+            fd = None
+        if fd is not None and hasattr(os, "pread"):
+            return os.pread(fd, end - start, start)
+        with self._fh_lock:
+            fh.seek(start)
+            return fh.read(end - start)
 
 
 class IndexedJsonlReader(_IndexedReaderBase):
@@ -489,8 +514,8 @@ class IndexedTarReader(_IndexedReaderBase):
     _KIND = "tar"
 
     def _read_header(self, offset: int):
-        self._fh.seek(offset)
-        header = self._fh.read(_TAR_BLOCK_SIZE)
+        # Thread-safe: ranged read via the base _pread (os.pread on files).
+        header = self._pread(offset, offset + _TAR_BLOCK_SIZE)
         if len(header) < _TAR_BLOCK_SIZE or header == b"\0" * _TAR_BLOCK_SIZE:
             raise EOFError(f"Unexpected end of tar archive at offset {offset}")
         info = tarfile.TarInfo.frombuf(header, tarfile.ENCODING, "surrogateescape")
@@ -514,10 +539,12 @@ class IndexedTarReader(_IndexedReaderBase):
         self._ensure_open()
         offset = int(self._offsets[idx])
         info = self._read_header(offset)
-        data = self._fh.read(info.size)
+        data_start = offset + _TAR_BLOCK_SIZE
+        data = self._pread(data_start, data_start + info.size)
         next_offset = offset + _TAR_BLOCK_SIZE + _ceil_block(info.size)
         meta_info = self._read_header(next_offset)
-        meta_bytes = self._fh.read(meta_info.size)
+        meta_start = next_offset + _TAR_BLOCK_SIZE
+        meta_bytes = self._pread(meta_start, meta_start + meta_info.size)
         from lhotse_tpu.shar.readers.tar import parse_tar_sample
 
         return parse_tar_sample(data, info.name, meta_bytes, meta_info.name)

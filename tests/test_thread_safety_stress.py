@@ -1,0 +1,106 @@
+"""
+Thread-safety stress (SURVEY §5.2): concurrent random-access reads through
+shared Shar pointer handles, and concurrent AudioCache traffic. Races here
+manifest as exceptions, short reads, or corrupted payloads.
+"""
+import threading
+
+import numpy as np
+import pytest
+
+from lhotse_tpu import CutSet, Recording
+from lhotse_tpu.audio.wavio import write_wav
+from lhotse_tpu.caching import AudioCache, set_caching_enabled
+from lhotse_tpu.supervision import SupervisionSegment
+
+SR = 16000
+N = 12
+THREADS = 8
+ROUNDS = 30
+
+
+@pytest.fixture
+def shar_cuts(tmp_path):
+    out = []
+    rng = np.random.RandomState(0)
+    for i in range(N):
+        p = tmp_path / f"r{i}.wav"
+        write_wav(str(p), (0.1 * rng.randn(SR // 2)).astype(np.float32), SR)
+        c = Recording.from_file(p, recording_id=f"r{i}").to_cut()
+        c.supervisions = [
+            SupervisionSegment(
+                id=f"s{i}", recording_id=f"r{i}", start=0, duration=c.duration)
+        ]
+        out.append(c)
+    shar_dir = tmp_path / "shar"
+    CutSet.from_cuts(out).to_shar(
+        shar_dir, fields={"recording": "wav"}, shard_size=4,
+        compress_jsonl=False, create_index=True, verbose=False)
+    return shar_dir
+
+
+def test_concurrent_shar_pointer_reads(shar_cuts):
+    cuts = CutSet.from_shar(in_dir=shar_cuts, indexed=True)
+    # ONE shared reader object across all threads: pointer reads go through
+    # shared per-tar file handles guarded by locks.
+    expected = {c.id: c.load_audio() for c in cuts}
+    errors = []
+    mismatches = []
+    barrier = threading.Barrier(THREADS)
+
+    def worker(seed):
+        rng = np.random.RandomState(seed)
+        barrier.wait()
+        try:
+            for _ in range(ROUNDS):
+                k = int(rng.randint(0, N))
+                cut = cuts.data[k]
+                audio = cut.load_audio()
+                if not np.array_equal(audio, expected[cut.id]):
+                    mismatches.append(cut.id)
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(THREADS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors[:3]
+    assert not mismatches, mismatches[:5]
+
+
+def test_concurrent_audio_cache_traffic():
+    set_caching_enabled(True)
+    try:
+        AudioCache.clear()
+        payloads = {f"key{i}": bytes([i % 256]) * (100 + i) for i in range(50)}
+        errors = []
+        barrier = threading.Barrier(THREADS)
+
+        def worker(seed):
+            rng = np.random.RandomState(seed)
+            barrier.wait()
+            try:
+                for _ in range(200):
+                    k = f"key{int(rng.randint(0, 50))}"
+                    if rng.rand() < 0.5:
+                        AudioCache.add_to_cache(k, payloads[k])
+                    else:
+                        got = AudioCache.try_cache(k)
+                        if got is not None and got != payloads[k]:
+                            errors.append(f"corrupt read for {k}")
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e))
+
+        threads = [
+            threading.Thread(target=worker, args=(s,)) for s in range(THREADS)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        assert not errors, errors[:3]
+    finally:
+        AudioCache.clear()
+        set_caching_enabled(False)
