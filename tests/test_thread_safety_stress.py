@@ -104,3 +104,34 @@ def test_concurrent_audio_cache_traffic():
     finally:
         AudioCache.clear()
         set_caching_enabled(False)
+
+
+def test_threadpool_loader_over_indexed_shar(shar_cuts):
+    """End-to-end: the DataLoader's thread-pool assembly mode reading audio
+    through a SHARED indexed-Shar reader must produce byte-identical batches
+    to serial assembly (this exact path corrupted reads before the
+    os.pread fix)."""
+    from lhotse_tpu.dataset import DataLoader
+    from lhotse_tpu.dataset.sampling.simple import SimpleCutSampler
+
+    cuts = CutSet.from_shar(in_dir=shar_cuts, indexed=True).to_eager()
+
+    class AudioDataset:
+        def __getitem__(self, batch):
+            return {c.id: c.load_audio() for c in batch}
+
+    serial = [
+        AudioDataset()[b] for b in SimpleCutSampler(cuts, max_cuts=3, shuffle=False)
+    ]
+    loader = DataLoader(
+        SimpleCutSampler(cuts, max_cuts=3, shuffle=False),
+        AudioDataset(),
+        num_thread_workers=4,
+        prefetch_batches=4,
+    )
+    threaded = list(loader)
+    assert len(threaded) == len(serial)
+    for a, b in zip(serial, threaded):
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k])
