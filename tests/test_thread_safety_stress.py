@@ -135,3 +135,45 @@ def test_threadpool_loader_over_indexed_shar(shar_cuts):
         assert a.keys() == b.keys()
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+@pytest.mark.parametrize("writer_name", ["numpy_hdf5", "lilcom_chunky"])
+def test_concurrent_feature_storage_reads(tmp_path, writer_name):
+    """h5py's internal lock and the chunky reader's per-call open make
+    concurrent reads through feature storage safe — pin it."""
+    from lhotse_tpu.features.io import LilcomChunkyWriter, NumpyHdf5Writer, get_reader
+
+    writer_cls = NumpyHdf5Writer if writer_name == "numpy_hdf5" else LilcomChunkyWriter
+    rng0 = np.random.RandomState(0)
+    mats = {
+        f"k{i}": rng0.randn(60 + i, 16).astype(np.float32) for i in range(12)
+    }
+    keys = {}
+    with writer_cls(str(tmp_path / "store")) as w:
+        for k, m in mats.items():
+            keys[k] = w.write(k, m)
+        storage_type, real_path = w.name, str(w.storage_path)
+
+    errors = []
+    barrier = threading.Barrier(THREADS)
+
+    def worker(seed):
+        try:
+            rng = np.random.RandomState(seed)
+            reader = get_reader(storage_type)(real_path)
+            barrier.wait()
+            for _ in range(60):
+                k = f"k{int(rng.randint(0, 12))}"
+                got = reader.read(keys[k])
+                tol = 2**-4 if writer_name == "lilcom_chunky" else 0
+                if not np.allclose(got, mats[k], atol=tol):
+                    errors.append(f"corrupt {k}")
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(THREADS)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert not errors, errors[:3]
