@@ -31,3 +31,11 @@ def list_storage_backends():
 
     for backend in available_storage_backends():
         click.echo(backend)
+
+
+@cli.command()
+def list_resampling_backends():
+    """List the names of all available resampling backends."""
+    from lhotse_tpu.audio.resampling_backend import available_resampling_backends
+
+    click.echo(available_resampling_backends())

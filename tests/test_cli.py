@@ -161,3 +161,45 @@ def test_conversational_simulator(cuts_path):
     for m in meetings:
         assert len(m.tracks) >= 1
         assert m.load_audio().shape[1] > 0
+
+
+def test_feat_upload_rewrites_manifest(tmp_path):
+    """`lhotse-tpu feat upload` copies matrices to URL-backed storage and
+    rewrites the manifest (reference: bin/modes/features.py:255)."""
+    import numpy as np
+
+    from lhotse_tpu import FeatureSet
+    from lhotse_tpu.features.io import LilcomChunkyWriter
+    from lhotse_tpu.testing.dummies import dummy_features
+    from lhotse_tpu.utils import fastcopy
+
+    feats = []
+    with LilcomChunkyWriter(tmp_path / "store") as w:
+        for i in range(3):
+            mat = np.random.RandomState(i).randn(50, 8).astype(np.float32)
+            key = w.write(f"k{i}", mat)
+            feats.append(
+                fastcopy(
+                    dummy_features(i), storage_type=w.name,
+                    storage_path=str(w.storage_path), storage_key=key,
+                    num_frames=50, num_features=8))
+    FeatureSet.from_features(feats).to_file(tmp_path / "feats.jsonl.gz")
+
+    res = CliRunner().invoke(
+        cli,
+        [
+            "feat", "upload", str(tmp_path / "feats.jsonl.gz"),
+            str(tmp_path / "remote"), str(tmp_path / "out.jsonl.gz"),
+        ],
+    )
+    assert res.exit_code == 0, res.output
+    out = FeatureSet.from_file(tmp_path / "out.jsonl.gz")
+    for orig, new in zip(FeatureSet.from_file(tmp_path / "feats.jsonl.gz"), out):
+        assert new.storage_type == "lilcom_url"
+        assert np.abs(orig.load() - new.load()).max() < 2**-4
+
+
+def test_list_resampling_backends():
+    res = CliRunner().invoke(cli, ["list-resampling-backends"])
+    assert res.exit_code == 0
+    assert "default" in res.output
