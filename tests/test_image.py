@@ -81,3 +81,41 @@ def test_video_loading_is_cleanly_gated(tmp_path):
     assert not rec.has_video
     with pytest.raises(AssertionError, match="video"):
         rec.load_video()
+
+
+def test_collate_images_batches_uniform_shapes(tmp_path, rgb):
+    from lhotse_tpu import CutSet
+    from lhotse_tpu.dataset.collation import collate_images
+
+    cuts = []
+    with PillowWriter(str(tmp_path)) as w:
+        for i in range(3):
+            c = dummy_cut(i)
+            c.image = w.store_image(f"img{i}", rgb)
+            cuts.append(c)
+    batch = collate_images(CutSet.from_cuts(cuts), image_field="image")
+    assert batch.shape == (3, 48, 64, 3)
+    np.testing.assert_array_equal(batch[0], rgb)
+
+
+def test_collate_custom_field_with_image(tmp_path, rgb):
+    from lhotse_tpu import CutSet
+    from lhotse_tpu.dataset.collation import collate_custom_field
+
+    cuts = []
+    with PillowWriter(str(tmp_path)) as w:
+        for i in range(2):
+            c = dummy_cut(i)
+            c.thumbnail = w.store_image(f"t{i}", rgb)
+            cuts.append(c)
+    batch = collate_custom_field(CutSet.from_cuts(cuts), "thumbnail")
+    assert np.asarray(batch).shape == (2, 48, 64, 3)
+
+
+def test_image_plot_smoke(rgb):
+    matplotlib = pytest.importorskip("matplotlib")
+    matplotlib.use("Agg")
+    with PillowInMemoryWriter() as w:
+        img = w.store_image("p", rgb)
+    ax = img.plot()
+    assert ax is not None
