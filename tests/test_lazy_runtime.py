@@ -147,3 +147,41 @@ def test_mux_classmethod_equivalent(cuts10):
     a = DummyManifest(CutSet, begin_id=0, end_id=5)
     b = DummyManifest(CutSet, begin_id=100, end_id=105)
     assert ids(CutSet.mux(a, b, seed=11)) == ids(LazyIteratorMultiplexer(a, b, seed=11))
+
+
+def test_multiplexer_pickling(tmp_path):
+    import json
+    import pickle
+
+    from lhotse_tpu.indexing import create_jsonl_index
+    from lhotse_tpu.lazy import LazyIndexedManifestIterator, LazyIteratorMultiplexer
+    from lhotse_tpu.testing.dummies import dummy_supervision
+
+    paths = []
+    for src, base in (("a", 0), ("b", 50)):
+        p = tmp_path / f"{src}.jsonl"
+        with p.open("w") as f:
+            for i in range(base, base + 5):
+                print(json.dumps(dummy_supervision(i).to_dict()), file=f)
+        create_jsonl_index(p)
+        paths.append(p)
+    mux = LazyIteratorMultiplexer(
+        LazyIndexedManifestIterator(paths[0]),
+        LazyIndexedManifestIterator(paths[1]),
+        seed=4,
+    )
+    clone = pickle.loads(pickle.dumps(mux))
+    assert [s.id for s in clone] == [s.id for s in mux]
+
+
+def test_cut_set_mux_pickling():
+    import pickle
+
+    from lhotse_tpu import CutSet
+    from lhotse_tpu.testing.dummies import DummyManifest
+
+    a = DummyManifest(CutSet, begin_id=0, end_id=4)
+    b = DummyManifest(CutSet, begin_id=10, end_id=14)
+    muxed = CutSet.mux(a, b, seed=0)
+    clone = pickle.loads(pickle.dumps(muxed))
+    assert [c.id for c in clone] == [c.id for c in muxed]
