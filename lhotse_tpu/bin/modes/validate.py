@@ -71,3 +71,21 @@ def fix_(recordings: Pathlike, supervisions: Pathlike, output_dir: Pathlike):
     recs, sups = fix_manifests(recordings=recs, supervisions=sups)
     recs.to_file(output_dir / recordings.name)
     sups.to_file(output_dir / supervisions.name)
+
+
+@cli.command(name="validate-shar")
+@click.argument("in_dir", type=click.Path(exists=True, file_okay=False))
+@click.option(
+    "--read-data/--dont-read-data", default=False,
+    help="Additionally decode every cut's payloads (slow on large archives).")
+def validate_shar_(in_dir: Pathlike, read_data: bool):
+    """Check the integrity of a Shar directory: shard counts, cut/tar id
+    alignment, index sidecar consistency, optional payload decoding."""
+    from lhotse_tpu.qa import validate_shar
+
+    try:
+        validate_shar(in_dir, read_data=read_data)
+    except AssertionError as e:
+        click.echo(f"Validation failed: {e}")
+        return 1
+    click.echo("OK")

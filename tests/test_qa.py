@@ -203,3 +203,90 @@ def test_validate_read_data_over_stored_features(tmp_path):
     pathlib.Path(target).write_bytes(b"garbage")
     with pytest.raises(Exception):
         validate(stored, read_data=True)
+
+
+class TestValidateShar:
+    @staticmethod
+    def _export(tmp_path, with_features=False):
+        import numpy as np
+
+        from lhotse_tpu import CutSet, Fbank, Recording
+        from lhotse_tpu.audio.wavio import write_wav
+        from lhotse_tpu.features.io import LilcomChunkyWriter
+
+        out = []
+        for i in range(5):
+            p = tmp_path / f"r{i}.wav"
+            write_wav(
+                str(p), (np.random.RandomState(i).randn(8000) * 0.1).astype(np.float32),
+                16000)
+            out.append(Recording.from_file(p, recording_id=f"r{i}").to_cut())
+        cuts = CutSet.from_cuts(out)
+        fields = {"recording": "wav"}
+        if with_features:
+            with LilcomChunkyWriter(str(tmp_path / "feats")) as st:
+                cuts = CutSet.from_cuts(
+                    c.compute_and_store_features(Fbank(), st) for c in cuts
+                )
+            fields["features"] = "lilcom"
+        shar_dir = tmp_path / "shar"
+        cuts.to_shar(
+            shar_dir, fields=fields, shard_size=2, compress_jsonl=False,
+            create_index=True, verbose=False)
+        return shar_dir
+
+    def test_valid_directory_passes(self, tmp_path):
+        from lhotse_tpu.qa import validate_shar
+
+        shar_dir = self._export(tmp_path, with_features=True)
+        validate_shar(shar_dir, read_data=True)
+
+    def test_missing_field_shard_detected(self, tmp_path):
+        import pytest as _pytest
+
+        from lhotse_tpu.qa import validate_shar
+
+        shar_dir = self._export(tmp_path)
+        next(shar_dir.glob("recording.000001.tar")).unlink()
+        with _pytest.raises(AssertionError, match="shards"):
+            validate_shar(shar_dir)
+
+    def test_corrupt_index_detected(self, tmp_path):
+        import numpy as np
+        import pytest as _pytest
+
+        from lhotse_tpu.qa import validate_shar
+
+        shar_dir = self._export(tmp_path)
+        idx = next(shar_dir.glob("cuts.*.jsonl.idx"))
+        raw = np.fromfile(idx, dtype=np.uint64)
+        raw[0] = raw[1] + 1  # offsets no longer increasing
+        raw.tofile(idx)
+        with _pytest.raises(AssertionError, match="increasing"):
+            validate_shar(shar_dir)
+
+    def test_id_misalignment_detected(self, tmp_path):
+        import json
+
+        import pytest as _pytest
+
+        from lhotse_tpu.qa import validate_shar
+
+        shar_dir = self._export(tmp_path)
+        # Rewrite a cuts shard with a wrong id in first position.
+        cuts_path = next(shar_dir.glob("cuts.000000.jsonl"))
+        lines = [json.loads(l) for l in cuts_path.read_text().splitlines()]
+        lines[0]["id"] = "someone-else"
+        cuts_path.write_text("\n".join(json.dumps(l) for l in lines) + "\n")
+        (cuts_path.parent / (cuts_path.name + ".idx")).unlink()
+        with _pytest.raises(AssertionError, match="does not match"):
+            validate_shar(shar_dir)
+
+    def test_cli_command(self, tmp_path):
+        from click.testing import CliRunner
+
+        from lhotse_tpu.bin.lhotse_tpu import cli
+
+        shar_dir = self._export(tmp_path)
+        res = CliRunner().invoke(cli, ["validate-shar", str(shar_dir)])
+        assert res.exit_code == 0 and "OK" in res.output
