@@ -69,3 +69,17 @@ def shar(shar_dir: str, output_dir: str):
         Path(output_dir).mkdir(parents=True, exist_ok=True)
     create_shar_index(shar_dir, output_dir=output_dir)
     click.echo(f"Created indexes for Shar directory: {shar_dir}")
+
+
+@index.command(name="verify-pack")
+@click.argument("pack_path", type=click.Path(exists=True, dir_okay=False))
+def verify_pack(pack_path: str):
+    """CRC32-verify every segment of an .idxpack file."""
+    from lhotse_tpu.index_pack import IndexPack
+
+    try:
+        n = IndexPack(pack_path).verify()
+    except ValueError as e:
+        click.echo(f"Verification failed: {e}")
+        return 1
+    click.echo(f"OK ({n} segments)")

@@ -565,6 +565,14 @@ class IndexPack:
         seq_start, seq_count, total, kind, offsets_required = entry
         return PackedIndexCollection(self, key, seq_start, seq_count, total, kind, offsets_required)
 
+    def verify(self) -> int:
+        """CRC32-check EVERY segment's offsets payload; returns the number of
+        segments verified. Raises ValueError on the first mismatch."""
+        self._ensure_open()
+        for seg_id in range(self.num_segments):
+            self.verify_segment(seg_id)
+        return self.num_segments
+
     def verify_segment(self, segment_id: int) -> None:
         """CRC32-check one offsets payload (on demand, not at open time)."""
         seg = self._segment(segment_id)

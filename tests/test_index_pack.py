@@ -158,3 +158,28 @@ class TestLazyPackedManifestIterator:
         sampler = DynamicCutSampler(cuts, max_cuts=4, world_size=1, rank=0)
         batches = list(sampler)
         assert sum(len(b) for b in batches) == 30
+
+
+def test_verify_all_segments_and_cli(tmp_path):
+    paths = make_shards(tmp_path)
+    spec = IndexPackCollectionSpec(
+        role="records", kind="json-lines",
+        source_spec="cuts-{000..002}.jsonl", paths=tuple(paths))
+    out = tmp_path / "v.idxpack"
+    write_index_pack(out, [spec])
+
+    assert IndexPack(out).verify() == 3
+
+    from click.testing import CliRunner
+
+    from lhotse_tpu.bin.lhotse_tpu import cli
+
+    res = CliRunner().invoke(cli, ["index", "verify-pack", str(out)])
+    assert res.exit_code == 0 and "OK (3 segments)" in res.output
+
+    # Flip one byte inside an offsets payload: CRC must catch it.
+    raw = bytearray(out.read_bytes())
+    raw[-5] ^= 0xFF
+    out.write_bytes(bytes(raw))
+    res = CliRunner().invoke(cli, ["index", "verify-pack", str(out)])
+    assert "Verification failed" in res.output
