@@ -53,3 +53,31 @@ def test_shuffle_shards_epoch(cuts, tmp_path):
     order1 = [c.id for c in it]
     assert sorted(order0) == sorted(order1)
     assert order0 != order1
+
+
+def test_webdataset_deduplicates_data_in_ddp(cuts, tmp_path, monkeypatch):
+    """Sharded export + from_webdataset with node splitting: two simulated
+    ranks must cover the corpus exactly once between them (reference:
+    test/dataset/test_webdataset_ddp.py)."""
+    from collections import Counter
+
+    pattern = str(tmp_path / "wds" / "shard-%06d.tar")
+    (tmp_path / "wds").mkdir()
+    export_to_webdataset(cuts, pattern, shard_size=2, audio_format="wav", verbose=False)
+    shards = sorted(str(p) for p in (tmp_path / "wds").glob("*.tar"))
+    assert len(shards) == 3
+
+    seen = Counter()
+    for rank in range(2):
+        monkeypatch.setenv("RANK", str(rank))
+        monkeypatch.setenv("WORLD_SIZE", "2")
+        part = CutSet.from_webdataset(
+            shards, split_by_node=True, split_by_worker=False
+        )
+        for c in part:
+            seen[c.id] += 1
+            assert c.load_audio() is not None
+    monkeypatch.delenv("RANK")
+    monkeypatch.delenv("WORLD_SIZE")
+    assert set(seen) == {c.id for c in cuts}
+    assert all(v == 1 for v in seen.values())
