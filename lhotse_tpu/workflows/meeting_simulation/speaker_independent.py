@@ -74,6 +74,9 @@ class SpeakerIndependentMeetingSimulator(BaseMeetingSimulator):
             )
             return
         self.loc, self.scale = expon.fit(gaps)
+        # Identical gap values make scipy's MLE return a *tiny negative*
+        # scale (~-4e-16 float error), which np.random.exponential rejects.
+        self.scale = max(self.scale, 0.0)
         logging.info(f"Learned parameters: loc={self.loc:.2f}, scale={self.scale:.2f}")
 
     def _create_mixture(

@@ -91,3 +91,52 @@ def test_conversational_fit_learns_overlap_probability(utterances):
         meetings = list(sim.simulate(
             utterances, num_meetings=2, num_speakers_per_meeting=2, seed=1))
     assert all(np.isfinite(m.load_audio()).all() for m in meetings)
+
+
+def test_speaker_independent_fit_on_identical_gaps(tmp_path):
+    """scipy's expon MLE returns a TINY NEGATIVE scale for identical gap
+    values (float error); simulate() then crashed in np.random.exponential.
+    The fitted scale is clamped to >= 0."""
+    import numpy as np
+
+    from lhotse_tpu import CutSet, Recording, SupervisionSegment, SupervisionSet
+    from lhotse_tpu.audio.wavio import write_wav
+    from lhotse_tpu.workflows.meeting_simulation import (
+        SpeakerIndependentMeetingSimulator,
+    )
+
+    sr = 16000
+    cuts = []
+    for i in range(6):
+        p = tmp_path / f"u{i}.wav"
+        write_wav(str(p), (0.05 * np.ones(sr)).astype(np.float32), sr)
+        rec = Recording.from_file(p, recording_id=f"u{i}")
+        c = rec.to_cut()
+        c.supervisions = [
+            SupervisionSegment(
+                id=f"s{i}", recording_id=f"u{i}", start=0, duration=1.0,
+                speaker=f"spk{i % 3}")
+        ]
+        cuts.append(c)
+
+    # Every same-speaker gap identical -> degenerate exponential fit.
+    meetings = SupervisionSet.from_segments(
+        [
+            SupervisionSegment(
+                id=f"m{m}-{k}", recording_id=f"meet{m}",
+                start=k * 3.0, duration=1.0, speaker="one-speaker")
+            for m in range(2)
+            for k in range(3)
+        ]
+    )
+    sim = SpeakerIndependentMeetingSimulator()
+    sim.fit(meetings)
+    assert sim.scale >= 0.0
+    out = list(
+        sim.simulate(
+            CutSet.from_cuts(cuts), num_meetings=2,
+            num_speakers_per_meeting=2, seed=3)
+    )
+    assert len(out) == 2
+    for m in out:
+        assert np.isfinite(m.load_audio()).all()
