@@ -29,6 +29,14 @@ def validate(obj: Any, read_data: bool = False) -> None:
     etc.; raises AssertionError on mismatch. With ``read_data=True``, also
     loads the audio/features and checks the declared sample/frame counts.
     """
+    if not isinstance(read_data, bool):
+        # validate(recordings, supervisions) would otherwise silently bind
+        # the second manifest to read_data and validate only the first.
+        raise TypeError(
+            "validate() checks ONE manifest (second arg is the read_data "
+            "flag). To cross-check a (recordings, supervisions) pair, use "
+            "validate_recordings_and_supervisions(recordings, supervisions)."
+        )
     validator = None
     for registered_type in _VALIDATORS:
         if isinstance(obj, registered_type):

@@ -290,3 +290,20 @@ class TestValidateShar:
         shar_dir = self._export(tmp_path)
         res = CliRunner().invoke(cli, ["validate-shar", str(shar_dir)])
         assert res.exit_code == 0 and "OK" in res.output
+
+
+def test_validate_rejects_manifest_as_read_data():
+    """validate(recs, sups) used to silently bind the SupervisionSet to the
+    read_data flag and validate only the recordings — now a loud TypeError
+    points at validate_recordings_and_supervisions."""
+    import pytest as _pytest
+
+    from lhotse_tpu import validate
+    from lhotse_tpu.testing.dummies import DummyManifest
+
+    from lhotse_tpu import RecordingSet, SupervisionSet
+
+    recs = DummyManifest(RecordingSet, begin_id=0, end_id=2)
+    sups = DummyManifest(SupervisionSet, begin_id=0, end_id=2)
+    with _pytest.raises(TypeError, match="validate_recordings_and_supervisions"):
+        validate(recs, sups)
