@@ -166,3 +166,57 @@ def test_map_and_transform_text(sups):
 
     shifted = sups.map(lambda s: fastcopy(s, start=s.start + 1.0))
     assert [s.start for s in shifted] == [1.0, 4.0, 6.0, 2.0]
+
+
+# ---------------------------------------------------------------------------
+# find() equivalence fuzz
+# ---------------------------------------------------------------------------
+def test_find_matches_brute_force_filtering():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from lhotse_tpu.utils import is_equal_or_contains
+
+    @st.composite
+    def corpora(draw):
+        n = draw(st.integers(1, 25))
+        segs = []
+        for i in range(n):
+            segs.append(
+                SupervisionSegment(
+                    id=f"f{i}",
+                    recording_id=f"rec{draw(st.integers(0, 2))}",
+                    start=round(draw(st.floats(0.0, 8.0)), 2),
+                    duration=round(draw(st.floats(0.1, 3.0)), 2),
+                    channel=draw(st.integers(0, 1)),
+                )
+            )
+        return SupervisionSet.from_segments(segs)
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        sups=corpora(),
+        rec=st.integers(0, 2),
+        channel=st.one_of(st.none(), st.integers(0, 1)),
+        start_after=st.floats(0.0, 6.0),
+        end_before=st.one_of(st.none(), st.floats(2.0, 12.0)),
+    )
+    def check(sups, rec, channel, start_after, end_before):
+        tol = 0.001
+        got = [
+            s.id
+            for s in sups.find(
+                f"rec{rec}", channel=channel, start_after=start_after,
+                end_before=end_before)
+        ]
+        want = [
+            s.id
+            for s in sups
+            if s.recording_id == f"rec{rec}"
+            and (channel is None or is_equal_or_contains(s.channel, channel))
+            and s.start >= start_after - tol
+            and (end_before is None or s.end <= end_before + tol)
+        ]
+        assert got == want
+
+    check()
