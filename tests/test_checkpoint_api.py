@@ -94,3 +94,34 @@ def test_dataloader_checkpoint_json_roundtrip(tmp_path, lazy_cuts_path):
     restore_state_dict(fresh.data, loaded.worker_states[0])
     tail = [c.id for c in fresh]
     assert head + tail == full
+
+
+def test_cutset_state_dict_surface(tmp_path, lazy_cuts_path):
+    """The CutSet-level convenience wrappers around collect/restore."""
+    full = [c.id for c in CutSet.from_jsonl_lazy(lazy_cuts_path).repeat(2)]
+
+    pipe = CutSet.from_jsonl_lazy(lazy_cuts_path).repeat(2)
+    it = iter(pipe)
+    head = [next(it).id for _ in range(7)]
+    state = pipe.state_dict()
+
+    fresh = CutSet.from_jsonl_lazy(lazy_cuts_path).repeat(2)
+    fresh.load_state_dict(state)
+    assert head + [c.id for c in fresh] == full
+
+
+def test_cutset_state_dict_eager_raises(lazy_cuts_path):
+    eager = CutSet.from_jsonl_lazy(lazy_cuts_path).to_eager()
+    with pytest.raises(RuntimeError, match="lazy"):
+        eager.state_dict()
+    with pytest.raises(RuntimeError, match="lazy"):
+        eager.load_state_dict({})
+
+
+def test_collect_does_not_duplicate_checkpointable_children(lazy_cuts_path):
+    # A checkpointable composite's state COVERS its children: the collector
+    # must not also serialize them as separate graph entries.
+    pipe = CutSet.from_jsonl_lazy(lazy_cuts_path).repeat(2)
+    iter(pipe)
+    state = collect_state_dict(pipe.data)
+    assert set(state) == {"_type", "_state"}  # no parallel "source"/"sources" keys
