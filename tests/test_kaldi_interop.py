@@ -88,3 +88,93 @@ def test_cli_kaldi_roundtrip(manifests, tmp_path):
     assert res.exit_code == 0, res.output
     assert (tmp_path / "mdir" / "recordings.jsonl.gz").is_file()
     assert (tmp_path / "mdir" / "supervisions.jsonl.gz").is_file()
+
+
+def test_wav_scp_pipe_entries_become_command_sources(tmp_path):
+    """Kaldi wav.scp lines ending in '|' are unix pipes: imported as
+    type=command AudioSources and actually decodable."""
+    n = SR
+    wav = tmp_path / "p0.wav"
+    write_wav(str(wav), (0.05 * np.ones(n)).astype(np.float32), SR)
+    data_dir = tmp_path / "kdir"
+    data_dir.mkdir()
+    (data_dir / "wav.scp").write_text(f"p0 cat {wav} |\n")
+    (data_dir / "utt2spk").write_text("p0 spkA\n")
+    (data_dir / "text").write_text("p0 hello\n")
+    (data_dir / "reco2dur").write_text("p0 1.0\n")
+
+    recs, sups, feats = load_kaldi_data_dir(data_dir, sampling_rate=SR)
+    rec = recs["p0"]
+    assert rec.sources[0].type == "command"
+    assert rec.sources[0].source.strip() == f"cat {wav}"
+    audio = rec.load_audio()
+    assert audio.shape == (1, n)
+    assert sups["p0"].speaker == "spkA"
+
+
+def test_durations_read_from_reco2dur_without_decoding(tmp_path):
+    """With reco2dur present, durations come from the file (no audio probe
+    needed for pipe sources)."""
+    data_dir = tmp_path / "kdir2"
+    data_dir.mkdir()
+    (data_dir / "wav.scp").write_text("u0 sox -n -t wav - synth 2 sine 300 |\n")
+    (data_dir / "utt2spk").write_text("u0 spk\n")
+    (data_dir / "reco2dur").write_text("u0 2.5\n")
+    recs, sups, _ = load_kaldi_data_dir(data_dir, sampling_rate=SR)
+    assert recs["u0"].duration == pytest.approx(2.5)
+
+
+def test_segments_end_minus_one_runs_to_recording_end(tmp_path):
+    n = 2 * SR
+    wav = tmp_path / "e0.wav"
+    write_wav(str(wav), (0.05 * np.ones(n)).astype(np.float32), SR)
+    data_dir = tmp_path / "kdir3"
+    data_dir.mkdir()
+    (data_dir / "wav.scp").write_text(f"e0 {wav}\n")
+    (data_dir / "segments").write_text("e0-utt e0 0.5 -1\n")
+    (data_dir / "utt2spk").write_text("e0-utt spk\n")
+    (data_dir / "text").write_text("e0-utt words\n")
+    (data_dir / "reco2dur").write_text("e0 2.0\n")
+    recs, sups, _ = load_kaldi_data_dir(data_dir, sampling_rate=SR)
+    seg = sups["e0-utt"]
+    assert seg.start == pytest.approx(0.5)
+    assert seg.duration == pytest.approx(1.5)
+
+
+def test_load_kaldi_text_mapping_and_text_file(tmp_path):
+    from lhotse_tpu.kaldi import load_kaldi_text_file, load_kaldi_text_mapping
+
+    p = tmp_path / "utt2spk"
+    p.write_text("a spk1\nb spk2\n\n")
+    assert load_kaldi_text_mapping(p) == {"a": "spk1", "b": "spk2"}
+    missing = load_kaldi_text_mapping(tmp_path / "nope")
+    assert missing == {} or all(v is None for v in missing.values())
+
+    t = tmp_path / "text"
+    t.write_text("a hello world\nb\n")
+    texts = load_kaldi_text_file(t, allow_empty_ref=True)
+    assert texts["a"] == "hello world"
+    assert texts.get("b", "") == ""
+
+
+def test_export_multichannel_recording_splits_channels(tmp_path):
+    """Kaldi has no native multi-channel wav.scp entry: export writes one
+    line per channel with a channel-extraction command."""
+    n = SR
+    data = np.stack([0.05 * np.ones(n), -0.05 * np.ones(n)]).astype(np.float32)
+    p = tmp_path / "st.wav"
+    write_wav(str(p), data, SR)
+    rec = Recording.from_file(p, recording_id="st")
+    sups = SupervisionSet.from_segments(
+        [
+            SupervisionSegment(
+                id="st-utt", recording_id="st", start=0.0, duration=1.0,
+                channel=0, text="x", speaker="s")
+        ]
+    )
+    out = tmp_path / "kout"
+    export_to_kaldi(
+        RecordingSet.from_recordings([rec]), sups, out, map_underscores_to=None
+    )
+    scp = (out / "wav.scp").read_text()
+    assert len(scp.strip().splitlines()) == 2  # one entry per channel
