@@ -89,3 +89,24 @@ def test_map_style_with_torch_sampler_batches(shar_dir):
             assert feats.shape[-1] == 80
             n_cuts += feats.shape[0]
     assert n_cuts == N_CUTS
+
+
+def test_map_style_with_torch_spawned_workers(shar_dir):
+    """Same pattern but with torch worker SUBPROCESSES: the sampler must
+    pickle into the workers and every cut arrive exactly once."""
+    from lhotse_tpu.dataset import OnTheFlyFeatures
+    from lhotse_tpu import Fbank
+    from lhotse_tpu.dataset.speech_recognition import K2SpeechRecognitionDataset
+
+    cuts = CutSet.from_shar(in_dir=str(shar_dir)).to_eager()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        sampler = DynamicCutSampler(cuts, max_cuts=4, shuffle=True, seed=1)
+        ds = K2SpeechRecognitionDataset(input_strategy=OnTheFlyFeatures(Fbank()))
+        loader = torch.utils.data.DataLoader(
+            ds, sampler=sampler, batch_size=None, num_workers=2)
+        total = 0
+        for batch in loader:
+            assert batch["inputs"].shape[-1] == 80
+            total += batch["inputs"].shape[0]
+    assert total == N_CUTS
