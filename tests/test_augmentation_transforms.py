@@ -157,3 +157,76 @@ def test_offset_duration_reads_through_transform_chain(rec):
         atol=1e-6)
     np.testing.assert_allclose(
         window, full[:, start : start + int(0.5 * SR)], atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Clipping transform matrix (reference: test/augmentation/test_clipping.py)
+# ---------------------------------------------------------------------------
+class TestClipping:
+    def _signal(self, amp=0.5):
+        import numpy as np
+
+        t = np.arange(8000) / 8000.0
+        return (amp * np.sin(2 * np.pi * 40 * t)).astype(np.float32)[None, :]
+
+    def test_hard_clipping_bounds(self):
+        import numpy as np
+
+        from lhotse_tpu.augmentation.clipping import Clipping
+
+        x = self._signal(0.8)
+        y = Clipping(hard=True, gain_db=12.0)(x, 8000)
+        assert y.shape == x.shape
+        # Peaks are flattened to the (rescaled) saturation ceiling.
+        ceiling = 0.8 / 10 ** (12.0 / 20.0)
+        assert np.abs(y).max() == pytest.approx(ceiling, rel=1e-4)
+        assert np.isfinite(y).all()
+
+    def test_soft_clipping_is_tanh_shaped(self):
+        import numpy as np
+
+        from lhotse_tpu.augmentation.clipping import Clipping
+
+        x = self._signal(0.8)
+        y = Clipping(hard=False, gain_db=6.0)(x, 8000)
+        # Soft saturation compresses peaks but never flattens exactly.
+        assert np.abs(y).max() < np.abs(x).max()
+        assert len(np.unique(np.round(np.abs(y).max(axis=-1), 6))) >= 1
+
+    def test_silence_passthrough(self):
+        import numpy as np
+
+        from lhotse_tpu.augmentation.clipping import Clipping
+
+        x = np.zeros((1, 1000), np.float32)
+        y = Clipping(hard=True, gain_db=20.0)(x, 8000)
+        np.testing.assert_array_equal(y, x)
+        tiny = np.full((1, 1000), 1e-6, np.float32)  # below -96 dBFS
+        np.testing.assert_array_equal(Clipping()(tiny, 8000), tiny)
+
+    def test_negative_gain_is_mild(self):
+        import numpy as np
+
+        from lhotse_tpu.augmentation.clipping import Clipping
+
+        x = self._signal(0.9)
+        y = Clipping(hard=True, gain_db=-6.0)(x, 8000)
+        # Attenuate-then-clip-then-restore: hardly any distortion.
+        np.testing.assert_allclose(y, x, atol=1e-3)
+
+    def test_reverse_timestamps_identity(self):
+        from lhotse_tpu.augmentation.clipping import Clipping
+
+        assert Clipping().reverse_timestamps(1.25, 2.0, 8000) == (1.25, 2.0)
+
+    def test_serialization_roundtrip(self):
+        import numpy as np
+
+        from lhotse_tpu.augmentation.clipping import Clipping
+        from lhotse_tpu.augmentation.transform import AudioTransform
+
+        t = Clipping(hard=True, gain_db=3.0, normalize=False)
+        d = t.to_dict()
+        t2 = AudioTransform.from_dict(d)
+        x = self._signal(0.7)
+        np.testing.assert_array_equal(t(x, 8000), t2(x, 8000))
