@@ -206,3 +206,54 @@ def test_weighted_sampler_respects_num_samples_and_bias():
     assert len(set(drawn)) == 8  # without replacement
     favored = {list(cuts)[0].id, list(cuts)[1].id}
     assert favored <= set(drawn[:4])  # heavy weights drawn early
+
+
+# ---------------------------------------------------------------------------
+# Restore guards (reference: test_sampler_restoring.py)
+# ---------------------------------------------------------------------------
+class TestRestoreGuards:
+    @staticmethod
+    def _state(**kwargs):
+        cuts = _cuts(8)
+        s = SimpleCutSampler(cuts, max_cuts=3, seed=5, **kwargs)
+        next(iter(s))
+        return cuts, s.state_dict()
+
+    def test_cross_rank_state_rejected(self):
+        cuts, state = self._state(world_size=2, rank=0)
+        other = SimpleCutSampler(cuts, max_cuts=3, seed=5, world_size=2, rank=1)
+        with pytest.raises(RuntimeError, match="rank"):
+            other.load_state_dict(state)
+
+    def test_same_rank_still_works(self):
+        cuts, state = self._state(world_size=2, rank=1)
+        twin = SimpleCutSampler(cuts, max_cuts=3, seed=5, world_size=2, rank=1)
+        twin.load_state_dict(state)  # no error
+
+    def test_world_size_mismatch_rejected(self):
+        cuts, state = self._state(world_size=2, rank=0)
+        other = SimpleCutSampler(cuts, max_cuts=3, seed=5, world_size=4, rank=0)
+        with pytest.raises(AssertionError, match="world_size"):
+            other.load_state_dict(state)
+
+    def test_seed_mismatch_rejected(self):
+        cuts, state = self._state()
+        other = SimpleCutSampler(cuts, max_cuts=3, seed=999)
+        with pytest.raises(AssertionError, match="[Ss]eed"):
+            other.load_state_dict(state)
+
+    def test_forced_restart_discards_restored_progress(self):
+        cuts = _cuts(9)
+        sampler = SimpleCutSampler(cuts, max_cuts=3, seed=2)
+        full = [[c.id for c in b] for b in sampler]
+
+        resumed = SimpleCutSampler(cuts, max_cuts=3, seed=2)
+        it = iter(SimpleCutSampler(cuts, max_cuts=3, seed=2))
+        next(it)
+        state_src = SimpleCutSampler(cuts, max_cuts=3, seed=2)
+        s_it = iter(state_src)
+        next(s_it)
+        resumed.load_state_dict(state_src.state_dict())
+        # Explicitly discard the restored progress: iteration starts over.
+        resumed.allow_iter_to_reset_state()
+        assert [[c.id for c in b] for b in resumed] == full
