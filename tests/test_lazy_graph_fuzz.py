@@ -117,7 +117,7 @@ def _ids(graph):
 
 
 @settings(max_examples=120, deadline=None)
-@given(bp=_graph_bp(depth=2), cut_frac=st.floats(0.0, 1.0))
+@given(bp=_graph_bp(depth=3), cut_frac=st.floats(0.0, 1.0))
 def test_random_graph_resumes_exactly(tmp_path_factory, bp, cut_frac):
     paths = _sources(tmp_path_factory)
 
