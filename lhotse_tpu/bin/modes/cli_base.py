@@ -9,6 +9,7 @@ import click
 
 
 @click.group()
+@click.version_option(package_name="lhotse-tpu", prog_name="lhotse-tpu")
 @click.option("-s", "--seed", type=int, help="Random seed.")
 def cli(seed):
     """
