@@ -480,7 +480,11 @@ class SphereBackend(AudioBackend):
     def handles_special_case(self, path_or_fd) -> bool:
         sfx = _suffix_of(path_or_fd)
         if sfx is not None:
-            if sfx not in (".sph", ".wv1", ".wv2"):
+            # ".wav" is a candidate too: TIMIT and other LDC corpora ship
+            # NIST SPHERE data behind a ".WAV" name. The magic check below is
+            # authoritative, so genuine RIFF files fall through to the WAV
+            # backend either way.
+            if sfx not in (".sph", ".wv1", ".wv2", ".wav"):
                 return False
             # Verify the magic: mislabeled files (e.g. RIFF behind a .sph
             # name) must fall through to the other backends.
