@@ -203,9 +203,34 @@ class AISBatchLoader:
     """
 
     def __init__(self, fetcher: Optional[BatchFetcher] = None):
-        if fetcher is None:
-            fetcher = (AISBatchFetcher() if is_module_available("aistore") else LocalBatchFetcher())
-        self.fetcher = fetcher
+        # Fetcher resolution is deferred to first use so the loader can be
+        # instantiated unconditionally (e.g. by a BatchIO strategy) even when
+        # the SDK/endpoint is absent and the data blend never touches AIS
+        # (parity: reference batch_loader.py lazy `client` property).
+        self._fetcher = fetcher
+
+    @property
+    def fetcher(self) -> BatchFetcher:
+        if self._fetcher is None:
+            self._fetcher = (
+                AISBatchFetcher() if is_module_available("aistore") else LocalBatchFetcher())
+        return self._fetcher
+
+    @fetcher.setter
+    def fetcher(self, value: BatchFetcher) -> None:
+        self._fetcher = value
+
+    @property
+    def client(self):
+        """The underlying AIStore client, resolved lazily on first access
+        (parity: reference ``ais/batch_loader.py:101``; raises when the
+        active fetcher is not AIS-backed)."""
+        f = self.fetcher
+        if not hasattr(f, "client"):
+            raise AttributeError(
+                f"The active fetcher ({type(f).__name__}) has no AIStore client."
+            )
+        return f.client
 
     def __call__(self, cuts):
         from lhotse_tpu.cut import CutSet

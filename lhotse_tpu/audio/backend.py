@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import shutil
 import struct
 import subprocess
@@ -468,6 +469,35 @@ class FfmpegSubprocessBackend(AudioBackend):
 
     def supports_info(self) -> bool:
         return True
+
+
+# Parity alias: the reference's ffmpeg subprocess backend exists solely for
+# OPUS (`lhotse/audio/backend.py` FfmpegSubprocessOpusBackend); ours decodes
+# every format ffmpeg knows, OPUS included, so the original import name maps
+# to the same class.
+FfmpegSubprocessOpusBackend = FfmpegSubprocessBackend
+
+
+def parse_channel_from_ffmpeg_output(ffmpeg_stderr: bytes) -> str:
+    """Extract ``"mono"``/``"stereo"`` from ffmpeg's stderr stream banner
+    (parity: reference ``lhotse/audio/backend.py:1549``; kept for code that
+    post-processes raw ffmpeg output — our backend uses ffprobe instead).
+
+    Lines that fail UTF-8 decoding (e.g. latin-1 metadata) are skipped.
+    """
+    pattern = re.compile(r"^\s*Stream #0:0.*: Audio: pcm_f32le.+(mono|stereo).+\s*$")
+    for line in ffmpeg_stderr.splitlines():
+        try:
+            text = line.decode()
+        except UnicodeDecodeError:
+            continue
+        match = pattern.match(text)
+        if match is not None:
+            return match.group(1)
+    raise ValueError(
+        f"Could not determine the number of channels from ffmpeg output: "
+        f"{ffmpeg_stderr!r}"
+    )
 
 
 class SphereBackend(AudioBackend):

@@ -135,3 +135,28 @@ def get_or_create_resampler(orig_freq: int, new_freq: int) -> SincResampler:
     if key not in _RESAMPLERS:
         _RESAMPLERS[key] = SincResampler(*key)
     return _RESAMPLERS[key]
+
+
+def resample(
+    waveform: np.ndarray,
+    orig_freq: int,
+    new_freq: int,
+    lowpass_filter_width: int = 6,
+    rolloff: float = 0.99,
+    resampling_method: str = "sinc_interp_hann",
+    beta=None,
+) -> np.ndarray:
+    """
+    Functional bandlimited-sinc resampling (parity: reference
+    ``lhotse/augmentation/resample.py:126``, the torchaudio-derived API).
+    Only the default ``sinc_interp_hann`` method is implemented; the Kaiser
+    variant was unused by the reference's own call sites.
+    """
+    if resampling_method != "sinc_interp_hann":
+        raise ValueError(
+            f"Unsupported resampling_method: {resampling_method!r} "
+            f"(only 'sinc_interp_hann' is implemented)"
+        )
+    return resample_array(
+        np.asarray(waveform), orig_freq, new_freq,
+        lowpass_filter_width=lowpass_filter_width, rolloff=rolloff)

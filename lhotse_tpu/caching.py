@@ -72,6 +72,15 @@ class AudioCache:
         return is_caching_enabled()
 
     @classmethod
+    def enable(cls, enabled: bool = True) -> None:
+        """Toggle audio caching; disabling clears the cache (parity:
+        reference ``caching.py:106`` — there a class-local flag, here routed
+        through the global caching toggle this class already mirrors)."""
+        set_caching_enabled(enabled)
+        if not enabled:
+            cls.clear()
+
+    @classmethod
     def try_cache(cls, key: str) -> Optional[bytes]:
         if not cls.enabled():
             return None

@@ -189,6 +189,46 @@ class Cut:
         features = np.flip(self.load_features().transpose(1, 0), 0)
         return plt.matshow(features)
 
+    def plot_alignment(self, alignment_type: str = "word"):
+        """Display the alignment items over a fresh fbank spectrogram
+        (parity: reference ``cut/base.py:386``; requires matplotlib and
+        exactly one supervision carrying ``alignment[alignment_type]``)."""
+        import matplotlib.pyplot as plt
+
+        from lhotse_tpu.features.kaldi.extractors import Fbank
+        from lhotse_tpu.utils import compute_num_frames
+
+        assert len(self.supervisions) == 1, (
+            "Cannot plot alignment: there has to be exactly one supervision in a Cut."
+        )
+        sup = self.supervisions[0]
+        assert sup.alignment is not None and alignment_type in sup.alignment, (
+            f"Cannot plot alignment: missing alignment field or alignment "
+            f"type '{alignment_type}'"
+        )
+
+        fbank = Fbank()
+        sampling_rate = fbank.extractor.sampling_rate
+        feats = self.resample(sampling_rate).compute_features(fbank)
+
+        fig = plt.matshow(np.flip(feats.transpose(1, 0), 0))
+        plt.title(
+            f"Cut ID:{self.id}, Speaker:{sup.speaker or '<unknown>'}, "
+            f"Language:{sup.language or '<unknown>'}"
+        )
+        plt.tick_params(
+            axis="both", which="major",
+            labelbottom=True, labeltop=False, bottom=True, top=False)
+        for idx, item in enumerate(sup.alignment[alignment_type]):
+            end_frame = compute_num_frames(
+                item.end, frame_shift=fbank.frame_shift, sampling_rate=sampling_rate)
+            plt.text(
+                end_frame - 4, 70 if idx % 2 else 45, item.symbol,
+                fontsize=12, color="w", rotation="vertical")
+            plt.axvline(end_frame, color="k")
+        plt.show()
+        return fig
+
     def trim_to_supervisions(
         self, keep_overlapping: bool = True, min_duration: Optional[Seconds] = None,
         context_direction: str = "center", keep_all_channels: bool = False,

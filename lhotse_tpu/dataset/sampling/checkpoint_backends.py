@@ -56,6 +56,10 @@ class SeekResume:
     kind: str  # "dynamic" | "bucketing"
     steps_done: int
 
+    def restore(self) -> None:
+        """Parity alias for :meth:`run` (the reference backends' entry point)."""
+        self.run()
+
     def run(self) -> None:
         s = self.sampler
         positions = _saved_positions(s)
@@ -152,6 +156,10 @@ class ReplayResume:
     epoch: int
     steps_done: int
 
+    def restore(self) -> None:
+        """Parity alias for :meth:`run` (the reference backends' entry point)."""
+        self.run()
+
     def run(self) -> None:
         s = self.sampler
         # The replayed batches would otherwise double-count in diagnostics.
@@ -181,3 +189,21 @@ def plan_resume(sampler: Any, kind: str, *, epoch: int, steps_done: int):
 # aliases so code written against lhotse's API keeps importing successfully.
 IndexedCheckpointBackend = SeekResume
 ReplayCheckpointBackend = ReplayResume
+
+
+def build_dynamic_cut_checkpoint_backend(
+    sampler: Any, *, current_epoch: int, num_batches_to_iter: int
+):
+    """Parity wrapper over :func:`plan_resume` for DynamicCutSampler-family
+    checkpoints (reference ``checkpoint_backends.py:100``)."""
+    return plan_resume(
+        sampler, "dynamic", epoch=current_epoch, steps_done=num_batches_to_iter)
+
+
+def build_dynamic_bucketing_checkpoint_backend(
+    sampler: Any, *, current_epoch: int, num_batches_to_iter: int
+):
+    """Parity wrapper over :func:`plan_resume` for DynamicBucketingSampler
+    checkpoints (reference ``checkpoint_backends.py:154``)."""
+    return plan_resume(
+        sampler, "bucketing", epoch=current_epoch, steps_done=num_batches_to_iter)

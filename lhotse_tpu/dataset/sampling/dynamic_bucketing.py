@@ -157,6 +157,11 @@ class _StickyBinChooser:
         self._choice = snap["choice"]
         self._left = snap["left"]
 
+    def select_bucket_idx(self) -> int:
+        """Parity alias for :meth:`next_index` (the reference's
+        ``BucketSelectionState.select_bucket_idx``, dynamic_bucketing.py:557)."""
+        return self.next_index()
+
 
 # Parity alias (reference exposes this concept as BucketSelectionState).
 BucketSelectionState = _StickyBinChooser
@@ -164,6 +169,32 @@ BucketSelectionState = _StickyBinChooser
 
 class _DrainedBuffers(Exception):
     """Raised internally when no bin can satisfy the current predicate."""
+
+
+# Parity alias: the reference raises this from its rank-synchronized bucket
+# selection (`lhotse/dataset/sampling/dynamic_bucketing.py:880`); user code
+# catching it by the original name keeps working.
+BucketsDontHaveEnoughData = _DrainedBuffers
+
+
+def pick_at_random(bucket, rng, out_indexes_used: list):
+    """Yield the items of ``bucket`` (a ``queue.Queue`` or sequence) in a
+    random order, recording each yielded index in ``out_indexes_used``.
+
+    Parity: reference ``dynamic_bucketing.py:983`` — there the shuffled-yield
+    primitive of the bucket batcher; our batcher shuffles in place, so this
+    survives as a standalone utility for code that imported it.
+    """
+    if hasattr(bucket, "mutex"):
+        with bucket.mutex:
+            bucket = list(bucket.queue)
+    else:
+        bucket = list(bucket)
+    indexes = list(range(len(bucket)))
+    rng.shuffle(indexes)
+    for idx in indexes:
+        out_indexes_used.append(idx)
+        yield bucket[idx]
 
 
 # ---------------------------------------------------------------------------

@@ -227,3 +227,115 @@ def mini_webdataset(
                 logging.warning(f"Skipping shard that failed to load: {url} ({e})")
             else:
                 raise
+
+
+class ShardWriter:
+    """
+    Webdataset-convention tar shard writer: samples are dicts with a
+    ``"__key__"`` entry plus ``extension -> bytes`` payload entries; each
+    payload becomes a tar member named ``<key>.<extension>``, and output
+    rolls over to a new shard file after ``maxcount`` samples or ``maxsize``
+    bytes.
+
+    Parity: reference ``lhotse/dataset/webdataset.py:453`` (there a thin
+    adaptation of ``webdataset.writer.ShardWriter`` and gated on that
+    package); implemented natively here over ``tarfile`` + ``open_best`` so
+    ``pipe:`` patterns work without the webdataset dependency.
+    """
+
+    def __init__(
+        self,
+        pattern: str,
+        maxcount: int = 100000,
+        maxsize: float = 3e9,
+        post=None,
+        start_shard: int = 0,
+        **kw,
+    ):
+        assert pattern != "-", "Dash '-' is not an allowed pattern for ShardWriter."
+        self.pattern = pattern
+        self.maxcount = maxcount
+        self.maxsize = maxsize
+        self.post = post
+        self.shard = start_shard
+        self.total = 0
+        self.count = 0
+        self.size = 0
+        self.fname = None
+        self.tarstream = None
+        self._fileobj = None
+        self.next_stream()
+
+    def next_stream(self) -> None:
+        """Close the current shard and open the next one."""
+        self.finish()
+        self.fname = self.pattern % self.shard
+        self.shard += 1
+        self._fileobj = open_best(self.fname, "wb")
+        self.tarstream = tarfile.open(fileobj=self._fileobj, mode="w|")
+        self.count = 0
+        self.size = 0
+
+    def write(self, obj: Dict) -> None:
+        """Write one sample dict (``__key__`` + ``ext -> bytes`` entries)."""
+        if (
+            self.tarstream is None
+            or self.count >= self.maxcount
+            or self.size >= self.maxsize
+        ):
+            self.next_stream()
+        key = obj["__key__"]
+        written = 0
+        for ext, data in obj.items():
+            if ext.startswith("__"):
+                continue
+            if isinstance(data, str):
+                data = data.encode("utf-8")
+            info = tarfile.TarInfo(name=f"{key}.{ext}")
+            info.size = len(data)
+            self.tarstream.addfile(info, BytesIO(data))
+            written += len(data)
+        self.count += 1
+        self.total += 1
+        self.size += written
+
+    def finish(self) -> None:
+        """Flush and close the current shard (``close`` is the public API)."""
+        if self.tarstream is not None:
+            self.tarstream.close()
+            self._fileobj.close()
+            if callable(self.post):
+                self.post(self.fname)
+            self.tarstream = None
+            self._fileobj = None
+
+    def close(self) -> None:
+        self.finish()
+
+    def __enter__(self) -> "ShardWriter":
+        return self
+
+    def __exit__(self, *args) -> None:
+        self.close()
+
+
+def create_shard_shuffler(epoch: int):
+    """
+    Return a callable that deterministically shuffles a shard sequence as a
+    function of ``(seed=0, epoch)`` — each call advances the epoch, matching
+    the reference's ``detshuffle_all`` pipeline stage
+    (``lhotse/dataset/webdataset.py:427``; there a webdataset
+    ``PipelineStage``, here a plain callable since our reader pipeline is
+    native).
+    """
+    state = {"epoch": epoch - 1}
+
+    def shuffle_all(src):
+        state["epoch"] += 1
+        rng = random.Random()
+        rng.seed(hash((0, state["epoch"])))
+        items = list(src)
+        rng.shuffle(items)
+        return items
+
+    return shuffle_all

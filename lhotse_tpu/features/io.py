@@ -460,6 +460,16 @@ CHUNK_SIZE_KEY = "lhotse-chunk-size"
 HDF5_CHUNK_SIZE = 100
 
 
+def lookup_chunk_size(h5_file_handle) -> int:
+    """Retrieve the per-archive chunk size stored under ``CHUNK_SIZE_KEY``.
+
+    Parity: reference ``lhotse/features/io.py:557`` (there cached with
+    ``lru_cache``; h5py reads of a scalar dataset are cheap enough that we
+    keep it uncached and avoid pinning file handles).
+    """
+    return int(h5_file_handle[CHUNK_SIZE_KEY][()])
+
+
 @register_reader
 class ChunkedLilcomHdf5Reader(FeaturesReader):
     """
@@ -474,13 +484,23 @@ class ChunkedLilcomHdf5Reader(FeaturesReader):
     def __init__(self, storage_path: Pathlike, *args, **kwargs):
         self.hdf = lookup_cache_or_open(str(storage_path))
 
+    @property
+    def chunk_size(self) -> int:
+        """The chunk size recorded in the archive (falls back to the default
+        when the writer predates the ``lhotse-chunk-size`` dataset)."""
+        try:
+            return lookup_chunk_size(self.hdf)
+        except KeyError:
+            return self.CHUNK_SIZE
+
     @dynamic_lru_cache
     def read(
         self, key: str, left_offset_frames: int = 0, right_offset_frames: Optional[int] = None,
     ) -> np.ndarray:
-        left_chunk_idx = floor(left_offset_frames / self.CHUNK_SIZE)
+        chunk_size = self.chunk_size
+        left_chunk_idx = floor(left_offset_frames / chunk_size)
         if right_offset_frames is not None:
-            right_chunk_idx = ceil(right_offset_frames / self.CHUNK_SIZE)
+            right_chunk_idx = ceil(right_offset_frames / chunk_size)
         else:
             right_chunk_idx = None
         group = self.hdf[key]
@@ -488,7 +508,7 @@ class ChunkedLilcomHdf5Reader(FeaturesReader):
         sel = range(num_chunks)[left_chunk_idx:right_chunk_idx]
         decoded = [ltc_decompress(group[str(i)][()].tobytes()) for i in sel]
         arr = np.concatenate(decoded, axis=0) if decoded else np.array([])
-        shift = self.CHUNK_SIZE * left_chunk_idx
+        shift = chunk_size * left_chunk_idx
         right = right_offset_frames - shift if right_offset_frames is not None else None
         return arr[left_offset_frames - shift : right]
 

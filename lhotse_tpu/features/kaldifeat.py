@@ -244,3 +244,8 @@ class KaldifeatMfcc(_KaldifeatNamedExtractor):
 
     def feature_dim(self, sampling_rate: int) -> int:
         return self.config.num_ceps
+
+
+# Parity alias: the reference's shared base class for kaldifeat wrappers is
+# public under this name (`lhotse/features/kaldifeat.py:179` family).
+KaldifeatExtractor = _KaldifeatNamedExtractor

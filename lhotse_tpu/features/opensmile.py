@@ -93,6 +93,25 @@ class OpenSmileExtractor(FeatureExtractor):
     def feature_dim(self, sampling_rate: int) -> int:
         return len(self.smileExtractor.feature_names)
 
+    @property
+    def feature_names(self):
+        """Names of the extracted features (parity: reference opensmile.py:98)."""
+        return self.smileExtractor.feature_names
+
+    def is_lld_or_lld_de(self) -> bool:
+        """True when the configured level yields frame-level (LLD) features
+        rather than one functional vector per utterance (parity:
+        reference opensmile.py:101)."""
+        import opensmile
+
+        level = self.config.feature_level
+        if isinstance(level, str):
+            level = opensmile.FeatureLevel(level)
+        return level in (
+            opensmile.FeatureLevel.LowLevelDescriptors,
+            opensmile.FeatureLevel.LowLevelDescriptors_Deltas,
+        )
+
     def extract(self, samples: np.ndarray, sampling_rate: int) -> np.ndarray:
         samples = np.atleast_2d(np.asarray(samples))
         df = self.smileExtractor.process_signal(samples, sampling_rate)

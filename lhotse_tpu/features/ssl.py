@@ -64,11 +64,28 @@ class S3PRLSSL(FeatureExtractor):
         return self.config.device
 
     @property
+    def sampling_rate(self) -> int:
+        return self.config.sampling_rate
+
+    @property
     def frame_shift(self) -> Seconds:
         return self.config.frame_shift
 
     def feature_dim(self, sampling_rate: int) -> int:
         return self.config.feature_dim
+
+    def fix_off_by_one_error(self, feats: np.ndarray, num_samples: int) -> np.ndarray:
+        """Zero-pad a feature matrix that is one frame short of the canonical
+        count for ``num_samples`` (parity: reference ``ssl.py:75`` — SSL
+        models emit a truncated final frame)."""
+        num_frames, num_features = feats.shape
+        expected = compute_num_frames_from_samples(
+            num_samples=num_samples, frame_shift=self.frame_shift,
+            sampling_rate=self.sampling_rate)
+        assert abs(expected - num_frames) <= 1
+        if expected - num_frames == 1:
+            feats = np.concatenate([feats, np.zeros([1, num_features])], axis=0)
+        return feats
 
     def extract(self, samples: np.ndarray, sampling_rate: int) -> np.ndarray:
         import torch

@@ -191,3 +191,37 @@ class WhisperFbank(FeatureExtractor):
     @staticmethod
     def compute_energy(features: np.ndarray) -> float:
         raise ValueError("Energy is not defined for Whisper filter-bank features.")
+
+
+def log_mel_spectrogram(
+    audio: np.ndarray,
+    filters: Optional[np.ndarray] = None,
+    n_mels: int = 80,
+    n_fft: int = 400,
+    window: Optional[np.ndarray] = None,
+    hop_length: int = 160,
+    sampling_rate: int = 16000,
+    device=None,
+) -> np.ndarray:
+    """
+    Functional Whisper log-Mel spectrogram, returning ``(n_mels, T)``.
+
+    Parity: reference ``lhotse/features/whisper_fbank.py:17`` (itself OpenAI
+    Whisper's ``audio.log_mel_spectrogram``); torch-free here. ``filters`` /
+    ``window`` override the Slaney mel bank / periodic Hann window when given;
+    ``device`` is accepted for signature compatibility and ignored.
+    """
+    fb = WhisperFbank(WhisperFbankConfig(num_filters=n_mels))
+    fb.n_fft = n_fft
+    fb.hop_length = hop_length
+    fb.sampling_rate = sampling_rate
+    if filters is not None:
+        fb.filters = np.asarray(filters, dtype=np.float32)
+    else:
+        fb.filters = slaney_mel_filters(sampling_rate, n_fft, n_mels)
+    if window is not None:
+        fb.window = np.asarray(window, dtype=np.float32)
+    else:
+        n = np.arange(n_fft, dtype=np.float64)
+        fb.window = (0.5 - 0.5 * np.cos(2.0 * np.pi * n / n_fft)).astype(np.float32)
+    return fb.extract(np.asarray(audio), sampling_rate).T

@@ -211,6 +211,29 @@ def create_jsonl_index(jsonl_path: Pathlike, output_path: Optional[Pathlike] = N
     return idx_path
 
 
+_TAR_BLOCK_SIZE = 512
+
+
+def read_tar_member_at(fh, offset: int):
+    """Read one tar member's header + payload at ``offset`` from an open
+    binary file handle, returning ``(data_bytes, member_path, tar_info)``.
+
+    ``data_bytes`` is ``None`` for ``.nodata``/``.nometa`` placeholder
+    members. The offset must point at a regular member's 512-byte header —
+    no validation or skipping of non-regular members is performed.
+    Parity: reference ``lhotse/indexing.py:937``.
+    """
+    fh.seek(offset)
+    header = fh.read(_TAR_BLOCK_SIZE)
+    if len(header) < _TAR_BLOCK_SIZE:
+        raise RuntimeError(f"Unexpected EOF reading tar header at offset {offset}")
+    info = tarfile.TarInfo.frombuf(header, tarfile.ENCODING, "surrogateescape")
+    path = Path(info.name)
+    if path.suffix in (".nodata", ".nometa"):
+        return None, path, info
+    return fh.read(info.size), path, info
+
+
 def create_tar_index(tar_path: Pathlike, output_path: Optional[Pathlike] = None) -> Path:
     """
     Build an index over a Shar tar archive, one entry per sample *pair*

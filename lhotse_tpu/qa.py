@@ -426,6 +426,12 @@ def _register_cut_validators():
     _VALIDATORS[CutSet] = _validate_cut_set
 
 
+def validate_cut_set(cuts, read_data: bool = False) -> None:
+    """Validate every cut in ``cuts`` (parity: reference ``qa.py:507``)."""
+    for c in cuts:
+        validate_cut(c, read_data=read_data)
+
+
 def validate_shar(in_dir, read_data: bool = False) -> None:
     """
     Integrity check of a Shar directory (a capability beyond the reference):

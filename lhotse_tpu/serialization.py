@@ -59,6 +59,13 @@ class IOBackend:
     def is_applicable(self, identifier: str) -> bool:
         return True
 
+    def handles_special_case(self, identifier: str) -> bool:
+        """True when this backend is the designated handler for ``identifier``
+        (a scheme/convention like ``-``, ``pipe:``, ``ais://``); the composite
+        gives such backends priority over generic applicability
+        (reference: serialization.py:787,813)."""
+        return False
+
     @classmethod
     def is_available(cls) -> bool:
         return True
@@ -81,6 +88,9 @@ class RedirectIOBackend(IOBackend):
     def is_applicable(self, identifier: str) -> bool:
         return str(identifier) == "-"
 
+    def handles_special_case(self, identifier: str) -> bool:
+        return str(identifier) == "-"
+
 
 class PipeIOBackend(IOBackend):
     """Open 'pipe:<cmd>' identifiers as subprocess pipes (reference: serialization.py:838)."""
@@ -89,6 +99,9 @@ class PipeIOBackend(IOBackend):
         return Pipe(str(identifier)[5:], mode=mode, shell=True)
 
     def is_applicable(self, identifier: str) -> bool:
+        return str(identifier).startswith("pipe:")
+
+    def handles_special_case(self, identifier: str) -> bool:
         return str(identifier).startswith("pipe:")
 
 
@@ -106,6 +119,10 @@ class GzipIOBackend(IOBackend):
 
     def is_applicable(self, identifier: str) -> bool:
         return str(identifier).endswith(".gz")
+
+    def handles_special_case(self, identifier: str) -> bool:
+        identifier = str(identifier)
+        return identifier.endswith(".gz") and not is_valid_url(identifier)
 
 
 class BuiltinIOBackend(IOBackend):
@@ -190,6 +207,9 @@ class AIStoreIOBackend(IOBackend):
     def is_applicable(self, identifier: str) -> bool:
         return str(identifier).startswith("ais://") or is_valid_url(str(identifier))
 
+    def handles_special_case(self, identifier: str) -> bool:
+        return str(identifier).startswith("ais://")
+
 
 class MSCIOBackend(IOBackend):
     """NVIDIA Multi-Storage-Client for ``msc://`` URLs (gated; protocol/
@@ -228,6 +248,13 @@ class MSCIOBackend(IOBackend):
         forced = get_lhotse_msc_backend_forced()
         return str(identifier).startswith(self.PREFIX) or (forced and is_valid_url(str(identifier)))
 
+    @staticmethod
+    def is_msc_url(identifier) -> bool:
+        return str(identifier).startswith(MSCIOBackend.PREFIX)
+
+    def handles_special_case(self, identifier: str) -> bool:
+        return MSCIOBackend.is_msc_url(identifier)
+
 
 class TarAsDirBackend(IOBackend):
     """Read files inside tar archives addressed as
@@ -265,6 +292,9 @@ class TarAsDirBackend(IOBackend):
     def is_applicable(self, identifier: str) -> bool:
         return self._split(str(identifier)) is not None
 
+    def handles_special_case(self, identifier: str) -> bool:
+        return self._split(str(identifier)) is not None
+
 
 class CompositeIOBackend(IOBackend):
     """
@@ -276,6 +306,11 @@ class CompositeIOBackend(IOBackend):
         self.backends = backends
 
     def open(self, identifier: str, mode: str):
+        # Special-case handlers win over generic applicability regardless of
+        # their position in the chain (reference: serialization.py:1062-1069).
+        for b in self.backends:
+            if b.handles_special_case(identifier):
+                return b.open(identifier, mode)
         for b in self.backends:
             if b.is_applicable(identifier):
                 return b.open(identifier, mode)
@@ -283,6 +318,9 @@ class CompositeIOBackend(IOBackend):
 
     def is_applicable(self, identifier: str) -> bool:
         return any(b.is_applicable(identifier) for b in self.backends)
+
+    def handles_special_case(self, identifier: str) -> bool:
+        return any(b.handles_special_case(identifier) for b in self.backends)
 
 
 CURRENT_IO_BACKEND: Optional[IOBackend] = None

@@ -39,3 +39,9 @@ def split_by_worker(src):
     """Every dataloading worker takes its strided subset of the shard list."""
     rank, world_size, worker, num_workers = worker_info()
     return src[worker::num_workers]
+
+
+# Parity alias: the reference exposes this under a torch-centric name
+# (`lhotse/shar/readers/utils.py:4`); the implementation above is
+# framework-neutral but downstream code imports the original symbol.
+pytorch_worker_info = worker_info

@@ -339,8 +339,28 @@ def measure_overlap_frac(lhs: Any, rhs: Any) -> float:
 class SmartOpen:
     """Deferred import wrapper around ``smart_open`` (optional dependency)."""
 
+    transport_params: Optional[dict] = None
+
     @classmethod
-    def open(cls, uri, mode="rb", **kwargs):
+    def setup(cls, transport_params: Optional[dict] = None):
+        """Configure default transport params for subsequent opens (parity:
+        reference ``utils.py:102``; warns when overwriting a prior setup)."""
+        if not is_module_available("smart_open"):
+            raise ImportError(
+                "The 'smart_open' package is required to open URLs; "
+                "pip install smart_open (not bundled in this environment)."
+            )
+        if cls.transport_params is not None and cls.transport_params != transport_params:
+            import logging
+
+            logging.warning(
+                "SmartOpen.setup second call overwrites existing transport_params "
+                f"with new version\t\n{cls.transport_params}\t\nvs\t\n{transport_params}"
+            )
+        cls.transport_params = transport_params
+
+    @classmethod
+    def open(cls, uri, mode="rb", transport_params: Optional[dict] = None, **kwargs):
         if not is_module_available("smart_open"):
             raise ImportError(
                 "The 'smart_open' package is required to open URLs; "
@@ -348,6 +368,10 @@ class SmartOpen:
             )
         import smart_open
 
+        if transport_params is None:
+            transport_params = cls.transport_params
+        if transport_params is not None:
+            kwargs["transport_params"] = transport_params
         return smart_open.open(uri, mode, **kwargs)
 
 
@@ -392,6 +416,11 @@ class Pipe:
 
     def check_status(self):
         self.wait_for_child()
+
+    def is_running(self) -> bool:
+        """True while the wrapped subprocess has not yet exited
+        (parity: reference ``utils.py:1053``)."""
+        return self.proc.poll() is None
 
     def wait_for_child(self):
         if self.status is not None:
@@ -704,19 +733,48 @@ def build_rng(seed) -> random.Random:
     return random.Random(seed)
 
 
+class DeprecatedWarning(UserWarning):
+    """Category used for deprecation warnings (parity: reference
+    ``utils.py:874`` — a ``UserWarning`` subclass so it is shown by default,
+    unlike :class:`DeprecationWarning`)."""
+
+
 def deprecated(message: str):
     """Decorator marking a function as deprecated; emits a warning per call."""
 
     def decorator(func):
         @wraps(func)
         def wrapper(*args, **kwargs):
-            warnings.warn(message, DeprecationWarning, stacklevel=2)
+            warnings.warn(message, DeprecatedWarning, stacklevel=2)
             return func(*args, **kwargs)
 
         wrapper.__doc__ = f"[DEPRECATED] {message}\n\n{func.__doc__ or ''}"
         return wrapper
 
     return decorator
+
+
+try:
+    import click as _click
+
+    class PythonLiteralOption(_click.Option):
+        """Click option that parses its value as a Python literal, unwrapping
+        1-element lists/tuples (parity: reference ``utils.py:1105``; used by
+        recipe CLI commands taking list-valued flags)."""
+
+        def type_cast_value(self, ctx, value):
+            import ast as _ast
+
+            try:
+                val = _ast.literal_eval(value)
+                if isinstance(val, (list, tuple)):
+                    return val[0] if len(val) == 1 else val
+                return val
+            except Exception:
+                return None
+
+except ImportError:  # pragma: no cover - click is a hard dependency
+    PythonLiteralOption = None
 
 
 def lens_to_mask(lens) -> np.ndarray:

@@ -63,6 +63,13 @@ class ComputeScore:
             p_bak = np.poly1d([-0.13166888, 1.60915514, -0.39604546])
         return p_sig(sig), p_bak(bak), p_ovr(ovr)
 
+    # Public parity names (reference dnsmos.py exposes these on ComputeScore).
+    def audio_melspec(self, audio, n_mels=120, frame_size=320, hop_length=160):
+        return self._audio_melspec(audio, n_mels=n_mels, frame_size=frame_size, hop_length=hop_length)
+
+    def get_polyfit_val(self, sig, bak, ovr, is_personalized_MOS: bool):
+        return self._polyfit(sig, bak, ovr, is_personalized_MOS)
+
     def __call__(self, audio: np.ndarray, personalized: bool) -> dict:
         fs = SAMPLING_RATE
         len_samples = int(INPUT_LENGTH * fs)

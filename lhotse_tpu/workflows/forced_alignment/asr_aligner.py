@@ -88,3 +88,8 @@ class TransformersForcedAligner(ForcedAligner):
             )
             for w in words
         ]
+
+
+# Parity alias: the reference names its wav2vec2 CTC aligner `ASRForcedAligner`
+# (`lhotse/workflows/forced_alignment/asr_aligner.py:79`).
+ASRForcedAligner = TransformersForcedAligner
