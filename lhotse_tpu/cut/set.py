@@ -187,7 +187,7 @@ class CutSet(Serializable, AlgorithmMixin):
         stateful_shuffle: bool = True, seed: Union[int, str] = 42,
         cut_map_fns: Optional[Sequence[Callable[[Cut], Cut]]] = None,
         slice_length: Optional[int] = None, indexed: Optional[bool] = None, index_path=None,
-        lazy: bool = False) -> "CutSet":
+        indexes_root: Optional[Pathlike] = None, lazy: bool = False) -> "CutSet":
         """
         Read cuts + data from Shar shards (one jsonl manifest + one tar per
         field per shard): streaming (LazySharIterator) or O(1) random-access
@@ -197,11 +197,13 @@ class CutSet(Serializable, AlgorithmMixin):
         from lhotse_tpu.shar.readers.lazy import LazySharIterator
 
         use_indexed = indexed
-        if index_path is not None and indexed is False:
-            raise ValueError("index_path is set but indexed=False — contradictory arguments.")
+        if (index_path is not None or indexes_root is not None) and indexed is False:
+            raise ValueError(
+                "index_path/indexes_root is set but indexed=False — contradictory arguments.")
         if use_indexed is None:
-            use_indexed = LazyIndexedSharIterator.supports_configuration(
-                fields=fields, in_dir=in_dir, index_path=index_path)
+            use_indexed = (indexes_root is not None) or (
+                LazyIndexedSharIterator.supports_configuration(
+                    fields=fields, in_dir=in_dir, index_path=index_path))
         if use_indexed:
             if cut_map_fns:
                 raise ValueError("'cut_map_fns' is not supported with indexed=True.")
@@ -210,7 +212,8 @@ class CutSet(Serializable, AlgorithmMixin):
             return CutSet(
                 cuts=LazyIndexedSharIterator(
                     fields=fields, in_dir=in_dir, shuffle=shuffle_shards, seed=seed,
-                    split_for_dataloading=split_for_dataloading, index_path=index_path, lazy=lazy,
+                    split_for_dataloading=split_for_dataloading, index_path=index_path,
+                    indexes_root=indexes_root, lazy=lazy,
                 )
             )
         return CutSet(

@@ -46,8 +46,14 @@ class DynamicCutSampler(CutSampler):
         shuffle: bool = False, drop_last: bool = False, consistent_ids: bool = True,
         shuffle_buffer_size: int = 20000, quadratic_duration: Optional[Seconds] = None,
         world_size: Optional[int] = None, rank: Optional[int] = None, seed: Union[int, str] = 0,
+        strict=None,
     ) -> None:
         super().__init__(drop_last=drop_last, world_size=world_size, rank=rank, seed=seed)
+        if strict is not None:
+            warnings.warn(
+                "All samplers act as if 'strict=True'; the 'strict' argument is "
+                "accepted for backward compatibility only and will be removed.",
+                DeprecationWarning)
         eager_inputs = [cs for cs in cuts if isinstance(cs, CutSet) and not cs.is_lazy]
         if eager_inputs:
             warnings.warn(

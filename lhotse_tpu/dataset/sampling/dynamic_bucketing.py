@@ -502,8 +502,20 @@ class DynamicBucketingSampler(CutSampler):
         num_cuts_for_bins_estimate: int = 10000, buffer_size: int = 20000,
         quadratic_duration: Optional[Seconds] = None, world_size: Optional[int] = None,
         rank: Optional[int] = None, seed: Union[int, str] = 0, sync_buckets: bool = True,
-        concurrent: bool = False) -> None:
+        concurrent: bool = False, strict=None, shuffle_buffer_size=None) -> None:
         super().__init__(drop_last=drop_last, world_size=world_size, rank=rank, seed=seed)
+        if strict is not None:
+            warnings.warn(
+                "All samplers act as if 'strict=True'; the 'strict' argument is "
+                "accepted for backward compatibility only and will be removed.",
+                DeprecationWarning)
+        if shuffle_buffer_size is not None:
+            warnings.warn(
+                "'shuffle_buffer_size' is deprecated: DynamicBucketingSampler does "
+                "not need a separate shuffling buffer. Increasing 'buffer_size' by "
+                "'shuffle_buffer_size' for backward compatibility.",
+                DeprecationWarning)
+            buffer_size += shuffle_buffer_size
         if not all(cs.is_lazy for cs in cuts if isinstance(cs, CutSet)):
             warnings.warn(
                 "You are using DynamicBucketingSampler with an eagerly read CutSet. "

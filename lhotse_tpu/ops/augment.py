@@ -236,6 +236,19 @@ def make_augment_fbank_pipeline(
 
     if fbank is None:
         fbank = Wav2LogFilterBank(sampling_rate=sampling_rate)
+    else:
+        from lhotse_tpu.features.base import FeatureExtractor
+
+        if isinstance(fbank, FeatureExtractor):
+            # Accept the user-facing extractor (e.g. ``Fbank()``) directly by
+            # unwrapping its batched wav->features layer.
+            inner = getattr(fbank, "extractor", None)
+            if not callable(inner):
+                raise ValueError(
+                    f"{type(fbank).__name__} does not expose a batched "
+                    "wav->features layer; pass a callable such as "
+                    "Wav2LogFilterBank instead.")
+            fbank = inner
     hop = round(fbank.frame_shift * sampling_rate)
 
     def pipeline(

@@ -669,11 +669,20 @@ class LazyMixin:
         return cls.from_items(list(self))
 
     @classmethod
-    def from_jsonl_lazy(cls, path: Pathlike) -> Manifest:
+    def from_jsonl_lazy(cls, path: Pathlike, shuffle: bool = False, seed: int = 0) -> Manifest:
         """
         Read a JSONL manifest in a lazy manner: the underlying file is opened
         per iteration and items are deserialized on the fly.
+
+        With ``shuffle=True``, an ``.idx``-backed
+        :class:`~lhotse_tpu.lazy.LazyIndexedManifestIterator` provides O(1)
+        random-access shuffled iteration (reference: serialization.py:405 —
+        requires an uncompressed ``.jsonl``).
         """
+        if shuffle:
+            from lhotse_tpu.lazy import LazyIndexedManifestIterator
+
+            return cls(LazyIndexedManifestIterator(path, shuffle=True, seed=seed))
         from lhotse_tpu.lazy import LazyManifestIterator
 
         return cls(LazyManifestIterator(path))

@@ -314,3 +314,83 @@ def test_whisper_functional_custom_filters_and_window():
     filters = slaney_mel_filters(16000, 400, 40)
     out = log_mel_spectrogram(audio, filters=filters, n_mels=40)
     assert out.shape[0] == 40
+
+
+def _tiny_cuts(tmp_path, n=6):
+    from lhotse_tpu.audio.recording import Recording
+    from lhotse_tpu.audio.wavio import write_wav
+    from lhotse_tpu.cut.set import CutSet
+    from lhotse_tpu.supervision import SupervisionSegment
+
+    rng = np.random.RandomState(5)
+    out = []
+    for i in range(n):
+        p = tmp_path / f"r{i}.wav"
+        write_wav(str(p), (rng.randn(8000) * 0.1).astype(np.float32), 16000)
+        c = Recording.from_file(p, recording_id=f"r{i}").to_cut()
+        c.supervisions = [
+            SupervisionSegment(id=f"s{i}", recording_id=f"r{i}", start=0, duration=c.duration)
+        ]
+        out.append(c)
+    return CutSet.from_cuts(out)
+
+
+def test_from_shar_indexes_root(tmp_path):
+    """Reference: CutSet.from_shar(indexes_root=...) mirrors missing .idx files
+    under a user-owned root (/root/reference/lhotse/cut/set.py:484)."""
+    from lhotse_tpu.cut.set import CutSet
+
+    cuts = _tiny_cuts(tmp_path)
+    shar = tmp_path / "shar"
+    shar.mkdir()
+    cuts.to_shar(shar, fields={"recording": "wav"}, shard_size=2,
+                 compress_jsonl=False, create_index=False, verbose=False)
+    root = tmp_path / "idxroot"
+    cs = CutSet.from_shar(in_dir=shar, indexes_root=root)
+    got = [c.id for c in cs]
+    assert sorted(got) == sorted(c.id for c in cuts)
+    assert cs[3].id == got[3]  # random access proves the indexed reader was chosen
+    assert list(root.rglob("*.idx"))
+    with pytest.raises(ValueError, match="contradictory"):
+        CutSet.from_shar(in_dir=shar, indexes_root=root, indexed=False)
+
+
+def test_from_jsonl_lazy_shuffle(tmp_path):
+    """Reference: from_jsonl_lazy(shuffle=True) gives index-backed shuffled
+    iteration (/root/reference/lhotse/serialization.py:405)."""
+    from lhotse_tpu.cut.set import CutSet
+
+    cuts = _tiny_cuts(tmp_path, n=12)
+    p = tmp_path / "cuts.jsonl"
+    cuts.to_file(p)
+    cs = CutSet.from_jsonl_lazy(p, shuffle=True, seed=7)
+    ids = [c.id for c in cs]
+    assert sorted(ids) == sorted(c.id for c in cuts)
+    assert ids != [c.id for c in cuts]
+    # plain call keeps the cheap streaming iterator
+    assert [c.id for c in CutSet.from_jsonl_lazy(p)] == [c.id for c in cuts]
+
+
+def test_sampler_deprecated_compat_args(tmp_path):
+    """Reference samplers accept legacy strict/shuffle_buffer_size kwargs
+    (/root/reference/lhotse/dataset/sampling/dynamic_bucketing.py:48)."""
+    import warnings
+
+    from lhotse_tpu.dataset.sampling.dynamic import DynamicCutSampler
+    from lhotse_tpu.dataset.sampling.dynamic_bucketing import DynamicBucketingSampler
+
+    cuts = _tiny_cuts(tmp_path)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        DynamicCutSampler(cuts.repeat(), max_duration=10, strict=True)
+        b = DynamicBucketingSampler(
+            cuts.repeat(), max_duration=10, num_buckets=2,
+            strict=False, shuffle_buffer_size=100)
+    assert any("strict" in str(x.message) for x in w)
+    assert any("shuffle_buffer_size" in str(x.message) for x in w)
+    assert len(next(iter(b))) > 0
+    # no warnings on the clean call path
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        DynamicCutSampler(cuts.repeat(), max_duration=10)
+    assert not [x for x in w if issubclass(x.category, DeprecationWarning)]

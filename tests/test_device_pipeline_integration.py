@@ -97,3 +97,23 @@ def test_oversized_batch_is_rejected_not_truncated():
     audio = np.zeros((3, SR), np.float32)
     with pytest.raises(ValueError, match="exceeds the covering bucket"):
         aug(audio, [SR, SR, SR])
+
+
+def test_feature_extractor_accepted_as_fbank():
+    """Passing the user-facing ``Fbank()`` extractor (not the raw layer) must
+    work — it is the natural drop-in from the rest of the library."""
+    from lhotse_tpu.features import Fbank, Mfcc
+    from lhotse_tpu.features.kaldi.layers import Wav2LogFilterBank
+
+    audio = (np.random.RandomState(0).randn(2, SR) * 0.1).astype(np.float32)
+    lens = np.array([SR, SR])
+    aug = OnDeviceAugmenter([(1.0, 2)], gain_range=None, fbank=Fbank())
+    feats, feat_lens = aug(audio, lens)
+    ref = Wav2LogFilterBank(sampling_rate=SR)(audio)
+    # float32 log-domain noise floor between the fused-in-jit and eager
+    # kernel paths is ~1e-4 (see docs/performance.md)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(ref), atol=2e-4)
+    # MFCC extractor routes the same way (13-dim output proves dispatch)
+    aug2 = OnDeviceAugmenter([(1.0, 2)], gain_range=None, fbank=Mfcc())
+    feats2, _ = aug2(audio, lens)
+    assert np.asarray(feats2).shape[-1] == 13

@@ -158,8 +158,38 @@ def collect(root: Path):
     return symbols
 
 
+def ref_signatures(root: Path):
+    """Map (class_or_None, func_name) -> [param names] from the reference."""
+    sigs = {}
+
+    def params(node):
+        a = node.args
+        names = [x.arg for x in a.posonlyargs + a.args + a.kwonlyargs]
+        return [n for n in names if n not in ("self", "cls")]
+
+    for p in sorted(root.rglob("*.py")):
+        try:
+            tree = ast.parse(p.read_text(errors="replace"))
+        except SyntaxError:
+            continue
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ClassDef) and not node.name.startswith("_"):
+                for sub in node.body:
+                    if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                        if not sub.name.startswith("_") or sub.name == "__init__":
+                            key = (node.name, sub.name)
+                            # union across same-named classes
+                            sigs.setdefault(key, set()).update(params(sub))
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                if not node.name.startswith("_"):
+                    sigs.setdefault((None, node.name), set()).update(params(node))
+    return sigs
+
+
 def main():
     methods_mode = "--methods" in sys.argv
+    signatures_mode = "--signatures" in sys.argv
     ref = collect(REF)
     ours = collect(OURS)
     missing = []
@@ -222,6 +252,77 @@ def main():
             )
             if lost:
                 print(f"  {name} ({mod}): missing methods: {', '.join(lost)}")
+
+    if signatures_mode:
+        import importlib
+        import inspect
+        import pkgutil
+
+        import lhotse_tpu
+
+        classes = {}
+        funcs = {}
+        mods = [lhotse_tpu]
+        for m in pkgutil.walk_packages(lhotse_tpu.__path__, "lhotse_tpu."):
+            try:
+                mods.append(importlib.import_module(m.name))
+            except Exception:
+                pass
+        for m in mods:
+            for attr in dir(m):
+                obj = getattr(m, attr, None)
+                if isinstance(obj, type):
+                    classes.setdefault(attr, []).append(obj)
+                elif callable(obj) and not attr.startswith("_"):
+                    funcs.setdefault(attr, []).append(obj)
+
+        def our_params(objs):
+            """Union of param names over same-named callables (mirrors how the
+            reference side unions same-named defs). **kwargs absorbs anything."""
+            out = set()
+            absorbs = False
+            for o in objs:
+                try:
+                    sig = inspect.signature(o)
+                except (ValueError, TypeError):
+                    absorbs = True
+                    continue
+                for pname, p in sig.parameters.items():
+                    if p.kind is inspect.Parameter.VAR_KEYWORD:
+                        absorbs = True
+                    elif p.kind is inspect.Parameter.VAR_POSITIONAL:
+                        pass
+                    elif pname not in ("self", "cls"):
+                        out.add(pname)
+            return out, absorbs
+
+        print("\n--- signature diffs (reference params our callable lacks) ---")
+        sigs = ref_signatures(REF)
+        shown = 0
+        for (cls_name, fn_name), ref_params in sorted(
+            sigs.items(), key=lambda kv: (kv[0][0] or "", kv[0][1])
+        ):
+            if cls_name in ALIASES or fn_name in ALIASES:
+                continue
+            if cls_name is None:
+                targets = funcs.get(fn_name)
+                label = fn_name
+            else:
+                variants = classes.get(cls_name)
+                if not variants:
+                    continue
+                targets = [getattr(c, fn_name) for c in variants if hasattr(c, fn_name)]
+                label = f"{cls_name}.{fn_name}"
+            if not targets:
+                continue
+            got, absorbs = our_params(targets)
+            if absorbs:
+                continue
+            lost = sorted(ref_params - got)
+            if lost:
+                print(f"  {label}: missing params: {', '.join(lost)}")
+                shown += 1
+        print(f"({shown} callables with missing params)")
 
 
 if __name__ == "__main__":
