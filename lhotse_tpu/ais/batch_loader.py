@@ -89,7 +89,7 @@ class AISBatchFetcher:
     when the cluster supports it, per-object ranged reads otherwise.
     Reference: batch_loader.py:157-420."""
 
-    def __init__(self, endpoint: Optional[str] = None):
+    def __init__(self, endpoint: Optional[str] = None, force_individual: bool = False):
         assert is_module_available("aistore"), (
             "AISBatchFetcher requires the 'aistore' package "
             "(pip install aistore)."
@@ -97,6 +97,10 @@ class AISBatchFetcher:
         from aistore import Client
 
         self.client = Client(endpoint or os.environ.get("AIS_ENDPOINT"))
+        # When True, never attempt a multi-object (MOSS GetBatch) request;
+        # the current implementation is per-object either way, the flag is
+        # kept for reference parity and future GetBatch support.
+        self.force_individual = force_individual
 
     def fetch(self, requests: List[FetchRequest]) -> List[bytes]:
         out = []
@@ -200,20 +204,33 @@ class AISBatchLoader:
 
     :param fetcher: a :class:`BatchFetcher`; defaults to AIStore when the SDK
         is importable, else :class:`LocalBatchFetcher`.
+    :param force_individual: when True, every fetch goes through the
+        per-object path, never attempting a multi-object (MOSS GetBatch)
+        request (reference: batch_loader.py:76).
+    :param skip_failed_fetches: when True, per-object fetch failures drop the
+        affected cuts from the returned CutSet instead of raising
+        :class:`AISBatchLoaderError`; every drop is logged at WARNING level
+        (reference: batch_loader.py:77).
     """
 
-    def __init__(self, fetcher: Optional[BatchFetcher] = None):
+    def __init__(
+        self, fetcher: Optional[BatchFetcher] = None,
+        force_individual: bool = False, skip_failed_fetches: bool = False):
         # Fetcher resolution is deferred to first use so the loader can be
         # instantiated unconditionally (e.g. by a BatchIO strategy) even when
         # the SDK/endpoint is absent and the data blend never touches AIS
         # (parity: reference batch_loader.py lazy `client` property).
         self._fetcher = fetcher
+        self.force_individual = force_individual
+        self.skip_failed_fetches = skip_failed_fetches
 
     @property
     def fetcher(self) -> BatchFetcher:
         if self._fetcher is None:
             self._fetcher = (
-                AISBatchFetcher() if is_module_available("aistore") else LocalBatchFetcher())
+                AISBatchFetcher(force_individual=self.force_individual)
+                if is_module_available("aistore")
+                else LocalBatchFetcher())
         return self._fetcher
 
     @fetcher.setter
@@ -247,24 +264,48 @@ class AISBatchLoader:
             if req not in unique:
                 unique[req] = len(order)
                 order.append(req)
-        try:
-            payloads = self.fetcher.fetch(order)
-        except Exception as e:
-            raise AISBatchLoaderError(f"Batch fetch of {len(order)} objects failed: {e}") from e
-        if len(payloads) != len(order):
-            raise AISBatchLoaderError(
-                f"Fetcher returned {len(payloads)} payloads for "
-                f"{len(order)} requests."
-            )
+        if self.skip_failed_fetches:
+            # Safety-net mode: fetch each unique range on its own so a single
+            # bad object only drops its owning cut(s), never the whole batch.
+            payloads: List[Optional[bytes]] = []
+            for req in order:
+                try:
+                    payloads.append(self.fetcher.fetch([req])[0])
+                except Exception as e:
+                    import logging
 
-        # Group by (cut id, owner field) and inject.
+                    logging.warning(
+                        f"AISBatchLoader: fetch of '{req.url}' failed ({e}); "
+                        "dropping the affected cut(s) (skip_failed_fetches=True).")
+                    payloads.append(None)
+        else:
+            try:
+                payloads = self.fetcher.fetch(order)
+            except Exception as e:
+                raise AISBatchLoaderError(
+                    f"Batch fetch of {len(order)} objects failed: {e}") from e
+            if len(payloads) != len(order):
+                raise AISBatchLoaderError(
+                    f"Fetcher returned {len(payloads)} payloads for "
+                    f"{len(order)} requests."
+                )
+
+        # Group by (cut id, owner field) and inject; cuts touched by a failed
+        # fetch (None payload) are dropped from the output batch.
         by_owner: Dict[Tuple[int, str], Dict[str, bytes]] = {}
         cut_index = {id(c): i for i, c in enumerate(cuts)}
+        failed_cuts = set()
         for (cut, field), slot, req in triples:
-            by_owner.setdefault((cut_index[id(cut)], field), {})[slot] = payloads[unique[req]]
+            payload = payloads[unique[req]]
+            if payload is None:
+                failed_cuts.add(cut_index[id(cut)])
+                continue
+            by_owner.setdefault((cut_index[id(cut)], field), {})[slot] = payload
 
         out = [fastcopy(c) for c in cuts]
         for (ci, field), slot_payloads in by_owner.items():
+            if ci in failed_cuts:
+                continue
             cut = out[ci]
             if field == "recording":
                 cut.recording = _inject_recording(cut.recording, slot_payloads)
@@ -281,4 +322,6 @@ class AISBatchLoader:
                     cut.custom[key] = _inject_manifest(value, slot_payloads["storage"])
                 elif isinstance(value, Recording):
                     cut.custom[key] = _inject_recording(value, slot_payloads)
+        if failed_cuts:
+            out = [c for i, c in enumerate(out) if i not in failed_cuts]
         return CutSet.from_cuts(out)

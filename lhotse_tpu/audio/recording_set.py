@@ -149,9 +149,12 @@ class RecordingSet(Serializable, AlgorithmMixin):
     def reverb_rir(
         self, rir_recordings: Optional["RecordingSet"] = None, normalize_output: bool = True,
         early_only: bool = False, affix_id: bool = True, rir_channels: List[int] = [0],
+        room_rng_seed: Optional[int] = None, source_rng_seed: Optional[int] = None,
     ) -> "RecordingSet":
         """Lazy whole-set reverberation with RIRs sampled round-robin (or
-        synthetic RIRs when none given)."""
+        synthetic RIRs when none given; the rng seeds control the synthetic
+        room configuration / source position, reference:
+        audio/recording_set.py:318)."""
         import random
 
         rirs = list(rir_recordings) if rir_recordings is not None else None
@@ -162,6 +165,8 @@ class RecordingSet(Serializable, AlgorithmMixin):
                 early_only=early_only,
                 affix_id=affix_id,
                 rir_channels=rir_channels,
+                room_rng_seed=room_rng_seed,
+                source_rng_seed=source_rng_seed,
             )
             for r in self
         )

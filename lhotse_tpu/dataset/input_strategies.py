@@ -123,23 +123,41 @@ class AudioSamples(BatchIO):
     def __init__(
         self, num_workers: int = 0, fault_tolerant: bool = False,
         executor_type: Type[ExecutorType] = ThreadPoolExecutor, mono_downmix: Optional[bool] = None,
-        pad_to_multiple: Optional[int] = None) -> None:
+        pad_to_multiple: Optional[int] = None, use_batch_loader: bool = False,
+        ais_force_individual: bool = False) -> None:
         """
         :param fault_tolerant: skip cuts with failed reads; ``__call__``
-            returns the surviving CutSet as an extra item.
+            returns the surviving CutSet as an extra item. With
+            ``use_batch_loader=True`` it also makes per-object AIS fetch
+            failures drop the affected cut instead of raising.
         :param mono_downmix: channel handling (see :func:`collate_audio`).
         :param pad_to_multiple: round the padded sample count up to a multiple
             (bounds the compiled shape count).
+        :param use_batch_loader: fetch all remotely-referenced audio in the
+            batch through :class:`~lhotse_tpu.ais.AISBatchLoader` before
+            collation (reference: input_strategies.py:225).
+        :param ais_force_individual: only meaningful with
+            ``use_batch_loader=True`` — never attempt a multi-object request.
         """
         super().__init__(num_workers=num_workers, executor_type=executor_type)
         self.fault_tolerant = fault_tolerant
         self.mono_downmix = mono_downmix
         self.pad_to_multiple = pad_to_multiple
+        self.use_batch_loader = use_batch_loader
+        self.ais_batch_loader = None
+        if use_batch_loader:
+            from lhotse_tpu.ais import AISBatchLoader
+
+            self.ais_batch_loader = AISBatchLoader(
+                force_individual=ais_force_individual,
+                skip_failed_fetches=fault_tolerant)
 
     def __call__(
         self, cuts: CutSet, recording_field: Optional[str] = None,
     ) -> Union[Tuple[np.ndarray, np.ndarray], Tuple[np.ndarray, np.ndarray, CutSet]]:
         """Returns ``(audio (B, T), audio_lens (B,)[, cuts])``."""
+        if self.ais_batch_loader is not None:
+            cuts = self.ais_batch_loader(cuts)
         return collate_audio(
             cuts, executor=_get_executor(self.num_workers, executor_type=self._executor_type),
             fault_tolerant=self.fault_tolerant, recording_field=recording_field,

@@ -255,15 +255,15 @@ def overlaps(lhs: Any, rhs: Any) -> bool:
     )
 
 
-def overspans(spanning: Any, spanned: Any) -> bool:
+def overspans(spanning: Any, spanned: Any, tolerance: float = 1e-3) -> bool:
     """Indicates whether the left-hand-side time-span covers the whole
-    right-hand-side time-span (reference: utils.py:319)."""
+    right-hand-side time-span, up to ``tolerance`` seconds of slack on either
+    edge (reference: utils.py:216)."""
     return (
-        spanning.start <= spanned.start <= spanned.end <= spanning.end
-        or isclose(spanning.start, spanned.start)
-        and (
-            spanned.end <= spanning.end or isclose(spanned.end, spanning.end)
-        )
+        spanning.start - tolerance
+        <= spanned.start
+        <= spanned.end
+        <= spanning.end + tolerance
     )
 
 
@@ -395,13 +395,14 @@ class Pipe:
 
     def __init__(
         self, cmd: str, mode: str = "rb", shell: bool = True, timeout: Optional[float] = None,
-        ignore_status: Optional[List[int]] = None):
+        ignore_status: Optional[List[int]] = None, ignore_errors: bool = False):
         import subprocess
 
         self.cmd = cmd
         self.mode = mode
         self.timeout = timeout
         self.ignore_status = [0] + (ignore_status or [])
+        self.ignore_errors = ignore_errors
         if mode[0] == "r":
             self.proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, shell=shell)
             self.stream = self.proc.stdout
@@ -426,7 +427,7 @@ class Pipe:
         if self.status is not None:
             return
         self.status = self.proc.wait(timeout=self.timeout)
-        if self.status not in self.ignore_status:
+        if self.status not in self.ignore_status and not self.ignore_errors:
             raise RuntimeError(f"Command '{self.cmd}' exited with status {self.status}")
 
     def read(self, *args, **kwargs):
@@ -541,7 +542,7 @@ def check_and_rglob(path, pattern: str, strict: bool = True) -> list:
     return matches
 
 
-def safe_extract(archive, path: Pathlike = ".", members=None, *, numeric_owner=False):
+def safe_extract(tar, path: Pathlike = ".", members=None, *, numeric_owner=False):
     """tar extraction guarding against path traversal (reference: utils.py:585)."""
 
     def _is_within_directory(directory, target):
@@ -550,34 +551,38 @@ def safe_extract(archive, path: Pathlike = ".", members=None, *, numeric_owner=F
         prefix = os.path.commonprefix([abs_directory, abs_target])
         return prefix == abs_directory
 
-    for member in archive.getmembers():
+    for member in tar.getmembers():
         member_path = os.path.join(path, member.name)
         if not _is_within_directory(path, member_path):
             raise Exception("Attempted Path Traversal in Tar File")
-    archive.extractall(path, members, numeric_owner=numeric_owner)
+    tar.extractall(path, members, numeric_owner=numeric_owner)
 
 
-def safe_extract_rar(archive, path: Pathlike = ".", members=None):
+def safe_extract_rar(rar, path: Pathlike = ".", members=None):
     """rar extraction guarding against path traversal (reference: utils.py:607)."""
-    for member in archive.namelist():
+    for member in rar.namelist():
         member_path = os.path.join(path, member)
         abs_directory = os.path.abspath(path)
         abs_target = os.path.abspath(member_path)
         if os.path.commonprefix([abs_directory, abs_target]) != abs_directory:
             raise Exception("Attempted Path Traversal in RAR File")
-    archive.extractall(path, members)
+    rar.extractall(path, members)
 
 
 def resumable_download(
     url: str, filename: Pathlike, force_download: bool = False,
     completed_file_size: Optional[int] = None, missing_ok: bool = False,
+    ssl_context=None, additional_headers: Optional[Dict[str, str]] = None,
     request_ssl_context=None) -> None:
     """
     Download a file with support for resuming partial downloads via HTTP Range
     requests (reference: utils.py:471). Uses urllib; no external dependencies.
+    ``request_ssl_context`` is a deprecated alias of ``ssl_context``.
     """
     import urllib.request
 
+    if ssl_context is None:
+        ssl_context = request_ssl_context
     filename = Path(filename)
     if filename.exists():
         if completed_file_size is not None and filename.stat().st_size == completed_file_size:
@@ -587,11 +592,13 @@ def resumable_download(
     filename.parent.mkdir(parents=True, exist_ok=True)
     partial = filename.stat().st_size if filename.exists() and not force_download else 0
     req = urllib.request.Request(url)
+    for hname, hval in (additional_headers or {}).items():
+        req.add_header(hname, hval)
     if partial:
         req.add_header("Range", f"bytes={partial}-")
     mode = "ab" if partial else "wb"
     try:
-        with urllib.request.urlopen(req, context=request_ssl_context) as resp, \
+        with urllib.request.urlopen(req, context=ssl_context) as resp, \
                 open(filename, mode) as f:
             while True:
                 chunk = resp.read(1 << 20)

@@ -19,8 +19,15 @@ from lhotse_tpu.workflows.activity_detection.base import Activity, ActivityDetec
 class SileroVAD(ActivityDetector):
     """Silero voice-activity model at 16 kHz."""
 
-    def __init__(self, device: str = "cpu", force_download: bool = False):
-        super().__init__(detector_name="silero_vad_16k", sampling_rate=16000, device=device)
+    def __init__(
+        self, device: str = "cpu", sampling_rate: int = 16_000,
+        force_download: bool = False):
+        if sampling_rate not in (8_000, 16_000):
+            raise ValueError(
+                f"Sampling rate must be either 8000 or 16000, but got {sampling_rate}")
+        super().__init__(
+            detector_name=f"silero_vad_{sampling_rate // 1000}k",
+            sampling_rate=sampling_rate, device=device)
         assert is_module_available("torch"), "SileroVAD requires torch."
         self._model, self._get_speech_timestamps = self._get_model(
             device=device, force_download=force_download)
@@ -66,7 +73,5 @@ class SileroVAD8k(SileroVAD):
     """Reference: silero_vad.py:140-146 — the same model driven at 8 kHz."""
 
     def __init__(self, device: str = "cpu", force_download: bool = False):
-        ActivityDetector.__init__(
-            self, detector_name="silero_vad_8k", sampling_rate=8000, device=device)
-        self._model, self._get_speech_timestamps = self._get_model(
-            device=device, force_download=force_download)
+        SileroVAD.__init__(
+            self, device=device, sampling_rate=8_000, force_download=force_download)

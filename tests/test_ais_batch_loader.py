@@ -87,6 +87,52 @@ def test_batch_loader_error_on_bad_fetch(shar_cuts):
         AISBatchLoader(fetcher=BrokenFetcher())(lazy_cuts)
 
 
+def test_skip_failed_fetches_drops_only_affected_cuts(shar_cuts):
+    _, lazy_cuts = shar_cuts
+
+    class FlakyFetcher(LocalBatchFetcher):
+        """Fails every request that targets the first cut's shard offsets."""
+
+        def __init__(self, bad_urls):
+            self.bad_urls = bad_urls
+
+        def fetch(self, requests):
+            if any(r.url in self.bad_urls for r in requests):
+                raise IOError("flaky object store")
+            return super().fetch(requests)
+
+    # Poison every object the first cut points at.
+    bad = {t[2].url for t in collect_batch_requests([lazy_cuts[0]])}
+    # Cut 1 shares the first shard's tar files with cut 0, so it is dropped
+    # too; cuts 2-3 live in the second shard and must survive.
+    loader = AISBatchLoader(fetcher=FlakyFetcher(bad), skip_failed_fetches=True)
+    batch = loader(lazy_cuts)
+    survived = {c.id for c in batch}
+    assert lazy_cuts[0].id not in survived
+    assert {lazy_cuts[2].id, lazy_cuts[3].id} <= survived
+    for c in batch:
+        c.load_audio()  # survivors are fully injected
+
+    # Without the flag the same failure raises.
+    with pytest.raises(AISBatchLoaderError):
+        AISBatchLoader(fetcher=FlakyFetcher(bad))(lazy_cuts)
+
+
+def test_audio_samples_with_batch_loader(shar_cuts):
+    from lhotse_tpu.dataset.input_strategies import AudioSamples
+
+    eager_cuts, lazy_cuts = shar_cuts
+    strategy = AudioSamples(use_batch_loader=True)
+    # No aistore in env -> the loader resolves to LocalBatchFetcher, which
+    # serves the shar byte ranges from disk.
+    strategy.ais_batch_loader.fetcher = LocalBatchFetcher()
+    audio, audio_lens = strategy(CutSet.from_cuts(lazy_cuts))
+    assert audio.shape[0] == len(lazy_cuts)
+    np.testing.assert_array_equal(
+        np.asarray(audio)[0, : int(audio_lens[0])],
+        eager_cuts[0].load_audio()[0])
+
+
 def test_local_fetcher_ranges(tmp_path):
     p = tmp_path / "blob.bin"
     p.write_bytes(bytes(range(100)))
