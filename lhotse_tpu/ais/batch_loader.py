@@ -38,6 +38,19 @@ from lhotse_tpu.utils import fastcopy, is_module_available
 # (reference: batch_loader.py:21-26).
 FILE_TO_MEMORY_TYPE = {"numpy_files": "memory_raw", "lilcom_files": "memory_lilcom"}
 
+# Object names with these extensions hold tar-archived payloads that must be
+# fetched with byte ranges rather than whole-object reads
+# (reference: batch_loader.py:27,880-886).
+ARCHIVE_EXTENSIONS = (".tar.gz", ".tar", ".tgz")
+
+
+def get_archive_extension(obj_name: str) -> Optional[str]:
+    """The archive extension present in ``obj_name``, or None."""
+    for ext in ARCHIVE_EXTENSIONS:
+        if ext in obj_name:
+            return ext
+    return None
+
 
 class AISBatchLoaderError(Exception):
     """Raised when batch loading fails."""

@@ -40,6 +40,20 @@ from lhotse_tpu.utils import Pathlike, Seconds, compute_num_samples, is_module_a
 
 FileObject = Any
 
+# File extensions that indicate a (possibly audio-carrying) video container;
+# Recording.from_file on these probes the video stream so the manifest gets a
+# VideoInfo (reference: audio/backend.py:35-44).
+SUPPORTED_VIDEO_EXTENSIONS = (
+    ".avi",
+    ".mov",
+    ".mp4",
+    ".m4a",
+    ".wmv",
+    ".mkv",
+    ".webm",
+    ".flv",
+)
+
 CURRENT_AUDIO_BACKEND: Optional["AudioBackend"] = None
 
 
@@ -402,6 +416,11 @@ class FfmpegSubprocessBackend(AudioBackend):
     def is_available(cls) -> bool:
         return shutil.which("ffmpeg") is not None
 
+    def handles_special_case(self, path_or_fd) -> bool:
+        # Video containers are exclusively ffmpeg territory.
+        sfx = _suffix_of(path_or_fd)
+        return sfx is not None and sfx in SUPPORTED_VIDEO_EXTENSIONS
+
     def read_audio(
         self, path_or_fd, offset=0.0, duration=None, force_opus_sampling_rate=None,
     ) -> Tuple[np.ndarray, int]:
@@ -453,19 +472,53 @@ class FfmpegSubprocessBackend(AudioBackend):
             "duration": float(out["duration"]) if out.get("duration", "N/A") not in ("N/A", "") else None,
         }
 
+    def _probe_video(self, src_arg: str, stdin: Optional[bytes]) -> Optional[VideoInfo]:
+        """VideoInfo for the first video stream, or None when there is none."""
+        cmd = [
+            "ffprobe", "-v", "error", "-select_streams", "v:0", "-show_entries",
+            "stream=width,height,r_frame_rate,nb_frames,duration",
+            "-of", "default=noprint_wrappers=1", src_arg]
+        proc = subprocess.run(cmd, input=stdin, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        if proc.returncode != 0:
+            return None
+        out = {}
+        for line in proc.stdout.decode().splitlines():
+            if "=" in line:
+                k, v = line.split("=", 1)
+                out[k] = v
+        if not out.get("width") or out.get("width") in ("N/A",):
+            return None
+        rate = out.get("r_frame_rate", "0/1")
+        num, den = (rate.split("/") + ["1"])[:2]
+        fps = float(num) / float(den or 1) if float(den or 1) else 0.0
+        nb = out.get("nb_frames", "N/A")
+        if nb in ("N/A", "", None):
+            dur = float(out["duration"]) if out.get("duration", "N/A") not in ("N/A", "") else 0.0
+            nb = int(round(dur * fps))
+        return VideoInfo(
+            fps=fps, num_frames=int(nb), height=int(out["height"]), width=int(out["width"]))
+
     def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
         if isinstance(path_or_fd, (str, Path)):
-            probe = self._probe(str(path_or_fd), None)
+            src_arg, data = str(path_or_fd), None
         else:
             pos = path_or_fd.tell()
             data = path_or_fd.read()
             path_or_fd.seek(pos)
-            probe = self._probe("pipe:0", data)
+            src_arg = "pipe:0"
+        probe = self._probe(src_arg, data)
+        video = None
+        if data is not None or any(
+            src_arg.lower().endswith(ext) for ext in SUPPORTED_VIDEO_EXTENSIONS
+        ):
+            video = self._probe_video(src_arg, data)
         duration = probe["duration"] or 0.0
+        if not duration and video is not None:
+            duration = video.duration
         frames = int(round(duration * probe["sample_rate"]))
         return LibsndfileCompatibleAudioInfo(
             channels=probe["channels"], frames=frames, samplerate=probe["sample_rate"],
-            duration=duration)
+            duration=duration, video=video)
 
     def supports_info(self) -> bool:
         return True

@@ -16,8 +16,15 @@ from typing import Any, Callable, Dict, Optional
 
 LHOTSE_CACHING_ENABLED = False
 
-# Registry of all dynamic caches, so we can clear them when caching is disabled.
-LHOTSE_DYNAMIC_CACHES: Dict[str, Any] = {}
+# Registry of every dynamically-cached method: "cached" maps the qualified
+# name to the LRU-wrapped callable, "noncached" to the original (reference:
+# caching.py:12). Clearing happens through the "cached" view.
+LHOTSE_CACHED_METHOD_REGISTRY: Dict[str, Dict[str, Any]] = {
+    "cached": {},
+    "noncached": {},
+}
+# Alias used throughout this module for the clearable view.
+LHOTSE_DYNAMIC_CACHES: Dict[str, Any] = LHOTSE_CACHED_METHOD_REGISTRY["cached"]
 
 
 def set_caching_enabled(enabled: bool) -> None:
@@ -43,6 +50,7 @@ def dynamic_lru_cache(method: Callable) -> Callable:
     name = f"{method.__module__}.{method.__qualname__}"
     cached = lru_cache(maxsize=512)(method)
     LHOTSE_DYNAMIC_CACHES[name] = cached
+    LHOTSE_CACHED_METHOD_REGISTRY["noncached"][name] = method
 
     @wraps(method)
     def wrapper(*args, **kwargs):

@@ -111,6 +111,16 @@ WRITER_BACKENDS: Dict[str, Type[FeaturesWriter]] = {}
 
 HDF5_STORAGE_BACKENDS = {"chunked_lilcom_hdf5", "lilcom_hdf5", "numpy_hdf5"}
 KALDI_NATIVE_IO_STORAGE_BACKENDS = {"kaldiio"}
+# Backends whose payloads are lilcom-compressed (reference: io.py:177-184);
+# here they read/write the native codec with pip-lilcom fallback on read.
+LILCOM_STORAGE_BACKENDS = {
+    "chunked_lilcom_hdf5",
+    "lilcom_chunky",
+    "lilcom_files",
+    "lilcom_hdf5",
+    "lilcom_url",
+    "memory_lilcom",
+}
 
 
 class StorageBackendInfo(NamedTuple):

@@ -33,6 +33,12 @@ _OFF_TALK = re.compile(r"<OT>(.*?)</OT>")
 _CUT_PREFIX = re.compile(r"=(\w+)")
 _CUT_SUFFIX = re.compile(r"(\w+)=")
 _MULTISPACE = re.compile(r"  +")
+# Reference-compat names (reference: atcosim.py:96-100).
+FOREIGN_PATTERN = _FOREIGN
+OFF_TALK_PATTERN = _OFF_TALK
+INTERRUPTED_PATTERN1 = _CUT_PREFIX
+INTERRUPTED_PATTERN2 = _CUT_SUFFIX
+WHITESPACE_PATTERN = _MULTISPACE
 
 
 def download_atcosim(

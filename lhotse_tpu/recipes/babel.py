@@ -33,6 +33,12 @@ _SPK_NOISE = re.compile(r"<(limspack|lipsmack|breath|cough)>")
 _NOISE = re.compile(r"<(click|ring|dtmf|int|sta)>")
 _SIL = re.compile(r"<no-speech>")
 _DROP = re.compile(r"<(male-to-female|female-to-male)> ")
+# Reference-compat names (reference: babel.py:59-63).
+OOV_PATTERN = _OOV
+SPK_NOISE_PATTERN = _SPK_NOISE
+NOISE_PATTERN = _NOISE
+SIL_PATTERN = _SIL
+REMOVE_PATTERN = _DROP
 
 
 def normalize_text(text: str) -> str:

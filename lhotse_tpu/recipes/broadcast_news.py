@@ -23,6 +23,12 @@ from lhotse_tpu.recipes.utils import finalize_manifests
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, check_and_rglob
 
+# Transcript-line prefixes the reference drops when splitting turn text
+# (reference: broadcast_news.py:29). Our SGML state machine never surfaces
+# these markup lines as text, so the list exists for compatibility with code
+# that imported it to post-filter transcripts.
+EXCLUDE_BEGINNINGS = ["</time", "<overlap", "</overlap"]
+
 
 class _Hub4Sgml(HTMLParser):
     """Collects (episode, sections[turns[time-marked text]]) off HUB4 SGML."""

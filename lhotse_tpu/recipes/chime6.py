@@ -32,10 +32,18 @@ from lhotse_tpu.utils import Pathlike, add_durations
 SESSIONS = {
     "train": ["S03", "S04", "S05", "S06", "S07", "S08", "S12", "S13", "S16", "S17", "S18", "S19", "S20", "S22", "S23", "S24"],
     "dev": ["S02", "S09"], "eval": ["S01", "S21"]}
-# CHiME-7 moved two train sessions into dev.
+# CHiME-7 moved the S19/S20 train sessions into eval (reference: chime6.py:66-72).
 SESSIONS_CHIME7 = {
     "train": [s for s in SESSIONS["train"] if s not in ("S19", "S20")],
-    "dev": ["S02", "S09", "S19", "S20"], "eval": ["S01", "S21"]}
+    "dev": ["S02", "S09"], "eval": ["S01", "S19", "S20", "S21"]}
+# Reference-compat names (reference: chime6.py:57,66).
+DATASET_PARTS = SESSIONS
+DATASET_PARTS_CHIME7 = SESSIONS_CHIME7
+
+# Sources for the array-synchronisation correction metadata applied by
+# download_chime6 (reference: chime6.py:76-77).
+CHIME6_AUDIO_EDITS_JSON = "https://raw.githubusercontent.com/chimechallenge/chime6-synchronisation/master/chime6_audio_edits.json"
+CHIME6_MD5SUM_FILE = "https://raw.githubusercontent.com/chimechallenge/chime6-synchronisation/master/audio_md5sums.txt"
 
 
 def hms_to_seconds(stamp: str) -> float:
@@ -135,7 +143,8 @@ def prepare_chime6(
         session) or "mdm" (all array channels in one Recording).
     :param use_reference_array: in mdm dev/eval, restrict each supervision's
         channels to its annotated reference array.
-    :param use_chime7_split: apply the CHiME-7 train/dev re-split.
+    :param use_chime7_split: apply the CHiME-7 re-split (S19/S20 move from
+        train into eval).
     :param normalize_text: "none" | "upper" | "kaldi".
     """
     corpus_dir = Path(corpus_dir)
@@ -153,7 +162,7 @@ def prepare_chime6(
     use_reference_array = use_reference_array and mic == "mdm"
 
     def session_home(part: str, session: str) -> str:
-        # CHiME-7 dev sessions S19/S20 physically live under train/.
+        # CHiME-7 eval sessions S19/S20 physically live under train/.
         if use_chime7_split and session in ("S19", "S20"):
             return "train"
         return part

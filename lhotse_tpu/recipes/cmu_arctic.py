@@ -34,6 +34,8 @@ GENDERS = {
 ACCENTS = {
     "bdl": "US Midwest", "slt": "US Midwest", "clb": "US", "rms": "US", "jmk": "Canadian Ontario",
     "awb": "Scottish South Eastern", "ksp": "Indian"}
+# Reference-compat name (reference: cmu_arctic.py:76).
+ACCENT_MAP = ACCENTS
 
 
 def _speaker_of(package_dir_name: str) -> str:

@@ -33,6 +33,12 @@ _ANSWERS_FILE = "heroico-answers.txt"
 _RECITATIONS_FILE = "heroico-recordings.txt"
 _USMA_FILE = "usma-prompts.txt"
 
+# Reference-compat names (reference: heroico.py:14-18).
+folds = FOLDS
+heroico_dataset_answers = _ANSWERS_FILE
+heroico_dataset_recordings = _RECITATIONS_FILE
+usma_dataset = _USMA_FILE
+
 
 def download_heroico(
     target_dir: Pathlike = ".", force_download: Optional[bool] = False,

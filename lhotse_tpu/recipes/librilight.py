@@ -21,6 +21,11 @@ from lhotse_tpu.utils import Pathlike, add_durations
 
 LIBRILIGHT = ("small", "medium", "large")
 
+# Manual-download locations for each subset (reference: librilight.py:34-38).
+LIBRILIGHT_URL = tuple(
+    f"https://dl.fbaipublicfiles.com/librilight/data/{subset}.tar"
+    for subset in LIBRILIGHT)
+
 
 def _parse_utterance(corpus_dir: Path, flac: Path):
     rec_id = str(flac.with_suffix("")).replace(str(corpus_dir) + "/", "")

@@ -24,6 +24,8 @@ RIR_NOISE_ZIP_URL = "https://www.openslr.org/resources/28/rirs_noises.zip"
 _PART_DIRS = {
     "point_noise": "pointsource_noises", "iso_noise": "real_rirs_isotropic_noises",
     "real_rir": "real_rirs_isotropic_noises", "sim_rir": "simulated_rirs"}
+# Reference-compat name (reference: rir_noise.py:60).
+PARTS = _PART_DIRS
 
 
 def download_rir_noise(

@@ -49,6 +49,12 @@ LANG_SEQUENCES = {
     "SBC057": ["Japanese"] * 62,
     "SBC058": ["Spanish"] + ["Italian"] * 2}
 
+# Reference-compat view (reference: sbcsae.py:66): the same per-recording
+# language sequences as one-shot iterators. The reference consumes these
+# module-level iterators during prepare; our parser reads LANG_SEQUENCES, so
+# these stay fresh for importers.
+lang_iterators = {k: iter(v) for k, v in LANG_SEQUENCES.items()}
+
 annotation_corrections = {
     "metro St.L. IL": "Saint Louis MO",
     "middle Wes MO": "Missouri",

@@ -29,6 +29,13 @@ from lhotse_tpu.utils import Pathlike, resumable_download
 _SPLITS = ("train", "valid", "test")
 BACKGROUND_NOISE = "_background_noise_"
 
+# The ten core command words of the classification task; in the official
+# test archive, everything else lives flattened under the _unknown_ and
+# _silence_ directories (reference: speechcommands.py:39-41,283-298).
+WORDS = ["down", "go", "left", "no", "off", "on", "right", "stop", "up", "yes"]
+SILENCE = "_silence_"
+UNKNOWN = "_unknown_"
+
 
 def _archive_names(version: str) -> Tuple[str, str]:
     return (f"speech_commands_v0.0{version}", f"speech_commands_test_set_v0.0{version}")
@@ -68,8 +75,14 @@ def _utterance(root: Path, rel_path: str):
     word, filename = rel_path.split("/", 1)
     rec_id = rel_path.replace("/", "_")[: -len(".wav")]
     rec = Recording.from_file(root / rel_path, recording_id=rec_id)
-    if word == BACKGROUND_NOISE:
+    if word in (BACKGROUND_NOISE, SILENCE):
         speaker, text = None, ""
+    elif word == UNKNOWN:
+        # Official test archive flattens unknown words into
+        # _unknown_/<word>_<speaker>_nohash_<n>.wav.
+        parts = filename.split("_")
+        speaker = parts[1] if len(parts) > 1 else None
+        text = parts[0].strip()
     else:
         speaker = filename.split("_")[0]
         text = word.strip()

@@ -30,6 +30,14 @@ LANGUAGES_V2 = tuple(f"{x}_v2" for x in LANGUAGES)
 YEARS = tuple(range(2009, 2021))
 ASR_LANGUAGES = (
     "en", "de", "fr", "es", "pl", "it", "ro", "hu", "cs", "nl", "fi", "hr", "sk", "sl", "et", "lt")
+# ASR transcriptions also exist for accented English (reference: voxpopuli.py:54).
+ASR_ACCENTED_LANGUAGES = ("en_accented",)
+# Speech-to-speech pairs: any ASR language into the 23 EP languages, with
+# human (not auto-aligned) target transcription for en/fr/es
+# (reference: voxpopuli.py:58-65).
+S2S_SRC_LANGUAGES = ASR_LANGUAGES
+S2S_TGT_LANGUAGES = LANGUAGES
+S2S_TGT_LANGUAGES_WITH_HUMAN_TRANSCRIPTION = ("en", "fr", "es")
 DOWNLOAD_BASE_URL = "https://dl.fbaipublicfiles.com/voxpopuli"
 
 _SUBSET_LANGS = {"400k": LANGUAGES, "100k": LANGUAGES, "10k": LANGUAGES, "asr": ("original",)}

@@ -18,6 +18,9 @@ from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, add_durations, compute_num_samples
 
 WENET_SPEECH_PARTS = ("L", "M", "S", "DEV", "TEST_NET", "TEST_MEETING")
+# The reference exposes this tuple under a typo'd name (wenet_speech.py:34);
+# kept so imports keep working.
+WETNET_SPEECH_PARTS = WENET_SPEECH_PARTS
 
 
 def parse_utterance(

@@ -149,9 +149,13 @@ class SmartOpenIOBackend(IOBackend):
         return is_valid_url(str(identifier))
 
 
+AIS_ENDPOINT_ENVVAR = "AIS_ENDPOINT"
+
+
 def is_aistore_available() -> bool:
-    """AIS_ENDPOINT is set to a valid URL (reference: serialization.py)."""
-    return "AIS_ENDPOINT" in os.environ and is_valid_url(os.environ["AIS_ENDPOINT"])
+    """AIS_ENDPOINT is set to a valid URL (reference: serialization.py:60)."""
+    return AIS_ENDPOINT_ENVVAR in os.environ and is_valid_url(
+        os.environ[AIS_ENDPOINT_ENVVAR])
 
 
 @lru_cache
@@ -166,7 +170,7 @@ def get_aistore_client():
         )
     from aistore import Client
 
-    return Client(os.environ["AIS_ENDPOINT"])
+    return Client(os.environ[AIS_ENDPOINT_ENVVAR])
 
 
 def get_lhotse_msc_override_protocols():
@@ -211,12 +215,15 @@ class AIStoreIOBackend(IOBackend):
         return str(identifier).startswith("ais://")
 
 
+MSC_PREFIX = "msc"
+
+
 class MSCIOBackend(IOBackend):
     """NVIDIA Multi-Storage-Client for ``msc://`` URLs (gated; protocol/
     profile overrides via LHOTSE_MSC_OVERRIDE_PROTOCOLS / LHOTSE_MSC_PROFILE /
-    LHOTSE_MSC_BACKEND_FORCED envs; reference: serialization.py:962)."""
+    LHOTSE_MSC_BACKEND_FORCED envs; reference: serialization.py:959-962)."""
 
-    PREFIX = "msc://"
+    PREFIX = MSC_PREFIX + "://"
 
     def open(self, identifier: str, mode: str):
         import os as _os

@@ -10,7 +10,7 @@ checkpoint restore.
 """
 import warnings
 from functools import partial
-from typing import Dict, List, Optional, Tuple, Type, Union
+from typing import Dict, List, Literal, Optional, Tuple, Type, Union
 
 from lhotse_tpu.array import Array, TemporalArray
 from lhotse_tpu.audio import Recording
@@ -224,6 +224,9 @@ class SharWriter:
 
 _AUDIO_FORMATS = ("wav", "flac", "mp3", "opus", "original")
 _ARRAY_COMPRESSIONS = ("lilcom", "numpy")
+# The writer-name vocabulary accepted in ``fields=`` (reference: shar.py:15).
+WriterName = Literal[
+    "wav", "flac", "mp3", "opus", "original", "lilcom", "numpy", "jsonl"]
 
 
 def resolve_writer(name: str, compress_jsonl: bool = True) -> Tuple[FieldWriter, str]:

@@ -141,12 +141,22 @@ def test_prepare_speechcommands(tmp_path):
     (main / "testing_list.txt").write_text("no/ccc_nohash_0.wav\n")
     test_root = tmp_path / "speech_commands_test_set_v0.02"
     _wav(test_root / "yes" / "ddd_nohash_0.wav", seed=17)
+    # The official test archive flattens non-core words under _unknown_ and
+    # ships silence clips under _silence_ (reference: speechcommands.py:283-298).
+    _wav(test_root / "_unknown_" / "bed_0c40e715_nohash_0.wav", seed=18)
+    _wav(test_root / "_silence_" / "running_tap_0.wav", seed=19)
     m = prepare_speechcommands("2", tmp_path, output_dir=tmp_path / "out")
     train_ids = {s.id for s in m["train"]["supervisions"]}
     assert train_ids == {"yes_aaa_nohash_0"}
     valid = sorted(m["valid"]["supervisions"], key=lambda s: s.id)
     assert {s.id for s in valid} == {"yes_bbb_nohash_0", "_background_noise__running_tap"}
-    assert [s.text for s in m["test"]["supervisions"]] == ["yes"]
+    test_sups = {s.id: s for s in m["test"]["supervisions"]}
+    assert test_sups["yes_ddd_nohash_0"].text == "yes"
+    assert test_sups["yes_ddd_nohash_0"].speaker == "ddd"
+    assert test_sups["_unknown__bed_0c40e715_nohash_0"].text == "bed"
+    assert test_sups["_unknown__bed_0c40e715_nohash_0"].speaker == "0c40e715"
+    assert test_sups["_silence__running_tap_0"].text == ""
+    assert test_sups["_silence__running_tap_0"].speaker is None
 
 
 def test_prepare_chime6_mdm(tmp_path):

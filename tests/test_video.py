@@ -184,3 +184,51 @@ class TestVideoMixer:
         mixer = VideoMixer(np.zeros((10, 3, H, W), np.uint8), fps=FPS)
         with pytest.raises(AssertionError):
             mixer.add_to_mix(np.zeros((10, 3, H, W), np.uint8), offset=0.5)
+
+
+FFPROBE_STUB = f'''#!{sys.executable}
+import sys
+
+args = sys.argv[1:]
+stream = args[args.index("-select_streams") + 1]
+if stream.startswith("a"):
+    print("sample_rate={SR}")
+    print("channels=1")
+    print("duration=2.000000")
+else:
+    print("width={W}")
+    print("height={H}")
+    print("r_frame_rate=10/1")
+    print("nb_frames=20")
+    print("duration=2.000000")
+'''
+
+
+class TestVideoProbe:
+    def test_from_file_mp4_gets_video_info(self, tmp_path, monkeypatch):
+        """Recording.from_file on a video extension probes the video stream
+        (reference: audio/backend.py:35-44 SUPPORTED_VIDEO_EXTENSIONS +
+        Recording.from_file populating VideoInfo)."""
+        bindir = tmp_path / "bin"
+        bindir.mkdir()
+        for name, body in (("ffmpeg", STUB), ("ffprobe", FFPROBE_STUB)):
+            exe = bindir / name
+            exe.write_text(body)
+            exe.chmod(exe.stat().st_mode | stat.S_IEXEC)
+        monkeypatch.setenv("PATH", f"{bindir}{os.pathsep}{os.environ['PATH']}")
+
+        clip = tmp_path / "clip.mp4"
+        clip.write_bytes(b"\x00" * 64)  # never decoded: stubs only read args
+        r = Recording.from_file(clip)
+        assert r.has_video
+        assert r.video.fps == FPS
+        assert r.video.num_frames == 20
+        assert (r.video.height, r.video.width) == (H, W)
+        assert r.sampling_rate == SR
+        assert r.duration == 2.0
+
+    def test_supported_video_extensions_exported(self):
+        from lhotse_tpu.audio.backend import SUPPORTED_VIDEO_EXTENSIONS
+
+        assert ".mp4" in SUPPORTED_VIDEO_EXTENSIONS
+        assert ".webm" in SUPPORTED_VIDEO_EXTENSIONS
