@@ -83,15 +83,19 @@ def simple(
 @click.option(
     "-c", "--context-direction", type=click.Choice(["center", "left", "right", "random"]),
     default="center", help="Side(s) on which the acoustic context is added.")
+@click.option(
+    "--keep-all-channels/--discard-extra-channels", type=bool, default=False,
+    help="For multi-channel cuts: keep the full channel set in each trimmed "
+    "cut instead of only the supervision's channel(s).")
 def trim_to_supervisions(
     cuts: Pathlike, output_cuts: Pathlike, keep_overlapping: bool, min_duration: Optional[float],
-    context_direction: str):
+    context_direction: str, keep_all_channels: bool):
     """
     Split each input cut into one cut per supervision, spanning exactly the
     supervision's time span.
     """
     _stream_out(
-        CutSet.from_file(cuts).trim_to_supervisions( keep_overlapping=keep_overlapping, min_duration=min_duration, context_direction=context_direction, ),
+        CutSet.from_file(cuts).trim_to_supervisions( keep_overlapping=keep_overlapping, min_duration=min_duration, context_direction=context_direction, keep_all_channels=keep_all_channels, ),
         output_cuts)
 
 
@@ -105,14 +109,19 @@ def trim_to_supervisions(
 @click.option(
     "--delimiter", "-d", type=str, default=" ",
     help="Joiner placed between merged alignment symbols")
+@click.option(
+    "--keep-all-channels/--discard-extra-channels", type=bool, default=False,
+    help="For multi-channel cuts: keep the full channel set in each trimmed "
+    "cut instead of only the supervision's channel(s).")
 def trim_to_alignments(
-    cuts: Pathlike, output_cuts: Pathlike, type: str, max_pause: float, delimiter: str):
+    cuts: Pathlike, output_cuts: Pathlike, type: str, max_pause: float, delimiter: str,
+    keep_all_channels: bool):
     """
     New CutSet with cuts spanning the alignments of type TYPE; contiguous
     alignment items within MAX_PAUSE are merged.
     """
     _stream_out(
-        CutSet.from_file(cuts).trim_to_alignments( type=type, max_pause=max_pause, delimiter=delimiter ),
+        CutSet.from_file(cuts).trim_to_alignments( type=type, max_pause=max_pause, delimiter=delimiter, keep_all_channels=keep_all_channels ),
         output_cuts)
 
 
@@ -209,6 +218,43 @@ def pad(cut_manifest: Pathlike, output_cut_manifest: Pathlike, duration: Optiona
     Right-pad the cuts in CUT_MANIFEST.
     """
     CutSet.from_file(cut_manifest).pad(duration=duration).to_file(output_cut_manifest)
+
+
+@cut.command(context_settings=dict(show_default=True))
+@click.argument("cutset", type=click.Path(exists=True, dir_okay=False, allow_dash=True))
+@click.argument("wspecifier", type=str)
+@click.option(
+    "-s", "--shard-size", type=int,
+    help="Number of cuts per shard (sharding disabled if not defined).")
+@click.option(
+    "-f", "--audio-format", type=str, default="flac",
+    help="Format in which the audio is encoded.")
+@click.option("--audio/--no-audio", default=True, help="Load and add audio data.")
+@click.option("--features/--no-features", default=True, help="Load and add feature data.")
+@click.option("--custom/--no-custom", default=True, help="Load and add custom data.")
+@click.option(
+    "--fault-tolerant/--stop-on-fail", default=True,
+    help="Omit cuts whose data failed to load, or stop the execution.")
+def export_to_webdataset(
+    cutset: Pathlike, wspecifier: str, shard_size: Optional[int], audio_format: str,
+    audio: bool, features: bool, custom: bool, fault_tolerant: bool):
+    """
+    Export CUTSET into a WebDataset tarfile (or shards) at WSPECIFIER.
+
+    \\b
+    WSPECIFIER can be:
+    - a regular path (e.g., "data/cuts.tar"),
+    - a path template for sharding (e.g., "data/shard-%06d.tar"), or
+    - a "pipe:" expression (e.g., "pipe:gzip -c > data/shard-%06d.tar.gz").
+
+    Read back with 'CutSet.from_webdataset'.
+    """
+    from lhotse_tpu.dataset.webdataset import export_to_webdataset as export_
+
+    export_(
+        cuts=CutSet.from_file(cutset), output_path=wspecifier, shard_size=shard_size,
+        audio_format=audio_format, load_audio=audio, load_features=features,
+        load_custom=custom, fault_tolerant=fault_tolerant)
 
 
 @cut.command()

@@ -30,10 +30,19 @@ def kaldi():
 @click.option(
     "--use-reco2dur/--no-use-reco2dur", default=True,
     help="Read durations from reco2dur when available instead of the audio.")
+@click.option(
+    "-d", "--compute-durations", is_flag=True, default=False,
+    help="Compute durations by reading the audio instead of the reco2dur "
+    "file (alias of --no-use-reco2dur).")
 @click.option("-j", "--num-jobs", type=int, default=1, help="Parallel duration reads.")
+@click.option(
+    "-t", "--feature-type", type=click.Choice(["kaldi-fbank", "kaldi-mfcc"]),
+    default="kaldi-fbank",
+    help="Feature type when importing precomputed features from feats.scp.")
 def import_(
     data_dir: Pathlike, sampling_rate: int, manifest_dir: Pathlike, frame_shift: Optional[float],
-    map_string_to_underscores: Optional[str], use_reco2dur: bool, num_jobs: int):
+    map_string_to_underscores: Optional[str], use_reco2dur: bool, compute_durations: bool,
+    num_jobs: int, feature_type: str):
     """
     Convert a Kaldi DATA_DIR (wav.scp + optional segments/text/utt2spk/...)
     into recordings/supervisions[/features] manifests in MANIFEST_DIR.
@@ -42,8 +51,9 @@ def import_(
 
     recording_set, supervision_set, feature_set = load_kaldi_data_dir(
         path=data_dir, sampling_rate=sampling_rate, frame_shift=frame_shift,
-        map_string_to_underscores=map_string_to_underscores, use_reco2dur=use_reco2dur,
-        num_jobs=num_jobs)
+        map_string_to_underscores=map_string_to_underscores,
+        use_reco2dur=use_reco2dur and not compute_durations,
+        num_jobs=num_jobs, feature_type=feature_type)
     manifest_dir = Path(manifest_dir)
     manifest_dir.mkdir(parents=True, exist_ok=True)
     recording_set.to_file(manifest_dir / "recordings.jsonl.gz")

@@ -48,11 +48,14 @@ def export_to_webdataset(
             success = writer.write(cut)
             ok += int(success)
 
-    num_shards_written = writer.num_shards_written
+    num_shards_written = writer.num_shards_written or 0
+    where = (
+        f"{num_shards_written} shards" if num_shards_written else "a single tarball"
+    )
 
     logging.info(
-        f"Exported {ok} cuts out of {total} total into {num_shards_written} "
-        f"shards (there were {total - ok} cuts with errors)."
+        f"Exported {ok} cuts out of {total} total into {where} "
+        f"(there were {total - ok} cuts with errors)."
     )
 
     return num_shards_written

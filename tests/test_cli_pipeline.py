@@ -135,3 +135,26 @@ def test_workflows_vad_and_meetings(workdir):
     meetings = list(CutSet.from_file(d / "meetings.jsonl.gz"))
     assert len(meetings) == 2
     assert all(len({s.speaker for s in c.supervisions}) == 2 for c in meetings)
+    # Conversational method with distribution flags + synthetic reverberation.
+    invoke("workflows", "simulate-meetings", "--method", "conversational",
+           "--same-spk-pause", 0.5, "--diff-spk-overlap", 1.0,
+           "--num-meetings", 1, "--reverberate",
+           d / "cuts.jsonl.gz", d / "meetings_rev.jsonl.gz")
+    rev = list(CutSet.from_file(d / "meetings_rev.jsonl.gz"))
+    assert len(rev) == 1
+    assert np.isfinite(rev[0].load_audio()).all()
+
+
+def test_export_to_webdataset_cli(workdir, trimmed):
+    d = workdir
+    invoke("cut", "export-to-webdataset", trimmed, d / "wds.tar", "--no-features")
+    back = list(CutSet.from_webdataset(str(d / "wds.tar")))
+    assert len(back) == 6
+    assert back[0].load_audio().shape[0] == 1
+
+
+def test_trim_keep_all_channels_flag(workdir):
+    d = workdir
+    invoke("cut", "trim-to-supervisions", d / "cuts.jsonl.gz",
+           d / "trimmed_kac.jsonl.gz", "--keep-all-channels")
+    assert len(list(CutSet.from_file(d / "trimmed_kac.jsonl.gz"))) == 6
