@@ -13,9 +13,12 @@ __all__ = ["ami"]
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-@click.option("--annotations-dir", type=click.Path(exists=True), default=None)
+@click.option(
+    "--annotations", "--annotations-dir", "annotations_dir", type=click.Path(exists=True),
+    default=None,
+    help="Provide if annotations were downloaded to a different directory than the corpus.")
 @click.option("--mic", type=click.Choice(MICS), default="ihm")
-@click.option("--partition", type=click.Choice(sorted(PARTITIONS)), default="full-corpus")
+@click.option("--partition", type=click.Choice(sorted(PARTITIONS)), default="full-corpus-asr")
 @click.option(
     "--normalize-text", type=click.Choice(["none", "upper", "kaldi"], case_sensitive=False),
     default="kaldi")
@@ -38,6 +41,12 @@ def ami(
 @click.argument("target_dir", type=click.Path())
 @click.option("--annotations", type=click.Path(), default=None)
 @click.option("--mic", type=click.Choice(MICS), default="ihm")
-def ami_dl(target_dir: Pathlike, annotations: Optional[Pathlike], mic: str):
+@click.option("--url", type=str, default="http://groups.inf.ed.ac.uk/ami",
+              help="AMI download URL.")
+@click.option("--force-download", is_flag=True, default=False)
+def ami_dl(
+    target_dir: Pathlike, annotations: Optional[Pathlike], mic: str, url: str,
+    force_download: bool):
     """AMI Meeting Corpus download."""
-    download_ami(target_dir, annotations=annotations, mic=mic)
+    download_ami(target_dir, annotations=annotations, mic=mic, url=url,
+                 force_download=force_download)

@@ -34,7 +34,8 @@ def commonvoice(
 
 @download.command(name="commonvoice", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
-@click.option("-l", "--language", "languages", type=str, multiple=True, default=["all"])
+@click.option(
+    "-l", "--language", "--languages", "languages", type=str, multiple=True, default=["all"])
 @click.option("--release", type=str, default=DEFAULT_COMMONVOICE_RELEASE)
 def commonvoice_dl(target_dir: Pathlike, languages: Sequence[str], release: str):
     """CommonVoice download."""

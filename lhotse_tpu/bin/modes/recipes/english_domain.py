@@ -30,17 +30,17 @@ def aspire(corpus_dir: Pathlike, output_dir: Pathlike, mic: str):
 
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("audio_dir", type=click.Path(exists=True, dir_okay=True))
-@click.argument("transcripts_dir", type=click.Path(exists=True, dir_okay=True))
+@click.argument("transcript_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
 @click.option("--absolute-paths", type=bool, default=False)
 def broadcast_news(
-    audio_dir: Pathlike, transcripts_dir: Pathlike, output_dir: Pathlike,
+    audio_dir: Pathlike, transcript_dir: Pathlike, output_dir: Pathlike,
     absolute_paths: bool):
     """1997 English Broadcast News (HUB4) data preparation."""
     from lhotse_tpu.recipes.broadcast_news import prepare_broadcast_news
 
     prepare_broadcast_news(
-        audio_dir, transcripts_dir, output_dir=output_dir, absolute_paths=absolute_paths)
+        audio_dir, transcript_dir, output_dir=output_dir, absolute_paths=absolute_paths)
 
 
 @prepare.command(context_settings=dict(show_default=True))
@@ -139,7 +139,7 @@ def slu(corpus_dir: Pathlike, output_dir: Pathlike):
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
 @click.option("--with-supervisions/--no-supervisions", default=True)
-@click.option("-j", "--num-jobs", type=int, default=1)
+@click.option("-j", "--jobs", "--num-jobs", "num_jobs", type=int, default=1)
 def grid(corpus_dir: Pathlike, output_dir: Pathlike, with_supervisions: bool, num_jobs: int):
     """Grid audiovisual corpus data preparation."""
     from lhotse_tpu.recipes.grid import prepare_grid

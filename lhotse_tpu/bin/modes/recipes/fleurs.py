@@ -13,7 +13,8 @@ __all__ = ["fleurs"]
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-@click.option("-l", "--language", "languages", type=str, multiple=True, default=["all"])
+@click.option(
+    "-l", "--lang", "--language", "languages", type=str, multiple=True, default=["all"])
 @click.option("-j", "--num-jobs", type=int, default=1)
 def fleurs(corpus_dir: Pathlike, output_dir: Pathlike, languages: Sequence[str], num_jobs: int):
     """FLEURS multilingual benchmark data preparation."""
@@ -22,7 +23,9 @@ def fleurs(corpus_dir: Pathlike, output_dir: Pathlike, languages: Sequence[str],
 
 @download.command(name="fleurs", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
-@click.option("-l", "--language", "languages", type=str, multiple=True, default=["all"])
-def fleurs_dl(target_dir: Pathlike, languages: Sequence[str]):
+@click.option(
+    "-l", "--lang", "--language", "languages", type=str, multiple=True, default=["all"])
+@click.option("--force-download", is_flag=True, default=False)
+def fleurs_dl(target_dir: Pathlike, languages: Sequence[str], force_download: bool):
     """FLEURS download (streams through HuggingFace datasets)."""
-    download_fleurs(target_dir, languages=list(languages))
+    download_fleurs(target_dir, languages=list(languages), force_download=force_download)

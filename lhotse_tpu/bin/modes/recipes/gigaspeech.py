@@ -15,8 +15,8 @@ __all__ = ["gigaspeech"]
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
 @click.option(
-    "-p", "--dataset-parts", type=click.Choice(("auto",) + GIGASPEECH_PARTS), multiple=True,
-    default=["auto"])
+    "-p", "--subset", "--dataset-parts", "dataset_parts",
+    type=click.Choice(("auto",) + GIGASPEECH_PARTS), multiple=True, default=["auto"])
 @click.option("-j", "--num-jobs", type=int, default=1)
 def gigaspeech(
     corpus_dir: Pathlike, output_dir: Pathlike, dataset_parts: Sequence[str], num_jobs: int):
@@ -31,8 +31,8 @@ def gigaspeech(
 @click.argument("password", type=str)
 @click.argument("target_dir", type=click.Path())
 @click.option(
-    "-p", "--dataset-parts", type=click.Choice(("auto",) + GIGASPEECH_PARTS), multiple=True,
-    default=["auto"])
+    "-p", "--subset", "--dataset-parts", "dataset_parts",
+    type=click.Choice(("auto",) + GIGASPEECH_PARTS), multiple=True, default=["auto"])
 @click.option("--host", type=str, default="tsinghua")
 def gigaspeech_dl(password: str, target_dir: Pathlike, dataset_parts: Sequence[str], host: str):
     """GigaSpeech download (requires 'speechcolab' and the corpus password)."""

@@ -20,7 +20,9 @@ __all__ = [
 @click.argument("librimix_metadata_path", type=click.Path(exists=True))
 @click.argument("workdir", type=click.Path())
 @click.argument("output_dir", type=click.Path())
-@click.option("--n-src", type=int, default=2, help="Number of mixed sources (2 or 3).")
+@click.option(
+    "-n", "--n_src", "--n-src", "n_src", type=int, default=2,
+    help="Number of mixed sources (2 or 3).")
 @click.option("-j", "--num-jobs", type=int, default=1)
 def librimix(
     librispeech_root_path: Pathlike, wham_recset_root_path: Pathlike,

@@ -16,7 +16,8 @@ def _prepare_opts(fn):
         help="Dataset parts to prepare (e.g. dev-clean).")(fn)
     fn = click.option("-j", "--num-jobs", type=int, default=1)(fn)
     fn = click.option(
-        "--link-previous-utt/--no-link-previous-utt", default=False,
+        "--link-previous-utterance/--no-previous-utterance",
+        "--link-previous-utt/--no-link-previous-utt", "link_previous_utt", default=False,
         help="Attach the previous utterance id to supervisions (for TTS chains).")(fn)
     return fn
 

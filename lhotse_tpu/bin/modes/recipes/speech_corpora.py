@@ -42,16 +42,21 @@ def aishell3_dl(target_dir: Pathlike):
 
 
 @prepare.command(context_settings=dict(show_default=True))
-@click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
+@click.argument("tedlium_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
+@click.option(
+    "-p", "--parts", "--dataset-parts", "dataset_parts",
+    type=click.Choice(["train", "dev", "test"]), multiple=True,
+    default=["train", "dev", "test"])
 @click.option("--normalize-text", type=click.Choice(["none", "upper", "kaldi"]), default="none")
 @click.option("-j", "--num-jobs", type=int, default=1)
-def tedlium2(corpus_dir: Pathlike, output_dir: Pathlike, normalize_text, num_jobs):
+def tedlium2(tedlium_dir: Pathlike, output_dir: Pathlike, dataset_parts, normalize_text, num_jobs):
     """TED-LIUM v2 data preparation."""
     from lhotse_tpu.recipes import prepare_tedlium2
 
     prepare_tedlium2(
-        corpus_dir, output_dir=output_dir, normalize_text=normalize_text, num_jobs=num_jobs)
+        tedlium_dir, output_dir=output_dir, dataset_parts=list(dataset_parts),
+        normalize_text=normalize_text, num_jobs=num_jobs)
 
 
 @download.command(name="tedlium2", context_settings=dict(show_default=True))
@@ -66,7 +71,7 @@ def tedlium2_dl(target_dir: Pathlike):
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-@click.option("--normalize-text", is_flag=True)
+@click.option("--normalize-text/--no-normalize-text", default=False)
 def earnings21(corpus_dir: Pathlike, output_dir: Pathlike, normalize_text):
     """Earnings-21 data preparation."""
     from lhotse_tpu.recipes import prepare_earnings21
@@ -86,13 +91,21 @@ def earnings21_dl(target_dir: Pathlike):
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
+@click.option(
+    "--task", type=click.Choice(["asr", "s2s", "lm"]), default="asr",
+    help="Which VoxPopuli task to prepare manifests for.")
 @click.option("--lang", default="en")
+@click.option("--src-lang", default=None, help="[s2s] Source language code.")
+@click.option("--tgt-lang", default=None, help="[s2s] Target language code.")
 @click.option("-j", "--num-jobs", type=int, default=1)
-def voxpopuli(corpus_dir: Pathlike, output_dir: Pathlike, lang, num_jobs):
+def voxpopuli(corpus_dir: Pathlike, output_dir: Pathlike, task, lang, src_lang, tgt_lang,
+              num_jobs):
     """VoxPopuli ASR data preparation."""
     from lhotse_tpu.recipes import prepare_voxpopuli
 
-    prepare_voxpopuli(corpus_dir, output_dir=output_dir, lang=lang, num_jobs=num_jobs)
+    prepare_voxpopuli(
+        corpus_dir, output_dir=output_dir, task=task, lang=lang, source_lang=src_lang,
+        target_lang=tgt_lang, num_jobs=num_jobs)
 
 
 @download.command(name="voxpopuli", context_settings=dict(show_default=True))
@@ -119,12 +132,24 @@ def librilight(corpus_dir: Pathlike, output_dir: Pathlike, num_jobs):
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
+@click.option(
+    "-a", "--audio-dirs", type=str, multiple=True, default=["LDC2004S13", "LDC2005S13"],
+    help="Audio corpus directory names under CORPUS_DIR.")
+@click.option(
+    "-t", "--transcript-dirs", type=str, multiple=True, default=["LDC2004T19", "LDC2005T19"],
+    help="Transcript corpus directory names under CORPUS_DIR.")
+@click.option("--absolute-paths", type=bool, default=False)
 @click.option("-j", "--num-jobs", type=int, default=1)
-def fisher_english(corpus_dir: Pathlike, output_dir: Pathlike, num_jobs):
+def fisher_english(
+    corpus_dir: Pathlike, output_dir: Pathlike, audio_dirs, transcript_dirs,
+    absolute_paths: bool, num_jobs):
     """Fisher English Parts 1+2 data preparation."""
     from lhotse_tpu.recipes import prepare_fisher_english
 
-    prepare_fisher_english(corpus_dir, output_dir=output_dir, num_jobs=num_jobs)
+    prepare_fisher_english(
+        corpus_dir, output_dir=output_dir, audio_dirs=list(audio_dirs),
+        transcript_dirs=list(transcript_dirs), absolute_paths=absolute_paths,
+        num_jobs=num_jobs)
 
 
 @prepare.command(context_settings=dict(show_default=True))
@@ -137,23 +162,40 @@ def babel(corpus_dir: Pathlike, output_dir: Pathlike):
     prepare_single_babel_language(corpus_dir, output_dir=output_dir)
 
 
-@prepare.command(context_settings=dict(show_default=True))
+@prepare.command(name="MDCC", context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-def mdcc(corpus_dir: Pathlike, output_dir: Pathlike):
+@click.option(
+    "-p", "--dataset-parts", type=str, multiple=True, default=["all"],
+    help="Parts to prepare (pass multiple -p, e.g. `-p train -p valid`).")
+def mdcc(corpus_dir: Pathlike, output_dir: Pathlike, dataset_parts):
     """MDCC (Cantonese) data preparation."""
     from lhotse_tpu.recipes import prepare_mdcc
 
-    prepare_mdcc(corpus_dir, output_dir=output_dir)
+    parts = list(dataset_parts)
+    prepare_mdcc(
+        corpus_dir, dataset_parts="all" if parts == ["all"] else parts,
+        output_dir=output_dir)
 
 
-@download.command(name="mdcc", context_settings=dict(show_default=True))
+# The reference registers this recipe under the uppercase name "MDCC";
+# keep the lowercase spelling as a convenience alias.
+prepare.add_command(mdcc, name="mdcc")
+
+
+@download.command(name="MDCC", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
-def mdcc_dl(target_dir: Pathlike):
+@click.option(
+    "--force-download", is_flag=True, default=False,
+    help="Download the MDCC data even if it is already present.")
+def mdcc_dl(target_dir: Pathlike, force_download: bool):
     """MDCC download."""
     from lhotse_tpu.recipes import download_mdcc
 
-    download_mdcc(target_dir)
+    download_mdcc(target_dir, force_download=force_download)
+
+
+download.add_command(mdcc_dl, name="mdcc")
 
 
 @prepare.command(context_settings=dict(show_default=True))
@@ -179,32 +221,37 @@ def heroico_dl(target_dir: Pathlike):
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-def cmu_kids(corpus_dir: Pathlike, output_dir: Pathlike):
+@click.option(
+    "--absolute-paths", type=bool, default=True,
+    help="Use absolute audio paths in the manifests.")
+def cmu_kids(corpus_dir: Pathlike, output_dir: Pathlike, absolute_paths: bool):
     """CMU Kids data preparation."""
     from lhotse_tpu.recipes import prepare_cmu_kids
 
-    prepare_cmu_kids(corpus_dir, output_dir=output_dir)
+    prepare_cmu_kids(corpus_dir, output_dir=output_dir, absolute_paths=absolute_paths)
 
 
 @prepare.command(context_settings=dict(show_default=True))
+@click.argument("speechcommands_version", type=click.Choice(["1", "2"]))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-@click.option("--version", "speechcommands_version", type=click.Choice(["1", "2"]), default="2")
-def speechcommands(corpus_dir: Pathlike, output_dir: Pathlike, speechcommands_version):
-    """Speech Commands data preparation."""
+def speechcommands(speechcommands_version, corpus_dir: Pathlike, output_dir: Pathlike):
+    """Speech Commands v0.01 ('1') or v0.02 ('2') data preparation."""
     from lhotse_tpu.recipes import prepare_speechcommands
 
     prepare_speechcommands(speechcommands_version, corpus_dir, output_dir=output_dir)
 
 
 @download.command(name="speechcommands", context_settings=dict(show_default=True))
+@click.argument("speechcommands_version", type=click.Choice(["1", "2"]))
 @click.argument("target_dir", type=click.Path())
-@click.option("--version", "speechcommands_version", type=click.Choice(["1", "2"]), default="2")
-def speechcommands_dl(target_dir: Pathlike, speechcommands_version):
-    """Speech Commands download."""
+@click.option("--force-download", is_flag=True, default=False)
+def speechcommands_dl(speechcommands_version, target_dir: Pathlike, force_download: bool):
+    """Speech Commands v0.01 ('1') or v0.02 ('2') download."""
     from lhotse_tpu.recipes import download_speechcommands
 
-    download_speechcommands(speechcommands_version, target_dir)
+    download_speechcommands(
+        speechcommands_version, target_dir, force_download=force_download)
 
 
 @prepare.command(context_settings=dict(show_default=True))
@@ -219,11 +266,12 @@ def audio_mnist(corpus_dir: Pathlike, output_dir: Pathlike):
 
 @download.command(name="audio-mnist", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
-def audio_mnist_dl(target_dir: Pathlike):
+@click.option("--force-download", is_flag=True, default=False)
+def audio_mnist_dl(target_dir: Pathlike, force_download: bool):
     """AudioMNIST download."""
     from lhotse_tpu.recipes import download_audio_mnist
 
-    download_audio_mnist(target_dir)
+    download_audio_mnist(target_dir, force_download=force_download)
 
 
 @prepare.command(context_settings=dict(show_default=True))

@@ -14,7 +14,9 @@ __all__ = []
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("audio_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-@click.option("--transcripts-dir", type=click.Path(exists=True), default=None)
+@click.option(
+    "--transcript-dir", "--transcripts-dir", "transcripts_dir",
+    type=click.Path(exists=True), default=None)
 @click.option("--sentiment-dir", type=click.Path(exists=True), default=None)
 @click.option("--omit-silence/--retain-silence", default=True)
 @click.option("--absolute-paths", is_flag=True, default=False)
@@ -30,7 +32,13 @@ def switchboard(
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
+@click.option(
+    "--transcript-dir", type=click.Path(exists=True, file_okay=False), default=None,
+    help="Path to the LDC2002T43 transcripts if stored outside CORPUS_DIR.")
 @click.option("--absolute-paths", is_flag=True, default=False)
-def eval2000(corpus_dir: Pathlike, output_dir: Pathlike, absolute_paths: bool):
+def eval2000(
+    corpus_dir: Pathlike, output_dir: Pathlike, transcript_dir, absolute_paths: bool):
     """Eval2000 / Hub5'00 (LDC2002S09 + LDC2002T43) data preparation."""
-    prepare_eval2000(corpus_dir, output_dir=output_dir, absolute_paths=absolute_paths)
+    prepare_eval2000(
+        corpus_dir, output_dir=output_dir, transcript_path=transcript_dir,
+        absolute_paths=absolute_paths)

@@ -11,20 +11,21 @@ __all__ = ["tedlium"]
 
 
 @prepare.command(context_settings=dict(show_default=True))
-@click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
+@click.argument("tedlium_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
 @click.option(
-    "-p", "--dataset-parts", type=click.Choice(TEDLIUM_PARTS), multiple=True, default=TEDLIUM_PARTS)
+    "-p", "--parts", "--dataset-parts", "dataset_parts", type=click.Choice(TEDLIUM_PARTS),
+    multiple=True, default=TEDLIUM_PARTS)
 @click.option("-j", "--num-jobs", type=int, default=1)
 @click.option(
     "--normalize-text", type=click.Choice(["none", "upper", "kaldi"], case_sensitive=False),
     default="none")
 def tedlium(
-    corpus_dir: Pathlike, output_dir: Pathlike, dataset_parts: Sequence[str], num_jobs: int,
+    tedlium_dir: Pathlike, output_dir: Pathlike, dataset_parts: Sequence[str], num_jobs: int,
     normalize_text: str):
     """TED-LIUM v3 ASR data preparation."""
     prepare_tedlium(
-        corpus_dir, output_dir=output_dir, dataset_parts=dataset_parts, num_jobs=num_jobs,
+        tedlium_dir, output_dir=output_dir, dataset_parts=dataset_parts, num_jobs=num_jobs,
         normalize_text=normalize_text)
 
 

@@ -117,7 +117,7 @@ def gale_mandarin(
     "--text-cleaning/--no-text-cleaning", default=True,
     help="Basic Arabic text cleaning (punctuation/diacritics removal).")
 @click.option(
-    "--buck-walter", is_flag=True, default=False,
+    "--buck-walter/--no-buck-walter", default=False,
     help="Keep dev/test text in BuckWalter transliteration.")
 @click.option("-j", "--num-jobs", type=int, default=1)
 @click.option(

@@ -52,8 +52,10 @@ def must_c(corpus_dir: Pathlike, output_dir: Pathlike, tgt_lang: str, num_jobs: 
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("manifests_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-@click.option("-l", "--languages", type=str, multiple=True, default=["auto"])
-@click.option("-p", "--dataset-parts", type=str, multiple=True, default=["auto"])
+@click.option("-l", "--language", "--languages", "languages", type=str, multiple=True,
+              default=["auto"])
+@click.option("-p", "--subset", "--dataset-parts", "dataset_parts", type=str, multiple=True,
+              default=["auto"])
 def gigast(
     corpus_dir: Pathlike, manifests_dir: Pathlike, output_dir: Pathlike, languages,
     dataset_parts):
@@ -71,12 +73,15 @@ def gigast(
 @download.command(name="gigast", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path(), default=".")
 @click.option("-l", "--languages", type=str, multiple=True, default=["all"])
-def gigast_dl(target_dir: Pathlike, languages):
+@click.option("--force-download", is_flag=True, default=False)
+def gigast_dl(target_dir: Pathlike, languages, force_download: bool):
     """GigaST download."""
     from lhotse_tpu.recipes.gigast import download_gigast
 
     langs = list(languages)
-    download_gigast(target_dir, languages="all" if langs == ["all"] else langs)
+    download_gigast(
+        target_dir, languages="all" if langs == ["all"] else langs,
+        force_download=force_download)
 
 
 @prepare.command(name="iwslt22-ta", context_settings=dict(show_default=True))
@@ -84,16 +89,23 @@ def gigast_dl(target_dir: Pathlike, languages):
 @click.argument("splits", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
 @click.option("--normalize-text", is_flag=True, default=False)
+@click.option(
+    "--langs", type=str, default="",
+    help="Comma-separated language codes for the supervision languages "
+    "(e.g. 'ta,eng').")
 @click.option("-j", "--num-jobs", type=int, default=1)
 def iwslt22_ta(
     corpus_dir: Pathlike, splits: Pathlike, output_dir: Pathlike,
-    normalize_text: bool, num_jobs: int):
+    normalize_text: bool, langs: str, num_jobs: int):
     """IWSLT-2022 Tunisian data preparation."""
     from lhotse_tpu.recipes.iwslt22_ta import prepare_iwslt22_ta
 
+    kwargs = {}
+    if langs:
+        kwargs["langs"] = langs.split(",")
     prepare_iwslt22_ta(
         corpus_dir, splits, output_dir=output_dir, normalize_text=normalize_text,
-        num_jobs=num_jobs)
+        num_jobs=num_jobs, **kwargs)
 
 
 @prepare.command(context_settings=dict(show_default=True))
@@ -126,7 +138,7 @@ def gigaspeech2(corpus_dir: Pathlike, output_dir: Pathlike, languages, num_jobs:
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-@click.option("-j", "--num-jobs", type=int, default=1)
+@click.option("-j", "-nj", "--num_jobs", "--num-jobs", "num_jobs", type=int, default=1)
 def bvcc(corpus_dir: Pathlike, output_dir: Pathlike, num_jobs: int):
     """BVCC / VoiceMOS data preparation."""
     from lhotse_tpu.recipes.bvcc import prepare_bvcc
@@ -155,9 +167,20 @@ def notsofar1(corpus_dir: Pathlike, output_dir: Pathlike):
 
 @download.command(name="notsofar1", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path(), default=".")
+@click.option("--force-download", is_flag=True, default=False)
+@click.option(
+    "-p", "--dataset-parts", type=click.Choice(["train", "dev", "test"]), multiple=True,
+    default=("train", "dev", "test"), help="Benchmark parts to fetch.")
 @click.option("--mic", type=click.Choice(["sdm", "mdm", "ihm"]), default="sdm")
-def notsofar1_dl(target_dir: Pathlike, mic: str):
+@click.option("--train-version", type=str, default="240825.1_train")
+@click.option("--dev-version", type=str, default="240825.1_dev1")
+@click.option("--test-version", type=str, default="240629.1_eval_small_with_GT")
+def notsofar1_dl(
+    target_dir: Pathlike, force_download: bool, dataset_parts, mic: str,
+    train_version: str, dev_version: str, test_version: str):
     """NOTSOFAR-1 download (requires HF_TOKEN)."""
     from lhotse_tpu.recipes.notsofar1 import download_notsofar1
 
-    download_notsofar1(target_dir, mic=mic)
+    download_notsofar1(
+        target_dir, parts=tuple(dataset_parts), mic=mic, train_version=train_version,
+        dev_version=dev_version, test_version=test_version, force_download=force_download)

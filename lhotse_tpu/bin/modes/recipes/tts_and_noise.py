@@ -81,30 +81,33 @@ def adept_dl(target_dir: Pathlike):
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-def daily_talk(corpus_dir: Pathlike, output_dir: Pathlike):
+@click.option("-j", "--num-jobs", type=int, default=1)
+def daily_talk(corpus_dir: Pathlike, output_dir: Pathlike, num_jobs: int):
     """DailyTalk data preparation."""
     from lhotse_tpu.recipes import prepare_daily_talk
 
-    prepare_daily_talk(corpus_dir, output_dir=output_dir)
+    prepare_daily_talk(corpus_dir, output_dir=output_dir, num_jobs=num_jobs)
 
 
 @download.command(name="daily-talk", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
-def daily_talk_dl(target_dir: Pathlike):
+@click.option("--force-download", is_flag=True, default=False)
+def daily_talk_dl(target_dir: Pathlike, force_download: bool):
     """DailyTalk download."""
     from lhotse_tpu.recipes import download_daily_talk
 
-    download_daily_talk(target_dir)
+    download_daily_talk(target_dir, force_download)
 
 
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-def ears(corpus_dir: Pathlike, output_dir: Pathlike):
+@click.option("-j", "--num-jobs", type=int, default=1)
+def ears(corpus_dir: Pathlike, output_dir: Pathlike, num_jobs: int):
     """EARS data preparation."""
     from lhotse_tpu.recipes import prepare_ears
 
-    prepare_ears(corpus_dir, output_dir=output_dir)
+    prepare_ears(corpus_dir, output_dir=output_dir, num_jobs=num_jobs)
 
 
 @download.command(name="ears", context_settings=dict(show_default=True))
@@ -119,11 +122,15 @@ def ears_dl(target_dir: Pathlike):
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-def rir_noise(corpus_dir: Pathlike, output_dir: Pathlike):
+@click.option(
+    "-p", "--parts", type=str, multiple=True,
+    default=["point_noise", "iso_noise", "real_rir", "sim_rir"],
+    help="Corpus parts to prepare.")
+def rir_noise(corpus_dir: Pathlike, output_dir: Pathlike, parts):
     """RIRs and Noises corpus data preparation."""
     from lhotse_tpu.recipes import prepare_rir_noise
 
-    prepare_rir_noise(corpus_dir, output_dir=output_dir)
+    prepare_rir_noise(corpus_dir, output_dir=output_dir, parts=list(parts))
 
 
 @download.command(name="rir-noise", context_settings=dict(show_default=True))

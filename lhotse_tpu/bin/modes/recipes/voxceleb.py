@@ -12,8 +12,12 @@ __all__ = ["voxceleb"]
 
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("output_dir", type=click.Path())
-@click.option("--v1", "voxceleb1_root", type=click.Path(exists=True), default=None)
-@click.option("--v2", "voxceleb2_root", type=click.Path(exists=True), default=None)
+@click.option(
+    "--voxceleb1", "--v1", "voxceleb1_root", type=click.Path(exists=True), default=None,
+    help="Path to the VoxCeleb1 corpus root.")
+@click.option(
+    "--voxceleb2", "--v2", "voxceleb2_root", type=click.Path(exists=True), default=None,
+    help="Path to the VoxCeleb2 corpus root.")
 @click.option("-j", "--num-jobs", type=int, default=1)
 def voxceleb(
     output_dir: Pathlike, voxceleb1_root: Optional[Pathlike], voxceleb2_root: Optional[Pathlike],
@@ -26,13 +30,15 @@ def voxceleb(
 
 @download.command(context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
-def voxceleb1(target_dir: Pathlike):
+@click.option("--force-download", is_flag=True, default=False)
+def voxceleb1(target_dir: Pathlike, force_download: bool):
     """VoxCeleb1 download."""
-    download_voxceleb1(target_dir)
+    download_voxceleb1(target_dir, force_download=force_download)
 
 
 @download.command(context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path())
-def voxceleb2(target_dir: Pathlike):
+@click.option("--force-download", is_flag=True, default=False)
+def voxceleb2(target_dir: Pathlike, force_download: bool):
     """VoxCeleb2 download."""
-    download_voxceleb2(target_dir)
+    download_voxceleb2(target_dir, force_download=force_download)

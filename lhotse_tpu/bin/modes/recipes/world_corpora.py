@@ -38,11 +38,12 @@ def but_reverb_db(corpus_dir: Pathlike, output_dir: Pathlike, parts):
 
 @download.command(name="but-reverb-db", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path(), default=".")
-def but_reverb_db_dl(target_dir: Pathlike):
+@click.option("--force-download", is_flag=True, default=False)
+def but_reverb_db_dl(target_dir: Pathlike, force_download: bool):
     """BUT Reverb DB download."""
     from lhotse_tpu.recipes.but_reverb_db import download_but_reverb_db
 
-    download_but_reverb_db(target_dir)
+    download_but_reverb_db(target_dir, force_download=force_download)
 
 
 @prepare.command(context_settings=dict(show_default=True))
@@ -120,27 +121,40 @@ def ksponspeech(
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
+@click.option(
+    "-p", "--dataset-parts", type=str, multiple=True, default=("train",),
+    help="Dataset parts to prepare.")
 @click.option("--target-sr", type=int, default=16000)
-def oto_speech(corpus_dir: Pathlike, output_dir: Pathlike, target_sr: int):
+def oto_speech(corpus_dir: Pathlike, output_dir: Pathlike, dataset_parts, target_sr: int):
     """otoSpeech full-duplex conversations data preparation."""
     from lhotse_tpu.recipes.oto_speech import prepare_oto_speech
 
-    prepare_oto_speech(corpus_dir, output_dir, target_sr=target_sr)
+    prepare_oto_speech(corpus_dir, output_dir, parts=dataset_parts, target_sr=target_sr)
 
 
 @download.command(name="oto-speech", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path(), default=".")
-def oto_speech_dl(target_dir: Pathlike):
+@click.option("--force-download", is_flag=True, default=False)
+@click.option(
+    "-p", "--dataset-parts", type=str, multiple=True, default=("train",),
+    help="Dataset parts to download (the standard release only has 'train').")
+@click.option(
+    "--version", type=str, default="full-duplex-processed-141h",
+    help="Dataset version suffix on HuggingFace.")
+def oto_speech_dl(target_dir: Pathlike, force_download: bool, dataset_parts, version: str):
     """otoSpeech download (requires HF_TOKEN)."""
     from lhotse_tpu.recipes.oto_speech import download_oto_speech
 
-    download_oto_speech(target_dir)
+    download_oto_speech(
+        target_dir, parts=dataset_parts, version=version, force_download=force_download)
 
 
 @prepare.command(context_settings=dict(show_default=True))
 @click.argument("corpus_dir", type=click.Path(exists=True, dir_okay=True))
 @click.argument("output_dir", type=click.Path())
-@click.option("--min-segment-duration", type=float, default=0.5)
+@click.option(
+    "-d", "--min-seg-dur", "--min-segment-duration", "min_segment_duration",
+    type=float, default=0.5, help="Minimum segment duration to keep.")
 @click.option("-j", "--num-jobs", type=int, default=4)
 def radio(
     corpus_dir: Pathlike, output_dir: Pathlike, min_segment_duration: float,
@@ -166,10 +180,13 @@ def reazonspeech(corpus_dir: Pathlike, output_dir: Pathlike, num_jobs: int):
 
 @download.command(name="reazonspeech", context_settings=dict(show_default=True))
 @click.argument("target_dir", type=click.Path(), default=".")
-@click.option("-p", "--dataset-parts", type=str, default="auto")
+@click.option(
+    "-p", "--subset", "--dataset-parts", "subset", type=str, multiple=True,
+    default=("auto",), help="Subsets to download ('auto' = the default tiny one).")
 @click.option("-j", "--num-jobs", type=int, default=1)
-def reazonspeech_dl(target_dir: Pathlike, dataset_parts: str, num_jobs: int):
+def reazonspeech_dl(target_dir: Pathlike, subset, num_jobs: int):
     """ReazonSpeech download (via HF datasets)."""
     from lhotse_tpu.recipes.reazonspeech import download_reazonspeech
 
-    download_reazonspeech(target_dir, dataset_parts=dataset_parts, num_jobs=num_jobs)
+    parts = "auto" if "auto" in subset else list(subset)
+    download_reazonspeech(target_dir, dataset_parts=parts, num_jobs=num_jobs)

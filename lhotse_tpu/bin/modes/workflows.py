@@ -143,28 +143,79 @@ def simulate_meetings(
     mixed.to_file(out_cuts)
 
 
-@workflows.command()
-@click.argument("recordings_manifest", type=click.Path(exists=True, dir_okay=False))
-@click.argument("output_supervisions", type=click.Path(allow_dash=True))
+@workflows.command(context_settings=dict(show_default=True))
 @click.option(
-    "-t", "--threshold", type=float, default=0.01, help="Energy threshold (RMS fraction).")
+    "-r", "--recordings-manifest", required=True,
+    type=click.Path(exists=True, dir_okay=False, allow_dash=True),
+    help="Path to an existing recording manifest.")
 @click.option(
-    "-d", "--min-duration", type=float, default=0.25, help="Minimum speech segment length.")
-@click.option("-j", "--num-jobs", type=int, default=1, help="Parallel jobs.")
+    "-o", "--output-supervisions-manifest",
+    type=click.Path(exists=False, dir_okay=True, allow_dash=True), default=None,
+    help="Output supervisions manifest path (or a directory for it); defaults "
+    "to '<recordings stem>_supervisions_<model>.jsonl.gz' next to the input.")
+@click.option(
+    "-m", "--model-name",
+    type=click.Choice(["energy_vad", "silero_vad_8k", "silero_vad_16k"]),
+    default="energy_vad",
+    help="Activity detector (the Silero variants need torch.hub weights; "
+    "energy_vad is model-free).")
+@click.option("-d", "--device", default="cpu", help="Inference device.")
+@click.option("-j", "--jobs", "--num-jobs", "jobs", type=int, default=1,
+              help="Parallel jobs.")
+@click.option(
+    "--force_download", "--force-download", "force_download", is_flag=True, default=False,
+    help="Clear any cached model state before running.")
+@click.option(
+    "-t", "--threshold", type=float, default=0.01,
+    help="[energy_vad] Energy threshold (fraction of peak RMS).")
+@click.option(
+    "--min-duration", type=float, default=0.25,
+    help="[energy_vad] Minimum speech segment length.")
 def activity_detection(
-    recordings_manifest: Pathlike, output_supervisions: Pathlike, threshold: float,
-    min_duration: float, num_jobs: int):
+    recordings_manifest: Pathlike, output_supervisions_manifest: Optional[Pathlike],
+    model_name: str, device: str, jobs: int, force_download: bool, threshold: float,
+    min_duration: float):
     """
-    Run energy-based voice activity detection over RECORDINGS_MANIFEST and
-    write the detected speech segments to OUTPUT_SUPERVISIONS.
+    Detect speech activity in the recordings of RECORDINGS_MANIFEST and write
+    the spans as a SupervisionSet manifest.
     """
-    from lhotse_tpu.audio import RecordingSet
-    from lhotse_tpu.workflows import detect_activity_energy
+    from functools import partial
+    from itertools import chain
+    from pathlib import Path
 
-    recordings = RecordingSet.from_file(recordings_manifest)
-    sups = detect_activity_energy(
-        recordings, threshold=threshold, min_duration=min_duration, num_jobs=num_jobs)
-    sups.to_file(output_supervisions)
+    from lhotse_tpu.audio import RecordingSet
+    from lhotse_tpu.parallel import ParallelExecutor
+    from lhotse_tpu.supervision import SupervisionSet
+    from lhotse_tpu.workflows import EnergyVAD, SileroVAD8k, SileroVAD16k
+
+    detectors = {
+        "energy_vad": partial(EnergyVAD, threshold=threshold, min_duration=min_duration),
+        "silero_vad_8k": SileroVAD8k,
+        "silero_vad_16k": SileroVAD16k,
+    }
+    detector_kls = detectors[model_name]
+
+    recs_path = Path(recordings_manifest).expanduser().absolute()
+    if output_supervisions_manifest is None:
+        sups_path = recs_path.parent
+    else:
+        sups_path = Path(output_supervisions_manifest).expanduser().absolute()
+    if sups_path.is_dir():
+        name = recs_path.name
+        for ext in (".gz", ".jsonl", ".json", ".yaml"):
+            if name.endswith(ext):
+                name = name[: -len(ext)]
+        sups_path = sups_path / f"{name}_supervisions_{model_name}.jsonl.gz"
+
+    recordings = RecordingSet.from_file(str(recs_path))
+    if force_download:
+        (EnergyVAD if model_name == "energy_vad" else detectors[model_name]).force_download()
+    processor = ParallelExecutor(
+        init_fn=partial(detector_kls, device=device), num_jobs=jobs,
+        description="Running VAD")
+    supervisions = SupervisionSet.from_segments(chain.from_iterable(processor(recordings)))
+    supervisions.to_file(str(sups_path))
+    click.echo(f"Results saved to: {sups_path}")
 
 
 @workflows.command(context_settings=dict(show_default=True))
@@ -173,17 +224,24 @@ def activity_detection(
     "-m", "--recordings-manifest", type=click.Path(exists=True, dir_okay=False),
     help="RecordingSet manifest to annotate.")
 @click.option(
+    "-r", "--recordings-dir", type=click.Path(exists=True, file_okay=False),
+    help="Directory with recordings; a RecordingSet is built from it.")
+@click.option(
     "-c", "--cuts-manifest", type=click.Path(exists=True, dir_okay=False),
     help="CutSet manifest to annotate (supervisions are overwritten).")
+@click.option(
+    "-e", "--extension", default="wav",
+    help="Audio file extension to scan for (with --recordings-dir).")
 @click.option("-n", "--model-name", default="base", help="Whisper variant or checkpoint.")
 @click.option("-l", "--language", default=None, help="Language hint (else auto-detect).")
 @click.option("-d", "--device", default="cpu")
+@click.option("-j", "--jobs", type=int, default=1, help="Jobs for audio scanning.")
 @click.option(
     "--force-nonoverlapping/--keep-overlapping", default=False,
     help="Truncate each segment at the next one's start.")
 def annotate_with_whisper(
-    out_cuts, recordings_manifest, cuts_manifest, model_name, language, device,
-    force_nonoverlapping):
+    out_cuts, recordings_manifest, recordings_dir, cuts_manifest, extension, model_name,
+    language, device, jobs, force_nonoverlapping):
     """
     Transcribe and segment audio with a Whisper model, writing annotated cuts
     to OUT_CUTS (requires 'openai-whisper' or 'transformers' with the model
@@ -194,10 +252,14 @@ def annotate_with_whisper(
     from lhotse_tpu.serialization import load_manifest
     from lhotse_tpu.workflows import annotate_with_whisper as annotate
 
-    assert (recordings_manifest is None) != (cuts_manifest is None), (
-        "Provide exactly one of --recordings-manifest / --cuts-manifest."
+    assert sum(x is not None for x in (recordings_manifest, recordings_dir, cuts_manifest)) == 1, (
+        "Provide exactly one of --recordings-manifest / --recordings-dir / --cuts-manifest."
     )
-    manifest = load_manifest(recordings_manifest or cuts_manifest)
+    if recordings_dir is not None:
+        manifest = RecordingSet.from_dir(
+            recordings_dir, pattern=f"*.{extension}", num_jobs=jobs)
+    else:
+        manifest = load_manifest(recordings_manifest or cuts_manifest)
     opts = {"language": language} if language else {}
     with CutSet.open_writer(out_cuts) as writer:
         for cut in annotate(
@@ -210,14 +272,20 @@ def annotate_with_whisper(
 @click.argument("in_cuts", type=click.Path(exists=True, dir_okay=False))
 @click.argument("out_cuts", type=click.Path(allow_dash=True))
 @click.option(
-    "-n", "--model-name", default="facebook/wav2vec2-base-960h",
-    help="Transformers CTC checkpoint (or reference torchaudio bundle name).")
+    "-n", "--bundle-name", "--model-name", "model_name",
+    default="facebook/wav2vec2-base-960h",
+    help="Transformers CTC checkpoint (or reference torchaudio bundle name, "
+    "e.g. WAV2VEC2_ASR_BASE_960H or MMS_FA).")
 @click.option("-d", "--device", default="cpu")
 @click.option("-j", "--num-jobs", type=int, default=1)
 @click.option(
     "--normalize-text/--dont-normalize-text", default=True,
     help="Uppercase + num2words + drop out-of-vocabulary symbols.")
-def align_with_torchaudio(in_cuts, out_cuts, model_name, device, num_jobs, normalize_text):
+@click.option(
+    "--check-language/--dont-check-language", default=True,
+    help="Warn about missing/invalid language tags in supervisions.")
+def align_with_torchaudio(
+    in_cuts, out_cuts, model_name, device, num_jobs, normalize_text, check_language):
     """
     Word-level forced alignment of IN_CUTS supervisions with a CTC model
     (named after the reference command; runs on transformers checkpoints).
@@ -231,30 +299,43 @@ def align_with_torchaudio(in_cuts, out_cuts, model_name, device, num_jobs, norma
     with CutSet.open_writer(out_cuts) as writer:
         for cut in align_supervisions(
             cuts, model_name=model_name, device=device, num_jobs=num_jobs,
-            normalize_text=normalize_text):
+            normalize_text=normalize_text, check_language=check_language):
             writer.write(cut, flush=True)
 
 
 @workflows.command(context_settings=dict(show_default=True))
 @click.argument("out_cuts", type=click.Path(allow_dash=True))
 @click.option("-m", "--recordings-manifest", type=click.Path(exists=True, dir_okay=False))
+@click.option(
+    "-r", "--recordings-dir", type=click.Path(exists=True, file_okay=False),
+    help="Directory with recordings; a RecordingSet is built from it.")
 @click.option("-c", "--cuts-manifest", type=click.Path(exists=True, dir_okay=False))
+@click.option(
+    "-e", "--extension", default="wav",
+    help="Audio file extension to scan for (with --recordings-dir).")
 @click.option("-p", "--is-personalized-mos", is_flag=True, default=False)
+@click.option("-j", "--jobs", type=int, default=1, help="Jobs for audio scanning.")
 @click.option("--download-root", default=None)
 def annotate_dnsmos(
-    out_cuts, recordings_manifest, cuts_manifest, is_personalized_mos, download_root):
+    out_cuts, recordings_manifest, recordings_dir, cuts_manifest, extension,
+    is_personalized_mos, jobs, download_root):
     """
     Predict DNSMOS P.835 SIG/BAK/OVRL speech-quality scores (requires
     'onnxruntime' and the Microsoft DNSMOS models).
     """
+    from lhotse_tpu.audio import RecordingSet
     from lhotse_tpu.cut import CutSet
     from lhotse_tpu.serialization import load_manifest
     from lhotse_tpu.workflows import annotate_dnsmos as annotate
 
-    assert (recordings_manifest is None) != (cuts_manifest is None), (
-        "Provide exactly one of --recordings-manifest / --cuts-manifest."
+    assert sum(x is not None for x in (recordings_manifest, recordings_dir, cuts_manifest)) == 1, (
+        "Provide exactly one of --recordings-manifest / --recordings-dir / --cuts-manifest."
     )
-    manifest = load_manifest(recordings_manifest or cuts_manifest)
+    if recordings_dir is not None:
+        manifest = RecordingSet.from_dir(
+            recordings_dir, pattern=f"*.{extension}", num_jobs=jobs)
+    else:
+        manifest = load_manifest(recordings_manifest or cuts_manifest)
     with CutSet.open_writer(out_cuts) as writer:
         for cut in annotate(
             manifest, is_personalized_mos=is_personalized_mos, download_root=download_root):

@@ -204,8 +204,23 @@ def parse_icsi_annotations(
     return annotations, channel_to_idx_map
 
 
+def _sph_to_wav(sph_path: Path, output_dir: Pathlike) -> Path:
+    """Decode one .sph channel file and persist it as WAV under
+    ``output_dir/wavs/<session>/`` (reference: icsi.py:408-417); returns the
+    new path so the Recording points at the faster-to-read copy."""
+    from lhotse_tpu.audio.wavio import write_wav
+
+    session_dir = Path(output_dir) / "wavs" / sph_path.parts[-2]
+    session_dir.mkdir(parents=True, exist_ok=True)
+    wav_path = session_dir / f"{sph_path.stem}.wav"
+    rec = Recording.from_file(sph_path)
+    write_wav(wav_path, rec.load_audio(), rec.sampling_rate)
+    return wav_path
+
+
 def prepare_audio_grouped(
     audio_paths: List[Path], channel_to_idx_map: Optional[Dict[str, Dict[str, int]]] = None,
+    save_to_wav: bool = False, output_dir: Optional[Pathlike] = None,
 ) -> RecordingSet:
     """ihm/mdm: group a session's per-channel files into one Recording,
     with channel indices from the preambles map."""
@@ -217,6 +232,8 @@ def prepare_audio_grouped(
 
     recordings = []
     for session_name, channel_paths in sorted(by_session.items()):
+        if save_to_wav:
+            channel_paths = [_sph_to_wav(p, output_dir) for p in channel_paths]
         if session_name not in channel_to_idx_map:
             channel_to_idx_map[session_name] = {
                 c: idx for idx, c in enumerate(["chanE", "chanF", "chan6", "chan7"])}
@@ -241,8 +258,14 @@ def prepare_audio_grouped(
     return RecordingSet.from_recordings(recordings)
 
 
-def prepare_audio_single(audio_paths: List[Path]) -> RecordingSet:
+def prepare_audio_single(
+    audio_paths: List[Path], save_to_wav: bool = False,
+    output_dir: Optional[Pathlike] = None) -> RecordingSet:
     """sdm/ihm-mix: one file per session."""
+    if save_to_wav:
+        audio_paths = [
+            _sph_to_wav(p, output_dir) if p.suffix == ".sph" else p for p in audio_paths
+        ]
     return RecordingSet.from_recordings(
         Recording.from_file(p, recording_id=p.parts[-2]) for p in sorted(audio_paths)
     )
@@ -325,9 +348,17 @@ def prepare_supervision_other(
 def prepare_icsi(
     audio_dir: Pathlike, transcripts_dir: Optional[Pathlike] = None,
     output_dir: Optional[Pathlike] = None, mic: Optional[str] = "ihm",
-    normalize_text: str = "kaldi") -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
-    """Prepare train/dev/test manifests for the chosen mic variant."""
+    normalize_text: str = "kaldi",
+    save_to_wav: bool = False) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
+    """Prepare train/dev/test manifests for the chosen mic variant.
+
+    :param save_to_wav: decode the .sph channel files once and store them as
+        WAV under ``output_dir/wavs`` (manifests then reference the WAVs,
+        which are much faster to read during training).
+    """
     audio_dir = Path(audio_dir)
+    if save_to_wav:
+        assert output_dir is not None, "`save_to_wav=True` requires `output_dir`."
     transcripts_dir = (
         Path(transcripts_dir)
         if transcripts_dir is not None
@@ -349,14 +380,16 @@ def prepare_icsi(
     if mic in ("ihm", "mdm"):
         audio = prepare_audio_grouped(
             list(audio_dir.rglob(f"chan[{channels}].sph")),
-            channel_to_idx_map if mic == "ihm" else None)
+            channel_to_idx_map if mic == "ihm" else None,
+            save_to_wav=save_to_wav, output_dir=output_dir)
     else:
         audio_paths = (
             audio_dir.rglob(f"chan[{channels}].sph")
             if channels
             else audio_dir.rglob("*.wav")
         )
-        audio = prepare_audio_single(list(audio_paths))
+        audio = prepare_audio_single(
+            list(audio_paths), save_to_wav=save_to_wav, output_dir=output_dir)
 
     logging.info("Preparing supervision manifests")
     supervision = (

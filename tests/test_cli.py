@@ -141,7 +141,7 @@ def test_workflows_simulate_meetings(cuts_path, tmp_path):
 def test_workflows_activity_detection(corpus, tmp_path):
     res = CliRunner().invoke(
         cli,
-        [ "workflows", "activity-detection", str(corpus / "recordings.jsonl.gz"), str(tmp_path / "vad.jsonl.gz"), ],
+        [ "workflows", "activity-detection", "-r", str(corpus / "recordings.jsonl.gz"), "-o", str(tmp_path / "vad.jsonl.gz"), ],
     )
     assert res.exit_code == 0, res.output
     from lhotse_tpu import SupervisionSet

@@ -126,7 +126,7 @@ def test_index_jsonl_enables_o1_access(workdir, trimmed):
 def test_workflows_vad_and_meetings(workdir):
     d = workdir
     invoke("workflows", "activity-detection",
-           d / "fixed" / "recordings.jsonl.gz", d / "vad.jsonl.gz")
+           "-r", d / "fixed" / "recordings.jsonl.gz", "-o", d / "vad.jsonl.gz")
     vad = list(SupervisionSet.from_file(d / "vad.jsonl.gz"))
     assert vad  # tone bursts are active speech for the energy detector
     invoke("workflows", "simulate-meetings", "--num-meetings", 2,

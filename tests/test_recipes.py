@@ -695,3 +695,49 @@ def test_prepare_icsi_ihm(tmp_path):
     assert sups[1].channel == 1 and sups[1].text == "YEAH"
     assert len(manifests["dev"]["supervisions"]) == 2
     assert len(manifests["test"]["supervisions"]) == 2
+
+
+def test_prepare_icsi_save_to_wav(tmp_path):
+    from lhotse_tpu.recipes import prepare_icsi
+
+    audio = tmp_path / "speech"
+    trans = tmp_path / "transcripts"
+    (trans / "Segments").mkdir(parents=True)
+    (trans / "Words").mkdir()
+    meetings = ["Bdb001", "Bmr021", "Bmr013"]  # one per partition
+    preamble_blocks = []
+    for mi, meet in enumerate(meetings):
+        _wav(audio / meet / "chan6.sph", seconds=8.0, seed=5 + mi)
+        preamble_blocks.append(
+            f'  <Meeting Session="{meet}">\n    <Preamble>\n      <Channels>\n'
+            '        <Channel Name="chan6"/>\n      </Channels>\n      <Participants>\n'
+            f'        <Participant Name="me0{mi}" Channel="chan6"/>\n      </Participants>\n'
+            "    </Preamble>\n  </Meeting>"
+        )
+        (trans / "Segments" / f"{meet}.A.segs.xml").write_text(
+            '<?xml version="1.0"?>\n<segments>\n'
+            f'  <segment participant="me0{mi}" starttime="1.0" endtime="3.0"/>\n</segments>'
+        )
+        (trans / "Words" / f"{meet}.A.words.xml").write_text(
+            '<?xml version="1.0"?>\n<words>\n'
+            '  <w starttime="1.0" endtime="2.0">hi</w>\n</words>'
+        )
+    (trans / "preambles.mrt").write_text(
+        '<?xml version="1.0"?>\n<Meetings>\n' + "\n".join(preamble_blocks) + "\n</Meetings>"
+    )
+    meet = meetings[0]
+
+    out = tmp_path / "out"
+    manifests = prepare_icsi(
+        audio, transcripts_dir=trans, output_dir=out, mic="sdm", save_to_wav=True)
+    rec = manifests["train"]["recordings"][meet]
+    # The manifest must point at the converted WAV copy, and it must decode.
+    assert all(s.source.endswith(".wav") for s in rec.sources)
+    assert str(out / "wavs" / meet) in rec.sources[0].source
+    assert rec.load_audio().shape[1] == rec.num_samples
+
+    # save_to_wav without output_dir is rejected.
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        prepare_icsi(audio, transcripts_dir=trans, mic="sdm", save_to_wav=True)

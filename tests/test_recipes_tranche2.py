@@ -174,7 +174,9 @@ def test_prepare_chime6_mdm(tmp_path):
         tdir = tmp_path / "transcriptions" / "dev"
         tdir.mkdir(parents=True, exist_ok=True)
         (tdir / f"{session}.json").write_text(json.dumps(segs))
-    m = prepare_chime6(tmp_path, output_dir=tmp_path / "out", dataset_parts="dev")
+    # normalize_text defaults to "kaldi" (reference parity); pin "upper" here.
+    m = prepare_chime6(
+        tmp_path, output_dir=tmp_path / "out", dataset_parts="dev", normalize_text="upper")
     recs = m["dev"]["recordings"]
     assert len(recs) == 2 and recs["S02"].num_channels == 2
     sups = list(m["dev"]["supervisions"])

@@ -49,7 +49,9 @@ def ref_commands():
                         if isinstance(a, ast.Constant) and isinstance(a.value, str):
                             s = a.value
                             if attr == "argument":
-                                opts.add(s.lower())
+                                # click exposes "audio-dir" as param name
+                                # "audio_dir"; normalize to match our side.
+                                opts.add(s.lower().replace("-", "_"))
                             elif s.startswith("--"):
                                 for variant in s.lstrip("-").split("/"):
                                     opts.add("--" + variant.strip("-"))
