@@ -1,6 +1,7 @@
 from lhotse_tpu.audio.backend import (
     AudioBackend, audio_backend, available_audio_backends, get_current_audio_backend,
-    get_default_audio_backend, info, read_audio, save_audio, set_current_audio_backend)
+    get_default_audio_backend, info, read_audio, read_sph, save_audio,
+    set_current_audio_backend)
 from lhotse_tpu.audio.mixer import AudioMixer, VideoMixer, audio_energy
 from lhotse_tpu.audio.recording import Recording
 from lhotse_tpu.audio.recording_set import RecordingSet
@@ -21,6 +22,6 @@ __all__ = [
     "available_audio_backends", "available_resampling_backends", "get_current_resampling_backend",
     "resampling_backend", "set_current_resampling_backend", "get_audio_duration_mismatch_tolerance",
     "get_current_audio_backend", "get_default_audio_backend", "info",
-    "null_result_on_audio_loading_error", "read_audio", "save_audio",
+    "null_result_on_audio_loading_error", "read_audio", "read_sph", "save_audio",
     "set_audio_duration_mismatch_tolerance", "set_current_audio_backend",
     "suppress_audio_loading_errors", "suppress_video_loading_errors"]

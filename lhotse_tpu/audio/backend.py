@@ -817,17 +817,42 @@ def read_audio(
 
 
 def info(
-    path_or_fd: Union[Pathlike, FileObject], force_opus_sampling_rate: Optional[int] = None,
+    path: Union[Pathlike, FileObject], force_opus_sampling_rate: Optional[int] = None,
     force_read_audio: bool = False) -> LibsndfileCompatibleAudioInfo:
     """Probe audio metadata, preferring header-only reads (reference: audio/backend.py:1676)."""
     backend = get_current_audio_backend()
     if force_read_audio:
         samples, sr = backend.read_audio(
-            path_or_fd, force_opus_sampling_rate=force_opus_sampling_rate)
+            path, force_opus_sampling_rate=force_opus_sampling_rate)
         return LibsndfileCompatibleAudioInfo(
             channels=samples.shape[0], frames=samples.shape[1], samplerate=sr,
             duration=samples.shape[1] / sr)
-    return backend.info(path_or_fd, force_opus_sampling_rate=force_opus_sampling_rate)
+    return backend.info(path, force_opus_sampling_rate=force_opus_sampling_rate)
+
+
+def read_sph(
+    sph_path: Pathlike, offset: Seconds = 0.0, duration: Optional[Seconds] = None,
+) -> Tuple[np.ndarray, int]:
+    """
+    Read a SPHERE file with seconds-based offset/duration (reference contract:
+    audio/backend.py:1603, a sph2pipe subprocess there; decoded natively here
+    — including the shorten-compressed and ulaw variants — with no external
+    binary).
+
+    :return: ``(samples(channels, frames) float32, sampling_rate)``.
+    """
+    from lhotse_tpu.audio.sphio import info_sph
+    from lhotse_tpu.audio.sphio import read_sph as read_sph_frames
+
+    frame_offset = 0
+    num_frames = None
+    if offset > 0 or duration is not None:
+        rate = info_sph(sph_path).sampling_rate
+        if offset > 0:
+            frame_offset = compute_num_samples(offset, rate)
+        if duration is not None:
+            num_frames = compute_num_samples(duration, rate)
+    return read_sph_frames(sph_path, frame_offset=frame_offset, num_frames=num_frames)
 
 
 def save_audio(

@@ -130,8 +130,10 @@ class SincResampler:
 _RESAMPLERS: Dict[Tuple[int, int], SincResampler] = {}
 
 
-def get_or_create_resampler(orig_freq: int, new_freq: int) -> SincResampler:
-    key = (int(orig_freq), int(new_freq))
+def get_or_create_resampler(
+    source_sampling_rate: int, target_sampling_rate: int) -> SincResampler:
+    """Cached resampler lookup (reference: augmentation/torchaudio.py:74)."""
+    key = (int(source_sampling_rate), int(target_sampling_rate))
     if key not in _RESAMPLERS:
         _RESAMPLERS[key] = SincResampler(*key)
     return _RESAMPLERS[key]

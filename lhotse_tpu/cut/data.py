@@ -96,12 +96,12 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
     has_video = property(lambda self: self.recording is not None and self.recording.has_video)
     is_in_memory = property(lambda self: any(v.is_in_memory for _, v in self.iter_data()))
 
-    def has(self, field_: str) -> bool:
+    def has(self, field: str) -> bool:
         builtin = {
             "recording": self.has_recording, "features": self.has_features, "video": self.has_video}
-        if field_ in builtin:
-            return builtin[field_]
-        return self.custom is not None and field_ in self.custom
+        if field in builtin:
+            return builtin[field]
+        return self.custom is not None and field in self.custom
 
     @property
     def recording_id(self) -> str:

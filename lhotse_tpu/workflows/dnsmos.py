@@ -35,7 +35,8 @@ class ComputeScore:
         self.onnx_sess = ort.InferenceSession(primary_model_path)
         self.p808_onnx_sess = ort.InferenceSession(p808_model_path)
 
-    def _audio_melspec(self, audio, n_mels=120, frame_size=320, hop_length=160):
+    def _audio_melspec(self, audio, n_mels=120, frame_size=320, hop_length=160, sr=SAMPLING_RATE,
+                       to_db=True):
         from lhotse_tpu.features.whisper import slaney_mel_filters
         from lhotse_tpu.ops.fbank import raw_dft_matrices
 
@@ -49,7 +50,9 @@ class ComputeScore:
         C, S = raw_dft_matrices(n_fft, n_fft)
         re, im = (frames * win) @ C, (frames * win) @ S
         power = re * re + im * im
-        mel = power @ slaney_mel_filters(SAMPLING_RATE, n_fft, n_mels).T
+        mel = power @ slaney_mel_filters(sr, n_fft, n_mels).T
+        if not to_db:
+            return mel
         return (np.log10(np.maximum(mel, 1e-10)) + 40.0) / 40.0
 
     def _polyfit(self, sig, bak, ovr, personalized: bool):
@@ -64,11 +67,15 @@ class ComputeScore:
         return p_sig(sig), p_bak(bak), p_ovr(ovr)
 
     # Public parity names (reference dnsmos.py exposes these on ComputeScore).
-    def audio_melspec(self, audio, n_mels=120, frame_size=320, hop_length=160):
-        return self._audio_melspec(audio, n_mels=n_mels, frame_size=frame_size, hop_length=hop_length)
+    def audio_melspec(self, audio, n_mels=120, frame_size=320, hop_length=160, sr=16000,
+                      to_db=True):
+        mel = self._audio_melspec(
+            audio, n_mels=n_mels, frame_size=frame_size, hop_length=hop_length, sr=sr,
+            to_db=to_db)
+        return mel
 
-    def get_polyfit_val(self, sig, bak, ovr, is_personalized_MOS: bool):
-        return self._polyfit(sig, bak, ovr, is_personalized_MOS)
+    def get_polyfit_val(self, sig, bak, ovr, is_personalized_mos: bool):
+        return self._polyfit(sig, bak, ovr, is_personalized_mos)
 
     def __call__(self, audio: np.ndarray, personalized: bool) -> dict:
         fs = SAMPLING_RATE

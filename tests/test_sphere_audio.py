@@ -186,3 +186,22 @@ class TestErrorPaths:
         assert not SphereBackend().handles_special_case(p)
         r = Recording.from_file(p)
         assert r.load_audio().shape == (1, 800)
+
+
+class TestSecondsBasedCompatWrapper:
+    """`lhotse_tpu.audio.read_sph(sph_path, offset, duration)` — the
+    reference's sph2pipe-contract wrapper (audio/backend.py:1603) over the
+    native frame-based decoder."""
+
+    def test_offset_duration_seconds(self, tmp_path):
+        from lhotse_tpu.audio import read_sph as read_sph_seconds
+
+        x = (np.sin(np.arange(16000) / 30.0) * 0.4).astype(np.float32)[None, :]
+        p = tmp_path / "a.sph"
+        write_sph(p, x, 8000)
+        full, sr = read_sph_seconds(p)
+        assert sr == 8000 and full.shape == (1, 16000)
+        part, _ = read_sph_seconds(p, offset=0.5, duration=1.0)
+        np.testing.assert_array_equal(part, full[:, 4000:12000])
+        tail, _ = read_sph_seconds(p, offset=1.5)
+        np.testing.assert_array_equal(tail, full[:, 12000:])
