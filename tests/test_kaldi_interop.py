@@ -178,3 +178,33 @@ def test_export_multichannel_recording_splits_channels(tmp_path):
     )
     scp = (out / "wav.scp").read_text()
     assert len(scp.strip().splitlines()) == 2  # one entry per channel
+
+
+def test_cli_import_compute_durations_flag(tmp_path):
+    """`kaldi import -d` ignores a (wrong) reco2dur and derives durations
+    from the audio itself (reference flag: bin/modes/kaldi.py import -d)."""
+    from click.testing import CliRunner
+
+    from lhotse_tpu.audio import RecordingSet
+    from lhotse_tpu.bin.modes import cli
+
+    wav = tmp_path / "u0.wav"
+    write_wav(str(wav), (0.05 * np.ones(SR)).astype(np.float32), SR)  # 1.0 s
+    kdir = tmp_path / "kdir"
+    kdir.mkdir()
+    (kdir / "wav.scp").write_text(f"u0 {wav}\n")
+    (kdir / "utt2spk").write_text("u0 spkA\n")
+    (kdir / "reco2dur").write_text("u0 7.5\n")  # deliberately wrong
+
+    runner = CliRunner()
+    res = runner.invoke(
+        cli, ["kaldi", "import", str(kdir), str(SR), str(tmp_path / "trusting")])
+    assert res.exit_code == 0, res.output
+    trusting = RecordingSet.from_file(tmp_path / "trusting" / "recordings.jsonl.gz")
+    assert trusting["u0"].duration == 7.5  # reco2dur taken at face value
+
+    res = runner.invoke(
+        cli, ["kaldi", "import", "-d", str(kdir), str(SR), str(tmp_path / "measured")])
+    assert res.exit_code == 0, res.output
+    measured = RecordingSet.from_file(tmp_path / "measured" / "recordings.jsonl.gz")
+    assert abs(measured["u0"].duration - 1.0) < 1e-6
