@@ -27,7 +27,8 @@ from dataclasses import asdict, dataclass, is_dataclass
 from itertools import chain, islice
 from math import isclose
 from pathlib import Path
-from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Type, Union
+from functools import partial
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Tuple, Type, Union
 
 import numpy as np
 
@@ -482,24 +483,38 @@ class FeatureSetBuilder:
         num_jobs: int = 1) -> FeatureSet:
         from tqdm.auto import tqdm
 
-        job = self._process_and_store_recording
         if num_jobs == 1:
-            per_recording = map(job, recordings)
+            per_recording = map(self._process_and_store_recording, recordings)
             label = "Extracting and storing features"
             feature_set = FeatureSet.from_features(
                 tqdm(chain.from_iterable(per_recording), total=len(recordings), desc=label)
             )
         else:
+            # Workers only EXTRACT (extractor + augment_fn pickle cleanly);
+            # all writes happen here in the parent, because storage writers
+            # hold open file handles (unpicklable) and a single sequential
+            # writer is what keeps an .lca archive consistent anyway.
+            # The reference pickles the open writer into each worker and
+            # crashes (features/base.py:890-919 upstream).
             spawn = multiprocessing.get_context("spawn")
             label = "Extracting and storing features in parallel"
+            worker = partial(
+                _extract_recording_features, self.feature_extractor, self.augment_fn)
             with ProcessPoolExecutor(num_jobs, mp_context=spawn) as pool:
-                per_recording = pool.map(job, recordings)
+
+                def extract_then_store_here():
+                    for recording, per_channel in zip(
+                        recordings, pool.map(worker, recordings)
+                    ):
+                        for channel, feats in per_channel:
+                            yield self.feature_extractor._store_and_describe(
+                                feats, self.storage,
+                                sampling_rate=recording.sampling_rate, start=0,
+                                duration=recording.duration, channels=channel,
+                                recording_id=recording.id)
+
                 feature_set = FeatureSet.from_features(
-                    tqdm(
-                        chain.from_iterable(per_recording),
-                        total=len(recordings),
-                        desc=label,
-                    )
+                    tqdm(extract_then_store_here(), total=len(recordings), desc=label)
                 )
         # Make the returned manifests immediately loadable: buffered writers
         # (e.g. LilcomChunkyWriter) would otherwise hold the tail of the
@@ -519,6 +534,20 @@ class FeatureSetBuilder:
             )
             for channel in recording.channel_ids
         ]
+
+
+def _extract_recording_features(
+    extractor: FeatureExtractor, augment_fn: Optional[AugmentFn], recording: Recording,
+) -> List[Tuple[int, np.ndarray]]:
+    """Subprocess half of the parallel builder: per-channel feature matrices
+    only, no storage access (see FeatureSetBuilder.process_and_store_recordings)."""
+    out = []
+    for channel in recording.channel_ids:
+        samples = recording.load_audio(channels=channel)
+        if augment_fn is not None:
+            samples = augment_fn(samples, recording.sampling_rate)
+        out.append((channel, extractor.extract(samples, recording.sampling_rate)))
+    return out
 
 
 def store_feature_array(feats: np.ndarray, storage: FeaturesWriter) -> str:

@@ -126,3 +126,45 @@ def test_builder_manifests_loadable_before_close(tmp_path):
 def test_get_reader_resolves_registered_names():
     assert get_reader("lilcom_chunky") is LilcomChunkyReader
     assert get_reader("memory_lilcom") is MemoryLilcomReader
+
+
+def test_builder_parallel_jobs_single_writer(tmp_path):
+    """Regression (found 2026-08-17): num_jobs>1 pickled the builder's open
+    storage writer into spawn workers and crashed with 'cannot pickle
+    BufferedWriter' (the reference has the same latent flaw upstream,
+    features/base.py:890-919). Workers now only extract; the parent stores —
+    and the result must be identical to the serial path."""
+    from lhotse_tpu import Fbank, RecordingSet
+    from lhotse_tpu.audio.wavio import write_wav
+    from lhotse_tpu.features import FeatureSetBuilder
+
+    sr = 16000
+    for i in range(4):
+        t = np.arange(int(sr * (0.8 + 0.3 * i))) / sr
+        write_wav(
+            tmp_path / f"rec{i}.wav",
+            (0.1 * np.sin(2 * np.pi * (180 + 55 * i) * t)).astype(np.float32),
+            sr,
+        )
+    recs = RecordingSet.from_dir(tmp_path, "*.wav")
+
+    serial_writer = LilcomChunkyWriter(str(tmp_path / "serial"))
+    serial = FeatureSetBuilder(
+        feature_extractor=Fbank(), storage=serial_writer
+    ).process_and_store_recordings(recordings=recs)
+    serial_writer.close()
+
+    par_writer = LilcomChunkyWriter(str(tmp_path / "par"))
+    parallel = FeatureSetBuilder(
+        feature_extractor=Fbank(), storage=par_writer
+    ).process_and_store_recordings(recordings=recs, num_jobs=2)
+    par_writer.close()
+
+    assert len(parallel) == len(serial) == len(recs)
+    for fs, fp in zip(
+        sorted(serial, key=lambda f: f.recording_id),
+        sorted(parallel, key=lambda f: f.recording_id),
+    ):
+        assert fp.recording_id == fs.recording_id
+        assert fp.num_frames == fs.num_frames
+        np.testing.assert_allclose(fp.load(), fs.load(), atol=1e-4)
