@@ -20,6 +20,20 @@ def workflows():
     pass
 
 
+def _resolve_input_manifest(recordings_manifest, recordings_dir, cuts_manifest, extension, jobs):
+    """Shared --recordings-manifest / --recordings-dir / --cuts-manifest
+    resolution for the annotation workflows."""
+    from lhotse_tpu.audio import RecordingSet
+    from lhotse_tpu.serialization import load_manifest
+
+    assert sum(x is not None for x in (recordings_manifest, recordings_dir, cuts_manifest)) == 1, (
+        "Provide exactly one of --recordings-manifest / --recordings-dir / --cuts-manifest."
+    )
+    if recordings_dir is not None:
+        return RecordingSet.from_dir(recordings_dir, pattern=f"*.{extension}", num_jobs=jobs)
+    return load_manifest(recordings_manifest or cuts_manifest)
+
+
 @workflows.command(context_settings=dict(show_default=True))
 @click.argument("in_cuts", type=click.Path(exists=True, dir_okay=False))
 @click.argument("out_cuts", type=click.Path(allow_dash=True))
@@ -135,7 +149,17 @@ def simulate_meetings(
             if rir_path.is_file():
                 rirs = [RecordingSet.from_file(rir_path)]
             else:
-                rirs = [RecordingSet.from_file(p) for p in sorted(rir_path.glob("*.jsonl.gz"))]
+                manifests = sorted(
+                    p
+                    for pattern in ("*.jsonl.gz", "*.jsonl", "*.json", "*.json.gz", "*.yaml")
+                    for p in rir_path.glob(pattern)
+                )
+                if not manifests:
+                    raise click.ClickException(
+                        f"--rir directory {rir_path} contains no recording "
+                        "manifests (*.jsonl[.gz], *.json[.gz], *.yaml)."
+                    )
+                rirs = [RecordingSet.from_file(p) for p in manifests]
             mixed = simulator.reverberate(mixed, *rirs)
         else:
             mixed = simulator.reverberate(mixed)
@@ -247,19 +271,11 @@ def annotate_with_whisper(
     to OUT_CUTS (requires 'openai-whisper' or 'transformers' with the model
     weights available).
     """
-    from lhotse_tpu.audio import RecordingSet
     from lhotse_tpu.cut import CutSet
-    from lhotse_tpu.serialization import load_manifest
     from lhotse_tpu.workflows import annotate_with_whisper as annotate
 
-    assert sum(x is not None for x in (recordings_manifest, recordings_dir, cuts_manifest)) == 1, (
-        "Provide exactly one of --recordings-manifest / --recordings-dir / --cuts-manifest."
-    )
-    if recordings_dir is not None:
-        manifest = RecordingSet.from_dir(
-            recordings_dir, pattern=f"*.{extension}", num_jobs=jobs)
-    else:
-        manifest = load_manifest(recordings_manifest or cuts_manifest)
+    manifest = _resolve_input_manifest(
+        recordings_manifest, recordings_dir, cuts_manifest, extension, jobs)
     opts = {"language": language} if language else {}
     with CutSet.open_writer(out_cuts) as writer:
         for cut in annotate(
@@ -323,19 +339,11 @@ def annotate_dnsmos(
     Predict DNSMOS P.835 SIG/BAK/OVRL speech-quality scores (requires
     'onnxruntime' and the Microsoft DNSMOS models).
     """
-    from lhotse_tpu.audio import RecordingSet
     from lhotse_tpu.cut import CutSet
-    from lhotse_tpu.serialization import load_manifest
     from lhotse_tpu.workflows import annotate_dnsmos as annotate
 
-    assert sum(x is not None for x in (recordings_manifest, recordings_dir, cuts_manifest)) == 1, (
-        "Provide exactly one of --recordings-manifest / --recordings-dir / --cuts-manifest."
-    )
-    if recordings_dir is not None:
-        manifest = RecordingSet.from_dir(
-            recordings_dir, pattern=f"*.{extension}", num_jobs=jobs)
-    else:
-        manifest = load_manifest(recordings_manifest or cuts_manifest)
+    manifest = _resolve_input_manifest(
+        recordings_manifest, recordings_dir, cuts_manifest, extension, jobs)
     with CutSet.open_writer(out_cuts) as writer:
         for cut in annotate(
             manifest, is_personalized_mos=is_personalized_mos, download_root=download_root):

@@ -55,11 +55,14 @@ def hms_to_seconds(stamp: str) -> float:
 
 
 def seconds_to_hms(seconds: float) -> str:
-    """seconds -> 'HH:MM:SS.mm' (two fractional digits, like the corpus JSONs)."""
-    h = int(seconds // 3600)
-    m = int((seconds % 3600) // 60)
-    s = seconds - 3600 * h - 60 * m
-    return f"{h:02d}:{m:02d}:{s:05.2f}"
+    """seconds -> 'HH:MM:SS.mmm' (millisecond precision, like the corpus
+    JSONs).  Rounds to whole milliseconds FIRST so fractional carry can never
+    emit an invalid seconds field like '60.000' (the reference's plain
+    f-string formatting can)."""
+    total_ms = round(seconds * 1000)
+    h, rem = divmod(total_ms, 3_600_000)
+    m, ms = divmod(rem, 60_000)
+    return f"{h:02d}:{m:02d}:{ms / 1000:06.3f}"
 
 
 def normalize_text_chime6(text: str, normalize: str = "upper") -> str:
@@ -209,8 +212,11 @@ class Chime6ArraySynchronizer:
         audio_edits: Optional[Union[Dict[str, dict], Pathlike]] = None) -> None:
         from lhotse_tpu.utils import resumable_download
 
-        self.corpus_dir = Path(corpus_dir)
-        self.output_dir = Path(output_dir)
+        # Resolve both roots: headset files are passed through as symlinks,
+        # and a relative source path would dangle (it resolves relative to
+        # the symlink's own directory, not the caller's CWD).
+        self.corpus_dir = Path(corpus_dir).resolve()
+        self.output_dir = Path(output_dir).resolve()
         self.output_dir.mkdir(parents=True, exist_ok=True)
         self.sox_path = str(sox_path)
         self.num_workers = max(int(num_workers), 1)
@@ -358,9 +364,11 @@ class Chime6ArraySynchronizer:
                 out = Path(tmp) / f"seg{seg}.warped.wav"
                 cmd = sox + [str(src), str(cut)]
                 if seg == 0:
+                    # Either way the segment is `end - |start|` samples: a
+                    # negative boundary trims, a positive one pads.
                     cmd += (["trim", f"{-start}s"] if start < 0
                             else ["pad", f"{start}s", "0s", "trim", "0s"])
-                    duration = end - max(start, 0) if end > 0 else -1
+                    duration = end - abs(start) if end > 0 else -1
                 else:
                     start += carry
                     cmd += ["trim", f"{int(start)}s"]
@@ -395,7 +403,7 @@ class Chime6ArraySynchronizer:
             if seg == 0:
                 piece = (x[:, -start:] if start < 0
                          else np.pad(x, ((0, 0), (start, 0))))
-                stop = end - max(start, 0) if end > 0 else piece.shape[1]
+                stop = end - abs(start) if end > 0 else piece.shape[1]
                 piece = piece[:, :stop]
                 duration = stop
             else:
@@ -428,11 +436,18 @@ class Chime6ArraySynchronizer:
         for seg in json.loads(src.read_text()):
             if "speaker" not in seg:
                 continue
-            fit = edits[seg["speaker"]]
-            shift = fit["padding"] / 16000.0
+            fit = edits.get(seg["speaker"])
             for key in ("start_time", "end_time"):
                 stamp = seg[key]["original"] if isinstance(seg[key], dict) else seg[key]
-                seg[key] = seconds_to_hms(hms_to_seconds(stamp) / fit["speed"] + shift)
+                if fit is None:
+                    seg[key] = stamp  # audio was not warped either
+                else:
+                    seg[key] = seconds_to_hms(
+                        hms_to_seconds(stamp) / fit["speed"] + fit["padding"] / 16000.0)
+            if fit is None:
+                logging.warning(
+                    f"Speaker {seg['speaker']} in session {session} has no "
+                    "clock-drift fit; keeping original timestamps.")
             adjusted.append(seg)
         dst.write_text(json.dumps(adjusted, indent=2))
 

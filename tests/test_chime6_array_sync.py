@@ -141,5 +141,63 @@ def test_verify_md5_checksums(tmp_path):
 
 
 def test_hms_round_trip():
-    assert seconds_to_hms(hms_to_seconds("01:02:03.50")) == "01:02:03.50"
+    assert seconds_to_hms(hms_to_seconds("01:02:03.50")) == "01:02:03.500"
     assert hms_to_seconds(seconds_to_hms(3723.5)) == 3723.5
+
+
+def test_hms_millisecond_carry_never_emits_60():
+    # Rounding 59.9999 up must carry into the minute, not produce '60.000'.
+    assert seconds_to_hms(59.9999) == "00:01:00.000"
+    assert seconds_to_hms(3599.9996) == "01:00:00.000"
+    assert seconds_to_hms(59.9994) == "00:00:59.999"
+
+
+def test_synchronizer_tolerates_relative_corpus_dir(raw_corpus, tmp_path, monkeypatch):
+    """Headset passthrough symlinks must not dangle when corpus_dir is given
+    relative to the CWD (the normal CLI invocation)."""
+    monkeypatch.chdir(tmp_path)
+    sync = Chime6ArraySynchronizer("raw", "synced_rel", audio_edits=EDITS)
+    sync.synchronize_session("S02")
+    p05, _ = read_wav(tmp_path / "synced_rel" / "audio" / "dev" / "S02_P05.wav")
+    assert p05.shape[0] == 2
+
+
+def test_piecewise_negative_first_boundary(raw_corpus, tmp_path):
+    """A negative first padding entry trims |start| samples AND shortens the
+    first segment to end-|start| samples (reference chime6.py:673-684)."""
+    out = tmp_path / "synced_neg"
+    edits = {
+        "S02": {
+            "U01": {
+                "edits": [[1, 300, 1]],
+                # seg0: trim 40, take 160-40=120 samples; seg1: rest from 160.
+                "speed": [1.0, 1.0],
+                "padding": [-40, 160],
+            },
+            "P05": {"speed": 1.0, "padding": 0},
+        }
+    }
+    sync = Chime6ArraySynchronizer(raw_corpus, out, audio_edits=edits)
+    sync.synchronize_session("S02")
+    ch1, _ = read_wav(out / "audio" / "dev" / "S02_U01.CH1.wav")
+    ramp = np.arange(300) / 32768.0
+    # seg0 = ramp[40:160] (120 samples), seg1 = ramp[160:] (140 samples).
+    assert ch1.shape == (1, 260)
+    np.testing.assert_allclose(ch1[0, :120], ramp[40:160], atol=1 / 32768.0)
+    np.testing.assert_allclose(ch1[0, 120:], ramp[160:], atol=1 / 32768.0)
+
+
+def test_transcription_speaker_without_fit_keeps_original_times(raw_corpus, tmp_path):
+    out = tmp_path / "synced_nofit"
+    edits = {
+        "S02": {
+            "U01": {"edits": [[1, 300, 1]], "speed": 1.0, "padding": 0},
+            # P05 has no fit at all: audio is skipped with a warning and the
+            # transcription keeps its original timestamps.
+        }
+    }
+    sync = Chime6ArraySynchronizer(raw_corpus, out, audio_edits=edits)
+    sync.synchronize_session("S02")
+    segs = json.loads((out / "transcriptions" / "dev" / "S02.json").read_text())
+    assert segs[0]["start_time"] == "00:00:10.00"
+    assert segs[0]["end_time"] == "00:00:12.00"

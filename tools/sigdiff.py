@@ -31,8 +31,8 @@ def collect(root: Path):
     class methods)."""
     out = defaultdict(list)
     for py in root.rglob("*.py"):
-        if "test" in py.parts or py.name.startswith("_") and py.name != "__init__.py":
-            pass
+        if "test" in py.parts or (py.name.startswith("_") and py.name != "__init__.py"):
+            continue
         try:
             tree = ast.parse(py.read_text(), filename=str(py))
         except SyntaxError:
