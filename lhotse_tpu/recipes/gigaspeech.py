@@ -91,9 +91,12 @@ def prepare_gigaspeech(
 
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    # types includes "cuts": the reference (gigaspeech.py:80-86) uses the
+    # default (recordings, supervisions) and silently loses the cuts manifest
+    # from its return value on a cached re-run.
     manifests = read_manifests_if_cached(
         dataset_parts=subsets, output_dir=output_dir, prefix="gigaspeech", suffix="jsonl.gz",
-        lazy=True)
+        types=("recordings", "supervisions", "cuts"), lazy=True)
 
     for part in subsets:
         logging.info(f"Processing GigaSpeech subset: {part}")

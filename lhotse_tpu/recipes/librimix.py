@@ -100,10 +100,16 @@ def _augment_wham(recset: RecordingSet, speed_factors) -> RecordingSet:
 
 
 def _extend_noise(noise: np.ndarray, max_length: int) -> np.ndarray:
-    """Loop the noise with a half-Hanning crossfade until ``max_length``."""
-    window = np.hanning(RATE + 1)
-    fade_in = window[: len(window) // 2 + 1]
-    fade_out = window[len(window) // 2 :: -1]
+    """Loop the noise with a half-Hanning crossfade until ``max_length``.
+
+    The crossfade is 0.5 s, shrunk for shorter noises (the reference,
+    librimix.py:288-304, raises a broadcast error on sub-crossfade inputs;
+    WHAM noises are all longer so it never triggers there).
+    """
+    fade = min(RATE // 2, max(1, (len(noise) - 1) // 2))
+    window = np.hanning(2 * fade + 1)
+    fade_in = window[: fade + 1]
+    fade_out = window[fade::-1]
     out = noise
     while len(out) < max_length:
         out = np.concatenate((
@@ -214,9 +220,13 @@ def prepare_librimix(
     n_src_meta_root = Path(librimix_metadata_path) / f"Libri{n_src}Mix"
     md_filenames = [
         f for f in os.listdir(n_src_meta_root) if "info" not in f and f != ".completed"]
+    # Clean sets are stored and keyed under the bare part name; the reference
+    # (librimix.py:177-185) reads the cache under '{part}_clean' while writing
+    # 'librimix_cutset_{part}.jsonl.gz', so its cached re-runs silently drop
+    # every clean cutset from the return value.
     dataset_parts = [
         f"{f.replace('.csv', '')}{suffix}"
-        for f in md_filenames for suffix in ("_clean", "_noisy")]
+        for f in md_filenames for suffix in ("", "_noisy")]
     manifests = read_manifests_if_cached(
         dataset_parts=dataset_parts, output_dir=output_dir, prefix="librimix",
         types=("cutset",)) or {}
