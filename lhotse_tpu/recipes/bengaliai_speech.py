@@ -13,7 +13,8 @@ from pathlib import Path
 from typing import Dict, Optional, Tuple, Union
 
 from lhotse_tpu.audio import Recording, RecordingSet
-from lhotse_tpu.recipes.utils import finalize_manifests, manifests_exist
+from lhotse_tpu.recipes.utils import (
+    finalize_manifests, manifests_exist, read_manifests_if_cached)
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike
 
@@ -62,7 +63,9 @@ def prepare_bengaliai_speech(
     train_info, valid_info = _read_split_tables(corpus_dir / "train.csv")
     split_tables = {"train": train_info, "valid": valid_info, "test": None}
 
-    manifests = {}
+    manifests = read_manifests_if_cached(
+        dataset_parts=BENGALIAI_SPEECH, output_dir=output_dir,
+        prefix="bengaliai_speech", suffix="jsonl.gz") or {}
     for part in BENGALIAI_SPEECH:
         if manifests_exist(
                 part=part, output_dir=output_dir, prefix="bengaliai_speech",

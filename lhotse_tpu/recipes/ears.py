@@ -65,6 +65,17 @@ def prepare_ears(
     corpus_dir = Path(corpus_dir)
     if not corpus_dir.is_dir():
         raise AssertionError(f"No such directory: {corpus_dir}")
+    # Cached re-run: return the previously written flat manifest pair
+    # (reference parity: ears.py:44-156 `_read_manifests_if_cached_no_parts`).
+    if output_dir is not None:
+        rec_path = Path(output_dir) / "ears_recordings.jsonl.gz"
+        sup_path = Path(output_dir) / "ears_supervisions.jsonl.gz"
+        if rec_path.is_file() and sup_path.is_file():
+            logging.info("EARS manifests already prepared - reading them back.")
+            return {
+                "recordings": RecordingSet.from_file(rec_path),
+                "supervisions": SupervisionSet.from_file(sup_path),
+            }
     spk2meta = json.loads((corpus_dir / "speaker_statistics.json").read_text())
     utt2text = json.loads((corpus_dir / "transcripts.json").read_text())
 

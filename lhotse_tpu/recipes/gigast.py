@@ -102,6 +102,16 @@ def prepare_gigast(
                     suffix="jsonl.gz"):
                 logging.info(
                     f"GigaST {lang} subset: {partition} already prepared - skipping.")
+                # Unlike the reference (gigast.py:152-160, which also checks a
+                # hardcoded 'gigast-de' prefix for every language and returns
+                # None), read the cached manifest back so re-runs are
+                # equivalent to first runs.
+                cached = read_manifests_if_cached(
+                    dataset_parts=[partition], output_dir=output_dir,
+                    prefix=f"gigast-{lang}", suffix="jsonl.gz",
+                    types=("supervisions",))
+                if cached and partition in cached:
+                    out[f"{lang}-{partition}"] = cached[partition]
                 continue
             logging.info(f"Processing {partition}")
             supervisions = []

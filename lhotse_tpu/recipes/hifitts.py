@@ -16,7 +16,8 @@ from pathlib import Path
 from typing import Dict, Optional, Union
 
 from lhotse_tpu.audio import Recording, RecordingSet
-from lhotse_tpu.recipes.utils import finalize_manifests, manifests_exist
+from lhotse_tpu.recipes.utils import (
+    finalize_manifests, manifests_exist, read_manifests_if_cached)
 from lhotse_tpu.serialization import load_jsonl
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, resumable_download, safe_extract
@@ -93,7 +94,9 @@ def prepare_hifitts(
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
 
-    manifests = {}
+    partition_ids = [to_partition_id(raw) for raw in json_manifests]
+    manifests = read_manifests_if_cached(
+        dataset_parts=partition_ids, output_dir=output_dir, prefix="hifitts") or {}
     with ProcessPoolExecutor(num_jobs) as pool:
         jobs = {}
         for raw in json_manifests:

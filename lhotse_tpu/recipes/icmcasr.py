@@ -20,7 +20,8 @@ from typing import Dict, Optional, Tuple, Union
 from lhotse_tpu.audio import AudioSource, Recording, RecordingSet, info
 from lhotse_tpu.recipes.ali_meeting import normalize_text_alimeeting
 from lhotse_tpu.recipes.textgrid import read_textgrid
-from lhotse_tpu.recipes.utils import finalize_manifests, manifests_exist
+from lhotse_tpu.recipes.utils import (
+    finalize_manifests, manifests_exist, read_manifests_if_cached)
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike
 
@@ -115,7 +116,9 @@ def prepare_icmcasr(
         output_dir = Path(output_dir)
         output_dir.mkdir(parents=True, exist_ok=True)
 
-    manifests = {}
+    manifests = read_manifests_if_cached(
+        dataset_parts=subsets, output_dir=output_dir, prefix=f"icmcasr-{mic}",
+        suffix="jsonl.gz") or {}
     for part in subsets:
         if manifests_exist(
                 part=part, output_dir=output_dir, prefix=f"icmcasr-{mic}",

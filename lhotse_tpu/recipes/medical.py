@@ -14,7 +14,8 @@ from pathlib import Path
 from typing import Dict, Optional, Tuple, Union
 
 from lhotse_tpu.audio import Recording, RecordingSet
-from lhotse_tpu.recipes.utils import finalize_manifests, manifests_exist
+from lhotse_tpu.recipes.utils import (
+    finalize_manifests, manifests_exist, read_manifests_if_cached)
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike, resumable_download
 
@@ -65,7 +66,8 @@ def prepare_medical(
     """test/dev/train manifests off the ``medical_{part}.info`` lists."""
     corpus_dir = Path(corpus_dir)
     assert corpus_dir.is_dir(), f"No such directory: {corpus_dir}"
-    manifests = {}
+    manifests = read_manifests_if_cached(
+        dataset_parts=MEDICAL, output_dir=output_dir, prefix="medical") or {}
     for part in MEDICAL:
         if manifests_exist(part=part, output_dir=output_dir, prefix="medical"):
             logging.info(f"Medical subset: {part} already prepared - skipping.")

@@ -13,7 +13,7 @@ from typing import Dict, Optional, Tuple, Union
 
 from lhotse_tpu import fix_manifests, validate_recordings_and_supervisions
 from lhotse_tpu.audio import Recording, RecordingSet
-from lhotse_tpu.recipes.utils import manifests_exist
+from lhotse_tpu.recipes.utils import manifests_exist, read_manifests_if_cached
 from lhotse_tpu.serialization import load_jsonl
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike
@@ -84,6 +84,13 @@ def prepare_peoples_speech(
         if manifests_exist(
             part=part_name, output_dir=output_dir, prefix="peoples_speech", suffix="jsonl.gz"):
             logging.info(f"People's Speech {part_name} already prepared - skipping.")
+            # Return keys use the full "train/clean" form, so the generic
+            # pre-populate (keyed by part_name) cannot be used here.
+            cached = read_manifests_if_cached(
+                dataset_parts=[part_name], output_dir=output_dir,
+                prefix="peoples_speech", suffix="jsonl.gz")
+            if cached and part_name in cached:
+                manifests[part] = cached[part_name]
             continue
         recording_set, supervision_set = _prepare_subset(part, corpus_dir, num_jobs)
         if output_dir is not None:

@@ -149,9 +149,12 @@ def prepare_reazonspeech(
     parts = ("train", "dev", "test")
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
+    # types includes "cuts" so a cached re-run returns the cuts manifest too
+    # (the reference, reazonspeech.py, uses the default types and loses it).
     manifests = read_manifests_if_cached(
         dataset_parts=parts, output_dir=output_dir, prefix="reazonspeech",
-        suffix="jsonl.gz", lazy=True) or {}
+        suffix="jsonl.gz", types=("recordings", "supervisions", "cuts"),
+        lazy=True) or {}
 
     for part in parts:
         if manifests_exist(

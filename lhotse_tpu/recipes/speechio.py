@@ -14,7 +14,8 @@ from pathlib import Path
 from typing import Dict, Optional, Union
 
 from lhotse_tpu.audio import Recording, RecordingSet
-from lhotse_tpu.recipes.utils import finalize_manifests, manifests_exist
+from lhotse_tpu.recipes.utils import (
+    finalize_manifests, manifests_exist, read_manifests_if_cached)
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
 from lhotse_tpu.utils import Pathlike
 
@@ -51,7 +52,8 @@ def prepare_speechio(
     assert corpus_dir.is_dir(), f"No such directory: {corpus_dir}"
     logging.info("Preparing SpeechIO...")
 
-    manifests = {}
+    manifests = read_manifests_if_cached(
+        dataset_parts=SPEECHIO_PARTS, output_dir=output_dir, prefix="speechio") or {}
     for part in SPEECHIO_PARTS:
         if manifests_exist(part=part, output_dir=output_dir, prefix="speechio"):
             logging.info(f"SpeechIO subset: {part} already prepared - skipping.")

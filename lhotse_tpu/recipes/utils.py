@@ -17,7 +17,7 @@ DEFAULT_DETECTED_MANIFEST_TYPES = ("recordings", "supervisions")
 
 TYPES_TO_CLASSES = {
     "recordings": RecordingSet, "supervisions": SupervisionSet, "features": FeatureSet,
-    "cuts": CutSet}
+    "cuts": CutSet, "cutset": CutSet}
 
 
 def read_manifests_if_cached(
@@ -48,7 +48,11 @@ def read_manifests_if_cached(
             if lazy:
                 manifests[part][manifest] = TYPES_TO_CLASSES[manifest].from_jsonl_lazy(path)
             else:
-                manifests[part][manifest] = load_manifest(path)
+                # The type is known from the filename, so pass it explicitly:
+                # content-based detection cannot classify a legitimately empty
+                # manifest (e.g. an absent split) and would raise on it.
+                manifests[part][manifest] = load_manifest(
+                    path, manifest_cls=TYPES_TO_CLASSES.get(manifest))
     return dict(manifests)
 
 

@@ -717,7 +717,12 @@ def load_manifest(path: Pathlike, manifest_cls: Optional[Type] = None) -> Manife
     for manifest_type in candidates:
         try:
             data_set = manifest_type.from_dicts(raw_data)
-            if len(data_set) == 0:
+            # Empty data cannot disambiguate the type — but with an explicit
+            # manifest_cls there is no ambiguity, so a legitimately empty
+            # manifest (e.g. an absent corpus split) loads fine.  The
+            # reference (serialization.py:478-484) rejects empty manifests
+            # unconditionally.
+            if len(data_set) == 0 and manifest_cls is None:
                 raise RuntimeError()
             break
         except Exception:

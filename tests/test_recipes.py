@@ -636,6 +636,9 @@ def test_prepare_peoples_speech(tmp_path):
     (sup,) = list(m["train/clean"]["supervisions"])
     assert sup.text == "hello people"
     assert sup.custom["session_id"] == "session-xyz"
+    again = prepare_peoples_speech(root, output_dir=tmp_path / "out")
+    assert set(again) == {"train/clean"}
+    assert len(list(again["train/clean"]["recordings"])) == 1
 
 
 def test_prepare_icsi_ihm(tmp_path):

@@ -456,6 +456,9 @@ def test_prepare_hifitts(tmp_path):
     assert "92_clean_train" in m
     (sup,) = list(m["92_clean_train"]["supervisions"])
     assert sup.text == "hello world" and sup.custom["text_punct"] == "Hello, world!"
+    again = prepare_hifitts(tmp_path, output_dir=tmp_path / "out")
+    assert "92_clean_train" in again
+    assert len(list(again["92_clean_train"]["recordings"])) == 1
 
 
 def test_prepare_mdcc(tmp_path):
@@ -553,6 +556,9 @@ def test_prepare_ears(tmp_path):
     assert sup.speaker == "p001" and sup.gender == "female"
     assert sup.text == "You're just the sweetest."
     assert sup.custom["age"] == "18-25"
+    again = prepare_ears(tmp_path, output_dir=tmp_path / "out")
+    (sup2,) = list(again["supervisions"])
+    assert sup2.text == "You're just the sweetest."
 
 
 def test_prepare_libricss_sdm(tmp_path):

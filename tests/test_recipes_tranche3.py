@@ -96,6 +96,9 @@ def test_prepare_speechio(tmp_path):
     assert part in m and len(list(m[part]["supervisions"])) == 1
     sup = list(m[part]["supervisions"])[0]
     assert sup.text == "测试文本" and sup.speaker == "a"
+    # Cached re-run still returns the prepared parts.
+    again = prepare_speechio(tmp_path, output_dir=tmp_path / "out")
+    assert part in again and len(list(again[part]["recordings"])) == 1
 
 
 def test_prepare_kespeech(tmp_path):
@@ -447,6 +450,8 @@ def test_prepare_medical(tmp_path):
     assert sups[0].text == "doctor hello patient"
     assert sups[0].start == 0.5 and sups[0].duration == 2.0
     assert sups[0].recording_id == "RES0001"
+    again = prepare_medical(tmp_path, output_dir=tmp_path / "out")
+    assert len(list(again["train"]["supervisions"])) == 1
 
 
 def test_prepare_librimix_mini(tmp_path):
@@ -560,6 +565,8 @@ def test_prepare_bengaliai_speech(tmp_path):
     assert [s.text for s in m["valid"]["supervisions"]] == ["অন্য বাক্য"]
     test_sups = list(m["test"]["supervisions"])
     assert len(test_sups) == 1 and test_sups[0].text is None
+    again = prepare_bengaliai_speech(tmp_path, output_dir=tmp_path / "out")
+    assert [s.text for s in again["train"]["supervisions"]] == ["বাংলা বাক্য"]
 
 
 def test_prepare_but_reverb_db(tmp_path):
@@ -664,6 +671,11 @@ def test_reazonspeech_normalize_and_prepare(tmp_path):
     assert len(list(m["test"]["recordings"])) == 100
     assert len(list(m["train"]["recordings"])) == 5
     assert len(list(m["train"]["cuts"])) == 5
+    # A cached re-run must return the cuts manifest too (the reference's
+    # default read_manifests_if_cached types silently drop it).
+    again = prepare_reazonspeech(tmp_path, output_dir=tmp_path / "out")
+    assert len(list(again["train"]["cuts"])) == 5
+    assert len(list(again["dev"]["recordings"])) == 1000
 
 
 def test_prepare_icmcasr(tmp_path):
@@ -693,6 +705,8 @@ def test_prepare_icmcasr(tmp_path):
     assert sups[0].speaker == "spk001"
     assert sups[0].start == 1.0 and sups[0].duration == 1.5
     assert "你好" in sups[0].text
+    again = prepare_icmcasr(tmp_path, output_dir=tmp_path / "out", mic="ihm")
+    assert len(list(again["train"]["supervisions"])) == 1
 
 
 def _flac(path, seconds=1.0, sr=16000, seed=0, channels=1):

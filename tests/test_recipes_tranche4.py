@@ -337,3 +337,11 @@ def test_prepare_gigast(tmp_path):
     assert len(out_sups) == 1
     assert out_sups[0].id == "POD1_S0000001"
     assert out_sups[0].custom["text_raw"] == "Segment eins"
+    # A cached re-run returns the same manifests instead of an empty dict
+    # (the reference skips without reading back — and checks a hardcoded
+    # 'gigast-de' prefix for every language).
+    again = prepare_gigast(
+        tmp_path, manifests_dir, output_dir=tmp_path / "out",
+        languages="de", dataset_parts="TEST")
+    again_sups = list(again["de-TEST"]["supervisions"])
+    assert len(again_sups) == 1 and again_sups[0].id == "POD1_S0000001"
