@@ -354,7 +354,12 @@ class DataCut(Cut, CustomFieldMixin, metaclass=ABCMeta):
         sr = self.sampling_rate
         new_start = max(add_durations(self.start, offset, sampling_rate=sr), 0)
         window = duration if duration is not None else self.duration
-        new_duration = add_durations(offset + window, -offset, sampling_rate=sr)
+        # Quantize offset and window to the sample grid SEPARATELY before
+        # differencing (reference cut/data.py:519-525): float-adding first
+        # lands sums like 0.525+0.525 @22050 on .5-sample boundaries and
+        # shifts the result by one sample vs the reference.
+        until = add_durations(offset, window, sampling_rate=sr)
+        new_duration = add_durations(until, -offset, sampling_rate=sr)
         if new_duration <= 0.0:
             raise AssertionError(f"new_duration={new_duration}")
         overhang = add_durations(
@@ -661,6 +666,11 @@ def merge_segment_group(
     Collapse a start-sorted supervision group into one spanning segment:
     texts joined with whitespace, other string fields via ``join``,
     alignments concatenated, customs merged per key via ``join_custom``.
+
+    Deviation from the reference: the merged end is ``max(s.end)`` over the
+    group, not the end of the last-starting segment (reference
+    cut/mono.py:309 truncates the span when a nested/earlier segment
+    outlasts the last-starting one). See docs/migrating-from-lhotse.md.
     """
     from functools import reduce
     from operator import add as _add

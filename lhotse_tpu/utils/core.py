@@ -513,21 +513,32 @@ def to_hashable(item: Any) -> Any:
 
 def streaming_shuffle(data: Iterable[T], bufsize: int = 10000, rng: Optional[random.Random] = None):
     """
-    Shuffle the data in the stream using a fixed-size reservoir buffer
-    (reference: utils.py:940): fill a buffer of ``bufsize`` items, then for each
-    incoming item, emit a random buffered item and replace it.
+    Shuffle the data in the stream using a fixed-size buffer (webdataset-style;
+    reference: utils.py:940, same algorithm as :class:`lhotse_tpu.lazy.LazyShuffler`):
+    during warm-up, items are pulled two at a time into the buffer; afterwards each
+    arriving item trades places with a random resident before being emitted, and the
+    tail of the buffer drains in arrival order.  Output order is bit-identical to the
+    reference for the same seeded ``rng``.
     """
     if rng is None:
         rng = random.Random()
+    it = iter(data)
     buf: List[T] = []
-    for sample in data:
+    warming_up = True
+    for sample in it:
         if len(buf) < bufsize:
+            try:
+                buf.append(next(it))
+            except StopIteration:
+                pass
+        if buf:
+            k = rng.randint(0, len(buf) - 1)
+            sample, buf[k] = buf[k], sample
+        if warming_up and len(buf) < bufsize:
             buf.append(sample)
             continue
-        idx = rng.randint(0, len(buf) - 1)
-        buf[idx], sample = sample, buf[idx]
+        warming_up = False
         yield sample
-    rng.shuffle(buf)
     yield from buf
 
 
@@ -625,8 +636,10 @@ def merge_items_with_delimiter(
     values: Iterable[str], prefix: str = "cat", delimiter: str = "#", return_first: bool = False,
 ) -> Optional[str]:
     """Merge a sequence of strings into one with a delimiter
-    (reference: utils.py:726), used when merging supervision fields."""
-    values = list(dict.fromkeys(values))  # unique, order-preserving
+    (reference: utils.py:726), used when merging supervision fields.
+    Duplicates are kept (matches the reference's wire output for
+    ``merge_supervisions``, e.g. repeated speaker names)."""
+    values = list(values)
     if len(values) == 0:
         return None
     if len(values) == 1 or return_first:
@@ -672,11 +685,15 @@ def is_equal_or_contains(value: Union[Any, List[Any]], other: Union[Any, List[An
 
 
 def hash_str_to_int(s: str, max_value: Optional[int] = None) -> int:
-    """Hash a string to a stable integer (used for deterministic per-item RNG seeds)."""
+    """Hash a string to a stable integer in ``[0, max_value)``, used for
+    deterministic per-item RNG seeds (reference: utils.py:837 — SHA-1 based,
+    matched exactly so seeded pipelines reproduce across implementations)."""
     import hashlib
+    import sys as _sys
 
-    h = int(hashlib.blake2b(s.encode("utf-8"), digest_size=8).hexdigest(), 16)
-    return h % max_value if max_value is not None else h
+    if max_value is None:
+        max_value = _sys.maxsize
+    return int(hashlib.sha1(s.encode("utf-8")).hexdigest(), 16) % max_value
 
 
 def split_manifest_lazy(

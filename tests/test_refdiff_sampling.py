@@ -1,0 +1,162 @@
+"""
+Differential sampler tests vs the ACTUAL reference implementation: identical
+synthetic cut manifests through both implementations' samplers, asserting the
+exact per-batch cut-id composition.
+
+Batch composition is a training-reproducibility contract for a migrating
+user: same manifest + same sampler settings must cut batches at the same
+boundaries.  Reference semantics: lhotse/dataset/sampling/{simple,dynamic,
+base}.py (TimeConstraint close_to_exceeding, drop_last, world_size/rank
+dedup).
+"""
+import copy
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tests._reference import load_reference
+
+ref = load_reference()
+pytestmark = pytest.mark.skipif(ref is None, reason="/root/reference not mounted")
+
+if ref is not None:
+    from lhotse import CutSet as RefCutSet
+    from lhotse.cut.set import deserialize_cut as ref_deserialize_cut
+    from lhotse.dataset.sampling import (
+        DynamicCutSampler as RefDynamic,
+        SimpleCutSampler as RefSimple,
+    )
+
+from lhotse_tpu import CutSet as MyCutSet
+from lhotse_tpu.cut.set import deserialize_cut as my_deserialize_cut
+from lhotse_tpu.dataset.sampling import (
+    DynamicCutSampler as MyDynamic,
+    SimpleCutSampler as MySimple,
+)
+
+SR = 16000
+
+
+def _cut_dicts(durations_ms):
+    out = []
+    for i, dur_ms in enumerate(durations_ms):
+        n = int(round(dur_ms * SR / 1000))
+        rec_id = f"r{i}"
+        out.append(
+            {
+                "id": f"cut-{i:04d}",
+                "start": 0.0,
+                "duration": n / SR,
+                "channel": 0,
+                "recording": {
+                    "id": rec_id,
+                    "sources": [
+                        {"type": "file", "channels": [0], "source": f"/x/{rec_id}.wav"}
+                    ],
+                    "sampling_rate": SR,
+                    "num_samples": n,
+                    "duration": n / SR,
+                },
+                "supervisions": [],
+                "type": "MonoCut",
+            }
+        )
+    return out
+
+
+def _both_cutsets(durations_ms):
+    dicts = _cut_dicts(durations_ms)
+    theirs = RefCutSet.from_cuts(
+        ref_deserialize_cut(copy.deepcopy(d)) for d in dicts
+    )
+    mine = MyCutSet.from_cuts(my_deserialize_cut(copy.deepcopy(d)) for d in dicts)
+    return theirs, mine
+
+
+def _batches(sampler):
+    return [[c.id for c in batch] for batch in sampler]
+
+
+durations_strategy = st.lists(st.integers(100, 12_000), min_size=1, max_size=40)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    durations_strategy,
+    st.one_of(st.none(), st.integers(1_000, 20_000).map(lambda v: v / 1000)),
+    st.one_of(st.none(), st.integers(1, 8)),
+    st.booleans(),
+)
+def test_simple_sampler_batches(durs, max_duration, max_cuts, drop_last):
+    if max_duration is None and max_cuts is None:
+        max_cuts = 4
+    theirs, mine = _both_cutsets(durs)
+    kw = dict(
+        max_duration=max_duration, max_cuts=max_cuts, shuffle=False, drop_last=drop_last
+    )
+    try:
+        exp = _batches(RefSimple(theirs, **kw))
+    except Exception as e:
+        with pytest.raises(Exception):
+            _batches(MySimple(mine, **kw))
+        return
+    got = _batches(MySimple(mine, **kw))
+    assert got == exp
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    durations_strategy,
+    st.integers(1_000, 20_000).map(lambda v: v / 1000),
+    st.one_of(st.none(), st.integers(1, 8)),
+    st.booleans(),
+    st.one_of(st.none(), st.integers(10_000, 30_000).map(lambda v: v / 1000)),
+)
+def test_dynamic_sampler_batches(durs, max_duration, max_cuts, drop_last, quadratic):
+    theirs, mine = _both_cutsets(durs)
+    kw = dict(
+        max_duration=max_duration,
+        max_cuts=max_cuts,
+        shuffle=False,
+        drop_last=drop_last,
+        quadratic_duration=quadratic,
+    )
+    exp = _batches(RefDynamic(theirs, **kw))
+    got = _batches(MyDynamic(mine, **kw))
+    assert got == exp
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    durations_strategy,
+    st.integers(2, 4),
+    st.sampled_from([2_000 / 1000, 8_000 / 1000]),
+)
+def test_simple_sampler_rank_dedup(durs, world_size, max_duration):
+    """Per-rank batches must match the reference's rank/world_size dedup
+    arithmetic exactly (reference sampling/base.py:396-451)."""
+    for rank in range(world_size):
+        theirs, mine = _both_cutsets(durs)
+        kw = dict(
+            max_duration=max_duration,
+            shuffle=False,
+            world_size=world_size,
+            rank=rank,
+        )
+        exp = _batches(RefSimple(theirs, **kw))
+        got = _batches(MySimple(mine, **kw))
+        assert got == exp, f"rank={rank}/{world_size}"
+
+
+@settings(max_examples=30, deadline=None)
+@given(durations_strategy, st.integers(0, 2**31 - 1))
+def test_dynamic_sampler_shuffled_order(durs, seed):
+    """With identical seeds, shuffled order matches: both use the same
+    buffer-shuffle algorithm (reference utils.py:940) with rank-invariant
+    seeding."""
+    theirs, mine = _both_cutsets(durs)
+    kw = dict(max_duration=10.0, shuffle=True, seed=seed, drop_last=False)
+    exp = _batches(RefDynamic(theirs, **kw))
+    got = _batches(MyDynamic(mine, **kw))
+    assert got == exp
