@@ -3,8 +3,8 @@ YesNo corpus recipe (openslr/1) — 60 8 kHz wavs of 8 Hebrew yes/no words,
 transcript encoded in the filename (0=no, 1=yes).
 
 Reference behavior: `/root/reference/lhotse/recipes/yesno.py`
-(download_yesno :42-76, prepare_yesno :116-132 — first 30 sorted files are
-the train split, the rest test).
+(download_yesno :42-76, prepare_yesno :116-163 — sorted files alternate
+between train (even indices) and test (odd indices)).
 """
 import logging
 import shutil
@@ -19,7 +19,6 @@ from lhotse_tpu.utils import Pathlike, resumable_download, safe_extract
 
 _DEFAULT_URL = "http://www.openslr.org/resources/1/waves_yesno.tar.gz"
 
-_TRAIN_SIZE = 30
 _WORD_MAP = {"0": "NO", "1": "YES"}
 
 
@@ -73,12 +72,14 @@ def prepare_yesno(
     corpus_dir: Pathlike, output_dir: Optional[Pathlike] = None,
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
-    Prepare train/test manifests (first 30 sorted wavs = train, rest = test).
+    Prepare train/test manifests: the sorted wavs alternate between the
+    splits — even indices train, odd indices test (reference
+    recipes/yesno.py:141-143 semantics, 30/30 on the real 60-file corpus).
     """
     corpus_dir = Path(corpus_dir)
     assert corpus_dir.is_dir(), f"No such directory: {corpus_dir}"
     wavs = sorted(corpus_dir.glob("*.wav"))
-    splits = {"train": wavs[:_TRAIN_SIZE], "test": wavs[_TRAIN_SIZE:]}
+    splits = {"train": wavs[::2], "test": wavs[1::2]}
 
     if output_dir is not None:
         output_dir = Path(output_dir)

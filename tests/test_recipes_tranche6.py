@@ -74,14 +74,15 @@ def test_prepare_yesno(tmp_path):
         bits = tuple((i >> k) & 1 for k in range(8))
         patterns.add(bits)
         i += 1
-    for bits in sorted(patterns):
-        name = "_".join(str(b) for b in bits)
+    names = sorted("_".join(str(b) for b in bits) for bits in patterns)
+    for name in names:
         write_wav(str(root / f"{name}.wav"), _sig(0.5), 8000)
 
     m = prepare_yesno(root, output_dir=tmp_path / "out")
     assert set(m) == {"train", "test"}
-    assert len(m["train"]["recordings"]) == 30
-    assert len(m["test"]["recordings"]) == 1
+    # sorted files alternate between splits (reference yesno.py:141-143)
+    assert [r.id for r in m["train"]["recordings"]] == names[::2]
+    assert [r.id for r in m["test"]["recordings"]] == names[1::2]
     validate_recordings_and_supervisions(**m["train"])
     # Labels decode from the filename bits.
     sup = next(iter(m["train"]["supervisions"]))

@@ -1,0 +1,267 @@
+"""
+Recipe differential tests vs the ACTUAL reference: the same synthetic corpus
+layout on disk through BOTH implementations' ``prepare_*`` functions, with
+the produced Recording/Supervision manifests compared record-by-record.
+
+This pins true recipe parity (ids, paths, durations, texts, speakers,
+splits) beyond what fixture expectations encode.  Reference recipes run
+in-env because audio probing goes through the functional soundfile stand-in
+(tests/_reference.py).
+"""
+import numpy as np
+import pytest
+
+from tests._reference import load_reference
+
+ref = load_reference()
+pytestmark = pytest.mark.skipif(ref is None, reason="/root/reference not mounted")
+
+if ref is not None:
+    import lhotse.recipes as RR
+    from lhotse.audio.backend import (
+        LibsndfileBackend,
+        set_current_audio_backend as ref_set_backend,
+    )
+
+    ref_set_backend(LibsndfileBackend())
+
+import lhotse_tpu.recipes as MR
+from lhotse_tpu.audio.flacio import write_flac
+from lhotse_tpu.audio.wavio import write_wav
+
+SR = 16000
+
+
+def _sig(seconds: float, sr: int = SR, seed: int = 0) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return (rng.randn(1, int(sr * seconds)) * 0.1).astype(np.float32)
+
+
+def _canon_set(manifest):
+    """Manifest -> canonical sorted list of dicts with rounded floats."""
+
+    def norm(x):
+        if isinstance(x, float):
+            return round(x, 8)
+        if isinstance(x, dict):
+            return {k: norm(v) for k, v in x.items() if v is not None}
+        if isinstance(x, (list, tuple)):
+            return [norm(v) for v in x]
+        return x
+
+    return sorted((norm(item.to_dict()) for item in manifest), key=lambda d: d["id"])
+
+
+def _assert_manifests_match(theirs, mine, where):
+    assert set(theirs) == set(mine), (
+        f"{where}: split/part keys differ {set(theirs) ^ set(mine)}"
+    )
+    for part in theirs:
+        for kind in theirs[part]:
+            t = _canon_set(theirs[part][kind])
+            m = _canon_set(mine[part][kind])
+            assert t == m, f"{where}[{part}][{kind}] differs"
+
+
+# ---------------------------------------------------------------------------
+# yesno
+# ---------------------------------------------------------------------------
+def test_yesno_matches_reference(tmp_path):
+    root = tmp_path / "waves_yesno"
+    root.mkdir()
+    # the reference hard-asserts exactly 60 files (recipes/yesno.py:139)
+    patterns = set()
+    i = 0
+    while len(patterns) < 60:
+        patterns.add(tuple((i >> k) & 1 for k in range(8)))
+        i += 1
+    for bits in sorted(patterns):
+        name = "_".join(str(b) for b in bits)
+        write_wav(str(root / f"{name}.wav"), _sig(0.5, sr=8000), 8000)
+
+    theirs = RR.prepare_yesno(root)
+    mine = MR.prepare_yesno(root)
+    _assert_manifests_match(theirs, mine, "yesno")
+
+
+# ---------------------------------------------------------------------------
+# librispeech
+# ---------------------------------------------------------------------------
+def test_librispeech_matches_reference(tmp_path):
+    root = tmp_path / "LibriSpeech"
+    part = "dev-clean"
+    for spk, chap in (("84", "121123"), ("174", "50561")):
+        d = root / part / spk / chap
+        d.mkdir(parents=True)
+        lines = []
+        for i in range(2):
+            utt = f"{spk}-{chap}-{i:04d}"
+            # real LibriSpeech ships FLAC; the reference resolves audio as
+            # <utt>.flac (recipes/librispeech.py:249)
+            write_flac(str(d / f"{utt}.flac"), _sig(1.0 + 0.2 * i, seed=i), SR)
+            lines.append(f"{utt} HELLO WORLD NUMBER {i}")
+        (d / f"{spk}-{chap}.trans.txt").write_text("\n".join(lines) + "\n")
+
+    theirs = RR.prepare_librispeech(root, dataset_parts=[part])
+    mine = MR.prepare_librispeech(root, dataset_parts=[part])
+    _assert_manifests_match(theirs, mine, "librispeech")
+
+
+# ---------------------------------------------------------------------------
+# vctk
+# ---------------------------------------------------------------------------
+def test_vctk_matches_reference(tmp_path):
+    root = tmp_path / "VCTK-Corpus"
+    for spk in ("p225", "p226"):
+        (root / "wav48" / spk).mkdir(parents=True)
+        (root / "txt" / spk).mkdir(parents=True)
+    # speaker-info file both recipes parse
+    (root / "speaker-info.txt").write_text(
+        "ID  AGE  GENDER  ACCENTS  REGION\n"
+        "225  23  F    English    Southern  England\n"
+        "226  22  M    English    Surrey\n"
+    )
+    for spk, utt, text in (
+        ("p225", "p225_001", "Please call Stella."),
+        ("p225", "p225_002", "Ask her to bring these things."),
+        ("p226", "p226_001", "Please call Stella."),
+    ):
+        write_wav(str(root / "wav48" / spk / f"{utt}.wav"), _sig(1.0), 48000)
+        (root / "txt" / spk / f"{utt}.txt").write_text(text + "\n")
+
+    theirs = RR.prepare_vctk(root)
+    mine = MR.prepare_vctk(root)
+    # vctk returns a flat {recordings, supervisions} dict on both sides
+    _assert_manifests_match({"all": theirs}, {"all": mine}, "vctk")
+
+
+# ---------------------------------------------------------------------------
+# ljspeech
+# ---------------------------------------------------------------------------
+def test_ljspeech_matches_reference(tmp_path):
+    root = tmp_path / "LJSpeech-1.1"
+    (root / "wavs").mkdir(parents=True)
+    rows = []
+    for i in range(3):
+        utt = f"LJ001-{i:04d}"
+        write_wav(str(root / "wavs" / f"{utt}.wav"), _sig(1.5, sr=22050, seed=i), 22050)
+        rows.append(f"{utt}|Some text {i}|Some normalized text {i}")
+    (root / "metadata.csv").write_text("\n".join(rows) + "\n")
+
+    theirs = RR.prepare_ljspeech(root)
+    mine = MR.prepare_ljspeech(root)
+    _assert_manifests_match({"all": theirs}, {"all": mine}, "ljspeech")
+
+
+# ---------------------------------------------------------------------------
+# musan
+# ---------------------------------------------------------------------------
+def test_musan_matches_reference(tmp_path):
+    root = tmp_path / "musan"
+    for part, name in (("music", "music-fma-0000"), ("noise", "noise-free-sound-0000"), ("speech", "speech-librivox-0000")):
+        d = root / part / "xyz"
+        d.mkdir(parents=True)
+        write_wav(str(d / f"{name}.wav"), _sig(2.0), SR)
+    # music needs vocal ANNOTATIONS (utt genres vocals musician), else the
+    # empty supervision set crashes the reference's validator
+    (root / "music" / "xyz" / "ANNOTATIONS").write_text(
+        "music-fma-0000 rock,pop Y artist0\n"
+    )
+
+    theirs = RR.prepare_musan(root)
+    mine = MR.prepare_musan(root)
+    _assert_manifests_match(theirs, mine, "musan")
+
+
+# ---------------------------------------------------------------------------
+# aishell
+# ---------------------------------------------------------------------------
+def test_aishell_matches_reference(tmp_path):
+    root = tmp_path / "aishell"
+    trans = root / "data_aishell" / "transcript"
+    trans.mkdir(parents=True)
+    lines = []
+    utts = {
+        "train": [("S0002", "BAC009S0002W0122"), ("S0002", "BAC009S0002W0123")],
+        "dev": [("S0724", "BAC009S0724W0121")],
+        "test": [("S0764", "BAC009S0764W0121")],
+    }
+    for part, entries in utts.items():
+        for spk, utt in entries:
+            d = root / "data_aishell" / "wav" / part / spk
+            d.mkdir(parents=True, exist_ok=True)
+            write_wav(str(d / f"{utt}.wav"), _sig(1.0), SR)
+            lines.append(f"{utt} 广州 市 汽车 限购")
+    lines.append("BAC009S9999W0001 无 音频")  # no audio: skipped
+    (trans / "aishell_transcript_v0.8.txt").write_text("\n".join(lines) + "\n")
+
+    theirs = RR.prepare_aishell(root)
+    mine = MR.prepare_aishell(root)
+    _assert_manifests_match(theirs, mine, "aishell")
+
+
+# ---------------------------------------------------------------------------
+# timit
+# ---------------------------------------------------------------------------
+def test_timit_matches_reference(tmp_path):
+    from lhotse_tpu.audio.sphio import write_sph
+
+    root = tmp_path / "timit"
+    n = SR
+    layout = [
+        ("TRAIN", "DR1", "fcjf0"),
+        ("TEST", "DR1", "fadg0"),  # dev core speaker
+        ("TEST", "DR2", "fdhc0"),  # test core speaker
+    ]
+    for part, dr, spk in layout:
+        d = root / "data" / part / dr / spk
+        d.mkdir(parents=True)
+        write_sph(str(d / "SA1.WAV"), _sig(1.0)[0][None, :], SR)
+        (d / "SA1.TXT").write_text(f"0 {n} she had your dark suit\n")
+        (d / "SA1.WRD").write_text(f"0 {n//2} she\n{n//2} {n} had\n")
+        (d / "SA1.PHN").write_text(f"0 {n//4} sh\n{n//4} {n//2} iy\n{n//2} {n} hh\n")
+
+    theirs = RR.prepare_timit(root, num_phones=60)
+    mine = MR.prepare_timit(root, num_phones=60)
+    _assert_manifests_match(theirs, mine, "timit")
+
+
+# ---------------------------------------------------------------------------
+# magicdata
+# ---------------------------------------------------------------------------
+def test_magicdata_matches_reference(tmp_path):
+    root = tmp_path / "magicdata"
+    for part, utts in (
+        ("train", [("14_3466", "14_3466_20170826171404"), ("14_3466", "14_3466_20170826171942")]),
+        ("dev", [("38_5718", "38_5718_20170915093303")]),
+        ("test", [("38_5719", "38_5719_20170915093304")]),
+    ):
+        lines = ["UtteranceID SpeakerID Transcription"]
+        for spk, utt in utts:
+            d = root / part / spk
+            d.mkdir(parents=True, exist_ok=True)
+            write_wav(str(d / f"{utt}.wav"), _sig(1.0), SR)
+            lines.append(f"{utt}.wav {spk} 北京， 你好！")
+        (root / part / "TRANS.txt").write_text("\n".join(lines) + "\n")
+
+    theirs = RR.prepare_magicdata(root)
+    mine = MR.prepare_magicdata(root)
+    _assert_manifests_match(theirs, mine, "magicdata")
+
+
+# ---------------------------------------------------------------------------
+# stcmds
+# ---------------------------------------------------------------------------
+def test_stcmds_matches_reference(tmp_path):
+    root = tmp_path / "stcmds"
+    d = root / "ST-CMDS-20170001_1-OS"
+    d.mkdir(parents=True)
+    for i in range(2):
+        stem = f"20170001P0000{1 + i}A000{1 + i}"
+        write_wav(str(d / f"{stem}.wav"), _sig(1.0, seed=i), SR)
+        (d / f"{stem}.txt").write_text("今天 天气 很好\n")
+
+    theirs = RR.prepare_stcmds(root)
+    mine = MR.prepare_stcmds(root)
+    # both return {"train": {recordings, supervisions}}
+    _assert_manifests_match(theirs, mine, "stcmds")
