@@ -265,3 +265,100 @@ def test_stcmds_matches_reference(tmp_path):
     mine = MR.prepare_stcmds(root)
     # both return {"train": {recordings, supervisions}}
     _assert_manifests_match(theirs, mine, "stcmds")
+
+
+# ---------------------------------------------------------------------------
+# thchs-30
+# ---------------------------------------------------------------------------
+def test_thchs30_matches_reference(tmp_path):
+    root = tmp_path / "thchs"
+    data = root / "data_thchs30" / "data"
+    data.mkdir(parents=True)
+    for part, utt in (("train", "A11_0"), ("dev", "B11_374"), ("test", "C21_9")):
+        pd = root / "data_thchs30" / part
+        pd.mkdir(parents=True, exist_ok=True)
+        write_wav(str(pd / f"{utt}.wav"), _sig(1.0), SR)
+        (data / f"{utt}.wav.trn").write_text("绿 是 阳春 烟 景\nlv4 shi4\nl v4 sh i4\n")
+
+    theirs = RR.prepare_thchs_30(root)
+    mine = MR.prepare_thchs_30(root)
+    _assert_manifests_match(theirs, mine, "thchs30")
+
+
+# ---------------------------------------------------------------------------
+# libritts
+# ---------------------------------------------------------------------------
+def test_libritts_matches_reference(tmp_path):
+    root = tmp_path / "LibriTTS"
+    chapter = root / "dev-clean" / "84" / "121123"
+    chapter.mkdir(parents=True)
+    for name, seed in (("84_121123_000007_000001", 7), ("84_121123_000008_000000", 8)):
+        write_wav(str(chapter / f"{name}.wav"), _sig(1.0, sr=24000, seed=seed), 24000)
+    (chapter / "84_121123.trans.tsv").write_text(
+        "84_121123_000007_000001\tMaximilian!\tMaximilian.\n"
+        "84_121123_000008_000000\tVillefort rose.\tVillefort rose.\n"
+    )
+    (chapter / "84_121123.book.tsv").write_text(
+        "84_121123_000007_000001 x x 12.5\n84_121123_000008_000000 x x 7.25\n"
+    )
+    (root / "SPEAKERS.txt").write_text(";ID |SEX| SUBSET\n84 | F | dev-clean\n")
+
+    theirs = RR.prepare_libritts(root, dataset_parts="dev-clean", link_previous_utt=True)
+    mine = MR.prepare_libritts(root, dataset_parts="dev-clean", link_previous_utt=True)
+    _assert_manifests_match(theirs, mine, "libritts")
+
+
+# ---------------------------------------------------------------------------
+# aidatatang_200zh
+# ---------------------------------------------------------------------------
+def test_aidatatang_matches_reference(tmp_path):
+    # both implementations expect corpus_dir to CONTAIN aidatatang_200zh/
+    root = tmp_path
+    inner = root / "aidatatang_200zh"
+    corpus = inner / "corpus"
+    trans = inner / "transcript"
+    trans.mkdir(parents=True)
+    lines = []
+    for part, spk, utt in (
+        ("train", "G0002", "T0055G0002S0002"),
+        ("dev", "G0003", "T0055G0003S0001"),
+        ("test", "G0004", "T0055G0004S0001"),
+    ):
+        d = corpus / part / spk
+        d.mkdir(parents=True, exist_ok=True)
+        write_wav(str(d / f"{utt}.wav"), _sig(1.0), SR)
+        lines.append(f"{utt} 今天 天气 很好")
+    (trans / "aidatatang_200_zh_transcript.txt").write_text("\n".join(lines) + "\n")
+
+    # not re-exported from the reference's recipes __init__; import directly
+    from lhotse.recipes.aidatatang_200zh import (
+        prepare_aidatatang_200zh as ref_prepare,
+    )
+
+    theirs = ref_prepare(root)
+    mine = MR.prepare_aidatatang_200zh(root)
+    _assert_manifests_match(theirs, mine, "aidatatang")
+
+
+# ---------------------------------------------------------------------------
+# tedlium
+# ---------------------------------------------------------------------------
+def test_tedlium_matches_reference(tmp_path):
+    from lhotse_tpu.audio.sphio import write_sph
+
+    root = tmp_path / "TEDLIUM_release-3"
+    for split in ("dev",):
+        sph = root / "legacy" / split / "sph"
+        stm = root / "legacy" / split / "stm"
+        sph.mkdir(parents=True)
+        stm.mkdir(parents=True)
+        write_sph(str(sph / "TalkA.sph"), _sig(5.0), SR)
+        (stm / "TalkA.stm").write_text(
+            "TalkA 1 spkA 0.00 2.50 <o,f0,male> hello {NOISE} world\n"
+            "TalkA 1 spkA 2.50 3.00 <o,f0,male> ignore_time_segment_in_scoring\n"
+            "TalkA 1 spkA 3.00 4.25 <o,f0,female> they 're here\n"
+        )
+
+    theirs = RR.prepare_tedlium(root, dataset_parts=["dev"])
+    mine = MR.prepare_tedlium(root, dataset_parts=["dev"])
+    _assert_manifests_match(theirs, mine, "tedlium")
