@@ -65,12 +65,21 @@ def estimate_duration_buckets(
             f"The number of buckets ({num_buckets}) must be smaller than "
             f"or equal to the number of cuts ({sizes.size})."
         )
-    # Boundary k sits at the first cut where the cumulative mass passes
-    # k/num_buckets of the total.
-    mass = np.cumsum(sizes)
-    targets = mass[-1] * np.arange(1, num_buckets) / num_buckets
-    edges = sizes[np.searchsorted(mass, targets, side="right").clip(max=sizes.size - 1)]
-    return edges.tolist()
+    # Greedy equal-mass pass over the sorted sizes, emitting a boundary each
+    # time the running mass exceeds total/num_buckets — matched EXACTLY to the
+    # reference (dynamic_bucketing.py:495-536, including its quirk of
+    # returning fewer than num_buckets-1 bins when the tail never overflows),
+    # because bin boundaries decide bucket membership and therefore batch
+    # composition for seeded runs.
+    size_per_bucket = sizes.sum() / num_buckets
+    bins: List[float] = []
+    tot = 0.0
+    for size in sizes:
+        if tot > size_per_bucket:
+            bins.append(float(size))
+            tot = 0.0
+        tot += float(size)
+    return bins
 
 
 # ---------------------------------------------------------------------------

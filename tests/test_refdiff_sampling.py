@@ -160,3 +160,35 @@ def test_dynamic_sampler_shuffled_order(durs, seed):
     exp = _batches(RefDynamic(theirs, **kw))
     got = _batches(MyDynamic(mine, **kw))
     assert got == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(300, 20_000), min_size=8, max_size=40),
+    st.integers(2, 4),
+    st.sampled_from([5.0, 15.0, 40.0]),
+    st.booleans(),
+    st.integers(0, 2**31 - 1),
+)
+def test_dynamic_bucketing_sampler_batches(durs, num_buckets, max_duration, shuffle, seed):
+    """Bucketed batch composition: bin estimation + bucket dispatch + seeded
+    shuffle must all agree (reference sampling/dynamic_bucketing.py)."""
+    from lhotse.dataset.sampling import DynamicBucketingSampler as RefBuck
+    from lhotse_tpu.dataset.sampling import DynamicBucketingSampler as MyBuck
+
+    theirs, mine = _both_cutsets(durs)
+    kw = dict(
+        max_duration=max_duration,
+        num_buckets=num_buckets,
+        shuffle=shuffle,
+        seed=seed,
+        drop_last=False,
+        buffer_size=max(len(durs), 10),
+    )
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        exp = _batches(RefBuck(theirs, **kw))
+        got = _batches(MyBuck(mine, **kw))
+    assert got == exp
