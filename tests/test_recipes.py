@@ -18,10 +18,11 @@ def test_prepare_yesno(tmp_path):
     for i, name in enumerate(flags):
         _wav(tmp_path / f"{name}.wav", sr=8000, seed=i)
     manifests = prepare_yesno(tmp_path, output_dir=tmp_path / "out")
-    # only 2 files -> both land in "train" (first 30 sorted).
-    assert set(manifests) == {"train"}
+    # sorted files alternate between splits (reference yesno.py:141-143):
+    # with 2 files, one lands in each.
+    assert set(manifests) == {"train", "test"}
     sups = manifests["train"]["supervisions"]
-    assert len(sups) == 2
+    assert len(sups) == 1
     by_id = {s.id: s for s in sups}
     assert by_id["0_0_1_0_1_0_1_1"].text == "NO NO YES NO YES NO YES YES"
     assert (tmp_path / "out" / "yesno_recordings_train.jsonl.gz").is_file()

@@ -362,3 +362,98 @@ def test_tedlium_matches_reference(tmp_path):
     theirs = RR.prepare_tedlium(root, dataset_parts=["dev"])
     mine = MR.prepare_tedlium(root, dataset_parts=["dev"])
     _assert_manifests_match(theirs, mine, "tedlium")
+
+
+# ---------------------------------------------------------------------------
+# cmu_arctic
+# ---------------------------------------------------------------------------
+def test_cmu_arctic_matches_reference(tmp_path):
+    pkg = tmp_path / "cmu_us_bdl_arctic"
+    (pkg / "wav").mkdir(parents=True)
+    (pkg / "etc").mkdir()
+    for i, utt in enumerate(("arctic_a0001", "arctic_a0002")):
+        write_wav(str(pkg / "wav" / f"{utt}.wav"), _sig(1.0, seed=i), SR)
+    (pkg / "etc" / "txt.done.data").write_text(
+        '( arctic_a0001 "Author of the danger trail." )\n'
+        '( arctic_a0002 "Philip Steels etc." )\n'
+    )
+    theirs = RR.prepare_cmu_arctic(tmp_path)
+    mine = MR.prepare_cmu_arctic(tmp_path)
+    _assert_manifests_match({"all": theirs}, {"all": mine}, "cmu_arctic")
+
+
+# ---------------------------------------------------------------------------
+# commonvoice
+# ---------------------------------------------------------------------------
+def test_commonvoice_matches_reference(tmp_path):
+    root = tmp_path / "cv-corpus"
+    for lang in ("en", "pl"):
+        clips = root / lang / "clips"
+        clips.mkdir(parents=True)
+        rows = ["client_id\tpath\tsentence\tage\tgender\taccents\tvariant"]
+        for i in range(2):
+            name = f"common_voice_{lang}_{1000 + i}.wav"
+            write_wav(str(clips / name), _sig(0.8, seed=i), SR)
+            rows.append(
+                f"spk{lang}{i}\t{name}\tSentence number {i}.\ttwenties\t"
+                f"{'female' if i else 'male'}\taccent-{lang}\tv{i}"
+            )
+        (root / lang / "dev.tsv").write_text("\n".join(rows) + "\n")
+
+    theirs = RR.prepare_commonvoice(
+        root, tmp_path / "ref_out", languages=["en", "pl"], splits=["dev"]
+    )
+    mine = MR.prepare_commonvoice(
+        root, tmp_path / "my_out", languages=["en", "pl"], splits=["dev"]
+    )
+    assert set(theirs) == set(mine)
+    for lang in theirs:
+        _assert_manifests_match(theirs[lang], mine[lang], f"commonvoice[{lang}]")
+
+
+# ---------------------------------------------------------------------------
+# baker_zh
+# ---------------------------------------------------------------------------
+def test_baker_zh_matches_reference(tmp_path):
+    root = tmp_path / "BZNSYP"
+    (root / "Wave").mkdir(parents=True)
+    (root / "PhoneLabeling").mkdir(parents=True)
+    (root / "ProsodyLabeling").mkdir(parents=True)
+    labels = []
+    for i in range(2):
+        rid = f"00000{1 + i}"
+        write_wav(str(root / "Wave" / f"{rid}.wav"), _sig(1.0, seed=i), SR)
+        labels.append(f"{rid}\t卡尔普#2陪外孙#1玩滑梯#4。")
+        labels.append("\tka2 er2 pu3 pei2 wai4 sun1 wan2 hua2 ti1")
+    (root / "ProsodyLabeling" / "000001-010000.txt").write_text(
+        "\n".join(labels) + "\n"
+    )
+    theirs = RR.prepare_baker_zh(root)
+    mine = MR.prepare_baker_zh(root)
+    _assert_manifests_match({"all": theirs}, {"all": mine}, "baker_zh")
+
+
+# ---------------------------------------------------------------------------
+# mobvoihotwords
+# ---------------------------------------------------------------------------
+def test_mobvoihotwords_matches_reference(tmp_path):
+    import json
+
+    data = tmp_path / "mobvoi_hotword_dataset"
+    res = tmp_path / "mobvoi_hotword_dataset_resources"
+    data.mkdir()
+    res.mkdir()
+    k = 0
+    for part in ("train", "dev", "test"):
+        for polarity, kw in (("p", 0), ("n", -1)):
+            utt = f"utt{k}"
+            k += 1
+            write_wav(str(data / f"{utt}.wav"), _sig(1.0, seed=k), SR)
+            (res / f"{polarity}_{part}.json").write_text(
+                json.dumps(
+                    [{"utt_id": utt, "speaker_id": f"spk{k}", "keyword_id": kw}]
+                )
+            )
+    theirs = RR.prepare_mobvoihotwords(tmp_path)
+    mine = MR.prepare_mobvoihotwords(tmp_path)
+    _assert_manifests_match(theirs, mine, "mobvoihotwords")
