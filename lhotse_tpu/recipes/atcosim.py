@@ -166,6 +166,10 @@ def prepare_atcosim(
         "Manifests are lazily materialized. You may want to call "
         "`lhotse_tpu.qa.fix_manifests()` to ensure that all supervisions fall "
         "within the corresponding recordings.")
-    return {
-        "recordings": RecordingSet.from_jsonl_lazy(recs_writer.path),
-        "supervisions": SupervisionSet.from_jsonl_lazy(sups_writer.path)}
+    # NOTE: a (recordings, supervisions) TUPLE, matching the reference's
+    # actual return (atcosim.py:254 — its docstring claims a dict, the code
+    # returns a tuple; migrating users tuple-unpack it).
+    return (
+        RecordingSet.from_jsonl_lazy(recs_writer.path),
+        SupervisionSet.from_jsonl_lazy(sups_writer.path),
+    )

@@ -62,14 +62,22 @@ def test_missing_sdk_workflows_raise_informative_errors(tmp_path):
 
 
 def test_audio_backends_exclude_unavailable():
+    import sys
+
     from lhotse_tpu.audio import available_audio_backends
 
     names = available_audio_backends()
     # The dependency-free backends are always present...
     assert "InternalWavBackend" in names
     assert "FlacBackend" in names
-    # ...and SDK-gated ones only when importable (not in this image).
-    assert "SoundfileBackend" not in names
+    # ...and SDK-gated ones only when importable. The real soundfile is not
+    # in this image, but the refdiff suites install a functional stand-in
+    # (tests/_refstubs/soundfile.py) for the whole process — in that case
+    # SoundfileBackend legitimately reports available.
+    sf = sys.modules.get("soundfile")
+    refstub_active = sf is not None and "_refstubs" in (getattr(sf, "__file__", "") or "")
+    if not refstub_active:
+        assert "SoundfileBackend" not in names
     assert "TorchcodecBackend" not in names
 
 

@@ -410,8 +410,9 @@ def test_prepare_atcosim(tmp_path):
         "transcription,recording_corrupt\n"
         "rec1,d1,s1,u1,2.0,zf1,contact =wien <OT>ok</OT> hm,0\n"
         "rec2,d1,s1,u2,2.0,zm2,broken file,1\n")
-    m = prepare_atcosim(tmp_path, output_dir=tmp_path / "out")
-    sups = list(m["supervisions"])
+    # returns a (recordings, supervisions) tuple like the reference does
+    _, supervisions = prepare_atcosim(tmp_path, output_dir=tmp_path / "out")
+    sups = list(supervisions)
     assert len(sups) == 1  # corrupt row skipped
     assert sups[0].gender == "F" and sups[0].speaker == "zf1"
     assert "CONTACT" in sups[0].text and "<unk>" in sups[0].text  # =wien partial

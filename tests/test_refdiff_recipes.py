@@ -606,3 +606,146 @@ def test_mdcc_matches_reference(tmp_path):
     theirs = RR.prepare_mdcc(tmp_path, dataset_parts=["train"])
     mine = MR.prepare_mdcc(tmp_path, dataset_parts=["train"])
     _assert_manifests_match(theirs, mine, "mdcc")
+
+
+# ---------------------------------------------------------------------------
+# atcosim
+# ---------------------------------------------------------------------------
+def test_atcosim_matches_reference(tmp_path):
+    txt = tmp_path / "TXTdata"
+    txt.mkdir(parents=True)
+    (tmp_path / "WAVdata" / "d1" / "s1").mkdir(parents=True)
+    write_wav(
+        str(tmp_path / "WAVdata" / "d1" / "s1" / "u1.wav"),
+        _sig(2.0, sr=32000, seed=35),
+        32000,
+    )
+    (txt / "fulldata.csv").write_text(
+        "recording_id,directory,subdirectory,filename,length_sec,speaker_id,"
+        "transcription,recording_corrupt\n"
+        "rec1,d1,s1,u1,2.0,zf1,contact =wien <OT>ok</OT> hm,0\n"
+        "rec2,d1,s1,u2,2.0,zm2,broken file,1\n"
+    )
+    # the reference crashes with output_dir=None (atcosim.py:193 joins None
+    # with a filename) — both sides get an output dir; both return a
+    # (recordings, supervisions) TUPLE (the reference's docstring claims a
+    # dict but its code returns a tuple, atcosim.py:254)
+    t_recs, t_sups = RR.prepare_atcosim(tmp_path, tmp_path / "ref_out")
+    m_recs, m_sups = MR.prepare_atcosim(tmp_path, tmp_path / "my_out")
+    theirs = {"all": {"recordings": t_recs, "supervisions": t_sups}}
+    mine = {"all": {"recordings": m_recs, "supervisions": m_sups}}
+    _assert_manifests_match(theirs, mine, "atcosim")
+
+
+# ---------------------------------------------------------------------------
+# l2_arctic
+# ---------------------------------------------------------------------------
+def test_l2_arctic_matches_reference(tmp_path):
+    spk = tmp_path / "aba"
+    (spk / "wav").mkdir(parents=True)
+    (spk / "transcript").mkdir()
+    write_wav(str(spk / "wav" / "arctic_a0001.wav"), _sig(1.0, seed=3), SR)
+    (spk / "transcript" / "arctic_a0001.txt").write_text("Author of the danger trail.")
+    (tmp_path / "suitcase_corpus" / "wav").mkdir(parents=True)
+    (tmp_path / "suitcase_corpus" / "transcript").mkdir(parents=True)
+    write_wav(str(tmp_path / "suitcase_corpus" / "wav" / "aba.wav"), _sig(1.0, seed=4), SR)
+    (tmp_path / "suitcase_corpus" / "transcript" / "aba.txt").write_text("free talk")
+
+    theirs = RR.prepare_l2_arctic(tmp_path)
+    mine = MR.prepare_l2_arctic(tmp_path)
+    _assert_manifests_match(theirs, mine, "l2_arctic")
+
+
+# ---------------------------------------------------------------------------
+# heroico
+# ---------------------------------------------------------------------------
+def test_heroico_matches_reference(tmp_path):
+    speech = tmp_path / "speech"
+    trans = tmp_path / "transcripts"
+    trans.mkdir()
+    for sub, seed in (
+        ("Answers_Spanish/1/7.wav", 7),
+        ("Recordings_Spanish/1/100.wav", 8),
+        ("Recordings_Spanish/1/400.wav", 9),
+        ("usma/native-f-maria/s3.wav", 10),
+    ):
+        p = speech / sub
+        p.parent.mkdir(parents=True, exist_ok=True)
+        write_wav(str(p), _sig(1.0, seed=seed), SR)
+    (trans / "heroico-answers.txt").write_text("1/7\thola amigo\n", encoding="iso-8859-1")
+    (trans / "heroico-recordings.txt").write_text(
+        "100\tbuenos dias\n400\trepeticion\n", encoding="iso-8859-1"
+    )
+    (trans / "usma-prompts.txt").write_text("s3\tcomo estas\n", encoding="iso-8859-1")
+
+    # The reference recipe cannot run at all: heroico.py:271 iterates
+    # `audio.recordings` (Recording objects) and indexes the metadata dict
+    # with them -> TypeError. Ours must produce the documented folds.
+    with pytest.raises(TypeError):
+        RR.prepare_heroico(speech, trans)
+    mine = MR.prepare_heroico(speech, trans)
+    assert {s.text for s in mine["train"]["supervisions"]} == {"hola amigo", "buenos dias"}
+    assert [s.text for s in mine["devtest"]["supervisions"]] == ["repeticion"]
+    assert [s.text for s in mine["test"]["supervisions"]] == ["como estas"]
+
+
+# ---------------------------------------------------------------------------
+# switchboard
+# ---------------------------------------------------------------------------
+def test_switchboard_matches_reference(tmp_path):
+    from lhotse_tpu.audio.sphio import write_sph
+
+    audio_dir = tmp_path / "audio"
+    trans_dir = tmp_path / "trans"
+    audio_dir.mkdir()
+    trans_dir.mkdir()
+    rng = np.random.RandomState(0)
+    data = (0.1 * rng.randn(2, 4 * SR)).astype(np.float32)
+    write_sph(str(audio_dir / "sw02001.sph"), data, SR)
+    (trans_dir / "sw2001A-ms98-a-trans.text").write_text(
+        "sw2001A-ms98-a-0001 0.00 1.50 hello there\n"
+        "sw2001A-ms98-a-0002 1.50 2.00 [silence]\n"
+        "sw2001A-ms98-a-0003 2.00 3.75 how are you\n"
+    )
+    (trans_dir / "sw2001B-ms98-a-trans.text").write_text(
+        "sw2001B-ms98-a-0001 0.50 2.20 fine thanks\n"
+    )
+    theirs = RR.prepare_switchboard(
+        audio_dir, transcripts_dir=trans_dir, absolute_paths=True
+    )
+    mine = MR.prepare_switchboard(
+        audio_dir, transcripts_dir=trans_dir, absolute_paths=True
+    )
+    # Pinned reference bug (kept fixed here): switchboard.py:112 hardcodes
+    # speaker=f"{recording.id}A" for BOTH channels; we use the actual side.
+    for s in theirs["supervisions"]:
+        assert s.speaker.endswith("A")
+        s.speaker = s.speaker[:-1] + "AB"[s.channel]
+    _assert_manifests_match({"all": theirs}, {"all": mine}, "switchboard")
+
+
+# ---------------------------------------------------------------------------
+# babel
+# ---------------------------------------------------------------------------
+def test_babel_matches_reference(tmp_path):
+    stem = "BABEL_BP_101_10033_20111024_205740_inLine"
+    conv = tmp_path / "conversational"
+    (conv / "training" / "audio").mkdir(parents=True)
+    write_wav(str(conv / "training" / "audio" / f"{stem}.sph"), _sig(3.0, seed=90), SR)
+    tdir = conv / "training" / "transcription"
+    tdir.mkdir(parents=True)
+    (tdir / f"{stem}.txt").write_text("[0.0]\n<no-speech>\n[0.5]\nhello ((  ))\n[2.0]\n")
+    # every split needs content: the reference's validator crashes on the
+    # empty manifests an empty split produces (qa.py:453 IndexError)
+    for split, ext in (("dev", "10034"), ("eval", "10035")):
+        stem2 = f"BABEL_BP_101_{ext}_20111024_205740_inLine"
+        (conv / split / "audio").mkdir(parents=True)
+        (conv / split / "transcription").mkdir(parents=True)
+        write_wav(str(conv / split / "audio" / f"{stem2}.sph"), _sig(2.0, seed=int(ext)), SR)
+        (conv / split / "transcription" / f"{stem2}.txt").write_text(
+            "[0.0]\nhi there\n[1.5]\n"
+        )
+
+    theirs = RR.prepare_single_babel_language(tmp_path)
+    mine = MR.prepare_single_babel_language(tmp_path)
+    _assert_manifests_match(theirs, mine, "babel")
