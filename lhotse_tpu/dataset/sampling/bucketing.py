@@ -194,29 +194,48 @@ def _equal_duration_buckets(cuts: CutSet, num_buckets: int) -> List[CutSet]:
     (shortest cuts stream into bucket 0 upward, longest into the last bucket
     downward), so overflow near the median splits between the two central
     buckets instead of piling up in the last one.
+
+    Matched EXACTLY to the reference (sampling/bucketing.py:365-427),
+    including its middle-bucket overflow redirection (once both streams meet
+    in one bucket, further overflow spills into the buckets adjacent to it)
+    and the final within-bucket ordering (ascending by duration, not stream
+    arrival) — bucket composition decides seeded batch order downstream.
     """
     ordered = list(cuts)  # already duration-sorted ascending
-    target = sum(c.duration for c in ordered) / num_buckets
+    n = len(ordered)
+    durations = [c.duration for c in ordered]
+    target = sum(durations) / num_buckets
+
+    lo, hi = 0, n - 1
+    first, last = 0, num_buckets - 1
+    middle = None
+    fill = [0.0] * num_buckets
+    assignment = {}
+    for i in range(1, n + 1):
+        if middle is None and first == last:
+            middle = first
+        if i % 2:  # left stream: next shortest remaining cut
+            pos, lo = lo, lo + 1
+            d = durations[pos]
+            if fill[first] + d > target:
+                if middle is not None and first == middle:
+                    first = max(0, min(middle - 1, num_buckets - 1))
+                else:
+                    first = min(first + 1, num_buckets - 1)
+            fill[first] += d
+            assignment[pos] = first
+        else:  # right stream: next longest remaining cut
+            pos, hi = hi, hi - 1
+            d = durations[pos]
+            if fill[last] + d > target:
+                if middle is not None and last == middle:
+                    last = max(middle + 1, 0)
+                else:
+                    last = max(last - 1, 0)
+            fill[last] += d
+            assignment[pos] = last
 
     bins: List[List[Cut]] = [[] for _ in range(num_buckets)]
-    fill = [0.0] * num_buckets
-    lo_bucket, hi_bucket = 0, num_buckets - 1
-    lo, hi = 0, len(ordered) - 1
-    from_short_end = True
-    while lo <= hi:
-        if from_short_end:
-            cut = ordered[lo]
-            lo += 1
-            if fill[lo_bucket] + cut.duration > target:
-                lo_bucket = min(lo_bucket + 1, hi_bucket)
-            bins[lo_bucket].append(cut)
-            fill[lo_bucket] += cut.duration
-        else:
-            cut = ordered[hi]
-            hi -= 1
-            if fill[hi_bucket] + cut.duration > target:
-                hi_bucket = max(hi_bucket - 1, lo_bucket)
-            bins[hi_bucket].append(cut)
-            fill[hi_bucket] += cut.duration
-        from_short_end = not from_short_end
+    for pos, cut in enumerate(ordered):
+        bins[assignment[pos]].append(cut)
     return [CutSet.from_cuts(b) for b in bins]

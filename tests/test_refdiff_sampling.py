@@ -192,3 +192,85 @@ def test_dynamic_bucketing_sampler_batches(durs, num_buckets, max_duration, shuf
         exp = _batches(RefBuck(theirs, **kw))
         got = _batches(MyBuck(mine, **kw))
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(500, 10_000), min_size=4, max_size=20),
+    st.lists(st.integers(500, 10_000), min_size=4, max_size=20),
+    st.integers(1, 5),
+)
+def test_zip_and_round_robin_samplers(durs_a, durs_b, max_cuts):
+    """ZipSampler merges per-source batches; RoundRobinSampler alternates —
+    compositions must match (reference sampling/{zip,round_robin}.py)."""
+    from lhotse.dataset.sampling import (
+        RoundRobinSampler as RefRR,
+        SimpleCutSampler as RefSimple2,
+        ZipSampler as RefZip,
+    )
+    from lhotse_tpu.dataset.sampling import (
+        RoundRobinSampler as MyRR,
+        SimpleCutSampler as MySimple2,
+        ZipSampler as MyZip,
+    )
+
+    ta, ma = _both_cutsets(durs_a)
+    tb, mb = _both_cutsets(durs_b)
+    # distinct ids for the second corpus
+    tb = RefCutSet.from_cuts(c.with_id("b-" + c.id) for c in tb)
+    mb = MyCutSet.from_cuts(c.with_id("b-" + c.id) for c in mb)
+
+    exp = _batches(
+        RefZip(
+            RefSimple2(ta, max_cuts=max_cuts, shuffle=False),
+            RefSimple2(tb, max_cuts=max_cuts, shuffle=False),
+        )
+    )
+    got = _batches(
+        MyZip(
+            MySimple2(ma, max_cuts=max_cuts, shuffle=False),
+            MySimple2(mb, max_cuts=max_cuts, shuffle=False),
+        )
+    )
+    assert got == exp
+
+    exp = _batches(
+        RefRR(
+            RefSimple2(ta, max_cuts=max_cuts, shuffle=False),
+            RefSimple2(tb, max_cuts=max_cuts, shuffle=False),
+        )
+    )
+    got = _batches(
+        MyRR(
+            MySimple2(ma, max_cuts=max_cuts, shuffle=False),
+            MySimple2(mb, max_cuts=max_cuts, shuffle=False),
+        )
+    )
+    assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(500, 10_000), min_size=4, max_size=24),
+    st.integers(2, 6),
+    st.integers(0, 2**31 - 1),
+)
+def test_bucketing_sampler_batches(durs, num_buckets, seed):
+    """The eager BucketingSampler (reference sampling/bucketing.py)."""
+    from lhotse.dataset.sampling import (
+        BucketingSampler as RefBuck,
+        SimpleCutSampler as RefSimple2,
+    )
+    from lhotse_tpu.dataset.sampling import (
+        BucketingSampler as MyBuck,
+        SimpleCutSampler as MySimple2,
+    )
+
+    if num_buckets > len(durs):
+        num_buckets = len(durs)
+    theirs, mine = _both_cutsets(durs)
+    kw = dict(sampler_type=RefSimple2, num_buckets=num_buckets, seed=seed, max_cuts=3, shuffle=False)
+    exp = _batches(RefBuck(theirs, **dict(kw)))
+    kw["sampler_type"] = MySimple2
+    got = _batches(MyBuck(mine, **kw))
+    assert got == exp
