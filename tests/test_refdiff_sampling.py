@@ -274,3 +274,107 @@ def test_bucketing_sampler_batches(durs, num_buckets, seed):
     kw["sampler_type"] = MySimple2
     got = _batches(MyBuck(mine, **kw))
     assert got == exp
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(500, 10_000), min_size=3, max_size=20),
+    st.one_of(st.none(), st.integers(2_000, 20_000).map(lambda v: v / 1000)),
+    st.one_of(st.none(), st.integers(1, 6)),
+    st.booleans(),
+)
+def test_cut_pairs_sampler_batches(durs, max_src, max_cuts, drop_last):
+    """CutPairsSampler: dual-constraint batch boundaries over paired cutsets
+    (reference sampling/cut_pairs.py)."""
+    from lhotse.dataset.sampling import CutPairsSampler as RefPairs
+    from lhotse_tpu.dataset.sampling import CutPairsSampler as MyPairs
+
+    if max_src is None and max_cuts is None:
+        max_cuts = 3
+    t_src, m_src = _both_cutsets(durs)
+    # targets: same ids, doubled durations (as in translation pairs)
+    t_tgt, m_tgt = _both_cutsets([min(d * 2, 30_000) for d in durs])
+    kw = dict(
+        max_source_duration=max_src,
+        max_cuts=max_cuts,
+        shuffle=False,
+        drop_last=drop_last,
+    )
+    exp = [
+        ([c.id for c in s], [c.id for c in t])
+        for s, t in RefPairs(t_src, t_tgt, **kw)
+    ]
+    got = [
+        ([c.id for c in s], [c.id for c in t])
+        for s, t in MyPairs(m_src, m_tgt, **kw)
+    ]
+    assert got == exp
+
+
+def test_weighted_simple_sampler_deviation_pinned():
+    """Documented deviation: the reference's WeightedDataSource draws from
+    the GLOBAL numpy RNG (reference sampling/data_source.py:156
+    ``np.random.choice``) — non-reproducible unless the caller seeds
+    ``np.random`` and identical across epochs; ours draws from its own
+    seeded per-epoch generator. Pin both behaviors."""
+    import numpy as _np
+
+    from lhotse.dataset.sampling import WeightedSimpleCutSampler as RefW
+    from lhotse_tpu.dataset.sampling import WeightedSimpleCutSampler as MyW
+
+    durs = [500 + 100 * i for i in range(8)]
+    theirs, mine = _both_cutsets(durs)
+    weights = [(i % 3) + 1.0 for i in range(len(durs))]
+    kw = dict(cuts_weight=list(weights), num_samples=5, max_cuts=2, shuffle=False)
+
+    # reference: global-RNG dependence
+    _np.random.seed(7)
+    a = _batches(RefW(theirs, **kw))
+    _np.random.seed(7)
+    b = _batches(RefW(theirs, **kw))
+    assert a == b  # deterministic ONLY because we seeded the global RNG
+
+    # ours: self-seeded, reproducible without touching global state
+    exp = _batches(MyW(mine, seed=3, **kw))
+    got = _batches(MyW(mine, seed=3, **kw))
+    assert exp == got
+    flat = [i for b_ in got for i in b_]
+    assert len(flat) == len(set(flat)) == 5  # no-replacement draw of num_samples
+
+
+def test_stateless_sampler_runs_where_reference_cannot(tmp_path):
+    """The reference's StatelessSampler cannot even construct under torch 2.x
+    (stateless.py:120 calls ``super().__init__(data_source=None)``; modern
+    ``torch.utils.data.Sampler`` removed that argument). Ours must produce
+    infinite hash-seeded draws over the on-disk manifest."""
+    import copy as _copy
+    import json as _json
+
+    from lhotse.dataset.sampling.stateless import StatelessSampler as RefSL
+    from lhotse_tpu.dataset.sampling.stateless import StatelessSampler as MySL
+
+    dicts = _cut_dicts([700 + 37 * i for i in range(20)])
+    cuts_path = tmp_path / "cuts.jsonl"
+    with cuts_path.open("w") as f:
+        for d in dicts:
+            print(_json.dumps(_copy.deepcopy(d)), file=f)
+
+    with pytest.raises(TypeError):
+        RefSL(
+            cuts_paths=[cuts_path],
+            index_path=tmp_path / "ref.idx",
+            base_seed=42,
+            max_cuts=3,
+        )
+
+    got_sampler = MySL(
+        cuts_paths=[cuts_path],
+        index_path=tmp_path / "my.idx",
+        base_seed=42,
+        max_cuts=3,
+    )
+    got = [[c.id for c in b] for _, b in zip(range(8), got_sampler)]
+    assert len(got) == 8 and all(1 <= len(b) <= 3 for b in got)
+    all_ids = {d["id"] for d in _cut_dicts([700 + 37 * i for i in range(20)])}
+    # ids carry an _it<N> de-duplication suffix per repeated draw
+    assert {i.split("_it")[0] for b in got for i in b} <= all_ids
