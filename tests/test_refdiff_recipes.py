@@ -749,3 +749,116 @@ def test_babel_matches_reference(tmp_path):
     theirs = RR.prepare_single_babel_language(tmp_path)
     mine = MR.prepare_single_babel_language(tmp_path)
     _assert_manifests_match(theirs, mine, "babel")
+
+
+# ---------------------------------------------------------------------------
+# dihard3
+# ---------------------------------------------------------------------------
+def test_dihard3_matches_reference(tmp_path):
+    rng = np.random.RandomState(0)
+
+    def build(split, rids):
+        root = tmp_path / f"dihard_{split}"
+        (root / "flac").mkdir(parents=True)
+        # the real corpus ships a 9-column recordings.tbl (the reference
+        # unpacks exactly 9 fields, dihard3.py:108)
+        rows = ["recording_id in_core lang domain source dur x y z"]
+        for rid in rids:
+            write_flac(
+                str(root / "flac" / f"{rid}.flac"),
+                (0.1 * rng.randn(1, 3 * SR)).astype(np.float32),
+                SR,
+            )
+            (root / "flac" / f"{rid}.rttm").write_text(
+                f"SPEAKER {rid} 1 0.50 1.00 <NA> <NA> spkA <NA> <NA>\n"
+                f"SPEAKER {rid} 1 1.80 0.70 <NA> <NA> spkB <NA> <NA>\n"
+            )
+            (root / "flac" / f"{rid}.uem").write_text(f"{rid} 1 0.25 2.75\n")
+            rows.append(f"{rid} True eng clinical ldc 3.0 a b c")
+        (root / "recordings.tbl").write_text("\n".join(rows) + "\n")
+        return root
+
+    dev = build("dev", ("DH_DEV_0001", "DH_DEV_0002"))
+    ev = build("eval", ("DH_EVAL_0001",))
+    theirs = RR.prepare_dihard3(dev_audio_dir=dev, eval_audio_dir=ev)
+    mine = MR.prepare_dihard3(dev_audio_dir=dev, eval_audio_dir=ev)
+    _assert_manifests_match(theirs, mine, "dihard3")
+
+
+# ---------------------------------------------------------------------------
+# daily_talk
+# ---------------------------------------------------------------------------
+def test_daily_talk_matches_reference(tmp_path):
+    import json
+
+    (tmp_path / "data" / "0").mkdir(parents=True)
+    for name, seed in (("0_0_d0.wav", 11), ("1_1_d0.wav", 12)):
+        write_wav(str(tmp_path / "data" / "0" / name), _sig(1.0, seed=seed), SR)
+    meta = {
+        "0": {
+            "0": {"index": 0, "text": "hi there", "speaker": 0, "turn": 0,
+                  "topic": "greeting", "emotion": "none", "act": "inform"},
+            "1": {"index": 1, "text": "hello", "speaker": 1, "turn": 1,
+                  "topic": "greeting", "emotion": "none", "act": "inform"},
+        }
+    }
+    (tmp_path / "metadata.json").write_text(json.dumps(meta))
+
+    t_recs, t_sups = RR.prepare_daily_talk(tmp_path)
+    m_recs, m_sups = MR.prepare_daily_talk(tmp_path)
+    _assert_manifests_match(
+        {"all": {"recordings": t_recs, "supervisions": t_sups}},
+        {"all": {"recordings": m_recs, "supervisions": m_sups}},
+        "daily_talk",
+    )
+
+
+# ---------------------------------------------------------------------------
+# cslu_kids
+# ---------------------------------------------------------------------------
+def test_cslu_kids_matches_reference(tmp_path):
+    for sub, seed in (
+        ("speech/scripted/00/0/ks001/ks001000.wav", 48),
+        ("speech/spontaneous/01/0/ks002/ks002xx0.wav", 49),
+    ):
+        p = tmp_path / sub
+        p.parent.mkdir(parents=True, exist_ok=True)
+        write_wav(str(p), _sig(1.0, seed=seed), SR)
+    (tmp_path / "docs").mkdir(parents=True)
+    (tmp_path / "docs" / "all.map").write_text('00 "the word"\n01 "ignored"\n')
+    (tmp_path / "docs" / "00-verified.txt").write_text("x/ks001000.wav 1\n")
+    tdir = tmp_path / "trans" / "spontaneous" / "01" / "0" / "ks002"
+    tdir.mkdir(parents=True)
+    (tdir / "ks002xx0.txt").write_text("hello <bn> world\n")
+
+    theirs = RR.prepare_cslu_kids(tmp_path)
+    mine = MR.prepare_cslu_kids(tmp_path)
+    _assert_manifests_match({"all": theirs}, {"all": mine}, "cslu_kids")
+
+
+# ---------------------------------------------------------------------------
+# himia
+# ---------------------------------------------------------------------------
+def test_himia_matches_reference(tmp_path):
+    tr = tmp_path / "train" / "SPEECHDATA"
+    (tr / "SV0001").mkdir(parents=True)
+    write_wav(str(tr / "SV0001" / "SV0001_1_01.wav"), _sig(1.0, seed=55), SR)
+    (tr / "train.scp").write_text("SV0001/SV0001_1_01.wav\n")
+    (tmp_path / "cw_test" / "16k_wav_file").mkdir(parents=True)
+    write_wav(
+        str(tmp_path / "cw_test" / "16k_wav_file" / "CW0001_1.wav"),
+        _sig(1.0, seed=56),
+        SR,
+    )
+    res = tmp_path / "cw_test" / "resource"
+    res.mkdir(parents=True)
+    (res / "transcription.txt").write_text("CW0001_1.wav 你好米你\n", encoding="utf-8")
+
+    # The reference hard-asserts the FULL corpus inventory (himia.py:257
+    # compares transcript counts to hardcoded totals like 993083) — it
+    # cannot run on a subset at all; ours handles any subset.
+    with pytest.raises(AssertionError):
+        RR.prepare_himia(tmp_path, dataset_parts=("train", "cw_test"))
+    mine = MR.prepare_himia(tmp_path, dataset_parts=("train", "cw_test"))
+    assert [s.text for s in mine["cw_test"]["supervisions"]] == ["你好米你"]
+    assert [s.speaker for s in mine["train"]["supervisions"]] == ["SV0001"]
