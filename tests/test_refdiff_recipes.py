@@ -931,3 +931,95 @@ def test_earnings22_matches_reference(tmp_path):
     sups = list(m_sups)
     assert len(list(m_recs)) == 1 and len(sups) == 1
     assert sups[0].text == "hello world"
+
+
+_TEXTGRID = """File type = "ooTextFile"
+Object class = "TextGrid"
+xmin = 0
+xmax = 2
+tiers? <exists>
+size = 1
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "{tier}"
+        xmin = 0
+        xmax = 2
+        intervals: size = 2
+        intervals [1]:
+            xmin = 0.25
+            xmax = 1.0
+            text = "你好"
+        intervals [2]:
+            xmin = 1.0
+            xmax = 2.0
+            text = ""
+"""
+
+
+def _multi_wav(path, seconds, seed, channels):
+    rng = np.random.RandomState(seed)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    write_wav(
+        str(path), (rng.randn(channels, int(SR * seconds)) * 0.1).astype(np.float32), SR
+    )
+
+
+# ---------------------------------------------------------------------------
+# ali_meeting (uses the textgrid stub in tests/_refstubs/)
+# ---------------------------------------------------------------------------
+def test_ali_meeting_matches_reference(tmp_path):
+    # all three parts need content (the reference validator crashes on an
+    # empty one); Eval/Test are nested one level deeper
+    layouts = {
+        "Train": tmp_path / "Train_Ali_far",
+        "Eval": tmp_path / "Eval_Ali" / "Eval_Ali_far",
+        "Test": tmp_path / "Test_Ali" / "Test_Ali_far",
+    }
+    for i, (part, base) in enumerate(layouts.items()):
+        sid = f"R000{i + 1}_M000{i + 1}"
+        _multi_wav(base / "audio_dir" / f"{sid}.wav", 2.0, 80 + i, 8)
+        (base / "textgrid_dir").mkdir(parents=True)
+        (base / "textgrid_dir" / f"{sid}.TextGrid").write_text(
+            _TEXTGRID.format(tier=f"F_SPK009{i}")
+        )
+    theirs = RR.prepare_ali_meeting(tmp_path, mic="far")
+    mine = MR.prepare_ali_meeting(tmp_path, mic="far")
+    _assert_manifests_match(theirs, mine, "ali_meeting")
+
+
+# ---------------------------------------------------------------------------
+# aishell4
+# ---------------------------------------------------------------------------
+def test_aishell4_matches_reference(tmp_path):
+    # all four parts need content (empty-manifest validator crash otherwise)
+    for i, part in enumerate(("train_L", "train_M", "train_S", "test")):
+        sid = f"L_R00{i + 1}S01C01"
+        (tmp_path / part / "wav").mkdir(parents=True)
+        write_flac(str(tmp_path / part / "wav" / f"{sid}.flac"), _sig(2.0, seed=81 + i), SR)
+        (tmp_path / part / "TextGrid").mkdir(parents=True)
+        (tmp_path / part / "TextGrid" / f"{sid}.TextGrid").write_text(
+            _TEXTGRID.format(tier="1")
+        )
+    theirs = RR.prepare_aishell4(tmp_path)
+    mine = MR.prepare_aishell4(tmp_path)
+    _assert_manifests_match(theirs, mine, "aishell4")
+
+
+# ---------------------------------------------------------------------------
+# tedlium2
+# ---------------------------------------------------------------------------
+def test_tedlium2_matches_reference(tmp_path):
+    from lhotse_tpu.audio.sphio import write_sph
+
+    for part in ("train", "dev", "test"):
+        root = tmp_path / part
+        (root / "sph").mkdir(parents=True)
+        (root / "stm").mkdir(parents=True)
+        write_sph(str(root / "sph" / "TalkA.sph"), _sig(3.0, seed=82), SR)
+        (root / "stm" / "TalkA.stm").write_text(
+            "TalkA 1 TalkA_spk 0.00 2.50 <o,f0,male> hello world\n"
+        )
+    theirs = RR.prepare_tedlium2(tmp_path)
+    mine = MR.prepare_tedlium2(tmp_path)
+    _assert_manifests_match(theirs, mine, "tedlium2")
