@@ -1083,3 +1083,49 @@ def test_voxceleb1_matches_reference(tmp_path):
     assert sups["id10001-sess1-00001"].speaker == "id10001"
     assert sups["id10001-sess1-00001"].custom["nationality"] == "Ireland"
     assert len(list(mine["test"]["recordings"])) == 3
+
+
+# ---------------------------------------------------------------------------
+# gale_arabic
+# ---------------------------------------------------------------------------
+def test_gale_arabic_matches_reference(tmp_path):
+    def tdf(rows):
+        return "\n".join(["h1\th2", ";;junk", "more junk"] + rows) + "\n"
+
+    def row(reco, ch, start, end, spk, text):
+        return "\t".join(
+            [f"{reco}.sph", str(ch), str(start), str(end), spk, "male", "MSA",
+             text, "1", "2", "3", "report", "statement"]
+        )
+
+    audio = tmp_path / "audio"
+    trans = tmp_path / "trans"
+    audio.mkdir()
+    trans.mkdir()
+    rng = np.random.RandomState(0)
+    train_id = "SOMECHAN_NEWS_ARB_20070101_120000"
+    test_id = "ALAM_WITHEVENT_ARB_20070116_205800"  # pinned test-list member
+    for rid in (train_id, test_id):
+        write_wav(
+            str(audio / f"{rid}.wav"),
+            (0.1 * rng.randn(1, 3 * SR)).astype(np.float32),
+            SR,
+        )
+    (trans / "a.tdf").write_text(
+        tdf(
+            [
+                row(train_id, 0, 0.5, 1.6, "spk1", "مرحبا"),
+                row(test_id, 0, 0.0, 1.0, "spk2", "السلام"),
+            ]
+        )
+    )
+    # The reference's TDF parser passes the long-removed pandas kwarg
+    # error_bad_lines (gale_arabic.py:174; dropped in pandas 2.x) — it
+    # cannot run with a modern pandas; ours parses TDF natively.
+    with pytest.raises(TypeError):
+        RR.prepare_gale_arabic([audio], [trans])
+    mine = MR.prepare_gale_arabic([audio], [trans])
+    train_sups = list(mine["train"]["supervisions"])
+    test_sups = list(mine["test"]["supervisions"])
+    assert [s.text for s in train_sups] == ["مرحبا"]
+    assert [s.text for s in test_sups] == ["السلام"]
