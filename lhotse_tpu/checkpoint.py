@@ -30,14 +30,20 @@ def _rng_state_from_json(data) -> tuple:
 
 def _children_of(node):
     """The direct child iterators of a lazy-graph node, in traversal order.
-    Yields (state-dict key, child) — 'source' holds one child, 'sources' a
-    list of them."""
+    Yields (state-dict key, child) — 'source' and 'data' hold one child,
+    'sources' a list of them.  'data' covers manifest-set wrappers
+    (CutSet/RecordingSet/...) whose lazy graph hangs off ``.data``."""
+    from lhotse_tpu.lazy import IteratorNode
+
     one = getattr(node, "source", None)
     if one is not None:
         yield "source", one
     many = getattr(node, "sources", None)
     if many is not None:
         yield "sources", many
+    data = getattr(node, "data", None)
+    if isinstance(data, IteratorNode):
+        yield "data", data
 
 
 def _is_checkpointable_node(node) -> bool:
@@ -67,11 +73,14 @@ def collect_state_dict(root) -> dict:
             f"{type(root).__name__} does not support checkpointing. Remove it "
             f"from the pipeline or implement state_dict/load_state_dict."
         )
-    if list(_children_of(root)):
-        raise NotImplementedError(
-            f"{type(root).__name__} participates in iterator graph traversal "
-            f"(it has child iterators) but is not an IteratorNode."
-        )
+    # Plain wrapper (e.g. a lazy CutSet handed in directly): recurse into its
+    # children so the state is actually captured — a silent empty state here
+    # would restore as a from-scratch replay.
+    for key, child in _children_of(root):
+        if key in ("source", "data"):
+            captured[key] = collect_state_dict(child)
+        else:
+            captured[key] = [collect_state_dict(c) for c in child]
     return captured
 
 
@@ -95,7 +104,7 @@ def restore_state_dict(root, state: dict) -> None:
     for key, child in _children_of(root):
         if key not in state:
             continue
-        if key == "source":
+        if key in ("source", "data"):
             restore_state_dict(child, state[key])
         else:
             saved_children = state[key]

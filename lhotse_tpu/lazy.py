@@ -260,6 +260,37 @@ def _restore_child(child: Any, state: Optional[dict]) -> None:
         setter(state)
 
 
+def _restore_persistent_child(child: Any, state: Optional[dict]) -> None:
+    """
+    Carry a child's CROSS-PASS state (advancing RNGs, pass counters) from a
+    checkpoint into a node that will be (re-)iterated from scratch — without
+    marking it resumed, so positional state (buffers, drained flags, offsets)
+    deliberately resets at its next ``iter()``.
+
+    This is what composite restores must use for children that are NOT the
+    active one: earlier (already consumed) or later (not yet started this
+    pass) children re-iterate fresh, but an enclosing ``repeat`` will run
+    them again — and a shuffler whose RNG silently rewound would replay a
+    previous pass's order (the bug this fixes).
+    """
+    if child is None or not isinstance(state, dict):
+        return
+    loader = getattr(child, "load_persistent_state", None)
+    if callable(loader):
+        loader(state)
+        return
+    # Generic recursion over the two state-shape conventions: single-source
+    # transforms store the child snapshot under "source"; multi-source
+    # composites under "inner_states" (parallel to .sources).
+    src = getattr(child, "source", None)
+    if src is not None and isinstance(state.get("source"), dict):
+        _restore_persistent_child(src, state["source"])
+    srcs = getattr(child, "sources", None)
+    if srcs and isinstance(state.get("inner_states"), list):
+        for s, inner in zip(srcs, state["inner_states"]):
+            _restore_persistent_child(s, inner)
+
+
 class _Transform(IteratorNode):
     """
     Shared base for combinators wrapping exactly one source: index/restore
@@ -653,15 +684,29 @@ class LazyIteratorChain(IteratorNode):
         if self.shuffle_iters and self.is_indexed:
             return  # item-level mode: position alone restores everything
         order = self._pass_order or list(range(len(self.sources)))
-        # Restore ONLY the active source: earlier ones are fully consumed
-        # this pass (never re-iterated on resume), and later ones have not
-        # started — their snapshots still describe the PREVIOUS pass, so
-        # marking them "resumed" would make them yield nothing. Left
-        # untouched, their next iter() resets them for this pass.
+        # Fully restore ONLY the active source: earlier ones are consumed
+        # this pass, and later ones have not started — their snapshots still
+        # describe the PREVIOUS pass, so marking them "resumed" would make
+        # them yield nothing (or stale items). They still need their
+        # CROSS-PASS state (advancing RNGs) carried over, because an
+        # enclosing repeat will iterate them again next pass.
         active = {order[self._at_source]} if self._at_source < len(order) else set()
         for i, (src, inner) in enumerate(zip(self.sources, state.get("inner_states", []))):
-            if i in active and inner is not None:
+            if inner is None:
+                continue
+            if i in active:
                 _restore_child(src, inner)
+            else:
+                _restore_persistent_child(src, inner)
+
+    def load_persistent_state(self, state: dict) -> None:
+        """Cross-pass state: the pass counter drives shuffle_iters order
+        (a fresh re-iteration must not replay earlier pass orders);
+        children may carry RNGs of their own."""
+        if "num_iters" in state:
+            self.num_iters = state["num_iters"]
+        for src, inner in zip(self.sources, state.get("inner_states", []) or []):
+            _restore_persistent_child(src, inner)
 
 
 class LazyIteratorMultiplexer(IteratorNode):
@@ -776,6 +821,10 @@ class LazyIteratorMultiplexer(IteratorNode):
         for i, (src, inner) in enumerate(zip(self.sources, state.get("inner_states", []))):
             if live is None or i in live:
                 _restore_child(src, inner)
+            else:
+                # drained this pass, but an enclosing repeat will iterate it
+                # again — carry cross-pass state (advancing RNGs) only
+                _restore_persistent_child(src, inner)
         self._resume = True
 
 
@@ -933,6 +982,16 @@ class LazyShuffler(_Transform):
         self._drained = state.get("source_exhausted", False)
         self.rng.setstate(_rng_state_from_json(state["rng_state"]))
         self._resume = True
+
+    def load_persistent_state(self, state: dict) -> None:
+        """Cross-pass state only: the RNG advances every pass, so it must be
+        carried even when this node re-iterates fresh (see
+        _restore_persistent_child); buffer/positions reset at next iter()."""
+        from lhotse_tpu.checkpoint import _rng_state_from_json
+
+        if "rng_state" in state:
+            self.rng.setstate(_rng_state_from_json(state["rng_state"]))
+        _restore_persistent_child(self.source, state.get("source"))
 
 
 class LazyFilter(_Transform):

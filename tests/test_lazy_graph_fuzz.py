@@ -146,3 +146,26 @@ def test_random_graph_resumes_exactly(tmp_path_factory, bp, cut_frac):
     assert head + tail == baseline, (
         f"blueprint={bp} k={k}: {head + tail} != {baseline}"
     )
+
+
+def test_repeat_over_chain_with_shuffler_resumes_at_pass_boundary(tmp_path_factory):
+    """Regression (found by the fuzzer): checkpointing EXACTLY at a repeat
+    pass boundary must carry the shuffler's advanced RNG into the restored
+    graph even though the shuffler is not the chain's active child at that
+    moment — otherwise the next pass replays the previous pass's order.
+    Blueprint: repeat(2, chain(shuffle(leaf), leaf))."""
+    paths = _sources(tmp_path_factory)
+    bp = ("repeat", 2, ("chain", False, 0, ("shuffle", 2, 0, ("leaf", 0, False, 0)), ("leaf", 0, False, 0)))
+
+    baseline = _ids(_build(bp, paths))
+    pass_len = len(baseline) // 2
+
+    for k in (pass_len - 1, pass_len, pass_len + 1):
+        graph = _build(bp, paths)
+        stream = iter(graph)
+        head = [next(stream).id for _ in range(k)]
+        state = collect_state_dict(graph)
+        fresh = _build(bp, paths)
+        restore_state_dict(fresh, state)
+        tail = _ids(fresh)
+        assert head + tail == baseline, f"k={k}"
