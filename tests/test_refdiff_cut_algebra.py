@@ -225,9 +225,28 @@ def _apply(cut, op, is_ref: bool):
 
 
 ms = st.integers
+
+
+def _unique_starts(sups):
+    """Nudge equal supervision starts apart: for EQUAL-start segments, the
+    reference's IntervalTree-indexed paths iterate a SET, so its tie order
+    is nondeterministic even within one process — and ops like
+    merge_supervisions concatenate in that order. Tie behavior is genuinely
+    unspecified in the reference; the differential excludes it."""
+    seen = set()
+    out = []
+    for entry in sups:
+        s, rest = entry[0], entry[1:]
+        while s in seen:
+            s += 1
+        seen.add(s)
+        out.append((s, *rest))
+    return out
+
+
 sup_strategy = st.lists(
     st.tuples(ms(-500, 9_000), ms(10, 4_000)), min_size=0, max_size=3
-)
+).map(_unique_starts)
 
 op_strategy = st.one_of(
     st.tuples(
@@ -417,7 +436,7 @@ def test_mono_cut_chain_matches_reference(
         st.tuples(ms(-500, 9_000), ms(10, 4_000), st.integers(0, 1)),
         min_size=0,
         max_size=3,
-    ),
+    ).map(_unique_starts),
     st.lists(op_strategy, min_size=1, max_size=4),
 )
 def test_multi_cut_chain_matches_reference(rec_ms, start_ms, dur_ms, sups, ops):

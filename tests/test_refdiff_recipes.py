@@ -1129,3 +1129,36 @@ def test_gale_arabic_matches_reference(tmp_path):
     test_sups = list(mine["test"]["supervisions"])
     assert [s.text for s in train_sups] == ["مرحبا"]
     assert [s.text for s in test_sups] == ["السلام"]
+
+
+# ---------------------------------------------------------------------------
+# ami (IHM, NXT annotations)
+# ---------------------------------------------------------------------------
+def test_ami_ihm_matches_reference(tmp_path):
+    import importlib
+    import sys as _sys
+
+    if "tests" not in _sys.path:
+        pass
+    t16 = importlib.import_module("tests.test_recipes_tranche16")
+
+    data = tmp_path / "amicorpus"
+    ann = tmp_path / "annotations"
+    (ann / "corpusResources").mkdir(parents=True)
+    (ann / "segments").mkdir()
+    (ann / "words").mkdir()
+    rng = np.random.RandomState(0)
+    xs = []
+    for m_id, two in (("ES2011a", True), ("ES2002a", False), ("ES2004a", False)):
+        xml, files = t16._add_meeting(data, ann, m_id, rng, two_speakers=two)
+        xs.append(xml)
+        for name, content in files:
+            sub = "segments" if "segments" in name else "words"
+            (ann / sub / name).write_text(content)
+    (ann / "corpusResources" / "meetings.xml").write_text(
+        "<corpus>" + "".join(xs) + "</corpus>"
+    )
+
+    theirs = RR.prepare_ami(data, annotations_dir=ann, mic="ihm", partition="full-corpus")
+    mine = MR.prepare_ami(data, annotations_dir=ann, mic="ihm", partition="full-corpus")
+    _assert_manifests_match(theirs, mine, "ami")
