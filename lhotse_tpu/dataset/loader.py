@@ -81,7 +81,11 @@ def _worker_entrypoint(
             snap = None
             if dedup == "batch":
                 try:
-                    snap = sampler.state_dict()
+                    # deep copy: mp.Queue pickles lazily in a feeder thread,
+                    # and this loop keeps mutating live state-dict internals
+                    import copy as _copy
+
+                    snap = _copy.deepcopy(sampler.state_dict())
                 except (AttributeError, TypeError):
                     pass
             batch = dataset[cuts]
@@ -173,9 +177,17 @@ class DataLoader:
     # -- single-process (threaded prefetch) ------------------------------------
 
     def _snapshot_sampler(self):
-        """Sampler state AFTER the batch just drawn (cheap: O(tokens))."""
+        """Sampler state AFTER the batch just drawn (cheap: O(tokens)).
+
+        Deep-copied at capture time: sampler state dicts can embed LIVE
+        mutable objects (buffer lists, drained masks), and the prefetch
+        thread keeps advancing the sampler after this snapshot is taken —
+        without the copy, a checkpoint read later reflects whatever the
+        producer got to, skipping the in-flight batches on resume."""
+        import copy
+
         try:
-            return self.sampler.state_dict()
+            return copy.deepcopy(self.sampler.state_dict())
         except (AttributeError, TypeError):
             return None  # plain iterables: no checkpointing support
 
@@ -200,14 +212,25 @@ class DataLoader:
                     batch = self.apply_fn(batch)
             yield snap, batch
 
-    def _produce(self, q: "queue.Queue") -> None:
+    def _produce(self, q: "queue.Queue", stop: "threading.Event") -> None:
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         try:
             for item in self._sampler_and_assemble():
-                q.put(item)
+                if stop.is_set() or not put(item):
+                    return
         except BaseException as e:  # noqa: B036 - forwarded to the consumer
-            q.put(e)
+            put(e)
             return
-        q.put(_SENTINEL)
+        put(_SENTINEL)
 
     def _iter_threaded(self) -> Iterator:
         if self.prefetch_batches == 0:
@@ -217,19 +240,31 @@ class DataLoader:
                 yield batch
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
-        worker = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        stop = threading.Event()
+        worker = threading.Thread(target=self._produce, args=(q, stop), daemon=True)
         worker.start()
-        while True:
-            item = q.get()
-            if item is _SENTINEL:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            snap, batch = item
-            if snap is not None:
-                self._last_yielded_state = snap
-            yield batch
-        worker.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _SENTINEL:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                snap, batch = item
+                if snap is not None:
+                    self._last_yielded_state = snap
+                yield batch
+        finally:
+            # Runs on exhaustion AND on generator close/GC: stop the producer
+            # so an abandoned iterator cannot keep consuming (and mutating)
+            # the sampler's lazy graph behind the caller's back.
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            worker.join(timeout=5.0)
 
     # -- multi-process assembly --------------------------------------------------
 

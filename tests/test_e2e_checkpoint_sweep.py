@@ -78,6 +78,10 @@ def sweep(make_loader):
         it = iter(loader)
         head = [next(it)["ids"] for _ in range(k)]
         state = loader.state_dict()
+        # Close the abandoned iterator: its prefetch thread would otherwise
+        # keep consuming the lazy graph, racing the resumed pipeline below
+        # when loaders share source nodes (single-iterator contract).
+        it.close()
 
         resumed = make_loader()
         resumed.load_state_dict(state)
