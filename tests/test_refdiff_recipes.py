@@ -1162,3 +1162,34 @@ def test_ami_ihm_matches_reference(tmp_path):
     theirs = RR.prepare_ami(data, annotations_dir=ann, mic="ihm", partition="full-corpus")
     mine = MR.prepare_ami(data, annotations_dir=ann, mic="ihm", partition="full-corpus")
     _assert_manifests_match(theirs, mine, "ami")
+
+
+# ---------------------------------------------------------------------------
+# speechcommands
+# ---------------------------------------------------------------------------
+def test_speechcommands_matches_reference(tmp_path):
+    main = tmp_path / "speech_commands_v0.02"
+    for sub, seed in (
+        ("yes/aaa_nohash_0.wav", 13),
+        ("yes/bbb_nohash_0.wav", 14),
+        ("no/ccc_nohash_0.wav", 15),
+        ("_background_noise_/running_tap.wav", 16),
+    ):
+        p = main / sub
+        p.parent.mkdir(parents=True, exist_ok=True)
+        write_wav(str(p), _sig(1.0, seed=seed), SR)
+    (main / "validation_list.txt").write_text("yes/bbb_nohash_0.wav\n")
+    (main / "testing_list.txt").write_text("no/ccc_nohash_0.wav\n")
+    test_root = tmp_path / "speech_commands_test_set_v0.02"
+    for sub, seed in (
+        ("yes/ddd_nohash_0.wav", 17),
+        ("_unknown_/bed_0c40e715_nohash_0.wav", 18),
+        ("_silence_/running_tap_0.wav", 19),
+    ):
+        p = test_root / sub
+        p.parent.mkdir(parents=True, exist_ok=True)
+        write_wav(str(p), _sig(1.0, seed=seed), SR)
+
+    theirs = RR.prepare_speechcommands("2", tmp_path)
+    mine = MR.prepare_speechcommands("2", tmp_path)
+    _assert_manifests_match(theirs, mine, "speechcommands")
