@@ -1193,3 +1193,95 @@ def test_speechcommands_matches_reference(tmp_path):
     theirs = RR.prepare_speechcommands("2", tmp_path)
     mine = MR.prepare_speechcommands("2", tmp_path)
     _assert_manifests_match(theirs, mine, "speechcommands")
+
+
+# ---------------------------------------------------------------------------
+# icsi (IHM, MRT annotations)
+# ---------------------------------------------------------------------------
+def test_icsi_ihm_matches_reference(tmp_path):
+    audio = tmp_path / "speech"
+    trans = tmp_path / "transcripts"
+    (trans / "Segments").mkdir(parents=True)
+    (trans / "Words").mkdir()
+    from lhotse_tpu.audio.sphio import write_sph
+
+    meetings = ["Bdb001", "Bmr021", "Bmr013"]  # one per official partition
+    preambles = ['<?xml version="1.0"?>', "<Meetings>"]
+    for mi, meet in enumerate(meetings):
+        d = audio / meet
+        d.mkdir(parents=True)
+        for ch in ("0", "1"):
+            write_sph(str(d / f"chan{ch}.sph"), _sig(10.0, seed=100 + 2 * mi + int(ch)), SR)
+        preambles += [
+            f'  <Meeting Session="{meet}">', "    <Preamble>", "      <Channels>",
+            '        <Channel Name="chan0"/>', '        <Channel Name="chan1"/>',
+            "      </Channels>", "      <Participants>",
+            f'        <Participant Name="me0{mi}" Channel="chan0"/>',
+            f'        <Participant Name="fe1{mi}" Channel="chan1"/>', "      </Participants>",
+            "    </Preamble>", "  </Meeting>"]
+        (trans / "Segments" / f"{meet}.A.segs.xml").write_text(
+            '<?xml version="1.0"?>\n<segments>\n'
+            f'  <segment participant="me0{mi}" starttime="1.0" endtime="4.0"/>\n'
+            "</segments>"
+        )
+        (trans / "Words" / f"{meet}.A.words.xml").write_text(
+            '<?xml version="1.0"?>\n<words>\n'
+            '  <w starttime="1.1" endtime="1.5">okay</w>\n'
+            '  <w starttime="1.6" endtime="2.2">let\'s</w>\n'
+            '  <w starttime="2.3" endtime="2.9">start</w>\n'
+            "</words>"
+        )
+        (trans / "Segments" / f"{meet}.B.segs.xml").write_text(
+            '<?xml version="1.0"?>\n<segments>\n'
+            f'  <segment participant="fe1{mi}" starttime="5.0" endtime="7.0"/>\n'
+            "</segments>"
+        )
+        (trans / "Words" / f"{meet}.B.words.xml").write_text(
+            '<?xml version="1.0"?>\n<words>\n'
+            '  <w starttime="5.2" endtime="6.0">yeah</w>\n'
+            "</words>"
+        )
+    preambles.append("</Meetings>")
+    (trans / "preambles.mrt").write_text("\n".join(preambles))
+
+    # The reference cannot probe SPHERE audio without the external sph2pipe
+    # binary (audio/backend.py:1630; not installed here and not
+    # pip-installable) — ours decodes SPHERE natively.
+    with pytest.raises(Exception):
+        RR.prepare_icsi(audio, transcripts_dir=trans, mic="ihm")
+    mine = MR.prepare_icsi(audio, transcripts_dir=trans, mic="ihm")
+    recs = mine["train"]["recordings"]
+    assert len(recs.to_eager()) == 1 and recs["Bdb001"].num_channels == 2
+    sups = sorted(mine["train"]["supervisions"], key=lambda s: s.start)
+    assert sups[0].text == "OKAY LET'S START" and sups[1].text == "YEAH"
+
+
+# ---------------------------------------------------------------------------
+# edacc
+# ---------------------------------------------------------------------------
+def test_edacc_matches_reference(tmp_path):
+    root = tmp_path / "edacc_v1.0"
+    (root / "data").mkdir(parents=True)
+    write_wav(str(root / "data" / "EDACC-C06.wav"), _sig(4.0, sr=32000, seed=12), 32000)
+    (root / "linguistic_background.csv").write_text(
+        "PARTICIPANT_ID,What is your gender?,What’s your ethnic background? ,"
+        "What is your higher level of education?,"
+        '"How would you describe your accent in English? (e.g. Italian, Glaswegian)",'
+        '"Do you speak any second languages? separate them with commas  '
+        '(e.g., Mandarin,Catalan,French )",'
+        '"What’s your year of birth? (e.g., 1992)",'
+        '"What year did you start learning English? (e.g., 1999)"\n'
+        'P1,male,white,MSc,Italian,"French,Spanish",1992,1999\n',
+        encoding="utf-8",
+    )
+    for split in ("dev", "test"):
+        d = root / split
+        d.mkdir(parents=True)
+        (d / "segments").write_text("EDACC-C06-A-1 EDACC-C06 0.5 2.0\n")
+        (d / "text").write_text("EDACC-C06-A-1 hello there\n")
+        (d / "utt2spk").write_text("EDACC-C06-A-1 P1\n")
+        (d / "conv.list").write_text("EDACC-C06\n" if split == "dev" else "")
+
+    theirs = RR.prepare_edacc(tmp_path)
+    mine = MR.prepare_edacc(tmp_path)
+    _assert_manifests_match(theirs, mine, "edacc")
