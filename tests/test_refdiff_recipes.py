@@ -1285,3 +1285,52 @@ def test_edacc_matches_reference(tmp_path):
     theirs = RR.prepare_edacc(tmp_path)
     mine = MR.prepare_edacc(tmp_path)
     _assert_manifests_match(theirs, mine, "edacc")
+
+
+# ---------------------------------------------------------------------------
+# rir_noise
+# ---------------------------------------------------------------------------
+def test_rir_noise_matches_reference(tmp_path):
+    root = tmp_path / "RIRS_NOISES"
+    for sub, seed in (
+        ("pointsource_noises/noise-1.wav", 42),
+        ("real_rirs_isotropic_noises/RWCP_type4_rir_cirline.wav", 43),
+        ("real_rirs_isotropic_noises/RVB2014_type1_noise_largeroom1_1.wav", 44),
+        ("simulated_rirs/smallroom/Room001/Room001-00001.wav", 45),
+    ):
+        p = root / sub
+        p.parent.mkdir(parents=True, exist_ok=True)
+        write_wav(str(p), _sig(1.0, seed=seed), SR)
+    theirs = RR.prepare_rir_noise(root)
+    mine = MR.prepare_rir_noise(root)
+    _assert_manifests_match(theirs, mine, "rir_noise")
+
+
+# ---------------------------------------------------------------------------
+# voxconverse
+# ---------------------------------------------------------------------------
+def test_voxconverse_matches_reference(tmp_path):
+    for split, name, seed in (("dev", "abc", 50), ("test", "xyz", 51)):
+        d = tmp_path / split
+        d.mkdir(parents=True)
+        write_wav(str(d / f"{name}.wav"), _sig(2.0, seed=seed), SR)
+        (d / f"{name}.rttm").write_text(
+            f"SPEAKER {name} 1 0.20 1.00 <NA> <NA> spk00 <NA> <NA>\n"
+        )
+    theirs = RR.prepare_voxconverse(tmp_path)
+    mine = MR.prepare_voxconverse(tmp_path)
+    _assert_manifests_match(theirs, mine, "voxconverse")
+
+
+# ---------------------------------------------------------------------------
+# but_reverb_db
+# ---------------------------------------------------------------------------
+def test_but_reverb_db_matches_reference(tmp_path):
+    base = tmp_path / "Q301" / "MicID01" / "SpkID1" / "01"
+    (base / "RIR").mkdir(parents=True)
+    (base / "silence").mkdir(parents=True)
+    write_wav(str(base / "RIR" / "IR_sweep.v00.wav"), _sig(1.0, seed=53), SR)
+    write_wav(str(base / "silence" / "sil.v00.wav"), _sig(2.0, seed=54), SR)
+    theirs = RR.prepare_but_reverb_db(tmp_path)
+    mine = MR.prepare_but_reverb_db(tmp_path)
+    _assert_manifests_match(theirs, mine, "but_reverb_db")
