@@ -1334,3 +1334,55 @@ def test_but_reverb_db_matches_reference(tmp_path):
     theirs = RR.prepare_but_reverb_db(tmp_path)
     mine = MR.prepare_but_reverb_db(tmp_path)
     _assert_manifests_match(theirs, mine, "but_reverb_db")
+
+
+# ---------------------------------------------------------------------------
+# aishell2
+# ---------------------------------------------------------------------------
+def test_aishell2_matches_reference(tmp_path):
+    ios = tmp_path / "AISHELL-2" / "iOS"
+    for part, root_name, seed in (("train", "data", 60), ("dev", "dev", 61), ("test", "test", 62)):
+        root = ios / root_name
+        utt = f"I{part}0001W0001"
+        (root / "wav" / f"S{seed}").mkdir(parents=True)
+        write_wav(str(root / "wav" / f"S{seed}" / f"{utt}.wav"), _sig(1.0, seed=seed), SR)
+        (root / "trans.txt").write_text(f"{utt}\t你好 世界\n")
+    # not re-exported from the reference's recipes __init__; import directly
+    from lhotse.recipes.aishell2 import prepare_aishell2 as ref_prepare
+
+    theirs = ref_prepare(tmp_path)
+    mine = MR.prepare_aishell2(tmp_path)
+    _assert_manifests_match(theirs, mine, "aishell2")
+
+
+# ---------------------------------------------------------------------------
+# chime6 (mdm, no array sync)
+# ---------------------------------------------------------------------------
+def test_chime6_matches_reference(tmp_path):
+    import json
+
+    for session, seed in (("S02", 20), ("S09", 21)):
+        for ch in (1, 2):
+            p = tmp_path / "audio" / "dev" / f"{session}_U01.CH{ch}.wav"
+            p.parent.mkdir(parents=True, exist_ok=True)
+            write_wav(str(p), _sig(2.0, seed=seed + ch), SR)
+        segs = [
+            {
+                "start_time": "00:00:00.200",
+                "end_time": "00:00:01.000",
+                "speaker": "P05",
+                "words": "hello there",
+                "location": "kitchen",
+            },
+        ]
+        tdir = tmp_path / "transcriptions" / "dev"
+        tdir.mkdir(parents=True, exist_ok=True)
+        (tdir / f"{session}.json").write_text(json.dumps(segs))
+
+    theirs = RR.prepare_chime6(
+        tmp_path, dataset_parts="dev", mic="mdm", normalize_text="upper"
+    )
+    mine = MR.prepare_chime6(
+        tmp_path, dataset_parts="dev", mic="mdm", normalize_text="upper"
+    )
+    _assert_manifests_match(theirs, mine, "chime6")
