@@ -1386,3 +1386,65 @@ def test_chime6_matches_reference(tmp_path):
         tmp_path, dataset_parts="dev", mic="mdm", normalize_text="upper"
     )
     _assert_manifests_match(theirs, mine, "chime6")
+
+
+# ---------------------------------------------------------------------------
+# libricss (sdm)
+# ---------------------------------------------------------------------------
+def test_libricss_matches_reference(tmp_path):
+    from lhotse_tpu.recipes.libricss import OVERLAP_RATIOS
+
+    root = tmp_path / "for_release"
+    for ov in OVERLAP_RATIOS:
+        (root / ov).mkdir(parents=True)
+    session = root / "0L" / "overlap_ratio_0.0_sil0.1_0.5_session0_actual0.0"
+    (session / "record").mkdir(parents=True)
+    write_wav(str(session / "record" / "raw_recording.wav"), _sig(3.0, seed=94), SR)
+    (session / "transcription").mkdir(parents=True)
+    (session / "transcription" / "meeting_info.txt").write_text(
+        "start\tend\tspeaker\tutt_id\ttext\n"
+        "0.5\t2.0\t103\t103-1240-0000\tCHAPTER ONE\n"
+    )
+    theirs = RR.prepare_libricss(tmp_path, type="sdm")
+    mine = MR.prepare_libricss(tmp_path, type="sdm")
+    # Pinned reference bug (kept fixed here): its meeting_info.txt parser
+    # keeps the trailing newline INSIDE the supervision text ("CHAPTER
+    # ONE\n"); we strip line endings.
+    for s in theirs["supervisions"]:
+        assert s.text.endswith("\n")
+        s.text = s.text.rstrip("\n")
+    _assert_manifests_match({"all": theirs}, {"all": mine}, "libricss")
+
+
+# ---------------------------------------------------------------------------
+# dipco (ihm)
+# ---------------------------------------------------------------------------
+def test_dipco_matches_reference(tmp_path):
+    import json
+
+    from lhotse_tpu.recipes.dipco import SESSIONS
+
+    seed = 30
+    for part, sessions in SESSIONS.items():
+        for session in sessions:
+            seed += 1
+            p = tmp_path / "audio" / part / f"{session}_P01.wav"
+            p.parent.mkdir(parents=True, exist_ok=True)
+            write_wav(str(p), _sig(2.0, seed=seed), SR)
+            segs = [
+                {
+                    "speaker_id": "P01",
+                    "start_time": {"close-talk": "00:00:00.25"},
+                    "end_time": {"close-talk": "00:00:01.25"},
+                    "words": "pass the salt",
+                    "gender": "female",
+                    "nativeness": "native",
+                    "mother_tongue": "English",
+                }
+            ]
+            tdir = tmp_path / "transcriptions" / part
+            tdir.mkdir(parents=True, exist_ok=True)
+            (tdir / f"{session}.json").write_text(json.dumps(segs))
+    theirs = RR.prepare_dipco(tmp_path, mic="ihm")
+    mine = MR.prepare_dipco(tmp_path, mic="ihm")
+    _assert_manifests_match(theirs, mine, "dipco")
