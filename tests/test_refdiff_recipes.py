@@ -1694,3 +1694,91 @@ def test_bvcc_matches_reference(tmp_path):
                 fixed[lid] = mine_sup.custom["listeners"][lid]
             s.custom["listeners"] = fixed
     _assert_manifests_match(theirs, mine, "bvcc")
+
+
+# ---------------------------------------------------------------------------
+# wham
+# ---------------------------------------------------------------------------
+def test_wham_matches_reference(tmp_path):
+    for split, seed in (("tr", 84), ("cv", 85), ("tt", 86)):
+        (tmp_path / split).mkdir()
+        write_wav(str(tmp_path / split / f"noise_{split}.wav"), _sig(1.0, seed=seed), SR)
+    theirs = RR.prepare_wham(tmp_path)
+    mine = MR.prepare_wham(tmp_path)
+    _assert_manifests_match(theirs, mine, "wham")
+
+
+# ---------------------------------------------------------------------------
+# voxpopuli (asr)
+# ---------------------------------------------------------------------------
+def test_voxpopuli_matches_reference(tmp_path):
+    import gzip
+
+    d = tmp_path / "raw_audios" / "en" / "2020"
+    d.mkdir(parents=True)
+    # corpus ships ogg; RIFF payload behind the name (decoded by magic)
+    write_wav(str(d / "20200101-0900-PLENARY_en.ogg"), _sig(3.0, seed=87), SR)
+    out = tmp_path / "out"
+    out.mkdir()
+    header = "id|session_id|start_time|end_time|speaker_id|gender|normed_text|original_text|split"
+    # every split needs rows: the reference iterates train/dev/test and its
+    # validator crashes on an empty one
+    rows = [
+        "x|20200101-0900-PLENARY|0.5|2.0|spk1|female|good morning|Good morning.|train",
+        "y|20200101-0900-PLENARY|2.0|2.5|spk1|female|dev words|Dev words.|dev",
+        "z|20200101-0900-PLENARY|2.5|2.9|spk2|male|test words|Test words.|test",
+    ]
+    my_out = tmp_path / "my_out"
+    my_out.mkdir()
+    for o in (out, my_out):
+        with gzip.open(o / "asr_en.tsv.gz", "wt") as f:
+            f.write(header + "\n" + "\n".join(rows) + "\n")
+    theirs = RR.prepare_voxpopuli(tmp_path, output_dir=out, lang="en")
+    mine = MR.prepare_voxpopuli(tmp_path, output_dir=my_out, lang="en")
+    _assert_manifests_match(theirs, mine, "voxpopuli")
+
+
+# ---------------------------------------------------------------------------
+# mtedx
+# ---------------------------------------------------------------------------
+def test_mtedx_matches_reference(tmp_path):
+    root = tmp_path / "mtedx"
+    base = root / "es-es" / "data"
+    for split in ("train", "valid", "test"):
+        wav_dir = base / split / "wav"
+        vtt_dir = base / split / "vtt"
+        wav_dir.mkdir(parents=True)
+        vtt_dir.mkdir(parents=True)
+        write_flac(str(wav_dir / f"talk_{split}.flac"), _sig(5.0), SR)
+        vtt_dir.joinpath(f"talk_{split}.es.vtt").write_text(
+            "WEBVTT\n\n00:00:00.500 --> 00:00:02.000\nhola mundo\n\n"
+            "00:00:02.500 --> 00:00:04.000\nbuenos dias\n"
+        )
+    from lhotse.recipes.mtedx import prepare_mtedx as ref_prepare
+    from lhotse_tpu.recipes.mtedx import prepare_mtedx as my_prepare
+
+    # the reference requires output_dir (mtedx.py:155 joins None / lang)
+    theirs = ref_prepare(root, output_dir=tmp_path / "ref_out", languages="es")
+    mine = my_prepare(root, output_dir=tmp_path / "my_out", languages="es")
+    assert set(theirs) == set(mine)
+    # Pinned reference bug (kept fixed here): its VTT parser enumerates
+    # blocks from -1 and keeps only i > 0 (mtedx.py:347-349), so the FIRST
+    # cue of every talk is silently dropped. We keep all cues; compare the
+    # reference's output against ours minus each talk's first cue.
+    for lang in theirs:
+        for split in theirs[lang]:
+            t_sups = sorted(
+                theirs[lang][split]["supervisions"], key=lambda s: (s.recording_id, s.start)
+            )
+            m_sups = sorted(
+                mine[lang][split]["supervisions"], key=lambda s: (s.recording_id, s.start)
+            )
+            assert len(m_sups) == len(t_sups) + 1  # one talk -> one dropped cue
+            first, rest = m_sups[0], m_sups[1:]
+            assert first.text == "hola mundo"  # the cue the reference loses
+            assert [s.to_dict() for s in rest] == [s.to_dict() for s in t_sups]
+            _assert_manifests_match(
+                {"recs": {"recordings": theirs[lang][split]["recordings"]}},
+                {"recs": {"recordings": mine[lang][split]["recordings"]}},
+                f"mtedx[{lang}][{split}]",
+            )
