@@ -1782,3 +1782,70 @@ def test_mtedx_matches_reference(tmp_path):
                 {"recs": {"recordings": mine[lang][split]["recordings"]}},
                 f"mtedx[{lang}][{split}]",
             )
+
+
+# ---------------------------------------------------------------------------
+# tal_csasr
+# ---------------------------------------------------------------------------
+def test_tal_csasr_matches_reference(tmp_path):
+    root = tmp_path / "TALCS_corpus"
+    for part, seed in (("train_set", 5), ("dev_set", 6), ("test_set", 7)):
+        (root / part / "wav").mkdir(parents=True)
+        write_wav(str(root / part / "wav" / f"u{seed}.wav"), _sig(1.0, seed=seed), SR)
+        (root / part / "label.txt").write_text(
+            f"u{seed} 上面是 ＨＩ world！\n", encoding="utf-8"
+        )
+    from lhotse.recipes.tal_csasr import prepare_tal_csasr as ref_prepare
+
+    theirs = ref_prepare(tmp_path)
+    mine = MR.prepare_tal_csasr(tmp_path)
+    _assert_manifests_match(theirs, mine, "tal_csasr")
+
+
+# ---------------------------------------------------------------------------
+# xbmu_amdo31
+# ---------------------------------------------------------------------------
+def test_xbmu_amdo31_matches_reference(tmp_path):
+    d = tmp_path / "data" / "wav" / "train" / "spk1"
+    d.mkdir(parents=True)
+    write_wav(str(d / "spk1-u001.wav"), _sig(1.0, seed=13), SR)
+    tr = tmp_path / "data" / "transcript"
+    tr.mkdir(parents=True)
+    (tr / "transcript_clean.txt").write_text("u001 tibetan words here\n")
+
+    from lhotse.recipes.xbmu_amdo31 import prepare_xbmu_amdo31 as ref_prepare
+
+    try:
+        theirs = ref_prepare(tmp_path)
+    except Exception:
+        # subset-blocked or validator crash on empty dev/test splits
+        mine = MR.prepare_xbmu_amdo31(tmp_path)
+        sups = list(mine["train"]["supervisions"])
+        assert len(sups) == 1 and sups[0].speaker == "spk1"
+        return
+    mine = MR.prepare_xbmu_amdo31(tmp_path)
+    _assert_manifests_match(theirs, mine, "xbmu_amdo31")
+
+
+# ---------------------------------------------------------------------------
+# uwb_atcc
+# ---------------------------------------------------------------------------
+def test_uwb_atcc_matches_reference(tmp_path):
+    write_wav(str(tmp_path / "TWR-test1.wav"), _sig(10.0, sr=8000, seed=34), 8000)
+    (tmp_path / "TWR-test1.trs").write_text(
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<Trans audio_filename="e2_TWR-test1.wav">\n'
+        '<Episode><Section type="report" startTime="0" endTime="10">\n'
+        '<Turn startTime="0" endTime="10">\n'
+        '<Sync time="0.5"/> [ground] contact praha\n'
+        '<Sync time="3.0"/> [air] roger contact\n'
+        "</Turn></Section></Episode></Trans>\n"
+    )
+    # The reference hard-asserts the full 2657-file corpus inventory
+    # (uwb_atcc.py:518) — it cannot run on a subset; ours handles any.
+    with pytest.raises(AssertionError):
+        RR.prepare_uwb_atcc(tmp_path)
+    mine = MR.prepare_uwb_atcc(tmp_path)
+    sups = sorted(mine["supervisions"], key=lambda s: s.start)
+    assert len(sups) == 2 and sups[0].speaker == "ground"
+    assert "CONTACT PRAHA" in sups[0].text
