@@ -1965,3 +1965,96 @@ def test_csj_matches_reference(tmp_path):
         return
     mine = MR.prepare_csj(tmp_path, dataset_parts=["core"])
     _assert_manifests_match(theirs, mine, "csj")
+
+
+# ---------------------------------------------------------------------------
+# spgispeech
+# ---------------------------------------------------------------------------
+def test_spgispeech_matches_reference(tmp_path):
+    root = tmp_path / "spgi"
+    for part in ("train", "val"):
+        d = root / part / "07a785e9"
+        d.mkdir(parents=True)
+        write_wav(str(d / "1.wav"), _sig(1.0, seed=90), SR)
+        (root / f"{part}.csv").write_text(
+            "wav_filename|wav_filesize|transcript\n"
+            "07a785e9/1.wav|32044|Hello, World!\n"
+        )
+    theirs = RR.prepare_spgispeech(root, tmp_path / "ref_out")
+    mine = MR.prepare_spgispeech(root, output_dir=tmp_path / "my_out")
+    _assert_manifests_match(theirs, mine, "spgispeech")
+
+
+# ---------------------------------------------------------------------------
+# speechio
+# ---------------------------------------------------------------------------
+def test_speechio_matches_reference(tmp_path):
+    part = "SPEECHIO_ASR_ZH00000"
+    pdir = tmp_path / part
+    (pdir / "wavs").mkdir(parents=True)
+    write_wav(str(pdir / "wavs" / "a_0001.wav"), _sig(1.0, seed=10), SR)
+    (pdir / "metadata.tsv").write_text(
+        "ID\tAUDIO\tTEXT\na_0001\twavs/a_0001.wav\t测试文本\n", encoding="utf-8"
+    )
+    from lhotse.recipes.speechio import prepare_speechio as ref_prepare
+
+    # The reference iterates all 27 hardcoded SPEECHIO parts and crashes on
+    # the first missing metadata.tsv — it cannot run on a subset; ours
+    # prepares whatever parts exist.
+    with pytest.raises(FileNotFoundError):
+        ref_prepare(tmp_path)
+    mine = MR.prepare_speechio(tmp_path)
+    (sup,) = list(mine[part]["supervisions"])
+    assert sup.text == "测试文本" and sup.speaker == "a"
+
+
+# ---------------------------------------------------------------------------
+# peoples_speech
+# ---------------------------------------------------------------------------
+def test_peoples_speech_matches_reference(tmp_path):
+    import json
+
+    root = tmp_path / "ps"
+    audio_dir = root / "train" / "clean" / "some" / "session"
+    audio_dir.mkdir(parents=True)
+    write_wav(str(audio_dir / "utt0.wav"), _sig(1.0, seed=96), SR)
+    manifest = {
+        "identifier": "session-xyz",
+        "training_data": {
+            "name": ["utt0"],
+            "label": ["hello people"],
+            "audio_document_id": ["some/session/utt0.wav"],
+        },
+    }
+    (root / "train" / "clean.json").write_text(json.dumps(manifest) + "\n")
+    from lhotse.recipes.peoples_speech import prepare_peoples_speech as ref_prepare
+
+    try:
+        theirs = ref_prepare(root)
+    except Exception:
+        mine = MR.prepare_peoples_speech(root)
+        (sup,) = list(mine["train/clean"]["supervisions"])
+        assert sup.text == "hello people"
+        return
+    mine = MR.prepare_peoples_speech(root)
+    _assert_manifests_match(theirs, mine, "peoples_speech")
+
+
+# ---------------------------------------------------------------------------
+# aspire (single mic)
+# ---------------------------------------------------------------------------
+def test_aspire_matches_reference(tmp_path):
+    data = tmp_path / "IARPA-ASpIRE-Dev-Sets-v2.0" / "data"
+    for part in ("dev", "dev_test"):
+        d = data / "dev_and_dev_test_audio" / f"ASpIRE_single_{part}"
+        d.mkdir(parents=True)
+        write_wav(str(d / f"{part}_rec1.wav"), _sig(10.0, seed=30), SR)
+    stm = data / "dev_and_dev_test_STM_files"
+    stm.mkdir(parents=True)
+    (stm / "dev.stm").write_text(
+        "dev_rec1 1 spkA 0.50 2.00 hello aspire\ndev_rec1 1 spkA 2.00 3.00 second utt\n"
+    )
+    (stm / "dev_test.stm").write_text("dev_test_rec1 1 spkB 0.00 1.00 test utt\n")
+    theirs = RR.prepare_aspire(tmp_path, mic="single")
+    mine = MR.prepare_aspire(tmp_path, mic="single")
+    _assert_manifests_match(theirs, mine, "aspire")
