@@ -2058,3 +2058,57 @@ def test_aspire_matches_reference(tmp_path):
     theirs = RR.prepare_aspire(tmp_path, mic="single")
     mine = MR.prepare_aspire(tmp_path, mic="single")
     _assert_manifests_match(theirs, mine, "aspire")
+
+
+# ---------------------------------------------------------------------------
+# cdsd
+# ---------------------------------------------------------------------------
+def test_cdsd_matches_reference(tmp_path):
+    root = tmp_path / "after_catting"
+    for part, spk, utt, text, seed in (
+        ("1h", "S01", "utt1", "你 好 ｔest", 8),
+        ("10h", "S02", "utt2", "再 见", 9),
+    ):
+        (root / part / "Audio" / spk).mkdir(parents=True)
+        write_wav(str(root / part / "Audio" / spk / f"{utt}.wav"), _sig(1.0, seed=seed), SR)
+        (root / part / "Text").mkdir(parents=True)
+        (root / part / "Text" / f"{spk}.txt").write_text(f"{utt} {text}\n", encoding="utf-8")
+
+    from lhotse.recipes.cdsd import prepare_cdsd as ref_prepare
+
+    theirs = ref_prepare(tmp_path)
+    mine = MR.prepare_cdsd(tmp_path)
+    _assert_manifests_match(theirs, mine, "cdsd")
+
+
+# ---------------------------------------------------------------------------
+# gale_mandarin
+# ---------------------------------------------------------------------------
+def test_gale_mandarin_pins_reference_pandas_crash(tmp_path, monkeypatch):
+    """Same TDF parser family as gale_arabic: the reference passes the
+    removed pandas kwarg error_bad_lines and cannot run with modern pandas."""
+    import lhotse_tpu.recipes.gale_mandarin as gm
+
+    header = (
+        "file;unicode\tchannel;int\tstart;float\tend;float\tspeaker;unicode\t"
+        "speakerType;unicode\tspeakerDialect;unicode\ttranscript;unicode\t"
+        "section;int\tturn;int\tsegment;int\tsectionType;unicode\tsuType;unicode\n"
+        ";;MM sectionTypes\n;;MM sectionBoundaries\n"
+    )
+    adir, tdir = tmp_path / "audio", tmp_path / "trans"
+    adir.mkdir()
+    tdir.mkdir()
+    write_wav(str(adir / "CCTV_TRAIN_20070102.wav"), _sig(10.0, seed=14), SR)
+    (tdir / "x.tdf").write_text(
+        header
+        + "CCTV_TRAIN_20070102\t0\t1.0\t3.0\tspkB\tmale\tdialect\t世界\t0\t1\t2\treport\tstatement\n"
+    )
+    monkeypatch.setattr(gm, "_fetch_dev_ids", lambda: [])
+
+    from lhotse.recipes.gale_mandarin import prepare_gale_mandarin as ref_prepare
+
+    with pytest.raises(Exception):
+        ref_prepare([adir], [tdir])
+    mine = gm.prepare_gale_mandarin([adir], [tdir])
+    train = list(mine["train"]["supervisions"])
+    assert len(train) == 1 and train[0].text == "世界"
