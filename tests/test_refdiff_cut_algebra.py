@@ -205,6 +205,12 @@ def _apply(cut, op, is_ref: bool):
     if name == "filter_supervisions":
         thr = kw["threshold"]
         return cut.filter_supervisions(lambda s: s.start >= thr)
+    if name == "fill_supervision":
+        return cut.fill_supervision(**kw)
+    if name == "drop_supervisions":
+        return cut.drop_supervisions()
+    if name == "drop_recording":
+        return cut.drop_recording()
     if name == "trim_to_supervisions":
         return list(cut.trim_to_supervisions(**kw))
     if name == "cut_into_windows":
@@ -309,6 +315,14 @@ op_strategy = st.one_of(
         st.just("filter_supervisions"),
         st.fixed_dictionaries({"threshold": ms(0, 5000).map(lambda v: v / 1000)}),
     ),
+    st.tuples(
+        st.just("fill_supervision"),
+        st.fixed_dictionaries(
+            {"add_empty": st.booleans(), "shrink_ok": st.just(True)}
+        ),
+    ),
+    st.tuples(st.just("drop_supervisions"), st.fixed_dictionaries({})),
+
     st.tuples(
         st.just("trim_to_supervisions"),
         st.fixed_dictionaries(
