@@ -2112,3 +2112,51 @@ def test_gale_mandarin_pins_reference_pandas_crash(tmp_path, monkeypatch):
     mine = gm.prepare_gale_mandarin([adir], [tdir])
     train = list(mine["train"]["supervisions"])
     assert len(train) == 1 and train[0].text == "世界"
+
+
+# ---------------------------------------------------------------------------
+# sph2pipe-gated LDC conversational corpora (reference cannot probe SPHERE
+# without the external sph2pipe binary; ours decodes SPHERE natively)
+# ---------------------------------------------------------------------------
+def test_sphere_gated_ldc_recipes_run_here(tmp_path):
+    from lhotse_tpu.audio.sphio import write_sph
+
+    # broadcast_news
+    bn = tmp_path / "bn"
+    (bn / "audio").mkdir(parents=True)
+    (bn / "trans").mkdir()
+    write_sph(str(bn / "audio" / "prog1.sph"), _sig(30.0, seed=33), SR)
+    (bn / "trans" / "prog1.sgml").write_text(
+        '<episode program="NPR News" language="English">\n'
+        '<section type="report" starttime="0.0" endtime="10.0">\n'
+        '<turn speaker="Alice Smith" spkrtype="female" starttime="0.0" endtime="10.0">\n'
+        '<time sec="0.5">\nfirst segment text\n'
+        '<time sec="4.0">\nsecond segment text\n'
+        "</turn>\n</section>\n</episode>\n"
+    )
+    with pytest.raises(Exception):
+        RR.prepare_broadcast_news(bn / "audio", bn / "trans")
+    mine = MR.prepare_broadcast_news(bn / "audio", bn / "trans")
+    assert len(list(mine["segments"])) == 2
+
+    # callhome_english (asr variant)
+    ch = tmp_path / "ch"
+    rng = np.random.RandomState(20)
+    for split, adir in (("train", "train"), ("devtest", "devtest"), ("evaltest", "evltest")):
+        d = ch / "audio" / "data" / adir
+        d.mkdir(parents=True)
+        write_sph(
+            str(d / f"en_{split}.sph"),
+            (0.1 * rng.randn(2, 30 * SR)).astype(np.float32),
+            SR,
+        )
+        tdir = ch / "trans" / "transcrpt" / split
+        tdir.mkdir(parents=True)
+        (tdir / f"en_{split}.txt").write_text(
+            "# comment line\n1.00 2.50 A: hello there\n2.50 4.00 B: hi there\n"
+        )
+    # callhome probes SPHERE through the reference's own pure reader, so a
+    # full differential works here
+    theirs = RR.prepare_callhome_english(ch / "audio", transcript_dir=ch / "trans")
+    mine = MR.prepare_callhome_english(ch / "audio", transcript_dir=ch / "trans")
+    _assert_manifests_match(theirs, mine, "callhome_english")
