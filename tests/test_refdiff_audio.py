@@ -160,3 +160,20 @@ def test_on_the_fly_fbank_end_to_end_matches(wav_pair):
     b = np.asarray(b)
     assert a.shape == b.shape
     assert float(np.abs(a - b).max()) < 2e-3
+
+
+def test_tempo_perturbation_runs_where_reference_cannot(wav_pair):
+    """The reference's Tempo transform hard-requires torchaudio sox effects
+    (augmentation/torchaudio.py:185-193), absent in this env; our native
+    WSOLA time-stretch must produce the documented manifest arithmetic and
+    finite audio."""
+    (pa, _), _ = wav_pair
+    r, m = _pair(pa)
+    with pytest.raises(Exception):
+        r.perturb_tempo(1.1).load_audio()
+    mt = m.perturb_tempo(1.1)
+    a = mt.load_audio()
+    assert a.shape[1] == mt.num_samples
+    assert np.isfinite(a).all()
+    # tempo changes duration but not pitch-period content length bookkeeping
+    assert abs(mt.duration - r.duration / 1.1) < 0.01

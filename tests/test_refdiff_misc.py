@@ -226,3 +226,50 @@ def test_estimate_duration_buckets_matches(durs_ms, num_buckets):
         cuts(MyCutSet, my_deserialize_cut), num_buckets=num_buckets
     )
     assert [round(float(x), 8) for x in got] == [round(float(x), 8) for x in exp]
+
+
+# ---------------------------------------------------------------------------
+# Kaldi import: the same data dir through both load_kaldi_data_dir
+# ---------------------------------------------------------------------------
+def test_load_kaldi_data_dir_matches(tmp_path):
+    import numpy as _np
+
+    from lhotse.kaldi import load_kaldi_data_dir as ref_load
+    from lhotse_tpu.audio.wavio import write_wav
+    from lhotse_tpu.kaldi import load_kaldi_data_dir as my_load
+
+    audio = tmp_path / "audio"
+    audio.mkdir()
+    rng = _np.random.RandomState(9)
+    for rid, sec in (("rec_a", 2.0), ("rec_b", 1.5)):
+        write_wav(
+            str(audio / f"{rid}.wav"),
+            (rng.randn(1, int(SR * sec)) * 0.1).astype(_np.float32),
+            SR,
+        )
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "wav.scp").write_text(
+        f"rec_a {audio}/rec_a.wav\nrec_b {audio}/rec_b.wav\n"
+    )
+    (d / "segments").write_text(
+        "utt1 rec_a 0.25 1.00\nutt2 rec_a 1.00 1.90\nutt3 rec_b 0.00 1.50\n"
+    )
+    (d / "text").write_text("utt1 hello there\nutt2 more words\nutt3 third\n")
+    (d / "utt2spk").write_text("utt1 spkA\nutt2 spkA\nutt3 spkB\n")
+    (d / "utt2dur").write_text("utt1 0.75\nutt2 0.90\nutt3 1.50\n")
+    (d / "reco2dur").write_text("rec_a 2.0\nrec_b 1.5\n")
+    (d / "utt2gender").write_text("utt1 m\nutt2 m\nutt3 f\n")
+
+    t_recs, t_sups, t_feats = ref_load(d, sampling_rate=SR)
+    m_recs, m_sups, m_feats = my_load(d, sampling_rate=SR)
+    assert t_feats is None and m_feats is None
+
+    def canon(manifest):
+        return sorted(
+            ({k: v for k, v in x.to_dict().items() if v is not None} for x in manifest),
+            key=lambda r: r["id"],
+        )
+
+    assert canon(t_recs) == canon(m_recs)
+    assert canon(t_sups) == canon(m_sups)
