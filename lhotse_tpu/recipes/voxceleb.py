@@ -152,8 +152,13 @@ def _prepare_voxceleb_trials(
     recordings = manifests["recordings"]
     supervisions = manifests["supervisions"]
     if trials_path is None:
-        trials_path = "voxceleb_trials.txt"
-        resumable_download(VOXCELEB1_TRIALS_URL, filename=trials_path)
+        # No implicit network fetch inside prepare (and no writes into the
+        # caller's CWD): trials require an explicit local file.
+        logging.info(
+            "No trials_path provided - skipping VoxCeleb1 trial pairs. "
+            f"Download {VOXCELEB1_TRIALS_URL} and pass trials_path to enable them."
+        )
+        return {}
     pairs = {"1": ([], []), "0": ([], [])}
     with open(trials_path) as f:
         for idx, line in enumerate(f):

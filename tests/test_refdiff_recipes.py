@@ -1052,7 +1052,10 @@ def test_eval2000_matches_reference(tmp_path):
 # ---------------------------------------------------------------------------
 # voxceleb1
 # ---------------------------------------------------------------------------
-def test_voxceleb1_matches_reference(tmp_path):
+def test_voxceleb1_matches_reference(tmp_path, monkeypatch):
+    # the reference downloads 'voxceleb_trials.txt' into the CWD mid-prepare
+    # (voxceleb.py:347) — keep its litter inside the temp dir
+    monkeypatch.chdir(tmp_path)
     root = tmp_path / "voxceleb1"
     layout = [
         ("id10001", "sess1", "00001"),
