@@ -288,8 +288,9 @@ def describe(cutset: Pathlike):
     help="Estimate from this many cuts only (default: all of them).")
 def estimate_bucket_bins(cutset: Pathlike, num_buckets: int, sample: Optional[int]) -> None:
     """
-    Estimate duration bins for dynamic bucketing (prints num_buckets-1
-    floats). On TPU these bins double as the compiled-shape vocabulary.
+    Estimate duration bins for dynamic bucketing (prints up to
+    num_buckets-1 floats; skewed length distributions may yield fewer).
+    On TPU these bins double as the compiled-shape vocabulary.
     """
     from lhotse_tpu.dataset.sampling.dynamic_bucketing import estimate_duration_buckets
 

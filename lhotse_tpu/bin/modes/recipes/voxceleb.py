@@ -18,14 +18,18 @@ __all__ = ["voxceleb"]
 @click.option(
     "--voxceleb2", "--v2", "voxceleb2_root", type=click.Path(exists=True), default=None,
     help="Path to the VoxCeleb2 corpus root.")
+@click.option(
+    "--trials-path", type=click.Path(exists=True, dir_okay=False), default=None,
+    help="Local copy of the VoxCeleb1 trials list (voxceleb1_test_v2.txt); "
+         "when provided, pos/neg trial CutSet pairs are prepared as well.")
 @click.option("-j", "--num-jobs", type=int, default=1)
 def voxceleb(
     output_dir: Pathlike, voxceleb1_root: Optional[Pathlike], voxceleb2_root: Optional[Pathlike],
-    num_jobs: int):
+    trials_path: Optional[Pathlike], num_jobs: int):
     """VoxCeleb 1+2 speaker verification data preparation."""
     prepare_voxceleb(
         voxceleb1_root=voxceleb1_root, voxceleb2_root=voxceleb2_root, output_dir=output_dir,
-        num_jobs=num_jobs)
+        num_jobs=num_jobs, trials_path=trials_path)
 
 
 @download.command(context_settings=dict(show_default=True))

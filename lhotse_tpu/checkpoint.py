@@ -73,14 +73,20 @@ def collect_state_dict(root) -> dict:
             f"{type(root).__name__} does not support checkpointing. Remove it "
             f"from the pipeline or implement state_dict/load_state_dict."
         )
-    # Plain wrapper (e.g. a lazy CutSet handed in directly): recurse into its
-    # children so the state is actually captured — a silent empty state here
-    # would restore as a from-scratch replay.
+    # Manifest wrapper (e.g. a lazy CutSet handed in directly): recurse into
+    # its ``.data`` graph so the state is actually captured — a silent empty
+    # state here would restore as a from-scratch replay.  Any OTHER child
+    # iterators on a non-IteratorNode keep the loud refusal: such objects
+    # cannot participate in checkpointing and silently skipping them would
+    # also restore as a replay.
+    non_data = [key for key, _ in _children_of(root) if key != "data"]
+    if non_data:
+        raise NotImplementedError(
+            f"{type(root).__name__} participates in iterator graph traversal "
+            f"(it has child iterators) but is not an IteratorNode."
+        )
     for key, child in _children_of(root):
-        if key in ("source", "data"):
-            captured[key] = collect_state_dict(child)
-        else:
-            captured[key] = [collect_state_dict(c) for c in child]
+        captured[key] = collect_state_dict(child)
     return captured
 
 

@@ -160,9 +160,14 @@ class DataLoader:
         partition-dedup multiprocess mode (per-partition states do not
         compose), this falls back to the live sampler state.
         """
+        import copy
+
         state = getattr(self, "_last_yielded_state", None)
         if state is None:
-            state = self.sampler.state_dict()
+            # pre-iteration fallback: deep copy for the same reason as
+            # _snapshot_sampler — the returned dict must not share live
+            # internals with a sampler that may start advancing afterwards
+            state = copy.deepcopy(self.sampler.state_dict())
         return {"sampler": state}
 
     def load_state_dict(self, state: Dict[str, Any]) -> None:
@@ -188,8 +193,12 @@ class DataLoader:
 
         try:
             return copy.deepcopy(self.sampler.state_dict())
-        except (AttributeError, TypeError):
-            return None  # plain iterables: no checkpointing support
+        except (AttributeError, TypeError, NotImplementedError):
+            # plain iterables (no state_dict) and deliberately
+            # non-checkpointable pipelines (e.g. infinite mux) must not
+            # break ITERATION — the loud refusal happens if/when the user
+            # actually asks for loader.state_dict()
+            return None
 
     def _sampler_and_assemble(self) -> Iterator:
         """Pull (sampler -> dataset -> apply_fn) with tracing spans, so a

@@ -52,9 +52,13 @@ def estimate_duration_buckets(
     cuts: Iterable[Cut], num_buckets: int, constraint: Optional[SamplingConstraint] = None,
 ) -> List[float]:
     """
-    Choose ``num_buckets - 1`` ascending boundary lengths so that each bucket
-    receives roughly the same total size mass.  Bucket ``i`` covers lengths
-    in ``[bins[i-1], bins[i])``; the first starts at 0, the last is open.
+    Choose UP TO ``num_buckets - 1`` ascending boundary lengths so that each
+    bucket receives roughly the same total size mass.  Bucket ``i`` covers
+    lengths in ``[bins[i-1], bins[i])``; the first starts at 0, the last is
+    open.  Like the reference, skewed length distributions can yield FEWER
+    than ``num_buckets - 1`` boundaries (the greedy pass only emits one when
+    the running mass overflows) — size per-bucket configs from ``len(bins)``,
+    not from ``num_buckets``.
     """
     if num_buckets <= 1:
         raise AssertionError("estimate_duration_buckets needs num_buckets > 1")

@@ -16,7 +16,7 @@ import logging
 import re
 import shutil
 from pathlib import Path
-from typing import Dict, Optional, Union
+from typing import Dict, Optional, Tuple, Union
 
 from lhotse_tpu.audio import Recording, RecordingSet
 from lhotse_tpu.supervision import SupervisionSegment, SupervisionSet
@@ -122,8 +122,9 @@ def prepare_atcosim(
     silence_sym: Optional[str] = "", breath_sym: Optional[str] = "",
     foreign_sym: Optional[str] = "<unk>", partial_sym: Optional[str] = "<unk>",
     unknown_sym: Optional[str] = "<unk>",
-) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
-    """Stream fulldata.csv rows into lazy recording/supervision manifests."""
+) -> Tuple[RecordingSet, SupervisionSet]:
+    """Stream fulldata.csv rows into lazy recording/supervision manifests,
+    returned as a (recordings, supervisions) tuple (reference parity)."""
     corpus_dir = Path(corpus_dir)
     assert corpus_dir.is_dir(), f"No such directory: {corpus_dir}"
     if output_dir is None:

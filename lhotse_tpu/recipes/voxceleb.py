@@ -194,7 +194,9 @@ def prepare_voxceleb(
 ) -> Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]]:
     """
     Kaldi-style split: train = VoxCeleb2 (all) + VoxCeleb1 dev;
-    test = VoxCeleb1 test (+ pos/neg trial CutSet pairs).
+    test = VoxCeleb1 test. Pos/neg trial CutSet pairs are prepared only when
+    ``trials_path`` points at a local copy of the VoxCeleb1 trials list
+    (no implicit download).
     """
     voxceleb1_root = Path(voxceleb1_root) if voxceleb1_root else None
     voxceleb2_root = Path(voxceleb2_root) if voxceleb2_root else None

@@ -28,10 +28,18 @@ _loaded = None
 
 
 def _install_stubs() -> None:
-    for entry in (_STUB_DIR, _REF_ROOT):
-        if entry not in sys.path:
-            sys.path.insert(0, entry)
-    wanted = [_STUB_DIR, _REPO_ROOT, _REF_ROOT]
+    import importlib.util
+
+    # Only add the stub directory when at least one stubbed package is
+    # genuinely absent, and append (not prepend) to sys.path so REAL
+    # installations always win over the stand-ins.
+    stubbed = ("soundfile", "intervaltree", "cytoolz", "textgrid")
+    any_missing = any(importlib.util.find_spec(m) is None for m in stubbed)
+    if any_missing and _STUB_DIR not in sys.path:
+        sys.path.append(_STUB_DIR)
+    if _REF_ROOT not in sys.path:
+        sys.path.insert(0, _REF_ROOT)
+    wanted = ([_STUB_DIR] if any_missing else []) + [_REPO_ROOT, _REF_ROOT]
     existing = [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if p]
     merged = wanted + [p for p in existing if p not in wanted]
     os.environ["PYTHONPATH"] = os.pathsep.join(merged)
