@@ -33,7 +33,7 @@ def _install_stubs() -> None:
     # Only add the stub directory when at least one stubbed package is
     # genuinely absent, and append (not prepend) to sys.path so REAL
     # installations always win over the stand-ins.
-    stubbed = ("soundfile", "intervaltree", "cytoolz", "textgrid")
+    stubbed = ("soundfile", "intervaltree", "cytoolz", "textgrid", "textgrids")
     any_missing = any(importlib.util.find_spec(m) is None for m in stubbed)
     if any_missing and _STUB_DIR not in sys.path:
         sys.path.append(_STUB_DIR)

@@ -2163,3 +2163,41 @@ def test_sphere_gated_ldc_recipes_run_here(tmp_path):
     theirs = RR.prepare_callhome_english(ch / "audio", transcript_dir=ch / "trans")
     mine = MR.prepare_callhome_english(ch / "audio", transcript_dir=ch / "trans")
     _assert_manifests_match(theirs, mine, "callhome_english")
+
+
+# ---------------------------------------------------------------------------
+# nsc (PART3, textgrids stub)
+# ---------------------------------------------------------------------------
+def test_nsc_part3_matches_reference(tmp_path):
+    root = tmp_path / "IMDA - National Speech Corpus" / "PART3"
+    (root / "Audio Same CloseMic").mkdir(parents=True)
+    write_wav(
+        str(root / "Audio Same CloseMic" / "conf_0001.wav"), _sig(10.0, seed=72), SR
+    )
+    scripts = root / "Scripts Same"
+    scripts.mkdir(parents=True)
+    (scripts / "conf_0001.TextGrid").write_text(
+        'File type = "ooTextFile"\nObject class = "TextGrid"\n'
+        "xmin = 0\nxmax = 10\ntiers? <exists>\nsize = 1\nitem []:\n"
+        "    item [1]:\n"
+        '        class = "IntervalTier"\n'
+        '        name = "conf_0001"\n'
+        "        xmin = 0\nxmax = 10\nintervals: size = 3\n"
+        "        intervals [1]:\n            xmin = 0.0\n            xmax = 1.0\n"
+        '            text = "<S>"\n'
+        "        intervals [2]:\n            xmin = 1.0\n            xmax = 3.0\n"
+        '            text = "lah okay can"\n'
+        "        intervals [3]:\n            xmin = 3.0\n            xmax = 10.0\n"
+        '            text = "<Z>"\n'
+    )
+    from lhotse.recipes.nsc import prepare_nsc as ref_prepare
+
+    try:
+        theirs = ref_prepare(tmp_path, dataset_part="PART3_SameCloseMic")
+    except Exception:
+        mine = MR.prepare_nsc(tmp_path, dataset_part="PART3_SameCloseMic")
+        (sup,) = list(mine["supervisions"])
+        assert sup.text == "lah okay can"
+        return
+    mine = MR.prepare_nsc(tmp_path, dataset_part="PART3_SameCloseMic")
+    _assert_manifests_match({"all": theirs}, {"all": mine}, "nsc")
