@@ -2201,3 +2201,85 @@ def test_nsc_part3_matches_reference(tmp_path):
         return
     mine = MR.prepare_nsc(tmp_path, dataset_part="PART3_SameCloseMic")
     _assert_manifests_match({"all": theirs}, {"all": mine}, "nsc")
+
+
+# ---------------------------------------------------------------------------
+# bengaliai_speech
+# ---------------------------------------------------------------------------
+def test_bengaliai_speech_matches_reference(tmp_path):
+    (tmp_path / "train_mp3s").mkdir()
+    (tmp_path / "test_mp3s").mkdir()
+    write_wav(str(tmp_path / "train_mp3s" / "u1.mp3"), _sig(1.0, seed=50), SR)
+    write_wav(str(tmp_path / "train_mp3s" / "u2.mp3"), _sig(1.0, seed=51), SR)
+    write_wav(str(tmp_path / "test_mp3s" / "t1.mp3"), _sig(1.0, seed=52), SR)
+    (tmp_path / "train.csv").write_text(
+        "id,sentence,split\nu1,বাংলা বাক্য,train\nu2,অন্য বাক্য,valid\n"
+    )
+    from lhotse.recipes.bengaliai_speech import (
+        prepare_bengaliai_speech as ref_prepare,
+    )
+
+    try:
+        theirs = ref_prepare(tmp_path)
+    except Exception:
+        mine = MR.prepare_bengaliai_speech(tmp_path)
+        assert [s.text for s in mine["train"]["supervisions"]] == ["বাংলা বাক্য"]
+        return
+    mine = MR.prepare_bengaliai_speech(tmp_path)
+    _assert_manifests_match(theirs, mine, "bengaliai")
+
+
+# ---------------------------------------------------------------------------
+# gigaspeech2
+# ---------------------------------------------------------------------------
+def test_gigaspeech2_matches_reference(tmp_path):
+    lang_dir = tmp_path / "data" / "th"
+    (lang_dir / "dev" / "0" / "12").mkdir(parents=True)
+    write_wav(str(lang_dir / "dev" / "0" / "12" / "0-12-3.wav"), _sig(1.0, seed=64), SR)
+    (lang_dir / "dev.tsv").write_text("0-12-3\tสวัสดี\n")
+    from lhotse.recipes.gigaspeech2 import prepare_gigaspeech2 as ref_prepare
+
+    try:
+        theirs = ref_prepare(tmp_path, output_dir=tmp_path / "ref_out")
+    except Exception:
+        mine = MR.prepare_gigaspeech2(tmp_path, output_dir=tmp_path / "my_out")
+        sups = list(mine["th"]["dev"]["supervisions"])
+        assert len(sups) == 1 and sups[0].text == "สวัสดี"
+        return
+    mine = MR.prepare_gigaspeech2(tmp_path, output_dir=tmp_path / "my_out")
+    assert set(theirs) == set(mine)
+    for lang in theirs:
+        _assert_manifests_match(theirs[lang], mine[lang], f"gigaspeech2[{lang}]")
+
+
+# ---------------------------------------------------------------------------
+# reazonspeech
+# ---------------------------------------------------------------------------
+def test_reazonspeech_matches_reference(tmp_path):
+    import json
+
+    corpus = tmp_path / "corpus"
+    (corpus / "audio").mkdir(parents=True)
+    items = []
+    for i in range(5):
+        p = corpus / "audio" / f"u{i}.flac"
+        write_flac(str(p), _sig(1.0, seed=20 + i), SR)
+        items.append(
+            {"id": f"u{i}", "audio_filepath": str(p), "duration": 1.0, "text": f"こんにちは{i}"}
+        )
+    (corpus / "dataset.json").write_text(json.dumps(items), encoding="utf-8")
+    from lhotse.recipes.reazonspeech import prepare_reazonspeech as ref_prepare
+
+    try:
+        theirs = ref_prepare(corpus, output_dir=tmp_path / "ref_out")
+    except Exception:
+        mine = MR.prepare_reazonspeech(corpus, output_dir=tmp_path / "my_out")
+        assert len(list(mine["dev"]["supervisions"])) == 5
+        return
+    mine = MR.prepare_reazonspeech(corpus, output_dir=tmp_path / "my_out")
+    assert set(theirs) == set(mine)
+    for part in theirs:
+        for kind in set(theirs[part]) & {"recordings", "supervisions"}:
+            t = _canon_set(theirs[part][kind])
+            m = _canon_set(mine[part][kind])
+            assert t == m, f"reazonspeech[{part}][{kind}]"
