@@ -2384,3 +2384,58 @@ def test_gigast_matches_reference(tmp_path):
     }
     mine_view = {"de-TEST": {"supervisions": mine["de-TEST"]["supervisions"]}}
     _assert_manifests_match(theirs, mine_view, "gigast")
+
+
+# ---------------------------------------------------------------------------
+# callhome_egyptian
+# ---------------------------------------------------------------------------
+def test_callhome_egyptian_matches_reference(tmp_path):
+    from lhotse_tpu.audio.sphio import write_sph
+
+    audio = tmp_path / "audio"
+    trans = tmp_path / "trans"
+    for split, tdirname, rid, seed in (
+        ("train", "train", "ar_1", 21),
+        ("devtest", "devtest", "ar_2", 22),
+        ("evltest", "evaltest", "ar_3", 23),
+    ):
+        d = audio / "callhome" / "arabic" / split
+        d.mkdir(parents=True)
+        write_sph(str(d / f"{rid}.sph"), _sig(10.0, seed=seed), SR)
+        tdir = trans / "callhome_arabic_trans_970711" / "transcrp" / tdirname / "roman"
+        tdir.mkdir(parents=True)
+        (tdir / f"{rid}.txt").write_text("0.50 2.00 B: %ah Tayyib\n")
+
+    theirs = RR.prepare_callhome_egyptian(audio, trans)
+    mine = MR.prepare_callhome_egyptian(audio, trans)
+    _assert_manifests_match(theirs, mine, "callhome_egyptian")
+
+
+# ---------------------------------------------------------------------------
+# mgb2 parser helpers
+# ---------------------------------------------------------------------------
+def test_mgb2_parsers_match_reference(tmp_path):
+    from lhotse.recipes.mgb2 import (
+        cleaning as ref_cleaning,
+        make_supervisions as ref_make_supervisions,
+    )
+    from lhotse_tpu.recipes.mgb2 import (
+        cleaning as my_cleaning,
+        make_supervisions as my_make_supervisions,
+    )
+
+    xml = tmp_path / "p.xml"
+    xml.write_text(
+        '<?xml version="1.0"?><transcript><segments annotation_id="x">'
+        '<segment id="PROG_utt1" starttime="1.0" endtime="2.5" WMER="10.0" '
+        'who="TRSspeaker3overlap"><element>ahlan</element><element>bik</element>'
+        "</segment>"
+        '<segment id="PROG_utt2" starttime="3.0" endtime="4.0" WMER="95.0" '
+        'who="TRSspeaker4overlap"><element>dropped</element></segment>'
+        "</segments></transcript>"
+    )
+    t = ref_make_supervisions(xml, mer_thresh=80)
+    m = my_make_supervisions(xml, mer_thresh=80)
+    assert [s.to_dict() for s in t] == [s.to_dict() for s in m]
+    for s in ("مَرْحَبا ب العالم!!", "أهلاً وسهلاً", "abc 123"):
+        assert ref_cleaning(s) == my_cleaning(s), s
