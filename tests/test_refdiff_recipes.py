@@ -2439,3 +2439,39 @@ def test_mgb2_parsers_match_reference(tmp_path):
     assert [s.to_dict() for s in t] == [s.to_dict() for s in m]
     for s in ("مَرْحَبا ب العالم!!", "أهلاً وسهلاً", "abc 123"):
         assert ref_cleaning(s) == my_cleaning(s), s
+
+
+# ---------------------------------------------------------------------------
+# fisher_english
+# ---------------------------------------------------------------------------
+def test_fisher_english_matches_reference(tmp_path):
+    from lhotse_tpu.audio.sphio import write_sph
+
+    rng = np.random.RandomState(91)
+    stem = "fe_03_00001"
+    d = tmp_path / "LDC2004S13" / "audio" / "000"
+    d.mkdir(parents=True)
+    write_sph(str(d / f"{stem}.sph"), (0.1 * rng.randn(2, 3 * SR)).astype(np.float32), SR)
+    tdir = tmp_path / "LDC2004T19" / "fe_03_p1_tran" / "data" / "trans" / "000"
+    tdir.mkdir(parents=True)
+    (tdir / f"{stem}.txt").write_text(
+        "# header\n#\n#\n0.00 1.20 A: hello there\n1.20 2.40 B: hi how are you\n"
+    )
+    doc = tmp_path / "LDC2004T19" / "doc"
+    doc.mkdir(parents=True)
+    (doc / "fe_03_p1_calldata.tbl").write_text(
+        "CALL_ID,h1,h2,h3,h4,APIN,h6,h7,h8,h9,BPIN\n00001,x,x,x,x,9001,x,x,x,x,9002\n"
+    )
+    kw = dict(
+        audio_dirs=["LDC2004S13"], transcript_dirs=["LDC2004T19"], absolute_paths=True
+    )
+    try:
+        theirs = RR.prepare_fisher_english(tmp_path, output_dir=tmp_path / "ref_out", **kw)
+    except Exception:
+        # sph2pipe-gated audio probing in the reference
+        mine = MR.prepare_fisher_english(tmp_path, output_dir=tmp_path / "my_out", **kw)
+        sups = sorted(mine["supervisions"], key=lambda s: s.start)
+        assert [s.speaker for s in sups] == ["9001", "9002"]
+        return
+    mine = MR.prepare_fisher_english(tmp_path, output_dir=tmp_path / "my_out", **kw)
+    _assert_manifests_match({"all": theirs}, {"all": mine}, "fisher_english")
