@@ -29,12 +29,23 @@ Typical use::
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple, Union
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
 from lhotse_tpu.ops.augment import make_augment_fbank_pipeline
 from lhotse_tpu.ops.resample import resampled_num_samples
+
+
+@dataclass
+class StagedBatch:
+    """A batch already padded/encoded and (asynchronously) transferred to the
+    device, awaiting :meth:`OnDeviceAugmenter.compute`."""
+
+    audio: Any  # device array, bucket shape (B_b, T_b), wire dtype
+    lens: np.ndarray  # (B_b,) valid sample counts (0 = padding row)
+    kwargs: Dict[str, Any] = field(default_factory=dict)
 
 
 class OnDeviceAugmenter:
@@ -158,17 +169,23 @@ class OnDeviceAugmenter:
             t = int(ub * self.sampling_rate)
             self(np.zeros((bsz, t), np.float32), np.full(bsz, t, np.int64))
 
-    def __call__(
+    def stage(
         self,
         audio: np.ndarray,
         audio_lens: Union[np.ndarray, Sequence[int]],
-    ):
+    ) -> StagedBatch:
         """
-        Pad ``(B, T)`` float32 (or int16) audio up to its bucket shape and
-        run the fused device program. Returns device arrays
-        ``(feats (B', T_frames, F), feat_lens (B',))`` where ``B'`` is the
-        bucket batch size (extra rows are padding with ``feat_lens == 0``).
+        Host-side half of :meth:`__call__`: pad ``(B, T)`` float32 (or int16)
+        audio up to its bucket shape, encode the wire format, draw the
+        per-batch augmentation RNG, and ``jax.device_put`` the speech batch
+        (asynchronous — the transfer proceeds in the background).
+
+        Call this from a prefetch thread (e.g. ``DataLoader(apply_fn=...)``)
+        so the host→device transfer of batch N+1 overlaps the device compute
+        of batch N, then hand the result to :meth:`compute` on the hot loop.
         """
+        import jax
+
         from lhotse_tpu.ops.wire import encode_wire
 
         audio = np.asarray(audio)
@@ -205,4 +222,26 @@ class OnDeviceAugmenter:
             ).astype(np.float32)
         if self.rir is not None:
             kwargs["rir"] = self.rir
-        return self._pipeline(padded, lens, **kwargs)
+        return StagedBatch(jax.device_put(padded), lens, kwargs)
+
+    def compute(self, staged: StagedBatch):
+        """Device-side half: run the fused bucket program on a staged batch.
+        Returns device arrays ``(feats (B', T_frames, F), feat_lens (B',))``
+        where ``B'`` is the bucket batch size (padding rows have
+        ``feat_lens == 0``)."""
+        return self._pipeline(staged.audio, staged.lens, **staged.kwargs)
+
+    def __call__(
+        self,
+        audio: np.ndarray,
+        audio_lens: Union[np.ndarray, Sequence[int]],
+    ):
+        """
+        Pad ``(B, T)`` float32 (or int16) audio up to its bucket shape and
+        run the fused device program (``compute(stage(...))`` — serial; use
+        the split form to overlap transfer with compute). Returns device
+        arrays ``(feats (B', T_frames, F), feat_lens (B',))`` where ``B'`` is
+        the bucket batch size (extra rows are padding with
+        ``feat_lens == 0``).
+        """
+        return self.compute(self.stage(audio, audio_lens))

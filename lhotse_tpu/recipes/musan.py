@@ -53,8 +53,12 @@ def _read_annotations(path: Path, max_fields: int) -> Iterable[List[str]]:
                 yield fields[:max_fields]
 
 
-def _prepare_music(
-    corpus_dir: Path, use_vocals: bool) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
+def prepare_music(
+    corpus_dir: Path, use_vocals: bool = True
+) -> Dict[str, Union[RecordingSet, SupervisionSet]]:
+    """Music-part manifests with genre/vocals/musician supervisions
+    (reference: recipes/musan.py:97-117)."""
+    corpus_dir = Path(corpus_dir)
     music_dir = corpus_dir / "music"
     recordings = _scan_recordings(music_dir)
     supervisions = SupervisionSet.from_segments(
@@ -82,7 +86,7 @@ def prepare_musan(
 
     manifests: Dict[str, Dict[str, Union[RecordingSet, SupervisionSet]]] = {}
     if "music" in parts:
-        manifests["music"] = _prepare_music(corpus_dir, use_vocals=use_vocals)
+        manifests["music"] = prepare_music(corpus_dir, use_vocals=use_vocals)
         validate_recordings_and_supervisions(**manifests["music"])
     for part in ("speech", "noise"):
         if part in parts:

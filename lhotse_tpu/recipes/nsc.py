@@ -176,7 +176,10 @@ def prepare_part1(part_name: str, script_audio_dir: ScriptAudioDir, num_jobs: in
         "supervisions": SupervisionSet.from_segments(supervisions)}
 
 
-prepare_part2 = prepare_part1
+def prepare_part2(part_name: str, script_audio_dir: ScriptAudioDir, num_jobs: int = 1):
+    """Part 2 shares part 1's zipped read-session layout
+    (reference: recipes/nsc.py:210-224)."""
+    return prepare_part1(part_name, script_audio_dir, num_jobs)
 
 
 def _parse_part1_speaker(
@@ -284,8 +287,15 @@ def prepare_part4(part_name: str, script_audio_dir: ScriptAudioDir, num_jobs: in
     return prepare_textgrid_based_part(part_name, script_audio_dir, resolve, num_jobs)
 
 
-prepare_part5 = prepare_part4
-prepare_part6 = prepare_part4
+def prepare_part5(part_name: str, script_audio_dir: ScriptAudioDir, num_jobs: int = 1):
+    """Part 5 resolves TextGrids by first tier exactly like part 4
+    (reference: recipes/nsc.py:294-322)."""
+    return prepare_part4(part_name, script_audio_dir, num_jobs)
+
+
+def prepare_part6(part_name: str, script_audio_dir: ScriptAudioDir, num_jobs: int = 1):
+    """Part 6 delegates to part 5 (reference: recipes/nsc.py:325-338)."""
+    return prepare_part5(part_name, script_audio_dir, num_jobs)
 
 
 def prepare_textgrid_based_part(
