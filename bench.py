@@ -147,7 +147,7 @@ def bench_device() -> dict:
         ).mean()
 
     fn_wire = jax.jit(pipeline_i16)
-    K_WIRE = 2 if SMOKE else 10
+    K_WIRE = 2 if SMOKE else 6
     host_batches = [
         np.clip(
             rng.randn(BATCH, NUM_SAMPLES) * 0.1 * 32768.0, -32768, 32767
@@ -156,18 +156,15 @@ def bench_device() -> dict:
     ]
     # warmup/compile (untimed)
     float(fn_wire(jax.device_put(host_batches[0]), gains, noise, snr, time_mask, freq_mask))
-    best_wire = float("inf")
-    for _ in range(2):
-        outs = []
-        t0 = time.perf_counter()
-        for hb in host_batches:
-            outs.append(
-                fn_wire(jax.device_put(hb), gains, noise, snr, time_mask, freq_mask)
-            )
-        for o in outs:
-            float(o)
-        best_wire = min(best_wire, time.perf_counter() - t0)
-    with_wire = AUDIO_SEC_PER_BATCH * K_WIRE / best_wire
+    outs = []
+    t0 = time.perf_counter()
+    for hb in host_batches:
+        outs.append(
+            fn_wire(jax.device_put(hb), gains, noise, snr, time_mask, freq_mask)
+        )
+    for o in outs:
+        float(o)
+    with_wire = AUDIO_SEC_PER_BATCH * K_WIRE / (time.perf_counter() - t0)
 
     return {
         "value": round(compute_only, 1),
@@ -478,6 +475,124 @@ def bench_e2e_tpu() -> dict:
 
 
 # ---------------------------------------------------------------------------
+# 3b) Device-cached e2e: same pipeline with a DeviceSampleCache — epoch 1
+#     fills HBM pools with the wire-format audio (untimed), epochs 2+ run
+#     with ZERO host decode and ZERO host->device audio transfer (the
+#     steady state of multi-epoch training; dataset/device_cache.py).
+# ---------------------------------------------------------------------------
+def bench_e2e_cached() -> dict:
+    from lhotse_tpu import CutSet, set_caching_enabled
+
+    set_caching_enabled(True)
+    from lhotse_tpu.dataset.device_augment import OnDeviceAugmenter
+    from lhotse_tpu.dataset.device_cache import (
+        CacheAwareAudioSamples,
+        DeviceSampleCache,
+        batch_cut_info,
+    )
+    from lhotse_tpu.dataset.loader import DataLoader
+    from lhotse_tpu.dataset.sampling.dynamic_bucketing import DynamicBucketingSampler
+    from lhotse_tpu.dataset.speech_recognition import K2SpeechRecognitionDataset
+
+    n_rec = 12 if SMOKE else 300
+    max_duration = 30.0 if SMOKE else 240.0
+    SR = 16000
+    # Two buckets (vs the uncached leg's four) keep this section's tunnel
+    # compile bill bounded: each bucket costs three compiles here (wire
+    # pipeline + pool-gather pipeline + pool scatter).
+    if SMOKE:
+        BUCKETS = [(8.0, 5), (14.0, 5)]
+    else:
+        BUCKETS = [(9.0, 28), (14.0, 19)]
+    bin_edges = [ub for ub, _ in BUCKETS[:-1]]
+
+    rng_init = np.random.RandomState(99)
+    L = SR // 2
+    rir_np = (
+        np.exp(-np.arange(L) / (L / 6.0)) * rng_init.randn(L) * 0.5
+    ).astype(np.float32)
+    rir_np[L // 50] = 1.0
+    noise_host = (rng_init.randn(4, 10 * SR) * 0.05).astype(np.float32)
+
+    cache = DeviceSampleCache(capacity_seconds=600 if SMOKE else 2 * 3600)
+    aug = OnDeviceAugmenter(
+        BUCKETS,
+        sampling_rate=SR,
+        speed_factor=1.1,
+        gain_range=(0.8, 1.2),
+        noise_pool=noise_host,
+        snr=(10, 20),
+        mix_prob=1.0,
+        rir=rir_np,
+        wire_format="int16",
+        seed=0,
+        sample_cache=cache,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        root = Path(tmp)
+        cuts_path, _ = _synthesize_corpus(root, n_rec, n_noise=1)
+        dataset = K2SpeechRecognitionDataset(
+            return_cuts=True, input_strategy=CacheAwareAudioSamples(aug)
+        )
+
+        def stage_fn(batch):
+            ids, lens = batch_cut_info(batch)
+            return aug.stage(batch["inputs"], lens, ids=ids), float(lens.sum()) / SR
+
+        def run_epoch(epoch_seed):
+            sampler = DynamicBucketingSampler(
+                CutSet.from_jsonl_lazy(cuts_path),
+                max_duration=max_duration,
+                duration_bins=bin_edges,
+                buffer_size=max(n_rec, 16),
+                shuffle=True,
+                seed=epoch_seed,
+                world_size=1,
+                rank=0,
+            )
+            loader = DataLoader(
+                sampler, dataset, prefetch_batches=2, apply_fn=stage_fn
+            )
+            audio_seconds = 0.0
+            n_batches = 0
+            pending = []
+            for staged, asec in loader:
+                feats, _ = aug.compute(staged)
+                pending.append(feats.mean())
+                n_batches += 1
+                audio_seconds += asec
+            assert np.isfinite(sum(float(r) for r in pending))
+            return audio_seconds, n_batches
+
+        aug.precompile()
+        run_epoch(0)  # epoch 1: decode + transfer + pool fill (untimed)
+
+        audio_seconds = 0.0
+        n_batches = 0
+        epochs = 0
+        t0 = time.perf_counter()
+        while True:
+            a, b = run_epoch(epochs + 1)
+            audio_seconds += a
+            n_batches += b
+            epochs += 1
+            if time.perf_counter() - t0 > (0.5 if SMOKE else 4.0) or epochs >= 10:
+                break
+        elapsed = time.perf_counter() - t0
+
+    stats = cache.stats()
+    return {
+        "e2e_cached_audio_sec_per_sec": round(audio_seconds / elapsed, 1),
+        "e2e_cached_batches_per_sec": round(n_batches / elapsed, 3),
+        "e2e_cached_epochs": epochs,
+        "e2e_cached_hit_rate": round(stats["hit_rate"], 4),
+        "e2e_cached_pool_mb": round(stats["memory_bytes"] / 1e6, 1),
+        "e2e_cached_chain": DEVICE_CHAIN,
+    }
+
+
+# ---------------------------------------------------------------------------
 # 4) Precomputed-features pipeline (BASELINE config #1's offline path): fbank
 #    stored as chunked .lca once (untimed), then the hot loop is manifest
 #    iteration + chunked pread + collate — the standard production mode when
@@ -573,12 +688,22 @@ def main():
     # The auxiliary sections must not zero the headline record: the tunneled
     # chip's transfer/compile latency occasionally degrades by an order of
     # magnitude, and a crash there would discard the device number too.
-    for section in (bench_host_pipeline, bench_e2e_tpu, bench_precomputed):
+    for section in (
+        bench_host_pipeline,
+        bench_e2e_tpu,
+        bench_e2e_cached,
+        bench_precomputed,
+    ):
+        t0 = time.perf_counter()
         try:
             report.update(section())
         except Exception:
             traceback.print_exc(file=sys.stderr)
             report[f"{section.__name__}_error"] = True
+        print(
+            f"[bench] {section.__name__}: {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
     print(json.dumps(report))
 
 

@@ -46,6 +46,22 @@ class StagedBatch:
     audio: Any  # device array, bucket shape (B_b, T_b), wire dtype
     lens: np.ndarray  # (B_b,) valid sample counts (0 = padding row)
     kwargs: Dict[str, Any] = field(default_factory=dict)
+    # Sample-cache bookkeeping (miss path): scatter these rows into the
+    # bucket pool at compute time — zero extra wire bytes.
+    bucket_t: Optional[int] = None
+    insert_slots: Optional[np.ndarray] = None
+
+
+@dataclass
+class CachedBatch:
+    """A batch whose audio is already resident in the device sample cache —
+    :meth:`OnDeviceAugmenter.compute` gathers pool rows by slot; nothing
+    crosses the wire."""
+
+    bucket_t: int
+    slots: np.ndarray  # (B_b,) int32 pool rows (scratch slot = padding)
+    lens: np.ndarray  # (B_b,) valid sample counts (0 = padding row)
+    kwargs: Dict[str, Any] = field(default_factory=dict)
 
 
 class OnDeviceAugmenter:
@@ -73,6 +89,13 @@ class OnDeviceAugmenter:
         :mod:`lhotse_tpu.ops.wire`). Use the narrower formats when the
         host->device link, not the chip, caps pipeline throughput.
     :param seed: host RNG seed for gains/SNRs/noise choice.
+    :param sample_cache: optional
+        :class:`~lhotse_tpu.dataset.device_cache.DeviceSampleCache` keeping
+        wire-format audio resident in HBM across epochs — fully-resident
+        batches skip the host→device transfer (and, with
+        :class:`~lhotse_tpu.dataset.device_cache.CacheAwareAudioSamples`,
+        the host decode as well). Pass the batch's cut ids to
+        :meth:`stage`.
     """
 
     def __init__(
@@ -89,6 +112,7 @@ class OnDeviceAugmenter:
         fbank=None,
         wire_format: str = "float32",
         seed: int = 0,
+        sample_cache=None,
     ) -> None:
         from lhotse_tpu.ops.wire import WIRE_FORMATS
 
@@ -117,6 +141,10 @@ class OnDeviceAugmenter:
             None if noise_pool is None else np.asarray(noise_pool, np.float32)
         )
         self._noise_device: dict = {}
+        self.sample_cache = sample_cache
+        self._cached_fn = None
+        if sample_cache is not None:
+            sample_cache.configure([ub for ub, _ in self.buckets])
 
     # -- shapes -----------------------------------------------------------------
 
@@ -164,50 +192,22 @@ class OnDeviceAugmenter:
     # -- execution --------------------------------------------------------------
 
     def precompile(self) -> None:
-        """Compile every bucket program outside the hot loop."""
-        for ub, bsz in self.buckets:
+        """Compile every bucket program outside the hot loop (with a sample
+        cache attached, the cached gather program per bucket too — the
+        warmup rows land in ring slots and are evicted naturally)."""
+        for bi, (ub, bsz) in enumerate(self.buckets):
             t = int(ub * self.sampling_rate)
-            self(np.zeros((bsz, t), np.float32), np.full(bsz, t, np.int64))
+            zeros = np.zeros((bsz, t), np.float32)
+            lens = np.full(bsz, t, np.int64)
+            if self.sample_cache is None:
+                self(zeros, lens)
+            else:
+                ids = [f"__precompile_{bi}_{k}__" for k in range(bsz)]
+                self.compute(self.stage(zeros, lens, ids=ids))  # miss+insert
+                self.compute(self.stage(zeros, lens, ids=ids))  # cached path
 
-    def stage(
-        self,
-        audio: np.ndarray,
-        audio_lens: Union[np.ndarray, Sequence[int]],
-    ) -> StagedBatch:
-        """
-        Host-side half of :meth:`__call__`: pad ``(B, T)`` float32 (or int16)
-        audio up to its bucket shape, encode the wire format, draw the
-        per-batch augmentation RNG, and ``jax.device_put`` the speech batch
-        (asynchronous — the transfer proceeds in the background).
-
-        Call this from a prefetch thread (e.g. ``DataLoader(apply_fn=...)``)
-        so the host→device transfer of batch N+1 overlaps the device compute
-        of batch N, then hand the result to :meth:`compute` on the hot loop.
-        """
-        import jax
-
-        from lhotse_tpu.ops.wire import encode_wire
-
-        audio = np.asarray(audio)
-        if audio.dtype == np.int16:
-            audio = audio.astype(np.float32) / 32768.0
-        audio_lens = np.asarray(audio_lens)
-        B, T = audio.shape
-        T_b, B_b = self.bucket_shape(T)
-        if B > B_b:
-            raise ValueError(
-                f"Batch of {B} items exceeds the covering bucket's batch size "
-                f"{B_b} (bucket {T_b / self.sampling_rate:g}s). Silently "
-                "dropping items would lose data — align the sampler's "
-                "max_cuts/max_duration with the bucket vocabulary, or enlarge "
-                "the bucket batch sizes."
-            )
-        padded = np.zeros((B_b, T_b), np.float32)
-        padded[:B, : min(T, T_b)] = audio[:, :T_b]
-        padded = encode_wire(padded, self.wire_format)
-        lens = np.zeros(B_b, np.int64)
-        lens[:B] = np.minimum(audio_lens, T_b)
-
+    def _draw_kwargs(self, B_b: int, T_b: int) -> dict:
+        """Per-batch augmentation draws (host RNG) + shared device assets."""
         kwargs = {}
         if self.gain_range is not None:
             lo, hi = self.gain_range
@@ -222,14 +222,110 @@ class OnDeviceAugmenter:
             ).astype(np.float32)
         if self.rir is not None:
             kwargs["rir"] = self.rir
-        return StagedBatch(jax.device_put(padded), lens, kwargs)
+        return kwargs
 
-    def compute(self, staged: StagedBatch):
+    def stage(
+        self,
+        audio: np.ndarray,
+        audio_lens: Union[np.ndarray, Sequence[int]],
+        ids: Optional[Sequence[str]] = None,
+    ) -> Union[StagedBatch, CachedBatch]:
+        """
+        Host-side half of :meth:`__call__`: pad ``(B, T)`` float32 (or int16)
+        audio up to its bucket shape, encode the wire format, draw the
+        per-batch augmentation RNG, and ``jax.device_put`` the speech batch
+        (asynchronous — the transfer proceeds in the background).
+
+        Call this from a prefetch thread (e.g. ``DataLoader(apply_fn=...)``)
+        so the host→device transfer of batch N+1 overlaps the device compute
+        of batch N, then hand the result to :meth:`compute` on the hot loop.
+
+        With a :class:`~lhotse_tpu.dataset.device_cache.DeviceSampleCache`
+        attached and ``ids`` given, a fully-resident batch returns a
+        :class:`CachedBatch` (slot indices only — no transfer; ``audio`` may
+        then be a ``(B, 0)`` placeholder from
+        :class:`~lhotse_tpu.dataset.device_cache.CacheAwareAudioSamples`),
+        and a miss batch is transferred once and scattered into the pool.
+        """
+        import jax
+
+        from lhotse_tpu.ops.wire import encode_wire
+
+        audio = np.asarray(audio)
+        if audio.dtype == np.int16:
+            audio = audio.astype(np.float32) / 32768.0
+        audio_lens = np.asarray(audio_lens)
+        B = audio.shape[0]
+        T = audio.shape[1] if audio.shape[1] else int(audio_lens.max())
+        T_b, B_b = self.bucket_shape(T)
+        if B > B_b:
+            raise ValueError(
+                f"Batch of {B} items exceeds the covering bucket's batch size "
+                f"{B_b} (bucket {T_b / self.sampling_rate:g}s). Silently "
+                "dropping items would lose data — align the sampler's "
+                "max_cuts/max_duration with the bucket vocabulary, or enlarge "
+                "the bucket batch sizes."
+            )
+        lens = np.zeros(B_b, np.int64)
+        lens[:B] = np.minimum(audio_lens, T_b)
+        kwargs = self._draw_kwargs(B_b, T_b)
+
+        cache = self.sample_cache
+        if cache is not None and ids is not None and cache.has_all(ids, T_b):
+            return CachedBatch(T_b, cache.slots(ids, T_b, B_b), lens, kwargs)
+
+        if audio.shape[1] == 0:
+            raise ValueError(
+                "Got a zero-width audio placeholder for a batch that is not "
+                "fully cache-resident — pass the real samples (is the "
+                "sampler's duration_bins vocabulary aligned with the "
+                "augmenter buckets?)"
+            )
+        padded = np.zeros((B_b, T_b), np.float32)
+        padded[:B, : min(T, T_b)] = audio[:, :T_b]
+        padded = encode_wire(padded, self.wire_format)
+        staged = StagedBatch(jax.device_put(padded), lens, kwargs)
+        if cache is not None and ids is not None:
+            staged.bucket_t = T_b
+            staged.insert_slots = cache.reserve(ids, T_b, B_b, self.sampling_rate)
+        return staged
+
+    def _cached_pipeline(self):
+        if self._cached_fn is None:
+            import jax
+
+            pipe = self._pipeline
+
+            def gather_and_run(pool, slots, lens, **kw):
+                return pipe(pool[slots], lens, **kw)
+
+            self._cached_fn = jax.jit(gather_and_run)
+        return self._cached_fn
+
+    def compute(self, staged: Union[StagedBatch, CachedBatch]):
         """Device-side half: run the fused bucket program on a staged batch.
         Returns device arrays ``(feats (B', T_frames, F), feat_lens (B',))``
         where ``B'`` is the bucket batch size (padding rows have
         ``feat_lens == 0``)."""
+        if isinstance(staged, CachedBatch):
+            pool = self.sample_cache.pool(
+                staged.bucket_t, self._wire_np_dtype()
+            )
+            return self._cached_pipeline()(
+                pool, staged.slots, staged.lens, **staged.kwargs
+            )
+        if staged.insert_slots is not None:
+            self.sample_cache.insert(
+                staged.bucket_t, staged.audio, staged.insert_slots
+            )
         return self._pipeline(staged.audio, staged.lens, **staged.kwargs)
+
+    def _wire_np_dtype(self):
+        return {
+            "float32": np.float32,
+            "int16": np.int16,
+            "mulaw": np.uint8,
+        }[self.wire_format]
 
     def __call__(
         self,
