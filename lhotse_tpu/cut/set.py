@@ -1790,6 +1790,21 @@ class LazyCutMixer(IteratorNode):
     def _endless_noise(self, rng):
         """An infinite shuffled stream over the mix-in cuts."""
         if self.mix_in_cuts.is_lazy:
+            # A small lazy noise manifest would be re-opened and re-parsed on
+            # every repeat cycle — and the shuffle buffer's pre-pull amplifies
+            # that to hundreds of reopens before the first mixed cut is
+            # emitted (e.g. a 4-cut jsonl pulled 2000 times = 500 file opens).
+            # Materialize sources that fit the shuffle buffer once; stream
+            # only genuinely large ones.
+            head = list(itertools.islice(iter(self.mix_in_cuts), 2001))
+            if len(head) <= 2000:
+                small = CutSet.from_cuts(head)
+
+                def cycle_small():
+                    while True:
+                        yield from small.shuffle(rng=rng)
+
+                return cycle_small()
             return iter(self.mix_in_cuts.repeat().shuffle(rng=rng, buffer_size=2000))
 
         def cycle():

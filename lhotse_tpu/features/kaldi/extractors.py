@@ -215,6 +215,9 @@ class _KaldiExtractorBase(FeatureExtractor):
         if n_frames <= 0:
             return np.zeros(
                 (0, self.feature_dim(self.config.sampling_rate)), dtype=np.float32)
+        fused = self._fused_native_item(prepared, n_frames)
+        if fused is not None:
+            return fused
         # float32 by default: the (T, n_fft) frame buffer is the dominant
         # memory traffic of this path and the f32 pocketfft rFFT runs 2-6x
         # the f64 one, while the added noise sits at the (float32)
@@ -270,6 +273,50 @@ class _KaldiExtractorBase(FeatureExtractor):
             work[:, 0] -= coeff * work[:, 0]
         work *= self._numpy_window(dtype)
         return log_e
+
+    def _fused_native_item(self, prepared, n_frames):
+        """
+        Subclass hook: run the whole item through one native fused kernel
+        (framing -> FFT -> spectrum -> projection -> log) and return the
+        (n_frames, F) float32 features, or None to use the staged numpy
+        path. Default: unsupported.
+        """
+        return None
+
+    def _fused_native_raw(self, item, n_frames):
+        """
+        Like :meth:`_fused_native_item` but takes the RAW (un-edge-padded)
+        waveform; the kernel applies the snip_edges=False reflect padding
+        virtually, skipping the padded-copy allocation. Default: unsupported.
+        """
+        return None
+
+    def _numpy_item_features(self, item: np.ndarray) -> np.ndarray:
+        """Full host path for one raw waveform: fused native kernel when
+        available, else edge-pad + staged numpy pipeline."""
+        n_frames = self._num_frames(item.shape[-1])
+        if n_frames <= 0:
+            return np.zeros(
+                (0, self.feature_dim(self.config.sampling_rate)), dtype=np.float32
+            )
+        fused = self._fused_native_raw(item, n_frames)
+        if fused is not None:
+            return fused
+        return self._forward_numpy_item(self._prepare_item(item))[:n_frames]
+
+    def _apply_dither(self, samples: np.ndarray) -> np.ndarray:
+        """
+        Host-side dither: additive Gaussian noise scaled by ``config.dither``
+        applied to the waveform before framing (reference semantics:
+        lhotse/features/kaldi/layers.py Wav2Win dither-before-frame; drawn
+        from the ambient numpy RNG like the layer path's seeding). No-op for
+        the default ``dither == 0``.
+        """
+        d = float(getattr(self.config, "dither", 0.0) or 0.0)
+        if d == 0.0:
+            return samples
+        noise = np.random.standard_normal(samples.shape).astype(np.float32)
+        return samples + d * noise
 
     def _spectrum_and_postprocess(self, frames, log_e):
         spec = _host_rfft(frames, n=self._fft_length, axis=-1)
@@ -334,13 +381,12 @@ class _KaldiExtractorBase(FeatureExtractor):
         squeeze = samples.ndim == 1
         if squeeze:
             samples = samples[None, :]
+        samples = self._apply_dither(samples)
         num_frames = self._num_frames(samples.shape[1])
-        prepared = [self._prepare_item(row) for row in samples]
         if self._use_numpy_path():
-            out = np.stack([self._forward_numpy_item(p) for p in prepared])[
-                :, :num_frames
-            ]
+            out = np.stack([self._numpy_item_features(row) for row in samples])
             return out[0] if squeeze or out.shape[0] == 1 else out
+        prepared = [self._prepare_item(row) for row in samples]
         n = max(p.shape[-1] for p in prepared)
         padded_n = _round_up(
             max(n, self._frame_samples), self._shift_samples * LENGTH_BUCKET_FRAMES)
@@ -378,10 +424,7 @@ class _KaldiExtractorBase(FeatureExtractor):
         return self._extract_batch_impl(items, item_lengths, input_is_list, sampling_rate)
 
     def _extract_batch_impl(self, items, item_lengths, input_is_list, sampling_rate):
-        prepared = [self._prepare_item(s) for s in items]
-        max_len = max(p.shape[-1] for p in prepared)
-        padded_len = _round_up(
-            max(max_len, self._frame_samples), self._shift_samples * LENGTH_BUCKET_FRAMES)
+        items = [self._apply_dither(s) for s in items]
         feat_lens = [
             compute_num_frames_from_samples(l, self.frame_shift, sampling_rate)
             for l in item_lengths
@@ -392,9 +435,14 @@ class _KaldiExtractorBase(FeatureExtractor):
             # mel, which measures ~1.7x faster than one fused
             # (sum_T, n_fft) pass that spills to DRAM between stages.
             result = [
-                self._forward_numpy_item(p)[:n] for p, n in zip(prepared, feat_lens)
+                self._numpy_item_features(s)[:n] for s, n in zip(items, feat_lens)
             ]
         else:
+            prepared = [self._prepare_item(s) for s in items]
+            max_len = max(p.shape[-1] for p in prepared)
+            padded_len = _round_up(
+                max(max_len, self._frame_samples),
+                self._shift_samples * LENGTH_BUCKET_FRAMES)
             Bp = _batch_bucket(len(prepared))
             batch = np.zeros((Bp, padded_len), dtype=np.float32)
             for i, p in enumerate(prepared):
@@ -505,6 +553,78 @@ class Fbank(_KaldiExtractorBase):
         if self.config.use_energy and log_e is not None:
             out = np.concatenate([log_e[:, None].astype(np.float32), out], axis=-1)
         return out.astype(np.float32, copy=False)
+
+    def _fused_plan(self):
+        """(mel_t, mel_lo, mel_hi) for the native fused kernel, or None when
+        the configuration falls outside its envelope (non-pow2 FFT, f64
+        host-FFT override). Cached per extractor."""
+        plan = self._jit_cache.get("fused_plan", "unset")
+        if plan == "unset":
+            plan = None
+            fft = self._fft_length
+            if (
+                _host_fft_dtype() == np.float32
+                and fft >= 8
+                and fft <= 4096
+                and (fft & (fft - 1)) == 0
+            ):
+                fb = np.asarray(self.extractor._fb, dtype=np.float32)
+                if fb.shape[0] == fft // 2 + 1:
+                    mel_t = np.ascontiguousarray(fb.T)
+                    nz = mel_t != 0.0
+                    any_nz = nz.any(axis=1)
+                    lo = np.argmax(nz, axis=1).astype(np.int32)
+                    hi = (mel_t.shape[1] - np.argmax(nz[:, ::-1], axis=1)).astype(
+                        np.int32
+                    )
+                    lo[~any_nz] = 0
+                    hi[~any_nz] = 0
+                    plan = (mel_t, lo, hi)
+            self._jit_cache["fused_plan"] = plan
+        return plan
+
+    def _fused_call(self, samples, n_frames, pad_left):
+        plan = self._fused_plan()
+        if plan is None:
+            return None
+        cfg = self.config
+        mel_t, lo, hi = plan
+        res = host_dsp.fbank_fused(
+            samples,
+            self._frame_samples,
+            self._shift_samples,
+            n_frames,
+            self._numpy_window(np.float32),
+            cfg.preemph_coeff,
+            cfg.remove_dc_offset,
+            self._fft_length,
+            cfg.use_fft_mag,
+            mel_t,
+            lo,
+            hi,
+            log_floor=ops.FLT_EPS,
+            want_energy=cfg.use_energy,
+            energy_floor=cfg.energy_floor if cfg.use_energy else 0.0,
+            pad_left=pad_left,
+        )
+        if res is None:
+            return None
+        out, log_e = res
+        if cfg.use_energy and log_e is not None:
+            out = np.concatenate([log_e[:, None].astype(np.float32), out], axis=-1)
+        return out
+
+    def _fused_native_item(self, prepared, n_frames):
+        return self._fused_call(prepared, n_frames, pad_left=0)
+
+    def _fused_native_raw(self, item, n_frames):
+        length, shift = self._frame_samples, self._shift_samples
+        if self.config.snip_edges:
+            return self._fused_call(item, n_frames, pad_left=0)
+        pad_left = (length - shift) // 2
+        if item.shape[-1] < length or pad_left >= item.shape[-1]:
+            return None  # too short for virtual padding: use the copy path
+        return self._fused_call(item, n_frames, pad_left=pad_left)
 
     @staticmethod
     def mix(

@@ -144,6 +144,12 @@ def attach_graph_origin(item: Any, token: Any) -> Any:
 
 
 def get_graph_origin(item: Any) -> Any:
+    # Hot path (called per item in samplers/buffers): read the instance dict
+    # directly — `getattr` misses would route through CustomFieldMixin's
+    # `__getattr__` and pay an exception raise per un-stamped item.
+    d = getattr(item, "__dict__", None)
+    if d is not None:
+        return d.get("_graph_origin")
     return getattr(item, "_graph_origin", None)
 
 

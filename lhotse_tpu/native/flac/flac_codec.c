@@ -208,6 +208,66 @@ int flac_parse_info(const uint8_t *data, size_t size,
 #define MAX_BLOCK 65535
 #define MAX_ORDER 32
 
+/*
+ * Rice-decode `count` residuals with the bit cache held in registers and a
+ * bulk byte-granular refill amortized over ~4-6 samples (the per-sample
+ * br_read_unary/br_read pair re-checks and re-fills through memory every
+ * call — this loop is the whole-stream decode hot path). Long unary runs or
+ * end-of-buffer fall back to the checked per-sample reader.
+ */
+static void decode_rice_run(BitReader *br, int32_t *res, int count, int param) {
+    uint64_t cache = br->cache;
+    int nc = br->ncached;
+    const uint8_t *data = br->data;
+    size_t pos = br->pos, size = br->size;
+    int i = 0;
+    while (i < count) {
+        if (nc <= 32) {
+            if (pos + 8 <= size) {
+                uint64_t v;
+                memcpy(&v, data + pos, 8);
+                cache |= __builtin_bswap64(v) >> nc;
+                int nbytes = (64 - nc) >> 3;
+                pos += (size_t)nbytes;
+                nc += nbytes << 3;
+            } else {
+                while (nc <= 56 && pos < size) {
+                    cache |= (uint64_t)data[pos++] << (56 - nc);
+                    nc += 8;
+                }
+                if (nc <= 0) break; /* exhausted: slow path reports error */
+            }
+        }
+        int z = cache ? __builtin_clzll(cache) : 64;
+        if (z + 1 + param > nc) {
+            /* Unary run crosses the cache (or trailing partial): commit and
+             * take the checked reader for this one sample. */
+            br->cache = cache;
+            br->ncached = nc;
+            br->pos = pos;
+            uint32_t q = br_read_unary(br);
+            uint32_t r = param ? br_read(br, param) : 0;
+            if (br->error) return;
+            uint32_t u = (q << param) | r;
+            res[i++] = (int32_t)(u >> 1) ^ -(int32_t)(u & 1);
+            cache = br->cache;
+            nc = br->ncached;
+            pos = br->pos;
+            continue;
+        }
+        cache <<= z + 1;
+        uint32_t r = param ? (uint32_t)(cache >> (64 - param)) : 0;
+        cache <<= param;
+        nc -= z + 1 + param;
+        uint32_t u = ((uint32_t)z << param) | r;
+        res[i++] = (int32_t)(u >> 1) ^ -(int32_t)(u & 1);
+    }
+    br->cache = cache;
+    br->ncached = nc;
+    br->pos = pos;
+    if (i < count) br->error = 1;
+}
+
 static int decode_residual(BitReader *br, int32_t *res, int blocksize, int order) {
     int method = (int)br_read(br, 2);
     if (method > 1) return -1;
@@ -225,12 +285,8 @@ static int decode_residual(BitReader *br, int32_t *res, int blocksize, int order
             for (int i = 0; i < count; i++)
                 res[idx++] = rawbits ? br_read_signed(br, rawbits) : 0;
         } else {
-            for (int i = 0; i < count; i++) {
-                uint32_t q = br_read_unary(br);
-                uint32_t r = param ? br_read(br, param) : 0;
-                uint32_t u = (q << param) | r;
-                res[idx++] = (int32_t)(u >> 1) ^ -(int32_t)(u & 1);
-            }
+            decode_rice_run(br, res + idx, count, param);
+            idx += count;
         }
         if (br->error) return -3;
     }

@@ -65,23 +65,34 @@ def build_native(name: str, source: str, extra_link: Optional[List[str]] = None)
         if so_path is None:
             cc = os.environ.get("CC", "cc")
             last_err = None
+            # The .so is never shipped (built and cached per host), so
+            # -march=native is safe and lets the SIMD kernels vectorize to
+            # whatever the local CPU has (AVX-512/AVX2/NEON...); retry
+            # without it for compilers that reject the flag.
+            flag_sets = [
+                ["-O3", "-march=native", "-fno-math-errno"],
+                ["-O3"],
+            ]
             for so in candidates:
                 # Per-PID temp name: the in-process lock doesn't cover spawned
                 # workers compiling concurrently, and a shared tmp path could
                 # publish a half-written .so that then satisfies the mtime
                 # cache check forever.
                 tmp = so.with_suffix(f".so.{os.getpid()}.tmp")
-                cmd = [cc, "-O3", "-shared", "-fPIC", "-o", str(tmp), str(src)]
-                cmd += extra_link or []
-                try:
-                    subprocess.run(cmd, check=True, capture_output=True)
-                    os.replace(tmp, so)
-                    so_path = so
+                for flags in flag_sets:
+                    cmd = [cc, *flags, "-shared", "-fPIC", "-o", str(tmp), str(src)]
+                    cmd += extra_link or []
+                    try:
+                        subprocess.run(cmd, check=True, capture_output=True)
+                        os.replace(tmp, so)
+                        so_path = so
+                        break
+                    except (subprocess.CalledProcessError, OSError) as e:
+                        last_err = e
+                        tmp.unlink(missing_ok=True)
+                        continue
+                if so_path is not None:
                     break
-                except (subprocess.CalledProcessError, OSError) as e:
-                    last_err = e
-                    tmp.unlink(missing_ok=True)
-                    continue
             if so_path is None:
                 raise RuntimeError(f"Failed to build native component '{name}': {last_err}")
         lib = ctypes.CDLL(str(so_path))

@@ -76,6 +76,21 @@ def _get_lib():
             ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_float)]
+        try:
+            lib.fbank_fused_f32.restype = ctypes.c_int
+            lib.fbank_fused_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+                ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+                ctypes.c_longlong, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int, ctypes.c_float,
+                ctypes.c_int, ctypes.c_double, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_double)]
+        except AttributeError:
+            # Stale cached .so predating the fused kernel: binding absent,
+            # fbank_fused() reports unavailable and callers fall back.
+            lib.fbank_fused_f32 = None
         _LIB = lib
         return _LIB
 
@@ -180,6 +195,72 @@ def sinc_resample(
         kernel.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), phases, K, orig,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out
+
+
+def fbank_fused(
+    prepared: np.ndarray,
+    length: int,
+    shift: int,
+    n_frames: int,
+    window: np.ndarray,
+    preemph_coeff: float,
+    remove_dc: bool,
+    fft_length: int,
+    use_mag: bool,
+    mel_t: np.ndarray,
+    mel_lo: np.ndarray,
+    mel_hi: np.ndarray,
+    log_floor: float,
+    want_energy: bool = False,
+    energy_floor: float = 0.0,
+    pad_left: int = 0,
+) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
+    """
+    One-call log-mel filterbank for a single float32 waveform: fused framing
+    + DC/pre-emphasis/window + SIMD real FFT + power/magnitude + sparse mel
+    + clamp + log (native kernel ``fbank_fused_f32``). ``mel_t`` is the
+    (n_mels, n_bins) transposed mel matrix with per-row support bounds
+    ``mel_lo``/``mel_hi``. With ``pad_left == 0`` the input is framed as-is
+    (already edge-padded, or snip-edges); with ``pad_left > 0`` the kernel
+    applies the snip_edges=False symmetric reflect padding VIRTUALLY —
+    boundary frames read through the reflect map, interior frames read the
+    raw buffer directly, and the caller skips materializing a padded copy.
+    Returns ``(logmel (n_frames, n_mels) f32, log_energy or None)``, or
+    None when the native kernel is unavailable or the configuration falls
+    outside its envelope (caller must fall back).
+    """
+    lib = _get_lib()
+    if lib is None or getattr(lib, "fbank_fused_f32", None) is None:
+        return None
+    x = np.ascontiguousarray(prepared, dtype=np.float32)
+    window = np.ascontiguousarray(window, dtype=np.float32)
+    mel_t = np.ascontiguousarray(mel_t, dtype=np.float32)
+    mel_lo = np.ascontiguousarray(mel_lo, dtype=np.int32)
+    mel_hi = np.ascontiguousarray(mel_hi, dtype=np.int32)
+    n_mels = mel_t.shape[0]
+    assert mel_t.shape[1] == fft_length // 2 + 1
+    assert window.shape[0] == length
+    if pad_left == 0:
+        assert x.shape[-1] >= (n_frames - 1) * shift + length
+    out = np.empty((n_frames, n_mels), dtype=np.float32)
+    log_e = np.empty(n_frames, dtype=np.float64) if want_energy else None
+    floor_log = math.log(energy_floor) if energy_floor > 0.0 else -math.inf
+    rc = lib.fbank_fused_f32(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.shape[-1],
+        int(pad_left), length, shift, n_frames,
+        window.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        float(preemph_coeff), int(remove_dc), int(fft_length), int(use_mag),
+        mel_t.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        mel_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        mel_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_mels, float(log_floor), int(want_energy), floor_log,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        log_e.ctypes.data_as(ctypes.POINTER(ctypes.c_double)) if want_energy
+        else ctypes.POINTER(ctypes.c_double)(),
+    )
+    if rc != 0:
+        return None
+    return out, log_e
 
 
 def scale_i32_to_f32(pcm: np.ndarray, scale: float) -> Optional[np.ndarray]:

@@ -58,10 +58,13 @@ def test_frame_prep_matches_numpy():
 def test_power_spectrum_matches_numpy():
     rng = np.random.default_rng(1)
     spec = (rng.normal(size=(7, 257)) + 1j * rng.normal(size=(7, 257))).astype(np.complex128)
-    np.testing.assert_array_equal(
-        host_dsp.power_spectrum(spec), spec.real**2 + spec.imag**2)
+    # The kernel compiles with -march=native: re*re+im*im contracts to an
+    # FMA (more accurate than numpy's two-rounding sum) — identity only up
+    # to the last ulp.
     np.testing.assert_allclose(
-        host_dsp.power_spectrum(spec, magnitude=True), np.abs(spec), rtol=1e-15)
+        host_dsp.power_spectrum(spec), spec.real**2 + spec.imag**2, rtol=1e-15)
+    np.testing.assert_allclose(
+        host_dsp.power_spectrum(spec, magnitude=True), np.abs(spec), rtol=1e-14)
 
 
 def test_scale_i32_to_f32():
@@ -107,9 +110,11 @@ def test_extractors_identical_with_and_without_native(monkeypatch):
 
 
 def test_extractors_close_with_and_without_native_f32(monkeypatch):
-    """f32 chain (the default): compiler contraction (FMA) in the native
-    kernel makes bitwise identity unattainable; agreement must still sit at
-    the f32 noise floor."""
+    """f32 chain (the default): the fused native kernel runs its own radix-2
+    f32 FFT (vs pocketfft in the fallback) plus FMA contraction, so agreement
+    is f32-FFT-noise-floor only — log amplifies it on near-silent mel bins
+    (~3e-4 log-domain; far inside the stored-feature budget, which is
+    dominated by the codec's 2^-5 quantization tick)."""
     from lhotse_tpu import Fbank, Mfcc
 
     rng = np.random.default_rng(4)
@@ -121,4 +126,4 @@ def test_extractors_close_with_and_without_native_f32(monkeypatch):
         monkeypatch.setattr(host_dsp, "_LIB_FAILED", True)
         fallback = ex.extract(sig, 16000)
         monkeypatch.setattr(host_dsp, "_LIB_FAILED", False)
-        np.testing.assert_allclose(native, fallback, atol=2e-4)
+        np.testing.assert_allclose(native, fallback, atol=1e-3)

@@ -96,9 +96,12 @@ def test_sampler_pickling_with_closure_filter_needs_dill():
         assert [_batch_ids(x) for x in restored] == [[keep_id]]
 
 
-def test_sampler_closure_filter_without_dill_fails():
-    if is_module_available("dill"):
-        pytest.skip("dill installed: closures are picklable here")
+def test_sampler_closure_filter_without_dill_fails(monkeypatch):
+    # Plain pickle cannot serialize a lambda; the Dillable path only rescues
+    # it when LHOTSE_DILL_ENABLED is on. Force the flag off so this exercises
+    # the no-dill behavior even in environments where dill is installed
+    # (matches /root/reference/lhotse/lazy.py Dillable semantics).
+    monkeypatch.setenv("LHOTSE_DILL_ENABLED", "0")
     sampler = SimpleCutSampler(_cuts(), max_cuts=2)
     sampler.filter(lambda c: True)
     with pytest.raises(Exception):
