@@ -189,9 +189,33 @@ void sinc_resample_f32(const float *x, long long num_blocks, const float *kernel
                 kt[(size_t)i * P + j] = kernel[(size_t)j * K + i];
             for (int j = phases; j < P; j++) kt[(size_t)i * P + j] = 0.0f;
         }
-        float tmp[32] __attribute__((aligned(64)));
+        float tmp[64] __attribute__((aligned(64)));
         if (P == 16) {
-            for (long long t = 0; t < num_blocks; t++) {
+            /* 4 blocks per sweep: each kernel row is loaded once and feeds
+             * 4 accumulator tiles (base pointers orig floats apart) — the
+             * short K loop is otherwise bound on kt loads + loop overhead. */
+            long long t = 0;
+            for (; t + 4 <= num_blocks; t += 4) {
+                const float *restrict base = x + t * (long long)orig;
+                v16sf a0 = VZERO, a1 = VZERO, a2 = VZERO, a3 = VZERO;
+                const float *kr = kt;
+                for (int i = 0; i < K; i++, kr += 16) {
+                    v16sf kv = *(const v16sf *)kr;
+                    a0 += kv * base[i];
+                    a1 += kv * base[i + orig];
+                    a2 += kv * base[i + 2 * orig];
+                    a3 += kv * base[i + 3 * orig];
+                }
+                *(v16sf *)tmp = a0;
+                *(v16sf *)(tmp + 16) = a1;
+                *(v16sf *)(tmp + 32) = a2;
+                *(v16sf *)(tmp + 48) = a3;
+                float *dst = out + t * (long long)phases;
+                for (int b = 0; b < 4; b++)
+                    for (int j = 0; j < phases; j++)
+                        dst[b * phases + j] = tmp[b * 16 + j];
+            }
+            for (; t < num_blocks; t++) {
                 const float *restrict base = x + t * (long long)orig;
                 v16sf a0 = VZERO;
                 const float *kr = kt;
