@@ -298,6 +298,216 @@ class AiffBackend(AudioBackend):
         write_aiff(dest, np.asarray(src), sampling_rate)
 
 
+def _read_all(path_or_fd) -> Union[str, bytes]:
+    """Pass paths through; drain file-like objects to bytes."""
+    if isinstance(path_or_fd, (str, Path)):
+        return path_or_fd
+    pos = path_or_fd.tell() if hasattr(path_or_fd, "tell") else None
+    data = path_or_fd.read()
+    if pos is not None and hasattr(path_or_fd, "seek"):
+        path_or_fd.seek(pos)
+    return data
+
+
+def _slice_seconds(audio: np.ndarray, sr: int, offset: Seconds, duration):
+    if offset or duration is not None:
+        lo = compute_num_samples(offset, sr) if offset else 0
+        hi = lo + compute_num_samples(duration, sr) if duration is not None else None
+        audio = audio[:, lo:hi]
+    return audio
+
+
+class Mpg123Backend(AudioBackend):
+    """MP3 decode via the system libmpg123 (encode via libmp3lame) —
+    reference covers MP3 through libsndfile/torchaudio/ffmpeg
+    (lhotse/audio/backend.py:260-296); this binds the codec library
+    directly via ctypes, with in-memory sources supported."""
+
+    @classmethod
+    def is_available(cls) -> bool:
+        from lhotse_tpu.audio import syscodecs
+
+        return syscodecs.mp3_available()
+
+    def read_audio(
+        self, path_or_fd, offset: Seconds = 0.0, duration: Optional[Seconds] = None,
+        force_opus_sampling_rate: Optional[int] = None) -> Tuple[np.ndarray, int]:
+        from lhotse_tpu.audio import syscodecs
+
+        audio, sr = syscodecs.mp3_decode(_read_all(path_or_fd))
+        return _slice_seconds(audio, sr, offset, duration), sr
+
+    def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
+        from lhotse_tpu.audio import syscodecs
+
+        sr, ch, n = syscodecs.mp3_info(_read_all(path_or_fd))
+        return LibsndfileCompatibleAudioInfo(
+            channels=ch, frames=n, samplerate=sr, duration=n / sr)
+
+    def is_applicable(self, path_or_fd) -> bool:
+        if not self.is_available():
+            return False
+        sfx = _suffix_of(path_or_fd)
+        if sfx == ".mp3":
+            return True
+        if sfx is not None and sfx != "":
+            return False
+        from lhotse_tpu.audio import syscodecs
+
+        try:
+            if isinstance(path_or_fd, (str, Path)):
+                with open(path_or_fd, "rb") as f:
+                    head = f.read(4)
+            else:
+                head = _peek_bytes(path_or_fd, 4)
+            return syscodecs.looks_like_mp3(head)
+        except Exception:
+            return False
+
+    def supports_info(self) -> bool:
+        return True
+
+    def supports_save(self) -> bool:
+        from lhotse_tpu.audio import syscodecs
+
+        return syscodecs.mp3_encode_available()
+
+    def save_audio(self, dest, src, sampling_rate: int, format=None, encoding=None) -> None:
+        from lhotse_tpu.audio import syscodecs
+
+        data = syscodecs.mp3_encode(np.asarray(src), sampling_rate)
+        if isinstance(dest, (str, Path)):
+            Path(dest).write_bytes(data)
+        else:
+            dest.write(data)
+
+
+def _sniff_ogg(path_or_fd) -> Optional[str]:
+    from lhotse_tpu.audio import syscodecs
+
+    try:
+        if isinstance(path_or_fd, (str, Path)):
+            with open(path_or_fd, "rb") as f:
+                head = f.read(320)
+        else:
+            head = _peek_bytes(path_or_fd, 320)
+        return syscodecs.sniff_ogg_codec(head)
+    except Exception:
+        return None
+
+
+class OggVorbisBackend(AudioBackend):
+    """Ogg/Vorbis decode via the system libvorbisfile (encode via
+    libvorbisenc+libogg); in-memory sources decode without temp files."""
+
+    @classmethod
+    def is_available(cls) -> bool:
+        from lhotse_tpu.audio import syscodecs
+
+        return syscodecs.vorbis_available()
+
+    def read_audio(
+        self, path_or_fd, offset: Seconds = 0.0, duration: Optional[Seconds] = None,
+        force_opus_sampling_rate: Optional[int] = None) -> Tuple[np.ndarray, int]:
+        from lhotse_tpu.audio import syscodecs
+
+        src = _read_all(path_or_fd)
+        sr, _, _ = syscodecs.vorbis_info(src)
+        lo = compute_num_samples(offset, sr) if offset else 0
+        n = compute_num_samples(duration, sr) if duration is not None else None
+        audio, sr = syscodecs.vorbis_decode(src, offset_samples=lo, num_samples=n)
+        return audio, sr
+
+    def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
+        from lhotse_tpu.audio import syscodecs
+
+        sr, ch, n = syscodecs.vorbis_info(_read_all(path_or_fd))
+        return LibsndfileCompatibleAudioInfo(
+            channels=ch, frames=n, samplerate=sr, duration=n / sr)
+
+    def is_applicable(self, path_or_fd) -> bool:
+        if not self.is_available():
+            return False
+        sfx = _suffix_of(path_or_fd)
+        if sfx in (".ogg", ".oga", None, ""):
+            return _sniff_ogg(path_or_fd) == "vorbis"
+        return False
+
+    def supports_info(self) -> bool:
+        return True
+
+    def supports_save(self) -> bool:
+        from lhotse_tpu.audio import syscodecs
+
+        return syscodecs.vorbis_encode_available()
+
+    def save_audio(self, dest, src, sampling_rate: int, format=None, encoding=None) -> None:
+        from lhotse_tpu.audio import syscodecs
+
+        data = syscodecs.vorbis_encode(np.asarray(src), sampling_rate)
+        if isinstance(dest, (str, Path)):
+            Path(dest).write_bytes(data)
+        else:
+            dest.write(data)
+
+
+class OggOpusBackend(AudioBackend):
+    """Ogg/Opus decode via the system libogg+libopus. Decodes at 48 kHz
+    like the reference (OPUS always reports 48k) unless
+    ``force_opus_sampling_rate`` is given — native decoder rates
+    (8/12/16/24/48 kHz) decode directly, others decode at 48 kHz and
+    polyphase-resample (reference: read_opus_ffmpeg,
+    lhotse/audio/backend.py:1494)."""
+
+    @classmethod
+    def is_available(cls) -> bool:
+        from lhotse_tpu.audio import syscodecs
+
+        return syscodecs.opus_available()
+
+    def read_audio(
+        self, path_or_fd, offset: Seconds = 0.0, duration: Optional[Seconds] = None,
+        force_opus_sampling_rate: Optional[int] = None) -> Tuple[np.ndarray, int]:
+        from lhotse_tpu.audio import syscodecs
+
+        audio, sr = syscodecs.opus_decode(
+            _read_all(path_or_fd), force_sampling_rate=force_opus_sampling_rate)
+        return _slice_seconds(audio, sr, offset, duration), sr
+
+    def info(self, path_or_fd, force_opus_sampling_rate=None) -> LibsndfileCompatibleAudioInfo:
+        from lhotse_tpu.audio import syscodecs
+
+        sr, ch, n = syscodecs.opus_info(
+            _read_all(path_or_fd), force_sampling_rate=force_opus_sampling_rate)
+        return LibsndfileCompatibleAudioInfo(
+            channels=ch, frames=n, samplerate=sr, duration=n / sr)
+
+    def is_applicable(self, path_or_fd) -> bool:
+        if not self.is_available():
+            return False
+        sfx = _suffix_of(path_or_fd)
+        if sfx == ".opus":
+            return True
+        if sfx in (".ogg", ".oga", None, ""):
+            return _sniff_ogg(path_or_fd) == "opus"
+        return False
+
+    def supports_info(self) -> bool:
+        return True
+
+    def supports_save(self) -> bool:
+        return self.is_available()
+
+    def save_audio(self, dest, src, sampling_rate: int, format=None, encoding=None) -> None:
+        from lhotse_tpu.audio import syscodecs
+
+        data = syscodecs.opus_encode(np.asarray(src), sampling_rate)
+        if isinstance(dest, (str, Path)):
+            Path(dest).write_bytes(data)
+        else:
+            dest.write(data)
+
+
 class SoundfileBackend(AudioBackend):
     """Optional libsndfile coverage when the ``soundfile`` package is present
     (reference default backend, audio/backend.py:515)."""
@@ -725,6 +935,12 @@ class CompositeAudioBackend(AudioBackend):
                 dest, src, sampling_rate, format=fmt, encoding=encoding)
         if fmt == "flac":
             return FlacBackend().save_audio(dest, src, sampling_rate)
+        if fmt == "mp3" and Mpg123Backend().supports_save():
+            return Mpg123Backend().save_audio(dest, src, sampling_rate)
+        if fmt in ("ogg", "vorbis", "oga") and OggVorbisBackend().supports_save():
+            return OggVorbisBackend().save_audio(dest, src, sampling_rate)
+        if fmt == "opus" and OggOpusBackend().supports_save():
+            return OggOpusBackend().save_audio(dest, src, sampling_rate)
         for b in self.backends:
             if b.supports_save() and not isinstance(b, (InternalWavBackend, FlacBackend)):
                 return b.save_audio(dest, src, sampling_rate, format=fmt, encoding=encoding)
@@ -780,6 +996,14 @@ def get_default_audio_backend() -> AudioBackend:
     # pcm/ulaw/alaw natively and delegates shorten files to sph2pipe itself.
     backends: List[AudioBackend] = [
         SphereBackend(), InternalWavBackend(), FlacBackend(), AiffBackend()]
+    # Lossy codecs through the system libraries (ctypes): each registers only
+    # when its library loads.
+    if Mpg123Backend.is_available():
+        backends.append(Mpg123Backend())
+    if OggOpusBackend.is_available():
+        backends.append(OggOpusBackend())
+    if OggVorbisBackend.is_available():
+        backends.append(OggVorbisBackend())
     if SoundfileBackend.is_available():
         backends.append(SoundfileBackend())
     if FfmpegSubprocessBackend.is_available():

@@ -52,10 +52,15 @@ class Compress(AudioTransform):
     def __call__(self, samples: np.ndarray, sampling_rate: int) -> np.ndarray:
         if self.codec == "gsm":
             sampling_rate = 8000
+        out = self._roundtrip_syscodec(samples, sampling_rate)
+        if out is not None:
+            return out
         if shutil.which("ffmpeg") is None:
             raise RuntimeError(
-                "The Compress transform requires the ffmpeg binary (not found). "
-                "Install ffmpeg or remove the compress transform."
+                "The Compress transform requires either the system codec "
+                "libraries (libmp3lame/libmpg123, libvorbis, libopus) or the "
+                "ffmpeg binary — none found. Install one or remove the "
+                "compress transform."
             )
         from io import BytesIO
 
@@ -87,6 +92,52 @@ class Compress(AudioTransform):
         elif out.shape[-1] < n_in:
             out = np.pad(out, ((0, 0), (0, n_in - out.shape[-1])))
         return out.astype(samples.dtype, copy=False)
+
+    def _roundtrip_syscodec(self, samples: np.ndarray, sampling_rate: int) -> Optional[np.ndarray]:
+        """Encode+decode through the in-process system codec libraries
+        (:mod:`lhotse_tpu.audio.syscodecs`) — no subprocess, works without
+        an ffmpeg binary. Returns None when the codec (or its libraries)
+        are not covered, so the caller can fall back."""
+        from lhotse_tpu.audio import syscodecs as sc
+
+        level = self.compression_level
+        x = np.atleast_2d(np.asarray(samples, dtype=np.float32))
+        n_in = x.shape[-1]
+        try:
+            if self.codec == "mp3":
+                if not (sc.mp3_available() and sc.mp3_encode_available()):
+                    return None
+                if sampling_rate not in MP3_SUPPORTED_SAMPLING_RATES:
+                    return None
+                kbps = int(round(256 - 224 * level)) if level is not None else 192
+                out, _ = sc.mp3_decode(sc.mp3_encode(x, sampling_rate, bitrate_kbps=kbps))
+            elif self.codec == "vorbis":
+                if not (sc.vorbis_available() and sc.vorbis_encode_available()):
+                    return None
+                # vorbis VBR quality spans -0.1 (smallest) .. 1.0 (best).
+                q = 0.9 - 1.0 * level if level is not None else 0.4
+                out, _ = sc.vorbis_decode(sc.vorbis_encode(x, sampling_rate, quality=q))
+            elif self.codec == "opus":
+                if not sc.opus_available():
+                    return None
+                bitrate = int(round((256 - 224 * level) * 1000)) if level is not None else 64000
+                if sampling_rate in OPUS_SUPPORTED_SAMPLING_RATES:
+                    enc_sr, enc_x = sampling_rate, x
+                else:
+                    from lhotse_tpu.augmentation.resample import resample_array
+
+                    enc_sr, enc_x = 48000, resample_array(x, sampling_rate, 48000)
+                data = sc.opus_encode(enc_x, enc_sr, bitrate=bitrate)
+                out, _ = sc.opus_decode(data, force_sampling_rate=sampling_rate)
+            else:  # gsm — not covered by the system libraries
+                return None
+        except RuntimeError:
+            return None
+        if out.shape[-1] > n_in:
+            out = out[:, :n_in]
+        elif out.shape[-1] < n_in:
+            out = np.pad(out, ((0, 0), (0, n_in - out.shape[-1])))
+        return out.astype(np.asarray(samples).dtype, copy=False)
 
     def reverse_timestamps(self, offset, duration, sampling_rate):
         return offset, duration

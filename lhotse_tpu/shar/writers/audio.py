@@ -4,7 +4,8 @@ Audio tar writer with audio-specific compression.
 Reference behavior: `/root/reference/lhotse/shar/writers/audio.py`
 (AudioTarWriter :21-142). Format support depends on the available audio
 backends: 'wav' always works (internal RIFF codec); 'flac' requires the
-internal FLAC codec or soundfile; 'mp3'/'opus' require ffmpeg/soundfile.
+internal FLAC codec; 'mp3'/'opus' use the system codec libraries (ctypes,
+lhotse_tpu/audio/syscodecs.py) when present, else soundfile/ffmpeg.
 """
 from io import BytesIO
 from typing import Callable, Optional
