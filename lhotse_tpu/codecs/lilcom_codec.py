@@ -79,6 +79,13 @@ def _native_lib():
         lib.ltc1_decompress.restype = ctypes.c_longlong
         lib.ltc1_decompress.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_float), ctypes.c_longlong]
+        try:
+            lib.ltc1_decompress_concat.restype = ctypes.c_longlong
+            lib.ltc1_decompress_concat.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float), ctypes.c_longlong]
+        except AttributeError:
+            lib.ltc1_decompress_concat = None  # stale cached .so
         _NATIVE = lib
     except Exception:
         _NATIVE = None
@@ -165,6 +172,52 @@ def _rowpack_decode_numpy(data: bytes, pos: int, shape) -> np.ndarray:
         u = (vals << np.arange(w, dtype=np.int64)).sum(axis=1)
         resid[r] = (u >> 1) ^ -(u & 1)
     return resid.reshape(shape)
+
+
+def decompress_concat(
+    data: bytes, sizes, max_rows: int
+) -> Optional[np.ndarray]:
+    """
+    One native call decoding back-to-back LTC1 chunks that share trailing
+    dimensions (a contiguous ``.lca`` chunk range read in one pread):
+    avoids a ctypes round trip + numpy buffer per chunk and the final
+    concatenate. ``sizes`` are the compressed chunk sizes; ``max_rows``
+    bounds the output allocation (the caller knows the per-chunk frame
+    count). Returns None when the native codec is unavailable or the
+    payload is not LTC1 (caller falls back to per-chunk decode).
+    """
+    native = _native_lib()
+    if (
+        native is None
+        or getattr(native, "ltc1_decompress_concat", None) is None
+        or len(data) < 8
+        or data[:4] != _MAGIC
+    ):
+        return None
+    import ctypes
+
+    shape_arr = np.zeros(8, dtype=np.uint32)
+    nd = ctypes.c_int()
+    tp = ctypes.c_int()
+    if (
+        native.ltc1_parse_header(
+            data, len(data),
+            shape_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+            ctypes.byref(nd), ctypes.byref(tp)) != 0
+    ):
+        return None
+    inner_shape = tuple(int(s) for s in shape_arr[1 : nd.value])
+    inner = int(np.prod(inner_shape)) if inner_shape else 1
+    sizes = np.ascontiguousarray(sizes, dtype=np.int64)
+    max_elems = int(max_rows) * inner
+    out = np.empty(max_elems, dtype=np.float32)
+    n = native.ltc1_decompress_concat(
+        data, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(sizes), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_elems)
+    if n < 0 or n % max(1, inner) != 0:
+        return None
+    return out[:n].reshape((n // inner,) + inner_shape)
 
 
 def decompress(data: bytes, dtype: Optional[np.dtype] = None) -> np.ndarray:

@@ -26,7 +26,7 @@ import numpy as np
 from lhotse_tpu.audio import Recording, suppress_audio_loading_errors
 from lhotse_tpu.audio.utils import suppress_video_loading_errors
 from lhotse_tpu.cut import Cut, CutSet, MixedCut
-from lhotse_tpu.utils import DEFAULT_PADDING_VALUE, compute_num_samples
+from lhotse_tpu.utils import DEFAULT_PADDING_VALUE, LOG_EPSILON, compute_num_samples
 
 # Padding label for token targets, conventionally ignored by the loss.
 PAD_TOKEN_ID = -100
@@ -116,6 +116,25 @@ def collate_features(
     assert all(cut.has_features for cut in cuts)
     features_lens = np.array([cut.num_frames for cut in cuts], dtype=np.int32)
     target_frames = _round_up(int(features_lens.max()), pad_to_multiple)
+    if pad_direction == "right":
+        # Fast path: right-padding a batch is one LOG_EPSILON fill plus a
+        # row-block copy per cut — bit-identical to pad()+load_features()
+        # (whose one-real-cut shortcut fills the same value), without
+        # building a padded MixedCut manifest and a per-cut canvas.
+        first_cut = next(iter(cuts))
+        features = np.full(
+            (len(cuts), target_frames, first_cut.num_features),
+            fill_value=LOG_EPSILON,
+            dtype=features_dtype if features_dtype is not None else np.float32)
+        loaded = (
+            (cut.load_features() for cut in cuts)
+            if executor is None
+            else executor.map(_read_features, cuts)
+        )
+        for idx, feats in enumerate(loaded):
+            n = min(feats.shape[0], target_frames)
+            features[idx, :n] = feats[:n]
+        return features, features_lens
     cuts = cuts.pad(num_frames=target_frames, direction=pad_direction)
     first_cut = next(iter(cuts))
     features = np.empty(

@@ -33,6 +33,7 @@ from lhotse_tpu.array import Array, TemporalArray
 from lhotse_tpu.caching import dynamic_lru_cache
 from lhotse_tpu.codecs import compress as ltc_compress
 from lhotse_tpu.codecs import decompress as ltc_decompress
+from lhotse_tpu.codecs import decompress_concat as ltc_decompress_concat
 from lhotse_tpu.serialization import open_best
 from lhotse_tpu.utils import Pathlike, Seconds, is_module_available, is_valid_url
 
@@ -584,14 +585,30 @@ class LilcomChunkyReader(FeaturesReader):
         chunk_offsets = np.cumsum(list(map(int, key.split(","))))
         chunk_offsets = chunk_offsets[left_chunk_idx:right_chunk_idx]
 
-        chunk_data = []
-        with open(self.storage_path, "rb") as file:
-            for offset, end in pairwise(chunk_offsets):
-                file.seek(offset)
-                chunk_data.append(file.read(end - offset))
-
-        decompressed = [ltc_decompress(data) for data in chunk_data]
-        arr = np.concatenate(decompressed, axis=0) if decompressed else np.array([])
+        arr = None
+        if len(chunk_offsets) >= 2:
+            # Chunks are laid out back-to-back in the .lca file: one read
+            # covers the whole range, one native call decodes every chunk
+            # straight into the output (codecs.decompress_concat).
+            sizes = np.diff(chunk_offsets)
+            with open(self.storage_path, "rb") as file:
+                file.seek(int(chunk_offsets[0]))
+                blob = file.read(int(chunk_offsets[-1] - chunk_offsets[0]))
+            arr = ltc_decompress_concat(
+                blob, sizes, max_rows=self.CHUNK_SIZE * len(sizes))
+            if arr is None:  # non-LTC1 payload or no native codec
+                pos = 0
+                decompressed = []
+                for size in sizes:
+                    decompressed.append(ltc_decompress(blob[pos : pos + int(size)]))
+                    pos += int(size)
+                arr = (
+                    np.concatenate(decompressed, axis=0)
+                    if decompressed
+                    else np.array([])
+                )
+        if arr is None:
+            arr = np.array([])
 
         shift = self.CHUNK_SIZE * left_chunk_idx
         right = right_offset_frames - shift if right_offset_frames is not None else None

@@ -253,68 +253,114 @@ long long ltc1_decompress(const uint8_t *in, size_t size, float *out,
     long long inner = rows ? elems / rows : 0;
 
     size_t header_size = 8 + 4 * (size_t)ndim;
+    const float tick = (float)ldexp(1.0, tick_power);
+
+    /* Fused decode: per-column int64 running sums ("carry") turn residual
+     * decode + axis-0 cumsum + tick scaling into ONE pass that never
+     * materializes an (elems,) temporary — the old 3-pass int64 pipeline
+     * moved ~24 bytes per element through memory; this touches each output
+     * element once. */
+    int64_t *carry = (int64_t *)calloc((size_t)(inner ? inner : 1), sizeof(int64_t));
+    if (!carry) return -4;
 
     if (method == 1) { /* rowpack */
-        int64_t *ticks = (int64_t *)malloc(sizeof(int64_t) * (size_t)elems);
-        if (!ticks) return -4;
-        long long rc1 = rowpack_decode(in, size, header_size, ticks, rows, inner);
-        if (rc1 < 0) { free(ticks); return rc1; }
-        if (rows > 1) {
-            for (long long r = 1; r < rows; r++) {
-                int64_t *cur = ticks + r * inner;
-                const int64_t *prev = ticks + (r - 1) * inner;
-                for (long long c = 0; c < inner; c++) cur[c] += prev[c];
+        size_t pos = header_size;
+        for (long long r = 0; r < rows; r++) {
+            if (pos >= size) { free(carry); return -5; }
+            int w = in[pos++];
+            float *orow = out + r * inner;
+            if (w == 0) {
+                for (long long c = 0; c < inner; c++)
+                    orow[c] = (float)carry[c] * tick;
+                continue;
+            }
+            if (w > 33) { free(carry); return -6; }
+            size_t packed = ((size_t)inner * w + 7) / 8;
+            if (pos + packed > size) { free(carry); return -5; }
+            uint64_t acc = 0;
+            int nbits = 0;
+            const uint64_t mask = (w >= 64) ? ~0ull : ((1ull << w) - 1ull);
+            for (long long c = 0; c < inner; c++) {
+                while (nbits < w) {
+                    acc |= (uint64_t)in[pos++] << nbits;
+                    nbits += 8;
+                }
+                uint64_t u = acc & mask;
+                acc >>= w;
+                nbits -= w;
+                int64_t t = carry[c] + ((int64_t)(u >> 1) ^ -(int64_t)(u & 1));
+                carry[c] = t;
+                orow[c] = (float)t * tick;
             }
         }
-        const double tick1 = ldexp(1.0, tick_power);
-        for (long long i = 0; i < elems; i++) out[i] = (float)(ticks[i] * tick1);
-        free(ticks);
+        free(carry);
         return elems;
     }
 
     int itemsize = in[7];
-    if (itemsize != 1 && itemsize != 2 && itemsize != 4) return -2;
+    if (itemsize != 1 && itemsize != 2 && itemsize != 4) {
+        free(carry);
+        return -2;
+    }
     size_t raw_size = (size_t)elems * itemsize;
     uint8_t *raw = (uint8_t *)malloc(raw_size ? raw_size : 1);
-    int64_t *ticks = (int64_t *)malloc(sizeof(int64_t) * (size_t)elems);
-    if (!raw || !ticks) { free(raw); free(ticks); return -4; }
+    if (!raw) { free(carry); return -4; }
 
     uLongf dest_len = (uLongf)raw_size;
     int rc = uncompress(raw, &dest_len, in + header_size, (uLong)(size - header_size));
-    if (rc != Z_OK || dest_len != raw_size) { free(raw); free(ticks); return -5; }
+    if (rc != Z_OK || dest_len != raw_size) { free(raw); free(carry); return -5; }
 
-    /* widen + unzigzag */
-    if (itemsize == 1) {
-        for (long long i = 0; i < elems; i++) {
-            uint64_t u = raw[i];
-            ticks[i] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
-        }
-    } else if (itemsize == 2) {
-        const uint16_t *p = (const uint16_t *)raw;
-        for (long long i = 0; i < elems; i++) {
-            uint64_t u = p[i];
-            ticks[i] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
-        }
-    } else {
-        const uint32_t *p = (const uint32_t *)raw;
-        for (long long i = 0; i < elems; i++) {
-            uint64_t u = p[i];
-            ticks[i] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
+    for (long long r = 0; r < rows; r++) {
+        float *orow = out + r * inner;
+        if (itemsize == 1) {
+            const uint8_t *p = raw + r * inner;
+            for (long long c = 0; c < inner; c++) {
+                uint64_t u = p[c];
+                int64_t t = carry[c] + ((int64_t)(u >> 1) ^ -(int64_t)(u & 1));
+                carry[c] = t;
+                orow[c] = (float)t * tick;
+            }
+        } else if (itemsize == 2) {
+            const uint16_t *p = (const uint16_t *)raw + r * inner;
+            for (long long c = 0; c < inner; c++) {
+                uint64_t u = p[c];
+                int64_t t = carry[c] + ((int64_t)(u >> 1) ^ -(int64_t)(u & 1));
+                carry[c] = t;
+                orow[c] = (float)t * tick;
+            }
+        } else {
+            const uint32_t *p = (const uint32_t *)raw + r * inner;
+            for (long long c = 0; c < inner; c++) {
+                uint64_t u = p[c];
+                int64_t t = carry[c] + ((int64_t)(u >> 1) ^ -(int64_t)(u & 1));
+                carry[c] = t;
+                orow[c] = (float)t * tick;
+            }
         }
     }
     free(raw);
-
-    /* cumulative sum along axis 0 */
-    if (rows > 1) {
-        for (long long r = 1; r < rows; r++) {
-            int64_t *cur = ticks + r * inner;
-            const int64_t *prev = ticks + (r - 1) * inner;
-            for (long long c = 0; c < inner; c++) cur[c] += prev[c];
-        }
-    }
-
-    const double tick = ldexp(1.0, tick_power);
-    for (long long i = 0; i < elems; i++) out[i] = (float)(ticks[i] * tick);
-    free(ticks);
+    free(carry);
     return elems;
+}
+
+/*
+ * Decode ``nchunks`` back-to-back LTC1 streams (a contiguous .lca chunk
+ * range: lhotse_tpu/features/io.py LilcomChunkyReader) into one output
+ * buffer with a single call — one ctypes round trip per cut read instead
+ * of one per 500-frame chunk, and no per-chunk numpy buffers to
+ * concatenate. ``chunk_sizes`` are the individual compressed sizes.
+ * Returns total decoded elements, or <0 on any chunk failure.
+ */
+long long ltc1_decompress_concat(const uint8_t *in, const int64_t *chunk_sizes,
+                                 int nchunks, float *out, long long max_elems) {
+    long long total = 0;
+    size_t pos = 0;
+    for (int i = 0; i < nchunks; i++) {
+        long long n = ltc1_decompress(
+            in + pos, (size_t)chunk_sizes[i], out + total, max_elems - total);
+        if (n < 0) return n;
+        total += n;
+        pos += (size_t)chunk_sizes[i];
+    }
+    return total;
 }

@@ -31,6 +31,18 @@ def _decode_any(file):
         return read_aiff(buf)
     if magic.startswith(b"NIST"):
         return read_sph(buf)
+    # Lossy formats via the system codec libraries (modern libsndfile
+    # decodes mp3/vorbis/opus too, so the stub should as well).
+    from lhotse_tpu.audio import syscodecs
+
+    if magic == b"OggS":
+        codec = syscodecs.sniff_ogg_codec(payload[:320])
+        if codec == "opus" and syscodecs.opus_available():
+            return syscodecs.opus_decode(payload)
+        if codec == "vorbis" and syscodecs.vorbis_available():
+            return syscodecs.vorbis_decode(payload)
+    if syscodecs.looks_like_mp3(payload[:4]) and syscodecs.mp3_available():
+        return syscodecs.mp3_decode(payload)
     return read_wav(buf)
 
 

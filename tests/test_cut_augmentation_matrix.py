@@ -351,7 +351,15 @@ def stub_ffmpeg(tmp_path, monkeypatch):
     return script
 
 
-def test_cut_compress_roundtrip_via_stub_codec(cut, stub_ffmpeg):
+def test_cut_compress_roundtrip_via_stub_codec(cut, stub_ffmpeg, monkeypatch):
+    # Compress now prefers the in-process system codecs; disable them so
+    # this still exercises the ffmpeg-subprocess plumbing via the stub
+    # binary (real lossy behavior is covered in tests/test_syscodecs.py).
+    from lhotse_tpu.augmentation.compress import Compress
+
+    monkeypatch.setattr(
+        Compress, "_roundtrip_syscodec", lambda self, s, sr: None
+    )
     cp = cut.compress(codec="opus", compression_level=0.5)
     assert len(cp.recording.transforms) == 1
     audio = cp.load_audio()

@@ -146,3 +146,74 @@ def test_real_fixture_cutset_describe_and_windows():
         assert m.start == pytest.approx(t.start)
         assert m.duration == pytest.approx(t.duration)
         np.testing.assert_array_equal(m.load_audio(), t.load_audio())
+
+
+# ---------------------------------------------------------------------------
+# Lossy-codec fixtures (mp3/opus): the reference decodes through its
+# LibsndfileBackend (stub backed by the same system codec libraries), so the
+# differential isolates Recording/manifest/offset semantics around the codec.
+# ---------------------------------------------------------------------------
+
+def _syscodec(name) -> bool:
+    from lhotse_tpu.audio import syscodecs
+
+    return getattr(syscodecs, name)()
+
+
+@pytest.mark.parametrize(
+    "rel", ["stereo.mp3", "common_voice_en_651325.mp3"]
+)
+def test_real_mp3_fixture_manifest_and_samples_match(rel):
+    if not _syscodec("mp3_available"):
+        pytest.skip("libmpg123 not present")
+    path = FIXTURES / rel
+    theirs = RefRecording.from_file(path)
+    mine = MyRecording.from_file(path)
+    assert mine.sampling_rate == theirs.sampling_rate
+    assert mine.num_channels == theirs.num_channels
+    # mpg123's scan-based length vs decode length may differ by codec
+    # priming frames in the stub path; durations agree within 30 ms.
+    assert mine.duration == pytest.approx(theirs.duration, abs=0.03)
+    n = min(mine.num_samples, theirs.num_samples)
+    np.testing.assert_allclose(
+        mine.load_audio()[:, :n], theirs.load_audio()[:, :n], atol=1e-4
+    )
+
+
+@pytest.mark.parametrize("rel", ["stereo.opus", "mono_c0.opus"])
+def test_real_opus_fixture_windowed_read_matches(rel):
+    if not _syscodec("opus_available"):
+        pytest.skip("libopus not present")
+    path = FIXTURES / rel
+    theirs = RefRecording.from_file(path)
+    mine = MyRecording.from_file(path)
+    assert mine.sampling_rate == theirs.sampling_rate == 48000
+    assert mine.num_channels == theirs.num_channels
+    assert mine.duration == pytest.approx(theirs.duration, abs=0.03)
+    t = theirs.load_audio(offset=0.1, duration=0.25)
+    m = mine.load_audio(offset=0.1, duration=0.25)
+    assert m.shape == t.shape
+    np.testing.assert_allclose(m, t, atol=1e-4)
+
+
+def test_real_mp3_fixture_fbank_parity(monkeypatch):
+    """Real MP3 speech through decode -> resample -> fbank in both stacks.
+
+    Without torchaudio installed, the reference's Resample transform falls
+    back to scipy.signal.resample_poly (Kaiser window — ~8e-4 sample-domain
+    deviation from its own sinc resampler; reference
+    augmentation/torchaudio.py:124-138) even though the pure-torch sinc
+    module (augmentation/resample.py:40) needs no torchaudio. Force the
+    sinc path so the differential compares the PRIMARY behaviors."""
+    if not _syscodec("mp3_available"):
+        pytest.skip("libmpg123 not present")
+    import lhotse.augmentation.torchaudio as ref_ta
+
+    monkeypatch.setattr(ref_ta, "is_torchaudio_available", lambda: True)
+    path = FIXTURES / "common_voice_en_651325.mp3"
+    theirs = RefRecording.from_file(path).to_cut().resample(16000)
+    mine = MyRecording.from_file(path).to_cut().resample(16000)
+    tf = theirs.compute_features(RefFbank())
+    mf = mine.compute_features(MyFbank())
+    assert mf.shape == tuple(tf.shape)
+    np.testing.assert_allclose(mf, np.asarray(tf), atol=2.5e-3)
