@@ -676,6 +676,17 @@ def main():
     if SMOKE:
         # The tunneled TPU's compile latency would dominate the smoke gate.
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: on the tunneled chip, XLA compiles
+    # dominate bench wall time (~minutes); cache them across runs.
+    try:
+        cache_dir = os.environ.get(
+            "LHOTSE_TPU_COMPILE_CACHE", str(Path(__file__).parent / ".jax_cache")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    except Exception:
+        pass  # older jax without these flags: compile from scratch
 
     device = bench_device()
     report = {
