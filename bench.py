@@ -556,13 +556,19 @@ def bench_e2e_cached() -> dict:
             )
             audio_seconds = 0.0
             n_batches = 0
-            pending = []
+            feats = flens = None
             for staged, asec in loader:
-                feats, _ = aug.compute(staged)
-                pending.append(feats.mean())
+                # Dispatch only: a per-batch ``feats.mean()`` here would cost
+                # a host-side dispatch (~15 ms each on the tunneled chip) —
+                # a real training loop consumes feats on device instead.
+                feats, flens = aug.compute(staged)
                 n_batches += 1
                 audio_seconds += asec
-            assert np.isfinite(sum(float(r) for r in pending))
+            # Executions are in-order on the device stream: fetching the LAST
+            # batch's (tiny) feat_lens output proves every batch ran; the
+            # final mean guards finiteness of the last program's math.
+            assert int(np.asarray(flens).max()) > 0
+            assert np.isfinite(float(feats.mean()))
             return audio_seconds, n_batches
 
         aug.precompile()

@@ -136,6 +136,10 @@ class OnDeviceAugmenter:
             normalize_rir=normalize_rir,
             fbank=fbank,
             wire_format=wire_format,
+            # Build-time RIR: baked into the program as a constant so the
+            # peak realignment is a static slice (per-call rir would trace
+            # as a dynamic argmax + gather, ~6x slower per bucket).
+            rir=self.rir,
         )
         self._noise_host = (
             None if noise_pool is None else np.asarray(noise_pool, np.float32)
@@ -220,8 +224,6 @@ class OnDeviceAugmenter:
             kwargs["mix_mask"] = (
                 self._rng.uniform(0, 1, B_b) < self.mix_prob
             ).astype(np.float32)
-        if self.rir is not None:
-            kwargs["rir"] = self.rir
         return kwargs
 
     def stage(
