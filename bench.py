@@ -444,19 +444,20 @@ def bench_e2e_tpu() -> dict:
         audio_seconds = 0.0
         n_batches = 0
         shape_counts: dict = {}
-        pending = []
+        feats = flens = None
         t0 = time.perf_counter()
         for staged, asec in loader:
-            feats, feat_lens = aug.compute(staged)
-            # Asynchronous dispatch: keep the wire and the chip busy; the
-            # scalars are all fetched once at the end.
-            pending.append(feats.mean())
+            # Dispatch only (no per-batch host-side mean — ~15 ms each on
+            # the tunneled chip; a training loop consumes feats on device).
+            feats, flens = aug.compute(staged)
             n_batches += 1
             audio_seconds += asec
             shape = tuple(staged.audio.shape)
             shape_counts[shape] = shape_counts.get(shape, 0) + 1
-        checksum = sum(float(r) for r in pending)
-        assert np.isfinite(checksum)
+        # In-order device stream: the LAST batch's (tiny) feat_lens output
+        # being ready proves every prior execution ran to completion.
+        assert int(np.asarray(flens).max()) > 0
+        assert np.isfinite(float(feats.mean()))
         elapsed = time.perf_counter() - t0
 
     device_busy_s = sum(
@@ -583,7 +584,7 @@ def bench_e2e_cached() -> dict:
             audio_seconds += a
             n_batches += b
             epochs += 1
-            if time.perf_counter() - t0 > (0.5 if SMOKE else 4.0) or epochs >= 10:
+            if time.perf_counter() - t0 > (0.5 if SMOKE else 6.0) or epochs >= 40:
                 break
         elapsed = time.perf_counter() - t0
 
