@@ -56,6 +56,12 @@ DEVICE_CHAIN = (
     "speed_perturb(1.1)+volume_gain+snr_noise_mix+rir_reverb"
     "+fbank80+specaugment_mask"
 )
+# The e2e legs run the PUBLIC OnDeviceAugmenter, whose SpecAugment stage
+# includes the time warp as well as the masks.
+E2E_CHAIN = (
+    "speed_perturb(1.1)+volume_gain+snr_noise_mix+rir_reverb"
+    "+fbank80+specaugment_warp_masks"
+)
 
 
 def bench_device() -> dict:
@@ -393,6 +399,8 @@ def bench_e2e_tpu() -> dict:
 
     # The PUBLIC device-augmentation stage runs the measured chain — the
     # benchmark exercises exactly what a user gets.
+    from lhotse_tpu.dataset.signal_transforms import SpecAugment
+
     aug = OnDeviceAugmenter(
         BUCKETS,
         sampling_rate=SR,
@@ -404,6 +412,7 @@ def bench_e2e_tpu() -> dict:
         rir=rir_np,
         wire_format="int16",
         seed=0,
+        specaugment=SpecAugment(seed=0),
     )
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -469,7 +478,7 @@ def bench_e2e_tpu() -> dict:
         # Estimated chip duty cycle: per-bucket program seconds (measured
         # post-compile) x batch counts / wall time.
         "e2e_device_busy_frac": round(min(1.0, device_busy_s / elapsed), 4),
-        "e2e_device_chain": DEVICE_CHAIN,
+        "e2e_device_chain": E2E_CHAIN,
         "e2e_wire_format": "int16",
         "e2e_staging": "prefetch_thread_device_put",
     }
@@ -515,6 +524,8 @@ def bench_e2e_cached() -> dict:
     rir_np[L // 50] = 1.0
     noise_host = (rng_init.randn(4, 10 * SR) * 0.05).astype(np.float32)
 
+    from lhotse_tpu.dataset.signal_transforms import SpecAugment
+
     cache = DeviceSampleCache(capacity_seconds=600 if SMOKE else 2 * 3600)
     aug = OnDeviceAugmenter(
         BUCKETS,
@@ -528,6 +539,7 @@ def bench_e2e_cached() -> dict:
         wire_format="int16",
         seed=0,
         sample_cache=cache,
+        specaugment=SpecAugment(seed=0),
     )
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -595,7 +607,7 @@ def bench_e2e_cached() -> dict:
         "e2e_cached_epochs": epochs,
         "e2e_cached_hit_rate": round(stats["hit_rate"], 4),
         "e2e_cached_pool_mb": round(stats["memory_bytes"] / 1e6, 1),
-        "e2e_cached_chain": DEVICE_CHAIN,
+        "e2e_cached_chain": E2E_CHAIN,
     }
 
 

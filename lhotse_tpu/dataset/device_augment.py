@@ -7,6 +7,7 @@ the chip runs the whole augmentation chain + fbank as ONE compiled program
 per bucket shape:
 
     speed perturb → volume gain → SNR noise mix → RIR reverb → fbank
+    [→ SpecAugment warp + masks]
 
 Compared to the reference's host-side per-cut augmentation
 (`/root/reference/lhotse/dataset/cut_transforms/*`), the same math
@@ -89,6 +90,12 @@ class OnDeviceAugmenter:
         :mod:`lhotse_tpu.ops.wire`). Use the narrower formats when the
         host->device link, not the chip, caps pipeline throughput.
     :param seed: host RNG seed for gains/SNRs/noise choice.
+    :param specaugment: optional
+        :class:`~lhotse_tpu.dataset.signal_transforms.SpecAugment` instance;
+        its randomness (time warp maps + time/freq masks) is drawn host-side
+        per batch over the bucket's frame grid (checkpointable via the
+        transform's ``state_dict``), and the apply step is traced into the
+        fused device program after the fbank.
     :param sample_cache: optional
         :class:`~lhotse_tpu.dataset.device_cache.DeviceSampleCache` keeping
         wire-format audio resident in HBM across epochs — fully-resident
@@ -113,7 +120,9 @@ class OnDeviceAugmenter:
         wire_format: str = "float32",
         seed: int = 0,
         sample_cache=None,
+        specaugment=None,
     ) -> None:
+        from lhotse_tpu.ops.augment import resolve_fbank_layer
         from lhotse_tpu.ops.wire import WIRE_FORMATS
 
         assert len(buckets) > 0
@@ -130,6 +139,10 @@ class OnDeviceAugmenter:
         self.rir = None if rir is None else np.asarray(rir, np.float32)
         self.wire_format = wire_format
         self._rng = np.random.RandomState(seed)
+        self.specaugment = specaugment
+        fbank = resolve_fbank_layer(fbank, self.sampling_rate)
+        self._feat_hop = round(fbank.frame_shift * self.sampling_rate)
+        self._num_mels = int(getattr(fbank, "num_filters", 80))
         self._pipeline = make_augment_fbank_pipeline(
             sampling_rate=self.sampling_rate,
             speed_factor=speed_factor,
@@ -224,6 +237,20 @@ class OnDeviceAugmenter:
             kwargs["mix_mask"] = (
                 self._rng.uniform(0, 1, B_b) < self.mix_prob
             ).astype(np.float32)
+        if self.specaugment is not None:
+            # Host-side randomness over the bucket's (post-perturb) frame
+            # grid; the apply step (interp gather + masked fill) runs inside
+            # the fused device program.  The pipeline slices these down to
+            # the fbank's actual frame count.
+            n_frames = (
+                self._post_perturb_len(T_b) + self._feat_hop // 2
+            ) // self._feat_hop
+            warp_src, time_mask, freq_mask = self.specaugment.draw_batch(
+                B_b, int(n_frames), self._num_mels
+            )
+            kwargs["warp_src"] = warp_src.astype(np.float32)
+            kwargs["time_mask"] = time_mask
+            kwargs["freq_mask"] = freq_mask
         return kwargs
 
     def stage(

@@ -22,6 +22,9 @@ import numpy as np
 
 from lhotse_tpu.cut import CutSet
 from lhotse_tpu.features import FeatureExtractor
+# Shared with the on-device pipeline so the host transform and
+# OnDeviceAugmenter's fused bucket program apply identical math.
+from lhotse_tpu.ops.augment import apply_specaugment as _apply_specaugment
 from lhotse_tpu.utils import Pathlike
 
 __all__ = ["GlobalMVN", "SpecAugment", "RandomizedSmoothing", "DereverbWPE"]
@@ -217,7 +220,22 @@ class SpecAugment:
             "SpecAugment only supports batches of single-channel feature matrices."
         )
         b, t, f = shape
+        warp_src, time_mask, freq_mask = self.draw_batch(
+            b, t, f, supervision_segments=supervision_segments
+        )
+        return _apply_specaugment(features, warp_src, time_mask, freq_mask)
 
+    def draw_batch(self, b: int, t: int, f: int, supervision_segments=None):
+        """
+        Draw one batch worth of SpecAugment randomness WITHOUT applying it:
+        ``(warp_src (B, T) float64 fractional source indices, time_mask
+        (B, T) bool, freq_mask (B, F) bool)``.  This is the host-side half
+        used by :class:`~lhotse_tpu.dataset.device_augment.OnDeviceAugmenter`
+        to fold the apply step (an interp-gather + masked fill) into its
+        fused on-device bucket program; semantics and RNG stream are
+        identical to calling the transform directly on a ``(B, T, F)``
+        batch.
+        """
         # Per-example warp maps (identity rows when not applied).
         warp_src = np.tile(np.arange(t, dtype=np.float64), (b, 1))
         apply_flags = self.rng.random(b) <= self.p
@@ -256,7 +274,7 @@ class SpecAugment:
                 f, self.features_mask_size, self.num_feature_masks)
             time_mask[i] = self._axis_mask_single(t, max_mask_frames, num_frame_masks)
 
-        return _apply_specaugment(features, warp_src, time_mask, freq_mask)
+        return warp_src, time_mask, freq_mask
 
     forward = __call__
 
@@ -281,31 +299,6 @@ class SpecAugment:
             self.rng.bit_generator.state = state_dict["rng_state"]
 
 
-def _apply_specaugment(features, warp_src, time_mask, freq_mask):
-    """
-    Vectorized apply: linear-interp gather along time by fractional indices
-    ``warp_src`` (B, T), then masked fill with per-example means. Dispatches
-    to jax when given a jax array (one fused XLA program), numpy otherwise.
-    """
-    is_jax = type(features).__module__.startswith(("jax", "jaxlib"))
-    if is_jax:
-        import jax.numpy as xp
-    else:
-        xp = np
-
-    b, t, f = features.shape
-    src = xp.asarray(warp_src, dtype=xp.float32)
-    lo = xp.clip(xp.floor(src).astype(xp.int32), 0, t - 1)
-    hi = xp.clip(lo + 1, 0, t - 1)
-    frac = (src - lo.astype(xp.float32))[..., None]
-    batch_idx = xp.arange(b)[:, None]
-    gathered = (1.0 - frac) * features[batch_idx, lo] + frac * features[batch_idx, hi]
-
-    mean = gathered.mean(axis=(1, 2), keepdims=True)
-    tm = xp.asarray(time_mask)[:, :, None]
-    fm = xp.asarray(freq_mask)[:, None, :]
-    out = xp.where(tm | fm, mean, gathered)
-    return out.astype(features.dtype)
 
 
 def mask_along_axis_optimized(

@@ -207,6 +207,63 @@ def reverb_rir(audio, rir, audio_lens=None, rir_lens=None, normalize: bool = Tru
     return wet
 
 
+def resolve_fbank_layer(fbank, sampling_rate: int):
+    """
+    Normalize the ``fbank`` argument of the fused pipeline to a batched
+    wav->features layer: ``None`` -> a default
+    :class:`~lhotse_tpu.features.kaldi.layers.Wav2LogFilterBank`; a
+    user-facing :class:`~lhotse_tpu.features.base.FeatureExtractor` (e.g.
+    ``Fbank()``) -> its ``extractor`` layer; any other callable passes
+    through.
+    """
+    from lhotse_tpu.features.kaldi.layers import Wav2LogFilterBank
+
+    if fbank is None:
+        return Wav2LogFilterBank(sampling_rate=sampling_rate)
+    from lhotse_tpu.features.base import FeatureExtractor
+
+    if isinstance(fbank, FeatureExtractor):
+        inner = getattr(fbank, "extractor", None)
+        if not callable(inner):
+            raise ValueError(
+                f"{type(fbank).__name__} does not expose a batched "
+                "wav->features layer; pass a callable such as "
+                "Wav2LogFilterBank instead.")
+        return inner
+    return fbank
+
+
+def apply_specaugment(features, warp_src, time_mask, freq_mask):
+    """
+    Vectorized SpecAugment apply: linear-interp gather along time by
+    fractional source indices ``warp_src`` (B, T), then masked fill with
+    per-example means.  Dispatches to jax when given a jax array (one fused
+    XLA program; also traced into OnDeviceAugmenter's bucket programs),
+    numpy otherwise.  The randomness lives in
+    :class:`lhotse_tpu.dataset.signal_transforms.SpecAugment` (host-side,
+    checkpointable) — this is only the math.
+    """
+    is_jax = type(features).__module__.startswith(("jax", "jaxlib"))
+    if is_jax:
+        import jax.numpy as xp
+    else:
+        xp = np
+
+    b, t, f = features.shape
+    src = xp.asarray(warp_src, dtype=xp.float32)
+    lo = xp.clip(xp.floor(src).astype(xp.int32), 0, t - 1)
+    hi = xp.clip(lo + 1, 0, t - 1)
+    frac = (src - lo.astype(xp.float32))[..., None]
+    batch_idx = xp.arange(b)[:, None]
+    gathered = (1.0 - frac) * features[batch_idx, lo] + frac * features[batch_idx, hi]
+
+    mean = gathered.mean(axis=(1, 2), keepdims=True)
+    tm = xp.asarray(time_mask)[:, :, None]
+    fm = xp.asarray(freq_mask)[:, None, :]
+    out = xp.where(tm | fm, mean, gathered)
+    return out.astype(features.dtype)
+
+
 def make_augment_fbank_pipeline(
     sampling_rate: int = 16000,
     speed_factor: Optional[float] = None,
@@ -240,25 +297,10 @@ def make_augment_fbank_pipeline(
     """
     import jax
 
-    from lhotse_tpu.features.kaldi.layers import Wav2LogFilterBank
     from lhotse_tpu.ops.resample import resampled_num_samples, speed_perturb
     from lhotse_tpu.ops.wire import decode_wire
 
-    if fbank is None:
-        fbank = Wav2LogFilterBank(sampling_rate=sampling_rate)
-    else:
-        from lhotse_tpu.features.base import FeatureExtractor
-
-        if isinstance(fbank, FeatureExtractor):
-            # Accept the user-facing extractor (e.g. ``Fbank()``) directly by
-            # unwrapping its batched wav->features layer.
-            inner = getattr(fbank, "extractor", None)
-            if not callable(inner):
-                raise ValueError(
-                    f"{type(fbank).__name__} does not expose a batched "
-                    "wav->features layer; pass a callable such as "
-                    "Wav2LogFilterBank instead.")
-            fbank = inner
+    fbank = resolve_fbank_layer(fbank, sampling_rate)
     hop = round(fbank.frame_shift * sampling_rate)
     static_rir = None if rir is None else np.asarray(rir, np.float32)
 
@@ -272,6 +314,9 @@ def make_augment_fbank_pipeline(
         noise_offsets=None,
         mix_mask=None,
         rir=None,
+        warp_src=None,
+        time_mask=None,
+        freq_mask=None,
     ):
         import jax.numpy as jnp
 
@@ -302,6 +347,25 @@ def make_augment_fbank_pipeline(
         feats = fbank(audio)
         # snip_edges=False frame count, computed per item from the lens.
         feat_lens = (audio_lens + hop // 2) // hop
+        if time_mask is not None or freq_mask is not None or warp_src is not None:
+            # Host draws use the analytic frame-count formula, which may
+            # overshoot the layer's actual output by a frame — slice down.
+            T_f = feats.shape[1]
+            F = feats.shape[2]
+            if warp_src is None:
+                warp_src = jnp.broadcast_to(
+                    jnp.arange(T_f, dtype=jnp.float32)[None, :],
+                    (feats.shape[0], T_f),
+                )
+            else:
+                warp_src = jnp.asarray(warp_src)[:, :T_f]
+            if time_mask is None:
+                time_mask = jnp.zeros((feats.shape[0], T_f), bool)
+            else:
+                time_mask = jnp.asarray(time_mask)[:, :T_f]
+            if freq_mask is None:
+                freq_mask = jnp.zeros((feats.shape[0], F), bool)
+            feats = apply_specaugment(feats, warp_src, time_mask, freq_mask)
         return feats, feat_lens
 
     return jax.jit(pipeline)

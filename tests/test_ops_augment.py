@@ -268,3 +268,60 @@ class TestFusedPipeline:
         )
         assert feats.shape == (B, (T + 80) // 160, 80)
         assert np.isfinite(np.asarray(feats)).all()
+
+
+class TestDeviceSpecAugment:
+    def test_augmenter_specaugment_matches_host_apply(self):
+        """OnDeviceAugmenter(specaugment=...) == plain pipeline + host
+        apply_specaugment with identically-drawn randomness."""
+        from lhotse_tpu.dataset.device_augment import OnDeviceAugmenter
+        from lhotse_tpu.dataset.signal_transforms import SpecAugment
+
+        B, UB = 3, 2.0
+        T = int(UB * SR)
+        rng = np.random.default_rng(11)
+        audio = 0.1 * rng.standard_normal((B, T)).astype(np.float32)
+        lens = np.full(B, T, np.int64)
+
+        def make(sp):
+            return OnDeviceAugmenter(
+                [(UB, B)],
+                sampling_rate=SR,
+                speed_factor=None,
+                gain_range=None,
+                wire_format="float32",
+                seed=0,
+                specaugment=sp,
+            )
+
+        plain = make(None)
+        feats_plain, feat_lens = plain(audio, lens)
+        feats_plain = np.asarray(feats_plain)
+
+        # The augmenter draws over the bucket's analytic frame grid; replay
+        # the identical draw with a same-seed transform, then apply on host.
+        sp_aug = make(SpecAugment(seed=123))
+        feats_dev = np.asarray(sp_aug(audio, lens)[0])
+
+        n_frames = (T + 80) // 160
+        warp_src, tmask, fmask = SpecAugment(seed=123).draw_batch(B, n_frames, 80)
+        T_f = feats_plain.shape[1]
+        feats_host = dev.apply_specaugment(
+            feats_plain, warp_src[:, :T_f].astype(np.float32),
+            tmask[:, :T_f], fmask,
+        )
+        np.testing.assert_allclose(feats_dev, feats_host, rtol=1e-4, atol=1e-4)
+        # the masks actually did something
+        assert np.abs(feats_dev - feats_plain).max() > 1e-3
+
+    def test_host_transform_unchanged_rng_stream(self):
+        """SpecAugment.__call__ draws through draw_batch — same stream as
+        before the refactor (warp differs from identity, masks non-empty)."""
+        from lhotse_tpu.dataset.signal_transforms import SpecAugment
+
+        rng = np.random.default_rng(5)
+        feats = rng.standard_normal((2, 300, 80)).astype(np.float32)
+        sp = SpecAugment(seed=7, p=1.0)
+        out = np.asarray(sp(feats))
+        assert out.shape == feats.shape
+        assert np.abs(out - feats).max() > 1e-3
