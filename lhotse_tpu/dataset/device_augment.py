@@ -85,8 +85,10 @@ class OnDeviceAugmenter:
         concrete so the realignment is a compile-time slice).
     :param wire_format: host->device transfer encoding — "float32"
         (default, lossless), "int16" (~96 dB SNR, half the bytes;
-        log-mel shifts up to ~0.04 in near-silent frames), or "mulaw"
-        (8-bit, LOSSY ~38 dB SNR, quarter the bytes — see
+        log-mel shifts up to ~0.04 in near-silent frames), "mulaw"
+        (8-bit, LOSSY ~38 dB SNR, quarter the bytes), or "adpcm4"
+        (4-bit block ADPCM, LOSSY ~30-35 dB SNR, ~1/7 the bytes, decoded
+        on device by a scan fused into the augment program — see
         :mod:`lhotse_tpu.ops.wire`). Use the narrower formats when the
         host->device link, not the chip, caps pipeline throughput.
     :param seed: host RNG seed for gains/SNRs/noise choice.
@@ -123,7 +125,7 @@ class OnDeviceAugmenter:
         specaugment=None,
     ) -> None:
         from lhotse_tpu.ops.augment import resolve_fbank_layer
-        from lhotse_tpu.ops.wire import WIRE_FORMATS
+        from lhotse_tpu.ops.wire import WIRE_FORMATS, wire_row_width
 
         assert len(buckets) > 0
         if wire_format not in WIRE_FORMATS:
@@ -131,6 +133,9 @@ class OnDeviceAugmenter:
                 f"wire_format must be one of {WIRE_FORMATS}, got {wire_format!r}"
             )
         self.buckets = sorted((float(s), int(b)) for s, b in buckets)
+        for ub, _ in self.buckets:
+            # adpcm4 needs block-aligned shapes; raises with guidance if not.
+            wire_row_width(int(ub * sampling_rate), wire_format)
         self.sampling_rate = int(sampling_rate)
         self.speed_factor = speed_factor
         self.gain_range = gain_range
@@ -337,8 +342,12 @@ class OnDeviceAugmenter:
         where ``B'`` is the bucket batch size (padding rows have
         ``feat_lens == 0``)."""
         if isinstance(staged, CachedBatch):
+            from lhotse_tpu.ops.wire import wire_row_width
+
             pool = self.sample_cache.pool(
-                staged.bucket_t, self._wire_np_dtype()
+                staged.bucket_t,
+                self._wire_np_dtype(),
+                row_width=wire_row_width(staged.bucket_t, self.wire_format),
             )
             return self._cached_pipeline()(
                 pool, staged.slots, staged.lens, **staged.kwargs
@@ -350,11 +359,9 @@ class OnDeviceAugmenter:
         return self._pipeline(staged.audio, staged.lens, **staged.kwargs)
 
     def _wire_np_dtype(self):
-        return {
-            "float32": np.float32,
-            "int16": np.int16,
-            "mulaw": np.uint8,
-        }[self.wire_format]
+        from lhotse_tpu.ops.wire import wire_np_dtype
+
+        return wire_np_dtype(self.wire_format)
 
     def __call__(
         self,

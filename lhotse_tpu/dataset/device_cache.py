@@ -140,14 +140,19 @@ class DeviceSampleCache:
 
     # -- device side ------------------------------------------------------------
 
-    def pool(self, bucket_t: int, wire_dtype) -> object:
-        """The bucket's device pool, allocated on first use."""
+    def pool(self, bucket_t: int, wire_dtype, row_width: Optional[int] = None) -> object:
+        """The bucket's device pool, allocated on first use. ``row_width``
+        is the wire-format row length in elements (defaults to ``bucket_t``
+        for the sample-per-element formats; adpcm4 rows are narrower)."""
         p = self._pools.get(bucket_t)
         if p is None:
             import jax.numpy as jnp
 
             n = self._n_slots[bucket_t]
-            p = jnp.zeros((n + 1, bucket_t), dtype=wire_dtype)
+            p = jnp.zeros(
+                (n + 1, bucket_t if row_width is None else row_width),
+                dtype=wire_dtype,
+            )
             self._pools[bucket_t] = p
         return p
 
@@ -164,7 +169,7 @@ class DeviceSampleCache:
                 lambda pool, r, s: pool.at[s].set(r), donate_argnums=(0,)
             )
             self._insert_fns[key] = fn
-        pool = self.pool(bucket_t, rows.dtype)
+        pool = self.pool(bucket_t, rows.dtype, row_width=rows.shape[1])
         self._pools[bucket_t] = fn(pool, rows, slots)
 
     # -- stats ------------------------------------------------------------------

@@ -541,3 +541,113 @@ int fbank_fused_f32(const float *x, long long n_samples, long long pad_left,
     free(mem);
     return 0;
 }
+
+/* ------------------------------------------------------------------------- */
+/* Wire-format encoders (ops/wire.py host side).                             */
+/*                                                                           */
+/* adpcm4_encode_f32 mirrors the numpy reference encoder in ops/wire.py      */
+/* BIT-EXACTLY (same rint quantization, same integer update path), so the    */
+/* two paths are interchangeable and the device decoder sees identical       */
+/* bitstreams either way. 64-sample independent blocks, 4-byte header        */
+/* (pred0 int16 LE + step index + reserved), low-nibble-first packing.       */
+/* ------------------------------------------------------------------------- */
+
+static const int ima_steps[89] = {
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767};
+static const int ima_index[8] = {-1, -1, -1, -1, 2, 4, 6, 8};
+
+void adpcm4_encode_f32(const float *x, long long n_rows, long long T,
+                       unsigned char *out) {
+    const long long nb = T / 64;
+    const long long W = nb * 4 + T / 2;
+    /* Tile 16 blocks: the t-loop body is branchless int32 ops across the
+     * k (block) lanes, so the compiler vectorizes it (AVX2/AVX-512). */
+    enum { TILE = 16 };
+    for (long long r = 0; r < n_rows; ++r) {
+        const float *row = x + r * T;
+        unsigned char *orow = out + r * W;
+        for (long long b0 = 0; b0 < nb; b0 += TILE) {
+            const int w = (int)(nb - b0 < TILE ? nb - b0 : TILE);
+            int sq[64][TILE]; /* transposed quantized samples */
+            for (int k = 0; k < w; ++k) {
+                const float *blk = row + (b0 + k) * 64;
+                for (int t = 0; t < 64; ++t) {
+                    /* np.rint == round-half-to-even == lrintf default. */
+                    long q = lrintf(blk[t] * 32768.0f);
+                    if (q < -32768) q = -32768;
+                    else if (q > 32767) q = 32767;
+                    sq[t][k] = (int)q;
+                }
+            }
+            int pred[TILE], idx[TILE];
+            for (int k = 0; k < w; ++k) {
+                long long dsum = 0;
+                for (int t = 1; t < 64; ++t) {
+                    int d = sq[t][k] - sq[t - 1][k];
+                    dsum += d < 0 ? -d : d;
+                }
+                const double dmean = (double)dsum / 63.0;
+                int i = 0; /* searchsorted-left over the step table */
+                while (i < 89 && (double)ima_steps[i] < dmean) i++;
+                idx[k] = i > 88 ? 88 : i;
+                pred[k] = sq[0][k];
+                unsigned char *hdr = orow + (b0 + k) * 4;
+                hdr[0] = (unsigned char)(pred[k] & 0xFF);
+                hdr[1] = (unsigned char)((pred[k] >> 8) & 0xFF);
+                hdr[2] = (unsigned char)idx[k];
+                hdr[3] = 0;
+            }
+            unsigned char codes[64][TILE];
+            for (int t = 0; t < 64; ++t) {
+                for (int k = 0; k < w; ++k) { /* branchless lanes */
+                    const int step = ima_steps[idx[k]];
+                    int diff = sq[t][k] - pred[k];
+                    const int sgn = diff < 0;
+                    diff = sgn ? -diff : diff;
+                    const int b4 = diff >= step;
+                    diff -= step & -b4;
+                    const int half = step >> 1;
+                    const int b2 = diff >= half;
+                    diff -= half & -b2;
+                    const int b1 = diff >= (step >> 2);
+                    const int mag = (b4 << 2) | (b2 << 1) | b1;
+                    const int diffq = (step >> 3) + (step & -b4) +
+                                      (half & -b2) + ((step >> 2) & -b1);
+                    int p = pred[k] + (sgn ? -diffq : diffq);
+                    if (p < -32768) p = -32768;
+                    else if (p > 32767) p = 32767;
+                    pred[k] = p;
+                    int i = idx[k] + ima_index[mag];
+                    if (i < 0) i = 0;
+                    else if (i > 88) i = 88;
+                    idx[k] = i;
+                    codes[t][k] = (unsigned char)((sgn << 3) | mag);
+                }
+            }
+            for (int k = 0; k < w; ++k) {
+                unsigned char *pk = orow + nb * 4 + (b0 + k) * 32;
+                for (int t = 0; t < 64; t += 2)
+                    pk[t >> 1] =
+                        (unsigned char)(codes[t][k] | (codes[t + 1][k] << 4));
+            }
+        }
+    }
+}
+
+/* Quantize to the int16 grid and look the mu-law byte up in a table the
+ * caller built with the exact continuous-formula encoder (ops/wire.py). */
+void mulaw_encode_lut_f32(const float *x, long long n,
+                          const unsigned char *lut, unsigned char *out) {
+    for (long long i = 0; i < n; ++i) {
+        long q = lrintf(x[i] * 32768.0f);
+        if (q < -32768) q = -32768;
+        else if (q > 32767) q = 32767;
+        out[i] = lut[q + 32768];
+    }
+}

@@ -91,6 +91,18 @@ def _get_lib():
             # Stale cached .so predating the fused kernel: binding absent,
             # fbank_fused() reports unavailable and callers fall back.
             lib.fbank_fused_f32 = None
+        try:
+            lib.adpcm4_encode_f32.restype = None
+            lib.adpcm4_encode_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+                ctypes.c_longlong, ctypes.POINTER(ctypes.c_ubyte)]
+            lib.mulaw_encode_lut_f32.restype = None
+            lib.mulaw_encode_lut_f32.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte)]
+        except AttributeError:
+            lib.adpcm4_encode_f32 = None
+            lib.mulaw_encode_lut_f32 = None
         _LIB = lib
         return _LIB
 
@@ -261,6 +273,39 @@ def fbank_fused(
     if rc != 0:
         return None
     return out, log_e
+
+
+def adpcm4_encode(x: np.ndarray, num_samples: int, width: int) -> Optional[np.ndarray]:
+    """Native 4-bit block-ADPCM encode of float32 ``(N, T)`` rows into
+    ``(N, width)`` uint8 wire rows (bit-exact vs the numpy reference encoder
+    in ops/wire.py). None when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None or getattr(lib, "adpcm4_encode_f32", None) is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    n_rows = int(np.prod(x.shape[:-1])) if x.ndim > 1 else 1
+    out = np.empty((*x.shape[:-1], width), dtype=np.uint8)
+    lib.adpcm4_encode_f32(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_rows,
+        num_samples, out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    return out
+
+
+def mulaw_encode_lut(x: np.ndarray, lut: np.ndarray) -> Optional[np.ndarray]:
+    """Native one-pass mu-law encode via a caller-built 65536-entry LUT.
+    None when the native library is unavailable."""
+    lib = _get_lib()
+    if lib is None or getattr(lib, "mulaw_encode_lut_f32", None) is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float32)
+    lut = np.ascontiguousarray(lut, dtype=np.uint8)
+    assert lut.size == 65536
+    out = np.empty(x.shape, dtype=np.uint8)
+    lib.mulaw_encode_lut_f32(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), x.size,
+        lut.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)))
+    return out
 
 
 def scale_i32_to_f32(pcm: np.ndarray, scale: float) -> Optional[np.ndarray]:

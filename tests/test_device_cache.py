@@ -92,6 +92,31 @@ class TestCacheLifecycle:
         real = l2c > 0
         np.testing.assert_allclose(f2c[real], f2p[real], atol=1e-5)
 
+    def test_cached_path_with_adpcm4_wire(self):
+        """adpcm4 pools hold the NARROW wire rows (headers + packed
+        nibbles), not T_b samples — gather path must still match the
+        transfer path bit-for-bit on real rows."""
+        cache = DeviceSampleCache(capacity_seconds=60)
+        aug_c = make_aug(cache, seed=11, wire_format="adpcm4")
+        aug_p = make_aug(None, seed=11, wire_format="adpcm4")
+        rng = np.random.RandomState(5)
+        audio, lens = batch(rng, 3, 1.8)
+        ids = ["p", "q", "r"]
+
+        aug_c.compute(aug_c.stage(audio, lens, ids=ids))  # fill
+        aug_p.compute(aug_p.stage(audio, lens))  # burn the same RNG draws
+        staged = aug_c.stage(audio, lens, ids=ids)
+        assert isinstance(staged, CachedBatch)
+        from lhotse_tpu.ops.wire import wire_row_width
+
+        pool = cache.pool(staged.bucket_t, np.uint8)
+        assert pool.shape[1] == wire_row_width(staged.bucket_t, "adpcm4")
+        f2c, l2c = (np.asarray(a) for a in aug_c.compute(staged))
+        f2p, l2p = (np.asarray(a) for a in aug_p.compute(aug_p.stage(audio, lens)))
+        np.testing.assert_array_equal(l2c, l2p)
+        real = l2c > 0
+        np.testing.assert_allclose(f2c[real], f2p[real], atol=1e-5)
+
     def test_ring_eviction_reverts_to_miss(self):
         # Pool sized to ~4 slots for the 2 s bucket.
         cache = DeviceSampleCache(capacity_seconds=2 * 2 * 4.0, min_slots=4)

@@ -3,6 +3,7 @@ import numpy as np
 import pytest
 
 from lhotse_tpu.ops.wire import (
+    ADPCM_BLOCK as ADPCM_BLOCK_LEN,
     WIRE_FORMATS,
     decode_wire,
     encode_wire,
@@ -55,8 +56,68 @@ class TestWireRoundtrip:
         y = np.asarray(decode_wire(encode_wire(x, "mulaw"), "mulaw"))
         np.testing.assert_allclose(y, [-1.0, 1.0], atol=1e-2)
 
+    def test_adpcm4_snr_and_dtype(self):
+        x = _speech()  # 16000 samples = 250 blocks
+        enc = encode_wire(x, "adpcm4")
+        assert enc.dtype == np.uint8
+        assert enc.shape[-1] == 16000 // 2 + 250 * 4
+        y = np.asarray(decode_wire(enc, "adpcm4"))
+        assert y.shape == x.shape
+        snr = _snr_db(x, y)
+        assert 25.0 < snr, snr  # 4-bit ADPCM class on speech
+
+    def test_adpcm4_device_decode_matches_host_mirror_exactly(self):
+        import jax
+
+        from lhotse_tpu.ops.wire import adpcm4_decode_np
+
+        x = np.stack([_speech(seed=7), _speech(seed=8) * 0.05])
+        enc = encode_wire(x, "adpcm4")
+        dev = np.asarray(jax.jit(lambda w: decode_wire(w, "adpcm4"))(enc))
+        host = adpcm4_decode_np(enc)
+        # Pure int32 arithmetic on both sides: bit-exact, not just close.
+        np.testing.assert_array_equal(dev, host)
+
+    def test_adpcm4_blocks_are_independent(self):
+        # Corrupting one block must not affect any other block's samples.
+        from lhotse_tpu.ops.wire import ADPCM_BLOCK, adpcm4_decode_np
+
+        x = _speech()
+        enc = encode_wire(x, "adpcm4")
+        bad = enc.copy()
+        nb = len(x) // ADPCM_BLOCK
+        # Smash block 10's header and nibbles.
+        bad[10 * 4 : 11 * 4] = 0xFF
+        start = nb * 4 + 10 * ADPCM_BLOCK // 2
+        bad[start : start + ADPCM_BLOCK // 2] = 0xAA
+        good = adpcm4_decode_np(enc)
+        corrupted = adpcm4_decode_np(bad)
+        sl = slice(10 * ADPCM_BLOCK, 11 * ADPCM_BLOCK)
+        assert not np.array_equal(good[sl], corrupted[sl])
+        mask = np.ones(len(x), bool)
+        mask[sl] = False
+        np.testing.assert_array_equal(good[mask], corrupted[mask])
+
+    def test_adpcm4_zero_stays_quiet(self):
+        z = np.zeros(ADPCM_BLOCK_LEN * 2, np.float32)
+        y = np.asarray(decode_wire(encode_wire(z, "adpcm4"), "adpcm4"))
+        assert np.abs(y).max() < 1e-3  # min step leakage only
+
+    def test_adpcm4_requires_block_multiple(self):
+        with pytest.raises(ValueError, match="block"):
+            encode_wire(np.zeros(100, np.float32), "adpcm4")
+
     def test_bytes_per_sample(self):
-        assert [wire_bytes_per_sample(f) for f in WIRE_FORMATS] == [4, 2, 1]
+        assert [wire_bytes_per_sample(f) for f in WIRE_FORMATS] == [
+            4, 2, 1, 0.5625,
+        ]
+
+    def test_row_width(self):
+        from lhotse_tpu.ops.wire import wire_row_width
+
+        assert wire_row_width(16000, "int16") == 16000
+        assert wire_row_width(16000, "mulaw") == 16000
+        assert wire_row_width(16000, "adpcm4") == 9000
 
     def test_unknown_format_raises(self):
         with pytest.raises(ValueError):
@@ -66,7 +127,7 @@ class TestWireRoundtrip:
 
 
 class TestAugmenterWireFormats:
-    @pytest.mark.parametrize("fmt", ["float32", "int16", "mulaw"])
+    @pytest.mark.parametrize("fmt", ["float32", "int16", "mulaw", "adpcm4"])
     def test_pipeline_runs_all_formats(self, fmt):
         from lhotse_tpu.dataset.device_augment import OnDeviceAugmenter
 
