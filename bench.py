@@ -142,41 +142,47 @@ def bench_device() -> dict:
         best = min(best, time.perf_counter() - t0)
     compute_only = AUDIO_SEC_PER_BATCH * K / best
 
-    # ---- wire-inclusive variant: FRESH int16 batch per step, device_put +
-    # chain dispatch per batch, scalar fetches at the end. Every transfer
-    # and every execution lands inside the timed window (single device
-    # stream), so this is the honest transfer+compute number.
-    def pipeline_i16(audio_i16, gains, noise, snr, time_mask, freq_mask):
-        return pipeline(
-            audio_i16.astype(jnp.float32) * (1.0 / 32768.0),
-            gains, noise, snr, time_mask, freq_mask,
-        ).mean()
+    # ---- wire-inclusive variants: FRESH wire-encoded batch per step,
+    # device_put + chain dispatch per batch, scalar fetches at the end.
+    # Every transfer and every execution lands inside the timed window
+    # (single device stream), so these are honest transfer+compute numbers.
+    # int16 is the headline (lossless from int16 sources); mulaw/adpcm4
+    # show what the lossy opt-in formats buy on a link-bound setup.
+    from lhotse_tpu.ops.wire import decode_wire, encode_wire
 
-    fn_wire = jax.jit(pipeline_i16)
-    K_WIRE = 2 if SMOKE else 6
-    host_batches = [
-        np.clip(
-            rng.randn(BATCH, NUM_SAMPLES) * 0.1 * 32768.0, -32768, 32767
-        ).astype(np.int16)
-        for _ in range(K_WIRE)
+    out = {"value": round(compute_only, 1)}
+    raw_batches = [
+        (rng.randn(BATCH, NUM_SAMPLES) * 0.1).astype(np.float32)
+        for _ in range(2 if SMOKE else 6)
     ]
-    # warmup/compile (untimed)
-    float(fn_wire(jax.device_put(host_batches[0]), gains, noise, snr, time_mask, freq_mask))
-    outs = []
-    t0 = time.perf_counter()
-    for hb in host_batches:
-        outs.append(
-            fn_wire(jax.device_put(hb), gains, noise, snr, time_mask, freq_mask)
-        )
-    for o in outs:
-        float(o)
-    with_wire = AUDIO_SEC_PER_BATCH * K_WIRE / (time.perf_counter() - t0)
+    for fmt, key in [
+        ("int16", "value_with_wire"),
+        ("mulaw", "value_with_wire_mulaw"),
+        ("adpcm4", "value_with_wire_adpcm4"),
+    ]:
+        def pipeline_wire(audio_wire, gains, noise, snr, time_mask, freq_mask, fmt=fmt):
+            return pipeline(
+                decode_wire(audio_wire, fmt),
+                gains, noise, snr, time_mask, freq_mask,
+            ).mean()
 
-    return {
-        "value": round(compute_only, 1),
-        "value_with_wire": round(with_wire, 1),
-        "value_with_wire_format": "int16",
-    }
+        fn_wire = jax.jit(pipeline_wire)
+        host_batches = [encode_wire(rb, fmt) for rb in raw_batches]
+        # warmup/compile (untimed)
+        float(fn_wire(jax.device_put(host_batches[0]), gains, noise, snr, time_mask, freq_mask))
+        outs = []
+        t0 = time.perf_counter()
+        for hb in host_batches:
+            outs.append(
+                fn_wire(jax.device_put(hb), gains, noise, snr, time_mask, freq_mask)
+            )
+        for o in outs:
+            float(o)
+        out[key] = round(
+            AUDIO_SEC_PER_BATCH * len(host_batches) / (time.perf_counter() - t0), 1
+        )
+    out["value_with_wire_format"] = "int16"
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -360,7 +366,7 @@ def _bucket_device_seconds(aug, reps: int = 6) -> dict:
     return times
 
 
-def bench_e2e_tpu() -> dict:
+def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
     from lhotse_tpu import CutSet, set_caching_enabled
 
     set_caching_enabled(True)  # decoded-audio LRU
@@ -410,7 +416,7 @@ def bench_e2e_tpu() -> dict:
         snr=(10, 20),
         mix_prob=1.0,
         rir=rir_np,
-        wire_format="int16",
+        wire_format=wire_format,
         seed=0,
         specaugment=SpecAugment(seed=0),
     )
@@ -472,6 +478,14 @@ def bench_e2e_tpu() -> dict:
     device_busy_s = sum(
         per_shape_s.get(shape, 0.0) * n for shape, n in shape_counts.items()
     )
+    if key_suffix:
+        # Secondary wire-format pass: report the throughput delta only.
+        return {
+            f"e2e_tpu_audio_sec_per_sec{key_suffix}": round(
+                audio_seconds / elapsed, 1
+            ),
+            f"e2e_wire_format{key_suffix}": wire_format,
+        }
     return {
         "e2e_tpu_audio_sec_per_sec": round(audio_seconds / elapsed, 1),
         "e2e_tpu_batches_per_sec": round(n_batches / elapsed, 3),
@@ -479,9 +493,15 @@ def bench_e2e_tpu() -> dict:
         # post-compile) x batch counts / wall time.
         "e2e_device_busy_frac": round(min(1.0, device_busy_s / elapsed), 4),
         "e2e_device_chain": E2E_CHAIN,
-        "e2e_wire_format": "int16",
+        "e2e_wire_format": wire_format,
         "e2e_staging": "prefetch_thread_device_put",
     }
+
+
+def bench_e2e_tpu_adpcm4() -> dict:
+    """The fresh-decode e2e loop again with the 4-bit wire: on a link-bound
+    host->chip setup this is the opt-in lossy trade (ops/wire.py)."""
+    return bench_e2e_tpu(wire_format="adpcm4", key_suffix="_adpcm4")
 
 
 # ---------------------------------------------------------------------------
@@ -721,6 +741,7 @@ def main():
     for section in (
         bench_host_pipeline,
         bench_e2e_tpu,
+        bench_e2e_tpu_adpcm4,
         bench_e2e_cached,
         bench_precomputed,
     ):
