@@ -31,6 +31,10 @@ from lhotse_tpu.utils import DEFAULT_PADDING_VALUE, LOG_EPSILON, compute_num_sam
 # Padding label for token targets, conventionally ignored by the loss.
 PAD_TOKEN_ID = -100
 
+# collate_audio's direct zero-pad route for all-mono batches (tests flip
+# this off to differentially check it against the pad()+mix route).
+_USE_MONO_FAST_PATH = True
+
 
 def _round_up(value: int, multiple: Optional[int]) -> int:
     if multiple is None or multiple <= 1:
@@ -191,6 +195,47 @@ def collate_audio(
         sr = next(iter(cuts)).sampling_rate
         target_samples = _round_up(compute_num_samples(max_duration, sr), pad_to_multiple)
         max_duration = target_samples / sr
+
+    if (
+        _USE_MONO_FAST_PATH
+        and recording_field is None
+        and mono_downmix is None
+        and pad_direction in ("right", "left")
+        and all(getattr(c, "num_channels", None) == 1 for c in cuts)
+    ):
+        # Mono fast path: read each cut ONCE and zero-pad it directly into
+        # the batch buffer. Functionally identical to the pad()-then-collate
+        # route below (silence padding), but skips materializing a per-cut
+        # padded MixedCut waveform AND the second (B, L) fill+copy in
+        # collate_vectors — on the training hot loop that pad+mix detour
+        # was ~60% of batch-assembly time.
+        sr = next(iter(cuts)).sampling_rate
+        target_len = compute_num_samples(max_duration, sr)
+        audios, ok_cuts, sample_counts = read_audio_from_cuts(
+            cuts, executor, suppress_errors=fault_tolerant,
+            recording_field=None, filter_aux_iter=sample_counts)
+        if not audios:
+            empty = np.zeros((0, 0), dtype=np.float32)
+            lens = np.zeros((0,), dtype=np.int32)
+            return (empty, lens, ok_cuts) if fault_tolerant else (empty, lens)
+        batch = np.zeros((len(audios), target_len), dtype=np.float32)
+        for i, audio in enumerate(audios):
+            row = audio[0] if audio.ndim == 2 else audio
+            n = min(row.shape[0], target_len)
+            if pad_direction == "right":
+                batch[i, :n] = row[:n]
+            else:
+                batch[i, target_len - n :] = row[:n]
+        audio_lens = np.array(sample_counts, dtype=np.int32)
+        if fault_tolerant:
+            # Contract: the surviving cuts come back padded (as the slow
+            # path returns them) — a manifest-level op, no audio I/O.
+            ok_cuts = ok_cuts.pad(
+                duration=max_duration, direction=pad_direction, preserve_id=True
+            )
+            return batch, audio_lens, ok_cuts
+        return batch, audio_lens
+
     cuts = cuts.pad(duration=max_duration, direction=pad_direction, preserve_id=True)
 
     audios, cuts, sample_counts = read_audio_from_cuts(
