@@ -706,10 +706,82 @@ def bench_precomputed() -> dict:
 
 
 
-def main():
+# ---------------------------------------------------------------------------
+# Harness: every section (INCLUDING the headline device section) runs behind
+# retry-with-backoff, the cumulative report is re-emitted after every section
+# (stdout JSON line + on-disk partial), and main() exits 0 whenever ANY
+# section produced a number.  Rationale: the tunneled chip throws transient
+# ``FAILED_PRECONDITION: TPU backend error``s — two of the first four round
+# records were lost to a single unprotected crash (driver contract:
+# /root/repo/BASELINE.json; the driver parses the LAST JSON line of stdout).
+# ---------------------------------------------------------------------------
+SECTION_NAMES = (
+    "bench_device",
+    "bench_host_pipeline",
+    "bench_e2e_tpu",
+    "bench_e2e_tpu_adpcm4",
+    "bench_e2e_cached",
+    "bench_precomputed",
+)
+SECTION_RETRIES = 3
+PARTIAL_PATH = Path(__file__).parent / ".bench_partial.json"
+
+
+def emit(report: dict) -> None:
+    """Print the cumulative report as one JSON line and mirror it to disk.
+
+    Called after EVERY section so a mid-run kill (timeout, OOM, tunnel
+    death) still leaves the most recent complete snapshot as the last
+    parseable line on stdout.
+    """
+    line = json.dumps(report)
+    print(line, flush=True)
+    try:
+        PARTIAL_PATH.write_text(line + "\n")
+    except OSError:
+        pass
+
+
+def run_section(name: str, report: dict, retries: int = SECTION_RETRIES) -> bool:
+    """Run one bench section with retry + backoff; never raises.
+
+    The section function is looked up in module globals AT CALL TIME (so
+    tests can inject faults), re-invoked from scratch on each retry (fresh
+    device arrays), and its result dict merged into ``report``.  Returns
+    True iff the section eventually succeeded.
+    """
     import sys
     import traceback
 
+    fn = globals()[name]
+    t0 = time.perf_counter()
+    ok = False
+    for attempt in range(1, retries + 1):
+        try:
+            report.update(fn())
+            report.pop(f"{name}_error", None)
+            ok = True
+            break
+        except Exception as e:  # noqa: BLE001 — the record must survive
+            traceback.print_exc(file=sys.stderr)
+            report[f"{name}_error"] = f"{type(e).__name__}: {e}"[:300]
+            if attempt < retries:
+                delay = 2.0 * attempt
+                print(
+                    f"[bench] {name} attempt {attempt}/{retries} failed; "
+                    f"retrying in {delay:.0f}s",
+                    file=sys.stderr,
+                )
+                time.sleep(delay)
+    print(
+        f"[bench] {name}: {time.perf_counter() - t0:.1f}s "
+        f"({'ok' if ok else 'FAILED after retries'})",
+        file=sys.stderr,
+    )
+    return ok
+
+
+def main() -> int:
     import jax
 
     if SMOKE:
@@ -727,36 +799,24 @@ def main():
     except Exception:
         pass  # older jax without these flags: compile from scratch
 
-    device = bench_device()
     report = {
         "metric": "fbank_extract_augment_throughput",
+        "value": 0.0,
         "unit": "audio_sec_per_sec",
-        **device,
-        "vs_baseline": round(device["value"] / 10000.0, 3),
+        "vs_baseline": 0.0,
         "device_chain": DEVICE_CHAIN,
     }
-    # The auxiliary sections must not zero the headline record: the tunneled
-    # chip's transfer/compile latency occasionally degrades by an order of
-    # magnitude, and a crash there would discard the device number too.
-    for section in (
-        bench_host_pipeline,
-        bench_e2e_tpu,
-        bench_e2e_tpu_adpcm4,
-        bench_e2e_cached,
-        bench_precomputed,
-    ):
-        t0 = time.perf_counter()
-        try:
-            report.update(section())
-        except Exception:
-            traceback.print_exc(file=sys.stderr)
-            report[f"{section.__name__}_error"] = True
-        print(
-            f"[bench] {section.__name__}: {time.perf_counter() - t0:.1f}s",
-            file=sys.stderr,
-        )
-    print(json.dumps(report))
+    any_ok = False
+    for name in SECTION_NAMES:
+        ok = run_section(name, report)
+        any_ok = any_ok or ok
+        if name == "bench_device" and ok:
+            report["vs_baseline"] = round(report["value"] / 10000.0, 3)
+        emit(report)
+    # Exit 0 whenever ANY section produced a number: a partial record beats
+    # a null one, and the final emit above is the line the driver parses.
+    return 0 if any_ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
