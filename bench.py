@@ -262,7 +262,7 @@ def bench_host_pipeline() -> dict:
         root = Path(tmp)
         cuts_path, noise_path = _synthesize_corpus(root, n_rec, n_noise=4)
 
-        def build_loader():
+        def build_loader(workers=None, thread_workers=None):
             # Augmentation chain per BASELINE config #3: speed perturb +
             # noise (MUSAN-style) mixing; fbank is computed on the fly.
             cuts = (
@@ -291,8 +291,11 @@ def bench_host_pipeline() -> dict:
                 input_strategy=OnTheFlyFeatures(Fbank())
             )
             return DataLoader(
-                sampler, dataset, num_workers=num_workers,
-                num_thread_workers=num_thread_workers,
+                sampler, dataset,
+                num_workers=num_workers if workers is None else workers,
+                num_thread_workers=(
+                    num_thread_workers if thread_workers is None else thread_workers
+                ),
                 prefetch_batches=2,
             )
 
@@ -302,26 +305,62 @@ def bench_host_pipeline() -> dict:
             tracing_report,
         )
 
+        def run_pass():
+            audio_seconds = 0.0
+            n_batches = 0
+            t0 = time.perf_counter()
+            for batch in build_loader():
+                n_batches += 1
+                # 100 fps fbank: frames/100 = audio seconds processed.
+                sup = batch["supervisions"]
+                audio_seconds += float(np.sum(sup["num_frames"])) / 100.0
+            return audio_seconds, n_batches, time.perf_counter() - t0
+
+        # Warmup pass (imports, kernel/LRU caches, page cache), then median
+        # of 3 timed passes — single short windows on a shared 1-core host
+        # drifted 2x between same-day runs in round 4. Tracing runs in a
+        # SEPARATE final pass so span bookkeeping doesn't tax the timings.
+        run_pass()
+        repeats = sorted(
+            (run_pass() for _ in range(1 if SMOKE else 3)),
+            key=lambda r: r[0] / r[2],
+        )
+        audio_seconds, n_batches, elapsed = repeats[len(repeats) // 2]
+
         set_tracing_enabled(True)
         reset_tracing()
-        audio_seconds = 0.0
-        n_batches = 0
-        t0 = time.perf_counter()
-        for batch in build_loader():
-            n_batches += 1
-            # 100 fps fbank: frames / 100 = audio seconds actually processed.
-            sup = batch["supervisions"]
-            audio_seconds += float(np.sum(sup["num_frames"])) / 100.0
-        elapsed = time.perf_counter() - t0
+        run_pass()
         set_tracing_enabled(False)
         spans = tracing_report(reset=True)
+
+        # Parallel-loader legs (one pass each): prove the spawned-process and
+        # thread-worker paths run the identical pipeline and record their
+        # throughput relative to workers=0 — on this 1-core bench host they
+        # are expected to LOSE (IPC/context-switch overhead with no spare
+        # core); the number documents that honestly rather than leaving the
+        # "scales per core" claim without any measurement.
+        def timed_pass(loader):
+            audio_seconds = 0.0
+            t0 = time.perf_counter()
+            for batch in loader:
+                audio_seconds += (
+                    float(np.sum(batch["supervisions"]["num_frames"])) / 100.0
+                )
+            return audio_seconds / (time.perf_counter() - t0)
+
+        workers2 = timed_pass(build_loader(workers=2, thread_workers=0))
+        threadw2 = timed_pass(build_loader(workers=0, thread_workers=2))
 
     report = {
         "host_pipeline_audio_sec_per_sec": round(audio_seconds / elapsed, 1),
         "host_pipeline_batches_per_sec": round(n_batches / elapsed, 3),
         "host_pipeline_num_batches": n_batches,
+        "host_pipeline_repeats": [round(a / e, 1) for a, _, e in repeats],
         "host_pipeline_workers": num_workers,
         "host_pipeline_thread_workers": num_thread_workers,
+        "host_pipeline_workers2_audio_sec_per_sec": round(workers2, 1),
+        "host_pipeline_threadworkers2_audio_sec_per_sec": round(threadw2, 1),
+        "host_pipeline_methodology": "median of 3 epochs after warmup; stage spans from a separate traced epoch; workers2/threadworkers2 legs are single epochs on this 1-core host",
     }
     # Stage breakdown (seconds per span; nested spans overlap — decode/
     # transforms/fbank happen inside read_audio/assemble). With spawned
@@ -607,27 +646,38 @@ def bench_e2e_cached() -> dict:
         aug.precompile()
         run_epoch(0)  # epoch 1: decode + transfer + pool fill (untimed)
 
-        audio_seconds = 0.0
-        n_batches = 0
+        # 3 repeats of a >=8s window each, median reported (same rationale
+        # as the precomputed leg: short single windows drift with host
+        # state; the official record must reproduce).
+        MIN_WINDOW_S = 0.5 if SMOKE else 8.0
+        repeats = []
         epochs = 0
-        t0 = time.perf_counter()
-        while True:
-            a, b = run_epoch(epochs + 1)
-            audio_seconds += a
-            n_batches += b
-            epochs += 1
-            if time.perf_counter() - t0 > (0.5 if SMOKE else 6.0) or epochs >= 40:
-                break
-        elapsed = time.perf_counter() - t0
+        for _ in range(1 if SMOKE else 3):
+            audio_seconds = 0.0
+            n_batches = 0
+            t0 = time.perf_counter()
+            while True:
+                a, b = run_epoch(epochs + 1)
+                audio_seconds += a
+                n_batches += b
+                epochs += 1
+                if time.perf_counter() - t0 > MIN_WINDOW_S or epochs >= 120:
+                    break
+            elapsed = time.perf_counter() - t0
+            repeats.append((audio_seconds / elapsed, n_batches / elapsed))
 
+    repeats.sort()
+    med = repeats[len(repeats) // 2]
     stats = cache.stats()
     return {
-        "e2e_cached_audio_sec_per_sec": round(audio_seconds / elapsed, 1),
-        "e2e_cached_batches_per_sec": round(n_batches / elapsed, 3),
+        "e2e_cached_audio_sec_per_sec": round(med[0], 1),
+        "e2e_cached_batches_per_sec": round(med[1], 3),
+        "e2e_cached_repeats": [round(r[0], 1) for r in repeats],
         "e2e_cached_epochs": epochs,
         "e2e_cached_hit_rate": round(stats["hit_rate"], 4),
         "e2e_cached_pool_mb": round(stats["memory_bytes"] / 1e6, 1),
         "e2e_cached_chain": E2E_CHAIN,
+        "e2e_cached_methodology": "median of 3 repeats, each >=8s of epochs",
     }
 
 
@@ -678,30 +728,44 @@ def bench_precomputed() -> dict:
             )
             return DataLoader(sampler, dataset, prefetch_batches=2)
 
-        # One warmup pass (page cache, file-handle LRU), then timed epochs
-        # until the window is long enough to measure reliably.
+        # One warmup pass (page cache, file-handle LRU), then 3 independent
+        # repeats, each timed over >= MIN_WINDOW_S and >= MIN_BATCHES; the
+        # reported number is the MEDIAN repeat (short windows on a 1-core
+        # host swing with machine state — the round-4 record drifted 2x).
         for _ in build_loader():
             pass
-        audio_seconds = 0.0
-        n_batches = 0
-        epochs = 0
-        t0 = time.perf_counter()
-        while True:
-            for batch in build_loader():
-                n_batches += 1
-                audio_seconds += (
-                    float(np.sum(batch["supervisions"]["num_frames"])) / 100.0
-                )
-            epochs += 1
-            if time.perf_counter() - t0 > (0.5 if SMOKE else 3.0) or epochs >= 20:
-                break
-        elapsed = time.perf_counter() - t0
+        MIN_WINDOW_S = 0.3 if SMOKE else 8.0
+        MIN_BATCHES = 5 if SMOKE else 500
+        repeats = []
+        total_epochs = 0
+        for _ in range(1 if SMOKE else 3):
+            audio_seconds = 0.0
+            n_batches = 0
+            t0 = time.perf_counter()
+            while True:
+                for batch in build_loader():
+                    n_batches += 1
+                    audio_seconds += (
+                        float(np.sum(batch["supervisions"]["num_frames"])) / 100.0
+                    )
+                total_epochs += 1
+                if (
+                    time.perf_counter() - t0 > MIN_WINDOW_S
+                    and n_batches >= MIN_BATCHES
+                ) or total_epochs >= 100:
+                    break
+            elapsed = time.perf_counter() - t0
+            repeats.append((audio_seconds / elapsed, n_batches / elapsed))
 
+    repeats.sort()
+    med = repeats[len(repeats) // 2]
     return {
-        "precomputed_audio_sec_per_sec": round(audio_seconds / elapsed, 1),
-        "precomputed_batches_per_sec": round(n_batches / elapsed, 3),
+        "precomputed_audio_sec_per_sec": round(med[0], 1),
+        "precomputed_batches_per_sec": round(med[1], 3),
+        "precomputed_repeats": [round(r[0], 1) for r in repeats],
         "precomputed_storage": "lilcom_chunky(.lca, LTC1 chunks)",
-        "precomputed_epochs": epochs,
+        "precomputed_epochs": total_epochs,
+        "precomputed_methodology": "median of 3 repeats, each >=8s and >=500 batches",
     }
 
 

@@ -126,9 +126,11 @@ def collate_features(
         # (whose one-real-cut shortcut fills the same value), without
         # building a padded MixedCut manifest and a per-cut canvas.
         first_cut = next(iter(cuts))
-        features = np.full(
+        # np.empty + per-row tail fill: filling only the padded region costs
+        # ~half the memory traffic of np.full over the whole batch (the data
+        # region is overwritten by the copies anyway).
+        features = np.empty(
             (len(cuts), target_frames, first_cut.num_features),
-            fill_value=LOG_EPSILON,
             dtype=features_dtype if features_dtype is not None else np.float32)
         loaded = (
             (cut.load_features() for cut in cuts)
@@ -138,6 +140,8 @@ def collate_features(
         for idx, feats in enumerate(loaded):
             n = min(feats.shape[0], target_frames)
             features[idx, :n] = feats[:n]
+            if n < target_frames:
+                features[idx, n:] = LOG_EPSILON
         return features, features_lens
     cuts = cuts.pad(num_frames=target_frames, direction=pad_direction)
     first_cut = next(iter(cuts))
@@ -218,14 +222,20 @@ def collate_audio(
             empty = np.zeros((0, 0), dtype=np.float32)
             lens = np.zeros((0,), dtype=np.int32)
             return (empty, lens, ok_cuts) if fault_tolerant else (empty, lens)
-        batch = np.zeros((len(audios), target_len), dtype=np.float32)
+        # np.empty + explicit pad-region fill: only the silence tail is
+        # written twice, halving the allocation's memory traffic vs zeros().
+        batch = np.empty((len(audios), target_len), dtype=np.float32)
         for i, audio in enumerate(audios):
             row = audio[0] if audio.ndim == 2 else audio
             n = min(row.shape[0], target_len)
             if pad_direction == "right":
                 batch[i, :n] = row[:n]
+                if n < target_len:
+                    batch[i, n:] = 0.0
             else:
                 batch[i, target_len - n :] = row[:n]
+                if n < target_len:
+                    batch[i, : target_len - n] = 0.0
         audio_lens = np.array(sample_counts, dtype=np.int32)
         if fault_tolerant:
             # Contract: the surviving cuts come back padded (as the slow
@@ -463,9 +473,13 @@ def collate_matrices(
         assert all(t.shape == longest.shape for t in tensors), (
             "All tensors must have the same shape when matching_shapes is set to True."
         )
-    result = np.full((len(tensors), *longest.shape), padding_value, dtype=longest.dtype)
+    # np.empty + per-row tail fill (see collate_features): pad-only writes.
+    result = np.empty((len(tensors), *longest.shape), dtype=longest.dtype)
     for i, t in enumerate(tensors):
-        result[i, : t.shape[0]] = t
+        n = t.shape[0]
+        result[i, :n] = t
+        if n < longest.shape[0]:
+            result[i, n:] = padding_value
     return result
 
 

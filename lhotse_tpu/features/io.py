@@ -376,8 +376,34 @@ def lookup_cache_or_open(storage_path: str):
     return h5py.File(storage_path, "r")
 
 
+@lru_cache(maxsize=None)
+def _lookup_flat_fd(storage_path: str, _pid: int) -> int:
+    """Global cache of raw read fds for flat-binary archives (.lca), keyed by
+    (path, pid) so forked workers never share an inherited descriptor's
+    cache entry across a reopen. Reads go through ``os.pread`` (stateless
+    offset), so one fd is safely shared across loader threads."""
+    return os.open(storage_path, os.O_RDONLY)
+
+
+_OPEN_FLAT_FDS: set = set()
+
+
 def close_cached_file_handles() -> None:
     lookup_cache_or_open.cache_clear()
+    # lru_cache doesn't expose its entries; fds are tracked on the side.
+    for fd in list(_OPEN_FLAT_FDS):
+        try:
+            os.close(fd)
+        except OSError:
+            pass
+    _OPEN_FLAT_FDS.clear()
+    _lookup_flat_fd.cache_clear()
+
+
+def _flat_pread(storage_path: str, offset: int, size: int) -> bytes:
+    fd = _lookup_flat_fd(str(storage_path), os.getpid())
+    _OPEN_FLAT_FDS.add(fd)
+    return os.pread(fd, size, offset)
 
 
 @register_reader
@@ -591,9 +617,13 @@ class LilcomChunkyReader(FeaturesReader):
             # covers the whole range, one native call decodes every chunk
             # straight into the output (codecs.decompress_concat).
             sizes = np.diff(chunk_offsets)
-            with open(self.storage_path, "rb") as file:
-                file.seek(int(chunk_offsets[0]))
-                blob = file.read(int(chunk_offsets[-1] - chunk_offsets[0]))
+            # One stateless pread on a cached fd: no per-read open() and no
+            # seek state to race between loader threads.
+            blob = _flat_pread(
+                self.storage_path,
+                int(chunk_offsets[0]),
+                int(chunk_offsets[-1] - chunk_offsets[0]),
+            )
             arr = ltc_decompress_concat(
                 blob, sizes, max_rows=self.CHUNK_SIZE * len(sizes))
             if arr is None:  # non-LTC1 payload or no native codec

@@ -15,6 +15,11 @@
 #include <math.h>
 #include <zlib.h>
 
+#if defined(__AVX512F__) && defined(__AVX2__)
+#include <immintrin.h>
+#define LTC1_SIMD 1
+#endif
+
 #define LTC1_MAGIC "LTC1"
 #define MAX_NDIM 8
 
@@ -197,36 +202,6 @@ long long ltc1_compress_rowpack(const float *data, const uint32_t *shape, int nd
     return (long long)pos;
 }
 
-static long long rowpack_decode(const uint8_t *in, size_t size, size_t pos,
-                                int64_t *ticks, long long rows, long long inner) {
-    for (long long r = 0; r < rows; r++) {
-        if (pos >= size) return -5;
-        int w = in[pos++];
-        int64_t *row = ticks + r * inner;
-        if (w == 0) {
-            memset(row, 0, sizeof(int64_t) * (size_t)inner);
-            continue;
-        }
-        if (w > 33) return -6;
-        size_t packed = ((size_t)inner * w + 7) / 8;
-        if (pos + packed > size) return -5;
-        uint64_t acc = 0;
-        int nbits = 0;
-        const uint64_t mask = (w >= 64) ? ~0ull : ((1ull << w) - 1ull);
-        for (long long c = 0; c < inner; c++) {
-            while (nbits < w) {
-                acc |= (uint64_t)in[pos++] << nbits;
-                nbits += 8;
-            }
-            uint64_t u = acc & mask;
-            acc >>= w;
-            nbits -= w;
-            row[c] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
-        }
-    }
-    return (long long)pos;
-}
-
 int ltc1_parse_header(const uint8_t *in, size_t size, uint32_t *shape_out,
                       int *ndim_out, int *tick_power_out) {
     if (size < 8 || memcmp(in, LTC1_MAGIC, 4) != 0) return -1;
@@ -255,12 +230,13 @@ long long ltc1_decompress(const uint8_t *in, size_t size, float *out,
     size_t header_size = 8 + 4 * (size_t)ndim;
     const float tick = (float)ldexp(1.0, tick_power);
 
-    /* Fused decode: per-column int64 running sums ("carry") turn residual
-     * decode + axis-0 cumsum + tick scaling into ONE pass that never
-     * materializes an (elems,) temporary — the old 3-pass int64 pipeline
-     * moved ~24 bytes per element through memory; this touches each output
-     * element once. */
-    int64_t *carry = (int64_t *)calloc((size_t)(inner ? inner : 1), sizeof(int64_t));
+    /* Fused decode: per-column running sums ("carry") turn residual decode +
+     * axis-0 cumsum + tick scaling into ONE pass that touches each output
+     * element once.  Carries are int32 with wraparound arithmetic: the
+     * encoder clips ticks to int32, residual decode and cumsum mod 2^32 are
+     * a ring homomorphism, and the true sums fit — so the truncated result
+     * is exact even for 33-bit zigzag residuals. */
+    int32_t *carry = (int32_t *)calloc((size_t)(inner ? inner : 1), sizeof(int32_t));
     if (!carry) return -4;
 
     if (method == 1) { /* rowpack */
@@ -277,21 +253,81 @@ long long ltc1_decompress(const uint8_t *in, size_t size, float *out,
             if (w > 33) { free(carry); return -6; }
             size_t packed = ((size_t)inner * w + 7) / 8;
             if (pos + packed > size) { free(carry); return -5; }
-            uint64_t acc = 0;
-            int nbits = 0;
-            const uint64_t mask = (w >= 64) ? ~0ull : ((1ull << w) - 1ull);
-            for (long long c = 0; c < inner; c++) {
-                while (nbits < w) {
-                    acc |= (uint64_t)in[pos++] << nbits;
-                    nbits += 8;
+            const uint64_t mask = (1ull << w) - 1ull;
+            const size_t row_bit0 = pos * 8;
+            /* Branchless unpack: each value is fetched with one unaligned
+             * 8-byte little-endian load at its bit offset (w <= 33, so
+             * shift + w <= 40 always fits the 64-bit window).  Valid while
+             * the load stays inside the buffer: row_bit0 + c*w <= (size-8)*8
+             * + 7.  The last few values of the final chunk use a bounded
+             * byte-accumulate tail instead of reading past the end. */
+            long long n_fast = 0;
+            if (size >= 8) {
+                long long avail = (long long)(size - 8) * 8 + 7 - (long long)row_bit0;
+                if (avail >= 0) {
+                    n_fast = avail / w + 1;
+                    if (n_fast > inner) n_fast = inner;
                 }
-                uint64_t u = acc & mask;
-                acc >>= w;
-                nbits -= w;
-                int64_t t = carry[c] + ((int64_t)(u >> 1) ^ -(int64_t)(u & 1));
+            }
+            long long c = 0;
+#ifdef LTC1_SIMD
+            /* 8 values per step: gather eight 64-bit windows, variable-shift
+             * to each value's bit offset, mask, zigzag-decode (>>1 done in
+             * 64-bit BEFORE the 32-bit truncation so 33-bit values stay
+             * correct), then 8-lane int32 cumsum + float conversion. */
+            if (n_fast >= 8) {
+                int64_t bp0[8];
+                for (int k = 0; k < 8; k++)
+                    bp0[k] = (int64_t)row_bit0 + (int64_t)k * w;
+                __m512i vbp = _mm512_loadu_si512(bp0);
+                const __m512i vstep = _mm512_set1_epi64(8 * (int64_t)w);
+                const __m512i vmask64 = _mm512_set1_epi64((long long)mask);
+                const __m512i vseven = _mm512_set1_epi64(7);
+                const __m512i vone = _mm512_set1_epi64(1);
+                const __m256 vtick = _mm256_set1_ps(tick);
+                for (; c + 8 <= n_fast; c += 8) {
+                    __m512i vbyte = _mm512_srli_epi64(vbp, 3);
+                    __m512i vsh = _mm512_and_epi64(vbp, vseven);
+                    __m512i win = _mm512_i64gather_epi64(vbyte, (const void *)in, 1);
+                    win = _mm512_and_epi64(_mm512_srlv_epi64(win, vsh), vmask64);
+                    __m256i h32 = _mm512_cvtepi64_epi32(_mm512_srli_epi64(win, 1));
+                    __m256i o32 = _mm512_cvtepi64_epi32(_mm512_and_epi64(win, vone));
+                    __m256i res = _mm256_xor_si256(
+                        h32, _mm256_sub_epi32(_mm256_setzero_si256(), o32));
+                    __m256i cr = _mm256_loadu_si256((const __m256i *)(carry + c));
+                    cr = _mm256_add_epi32(cr, res);
+                    _mm256_storeu_si256((__m256i *)(carry + c), cr);
+                    _mm256_storeu_ps(orow + c,
+                                     _mm256_mul_ps(_mm256_cvtepi32_ps(cr), vtick));
+                    vbp = _mm512_add_epi64(vbp, vstep);
+                }
+            }
+#endif
+            for (; c < n_fast; c++) {
+                size_t bp = row_bit0 + (size_t)c * (size_t)w;
+                uint64_t window;
+                memcpy(&window, in + (bp >> 3), 8);
+                uint64_t u = (window >> (bp & 7)) & mask;
+                uint32_t res = (uint32_t)(u >> 1) ^ (uint32_t)(0 - (u & 1));
+                int32_t t = (int32_t)((uint32_t)carry[c] + res);
                 carry[c] = t;
                 orow[c] = (float)t * tick;
             }
+            for (; c < inner; c++) {
+                size_t bp = row_bit0 + (size_t)c * (size_t)w;
+                size_t byi = bp >> 3;
+                int shift = (int)(bp & 7);
+                int nb = (shift + w + 7) / 8;
+                uint64_t window = 0;
+                for (int k = 0; k < nb && byi + (size_t)k < size; k++)
+                    window |= (uint64_t)in[byi + (size_t)k] << (8 * k);
+                uint64_t u = (window >> shift) & mask;
+                uint32_t res = (uint32_t)(u >> 1) ^ (uint32_t)(0 - (u & 1));
+                int32_t t = (int32_t)((uint32_t)carry[c] + res);
+                carry[c] = t;
+                orow[c] = (float)t * tick;
+            }
+            pos += packed;
         }
         free(carry);
         return elems;
@@ -316,7 +352,8 @@ long long ltc1_decompress(const uint8_t *in, size_t size, float *out,
             const uint8_t *p = raw + r * inner;
             for (long long c = 0; c < inner; c++) {
                 uint64_t u = p[c];
-                int64_t t = carry[c] + ((int64_t)(u >> 1) ^ -(int64_t)(u & 1));
+                uint32_t res = (uint32_t)(u >> 1) ^ (uint32_t)(0 - (u & 1));
+                int32_t t = (int32_t)((uint32_t)carry[c] + res);
                 carry[c] = t;
                 orow[c] = (float)t * tick;
             }
@@ -324,7 +361,8 @@ long long ltc1_decompress(const uint8_t *in, size_t size, float *out,
             const uint16_t *p = (const uint16_t *)raw + r * inner;
             for (long long c = 0; c < inner; c++) {
                 uint64_t u = p[c];
-                int64_t t = carry[c] + ((int64_t)(u >> 1) ^ -(int64_t)(u & 1));
+                uint32_t res = (uint32_t)(u >> 1) ^ (uint32_t)(0 - (u & 1));
+                int32_t t = (int32_t)((uint32_t)carry[c] + res);
                 carry[c] = t;
                 orow[c] = (float)t * tick;
             }
@@ -332,7 +370,8 @@ long long ltc1_decompress(const uint8_t *in, size_t size, float *out,
             const uint32_t *p = (const uint32_t *)raw + r * inner;
             for (long long c = 0; c < inner; c++) {
                 uint64_t u = p[c];
-                int64_t t = carry[c] + ((int64_t)(u >> 1) ^ -(int64_t)(u & 1));
+                uint32_t res = (uint32_t)(u >> 1) ^ (uint32_t)(0 - (u & 1));
+                int32_t t = (int32_t)((uint32_t)carry[c] + res);
                 carry[c] = t;
                 orow[c] = (float)t * tick;
             }

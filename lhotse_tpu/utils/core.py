@@ -165,6 +165,7 @@ def compute_num_frames_from_samples(
     return num_frames
 
 
+@lru_cache(maxsize=16384)
 def compute_num_samples(
     duration: Seconds, sampling_rate: Union[int, float], rounding=ROUND_HALF_UP) -> int:
     """
@@ -172,13 +173,18 @@ def compute_num_samples(
     Performs consistent rounding up or down (not banker's rounding), matching
     reference utils.py:657-668 exactly (round to 8 decimal digits first, then
     Decimal-quantize with the requested rounding mode).
+
+    Memoized: the Decimal round trip costs ~3 us and the hot data path calls
+    this tens of thousands of times per epoch over a bounded set of
+    (duration, rate) pairs.
     """
     return int(Decimal(round(duration * sampling_rate, ndigits=8)).quantize( 0, rounding=rounding ))
 
 
+@lru_cache(maxsize=16384)
 def perturb_num_samples(num_samples: int, factor: float) -> int:
     """Mimics the behavior of speed perturbation on the number of samples
-    (reference: utils.py:649-654)."""
+    (reference: utils.py:649-654). Memoized (see compute_num_samples)."""
     rounding = ROUND_HALF_UP if factor >= 1.0 else ROUND_HALF_DOWN
     return int(Decimal(round(num_samples / factor, ndigits=8)).quantize(0, rounding=rounding))
 
