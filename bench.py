@@ -405,6 +405,22 @@ def _bucket_device_seconds(aug, reps: int = 6) -> dict:
     return times
 
 
+def _native_wire_encoder_available(wire_format: str) -> bool:
+    """True when encode_wire(wire_format) takes the C kernel (host_dsp)."""
+    try:
+        from lhotse_tpu.ops import host_dsp
+
+        lib = host_dsp._get_lib()
+        if lib is None:
+            return False
+        fn = {"adpcm4": "adpcm4_encode_f32", "mulaw": "mulaw_encode_lut_f32"}.get(
+            wire_format
+        )
+        return fn is None or getattr(lib, fn, None) is not None
+    except Exception:
+        return False
+
+
 def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
     from lhotse_tpu import CutSet, set_caching_enabled
 
@@ -484,8 +500,11 @@ def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
             staged = aug.stage(np.asarray(batch["inputs"]), ns)
             return staged, float(ns.sum()) / SR
 
+        # prefetch_batches=3: up to three staged batches in flight, so the
+        # tunnel transfer of batch N+1/N+2 overlaps both the host decode of
+        # batch N+3 and the device compute of batch N.
         loader = DataLoader(
-            sampler, dataset, prefetch_batches=2, apply_fn=stage_batch
+            sampler, dataset, prefetch_batches=3, apply_fn=stage_batch
         )
 
         # Pre-compile every bucket shape outside the timed region (standard
@@ -518,12 +537,20 @@ def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
         per_shape_s.get(shape, 0.0) * n for shape, n in shape_counts.items()
     )
     if key_suffix:
-        # Secondary wire-format pass: report the throughput delta only.
+        # Secondary wire-format pass: throughput + duty cycle.
         return {
             f"e2e_tpu_audio_sec_per_sec{key_suffix}": round(
                 audio_seconds / elapsed, 1
             ),
+            f"e2e_tpu_batches_per_sec{key_suffix}": round(n_batches / elapsed, 3),
+            f"e2e_device_busy_frac{key_suffix}": round(
+                min(1.0, device_busy_s / elapsed), 4
+            ),
             f"e2e_wire_format{key_suffix}": wire_format,
+            # Which encoder actually ran on the staging hot path.
+            f"e2e_native_encoder{key_suffix}": _native_wire_encoder_available(
+                wire_format
+            ),
         }
     return {
         "e2e_tpu_audio_sec_per_sec": round(audio_seconds / elapsed, 1),
@@ -533,7 +560,7 @@ def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
         "e2e_device_busy_frac": round(min(1.0, device_busy_s / elapsed), 4),
         "e2e_device_chain": E2E_CHAIN,
         "e2e_wire_format": wire_format,
-        "e2e_staging": "prefetch_thread_device_put",
+        "e2e_staging": "prefetch_thread_device_put(3 in flight)",
     }
 
 
@@ -624,7 +651,7 @@ def bench_e2e_cached() -> dict:
                 rank=0,
             )
             loader = DataLoader(
-                sampler, dataset, prefetch_batches=2, apply_fn=stage_fn
+                sampler, dataset, prefetch_batches=3, apply_fn=stage_fn
             )
             audio_seconds = 0.0
             n_batches = 0

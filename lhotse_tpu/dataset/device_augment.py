@@ -315,8 +315,16 @@ class OnDeviceAugmenter:
                 "sampler's duration_bins vocabulary aligned with the "
                 "augmenter buckets?)"
             )
-        padded = np.zeros((B_b, T_b), np.float32)
-        padded[:B, : min(T, T_b)] = audio[:, :T_b]
+        # np.empty + explicit pad fills: this runs per batch in the prefetch
+        # thread of the fresh-decode hot loop — zeroing the full (B_b, T_b)
+        # canvas (tens of MB) before overwriting most of it cost real ms.
+        n = min(T, T_b)
+        padded = np.empty((B_b, T_b), np.float32)
+        padded[:B, :n] = audio[:, :T_b]
+        if n < T_b:
+            padded[:B, n:] = 0.0
+        if B < B_b:
+            padded[B:] = 0.0
         padded = encode_wire(padded, self.wire_format)
         staged = StagedBatch(jax.device_put(padded), lens, kwargs)
         if cache is not None and ids is not None:

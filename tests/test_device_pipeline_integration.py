@@ -117,3 +117,28 @@ def test_feature_extractor_accepted_as_fbank():
     aug2 = OnDeviceAugmenter([(1.0, 2)], gain_range=None, fbank=Mfcc())
     feats2, _ = aug2(audio, lens)
     assert np.asarray(feats2).shape[-1] == 13
+
+
+def test_adpcm4_staging_uses_native_encoder(monkeypatch):
+    """The adpcm4 wire encode runs per batch on the loader's staging hot
+    path; the C kernel (host_dsp.adpcm4_encode) must be the path actually
+    taken in this environment, not the ~20x slower numpy reference."""
+    from lhotse_tpu.ops import host_dsp
+
+    assert host_dsp._get_lib() is not None, "native dsp lib must build here"
+    calls = {"n": 0}
+    real = host_dsp.adpcm4_encode
+
+    def spy(*args, **kwargs):
+        out = real(*args, **kwargs)
+        assert out is not None, "native adpcm4 encoder unexpectedly fell back"
+        calls["n"] += 1
+        return out
+
+    monkeypatch.setattr(host_dsp, "adpcm4_encode", spy)
+    aug = OnDeviceAugmenter([(1.0, 2)], gain_range=None, wire_format="adpcm4")
+    audio = (np.random.RandomState(0).randn(2, SR) * 0.1).astype(np.float32)
+    staged = aug.stage(audio, np.array([SR, SR]))
+    feats, feat_lens = aug.compute(staged)
+    assert calls["n"] == 1
+    assert np.isfinite(np.asarray(feats)).all()

@@ -217,3 +217,90 @@ def test_real_mp3_fixture_fbank_parity(monkeypatch):
     mf = mine.compute_features(MyFbank())
     assert mf.shape == tuple(tf.shape)
     np.testing.assert_allclose(mf, np.asarray(tf), atol=2.5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Real LOSSY fixtures (mp3/opus) through the in-process syscodecs bindings.
+# The reference stack in this env shares our decoders (its soundfile stand-in
+# is backed by them), so sample equality below proves the manifest/windowing
+# plumbing of BOTH stacks; the hard-coded metadata/RMS pins are INDEPENDENT
+# ground truth (captured from the real files) so codec regressions cannot
+# hide behind the shared decode. Reference behavior under test:
+# /root/reference/test/audio/test_audio_reads.py:25-42 (info/read
+# consistency on these exact files).
+# ---------------------------------------------------------------------------
+
+LOSSY_EXPECT = {
+    # rel path: (sampling_rate, num_channels, duration, rms_lo, rms_hi)
+    "stereo.mp3": (8000, 2, 1.0, 0.30, 0.60),
+    "common_voice_en_651325.mp3": (48000, 1, 2.376, 0.005, 0.05),
+    "stereo.opus": (48000, 2, 1.0054166666666666, 0.03, 0.12),
+    "mono_c0.opus": (48000, 1, 0.5054166666666666, 0.005, 0.03),
+}
+
+
+@pytest.mark.parametrize("rel", sorted(LOSSY_EXPECT))
+def test_lossy_fixture_info_read_consistency_and_sanity(rel):
+    sr, ch, dur, rms_lo, rms_hi = LOSSY_EXPECT[rel]
+    mine = MyRecording.from_file(FIXTURES / rel)
+    assert mine.sampling_rate == sr
+    assert mine.num_channels == ch
+    assert mine.duration == pytest.approx(dur, abs=1e-6)
+    audio = mine.load_audio()
+    # The reference's own consistency contract: info() frames == decoded.
+    assert audio.shape == (ch, mine.num_samples)
+    assert np.isfinite(audio).all()
+    assert np.abs(audio).max() <= 1.0 + 1e-4
+    rms = float(np.sqrt((audio**2).mean()))
+    assert rms_lo < rms < rms_hi, f"{rel}: rms {rms} outside sanity band"
+
+
+@pytest.mark.parametrize("rel", sorted(LOSSY_EXPECT))
+def test_lossy_fixture_manifest_matches_reference(rel):
+    theirs = RefRecording.from_file(FIXTURES / rel)
+    mine = MyRecording.from_file(FIXTURES / rel)
+    assert mine.sampling_rate == theirs.sampling_rate
+    assert mine.num_samples == theirs.num_samples
+    assert mine.duration == pytest.approx(theirs.duration, abs=1e-9)
+    assert mine.channel_ids == theirs.channel_ids
+    np.testing.assert_array_equal(mine.load_audio(), theirs.load_audio())
+
+
+@pytest.mark.parametrize("rel", ["common_voice_en_651325.mp3", "stereo.opus"])
+def test_lossy_fixture_windowed_reads_match_full_decode(rel):
+    """Partial reads slice identically to the full decode (lossy decoders
+    must not re-anchor frame state differently per offset)."""
+    mine = MyRecording.from_file(FIXTURES / rel)
+    full = mine.load_audio()
+    sr = mine.sampling_rate
+    for offset, duration in [(0.0, 0.25), (0.1, 0.3), (0.5, None)]:
+        if offset >= mine.duration:
+            continue
+        part = mine.load_audio(offset=offset, duration=duration)
+        start = int(round(offset * sr))
+        stop = start + part.shape[1]
+        np.testing.assert_allclose(
+            part, full[:, start:stop], atol=1e-6,
+            err_msg=f"{rel} offset={offset} duration={duration}",
+        )
+
+
+def test_lossy_fixture_cut_fbank_runs():
+    """Real-speech mp3 through cut algebra + fbank, both stacks agree.
+    The SAME 16 kHz samples (our resampler) feed both extractors so the
+    comparison isolates the feature math — the two stacks' resamplers
+    legitimately differ by more than the fbank parity budget (the reference
+    itself tolerates 1e-3 sample error between its own opus decoders,
+    test_audio_reads.py:70-83)."""
+    rel = "common_voice_en_651325.mp3"
+    mine = MyRecording.from_file(FIXTURES / rel).to_cut().truncate(duration=2.0)
+    theirs = RefRecording.from_file(FIXTURES / rel).to_cut().truncate(duration=2.0)
+    assert mine.duration == pytest.approx(theirs.duration, abs=1e-9)
+    wave16 = mine.resample(16000).load_audio()[0]
+    # the reference path also runs end-to-end on its own resampled audio
+    theirs_wave16 = theirs.resample(16000).load_audio()[0]
+    assert theirs_wave16.shape == wave16.shape
+    f_mine = MyFbank().extract(wave16, 16000)
+    f_theirs = RefFbank().extract(wave16, 16000)
+    assert f_mine.shape == tuple(f_theirs.shape)
+    np.testing.assert_allclose(f_mine, np.asarray(f_theirs), atol=2e-4)
