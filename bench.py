@@ -47,6 +47,35 @@ import numpy as np
 SMOKE = bool(int(os.environ.get("LHOTSE_TPU_BENCH_SMOKE", "0")))
 
 
+class _StealMeter:
+    """Samples /proc/stat around a timed window and reports the hypervisor
+    steal share (%) — this bench runs on a shared 1-vCPU host where same-day
+    numbers have drifted 2x with neighbor load, so every repeat records the
+    contention it ran under."""
+
+    @staticmethod
+    def _snap():
+        try:
+            with open("/proc/stat") as f:
+                vals = list(map(int, f.readline().split()[1:]))
+            return vals
+        except OSError:
+            return None
+
+    def __enter__(self):
+        self._a = self._snap()
+        return self
+
+    def __exit__(self, *exc):
+        b = self._snap()
+        self.steal_pct = None
+        if self._a is not None and b is not None and len(b) >= 8:
+            d = [y - x for x, y in zip(self._a, b)]
+            tot = sum(d)
+            if tot > 0:
+                self.steal_pct = round(100.0 * d[7] / tot, 1)
+
+
 # ---------------------------------------------------------------------------
 # 1) Device compute benchmark: the FULL BASELINE config #3 chain on chip —
 #    speed perturb -> volume gain -> SNR noise mix -> RIR reverb -> fbank ->
@@ -308,24 +337,34 @@ def bench_host_pipeline() -> dict:
         def run_pass():
             audio_seconds = 0.0
             n_batches = 0
-            t0 = time.perf_counter()
-            for batch in build_loader():
-                n_batches += 1
-                # 100 fps fbank: frames/100 = audio seconds processed.
-                sup = batch["supervisions"]
-                audio_seconds += float(np.sum(sup["num_frames"])) / 100.0
-            return audio_seconds, n_batches, time.perf_counter() - t0
+            with _StealMeter() as sm:
+                t0 = time.perf_counter()
+                for batch in build_loader():
+                    n_batches += 1
+                    # 100 fps fbank: frames/100 = audio seconds processed.
+                    sup = batch["supervisions"]
+                    audio_seconds += float(np.sum(sup["num_frames"])) / 100.0
+                elapsed = time.perf_counter() - t0
+            return audio_seconds, n_batches, elapsed, sm.steal_pct
 
-        # Warmup pass (imports, kernel/LRU caches, page cache), then median
-        # of 3 timed passes — single short windows on a shared 1-core host
+        # Warmup pass (imports, kernel caches, page cache), then median of 3
+        # timed passes — single short windows on a shared 1-core host
         # drifted 2x between same-day runs in round 4. Tracing runs in a
         # SEPARATE final pass so span bookkeeping doesn't tax the timings.
+        # The warm passes run with the decoded-audio LRU populated (the
+        # steady state of multi-epoch training on a corpus that fits the
+        # 500 MB cache); the separately reported COLD pass clears all caches
+        # first — production-shaped when the corpus outsizes RAM.
         run_pass()
         repeats = sorted(
             (run_pass() for _ in range(1 if SMOKE else 3)),
             key=lambda r: r[0] / r[2],
         )
-        audio_seconds, n_batches, elapsed = repeats[len(repeats) // 2]
+        audio_seconds, n_batches, elapsed, _ = repeats[len(repeats) // 2]
+
+        set_caching_enabled(False)  # clears decoded-audio + byte LRUs
+        set_caching_enabled(True)
+        cold_a, _, cold_e, cold_steal = run_pass()
 
         set_tracing_enabled(True)
         reset_tracing()
@@ -355,12 +394,15 @@ def bench_host_pipeline() -> dict:
         "host_pipeline_audio_sec_per_sec": round(audio_seconds / elapsed, 1),
         "host_pipeline_batches_per_sec": round(n_batches / elapsed, 3),
         "host_pipeline_num_batches": n_batches,
-        "host_pipeline_repeats": [round(a / e, 1) for a, _, e in repeats],
+        "host_pipeline_repeats": [round(a / e, 1) for a, _, e, _ in repeats],
+        "host_pipeline_host_steal_pct": [s for _, _, _, s in repeats],
+        "host_pipeline_cold_audio_sec_per_sec": round(cold_a / cold_e, 1),
+        "host_pipeline_cold_host_steal_pct": cold_steal,
         "host_pipeline_workers": num_workers,
         "host_pipeline_thread_workers": num_thread_workers,
         "host_pipeline_workers2_audio_sec_per_sec": round(workers2, 1),
         "host_pipeline_threadworkers2_audio_sec_per_sec": round(threadw2, 1),
-        "host_pipeline_methodology": "median of 3 epochs after warmup; stage spans from a separate traced epoch; workers2/threadworkers2 legs are single epochs on this 1-core host",
+        "host_pipeline_methodology": "median of 3 warm epochs after warmup (decoded-audio LRU resident); _cold_ key = one epoch after clearing all caches; stage spans from a separate traced epoch; workers2/threadworkers2 legs are single epochs on this 1-core host; *_host_steal_pct records hypervisor contention",
     }
     # Stage breakdown (seconds per span; nested spans overlap — decode/
     # transforms/fbank happen inside read_audio/assemble). With spawned
@@ -401,8 +443,26 @@ def _bucket_device_seconds(aug, reps: int = 6) -> dict:
         outs = [aug.compute(staged)[0].mean() for _ in range(reps)]
         for o in outs:
             float(o)
-        times[(bsz, t)] = (time.perf_counter() - t0) / reps
+        # Key by the STAGED shape (wire bytes, not samples) — the run loop
+        # looks shapes up from staged.audio, and for mulaw/adpcm4 the wire
+        # width differs from the sample count.
+        times[tuple(staged.audio.shape)] = (time.perf_counter() - t0) / reps
     return times
+
+
+def _safe_buckets(bin_ubs, max_duration: float, min_duration: float):
+    """Bucket (upper_bound_s, batch_size) pairs sized so NO sampler batch can
+    exceed the bucket batch size: a dynamic-bucketing batch in the bucket
+    whose durations exceed ``lo`` holds at most floor(max_duration/lo) + 1
+    items (the batch closes ON the element that crosses the budget).  Round 4
+    sized these by the AVERAGE duration and a long-window run eventually drew
+    a 29-item batch into a 28-slot bucket."""
+    buckets = []
+    lo = min_duration
+    for ub in bin_ubs:
+        buckets.append((ub, int(max_duration // lo) + 1))
+        lo = ub
+    return buckets
 
 
 def _native_wire_encoder_available(wire_format: str) -> bool:
@@ -436,14 +496,13 @@ def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
     SR = 16000
     SPEED = 1.1
 
-    # The static shape vocabulary: bucket upper bounds (seconds) and the
-    # fixed batch size each bucket pads to (+1 headroom over the duration
-    # budget because a batch closes ON its crossing element). Exactly
-    # len(BUCKETS) compiled programs serve the entire run.
+    # The static shape vocabulary: bucket upper bounds (seconds) with batch
+    # sizes guaranteed to cover ANY batch the sampler can emit (corpus draws
+    # U(4, 14) s). Exactly len(BUCKETS) compiled programs serve the run.
     if SMOKE:
         BUCKETS = [(8.0, 5), (14.0, 5)]
     else:
-        BUCKETS = [(6.0, 41), (9.0, 28), (12.0, 21), (14.0, 19)]
+        BUCKETS = _safe_buckets([6.0, 9.0, 12.0, 14.0], max_duration, 4.0)
     bin_edges = [ub for ub, _ in BUCKETS[:-1]]
 
     rng_init = np.random.RandomState(99)
@@ -493,11 +552,13 @@ def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
         dataset = K2SpeechRecognitionDataset(input_strategy=AudioSamples())
 
         def stage_batch(batch):
-            # Runs in the loader's prefetch thread: pad to the bucket shape,
-            # encode int16, and (async) device_put — the transfer of batch
-            # N+1 overlaps the device compute of batch N.
+            # Runs in the loader's prefetch thread: pad to the bucket shape
+            # and encode the wire format. The device_put happens in a
+            # separate transfer stage (transfer_stream below): on the
+            # tunneled chip the put BLOCKS its calling thread, and doing it
+            # here would serialize the wire with decode/collate.
             ns = np.asarray(batch["supervisions"]["num_samples"])
-            staged = aug.stage(np.asarray(batch["inputs"]), ns)
+            staged = aug.stage(np.asarray(batch["inputs"]), ns, transfer=False)
             return staged, float(ns.sum()) / SR
 
         # prefetch_batches=3: up to three staged batches in flight, so the
@@ -514,12 +575,14 @@ def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
         aug.precompile()
         per_shape_s = _bucket_device_seconds(aug)
 
+        from lhotse_tpu.dataset.loader import transfer_stream
+
         audio_seconds = 0.0
         n_batches = 0
         shape_counts: dict = {}
         feats = flens = None
         t0 = time.perf_counter()
-        for staged, asec in loader:
+        for staged, asec in transfer_stream(loader, lookahead=2):
             # Dispatch only (no per-batch host-side mean — ~15 ms each on
             # the tunneled chip; a training loop consumes feats on device).
             feats, flens = aug.compute(staged)
@@ -560,7 +623,7 @@ def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
         "e2e_device_busy_frac": round(min(1.0, device_busy_s / elapsed), 4),
         "e2e_device_chain": E2E_CHAIN,
         "e2e_wire_format": wire_format,
-        "e2e_staging": "prefetch_thread_device_put(3 in flight)",
+        "e2e_staging": "decode_thread(encode)+transfer_stream(device_put,2 ahead)",
     }
 
 
@@ -595,11 +658,12 @@ def bench_e2e_cached() -> dict:
     SR = 16000
     # Two buckets (vs the uncached leg's four) keep this section's tunnel
     # compile bill bounded: each bucket costs three compiles here (wire
-    # pipeline + pool-gather pipeline + pool scatter).
+    # pipeline + pool-gather pipeline + pool scatter). Batch sizes are the
+    # guaranteed sampler bounds (see _safe_buckets).
     if SMOKE:
         BUCKETS = [(8.0, 5), (14.0, 5)]
     else:
-        BUCKETS = [(9.0, 28), (14.0, 19)]
+        BUCKETS = _safe_buckets([9.0, 14.0], max_duration, 4.0)
     bin_edges = [ub for ub, _ in BUCKETS[:-1]]
 
     rng_init = np.random.RandomState(99)
@@ -637,7 +701,8 @@ def bench_e2e_cached() -> dict:
 
         def stage_fn(batch):
             ids, lens = batch_cut_info(batch)
-            return aug.stage(batch["inputs"], lens, ids=ids), float(lens.sum()) / SR
+            staged = aug.stage(batch["inputs"], lens, ids=ids, transfer=False)
+            return staged, float(lens.sum()) / SR
 
         def run_epoch(epoch_seed):
             sampler = DynamicBucketingSampler(
@@ -653,10 +718,12 @@ def bench_e2e_cached() -> dict:
             loader = DataLoader(
                 sampler, dataset, prefetch_batches=3, apply_fn=stage_fn
             )
+            from lhotse_tpu.dataset.loader import transfer_stream
+
             audio_seconds = 0.0
             n_batches = 0
             feats = flens = None
-            for staged, asec in loader:
+            for staged, asec in transfer_stream(loader, lookahead=2):
                 # Dispatch only: a per-batch ``feats.mean()`` here would cost
                 # a host-side dispatch (~15 ms each on the tunneled chip) —
                 # a real training loop consumes feats on device instead.
@@ -764,25 +831,28 @@ def bench_precomputed() -> dict:
         MIN_WINDOW_S = 0.3 if SMOKE else 8.0
         MIN_BATCHES = 5 if SMOKE else 500
         repeats = []
+        steals = []
         total_epochs = 0
-        for _ in range(1 if SMOKE else 3):
+        for _ in range(1 if SMOKE else 5):
             audio_seconds = 0.0
             n_batches = 0
-            t0 = time.perf_counter()
-            while True:
-                for batch in build_loader():
-                    n_batches += 1
-                    audio_seconds += (
-                        float(np.sum(batch["supervisions"]["num_frames"])) / 100.0
-                    )
-                total_epochs += 1
-                if (
-                    time.perf_counter() - t0 > MIN_WINDOW_S
-                    and n_batches >= MIN_BATCHES
-                ) or total_epochs >= 100:
-                    break
-            elapsed = time.perf_counter() - t0
+            with _StealMeter() as sm:
+                t0 = time.perf_counter()
+                while True:
+                    for batch in build_loader():
+                        n_batches += 1
+                        audio_seconds += (
+                            float(np.sum(batch["supervisions"]["num_frames"])) / 100.0
+                        )
+                    total_epochs += 1
+                    if (
+                        time.perf_counter() - t0 > MIN_WINDOW_S
+                        and n_batches >= MIN_BATCHES
+                    ) or total_epochs >= 150:
+                        break
+                elapsed = time.perf_counter() - t0
             repeats.append((audio_seconds / elapsed, n_batches / elapsed))
+            steals.append(sm.steal_pct)
 
     repeats.sort()
     med = repeats[len(repeats) // 2]
@@ -790,9 +860,10 @@ def bench_precomputed() -> dict:
         "precomputed_audio_sec_per_sec": round(med[0], 1),
         "precomputed_batches_per_sec": round(med[1], 3),
         "precomputed_repeats": [round(r[0], 1) for r in repeats],
+        "precomputed_host_steal_pct": steals,
         "precomputed_storage": "lilcom_chunky(.lca, LTC1 chunks)",
         "precomputed_epochs": total_epochs,
-        "precomputed_methodology": "median of 3 repeats, each >=8s and >=500 batches",
+        "precomputed_methodology": "median of 5 repeats, each >=8s and >=500 batches; *_host_steal_pct records hypervisor contention per repeat",
     }
 
 
@@ -841,8 +912,15 @@ def run_section(name: str, report: dict, retries: int = SECTION_RETRIES) -> bool
     device arrays), and its result dict merged into ``report``.  Returns
     True iff the section eventually succeeded.
     """
+    import gc
     import sys
     import traceback
+
+    # Objects surviving previous sections (compiled executables, caches)
+    # are permanent for this process: freeze them out of the collector so
+    # gen-2 sweeps don't tax later sections' Python-heavy hot loops.
+    gc.collect()
+    gc.freeze()
 
     fn = globals()[name]
     t0 = time.perf_counter()

@@ -263,6 +263,7 @@ class OnDeviceAugmenter:
         audio: np.ndarray,
         audio_lens: Union[np.ndarray, Sequence[int]],
         ids: Optional[Sequence[str]] = None,
+        transfer: bool = True,
     ) -> Union[StagedBatch, CachedBatch]:
         """
         Host-side half of :meth:`__call__`: pad ``(B, T)`` float32 (or int16)
@@ -326,7 +327,14 @@ class OnDeviceAugmenter:
         if B < B_b:
             padded[B:] = 0.0
         padded = encode_wire(padded, self.wire_format)
-        staged = StagedBatch(jax.device_put(padded), lens, kwargs)
+        # transfer=False leaves the wire bytes on host (StagedBatch.audio is
+        # then numpy) for a downstream transfer stage: on hosts where
+        # jax.device_put blocks the calling thread (e.g. a tunneled device),
+        # running the put on the decode thread would serialize transfer with
+        # assembly — see transfer_stream() in dataset/loader.py.
+        staged = StagedBatch(
+            jax.device_put(padded) if transfer else padded, lens, kwargs
+        )
         if cache is not None and ids is not None:
             staged.bucket_t = T_b
             staged.insert_slots = cache.reserve(ids, T_b, B_b, self.sampling_rate)

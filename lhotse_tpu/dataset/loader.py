@@ -483,6 +483,54 @@ def _tree_device_put(batch, sharding=None):
     return jax.tree_util.tree_map(put, batch)
 
 
+def transfer_stream(
+    staged_batches: Iterable, lookahead: int = 2, put=None
+) -> Iterator:
+    """
+    Dedicated host→device transfer stage for
+    :class:`~lhotse_tpu.dataset.device_augment.StagedBatch` pipelines built
+    with ``OnDeviceAugmenter.stage(..., transfer=False)``: keeps up to
+    ``lookahead`` batches' ``jax.device_put`` ahead of the consumer, so on
+    hosts where the put blocks its calling thread (tunneled devices) the
+    transfer overlaps the producer thread's decode/collate/encode instead of
+    serializing with it.  Items may be bare staged batches or ``(staged,
+    aux...)`` tuples; anything without a numpy ``audio`` attribute (e.g.
+    fully cache-resident :class:`CachedBatch`) passes through untouched.
+
+    :param put: override for ``jax.device_put`` (e.g. to pin a device).
+    """
+    import collections
+
+    import numpy as np
+
+    if put is None:
+        import jax
+
+        put = jax.device_put
+
+    def _transfer(item):
+        staged = item[0] if isinstance(item, tuple) else item
+        audio = getattr(staged, "audio", None)
+        if isinstance(audio, np.ndarray):
+            staged.audio = put(audio)
+        return item
+
+    buf = collections.deque()
+    it = iter(staged_batches)
+    try:
+        for _ in range(max(lookahead, 1)):
+            buf.append(_transfer(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(_transfer(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 def device_prefetch(batches: Iterable, size: int = 2, sharding=None) -> Iterator:
     """
     Double-buffered host→device staging: eagerly ``device_put`` up to

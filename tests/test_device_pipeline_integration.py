@@ -142,3 +142,37 @@ def test_adpcm4_staging_uses_native_encoder(monkeypatch):
     feats, feat_lens = aug.compute(staged)
     assert calls["n"] == 1
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_transfer_stream_moves_staged_audio_and_passes_cached_through():
+    """transfer_stream: numpy StagedBatch.audio gets device_put ahead of the
+    consumer; items without numpy audio (CachedBatch-like) pass through."""
+    from lhotse_tpu.dataset.loader import transfer_stream
+
+    aug = OnDeviceAugmenter([(1.0, 2)], gain_range=None, wire_format="int16")
+    audio = (np.random.RandomState(0).randn(2, SR) * 0.1).astype(np.float32)
+
+    puts = {"n": 0}
+
+    def fake_put(x):
+        puts["n"] += 1
+        import jax
+
+        return jax.device_put(x)
+
+    items = []
+    for _ in range(3):
+        staged = aug.stage(audio, np.array([SR, SR]), transfer=False)
+        assert isinstance(staged.audio, np.ndarray)  # still host-side
+        items.append((staged, 2.0))
+
+    class NoAudio:  # CachedBatch stand-in
+        pass
+
+    items.append((NoAudio(), 1.0))
+    out = list(transfer_stream(iter(items), lookahead=2, put=fake_put))
+    assert len(out) == 4 and puts["n"] == 3
+    for staged, asec in out[:3]:
+        assert not isinstance(staged.audio, np.ndarray)
+        feats, flens = aug.compute(staged)
+        assert np.isfinite(np.asarray(feats)).all()
