@@ -450,21 +450,6 @@ def _bucket_device_seconds(aug, reps: int = 6) -> dict:
     return times
 
 
-def _safe_buckets(bin_ubs, max_duration: float, min_duration: float):
-    """Bucket (upper_bound_s, batch_size) pairs sized so NO sampler batch can
-    exceed the bucket batch size: a dynamic-bucketing batch in the bucket
-    whose durations exceed ``lo`` holds at most floor(max_duration/lo) + 1
-    items (the batch closes ON the element that crosses the budget).  Round 4
-    sized these by the AVERAGE duration and a long-window run eventually drew
-    a 29-item batch into a 28-slot bucket."""
-    buckets = []
-    lo = min_duration
-    for ub in bin_ubs:
-        buckets.append((ub, int(max_duration // lo) + 1))
-        lo = ub
-    return buckets
-
-
 def _native_wire_encoder_available(wire_format: str) -> bool:
     """True when encode_wire(wire_format) takes the C kernel (host_dsp)."""
     try:
@@ -496,13 +481,17 @@ def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
     SR = 16000
     SPEED = 1.1
 
-    # The static shape vocabulary: bucket upper bounds (seconds) with batch
-    # sizes guaranteed to cover ANY batch the sampler can emit (corpus draws
-    # U(4, 14) s). Exactly len(BUCKETS) compiled programs serve the run.
+    # The static shape vocabulary: bucket upper bounds (seconds) and fixed
+    # batch sizes. The sampler runs under FixedBucketBatchSizeConstraint
+    # over the SAME vocabulary, so no batch can ever exceed its bucket
+    # (round 4 paired these buckets with a duration budget instead, and a
+    # long-window run eventually drew an oversized batch) while batches
+    # stay tightly packed. Exactly len(BUCKETS) compiled programs serve the
+    # entire run.
     if SMOKE:
         BUCKETS = [(8.0, 5), (14.0, 5)]
     else:
-        BUCKETS = _safe_buckets([6.0, 9.0, 12.0, 14.0], max_duration, 4.0)
+        BUCKETS = [(6.0, 41), (9.0, 28), (12.0, 21), (14.0, 19)]
     bin_edges = [ub for ub, _ in BUCKETS[:-1]]
 
     rng_init = np.random.RandomState(99)
@@ -538,10 +527,18 @@ def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
     with tempfile.TemporaryDirectory() as tmp:
         root = Path(tmp)
         cuts_path, _ = _synthesize_corpus(root, n_rec, n_noise=1)
+        from lhotse_tpu.dataset.sampling.dynamic_bucketing import (
+            FixedBucketBatchSizeConstraint,
+        )
+
         cuts = CutSet.from_jsonl_lazy(cuts_path)
         sampler = DynamicBucketingSampler(
             cuts,
-            max_duration=max_duration,
+            constraint=FixedBucketBatchSizeConstraint(
+                max_seq_len_buckets=[ub for ub, _ in BUCKETS],
+                batch_sizes=[bsz for _, bsz in BUCKETS],
+            ),
+            num_buckets=None,
             duration_bins=bin_edges,
             buffer_size=max(n_rec, 16),
             shuffle=True,
@@ -658,12 +655,13 @@ def bench_e2e_cached() -> dict:
     SR = 16000
     # Two buckets (vs the uncached leg's four) keep this section's tunnel
     # compile bill bounded: each bucket costs three compiles here (wire
-    # pipeline + pool-gather pipeline + pool scatter). Batch sizes are the
-    # guaranteed sampler bounds (see _safe_buckets).
+    # pipeline + pool-gather pipeline + pool scatter). The sampler runs
+    # under FixedBucketBatchSizeConstraint over the same vocabulary, so no
+    # batch can exceed its bucket.
     if SMOKE:
         BUCKETS = [(8.0, 5), (14.0, 5)]
     else:
-        BUCKETS = _safe_buckets([9.0, 14.0], max_duration, 4.0)
+        BUCKETS = [(9.0, 28), (14.0, 19)]
     bin_edges = [ub for ub, _ in BUCKETS[:-1]]
 
     rng_init = np.random.RandomState(99)
@@ -704,10 +702,18 @@ def bench_e2e_cached() -> dict:
             staged = aug.stage(batch["inputs"], lens, ids=ids, transfer=False)
             return staged, float(lens.sum()) / SR
 
+        from lhotse_tpu.dataset.sampling.dynamic_bucketing import (
+            FixedBucketBatchSizeConstraint,
+        )
+
         def run_epoch(epoch_seed):
             sampler = DynamicBucketingSampler(
                 CutSet.from_jsonl_lazy(cuts_path),
-                max_duration=max_duration,
+                constraint=FixedBucketBatchSizeConstraint(
+                    max_seq_len_buckets=[ub for ub, _ in BUCKETS],
+                    batch_sizes=[bsz for _, bsz in BUCKETS],
+                ),
+                num_buckets=None,
                 duration_bins=bin_edges,
                 buffer_size=max(n_rec, 16),
                 shuffle=True,
