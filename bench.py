@@ -163,7 +163,14 @@ def bench_device() -> dict:
         fm[i, s : s + rng.randint(0, 27)] = True
     time_mask, freq_mask = jnp.asarray(tm), jnp.asarray(fm)
 
+    import sys
+
+    t_w = time.perf_counter()
     float(fn(audio, gains, noise, snr, time_mask, freq_mask))  # warmup/compile
+    print(
+        f"[bench]   device warmup/compile: {time.perf_counter() - t_w:.1f}s",
+        file=sys.stderr,
+    )
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -198,7 +205,12 @@ def bench_device() -> dict:
         fn_wire = jax.jit(pipeline_wire)
         host_batches = [encode_wire(rb, fmt) for rb in raw_batches]
         # warmup/compile (untimed)
+        t_w = time.perf_counter()
         float(fn_wire(jax.device_put(host_batches[0]), gains, noise, snr, time_mask, freq_mask))
+        print(
+            f"[bench]   wire[{fmt}] warmup/compile: {time.perf_counter() - t_w:.1f}s",
+            file=sys.stderr,
+        )
         outs = []
         t0 = time.perf_counter()
         for hb in host_batches:

@@ -39,6 +39,16 @@ JUDGE_RERUNS = {
 }
 
 
+def load_extra_captures():
+    """Builder-captured full runs committed under docs/ (e.g. the round-5
+    capture taken before the driver's official run)."""
+    extras = {}
+    cap = REPO / "docs" / "bench_r5_capture.json"
+    if cap.is_file():
+        extras["r5 (builder capture)"] = json.loads(cap.read_text())
+    return extras
+
+
 def load_rounds():
     rows = {}
     for p in sorted(REPO.glob("BENCH_r*.json")):
@@ -50,6 +60,7 @@ def load_rounds():
         else:
             rows[name] = parsed
     rows.update(JUDGE_RERUNS)
+    rows.update(load_extra_captures())
     return rows
 
 
