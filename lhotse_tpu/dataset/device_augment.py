@@ -143,6 +143,7 @@ class OnDeviceAugmenter:
         self.mix_prob = float(mix_prob)
         self.rir = None if rir is None else np.asarray(rir, np.float32)
         self.wire_format = wire_format
+        self._seed = int(seed)
         self._rng = np.random.RandomState(seed)
         self.specaugment = specaugment
         fbank = resolve_fbank_layer(fbank, self.sampling_rate)
@@ -198,9 +199,21 @@ class OnDeviceAugmenter:
         if staged is None:
             pool = self._noise_host
             n, tn = pool.shape
-            rows = self._rng.randint(0, n, size=batch_size)
+            # Shape-keyed RNG, NOT the sequential per-batch stream: the
+            # staging draw happens once per shape at an order-dependent
+            # point (first batch of that bucket, or precompile), and pulling
+            # it from self._rng would make every later gain/SNR draw depend
+            # on bucket-arrival order — breaking bit-exact mid-epoch resume
+            # (state_dict restores the stream, not which shapes were staged).
+            shape_rng = np.random.RandomState(
+                np.array(
+                    [self._seed & 0x7FFFFFFF, batch_size, t_perturbed],
+                    dtype=np.uint32,
+                )
+            )
+            rows = shape_rng.randint(0, n, size=batch_size)
             if tn >= t_perturbed:
-                starts = self._rng.randint(0, tn - t_perturbed + 1, size=batch_size)
+                starts = shape_rng.randint(0, tn - t_perturbed + 1, size=batch_size)
                 sel = np.stack(
                     [pool[r, s : s + t_perturbed] for r, s in zip(rows, starts)]
                 )
@@ -227,6 +240,27 @@ class OnDeviceAugmenter:
                 ids = [f"__precompile_{bi}_{k}__" for k in range(bsz)]
                 self.compute(self.stage(zeros, lens, ids=ids))  # miss+insert
                 self.compute(self.stage(zeros, lens, ids=ids))  # cached path
+
+    def state_dict(self) -> dict:
+        """Checkpoint the augmentation randomness: the per-batch host RNG
+        (gains / SNR / mix mask / noise-pool slot draws) plus the attached
+        SpecAugment transform's state. Together with the sampler's
+        ``state_dict`` this makes a mid-epoch resume reproduce the exact
+        batch-and-augmentation stream (the device pipeline itself is
+        deterministic given these draws)."""
+        sd = {"rng_state": self._rng.get_state()}
+        if self.specaugment is not None and hasattr(self.specaugment, "state_dict"):
+            sd["specaugment"] = self.specaugment.state_dict()
+        return sd
+
+    def load_state_dict(self, state_dict: dict) -> None:
+        self._rng.set_state(state_dict["rng_state"])
+        if (
+            self.specaugment is not None
+            and "specaugment" in state_dict
+            and hasattr(self.specaugment, "load_state_dict")
+        ):
+            self.specaugment.load_state_dict(state_dict["specaugment"])
 
     def _draw_kwargs(self, B_b: int, T_b: int) -> dict:
         """Per-batch augmentation draws (host RNG) + shared device assets."""
