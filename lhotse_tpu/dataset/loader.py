@@ -113,7 +113,14 @@ class DataLoader:
         there). Mutually exclusive with ``num_workers``.
     :param prefetch_batches: bound on in-flight assembled batches (per worker
         when ``num_workers >= 1``).
-    :param apply_fn: optional post-processing applied where assembly runs.
+    :param apply_fn: optional post-processing applied where assembly runs
+        (inside the spawned workers when ``num_workers >= 1`` — it must be
+        picklable there).
+    :param main_apply_fn: optional post-processing applied in the MAIN
+        process to each batch as it is yielded, after ``apply_fn``. Use for
+        steps that cannot cross a process boundary — e.g. device staging
+        (``OnDeviceAugmenter.stage``) over process workers, typically
+        followed by :func:`transfer_stream`.
     :param worker_dedup: "batch" (stride batches across workers; exact
         single-process order — requires a deterministic sampler seed) or
         "partition" (per-worker source partition via the rank/worker
@@ -128,7 +135,8 @@ class DataLoader:
         self, sampler: Iterable, dataset: Any, prefetch_batches: int = 2,
         apply_fn: Optional[Callable[[Any], Any]] = None, num_workers: int = 0,
         num_thread_workers: int = 0, worker_dedup: str = "batch", seed: int = 42,
-        worker_jax_platform: str = "cpu"):
+        worker_jax_platform: str = "cpu",
+        main_apply_fn: Optional[Callable[[Any], Any]] = None):
         if worker_dedup not in ("batch", "partition"):
             raise ValueError(f"worker_dedup must be 'batch' or 'partition', got {worker_dedup!r}")
         if num_workers and num_thread_workers:
@@ -136,6 +144,21 @@ class DataLoader:
                 "num_workers (processes) and num_thread_workers are mutually "
                 "exclusive assembly modes."
             )
+        if num_workers >= 1 and apply_fn is not None:
+            # Spawned workers receive apply_fn by pickling; failing here with
+            # guidance beats the raw "Can't get local object" at start().
+            import pickle
+
+            try:
+                pickle.dumps(apply_fn)
+            except Exception as e:
+                raise ValueError(
+                    "apply_fn must be picklable when num_workers >= 1 (it "
+                    f"runs inside spawned worker processes): {e}. Define it "
+                    "at module level, or pass it as main_apply_fn to run it "
+                    "in the main process instead (the right place for device "
+                    "staging like OnDeviceAugmenter.stage)."
+                ) from e
         self.sampler = sampler
         self.dataset = dataset
         self.prefetch_batches = max(int(prefetch_batches), 0)
@@ -145,6 +168,7 @@ class DataLoader:
         self.worker_dedup = worker_dedup
         self.seed = seed
         self.worker_jax_platform = worker_jax_platform
+        self.main_apply_fn = main_apply_fn
 
     def state_dict(self) -> Dict[str, Any]:
         """
@@ -461,10 +485,14 @@ class DataLoader:
         if getattr(self, "_last_yielded_state", None) is None:
             self._last_yielded_state = self._snapshot_sampler()
         if self.num_workers >= 1:
-            return self._iter_multiprocess()
-        if self.num_thread_workers >= 1:
-            return self._iter_threadpool()
-        return self._iter_threaded()
+            it = self._iter_multiprocess()
+        elif self.num_thread_workers >= 1:
+            it = self._iter_threadpool()
+        else:
+            it = self._iter_threaded()
+        if self.main_apply_fn is None:
+            return it
+        return map(self.main_apply_fn, it)
 
 
 def _tree_device_put(batch, sharding=None):

@@ -176,3 +176,71 @@ def test_transfer_stream_moves_staged_audio_and_passes_cached_through():
         assert not isinstance(staged.audio, np.ndarray)
         feats, flens = aug.compute(staged)
         assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_unpicklable_apply_fn_with_process_workers_raises_clear_error(corpus_6cuts=None):
+    """A local-closure apply_fn cannot cross the spawn boundary; the loader
+    must fail at construction with guidance, not with pickle's raw
+    "Can't get local object" at worker start."""
+    from lhotse_tpu.dataset.loader import DataLoader
+
+    aug = OnDeviceAugmenter([(1.0, 2)], gain_range=None)
+
+    def stage_fn(batch):  # local closure: unpicklable
+        return aug.stage(batch["inputs"], batch["supervisions"]["num_samples"])
+
+    with pytest.raises(ValueError, match="main_apply_fn"):
+        DataLoader(object(), object(), num_workers=2, apply_fn=stage_fn)
+
+
+def test_main_apply_fn_stages_in_parent_over_process_workers(tmp_path):
+    """Full staged pipeline over SPAWNED workers: assembly in workers,
+    staging (unpicklable augmenter closure) in the parent via main_apply_fn,
+    transfer via transfer_stream — every cut accounted for."""
+    from lhotse_tpu import CutSet, Recording, SupervisionSegment
+    from lhotse_tpu.audio.wavio import write_wav
+    from lhotse_tpu.dataset.loader import DataLoader, transfer_stream
+    from lhotse_tpu.dataset.sampling.dynamic_bucketing import (
+        DynamicBucketingSampler,
+        FixedBucketBatchSizeConstraint,
+    )
+    from lhotse_tpu.dataset.speech_recognition import K2SpeechRecognitionDataset
+    from lhotse_tpu.dataset.input_strategies import AudioSamples
+
+    rng = np.random.RandomState(0)
+    cuts = []
+    for i in range(6):
+        n = int(SR * float(rng.uniform(0.3, 0.9)))
+        p = tmp_path / f"u{i}.wav"
+        write_wav(str(p), (rng.randn(n) * 0.1).astype(np.float32), SR)
+        c = Recording.from_file(p).to_cut()
+        c.supervisions.append(
+            SupervisionSegment(id=f"s{i}", recording_id=c.recording_id,
+                               start=0.0, duration=c.duration, text="x")
+        )
+        cuts.append(c)
+    cuts_path = tmp_path / "cuts.jsonl"
+    CutSet.from_cuts(cuts).to_file(cuts_path)
+
+    aug = OnDeviceAugmenter([(1.0, 3)], gain_range=(0.9, 1.1), wire_format="int16")
+
+    def stage_fn(batch):
+        ns = np.asarray(batch["supervisions"]["num_samples"])
+        return aug.stage(np.asarray(batch["inputs"]), ns, transfer=False)
+
+    sampler = DynamicBucketingSampler(
+        CutSet.from_jsonl_lazy(cuts_path),
+        constraint=FixedBucketBatchSizeConstraint([1.0], [3]),
+        num_buckets=None, duration_bins=[], buffer_size=8,
+        shuffle=False, seed=0, world_size=1, rank=0,
+    )
+    loader = DataLoader(
+        sampler, K2SpeechRecognitionDataset(input_strategy=AudioSamples()),
+        num_workers=1, main_apply_fn=stage_fn, prefetch_batches=2,
+    )
+    total = 0
+    for staged in transfer_stream(loader):
+        feats, flens = aug.compute(staged)
+        assert np.isfinite(np.asarray(feats)).all()
+        total += int((np.asarray(flens) > 0).sum())
+    assert total == 6
