@@ -895,13 +895,17 @@ def bench_precomputed() -> dict:
 # records were lost to a single unprotected crash (driver contract:
 # /root/repo/BASELINE.json; the driver parses the LAST JSON line of stdout).
 # ---------------------------------------------------------------------------
+# CPU-only sections run FIRST: they emit a parseable record within ~2
+# minutes and measure the host before the TPU runtime spins up; the device
+# sections follow (on the tunneled chip their compiles can take many
+# minutes, and 2 of the first 4 round records died before any output).
 SECTION_NAMES = (
-    "bench_device",
+    "bench_precomputed",
     "bench_host_pipeline",
+    "bench_device",
     "bench_e2e_tpu",
     "bench_e2e_tpu_adpcm4",
     "bench_e2e_cached",
-    "bench_precomputed",
 )
 SECTION_RETRIES = 3
 PARTIAL_PATH = Path(__file__).parent / ".bench_partial.json"
@@ -994,11 +998,16 @@ def main() -> int:
         "device_chain": DEVICE_CHAIN,
     }
     any_ok = False
-    for name in SECTION_NAMES:
+    for i, name in enumerate(SECTION_NAMES):
         ok = run_section(name, report)
         any_ok = any_ok or ok
         if name == "bench_device" and ok:
             report["vs_baseline"] = round(report["value"] / 10000.0, 3)
+        report["status"] = (
+            "complete"
+            if i + 1 == len(SECTION_NAMES)
+            else f"partial({i + 1}/{len(SECTION_NAMES)} sections)"
+        )
         emit(report)
     # Exit 0 whenever ANY section produced a number: a partial record beats
     # a null one, and the final emit above is the line the driver parses.

@@ -126,8 +126,12 @@ def test_partial_snapshot_after_each_section(bench, capsys):
     lines = all_json_lines(capsys.readouterr().out)
     for snap in lines:
         assert "value" in snap and "metric" in snap and "unit" in snap
-    # The first emission (right after bench_device) already has the number.
-    assert lines[0]["value"] == 12345.0
+    # Every emission is self-describing about completeness.
+    assert lines[-1]["status"] == "complete"
+    assert all("partial" in l["status"] for l in lines[:-1])
+    # bench_device's number is present from its section onward.
+    dev_idx = bench.SECTION_NAMES.index("bench_device")
+    assert lines[dev_idx]["value"] == 12345.0
     # The on-disk mirror matches the final line.
     on_disk = json.loads(bench.PARTIAL_PATH.read_text())
     assert on_disk == lines[-1]
