@@ -718,6 +718,14 @@ def bench_e2e_cached() -> dict:
             FixedBucketBatchSizeConstraint,
         )
 
+        from lhotse_tpu.dataset.device_augment import CachedBatch
+
+        # Steps-per-dispatch: group GROUP cache-resident batches of the same
+        # bucket into ONE device program (compute_grouped) — the cached loop
+        # is dispatch-round-trip-bound on the tunneled chip (host side
+        # measures ~3 ms/batch; a dispatch costs ~15-20 ms there).
+        GROUP = 1 if SMOKE else 4
+
         def run_epoch(epoch_seed):
             sampler = DynamicBucketingSampler(
                 CutSet.from_jsonl_lazy(cuts_path),
@@ -741,13 +749,23 @@ def bench_e2e_cached() -> dict:
             audio_seconds = 0.0
             n_batches = 0
             feats = flens = None
+            pending = {}
             for staged, asec in transfer_stream(loader, lookahead=2):
-                # Dispatch only: a per-batch ``feats.mean()`` here would cost
-                # a host-side dispatch (~15 ms each on the tunneled chip) —
-                # a real training loop consumes feats on device instead.
-                feats, flens = aug.compute(staged)
                 n_batches += 1
                 audio_seconds += asec
+                if isinstance(staged, CachedBatch) and GROUP > 1:
+                    q = pending.setdefault(staged.bucket_t, [])
+                    q.append(staged)
+                    if len(q) >= GROUP:
+                        feats, flens = aug.compute_grouped(q)[-1]
+                        q.clear()
+                else:
+                    # miss/transfer path (epoch 1, evictions): dispatch as-is
+                    feats, flens = aug.compute(staged)
+            for q in pending.values():
+                # leftovers reuse the already-compiled single-batch program
+                for staged in q:
+                    feats, flens = aug.compute(staged)
             # Executions are in-order on the device stream: fetching the LAST
             # batch's (tiny) feat_lens output proves every batch ran; the
             # final mean guards finiteness of the last program's math.
@@ -789,7 +807,7 @@ def bench_e2e_cached() -> dict:
         "e2e_cached_hit_rate": round(stats["hit_rate"], 4),
         "e2e_cached_pool_mb": round(stats["memory_bytes"] / 1e6, 1),
         "e2e_cached_chain": E2E_CHAIN,
-        "e2e_cached_methodology": "median of 3 repeats, each >=8s of epochs",
+        "e2e_cached_methodology": "median of 3 repeats, each >=8s of epochs; cache-hit batches grouped 4-per-dispatch (compute_grouped)",
     }
 
 

@@ -241,6 +241,41 @@ class OnDeviceAugmenter:
                 self.compute(self.stage(zeros, lens, ids=ids))  # miss+insert
                 self.compute(self.stage(zeros, lens, ids=ids))  # cached path
 
+    def compute_grouped(self, staged_batches):
+        """Run ``k`` cache-resident batches of the SAME bucket as ONE device
+        program over a ``k*B`` mega-batch, returning per-batch ``(feats,
+        feat_lens)`` views.  One dispatch instead of ``k``: on hosts with
+        high dispatch latency (remote/tunneled devices) the cached loop is
+        round-trip-bound, and the larger batch also utilizes the MXU better.
+        Each distinct (bucket, k) costs one extra compile — pick one ``k``
+        and flush leftovers through :meth:`compute`.
+        """
+        assert staged_batches, "compute_grouped needs at least one batch"
+        if len(staged_batches) == 1:
+            return [self.compute(staged_batches[0])]
+        t0 = staged_batches[0].bucket_t
+        assert all(isinstance(s, CachedBatch) for s in staged_batches), (
+            "compute_grouped handles cache-resident batches; transfer-path "
+            "batches go through compute()"
+        )
+        assert all(s.bucket_t == t0 for s in staged_batches), (
+            "grouped batches must share one bucket shape"
+        )
+        slots = np.concatenate([s.slots for s in staged_batches])
+        lens = np.concatenate([s.lens for s in staged_batches])
+        keys = staged_batches[0].kwargs.keys()
+        kwargs = {
+            k: np.concatenate([np.asarray(s.kwargs[k]) for s in staged_batches])
+            for k in keys
+        }
+        merged = CachedBatch(t0, slots, lens, kwargs)
+        feats, feat_lens = self.compute(merged)
+        B = len(staged_batches[0].slots)
+        return [
+            (feats[i * B : (i + 1) * B], feat_lens[i * B : (i + 1) * B])
+            for i in range(len(staged_batches))
+        ]
+
     def state_dict(self) -> dict:
         """Checkpoint the augmentation randomness: the per-batch host RNG
         (gains / SNR / mix mask / noise-pool slot draws) plus the attached

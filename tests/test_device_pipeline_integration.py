@@ -244,3 +244,41 @@ def test_main_apply_fn_stages_in_parent_over_process_workers(tmp_path):
         assert np.isfinite(np.asarray(feats)).all()
         total += int((np.asarray(flens) > 0).sum())
     assert total == 6
+
+
+def test_compute_grouped_matches_per_batch_compute():
+    """k same-bucket cache-resident batches through ONE device program must
+    produce bit-identical features to k separate compute() calls (all chain
+    ops are row-independent; masks fill with per-example means)."""
+    from lhotse_tpu.dataset.device_cache import DeviceSampleCache
+
+    rng = np.random.RandomState(0)
+    cache = DeviceSampleCache(capacity_seconds=600)
+    aug = OnDeviceAugmenter(
+        [(1.0, 2)], gain_range=(0.8, 1.2),
+        noise_pool=(rng.randn(2, SR) * 0.05).astype(np.float32),
+        snr=(10, 20), mix_prob=1.0, wire_format="int16",
+        seed=0, sample_cache=cache,
+        specaugment=__import__("lhotse_tpu.dataset.signal_transforms",
+                               fromlist=["SpecAugment"]).SpecAugment(seed=0),
+    )
+    audios = [(rng.randn(2, SR) * 0.1).astype(np.float32) for _ in range(3)]
+    ids = [[f"c{g}_{i}" for i in range(2)] for g in range(3)]
+    lens = np.array([SR, SR - 160])
+    # first pass: transfer + pool insert
+    for a, idg in zip(audios, ids):
+        aug.compute(aug.stage(a, lens, ids=idg))
+    # second pass: all cache-resident -> CachedBatch
+    staged = []
+    for a, idg in zip(audios, ids):
+        s = aug.stage(a, lens, ids=idg)
+        from lhotse_tpu.dataset.device_augment import CachedBatch
+        assert isinstance(s, CachedBatch), "expected cache hit on second pass"
+        staged.append(s)
+
+    grouped = aug.compute_grouped(staged)
+    for s, (gf, gl) in zip(staged, grouped):
+        # same RNG draws (kwargs captured at stage time) -> identical math
+        f, l = aug.compute(s)
+        np.testing.assert_array_equal(np.asarray(l), np.asarray(gl))
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(gf))
