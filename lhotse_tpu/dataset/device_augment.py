@@ -226,10 +226,22 @@ class OnDeviceAugmenter:
 
     # -- execution --------------------------------------------------------------
 
-    def precompile(self) -> None:
+    def precompile(self, group: int = 1) -> None:
         """Compile every bucket program outside the hot loop (with a sample
         cache attached, the cached gather program per bucket too — the
-        warmup rows land in ring slots and are evicted naturally)."""
+        warmup rows land in ring slots and are evicted naturally).
+
+        ``group > 1`` additionally compiles the :meth:`compute_grouped`
+        mega-batch program (``group * B`` rows) per bucket — callers that
+        group cache-hit batches MUST warm that shape here, or the first
+        grouped dispatch pays a full XLA compile inside their hot loop
+        (minutes on a tunneled device).
+
+        RNG-neutral: the warmup dispatches draw (and discard) per-batch
+        augmentation randomness, so the stream state is snapshotted and
+        restored — two pipelines that precompile with different ``group``
+        values still produce identical augmentation for identical data."""
+        rng_snapshot = self.state_dict()
         for bi, (ub, bsz) in enumerate(self.buckets):
             t = int(ub * self.sampling_rate)
             zeros = np.zeros((bsz, t), np.float32)
@@ -240,6 +252,11 @@ class OnDeviceAugmenter:
                 ids = [f"__precompile_{bi}_{k}__" for k in range(bsz)]
                 self.compute(self.stage(zeros, lens, ids=ids))  # miss+insert
                 self.compute(self.stage(zeros, lens, ids=ids))  # cached path
+                if group > 1:
+                    self.compute_grouped(
+                        [self.stage(zeros, lens, ids=ids) for _ in range(group)]
+                    )
+        self.load_state_dict(rng_snapshot)
 
     def compute_grouped(self, staged_batches):
         """Run ``k`` cache-resident batches of the SAME bucket as ONE device

@@ -262,6 +262,10 @@ def test_compute_grouped_matches_per_batch_compute():
         specaugment=__import__("lhotse_tpu.dataset.signal_transforms",
                                fromlist=["SpecAugment"]).SpecAugment(seed=0),
     )
+    # group=3 warms the mega-batch program up front (the production pattern:
+    # grouped shapes must compile OUTSIDE the hot loop) and must not disturb
+    # the math below.
+    aug.precompile(group=3)
     audios = [(rng.randn(2, SR) * 0.1).astype(np.float32) for _ in range(3)]
     ids = [[f"c{g}_{i}" for i in range(2)] for g in range(3)]
     lens = np.array([SR, SR - 160])
