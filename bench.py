@@ -439,17 +439,32 @@ def bench_host_pipeline() -> dict:
 #    framework is built around: shape-bucketed batches -> one compiled
 #    program per bucket).
 # ---------------------------------------------------------------------------
-def _bucket_device_seconds(aug, reps: int = 6) -> dict:
-    """Per-bucket device seconds per batch, measured after compilation by
+def _bucket_device_seconds(aug, reps: int = 6, group: int = 1) -> dict:
+    """Per-bucket device seconds per DISPATCH, measured after compilation by
     dispatching ``reps`` executions and fetching their scalars at the end
     (executions serialize on the device stream, so the window covers them
-    all). Keyed by the staged (batch, samples) shape."""
+    all). Keyed by the staged (batch, samples) shape; with ``group > 1`` the
+    grouped mega-batch program is timed (one dispatch covers ``group``
+    batches)."""
     times = {}
     for ub, bsz in aug.buckets:
         t = int(ub * aug.sampling_rate)
-        staged = aug.stage(
-            np.zeros((bsz, t), np.float32), np.full(bsz, t, np.int64)
-        )
+        zeros = np.zeros((bsz, t), np.float32)
+        lens = np.full(bsz, t, np.int64)
+        if group > 1:
+            staged = [aug.stage(zeros, lens) for _ in range(group)]
+            aug.compute_grouped(staged)  # warm
+            t0 = time.perf_counter()
+            outs = [
+                aug.compute_grouped(staged)[-1][0].mean() for _ in range(reps)
+            ]
+            for o in outs:
+                float(o)
+            times[tuple(staged[0].audio.shape)] = (
+                time.perf_counter() - t0
+            ) / reps
+            continue
+        staged = aug.stage(zeros, lens)
         float(aug.compute(staged)[0].mean())  # warm
         t0 = time.perf_counter()
         outs = [aug.compute(staged)[0].mean() for _ in range(reps)]
@@ -580,25 +595,47 @@ def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
         # Pre-compile every bucket shape outside the timed region (standard
         # practice; on the tunneled chip each compile costs tens of seconds)
         # and estimate each bucket program's device time for the duty-cycle
-        # report.
-        aug.precompile()
-        per_shape_s = _bucket_device_seconds(aug)
+        # report. GROUP batches of one bucket share a single device dispatch
+        # (compute_grouped): on the tunneled chip the fresh loop is
+        # round-trip-bound like the cached one — each dispatch costs
+        # ~15-20 ms there regardless of batch size.
+        GROUP = 1 if SMOKE else 4
+        aug.precompile(group=GROUP)
+        per_shape_s = _bucket_device_seconds(aug, group=GROUP)
 
         from lhotse_tpu.dataset.loader import transfer_stream
 
         audio_seconds = 0.0
         n_batches = 0
-        shape_counts: dict = {}
+        dispatch_counts: dict = {}
+        pending: dict = {}
         feats = flens = None
         t0 = time.perf_counter()
-        for staged, asec in transfer_stream(loader, lookahead=2):
+        for staged, asec in transfer_stream(loader, lookahead=2 * GROUP):
             # Dispatch only (no per-batch host-side mean — ~15 ms each on
             # the tunneled chip; a training loop consumes feats on device).
-            feats, flens = aug.compute(staged)
             n_batches += 1
             audio_seconds += asec
             shape = tuple(staged.audio.shape)
-            shape_counts[shape] = shape_counts.get(shape, 0) + 1
+            if GROUP > 1:
+                q = pending.setdefault(shape, [])
+                q.append(staged)
+                if len(q) >= GROUP:
+                    feats, flens = aug.compute_grouped(q)[-1]
+                    q.clear()
+                    dispatch_counts[shape] = dispatch_counts.get(shape, 0) + 1
+            else:
+                feats, flens = aug.compute(staged)
+                dispatch_counts[shape] = dispatch_counts.get(shape, 0) + 1
+        for q in pending.values():
+            # Leftovers reuse the already-compiled single-batch program; the
+            # duty estimate books them at one grouped dispatch's cost (an
+            # overestimate of busy time for a handful of batches at most).
+            for staged in q:
+                feats, flens = aug.compute(staged)
+            if q:
+                shape = tuple(q[0].audio.shape)
+                dispatch_counts[shape] = dispatch_counts.get(shape, 0) + 1
         # In-order device stream: the LAST batch's (tiny) feat_lens output
         # being ready proves every prior execution ran to completion.
         assert int(np.asarray(flens).max()) > 0
@@ -606,7 +643,7 @@ def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
         elapsed = time.perf_counter() - t0
 
     device_busy_s = sum(
-        per_shape_s.get(shape, 0.0) * n for shape, n in shape_counts.items()
+        per_shape_s.get(shape, 0.0) * n for shape, n in dispatch_counts.items()
     )
     if key_suffix:
         # Secondary wire-format pass: throughput + duty cycle.
@@ -632,7 +669,10 @@ def bench_e2e_tpu(wire_format: str = "int16", key_suffix: str = "") -> dict:
         "e2e_device_busy_frac": round(min(1.0, device_busy_s / elapsed), 4),
         "e2e_device_chain": E2E_CHAIN,
         "e2e_wire_format": wire_format,
-        "e2e_staging": "decode_thread(encode)+transfer_stream(device_put,2 ahead)",
+        "e2e_staging": (
+            "decode_thread(encode)+transfer_stream(device_put)"
+            "+grouped_dispatch(4 batches/program)"
+        ),
     }
 
 

@@ -101,6 +101,9 @@ def resample_array(
 
     rows = [host_dsp.sinc_resample(row, num_blocks, kernel, o) for row in x]
     if all(r is not None for r in rows):
+        if num_wavs == 1:
+            # Mono hot path: the trimmed row is a contiguous view — no copy.
+            return rows[0][:target_length].reshape(shape[:-1] + (target_length,))
         out = np.stack([r[:target_length] for r in rows])
         return out.reshape(shape[:-1] + (target_length,))
 

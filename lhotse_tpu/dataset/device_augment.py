@@ -166,6 +166,7 @@ class OnDeviceAugmenter:
         self._noise_device: dict = {}
         self.sample_cache = sample_cache
         self._cached_fn = None
+        self._grouped_wire_fns: dict = {}
         if sample_cache is not None:
             sample_cache.configure([ub for ub, _ in self.buckets])
 
@@ -248,6 +249,10 @@ class OnDeviceAugmenter:
             lens = np.full(bsz, t, np.int64)
             if self.sample_cache is None:
                 self(zeros, lens)
+                if group > 1:
+                    self.compute_grouped(
+                        [self.stage(zeros, lens) for _ in range(group)]
+                    )
             else:
                 ids = [f"__precompile_{bi}_{k}__" for k in range(bsz)]
                 self.compute(self.stage(zeros, lens, ids=ids))  # miss+insert
@@ -258,34 +263,105 @@ class OnDeviceAugmenter:
                     )
         self.load_state_dict(rng_snapshot)
 
+    def _merge_kwargs(self, staged_batches, B_total: int, t_bucket: int) -> dict:
+        """Concatenate per-batch host RNG draws for a ``k*B`` mega-batch.
+
+        The ``noise`` entry is merged ON DEVICE: it is a device-resident,
+        shape-keyed asset (see :meth:`_noise_for`) — every batch of one
+        bucket shape carries the SAME array — so the merged noise is ``k``
+        HBM-concatenated copies, built once per (k*B, T') and cached.
+        Pulling it through ``np.concatenate`` instead would move tens of MB
+        device→host→device on EVERY grouped dispatch.  Bit-exactness with
+        per-batch :meth:`compute` is preserved: row ``i`` of each grouped
+        sub-batch sees exactly the noise row it would have seen alone."""
+        keys = staged_batches[0].kwargs.keys()
+        kwargs = {
+            k: np.concatenate([np.asarray(s.kwargs[k]) for s in staged_batches])
+            for k in keys
+            if k != "noise"
+        }
+        if "noise" in keys:
+            import jax.numpy as jnp
+
+            key = ("grouped", B_total, self._post_perturb_len(t_bucket))
+            staged_noise = self._noise_device.get(key)
+            if staged_noise is None:
+                staged_noise = jnp.concatenate(
+                    [s.kwargs["noise"] for s in staged_batches], axis=0
+                )
+                self._noise_device[key] = staged_noise
+            kwargs["noise"] = staged_noise
+        return kwargs
+
+    def _grouped_wire_pipeline(self, k: int):
+        """One compiled program per (bucket shapes are captured by jit) group
+        size ``k``: concatenates ``k`` already-transferred wire batches in
+        HBM and runs the fused pipeline once."""
+        fn = self._grouped_wire_fns.get(k)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            pipe = self._pipeline
+
+            def run(parts, lens, **kw):
+                return pipe(jnp.concatenate(parts, axis=0), lens, **kw)
+
+            fn = jax.jit(run)
+            self._grouped_wire_fns[k] = fn
+        return fn
+
     def compute_grouped(self, staged_batches):
-        """Run ``k`` cache-resident batches of the SAME bucket as ONE device
-        program over a ``k*B`` mega-batch, returning per-batch ``(feats,
-        feat_lens)`` views.  One dispatch instead of ``k``: on hosts with
-        high dispatch latency (remote/tunneled devices) the cached loop is
-        round-trip-bound, and the larger batch also utilizes the MXU better.
-        Each distinct (bucket, k) costs one extra compile — pick one ``k``
+        """Run ``k`` staged batches of the SAME bucket as ONE device program
+        over a ``k*B`` mega-batch, returning per-batch ``(feats, feat_lens)``
+        views.  One dispatch instead of ``k``: on hosts with high dispatch
+        latency (remote/tunneled devices) both the cached loop and the
+        fresh-decode loop are round-trip-bound, and the larger batch also
+        utilizes the MXU better.  Accepts either all-:class:`CachedBatch`
+        (pool gather, nothing crosses the wire) or all-:class:`StagedBatch`
+        (each batch's wire bytes already transferred via ``jax.device_put``;
+        the concat happens in HBM).  Each distinct (bucket, k) costs one
+        extra compile — pick one ``k``, warm it via ``precompile(group=k)``,
         and flush leftovers through :meth:`compute`.
         """
         assert staged_batches, "compute_grouped needs at least one batch"
         if len(staged_batches) == 1:
             return [self.compute(staged_batches[0])]
         t0 = staged_batches[0].bucket_t
+        if all(isinstance(s, StagedBatch) for s in staged_batches):
+            shape0 = staged_batches[0].audio.shape
+            assert all(s.audio.shape == shape0 for s in staged_batches), (
+                "grouped batches must share one bucket shape"
+            )
+            assert all(s.insert_slots is None for s in staged_batches), (
+                "cache-miss batches carry pool scatters; dispatch them "
+                "individually through compute()"
+            )
+            if t0 is None:
+                # Wire width != sample count for sub-byte formats; recover
+                # the bucket from the lens capacity instead.
+                t0 = int(self.bucket_shape(int(staged_batches[0].lens.max()))[0])
+            lens = np.concatenate([s.lens for s in staged_batches])
+            kwargs = self._merge_kwargs(staged_batches, len(lens), t0)
+            feats, feat_lens = self._grouped_wire_pipeline(len(staged_batches))(
+                [s.audio for s in staged_batches], lens, **kwargs
+            )
+            B = len(staged_batches[0].lens)
+            return [
+                (feats[i * B : (i + 1) * B], feat_lens[i * B : (i + 1) * B])
+                for i in range(len(staged_batches))
+            ]
         assert all(isinstance(s, CachedBatch) for s in staged_batches), (
-            "compute_grouped handles cache-resident batches; transfer-path "
-            "batches go through compute()"
+            "compute_grouped needs all-cached or all-transfer batches"
         )
         assert all(s.bucket_t == t0 for s in staged_batches), (
             "grouped batches must share one bucket shape"
         )
         slots = np.concatenate([s.slots for s in staged_batches])
         lens = np.concatenate([s.lens for s in staged_batches])
-        keys = staged_batches[0].kwargs.keys()
-        kwargs = {
-            k: np.concatenate([np.asarray(s.kwargs[k]) for s in staged_batches])
-            for k in keys
-        }
-        merged = CachedBatch(t0, slots, lens, kwargs)
+        merged = CachedBatch(
+            t0, slots, lens, self._merge_kwargs(staged_batches, len(lens), t0)
+        )
         feats, feat_lens = self.compute(merged)
         B = len(staged_batches[0].slots)
         return [
@@ -421,8 +497,8 @@ class OnDeviceAugmenter:
         staged = StagedBatch(
             jax.device_put(padded) if transfer else padded, lens, kwargs
         )
+        staged.bucket_t = T_b
         if cache is not None and ids is not None:
-            staged.bucket_t = T_b
             staged.insert_slots = cache.reserve(ids, T_b, B_b, self.sampling_rate)
         return staged
 

@@ -234,6 +234,22 @@ class OnTheFlyFeatures(BatchIO):
         cuts_list = list(cuts)
         if self.use_batch_extract:
             assert all(c.sampling_rate == cuts_list[0].sampling_rate for c in cuts_list)
+            # Fast path: the kaldi extractors can write every item's features
+            # straight into one padded (B, T, F) buffer via the fused native
+            # kernel — no per-item allocations and no second collate copy.
+            collated = getattr(self.extractor, "extract_batch_collated", None)
+            if collated is not None and not self.return_audio:
+                got = collated(
+                    audios,
+                    sampling_rate=cuts_list[0].sampling_rate,
+                    pad_value=LOG_EPSILON,
+                )
+                if got is not None:
+                    features_batch, feature_lens = got
+                    out = (features_batch, feature_lens)
+                    if self.fault_tolerant:
+                        out = out + (cuts,)
+                    return out
             features_single = self.extractor.extract_batch(
                 audios, sampling_rate=cuts_list[0].sampling_rate)
             features_single = [np.asarray(f) for f in features_single]

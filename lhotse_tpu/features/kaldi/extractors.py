@@ -283,26 +283,33 @@ class _KaldiExtractorBase(FeatureExtractor):
         """
         return None
 
-    def _fused_native_raw(self, item, n_frames):
+    def _fused_native_raw(self, item, n_frames, out=None):
         """
         Like :meth:`_fused_native_item` but takes the RAW (un-edge-padded)
         waveform; the kernel applies the snip_edges=False reflect padding
-        virtually, skipping the padded-copy allocation. Default: unsupported.
+        virtually, skipping the padded-copy allocation. ``out`` may supply
+        a preallocated (n_frames, F) f32 destination. Default: unsupported.
         """
         return None
 
-    def _numpy_item_features(self, item: np.ndarray) -> np.ndarray:
+    def _numpy_item_features(self, item: np.ndarray, out=None) -> np.ndarray:
         """Full host path for one raw waveform: fused native kernel when
-        available, else edge-pad + staged numpy pipeline."""
+        available, else edge-pad + staged numpy pipeline. When ``out`` is a
+        preallocated C-contiguous (n_frames, F) f32 view, the fused kernel
+        writes in place (the staged fallback copies into it)."""
         n_frames = self._num_frames(item.shape[-1])
         if n_frames <= 0:
             return np.zeros(
                 (0, self.feature_dim(self.config.sampling_rate)), dtype=np.float32
             )
-        fused = self._fused_native_raw(item, n_frames)
+        fused = self._fused_native_raw(item, n_frames, out=out)
         if fused is not None:
             return fused
-        return self._forward_numpy_item(self._prepare_item(item))[:n_frames]
+        res = self._forward_numpy_item(self._prepare_item(item))[:n_frames]
+        if out is not None and res.shape == out.shape:
+            out[...] = res
+            return out
+        return res
 
     def _apply_dither(self, samples: np.ndarray) -> np.ndarray:
         """
@@ -455,6 +462,65 @@ class _KaldiExtractorBase(FeatureExtractor):
             return np.stack(result, axis=0)
         return result
 
+    def extract_batch_collated(
+        self,
+        samples: Sequence[np.ndarray],
+        sampling_rate: int,
+        lengths: Optional[np.ndarray] = None,
+        pad_value: float = 0.0,
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """
+        Batched extraction straight into one padded ``(B, T_max, F)`` buffer:
+        each item's features are written IN PLACE by the fused native kernel
+        (no per-item allocation, no second collate copy — this is the
+        host hot path behind ``OnTheFlyFeatures``). Semantically identical to
+        ``extract_batch`` + ``collate_matrices(pad_value)``.
+
+        Returns ``(batch (B, T_max, F) f32, feat_lens (B,) int64)``, or None
+        when this extractor can't take the in-place path (device extractor,
+        energy column, or empty input) — callers fall back to
+        ``extract_batch``.
+        """
+        if not self._use_numpy_path() or getattr(self.config, "use_energy", False):
+            return None
+        if lengths is not None:
+            items = [
+                np.asarray(s, dtype=np.float32).reshape(-1)[: int(l)]
+                for s, l in zip(samples, lengths)
+            ]
+        else:
+            items = [np.asarray(s, dtype=np.float32).reshape(-1) for s in samples]
+        if not items:
+            return None
+        from lhotse_tpu.tracing import add_work, is_tracing_enabled, trace_span
+
+        def impl():
+            prepped = [self._apply_dither(s) for s in items]
+            feat_lens = [
+                compute_num_frames_from_samples(
+                    s.shape[-1], self.frame_shift, sampling_rate
+                )
+                for s in prepped
+            ]
+            F = self.feature_dim(sampling_rate)
+            T = max(feat_lens)
+            batch = np.empty((len(prepped), T, F), dtype=np.float32)
+            for i, (s, n) in enumerate(zip(prepped, feat_lens)):
+                if n > 0:
+                    row = batch[i, :n]  # C-contiguous row block
+                    got = self._numpy_item_features(s, out=row)
+                    if got is not row:
+                        row[...] = got
+                if n < T:
+                    batch[i, n:] = pad_value
+            return batch, np.asarray(feat_lens, dtype=np.int64)
+
+        if is_tracing_enabled():
+            with trace_span(f"{type(self).__name__}.extract_batch"):
+                add_work(sum(s.shape[-1] for s in items) / sampling_rate)
+                return impl()
+        return impl()
+
 
 @dataclass
 class FbankConfig:
@@ -583,7 +649,7 @@ class Fbank(_KaldiExtractorBase):
             self._jit_cache["fused_plan"] = plan
         return plan
 
-    def _fused_call(self, samples, n_frames, pad_left):
+    def _fused_call(self, samples, n_frames, pad_left, out=None):
         plan = self._fused_plan()
         if plan is None:
             return None
@@ -606,25 +672,33 @@ class Fbank(_KaldiExtractorBase):
             want_energy=cfg.use_energy,
             energy_floor=cfg.energy_floor if cfg.use_energy else 0.0,
             pad_left=pad_left,
+            # In-place write only when no energy column follows (the concat
+            # below reallocates anyway).
+            out=out if not cfg.use_energy else None,
         )
         if res is None:
             return None
-        out, log_e = res
+        out_mel, log_e = res
         if cfg.use_energy and log_e is not None:
-            out = np.concatenate([log_e[:, None].astype(np.float32), out], axis=-1)
-        return out
+            out_mel = np.concatenate(
+                [log_e[:, None].astype(np.float32), out_mel], axis=-1
+            )
+            if out is not None and out_mel.shape == out.shape:
+                out[...] = out_mel
+                return out
+        return out_mel
 
     def _fused_native_item(self, prepared, n_frames):
         return self._fused_call(prepared, n_frames, pad_left=0)
 
-    def _fused_native_raw(self, item, n_frames):
+    def _fused_native_raw(self, item, n_frames, out=None):
         length, shift = self._frame_samples, self._shift_samples
         if self.config.snip_edges:
-            return self._fused_call(item, n_frames, pad_left=0)
+            return self._fused_call(item, n_frames, pad_left=0, out=out)
         pad_left = (length - shift) // 2
         if item.shape[-1] < length or pad_left >= item.shape[-1]:
             return None  # too short for virtual padding: use the copy path
-        return self._fused_call(item, n_frames, pad_left=pad_left)
+        return self._fused_call(item, n_frames, pad_left=pad_left, out=out)
 
     @staticmethod
     def mix(

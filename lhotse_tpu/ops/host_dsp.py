@@ -226,6 +226,7 @@ def fbank_fused(
     want_energy: bool = False,
     energy_floor: float = 0.0,
     pad_left: int = 0,
+    out: Optional[np.ndarray] = None,
 ) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
     """
     One-call log-mel filterbank for a single float32 waveform: fused framing
@@ -237,6 +238,9 @@ def fbank_fused(
     applies the snip_edges=False symmetric reflect padding VIRTUALLY —
     boundary frames read through the reflect map, interior frames read the
     raw buffer directly, and the caller skips materializing a padded copy.
+    ``out`` may supply a preallocated C-contiguous (n_frames, n_mels) f32
+    destination (e.g. a row block of a padded batch buffer) so the kernel
+    writes features in place with no intermediate allocation.
     Returns ``(logmel (n_frames, n_mels) f32, log_energy or None)``, or
     None when the native kernel is unavailable or the configuration falls
     outside its envelope (caller must fall back).
@@ -254,7 +258,14 @@ def fbank_fused(
     assert window.shape[0] == length
     if pad_left == 0:
         assert x.shape[-1] >= (n_frames - 1) * shift + length
-    out = np.empty((n_frames, n_mels), dtype=np.float32)
+    if out is None:
+        out = np.empty((n_frames, n_mels), dtype=np.float32)
+    else:
+        assert (
+            out.dtype == np.float32
+            and out.flags.c_contiguous
+            and out.shape == (n_frames, n_mels)
+        )
     log_e = np.empty(n_frames, dtype=np.float64) if want_energy else None
     floor_log = math.log(energy_floor) if energy_floor > 0.0 else -math.inf
     rc = lib.fbank_fused_f32(

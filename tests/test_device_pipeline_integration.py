@@ -286,3 +286,61 @@ def test_compute_grouped_matches_per_batch_compute():
         f, l = aug.compute(s)
         np.testing.assert_array_equal(np.asarray(l), np.asarray(gl))
         np.testing.assert_array_equal(np.asarray(f), np.asarray(gf))
+
+
+def test_compute_grouped_wire_path_matches_per_batch_compute():
+    """k same-bucket TRANSFER-path batches (no sample cache) through one
+    grouped device program must produce bit-identical features to k separate
+    compute() calls — the fresh-decode e2e loop's dispatch-grouping path."""
+    rng = np.random.RandomState(3)
+    aug = OnDeviceAugmenter(
+        [(1.0, 2)], gain_range=(0.8, 1.2),
+        noise_pool=(rng.randn(2, SR) * 0.05).astype(np.float32),
+        snr=(10, 20), mix_prob=1.0, wire_format="int16", seed=0,
+        specaugment=__import__("lhotse_tpu.dataset.signal_transforms",
+                               fromlist=["SpecAugment"]).SpecAugment(seed=0),
+    )
+    aug.precompile(group=3)
+    lens = np.array([SR, SR - 160])
+    audios = [(rng.randn(2, SR) * 0.1).astype(np.float32) for _ in range(3)]
+    staged = [aug.stage(a, lens) for a in audios]
+    grouped = aug.compute_grouped(staged)
+    assert len(grouped) == 3
+    for s, (gf, gl) in zip(staged, grouped):
+        f, l = aug.compute(s)
+        np.testing.assert_array_equal(np.asarray(l), np.asarray(gl))
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(gf))
+
+
+def test_compute_grouped_wire_path_adpcm4():
+    """Grouping also composes with the sub-byte adpcm4 wire format (wire
+    width != sample count — bucket recovered via bucket_t)."""
+    rng = np.random.RandomState(4)
+    aug = OnDeviceAugmenter(
+        [(1.0, 2)], gain_range=None, noise_pool=None,
+        wire_format="adpcm4", seed=0,
+    )
+    lens = np.array([SR, SR - 512])
+    audios = [(rng.randn(2, SR) * 0.1).astype(np.float32) for _ in range(2)]
+    staged = [aug.stage(a, lens) for a in audios]
+    grouped = aug.compute_grouped(staged)
+    for s, (gf, gl) in zip(staged, grouped):
+        f, l = aug.compute(s)
+        np.testing.assert_array_equal(np.asarray(l), np.asarray(gl))
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(gf))
+
+
+def test_compute_grouped_rejects_mixed_and_miss_batches():
+    from lhotse_tpu.dataset.device_cache import DeviceSampleCache
+
+    rng = np.random.RandomState(5)
+    cache = DeviceSampleCache(capacity_seconds=600)
+    aug = OnDeviceAugmenter(
+        [(1.0, 2)], gain_range=None, noise_pool=None,
+        wire_format="int16", seed=0, sample_cache=cache,
+    )
+    lens = np.array([SR, SR])
+    a = (rng.randn(2, SR) * 0.1).astype(np.float32)
+    miss = aug.stage(a, lens, ids=["m0", "m1"])  # carries insert_slots
+    with pytest.raises(AssertionError):
+        aug.compute_grouped([miss, miss])
