@@ -231,6 +231,24 @@ class Recording:
 
         from lhotse_tpu.tracing import add_work, trace_span
 
+        # Post-transform window memoization: when the transform chain is
+        # deterministic (see AudioTransform.is_deterministic), the finished
+        # (channels, offset, duration) window is itself LRU-cacheable — warm
+        # epochs then skip BOTH the decode and the (often costlier) DSP chain
+        # (e.g. a speed-perturb sinc resample). Keys include the serialized
+        # chain, so differently-transformed views of one recording coexist.
+        # Bit-exact with the uncached path: hits return a copy of the very
+        # array a cold call produced for the same request.
+        xkey = self._transformed_cache_key(chain, channels, wanted, offset, requested_duration)
+        if xkey is not None:
+            from lhotse_tpu.caching import DecodedAudioCache
+
+            entry = DecodedAudioCache.try_cache(xkey)
+            if entry is not None:
+                return entry[0].copy()
+            if not DecodedAudioCache.worth_caching(xkey):
+                xkey = None  # first sighting: window-decode directly
+
         with trace_span("audio.decode"):
             audio = self._stack_audio_channels(
                 self._read_sources(wanted, src_offset, src_duration)
@@ -247,8 +265,47 @@ class Recording:
             return assert_and_maybe_fix_num_samples(
                 audio, offset=offset, duration=requested_duration, recording=self, tolerance=1e6,
                 pad_mode="constant")
-        return assert_and_maybe_fix_num_samples(
+        audio = assert_and_maybe_fix_num_samples(
             audio, offset=offset, duration=requested_duration, recording=self)
+        if xkey is not None:
+            from lhotse_tpu.caching import DecodedAudioCache
+
+            DecodedAudioCache.add_to_cache(xkey, audio, self.sampling_rate)
+        return audio
+
+    def _transformed_cache_key(self, chain, channels, wanted, offset, requested_duration):
+        """Stable LRU key for a post-transform audio window, or None when the
+        request is not memoizable (no transforms — the source-level cache in
+        :meth:`_read_sources` already covers plain decodes — nondeterministic
+        chain, video, unbounded size, or caching disabled)."""
+        from lhotse_tpu.caching import DecodedAudioCache
+
+        if (
+            not chain
+            or self.has_video
+            or not DecodedAudioCache.enabled()
+            or self.num_samples > DecodedAudioCache.max_item_samples
+            or not all(t.is_deterministic for t in chain)
+        ):
+            return None
+        import hashlib
+
+        tlist = [
+            t if isinstance(t, dict) else t.to_dict() for t in self.transforms or []
+        ]
+        fp = hashlib.blake2b(repr(tlist).encode(), digest_size=12).digest()
+        return (
+            "xformed",
+            self.id,
+            fp,
+            ("all",) if channels is None else tuple(sorted(wanted)),
+            compute_num_samples(offset, self.sampling_rate) if offset else 0,
+            (
+                -1
+                if requested_duration is None
+                else compute_num_samples(requested_duration, self.sampling_rate)
+            ),
+        )
 
     def _channel_selector(self, channels: Optional[Channels]):
         if channels is None:

@@ -57,6 +57,13 @@ class ReverbWithImpulseResponse(AudioTransform):
         if isinstance(self.rir_generator, dict):
             self.rir_generator = FastRandomRIRGenerator(**self.rir_generator)
 
+    @property
+    def is_deterministic(self) -> bool:
+        # The synthetic-RIR path draws a fresh room from a STATEFUL rng on
+        # every call (even when seeded, successive calls differ), so only a
+        # fixed RIR makes this transform memoizable.
+        return self.rir is not None
+
     def to_dict(self) -> dict:
         from lhotse_tpu import Recording
         from lhotse_tpu.cut import Cut

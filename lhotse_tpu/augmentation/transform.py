@@ -36,6 +36,17 @@ class AudioTransform:
             AudioTransform.KNOWN_TRANSFORMS[cls.__name__] = cls
         super().__init_subclass__(**kwargs)
 
+    @property
+    def is_deterministic(self) -> bool:
+        """
+        True when ``__call__`` is a pure function of ``(samples,
+        sampling_rate)`` and this transform's serialized parameters — i.e.
+        repeated application yields bit-identical output. The decoded-audio
+        LRU only memoizes post-transform waveforms for fully deterministic
+        chains. Transforms that draw from stateful RNGs must override this.
+        """
+        return True
+
     def to_dict(self) -> dict:
         data = asdict(self)
         return {"name": type(self).__name__, "kwargs": data}

@@ -138,7 +138,12 @@ class DecodedAudioCache:
     eviction. Thread-safe.
     """
 
-    max_cache_memory: int = 256 * 1024 * 1024
+    # Decoded floats are 4 B/sample; 1 GiB holds ~4.5 h of 16 kHz mono —
+    # sized for data-pipeline hosts (typically tens of GB of RAM), and it
+    # now also carries post-transform windows (Recording.load_audio
+    # memoization), not just noise/RIR assets. Class attribute: shrink it
+    # on small hosts.
+    max_cache_memory: int = 1024 * 1024 * 1024
     # ~125 s @ 16 kHz per channel: covers noise/RIR assets, excludes
     # long-form recordings.
     max_item_samples: int = 2_000_000

@@ -99,3 +99,73 @@ def test_cache_returns_writable_private_copies(tmp_path):
     b[:] = 0.0
     c = rec.load_audio()
     assert not np.allclose(c, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Post-transform window memoization (Recording._transformed_cache_key):
+# deterministic transform chains cache the FINISHED window, so warm epochs
+# skip decode + DSP; hits must be bit-exact with cold loads.
+# ---------------------------------------------------------------------------
+def test_transformed_window_cached_and_bit_exact(tmp_path, monkeypatch):
+    rec = _make(tmp_path, "c.wav", write_wav).perturb_speed(1.1)
+    cold = rec.load_audio(offset=0.25, duration=1.0)
+
+    set_caching_enabled(True)
+    DecodedAudioCache.clear()
+    import lhotse_tpu.augmentation.transforms as tr
+
+    calls = {"n": 0}
+    orig = tr.Speed.__call__
+
+    def counting(self, samples, sampling_rate):
+        calls["n"] += 1
+        return orig(self, samples, sampling_rate)
+
+    monkeypatch.setattr(tr.Speed, "__call__", counting)
+    first = rec.load_audio(offset=0.25, duration=1.0)   # probation
+    second = rec.load_audio(offset=0.25, duration=1.0)  # computes + caches
+    third = rec.load_audio(offset=0.25, duration=1.0)   # pure cache hit
+    assert calls["n"] == 2, "third load must skip the transform chain"
+    for got in (first, second, third):
+        np.testing.assert_array_equal(cold, got)
+    # The cached entry is detached: mutating a returned window must not
+    # poison later hits.
+    third[...] = -1.0
+    fourth = rec.load_audio(offset=0.25, duration=1.0)
+    np.testing.assert_array_equal(cold, fourth)
+
+
+def test_transformed_window_keys_are_chain_and_window_specific(tmp_path):
+    base = _make(tmp_path, "d.wav", write_wav)
+    sp11 = base.perturb_speed(1.1)
+    sp09 = base.perturb_speed(0.9)
+    set_caching_enabled(True)
+    DecodedAudioCache.clear()
+    for _ in range(3):  # past probation for every key
+        a = sp11.load_audio(offset=0.0, duration=1.0)
+        b = sp09.load_audio(offset=0.0, duration=1.0)
+        c = sp11.load_audio(offset=0.5, duration=1.0)
+    assert not np.array_equal(a, b)
+    assert not np.array_equal(a, c)
+    np.testing.assert_array_equal(a, sp11.load_audio(offset=0.0, duration=1.0))
+
+
+def test_random_rir_chain_is_not_memoized(tmp_path):
+    """A generator-backed reverb draws a fresh room per call — the window
+    cache must refuse it (is_deterministic=False) or repeats would freeze
+    the augmentation distribution."""
+    rec = _make(tmp_path, "e.wav", write_wav).reverb_rir(room_rng_seed=7)
+    chain = [
+        t for t in (rec.transforms or [])
+    ]
+    from lhotse_tpu.augmentation.transform import AudioTransform
+
+    built = [
+        t if isinstance(t, AudioTransform) else AudioTransform.from_dict(t)
+        for t in chain
+    ]
+    assert any(not t.is_deterministic for t in built)
+    set_caching_enabled(True)
+    DecodedAudioCache.clear()
+    outs = [rec.load_audio(duration=1.0) for _ in range(3)]
+    assert not np.array_equal(outs[1], outs[2]), "random reverb must stay random"
