@@ -359,14 +359,18 @@ def bench_host_pipeline() -> dict:
                 elapsed = time.perf_counter() - t0
             return audio_seconds, n_batches, elapsed, sm.steal_pct
 
-        # Warmup pass (imports, kernel caches, page cache), then median of 3
-        # timed passes — single short windows on a shared 1-core host
+        # Warmup passes (imports, kernel caches, page cache), then median of
+        # 3 timed passes — single short windows on a shared 1-core host
         # drifted 2x between same-day runs in round 4. Tracing runs in a
         # SEPARATE final pass so span bookkeeping doesn't tax the timings.
-        # The warm passes run with the decoded-audio LRU populated (the
+        # The warm passes run with the decoded-audio LRUs populated (the
         # steady state of multi-epoch training on a corpus that fits the
-        # 500 MB cache); the separately reported COLD pass clears all caches
-        # first — production-shaped when the corpus outsizes RAM.
+        # cache budget); TWO warmups because the post-transform window
+        # memoization (caching.DecodedAudioCache) caches a window on its
+        # SECOND sighting — epoch 1 marks, epoch 2 fills, epoch 3+ hit. The
+        # separately reported COLD pass clears all caches first —
+        # production-shaped when the corpus outsizes RAM.
+        run_pass()
         run_pass()
         repeats = sorted(
             (run_pass() for _ in range(1 if SMOKE else 3)),
@@ -378,6 +382,9 @@ def bench_host_pipeline() -> dict:
         set_caching_enabled(True)
         cold_a, _, cold_e, cold_steal = run_pass()
 
+        # Re-warm past window-cache probation so the traced spans describe
+        # the same steady state the warm medians report.
+        run_pass()
         set_tracing_enabled(True)
         reset_tracing()
         run_pass()
