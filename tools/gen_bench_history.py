@@ -95,7 +95,9 @@ def main():
     lines += [
         "",
         "Methodology changes: r5 switched the host/cached/precomputed legs to",
-        "median-of-3 windows (>=8 s each) after a warmup pass, and made every",
+        "median-of-3 windows (>=8 s each) after warmup passes (two on the",
+        "host leg: the post-transform window cache reaches steady state at",
+        "epoch 3), and made every",
         "section crash-isolated with retries (see bench.py docstring).",
         "",
     ]
