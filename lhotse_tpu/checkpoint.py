@@ -16,7 +16,48 @@ from typing import List
 
 from lhotse_tpu.utils import Pathlike
 
-__all__ = ["collect_state_dict", "restore_state_dict", "DataloaderCheckpoint"]
+__all__ = [
+    "collect_state_dict",
+    "detach_state",
+    "restore_state_dict",
+    "DataloaderCheckpoint",
+]
+
+_ATOMIC = (int, float, bool, str, bytes, type(None))
+
+
+def detach_state(x):
+    """Structural copy of a (nested) state payload that shares immutable
+    subtrees and copies every mutable container — semantically equivalent to
+    ``copy.deepcopy`` for JSON-shaped state (dict/list/tuple/set/ndarray of
+    atoms) but several times cheaper.  The DataLoader snapshots sampler state
+    after EVERY batch (exact mid-epoch resume), so this runs on the input
+    pipeline's hot path."""
+    if isinstance(x, _ATOMIC):
+        return x
+    if isinstance(x, tuple):
+        copies = [detach_state(v) for v in x]
+        if all(c is v for c, v in zip(copies, x)):
+            return x  # tuple of immutables: safe to share
+        return tuple(copies)
+    if isinstance(x, list):
+        return [detach_state(v) for v in x]
+    if isinstance(x, dict):
+        return {k: detach_state(v) for k, v in x.items()}
+    if isinstance(x, (set, frozenset)):
+        return type(x)(detach_state(v) for v in x)
+    try:
+        import numpy as _np
+
+        if isinstance(x, _np.ndarray):
+            return x.copy()
+        if isinstance(x, _np.generic):
+            return x
+    except ImportError:  # pragma: no cover
+        pass
+    import copy
+
+    return copy.deepcopy(x)
 
 
 def _rng_state_to_json(rng_state) -> list:

@@ -51,6 +51,10 @@ class StagedBatch:
     # bucket pool at compute time — zero extra wire bytes.
     bucket_t: Optional[int] = None
     insert_slots: Optional[np.ndarray] = None
+    # Staging counter this batch's augmentation randomness was keyed by —
+    # pass to OnDeviceAugmenter.state_dict(after=...) for checkpoints that
+    # stay consistent while a prefetch thread stages ahead.
+    aug_counter: Optional[int] = None
 
 
 @dataclass
@@ -63,6 +67,7 @@ class CachedBatch:
     slots: np.ndarray  # (B_b,) int32 pool rows (scratch slot = padding)
     lens: np.ndarray  # (B_b,) valid sample counts (0 = padding row)
     kwargs: Dict[str, Any] = field(default_factory=dict)
+    aug_counter: Optional[int] = None  # see StagedBatch.aug_counter
 
 
 class OnDeviceAugmenter:
@@ -144,7 +149,15 @@ class OnDeviceAugmenter:
         self.rir = None if rir is None else np.asarray(rir, np.float32)
         self.wire_format = wire_format
         self._seed = int(seed)
-        self._rng = np.random.RandomState(seed)
+        # All per-batch randomness is KEYED by (seed, specaugment seed,
+        # stage counter) instead of drawn from one sequential stream: a
+        # prefetch thread stages batches ahead of the training loop, and a
+        # sequential stream would make any state captured between yielded
+        # batches reflect the staged-ahead draws — silently changing the
+        # data stream on mid-epoch resume. With keyed draws, batch i's
+        # randomness depends only on i, so a checkpoint is just the next
+        # counter value (see state_dict(after=...)).
+        self._stage_counter = 0
         self.specaugment = specaugment
         fbank = resolve_fbank_layer(fbank, self.sampling_rate)
         self._feat_hop = round(fbank.frame_shift * self.sampling_rate)
@@ -369,40 +382,94 @@ class OnDeviceAugmenter:
             for i in range(len(staged_batches))
         ]
 
-    def state_dict(self) -> dict:
-        """Checkpoint the augmentation randomness: the per-batch host RNG
-        (gains / SNR / mix mask / noise-pool slot draws) plus the attached
-        SpecAugment transform's state. Together with the sampler's
+    def batch_rng(self, counter: int) -> np.random.Generator:
+        """The keyed per-batch generator: all of batch ``counter``'s host
+        randomness (gains / SNR / mix mask / SpecAugment warp+masks) derives
+        from ``(seed, specaugment.seed, counter)`` — independent of how many
+        batches a prefetch thread has staged ahead."""
+        sa_seed = getattr(self.specaugment, "seed", None)
+        return np.random.default_rng(
+            (self._seed, 0 if sa_seed is None else int(sa_seed), int(counter))
+        )
+
+    def state_dict(self, after=None) -> dict:
+        """Checkpoint the augmentation randomness. Because per-batch draws
+        are counter-keyed (see :meth:`batch_rng`), the whole state is the
+        next staging counter. Together with the sampler's/loader's
         ``state_dict`` this makes a mid-epoch resume reproduce the exact
         batch-and-augmentation stream (the device pipeline itself is
-        deterministic given these draws)."""
-        sd = {"rng_state": self._rng.get_state()}
-        if self.specaugment is not None and hasattr(self.specaugment, "state_dict"):
-            sd["specaugment"] = self.specaugment.state_dict()
-        return sd
+        deterministic given these draws).
+
+        :param after: optional staged batch (the LAST one the training loop
+            consumed). With a prefetch thread, the augmenter's live counter
+            runs ahead of consumption; passing the consumed batch pins the
+            checkpoint to it exactly. Prefer ``DataLoader(...,
+            checkpoint_objects=[augmenter])``, which captures this
+            automatically and consistently with the sampler state.
+        """
+        if after is None:
+            counter = self._stage_counter
+        else:
+            counter = self._counter_after(after)
+        return {"seed": self._seed, "next_counter": counter}
+
+    def _counter_after(self, after) -> int:
+        """Next staging counter implied by a consumed batch: its
+        ``aug_counter`` + 1. Accepts a staged/cached batch, or a tuple/list
+        of them (grouped dispatch) — the max counter wins."""
+        if isinstance(after, (tuple, list)):
+            counters = [
+                c
+                for c in (getattr(el, "aug_counter", None) for el in after)
+                if c is not None
+            ]
+            if not counters:
+                raise ValueError(
+                    "state_dict(after=...) needs batches staged by this "
+                    "augmenter (none of the elements carries aug_counter)."
+                )
+            return max(int(c) for c in counters) + 1
+        c = getattr(after, "aug_counter", None)
+        if c is None:
+            raise ValueError(
+                "state_dict(after=...) needs a batch staged by this "
+                "augmenter (no aug_counter on the given object)."
+            )
+        return int(c) + 1
 
     def load_state_dict(self, state_dict: dict) -> None:
-        self._rng.set_state(state_dict["rng_state"])
-        if (
-            self.specaugment is not None
-            and "specaugment" in state_dict
-            and hasattr(self.specaugment, "load_state_dict")
-        ):
-            self.specaugment.load_state_dict(state_dict["specaugment"])
+        if "rng_state" in state_dict:
+            raise ValueError(
+                "This checkpoint was written by an older OnDeviceAugmenter "
+                "whose randomness was a sequential RNG stream; it cannot be "
+                "restored into the counter-keyed design (which exists to "
+                "keep checkpoints consistent under prefetch)."
+            )
+        if int(state_dict["seed"]) != self._seed:
+            raise ValueError(
+                f"Augmenter checkpoint was written with seed "
+                f"{state_dict['seed']}, but this augmenter uses seed "
+                f"{self._seed} — restoring would change the stream."
+            )
+        self._stage_counter = int(state_dict["next_counter"])
 
     def _draw_kwargs(self, B_b: int, T_b: int) -> dict:
-        """Per-batch augmentation draws (host RNG) + shared device assets."""
+        """Per-batch augmentation draws (keyed host RNG) + shared device
+        assets. Consumes one staging-counter value per call."""
+        counter = self._stage_counter
+        self._stage_counter = counter + 1
+        rng = self.batch_rng(counter)
         kwargs = {}
         if self.gain_range is not None:
             lo, hi = self.gain_range
-            kwargs["gains"] = self._rng.uniform(lo, hi, B_b).astype(np.float32)
+            kwargs["gains"] = rng.uniform(lo, hi, B_b).astype(np.float32)
         if self._noise_host is not None:
             t_p = self._post_perturb_len(T_b)
             kwargs["noise"] = self._noise_for(B_b, t_p)
             lo, hi = self.snr
-            kwargs["snr"] = self._rng.uniform(lo, hi, B_b).astype(np.float32)
+            kwargs["snr"] = rng.uniform(lo, hi, B_b).astype(np.float32)
             kwargs["mix_mask"] = (
-                self._rng.uniform(0, 1, B_b) < self.mix_prob
+                rng.uniform(0, 1, B_b) < self.mix_prob
             ).astype(np.float32)
         if self.specaugment is not None:
             # Host-side randomness over the bucket's (post-perturb) frame
@@ -413,7 +480,7 @@ class OnDeviceAugmenter:
                 self._post_perturb_len(T_b) + self._feat_hop // 2
             ) // self._feat_hop
             warp_src, time_mask, freq_mask = self.specaugment.draw_batch(
-                B_b, int(n_frames), self._num_mels
+                B_b, int(n_frames), self._num_mels, rng=rng
             )
             kwargs["warp_src"] = warp_src.astype(np.float32)
             kwargs["time_mask"] = time_mask
@@ -465,11 +532,15 @@ class OnDeviceAugmenter:
             )
         lens = np.zeros(B_b, np.int64)
         lens[:B] = np.minimum(audio_lens, T_b)
+        counter = self._stage_counter  # the value _draw_kwargs consumes
         kwargs = self._draw_kwargs(B_b, T_b)
 
         cache = self.sample_cache
         if cache is not None and ids is not None and cache.has_all(ids, T_b):
-            return CachedBatch(T_b, cache.slots(ids, T_b, B_b), lens, kwargs)
+            return CachedBatch(
+                T_b, cache.slots(ids, T_b, B_b), lens, kwargs,
+                aug_counter=counter,
+            )
 
         if audio.shape[1] == 0:
             raise ValueError(
@@ -495,7 +566,8 @@ class OnDeviceAugmenter:
         # running the put on the decode thread would serialize transfer with
         # assembly — see transfer_stream() in dataset/loader.py.
         staged = StagedBatch(
-            jax.device_put(padded) if transfer else padded, lens, kwargs
+            jax.device_put(padded) if transfer else padded, lens, kwargs,
+            aug_counter=counter,
         )
         staged.bucket_t = T_b
         if cache is not None and ids is not None:

@@ -129,6 +129,22 @@ class DataLoader:
     :param worker_jax_platform: jax platform pinned inside workers ("cpu" by
         default so assembly never competes for the accelerator); None leaves
         worker jax configuration alone.
+    :param checkpoint_objects: additional stateful pipeline stages (e.g.
+        :class:`~lhotse_tpu.dataset.device_augment.OnDeviceAugmenter`) whose
+        ``state_dict``/``load_state_dict`` should ride along with the
+        loader's. Captured at YIELD time, pinned to the yielded batch: if an
+        object's ``state_dict`` accepts ``after=<batch>`` (the augmenter's
+        does — staged batches carry the ``aug_counter`` they were keyed by),
+        the snapshot reflects exactly the batches the caller consumed, even
+        while a prefetch thread stages ahead.
+    :param transfer_lookahead: N >= 1 keeps up to N batches' host→device
+        ``jax.device_put`` ahead of the consumer (for ``main_apply_fn``
+        staging with ``OnDeviceAugmenter.stage(..., transfer=False)``).
+        Same overlap as wrapping the loader in :func:`transfer_stream`, with
+        one crucial difference: ``state_dict()`` stays pinned to the batch
+        the CONSUMER received — an external wrapper pulls the loader ahead,
+        so a mid-epoch checkpoint taken through it would skip the
+        in-flight transferred batches on resume.
     """
 
     def __init__(
@@ -136,7 +152,9 @@ class DataLoader:
         apply_fn: Optional[Callable[[Any], Any]] = None, num_workers: int = 0,
         num_thread_workers: int = 0, worker_dedup: str = "batch", seed: int = 42,
         worker_jax_platform: str = "cpu",
-        main_apply_fn: Optional[Callable[[Any], Any]] = None):
+        main_apply_fn: Optional[Callable[[Any], Any]] = None,
+        checkpoint_objects: Optional[list] = None,
+        transfer_lookahead: int = 0):
         if worker_dedup not in ("batch", "partition"):
             raise ValueError(f"worker_dedup must be 'batch' or 'partition', got {worker_dedup!r}")
         if num_workers and num_thread_workers:
@@ -169,6 +187,9 @@ class DataLoader:
         self.seed = seed
         self.worker_jax_platform = worker_jax_platform
         self.main_apply_fn = main_apply_fn
+        self.checkpoint_objects = list(checkpoint_objects or [])
+        self.transfer_lookahead = max(int(transfer_lookahead), 0)
+        self._last_object_states: Optional[list] = None
 
     def state_dict(self) -> Dict[str, Any]:
         """
@@ -184,15 +205,26 @@ class DataLoader:
         partition-dedup multiprocess mode (per-partition states do not
         compose), this falls back to the live sampler state.
         """
-        import copy
+        from lhotse_tpu.checkpoint import detach_state
 
         state = getattr(self, "_last_yielded_state", None)
         if state is None:
-            # pre-iteration fallback: deep copy for the same reason as
+            # pre-iteration fallback: detached copy for the same reason as
             # _snapshot_sampler — the returned dict must not share live
             # internals with a sampler that may start advancing afterwards
-            state = copy.deepcopy(self.sampler.state_dict())
-        return {"sampler": state}
+            state = detach_state(self.sampler.state_dict())
+        out: Dict[str, Any] = {"sampler": state}
+        if self.checkpoint_objects:
+            obj_states = self._last_object_states
+            if obj_states is None:
+                # pre-iteration: the objects haven't staged anything yet, so
+                # their live state IS the consumed-through-nothing state.
+                obj_states = [
+                    detach_state(obj.state_dict())
+                    for obj in self.checkpoint_objects
+                ]
+            out["objects"] = obj_states
+        return out
 
     def load_state_dict(self, state: Dict[str, Any]) -> None:
         import copy
@@ -201,22 +233,52 @@ class DataLoader:
         # the loader hands over a deep copy so one checkpoint object can be
         # loaded into multiple loaders (e.g. every rank reading one file).
         self.sampler.load_state_dict(copy.deepcopy(state["sampler"]))
+        obj_states = state.get("objects")
+        if obj_states is not None:
+            if len(obj_states) != len(self.checkpoint_objects):
+                raise ValueError(
+                    f"Checkpoint carries {len(obj_states)} object states but "
+                    f"this loader has {len(self.checkpoint_objects)} "
+                    "checkpoint_objects — the pipeline composition changed."
+                )
+            for obj, sd in zip(self.checkpoint_objects, obj_states):
+                obj.load_state_dict(copy.deepcopy(sd))
         self._last_yielded_state = None
+        self._last_object_states = None
+
+    def _capture_object_states(self, batch) -> None:
+        """Snapshot every checkpoint object pinned to the just-yielded batch
+        (objects whose ``state_dict`` accepts ``after=`` use the batch's
+        embedded counter; others fall back to their live state)."""
+        from lhotse_tpu.checkpoint import detach_state
+
+        states = []
+        for obj in self.checkpoint_objects:
+            try:
+                sd = obj.state_dict(after=batch)
+            except (TypeError, ValueError, AttributeError):
+                # state_dict() without an `after` parameter, or a batch the
+                # object cannot pin to (not staged by it): live state. With
+                # assembly-side staging (apply_fn) the live state is exact;
+                # only external out-of-band staging loses prefetch pinning.
+                sd = obj.state_dict()
+            states.append(detach_state(sd))
+        self._last_object_states = states
 
     # -- single-process (threaded prefetch) ------------------------------------
 
     def _snapshot_sampler(self):
         """Sampler state AFTER the batch just drawn (cheap: O(tokens)).
 
-        Deep-copied at capture time: sampler state dicts can embed LIVE
+        Detached at capture time: sampler state dicts can embed LIVE
         mutable objects (buffer lists, drained masks), and the prefetch
         thread keeps advancing the sampler after this snapshot is taken —
         without the copy, a checkpoint read later reflects whatever the
         producer got to, skipping the in-flight batches on resume."""
-        import copy
+        from lhotse_tpu.checkpoint import detach_state
 
         try:
-            return copy.deepcopy(self.sampler.state_dict())
+            return detach_state(self.sampler.state_dict())
         except (AttributeError, TypeError, NotImplementedError):
             # plain iterables (no state_dict) and deliberately
             # non-checkpointable pipelines (e.g. infinite mux) must not
@@ -266,11 +328,11 @@ class DataLoader:
         put(_SENTINEL)
 
     def _iter_threaded(self) -> Iterator:
+        """Yields ``(snapshot, batch)`` pairs; publication to
+        ``_last_yielded_state`` happens in :meth:`_finalize_stream` at
+        consumer-yield time."""
         if self.prefetch_batches == 0:
-            for snap, batch in self._sampler_and_assemble():
-                if snap is not None:
-                    self._last_yielded_state = snap
-                yield batch
+            yield from self._sampler_and_assemble()
             return
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
@@ -283,10 +345,7 @@ class DataLoader:
                     break
                 if isinstance(item, BaseException):
                     raise item
-                snap, batch = item
-                if snap is not None:
-                    self._last_yielded_state = snap
-                yield batch
+                yield item
         finally:
             # Runs on exhaustion AND on generator close/GC: stop the producer
             # so an abandoned iterator cannot keep consuming (and mutating)
@@ -360,10 +419,7 @@ class DataLoader:
             if kind == "done":
                 dead.add(w)
                 continue
-            snap, batch = payload
-            if snap is not None:
-                self._last_yielded_state = snap
-            yield batch
+            yield payload
 
     def _drain_any_order(self, queues) -> Iterator:
         import queue as q_mod
@@ -382,10 +438,7 @@ class DataLoader:
                     live.discard(w)
                     continue
                 advanced = True
-                snap, batch = payload
-                if snap is not None:
-                    self._last_yielded_state = snap
-                yield batch
+                yield payload
             if not advanced and live:
                 continue
 
@@ -467,11 +520,9 @@ class DataLoader:
                     if i not in done:
                         return  # all workers finished, buffer drained
                     snap, batch = done.pop(i)
-                    if snap is not None:
-                        self._last_yielded_state = snap
                     state["next"] = i + 1
                     cond.notify_all()
-                yield batch
+                yield snap, batch
                 i += 1
         finally:
             with cond:
@@ -490,9 +541,55 @@ class DataLoader:
             it = self._iter_threadpool()
         else:
             it = self._iter_threaded()
-        if self.main_apply_fn is None:
-            return it
-        return map(self.main_apply_fn, it)
+        return self._finalize_stream(it)
+
+    def _publish(self, snap, batch) -> None:
+        """Make ``state_dict()`` reflect exactly this batch — called at the
+        moment the batch is handed to the consumer."""
+        if snap is not None:
+            self._last_yielded_state = snap
+        if self.checkpoint_objects:
+            self._capture_object_states(batch)
+
+    def _finalize_stream(self, it: Iterator) -> Iterator:
+        """Main-process tail of the pipeline: apply ``main_apply_fn``,
+        optionally run it ``transfer_lookahead`` batches ahead of the
+        consumer (keeping that many async host→device transfers in flight),
+        and publish the sampler snapshot + ``checkpoint_objects`` states at
+        consumer-yield time. A generator (not ``map``) so that
+        closing/abandoning the loader iterator still closes the inner one —
+        which is what stops the producer thread."""
+        from collections import deque
+
+        lookahead = self.transfer_lookahead if self.main_apply_fn else 0
+        try:
+            if lookahead <= 0:
+                for snap, batch in it:
+                    if self.main_apply_fn is not None:
+                        batch = self.main_apply_fn(batch)
+                    self._publish(snap, batch)
+                    yield batch
+                return
+            # main_apply_fn (typically OnDeviceAugmenter.stage: pad + encode
+            # + jax.device_put) runs up to `lookahead` batches ahead; the
+            # puts are async, so transfer of batch i+1..i+N overlaps the
+            # consumer's compute on batch i. Snapshots stay pinned: each
+            # buffered batch carries its own, published only when yielded.
+            buf: deque = deque()
+            for snap, batch in it:
+                buf.append((snap, self.main_apply_fn(batch)))
+                if len(buf) > lookahead:
+                    snap0, b0 = buf.popleft()
+                    self._publish(snap0, b0)
+                    yield b0
+            while buf:
+                snap0, b0 = buf.popleft()
+                self._publish(snap0, b0)
+                yield b0
+        finally:
+            close = getattr(it, "close", None)
+            if close is not None:
+                close()
 
 
 def _tree_device_put(batch, sharding=None):

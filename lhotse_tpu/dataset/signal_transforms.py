@@ -168,14 +168,15 @@ class SpecAugment:
 
     # --- host-side randomness → index maps and masks ---------------------
 
-    def _warp_map_single(self, t: int) -> np.ndarray:
+    def _warp_map_single(self, t: int, rng=None) -> np.ndarray:
         """Fractional source indices (t,) for one example's time warp."""
+        rng = self.rng if rng is None else rng
         factor = self.time_warp_factor
         idx = np.arange(t, dtype=np.float64)
         if factor is None or factor < 1 or t - factor <= factor + 1:
             return idx
-        center = self.rng.integers(factor + 1, t - factor)
-        warped = self.rng.integers(center - factor, center + factor + 1)
+        center = rng.integers(factor + 1, t - factor)
+        warped = rng.integers(center - factor, center + factor + 1)
         if warped == center:
             return idx
         src = np.empty(t, dtype=np.float64)
@@ -186,16 +187,27 @@ class SpecAugment:
         src[warped:] = center + right * ((t - center) / (t - warped))
         return src
 
-    def _axis_mask_single(self, dim: int, mask_size: int, mask_times: int) -> np.ndarray:
+    def _axis_mask_single(
+        self, dim: int, mask_size: int, mask_times: int, rng=None
+    ) -> np.ndarray:
         """Boolean (dim,) union of ``mask_times`` random spans."""
-        mask = np.zeros(dim, dtype=bool)
-        if mask_times <= 0 or mask_size <= 0:
-            return mask
-        widths = self.rng.integers(0, int(mask_size), size=mask_times)
-        starts = (self.rng.random(mask_times) * (dim - widths)).astype(np.int64)
-        for s, w in zip(starts, widths):
-            mask[s : s + w] = True
-        return mask
+        return self._axis_masks_batch(1, dim, mask_size, mask_times, rng=rng)[0]
+
+    def _axis_masks_batch(
+        self, n: int, dim: int, mask_size: int, mask_times: int, rng=None
+    ) -> np.ndarray:
+        """Boolean (n, dim): per row, the union of ``mask_times`` random
+        spans — one vectorized draw for the whole batch (the per-example
+        loop was a measured hot spot of the device-pipeline staging path)."""
+        rng = self.rng if rng is None else rng
+        if n <= 0 or mask_times <= 0 or mask_size <= 0:
+            return np.zeros((max(n, 0), dim), dtype=bool)
+        widths = rng.integers(0, int(mask_size), size=(n, mask_times))
+        starts = (rng.random((n, mask_times)) * (dim - widths)).astype(np.int64)
+        idx = np.arange(dim)
+        return (
+            (idx >= starts[:, :, None]) & (idx < (starts + widths)[:, :, None])
+        ).any(axis=1)
 
     def _time_mask_params(self, t: int) -> Tuple[int, int]:
         max_tot_mask_frames = self.max_frames_mask_fraction * t
@@ -225,7 +237,7 @@ class SpecAugment:
         )
         return _apply_specaugment(features, warp_src, time_mask, freq_mask)
 
-    def draw_batch(self, b: int, t: int, f: int, supervision_segments=None):
+    def draw_batch(self, b: int, t: int, f: int, supervision_segments=None, rng=None):
         """
         Draw one batch worth of SpecAugment randomness WITHOUT applying it:
         ``(warp_src (B, T) float64 fractional source indices, time_mask
@@ -235,15 +247,48 @@ class SpecAugment:
         fused on-device bucket program; semantics and RNG stream are
         identical to calling the transform directly on a ``(B, T, F)``
         batch.
+
+        ``rng`` overrides the transform's own sequential stream with an
+        externally-derived generator — OnDeviceAugmenter passes a per-batch
+        counter-keyed generator so that checkpoints taken between yielded
+        batches stay consistent even while a prefetch thread stages ahead.
         """
+        rng = self.rng if rng is None else rng
         # Per-example warp maps (identity rows when not applied).
         warp_src = np.tile(np.arange(t, dtype=np.float64), (b, 1))
-        apply_flags = self.rng.random(b) <= self.p
+        apply_flags = rng.random(b) <= self.p
 
         if supervision_segments is None:
-            for i in range(b):
-                if apply_flags[i]:
-                    warp_src[i] = self._warp_map_single(t)
+            # Vectorized over the applied examples (the per-example loop was
+            # a measured hot spot of the device-pipeline staging path).
+            factor = self.time_warp_factor
+            apply_idx = np.flatnonzero(apply_flags)
+            if (
+                factor is not None
+                and factor >= 1
+                and t - factor > factor + 1
+                and len(apply_idx)
+            ):
+                k = len(apply_idx)
+                centers = rng.integers(factor + 1, t - factor, size=k)
+                warped = centers - factor + rng.integers(
+                    0, 2 * factor + 1, size=k
+                )
+                sel = warped != centers  # warped == center is the identity map
+                if np.any(sel):
+                    rows = apply_idx[sel]
+                    c = centers[sel].astype(np.float64)
+                    w = warped[sel].astype(np.float64)
+                    idx = np.arange(t, dtype=np.float64)
+                    # [0, warped) maps linearly onto [0, center); the rest
+                    # onto [center, t) — same map as _warp_map_single.
+                    left = idx[None, :] * (c / w)[:, None]
+                    right = (
+                        c[:, None]
+                        + (idx[None, :] - w[:, None])
+                        * ((t - c) / (t - w))[:, None]
+                    )
+                    warp_src[rows] = np.where(idx[None, :] < w[:, None], left, right)
         else:
             segs = np.asarray(supervision_segments)
             for sequence_idx, start_frame, num_frames in segs:
@@ -251,9 +296,9 @@ class SpecAugment:
                     int(sequence_idx), int(start_frame), int(num_frames))
                 # Each segment independently samples its apply decision,
                 # matching per-call randomness of the reference.
-                if self.rng.random() > self.p:
+                if rng.random() > self.p:
                     continue
-                seg_map = self._warp_map_single(num_frames)
+                seg_map = self._warp_map_single(num_frames, rng=rng)
                 warp_src[sequence_idx, start_frame : start_frame + num_frames] = (
                     start_frame + seg_map
                 )
@@ -263,16 +308,19 @@ class SpecAugment:
         if supervision_segments is None:
             mask_flags = apply_flags
         else:
-            mask_flags = self.rng.random(b) <= self.p
+            mask_flags = rng.random(b) <= self.p
         freq_mask = np.zeros((b, f), dtype=bool)
         time_mask = np.zeros((b, t), dtype=bool)
         num_frame_masks, max_mask_frames = self._time_mask_params(t)
-        for i in range(b):
-            if not mask_flags[i]:
-                continue
-            freq_mask[i] = self._axis_mask_single(
-                f, self.features_mask_size, self.num_feature_masks)
-            time_mask[i] = self._axis_mask_single(t, max_mask_frames, num_frame_masks)
+        n_apply = int(np.count_nonzero(mask_flags))
+        if n_apply:
+            # One vectorized draw per axis for all applied examples (the
+            # per-example mask loop dominated host staging in profiles).
+            freq_mask[mask_flags] = self._axis_masks_batch(
+                n_apply, f, self.features_mask_size, self.num_feature_masks,
+                rng=rng)
+            time_mask[mask_flags] = self._axis_masks_batch(
+                n_apply, t, max_mask_frames, num_frame_masks, rng=rng)
 
         return warp_src, time_mask, freq_mask
 

@@ -159,3 +159,60 @@ def test_augmenter_state_dict_roundtrip_determinism():
         assert sorted(w) == sorted(g)
         for k in w:
             np.testing.assert_array_equal(np.asarray(w[k]), np.asarray(g[k]), err_msg=k)
+
+
+def test_loader_checkpoint_objects_pin_augmenter_under_prefetch(corpus):
+    """DataLoader(checkpoint_objects=[augmenter]): loader.state_dict() taken
+    between yielded batches must pin the augmenter to the batches actually
+    CONSUMED, even though the prefetch thread has staged (and drawn
+    randomness for) several batches ahead. Resume must reproduce the
+    remaining features bit-exactly."""
+
+    def make_loader(aug, sampler, prefetch):
+        dataset = K2SpeechRecognitionDataset(input_strategy=AudioSamples())
+
+        def stage_fn(batch):
+            ns = np.asarray(batch["supervisions"]["num_samples"])
+            return aug.stage(np.asarray(batch["inputs"]), ns)
+
+        return DataLoader(
+            sampler, dataset, apply_fn=stage_fn,
+            prefetch_batches=prefetch, checkpoint_objects=[aug],
+        )
+
+    # Uninterrupted run.
+    aug, sampler = build(corpus)
+    full = []
+    for staged in make_loader(aug, sampler, prefetch=0):
+        feats, flens = aug.compute(staged)
+        full.append((np.asarray(feats), np.asarray(flens)))
+    assert len(full) >= 4
+
+    # Interrupted: deep prefetch so the augmenter stages well ahead of the
+    # 2 consumed batches; checkpoint through the loader, then abandon it.
+    aug1, sampler1 = build(corpus)
+    loader1 = make_loader(aug1, sampler1, prefetch=4)
+    it = iter(loader1)
+    import time
+    for _ in range(2):
+        aug1.compute(next(it))
+    time.sleep(0.3)  # let the prefetch thread stage ahead before snapshotting
+    ckpt = loader1.state_dict()
+    it.close()
+    # The prefetch thread really did run ahead of consumption.
+    assert aug1._stage_counter > ckpt["objects"][0]["next_counter"]
+
+    # Rebuild from scratch, restore THROUGH the loader, drain the rest.
+    aug2, sampler2 = build(corpus)
+    loader2 = make_loader(aug2, sampler2, prefetch=4)
+    loader2.load_state_dict(ckpt)
+    resumed = []
+    for staged in loader2:
+        feats, flens = aug2.compute(staged)
+        resumed.append((np.asarray(feats), np.asarray(flens)))
+
+    tail = full[2:]
+    assert len(resumed) == len(tail)
+    for (f_a, l_a), (f_b, l_b) in zip(tail, resumed):
+        np.testing.assert_array_equal(l_a, l_b)
+        np.testing.assert_array_equal(f_a, f_b)

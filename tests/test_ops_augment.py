@@ -298,13 +298,16 @@ class TestDeviceSpecAugment:
         feats_plain, feat_lens = plain(audio, lens)
         feats_plain = np.asarray(feats_plain)
 
-        # The augmenter draws over the bucket's analytic frame grid; replay
-        # the identical draw with a same-seed transform, then apply on host.
+        # The augmenter draws over the bucket's analytic frame grid with a
+        # counter-keyed generator (batch 0 -> batch_rng(0)); replay the
+        # identical draw through the same key, then apply on host.
         sp_aug = make(SpecAugment(seed=123))
         feats_dev = np.asarray(sp_aug(audio, lens)[0])
 
         n_frames = (T + 80) // 160
-        warp_src, tmask, fmask = SpecAugment(seed=123).draw_batch(B, n_frames, 80)
+        warp_src, tmask, fmask = SpecAugment(seed=123).draw_batch(
+            B, n_frames, 80, rng=sp_aug.batch_rng(0)
+        )
         T_f = feats_plain.shape[1]
         feats_host = dev.apply_specaugment(
             feats_plain, warp_src[:, :T_f].astype(np.float32),
